@@ -1,0 +1,11 @@
+"""iceberg_go_spark — a PySpark-native table-format engine.
+
+Capabilities mirror apache/iceberg-go (reference at /root/reference, studied
+for behavior only): catalogs, snapshot-based transactions, multi-level scan
+planning/pruning, partitioned writes, merge-on-read & copy-on-write deletes,
+maintenance — with execution lowered onto stock PySpark DataFrames. On top,
+large-scale training-data operators: dedup, similarity search, text analysis,
+multimodal column plumbing.
+"""
+
+__version__ = "0.1.0"

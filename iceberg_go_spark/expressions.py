@@ -1,0 +1,541 @@
+"""Boolean expression AST: build, bind, negate, simplify, compile.
+
+Parity (original code): /root/reference/exprs.go (ops :33-70, negation
+:72-113, And/Or folding :209-298, Bind :400), predicates.go:23-140 (sugar
+constructors, In-set reduction), visitors.go:188 (BindExpr), :227
+(ExpressionEvaluator).
+
+Two consumers:
+- the *planner* evaluates these against manifest/file metadata in Python;
+- the *executor* compiles them to ``pyspark.sql.Column`` (Catalyst then does
+  its own pushdown/codegen) and to ANSI SQL for oracle checks.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Iterable, Optional, Tuple
+
+from . import types as T
+from .schema import Schema
+
+# ---------------------------------------------------------------------------
+# Operations
+
+OP_TRUE = "true"
+OP_FALSE = "false"
+OP_IS_NULL = "is_null"
+OP_NOT_NULL = "not_null"
+OP_IS_NAN = "is_nan"
+OP_NOT_NAN = "not_nan"
+OP_LT = "lt"
+OP_LT_EQ = "lt_eq"
+OP_GT = "gt"
+OP_GT_EQ = "gt_eq"
+OP_EQ = "eq"
+OP_NEQ = "not_eq"
+OP_STARTS_WITH = "starts_with"
+OP_NOT_STARTS_WITH = "not_starts_with"
+OP_IN = "in"
+OP_NOT_IN = "not_in"
+
+_NEGATIONS = {
+    OP_IS_NULL: OP_NOT_NULL, OP_NOT_NULL: OP_IS_NULL,
+    OP_IS_NAN: OP_NOT_NAN, OP_NOT_NAN: OP_IS_NAN,
+    OP_LT: OP_GT_EQ, OP_LT_EQ: OP_GT, OP_GT: OP_LT_EQ, OP_GT_EQ: OP_LT,
+    OP_EQ: OP_NEQ, OP_NEQ: OP_EQ,
+    OP_STARTS_WITH: OP_NOT_STARTS_WITH, OP_NOT_STARTS_WITH: OP_STARTS_WITH,
+    OP_IN: OP_NOT_IN, OP_NOT_IN: OP_IN,
+}
+
+UNARY_OPS = {OP_IS_NULL, OP_NOT_NULL, OP_IS_NAN, OP_NOT_NAN}
+LITERAL_OPS = {OP_LT, OP_LT_EQ, OP_GT, OP_GT_EQ, OP_EQ, OP_NEQ,
+               OP_STARTS_WITH, OP_NOT_STARTS_WITH}
+SET_OPS = {OP_IN, OP_NOT_IN}
+
+
+class Expression:
+    def __and__(self, other: "Expression") -> "Expression":
+        return and_(self, other)
+
+    def __or__(self, other: "Expression") -> "Expression":
+        return or_(self, other)
+
+    def __invert__(self) -> "Expression":
+        return not_(self)
+
+    def negate(self) -> "Expression":
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class AlwaysTrue(Expression):
+    def negate(self) -> Expression:
+        return AlwaysFalse()
+
+    def __str__(self) -> str:
+        return "true"
+
+
+@dataclass(frozen=True)
+class AlwaysFalse(Expression):
+    def negate(self) -> Expression:
+        return AlwaysTrue()
+
+    def __str__(self) -> str:
+        return "false"
+
+
+@dataclass(frozen=True)
+class And(Expression):
+    left: Expression
+    right: Expression
+
+    def negate(self) -> Expression:
+        return Or(self.left.negate(), self.right.negate())
+
+    def __str__(self) -> str:
+        return f"({self.left} AND {self.right})"
+
+
+@dataclass(frozen=True)
+class Or(Expression):
+    left: Expression
+    right: Expression
+
+    def negate(self) -> Expression:
+        return And(self.left.negate(), self.right.negate())
+
+    def __str__(self) -> str:
+        return f"({self.left} OR {self.right})"
+
+
+@dataclass(frozen=True)
+class Not(Expression):
+    child: Expression
+
+    def negate(self) -> Expression:
+        return self.child
+
+    def __str__(self) -> str:
+        return f"(NOT {self.child})"
+
+
+@dataclass(frozen=True)
+class Reference:
+    """Unbound column reference by name."""
+    name: str
+
+    def __str__(self) -> str:
+        return self.name
+
+
+@dataclass(frozen=True)
+class BoundReference:
+    field: T.NestedField
+    path: str  # dotted column path in the schema
+
+    def __str__(self) -> str:
+        return self.path
+
+
+@dataclass(frozen=True)
+class Predicate(Expression):
+    """Unbound or bound predicate. ``term`` is Reference / BoundReference;
+    ``literals`` is () for unary ops, (v,) for literal ops, tuple for sets."""
+    op: str
+    term: Any
+    literals: Tuple[Any, ...] = ()
+
+    @property
+    def value(self) -> Any:
+        return self.literals[0]
+
+    @property
+    def is_bound(self) -> bool:
+        return isinstance(self.term, BoundReference)
+
+    def negate(self) -> Expression:
+        return Predicate(_NEGATIONS[self.op], self.term, self.literals)
+
+    def __str__(self) -> str:
+        if self.op in UNARY_OPS:
+            return f"{self.op}({self.term})"
+        if self.op in SET_OPS:
+            return f"{self.term} {self.op} {self.literals}"
+        return f"{self.term} {self.op} {self.literals[0]!r}"
+
+
+# sugar constructors --------------------------------------------------------
+
+def _term(t) -> Any:
+    return Reference(t) if isinstance(t, str) else t
+
+
+def is_null(t):
+    return Predicate(OP_IS_NULL, _term(t))
+
+
+def not_null(t):
+    return Predicate(OP_NOT_NULL, _term(t))
+
+
+def is_nan(t):
+    return Predicate(OP_IS_NAN, _term(t))
+
+
+def not_nan(t):
+    return Predicate(OP_NOT_NAN, _term(t))
+
+
+def lt(t, v):
+    return Predicate(OP_LT, _term(t), (v,))
+
+
+def lt_eq(t, v):
+    return Predicate(OP_LT_EQ, _term(t), (v,))
+
+
+def gt(t, v):
+    return Predicate(OP_GT, _term(t), (v,))
+
+
+def gt_eq(t, v):
+    return Predicate(OP_GT_EQ, _term(t), (v,))
+
+
+def eq(t, v):
+    return Predicate(OP_EQ, _term(t), (v,))
+
+
+def neq(t, v):
+    return Predicate(OP_NEQ, _term(t), (v,))
+
+
+def starts_with(t, v):
+    return Predicate(OP_STARTS_WITH, _term(t), (v,))
+
+
+def not_starts_with(t, v):
+    return Predicate(OP_NOT_STARTS_WITH, _term(t), (v,))
+
+
+def in_(t, values: Iterable[Any]):
+    vals = tuple(dict.fromkeys(values))
+    if not vals:
+        return AlwaysFalse()
+    if len(vals) == 1:
+        return eq(t, vals[0])
+    return Predicate(OP_IN, _term(t), vals)
+
+
+def not_in(t, values: Iterable[Any]):
+    vals = tuple(dict.fromkeys(values))
+    if not vals:
+        return AlwaysTrue()
+    if len(vals) == 1:
+        return neq(t, vals[0])
+    return Predicate(OP_NOT_IN, _term(t), vals)
+
+
+def and_(*exprs: Expression) -> Expression:
+    """N-ary AND with constant folding (exprs.go:209-237)."""
+    out: Optional[Expression] = None
+    for e in exprs:
+        if isinstance(e, AlwaysFalse):
+            return AlwaysFalse()
+        if isinstance(e, AlwaysTrue):
+            continue
+        out = e if out is None else And(out, e)
+    return out if out is not None else AlwaysTrue()
+
+
+def or_(*exprs: Expression) -> Expression:
+    out: Optional[Expression] = None
+    for e in exprs:
+        if isinstance(e, AlwaysTrue):
+            return AlwaysTrue()
+        if isinstance(e, AlwaysFalse):
+            continue
+        out = e if out is None else Or(out, e)
+    return out if out is not None else AlwaysFalse()
+
+
+def not_(e: Expression) -> Expression:
+    """NOT elimination via negation pushdown (exprs.go:175-195)."""
+    return e.negate()
+
+
+# ---------------------------------------------------------------------------
+# Literal casting
+
+
+def cast_literal(value: Any, t: T.IcebergType) -> Any:
+    """Cast a Python literal to the canonical runtime value for type ``t``.
+
+    Canonical forms: int for int/long, float for float/double, Decimal for
+    decimal, date for date, datetime for timestamps, int µs for time,
+    str for string/uuid, bytes for binary/fixed, bool for boolean.
+    """
+    if value is None:
+        return None
+    if isinstance(t, (T.IntegerType, T.LongType)):
+        if isinstance(value, bool):
+            raise TypeError("cannot cast bool to int")
+        return int(value)
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return float(value)
+    if isinstance(t, T.DecimalType):
+        d = value if isinstance(value, Decimal) else Decimal(str(value))
+        return d.quantize(Decimal(1).scaleb(-t.scale))
+    if isinstance(t, T.DateType):
+        if isinstance(value, datetime):
+            return value.date()
+        if isinstance(value, date):
+            return value
+        if isinstance(value, str):
+            return date.fromisoformat(value)
+        if isinstance(value, int):
+            from datetime import timedelta
+            return date(1970, 1, 1) + timedelta(days=value)
+    if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        if isinstance(value, datetime):
+            return value
+        if isinstance(value, str):
+            return datetime.fromisoformat(value)
+        if isinstance(value, date):
+            return datetime(value.year, value.month, value.day)
+    if isinstance(t, T.TimeType):
+        return int(value)
+    if isinstance(t, (T.StringType, T.UUIDType)):
+        return str(value)
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        if isinstance(value, str):
+            return value.encode()
+        return bytes(value)
+    if isinstance(t, T.BooleanType):
+        return bool(value)
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Binding
+
+
+def bind(expr: Expression, schema: Schema, case_sensitive: bool = True
+         ) -> Expression:
+    """Resolve names -> schema fields, cast literals (visitors.go:188)."""
+    if isinstance(expr, (AlwaysTrue, AlwaysFalse)):
+        return expr
+    if isinstance(expr, And):
+        return and_(bind(expr.left, schema, case_sensitive),
+                    bind(expr.right, schema, case_sensitive))
+    if isinstance(expr, Or):
+        return or_(bind(expr.left, schema, case_sensitive),
+                   bind(expr.right, schema, case_sensitive))
+    if isinstance(expr, Not):
+        return bind(expr.child, schema, case_sensitive).negate()
+    if isinstance(expr, Predicate):
+        if expr.is_bound:
+            return expr
+        name = expr.term.name
+        field = schema.find_field(name, case_sensitive)
+        if field is None:
+            raise ValueError(f"cannot bind reference {name!r}: not in schema")
+        ref = BoundReference(field, name)
+        ftype = field.field_type
+        if expr.op in UNARY_OPS:
+            if expr.op == OP_IS_NULL and field.required:
+                return AlwaysFalse()
+            if expr.op == OP_NOT_NULL and field.required:
+                return AlwaysTrue()
+            if expr.op in (OP_IS_NAN, OP_NOT_NAN) and not isinstance(
+                    ftype, (T.FloatType, T.DoubleType)):
+                raise TypeError(f"is_nan on non-floating column {name}")
+            return Predicate(expr.op, ref)
+        lits = tuple(cast_literal(v, ftype) for v in expr.literals)
+        if expr.op in SET_OPS:
+            lits = tuple(dict.fromkeys(lits))
+            if expr.op == OP_IN:
+                if not lits:
+                    return AlwaysFalse()
+                if len(lits) == 1:
+                    return Predicate(OP_EQ, ref, lits)
+            else:
+                if not lits:
+                    return AlwaysTrue()
+                if len(lits) == 1:
+                    return Predicate(OP_NEQ, ref, lits)
+        return Predicate(expr.op, ref, lits)
+    raise TypeError(f"cannot bind expression {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+# Row evaluation (planner-side; used for partition tuples)
+
+
+def evaluate(expr: Expression, row: dict) -> bool:
+    """Interpret a bound expression against a {column_path: value} row."""
+    if isinstance(expr, AlwaysTrue):
+        return True
+    if isinstance(expr, AlwaysFalse):
+        return False
+    if isinstance(expr, And):
+        return evaluate(expr.left, row) and evaluate(expr.right, row)
+    if isinstance(expr, Or):
+        return evaluate(expr.left, row) or evaluate(expr.right, row)
+    if isinstance(expr, Not):
+        return not evaluate(expr.child, row)
+    assert isinstance(expr, Predicate) and expr.is_bound
+    v = row.get(expr.term.path)
+    op = expr.op
+    if op == OP_IS_NULL:
+        return v is None
+    if op == OP_NOT_NULL:
+        return v is not None
+    if op == OP_IS_NAN:
+        return v is not None and isinstance(v, float) and math.isnan(v)
+    if op == OP_NOT_NAN:
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+    if v is None:
+        return False
+    if op == OP_LT:
+        return v < expr.value
+    if op == OP_LT_EQ:
+        return v <= expr.value
+    if op == OP_GT:
+        return v > expr.value
+    if op == OP_GT_EQ:
+        return v >= expr.value
+    if op == OP_EQ:
+        return v == expr.value
+    if op == OP_NEQ:
+        return v != expr.value
+    if op == OP_STARTS_WITH:
+        return str(v).startswith(str(expr.value))
+    if op == OP_NOT_STARTS_WITH:
+        return not str(v).startswith(str(expr.value))
+    if op == OP_IN:
+        return v in expr.literals
+    if op == OP_NOT_IN:
+        return v not in expr.literals
+    raise ValueError(f"unknown op {op}")
+
+
+# ---------------------------------------------------------------------------
+# Compile to Spark Column
+
+
+def to_spark_column(expr: Expression):
+    """Compile to a pyspark Column; Catalyst handles pushdown from there."""
+    from pyspark.sql import functions as F
+
+    def col_of(term) -> Any:
+        return F.col(term.path if isinstance(term, BoundReference) else term.name)
+
+    if isinstance(expr, AlwaysTrue):
+        return F.lit(True)
+    if isinstance(expr, AlwaysFalse):
+        return F.lit(False)
+    if isinstance(expr, And):
+        return to_spark_column(expr.left) & to_spark_column(expr.right)
+    if isinstance(expr, Or):
+        return to_spark_column(expr.left) | to_spark_column(expr.right)
+    if isinstance(expr, Not):
+        return ~to_spark_column(expr.child)
+    assert isinstance(expr, Predicate)
+    c = col_of(expr.term)
+    op = expr.op
+    if op == OP_IS_NULL:
+        return c.isNull()
+    if op == OP_NOT_NULL:
+        return c.isNotNull()
+    if op == OP_IS_NAN:
+        return F.isnan(c)
+    if op == OP_NOT_NAN:
+        return ~F.isnan(c)
+    lit = expr.literals[0] if expr.literals else None
+    if op == OP_LT:
+        return c < lit
+    if op == OP_LT_EQ:
+        return c <= lit
+    if op == OP_GT:
+        return c > lit
+    if op == OP_GT_EQ:
+        return c >= lit
+    if op == OP_EQ:
+        return c == lit
+    if op == OP_NEQ:
+        return c != lit
+    if op == OP_STARTS_WITH:
+        return c.startswith(str(lit))
+    if op == OP_NOT_STARTS_WITH:
+        return ~c.startswith(str(lit))
+    if op == OP_IN:
+        return c.isin(list(expr.literals))
+    if op == OP_NOT_IN:
+        return ~c.isin(list(expr.literals))
+    raise ValueError(f"unknown op {op}")
+
+
+# ---------------------------------------------------------------------------
+# Compile to ANSI SQL (for the DuckDB oracle and debugging)
+
+
+def _sql_lit(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, Decimal)):
+        return str(v)
+    if isinstance(v, datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, bytes):
+        return "'" + v.decode("latin1").replace("'", "''") + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def to_sql(expr: Expression) -> str:
+    if isinstance(expr, AlwaysTrue):
+        return "TRUE"
+    if isinstance(expr, AlwaysFalse):
+        return "FALSE"
+    if isinstance(expr, And):
+        return f"({to_sql(expr.left)} AND {to_sql(expr.right)})"
+    if isinstance(expr, Or):
+        return f"({to_sql(expr.left)} OR {to_sql(expr.right)})"
+    if isinstance(expr, Not):
+        return f"(NOT {to_sql(expr.child)})"
+    assert isinstance(expr, Predicate)
+    name = expr.term.path if isinstance(expr.term, BoundReference) else expr.term.name
+    op = expr.op
+    if op == OP_IS_NULL:
+        return f"{name} IS NULL"
+    if op == OP_NOT_NULL:
+        return f"{name} IS NOT NULL"
+    if op == OP_IS_NAN:
+        return f"isnan({name})"
+    if op == OP_NOT_NAN:
+        return f"NOT isnan({name})"
+    lit = _sql_lit(expr.literals[0]) if expr.literals else None
+    cmp = {OP_LT: "<", OP_LT_EQ: "<=", OP_GT: ">", OP_GT_EQ: ">=",
+           OP_EQ: "=", OP_NEQ: "<>"}
+    if op in cmp:
+        return f"{name} {cmp[op]} {lit}"
+    if op == OP_STARTS_WITH:
+        pat = str(expr.value).replace("'", "''")
+        return f"{name} LIKE '{pat}%'"
+    if op == OP_NOT_STARTS_WITH:
+        pat = str(expr.value).replace("'", "''")
+        return f"{name} NOT LIKE '{pat}%'"
+    if op in SET_OPS:
+        vals = ", ".join(_sql_lit(v) for v in expr.literals)
+        kw = "IN" if op == OP_IN else "NOT IN"
+        return f"{name} {kw} ({vals})"
+    raise ValueError(f"unknown op {op}")

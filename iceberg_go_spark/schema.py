@@ -1,0 +1,238 @@
+"""Versioned, ID-based schemas.
+
+Parity: /root/reference/schema.go:41 (Schema), :593 (Select), field-ID
+indexing visitors throughout schema.go.  Original implementation.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import pyspark.sql.types as S
+
+from .types import (
+    DecimalType, FixedType, IcebergType, ListType, MapType, NestedField,
+    StructType, from_spark_type, to_spark_type, type_from_str, FIELD_ID_MD,
+)
+
+
+class Schema:
+    """An Iceberg schema: an ordered struct of ID-carrying fields."""
+
+    def __init__(self, fields: Iterable[NestedField], schema_id: int = 0,
+                 identifier_field_ids: Optional[List[int]] = None):
+        self.fields: Tuple[NestedField, ...] = tuple(fields)
+        self.schema_id = schema_id
+        self.identifier_field_ids = list(identifier_field_ids or [])
+        self._by_id: Dict[int, NestedField] = {}
+        self._by_name: Dict[str, int] = {}
+        self._parents: Dict[int, int] = {}
+        self._index()
+
+    # -- indexing -----------------------------------------------------------
+    def _index(self) -> None:
+        def walk(field_type: IcebergType, prefix: str, parent: Optional[int]):
+            if isinstance(field_type, StructType):
+                for f in field_type.fields:
+                    name = f"{prefix}{f.name}"
+                    self._by_id[f.field_id] = f
+                    self._by_name[name] = f.field_id
+                    if parent is not None:
+                        self._parents[f.field_id] = parent
+                    walk(f.field_type, name + ".", f.field_id)
+            elif isinstance(field_type, ListType):
+                self._by_id[field_type.element_id] = NestedField(
+                    field_type.element_id, "element", field_type.element_type,
+                    field_type.element_required)
+                self._by_name[prefix + "element"] = field_type.element_id
+                if parent is not None:
+                    self._parents[field_type.element_id] = parent
+                walk(field_type.element_type, prefix + "element.",
+                     field_type.element_id)
+            elif isinstance(field_type, MapType):
+                self._by_id[field_type.key_id] = NestedField(
+                    field_type.key_id, "key", field_type.key_type, True)
+                self._by_id[field_type.value_id] = NestedField(
+                    field_type.value_id, "value", field_type.value_type,
+                    field_type.value_required)
+                self._by_name[prefix + "key"] = field_type.key_id
+                self._by_name[prefix + "value"] = field_type.value_id
+                if parent is not None:
+                    self._parents[field_type.key_id] = parent
+                    self._parents[field_type.value_id] = parent
+                walk(field_type.value_type, prefix + "value.",
+                     field_type.value_id)
+
+        walk(self.as_struct(), "", None)
+        self._lower_names = {n.lower(): i for n, i in self._by_name.items()}
+
+    # -- lookups ------------------------------------------------------------
+    def as_struct(self) -> StructType:
+        return StructType(*self.fields)
+
+    def find_field(self, name_or_id, case_sensitive: bool = True
+                   ) -> Optional[NestedField]:
+        if isinstance(name_or_id, int):
+            return self._by_id.get(name_or_id)
+        if case_sensitive:
+            fid = self._by_name.get(name_or_id)
+        else:
+            fid = self._lower_names.get(name_or_id.lower())
+        return self._by_id.get(fid) if fid is not None else None
+
+    def find_column_name(self, field_id: int) -> Optional[str]:
+        for name, fid in self._by_name.items():
+            if fid == field_id:
+                return name
+        return None
+
+    def field_ids(self) -> List[int]:
+        return list(self._by_id)
+
+    @property
+    def highest_field_id(self) -> int:
+        return max(self._by_id, default=0)
+
+    def select(self, *names: str, case_sensitive: bool = True) -> "Schema":
+        """Top-level projection by column name (schema.go:593)."""
+        out = []
+        for n in names:
+            f = self.find_field(n, case_sensitive)
+            if f is None:
+                raise ValueError(f"column not found: {n}")
+            out.append(f)
+        return Schema(out, schema_id=self.schema_id)
+
+    # -- equality / repr ----------------------------------------------------
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Schema) and self.fields == other.fields
+
+    def __hash__(self) -> int:
+        return hash(self.fields)
+
+    def __repr__(self) -> str:
+        inner = ", ".join(str(f) for f in self.fields)
+        return f"Schema(id={self.schema_id}, [{inner}])"
+
+    # -- Spark --------------------------------------------------------------
+    def to_spark(self) -> S.StructType:
+        return to_spark_type(self.as_struct())
+
+    @classmethod
+    def from_spark(cls, st: S.StructType, schema_id: int = 0) -> "Schema":
+        counter = iter(range(1, 1_000_000))
+
+        def next_id() -> int:
+            return next(counter)
+
+        fields = []
+        for f in st.fields:
+            fid = (f.metadata or {}).get(FIELD_ID_MD) or next_id()
+            fields.append(NestedField(
+                fid, f.name, from_spark_type(f.dataType, next_id),
+                required=not f.nullable))
+        # re-assign IDs so they are unique & dense if metadata was absent
+        return assign_fresh_ids(cls(fields, schema_id=schema_id))
+
+    # -- JSON (Iceberg metadata wire form) ----------------------------------
+    def to_json_dict(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {
+            "type": "struct",
+            "schema-id": self.schema_id,
+            "fields": [_field_to_json(f) for f in self.fields],
+        }
+        if self.identifier_field_ids:
+            d["identifier-field-ids"] = self.identifier_field_ids
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "Schema":
+        fields = [_field_from_json(f) for f in d["fields"]]
+        return cls(fields, schema_id=d.get("schema-id", 0),
+                   identifier_field_ids=d.get("identifier-field-ids"))
+
+
+def _type_to_json(t: IcebergType) -> Any:
+    if isinstance(t, StructType):
+        return {"type": "struct", "fields": [_field_to_json(f) for f in t.fields]}
+    if isinstance(t, ListType):
+        return {"type": "list", "element-id": t.element_id,
+                "element": _type_to_json(t.element_type),
+                "element-required": t.element_required}
+    if isinstance(t, MapType):
+        return {"type": "map", "key-id": t.key_id,
+                "key": _type_to_json(t.key_type), "value-id": t.value_id,
+                "value": _type_to_json(t.value_type),
+                "value-required": t.value_required}
+    if isinstance(t, DecimalType):
+        return f"decimal({t.precision},{t.scale})"
+    if isinstance(t, FixedType):
+        return f"fixed[{t.length}]"
+    return str(t)
+
+
+def _field_to_json(f: NestedField) -> Dict[str, Any]:
+    d = {"id": f.field_id, "name": f.name, "required": f.required,
+         "type": _type_to_json(f.field_type)}
+    if f.doc:
+        d["doc"] = f.doc
+    if f.initial_default is not None:
+        d["initial-default"] = f.initial_default
+    if f.write_default is not None:
+        d["write-default"] = f.write_default
+    return d
+
+
+def _type_from_json(v: Any) -> IcebergType:
+    if isinstance(v, str):
+        return type_from_str(v)
+    t = v["type"]
+    if t == "struct":
+        return StructType(*[_field_from_json(f) for f in v["fields"]])
+    if t == "list":
+        return ListType(v["element-id"], _type_from_json(v["element"]),
+                        v.get("element-required", False))
+    if t == "map":
+        return MapType(v["key-id"], _type_from_json(v["key"]), v["value-id"],
+                       _type_from_json(v["value"]),
+                       v.get("value-required", False))
+    raise ValueError(f"unknown type json: {v!r}")
+
+
+def _field_from_json(d: Dict[str, Any]) -> NestedField:
+    return NestedField(
+        d["id"], d["name"], _type_from_json(d["type"]),
+        required=d.get("required", False), doc=d.get("doc"),
+        initial_default=d.get("initial-default"),
+        write_default=d.get("write-default"))
+
+
+def assign_fresh_ids(schema: Schema, start: int = 1) -> Schema:
+    """Reassign all field IDs depth-first starting at ``start``."""
+    counter = iter(range(start, start + 1_000_000))
+
+    def convert(t: IcebergType) -> IcebergType:
+        if isinstance(t, StructType):
+            new = []
+            for f in t.fields:
+                fid = next(counter)
+                new.append((fid, f))
+            # ids for this level first, then recurse (spec: parent-before-child)
+            return StructType(*[
+                NestedField(fid, f.name, convert(f.field_type), f.required,
+                            f.doc, f.initial_default, f.write_default)
+                for fid, f in new
+            ])
+        if isinstance(t, ListType):
+            eid = next(counter)
+            return ListType(eid, convert(t.element_type), t.element_required)
+        if isinstance(t, MapType):
+            kid = next(counter)
+            vid = next(counter)
+            return MapType(kid, convert(t.key_type), vid,
+                           convert(t.value_type), t.value_required)
+        return t
+
+    struct = convert(schema.as_struct())
+    return Schema(struct.fields, schema_id=schema.schema_id)

@@ -1,0 +1,598 @@
+"""Partition/sort transforms: identity, bucket[N], truncate[W],
+year/month/day/hour, void.
+
+Parity (original code): /root/reference/transforms.go (interface :103,
+bucket :312 + hash dispatch :428-492, truncate :538, time transforms
+:785-1128, projection rules :201,:504 and _boundsCheckedProject).
+
+The bucket hash is murmur3_x86_32(seed=0) over the Iceberg canonical byte
+encoding per type (spec Appendix B) — NOT Spark's ``hash()`` (different
+seed/encoding).  Verified against the spec's published test vectors in
+tests/test_transforms.py.
+
+Each transform provides:
+- ``apply(value)``       scalar Python (planner: partition values, tests)
+- ``spark_column(col,t)``pyspark Column computing the transform (write fanout)
+- ``project(name,pred)`` rewrite a bound predicate on the source column into
+                         an unbound predicate on the partition column
+                         (inclusive; may over-keep, never over-prunes)
+- ``result_type(t)``, ``preserves_order``, ``to_human_str(v)``
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+from typing import Any, Optional
+
+import numpy as np
+
+from . import types as T
+from . import expressions as E
+
+EPOCH_DATE = date(1970, 1, 1)
+
+# ---------------------------------------------------------------------------
+# murmur3_x86_32 (public algorithm; seed 0 per Iceberg spec)
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3 x86 32-bit; returns signed int32."""
+    h = seed & _M32
+    n = len(data)
+    nblocks = n // 4
+    for i in range(nblocks):
+        k = struct.unpack_from("<I", data, i * 4)[0]
+        k = (k * _C1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[nblocks * 4:]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = (k * _C1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _np_rotl32(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def murmur3_32_long_np(values: np.ndarray) -> np.ndarray:
+    """Vectorized murmur3 over 8-byte little-endian long encoding.
+
+    Matches murmur3_32(struct.pack('<q', v)) element-wise; returns uint32.
+    """
+    old = np.seterr(over="ignore")
+    try:
+        u = values.astype(np.int64).view(np.uint64)
+        h = np.zeros(len(values), dtype=np.uint32)
+        c1 = np.uint32(_C1)
+        c2 = np.uint32(_C2)
+        for blk in ((u & np.uint64(_M32)), (u >> np.uint64(32))):
+            k = blk.astype(np.uint32)
+            k = k * c1
+            k = _np_rotl32(k, 15)
+            k = k * c2
+            h ^= k
+            h = _np_rotl32(h, 13)
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return h
+    finally:
+        np.seterr(**old)
+
+
+def _decimal_unscaled_bytes(d: Decimal) -> bytes:
+    """Minimal two's-complement big-endian bytes of the unscaled value."""
+    unscaled = int(d.scaleb(-d.as_tuple().exponent))
+    length = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def iceberg_hash_bytes(value: Any, source_type: T.IcebergType) -> bytes:
+    """Canonical byte encoding for bucketing (spec Appendix B)."""
+    t = source_type
+    if isinstance(t, (T.IntegerType, T.LongType)):
+        return struct.pack("<q", int(value))
+    if isinstance(t, T.DateType):
+        if isinstance(value, date):
+            value = (value - EPOCH_DATE).days
+        return struct.pack("<q", int(value))
+    if isinstance(t, T.TimeType):
+        return struct.pack("<q", int(value))
+    if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        if isinstance(value, datetime):
+            value = datetime_to_micros(value)
+        return struct.pack("<q", int(value))
+    if isinstance(t, T.DecimalType):
+        d = value if isinstance(value, Decimal) else Decimal(str(value))
+        d = d.quantize(Decimal(1).scaleb(-t.scale))
+        return _decimal_unscaled_bytes(d)
+    if isinstance(t, (T.StringType,)):
+        return str(value).encode("utf-8")
+    if isinstance(t, T.UUIDType):
+        import uuid as _uuid
+        u = value if isinstance(value, _uuid.UUID) else _uuid.UUID(str(value))
+        return u.bytes
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        return bytes(value)
+    raise TypeError(f"type {t} cannot be bucketed")
+
+
+def datetime_to_micros(dt: datetime) -> int:
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return (dt - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+
+
+class Transform:
+    name = "?"
+
+    preserves_order = False
+
+    def can_transform(self, t: T.IcebergType) -> bool:
+        raise NotImplementedError
+
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        raise NotImplementedError
+
+    def apply(self, value: Any) -> Any:
+        raise NotImplementedError
+
+    def bind(self, source_type: T.IcebergType) -> "Transform":
+        self._source_type = source_type
+        return self
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        raise NotImplementedError
+
+    def project(self, name: str, pred: "E.Predicate") -> Optional["E.Expression"]:
+        """Inclusive projection of a bound source-column predicate onto the
+        partition column ``name``; None = cannot prune on this transform."""
+        raise NotImplementedError
+
+    def to_human_str(self, v: Any) -> str:
+        return "null" if v is None else str(v)
+
+    def __str__(self) -> str:
+        return self.name
+
+    def __repr__(self) -> str:
+        return str(self)
+
+    def __eq__(self, other: object) -> bool:
+        return str(self) == str(other)
+
+    def __hash__(self) -> int:
+        return hash(str(self))
+
+
+def _project_unary(name: str, pred: "E.Predicate") -> Optional["E.Expression"]:
+    """null-preserving transforms project is_null/not_null as-is."""
+    if pred.op in (E.OP_IS_NULL, E.OP_NOT_NULL):
+        return E.Predicate(pred.op, E.Reference(name))
+    return None
+
+
+class IdentityTransform(Transform):
+    name = "identity"
+    preserves_order = True
+
+    def can_transform(self, t: T.IcebergType) -> bool:
+        return t.is_primitive
+
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        return t
+
+    def apply(self, value: Any) -> Any:
+        return value
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        return col
+
+    def project(self, name, pred):
+        # identity: same predicate, retargeted at the partition column
+        return E.Predicate(pred.op, E.Reference(name), pred.literals)
+
+    def to_human_str(self, v: Any) -> str:
+        if v is None:
+            return "null"
+        if isinstance(v, bytes):
+            import base64
+            return base64.b64encode(v).decode()
+        if isinstance(v, datetime):
+            return v.isoformat()
+        return str(v)
+
+
+class VoidTransform(Transform):
+    name = "void"
+
+    def can_transform(self, t: T.IcebergType) -> bool:
+        return True
+
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        return t
+
+    def apply(self, value: Any) -> Any:
+        return None
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        return F.lit(None)
+
+    def project(self, name, pred):
+        return None
+
+
+class BucketTransform(Transform):
+    preserves_order = False
+
+    def __init__(self, num_buckets: int):
+        if num_buckets <= 0:
+            raise ValueError(f"bucket count must be positive: {num_buckets}")
+        self.num_buckets = num_buckets
+        self.name = f"bucket[{num_buckets}]"
+
+    def can_transform(self, t: T.IcebergType) -> bool:
+        return isinstance(t, (T.IntegerType, T.LongType, T.DateType,
+                              T.TimeType, T.TimestampType, T.TimestamptzType,
+                              T.DecimalType, T.StringType, T.UUIDType,
+                              T.FixedType, T.BinaryType))
+
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        return T.IntegerType()
+
+    def bind(self, source_type: T.IcebergType) -> "BucketTransform":
+        self._source_type = source_type
+        return self
+
+    def apply(self, value: Any, source_type: Optional[T.IcebergType] = None):
+        if value is None:
+            return None
+        st = source_type or getattr(self, "_source_type", None)
+        if st is None:
+            # infer from python value
+            if isinstance(value, int):
+                st = T.LongType()
+            elif isinstance(value, str):
+                st = T.StringType()
+            elif isinstance(value, bytes):
+                st = T.BinaryType()
+            elif isinstance(value, Decimal):
+                st = T.DecimalType(38, -value.as_tuple().exponent)
+            elif isinstance(value, datetime):
+                st = T.TimestampType()
+            elif isinstance(value, date):
+                st = T.DateType()
+            else:
+                raise TypeError(f"cannot infer bucket source type for {value!r}")
+        h = murmur3_32(iceberg_hash_bytes(value, st))
+        return (h & 0x7FFFFFFF) % self.num_buckets
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        import pandas as pd
+        n = self.num_buckets
+        if isinstance(source_type, (T.IntegerType, T.LongType)):
+            @F.pandas_udf("int")
+            def _bucket_long(s: pd.Series) -> pd.Series:
+                mask = s.notna()
+                out = pd.Series(np.zeros(len(s), dtype=np.float64), index=s.index)
+                vals = s[mask].to_numpy(dtype=np.int64)
+                h = murmur3_32_long_np(vals)
+                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+                out[~mask] = np.nan
+                return out
+            return _bucket_long(col.cast("long"))
+        if isinstance(source_type, (T.DateType,)):
+            # date -> days since epoch -> long encoding
+            from pyspark.sql import functions as F
+
+            @F.pandas_udf("int")
+            def _bucket_date(s: pd.Series) -> pd.Series:
+                mask = s.notna()
+                out = pd.Series(np.zeros(len(s), dtype=np.float64), index=s.index)
+                vals = s[mask].to_numpy(dtype=np.int64)
+                h = murmur3_32_long_np(vals)
+                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+                out[~mask] = np.nan
+                return out
+            return _bucket_date(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+        if isinstance(source_type, (T.TimestampType, T.TimestamptzType)):
+            @F.pandas_udf("int")
+            def _bucket_ts(s: pd.Series) -> pd.Series:
+                mask = s.notna()
+                out = pd.Series(np.zeros(len(s), dtype=np.float64), index=s.index)
+                vals = s[mask].to_numpy(dtype=np.int64)
+                h = murmur3_32_long_np(vals)
+                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+                out[~mask] = np.nan
+                return out
+            return _bucket_ts(F.unix_micros(col))
+        if isinstance(source_type, T.StringType):
+            @F.pandas_udf("int")
+            def _bucket_str(s: pd.Series) -> pd.Series:
+                def one(v):
+                    if v is None:
+                        return None
+                    return (murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
+                return s.map(one)
+            return _bucket_str(col)
+        if isinstance(source_type, (T.BinaryType, T.FixedType)):
+            @F.pandas_udf("int")
+            def _bucket_bin(s: pd.Series) -> pd.Series:
+                def one(v):
+                    if v is None:
+                        return None
+                    return (murmur3_32(bytes(v)) & 0x7FFFFFFF) % n
+                return s.map(one)
+            return _bucket_bin(col)
+        if isinstance(source_type, T.DecimalType):
+            st = source_type
+
+            @F.pandas_udf("int")
+            def _bucket_dec(s: pd.Series) -> pd.Series:
+                def one(v):
+                    if v is None:
+                        return None
+                    return (murmur3_32(iceberg_hash_bytes(v, st)) & 0x7FFFFFFF) % n
+                return s.map(one)
+            return _bucket_dec(col)
+        raise TypeError(f"bucket cannot transform {source_type}")
+
+    def project(self, name, pred):
+        # only exact-match predicates survive a hash transform
+        u = _project_unary(name, pred)
+        if u is not None:
+            return u
+        st = pred.term.field.field_type
+        if pred.op == E.OP_EQ:
+            return E.eq(name, self.apply(pred.value, st))
+        if pred.op == E.OP_IN:
+            return E.in_(name, [self.apply(v, st) for v in pred.literals])
+        return None
+
+
+class TruncateTransform(Transform):
+    preserves_order = True
+
+    def __init__(self, width: int):
+        if width <= 0:
+            raise ValueError(f"truncate width must be positive: {width}")
+        self.width = width
+        self.name = f"truncate[{width}]"
+
+    def can_transform(self, t: T.IcebergType) -> bool:
+        return isinstance(t, (T.IntegerType, T.LongType, T.DecimalType,
+                              T.StringType, T.BinaryType))
+
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        return t
+
+    def apply(self, value: Any, source_type: Optional[T.IcebergType] = None):
+        if value is None:
+            return None
+        w = self.width
+        if isinstance(value, bool):
+            raise TypeError("cannot truncate boolean")
+        if isinstance(value, int):
+            return value - (((value % w) + w) % w)
+        if isinstance(value, Decimal):
+            scale = -value.as_tuple().exponent
+            unscaled = int(value.scaleb(scale))
+            trunc = unscaled - (((unscaled % w) + w) % w)
+            return Decimal(trunc).scaleb(-scale)
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, bytes):
+            return value[:w]
+        raise TypeError(f"cannot truncate {type(value)}")
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        w = self.width
+        if isinstance(source_type, (T.IntegerType, T.LongType)):
+            return (col - F.pmod(col, F.lit(w))).cast(
+                "int" if isinstance(source_type, T.IntegerType) else "long")
+        if isinstance(source_type, T.StringType):
+            return F.substring(col, 1, w)
+        if isinstance(source_type, T.DecimalType):
+            unit = Decimal(w).scaleb(-source_type.scale)
+            return col - F.pmod(col, F.lit(unit))
+        if isinstance(source_type, T.BinaryType):
+            return F.substring(col, 1, w)  # substr on binary yields binary
+        raise TypeError(f"truncate cannot transform {source_type}")
+
+    def project(self, name, pred):
+        u = _project_unary(name, pred)
+        if u is not None:
+            return u
+        st = pred.term.field.field_type
+        is_int = isinstance(st, (T.IntegerType, T.LongType))
+        if pred.op == E.OP_EQ:
+            return E.eq(name, self.apply(pred.value, st))
+        if pred.op == E.OP_IN:
+            return E.in_(name, [self.apply(v, st) for v in pred.literals])
+        if pred.op in (E.OP_LT, E.OP_LT_EQ):
+            v = pred.value
+            if pred.op == E.OP_LT and is_int:
+                v = v - 1
+            return E.lt_eq(name, self.apply(v, st))
+        if pred.op in (E.OP_GT, E.OP_GT_EQ):
+            v = pred.value
+            if pred.op == E.OP_GT and is_int:
+                v = v + 1
+            return E.gt_eq(name, self.apply(v, st))
+        if pred.op == E.OP_STARTS_WITH and isinstance(st, T.StringType):
+            prefix = str(pred.value)
+            if len(prefix) < self.width:
+                return E.starts_with(name, prefix)
+            return E.eq(name, prefix[: self.width])
+        return None
+
+
+class _TimeTransform(Transform):
+    """Shared base for year/month/day/hour (epoch-relative ordinals)."""
+
+    preserves_order = True
+
+    def can_transform(self, t: T.IcebergType) -> bool:
+        ok = (T.DateType, T.TimestampType, T.TimestamptzType)
+        if self.name == "hour":
+            ok = (T.TimestampType, T.TimestamptzType)
+        return isinstance(t, ok)
+
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        return T.IntegerType()
+
+    def _from_parts(self, y: int, mo: int, d: int, h: int) -> int:
+        raise NotImplementedError
+
+    def apply(self, value: Any, source_type: Optional[T.IcebergType] = None):
+        if value is None:
+            return None
+        if isinstance(value, (int, np.integer)):
+            # days since epoch for date sources; µs for timestamps
+            raise TypeError("pass date/datetime to time transforms")
+        if isinstance(value, datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(timezone.utc).replace(tzinfo=None)
+            return self._from_dt(value)
+        if isinstance(value, date):
+            return self._from_dt(datetime(value.year, value.month, value.day))
+        raise TypeError(f"cannot apply {self.name} to {type(value)}")
+
+    def project(self, name, pred):
+        u = _project_unary(name, pred)
+        if u is not None:
+            return u
+        st = pred.term.field.field_type
+        if pred.op == E.OP_EQ:
+            return E.eq(name, self.apply(pred.value, st))
+        if pred.op == E.OP_IN:
+            return E.in_(name, [self.apply(v, st) for v in pred.literals])
+        # monotonic non-decreasing => inclusive range widening
+        if pred.op in (E.OP_LT, E.OP_LT_EQ):
+            return E.lt_eq(name, self.apply(pred.value, st))
+        if pred.op in (E.OP_GT, E.OP_GT_EQ):
+            return E.gt_eq(name, self.apply(pred.value, st))
+        return None
+
+
+class YearTransform(_TimeTransform):
+    name = "year"
+
+    def _from_dt(self, dt: datetime) -> int:
+        return dt.year - 1970
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        return (F.year(col) - F.lit(1970)).cast("int")
+
+    def to_human_str(self, v) -> str:
+        return "null" if v is None else str(1970 + v)
+
+
+class MonthTransform(_TimeTransform):
+    name = "month"
+
+    def _from_dt(self, dt: datetime) -> int:
+        return (dt.year - 1970) * 12 + dt.month - 1
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        return ((F.year(col) - F.lit(1970)) * F.lit(12)
+                + F.month(col) - F.lit(1)).cast("int")
+
+    def to_human_str(self, v) -> str:
+        if v is None:
+            return "null"
+        return f"{1970 + v // 12:04d}-{v % 12 + 1:02d}"
+
+
+class DayTransform(_TimeTransform):
+    name = "day"
+
+    def _from_dt(self, dt: datetime) -> int:
+        return (dt.date() - EPOCH_DATE).days
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
+
+    def to_human_str(self, v) -> str:
+        if v is None:
+            return "null"
+        return (EPOCH_DATE + timedelta(days=int(v))).isoformat()
+
+
+class HourTransform(_TimeTransform):
+    name = "hour"
+
+    def _from_dt(self, dt: datetime) -> int:
+        micros = (dt - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+        return micros // 3_600_000_000
+
+    def spark_column(self, col, source_type: T.IcebergType):
+        from pyspark.sql import functions as F
+        return F.floor(F.unix_micros(col) / F.lit(3_600_000_000)).cast("int")
+
+    def to_human_str(self, v) -> str:
+        if v is None:
+            return "null"
+        dt = datetime(1970, 1, 1) + timedelta(hours=int(v))
+        return dt.strftime("%Y-%m-%d-%H")
+
+
+_SINGLETONS = {
+    "identity": IdentityTransform, "void": VoidTransform,
+    "year": YearTransform, "month": MonthTransform, "day": DayTransform,
+    "hour": HourTransform,
+}
+
+
+def parse_transform(s: str) -> Transform:
+    s = s.strip().lower()
+    if s in _SINGLETONS:
+        return _SINGLETONS[s]()
+    if s.startswith("bucket[") and s.endswith("]"):
+        n = int(s[len("bucket["):-1])
+        if n >= 1 << 32:
+            raise ValueError(f"bucket count too large: {n}")
+        return BucketTransform(n)
+    if s.startswith("truncate[") and s.endswith("]"):
+        return TruncateTransform(int(s[len("truncate["):-1]))
+    raise ValueError(f"unknown transform: {s!r}")

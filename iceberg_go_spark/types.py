@@ -1,0 +1,305 @@
+"""Iceberg type system, re-expressed for a PySpark-native engine.
+
+Semantics follow the Apache Iceberg table spec's type system as exercised by
+the reference implementation (/root/reference/types.go); representation and
+code are original.  Each Iceberg type knows how to render itself as a
+``pyspark.sql.types.DataType`` so DataFrames carry the same logical schema.
+
+Reference parity notes (file:line into /root/reference):
+- primitives: types.go:670-1000
+- nested struct/list/map with element/key/value field IDs: types.go:375-560
+- int->long / float->double promotion: table/arrow_utils.go:1064
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import pyspark.sql.types as S
+
+__all__ = [
+    "IcebergType", "PrimitiveType", "BooleanType", "IntegerType", "LongType",
+    "FloatType", "DoubleType", "DecimalType", "DateType", "TimeType",
+    "TimestampType", "TimestamptzType", "StringType", "UUIDType",
+    "BinaryType", "FixedType", "StructType", "ListType", "MapType",
+    "NestedField", "type_from_str", "to_spark_type", "from_spark_type",
+]
+
+FIELD_ID_MD = "iceberg.field-id"
+
+
+class IcebergType:
+    """Base for all Iceberg types."""
+
+    def __str__(self) -> str:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return str(self)
+
+    def __eq__(self, other: object) -> bool:
+        return type(self) is type(other) and str(self) == str(other)
+
+    def __hash__(self) -> int:
+        return hash(str(self))
+
+    @property
+    def is_primitive(self) -> bool:
+        return isinstance(self, PrimitiveType)
+
+
+class PrimitiveType(IcebergType):
+    _name = "?"
+
+    def __str__(self) -> str:
+        return self._name
+
+
+class BooleanType(PrimitiveType):
+    _name = "boolean"
+
+
+class IntegerType(PrimitiveType):
+    _name = "int"
+
+
+class LongType(PrimitiveType):
+    _name = "long"
+
+
+class FloatType(PrimitiveType):
+    _name = "float"
+
+
+class DoubleType(PrimitiveType):
+    _name = "double"
+
+
+class DateType(PrimitiveType):
+    """Days since 1970-01-01."""
+    _name = "date"
+
+
+class TimeType(PrimitiveType):
+    """Microseconds since midnight. Spark has no TIME; carried as long."""
+    _name = "time"
+
+
+class TimestampType(PrimitiveType):
+    """Microsecond timestamp without zone (Spark TimestampNTZ)."""
+    _name = "timestamp"
+
+
+class TimestamptzType(PrimitiveType):
+    """Microsecond timestamp, UTC-adjusted (Spark TimestampType)."""
+    _name = "timestamptz"
+
+
+class StringType(PrimitiveType):
+    _name = "string"
+
+
+class UUIDType(PrimitiveType):
+    _name = "uuid"
+
+
+class BinaryType(PrimitiveType):
+    _name = "binary"
+
+
+@dataclass(frozen=True, eq=False)
+class DecimalType(PrimitiveType):
+    precision: int
+    scale: int
+
+    def __post_init__(self) -> None:
+        if not (0 < self.precision <= 38):
+            raise ValueError(f"decimal precision out of range: {self.precision}")
+
+    def __str__(self) -> str:
+        return f"decimal({self.precision}, {self.scale})"
+
+
+@dataclass(frozen=True, eq=False)
+class FixedType(PrimitiveType):
+    length: int
+
+    def __str__(self) -> str:
+        return f"fixed[{self.length}]"
+
+
+@dataclass(frozen=True)
+class NestedField:
+    """A named, ID-carrying field. IDs are the identity of a column across
+    schema evolution (names are not)."""
+    field_id: int
+    name: str
+    field_type: IcebergType
+    required: bool = False
+    doc: Optional[str] = None
+    initial_default: Any = None
+    write_default: Any = None
+
+    def __str__(self) -> str:
+        req = "required" if self.required else "optional"
+        return f"{self.field_id}: {self.name}: {req} {self.field_type}"
+
+
+@dataclass(frozen=True, eq=False)
+class StructType(IcebergType):
+    fields: tuple = ()
+
+    def __init__(self, *fields: NestedField):
+        object.__setattr__(self, "fields", tuple(fields))
+
+    def __str__(self) -> str:
+        inner = ", ".join(str(f) for f in self.fields)
+        return f"struct<{inner}>"
+
+    def field_by_id(self, fid: int) -> Optional[NestedField]:
+        for f in self.fields:
+            if f.field_id == fid:
+                return f
+        return None
+
+
+@dataclass(frozen=True, eq=False)
+class ListType(IcebergType):
+    element_id: int
+    element_type: IcebergType
+    element_required: bool = False
+
+    def __str__(self) -> str:
+        return f"list<{self.element_type}>"
+
+
+@dataclass(frozen=True, eq=False)
+class MapType(IcebergType):
+    key_id: int
+    key_type: IcebergType
+    value_id: int
+    value_type: IcebergType
+    value_required: bool = False
+
+    def __str__(self) -> str:
+        return f"map<{self.key_type}, {self.value_type}>"
+
+
+_SIMPLE = {
+    "boolean": BooleanType, "int": IntegerType, "long": LongType,
+    "float": FloatType, "double": DoubleType, "date": DateType,
+    "time": TimeType, "timestamp": TimestampType,
+    "timestamptz": TimestamptzType, "string": StringType,
+    "uuid": UUIDType, "binary": BinaryType,
+}
+
+
+def type_from_str(s: str) -> IcebergType:
+    """Parse the JSON string form of a primitive type."""
+    s = s.strip()
+    if s in _SIMPLE:
+        return _SIMPLE[s]()
+    if s.startswith("decimal"):
+        inner = s[s.index("(") + 1:s.index(")")]
+        p, sc = (int(x) for x in inner.split(","))
+        return DecimalType(p, sc)
+    if s.startswith("fixed"):
+        inner = s[s.index("[") + 1:s.index("]")]
+        return FixedType(int(inner))
+    raise ValueError(f"unknown type string: {s!r}")
+
+
+# ---------------------------------------------------------------------------
+# Spark interop
+
+
+def to_spark_type(t: IcebergType) -> S.DataType:
+    if isinstance(t, BooleanType):
+        return S.BooleanType()
+    if isinstance(t, IntegerType):
+        return S.IntegerType()
+    if isinstance(t, (LongType, TimeType)):
+        return S.LongType()
+    if isinstance(t, FloatType):
+        return S.FloatType()
+    if isinstance(t, DoubleType):
+        return S.DoubleType()
+    if isinstance(t, DecimalType):
+        return S.DecimalType(t.precision, t.scale)
+    if isinstance(t, DateType):
+        return S.DateType()
+    if isinstance(t, TimestampType):
+        return S.TimestampNTZType()
+    if isinstance(t, TimestamptzType):
+        return S.TimestampType()
+    if isinstance(t, (StringType, UUIDType)):
+        return S.StringType()
+    if isinstance(t, (BinaryType, FixedType)):
+        return S.BinaryType()
+    if isinstance(t, StructType):
+        return S.StructType([
+            S.StructField(
+                f.name, to_spark_type(f.field_type), not f.required,
+                metadata={FIELD_ID_MD: f.field_id},
+            )
+            for f in t.fields
+        ])
+    if isinstance(t, ListType):
+        return S.ArrayType(to_spark_type(t.element_type), not t.element_required)
+    if isinstance(t, MapType):
+        return S.MapType(
+            to_spark_type(t.key_type), to_spark_type(t.value_type),
+            not t.value_required,
+        )
+    raise TypeError(f"cannot convert {t} to Spark type")
+
+
+def from_spark_type(t: S.DataType, next_id=None) -> IcebergType:
+    """Best-effort inverse mapping for importing plain parquet/Spark schemas.
+
+    ``next_id`` is a callable allocating fresh field IDs for nested members.
+    """
+    if next_id is None:
+        counter = iter(range(10_000, 1_000_000))
+        next_id = lambda: next(counter)  # noqa: E731
+    if isinstance(t, S.BooleanType):
+        return BooleanType()
+    if isinstance(t, (S.ByteType, S.ShortType, S.IntegerType)):
+        return IntegerType()
+    if isinstance(t, S.LongType):
+        return LongType()
+    if isinstance(t, S.FloatType):
+        return FloatType()
+    if isinstance(t, S.DoubleType):
+        return DoubleType()
+    if isinstance(t, S.DecimalType):
+        return DecimalType(t.precision, t.scale)
+    if isinstance(t, S.DateType):
+        return DateType()
+    if isinstance(t, S.TimestampNTZType):
+        return TimestampType()
+    if isinstance(t, S.TimestampType):
+        return TimestamptzType()
+    if isinstance(t, S.StringType):
+        return StringType()
+    if isinstance(t, S.BinaryType):
+        return BinaryType()
+    if isinstance(t, S.StructType):
+        return StructType(*[
+            NestedField(
+                field_id=(f.metadata or {}).get(FIELD_ID_MD, None) or next_id(),
+                name=f.name,
+                field_type=from_spark_type(f.dataType, next_id),
+                required=not f.nullable,
+            )
+            for f in t.fields
+        ])
+    if isinstance(t, S.ArrayType):
+        return ListType(next_id(), from_spark_type(t.elementType, next_id),
+                        not t.containsNull)
+    if isinstance(t, S.MapType):
+        k = from_spark_type(t.keyType, next_id)
+        v = from_spark_type(t.valueType, next_id)
+        return MapType(next_id(), k, next_id(), v, not t.valueContainsNull)
+    raise TypeError(f"cannot convert Spark type {t} to Iceberg type")

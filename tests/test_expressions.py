@@ -1,0 +1,115 @@
+"""Expression AST: construction sugar, folding, negation, binding,
+row evaluation, SQL rendering. Mirrors behavior of reference exprs_test.go /
+visitors_test.go (table-driven)."""
+
+from datetime import date, datetime
+
+import pytest
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark import types as T
+from iceberg_go_spark.schema import Schema
+
+
+SCHEMA = Schema([
+    T.NestedField(1, "id", T.LongType(), required=True),
+    T.NestedField(2, "name", T.StringType()),
+    T.NestedField(3, "price", T.DoubleType()),
+    T.NestedField(4, "ts", T.TimestampType()),
+    T.NestedField(5, "day", T.DateType()),
+])
+
+
+def test_and_or_folding():
+    t, f = E.AlwaysTrue(), E.AlwaysFalse()
+    p = E.eq("id", 1)
+    assert E.and_(t, p) == p
+    assert E.and_(f, p) == f
+    assert E.or_(t, p) == t
+    assert E.or_(f, p) == p
+    assert E.and_() == t
+    assert E.or_() == f
+
+
+def test_negation_roundtrip():
+    cases = [
+        (E.lt("id", 5), E.gt_eq("id", 5)),
+        (E.lt_eq("id", 5), E.gt("id", 5)),
+        (E.eq("id", 5), E.neq("id", 5)),
+        (E.is_null("name"), E.not_null("name")),
+        (E.is_nan("price"), E.not_nan("price")),
+        (E.starts_with("name", "a"), E.not_starts_with("name", "a")),
+        (E.in_("id", [1, 2]), E.not_in("id", [1, 2])),
+    ]
+    for expr, want in cases:
+        assert E.not_(expr) == want
+        assert E.not_(E.not_(expr)) == expr
+
+
+def test_demorgan():
+    e = E.not_(E.and_(E.eq("id", 1), E.eq("id", 2)))
+    assert e == E.Or(E.neq("id", 1), E.neq("id", 2))
+
+
+def test_in_reduction():
+    assert E.in_("id", []) == E.AlwaysFalse()
+    assert E.in_("id", [7]) == E.eq("id", 7)
+    assert E.not_in("id", []) == E.AlwaysTrue()
+    assert E.not_in("id", [7]) == E.neq("id", 7)
+
+
+def test_bind_basic():
+    b = E.bind(E.eq("id", "5"), SCHEMA)
+    assert b.is_bound and b.value == 5 and b.term.field.field_id == 1
+
+
+def test_bind_case_sensitivity():
+    with pytest.raises(ValueError):
+        E.bind(E.eq("ID", 5), SCHEMA, case_sensitive=True)
+    b = E.bind(E.eq("ID", 5), SCHEMA, case_sensitive=False)
+    assert b.term.field.field_id == 1
+
+
+def test_bind_required_null_checks():
+    assert E.bind(E.is_null("id"), SCHEMA) == E.AlwaysFalse()
+    assert E.bind(E.not_null("id"), SCHEMA) == E.AlwaysTrue()
+
+
+def test_bind_nan_on_non_float():
+    with pytest.raises(TypeError):
+        E.bind(E.is_nan("id"), SCHEMA)
+
+
+def test_bind_casts_literals():
+    b = E.bind(E.lt("ts", "2020-06-01T00:00:00"), SCHEMA)
+    assert b.value == datetime(2020, 6, 1)
+    b2 = E.bind(E.lt("day", "2020-06-01"), SCHEMA)
+    assert b2.value == date(2020, 6, 1)
+
+
+def test_bind_in_dedup_to_eq():
+    b = E.bind(E.Predicate(E.OP_IN, E.Reference("id"), (3, 3, 3)), SCHEMA)
+    assert b.op == E.OP_EQ and b.value == 3
+
+
+def test_evaluate_rows():
+    expr = E.bind(E.and_(E.gt_eq("id", 10), E.starts_with("name", "ab")), SCHEMA)
+    assert E.evaluate(expr, {"id": 10, "name": "abc"})
+    assert not E.evaluate(expr, {"id": 9, "name": "abc"})
+    assert not E.evaluate(expr, {"id": 10, "name": "xyz"})
+    assert not E.evaluate(expr, {"id": 10, "name": None})
+
+
+def test_evaluate_nan():
+    expr = E.bind(E.is_nan("price"), SCHEMA)
+    assert E.evaluate(expr, {"price": float("nan")})
+    assert not E.evaluate(expr, {"price": 1.0})
+    assert not E.evaluate(expr, {"price": None})
+
+
+def test_to_sql():
+    e = E.and_(E.gt_eq("id", 10), E.in_("name", ["a", "b'c"]))
+    sql = E.to_sql(e)
+    assert sql == "(id >= 10 AND name IN ('a', 'b''c'))"
+    assert E.to_sql(E.bind(E.lt("day", "2020-06-01"), SCHEMA)) == \
+        "day < DATE '2020-06-01'"

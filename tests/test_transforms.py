@@ -1,0 +1,161 @@
+"""Transform correctness, incl. the Iceberg spec's published bucket-hash
+test vectors (spec Appendix B; mirrored in reference transforms_test.go)."""
+
+import struct
+from datetime import date, datetime
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+from iceberg_go_spark import types as T
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.transforms import (
+    BucketTransform, DayTransform, HourTransform, IdentityTransform,
+    MonthTransform, TruncateTransform, VoidTransform, YearTransform,
+    iceberg_hash_bytes, murmur3_32, murmur3_32_long_np, parse_transform,
+)
+
+
+# -- murmur3 spec vectors ---------------------------------------------------
+
+SPEC_HASHES = [
+    (34, T.IntegerType(), 2017239379),
+    (34, T.LongType(), 2017239379),
+    (Decimal("14.20"), T.DecimalType(9, 2), -500754589),
+    (date(2017, 11, 16), T.DateType(), -653330422),
+    (81068000000, T.TimeType(), -662762989),
+    (datetime(2017, 11, 16, 22, 31, 8), T.TimestampType(), -2047944441),
+    ("iceberg", T.StringType(), 1210000089),
+    ("f79c3e09-677c-4bbd-a479-3f349cb785e7", T.UUIDType(), 1488055340),
+    (b"\x00\x01\x02\x03", T.BinaryType(), -188683207),
+    (b"\x00\x01\x02\x03", T.FixedType(4), -188683207),
+]
+
+
+@pytest.mark.parametrize("value,typ,expected", SPEC_HASHES)
+def test_spec_hash_vectors(value, typ, expected):
+    assert murmur3_32(iceberg_hash_bytes(value, typ)) == expected
+
+
+def test_numpy_murmur_matches_scalar():
+    vals = np.array([0, 1, -1, 34, 2**31, -2**31, 2**62, -2**62, 123456789],
+                    dtype=np.int64)
+    h = murmur3_32_long_np(vals)
+    for v, hv in zip(vals, h):
+        expected = murmur3_32(struct.pack("<q", int(v))) & 0xFFFFFFFF
+        assert int(hv) == expected
+
+
+def test_bucket_apply():
+    b = BucketTransform(16)
+    assert b.apply(34, T.IntegerType()) == (2017239379 & 0x7FFFFFFF) % 16
+    assert b.apply(None) is None
+    assert b.apply("iceberg", T.StringType()) == (1210000089 & 0x7FFFFFFF) % 16
+
+
+# -- truncate ---------------------------------------------------------------
+
+def test_truncate_ints():
+    t = TruncateTransform(10)
+    assert t.apply(0) == 0
+    assert t.apply(1) == 0
+    assert t.apply(5) == 0
+    assert t.apply(9) == 0
+    assert t.apply(10) == 10
+    assert t.apply(11) == 10
+    assert t.apply(-1) == -10
+    assert t.apply(-10) == -10
+    assert t.apply(-12) == -20
+
+
+def test_truncate_decimal():
+    t = TruncateTransform(10)
+    assert t.apply(Decimal("12.34")) == Decimal("12.30")
+    t50 = TruncateTransform(50)
+    assert t50.apply(Decimal("10.50")) == Decimal("10.50")  # 1050 % 50 == 0
+    assert t50.apply(Decimal("-0.05")) == Decimal("-0.50")
+
+
+def test_truncate_string_codepoints():
+    t = TruncateTransform(3)
+    assert t.apply("iceberg") == "ice"
+    assert t.apply("日本語のテキスト") == "日本語"  # codepoints, not bytes
+    assert t.apply(b"\x01\x02\x03\x04") == b"\x01\x02\x03"
+
+
+# -- time transforms --------------------------------------------------------
+
+def test_time_transforms():
+    d = date(2017, 11, 16)
+    ts = datetime(2017, 11, 16, 22, 31, 8)
+    assert YearTransform().apply(d) == 47
+    assert MonthTransform().apply(d) == 47 * 12 + 10
+    assert DayTransform().apply(d) == 17486
+    assert DayTransform().apply(ts) == 17486
+    assert HourTransform().apply(ts) == 17486 * 24 + 22
+    # pre-epoch
+    assert YearTransform().apply(date(1969, 12, 31)) == -1
+    assert MonthTransform().apply(date(1969, 12, 31)) == -1
+    assert DayTransform().apply(date(1969, 12, 31)) == -1
+    assert HourTransform().apply(datetime(1969, 12, 31, 23, 59)) == -1
+
+
+def test_human_strings():
+    assert YearTransform().to_human_str(47) == "2017"
+    assert MonthTransform().to_human_str(47 * 12 + 10) == "2017-11"
+    assert DayTransform().to_human_str(17486) == "2017-11-16"
+    assert HourTransform().to_human_str(17486 * 24 + 22) == "2017-11-16-22"
+
+
+# -- parsing ----------------------------------------------------------------
+
+def test_parse():
+    assert parse_transform("bucket[16]") == BucketTransform(16)
+    assert parse_transform("truncate[4]") == TruncateTransform(4)
+    assert parse_transform("identity") == IdentityTransform()
+    assert parse_transform("year") == YearTransform()
+    for bad in ["bucket[0]", "bucket[-1]", "bucket[]", "bucket", "bucketx[5]",
+                "truncate[0]", "bucket[4294967296]"]:
+        with pytest.raises((ValueError,)):
+            parse_transform(bad)
+
+
+# -- projection (pruning correctness) --------------------------------------
+
+def _bound(pred, field_type=T.IntegerType(), name="x"):
+    from iceberg_go_spark.schema import Schema
+    s = Schema([T.NestedField(1, name, field_type)])
+    return E.bind(pred, s)
+
+
+def test_identity_project():
+    p = _bound(E.gt("x", 5))
+    out = IdentityTransform().project("p_x", p)
+    assert out == E.gt("p_x", 5)
+
+
+def test_bucket_project_only_eq():
+    b = BucketTransform(8)
+    assert b.project("p", _bound(E.gt("x", 5))) is None
+    out = b.project("p", _bound(E.eq("x", 34)))
+    assert out == E.eq("p", b.apply(34, T.IntegerType()))
+    assert b.project("p", _bound(E.is_null("x"))) == E.is_null("p")
+
+
+def test_truncate_project_ranges():
+    t = TruncateTransform(10)
+    # x < 15 -> t <= truncate(14) = 10
+    assert t.project("p", _bound(E.lt("x", 15))) == E.lt_eq("p", 10)
+    # x < 10 -> t <= truncate(9) = 0 (tight)
+    assert t.project("p", _bound(E.lt("x", 10))) == E.lt_eq("p", 0)
+    assert t.project("p", _bound(E.gt("x", 9))) == E.gt_eq("p", 10)
+    assert t.project("p", _bound(E.eq("x", 15))) == E.eq("p", 10)
+
+
+def test_time_project():
+    y = YearTransform()
+    p = _bound(E.lt("ts", datetime(2017, 6, 1)), T.TimestampType(), "ts")
+    assert y.project("p_y", p) == E.lt_eq("p_y", 47)
+    p2 = _bound(E.gt_eq("ts", datetime(2017, 6, 1)), T.TimestampType(), "ts")
+    assert y.project("p_y", p2) == E.gt_eq("p_y", 47)
