@@ -1,0 +1,3 @@
+from .filesystem import FilesystemCatalog
+
+__all__ = ["FilesystemCatalog"]

@@ -1,0 +1,191 @@
+"""Filesystem (Hadoop-style) catalog: version-hint + numbered metadata files.
+
+Parity: /root/reference/catalog/hadoop/hadoop.go:1134 (version-hint.text,
+v<N>.metadata.json, atomic CAS via create-exclusive rename).  Original code.
+
+Commit CAS semantics: the next metadata version file is created with
+O_EXCL — two racing committers cannot both win; the loser refreshes and
+retries (optimistic concurrency, table/table.go:520-979).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Dict, List, Optional, Tuple
+
+from ..meta.metadata import TableMetadata, new_table_metadata
+from ..meta.partitioning import PartitionSpec, SortOrder
+from ..schema import Schema
+
+
+class CommitConflictError(Exception):
+    """Another committer won the CAS; refresh and retry."""
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+def _ident(identifier) -> Tuple[str, ...]:
+    if isinstance(identifier, str):
+        return tuple(identifier.split("."))
+    return tuple(identifier)
+
+
+class FilesystemCatalog:
+    """Warehouse layout: {warehouse}/{ns...}/{table}/metadata/v{N}.metadata.json"""
+
+    def __init__(self, warehouse: str, name: str = "fs"):
+        self.warehouse = os.path.abspath(warehouse)
+        self.name = name
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+    def _table_dir(self, identifier) -> str:
+        return os.path.join(self.warehouse, *_ident(identifier))
+
+    @staticmethod
+    def _metadata_dir(table_dir: str) -> str:
+        return os.path.join(table_dir, "metadata")
+
+    @staticmethod
+    def _version_path(table_dir: str, version: int) -> str:
+        return os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+
+    @staticmethod
+    def _hint_path(table_dir: str) -> str:
+        return os.path.join(table_dir, "metadata", "version-hint.text")
+
+    def _current_version(self, table_dir: str) -> Optional[int]:
+        hint = self._hint_path(table_dir)
+        try:
+            with open(hint) as f:
+                v = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            v = 0
+        # roll forward past the hint if newer versions exist
+        best = None
+        probe = max(v, 1)
+        while os.path.exists(self._version_path(table_dir, probe)):
+            best = probe
+            probe += 1
+        if best is None:
+            # hint may be ahead or dir listing needed
+            mdir = self._metadata_dir(table_dir)
+            if os.path.isdir(mdir):
+                versions = [
+                    int(p[1:].split(".")[0]) for p in os.listdir(mdir)
+                    if p.startswith("v") and p.endswith(".metadata.json")]
+                best = max(versions, default=None)
+        return best
+
+    # -- namespace ops ------------------------------------------------------
+    def create_namespace(self, namespace) -> None:
+        os.makedirs(os.path.join(self.warehouse, *_ident(namespace)),
+                    exist_ok=True)
+
+    def list_namespaces(self) -> List[Tuple[str, ...]]:
+        out = []
+        for entry in sorted(os.listdir(self.warehouse)):
+            p = os.path.join(self.warehouse, entry)
+            if os.path.isdir(p) and not os.path.isdir(
+                    self._metadata_dir(p)):
+                out.append((entry,))
+        return out
+
+    def list_tables(self, namespace) -> List[Tuple[str, ...]]:
+        ns = _ident(namespace)
+        base = os.path.join(self.warehouse, *ns)
+        out = []
+        if os.path.isdir(base):
+            for entry in sorted(os.listdir(base)):
+                if os.path.isdir(os.path.join(base, entry, "metadata")):
+                    out.append(ns + (entry,))
+        return out
+
+    # -- table ops ----------------------------------------------------------
+    def create_table(self, identifier, schema: Schema,
+                     spec: Optional[PartitionSpec] = None,
+                     sort_order: Optional[SortOrder] = None,
+                     properties: Optional[Dict[str, str]] = None):
+        from ..table.table import Table
+        table_dir = self._table_dir(identifier)
+        if os.path.isdir(self._metadata_dir(table_dir)):
+            raise TableAlreadyExistsError(str(identifier))
+        os.makedirs(self._metadata_dir(table_dir), exist_ok=True)
+        os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+        md = new_table_metadata(schema, spec or PartitionSpec(),
+                                location=table_dir, properties=properties,
+                                sort_order=sort_order)
+        path = self._version_path(table_dir, 1)
+        md.write(path)
+        self._write_hint(table_dir, 1)
+        return Table(_ident(identifier), md, path, self)
+
+    def load_table(self, identifier):
+        from ..table.table import Table
+        table_dir = self._table_dir(identifier)
+        v = self._current_version(table_dir)
+        if v is None:
+            raise NoSuchTableError(str(identifier))
+        path = self._version_path(table_dir, v)
+        return Table(_ident(identifier), TableMetadata.read(path), path, self)
+
+    def table_exists(self, identifier) -> bool:
+        return self._current_version(self._table_dir(identifier)) is not None
+
+    def drop_table(self, identifier, purge: bool = False) -> None:
+        table_dir = self._table_dir(identifier)
+        if self._current_version(table_dir) is None:
+            raise NoSuchTableError(str(identifier))
+        shutil.rmtree(table_dir)
+
+    def rename_table(self, src, dst) -> None:
+        src_dir, dst_dir = self._table_dir(src), self._table_dir(dst)
+        if self._current_version(src_dir) is None:
+            raise NoSuchTableError(str(src))
+        if os.path.isdir(dst_dir):
+            raise TableAlreadyExistsError(str(dst))
+        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+        os.rename(src_dir, dst_dir)
+
+    # -- commit (optimistic CAS) -------------------------------------------
+    def commit_table(self, identifier, base_metadata_path: Optional[str],
+                     metadata: TableMetadata) -> str:
+        """CAS: write v{N+1} with create-exclusive; raise CommitConflictError
+        if someone else already wrote it."""
+        table_dir = self._table_dir(identifier)
+        cur = self._current_version(table_dir) or 0
+        if base_metadata_path is not None:
+            base_ver = int(os.path.basename(base_metadata_path)[1:].split(".")[0])
+            if base_ver != cur:
+                raise CommitConflictError(
+                    f"base is v{base_ver} but current is v{cur}")
+        nxt = cur + 1
+        path = self._version_path(table_dir, nxt)
+        os.makedirs(self._metadata_dir(table_dir), exist_ok=True)
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            import json
+            json.dump(metadata.to_json_dict(), f, indent=1)
+        try:
+            os.link(tmp, path)  # atomic create-exclusive
+        except FileExistsError:
+            raise CommitConflictError(f"v{nxt} already exists")
+        finally:
+            os.unlink(tmp)
+        self._write_hint(table_dir, nxt)
+        return path
+
+    def _write_hint(self, table_dir: str, version: int) -> None:
+        hint = self._hint_path(table_dir)
+        tmp = hint + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)

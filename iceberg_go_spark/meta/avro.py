@@ -1,0 +1,277 @@
+"""Minimal Apache Avro container-file codec (pure Python).
+
+Implements the subset of the public Avro 1.11 spec needed for Iceberg
+manifests and manifest lists: records, unions-with-null, arrays, maps,
+primitives, fixed; null and deflate codecs.  The environment has no
+fastavro, and manifests are small driver-side metadata, so a compact
+pure-Python codec is the right tool (parity target:
+/root/reference/manifest.go readers/writers, which use hamba/avro).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, BinaryIO, Dict, Iterator, List, Union
+
+MAGIC = b"Obj\x01"
+
+JsonSchema = Union[str, Dict[str, Any], List[Any]]
+
+
+# ---------------------------------------------------------------------------
+# binary encoding
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: bytearray, n: int) -> None:
+    n = _zigzag_encode(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            break
+
+
+def write_bytes(buf: bytearray, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.extend(b)
+
+
+class Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read_long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        return _zigzag_decode(acc)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+
+# ---------------------------------------------------------------------------
+# schema-driven encode/decode
+
+
+def _encode(buf: bytearray, schema: JsonSchema, value: Any) -> None:
+    if isinstance(schema, list):  # union
+        for i, branch in enumerate(schema):
+            bname = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bname == "null":
+                write_long(buf, i)
+                return
+            if value is not None and bname != "null":
+                write_long(buf, i)
+                _encode(buf, branch, value)
+                return
+        raise ValueError(f"value {value!r} does not fit union {schema!r}")
+    if isinstance(schema, str):
+        t = schema
+    else:
+        t = schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        buf.append(1 if value else 0)
+    elif t in ("int", "long"):
+        write_long(buf, int(value))
+    elif t == "float":
+        buf.extend(struct.pack("<f", float(value)))
+    elif t == "double":
+        buf.extend(struct.pack("<d", float(value)))
+    elif t in ("bytes", "string"):
+        write_bytes(buf, value.encode("utf-8") if isinstance(value, str) else bytes(value))
+    elif t == "fixed":
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise ValueError("fixed size mismatch")
+        buf.extend(b)
+    elif t == "record":
+        for f in schema["fields"]:
+            fv = value.get(f["name"]) if isinstance(value, dict) else getattr(value, f["name"])
+            if fv is None and "default" in f and f["default"] is not None:
+                fv = f["default"]
+            _encode(buf, f["type"], fv)
+    elif t == "array":
+        items = list(value or [])
+        if items:
+            write_long(buf, len(items))
+            for it in items:
+                _encode(buf, schema["items"], it)
+        write_long(buf, 0)
+    elif t == "map":
+        entries = dict(value or {})
+        if entries:
+            write_long(buf, len(entries))
+            for k, v in entries.items():
+                write_bytes(buf, str(k).encode("utf-8"))
+                _encode(buf, schema["values"], v)
+        write_long(buf, 0)
+    elif t == "enum":
+        buf_idx = schema["symbols"].index(value)
+        write_long(buf, buf_idx)
+    else:
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _decode(r: Reader, schema: JsonSchema) -> Any:
+    if isinstance(schema, list):  # union
+        idx = r.read_long()
+        return _decode(r, schema[idx])
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return r.read_fixed(1) == b"\x01"
+    if t in ("int", "long"):
+        return r.read_long()
+    if t == "float":
+        return struct.unpack("<f", r.read_fixed(4))[0]
+    if t == "double":
+        return struct.unpack("<d", r.read_fixed(8))[0]
+    if t == "bytes":
+        return r.read_bytes()
+    if t == "string":
+        return r.read_bytes().decode("utf-8")
+    if t == "fixed":
+        return r.read_fixed(schema["size"])
+    if t == "record":
+        return {f["name"]: _decode(r, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                r.read_long()  # block byte size, unused
+                n = -n
+            for _ in range(n):
+                out.append(_decode(r, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                r.read_long()
+                n = -n
+            for _ in range(n):
+                k = r.read_bytes().decode("utf-8")
+                out[k] = _decode(r, schema["values"])
+        return out
+    if t == "enum":
+        return schema["symbols"][r.read_long()]
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# container files
+
+
+def write_container(path: str, schema: JsonSchema, records: List[Any],
+                    metadata: Dict[str, str] | None = None,
+                    codec: str = "deflate") -> None:
+    sync = os.urandom(16)
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
+    meta.update(metadata or {})
+    head = bytearray()
+    head.extend(MAGIC)
+    write_long(head, len(meta))
+    for k, v in meta.items():
+        write_bytes(head, k.encode())
+        write_bytes(head, v.encode() if isinstance(v, str) else v)
+    write_long(head, 0)
+    head.extend(sync)
+
+    body = bytearray()
+    for rec in records:
+        _encode(body, schema, rec)
+    payload = bytes(body)
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate, no zlib header
+    block = bytearray()
+    write_long(block, len(records))
+    write_bytes(block, payload)
+    block.extend(sync)
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(head)
+        if records:
+            f.write(block)
+    os.replace(tmp, path)
+
+
+def read_container(path_or_data) -> tuple[JsonSchema, List[Any], Dict[str, bytes]]:
+    if isinstance(path_or_data, (bytes, bytearray)):
+        data = bytes(path_or_data)
+    else:
+        with open(path_or_data, "rb") as f:
+            data = f.read()
+    r = Reader(data)
+    if r.read_fixed(4) != MAGIC:
+        raise ValueError("not an avro container file")
+    meta: Dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            r.read_long()
+            n = -n
+        for _ in range(n):
+            k = r.read_bytes().decode()
+            meta[k] = r.read_bytes()
+    sync = r.read_fixed(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    records: List[Any] = []
+    while r.pos < len(data):
+        count = r.read_long()
+        block = r.read_bytes()
+        if r.read_fixed(16) != sync:
+            raise ValueError("sync marker mismatch")
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        br = Reader(block)
+        for _ in range(count):
+            records.append(_decode(br, schema))
+    return schema, records, meta

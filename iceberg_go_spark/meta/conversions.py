@@ -1,0 +1,83 @@
+"""Single-value binary serialization for column stats bounds.
+
+Parity: Iceberg spec Appendix D "Single-value serialization"; used by the
+reference for DataFile lower/upper bounds (manifest.go colMap handling,
+table/internal/utils.go stats truncation).  Original code.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+from typing import Any, Optional
+
+from .. import types as T
+from ..transforms import EPOCH_DATE, datetime_to_micros
+
+_EPOCH_DT = datetime(1970, 1, 1)
+
+
+def to_bytes(t: T.IcebergType, v: Any) -> bytes:
+    if isinstance(t, T.BooleanType):
+        return b"\x01" if v else b"\x00"
+    if isinstance(t, T.IntegerType):
+        return struct.pack("<i", int(v))
+    if isinstance(t, (T.LongType, T.TimeType)):
+        return struct.pack("<q", int(v))
+    if isinstance(t, T.FloatType):
+        return struct.pack("<f", float(v))
+    if isinstance(t, T.DoubleType):
+        return struct.pack("<d", float(v))
+    if isinstance(t, T.DateType):
+        days = (v - EPOCH_DATE).days if isinstance(v, date) else int(v)
+        return struct.pack("<i", days)
+    if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        if isinstance(v, datetime):
+            v = datetime_to_micros(v)
+        return struct.pack("<q", int(v))
+    if isinstance(t, (T.StringType, T.UUIDType)):
+        if isinstance(t, T.UUIDType):
+            import uuid as _u
+            return _u.UUID(str(v)).bytes
+        return str(v).encode("utf-8")
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        return bytes(v)
+    if isinstance(t, T.DecimalType):
+        d = v if isinstance(v, Decimal) else Decimal(str(v))
+        d = d.quantize(Decimal(1).scaleb(-t.scale))
+        unscaled = int(d.scaleb(t.scale))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    raise TypeError(f"cannot serialize bound of type {t}")
+
+
+def from_bytes(t: T.IcebergType, b: Optional[bytes]) -> Any:
+    if b is None:
+        return None
+    b = bytes(b)
+    if isinstance(t, T.BooleanType):
+        return b != b"\x00"
+    if isinstance(t, T.IntegerType):
+        return struct.unpack("<i", b)[0]
+    if isinstance(t, (T.LongType, T.TimeType)):
+        return struct.unpack("<q", b)[0]
+    if isinstance(t, T.FloatType):
+        return struct.unpack("<f", b)[0]
+    if isinstance(t, T.DoubleType):
+        return struct.unpack("<d", b)[0]
+    if isinstance(t, T.DateType):
+        return EPOCH_DATE + timedelta(days=struct.unpack("<i", b)[0])
+    if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        return _EPOCH_DT + timedelta(microseconds=struct.unpack("<q", b)[0])
+    if isinstance(t, T.StringType):
+        return b.decode("utf-8")
+    if isinstance(t, T.UUIDType):
+        import uuid as _u
+        return str(_u.UUID(bytes=b))
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        return b
+    if isinstance(t, T.DecimalType):
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return Decimal(unscaled).scaleb(-t.scale)
+    raise TypeError(f"cannot deserialize bound of type {t}")

@@ -1,0 +1,277 @@
+"""Table metadata (versioned JSON document) + snapshots + refs.
+
+Parity: /root/reference/table/metadata.go (Metadata iface :66, v2 struct
+:2548, builder :167), table/snapshots.go:258 (Snapshot), :90-251 (Summary),
+table/refs.go:42 (SnapshotRef).  Original code; JSON layout per the public
+Iceberg spec (format-version 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional
+
+from ..schema import Schema
+from .partitioning import PartitionSpec, SortOrder
+
+MAIN_BRANCH = "main"
+
+OP_APPEND = "append"
+OP_REPLACE = "replace"
+OP_OVERWRITE = "overwrite"
+OP_DELETE = "delete"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    sequence_number: int
+    timestamp_ms: int
+    manifest_list: str
+    summary: Dict[str, str]
+    schema_id: Optional[int] = None
+    parent_snapshot_id: Optional[int] = None
+    first_row_id: Optional[int] = None
+
+    @property
+    def operation(self) -> str:
+        return self.summary.get("operation", OP_APPEND)
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {
+            "snapshot-id": self.snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "manifest-list": self.manifest_list,
+            "summary": self.summary,
+        }
+        if self.schema_id is not None:
+            d["schema-id"] = self.schema_id
+        if self.parent_snapshot_id is not None:
+            d["parent-snapshot-id"] = self.parent_snapshot_id
+        if self.first_row_id is not None:
+            d["first-row-id"] = self.first_row_id
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "Snapshot":
+        return cls(
+            snapshot_id=d["snapshot-id"],
+            sequence_number=d.get("sequence-number", 0),
+            timestamp_ms=d["timestamp-ms"],
+            manifest_list=d["manifest-list"],
+            summary=d.get("summary", {}),
+            schema_id=d.get("schema-id"),
+            parent_snapshot_id=d.get("parent-snapshot-id"),
+            first_row_id=d.get("first-row-id"))
+
+
+@dataclass
+class SnapshotRef:
+    snapshot_id: int
+    ref_type: str = "branch"  # branch | tag
+    min_snapshots_to_keep: Optional[int] = None
+    max_snapshot_age_ms: Optional[int] = None
+    max_ref_age_ms: Optional[int] = None
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {"snapshot-id": self.snapshot_id,
+                             "type": self.ref_type}
+        if self.min_snapshots_to_keep is not None:
+            d["min-snapshots-to-keep"] = self.min_snapshots_to_keep
+        if self.max_snapshot_age_ms is not None:
+            d["max-snapshot-age-ms"] = self.max_snapshot_age_ms
+        if self.max_ref_age_ms is not None:
+            d["max-ref-age-ms"] = self.max_ref_age_ms
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "SnapshotRef":
+        return cls(d["snapshot-id"], d.get("type", "branch"),
+                   d.get("min-snapshots-to-keep"),
+                   d.get("max-snapshot-age-ms"), d.get("max-ref-age-ms"))
+
+
+@dataclass
+class TableMetadata:
+    format_version: int = 2
+    table_uuid: str = dc_field(default_factory=lambda: str(uuid.uuid4()))
+    location: str = ""
+    last_sequence_number: int = 0
+    last_updated_ms: int = 0
+    last_column_id: int = 0
+    schemas: List[Schema] = dc_field(default_factory=list)
+    current_schema_id: int = 0
+    partition_specs: List[PartitionSpec] = dc_field(default_factory=list)
+    default_spec_id: int = 0
+    last_partition_id: int = 999
+    properties: Dict[str, str] = dc_field(default_factory=dict)
+    current_snapshot_id: Optional[int] = None
+    snapshots: List[Snapshot] = dc_field(default_factory=list)
+    snapshot_log: List[Dict[str, int]] = dc_field(default_factory=list)
+    metadata_log: List[Dict[str, Any]] = dc_field(default_factory=list)
+    sort_orders: List[SortOrder] = dc_field(default_factory=list)
+    default_sort_order_id: int = 0
+    refs: Dict[str, SnapshotRef] = dc_field(default_factory=dict)
+    next_row_id: int = 0
+
+    # -- lookups ------------------------------------------------------------
+    def schema(self) -> Schema:
+        return self.schema_by_id(self.current_schema_id)
+
+    def schema_by_id(self, sid: int) -> Schema:
+        for s in self.schemas:
+            if s.schema_id == sid:
+                return s
+        raise ValueError(f"no schema with id {sid}")
+
+    def spec(self) -> PartitionSpec:
+        return self.spec_by_id(self.default_spec_id)
+
+    def spec_by_id(self, sid: int) -> PartitionSpec:
+        for s in self.partition_specs:
+            if s.spec_id == sid:
+                return s
+        raise ValueError(f"no partition spec with id {sid}")
+
+    def sort_order(self) -> SortOrder:
+        for o in self.sort_orders:
+            if o.order_id == self.default_sort_order_id:
+                return o
+        return SortOrder()
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def snapshot_by_id(self, sid: int) -> Optional[Snapshot]:
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        return None
+
+    def snapshot_for_ref(self, ref_name: str) -> Optional[Snapshot]:
+        r = self.refs.get(ref_name)
+        return self.snapshot_by_id(r.snapshot_id) if r else None
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Optional[Snapshot]:
+        """Latest snapshot whose commit time <= timestamp_ms (time travel)."""
+        best = None
+        for entry in sorted(self.snapshot_log, key=lambda e: e["timestamp-ms"]):
+            if entry["timestamp-ms"] <= timestamp_ms:
+                best = entry["snapshot-id"]
+        return self.snapshot_by_id(best) if best is not None else None
+
+    def ancestors_of(self, snapshot_id: Optional[int] = None) -> List[Snapshot]:
+        """Snapshot ancestry, newest first (table/snapshot_ancestry.go:37)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        out = []
+        while sid is not None:
+            s = self.snapshot_by_id(sid)
+            if s is None:
+                break
+            out.append(s)
+            sid = s.parent_snapshot_id
+        return out
+
+    # -- JSON ----------------------------------------------------------------
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {
+            "format-version": self.format_version,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-sequence-number": self.last_sequence_number,
+            "last-updated-ms": self.last_updated_ms,
+            "last-column-id": self.last_column_id,
+            "current-schema-id": self.current_schema_id,
+            "schemas": [s.to_json_dict() for s in self.schemas],
+            "default-spec-id": self.default_spec_id,
+            "partition-specs": [s.to_json_dict() for s in self.partition_specs],
+            "last-partition-id": self.last_partition_id,
+            "default-sort-order-id": self.default_sort_order_id,
+            "sort-orders": [o.to_json_dict() for o in self.sort_orders] or
+                           [SortOrder().to_json_dict()],
+            "properties": self.properties,
+            "current-snapshot-id": self.current_snapshot_id
+            if self.current_snapshot_id is not None else -1,
+            "snapshots": [s.to_json_dict() for s in self.snapshots],
+            "snapshot-log": self.snapshot_log,
+            "metadata-log": self.metadata_log,
+            "refs": {k: v.to_json_dict() for k, v in self.refs.items()},
+            "next-row-id": self.next_row_id,
+        }
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "TableMetadata":
+        fv = d.get("format-version", 1)
+        if fv == 1:
+            schemas = [Schema.from_json_dict(d["schema"])] if "schema" in d \
+                else [Schema.from_json_dict(s) for s in d.get("schemas", [])]
+            specs = [PartitionSpec.from_json_dict(
+                {"spec-id": 0, "fields": d.get("partition-spec", [])})] \
+                if "partition-spec" in d else \
+                [PartitionSpec.from_json_dict(s)
+                 for s in d.get("partition-specs", [])]
+        else:
+            schemas = [Schema.from_json_dict(s) for s in d.get("schemas", [])]
+            specs = [PartitionSpec.from_json_dict(s)
+                     for s in d.get("partition-specs", [])]
+        cur_snap = d.get("current-snapshot-id")
+        if cur_snap in (-1, None):
+            cur_snap = None
+        return cls(
+            format_version=fv,
+            table_uuid=d.get("table-uuid", str(uuid.uuid4())),
+            location=d.get("location", ""),
+            last_sequence_number=d.get("last-sequence-number", 0),
+            last_updated_ms=d.get("last-updated-ms", 0),
+            last_column_id=d.get("last-column-id", 0),
+            schemas=schemas,
+            current_schema_id=d.get("current-schema-id", 0),
+            partition_specs=specs,
+            default_spec_id=d.get("default-spec-id", 0),
+            last_partition_id=d.get("last-partition-id", 999),
+            properties=d.get("properties", {}),
+            current_snapshot_id=cur_snap,
+            snapshots=[Snapshot.from_json_dict(s)
+                       for s in d.get("snapshots", [])],
+            snapshot_log=d.get("snapshot-log", []),
+            metadata_log=d.get("metadata-log", []),
+            sort_orders=[SortOrder.from_json_dict(o)
+                         for o in d.get("sort-orders", [])],
+            default_sort_order_id=d.get("default-sort-order-id", 0),
+            refs={k: SnapshotRef.from_json_dict(v)
+                  for k, v in d.get("refs", {}).items()},
+            next_row_id=d.get("next-row-id", 0))
+
+    def write(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_json_dict(), f, indent=1)
+        os.replace(tmp, path)
+
+    @classmethod
+    def read(cls, path: str) -> "TableMetadata":
+        with open(path) as f:
+            return cls.from_json_dict(json.load(f))
+
+
+def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,
+                       properties: Optional[Dict[str, str]] = None,
+                       sort_order: Optional[SortOrder] = None) -> TableMetadata:
+    return TableMetadata(
+        format_version=2,
+        location=location,
+        last_updated_ms=int(time.time() * 1000),
+        last_column_id=schema.highest_field_id,
+        schemas=[schema], current_schema_id=schema.schema_id,
+        partition_specs=[spec], default_spec_id=spec.spec_id,
+        last_partition_id=spec.last_assigned_field_id(),
+        sort_orders=[sort_order] if sort_order else [SortOrder()],
+        default_sort_order_id=sort_order.order_id if sort_order else 0,
+        properties=dict(properties or {}))

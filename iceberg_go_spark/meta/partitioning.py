@@ -1,0 +1,173 @@
+"""Partition specs (hidden partitioning) and sort orders.
+
+Parity: /root/reference/partitions.go:44,184 (PartitionField/PartitionSpec,
+partition struct type :687, path rendering :709) and table/sorting.go.
+Original code.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from .. import types as T
+from ..schema import Schema
+from ..transforms import Transform, parse_transform
+
+PARTITION_FIELD_START_ID = 1000
+UNPARTITIONED_SPEC_ID = 0
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    source_id: int
+    field_id: int
+    name: str
+    transform: Transform
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"source-id": self.source_id, "field-id": self.field_id,
+                "name": self.name, "transform": str(self.transform)}
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "PartitionField":
+        return cls(d["source-id"], d["field-id"], d["name"],
+                   parse_transform(d["transform"]))
+
+
+class PartitionSpec:
+    def __init__(self, fields: List[PartitionField] = None, spec_id: int = 0):
+        self.fields: Tuple[PartitionField, ...] = tuple(fields or [])
+        self.spec_id = spec_id
+
+    @property
+    def is_unpartitioned(self) -> bool:
+        return not self.fields
+
+    def last_assigned_field_id(self) -> int:
+        return max((f.field_id for f in self.fields),
+                   default=PARTITION_FIELD_START_ID - 1)
+
+    def partition_type(self, schema: Schema) -> T.StructType:
+        """Struct of transform result types (partitions.go:687)."""
+        out = []
+        for f in self.fields:
+            src = schema.find_field(f.source_id)
+            if src is None:
+                raise ValueError(f"partition source id {f.source_id} not in schema")
+            out.append(T.NestedField(f.field_id, f.name,
+                                     f.transform.result_type(src.field_type),
+                                     required=False))
+        return T.StructType(*out)
+
+    def partition_to_path(self, values: Dict[str, Any], schema: Schema) -> str:
+        """Hive-style ``k=v/`` dirs with URL escaping (partitions.go:709)."""
+        parts = []
+        for f in self.fields:
+            src = schema.find_field(f.source_id)
+            human = f.transform.to_human_str(values.get(f.name))
+            parts.append(f"{urllib.parse.quote(f.name, safe='')}="
+                         f"{urllib.parse.quote(str(human), safe='')}")
+        return "/".join(parts)
+
+    def compatible_with(self, other: "PartitionSpec") -> bool:
+        return len(self.fields) == len(other.fields) and all(
+            a.source_id == b.source_id and str(a.transform) == str(b.transform)
+            and a.name == b.name
+            for a, b in zip(self.fields, other.fields))
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"spec-id": self.spec_id,
+                "fields": [f.to_json_dict() for f in self.fields]}
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "PartitionSpec":
+        return cls([PartitionField.from_json_dict(f) for f in d["fields"]],
+                   spec_id=d.get("spec-id", 0))
+
+    def __eq__(self, other: object) -> bool:
+        return (isinstance(other, PartitionSpec)
+                and self.spec_id == other.spec_id
+                and self.fields == other.fields)
+
+    def __repr__(self) -> str:
+        inner = ", ".join(
+            f"{f.name}={f.transform}({f.source_id})" for f in self.fields)
+        return f"PartitionSpec(id={self.spec_id}, [{inner}])"
+
+
+def spec_from_names(schema: Schema, *parts: Tuple[str, str],
+                    spec_id: int = 0) -> PartitionSpec:
+    """Build a spec from ("source_col", "transform") pairs; names follow the
+    Iceberg convention (col, col_year, col_bucket, ...)."""
+    fields = []
+    next_id = PARTITION_FIELD_START_ID
+    for source_name, tf_str in parts:
+        src = schema.find_field(source_name)
+        if src is None:
+            raise ValueError(f"no such column: {source_name}")
+        tf = parse_transform(tf_str)
+        if not tf.can_transform(src.field_type):
+            raise ValueError(f"{tf} cannot transform {src.field_type}")
+        base = tf.name.split("[")[0]
+        name = source_name if base == "identity" else f"{source_name}_{base}"
+        fields.append(PartitionField(src.field_id, next_id, name, tf))
+        next_id += 1
+    return PartitionSpec(fields, spec_id=spec_id)
+
+
+# ---------------------------------------------------------------------------
+# Sort orders (table/sorting.go)
+
+UNSORTED_ORDER_ID = 0
+
+
+@dataclass(frozen=True)
+class SortField:
+    source_id: int
+    transform: Transform
+    direction: str = "asc"        # asc | desc
+    null_order: str = "nulls-first"  # nulls-first | nulls-last
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"source-id": self.source_id, "transform": str(self.transform),
+                "direction": self.direction, "null-order": self.null_order}
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "SortField":
+        return cls(d["source-id"], parse_transform(d["transform"]),
+                   d.get("direction", "asc"), d.get("null-order", "nulls-first"))
+
+
+class SortOrder:
+    def __init__(self, fields: List[SortField] = None, order_id: int = 0):
+        self.fields = tuple(fields or [])
+        self.order_id = order_id
+
+    @property
+    def is_unsorted(self) -> bool:
+        return not self.fields
+
+    def spark_columns(self, schema: Schema):
+        """Render as Spark sort Column list for sortWithinPartitions."""
+        from pyspark.sql import functions as F
+        cols = []
+        for f in self.fields:
+            src = schema.find_field(f.source_id)
+            c = f.transform.spark_column(F.col(src.name), src.field_type)
+            if f.direction == "asc":
+                c = c.asc_nulls_first() if f.null_order == "nulls-first" else c.asc_nulls_last()
+            else:
+                c = c.desc_nulls_first() if f.null_order == "nulls-first" else c.desc_nulls_last()
+            cols.append(c)
+        return cols
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"order-id": self.order_id,
+                "fields": [f.to_json_dict() for f in self.fields]}
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "SortOrder":
+        return cls([SortField.from_json_dict(f) for f in d["fields"]],
+                   order_id=d.get("order-id", 0))

@@ -1,0 +1,393 @@
+"""Metadata-based pruning evaluators — the planner's "optimizer rules".
+
+Parity (original code): /root/reference/table/evaluators.go —
+manifestEvalVisitor :58-582, inclusiveProjection :609-657,
+inclusiveMetricsEval :714-1288, strictMetricsEval :1290-1683 — and the
+three-valued rowsMightMatch / rowsCannotMatch / rowsMustMatch logic.
+
+These run driver-side over manifest metadata BEFORE Spark sees a query:
+Catalyst prunes physical dirs and row-groups, but hidden-partition and
+file-level min/max pruning over Iceberg metadata is our job.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, List, Optional
+
+from .. import expressions as E
+from .. import types as T
+from ..meta.manifests import DataFile, FieldSummary, ManifestFile
+from ..meta.partitioning import PartitionSpec
+from ..meta.conversions import from_bytes
+from ..schema import Schema
+
+ROWS_MIGHT_MATCH = True
+ROWS_CANNOT_MATCH = False
+
+
+class _FieldStats:
+    """Per-field stats view: counts + decoded bounds."""
+    __slots__ = ("value_count", "null_count", "nan_count", "lower", "upper")
+
+    def __init__(self, value_count=None, null_count=None, nan_count=None,
+                 lower=None, upper=None):
+        self.value_count = value_count
+        self.null_count = null_count
+        self.nan_count = nan_count
+        self.lower = lower
+        self.upper = upper
+
+
+def _cmp_key(v: Any) -> Any:
+    return v
+
+
+class InclusiveMetricsEvaluator:
+    """Keep a file unless its stats prove no row can match (inclusive)."""
+
+    def __init__(self, schema: Schema, expr: E.Expression,
+                 case_sensitive: bool = True):
+        self.schema = schema
+        self.expr = E.bind(expr, schema, case_sensitive) \
+            if not _is_bound(expr) else expr
+
+    def eval(self, file: DataFile) -> bool:
+        if file.record_count == 0:
+            return ROWS_CANNOT_MATCH
+        return self._visit(self.expr, lambda fid, t: _stats_of(file, fid, t))
+
+    # generic visitor shared with the manifest evaluator -------------------
+    def _visit(self, expr: E.Expression,
+               stats: Callable[[int, T.IcebergType], _FieldStats]) -> bool:
+        if isinstance(expr, E.AlwaysTrue):
+            return ROWS_MIGHT_MATCH
+        if isinstance(expr, E.AlwaysFalse):
+            return ROWS_CANNOT_MATCH
+        if isinstance(expr, E.And):
+            return (self._visit(expr.left, stats)
+                    and self._visit(expr.right, stats))
+        if isinstance(expr, E.Or):
+            return (self._visit(expr.left, stats)
+                    or self._visit(expr.right, stats))
+        if isinstance(expr, E.Not):
+            # NOT should have been eliminated at bind; be conservative
+            return ROWS_MIGHT_MATCH
+        assert isinstance(expr, E.Predicate) and expr.is_bound
+        f = expr.term.field
+        s = stats(f.field_id, f.field_type)
+        op = expr.op
+        if op == E.OP_IS_NULL:
+            if s.null_count == 0:
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+        if op == E.OP_NOT_NULL:
+            if (s.null_count is not None and s.value_count is not None
+                    and s.null_count == s.value_count):
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+        if op == E.OP_IS_NAN:
+            if s.nan_count == 0:
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+        if op == E.OP_NOT_NAN:
+            if (s.nan_count is not None and s.value_count is not None
+                    and s.nan_count + (s.null_count or 0) == s.value_count):
+                return ROWS_CANNOT_MATCH
+            return ROWS_MIGHT_MATCH
+        # literal ops: an all-null or all-NaN column can't satisfy them
+        if (s.null_count is not None and s.value_count is not None
+                and s.null_count == s.value_count):
+            return ROWS_CANNOT_MATCH
+        if s.nan_count is not None and s.nan_count > 0:
+            # NaN breaks bound ordering guarantees — stay inclusive
+            return ROWS_MIGHT_MATCH
+        lo, hi = s.lower, s.upper
+        if isinstance(lo, float) and math.isnan(lo):
+            lo = None  # NaN lower bound is unusable (evaluators.go)
+        v = expr.literals[0] if expr.literals else None
+        if op == E.OP_LT:
+            if lo is not None and lo >= v:
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_LT_EQ:
+            if lo is not None and lo > v:
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_GT:
+            if hi is not None and hi <= v:
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_GT_EQ:
+            if hi is not None and hi < v:
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_EQ:
+            if lo is not None and lo > v:
+                return ROWS_CANNOT_MATCH
+            if hi is not None and hi < v:
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_IN:
+            if lo is not None and all(x < lo for x in expr.literals):
+                return ROWS_CANNOT_MATCH
+            if hi is not None and all(x > hi for x in expr.literals):
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_STARTS_WITH:
+            prefix = str(v)
+            if lo is not None and str(lo)[:len(prefix)] > prefix:
+                return ROWS_CANNOT_MATCH
+            if hi is not None and str(hi)[:len(prefix)] < prefix:
+                return ROWS_CANNOT_MATCH
+        elif op == E.OP_NOT_STARTS_WITH:
+            # all rows start with prefix <=> both bounds do and share it
+            prefix = str(v)
+            if (lo is not None and hi is not None
+                    and str(lo).startswith(prefix)
+                    and str(hi).startswith(prefix)):
+                return ROWS_CANNOT_MATCH
+        # OP_NEQ / OP_NOT_IN: cannot prune with min/max
+        return ROWS_MIGHT_MATCH
+
+
+def _is_bound(expr: E.Expression) -> bool:
+    if isinstance(expr, (E.AlwaysTrue, E.AlwaysFalse)):
+        return True
+    if isinstance(expr, (E.And, E.Or)):
+        return _is_bound(expr.left) and _is_bound(expr.right)
+    if isinstance(expr, E.Not):
+        return _is_bound(expr.child)
+    return isinstance(expr, E.Predicate) and expr.is_bound
+
+
+def _stats_of(file: DataFile, fid: int, t: T.IcebergType) -> _FieldStats:
+    return _FieldStats(
+        value_count=file.value_counts.get(fid),
+        null_count=file.null_value_counts.get(fid),
+        nan_count=file.nan_value_counts.get(fid),
+        lower=from_bytes(t, file.lower_bounds.get(fid)),
+        upper=from_bytes(t, file.upper_bounds.get(fid)))
+
+
+class StrictMetricsEvaluator:
+    """True iff stats prove EVERY row matches (CoW drop-whole-file check;
+    evaluators.go:1290)."""
+
+    def __init__(self, schema: Schema, expr: E.Expression,
+                 case_sensitive: bool = True):
+        self.schema = schema
+        self.expr = E.bind(expr, schema, case_sensitive) \
+            if not _is_bound(expr) else expr
+
+    def eval(self, file: DataFile) -> bool:
+        if file.record_count == 0:
+            return True
+        return self._visit(self.expr, file)
+
+    def _visit(self, expr: E.Expression, file: DataFile) -> bool:
+        if isinstance(expr, E.AlwaysTrue):
+            return True
+        if isinstance(expr, E.AlwaysFalse):
+            return False
+        if isinstance(expr, E.And):
+            return self._visit(expr.left, file) and self._visit(expr.right, file)
+        if isinstance(expr, E.Or):
+            return self._visit(expr.left, file) or self._visit(expr.right, file)
+        if isinstance(expr, E.Not):
+            return False  # conservative
+        assert isinstance(expr, E.Predicate) and expr.is_bound
+        f = expr.term.field
+        s = _stats_of(file, f.field_id, f.field_type)
+        op = expr.op
+        if op == E.OP_IS_NULL:
+            return (s.null_count is not None and s.value_count is not None
+                    and s.null_count == s.value_count)
+        if op == E.OP_NOT_NULL:
+            return s.null_count == 0
+        if op == E.OP_IS_NAN:
+            return (s.nan_count is not None and s.value_count is not None
+                    and s.nan_count == s.value_count)
+        if op == E.OP_NOT_NAN:
+            return s.nan_count == 0
+        # literal predicates: nulls/NaN never match -> must be absent
+        if s.null_count is None or s.null_count != 0:
+            return False
+        if isinstance(f.field_type, (T.FloatType, T.DoubleType)) and \
+                (s.nan_count is None or s.nan_count != 0):
+            return False
+        lo, hi = s.lower, s.upper
+        if lo is None or hi is None:
+            return False
+        v = expr.literals[0] if expr.literals else None
+        if op == E.OP_LT:
+            return hi < v
+        if op == E.OP_LT_EQ:
+            return hi <= v
+        if op == E.OP_GT:
+            return lo > v
+        if op == E.OP_GT_EQ:
+            return lo >= v
+        if op == E.OP_EQ:
+            return lo == hi == v
+        if op == E.OP_NEQ:
+            return hi < v or lo > v
+        if op == E.OP_IN:
+            return lo == hi and lo in expr.literals
+        if op == E.OP_NOT_IN:
+            return all(x < lo or x > hi for x in expr.literals)
+        if op == E.OP_STARTS_WITH:
+            p = str(v)
+            return str(lo).startswith(p) and str(hi).startswith(p)
+        if op == E.OP_NOT_STARTS_WITH:
+            p = str(v)
+            return str(lo)[:len(p)] > p or str(hi)[:len(p)] < p
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Partition-space projection & manifest pruning
+
+
+def inclusive_projection(schema: Schema, spec: PartitionSpec,
+                         expr: E.Expression, case_sensitive: bool = True
+                         ) -> E.Expression:
+    """Rewrite a row filter into a filter over partition columns
+    (evaluators.go:609 inclusiveProjection).  Inclusive: the result may keep
+    extra partitions but never drops a matching one."""
+    bound = E.bind(expr, schema, case_sensitive) if not _is_bound(expr) else expr
+
+    def project(e: E.Expression) -> E.Expression:
+        if isinstance(e, (E.AlwaysTrue, E.AlwaysFalse)):
+            return e
+        if isinstance(e, E.And):
+            return E.and_(project(e.left), project(e.right))
+        if isinstance(e, E.Or):
+            left, right = project(e.left), project(e.right)
+            # an Or is only usable if both sides projected to something
+            return E.or_(left, right)
+        if isinstance(e, E.Not):
+            return E.AlwaysTrue()
+        assert isinstance(e, E.Predicate) and e.is_bound
+        parts = []
+        for pf in spec.fields:
+            if pf.source_id == e.term.field.field_id:
+                p = pf.transform.project(pf.name, e)
+                if p is not None:
+                    parts.append(p)
+        if not parts:
+            return E.AlwaysTrue()  # inclusive fallback
+        return E.and_(*parts)
+
+    return project(bound)
+
+
+class ManifestEvaluator:
+    """Prune whole manifests using partition FieldSummaries
+    (evaluators.go:58 manifestEvalVisitor)."""
+
+    def __init__(self, schema: Schema, spec: PartitionSpec,
+                 row_filter: E.Expression, case_sensitive: bool = True):
+        self.spec = spec
+        self.part_type = spec.partition_type(schema)
+        part_schema = Schema(list(self.part_type.fields))
+        projected = inclusive_projection(schema, spec, row_filter,
+                                         case_sensitive)
+        self.part_filter = E.bind(projected, part_schema, case_sensitive)
+        self._metrics = InclusiveMetricsEvaluator(part_schema, self.part_filter)
+
+    def eval(self, manifest: ManifestFile) -> bool:
+        """True = scan the manifest; False = skip it entirely."""
+        if isinstance(self.part_filter, E.AlwaysTrue):
+            return True
+        if isinstance(self.part_filter, E.AlwaysFalse):
+            return False
+        if not manifest.partitions:
+            return True
+        fields = list(self.part_type.fields)
+        summaries = manifest.partitions
+
+        def stats(fid: int, t: T.IcebergType) -> Optional[_FieldStats]:
+            for i, f in enumerate(fields):
+                if f.field_id == fid and i < len(summaries):
+                    s: FieldSummary = summaries[i]
+                    return _FieldStats(
+                        value_count=None,
+                        null_count=None if not s.contains_null else 1,
+                        nan_count=1 if s.contains_nan else 0,
+                        lower=from_bytes(t, s.lower_bound),
+                        upper=from_bytes(t, s.upper_bound))
+            return None
+
+        def visit(e: E.Expression) -> bool:
+            if isinstance(e, E.AlwaysTrue):
+                return True
+            if isinstance(e, E.AlwaysFalse):
+                return False
+            if isinstance(e, E.And):
+                return visit(e.left) and visit(e.right)
+            if isinstance(e, E.Or):
+                return visit(e.left) or visit(e.right)
+            if isinstance(e, E.Not):
+                return True
+            assert isinstance(e, E.Predicate) and e.is_bound
+            f = e.term.field
+            s = stats(f.field_id, f.field_type)
+            if s is None:
+                return True  # no summary for this field — stay inclusive
+            op = e.op
+            if op == E.OP_IS_NULL:
+                return s.null_count is not None
+            if op == E.OP_NOT_NULL:
+                # summaries track only contains_null; a lower bound proves
+                # non-null values exist; otherwise stay inclusive
+                return True
+            if op == E.OP_IS_NAN:
+                return bool(s.nan_count)
+            if op == E.OP_NOT_NAN:
+                return True
+            lo, hi = s.lower, s.upper
+            v = e.literals[0] if e.literals else None
+            if lo is None and hi is None:
+                # summary exists but has no bounds: every partition value in
+                # this manifest is null — literal predicates cannot match
+                return False
+            if op == E.OP_LT:
+                return not (lo is not None and lo >= v)
+            if op == E.OP_LT_EQ:
+                return not (lo is not None and lo > v)
+            if op == E.OP_GT:
+                return not (hi is not None and hi <= v)
+            if op == E.OP_GT_EQ:
+                return not (hi is not None and hi < v)
+            if op == E.OP_EQ:
+                return not ((lo is not None and lo > v)
+                            or (hi is not None and hi < v))
+            if op == E.OP_IN:
+                if lo is not None and all(x < lo for x in e.literals):
+                    return False
+                if hi is not None and all(x > hi for x in e.literals):
+                    return False
+                return True
+            if op == E.OP_STARTS_WITH:
+                p = str(v)
+                if lo is not None and str(lo)[:len(p)] > p:
+                    return False
+                if hi is not None and str(hi)[:len(p)] < p:
+                    return False
+                return True
+            return True
+
+        return visit(self.part_filter)
+
+
+def partition_expr_evaluator(schema: Schema, spec: PartitionSpec,
+                             row_filter: E.Expression,
+                             case_sensitive: bool = True):
+    """Exact per-file partition-tuple predicate (scanner.go:480).
+
+    Returns fn(partition_dict) -> bool.
+    """
+    part_type = spec.partition_type(schema)
+    part_schema = Schema(list(part_type.fields))
+    projected = inclusive_projection(schema, spec, row_filter, case_sensitive)
+    bound = E.bind(projected, part_schema, case_sensitive)
+
+    def evaluate(partition: Dict[str, Any]) -> bool:
+        return E.evaluate(bound, partition)
+
+    return evaluate

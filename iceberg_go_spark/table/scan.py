@@ -1,0 +1,297 @@
+"""Scan planning (multi-level pruning) + lowering onto a Spark DataFrame.
+
+Parity (behavior only): /root/reference/table/scanner.go — Scan :226, plan
+:809/:877, manifest fetch+prune :640, entry collection :716, delete matching
+:509-638; table/arrow_scanner.go execution (superseded by Spark's vectorized
+parquet reader + anti-joins for deletes).
+
+Plan lifecycle: snapshot -> manifest-list -> ManifestEvaluator (partition
+summaries) -> per-file partition-tuple eval + InclusiveMetricsEvaluator
+(min/max/null/nan) -> FileScanTasks with matched delete files ->
+``spark.read.parquet(files)`` + anti-joins + residual filter.
+
+Scale notes: pruning runs on manifest *metadata* (driver, ~KBs per manifest);
+row data only ever flows executor-side.  Delete application is expressed as
+joins so Spark can pick broadcast vs shuffled strategies and spill — the
+reference's in-memory delete sets OOM at 100 TB, joins don't.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, FrozenSet, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import expressions as E
+from ..meta import manifests as M
+from ..meta.metadata import Snapshot, TableMetadata
+from ..plans.evaluators import (InclusiveMetricsEvaluator, ManifestEvaluator,
+                                partition_expr_evaluator)
+from ..schema import Schema
+
+
+@dataclass
+class FileScanTask:
+    data_file: M.DataFile
+    sequence_number: int
+    pos_deletes: List[M.DataFile] = dc_field(default_factory=list)
+    eq_deletes: List[M.DataFile] = dc_field(default_factory=list)
+    residual: Optional[E.Expression] = None
+
+
+@dataclass
+class ScanReport:
+    """Planning observability (metrics/scan_report.go:33)."""
+    total_manifests: int = 0
+    skipped_manifests: int = 0
+    total_data_files: int = 0
+    skipped_data_files: int = 0
+    total_delete_files: int = 0
+    planning_ms: float = 0.0
+
+
+class Scan:
+    def __init__(self, table, row_filter: E.Expression = None,
+                 selected: Optional[List[str]] = None,
+                 snapshot_id: Optional[int] = None,
+                 ref: Optional[str] = None,
+                 as_of_ms: Optional[int] = None,
+                 limit: Optional[int] = None,
+                 case_sensitive: bool = True,
+                 concurrency: int = 8):
+        self.table = table
+        self.row_filter = row_filter or E.AlwaysTrue()
+        self.selected = selected
+        self.snapshot_id = snapshot_id
+        self.ref = ref
+        self.as_of_ms = as_of_ms
+        self.limit = limit
+        self.case_sensitive = case_sensitive
+        self.concurrency = concurrency
+        self.report = ScanReport()
+
+    # builder-style options (scanner.go:1025-1135)
+    def filter(self, expr: E.Expression) -> "Scan":
+        return self._copy(row_filter=E.and_(self.row_filter, expr))
+
+    def select(self, *names: str) -> "Scan":
+        return self._copy(selected=list(names))
+
+    def use_snapshot(self, snapshot_id: int) -> "Scan":
+        return self._copy(snapshot_id=snapshot_id)
+
+    def use_ref(self, ref: str) -> "Scan":
+        return self._copy(ref=ref)
+
+    def as_of(self, timestamp_ms: int) -> "Scan":
+        return self._copy(as_of_ms=timestamp_ms)
+
+    def with_limit(self, n: int) -> "Scan":
+        return self._copy(limit=n)
+
+    def _copy(self, **kw) -> "Scan":
+        args = dict(row_filter=self.row_filter, selected=self.selected,
+                    snapshot_id=self.snapshot_id, ref=self.ref,
+                    as_of_ms=self.as_of_ms, limit=self.limit,
+                    case_sensitive=self.case_sensitive,
+                    concurrency=self.concurrency)
+        args.update(kw)
+        return Scan(self.table, **args)
+
+    # ------------------------------------------------------------ planning
+    def _resolve_snapshot(self) -> Optional[Snapshot]:
+        md: TableMetadata = self.table.metadata
+        if self.snapshot_id is not None:
+            s = md.snapshot_by_id(self.snapshot_id)
+            if s is None:
+                raise ValueError(f"snapshot {self.snapshot_id} not found")
+            return s
+        if self.ref is not None:
+            s = md.snapshot_for_ref(self.ref)
+            if s is None:
+                raise ValueError(f"ref {self.ref!r} not found")
+            return s
+        if self.as_of_ms is not None:
+            return md.snapshot_as_of(self.as_of_ms)
+        return md.current_snapshot()
+
+    def projection(self) -> Schema:
+        md = self.table.metadata
+        snap = self._resolve_snapshot()
+        schema = md.schema()
+        if snap is not None and snap.schema_id is not None:
+            try:
+                schema = md.schema_by_id(snap.schema_id)
+            except ValueError:
+                pass
+        if self.selected is None:
+            return schema
+        return schema.select(*self.selected,
+                             case_sensitive=self.case_sensitive)
+
+    def plan_files(self) -> List[FileScanTask]:
+        import time as _t
+        t0 = _t.time()
+        md: TableMetadata = self.table.metadata
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return []
+        schema = md.schema()
+        manifests = M.read_manifest_list(snap.manifest_list)
+        self.report.total_manifests = len(manifests)
+
+        # per-spec evaluator caches (multi-spec tables, scanner.go:503)
+        manifest_evals: Dict[int, ManifestEvaluator] = {}
+        part_evals: Dict[int, Any] = {}
+        metrics_eval = InclusiveMetricsEvaluator(schema, self.row_filter,
+                                                 self.case_sensitive)
+
+        def mev(spec_id: int) -> ManifestEvaluator:
+            if spec_id not in manifest_evals:
+                manifest_evals[spec_id] = ManifestEvaluator(
+                    schema, md.spec_by_id(spec_id), self.row_filter,
+                    self.case_sensitive)
+            return manifest_evals[spec_id]
+
+        def pev(spec_id: int):
+            if spec_id not in part_evals:
+                part_evals[spec_id] = partition_expr_evaluator(
+                    schema, md.spec_by_id(spec_id), self.row_filter,
+                    self.case_sensitive)
+            return part_evals[spec_id]
+
+        live = [m for m in manifests if mev(m.partition_spec_id).eval(m)]
+        self.report.skipped_manifests = len(manifests) - len(live)
+
+        data_entries: List[Tuple[M.ManifestEntry, int]] = []
+        delete_entries: List[Tuple[M.ManifestEntry, int]] = []
+
+        def load(mf: M.ManifestFile):
+            entries, _spec, spec_id = M.read_manifest(mf.manifest_path)
+            out_d, out_del = [], []
+            for e in entries:
+                if not e.is_live:
+                    continue
+                if e.sequence_number is None:  # inheritance
+                    e.sequence_number = mf.sequence_number
+                if not pev(spec_id)(e.data_file.partition):
+                    continue
+                if e.data_file.content == M.CONTENT_DATA:
+                    if metrics_eval.eval(e.data_file):
+                        out_d.append((e, spec_id))
+                else:
+                    out_del.append((e, spec_id))
+            return out_d, out_del, len(entries)
+
+        total_files = 0
+        with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
+            for out_d, out_del, n in pool.map(load, live):
+                data_entries.extend(out_d)
+                delete_entries.extend(out_del)
+                total_files += n
+        self.report.total_data_files = total_files
+        self.report.skipped_data_files = total_files - len(data_entries)
+        self.report.total_delete_files = len(delete_entries)
+
+        tasks = []
+        for e, spec_id in data_entries:
+            pos, eq = _match_deletes(e, spec_id, delete_entries, md)
+            tasks.append(FileScanTask(
+                data_file=e.data_file, sequence_number=e.sequence_number,
+                pos_deletes=pos, eq_deletes=eq))
+        self.report.planning_ms = (_t.time() - t0) * 1000
+        return tasks
+
+    # ------------------------------------------------------------ execute
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        md = self.table.metadata
+        schema = md.schema()
+        projection = self.projection()
+        tasks = self.plan_files()
+        spark_schema = schema.to_spark()
+        if not tasks:
+            return spark.createDataFrame([], projection.to_spark())
+
+        need_pos = any(t.pos_deletes for t in tasks)
+        need_eq = any(t.eq_deletes for t in tasks)
+
+        # group tasks by (applicable delete sets) so each group is one clean
+        # scan + anti-join pipeline; usually a single group
+        def key(t: FileScanTask) -> Tuple[FrozenSet[str], FrozenSet[Tuple]]:
+            return (frozenset(d.file_path for d in t.pos_deletes),
+                    frozenset((tuple(d.equality_ids or []), d.file_path)
+                              for d in t.eq_deletes))
+
+        groups: Dict[Tuple, List[FileScanTask]] = {}
+        for t in tasks:
+            groups.setdefault(key(t), []).append(t)
+
+        dfs = []
+        for (pos_set, eq_set), group in groups.items():
+            paths = [t.data_file.file_path for t in group]
+            reader = spark.read.schema(spark_schema)
+            df = reader.parquet(*paths)
+            if pos_set:
+                df = df.withColumns({
+                    "__file": F.col("_metadata.file_path"),
+                    "__pos": F.col("_metadata.row_index")})
+                deletes = spark.read.parquet(*sorted(pos_set)) \
+                    .select(F.col("file_path").alias("__dfile"),
+                            F.col("pos").alias("__dpos")).distinct()
+                # normalize URI scheme differences (file:// vs plain path)
+                df = df.withColumn(
+                    "__file", F.regexp_replace("__file", "^file:", ""))
+                df = df.join(
+                    F.broadcast(deletes),
+                    (df["__file"] == deletes["__dfile"]) &
+                    (df["__pos"] == deletes["__dpos"]),
+                    "left_anti").drop("__file", "__pos")
+            for eq_ids, dpath in sorted(eq_set):
+                cols = [schema.find_column_name(fid) for fid in eq_ids]
+                ddf = spark.read.parquet(dpath).select(*cols).distinct()
+                df = df.join(F.broadcast(ddf), on=list(cols), how="left_anti")
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+
+        bound = E.bind(self.row_filter, schema, self.case_sensitive)
+        if not isinstance(bound, E.AlwaysTrue):
+            out = out.filter(E.to_spark_column(bound))
+        if self.selected is not None:
+            out = out.select(*[f.name for f in projection.fields])
+        if self.limit is not None:
+            out = out.limit(self.limit)
+        return out
+
+    def to_pandas(self, spark: SparkSession):
+        return self.to_df(spark).toPandas()
+
+
+def _match_deletes(entry: M.ManifestEntry, spec_id: int,
+                   delete_entries: List[Tuple[M.ManifestEntry, int]],
+                   md: TableMetadata) -> Tuple[List[M.DataFile], List[M.DataFile]]:
+    """Sequence-number + partition gating (scanner.go:509-598):
+    pos deletes apply when del_seq >= data_seq; eq deletes when
+    del_seq > data_seq; partition must match for partition-scoped deletes."""
+    pos, eq = [], []
+    data_seq = entry.sequence_number or 0
+    for de, dspec_id in delete_entries:
+        dseq = de.sequence_number or 0
+        df = de.data_file
+        if df.content == M.CONTENT_POS_DELETES:
+            if dseq < data_seq:
+                continue
+        elif df.content == M.CONTENT_EQ_DELETES:
+            if dseq <= data_seq:
+                continue
+        else:
+            continue
+        if dspec_id == spec_id and df.partition and \
+                df.partition != entry.data_file.partition:
+            continue  # partition-scoped delete for a different partition
+        (pos if df.content == M.CONTENT_POS_DELETES else eq).append(df)
+    return pos, eq

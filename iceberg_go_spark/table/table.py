@@ -1,0 +1,130 @@
+"""Table: the user-facing handle (load via catalog, scan, mutate, inspect).
+
+Parity: /root/reference/table/table.go:101 (Table), :1137 (Scan builder),
+:157 (NewTransaction), refs/branch surface table/refs.go.  Original code.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import expressions as E
+from ..meta.metadata import MAIN_BRANCH, Snapshot, SnapshotRef, TableMetadata
+from ..schema import Schema
+from .scan import Scan
+from .transaction import Transaction
+
+
+class Table:
+    def __init__(self, identifier, metadata: TableMetadata,
+                 metadata_location: str, catalog):
+        self.identifier = tuple(identifier)
+        self.metadata = metadata
+        self.metadata_location = metadata_location
+        self.catalog = catalog
+
+    # -- inspection ---------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return ".".join(self.identifier)
+
+    def schema(self) -> Schema:
+        return self.metadata.schema()
+
+    def spec(self):
+        return self.metadata.spec()
+
+    def properties(self) -> Dict[str, str]:
+        return self.metadata.properties
+
+    def location(self) -> str:
+        return self.metadata.location
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        return self.metadata.current_snapshot()
+
+    def snapshots(self) -> List[Snapshot]:
+        return list(self.metadata.snapshots)
+
+    def history(self) -> List[Dict[str, int]]:
+        return list(self.metadata.snapshot_log)
+
+    def refs(self) -> Dict[str, SnapshotRef]:
+        return dict(self.metadata.refs)
+
+    def refresh(self) -> "Table":
+        fresh = self.catalog.load_table(self.identifier)
+        self.metadata = fresh.metadata
+        self.metadata_location = fresh.metadata_location
+        return self
+
+    # -- scan ---------------------------------------------------------------
+    def scan(self, row_filter: E.Expression = None,
+             selected: Optional[List[str]] = None, **kw) -> Scan:
+        return Scan(self, row_filter=row_filter, selected=selected, **kw)
+
+    def to_df(self, spark: SparkSession, row_filter: E.Expression = None,
+              selected: Optional[List[str]] = None) -> DataFrame:
+        return self.scan(row_filter, selected).to_df(spark)
+
+    # -- write --------------------------------------------------------------
+    def new_transaction(self) -> Transaction:
+        return Transaction(self)
+
+    def append(self, df: DataFrame,
+               properties: Optional[Dict[str, str]] = None) -> "Table":
+        return self.new_transaction().append(df, properties).commit()
+
+    def delete_where(self, spark: SparkSession, expr: E.Expression,
+                     mode: str = "copy-on-write") -> "Table":
+        from .dml import delete_where
+        return delete_where(self, spark, expr, mode)
+
+    def overwrite_where(self, spark: SparkSession, expr: E.Expression,
+                        df: DataFrame) -> "Table":
+        from .dml import overwrite_where
+        return overwrite_where(self, spark, expr, df)
+
+    def upsert(self, spark: SparkSession, df: DataFrame,
+               key_columns: List[str]) -> "Table":
+        from .dml import upsert
+        return upsert(self, spark, df, key_columns)
+
+    # -- branches / tags ----------------------------------------------------
+    def create_branch(self, name: str,
+                      snapshot_id: Optional[int] = None) -> "Table":
+        return self._set_ref(name, "branch", snapshot_id)
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None
+                   ) -> "Table":
+        return self._set_ref(name, "tag", snapshot_id)
+
+    def _set_ref(self, name: str, ref_type: str,
+                 snapshot_id: Optional[int]) -> "Table":
+        import copy
+        sid = snapshot_id if snapshot_id is not None \
+            else self.metadata.current_snapshot_id
+        if sid is None:
+            raise ValueError("table has no snapshots")
+        new = copy.deepcopy(self.metadata)
+        new.refs[name] = SnapshotRef(sid, ref_type)
+        new.last_updated_ms = int(time.time() * 1000)
+        path = self.catalog.commit_table(self.identifier,
+                                         self.metadata_location, new)
+        self.metadata, self.metadata_location = new, path
+        return self
+
+    def remove_ref(self, name: str) -> "Table":
+        import copy
+        new = copy.deepcopy(self.metadata)
+        new.refs.pop(name, None)
+        path = self.catalog.commit_table(self.identifier,
+                                         self.metadata_location, new)
+        self.metadata, self.metadata_location = new, path
+        return self
+
+    def __repr__(self) -> str:
+        return f"Table({self.name})"

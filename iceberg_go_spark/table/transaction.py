@@ -1,0 +1,245 @@
+"""Transactions: buffered metadata updates + snapshot production + OCC commit.
+
+Parity (behavior only): /root/reference/table/transaction.go (:78-300 buffered
+updates, :568 Append, :1447 overwrite, :1513 CoW delete, :1560 MoR delete),
+table/snapshot_producers.go (fast/merge append :92-568), table/table.go:520
+(doCommit + retry :871).  Original Spark-first implementation: data movement
+is Spark jobs; snapshot/manifest production is driver-side Python.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+
+from .. import expressions as E
+from ..meta import manifests as M
+from ..meta.metadata import (OP_APPEND, OP_DELETE, OP_OVERWRITE, Snapshot,
+                             SnapshotRef, TableMetadata, MAIN_BRANCH)
+from ..schema import Schema
+from .write import write_dataframe
+
+# commit retry policy (table/properties.go:111-136)
+COMMIT_NUM_RETRIES = 4
+COMMIT_MIN_WAIT_MS = 100
+COMMIT_MAX_WAIT_MS = 60_000
+
+
+def _new_snapshot_id(metadata: TableMetadata) -> int:
+    existing = {s.snapshot_id for s in metadata.snapshots}
+    while True:
+        sid = uuid.uuid4().int & ((1 << 62) - 1)
+        if sid not in existing:
+            return sid
+
+
+class Transaction:
+    def __init__(self, table):
+        self.table = table
+        self.metadata = table.metadata  # base; snapshots appended on staged
+        self._staged: List[Snapshot] = []
+        self._new_manifest_lists: Dict[int, List[M.ManifestFile]] = {}
+        self._committed = False
+
+    # ------------------------------------------------------------------ io
+    def _metadata_dir(self) -> str:
+        return os.path.join(self.metadata.location, "metadata")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.metadata.location, "data")
+
+    def _current_manifests(self) -> List[M.ManifestFile]:
+        if self._staged:
+            return self._new_manifest_lists[self._staged[-1].snapshot_id]
+        snap = self.metadata.current_snapshot()
+        if snap is None:
+            return []
+        return M.read_manifest_list(snap.manifest_list)
+
+    # --------------------------------------------------------- snapshot ops
+    def _produce_snapshot(self, operation: str,
+                          added: List[M.DataFile],
+                          manifests_to_keep: Optional[List[M.ManifestFile]] = None,
+                          extra_summary: Optional[Dict[str, str]] = None,
+                          delete_content: bool = False) -> Snapshot:
+        """Write new manifest(s) + manifest list; stage the snapshot."""
+        md = self.metadata
+        seq = md.last_sequence_number + len(self._staged) + 1
+        snapshot_id = _new_snapshot_id(md)
+        parent = (self._staged[-1].snapshot_id if self._staged
+                  else md.current_snapshot_id)
+        schema = md.schema()
+        spec = md.spec()
+
+        keep = (manifests_to_keep if manifests_to_keep is not None
+                else self._current_manifests())
+        new_manifests: List[M.ManifestFile] = []
+        if added:
+            # sequence numbers are left null and INHERITED from the manifest
+            # list entry at read time — this keeps manifests immutable across
+            # OCC rebase (snapshot_producers.go sequence inheritance)
+            entries = [M.ManifestEntry(
+                status=M.STATUS_ADDED, snapshot_id=snapshot_id,
+                sequence_number=None, file_sequence_number=None, data_file=df)
+                for df in added]
+            content = (M.MANIFEST_DELETES if delete_content
+                       else M.MANIFEST_DATA)
+            mpath = os.path.join(self._metadata_dir(),
+                                 f"{uuid.uuid4().hex}-m0.avro")
+            mf = M.write_manifest(mpath, entries, schema, spec, content)
+            mf.sequence_number = seq
+            mf.min_sequence_number = seq
+            mf.added_snapshot_id = snapshot_id
+            new_manifests.append(mf)
+
+        all_manifests = new_manifests + list(keep)
+        list_path = os.path.join(
+            self._metadata_dir(), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
+        M.write_manifest_list(list_path, all_manifests)
+
+        summary = self._summary(operation, added, keep, delete_content)
+        summary.update(extra_summary or {})
+        snap = Snapshot(
+            snapshot_id=snapshot_id, sequence_number=seq,
+            timestamp_ms=int(time.time() * 1000), manifest_list=list_path,
+            summary=summary, schema_id=schema.schema_id,
+            parent_snapshot_id=parent)
+        self._staged.append(snap)
+        self._new_manifest_lists[snapshot_id] = all_manifests
+        return snap
+
+    def _summary(self, operation: str, added: List[M.DataFile],
+                 keep: List[M.ManifestFile], delete_content: bool
+                 ) -> Dict[str, str]:
+        added_data = [f for f in added if f.content == M.CONTENT_DATA]
+        added_del = [f for f in added if f.content != M.CONTENT_DATA]
+        total_records = sum(m.live_rows_count for m in keep) + \
+            sum(f.record_count for f in added_data)
+        total_files = sum(m.added_files_count + m.existing_files_count
+                          for m in keep if m.content == M.MANIFEST_DATA) + \
+            len(added_data)
+        s = {
+            "operation": operation,
+            "added-data-files": str(len(added_data)),
+            "added-records": str(sum(f.record_count for f in added_data)),
+            "added-files-size": str(sum(f.file_size_in_bytes for f in added)),
+            "total-records": str(total_records),
+            "total-data-files": str(total_files),
+        }
+        if added_del:
+            s["added-delete-files"] = str(len(added_del))
+            s["added-position-deletes"] = str(sum(
+                f.record_count for f in added_del
+                if f.content == M.CONTENT_POS_DELETES))
+            s["added-equality-deletes"] = str(sum(
+                f.record_count for f in added_del
+                if f.content == M.CONTENT_EQ_DELETES))
+        return s
+
+    # ------------------------------------------------------------- user ops
+    def append(self, df: DataFrame, properties: Optional[Dict[str, str]] = None
+               ) -> "Transaction":
+        """Fast append (snapshot_producers.go:92): new manifest per append."""
+        md = self.metadata
+        props = {**md.properties, **(properties or {})}
+        files = write_dataframe(df, md.schema(), md.spec(), self._data_dir(),
+                                props, sort_order=md.sort_order())
+        if files:
+            self._produce_snapshot(OP_APPEND, files)
+        return self
+
+    def append_files(self, files: List[M.DataFile], operation: str = OP_APPEND,
+                     manifests_to_keep: Optional[List[M.ManifestFile]] = None,
+                     extra_summary: Optional[Dict[str, str]] = None,
+                     delete_content: bool = False) -> "Transaction":
+        """Register already-written data files (add_files / internal DML)."""
+        self._produce_snapshot(operation, files, manifests_to_keep,
+                               extra_summary, delete_content)
+        return self
+
+    # ------------------------------------------------------------- commit
+    def _build_metadata(self) -> TableMetadata:
+        md = self.metadata
+        import copy
+        new = copy.deepcopy(md)
+        for snap in self._staged:
+            new.snapshots.append(snap)
+            new.snapshot_log.append({"snapshot-id": snap.snapshot_id,
+                                     "timestamp-ms": snap.timestamp_ms})
+            new.current_snapshot_id = snap.snapshot_id
+            new.last_sequence_number = max(new.last_sequence_number,
+                                           snap.sequence_number)
+            new.last_updated_ms = snap.timestamp_ms
+            new.refs[MAIN_BRANCH] = SnapshotRef(snap.snapshot_id, "branch")
+        return new
+
+    def commit(self):
+        """OCC commit with refresh + retry (table/table.go:520-979)."""
+        if self._committed:
+            raise RuntimeError("transaction already committed")
+        if not self._staged:
+            return self.table
+        from ..catalog.filesystem import CommitConflictError
+        attempt = 0
+        while True:
+            new_md = self._build_metadata()
+            try:
+                path = self.table.catalog.commit_table(
+                    self.table.identifier, self.table.metadata_location, new_md)
+                self._committed = True
+                self.table.metadata = new_md
+                self.table.metadata_location = path
+                return self.table
+            except CommitConflictError:
+                attempt += 1
+                if attempt > COMMIT_NUM_RETRIES:
+                    raise
+                wait = min(COMMIT_MIN_WAIT_MS * (2 ** (attempt - 1)),
+                           COMMIT_MAX_WAIT_MS) / 1000.0
+                time.sleep(wait * (0.5 + random.random() / 2))
+                # refresh: re-parent staged snapshots onto latest metadata
+                fresh = self.table.catalog.load_table(self.table.identifier)
+                self._rebase(fresh)
+
+    def _rebase(self, fresh_table) -> None:
+        """Re-parent staged append snapshots onto refreshed metadata
+        (table/table.go:820 rebuildSnapshotUpdates). Manifests are immutable;
+        only manifest lists + parent ids need rewriting."""
+        fresh_md = fresh_table.metadata
+        base_manifests = []
+        fs = fresh_md.current_snapshot()
+        if fs is not None:
+            base_manifests = M.read_manifest_list(fs.manifest_list)
+        parent = fresh_md.current_snapshot_id
+        seq = fresh_md.last_sequence_number
+        restaged = []
+        lists = {}
+        for snap in self._staged:
+            seq += 1
+            own = [m for m in self._new_manifest_lists[snap.snapshot_id]
+                   if m.added_snapshot_id == snap.snapshot_id]
+            for m in own:
+                m.sequence_number = seq
+                m.min_sequence_number = seq
+            all_manifests = own + base_manifests
+            list_path = os.path.join(
+                self._metadata_dir(),
+                f"snap-{snap.snapshot_id}-{uuid.uuid4().hex}.avro")
+            M.write_manifest_list(list_path, all_manifests)
+            snap.parent_snapshot_id = parent
+            snap.sequence_number = seq
+            snap.manifest_list = list_path
+            parent = snap.snapshot_id
+            base_manifests = all_manifests
+            restaged.append(snap)
+            lists[snap.snapshot_id] = all_manifests
+        self._staged = restaged
+        self._new_manifest_lists = lists
+        self.table.metadata = fresh_md
+        self.table.metadata_location = fresh_table.metadata_location
+        self.metadata = fresh_md

@@ -1,0 +1,291 @@
+"""Spark-native partitioned fan-out write + per-file stats harvest.
+
+Parity (behavior only): /root/reference/table/partitioned_fanout_writer.go
+:109-485 (routing rows to per-partition rolling files),
+table/rolling_data_writer.go:320-500 (target file size, write-side sort),
+table/internal/utils.go:187-425 (StatsAgg + truncate(16) metrics modes),
+table/internal/parquet_files.go:168 (footer stats harvest).
+
+Spark-first design: the fanout trie + worker pool of the reference collapses
+into ``df.repartition(partition_cols).sortWithinPartitions(...).write
+.partitionBy(partition_cols)`` — shuffle, fanout, rolling and parquet
+encoding are Spark's native, already-vectorized paths.  Stats are harvested
+from parquet footers on *executors* (sc.parallelize over files), so the
+driver never becomes the bottleneck at 100 TB file counts.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import urllib.parse
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import types as T
+from ..schema import Schema
+from ..meta.conversions import to_bytes
+from ..meta.manifests import CONTENT_DATA, DataFile
+from ..meta.partitioning import PartitionSpec, SortOrder
+
+PART_COL_PREFIX = "__part__"
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
+DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
+PROP_METRICS_TRUNCATE = "write.metadata.metrics.truncate-length"
+DEFAULT_METRICS_TRUNCATE = 16
+
+
+def truncate_lower_text(s: str, width: int) -> str:
+    return s[:width]
+
+
+def truncate_upper_text(s: str, width: int) -> Optional[str]:
+    """First ``width`` codepoints with the last one incremented, so the
+    result is still an upper bound (utils.go truncate semantics)."""
+    if len(s) <= width:
+        return s
+    t = s[:width]
+    chars = list(t)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            chars[i] = chr(cp + 1)
+            return "".join(chars[:i + 1])
+    return None  # cannot produce a valid upper bound
+
+
+def truncate_upper_binary(b: bytes, width: int) -> Optional[bytes]:
+    if len(b) <= width:
+        return b
+    t = bytearray(b[:width])
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return bytes(t[:i + 1])
+    return None
+
+
+def partition_columns(df: DataFrame, schema: Schema, spec: PartitionSpec
+                      ) -> Tuple[DataFrame, List[str]]:
+    """Attach derived partition-value columns (hidden partitioning).
+
+    Uses a ``__part__`` prefix so identity-partition source columns stay in
+    the data files (partitionBy strips the partition columns themselves)."""
+    pcols = []
+    for pf in spec.fields:
+        src = schema.find_field(pf.source_id)
+        col_name = schema.find_column_name(pf.source_id)
+        expr = pf.transform.spark_column(F.col(col_name), src.field_type)
+        cname = PART_COL_PREFIX + pf.name
+        df = df.withColumn(cname, expr)
+        pcols.append(cname)
+    return df, pcols
+
+
+def _parse_partition_value(t: T.IcebergType, raw: str) -> Any:
+    if raw == HIVE_NULL:
+        return None
+    v = urllib.parse.unquote(raw)
+    if isinstance(t, (T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(t, T.BooleanType):
+        return v.lower() == "true"
+    if isinstance(t, T.DateType):
+        return date.fromisoformat(v)
+    if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        return datetime.fromisoformat(v.replace(" ", "T"))
+    if isinstance(t, T.DecimalType):
+        return Decimal(v)
+    if isinstance(t, (T.StringType, T.UUIDType)):
+        return v
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        return v.encode("latin1")
+    raise TypeError(f"cannot parse partition value of type {t}")
+
+
+def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
+                 truncate_len: int) -> Dict[str, Any]:
+    """Executor-side: read one parquet footer -> stats dict.
+
+    ``name_to_field`` maps top-level column name -> (field_id, type_str).
+    """
+    import pyarrow.parquet as pq
+    from ..schema import Schema as _S  # noqa: F401  (import side effects none)
+    from .. import types as _T
+    from ..meta.conversions import to_bytes as _to_bytes
+    from ..types import type_from_str as _tfs
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    out: Dict[str, Any] = {
+        "path": path,
+        "record_count": md.num_rows,
+        "file_size": os.path.getsize(path),
+        "column_sizes": {}, "value_counts": {}, "null_counts": {},
+        "lower": {}, "upper": {}, "split_offsets": [],
+    }
+    mins: Dict[int, Any] = {}
+    maxs: Dict[int, Any] = {}
+    types: Dict[int, Any] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        first_col = rg.column(0)
+        out["split_offsets"].append(first_col.file_offset)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            info = name_to_field.get(col.path_in_schema) or name_to_field.get(name)
+            if info is None:
+                continue
+            fid, tstr = info
+            is_leaf_simple = "." not in col.path_in_schema
+            out["column_sizes"][fid] = out["column_sizes"].get(fid, 0) + \
+                col.total_compressed_size
+            if not is_leaf_simple:
+                continue
+            t = types.get(fid)
+            if t is None:
+                t = types[fid] = _tfs(tstr)
+            # parquet ColumnMetaData.num_values counts all values incl. nulls
+            out["value_counts"][fid] = out["value_counts"].get(fid, 0) + \
+                col.num_values
+            if col.is_stats_set:
+                st = col.statistics
+                if st.null_count is not None:
+                    out["null_counts"][fid] = out["null_counts"].get(fid, 0) + \
+                        st.null_count
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if fid not in mins or _lt(mn, mins[fid]):
+                        mins[fid] = mn
+                    if fid not in maxs or _lt(maxs[fid], mx):
+                        maxs[fid] = mx
+    for fid, mn in mins.items():
+        t = types[fid]
+        mn2 = _truncate_lower(mn, truncate_len)
+        try:
+            out["lower"][fid] = _to_bytes(t, mn2)
+        except (TypeError, ValueError):
+            pass
+    for fid, mx in maxs.items():
+        t = types[fid]
+        mx2 = _truncate_upper(mx, truncate_len)
+        if mx2 is None:
+            continue
+        try:
+            out["upper"][fid] = _to_bytes(t, mx2)
+        except (TypeError, ValueError):
+            pass
+    return out
+
+
+def _lt(a: Any, b: Any) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _truncate_lower(v: Any, width: int) -> Any:
+    if isinstance(v, str):
+        return truncate_lower_text(v, width)
+    if isinstance(v, bytes):
+        return v[:width]
+    return v
+
+
+def _truncate_upper(v: Any, width: int) -> Any:
+    if isinstance(v, str):
+        return truncate_upper_text(v, width)
+    if isinstance(v, bytes):
+        return truncate_upper_binary(v, width)
+    return v
+
+
+def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
+                    data_dir: str, properties: Dict[str, str],
+                    sort_order: Optional[SortOrder] = None,
+                    batch_id: Optional[str] = None) -> List[DataFile]:
+    """Write ``df`` as partitioned parquet data files; return DataFiles with
+    footer-harvested stats.  Files are written once, in their final location
+    (manifests record absolute paths; no rename pass needed)."""
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    out_dir = os.path.join(data_dir, batch_id or _uuid.uuid4().hex[:16])
+
+    writer_df, pcols = partition_columns(df, schema, spec)
+    if sort_order and not sort_order.is_unsorted:
+        if pcols:
+            writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
+        writer_df = writer_df.sortWithinPartitions(
+            *sort_order.spark_columns(schema))
+
+    target_size = int(properties.get(PROP_TARGET_FILE_SIZE,
+                                     DEFAULT_TARGET_FILE_SIZE))
+    # rows-per-file cap approximating the byte target (AQE handles the rest)
+    sample_width = max(1, len(schema.fields) * 16)
+    max_records = max(10_000, target_size // sample_width)
+
+    writer = writer_df.write.mode("append") \
+        .option("maxRecordsPerFile", str(max_records)) \
+        .option("compression", properties.get("write.parquet.compression-codec",
+                                              "zstd"))
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(out_dir)
+
+    # discover written files + their partition tuples
+    files: List[Tuple[str, Dict[str, Any]]] = []
+    ptype = spec.partition_type(schema)
+    ptype_by_name = {f.name: f.field_type for f in ptype.fields}
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            rel = os.path.relpath(root, out_dir)
+            part: Dict[str, Any] = {}
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    k, _, raw = comp.partition("=")
+                    pname = k[len(PART_COL_PREFIX):] if k.startswith(
+                        PART_COL_PREFIX) else k
+                    part[pname] = _parse_partition_value(
+                        ptype_by_name[pname], raw)
+            files.append((full, part))
+
+    if not files:
+        return []
+
+    truncate_len = int(properties.get(PROP_METRICS_TRUNCATE,
+                                      DEFAULT_METRICS_TRUNCATE))
+    name_to_field = {
+        f.name: (f.field_id, str(f.field_type))
+        for f in schema.fields if f.field_type.is_primitive}
+    paths = [p for p, _ in files]
+    # harvest footers on executors: O(files) work never lands on the driver
+    stats_list = spark.sparkContext.parallelize(paths, max(1, min(len(paths), 64))) \
+        .map(lambda p: _harvest_one(p, name_to_field, truncate_len)).collect()
+    stats_by_path = {s["path"]: s for s in stats_list}
+
+    out: List[DataFile] = []
+    for path, part in files:
+        s = stats_by_path[path]
+        out.append(DataFile(
+            content=CONTENT_DATA, file_path=path, file_format="PARQUET",
+            partition=part, record_count=s["record_count"],
+            file_size_in_bytes=s["file_size"],
+            column_sizes=s["column_sizes"], value_counts=s["value_counts"],
+            null_value_counts=s["null_counts"],
+            lower_bounds=s["lower"], upper_bounds=s["upper"],
+            split_offsets=sorted(s["split_offsets"]) or None,
+            sort_order_id=(sort_order.order_id if sort_order else None)))
+    return out

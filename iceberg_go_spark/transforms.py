@@ -27,6 +27,7 @@ from decimal import Decimal
 from typing import Any, Optional
 
 import numpy as np
+import pandas as pd
 
 from . import types as T
 from . import expressions as E
@@ -304,7 +305,6 @@ class BucketTransform(Transform):
 
     def spark_column(self, col, source_type: T.IcebergType):
         from pyspark.sql import functions as F
-        import pandas as pd
         n = self.num_buckets
         if isinstance(source_type, (T.IntegerType, T.LongType)):
             @F.pandas_udf("int")
@@ -319,8 +319,6 @@ class BucketTransform(Transform):
             return _bucket_long(col.cast("long"))
         if isinstance(source_type, (T.DateType,)):
             # date -> days since epoch -> long encoding
-            from pyspark.sql import functions as F
-
             @F.pandas_udf("int")
             def _bucket_date(s: pd.Series) -> pd.Series:
                 mask = s.notna()

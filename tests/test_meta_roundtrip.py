@@ -1,0 +1,120 @@
+"""Avro codec + manifest + metadata round-trips (no Spark needed)."""
+
+import json
+import os
+
+from iceberg_go_spark import types as T
+from iceberg_go_spark.meta import avro
+from iceberg_go_spark.meta import manifests as M
+from iceberg_go_spark.meta.conversions import from_bytes, to_bytes
+from iceberg_go_spark.meta.metadata import (Snapshot, TableMetadata,
+                                            new_table_metadata)
+from iceberg_go_spark.meta.partitioning import (PartitionSpec, spec_from_names)
+from iceberg_go_spark.schema import Schema
+
+
+SCHEMA = Schema([
+    T.NestedField(1, "id", T.LongType(), required=True),
+    T.NestedField(2, "data", T.StringType()),
+    T.NestedField(3, "ts", T.TimestamptzType()),
+])
+
+
+def test_avro_roundtrip(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "int"}},
+        {"name": "d", "type": ["null", {"type": "map", "values": "long"}]},
+        {"name": "e", "type": "bytes"},
+        {"name": "f", "type": "double"},
+        {"name": "g", "type": "boolean"},
+    ]}
+    recs = [
+        {"a": -(2**40), "b": None, "c": [1, 2, 3], "d": {"x": 1},
+         "e": b"\x00\xff", "f": 1.5, "g": True},
+        {"a": 7, "b": "héllo", "c": [], "d": None, "e": b"", "f": -0.0,
+         "g": False},
+    ]
+    p = str(tmp_path / "t.avro")
+    avro.write_container(p, schema, recs)
+    s2, recs2, meta = avro.read_container(p)
+    assert recs2 == recs
+    avro.write_container(p, schema, recs, codec="null")
+    _, recs3, _ = avro.read_container(p)
+    assert recs3 == recs
+
+
+def test_conversions_roundtrip():
+    from datetime import date, datetime
+    from decimal import Decimal
+    cases = [
+        (T.IntegerType(), 42), (T.LongType(), -(2**40)),
+        (T.FloatType(), 1.5), (T.DoubleType(), -2.25),
+        (T.DateType(), date(2020, 5, 17)),
+        (T.TimestampType(), datetime(2020, 5, 17, 12, 30, 45, 123456)),
+        (T.StringType(), "héllo"), (T.BinaryType(), b"\x00\x01"),
+        (T.BooleanType(), True),
+        (T.DecimalType(10, 2), Decimal("-123.45")),
+    ]
+    for t, v in cases:
+        assert from_bytes(t, to_bytes(t, v)) == v
+
+
+def test_manifest_roundtrip(tmp_path):
+    spec = spec_from_names(SCHEMA, ("ts", "month"))
+    df = M.DataFile(
+        content=M.CONTENT_DATA, file_path="/data/f1.parquet",
+        file_format="PARQUET", partition={"ts_month": 605},
+        record_count=100, file_size_in_bytes=2048,
+        value_counts={1: 100, 2: 100}, null_value_counts={1: 0, 2: 5},
+        lower_bounds={1: to_bytes(T.LongType(), 1)},
+        upper_bounds={1: to_bytes(T.LongType(), 99)},
+        split_offsets=[4], sort_order_id=0)
+    entry = M.ManifestEntry(M.STATUS_ADDED, 123, None, None, df)
+    p = str(tmp_path / "m1.avro")
+    mf = M.write_manifest(p, [entry], SCHEMA, spec)
+    assert mf.added_files_count == 1
+    assert mf.added_rows_count == 100
+    assert len(mf.partitions) == 1
+    assert from_bytes(T.IntegerType(), mf.partitions[0].lower_bound) == 605
+
+    entries, spec2, spec_id = M.read_manifest(p)
+    assert spec_id == spec.spec_id
+    assert len(entries) == 1
+    e = entries[0]
+    assert e.status == M.STATUS_ADDED
+    assert e.data_file.file_path == "/data/f1.parquet"
+    assert e.data_file.partition == {"ts_month": 605}
+    assert e.data_file.value_counts == {1: 100, 2: 100}
+    assert e.data_file.lower_bound(1, T.LongType()) == 1
+    assert e.data_file.upper_bound(1, T.LongType()) == 99
+
+    lp = str(tmp_path / "list.avro")
+    mf.sequence_number = 5
+    M.write_manifest_list(lp, [mf])
+    back = M.read_manifest_list(lp)
+    assert len(back) == 1
+    assert back[0].manifest_path == p
+    assert back[0].sequence_number == 5
+    assert back[0].added_rows_count == 100
+
+
+def test_metadata_json_roundtrip(tmp_path):
+    md = new_table_metadata(SCHEMA, spec_from_names(SCHEMA, ("id", "bucket[8]")),
+                            location=str(tmp_path), properties={"k": "v"})
+    md.snapshots.append(Snapshot(
+        snapshot_id=1, sequence_number=1, timestamp_ms=1000,
+        manifest_list="/x/list.avro", summary={"operation": "append"},
+        schema_id=0))
+    md.current_snapshot_id = 1
+    p = str(tmp_path / "v1.metadata.json")
+    md.write(p)
+    back = TableMetadata.read(p)
+    assert back.schema() == SCHEMA
+    assert back.spec().fields[0].transform.num_buckets == 8
+    assert back.current_snapshot().manifest_list == "/x/list.avro"
+    assert back.properties == {"k": "v"}
+    # json must be valid UTF-8 text
+    with open(p) as f:
+        json.load(f)
