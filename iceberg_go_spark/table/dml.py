@@ -1,0 +1,198 @@
+"""DML: copy-on-write / merge-on-read deletes, filtered overwrite, upsert.
+
+Parity (behavior only): /root/reference/table/transaction.go — CoW delete
+:1513 (classify via strict/inclusive evaluators :1711/:1767, rewrite one
+file :1967), MoR delete :1560 (pos-delete fanout writer), overwrite :1447,
+row delta table/row_delta.go:65-281.
+
+Spark-first lowering:
+- CoW rewrite = ``spark.read.parquet(partial_files).filter(~pred)`` written
+  back through the normal fanout writer (vectorized, distributed);
+- MoR delete = ``_metadata.file_path/row_index`` projection of matching rows
+  into a pos-delete parquet file; scans anti-join it out;
+- upsert = one snapshot carrying an equality-delete file (keys) + new data
+  files — readers drop old rows via a broadcast anti-join, sequence-number
+  gated so the new rows survive.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import expressions as E
+from ..meta import manifests as M
+from ..meta.conversions import to_bytes
+from ..meta.metadata import OP_DELETE, OP_OVERWRITE
+from ..plans.evaluators import (InclusiveMetricsEvaluator,
+                                StrictMetricsEvaluator)
+from .write import write_dataframe
+
+
+def _classify(table, expr: E.Expression):
+    """Split live data files into fully-matching / partially-matching /
+    untouched using strict + inclusive metrics evaluators."""
+    schema = table.metadata.schema()
+    strict = StrictMetricsEvaluator(schema, expr)
+    inclusive = InclusiveMetricsEvaluator(schema, expr)
+    tasks = table.scan(expr).plan_files()  # already partition/metrics pruned
+    full, partial = [], []
+    for t in tasks:
+        if strict.eval(t.data_file):
+            full.append(t)
+        elif inclusive.eval(t.data_file):
+            partial.append(t)
+    return full, partial
+
+
+def delete_where(table, spark: SparkSession, expr: E.Expression,
+                 mode: str = "copy-on-write"):
+    """Delete all rows matching ``expr``."""
+    md = table.metadata
+    schema = md.schema()
+    full, partial = _classify(table, expr)
+    if not full and not partial:
+        return table
+
+    txn = table.new_transaction()
+    bound_col = E.to_spark_column(E.bind(expr, schema))
+
+    if mode == "copy-on-write":
+        rewritten: List[M.DataFile] = []
+        if partial:
+            src = spark.read.schema(schema.to_spark()).parquet(
+                *[t.data_file.file_path for t in partial])
+            keep_df = src.filter(~bound_col | bound_col.isNull())
+            rewritten = write_dataframe(
+                keep_df, schema, md.spec(),
+                os.path.join(md.location, "data"), md.properties,
+                sort_order=md.sort_order())
+        dropped = [t.data_file.file_path for t in full + partial]
+        keep_manifests = txn._rewrite_manifests_without(dropped)
+        txn.append_files(rewritten, operation=OP_DELETE,
+                         manifests_to_keep=keep_manifests,
+                         extra_summary={
+                             "deleted-data-files": str(len(dropped)),
+                             "deleted-records": str(sum(
+                                 t.data_file.record_count for t in full)),
+                         })
+        return txn.commit()
+
+    if mode == "merge-on-read":
+        # whole-file matches are cheapest as manifest drops even in MoR
+        keep_manifests = None
+        if full:
+            keep_manifests = txn._rewrite_manifests_without(
+                [t.data_file.file_path for t in full])
+        delete_files: List[M.DataFile] = []
+        if partial:
+            src = spark.read.schema(schema.to_spark()).parquet(
+                *[t.data_file.file_path for t in partial])
+            matches = (src
+                       .withColumn("file_path",
+                                   F.regexp_replace("_metadata.file_path",
+                                                    "^file:", ""))
+                       .withColumn("pos", F.col("_metadata.row_index"))
+                       .filter(bound_col)
+                       .select("file_path", "pos")
+                       .orderBy("file_path", "pos"))
+            out_dir = os.path.join(md.location, "data",
+                                   f"deletes-{uuid.uuid4().hex[:12]}")
+            matches.coalesce(1).write.parquet(out_dir)
+            delete_files = _collect_pos_delete_files(out_dir)
+        txn.append_files(delete_files, operation=OP_DELETE,
+                         manifests_to_keep=keep_manifests)
+        return txn.commit()
+
+    raise ValueError(f"unknown delete mode {mode!r}")
+
+
+def _collect_pos_delete_files(out_dir: str) -> List[M.DataFile]:
+    import pyarrow.parquet as pq
+    out = []
+    for root, _d, names in os.walk(out_dir):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(root, n)
+            meta = pq.ParquetFile(p).metadata
+            out.append(M.DataFile(
+                content=M.CONTENT_POS_DELETES, file_path=p,
+                file_format="PARQUET", partition={},
+                record_count=meta.num_rows,
+                file_size_in_bytes=os.path.getsize(p)))
+    return out
+
+
+def overwrite_where(table, spark: SparkSession, expr: E.Expression,
+                    df: DataFrame):
+    """Filtered overwrite: CoW-delete matching rows + append ``df`` in ONE
+    snapshot (transaction.go:1447)."""
+    md = table.metadata
+    schema = md.schema()
+    full, partial = _classify(table, expr)
+    txn = table.new_transaction()
+    bound_col = E.to_spark_column(E.bind(expr, schema))
+
+    added: List[M.DataFile] = []
+    if partial:
+        src = spark.read.schema(schema.to_spark()).parquet(
+            *[t.data_file.file_path for t in partial])
+        keep_df = src.filter(~bound_col | bound_col.isNull())
+        added += write_dataframe(keep_df, schema, md.spec(),
+                                 os.path.join(md.location, "data"),
+                                 md.properties, sort_order=md.sort_order())
+    added += write_dataframe(df, schema, md.spec(),
+                             os.path.join(md.location, "data"),
+                             md.properties, sort_order=md.sort_order())
+    dropped = [t.data_file.file_path for t in full + partial]
+    keep_manifests = txn._rewrite_manifests_without(dropped) if dropped \
+        else None
+    txn.append_files(added, operation=OP_OVERWRITE,
+                     manifests_to_keep=keep_manifests)
+    return txn.commit()
+
+
+def upsert(table, spark: SparkSession, df: DataFrame,
+           key_columns: List[str]):
+    """Row delta (row_delta.go): equality-delete keys + new data, one
+    snapshot.  Readers drop matching older rows via anti-join; sequence
+    gating (eq applies only to seq < delete seq) keeps the new rows."""
+    md = table.metadata
+    schema = md.schema()
+    key_ids = []
+    for c in key_columns:
+        f = schema.find_field(c)
+        if f is None:
+            raise ValueError(f"no such key column: {c}")
+        key_ids.append(f.field_id)
+
+    txn = table.new_transaction()
+    # 1. equality delete file: distinct key tuples of the incoming batch
+    keys = df.select(*key_columns).distinct()
+    out_dir = os.path.join(md.location, "data",
+                           f"eq-deletes-{uuid.uuid4().hex[:12]}")
+    keys.coalesce(1).write.parquet(out_dir)
+    import pyarrow.parquet as pq
+    delete_files = []
+    for root, _d, names in os.walk(out_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                meta = pq.ParquetFile(p).metadata
+                delete_files.append(M.DataFile(
+                    content=M.CONTENT_EQ_DELETES, file_path=p,
+                    file_format="PARQUET", partition={},
+                    record_count=meta.num_rows,
+                    file_size_in_bytes=os.path.getsize(p),
+                    equality_ids=key_ids))
+    # 2. new data files
+    data_files = write_dataframe(df, schema, md.spec(),
+                                 os.path.join(md.location, "data"),
+                                 md.properties, sort_order=md.sort_order())
+    txn.append_files(delete_files + data_files, operation=OP_OVERWRITE,
+                     extra_summary={"upsert-keys": ",".join(key_columns)})
+    return txn.commit()

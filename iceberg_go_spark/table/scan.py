@@ -251,8 +251,15 @@ class Scan:
                     "left_anti").drop("__file", "__pos")
             for eq_ids, dpath in sorted(eq_set):
                 cols = [schema.find_column_name(fid) for fid in eq_ids]
-                ddf = spark.read.parquet(dpath).select(*cols).distinct()
-                df = df.join(F.broadcast(ddf), on=list(cols), how="left_anti")
+                ddf = spark.read.parquet(dpath).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols]).distinct()
+                # null-safe equality: an eq-delete key with NULL matches
+                # rows with NULL (reference null-tagged key encoding)
+                cond = None
+                for c in cols:
+                    piece = df[c].eqNullSafe(ddf[f"__eq_{c}"])
+                    cond = piece if cond is None else (cond & piece)
+                df = df.join(F.broadcast(ddf), cond, "left_anti")
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:

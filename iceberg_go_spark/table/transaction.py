@@ -67,7 +67,10 @@ class Transaction:
                           manifests_to_keep: Optional[List[M.ManifestFile]] = None,
                           extra_summary: Optional[Dict[str, str]] = None,
                           delete_content: bool = False) -> Snapshot:
-        """Write new manifest(s) + manifest list; stage the snapshot."""
+        """Write new manifest(s) + manifest list; stage the snapshot.
+
+        ``added`` may mix data files and delete files (content field);
+        each kind goes into its own manifest per the spec."""
         md = self.metadata
         seq = md.last_sequence_number + len(self._staged) + 1
         snapshot_id = _new_snapshot_id(md)
@@ -79,18 +82,24 @@ class Transaction:
         keep = (manifests_to_keep if manifests_to_keep is not None
                 else self._current_manifests())
         new_manifests: List[M.ManifestFile] = []
-        if added:
+        added_data = [f for f in added if f.content == M.CONTENT_DATA]
+        added_deletes = [f for f in added if f.content != M.CONTENT_DATA]
+        if delete_content:  # legacy flag: treat all as deletes manifest
+            added_data, added_deletes = [], added
+        for i, (group, content) in enumerate(
+                ((added_data, M.MANIFEST_DATA),
+                 (added_deletes, M.MANIFEST_DELETES))):
+            if not group:
+                continue
             # sequence numbers are left null and INHERITED from the manifest
             # list entry at read time — this keeps manifests immutable across
             # OCC rebase (snapshot_producers.go sequence inheritance)
             entries = [M.ManifestEntry(
                 status=M.STATUS_ADDED, snapshot_id=snapshot_id,
                 sequence_number=None, file_sequence_number=None, data_file=df)
-                for df in added]
-            content = (M.MANIFEST_DELETES if delete_content
-                       else M.MANIFEST_DATA)
+                for df in group]
             mpath = os.path.join(self._metadata_dir(),
-                                 f"{uuid.uuid4().hex}-m0.avro")
+                                 f"{uuid.uuid4().hex}-m{i}.avro")
             mf = M.write_manifest(mpath, entries, schema, spec, content)
             mf.sequence_number = seq
             mf.min_sequence_number = seq
@@ -140,6 +149,44 @@ class Transaction:
                 f.record_count for f in added_del
                 if f.content == M.CONTENT_EQ_DELETES))
         return s
+
+    def _rewrite_manifests_without(self, dropped_paths) -> List[M.ManifestFile]:
+        """Rewrite current manifests with ``dropped_paths`` removed; surviving
+        entries become EXISTING with explicit (inherited) sequence numbers
+        (snapshot_producers.go existing/deleted entry classification)."""
+        dropped = set(dropped_paths)
+        out: List[M.ManifestFile] = []
+        schema = self.metadata.schema()
+        for mf in self._current_manifests():
+            entries, spec, _sid = M.read_manifest(mf.manifest_path)
+            touched = any(e.data_file.file_path in dropped for e in entries)
+            if not touched:
+                out.append(mf)
+                continue
+            survivors = []
+            for e in entries:
+                if not e.is_live or e.data_file.file_path in dropped:
+                    continue
+                survivors.append(M.ManifestEntry(
+                    status=M.STATUS_EXISTING, snapshot_id=e.snapshot_id,
+                    sequence_number=e.sequence_number
+                    if e.sequence_number is not None else mf.sequence_number,
+                    file_sequence_number=e.file_sequence_number,
+                    data_file=e.data_file))
+            if not survivors:
+                continue
+            mpath = os.path.join(self._metadata_dir(),
+                                 f"{uuid.uuid4().hex}-rw.avro")
+            new_mf = M.write_manifest(mpath, survivors, schema, spec,
+                                      mf.content)
+            new_mf.sequence_number = mf.sequence_number
+            new_mf.min_sequence_number = min(
+                (e.sequence_number for e in survivors
+                 if e.sequence_number is not None),
+                default=mf.min_sequence_number)
+            new_mf.added_snapshot_id = mf.added_snapshot_id
+            out.append(new_mf)
+        return out
 
     # ------------------------------------------------------------- user ops
     def append(self, df: DataFrame, properties: Optional[Dict[str, str]] = None

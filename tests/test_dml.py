@@ -1,0 +1,95 @@
+"""DML: CoW delete, MoR delete (pos + eq), overwrite, upsert."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.partitioning import spec_from_names
+from iceberg_go_spark.schema import Schema
+
+from conftest import read_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def _make(spark, sf_dir, catalog, name, spec_parts=None):
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    spec = spec_from_names(schema, *spec_parts) if spec_parts else None
+    t = catalog.create_table(f"db.{name}", schema, spec)
+    t.append(df)
+    return t, df
+
+
+def test_cow_delete(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "o1",
+                  [("o_orderdate", "year")])
+    cutoff = str(df.selectExpr("date_add(min(o_orderdate), 400)").first()[0])
+    expr = E.lt("o_orderdate", cutoff)
+    t.delete_where(spark, expr)
+    expected = df.filter(~(F.col("o_orderdate") < cutoff))
+    got = t.to_df(spark)
+    assert got.count() == expected.count()
+    assert t.current_snapshot().summary["operation"] == "delete"
+    # checksum
+    a = expected.agg(F.sum("o_totalprice")).collect()[0][0]
+    b = got.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_mor_pos_delete(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "o2")
+    expr = E.eq("o_orderstatus", "F")
+    t.delete_where(spark, expr, mode="merge-on-read")
+    expected = df.filter(F.col("o_orderstatus") != "F")
+    got = t.to_df(spark)
+    assert got.count() == expected.count()
+    # data files were NOT rewritten (merge-on-read)
+    tasks = t.scan().plan_files()
+    assert any(task.pos_deletes for task in tasks)
+    # double delete on same table composes
+    t.delete_where(spark, E.eq("o_orderstatus", "P"), mode="merge-on-read")
+    expected2 = expected.filter(F.col("o_orderstatus") != "P")
+    assert t.to_df(spark).count() == expected2.count()
+
+
+def test_overwrite_where(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "o3")
+    replacement = df.filter(F.col("o_orderstatus") == "O") \
+        .withColumn("o_totalprice", F.lit(0.0))
+    t.overwrite_where(spark, E.eq("o_orderstatus", "O"), replacement)
+    got = t.to_df(spark)
+    assert got.count() == df.count()
+    assert got.filter((F.col("o_orderstatus") == "O") &
+                      (F.col("o_totalprice") != 0.0)).count() == 0
+    assert t.current_snapshot().summary["operation"] == "overwrite"
+
+
+def test_upsert(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "o4")
+    n = df.count()
+    # update half the keys, insert brand-new ones
+    updates = df.limit(200).withColumn("o_totalprice", F.lit(1.5))
+    inserts = df.limit(50) \
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    batch = updates.unionByName(inserts)
+    t.upsert(spark, batch, ["o_orderkey"])
+    got = t.to_df(spark)
+    assert got.count() == n + 50
+    # updated rows carry new value
+    some_key = updates.select("o_orderkey").first()[0]
+    assert got.filter(F.col("o_orderkey") == some_key) \
+        .select("o_totalprice").first()[0] == 1.5
+    # second upsert of the same keys doesn't duplicate
+    t.upsert(spark, updates.withColumn("o_totalprice", F.lit(9.9)),
+             ["o_orderkey"])
+    got2 = t.to_df(spark)
+    assert got2.count() == n + 50
+    assert got2.filter(F.col("o_orderkey") == some_key) \
+        .select("o_totalprice").first()[0] == 9.9
