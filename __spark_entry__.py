@@ -1,38 +1,788 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent ANSI
+SQL for every SQL-expressible query.  Cross-engine determinism rules used
+throughout (so value hashes match bit-for-bit):
+
+- money aggregates run in exact DECIMAL arithmetic, cast to DOUBLE at the
+  end (float summation order is engine-dependent; decimal sums are not);
+- embedding math runs on integer-quantized vectors (exact int sums);
+- timestamps leave query outputs as epoch seconds or ISO strings.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+import sys  # noqa: E402
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from iceberg_go_spark import expressions as E  # noqa: E402
+from iceberg_go_spark.functions import text_funcs as TX  # noqa: E402
+from iceberg_go_spark.functions import vector_funcs as V  # noqa: E402
+from iceberg_go_spark.operators import dedup as DD  # noqa: E402
+from iceberg_go_spark.operators import multimodal as MM  # noqa: E402
+from iceberg_go_spark.operators import similarity as SIM  # noqa: E402
+from iceberg_go_spark.operators import text as TOP  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# plumbing
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis
+    except Exception:
+        # nanosecond timestamps: Spark 4 rejects TIMESTAMP(NANOS) parquet
+        # unless read as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events":
+        # normalize the ns-as-long ts back to a microsecond timestamp
+        # (applies whether or not the legacy conf was already active)
+        import pyspark.sql.types as ST
+        for f in df.schema.fields:
+            if f.name == "ts" and isinstance(f.dataType, ST.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(
+                        F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+_PYFILES_SENT = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (UDF deserialization
+    imports it by name; the driver's session may not export PYTHONPATH)."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    zpath = os.path.join("/tmp", "iceberg_go_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(_REPO, "iceberg_go_spark")
+            for root, _d, names in os.walk(pkg):
+                for n in names:
+                    if n.endswith(".py"):
+                        full = os.path.join(root, n)
+                        z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
+
+
+def _dec(c, p: int = 12, s: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({p},{s})")
+
+
+# Iceberg-table fixtures, built once per sf_dir ------------------------------
+
+_FIXTURES: dict = {}
+
+
+def _fixtures(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the Iceberg tables that the engine queries
+    scan: partitioned/bucketed lineitem, a two-snapshot table with a tag,
+    MoR-deleted and upserted orders."""
+    if sf_dir in _FIXTURES:
+        return _FIXTURES[sf_dir]
+    _ensure_workers(spark)
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    from iceberg_go_spark.schema import Schema
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    wh = os.path.join("/tmp", "ibs_fixtures", tag)
+    marker = os.path.join(wh, "_COMPLETE")
+    cat = FilesystemCatalog(wh)
+    if not os.path.exists(marker):
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = FilesystemCatalog(wh)
+        li = _read(spark, sf_dir, "lineitem")
+        orders = _read(spark, sf_dir, "orders")
+        li_schema = Schema.from_spark(li.schema)
+        o_schema = Schema.from_spark(orders.schema)
+
+        t = cat.create_table("db.li_month", li_schema,
+                             spec_from_names(li_schema, ("l_shipdate", "month")))
+        t.append(li)
+
+        t = cat.create_table("db.li_bucket", li_schema,
+                             spec_from_names(li_schema,
+                                             ("l_orderkey", "bucket[8]")))
+        t.append(li)
+
+        t = cat.create_table("db.li_tt", li_schema)
+        t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+        first = t.current_snapshot().snapshot_id
+        t.append(li.filter(F.col("l_orderkey") % 2 != 0))
+        t.create_tag("v1", first)
+
+        t = cat.create_table("db.orders_mor", o_schema)
+        t.append(orders)
+        t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                       mode="merge-on-read")
+
+        t = cat.create_table("db.orders_up", o_schema)
+        t.append(orders)
+        updates = orders.filter(F.col("o_orderkey") % 100 == 0) \
+            .withColumn("o_totalprice", F.lit(0.0))
+        t.upsert(spark, updates, ["o_orderkey"])
+
+        with open(marker, "w") as f:
+            f.write("ok")
+    _FIXTURES[sf_dir] = cat
+    return cat
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                            - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    n = F.count(F.lit(1))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(_dec("l_extendedprice")).cast("double")
+                 .alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+                 (F.sum(_dec("l_extendedprice")).cast("double") / n)
+                 .alias("avg_price"),
+                 (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+                 n.alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+           (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < "1997-06-01")
+    li = _read(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > "1997-06-01")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                            - _dec("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("orderdate"))
+            .agg(F.sum(disc_price).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_regional_revenue(spark, sf_dir):
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                            - _dec("l_discount"))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .filter(cust.c_nationkey == supp.s_nationkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(disc_price).cast("double").alias("revenue")))
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def top_customers_per_nation(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (cust.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .select("n_name", "c_custkey", "c_acctbal", "rank"))
+
+
+TOP_CUST_SQL = """
+SELECT n_name, c_custkey, c_acctbal, rank FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer) c
+JOIN nation ON c.c_nationkey = n_nationkey
+WHERE rank <= 3
+"""
+
+
+def events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .alias("hour_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("total_value"),
+             F.countDistinct("user_id").alias("n_users")))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, hour_epoch
+"""
+
+
+# -- engine (Iceberg-table) queries ----------------------------------------
+
+
+def iceberg_scan_filter_project(spark, sf_dir):
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_month")
+    scan = t.scan(E.and_(E.gt_eq("l_shipdate", "1997-03-01"),
+                         E.lt("l_shipdate", "1997-09-01")),
+                  selected=["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_extendedprice", "l_returnflag"])
+    return scan.to_df(spark)
+
+
+ICE_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+"""
+
+
+def iceberg_bucket_scan(spark, sf_dir):
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_bucket")
+    keys = [1, 7, 33, 68, 194, 450]
+    scan = t.scan(E.in_("l_orderkey", keys),
+                  selected=["l_orderkey", "l_suppkey", "l_quantity"])
+    return scan.to_df(spark)
+
+
+ICE_BUCKET_SQL = """
+SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+WHERE l_orderkey IN (1, 7, 33, 68, 194, 450)
+"""
+
+
+def iceberg_time_travel(spark, sf_dir):
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_tt")
+    return (t.scan(selected=["l_orderkey", "l_linenumber", "l_quantity"])
+            .use_ref("v1").to_df(spark))
+
+
+ICE_TT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey % 2 = 0
+"""
+
+
+def iceberg_mor_delete_scan(spark, sf_dir):
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_mor")
+    df = t.to_df(spark)
+    return df.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("orderdate"))
+
+
+ICE_MOR_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+def iceberg_upsert_scan(spark, sf_dir):
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_up")
+    return t.to_df(spark).select("o_orderkey", "o_totalprice",
+                                 "o_orderstatus")
+
+
+ICE_UPSERT_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 100 = 0 THEN 0.0 ELSE o_totalprice END
+         AS o_totalprice,
+       o_orderstatus
+FROM orders
+"""
+
+
+def transforms_datetime(spark, sf_dir):
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.transforms import (DayTransform, HourTransform,
+                                             MonthTransform, TruncateTransform,
+                                             YearTransform)
+    ev = _read(spark, sf_dir, "events")
+    ts = F.col("ts")
+    tt = T.TimestamptzType()
+    return ev.select(
+        "event_id",
+        YearTransform().spark_column(ts, tt).alias("t_year"),
+        MonthTransform().spark_column(ts, tt).alias("t_month"),
+        DayTransform().spark_column(ts, tt).alias("t_day"),
+        HourTransform().spark_column(ts, tt).alias("t_hour"),
+        TruncateTransform(7).spark_column(F.col("user_id"), T.LongType())
+        .alias("t_user_trunc"),
+        TruncateTransform(3).spark_column(F.col("event_type"), T.StringType())
+        .alias("t_type_trunc"))
+
+
+TRANSFORMS_SQL = """
+SELECT event_id,
+  (year(ts) - 1970)::INT AS t_year,
+  ((year(ts) - 1970) * 12 + month(ts) - 1)::INT AS t_month,
+  date_diff('day', DATE '1970-01-01', ts::DATE)::INT AS t_day,
+  floor(epoch(ts) / 3600)::INT AS t_hour,
+  (user_id - ((user_id % 7 + 7) % 7))::BIGINT AS t_user_trunc,
+  substring(event_type, 1, 3) AS t_type_trunc
+FROM events
+"""
+
+
+# -- dedup / text ----------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.exact_dedup_normalized(docs).select("doc_id")
+
+
+DEDUP_FP_SQL = f"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY {TX.fingerprint_sql('text')}
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.minhash_lsh_groups(docs).select("band", "band_key", "doc_id")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+    grams = TX.char_ngrams_sql("text", ngram)
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(grams, g -> md5('{s}:' || g)), 'min')"
+        f" AS h{s}" for s in range(num_hashes))
+    r = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({key}) AS band_key "
+                       f"FROM sig")
+    u = " UNION ALL ".join(selects)
+    return (f"WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),\n"
+            f"sig AS (SELECT doc_id, {hashes} FROM g WHERE len(grams) > 0)\n"
+            f"SELECT band, band_key, doc_id FROM ({u}) "
+            f"QUALIFY count(*) OVER (PARTITION BY band, band_key) > 1")
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       TX.simhash16(F.col("text")).alias("simhash"))
+
+
+SIMHASH_SQL = f"""
+SELECT doc_id, {TX.simhash16_sql('text')}::BIGINT AS simhash FROM documents
+"""
+
+
+def ngram_jaccard_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+def _jaccard_sql(threshold: float = 0.6, ngram: int = 3) -> str:
+    grams = TX.char_ngrams_sql("text", ngram)
+    return f"""
+WITH g AS (
+  SELECT doc_id, {grams} AS grams,
+         floor(log2(len({grams}) + 1)) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams)) /
+             len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+FROM g a JOIN g b
+  ON a.doc_id < b.doc_id AND a.blk = b.blk
+WHERE len(list_distinct(a.grams || b.grams)) > 0
+  AND round(len(list_intersect(a.grams, b.grams)) /
+            len(list_distinct(a.grams || b.grams)), 6) >= {threshold}
+"""
+
+
+def text_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.text_stats(docs)
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  {TX.token_count_sql('text')} AS n_tokens,
+  {TX.bpe_ish_token_count_sql('text')} AS n_subword_tokens,
+  round({TX.alpha_ratio_sql('text')}, 6) AS alpha_ratio,
+  round({TX.stopword_ratio_sql('text')}, 6) AS stopword_ratio,
+  {TX.quality_score_sql('text')} AS quality,
+  {TX.lang_id_sql('text')} AS lang_guess,
+  {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def lang_histogram(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.language_histogram(docs)
+
+
+LANG_HIST_SQL = f"""
+SELECT {TX.lang_id_sql('text')} AS lang_guess, COUNT(*) AS n_docs
+FROM documents GROUP BY lang_guess
+"""
+
+
+def token_summary_by_lang(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.token_count_summary(docs)
+
+
+TOKEN_SUMMARY_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  SUM({TX.token_count_sql('text')}) AS total_tokens,
+  round(AVG({TX.token_count_sql('text')}), 6) AS avg_tokens,
+  MAX(length(text)) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+# -- similarity ------------------------------------------------------------
+
+
+def _queries_df(spark, sf_dir, n: int = 5):
+    emb = _read(spark, sf_dir, "embeddings")
+    return (emb.orderBy("vec_id").limit(n)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings") \
+        .withColumn("__q", V.quantize(F.col("embedding")))
+    qs = _queries_df(spark, sf_dir) \
+        .withColumn("__qq", V.quantize(F.col("query_vec")))
+    joined = emb.crossJoin(F.broadcast(qs)) \
+        .filter(F.col("vec_id") != F.col("query_id"))
+    cos = V.quantized_cosine(F.col("__q"), F.col("__qq"))
+    w = W.partitionBy("query_id").orderBy(
+        F.round(cos, 6).desc(), F.col("vec_id"))
+    return (joined.withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def _ann_sql(bucketed: bool = False) -> str:
+    q = V.quantize_sql("e.embedding")
+    qq = V.quantize_sql("q.embedding")
+    cos = V.quantized_cosine_sql("qe", "qq")
+    bucket_cond = ""
+    if bucketed:
+        bucket_cond = (f" AND {V.sign_bucket_sql('e.embedding')} = "
+                       f"{V.sign_bucket_sql('q.embedding')}")
+    return f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id, {q} AS qe, {qq} AS qq
+  FROM embeddings e, qs q
+  WHERE e.vec_id <> q.query_id{bucket_cond}
+)
+SELECT query_id, vec_id, round({cos}, 6) AS cosine, rank FROM (
+  SELECT query_id, vec_id, qe, qq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({cos}, 6) DESC, vec_id) AS rank
+  FROM pairs)
+WHERE rank <= 10
+"""
+
+
+def ann_topk_bucketed(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings") \
+        .withColumn("__q", V.quantize(F.col("embedding"))) \
+        .withColumn("__bucket", V.sign_bucket(F.col("embedding")))
+    qs = _queries_df(spark, sf_dir) \
+        .withColumn("__qq", V.quantize(F.col("query_vec"))) \
+        .withColumn("__bucket", V.sign_bucket(F.col("query_vec")))
+    joined = emb.join(F.broadcast(qs), on="__bucket") \
+        .filter(F.col("vec_id") != F.col("query_id"))
+    cos = V.quantized_cosine(F.col("__q"), F.col("__qq"))
+    w = W.partitionBy("query_id").orderBy(
+        F.round(cos, 6).desc(), F.col("vec_id"))
+    return (joined.withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def label_centroids(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings") \
+        .withColumn("__q", V.quantize(F.col("embedding")))
+    exploded = emb.select("label", F.posexplode("__q").alias("pos", "val"))
+    return (exploded.groupBy("label", "pos")
+            .agg((F.sum("val").cast("double") / F.count(F.lit(1)))
+                 .alias("centroid")))
+
+
+CENTROIDS_SQL = f"""
+SELECT label, pos, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS centroid
+FROM (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest({V.quantize_sql('embedding')}) AS val
+  FROM embeddings)
+GROUP BY label, pos
+"""
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+def multimodal_features(spark, sf_dir):
+    _ensure_workers(spark)
+    docs = _read(spark, sf_dir, "documents")
+    media = MM.synthesize_media(spark, docs)
+    feats = MM.extract_features(media)
+    return feats.select("media_id", "n_bytes", "content_hash")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS content_hash
+FROM documents
+"""
+
+
+def multimodal_feature_vectors(spark, sf_dir):
+    """Full feature vectors incl. the array column (rows-only check)."""
+    _ensure_workers(spark)
+    docs = _read(spark, sf_dir, "documents")
+    media = MM.synthesize_media(spark, docs)
+    return MM.extract_features(media)
+
+
+def transforms_bucket(spark, sf_dir):
+    """Bucket transform columns (murmur3 not expressible in DuckDB ->
+    rows-only; exactness is covered by spec-vector unit tests)."""
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.transforms import BucketTransform
+    _ensure_workers(spark)
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        BucketTransform(16).spark_column(F.col("l_orderkey"), T.LongType())
+        .alias("b16_orderkey"),
+        BucketTransform(8).spark_column(F.col("l_returnflag"), T.StringType())
+        .alias("b8_flag"))
+
+
+def iceberg_snapshot_log(spark, sf_dir):
+    """Snapshot metadata listing (engine-internal; rows-only check)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_tt")
+    rows = [(s.snapshot_id, s.sequence_number, s.operation,
+             int(s.summary.get("total-records", 0)))
+            for s in t.snapshots()]
+    return spark.createDataFrame(
+        rows, "snapshot_id long, sequence_number long, operation string, "
+              "total_records long")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Iceberg round-trip scan at sf0.001 + pricing aggregate."""
+    sf_dir = "/root/testdata/sf0.001"
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_month")
+    df = t.scan(E.gt_eq("l_shipdate", "1996-06-01")).to_df(spark)
+    return (df.groupBy("l_returnflag")
+            .agg(F.sum(_dec("l_extendedprice")).cast("double")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_regional_revenue": q5_regional_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "top_customers_per_nation": top_customers_per_nation,
+        "events_hourly": events_hourly,
+        "iceberg_scan_filter_project": iceberg_scan_filter_project,
+        "iceberg_bucket_scan": iceberg_bucket_scan,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "iceberg_upsert_scan": iceberg_upsert_scan,
+        "iceberg_snapshot_log": iceberg_snapshot_log,
+        "transforms_datetime": transforms_datetime,
+        "transforms_bucket": transforms_bucket,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "text_stats": text_stats,
+        "lang_histogram": lang_histogram,
+        "token_summary_by_lang": token_summary_by_lang,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_bucketed": ann_topk_bucketed,
+        "label_centroids": label_centroids,
+        "multimodal_features": multimodal_features,
+        "multimodal_feature_vectors": multimodal_feature_vectors,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_regional_revenue": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "top_customers_per_nation": TOP_CUST_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "iceberg_scan_filter_project": ICE_SCAN_SQL,
+        "iceberg_bucket_scan": ICE_BUCKET_SQL,
+        "iceberg_time_travel": ICE_TT_SQL,
+        "iceberg_mor_delete_scan": ICE_MOR_SQL,
+        "iceberg_upsert_scan": ICE_UPSERT_SQL,
+        "transforms_datetime": TRANSFORMS_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_fingerprint": DEDUP_FP_SQL,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": SIMHASH_SQL,
+        "ngram_jaccard_dups": _jaccard_sql(),
+        "text_stats": TEXT_STATS_SQL,
+        "lang_histogram": LANG_HIST_SQL,
+        "token_summary_by_lang": TOKEN_SUMMARY_SQL,
+        "ann_topk_bruteforce": _ann_sql(False),
+        "ann_topk_bucketed": _ann_sql(True),
+        "label_centroids": CENTROIDS_SQL,
+        "multimodal_features": MULTIMODAL_SQL,
+        # rows-only (non-SQL-expressible): iceberg_snapshot_log,
+        # transforms_bucket, multimodal_feature_vectors
+    }

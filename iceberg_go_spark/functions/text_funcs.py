@@ -1,0 +1,259 @@
+"""Text-analysis column builders (pure pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd; no Python UDFs in these hot paths).
+
+Each builder has a matching ANSI-SQL renderer used for the DuckDB oracle so
+the exact same computation is checkable outside Spark.  Net-new surface vs
+the reference (north-star LLM-pipeline operators; SURVEY §2.11 note).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, functions as F
+
+# deterministic small stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sie"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "en", "un", "por"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased text; empty text -> empty array."""
+    t = F.lower(F.trim(col))
+    return F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+
+
+def tokens_sql(c: str) -> str:
+    return (f"CASE WHEN trim(lower({c})) = '' THEN []::VARCHAR[] "
+            f"ELSE regexp_split_to_array(trim(lower({c})), '\\s+') END")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(c: str) -> str:
+    return f"len({tokens_sql(c)})"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: split on whitespace AND word/number/symbol
+    boundaries (a BPE-flavored regex, deterministic)."""
+    pieces = F.regexp_replace(
+        F.lower(F.trim(col)), r"([a-z]+|[0-9]+|[^a-z0-9\s]+)", r"$1 ")
+    return token_count(pieces)
+
+
+def bpe_ish_token_count_sql(c: str) -> str:
+    inner = (f"regexp_replace(lower(trim({c})), "
+             f"'([a-z]+|[0-9]+|[^a-z0-9\\s]+)', '\\1 ', 'g')")
+    return f"len({tokens_sql(inner)})"
+
+
+def alpha_ratio(col: Column) -> Column:
+    n = F.length(col)
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n)
+
+
+def alpha_ratio_sql(c: str) -> str:
+    return (f"CASE WHEN length({c}) = 0 THEN 0.0 ELSE "
+            f"length(regexp_replace({c}, '[^A-Za-z]', '', 'g'))::DOUBLE"
+            f" / length({c}) END")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    distinct_n = F.size(F.array_distinct(toks))
+    return F.when(distinct_n == 0, F.lit(0.0)) \
+        .otherwise(hits / distinct_n)
+
+
+def stopword_ratio_sql(c: str, lang: str = "en") -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    toks = tokens_sql(c)
+    return (f"CASE WHEN len(list_distinct({toks})) = 0 THEN 0.0 ELSE "
+            f"len(list_intersect(list_distinct({toks}), [{words}]))::DOUBLE "
+            f"/ len(list_distinct({toks})) END")
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + alphabetic ratio
+    + stopword presence (the classic cheap pre-filters for LLM corpora)."""
+    n = F.length(col)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * alpha_ratio(col)
+        + 0.2 * stopword_ratio(col), 6)
+
+
+def quality_score_sql(c: str) -> str:
+    return (f"round(0.4 * least(length({c}) / 500.0, 1.0) + "
+            f"0.4 * {alpha_ratio_sql(c)} + 0.2 * {stopword_ratio_sql(c)}, 6)")
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-hit language guesser with deterministic tie-break
+    (earlier language in _LANG_ORDER wins ties)."""
+    toks = F.array_distinct(tokens(col))
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])))
+        for lang in _LANG_ORDER}
+    best = F.greatest(*[scores[lang] for lang in _LANG_ORDER])
+    expr = F.lit("unknown")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((best > 0) & (scores[lang] == best),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(c: str) -> str:
+    toks = f"list_distinct({tokens_sql(c)})"
+    score = {}
+    for lang in _LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score[lang] = f"len(list_intersect({toks}, [{words}]))"
+    best = "greatest(" + ", ".join(score[l] for l in _LANG_ORDER) + ")"
+    # CASE evaluates in order -> earlier langs win ties, matching lang_id()
+    cases = " ".join(
+        f"WHEN {score[l]} = {best} THEN '{l}'" for l in _LANG_ORDER)
+    return f"CASE WHEN {best} = 0 THEN 'unknown' {cases} ELSE 'unknown' END"
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def normalized_text_sql(c: str) -> str:
+    return ("trim(regexp_replace(regexp_replace(lower(" + c + "), "
+            "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def fingerprint_sql(c: str) -> str:
+    return f"md5({normalized_text_sql(c)})"
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text (shingles).
+
+    Guarded: Spark's sequence(1, 0) would generate a DESCENDING [1, 0]
+    sequence for short strings, so short inputs map to an empty array."""
+    t = normalized_text(col)
+    return F.when(F.length(t) < n, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, n))))
+
+
+def char_ngrams_sql(c: str, n: int = 3) -> str:
+    t = normalized_text_sql(c)
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(length({t}) - {n - 1}, 0) + 1), "
+            f"i -> substring({t}, i::INT, {n})))")
+
+
+def minhash_signature(col: Column, num_hashes: int = 16, ngram: int = 3
+                      ) -> List[Column]:
+    """MinHash over character shingles using seeded md5 — portable (the
+    DuckDB oracle computes the identical signature, unlike murmur/xxhash).
+    Returns one min-hash column per seed."""
+    grams = char_ngrams(col, ngram)
+    out = []
+    for seed in range(num_hashes):
+        hashed = F.transform(grams, lambda g: F.md5(
+            F.concat(F.lit(f"{seed}:"), g)))
+        out.append(F.array_min(hashed))
+    return out
+
+
+def minhash_signature_sql(c: str, num_hashes: int = 16, ngram: int = 3
+                          ) -> List[str]:
+    grams = char_ngrams_sql(c, ngram)
+    return [
+        f"list_aggregate(list_transform({grams}, g -> md5('{seed}:' || g)), "
+        f"'min')"
+        for seed in range(num_hashes)]
+
+
+def lsh_band_keys(col: Column, num_hashes: int = 16, bands: int = 4,
+                  ngram: int = 3) -> List[Column]:
+    """Band the minhash signature: equal band-key => candidate duplicates.
+    bands divides num_hashes; rows per band r = num_hashes // bands."""
+    sig = minhash_signature(col, num_hashes, ngram)
+    r = num_hashes // bands
+    return [F.md5(F.concat_ws("|", *sig[b * r:(b + 1) * r]))
+            for b in range(bands)]
+
+
+def lsh_band_keys_sql(c: str, num_hashes: int = 16, bands: int = 4,
+                      ngram: int = 3) -> List[str]:
+    sig = minhash_signature_sql(c, num_hashes, ngram)
+    r = num_hashes // bands
+    return ["md5(" + " || '|' || ".join(sig[b * r:(b + 1) * r]) + ")"
+            for b in range(bands)]
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Per-token hash = integer value of 4 hex chars of md5 (16 bits) — chosen
+    because both Spark (``conv``) and DuckDB (manual nibble sum) can compute
+    it identically, keeping the operator oracle-checkable.
+    """
+    bits = 16
+    toks = tokens(col)
+    th = lambda g: F.conv(F.substring(F.md5(g), 12, 4), 16, 10).cast("long")  # noqa: E731
+
+    def bit_vote(i: int):
+        # separate scope (NOT a default arg: pyspark would read a 3-ary
+        # lambda as a (acc, x, idx) merge function and bind i as a Column)
+        return F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda a, g: a + F.when(
+                th(g).bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1))
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(bit_vote(i) > 0, F.lit(1 << i)).otherwise(0)
+    return acc
+
+
+def _hex4_to_int_sql(h: str) -> str:
+    """DuckDB: integer value of a 4-hex-char string (no conv() there)."""
+    nibbles = [
+        f"(strpos('0123456789abcdef', substring({h}, {j + 1}, 1)) - 1)"
+        f"::BIGINT * {1 << (4 * (3 - j))}"
+        for j in range(4)]
+    return "(" + " + ".join(nibbles) + ")"
+
+
+def simhash16_sql(c: str) -> str:
+    bits = 16
+    toks = tokens_sql(c)
+    th = _hex4_to_int_sql("substring(md5(g), 12, 4)")
+    pieces = []
+    for i in range(bits):
+        vote = (f"list_sum(list_transform({toks}, g -> CASE WHEN "
+                f"({th} & {1 << i}) > 0 THEN 1 ELSE -1 END))")
+        pieces.append(
+            f"CASE WHEN coalesce({vote}, 0) > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(pieces) + ")"

@@ -1,0 +1,79 @@
+"""Vector column builders for embedding similarity (array<float> columns).
+
+All JVM-side (`F.aggregate` / `F.zip_with` higher-order functions) — no
+Python in the hot path; Arrow/pandas variants only where genuinely faster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB rendering of the same cosine (manual, version-portable)."""
+    d = (f"list_sum(list_transform(range(1, len({a}) + 1), "
+         f"i -> {a}[i] * {b}[i]))")
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    return f"({d} / ({na} * {nb}))"
+
+
+def quantize(a: Column, scale: int = 1000) -> Column:
+    """Integer-quantized copy of a float vector (round(x*scale) as long).
+
+    Integer dot/norm sums are order-independent and exact, making cosine
+    bit-identical across engines (floats sum differently per fold order);
+    ranking error vs float cosine is O(1/scale)."""
+    return F.transform(a, lambda x: F.round(x * scale).cast("long"))
+
+
+def quantize_sql(a: str, scale: int = 1000) -> str:
+    return f"list_transform({a}, x -> round(x * {scale})::BIGINT)"
+
+
+def quantized_cosine(qa: Column, qb: Column) -> Column:
+    d = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+    na = F.aggregate(qa, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    nb = F.aggregate(qb, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    return d / (F.sqrt(na) * F.sqrt(nb))
+
+
+def quantized_cosine_sql(qa: str, qb: str) -> str:
+    d = (f"list_sum(list_transform(range(1, len({qa}) + 1), "
+         f"i -> {qa}[i] * {qb}[i]))")
+    na = f"sqrt(list_sum(list_transform({qa}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({qb}, x -> x * x)))"
+    return f"({d} / ({na} * {nb}))"
+
+
+def sign_bucket(a: Column, dims: int = 8) -> Column:
+    """LSH-ish bucket key: sign bits of the first ``dims`` components.
+
+    Deterministic and engine-portable (no random hyperplanes), so the
+    bucketed ANN path is oracle-checkable; recall is partial by design —
+    the scale path trades recall for a 2^dims candidate reduction."""
+    acc = F.lit(0)
+    for i in range(dims):
+        acc = acc + F.when(F.element_at(a, i + 1) >= 0,
+                           F.lit(1 << i)).otherwise(0)
+    return acc
+
+
+def sign_bucket_sql(a: str, dims: int = 8) -> str:
+    pieces = [f"CASE WHEN {a}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+              for i in range(dims)]
+    return "(" + " + ".join(pieces) + ")"

@@ -1,0 +1,177 @@
+"""Deduplication operators for large text corpora.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard near-dup — the core
+training-data pipeline family.  Scale design:
+
+- every variant is a hash -> groupBy/join pipeline (one shuffle each, keyed
+  on the dedup signature, map-side combinable);
+- LSH banding turns the O(n^2) pair problem into per-band bucket joins; at
+  100 TB the band key is the shuffle key and buckets are tiny;
+- the only O(n^2) step (exact Jaccard verify) runs strictly within
+  candidate buckets.
+
+Portable hashing (md5) so every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import text_funcs as TX
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-content group, where
+    content identity = md5 of raw text."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (df.withColumn("__h", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn"))
+
+
+def exact_dedup_normalized(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the *normalized* fingerprint (case/punct-insensitive)."""
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (df.withColumn("__h", TX.fingerprint(F.col(text_col)))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn"))
+
+
+def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       bands: int = 4, ngram: int = 3) -> DataFrame:
+    """MinHash+LSH candidate duplicate groups.
+
+    Returns (band, band_key, doc_id) rows for buckets holding >1 doc —
+    i.e. every (document, band) membership in a non-trivial candidate
+    bucket.  Downstream dedup drops all but min(doc_id) per bucket.
+
+    Shape (the 100 TB pipeline): shingle-explode -> per-shingle seeded
+    hashes -> groupBy(doc) min-agg (map-side combinable) -> band ->
+    bucket count.  Exploding first means the normalize+shingle regex work
+    runs ONCE per doc, not once per hash seed (Catalyst would otherwise
+    duplicate the expression tree into all num_hashes projections)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(TX.char_ngrams(F.col(text_col), ngram)).alias("__gram"))
+    sig = grams.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("__gram"))))
+        .alias(f"__h{s}")
+        for s in range(num_hashes)])
+    r = num_hashes // bands
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(f"__h{b * r + j}") for j in range(r)]))
+        for b in range(bands)]
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), k.alias("band_key"))
+            for b, k in enumerate(band_keys)])).alias("bk")) \
+        .select(id_col, "bk.band", "bk.band_key")
+    counts = Window.partitionBy("band", "band_key")
+    return (banded
+            .withColumn("__n", F.count(F.lit(1)).over(counts))
+            .filter(F.col("__n") > 1)
+            .drop("__n")
+            .select("band", "band_key", id_col))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, ngram: int = 3) -> DataFrame:
+    """Drop every doc that shares any LSH band bucket with a smaller id
+    (transitive-lite dedup: survivor = bucket minimum)."""
+    groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
+                                ngram)
+    losers = (groups
+              .withColumn("__min", F.min(id_col).over(
+                  Window.partitionBy("band", "band_key")))
+              .filter(F.col(id_col) != F.col("__min"))
+              .select(id_col).distinct())
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.6,
+                        ngram: int = 3, block_cols: Optional[List[str]] = None
+                        ) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Pairs are generated within blocks (default: language + coarse length
+    band) — the classic blocking trick that keeps the join from going
+    quadratic over the corpus; at scale each block is one shuffle
+    partition's worth of work.  Output: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold."""
+    grams = TX.char_ngrams(F.col(text_col), ngram)
+    base = df.select(
+        F.col(id_col), grams.alias("__g"),
+        *(F.col(c) for c in (block_cols or [])))
+    if block_cols is None:
+        # default block: coarse shingle-count band — near-dups at the
+        # threshold can't differ much in size, so same-band is safe-ish
+        base = base.withColumn(
+            "__blk_len", F.floor(F.log2(F.size(F.col("__g")) + F.lit(1))))
+        block_cols = ["__blk_len"]
+    a = base.select(F.col(id_col).alias("id_a"),
+                    F.col("__g").alias("__ga"),
+                    *[F.col(c).alias(f"__ba_{i}")
+                      for i, c in enumerate(block_cols)])
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col("__g").alias("__gb"),
+                    *[F.col(c).alias(f"__bb_{i}")
+                      for i, c in enumerate(block_cols)])
+    cond = F.col("id_a") < F.col("id_b")
+    for i in range(len(block_cols)):
+        cond = cond & F.col(f"__ba_{i}").eqNullSafe(F.col(f"__bb_{i}"))
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    union = F.size(F.array_union(F.col("__ga"), F.col("__gb")))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (a.join(b, cond)
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Dedup on identical 16-bit SimHash (cheap fuzzy-bucket variant).
+
+    At 100 TB this is one map + one shuffle on a 2-byte key with map-side
+    combine; hamming-distance widening belongs in a follow-up bucket-join."""
+    w = Window.partitionBy("__sh").orderBy(F.col(id_col))
+    return (df.withColumn("__sh", TX.simhash16(F.col(text_col)))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__sh", "__rn"))
+
+
+def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
+                             threshold: float = 0.98,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bucket_dims: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bucket LSH blocking.
+
+    (docs is unused except for API symmetry when joining back to text.)"""
+    from ..functions import vector_funcs as V
+    base = emb.select(F.col(id_col), F.col(vec_col),
+                      V.sign_bucket(F.col(vec_col), bucket_dims)
+                      .alias("__bucket"))
+    a = base.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__va"), "__bucket")
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("__vb"),
+                    F.col("__bucket").alias("__bucket_b"))
+    cos = V.cosine(F.col("__va"), F.col("__vb"))
+    return (a.join(b, (F.col("id_a") < F.col("id_b")) &
+                   (F.col("__bucket") == F.col("__bucket_b")))
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real decode (image/audio/video) libraries are absent in this environment,
+so the decode kernel is STUBBED (deterministic fake or NotImplementedError)
+— but the Spark-side plumbing is real and tested: schema contract,
+``mapInPandas`` batch shape, partition sizing, and the feature-extraction
+pipeline around the stub.
+
+Design for 100 TB of media:
+- payloads stay in ``binary`` columns, processed by Arrow-batched
+  ``mapInPandas`` (no per-row Python);
+- decode stages declare output schemas up front so Catalyst plans the
+  downstream columns without materializing the blobs;
+- row-group-sized batches keep executor memory bounded regardless of blob
+  sizes (``spark.sql.files.maxPartitionBytes`` + maxRecordsPerBatch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+import pyspark.sql.types as ST
+
+MEDIA_SCHEMA = ST.StructType([
+    ST.StructField("media_id", ST.LongType(), False),
+    ST.StructField("payload", ST.BinaryType(), True),
+    ST.StructField("media_type", ST.StringType(), True),   # image|audio|video
+    ST.StructField("width", ST.IntegerType(), True),
+    ST.StructField("height", ST.IntegerType(), True),
+    ST.StructField("duration_ms", ST.LongType(), True),
+])
+
+FEATURE_SCHEMA = ST.StructType([
+    ST.StructField("media_id", ST.LongType(), False),
+    ST.StructField("n_bytes", ST.LongType(), True),
+    ST.StructField("content_hash", ST.StringType(), True),
+    ST.StructField("feature", ST.ArrayType(ST.FloatType()), True),
+])
+
+
+def decode_image(payload: bytes):  # pragma: no cover - real decode stubbed
+    """STUB: real image decode requires PIL/opencv (not in this container).
+
+    The deterministic fake below (``_fake_feature``) stands in for tests;
+    swap this for a real decoder on a cluster with the codec libs."""
+    raise NotImplementedError(
+        "image decode requires codec libraries not present in this env")
+
+
+def _fake_feature(payload: bytes, dim: int = 8):
+    """Deterministic stand-in feature: bytes of sha256 scaled to [-1, 1]."""
+    if payload is None:
+        return None
+    h = hashlib.sha256(payload).digest()
+    return [((b / 255.0) * 2 - 1) for b in h[:dim]]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Uses the deterministic fake 'decoder'; the pipeline shape (schema,
+    batching, null handling) is exactly what a real decoder plugs into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else None),
+                "content_hash": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                    if b is not None else None),
+                "feature": pdf["payload"].map(
+                    lambda b: _fake_feature(b, dim)),
+            })
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Build a deterministic media table from the documents fixture: the
+    text bytes act as the opaque payload (the engine treats payloads as
+    opaque, so this exercises the real plumbing)."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"))
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: rows (media_id, frame_ts_ms) — the
+    decode itself is the stubbed kernel; the plan is real DataFrame work."""
+    return (df.filter(F.col("media_type") == "video")
+            .select("media_id",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.coalesce(F.col("duration_ms"), F.lit(0)),
+                        F.lit(every_ms))).alias("frame_ts_ms")))

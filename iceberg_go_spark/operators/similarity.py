@@ -1,0 +1,76 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact; one shuffle for the global
+top-k).  Scale path: sign-bucket LSH / IVF-style coarse partitioning so each
+query probes a small candidate slice instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vector_funcs as V
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is expected tiny vs emb -> broadcast; the corpus never
+    shuffles until the per-query top-k reduction (rank window partitioned
+    by query)."""
+    joined = emb.crossJoin(F.broadcast(queries))
+    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (joined
+            .withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "query_id",
+                  query_vec_col: str = "query_vec",
+                  bucket_dims: int = 8) -> DataFrame:
+    """ANN top-k: probe only the query's sign-bucket (LSH-style).
+
+    ~2^dims-fold candidate reduction; recall < 1 by design.  Deterministic
+    bucket fn keeps this oracle-checkable."""
+    b_emb = emb.withColumn("__bucket",
+                           V.sign_bucket(F.col(vec_col), bucket_dims))
+    b_q = queries.withColumn("__bucket",
+                             V.sign_bucket(F.col(query_vec_col), bucket_dims))
+    joined = b_emb.join(F.broadcast(b_q), on="__bucket")
+    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (joined
+            .withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))
+
+
+def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid vectors (IVF coarse-quantizer training step,
+    expressed as one aggregation)."""
+    dim = F.size(F.col(vec_col))
+    exploded = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    return (exploded.groupBy(label_col, "pos")
+            .agg(F.avg("val").alias("avg_val"))
+            .groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val")))
+                 .alias("__s"))
+            .select(F.col(label_col),
+                    F.transform("__s", lambda s: s["avg_val"])
+                    .alias("centroid")))

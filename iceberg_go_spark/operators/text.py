@@ -1,0 +1,45 @@
+"""Text-analysis operators over document tables (DataFrame level)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text_funcs as TX
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document text statistics: counts, ratios, quality, language,
+    fingerprint — the standard cheap pre-filter columns for LLM corpora."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        TX.token_count(c).alias("n_tokens"),
+        TX.bpe_ish_token_count(c).alias("n_subword_tokens"),
+        F.round(TX.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(TX.stopword_ratio(c), 6).alias("stopword_ratio"),
+        TX.quality_score(c).alias("quality"),
+        TX.lang_id(c).alias("lang_guess"),
+        TX.fingerprint(c).alias("fingerprint"),
+    )
+
+
+def language_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (df.select(TX.lang_id(F.col(text_col)).alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_quality: float = 0.5) -> DataFrame:
+    return df.filter(TX.quality_score(F.col(text_col)) >= min_quality)
+
+
+def token_count_summary(df: DataFrame, text_col: str = "text",
+                        group_col: str = "lang") -> DataFrame:
+    c = F.col(text_col)
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(TX.token_count(c)).alias("total_tokens"),
+                 F.round(F.avg(TX.token_count(c)), 6).alias("avg_tokens"),
+                 F.max(F.length(c)).alias("max_chars")))

@@ -39,6 +39,7 @@ def get_spark(app_name: str = "iceberg_go_spark", cpus: int | None = None,
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

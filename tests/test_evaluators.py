@@ -1,0 +1,167 @@
+"""Pruning evaluator correctness corpus — hand-built DataFiles with crafted
+bounds, asserting keep/skip per operator (modeled on the reference's
+table/evaluators_test.go table-driven approach)."""
+
+import pytest
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark import types as T
+from iceberg_go_spark.meta.conversions import to_bytes
+from iceberg_go_spark.meta.manifests import (CONTENT_DATA, DataFile,
+                                             FieldSummary, ManifestFile)
+from iceberg_go_spark.meta.partitioning import spec_from_names
+from iceberg_go_spark.plans.evaluators import (InclusiveMetricsEvaluator,
+                                               ManifestEvaluator,
+                                               StrictMetricsEvaluator,
+                                               inclusive_projection,
+                                               partition_expr_evaluator)
+from iceberg_go_spark.schema import Schema
+
+SCHEMA = Schema([
+    T.NestedField(1, "id", T.LongType(), required=True),
+    T.NestedField(2, "name", T.StringType()),
+    T.NestedField(3, "x", T.DoubleType()),
+])
+
+
+def _file(record_count=100, vc=None, nc=None, nanc=None, lo=None, hi=None):
+    def enc(d):
+        return {fid: to_bytes(SCHEMA.find_field(fid).field_type, v)
+                for fid, v in (d or {}).items()}
+    return DataFile(
+        content=CONTENT_DATA, file_path="/f.parquet", file_format="PARQUET",
+        partition={}, record_count=record_count, file_size_in_bytes=1,
+        value_counts=vc or {}, null_value_counts=nc or {},
+        nan_value_counts=nanc or {}, lower_bounds=enc(lo),
+        upper_bounds=enc(hi))
+
+
+F_MID = _file(vc={1: 100}, nc={1: 0}, lo={1: 30}, hi={1: 70})
+F_ALL_NULL = _file(vc={2: 100}, nc={2: 100})
+F_NO_NULL = _file(vc={2: 100}, nc={2: 0}, lo={2: "bbb"}, hi={2: "ddd"})
+F_NAN = _file(vc={3: 100}, nc={3: 0}, nanc={3: 10}, lo={3: 1.0}, hi={3: 2.0})
+F_NO_NAN = _file(vc={3: 100}, nc={3: 0}, nanc={3: 0}, lo={3: 1.0}, hi={3: 2.0})
+
+
+@pytest.mark.parametrize("expr,file,keep", [
+    (E.lt("id", 30), F_MID, False),
+    (E.lt("id", 31), F_MID, True),
+    (E.lt_eq("id", 29), F_MID, False),
+    (E.lt_eq("id", 30), F_MID, True),
+    (E.gt("id", 70), F_MID, False),
+    (E.gt("id", 69), F_MID, True),
+    (E.gt_eq("id", 71), F_MID, False),
+    (E.gt_eq("id", 70), F_MID, True),
+    (E.eq("id", 20), F_MID, False),
+    (E.eq("id", 50), F_MID, True),
+    (E.eq("id", 80), F_MID, False),
+    (E.neq("id", 50), F_MID, True),        # cannot prune with min/max
+    (E.in_("id", [1, 2]), F_MID, False),
+    (E.in_("id", [1, 50]), F_MID, True),
+    (E.not_in("id", [50]), F_MID, True),
+    (E.is_null("name"), F_NO_NULL, False),
+    (E.is_null("name"), F_ALL_NULL, True),
+    (E.not_null("name"), F_ALL_NULL, False),
+    (E.not_null("name"), F_NO_NULL, True),
+    (E.eq("name", "x"), F_ALL_NULL, False),  # all null: literal can't match
+    (E.starts_with("name", "a"), F_NO_NULL, False),
+    (E.starts_with("name", "b"), F_NO_NULL, True),
+    (E.starts_with("name", "e"), F_NO_NULL, False),
+    (E.not_starts_with("name", "b"), F_NO_NULL, True),
+    (E.is_nan("x"), F_NO_NAN, False),
+    (E.is_nan("x"), F_NAN, True),
+    (E.not_nan("x"), F_NAN, True),
+    (E.and_(E.gt("id", 10), E.lt("id", 20)), F_MID, False),
+    (E.or_(E.lt("id", 10), E.gt("id", 90)), F_MID, False),
+    (E.or_(E.lt("id", 10), E.gt("id", 60)), F_MID, True),
+])
+def test_inclusive_metrics(expr, file, keep):
+    assert InclusiveMetricsEvaluator(SCHEMA, expr).eval(file) is keep
+
+
+@pytest.mark.parametrize("expr,file,must", [
+    (E.lt("id", 71), F_MID, True),
+    (E.lt("id", 70), F_MID, False),
+    (E.lt_eq("id", 70), F_MID, True),
+    (E.gt("id", 29), F_MID, True),
+    (E.gt("id", 30), F_MID, False),
+    (E.gt_eq("id", 30), F_MID, True),
+    (E.neq("id", 80), F_MID, True),
+    (E.neq("id", 50), F_MID, False),
+    (E.not_null("name"), F_NO_NULL, True),
+    (E.not_null("name"), F_ALL_NULL, False),
+    (E.is_null("name"), F_ALL_NULL, True),
+    (E.not_in("id", [80, 90]), F_MID, True),
+    (E.not_in("id", [50]), F_MID, False),
+    (E.starts_with("name", "b"), F_NO_NULL, False),  # bounds differ
+])
+def test_strict_metrics(expr, file, must):
+    assert StrictMetricsEvaluator(SCHEMA, expr).eval(file) is must
+
+
+def test_empty_file_always_skipped():
+    f = _file(record_count=0)
+    assert InclusiveMetricsEvaluator(SCHEMA, E.AlwaysTrue()).eval(f) is False
+
+
+# -- partition-space projection + manifest pruning --------------------------
+
+PSPEC = spec_from_names(SCHEMA, ("id", "bucket[4]"), ("name", "truncate[2]"))
+
+
+def test_inclusive_projection_mixed():
+    expr = E.and_(E.eq("id", 100), E.gt_eq("name", "ab"))
+    proj = inclusive_projection(SCHEMA, PSPEC, expr)
+    # eq on bucket source projects; gt_eq on truncate projects
+    s = str(proj)
+    assert "id_bucket" in s and "name_trunc" in s
+
+
+def test_projection_inclusive_fallback():
+    # gt on a bucketed column can't project -> that leg becomes true
+    proj = inclusive_projection(SCHEMA, PSPEC, E.gt("id", 5))
+    assert proj == E.AlwaysTrue()
+
+
+def test_partition_expr_evaluator():
+    from iceberg_go_spark.transforms import BucketTransform
+    b = BucketTransform(4).apply(100, T.LongType())
+    ev = partition_expr_evaluator(SCHEMA, PSPEC, E.eq("id", 100))
+    assert ev({"id_bucket": b, "name_trunc": "zz"})
+    assert not ev({"id_bucket": (b + 1) % 4, "name_trunc": "zz"})
+
+
+def _manifest(summaries):
+    return ManifestFile(
+        manifest_path="/m.avro", manifest_length=1, partition_spec_id=0,
+        content=0, sequence_number=1, min_sequence_number=1,
+        added_snapshot_id=1, added_files_count=1, existing_files_count=0,
+        deleted_files_count=0, added_rows_count=10, existing_rows_count=0,
+        deleted_rows_count=0, partitions=summaries)
+
+
+def test_manifest_evaluator_time_partition():
+    schema = Schema([T.NestedField(1, "ts", T.TimestamptzType())])
+    spec = spec_from_names(schema, ("ts", "month"))
+    # manifest covers months 600..610 (2020-01..2020-11)
+    mf = _manifest([FieldSummary(
+        contains_null=False,
+        lower_bound=to_bytes(T.IntegerType(), 600),
+        upper_bound=to_bytes(T.IntegerType(), 610))])
+    keep = ManifestEvaluator(schema, spec,
+                             E.gt_eq("ts", "2020-06-01")).eval(mf)
+    assert keep
+    skip = ManifestEvaluator(schema, spec,
+                             E.lt("ts", "2010-01-01")).eval(mf)
+    assert not skip
+    eq_out = ManifestEvaluator(schema, spec,
+                               E.eq("ts", "2035-01-01")).eval(mf)
+    assert not eq_out
+
+
+def test_manifest_evaluator_all_null_partition():
+    schema = Schema([T.NestedField(1, "name", T.StringType())])
+    spec = spec_from_names(schema, ("name", "identity"))
+    mf = _manifest([FieldSummary(contains_null=True)])
+    assert ManifestEvaluator(schema, spec, E.is_null("name")).eval(mf)
+    assert not ManifestEvaluator(schema, spec, E.eq("name", "x")).eval(mf)

@@ -1,0 +1,108 @@
+"""Local emulation of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir; compare
+row count, column names, and exact values (sorted, column-name order).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(v):
+        if v is None:
+            return "\x00"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.9g}"
+        return str(v)
+
+    out = []
+    for r in rows:
+        out.append(tuple(key(r[i]) for i in order))
+    return sorted(out), [cols[i] for i in order]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from iceberg_go_spark.session import get_spark
+    spark = get_spark("correctness", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(rows)} rows (no oracle) "
+                  f"[{spark_s:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        a, acols = normalize(rows, cols)
+        b, bcols = normalize(orows, ocols)
+        if acols != bcols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {acols} vs {bcols}")
+            continue
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
+            continue
+        if a != b:
+            failures.append(name)
+            bad = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+            print(f"FAIL  {name}: value mismatch at sorted rows {bad}")
+            for i in bad[:2]:
+                print(f"      spark : {a[i]}")
+                print(f"      duckdb: {b[i]}")
+            continue
+        print(f"OK    {name}: {len(a)} rows match [{spark_s:.1f}s]")
+
+    print(f"\n{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
