@@ -39,6 +39,9 @@ from iceberg_go_spark.operators import text as TOP  # noqa: E402
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS): Spark 4 only reads it as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis
@@ -470,11 +473,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_groups(docs).select("band", "band_key", "doc_id")
 
 
+def _hex12_to_int_sql(h: str) -> str:
+    """DuckDB: integer value of the first 12 hex chars (= Spark conv)."""
+    terms = [
+        f"((strpos('0123456789abcdef', substring({h}, {j + 1}, 1)) - 1)"
+        f"::BIGINT << {4 * (11 - j)})"
+        for j in range(12)]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+    from iceberg_go_spark.operators.dedup import (MINHASH_A, MINHASH_B,
+                                                  MINHASH_P)
     grams = TX.char_ngrams_sql("text", ngram)
-    hashes = ", ".join(
-        f"list_aggregate(list_transform(grams, g -> md5('{s}:' || g)), 'min')"
-        f" AS h{s}" for s in range(num_hashes))
+    mixes = ", ".join(
+        f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS h{s}"
+        for s in range(num_hashes))
     r = num_hashes // bands
     selects = []
     for b in range(bands):
@@ -482,10 +496,12 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
         selects.append(f"SELECT doc_id, {b} AS band, md5({key}) AS band_key "
                        f"FROM sig")
     u = " UNION ALL ".join(selects)
-    return (f"WITH g AS (SELECT doc_id, {grams} AS grams FROM documents),\n"
-            f"sig AS (SELECT doc_id, {hashes} FROM g WHERE len(grams) > 0)\n"
-            f"SELECT band, band_key, doc_id FROM ({u}) "
-            f"QUALIFY count(*) OVER (PARTITION BY band, band_key) > 1")
+    return (
+        f"WITH g AS (SELECT doc_id, unnest({grams}) AS gram FROM documents),\n"
+        f"h AS (SELECT doc_id, {_hex12_to_int_sql('md5(gram)')} AS h FROM g),\n"
+        f"sig AS (SELECT doc_id, {mixes} FROM h GROUP BY doc_id)\n"
+        f"SELECT band, band_key, doc_id FROM ({u}) "
+        f"QUALIFY count(*) OVER (PARTITION BY band, band_key) > 1")
 
 
 def dedup_simhash(spark, sf_dir):

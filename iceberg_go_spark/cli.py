@@ -1,0 +1,131 @@
+"""CLI over the engine — mirrors the reference's ``iceberg`` tool surface
+(/root/reference/cmd/iceberg/main.go:75-171): list/describe/schema/files/
+snapshots/history/refs/branch/tag/compact/expire/orphans.
+
+Usage: python -m iceberg_go_spark.cli --warehouse WH <cmd> [args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _table(args):
+    from .catalog import FilesystemCatalog
+    return FilesystemCatalog(args.warehouse).load_table(args.table)
+
+
+def _emit(args, rows, headers):
+    if args.output == "json":
+        print(json.dumps([dict(zip(headers, r)) for r in rows],
+                         default=str, indent=1))
+        return
+    widths = [max(len(str(h)), *(len(str(r[i])) for r in rows)) if rows
+              else len(str(h)) for i, h in enumerate(headers)]
+    print("  ".join(str(h).ljust(w) for h, w in zip(headers, widths)))
+    for r in rows:
+        print("  ".join(str(v).ljust(w) for v, w in zip(r, widths)))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="iceberg_go_spark")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--output", choices=["text", "json"], default="text")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("list", help="list namespaces or tables")
+    sp.add_argument("namespace", nargs="?")
+    for name in ("describe", "schema", "files", "snapshots", "history",
+                 "refs"):
+        sp = sub.add_parser(name)
+        sp.add_argument("table")
+    sp = sub.add_parser("create-tag")
+    sp.add_argument("table")
+    sp.add_argument("name")
+    sp.add_argument("--snapshot-id", type=int)
+    sp = sub.add_parser("create-branch")
+    sp.add_argument("table")
+    sp.add_argument("name")
+    sp.add_argument("--snapshot-id", type=int)
+    sp = sub.add_parser("compact")
+    sp.add_argument("table")
+    sp = sub.add_parser("expire-snapshots")
+    sp.add_argument("table")
+    sp.add_argument("--retain-last", type=int, default=1)
+    sp = sub.add_parser("orphan-files")
+    sp.add_argument("table")
+    sp.add_argument("--delete", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        from .catalog import FilesystemCatalog
+        cat = FilesystemCatalog(args.warehouse)
+        if args.namespace:
+            rows = [(".".join(t),) for t in cat.list_tables(args.namespace)]
+        else:
+            rows = [(".".join(n),) for n in cat.list_namespaces()]
+        _emit(args, rows, ["identifier"])
+        return 0
+
+    t = _table(args)
+    if args.cmd == "describe":
+        md = t.metadata
+        rows = [("location", md.location),
+                ("format-version", md.format_version),
+                ("table-uuid", md.table_uuid),
+                ("current-snapshot-id", md.current_snapshot_id),
+                ("last-sequence-number", md.last_sequence_number),
+                ("schema", str(md.schema())),
+                ("partition-spec", repr(md.spec())),
+                ("properties", json.dumps(md.properties))]
+        _emit(args, rows, ["field", "value"])
+    elif args.cmd == "schema":
+        rows = [(f.field_id, f.name, str(f.field_type), f.required)
+                for f in t.schema().fields]
+        _emit(args, rows, ["id", "name", "type", "required"])
+    elif args.cmd == "files":
+        rows = [(tk.data_file.file_path, tk.data_file.record_count,
+                 tk.data_file.file_size_in_bytes,
+                 json.dumps(tk.data_file.partition, default=str),
+                 len(tk.pos_deletes), len(tk.eq_deletes))
+                for tk in t.scan().plan_files()]
+        _emit(args, rows, ["path", "records", "bytes", "partition",
+                           "pos_deletes", "eq_deletes"])
+    elif args.cmd == "snapshots":
+        rows = [(s.snapshot_id, s.sequence_number, s.timestamp_ms,
+                 s.operation, s.summary.get("total-records", ""))
+                for s in t.snapshots()]
+        _emit(args, rows, ["snapshot_id", "seq", "timestamp_ms", "operation",
+                           "total_records"])
+    elif args.cmd == "history":
+        rows = [(e["timestamp-ms"], e["snapshot-id"]) for e in t.history()]
+        _emit(args, rows, ["timestamp_ms", "snapshot_id"])
+    elif args.cmd == "refs":
+        rows = [(name, r.ref_type, r.snapshot_id)
+                for name, r in t.refs().items()]
+        _emit(args, rows, ["name", "type", "snapshot_id"])
+    elif args.cmd == "create-tag":
+        t.create_tag(args.name, args.snapshot_id)
+        print(f"tagged {args.name}")
+    elif args.cmd == "create-branch":
+        t.create_branch(args.name, args.snapshot_id)
+        print(f"branched {args.name}")
+    elif args.cmd == "compact":
+        from .session import get_spark
+        t.compact(get_spark("cli"))
+        print("compacted")
+    elif args.cmd == "expire-snapshots":
+        deleted = t.expire_snapshots(retain_last=args.retain_last)
+        print(f"deleted {len(deleted)} files")
+    elif args.cmd == "orphan-files":
+        from .session import get_spark
+        paths = t.orphan_files(get_spark("cli"), dry_run=not args.delete)
+        for pth in paths:
+            print(pth)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

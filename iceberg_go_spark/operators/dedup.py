@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import text_funcs as TX
 
+# universal-hash family for minhash: h_i = (a_i*h + b_i) mod p over the
+# 48-bit md5 prefix (a_i*h < 2^63, exact in BIGINT on Spark AND DuckDB)
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = [4373, 9241, 6007, 12289, 7823, 3221, 10111, 5647,
+             8369, 2903, 11003, 6829, 4723, 9973, 3517, 7499]
+MINHASH_B = [991, 2467, 5113, 7919, 1279, 3851, 6373, 8887,
+             1531, 4219, 6947, 9311, 2083, 4831, 7507, 9949]
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -53,17 +61,21 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
     i.e. every (document, band) membership in a non-trivial candidate
     bucket.  Downstream dedup drops all but min(doc_id) per bucket.
 
-    Shape (the 100 TB pipeline): shingle-explode -> per-shingle seeded
-    hashes -> groupBy(doc) min-agg (map-side combinable) -> band ->
-    bucket count.  Exploding first means the normalize+shingle regex work
-    runs ONCE per doc, not once per hash seed (Catalyst would otherwise
-    duplicate the expression tree into all num_hashes projections)."""
+    Shape (the 100 TB pipeline): shingle-explode -> ONE md5 per shingle ->
+    num_hashes cheap universal-hash mixes ((a_i*h + b_i) mod p, exact
+    BIGINT math, portable to the SQL oracle) -> groupBy(doc) min-agg
+    (map-side combinable) -> band -> bucket count.  Exploding first means
+    the normalize+shingle regex runs once per doc; the single-md5 trick
+    cuts hashing cost num_hashes-fold (it dominated the profile)."""
     grams = df.select(
         F.col(id_col),
         F.explode(TX.char_ngrams(F.col(text_col), ngram)).alias("__gram"))
-    sig = grams.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("__gram"))))
-        .alias(f"__h{s}")
+    base = grams.withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__gram")), 1, 12), 16, 10)
+        .cast("long"))
+    sig = base.groupBy(id_col).agg(*[
+        F.min((F.lit(MINHASH_A[s]) * F.col("__h") + F.lit(MINHASH_B[s]))
+              % F.lit(MINHASH_P)).alias(f"__h{s}")
         for s in range(num_hashes)])
     r = num_hashes // bands
     band_keys = [

@@ -1,0 +1,153 @@
+"""Streaming over table snapshots + event-time operators.
+
+The reference has no streaming runtime (SURVEY §2.9); its incremental
+snapshot ancestry (table/snapshot_ancestry.go:103 AncestorsBetween) is the
+natural basis for one.  This module provides:
+
+- incremental batch reads between snapshots (CDC-style append diffs);
+- a Structured Streaming source over the table's data directory (appends
+  write new parquet files -> Spark's file stream source tails them);
+- watermarked tumbling-window aggregation and gap-based sessionization
+  (batch formulation is deterministic; streaming variant keeps state with
+  applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+import pyspark.sql.types as ST
+
+from ..meta import manifests as M
+
+
+def added_files_between(table, from_snapshot_id: Optional[int],
+                        to_snapshot_id: Optional[int] = None) -> List[str]:
+    """Data files added by append/overwrite snapshots in
+    (from_snapshot_id, to_snapshot_id] (snapshot_ancestry.go:103)."""
+    md = table.metadata
+    to_id = to_snapshot_id if to_snapshot_id is not None \
+        else md.current_snapshot_id
+    if to_id is None:
+        return []
+    out: List[str] = []
+    for snap in md.ancestors_of(to_id):
+        if from_snapshot_id is not None and \
+                snap.snapshot_id == from_snapshot_id:
+            break
+        for mf in M.read_manifest_list(snap.manifest_list):
+            if mf.added_snapshot_id != snap.snapshot_id:
+                continue
+            if mf.content != M.MANIFEST_DATA:
+                continue
+            entries, _, _ = M.read_manifest(mf.manifest_path)
+            for e in entries:
+                if e.status == M.STATUS_ADDED and \
+                        e.data_file.content == M.CONTENT_DATA:
+                    out.append(e.data_file.file_path)
+    return out
+
+
+def incremental_append_df(spark: SparkSession, table,
+                          from_snapshot_id: Optional[int],
+                          to_snapshot_id: Optional[int] = None) -> DataFrame:
+    """Batch DataFrame of rows appended after ``from_snapshot_id``."""
+    files = added_files_between(table, from_snapshot_id, to_snapshot_id)
+    schema = table.schema().to_spark()
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def read_stream(spark: SparkSession, table,
+                max_files_per_trigger: int = 64) -> DataFrame:
+    """Structured Streaming source over the table: every append commit adds
+    parquet files under data/, which the file stream source tails."""
+    schema = table.schema().to_spark()
+    return (spark.readStream
+            .schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(os.path.join(table.location(), "data")))
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    group_col: Optional[str] = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation (late rows beyond the
+    watermark are dropped by the state store)."""
+    groups = [F.window(F.col(ts_col), window)]
+    if group_col:
+        groups.append(F.col(group_col))
+    return (stream_df
+            .withWatermark(ts_col, watermark)
+            .groupBy(*groups)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value")))
+
+
+def sessionize_batch(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization, batch formulation: a new session starts
+    when the gap to the previous event exceeds ``gap_minutes``.  Pure
+    window functions — one shuffle on user_col."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(
+        F.lag(ts_col).over(w))
+    df2 = (df
+           .withColumn("__new_session",
+                       F.when(gap.isNull() | (gap > gap_minutes * 60), 1)
+                       .otherwise(0))
+           .withColumn("session_seq",
+                       F.sum("__new_session").over(
+                           w.rowsBetween(W.unboundedPreceding, 0))))
+    return (df2.groupBy(user_col, "session_seq")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value")))
+
+
+SESSION_STATE_SCHEMA = "last_ts long, session_seq long"
+SESSION_OUT_SCHEMA = ST.StructType([
+    ST.StructField("user_id", ST.LongType()),
+    ST.StructField("session_seq", ST.LongType()),
+    ST.StructField("n_events", ST.LongType()),
+])
+
+
+def sessionize_stream(stream_df: DataFrame, gap_minutes: int = 30,
+                      ts_col: str = "ts") -> DataFrame:
+    """Streaming sessionization with explicit keyed state
+    (applyInPandasWithState): state = (last event ts, session counter)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        n = 0
+        for pdf in pdf_iter:
+            ts = pdf[ts_col].astype("int64") // 1_000_000_000
+            for t in sorted(ts):
+                if last_ts is None or t - last_ts > gap_s:
+                    seq += 1
+                last_ts = int(t)
+                n += 1
+        state.update((last_ts, seq))
+        yield pd.DataFrame({"user_id": [user_id], "session_seq": [seq],
+                            "n_events": [n]})
+
+    return (stream_df.groupBy("user_id")
+            .applyInPandasWithState(fn, SESSION_OUT_SCHEMA,
+                                    SESSION_STATE_SCHEMA, "update",
+                                    GroupStateTimeout.NoTimeout))

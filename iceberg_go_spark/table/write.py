@@ -221,6 +221,12 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     spark = df.sparkSession
     out_dir = os.path.join(data_dir, batch_id or _uuid.uuid4().hex[:16])
 
+    # stamp parquet field IDs so files are readable by-ID after renames
+    df = df.select(*[
+        F.col(f.name).alias(f.name, metadata={
+            "iceberg.field-id": f.field_id,
+            "parquet.field.id": f.field_id})
+        for f in schema.fields])
     writer_df, pcols = partition_columns(df, schema, spec)
     if sort_order and not sort_order.is_unsorted:
         if pcols:

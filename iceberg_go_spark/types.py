@@ -238,10 +238,13 @@ def to_spark_type(t: IcebergType) -> S.DataType:
     if isinstance(t, (BinaryType, FixedType)):
         return S.BinaryType()
     if isinstance(t, StructType):
+        # parquet.field.id lets Spark's parquet reader/writer match columns
+        # by Iceberg field ID instead of by name (renames/evolution-safe)
         return S.StructType([
             S.StructField(
                 f.name, to_spark_type(f.field_type), not f.required,
-                metadata={FIELD_ID_MD: f.field_id},
+                metadata={FIELD_ID_MD: f.field_id,
+                          "parquet.field.id": f.field_id},
             )
             for f in t.fields
         ])

@@ -1,0 +1,149 @@
+"""Views and UDF definitions: versioned SQL stored in the catalog,
+executed through Spark.
+
+Parity (behavior only): /root/reference/view/metadata.go:64 (versioned view
+metadata, per-dialect SQL representations :102) and udf/metadata.go:52-121
+(scalar udf vs table-function udtf, typed params, versioned bodies).
+Execution is Spark's — the reference stores definitions only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ViewVersion:
+    version_id: int
+    timestamp_ms: int
+    sql: str
+    dialect: str = "spark"
+    summary: Dict[str, str] = dc_field(default_factory=dict)
+
+
+@dataclass
+class ViewMetadata:
+    view_uuid: str
+    identifier: str
+    current_version_id: int
+    versions: List[ViewVersion]
+
+    def current(self) -> ViewVersion:
+        for v in self.versions:
+            if v.version_id == self.current_version_id:
+                return v
+        raise ValueError("missing current view version")
+
+
+@dataclass
+class UDFDefinition:
+    """Scalar ``udf`` or table function ``udtf`` (udf/metadata.go:52)."""
+    name: str
+    func_type: str            # "udf" | "udtf"
+    sql_body: str             # SQL expression/query with $params
+    params: List[str] = dc_field(default_factory=list)
+    deterministic: bool = True
+    dialect: str = "spark"
+
+
+class ViewCatalog:
+    """File-backed registry under {warehouse}/_views."""
+
+    def __init__(self, warehouse: str):
+        self.dir = os.path.join(warehouse, "_views")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, identifier: str) -> str:
+        return os.path.join(self.dir, identifier.replace(".", "__") + ".json")
+
+    def create_view(self, identifier: str, sql: str) -> ViewMetadata:
+        md = ViewMetadata(str(uuid.uuid4()), identifier, 1,
+                          [ViewVersion(1, int(time.time() * 1000), sql)])
+        self._write(md)
+        return md
+
+    def replace_view(self, identifier: str, sql: str) -> ViewMetadata:
+        md = self.load_view(identifier)
+        vid = max(v.version_id for v in md.versions) + 1
+        md.versions.append(ViewVersion(vid, int(time.time() * 1000), sql))
+        md.current_version_id = vid
+        self._write(md)
+        return md
+
+    def load_view(self, identifier: str) -> ViewMetadata:
+        with open(self._path(identifier)) as f:
+            d = json.load(f)
+        return ViewMetadata(
+            d["view-uuid"], d["identifier"], d["current-version-id"],
+            [ViewVersion(v["version-id"], v["timestamp-ms"], v["sql"],
+                         v.get("dialect", "spark"))
+             for v in d["versions"]])
+
+    def drop_view(self, identifier: str) -> None:
+        os.unlink(self._path(identifier))
+
+    def list_views(self) -> List[str]:
+        return sorted(p[:-5].replace("__", ".")
+                      for p in os.listdir(self.dir) if p.endswith(".json"))
+
+    def _write(self, md: ViewMetadata) -> None:
+        d = {"view-uuid": md.view_uuid, "identifier": md.identifier,
+             "current-version-id": md.current_version_id,
+             "versions": [{"version-id": v.version_id,
+                           "timestamp-ms": v.timestamp_ms, "sql": v.sql,
+                           "dialect": v.dialect} for v in md.versions]}
+        tmp = self._path(md.identifier) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f, indent=1)
+        os.replace(tmp, self._path(md.identifier))
+
+    # -- execution -----------------------------------------------------------
+    def run_view(self, spark: SparkSession, identifier: str,
+                 version_id: Optional[int] = None) -> DataFrame:
+        md = self.load_view(identifier)
+        if version_id is None:
+            v = md.current()
+        else:
+            v = next(x for x in md.versions if x.version_id == version_id)
+        return spark.sql(v.sql)
+
+
+class UDFRegistry:
+    """File-backed UDF definitions; applied to a session as SQL macros."""
+
+    def __init__(self, warehouse: str):
+        self.dir = os.path.join(warehouse, "_udfs")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, name + ".json")
+
+    def register(self, d: UDFDefinition) -> None:
+        with open(self._path(d.name), "w") as f:
+            json.dump(d.__dict__, f, indent=1)
+
+    def load(self, name: str) -> UDFDefinition:
+        with open(self._path(name)) as f:
+            return UDFDefinition(**json.load(f))
+
+    def list_udfs(self) -> List[str]:
+        return sorted(p[:-5] for p in os.listdir(self.dir)
+                      if p.endswith(".json"))
+
+    def apply(self, spark: SparkSession, name: str) -> None:
+        """Install as a Spark SQL temp function (SQL-body macro)."""
+        d = self.load(name)
+        params = ", ".join(f"{p} ANY" for p in d.params) if d.params else ""
+        # Spark SQL CREATE TEMPORARY FUNCTION requires a class; use SQL
+        # function syntax (Spark 3.5+ SQL UDF)
+        arglist = ", ".join(f"{p} DOUBLE" for p in d.params)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {d.name}({arglist}) "
+            f"RETURNS DOUBLE RETURN {d.sql_body}")

@@ -1,0 +1,168 @@
+"""Compaction, snapshot expiry, orphan cleanup, manifest rewrite,
+schema/spec evolution."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark import types as T
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.partitioning import spec_from_names
+from iceberg_go_spark.schema import Schema
+
+from conftest import read_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def test_compaction(spark, sf_dir, catalog):
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.c1", schema)
+    # several small appends -> many small files
+    for i in range(4):
+        t.append(df.filter(F.col("o_orderkey") % 4 == i))
+    before = len(t.scan().plan_files())
+    assert before >= 4
+    t.compact(spark)
+    after_tasks = t.scan().plan_files()
+    assert len(after_tasks) < before
+    assert t.to_df(spark).count() == df.count()
+    assert t.current_snapshot().summary["operation"] == "replace"
+    # checksum preserved
+    a = df.agg(F.sum("o_totalprice")).collect()[0][0]
+    b = t.to_df(spark).agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_compaction_applies_deletes(spark, sf_dir, catalog):
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.c2", schema)
+    t.append(df.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(df.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_where(spark, E.eq("o_orderstatus", "F"), mode="merge-on-read")
+    expected = df.filter(F.col("o_orderstatus") != "F").count()
+    assert t.to_df(spark).count() == expected
+    t.compact(spark, min_input_files=1)
+    # deletes folded in; no delete files remain in the plan
+    tasks = t.scan().plan_files()
+    assert all(not tk.pos_deletes and not tk.eq_deletes for tk in tasks)
+    assert t.to_df(spark).count() == expected
+
+
+def test_expire_snapshots(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.e1", schema)
+    t.append(df)
+    t.append(df)
+    t.append(df)
+    assert len(t.snapshots()) == 3
+    deleted = t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 10,
+                                 retain_last=1)
+    assert len(t.snapshots()) == 1
+    assert deleted  # old manifest lists went away
+    # table still reads fine (per-snapshot appends all reachable via current)
+    assert t.to_df(spark).count() == 3 * df.count()
+
+
+def test_orphan_files(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.o1", schema)
+    t.append(df)
+    stray = os.path.join(t.location(), "data", "stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    old = time.time() - 30 * 24 * 3600
+    os.utime(stray, (old, old))
+    found = t.orphan_files(spark, dry_run=True)
+    assert stray in found
+    assert os.path.exists(stray)
+    t.orphan_files(spark, dry_run=False)
+    assert not os.path.exists(stray)
+    # live data untouched
+    assert t.to_df(spark).count() == df.count()
+
+
+def test_rewrite_manifests(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.rm1", schema)
+    for _ in range(3):
+        t.append(df)
+    from iceberg_go_spark.meta.manifests import read_manifest_list
+    before = len(read_manifest_list(t.current_snapshot().manifest_list))
+    assert before == 3
+    t.rewrite_manifests()
+    after = len(read_manifest_list(t.current_snapshot().manifest_list))
+    assert after == 1
+    assert t.to_df(spark).count() == 3 * df.count()
+
+
+def test_schema_evolution_add_rename(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.s1", schema)
+    t.append(df)
+
+    t.update_schema() \
+        .add_column("r_comment", T.StringType()) \
+        .rename_column("r_name", "region_name") \
+        .commit()
+    assert t.schema().find_field("region_name") is not None
+    assert t.schema().find_field("r_comment") is not None
+    # old files read under the new schema: renamed col resolves by field ID,
+    # added col is null
+    out = t.to_df(spark)
+    assert "region_name" in out.columns
+    names = {r.region_name for r in out.collect()}
+    assert "ASIA" in names
+    assert out.filter(F.col("r_comment").isNull()).count() == df.count()
+
+    # append under the new schema round-trips
+    df2 = out.limit(1).withColumn("r_comment", F.lit("hello")) \
+        .withColumn("r_regionkey", F.lit(99))
+    t.append(df2)
+    got = t.to_df(spark).filter(F.col("r_regionkey") == 99)
+    assert got.select("r_comment").first()[0] == "hello"
+
+
+def test_schema_evolution_guards(spark, sf_dir, catalog):
+    df = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.s2", schema,
+                             spec_from_names(schema, ("n_regionkey",
+                                                      "identity")))
+    with pytest.raises(ValueError):
+        t.update_schema().drop_column("n_regionkey").commit()  # partition src
+    with pytest.raises(ValueError):
+        t.update_schema().update_column_type("n_name", T.IntegerType())
+    # int -> long is a safe promotion
+    t.update_schema().update_column_type("n_nationkey", T.LongType()).commit()
+    assert isinstance(t.schema().find_field("n_nationkey").field_type,
+                      T.LongType)
+
+
+def test_spec_evolution_multi_spec_scan(spark, sf_dir, catalog):
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.s3", schema)
+    t.append(df.filter(F.col("o_orderkey") % 2 == 0))  # unpartitioned files
+    t.update_spec().add_field("o_orderdate", "year").commit()
+    t.append(df.filter(F.col("o_orderkey") % 2 == 1))  # partitioned files
+    # scan spans both specs
+    assert t.to_df(spark).count() == df.count()
+    cutoff = str(df.selectExpr("date_add(min(o_orderdate), 400)").first()[0])
+    scan = t.scan(E.lt("o_orderdate", cutoff))
+    expected = df.filter(F.col("o_orderdate") < cutoff).count()
+    assert scan.to_df(spark).count() == expected
+    # pruning applies to new-spec files at least
+    assert len(scan.plan_files()) < len(t.scan().plan_files())

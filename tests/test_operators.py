@@ -1,0 +1,178 @@
+"""Training-data operators: dedup family, similarity, text, multimodal,
+streaming (batch formulations), views/UDFs, CLI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import read_table
+
+
+def test_exact_dedup(spark):
+    from iceberg_go_spark.operators.dedup import exact_dedup
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")],
+        "doc_id long, text string")
+    out = exact_dedup(df)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 2}
+
+
+def test_normalized_dedup(spark):
+    from iceberg_go_spark.operators.dedup import exact_dedup_normalized
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string")
+    ids = {r.doc_id for r in exact_dedup_normalized(df).collect()}
+    assert ids == {1, 3}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from iceberg_go_spark.operators.dedup import (minhash_lsh_dedup,
+                                                  minhash_lsh_groups)
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = base + " indeed"
+    other = "completely different content about database engines and spark"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],
+        "doc_id long, text string")
+    groups = minhash_lsh_groups(df).collect()
+    grouped_ids = {r.doc_id for r in groups}
+    assert 1 in grouped_ids and 4 in grouped_ids  # exact dup always caught
+    surv = {r.doc_id for r in minhash_lsh_dedup(df).collect()}
+    assert 3 in surv and 1 in surv and 4 not in surv
+
+
+def test_ngram_jaccard_pairs(spark):
+    from iceberg_go_spark.operators.dedup import ngram_jaccard_pairs
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzyyyyxxxx")],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+    assert pairs[0].jaccard == 1.0
+
+
+def test_simhash_close_for_similar(spark):
+    from iceberg_go_spark.functions.text_funcs import simhash16
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "omega psi chi phi")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.sh for r in
+            df.select("doc_id",
+                      simhash16(F.col("text")).alias("sh")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert 0 <= rows[1] < (1 << 16)
+
+
+def test_brute_force_topk(spark, sf_dir):
+    from iceberg_go_spark.operators.similarity import brute_force_topk
+    emb = read_table(spark, "embeddings", sf_dir)
+    qs = emb.limit(2).select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("query_vec"))
+    out = brute_force_topk(emb, qs, k=5)
+    rows = out.collect()
+    assert len(rows) == 10
+    for qid in {r.query_id for r in rows}:
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+        # self-match is rank 1 with cosine ~1
+        top = next(r for r in rows if r.query_id == qid and r.rank == 1)
+        assert top.vec_id == qid and abs(top.cosine - 1.0) < 1e-4
+
+
+def test_text_stats_shape(spark, sf_dir):
+    from iceberg_go_spark.operators.text import text_stats
+    docs = read_table(spark, "documents", sf_dir)
+    out = text_stats(docs)
+    row = out.first()
+    assert row.n_chars > 0 and row.n_tokens > 0
+    assert 0.0 <= row.alpha_ratio <= 1.0
+    assert 0.0 <= row.quality <= 1.0
+    assert len(row.fingerprint) == 32
+
+
+def test_multimodal_pipeline(spark, sf_dir):
+    from iceberg_go_spark.operators.multimodal import (decode_image,
+                                                       extract_features,
+                                                       synthesize_media)
+    docs = read_table(spark, "documents", sf_dir).limit(20)
+    media = synthesize_media(spark, docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    f0 = feats[0]
+    assert len(f0.content_hash) == 64
+    assert len(f0.feature) == 8
+    assert all(-1.0 <= x <= 1.0 for x in f0.feature)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_incremental_read(spark, sf_dir, tmp_path):
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.source import incremental_append_df
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "region", sf_dir)
+    t = cat.create_table("db.inc", Schema.from_spark(df.schema))
+    t.append(df)
+    s1 = t.current_snapshot().snapshot_id
+    t.append(df.limit(2))
+    inc = incremental_append_df(spark, t, from_snapshot_id=s1)
+    assert inc.count() == 2
+    full = incremental_append_df(spark, t, from_snapshot_id=None)
+    assert full.count() == df.count() + 2
+
+
+def test_sessionize_batch(spark, sf_dir):
+    from iceberg_go_spark.streaming.source import sessionize_batch
+    import __spark_entry__ as em
+    ev = em._read(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_minutes=60)
+    assert out.count() > 0
+    agg = out.agg(F.sum("n_events")).collect()[0][0]
+    assert agg == ev.count()
+
+
+def test_views_and_udfs(spark, sf_dir, tmp_path):
+    from iceberg_go_spark.views import UDFDefinition, UDFRegistry, ViewCatalog
+    read_table(spark, "nation", sf_dir).createOrReplaceTempView("nation_v")
+    vc = ViewCatalog(str(tmp_path))
+    vc.create_view("db.nations", "SELECT n_name FROM nation_v")
+    assert vc.run_view(spark, "db.nations").count() == 25
+    vc.replace_view("db.nations",
+                    "SELECT n_name FROM nation_v WHERE n_regionkey = 0")
+    assert vc.run_view(spark, "db.nations").count() < 25
+    assert vc.run_view(spark, "db.nations", version_id=1).count() == 25
+
+    reg = UDFRegistry(str(tmp_path))
+    reg.register(UDFDefinition("disc_price", "udf",
+                               "p * (1.0 - d)", ["p", "d"]))
+    reg.apply(spark, "disc_price")
+    v = spark.sql("SELECT disc_price(10.0, 0.1) AS x").first().x
+    assert abs(v - 9.0) < 1e-9
+
+
+def test_cli(tmp_path, spark, sf_dir, capsys):
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.cli import main
+    wh = str(tmp_path / "wh")
+    cat = FilesystemCatalog(wh)
+    df = read_table(spark, "region", sf_dir)
+    t = cat.create_table("db.r", Schema.from_spark(df.schema))
+    t.append(df)
+    assert main(["--warehouse", wh, "list", "db"]) == 0
+    out = capsys.readouterr().out
+    assert "db.r" in out
+    assert main(["--warehouse", wh, "snapshots", "db.r"]) == 0
+    out = capsys.readouterr().out
+    assert "append" in out
+    assert main(["--warehouse", wh, "--output", "json", "files",
+                 "db.r"]) == 0
+    import json
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and rows[0]["records"] == 5
