@@ -1,0 +1,198 @@
+"""SQL catalog over sqlite (stdlib) — the reference's catalog/sql/sql.go
+(1858 LoC, bun ORM, dialects) re-expressed on sqlite3 with the same table
+layout (iceberg_tables / iceberg_namespace_properties) and the same CAS
+semantics: commit = UPDATE ... WHERE metadata_location = <expected>.
+
+Metadata/manifest files live on the filesystem under the warehouse, as with
+the FS catalog; only the pointer swap is transactional in SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import uuid
+from typing import Dict, List, Optional, Tuple
+
+from ..meta.metadata import TableMetadata, new_table_metadata
+from ..meta.partitioning import PartitionSpec, SortOrder
+from ..schema import Schema
+from .filesystem import (CommitConflictError, NoSuchTableError,
+                         TableAlreadyExistsError, _ident)
+
+_DDL = [
+    """CREATE TABLE IF NOT EXISTS iceberg_tables (
+        catalog_name TEXT NOT NULL,
+        table_namespace TEXT NOT NULL,
+        table_name TEXT NOT NULL,
+        metadata_location TEXT,
+        previous_metadata_location TEXT,
+        PRIMARY KEY (catalog_name, table_namespace, table_name))""",
+    """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+        catalog_name TEXT NOT NULL,
+        namespace TEXT NOT NULL,
+        property_key TEXT NOT NULL,
+        property_value TEXT,
+        PRIMARY KEY (catalog_name, namespace, property_key))""",
+]
+
+
+class SqlCatalog:
+    def __init__(self, warehouse: str, db_path: Optional[str] = None,
+                 name: str = "sql"):
+        self.warehouse = os.path.abspath(warehouse)
+        self.name = name
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.db_path = db_path or os.path.join(self.warehouse, "catalog.db")
+        with self._conn() as con:
+            for ddl in _DDL:
+                con.execute(ddl)
+
+    def _conn(self) -> sqlite3.Connection:
+        con = sqlite3.connect(self.db_path, timeout=30)
+        con.isolation_level = None  # autocommit; we use explicit BEGIN
+        return con
+
+    # -- namespaces ----------------------------------------------------------
+    def create_namespace(self, namespace,
+                         properties: Optional[Dict[str, str]] = None) -> None:
+        ns = ".".join(_ident(namespace))
+        with self._conn() as con:
+            con.execute(
+                "INSERT OR REPLACE INTO iceberg_namespace_properties "
+                "VALUES (?, ?, 'exists', 'true')", (self.name, ns))
+            for k, v in (properties or {}).items():
+                con.execute(
+                    "INSERT OR REPLACE INTO iceberg_namespace_properties "
+                    "VALUES (?, ?, ?, ?)", (self.name, ns, k, v))
+
+    def list_namespaces(self) -> List[Tuple[str, ...]]:
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT DISTINCT namespace FROM iceberg_namespace_properties "
+                "WHERE catalog_name = ? UNION "
+                "SELECT DISTINCT table_namespace FROM iceberg_tables "
+                "WHERE catalog_name = ?", (self.name, self.name)).fetchall()
+        return sorted(tuple(r[0].split(".")) for r in rows)
+
+    def namespace_properties(self, namespace) -> Dict[str, str]:
+        ns = ".".join(_ident(namespace))
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT property_key, property_value FROM "
+                "iceberg_namespace_properties WHERE catalog_name = ? AND "
+                "namespace = ?", (self.name, ns)).fetchall()
+        return {k: v for k, v in rows if k != "exists"}
+
+    # -- tables --------------------------------------------------------------
+    def list_tables(self, namespace) -> List[Tuple[str, ...]]:
+        ns = ".".join(_ident(namespace))
+        with self._conn() as con:
+            rows = con.execute(
+                "SELECT table_namespace, table_name FROM iceberg_tables "
+                "WHERE catalog_name = ? AND table_namespace = ?",
+                (self.name, ns)).fetchall()
+        return [tuple(r[0].split(".")) + (r[1],) for r in rows]
+
+    def _split(self, identifier) -> Tuple[str, str]:
+        parts = _ident(identifier)
+        if len(parts) < 2:
+            raise ValueError(f"identifier needs namespace.table: {identifier}")
+        return ".".join(parts[:-1]), parts[-1]
+
+    def create_table(self, identifier, schema: Schema,
+                     spec: Optional[PartitionSpec] = None,
+                     sort_order: Optional[SortOrder] = None,
+                     properties: Optional[Dict[str, str]] = None):
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        table_dir = os.path.join(self.warehouse, *ns.split("."), name)
+        md = new_table_metadata(schema, spec or PartitionSpec(),
+                                location=table_dir, properties=properties,
+                                sort_order=sort_order)
+        os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+        path = os.path.join(table_dir, "metadata",
+                            f"{uuid.uuid4().hex}.metadata.json")
+        md.write(path)
+        with self._conn() as con:
+            try:
+                con.execute(
+                    "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                    (self.name, ns, name, path))
+            except sqlite3.IntegrityError:
+                raise TableAlreadyExistsError(str(identifier))
+        return Table(_ident(identifier), md, path, self)
+
+    def load_table(self, identifier):
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT metadata_location FROM iceberg_tables WHERE "
+                "catalog_name = ? AND table_namespace = ? AND table_name = ?",
+                (self.name, ns, name)).fetchone()
+        if row is None or row[0] is None:
+            raise NoSuchTableError(str(identifier))
+        return Table(_ident(identifier), TableMetadata.read(row[0]),
+                     row[0], self)
+
+    def table_exists(self, identifier) -> bool:
+        try:
+            self.load_table(identifier)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def drop_table(self, identifier, purge: bool = False) -> None:
+        ns, name = self._split(identifier)
+        with self._conn() as con:
+            cur = con.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
+                "table_namespace = ? AND table_name = ?",
+                (self.name, ns, name))
+            if cur.rowcount == 0:
+                raise NoSuchTableError(str(identifier))
+
+    def rename_table(self, src, dst) -> None:
+        sns, sname = self._split(src)
+        dns, dname = self._split(dst)
+        with self._conn() as con:
+            try:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET table_namespace = ?, "
+                    "table_name = ? WHERE catalog_name = ? AND "
+                    "table_namespace = ? AND table_name = ?",
+                    (dns, dname, self.name, sns, sname))
+            except sqlite3.IntegrityError:
+                raise TableAlreadyExistsError(str(dst))
+            if cur.rowcount == 0:
+                raise NoSuchTableError(str(src))
+
+    # -- commit (CAS via conditional UPDATE) ---------------------------------
+    def commit_table(self, identifier, base_metadata_path: Optional[str],
+                     metadata: TableMetadata) -> str:
+        ns, name = self._split(identifier)
+        path = os.path.join(metadata.location, "metadata",
+                            f"{uuid.uuid4().hex}.metadata.json")
+        metadata.write(path)
+        with self._conn() as con:
+            if base_metadata_path is None:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET metadata_location = ?, "
+                    "previous_metadata_location = metadata_location WHERE "
+                    "catalog_name = ? AND table_namespace = ? AND "
+                    "table_name = ? AND metadata_location IS NULL",
+                    (path, self.name, ns, name))
+            else:
+                cur = con.execute(
+                    "UPDATE iceberg_tables SET metadata_location = ?, "
+                    "previous_metadata_location = metadata_location WHERE "
+                    "catalog_name = ? AND table_namespace = ? AND "
+                    "table_name = ? AND metadata_location = ?",
+                    (path, self.name, ns, name, base_metadata_path))
+            if cur.rowcount == 0:
+                os.unlink(path)
+                raise CommitConflictError(
+                    f"{identifier}: expected base {base_metadata_path}")
+        return path

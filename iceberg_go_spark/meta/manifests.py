@@ -51,6 +51,9 @@ class DataFile:
     equality_ids: Optional[List[int]] = None
     sort_order_id: Optional[int] = None
     first_row_id: Optional[int] = None
+    # extension (not in the Iceberg spec): files registered via add_files
+    # without parquet field IDs must be read name-based
+    name_based: bool = False
 
     def lower_bound(self, fid: int, t: T.IcebergType) -> Any:
         return from_bytes(t, self.lower_bounds.get(fid))
@@ -201,6 +204,7 @@ def data_file_avro_schema(ptype: T.StructType) -> dict:
         {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"})},
         {"name": "sort_order_id", "type": _opt("int")},
         {"name": "first_row_id", "type": _opt("long")},
+        {"name": "name_based", "type": _opt("boolean")},
     ]}
 
 
@@ -285,6 +289,7 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
                 "equality_ids": df.equality_ids,
                 "sort_order_id": df.sort_order_id,
                 "first_row_id": df.first_row_id,
+                "name_based": df.name_based or None,
             }})
     import json
     meta = {
@@ -377,7 +382,8 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
             split_offsets=d.get("split_offsets"),
             equality_ids=d.get("equality_ids"),
             sort_order_id=d.get("sort_order_id"),
-            first_row_id=d.get("first_row_id"))
+            first_row_id=d.get("first_row_id"),
+            name_based=bool(d.get("name_based")))
         entries.append(ManifestEntry(
             status=r["status"], snapshot_id=r.get("snapshot_id"),
             sequence_number=r.get("sequence_number"),

@@ -1,0 +1,75 @@
+"""Name mapping: assign field IDs to data files written without them.
+
+Parity: /root/reference/name_mapping.go:85 and schema.go:265 — stored as the
+``schema.name-mapping.default`` table property (JSON), consulted when a
+parquet file carries no field IDs so its columns can still resolve to
+schema IDs by name.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional
+
+from .. import types as T
+from ..schema import Schema
+
+PROP_NAME_MAPPING = "schema.name-mapping.default"
+
+
+@dataclass
+class MappedField:
+    names: List[str]
+    field_id: Optional[int] = None
+    fields: List["MappedField"] = dc_field(default_factory=list)
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {"names": self.names}
+        if self.field_id is not None:
+            d["field-id"] = self.field_id
+        if self.fields:
+            d["fields"] = [f.to_json_dict() for f in self.fields]
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "MappedField":
+        return cls(d.get("names", []), d.get("field-id"),
+                   [cls.from_json_dict(f) for f in d.get("fields", [])])
+
+
+class NameMapping:
+    def __init__(self, fields: List[MappedField]):
+        self.fields = fields
+        self._by_name: Dict[str, MappedField] = {}
+        for f in fields:
+            for n in f.names:
+                self._by_name[n] = f
+
+    def id_for(self, name: str) -> Optional[int]:
+        f = self._by_name.get(name)
+        return f.field_id if f else None
+
+    def to_json(self) -> str:
+        return json.dumps([f.to_json_dict() for f in self.fields])
+
+    @classmethod
+    def from_json(cls, s: str) -> "NameMapping":
+        return cls([MappedField.from_json_dict(d) for d in json.loads(s)])
+
+    @classmethod
+    def from_schema(cls, schema: Schema) -> "NameMapping":
+        def conv(t: T.IcebergType) -> List[MappedField]:
+            if isinstance(t, T.StructType):
+                return [MappedField([f.name], f.field_id, conv(f.field_type))
+                        for f in t.fields]
+            if isinstance(t, T.ListType):
+                return [MappedField(["element"], t.element_id,
+                                    conv(t.element_type))]
+            if isinstance(t, T.MapType):
+                return [MappedField(["key"], t.key_id),
+                        MappedField(["value"], t.value_id,
+                                    conv(t.value_type))]
+            return []
+
+        return cls(conv(schema.as_struct()))

@@ -30,6 +30,29 @@ MINHASH_B = [991, 2467, 5113, 7919, 1279, 3851, 6373, 8887,
              1531, 4219, 6947, 9311, 2083, 4831, 7507, 9949]
 
 
+def char_ngram_rows(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", ngram: int = 3) -> DataFrame:
+    """Exploded (id, gram) rows of distinct character n-grams.
+
+    CRITICAL perf shape: the normalize regex chain is materialized in a
+    projection BELOW the Generate (posexplode) operator, so it runs once
+    per document.  Referencing it inside a higher-order-function lambda
+    (as a naive `transform(sequence(...), i -> substring(norm, i, n))`
+    does) lets Catalyst inline the regex into the per-position lambda —
+    O(len^2) regex work per document (observed 50x slowdown)."""
+    norm = df.select(F.col(id_col),
+                     TX.normalized_text(F.col(text_col)).alias("__norm"))
+    pos = (norm
+           .filter(F.length("__norm") >= ngram)
+           .select(F.col(id_col), F.col("__norm"),
+                   F.explode(F.sequence(
+                       F.lit(1), F.length("__norm") - (ngram - 1)))
+                   .alias("__i")))
+    return pos.select(F.col(id_col),
+                      F.col("__norm").substr(F.col("__i"), F.lit(ngram))
+                      .alias("gram"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact-content group, where
@@ -67,9 +90,8 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
     (map-side combinable) -> band -> bucket count.  Exploding first means
     the normalize+shingle regex runs once per doc; the single-md5 trick
     cuts hashing cost num_hashes-fold (it dominated the profile)."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode(TX.char_ngrams(F.col(text_col), ngram)).alias("__gram"))
+    grams = char_ngram_rows(df, text_col, id_col, ngram) \
+        .withColumnRenamed("gram", "__gram")
     base = grams.withColumn(
         "__h", F.conv(F.substring(F.md5(F.col("__gram")), 1, 12), 16, 10)
         .cast("long"))
@@ -121,10 +143,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     quadratic over the corpus; at scale each block is one shuffle
     partition's worth of work.  Output: (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold."""
-    grams = TX.char_ngrams(F.col(text_col), ngram)
-    base = df.select(
-        F.col(id_col), grams.alias("__g"),
-        *(F.col(c) for c in (block_cols or [])))
+    gram_rows = char_ngram_rows(df, text_col, id_col, ngram)
+    gram_arrays = gram_rows.groupBy(id_col).agg(
+        F.collect_set("gram").alias("__g"))
+    base = df.select(F.col(id_col),
+                     *(F.col(c) for c in (block_cols or []))) \
+        .join(gram_arrays, on=id_col, how="inner")
     if block_cols is None:
         # default block: coarse shingle-count band — near-dups at the
         # threshold can't differ much in size, so same-band is safe-ish

@@ -107,6 +107,42 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                          manifests_to_keep=keep_manifests)
         return txn.commit()
 
+    if mode == "merge-on-read-dv":
+        # v3 deletion vectors: one roaring bitmap per data file in a
+        # Puffin-style container (dv/deletion_vector.go).  Positions are
+        # gathered via the same _metadata projection as pos-deletes.
+        from ..meta.dv import RoaringBitmap64, write_deletion_vectors
+        keep_manifests = None
+        if full:
+            keep_manifests = txn._rewrite_manifests_without(
+                [t.data_file.file_path for t in full])
+        delete_files = []
+        if partial:
+            src = spark.read.schema(schema.to_spark()).parquet(
+                *[t.data_file.file_path for t in partial])
+            matches = (src
+                       .withColumn("file_path",
+                                   F.regexp_replace("_metadata.file_path",
+                                                    "^file:", ""))
+                       .withColumn("pos", F.col("_metadata.row_index"))
+                       .filter(bound_col)
+                       .select("file_path", "pos"))
+            dvs: Dict[str, "RoaringBitmap64"] = {}
+            for row in matches.collect():
+                dvs.setdefault(row.file_path, RoaringBitmap64()).add(row.pos)
+            if dvs:
+                pth = os.path.join(md.location, "data",
+                                   f"dv-{uuid.uuid4().hex[:12]}.puffin")
+                cards = write_deletion_vectors(pth, dvs)
+                delete_files = [M.DataFile(
+                    content=M.CONTENT_POS_DELETES, file_path=pth,
+                    file_format="PUFFIN", partition={},
+                    record_count=sum(cards.values()),
+                    file_size_in_bytes=os.path.getsize(pth))]
+        txn.append_files(delete_files, operation=OP_DELETE,
+                         manifests_to_keep=keep_manifests)
+        return txn.commit()
+
     raise ValueError(f"unknown delete mode {mode!r}")
 
 

@@ -218,29 +218,57 @@ class Scan:
         need_pos = any(t.pos_deletes for t in tasks)
         need_eq = any(t.eq_deletes for t in tasks)
 
-        # group tasks by (applicable delete sets) so each group is one clean
-        # scan + anti-join pipeline; usually a single group
-        def key(t: FileScanTask) -> Tuple[FrozenSet[str], FrozenSet[Tuple]]:
-            return (frozenset(d.file_path for d in t.pos_deletes),
+        # group tasks by (applicable delete sets, name-based flag) so each
+        # group is one clean scan + anti-join pipeline; usually one group
+        def key(t: FileScanTask) -> Tuple:
+            return (frozenset((d.file_path, d.file_format)
+                              for d in t.pos_deletes),
                     frozenset((tuple(d.equality_ids or []), d.file_path)
-                              for d in t.eq_deletes))
+                              for d in t.eq_deletes),
+                    t.data_file.name_based)
 
         groups: Dict[Tuple, List[FileScanTask]] = {}
         for t in tasks:
             groups.setdefault(key(t), []).append(t)
 
         dfs = []
-        for (pos_set, eq_set), group in groups.items():
+        for (pos_set, eq_set, name_based), group in groups.items():
             paths = [t.data_file.file_path for t in group]
-            reader = spark.read.schema(spark_schema)
+            read_schema = spark_schema
+            if name_based:
+                # files without parquet field IDs resolve columns by name
+                import pyspark.sql.types as ST
+                read_schema = ST.StructType([
+                    ST.StructField(f.name, f.dataType, f.nullable)
+                    for f in spark_schema.fields])
+            reader = spark.read.schema(read_schema)
             df = reader.parquet(*paths)
             if pos_set:
                 df = df.withColumns({
                     "__file": F.col("_metadata.file_path"),
                     "__pos": F.col("_metadata.row_index")})
-                deletes = spark.read.parquet(*sorted(pos_set)) \
-                    .select(F.col("file_path").alias("__dfile"),
-                            F.col("pos").alias("__dpos")).distinct()
+                parquet_dels = sorted(p for p, fmt in pos_set
+                                      if fmt != "PUFFIN")
+                puffin_dels = sorted(p for p, fmt in pos_set
+                                     if fmt == "PUFFIN")
+                del_dfs = []
+                if parquet_dels:
+                    del_dfs.append(
+                        spark.read.parquet(*parquet_dels)
+                        .select(F.col("file_path").alias("__dfile"),
+                                F.col("pos").alias("__dpos")))
+                for pth in puffin_dels:
+                    # deletion vectors: expand bitmaps to (file, pos) rows
+                    from ..meta.dv import read_deletion_vectors
+                    rows = [(fp, int(pos))
+                            for fp, bm in read_deletion_vectors(pth).items()
+                            for pos in bm]
+                    del_dfs.append(spark.createDataFrame(
+                        rows, "__dfile string, __dpos long"))
+                deletes = del_dfs[0]
+                for d in del_dfs[1:]:
+                    deletes = deletes.unionByName(d)
+                deletes = deletes.distinct()
                 # normalize URI scheme differences (file:// vs plain path)
                 df = df.withColumn(
                     "__file", F.regexp_replace("__file", "^file:", ""))

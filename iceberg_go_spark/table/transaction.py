@@ -209,6 +209,41 @@ class Transaction:
                                extra_summary, delete_content)
         return self
 
+    def add_files(self, spark, paths: List[str],
+                  check_duplicates: bool = True) -> "Transaction":
+        """Register existing parquet files as data files without rewriting
+        (transaction.go:900 AddFiles): stats come from footers, harvested
+        on executors."""
+        if check_duplicates:
+            existing = {e.data_file.file_path
+                        for mf in self._current_manifests()
+                        for e in M.read_manifest(mf.manifest_path)[0]
+                        if e.is_live}
+            dupes = existing & set(paths)
+            if dupes:
+                raise ValueError(f"files already referenced: {sorted(dupes)[:3]}")
+        if not self.metadata.spec().is_unpartitioned:
+            raise ValueError("add_files currently requires an unpartitioned "
+                             "table (no partition values in plain paths)")
+        schema = self.metadata.schema()
+        from .write import _harvest_one
+        name_to_field = {f.name: (f.field_id, str(f.field_type))
+                         for f in schema.fields if f.field_type.is_primitive}
+        stats = spark.sparkContext.parallelize(paths, min(len(paths), 64)) \
+            .map(lambda p: _harvest_one(p, name_to_field, 16)).collect()
+        files = [M.DataFile(
+            content=M.CONTENT_DATA, file_path=s["path"],
+            file_format="PARQUET", partition={},
+            record_count=s["record_count"], file_size_in_bytes=s["file_size"],
+            column_sizes=s["column_sizes"], value_counts=s["value_counts"],
+            null_value_counts=s["null_counts"], lower_bounds=s["lower"],
+            upper_bounds=s["upper"],
+            split_offsets=sorted(s["split_offsets"]) or None,
+            name_based=not s.get("has_field_ids", True))
+            for s in stats]
+        self._produce_snapshot(OP_APPEND, files)
+        return self
+
     # ------------------------------------------------------------- commit
     def _build_metadata(self) -> TableMetadata:
         md = self.metadata

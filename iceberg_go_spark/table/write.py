@@ -124,8 +124,12 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
 
     pf = pq.ParquetFile(path)
     md = pf.metadata
+    arrow_schema = pf.schema_arrow
+    has_ids = any((f.metadata or {}).get(b"PARQUET:field_id")
+                  for f in arrow_schema)
     out: Dict[str, Any] = {
         "path": path,
+        "has_field_ids": bool(has_ids),
         "record_count": md.num_rows,
         "file_size": os.path.getsize(path),
         "column_sizes": {}, "value_counts": {}, "null_counts": {},

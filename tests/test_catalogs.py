@@ -1,0 +1,115 @@
+"""SQL catalog (sqlite CAS), name mapping, add_files."""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark.catalog.filesystem import (CommitConflictError,
+                                                 NoSuchTableError,
+                                                 TableAlreadyExistsError)
+from iceberg_go_spark.catalog.sql import SqlCatalog
+from iceberg_go_spark.meta.name_mapping import NameMapping
+from iceberg_go_spark.schema import Schema
+from iceberg_go_spark import types as T
+
+from conftest import read_table
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return SqlCatalog(str(tmp_path / "wh"))
+
+
+def test_sql_catalog_crud(cat, spark, sf_dir):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    cat.create_namespace("db", {"owner": "tests"})
+    t = cat.create_table("db.r", schema)
+    assert cat.table_exists("db.r")
+    assert ("db", "r") in cat.list_tables("db")
+    assert cat.namespace_properties("db") == {"owner": "tests"}
+    with pytest.raises(TableAlreadyExistsError):
+        cat.create_table("db.r", schema)
+
+    t.append(df)
+    t2 = cat.load_table("db.r")
+    assert t2.to_df(spark).count() == df.count()
+
+    cat.rename_table("db.r", "db.r2")
+    assert cat.table_exists("db.r2") and not cat.table_exists("db.r")
+    cat.drop_table("db.r2")
+    with pytest.raises(NoSuchTableError):
+        cat.load_table("db.r2")
+
+
+def test_sql_catalog_cas_conflict(cat, spark, sf_dir):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    cat.create_table("db.c", schema)
+    a = cat.load_table("db.c")
+    b = cat.load_table("db.c")
+    a.append(df)
+    # b has a stale base; its transaction must refresh+rebase then succeed
+    b.append(df.limit(2))
+    final = cat.load_table("db.c")
+    assert final.to_df(spark).count() == df.count() + 2
+    assert [s.sequence_number for s in final.snapshots()] == [1, 2]
+
+
+def test_sql_catalog_concurrent_threads(cat, spark, sf_dir):
+    df = read_table(spark, "region", sf_dir).cache()
+    df.count()
+    schema = Schema.from_spark(df.schema)
+    cat.create_table("db.t", schema)
+    errs = []
+
+    def appender():
+        try:
+            cat.load_table("db.t").append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    final = cat.load_table("db.t")
+    assert final.to_df(spark).count() == 3 * df.count()
+    assert sorted(s.sequence_number for s in final.snapshots()) == [1, 2, 3]
+
+
+def test_name_mapping_roundtrip():
+    schema = Schema([
+        T.NestedField(1, "id", T.LongType(), required=True),
+        T.NestedField(2, "tags", T.ListType(3, T.StringType())),
+        T.NestedField(4, "props", T.MapType(5, T.StringType(), 6,
+                                            T.IntegerType())),
+    ])
+    nm = NameMapping.from_schema(schema)
+    assert nm.id_for("id") == 1
+    assert nm.id_for("tags") == 2
+    back = NameMapping.from_json(nm.to_json())
+    assert back.id_for("props") == 4
+    assert back.id_for("nope") is None
+
+
+def test_add_files(cat, spark, sf_dir, tmp_path):
+    df = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = cat.create_table("db.af", schema)
+    ext = str(tmp_path / "external")
+    df.coalesce(1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext)
+             if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths).commit()
+    assert t.to_df(spark).count() == df.count()
+    # stats got harvested -> metrics pruning works on registered files
+    from iceberg_go_spark import expressions as E
+    scan = t.scan(E.eq("n_nationkey", 3))
+    assert scan.to_df(spark).count() == 1
+    with pytest.raises(ValueError):
+        t.new_transaction().add_files(spark, paths)  # duplicates

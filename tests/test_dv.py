@@ -1,0 +1,80 @@
+"""Deletion vectors: roaring bitmap round-trip, puffin container,
+DV-based merge-on-read delete end-to-end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.dv import (PuffinReader, PuffinWriter,
+                                      RoaringBitmap64,
+                                      read_deletion_vectors,
+                                      write_deletion_vectors)
+from iceberg_go_spark.schema import Schema
+
+from conftest import read_table
+
+
+def test_roaring_roundtrip():
+    bm = RoaringBitmap64()
+    vals = [0, 1, 2, 65535, 65536, 1 << 33, (1 << 33) + 5]
+    bm.update(vals)
+    assert bm.cardinality == len(vals)
+    assert list(bm) == sorted(vals)
+    back = RoaringBitmap64.deserialize(bm.serialize())
+    assert list(back) == sorted(vals)
+    assert back.contains(65536) and not back.contains(65537)
+
+
+def test_roaring_dense_container():
+    bm = RoaringBitmap64()
+    bm.update(range(0, 10000))  # > 4096 -> bitmap container
+    back = RoaringBitmap64.deserialize(bm.serialize())
+    assert back.cardinality == 10000
+    assert back.contains(9999) and not back.contains(10000)
+    assert list(back)[:3] == [0, 1, 2]
+
+
+def test_puffin_container(tmp_path):
+    p = str(tmp_path / "t.puffin")
+    w = PuffinWriter(p)
+    w.add_blob("deletion-vector-v1", b"\x01\x02",
+               properties={"referenced-data-file": "/a.parquet"})
+    w.add_blob("apache-datasketches-theta-v1", b"\x03")
+    w.write()
+    r = PuffinReader(p)
+    assert len(r.blobs) == 2
+    assert r.read_blob(r.blobs[0]) == b"\x01\x02"
+    assert r.blobs[1]["type"] == "apache-datasketches-theta-v1"
+
+
+def test_dv_file_roundtrip(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    a, b = RoaringBitmap64(), RoaringBitmap64()
+    a.update([1, 5, 100000])
+    b.update([0])
+    cards = write_deletion_vectors(p, {"/f1": a, "/f2": b})
+    assert cards == {"/f1": 3, "/f2": 1}
+    back = read_deletion_vectors(p)
+    assert list(back["/f1"]) == [1, 5, 100000]
+    assert list(back["/f2"]) == [0]
+
+
+def test_dv_delete_end_to_end(spark, sf_dir, tmp_path):
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir)
+    t = cat.create_table("db.dv", Schema.from_spark(df.schema))
+    t.append(df)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")
+    expected = df.filter(F.col("o_orderstatus") != "F")
+    assert t.to_df(spark).count() == expected.count()
+    # data files untouched; DV delete file present
+    tasks = t.scan().plan_files()
+    assert any(d.file_format == "PUFFIN"
+               for tk in tasks for d in tk.pos_deletes)
+    # compose with a second DV delete
+    t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                   mode="merge-on-read-dv")
+    expected2 = expected.filter(F.col("o_orderstatus") != "P")
+    assert t.to_df(spark).count() == expected2.count()
