@@ -56,9 +56,10 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         import pyspark.sql.types as ST
         for f in df.schema.fields:
             if f.name == "ts" and isinstance(f.dataType, ST.LongType):
+                # integer DIV, not floor(x/1000): ns epoch values exceed
+                # double precision (2^53) and round the microsecond
                 df = df.withColumn(
-                    "ts", F.timestamp_micros(
-                        F.floor(F.col("ts") / 1000).cast("long")))
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
@@ -328,6 +329,151 @@ SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
   COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type, hour_epoch
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                            - _dec("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+            .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(disc_price).cast("double").alias("revenue")))
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                            - _dec("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(disc_price).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)")
+                                            - _dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price) \
+        .otherwise(F.lit(0).cast("decimal(12,2)"))
+    return joined.agg(
+        (F.sum(promo).cast("double") * 100.0
+         / F.sum(disc_price).cast("double")).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+Q14_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+    AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization of the event stream (exact µs math so the
+    DuckDB oracle computes identical session boundaries)."""
+    from pyspark.sql import Window as W2
+    ev = _read(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sess = (ev
+            .withColumn("__new", F.when(gap.isNull() | (gap > gap_us), 1)
+                        .otherwise(0))
+            .withColumn("session_seq", F.sum("__new").over(
+                w.rowsBetween(W2.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.min(us).alias("session_start_us"),
+                 F.max(us).alias("session_end_us"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("total_value")))
+
+
+SESSIONIZATION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), g AS (
+  SELECT user_id, us, value,
+    CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+  MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
 """
 
 
@@ -747,8 +893,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_regional_revenue": q5_regional_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
         "top_customers_per_nation": top_customers_per_nation,
         "events_hourly": events_hourly,
+        "sessionization": sessionization,
         "iceberg_scan_filter_project": iceberg_scan_filter_project,
         "iceberg_bucket_scan": iceberg_bucket_scan,
         "iceberg_time_travel": iceberg_time_travel,
@@ -779,8 +929,12 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": Q3_SQL,
         "q5_regional_revenue": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_revenue": Q14_SQL,
         "top_customers_per_nation": TOP_CUST_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "sessionization": SESSIONIZATION_SQL,
         "iceberg_scan_filter_project": ICE_SCAN_SQL,
         "iceberg_bucket_scan": ICE_BUCKET_SQL,
         "iceberg_time_travel": ICE_TT_SQL,

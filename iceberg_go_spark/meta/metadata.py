@@ -118,6 +118,7 @@ class TableMetadata:
     default_sort_order_id: int = 0
     refs: Dict[str, SnapshotRef] = dc_field(default_factory=dict)
     next_row_id: int = 0
+    statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
 
     # -- lookups ------------------------------------------------------------
     def schema(self) -> Schema:
@@ -204,6 +205,7 @@ class TableMetadata:
             "metadata-log": self.metadata_log,
             "refs": {k: v.to_json_dict() for k, v in self.refs.items()},
             "next-row-id": self.next_row_id,
+            "statistics": self.statistics,
         }
 
     @classmethod
@@ -247,7 +249,8 @@ class TableMetadata:
             default_sort_order_id=d.get("default-sort-order-id", 0),
             refs={k: SnapshotRef.from_json_dict(v)
                   for k, v in d.get("refs", {}).items()},
-            next_row_id=d.get("next-row-id", 0))
+            next_row_id=d.get("next-row-id", 0),
+            statistics=d.get("statistics", []))
 
     def write(self, path: str) -> None:
         tmp = path + ".tmp"

@@ -61,7 +61,8 @@ class Scan:
                  as_of_ms: Optional[int] = None,
                  limit: Optional[int] = None,
                  case_sensitive: bool = True,
-                 concurrency: int = 8):
+                 concurrency: int = 8,
+                 row_lineage: bool = False):
         self.table = table
         self.row_filter = row_filter or E.AlwaysTrue()
         self.selected = selected
@@ -71,6 +72,7 @@ class Scan:
         self.limit = limit
         self.case_sensitive = case_sensitive
         self.concurrency = concurrency
+        self.row_lineage = row_lineage
         self.report = ScanReport()
 
     # builder-style options (scanner.go:1025-1135)
@@ -92,12 +94,20 @@ class Scan:
     def with_limit(self, n: int) -> "Scan":
         return self._copy(limit=n)
 
+    def with_row_lineage(self) -> "Scan":
+        """Add reserved metadata columns _row_id and
+        _last_updated_sequence_number (v3 row lineage,
+        metadata_columns.go:29-80): _row_id = file first_row_id + the
+        row's ordinal position in its file."""
+        return self._copy(row_lineage=True)
+
     def _copy(self, **kw) -> "Scan":
         args = dict(row_filter=self.row_filter, selected=self.selected,
                     snapshot_id=self.snapshot_id, ref=self.ref,
                     as_of_ms=self.as_of_ms, limit=self.limit,
                     case_sensitive=self.case_sensitive,
-                    concurrency=self.concurrency)
+                    concurrency=self.concurrency,
+                    row_lineage=self.row_lineage)
         args.update(kw)
         return Scan(self.table, **args)
 
@@ -243,6 +253,21 @@ class Scan:
                     for f in spark_schema.fields])
             reader = spark.read.schema(read_schema)
             df = reader.parquet(*paths)
+            if self.row_lineage:
+                lineage = spark.createDataFrame(
+                    [(t.data_file.file_path,
+                      int(t.data_file.first_row_id or 0),
+                      int(t.sequence_number or 0)) for t in group],
+                    "__lfile string, __first long, "
+                    "_last_updated_sequence_number long")
+                df = (df.withColumn("__lf", F.regexp_replace(
+                          F.col("_metadata.file_path"), "^file:", ""))
+                      .withColumn("__ri", F.col("_metadata.row_index"))
+                      .join(F.broadcast(lineage),
+                            F.col("__lf") == F.col("__lfile"))
+                      .withColumn("_row_id",
+                                  F.col("__first") + F.col("__ri"))
+                      .drop("__lf", "__ri", "__lfile", "__first"))
             if pos_set:
                 df = df.withColumns({
                     "__file": F.col("_metadata.file_path"),
@@ -297,7 +322,10 @@ class Scan:
         if not isinstance(bound, E.AlwaysTrue):
             out = out.filter(E.to_spark_column(bound))
         if self.selected is not None:
-            out = out.select(*[f.name for f in projection.fields])
+            cols = [f.name for f in projection.fields]
+            if self.row_lineage:
+                cols += ["_row_id", "_last_updated_sequence_number"]
+            out = out.select(*cols)
         if self.limit is not None:
             out = out.limit(self.limit)
         return out

@@ -1,0 +1,85 @@
+"""Table statistics: NDV sketches per column in a Puffin container.
+
+Parity (behavior only): /root/reference/table/statistics.go:26-71
+(StatisticsFile, apache-datasketches blob types) and puffin read/write.
+Sketch bytes come from Spark's built-in Apache DataSketches HLL
+aggregate (``hll_sketch_agg``) — computed distributed, stored per column;
+estimates feed CBO-style decisions (e.g. broadcast-ability)."""
+
+from __future__ import annotations
+
+import copy
+import os
+import time
+import uuid
+from typing import Dict, List, Optional
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..meta.dv import PuffinReader, PuffinWriter
+
+BLOB_TYPE_HLL = "apache-datasketches-hll-v1"
+
+
+def compute_ndv_statistics(table, spark: SparkSession,
+                           columns: Optional[List[str]] = None) -> str:
+    """Build HLL sketches for ``columns`` (default: all primitive columns),
+    write a Puffin statistics file, register it in table metadata."""
+    schema = table.schema()
+    if columns is None:
+        columns = [f.name for f in schema.fields
+                   if f.field_type.is_primitive]
+    df = table.to_df(spark)
+    aggs = [F.hll_sketch_agg(F.col(c).cast("string")).alias(c)
+            for c in columns]
+    row = df.agg(*aggs).collect()[0]
+
+    snap = table.current_snapshot()
+    path = os.path.join(table.location(), "metadata",
+                        f"stats-{uuid.uuid4().hex[:12]}.puffin")
+    w = PuffinWriter(path)
+    for c in columns:
+        fid = schema.find_field(c).field_id
+        sketch = row[c]
+        if sketch is None:
+            continue
+        w.add_blob(BLOB_TYPE_HLL, bytes(sketch),
+                   properties={"field-id": str(fid), "column": c},
+                   **{"snapshot-id": snap.snapshot_id if snap else None})
+    w.write()
+
+    md = copy.deepcopy(table.metadata)
+    entry = {
+        "snapshot-id": snap.snapshot_id if snap else -1,
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+        "blob-metadata": [
+            {"type": BLOB_TYPE_HLL, "snapshot-id":
+             snap.snapshot_id if snap else -1,
+             "properties": {"column": c}} for c in columns],
+    }
+    md.statistics.append(entry)
+    md.last_updated_ms = int(time.time() * 1000)
+    new_path = table.catalog.commit_table(table.identifier,
+                                          table.metadata_location, md)
+    table.metadata, table.metadata_location = md, new_path
+    return path
+
+
+def estimate_ndv(spark: SparkSession, stats_path: str) -> Dict[str, int]:
+    """Read sketches back and estimate per-column distinct counts."""
+    r = PuffinReader(stats_path)
+    out = {}
+    rows = []
+    for meta in r.blobs:
+        if meta["type"] != BLOB_TYPE_HLL:
+            continue
+        rows.append((meta["properties"]["column"], r.read_blob(meta)))
+    if not rows:
+        return {}
+    df = spark.createDataFrame(rows, "column string, sketch binary")
+    for rec in df.select(
+            "column",
+            F.hll_sketch_estimate(F.col("sketch")).alias("ndv")).collect():
+        out[rec.column] = int(rec.ndv)
+    return out

@@ -86,6 +86,14 @@ class Transaction:
         added_deletes = [f for f in added if f.content != M.CONTENT_DATA]
         if delete_content:  # legacy flag: treat all as deletes manifest
             added_data, added_deletes = [], added
+        # v3 row lineage: assign per-file first_row_id from the table's
+        # next-row-id counter (metadata_columns.go / arrow_scanner.go:896)
+        next_row_id = md.next_row_id + sum(
+            getattr(s, "_rows_assigned", 0) for s in self._staged)
+        first_row_id = next_row_id
+        for f in added_data:
+            f.first_row_id = next_row_id
+            next_row_id += f.record_count
         for i, (group, content) in enumerate(
                 ((added_data, M.MANIFEST_DATA),
                  (added_deletes, M.MANIFEST_DELETES))):
@@ -107,6 +115,7 @@ class Transaction:
             new_manifests.append(mf)
 
         all_manifests = new_manifests + list(keep)
+        all_manifests = self._maybe_merge_manifests(all_manifests, schema)
         list_path = os.path.join(
             self._metadata_dir(), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
         M.write_manifest_list(list_path, all_manifests)
@@ -117,7 +126,9 @@ class Transaction:
             snapshot_id=snapshot_id, sequence_number=seq,
             timestamp_ms=int(time.time() * 1000), manifest_list=list_path,
             summary=summary, schema_id=schema.schema_id,
-            parent_snapshot_id=parent)
+            parent_snapshot_id=parent,
+            first_row_id=first_row_id if added_data else None)
+        snap._rows_assigned = next_row_id - first_row_id
         self._staged.append(snap)
         self._new_manifest_lists[snapshot_id] = all_manifests
         return snap
@@ -149,6 +160,51 @@ class Transaction:
                 f.record_count for f in added_del
                 if f.content == M.CONTENT_EQ_DELETES))
         return s
+
+    def _maybe_merge_manifests(self, manifests: List[M.ManifestFile],
+                               schema: Schema) -> List[M.ManifestFile]:
+        """Merge append (snapshot_producers.go:495 mergeManifests): when a
+        snapshot would carry more than ``commit.manifest.min-count-to-merge``
+        small data manifests of the same spec, bin-pack them into one.
+        Entries keep their inherited sequence numbers (written explicitly)."""
+        min_count = int(self.metadata.properties.get(
+            "commit.manifest.min-count-to-merge", "100"))
+        target_size = int(self.metadata.properties.get(
+            "commit.manifest.target-size-bytes", str(8 * 1024 * 1024)))
+        small = [m for m in manifests
+                 if m.content == M.MANIFEST_DATA
+                 and m.manifest_length < target_size]
+        if len(small) < min_count:
+            return manifests
+        by_spec: Dict[int, List[M.ManifestFile]] = {}
+        for m in small:
+            by_spec.setdefault(m.partition_spec_id, []).append(m)
+        out = [m for m in manifests if m not in small]
+        for spec_id, group in by_spec.items():
+            entries: List[M.ManifestEntry] = []
+            spec = None
+            for m in group:
+                es, spec, _sid = M.read_manifest(m.manifest_path)
+                for e in es:
+                    if not e.is_live:
+                        continue
+                    entries.append(M.ManifestEntry(
+                        M.STATUS_EXISTING, e.snapshot_id,
+                        e.sequence_number if e.sequence_number is not None
+                        else m.sequence_number,
+                        e.file_sequence_number, e.data_file))
+            if not entries:
+                continue
+            mpath = os.path.join(self._metadata_dir(),
+                                 f"{uuid.uuid4().hex}-merged.avro")
+            mf = M.write_manifest(mpath, entries, schema, spec,
+                                  M.MANIFEST_DATA)
+            mf.sequence_number = max(m.sequence_number for m in group)
+            mf.min_sequence_number = min(m.min_sequence_number
+                                         for m in group)
+            mf.added_snapshot_id = group[0].added_snapshot_id
+            out.append(mf)
+        return out
 
     def _rewrite_manifests_without(self, dropped_paths) -> List[M.ManifestFile]:
         """Rewrite current manifests with ``dropped_paths`` removed; surviving
@@ -258,6 +314,7 @@ class Transaction:
                                            snap.sequence_number)
             new.last_updated_ms = snap.timestamp_ms
             new.refs[MAIN_BRANCH] = SnapshotRef(snap.snapshot_id, "branch")
+            new.next_row_id += getattr(snap, "_rows_assigned", 0)
         return new
 
     def commit(self):

@@ -166,3 +166,21 @@ def test_spec_evolution_multi_spec_scan(spark, sf_dir, catalog):
     assert scan.to_df(spark).count() == expected
     # pruning applies to new-spec files at least
     assert len(scan.plan_files()) < len(t.scan().plan_files())
+
+
+def test_merge_append(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table(
+        "db.ma", schema,
+        properties={"commit.manifest.min-count-to-merge": "3"})
+    from iceberg_go_spark.meta.manifests import read_manifest_list
+    for _ in range(4):
+        t.append(df)
+    # 3rd append merged its 3 small manifests into 1; the 4th adds one more
+    n_manifests = len(read_manifest_list(t.current_snapshot().manifest_list))
+    assert n_manifests == 2
+    assert t.to_df(spark).count() == 4 * df.count()
+    # sequence numbers survive the merge (time travel still exact)
+    snap2 = t.snapshots()[1].snapshot_id
+    assert t.scan().use_snapshot(snap2).to_df(spark).count() == 2 * df.count()
