@@ -106,11 +106,14 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
+    FIXTURE_VERSION = "v3"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
     cat = FilesystemCatalog(wh)
-    if not os.path.exists(marker):
+    stale = (not os.path.exists(marker)
+             or open(marker).read().strip() != FIXTURE_VERSION)
+    if stale:
         shutil.rmtree(wh, ignore_errors=True)
         cat = FilesystemCatalog(wh)
         li = _read(spark, sf_dir, "lineitem")
@@ -145,7 +148,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
         t.upsert(spark, updates, ["o_orderkey"])
 
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(FIXTURE_VERSION)
     _FIXTURES[sf_dir] = cat
     return cat
 

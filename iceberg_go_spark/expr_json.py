@@ -1,0 +1,101 @@
+"""Expression (de)serialization per the Iceberg REST spec JSON format.
+
+Parity: /root/reference/expr_json.go (681 LoC).  Used for exchanging scan
+filters with REST planners and for persisting filters (e.g. in scan-task
+codecs); round-trips the whole AST.
+"""
+
+from __future__ import annotations
+
+import base64
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Dict
+
+from . import expressions as E
+
+_OP_TO_JSON = {
+    E.OP_IS_NULL: "is-null", E.OP_NOT_NULL: "not-null",
+    E.OP_IS_NAN: "is-nan", E.OP_NOT_NAN: "not-nan",
+    E.OP_LT: "lt", E.OP_LT_EQ: "lt-eq", E.OP_GT: "gt", E.OP_GT_EQ: "gt-eq",
+    E.OP_EQ: "eq", E.OP_NEQ: "not-eq",
+    E.OP_STARTS_WITH: "starts-with",
+    E.OP_NOT_STARTS_WITH: "not-starts-with",
+    E.OP_IN: "in", E.OP_NOT_IN: "not-in",
+}
+_JSON_TO_OP = {v: k for k, v in _OP_TO_JSON.items()}
+
+
+def _value_to_json(v: Any) -> Any:
+    if isinstance(v, datetime):
+        return {"type": "timestamp", "value": v.isoformat()}
+    if isinstance(v, date):
+        return {"type": "date", "value": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"type": "decimal", "value": str(v)}
+    if isinstance(v, bytes):
+        return {"type": "binary",
+                "value": base64.b64encode(v).decode()}
+    return v
+
+
+def _value_from_json(v: Any) -> Any:
+    if isinstance(v, dict):
+        t = v["type"]
+        if t == "timestamp":
+            return datetime.fromisoformat(v["value"])
+        if t == "date":
+            return date.fromisoformat(v["value"])
+        if t == "decimal":
+            return Decimal(v["value"])
+        if t == "binary":
+            return base64.b64decode(v["value"])
+    return v
+
+
+def expression_to_json(expr: E.Expression) -> Dict[str, Any]:
+    if isinstance(expr, E.AlwaysTrue):
+        return {"type": "true"}
+    if isinstance(expr, E.AlwaysFalse):
+        return {"type": "false"}
+    if isinstance(expr, E.And):
+        return {"type": "and", "left": expression_to_json(expr.left),
+                "right": expression_to_json(expr.right)}
+    if isinstance(expr, E.Or):
+        return {"type": "or", "left": expression_to_json(expr.left),
+                "right": expression_to_json(expr.right)}
+    if isinstance(expr, E.Not):
+        return {"type": "not", "child": expression_to_json(expr.child)}
+    assert isinstance(expr, E.Predicate)
+    term = expr.term.path if isinstance(expr.term, E.BoundReference) \
+        else expr.term.name
+    d: Dict[str, Any] = {"type": _OP_TO_JSON[expr.op], "term": term}
+    if expr.op in E.SET_OPS:
+        d["values"] = [_value_to_json(v) for v in expr.literals]
+    elif expr.literals:
+        d["value"] = _value_to_json(expr.literals[0])
+    return d
+
+
+def expression_from_json(d: Dict[str, Any]) -> E.Expression:
+    t = d["type"]
+    if t == "true":
+        return E.AlwaysTrue()
+    if t == "false":
+        return E.AlwaysFalse()
+    if t == "and":
+        return E.And(expression_from_json(d["left"]),
+                     expression_from_json(d["right"]))
+    if t == "or":
+        return E.Or(expression_from_json(d["left"]),
+                    expression_from_json(d["right"]))
+    if t == "not":
+        return E.Not(expression_from_json(d["child"]))
+    op = _JSON_TO_OP[t]
+    ref = E.Reference(d["term"])
+    if op in E.UNARY_OPS:
+        return E.Predicate(op, ref)
+    if op in E.SET_OPS:
+        return E.Predicate(op, ref, tuple(
+            _value_from_json(v) for v in d["values"]))
+    return E.Predicate(op, ref, (_value_from_json(d["value"]),))

@@ -143,33 +143,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     quadratic over the corpus; at scale each block is one shuffle
     partition's worth of work.  Output: (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold."""
-    gram_rows = char_ngram_rows(df, text_col, id_col, ngram)
-    gram_arrays = gram_rows.groupBy(id_col).agg(
-        F.collect_set("gram").alias("__g"))
-    base = df.select(F.col(id_col),
-                     *(F.col(c) for c in (block_cols or []))) \
-        .join(gram_arrays, on=id_col, how="inner")
+    # inverted-index formulation: join docs through shared (block, gram)
+    # keys and COUNT shared grams per pair, instead of materializing gram
+    # arrays and intersecting per pair — turns O(pairs * grams) array work
+    # into one hash join + one count aggregation (the shape that survives
+    # a 100x scale-up; frequent-gram hotspots are bounded by block size).
+    gram_rows = char_ngram_rows(df, text_col, id_col, ngram).distinct()
+    blocks = df.select(F.col(id_col),
+                       *(F.col(c) for c in (block_cols or [])))
+    base = gram_rows.join(blocks, on=id_col, how="inner")
     if block_cols is None:
         # default block: coarse shingle-count band — near-dups at the
         # threshold can't differ much in size, so same-band is safe-ish
-        base = base.withColumn(
-            "__blk_len", F.floor(F.log2(F.size(F.col("__g")) + F.lit(1))))
+        counts0 = gram_rows.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__n"))
+        base = base.join(counts0, on=id_col) \
+            .withColumn("__blk_len",
+                        F.floor(F.log2(F.col("__n") + F.lit(1)))) \
+            .drop("__n")
         block_cols = ["__blk_len"]
-    a = base.select(F.col(id_col).alias("id_a"),
-                    F.col("__g").alias("__ga"),
-                    *[F.col(c).alias(f"__ba_{i}")
+    counts = base.select(id_col, *block_cols).distinct() \
+        .join(gram_rows.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__cnt")), on=id_col)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("gram"),
+                    *[F.col(c).alias(f"__b_{i}")
                       for i, c in enumerate(block_cols)])
-    b = base.select(F.col(id_col).alias("id_b"),
-                    F.col("__g").alias("__gb"),
+    b = base.select(F.col(id_col).alias("id_b"), F.col("gram").alias("__gb"),
                     *[F.col(c).alias(f"__bb_{i}")
                       for i, c in enumerate(block_cols)])
-    cond = F.col("id_a") < F.col("id_b")
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("gram") == F.col("__gb"))
     for i in range(len(block_cols)):
-        cond = cond & F.col(f"__ba_{i}").eqNullSafe(F.col(f"__bb_{i}"))
-    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
-    union = F.size(F.array_union(F.col("__ga"), F.col("__gb")))
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    return (a.join(b, cond)
+        cond = cond & F.col(f"__b_{i}").eqNullSafe(F.col(f"__bb_{i}"))
+    shared = (a.join(b, cond)
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("__shared")))
+    ca = counts.select(F.col(id_col).alias("id_a"),
+                       F.col("__cnt").alias("__na"))
+    cb = counts.select(F.col(id_col).alias("id_b"),
+                       F.col("__cnt").alias("__nb"))
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb")
+                               - F.col("__shared"))
+    return (shared.join(ca, on="id_a").join(cb, on="id_b")
             .withColumn("jaccard", F.round(jac, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,108 @@
+"""FileScanTask (de)serialization for cross-process plan exchange.
+
+Parity: /root/reference/codec/file_scan_task.go:49-125 (Avro-encoded task
+exchange).  JSON here: tasks cross the driver/executor boundary (or process
+boundaries in a multi-driver setup) as compact dicts.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from typing import Any, Dict, List
+
+from ..meta.manifests import DataFile
+from ..table.scan import FileScanTask
+
+
+def _df_to_dict(d: DataFile) -> Dict[str, Any]:
+    return {
+        "content": d.content, "file_path": d.file_path,
+        "file_format": d.file_format,
+        "partition": {k: _v_enc(v) for k, v in d.partition.items()},
+        "record_count": d.record_count,
+        "file_size_in_bytes": d.file_size_in_bytes,
+        "column_sizes": d.column_sizes, "value_counts": d.value_counts,
+        "null_value_counts": d.null_value_counts,
+        "nan_value_counts": d.nan_value_counts,
+        "lower_bounds": {k: base64.b64encode(v).decode()
+                         for k, v in d.lower_bounds.items()},
+        "upper_bounds": {k: base64.b64encode(v).decode()
+                         for k, v in d.upper_bounds.items()},
+        "split_offsets": d.split_offsets, "equality_ids": d.equality_ids,
+        "sort_order_id": d.sort_order_id, "first_row_id": d.first_row_id,
+        "name_based": d.name_based,
+    }
+
+
+def _v_enc(v: Any) -> Any:
+    import datetime
+    import decimal
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return {"$t": type(v).__name__, "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$t": "Decimal", "v": str(v)}
+    if isinstance(v, bytes):
+        return {"$t": "bytes", "v": base64.b64encode(v).decode()}
+    return v
+
+
+def _v_dec(v: Any) -> Any:
+    import datetime
+    import decimal
+    if isinstance(v, dict) and "$t" in v:
+        t = v["$t"]
+        if t == "date":
+            return datetime.date.fromisoformat(v["v"])
+        if t == "datetime":
+            return datetime.datetime.fromisoformat(v["v"])
+        if t == "Decimal":
+            return decimal.Decimal(v["v"])
+        if t == "bytes":
+            return base64.b64decode(v["v"])
+    return v
+
+
+def _df_from_dict(d: Dict[str, Any]) -> DataFile:
+    def intkeys(m):
+        return {int(k): v for k, v in (m or {}).items()}
+
+    return DataFile(
+        content=d["content"], file_path=d["file_path"],
+        file_format=d["file_format"],
+        partition={k: _v_dec(v) for k, v in d["partition"].items()},
+        record_count=d["record_count"],
+        file_size_in_bytes=d["file_size_in_bytes"],
+        column_sizes=intkeys(d.get("column_sizes")),
+        value_counts=intkeys(d.get("value_counts")),
+        null_value_counts=intkeys(d.get("null_value_counts")),
+        nan_value_counts=intkeys(d.get("nan_value_counts")),
+        lower_bounds={int(k): base64.b64decode(v)
+                      for k, v in (d.get("lower_bounds") or {}).items()},
+        upper_bounds={int(k): base64.b64decode(v)
+                      for k, v in (d.get("upper_bounds") or {}).items()},
+        split_offsets=d.get("split_offsets"),
+        equality_ids=d.get("equality_ids"),
+        sort_order_id=d.get("sort_order_id"),
+        first_row_id=d.get("first_row_id"),
+        name_based=bool(d.get("name_based")))
+
+
+def encode_tasks(tasks: List[FileScanTask]) -> str:
+    return json.dumps([{
+        "data_file": _df_to_dict(t.data_file),
+        "sequence_number": t.sequence_number,
+        "pos_deletes": [_df_to_dict(d) for d in t.pos_deletes],
+        "eq_deletes": [_df_to_dict(d) for d in t.eq_deletes],
+    } for t in tasks])
+
+
+def decode_tasks(payload: str) -> List[FileScanTask]:
+    out = []
+    for d in json.loads(payload):
+        out.append(FileScanTask(
+            data_file=_df_from_dict(d["data_file"]),
+            sequence_number=d["sequence_number"],
+            pos_deletes=[_df_from_dict(x) for x in d["pos_deletes"]],
+            eq_deletes=[_df_from_dict(x) for x in d["eq_deletes"]]))
+    return out

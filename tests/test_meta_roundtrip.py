@@ -118,3 +118,48 @@ def test_metadata_json_roundtrip(tmp_path):
     # json must be valid UTF-8 text
     with open(p) as f:
         json.load(f)
+
+
+def test_expression_json_roundtrip():
+    from datetime import date, datetime
+    from decimal import Decimal
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.expr_json import (expression_from_json,
+                                            expression_to_json)
+    exprs = [
+        E.AlwaysTrue(),
+        E.and_(E.gt_eq("a", 5), E.lt("ts", datetime(2020, 1, 1))),
+        E.or_(E.is_null("x"), E.starts_with("s", "pre")),
+        E.in_("k", [1, 2, 3]),
+        E.not_(E.eq("d", date(2021, 6, 1))),
+        E.eq("dec", Decimal("1.25")),
+        E.eq("b", b"\x00\x01"),
+        E.Not(E.Predicate(E.OP_EQ, E.Reference("z"), (1,))),
+    ]
+    for e in exprs:
+        back = expression_from_json(expression_to_json(e))
+        assert back == e, f"{e} -> {back}"
+
+
+def test_task_codec_roundtrip():
+    from datetime import date
+    from iceberg_go_spark.meta.manifests import (CONTENT_DATA,
+                                                 CONTENT_EQ_DELETES, DataFile)
+    from iceberg_go_spark.sources.task_codec import (decode_tasks,
+                                                     encode_tasks)
+    from iceberg_go_spark.table.scan import FileScanTask
+    df = DataFile(CONTENT_DATA, "/d.parquet", "PARQUET",
+                  {"day": date(2020, 1, 2), "b": 3}, 10, 100,
+                  value_counts={1: 10}, lower_bounds={1: b"\x01"},
+                  split_offsets=[4], first_row_id=7)
+    eq = DataFile(CONTENT_EQ_DELETES, "/e.parquet", "PARQUET", {}, 2, 20,
+                  equality_ids=[1, 2])
+    t = FileScanTask(df, 5, eq_deletes=[eq])
+    back = decode_tasks(encode_tasks([t]))
+    assert len(back) == 1
+    b0 = back[0]
+    assert b0.data_file.partition == {"day": date(2020, 1, 2), "b": 3}
+    assert b0.data_file.lower_bounds == {1: b"\x01"}
+    assert b0.data_file.first_row_id == 7
+    assert b0.eq_deletes[0].equality_ids == [1, 2]
+    assert b0.sequence_number == 5
