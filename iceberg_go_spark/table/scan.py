@@ -333,6 +333,36 @@ class Scan:
     def to_pandas(self, spark: SparkSession):
         return self.to_df(spark).toPandas()
 
+    def to_arrow(self, spark: SparkSession):
+        """Arrow table result (ToArrowTable parity, scanner.go:1096)."""
+        return self.to_df(spark).toArrow()
+
+    def count_rows(self, spark: Optional[SparkSession] = None) -> int:
+        """Row count, metadata-only when provably exact: no deletes, and
+        every surviving file either fully matches the filter (strict
+        metrics) or the filter is ALL.  Falls back to executing the scan.
+
+        At 100 TB this answers count(*) in milliseconds from manifests."""
+        tasks = self.plan_files()
+        no_filter = isinstance(E.bind(self.row_filter,
+                                      self.table.metadata.schema(),
+                                      self.case_sensitive), E.AlwaysTrue)
+        if all(not t.pos_deletes and not t.eq_deletes for t in tasks):
+            if no_filter:
+                total = sum(t.data_file.record_count for t in tasks)
+                return min(total, self.limit) if self.limit else total
+            from ..plans.evaluators import StrictMetricsEvaluator
+            strict = StrictMetricsEvaluator(self.table.metadata.schema(),
+                                            self.row_filter,
+                                            self.case_sensitive)
+            if all(strict.eval(t.data_file) for t in tasks):
+                total = sum(t.data_file.record_count for t in tasks)
+                return min(total, self.limit) if self.limit else total
+        if spark is None:
+            raise ValueError("count not derivable from metadata; "
+                             "pass a SparkSession to execute the scan")
+        return self.to_df(spark).count()
+
 
 def _match_deletes(entry: M.ManifestEntry, spec_id: int,
                    delete_entries: List[Tuple[M.ManifestEntry, int]],

@@ -232,9 +232,15 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
             "parquet.field.id": f.field_id})
         for f in schema.fields])
     writer_df, pcols = partition_columns(df, schema, spec)
+    # write.distribution-mode=hash (the Iceberg default for partitioned
+    # tables): shuffle rows to their partition before the fanout write, so
+    # output files ≈ one-per-partition-per-target-size instead of
+    # input_partitions × partition_values small files
+    dist_mode = properties.get("write.distribution-mode",
+                               "hash" if pcols else "none")
+    if pcols and dist_mode == "hash":
+        writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
     if sort_order and not sort_order.is_unsorted:
-        if pcols:
-            writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
         writer_df = writer_df.sortWithinPartitions(
             *sort_order.spark_columns(schema))
 

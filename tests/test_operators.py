@@ -176,3 +176,31 @@ def test_cli(tmp_path, spark, sf_dir, capsys):
     import json
     rows = json.loads(capsys.readouterr().out)
     assert rows and rows[0]["records"] == 5
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    """Structured Streaming end-to-end: file-stream source over the table's
+    data dir, watermarked tumbling windows, availableNow trigger."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.source import (read_stream,
+                                                   windowed_counts)
+    import __spark_entry__ as em
+    ev = em._read(spark, sf_dir, "events").limit(500).cache()
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.ev", Schema.from_spark(ev.schema))
+    t.append(ev)
+
+    stream = read_stream(spark, t)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, ts_col="ts", window="1 hour",
+                          watermark="2 hours", group_col="event_type")
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) FROM wincounts").first()[0]
+    # append mode emits only windows closed by the watermark; the final
+    # (open) windows are withheld -> got <= total, and most rows flushed
+    assert got is None or got <= 500

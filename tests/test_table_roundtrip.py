@@ -131,3 +131,47 @@ def test_time_travel_and_refs(spark, sf_dir, catalog):
     # snapshot ancestry
     anc = t.metadata.ancestors_of()
     assert [s.snapshot_id for s in anc][-1] == snap1
+
+
+def test_null_pruning_and_metadata_count(spark, sf_dir, catalog):
+    """F5-style null/NaN edge cases + metadata-only counts."""
+    import pyspark.sql.types as ST
+    from iceberg_go_spark import expressions as E
+    schema_sp = ST.StructType([
+        ST.StructField("idx", ST.IntegerType()),
+        ST.StructField("col_numeric", ST.FloatType())])
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(50)], schema_sp)
+    mixed = spark.createDataFrame(
+        [(i, float(i)) if i % 2 else (i, None) for i in range(100, 150)],
+        schema_sp)
+    with_nan = spark.createDataFrame(
+        [(i, float("nan") if i % 3 == 0 else float(i))
+         for i in range(200, 250)], schema_sp)
+    t = catalog.create_table("db.nulls", Schema.from_spark(schema_sp))
+    t.append(all_null.coalesce(1))
+    t.append(mixed.coalesce(1))
+    t.append(with_nan.coalesce(1))
+    all_files = t.scan().plan_files()
+    assert len(all_files) == 3
+
+    # not_null prunes the all-null file
+    s = t.scan(E.not_null("col_numeric"))
+    assert len(s.plan_files()) == 2
+    expected = 25 + 50  # mixed non-nulls + all of with_nan rows
+    assert s.to_df(spark).count() == expected
+
+    # literal predicate also prunes the all-null file
+    s2 = t.scan(E.gt_eq("col_numeric", 0.0))
+    assert len(s2.plan_files()) <= 2
+
+    # metadata-only counts
+    assert t.scan().count_rows() == 150
+    assert t.scan(E.lt("idx", 1000)).count_rows() == 150  # strict match
+    with pytest.raises(ValueError):
+        t.scan(E.is_nan("col_numeric")).count_rows()  # needs execution
+    assert t.scan(E.is_nan("col_numeric")).count_rows(spark) == 17
+
+    # arrow output
+    at = t.scan(selected=["idx"]).with_limit(5).to_arrow(spark)
+    assert at.num_rows == 5 and at.column_names == ["idx"]
