@@ -306,7 +306,7 @@ TOP_CUST_SQL = """
 SELECT n_name, c_custkey, c_acctbal, rank FROM (
   SELECT c_nationkey, c_custkey, c_acctbal,
          row_number() OVER (PARTITION BY c_nationkey
-                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+                            ORDER BY c_acctbal DESC, c_custkey)::INT AS rank
   FROM customer) c
 JOIN nation ON c.c_nationkey = n_nationkey
 WHERE rank <= 3
@@ -364,7 +364,7 @@ SELECT supp_nation, cust_nation, l_year,
            (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+         year(l_shipdate)::INT AS l_year, l_extendedprice, l_discount
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -472,7 +472,7 @@ WITH e AS (
                      ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM g
 )
-SELECT user_id, session_seq,
+SELECT user_id, session_seq::BIGINT AS session_seq,
   MIN(us) AS session_start_us, MAX(us) AS session_end_us,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -695,9 +695,9 @@ def text_stats(spark, sf_dir):
 
 TEXT_STATS_SQL = f"""
 SELECT doc_id,
-  length(text) AS n_chars,
-  {TX.token_count_sql('text')} AS n_tokens,
-  {TX.bpe_ish_token_count_sql('text')} AS n_subword_tokens,
+  length(text)::INT AS n_chars,
+  ({TX.token_count_sql('text')})::INT AS n_tokens,
+  ({TX.bpe_ish_token_count_sql('text')})::INT AS n_subword_tokens,
   round({TX.alpha_ratio_sql('text')}, 6) AS alpha_ratio,
   round({TX.stopword_ratio_sql('text')}, 6) AS stopword_ratio,
   {TX.quality_score_sql('text')} AS quality,
@@ -725,9 +725,9 @@ def token_summary_by_lang(spark, sf_dir):
 
 TOKEN_SUMMARY_SQL = f"""
 SELECT lang, COUNT(*) AS n_docs,
-  SUM({TX.token_count_sql('text')}) AS total_tokens,
+  SUM({TX.token_count_sql('text')})::BIGINT AS total_tokens,
   round(AVG({TX.token_count_sql('text')}), 6) AS avg_tokens,
-  MAX(length(text)) AS max_chars
+  MAX(length(text))::INT AS max_chars
 FROM documents GROUP BY lang
 """
 
@@ -777,7 +777,7 @@ pairs AS (
 SELECT query_id, vec_id, round({cos}, 6) AS cosine, rank FROM (
   SELECT query_id, vec_id, qe, qq,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY round({cos}, 6) DESC, vec_id) AS rank
+                            ORDER BY round({cos}, 6) DESC, vec_id)::INT AS rank
   FROM pairs)
 WHERE rank <= 10
 """
@@ -814,7 +814,7 @@ CENTROIDS_SQL = f"""
 SELECT label, pos, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS centroid
 FROM (
   SELECT label,
-         unnest(range(0, len(embedding))) AS pos,
+         unnest(range(0, len(embedding)))::INT AS pos,
          unnest({V.quantize_sql('embedding')}) AS val
   FROM embeddings)
 GROUP BY label, pos
