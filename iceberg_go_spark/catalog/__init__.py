@@ -1,3 +1,6 @@
 from .filesystem import FilesystemCatalog
+from .sql import SqlCatalog
+from .rest import RestCatalog, RestCatalogServer
 
-__all__ = ["FilesystemCatalog"]
+__all__ = ["FilesystemCatalog", "SqlCatalog", "RestCatalog",
+           "RestCatalogServer"]

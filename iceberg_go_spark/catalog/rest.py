@@ -1,0 +1,315 @@
+"""REST catalog: client + a reference in-process server.
+
+Parity (behavior only): /root/reference/catalog/rest/rest.go (2567 LoC) —
+config fetch, namespace/table CRUD, load-table responses carrying
+metadata-location + metadata, commit with requirements (optimistic CAS).
+
+Differences kept small and documented: commits ship the full replacement
+metadata under a single ``overwrite-metadata`` update (the spec's granular
+update-action model is planned); auth is a static bearer token.
+
+The bundled ``RestCatalogServer`` (stdlib http.server) exists so the client
+has a real wire protocol to test against in this offline container; it
+persists metadata JSON under a warehouse directory with an exclusive lock
+per commit (same CAS semantics as the other catalogs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.parse
+import urllib.request
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+from ..meta.metadata import TableMetadata, new_table_metadata
+from ..meta.partitioning import PartitionSpec, SortOrder
+from ..schema import Schema
+from .filesystem import (CommitConflictError, NoSuchTableError,
+                         TableAlreadyExistsError, _ident)
+
+
+# ---------------------------------------------------------------------------
+# client
+
+
+class RestCatalog:
+    def __init__(self, uri: str, warehouse: Optional[str] = None,
+                 token: Optional[str] = None, name: str = "rest"):
+        self.uri = uri.rstrip("/")
+        self.name = name
+        self.token = token
+        cfg = self._request("GET", "/v1/config")
+        self.warehouse = warehouse or cfg.get("defaults", {}).get("warehouse")
+
+    def _request(self, method: str, path: str, body: Optional[dict] = None
+                 ) -> dict:
+        req = urllib.request.Request(
+            self.uri + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json",
+                     **({"Authorization": f"Bearer {self.token}"}
+                        if self.token else {})})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                data = resp.read()
+                return json.loads(data) if data else {}
+        except urllib.error.HTTPError as e:
+            payload = e.read().decode()
+            if e.code == 404:
+                raise NoSuchTableError(payload)
+            if e.code == 409:
+                raise TableAlreadyExistsError(payload)
+            if e.code == 412:
+                raise CommitConflictError(payload)
+            raise RuntimeError(f"REST {e.code}: {payload}")
+
+    @staticmethod
+    def _ns(namespace) -> str:
+        return urllib.parse.quote("\x1f".join(_ident(namespace)), safe="")
+
+    def _split(self, identifier) -> Tuple[Tuple[str, ...], str]:
+        parts = _ident(identifier)
+        return parts[:-1], parts[-1]
+
+    # -- namespaces ----------------------------------------------------------
+    def create_namespace(self, namespace,
+                         properties: Optional[Dict[str, str]] = None) -> None:
+        self._request("POST", "/v1/namespaces", {
+            "namespace": list(_ident(namespace)),
+            "properties": properties or {}})
+
+    def list_namespaces(self) -> List[Tuple[str, ...]]:
+        out = self._request("GET", "/v1/namespaces")
+        return [tuple(ns) for ns in out.get("namespaces", [])]
+
+    def list_tables(self, namespace) -> List[Tuple[str, ...]]:
+        ns = self._ns(namespace)
+        out = self._request("GET", f"/v1/namespaces/{ns}/tables")
+        return [tuple(t["namespace"]) + (t["name"],)
+                for t in out.get("identifiers", [])]
+
+    # -- tables --------------------------------------------------------------
+    def create_table(self, identifier, schema: Schema,
+                     spec: Optional[PartitionSpec] = None,
+                     sort_order: Optional[SortOrder] = None,
+                     properties: Optional[Dict[str, str]] = None):
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        md = new_table_metadata(
+            schema, spec or PartitionSpec(),
+            location=os.path.join(self.warehouse, *ns, name),
+            properties=properties, sort_order=sort_order)
+        os.makedirs(os.path.join(md.location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(md.location, "data"), exist_ok=True)
+        out = self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/tables",
+            {"name": name, "metadata": md.to_json_dict()})
+        return Table(_ident(identifier),
+                     TableMetadata.from_json_dict(out["metadata"]),
+                     out["metadata-location"], self)
+
+    def load_table(self, identifier):
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        out = self._request(
+            "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{name}")
+        return Table(_ident(identifier),
+                     TableMetadata.from_json_dict(out["metadata"]),
+                     out["metadata-location"], self)
+
+    def table_exists(self, identifier) -> bool:
+        try:
+            self.load_table(identifier)
+            return True
+        except NoSuchTableError:
+            return False
+
+    def drop_table(self, identifier, purge: bool = False) -> None:
+        ns, name = self._split(identifier)
+        self._request("DELETE",
+                      f"/v1/namespaces/{self._ns(ns)}/tables/{name}")
+
+    def rename_table(self, src, dst) -> None:
+        sns, sname = self._split(src)
+        dns, dname = self._split(dst)
+        self._request("POST", "/v1/tables/rename", {
+            "source": {"namespace": list(sns), "name": sname},
+            "destination": {"namespace": list(dns), "name": dname}})
+
+    def commit_table(self, identifier, base_metadata_path: Optional[str],
+                     metadata: TableMetadata) -> str:
+        ns, name = self._split(identifier)
+        out = self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{name}",
+            {"requirements": [
+                {"type": "assert-metadata-location",
+                 "metadata-location": base_metadata_path}],
+             "updates": [
+                {"action": "overwrite-metadata",
+                 "metadata": metadata.to_json_dict()}]})
+        return out["metadata-location"]
+
+
+# ---------------------------------------------------------------------------
+# reference server (stdlib; per-table commit lock -> CAS)
+
+
+class _State:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self.lock = threading.Lock()
+        self.namespaces: Dict[Tuple[str, ...], Dict[str, str]] = {}
+        # (ns, name) -> metadata-location
+        self.tables: Dict[Tuple[Tuple[str, ...], str], str] = {}
+
+    def write_metadata(self, md_dict: dict) -> str:
+        loc = md_dict["location"]
+        os.makedirs(os.path.join(loc, "metadata"), exist_ok=True)
+        path = os.path.join(loc, "metadata",
+                            f"{uuid.uuid4().hex}.metadata.json")
+        with open(path, "w") as f:
+            json.dump(md_dict, f)
+        return path
+
+
+def _make_handler(state: _State):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence
+            pass
+
+        def _send(self, code: int, body: Optional[dict] = None):
+            payload = json.dumps(body or {}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def _parts(self):
+            return [urllib.parse.unquote(p)
+                    for p in self.path.split("?")[0].split("/") if p]
+
+        def do_GET(self):
+            p = self._parts()
+            if p == ["v1", "config"]:
+                return self._send(200, {"defaults":
+                                        {"warehouse": state.warehouse}})
+            if p == ["v1", "namespaces"]:
+                return self._send(200, {"namespaces":
+                                        [list(ns) for ns in
+                                         sorted(state.namespaces)]})
+            if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] == "tables":
+                ns = tuple(p[2].split("\x1f"))
+                ids = [{"namespace": list(k[0]), "name": k[1]}
+                       for k in sorted(state.tables) if k[0] == ns]
+                return self._send(200, {"identifiers": ids})
+            if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] == "tables":
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                loc = state.tables.get((ns, name))
+                if loc is None:
+                    return self._send(404, {"error": "no such table"})
+                with open(loc) as f:
+                    md = json.load(f)
+                return self._send(200, {"metadata-location": loc,
+                                        "metadata": md})
+            return self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            p = self._parts()
+            body = self._body()
+            if p == ["v1", "namespaces"]:
+                ns = tuple(body["namespace"])
+                state.namespaces[ns] = body.get("properties", {})
+                return self._send(200, {"namespace": list(ns)})
+            if p == ["v1", "tables", "rename"]:
+                s = (tuple(body["source"]["namespace"]),
+                     body["source"]["name"])
+                d = (tuple(body["destination"]["namespace"]),
+                     body["destination"]["name"])
+                with state.lock:
+                    if s not in state.tables:
+                        return self._send(404, {"error": "no such table"})
+                    if d in state.tables:
+                        return self._send(409, {"error": "exists"})
+                    state.tables[d] = state.tables.pop(s)
+                return self._send(200, {})
+            if len(p) == 4 and p[3] == "tables":  # create
+                ns = tuple(p[2].split("\x1f"))
+                key = (ns, body["name"])
+                with state.lock:
+                    if key in state.tables:
+                        return self._send(409, {"error": "exists"})
+                    loc = state.write_metadata(body["metadata"])
+                    state.tables[key] = loc
+                with open(loc) as f:
+                    md = json.load(f)
+                return self._send(200, {"metadata-location": loc,
+                                        "metadata": md})
+            if len(p) == 5 and p[3] == "tables":  # commit
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                key = (ns, name)
+                with state.lock:
+                    cur = state.tables.get(key)
+                    if cur is None:
+                        return self._send(404, {"error": "no such table"})
+                    for req in body.get("requirements", []):
+                        if req["type"] == "assert-metadata-location" and \
+                                req["metadata-location"] != cur:
+                            return self._send(412, {
+                                "error": f"expected {req['metadata-location']}"
+                                         f" but current is {cur}"})
+                    new_md = None
+                    for upd in body.get("updates", []):
+                        if upd["action"] == "overwrite-metadata":
+                            new_md = upd["metadata"]
+                    if new_md is None:
+                        return self._send(400, {"error": "no metadata"})
+                    loc = state.write_metadata(new_md)
+                    state.tables[key] = loc
+                return self._send(200, {"metadata-location": loc})
+            return self._send(404, {"error": "not found"})
+
+        def do_DELETE(self):
+            p = self._parts()
+            if len(p) == 5 and p[3] == "tables":
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                with state.lock:
+                    if (ns, name) not in state.tables:
+                        return self._send(404, {"error": "no such table"})
+                    del state.tables[(ns, name)]
+                return self._send(200, {})
+            return self._send(404, {"error": "not found"})
+
+    return Handler
+
+
+class RestCatalogServer:
+    """In-process reference server; bind port 0 for an ephemeral port."""
+
+    def __init__(self, warehouse: str, port: int = 0):
+        os.makedirs(warehouse, exist_ok=True)
+        self.state = _State(warehouse)
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
+                                         _make_handler(self.state))
+        self.port = self.httpd.server_address[1]
+        self.uri = f"http://127.0.0.1:{self.port}"
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+
+    def start(self) -> "RestCatalogServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

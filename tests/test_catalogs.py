@@ -113,3 +113,48 @@ def test_add_files(cat, spark, sf_dir, tmp_path):
     assert scan.to_df(spark).count() == 1
     with pytest.raises(ValueError):
         t.new_transaction().add_files(spark, paths)  # duplicates
+
+
+@pytest.fixture()
+def rest(tmp_path):
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    yield RestCatalog(server.uri)
+    server.stop()
+
+
+def test_rest_catalog_crud(rest, spark, sf_dir):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    rest.create_namespace("db")
+    assert ("db",) in rest.list_namespaces()
+    t = rest.create_table("db.r", schema)
+    assert rest.table_exists("db.r")
+    assert ("db", "r") in rest.list_tables("db")
+    with pytest.raises(TableAlreadyExistsError):
+        rest.create_table("db.r", schema)
+
+    # write/read through the REST commit path
+    t.append(df)
+    t2 = rest.load_table("db.r")
+    assert t2.to_df(spark).count() == df.count()
+    assert t2.current_snapshot().summary["operation"] == "append"
+
+    rest.rename_table("db.r", "db.r2")
+    assert rest.table_exists("db.r2") and not rest.table_exists("db.r")
+    rest.drop_table("db.r2")
+    with pytest.raises(NoSuchTableError):
+        rest.load_table("db.r2")
+
+
+def test_rest_catalog_cas(rest, spark, sf_dir):
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    rest.create_table("db.c", schema)
+    a = rest.load_table("db.c")
+    b = rest.load_table("db.c")
+    a.append(df)
+    b.append(df.limit(2))  # stale base -> 412 -> refresh+rebase -> success
+    final = rest.load_table("db.c")
+    assert final.to_df(spark).count() == df.count() + 2
+    assert [s.sequence_number for s in final.snapshots()] == [1, 2]
