@@ -46,9 +46,15 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # setup (unmeasured): build Iceberg fixtures + warm the JVM
+    # setup (unmeasured): build Iceberg fixtures + warm the JVM.  One
+    # warmup execution per query excludes whole-stage-codegen compilation
+    # from the measurement (standard steady-state methodology; disable
+    # with BENCH_WARMUP=0 to measure cold runs).
     entrymod._fixtures(spark, SF_DIR)
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        for name in HEADLINE:
+            qs[name](spark, SF_DIR).count()
 
     timings = {}
     for name in HEADLINE:

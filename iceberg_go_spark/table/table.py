@@ -102,6 +102,49 @@ class Table:
         from .evolution import UpdateSpec
         return UpdateSpec(self)
 
+    def update_properties(self, updates: Optional[Dict[str, str]] = None,
+                          removals: Optional[List[str]] = None) -> "Table":
+        """Set/unset table properties in one metadata commit."""
+        import copy
+        new = copy.deepcopy(self.metadata)
+        new.properties.update(updates or {})
+        for k in removals or []:
+            new.properties.pop(k, None)
+        new.last_updated_ms = int(time.time() * 1000)
+        path = self.catalog.commit_table(self.identifier,
+                                         self.metadata_location, new)
+        self.metadata, self.metadata_location = new, path
+        return self
+
+    def replace_sort_order(self, *fields) -> "Table":
+        """Set the default write sort order; each field is
+        (column, transform, direction, null_order) with trailing entries
+        optional (table/sorting.go semantics)."""
+        import copy
+        from ..meta.partitioning import SortField, SortOrder
+        from ..transforms import parse_transform
+        sfs = []
+        for f in fields:
+            col, *rest = (f,) if isinstance(f, str) else tuple(f)
+            tf = parse_transform(rest[0]) if rest else \
+                parse_transform("identity")
+            direction = rest[1] if len(rest) > 1 else "asc"
+            null_order = rest[2] if len(rest) > 2 else (
+                "nulls-first" if direction == "asc" else "nulls-last")
+            field = self.schema().find_field(col)
+            if field is None:
+                raise ValueError(f"no such column: {col}")
+            sfs.append(SortField(field.field_id, tf, direction, null_order))
+        new = copy.deepcopy(self.metadata)
+        order_id = max((o.order_id for o in new.sort_orders), default=0) + 1
+        new.sort_orders.append(SortOrder(sfs, order_id=order_id))
+        new.default_sort_order_id = order_id
+        new.last_updated_ms = int(time.time() * 1000)
+        path = self.catalog.commit_table(self.identifier,
+                                         self.metadata_location, new)
+        self.metadata, self.metadata_location = new, path
+        return self
+
     # -- maintenance --------------------------------------------------------
     def compact(self, spark: SparkSession, **kw) -> "Table":
         from .maintenance import compact

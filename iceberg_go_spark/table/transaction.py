@@ -305,6 +305,12 @@ class Transaction:
         md = self.metadata
         import copy
         new = copy.deepcopy(md)
+        # metadata log: pointer to the superseded metadata file
+        if self.table.metadata_location:
+            new.metadata_log.append({
+                "timestamp-ms": md.last_updated_ms,
+                "metadata-file": self.table.metadata_location})
+            new.metadata_log = new.metadata_log[-10:]  # bounded history
         for snap in self._staged:
             new.snapshots.append(snap)
             new.snapshot_log.append({"snapshot-id": snap.snapshot_id,

@@ -184,3 +184,25 @@ def test_merge_append(spark, sf_dir, catalog):
     # sequence numbers survive the merge (time travel still exact)
     snap2 = t.snapshots()[1].snapshot_id
     assert t.scan().use_snapshot(snap2).to_df(spark).count() == 2 * df.count()
+
+
+def test_properties_and_sort_order(spark, sf_dir, catalog):
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.props", schema)
+    t.update_properties({"write.target-file-size-bytes": "1048576",
+                         "owner": "pipeline"})
+    assert catalog.load_table("db.props").properties()["owner"] == "pipeline"
+    t.update_properties(removals=["owner"])
+    assert "owner" not in catalog.load_table("db.props").properties()
+
+    t.replace_sort_order(("o_orderdate", "identity", "asc"),
+                         "o_orderkey")
+    order = t.metadata.sort_order()
+    assert len(order.fields) == 2 and order.order_id == 1
+    # sorted write actually produces sorted files
+    t.append(df)
+    tasks = t.scan().plan_files()
+    assert all(x.data_file.sort_order_id == 1 for x in tasks)
+    # metadata log recorded prior versions
+    assert t.metadata.metadata_log
