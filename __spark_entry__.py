@@ -290,6 +290,45 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def rollup_pricing(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
+    (Spark rollup == SQL GROUP BY ROLLUP)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def set_ops_customers(spark, sf_dir):
+    """Set operations: customers that placed orders vs the full set
+    (intersect / except composed into one labeled union)."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orderers = _read(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    active = cust.intersect(orderers) \
+        .withColumn("status", F.lit("active"))
+    inactive = cust.exceptAll(orderers) \
+        .withColumn("status", F.lit("inactive"))
+    return active.unionByName(inactive)
+
+
+SET_OPS_SQL = """
+SELECT c_custkey, 'active' AS status FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'inactive' AS status FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
 def top_customers_per_nation(spark, sf_dir):
     cust = _read(spark, sf_dir, "customer")
     nation = _read(spark, sf_dir, "nation")
@@ -899,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
+        "rollup_pricing": rollup_pricing,
+        "set_ops_customers": set_ops_customers,
         "top_customers_per_nation": top_customers_per_nation,
         "events_hourly": events_hourly,
         "sessionization": sessionization,
@@ -935,6 +976,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
         "q14_promo_revenue": Q14_SQL,
+        "rollup_pricing": ROLLUP_SQL,
+        "set_ops_customers": SET_OPS_SQL,
         "top_customers_per_nation": TOP_CUST_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "sessionization": SESSIONIZATION_SQL,

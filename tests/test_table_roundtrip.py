@@ -175,3 +175,30 @@ def test_null_pruning_and_metadata_count(spark, sf_dir, catalog):
     # arrow output
     at = t.scan(selected=["idx"]).with_limit(5).to_arrow(spark)
     assert at.num_rows == 5 and at.column_names == ["idx"]
+
+
+def test_uuid_and_fixed_roundtrip(spark, sf_dir, catalog):
+    """F7 exotic primitives: uuid (canonical strings) + fixed-width binary
+    survive write/scan; bucket-on-uuid matches the spec hash."""
+    import uuid as _uuid
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.schema import Schema as S2
+    from iceberg_go_spark.transforms import BucketTransform
+    schema = S2([
+        T.NestedField(1, "id", T.IntegerType(), required=True),
+        T.NestedField(2, "uid", T.UUIDType()),
+        T.NestedField(3, "blob", T.FixedType(4)),
+    ])
+    rows = [(i, str(_uuid.UUID(int=i)), bytes([i, 0, 1, 2]))
+            for i in range(16)]
+    df = spark.createDataFrame(rows, schema.to_spark())
+    t = catalog.create_table("db.uuids", schema)
+    t.append(df)
+    back = t.to_df(spark).orderBy("id").collect()
+    assert len(back) == 16
+    assert back[3].uid == str(_uuid.UUID(int=3))
+    assert bytes(back[3].blob) == bytes([3, 0, 1, 2])
+    # spec vector: bucket(uuid) uses the 16-byte big-endian encoding
+    b = BucketTransform(100)
+    h = b.apply("f79c3e09-677c-4bbd-a479-3f349cb785e7", T.UUIDType())
+    assert h == (1488055340 & 0x7FFFFFFF) % 100
