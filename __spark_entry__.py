@@ -879,11 +879,32 @@ FROM documents
 
 
 def multimodal_feature_vectors(spark, sf_dir):
-    """Full feature vectors incl. the array column (rows-only check)."""
+    """Full feature vectors with the array column rendered canonically.
+
+    The raw ``array<float>`` column is not sortable/hashable by the
+    correctness gate, so the vector is emitted as an integer-quantized JSON
+    string (exact across engines; see ``vector_funcs.quantize``)."""
     _ensure_workers(spark)
     docs = _read(spark, sf_dir, "documents")
     media = MM.synthesize_media(spark, docs)
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "content_hash",
+        F.to_json(V.quantize(F.col("feature"))).alias("feature_q"))
+
+
+# DuckDB reproduction of the deterministic fake feature: byte i of
+# sha256(text) scaled to [-1, 1], quantized to round(x*1000) longs.
+_NIB = ("(strpos('0123456789abcdef', "
+        "substr(sha256(text), {pos}, 1)) - 1)")
+_BYTE = f"({_NIB.format(pos='2*i+1')} * 16 + {_NIB.format(pos='2*i+2')})"
+MULTIMODAL_VEC_SQL = f"""
+SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+       sha256(text) AS content_hash,
+       to_json(list_transform(range(0, 8), i ->
+         round(({_BYTE} / 255.0 * 2 - 1) * 1000)::BIGINT)) AS feature_q
+FROM documents
+"""
 
 
 def transforms_bucket(spark, sf_dir):
@@ -999,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bucketed": _ann_sql(True),
         "label_centroids": CENTROIDS_SQL,
         "multimodal_features": MULTIMODAL_SQL,
+        "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,
         # rows-only (non-SQL-expressible): iceberg_snapshot_log,
-        # transforms_bucket, multimodal_feature_vectors
+        # transforms_bucket
     }

@@ -1,6 +1,8 @@
-from .filesystem import FilesystemCatalog
+from .filesystem import (CommitConflictError, FilesystemCatalog,
+                         NoSuchTableError, TableAlreadyExistsError)
 from .sql import SqlCatalog
 from .rest import RestCatalog, RestCatalogServer
 
 __all__ = ["FilesystemCatalog", "SqlCatalog", "RestCatalog",
-           "RestCatalogServer"]
+           "RestCatalogServer", "CommitConflictError", "NoSuchTableError",
+           "TableAlreadyExistsError"]

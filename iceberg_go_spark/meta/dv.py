@@ -52,6 +52,20 @@ class RoaringBitmap64:
             for lo in sorted(self._containers[hi]):
                 yield (hi << 16) | lo
 
+    def to_numpy(self):
+        """Sorted int64 position array (vectorized membership tests on
+        executors via ``np.searchsorted`` — never iterate per-row)."""
+        import numpy as np
+        parts = []
+        for hi in sorted(self._containers):
+            c = self._containers[hi]
+            arr = np.fromiter(c, dtype=np.int64, count=len(c))
+            arr.sort()
+            parts.append(arr + (hi << 16))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
+
     # -- serialization -------------------------------------------------------
     def serialize(self) -> bytes:
         out = bytearray()
@@ -155,6 +169,30 @@ def write_deletion_vectors(path: str,
         cards[file_path] = bm.cardinality
     w.write()
     return cards
+
+
+def write_deletion_vector_blobs(path: str,
+                                blobs: Dict[str, Tuple[bytes, int]]) -> None:
+    """Write pre-serialized DV blobs (built on executors): one
+    (serialized bitmap, cardinality) pair per referenced data file."""
+    w = PuffinWriter(path)
+    for file_path, (raw, card) in sorted(blobs.items()):
+        w.add_blob(BLOB_TYPE_DV, raw,
+                   properties={"referenced-data-file": file_path,
+                               "cardinality": str(card)})
+    w.write()
+
+
+def read_deletion_vector_blobs(path: str) -> Dict[str, bytes]:
+    """Serialized DV blobs by referenced data file — deserialization is
+    deferred to executors (the driver only ships compressed bytes)."""
+    r = PuffinReader(path)
+    out = {}
+    for meta in r.blobs:
+        if meta["type"] != BLOB_TYPE_DV:
+            continue
+        out[meta["properties"]["referenced-data-file"]] = r.read_blob(meta)
+    return out
 
 
 def read_deletion_vectors(path: str) -> Dict[str, RoaringBitmap64]:

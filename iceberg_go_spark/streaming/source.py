@@ -65,7 +65,13 @@ def incremental_append_df(spark: SparkSession, table,
 def read_stream(spark: SparkSession, table,
                 max_files_per_trigger: int = 64) -> DataFrame:
     """Structured Streaming source over the table: every append commit adds
-    parquet files under data/, which the file stream source tails."""
+    parquet files under data/, which the file stream source tails.
+
+    Delete files (pos/eq/DV) are written under deletes/, outside this
+    glob, so MoR commits never inject delete-schema rows into the stream.
+    Caveat: compaction rewrites land under data/ and re-emit their rows —
+    pause maintenance on streamed tables or read via availableNow batches
+    anchored to snapshot ids (``incremental_append_df``)."""
     schema = table.schema().to_spark()
     return (spark.readStream
             .schema(schema)

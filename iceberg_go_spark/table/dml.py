@@ -21,15 +21,18 @@ import os
 import uuid
 from typing import Dict, List, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import expressions as E
 from ..meta import manifests as M
 from ..meta.conversions import to_bytes
+from ..meta.dv import RoaringBitmap64, write_deletion_vector_blobs
 from ..meta.metadata import OP_DELETE, OP_OVERWRITE
 from ..plans.evaluators import (InclusiveMetricsEvaluator,
                                 StrictMetricsEvaluator)
-from .write import write_dataframe
+from .write import (PART_COL_PREFIX, discover_partitioned_files,
+                    write_dataframe)
 
 
 def _classify(table, expr: E.Expression):
@@ -48,6 +51,100 @@ def _classify(table, expr: E.Expression):
     return full, partial
 
 
+def _tasks_scan_df(table, spark: SparkSession, tasks) -> DataFrame:
+    """Read a task subset through the scan lowering so existing pos/eq
+    deletes are applied (a CoW rewrite that reads raw parquet would
+    resurrect rows removed by earlier MoR deletes/upserts)."""
+    from .scan import Scan
+    sub = Scan(table)
+    sub.plan_files = lambda: tasks  # type: ignore[assignment]
+    return sub.to_df(spark)
+
+
+def _matches_df(spark: SparkSession, schema, bound_col, partial) -> DataFrame:
+    """(file_path, pos) of predicate-matching rows in partially-matching
+    files.  Rows already MoR-deleted may reappear here — harmless, pos
+    deletes are idempotent under the read-side anti-join."""
+    src = spark.read.schema(schema.to_spark()).parquet(
+        *[t.data_file.file_path for t in partial])
+    return (src
+            .withColumn("file_path",
+                        F.regexp_replace("_metadata.file_path",
+                                         "^file:", ""))
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .filter(bound_col)
+            .select("file_path", "pos"))
+
+
+def _dead_delete_paths(table, dropped: List[str]) -> List[str]:
+    """Delete files that only applied to now-dropped data files die with
+    them (same liveness rule as compaction)."""
+    dropped_set = set(dropped)
+    dead = set()
+    still_needed = set()
+    for t in table.scan().plan_files():
+        refs = {d.file_path for d in (t.pos_deletes + t.eq_deletes)}
+        if t.data_file.file_path in dropped_set:
+            dead |= refs
+        else:
+            still_needed |= refs
+    return sorted(dead - still_needed)
+
+
+def _pos_delete_fanout(spark: SparkSession, md, matches: DataFrame,
+                       partial) -> List[M.DataFile]:
+    """Distributed, partition-aware pos-delete write (parity behavior:
+    /root/reference/table/pos_delete_partitioned_fanout_writer.go).
+
+    Each delete row is shuffled to its data file's partition and written
+    one-file-per-partition, so the delete files carry the partition tuple
+    the read-side gating requires and no single task funnels the whole
+    delete set.  Files land under ``deletes/`` (outside ``data/`` so the
+    streaming file source never tails them)."""
+    schema = md.schema()
+    spec = md.spec()
+    out_dir = os.path.join(md.location, "deletes",
+                           f"pos-{uuid.uuid4().hex[:12]}")
+    ptype = spec.partition_type(schema)
+    if spec.is_unpartitioned:
+        (matches.repartition("file_path")
+         .sortWithinPartitions("file_path", "pos")
+         .write.parquet(out_dir))
+        return _pos_delete_datafiles(out_dir, ptype)
+
+    import pyspark.sql.types as ST
+    from ..types import to_spark_type
+    pcols = [PART_COL_PREFIX + f.name for f in ptype.fields]
+    map_schema = ST.StructType(
+        [ST.StructField("__mfile", ST.StringType(), False)] +
+        [ST.StructField(c, to_spark_type(f.field_type), True)
+         for c, f in zip(pcols, ptype.fields)])
+    rows = [tuple([t.data_file.file_path] +
+                  [t.data_file.partition.get(f.name) for f in ptype.fields])
+            for t in partial]
+    mapping = spark.createDataFrame(rows, map_schema)
+    df = (matches.join(F.broadcast(mapping),
+                       matches["file_path"] == mapping["__mfile"])
+          .drop("__mfile")
+          .repartition(*[F.col(c) for c in pcols])
+          .sortWithinPartitions("file_path", "pos"))
+    df.write.partitionBy(*pcols).parquet(out_dir)
+    return _pos_delete_datafiles(out_dir, ptype)
+
+
+def _pos_delete_datafiles(out_dir: str, ptype) -> List[M.DataFile]:
+    import pyarrow.parquet as pq
+    out = []
+    for path, part in discover_partitioned_files(out_dir, ptype):
+        meta = pq.ParquetFile(path).metadata
+        out.append(M.DataFile(
+            content=M.CONTENT_POS_DELETES, file_path=path,
+            file_format="PARQUET", partition=part,
+            record_count=meta.num_rows,
+            file_size_in_bytes=os.path.getsize(path)))
+    return out
+
+
 def delete_where(table, spark: SparkSession, expr: E.Expression,
                  mode: str = "copy-on-write"):
     """Delete all rows matching ``expr``."""
@@ -63,14 +160,14 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
     if mode == "copy-on-write":
         rewritten: List[M.DataFile] = []
         if partial:
-            src = spark.read.schema(schema.to_spark()).parquet(
-                *[t.data_file.file_path for t in partial])
+            src = _tasks_scan_df(table, spark, partial)
             keep_df = src.filter(~bound_col | bound_col.isNull())
             rewritten = write_dataframe(
                 keep_df, schema, md.spec(),
                 os.path.join(md.location, "data"), md.properties,
                 sort_order=md.sort_order())
         dropped = [t.data_file.file_path for t in full + partial]
+        dropped += _dead_delete_paths(table, dropped)
         keep_manifests = txn._rewrite_manifests_without(dropped)
         txn.append_files(rewritten, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests,
@@ -89,78 +186,55 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                 [t.data_file.file_path for t in full])
         delete_files: List[M.DataFile] = []
         if partial:
-            src = spark.read.schema(schema.to_spark()).parquet(
-                *[t.data_file.file_path for t in partial])
-            matches = (src
-                       .withColumn("file_path",
-                                   F.regexp_replace("_metadata.file_path",
-                                                    "^file:", ""))
-                       .withColumn("pos", F.col("_metadata.row_index"))
-                       .filter(bound_col)
-                       .select("file_path", "pos")
-                       .orderBy("file_path", "pos"))
-            out_dir = os.path.join(md.location, "data",
-                                   f"deletes-{uuid.uuid4().hex[:12]}")
-            matches.coalesce(1).write.parquet(out_dir)
-            delete_files = _collect_pos_delete_files(out_dir)
+            matches = _matches_df(spark, schema, bound_col, partial)
+            delete_files = _pos_delete_fanout(spark, md, matches, partial)
         txn.append_files(delete_files, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests)
         return txn.commit()
 
     if mode == "merge-on-read-dv":
         # v3 deletion vectors: one roaring bitmap per data file in a
-        # Puffin-style container (dv/deletion_vector.go).  Positions are
-        # gathered via the same _metadata projection as pos-deletes.
-        from ..meta.dv import RoaringBitmap64, write_deletion_vectors
+        # Puffin-style container (dv/deletion_vector.go).  Bitmaps are
+        # built ON EXECUTORS (groupBy file + applyInPandas); the driver
+        # only collects (path, serialized-bitmap) pairs — never positions.
         keep_manifests = None
         if full:
             keep_manifests = txn._rewrite_manifests_without(
                 [t.data_file.file_path for t in full])
         delete_files = []
         if partial:
-            src = spark.read.schema(schema.to_spark()).parquet(
-                *[t.data_file.file_path for t in partial])
-            matches = (src
-                       .withColumn("file_path",
-                                   F.regexp_replace("_metadata.file_path",
-                                                    "^file:", ""))
-                       .withColumn("pos", F.col("_metadata.row_index"))
-                       .filter(bound_col)
-                       .select("file_path", "pos"))
-            dvs: Dict[str, "RoaringBitmap64"] = {}
-            for row in matches.collect():
-                dvs.setdefault(row.file_path, RoaringBitmap64()).add(row.pos)
-            if dvs:
-                pth = os.path.join(md.location, "data",
+            matches = _matches_df(spark, schema, bound_col, partial)
+
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                bm = RoaringBitmap64()
+                bm.update(pdf["pos"].tolist())
+                return pd.DataFrame({
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "dv": [bm.serialize()],
+                    "card": [bm.cardinality]})
+
+            blobs = (matches.repartition("file_path")
+                     .groupBy("file_path")
+                     .applyInPandas(build,
+                                    "file_path string, dv binary, card long")
+                     .collect())
+            if blobs:
+                pth = os.path.join(md.location, "deletes",
                                    f"dv-{uuid.uuid4().hex[:12]}.puffin")
-                cards = write_deletion_vectors(pth, dvs)
+                os.makedirs(os.path.dirname(pth), exist_ok=True)
+                write_deletion_vector_blobs(
+                    pth, {r.file_path: (bytes(r.dv), int(r.card))
+                          for r in blobs})
                 delete_files = [M.DataFile(
                     content=M.CONTENT_POS_DELETES, file_path=pth,
                     file_format="PUFFIN", partition={},
-                    record_count=sum(cards.values()),
+                    record_count=sum(int(r.card) for r in blobs),
                     file_size_in_bytes=os.path.getsize(pth))]
         txn.append_files(delete_files, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests)
         return txn.commit()
 
     raise ValueError(f"unknown delete mode {mode!r}")
-
-
-def _collect_pos_delete_files(out_dir: str) -> List[M.DataFile]:
-    import pyarrow.parquet as pq
-    out = []
-    for root, _d, names in os.walk(out_dir):
-        for n in names:
-            if not n.endswith(".parquet"):
-                continue
-            p = os.path.join(root, n)
-            meta = pq.ParquetFile(p).metadata
-            out.append(M.DataFile(
-                content=M.CONTENT_POS_DELETES, file_path=p,
-                file_format="PARQUET", partition={},
-                record_count=meta.num_rows,
-                file_size_in_bytes=os.path.getsize(p)))
-    return out
 
 
 def overwrite_where(table, spark: SparkSession, expr: E.Expression,
@@ -175,8 +249,7 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
 
     added: List[M.DataFile] = []
     if partial:
-        src = spark.read.schema(schema.to_spark()).parquet(
-            *[t.data_file.file_path for t in partial])
+        src = _tasks_scan_df(table, spark, partial)
         keep_df = src.filter(~bound_col | bound_col.isNull())
         added += write_dataframe(keep_df, schema, md.spec(),
                                  os.path.join(md.location, "data"),
@@ -185,6 +258,8 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
                              os.path.join(md.location, "data"),
                              md.properties, sort_order=md.sort_order())
     dropped = [t.data_file.file_path for t in full + partial]
+    if dropped:
+        dropped += _dead_delete_paths(table, dropped)
     keep_manifests = txn._rewrite_manifests_without(dropped) if dropped \
         else None
     txn.append_files(added, operation=OP_OVERWRITE,
@@ -207,11 +282,16 @@ def upsert(table, spark: SparkSession, df: DataFrame,
         key_ids.append(f.field_id)
 
     txn = table.new_transaction()
-    # 1. equality delete file: distinct key tuples of the incoming batch
+    # 1. equality delete file(s): distinct key tuples of the incoming
+    # batch, written distributed (the shuffle from .distinct() fans the
+    # write out; no single-task coalesce) under deletes/ so the streaming
+    # file source never tails them.  Scope is global (unpartitioned) —
+    # the read side groups all eq files with the same key set into ONE
+    # anti-join, so file count doesn't multiply joins.
     keys = df.select(*key_columns).distinct()
-    out_dir = os.path.join(md.location, "data",
-                           f"eq-deletes-{uuid.uuid4().hex[:12]}")
-    keys.coalesce(1).write.parquet(out_dir)
+    out_dir = os.path.join(md.location, "deletes",
+                           f"eq-{uuid.uuid4().hex[:12]}")
+    keys.write.parquet(out_dir)
     import pyarrow.parquet as pq
     delete_files = []
     for root, _d, names in os.walk(out_dir):
@@ -219,6 +299,8 @@ def upsert(table, spark: SparkSession, df: DataFrame,
             if n.endswith(".parquet"):
                 p = os.path.join(root, n)
                 meta = pq.ParquetFile(p).metadata
+                if meta.num_rows == 0:
+                    continue
                 delete_files.append(M.DataFile(
                     content=M.CONTENT_EQ_DELETES, file_path=p,
                     file_format="PARQUET", partition={},

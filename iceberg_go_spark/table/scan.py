@@ -23,6 +23,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, FrozenSet, List, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import expressions as E
@@ -182,19 +183,25 @@ class Scan:
         def load(mf: M.ManifestFile):
             entries, _spec, spec_id = M.read_manifest(mf.manifest_path)
             out_d, out_del = [], []
+            n_data = 0
             for e in entries:
                 if not e.is_live:
                     continue
                 if e.sequence_number is None:  # inheritance
                     e.sequence_number = mf.sequence_number
-                if not pev(spec_id)(e.data_file.partition):
-                    continue
-                if e.data_file.content == M.CONTENT_DATA:
-                    if metrics_eval.eval(e.data_file):
+                is_data = e.data_file.content == M.CONTENT_DATA
+                n_data += is_data
+                if is_data:
+                    if pev(spec_id)(e.data_file.partition) and \
+                            metrics_eval.eval(e.data_file):
                         out_d.append((e, spec_id))
                 else:
-                    out_del.append((e, spec_id))
-            return out_d, out_del, len(entries)
+                    # globally-scoped deletes (no partition values) must
+                    # survive partition pruning
+                    if _is_global_delete(e.data_file.partition) or \
+                            pev(spec_id)(e.data_file.partition):
+                        out_del.append((e, spec_id))
+            return out_d, out_del, n_data
 
         total_files = 0
         with ThreadPoolExecutor(max_workers=self.concurrency) as pool:
@@ -231,7 +238,7 @@ class Scan:
         # group tasks by (applicable delete sets, name-based flag) so each
         # group is one clean scan + anti-join pipeline; usually one group
         def key(t: FileScanTask) -> Tuple:
-            return (frozenset((d.file_path, d.file_format)
+            return (frozenset((d.file_path, d.file_format, d.record_count)
                               for d in t.pos_deletes),
                     frozenset((tuple(d.equality_ids or []), d.file_path)
                               for d in t.eq_deletes),
@@ -269,42 +276,42 @@ class Scan:
                                   F.col("__first") + F.col("__ri"))
                       .drop("__lf", "__ri", "__lfile", "__first"))
             if pos_set:
-                df = df.withColumns({
-                    "__file": F.col("_metadata.file_path"),
-                    "__pos": F.col("_metadata.row_index")})
-                parquet_dels = sorted(p for p, fmt in pos_set
-                                      if fmt != "PUFFIN")
-                puffin_dels = sorted(p for p, fmt in pos_set
-                                     if fmt == "PUFFIN")
-                del_dfs = []
-                if parquet_dels:
-                    del_dfs.append(
-                        spark.read.parquet(*parquet_dels)
-                        .select(F.col("file_path").alias("__dfile"),
-                                F.col("pos").alias("__dpos")))
-                for pth in puffin_dels:
-                    # deletion vectors: expand bitmaps to (file, pos) rows
-                    from ..meta.dv import read_deletion_vectors
-                    rows = [(fp, int(pos))
-                            for fp, bm in read_deletion_vectors(pth).items()
-                            for pos in bm]
-                    del_dfs.append(spark.createDataFrame(
-                        rows, "__dfile string, __dpos long"))
-                deletes = del_dfs[0]
-                for d in del_dfs[1:]:
-                    deletes = deletes.unionByName(d)
-                deletes = deletes.distinct()
                 # normalize URI scheme differences (file:// vs plain path)
-                df = df.withColumn(
-                    "__file", F.regexp_replace("__file", "^file:", ""))
-                df = df.join(
-                    F.broadcast(deletes),
-                    (df["__file"] == deletes["__dfile"]) &
-                    (df["__pos"] == deletes["__dpos"]),
-                    "left_anti").drop("__file", "__pos")
+                df = df.withColumns({
+                    "__file": F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""),
+                    "__pos": F.col("_metadata.row_index")})
+                parquet_dels = sorted((p, n) for p, fmt, n in pos_set
+                                      if fmt != "PUFFIN")
+                puffin_dels = sorted(p for p, fmt, _n in pos_set
+                                     if fmt == "PUFFIN")
+                if parquet_dels:
+                    deletes = (spark.read.parquet(
+                                   *[p for p, _ in parquet_dels])
+                               .select(F.col("file_path").alias("__dfile"),
+                                       F.col("pos").alias("__dpos"))
+                               .distinct())
+                    # broadcast only when manifest stats say the delete
+                    # set is small; at large delete counts let AQE pick a
+                    # shuffled anti-join instead of OOMing the driver
+                    n_del = sum(n for _, n in parquet_dels)
+                    if n_del <= 2_000_000:
+                        deletes = F.broadcast(deletes)
+                    df = df.join(
+                        deletes,
+                        (df["__file"] == deletes["__dfile"]) &
+                        (df["__pos"] == deletes["__dpos"]),
+                        "left_anti")
+                if puffin_dels:
+                    df = _apply_deletion_vectors(spark, df, puffin_dels)
+                df = df.drop("__file", "__pos")
+            # one anti-join per key set, not per delete file
+            eq_groups: Dict[Tuple, List[str]] = {}
             for eq_ids, dpath in sorted(eq_set):
+                eq_groups.setdefault(tuple(eq_ids), []).append(dpath)
+            for eq_ids, dpaths in sorted(eq_groups.items()):
                 cols = [schema.find_column_name(fid) for fid in eq_ids]
-                ddf = spark.read.parquet(dpath).select(
+                ddf = spark.read.parquet(*dpaths).select(
                     *[F.col(c).alias(f"__eq_{c}") for c in cols]).distinct()
                 # null-safe equality: an eq-delete key with NULL matches
                 # rows with NULL (reference null-tagged key encoding)
@@ -364,6 +371,63 @@ class Scan:
         return self.to_df(spark).count()
 
 
+def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):
+    """Filter DV-deleted rows without ever expanding bitmaps on the driver.
+
+    The driver ships only the *serialized* bitmap bytes (broadcast); each
+    executor lazily deserializes the bitmaps for the files in its batches
+    and runs a vectorized ``np.searchsorted`` membership test (parity:
+    table/arrow_scanner.go:533-552 applies DVs per record batch)."""
+    from ..meta.dv import read_deletion_vector_blobs
+
+    blob_map: Dict[str, List[bytes]] = {}
+    for pth in puffin_paths:
+        for fp, raw in read_deletion_vector_blobs(pth).items():
+            blob_map.setdefault(fp, []).append(raw)
+    if not blob_map:
+        return df
+    bc = spark.sparkContext.broadcast(blob_map)
+    out_schema = df.schema
+
+    def drop_deleted(batches):
+        import numpy as np
+        from iceberg_go_spark.meta.dv import RoaringBitmap64
+        cache: Dict[str, Any] = {}
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            keep = np.ones(len(pdf), dtype=bool)
+            files = pdf["__file"].to_numpy()
+            pos = pdf["__pos"].to_numpy()
+            for fp in pd.unique(files):
+                raws = bc.value.get(fp)
+                if not raws:
+                    continue
+                arr = cache.get(fp)
+                if arr is None:
+                    parts = [RoaringBitmap64.deserialize(r).to_numpy()
+                             for r in raws]
+                    arr = np.unique(np.concatenate(parts)) \
+                        if len(parts) > 1 else parts[0]
+                    cache[fp] = arr
+                mask = files == fp
+                p = pos[mask].astype(np.int64)
+                j = np.searchsorted(arr, p)
+                j = np.minimum(j, len(arr) - 1)
+                hit = arr[j] == p if len(arr) else np.zeros(len(p), bool)
+                keep[mask] &= ~hit
+            yield pdf[keep]
+
+    return df.mapInPandas(drop_deleted, out_schema)
+
+
+def _is_global_delete(partition: Optional[Dict[str, Any]]) -> bool:
+    """A delete file with no partition values (or an Avro round-tripped
+    all-None partition struct) is globally scoped."""
+    return not partition or all(v is None for v in partition.values())
+
+
 def _match_deletes(entry: M.ManifestEntry, spec_id: int,
                    delete_entries: List[Tuple[M.ManifestEntry, int]],
                    md: TableMetadata) -> Tuple[List[M.DataFile], List[M.DataFile]]:
@@ -383,7 +447,7 @@ def _match_deletes(entry: M.ManifestEntry, spec_id: int,
                 continue
         else:
             continue
-        if dspec_id == spec_id and df.partition and \
+        if dspec_id == spec_id and not _is_global_delete(df.partition) and \
                 df.partition != entry.data_file.partition:
             continue  # partition-scoped delete for a different partition
         (pos if df.content == M.CONTENT_POS_DELETES else eq).append(df)

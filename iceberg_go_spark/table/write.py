@@ -110,6 +110,32 @@ def _parse_partition_value(t: T.IcebergType, raw: str) -> Any:
     raise TypeError(f"cannot parse partition value of type {t}")
 
 
+def discover_partitioned_files(out_dir: str, ptype: T.StructType
+                               ) -> List[Tuple[str, Dict[str, Any]]]:
+    """Walk a ``partitionBy`` output tree -> [(path, partition dict)].
+
+    Inverse of the hive-style ``__part__name=value`` directory encoding
+    used by the fanout writers (data and pos-delete)."""
+    ptype_by_name = {f.name: f.field_type for f in ptype.fields}
+    files: List[Tuple[str, Dict[str, Any]]] = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            rel = os.path.relpath(root, out_dir)
+            part: Dict[str, Any] = {}
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    k, _, raw = comp.partition("=")
+                    pname = k[len(PART_COL_PREFIX):] if k.startswith(
+                        PART_COL_PREFIX) else k
+                    part[pname] = _parse_partition_value(
+                        ptype_by_name[pname], raw)
+            files.append((full, part))
+    return files
+
+
 def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
                  truncate_len: int) -> Dict[str, Any]:
     """Executor-side: read one parquet footer -> stats dict.
@@ -259,24 +285,8 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     writer.parquet(out_dir)
 
     # discover written files + their partition tuples
-    files: List[Tuple[str, Dict[str, Any]]] = []
     ptype = spec.partition_type(schema)
-    ptype_by_name = {f.name: f.field_type for f in ptype.fields}
-    for root, _dirs, names in os.walk(out_dir):
-        for n in names:
-            if not n.endswith(".parquet"):
-                continue
-            full = os.path.join(root, n)
-            rel = os.path.relpath(root, out_dir)
-            part: Dict[str, Any] = {}
-            if rel != ".":
-                for comp in rel.split(os.sep):
-                    k, _, raw = comp.partition("=")
-                    pname = k[len(PART_COL_PREFIX):] if k.startswith(
-                        PART_COL_PREFIX) else k
-                    part[pname] = _parse_partition_value(
-                        ptype_by_name[pname], raw)
-            files.append((full, part))
+    files = discover_partitioned_files(out_dir, ptype)
 
     if not files:
         return []

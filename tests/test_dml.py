@@ -93,3 +93,71 @@ def test_upsert(spark, sf_dir, catalog):
     assert got2.count() == n + 50
     assert got2.filter(F.col("o_orderkey") == some_key) \
         .select("o_totalprice").first()[0] == 9.9
+
+
+def test_mor_pos_delete_partitioned(spark, sf_dir, catalog):
+    """Pos deletes on a partitioned table must carry the partition tuple
+    (fanout write) and be applied by the partition-gated scan."""
+    t, df = _make(spark, sf_dir, catalog, "o5", [("o_orderdate", "year")])
+    t.delete_where(spark, E.eq("o_orderstatus", "F"), mode="merge-on-read")
+    expected = df.filter(F.col("o_orderstatus") != "F")
+    assert t.to_df(spark).count() == expected.count()
+    tasks = t.scan().plan_files()
+    assert any(task.pos_deletes for task in tasks)
+    # delete files are partition-scoped and live under deletes/, not data/
+    dels = {d.file_path for task in tasks for d in task.pos_deletes}
+    assert dels and all("/deletes/" in p for p in dels)
+    parts = [d.partition for task in tasks for d in task.pos_deletes]
+    assert any(p and any(v is not None for v in p.values()) for p in parts)
+    # a partition-pruned scan still applies its deletes
+    yr = df.selectExpr("year(min(o_orderdate))").first()[0]
+    pruned = t.scan(E.lt("o_orderdate", f"{yr + 1}-01-01"))
+    exp2 = expected.filter(F.col("o_orderdate") < f"{yr + 1}-01-01")
+    assert pruned.to_df(spark).count() == exp2.count()
+
+
+def test_dv_delete_partitioned(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "o6", [("o_orderdate", "year")])
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")
+    expected = df.filter(F.col("o_orderstatus") != "F")
+    assert t.to_df(spark).count() == expected.count()
+    tasks = t.scan().plan_files()
+    assert any(d.file_format == "PUFFIN"
+               for task in tasks for d in task.pos_deletes)
+
+
+def test_cow_after_mor_no_resurrection(spark, sf_dir, catalog):
+    """A CoW rewrite must apply existing MoR deletes; raw-parquet rewrites
+    would resurrect previously-deleted rows."""
+    t, df = _make(spark, sf_dir, catalog, "o7")
+    t.delete_where(spark, E.eq("o_orderstatus", "F"), mode="merge-on-read")
+    n_after_mor = t.to_df(spark).count()
+    # CoW delete on a different predicate rewrites the same files
+    t.delete_where(spark, E.eq("o_orderpriority", "1-URGENT"))
+    expected = (df.filter(F.col("o_orderstatus") != "F")
+                .filter(F.col("o_orderpriority") != "1-URGENT"))
+    got = t.to_df(spark)
+    assert got.count() == expected.count() < n_after_mor
+    assert got.filter(F.col("o_orderstatus") == "F").count() == 0
+    # dead pos-delete files were dropped with their data files
+    tasks = t.scan().plan_files()
+    assert not any(task.pos_deletes for task in tasks)
+
+
+def test_overwrite_after_upsert_no_resurrection(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "o8")
+    updates = df.limit(100).withColumn("o_totalprice", F.lit(42.0))
+    t.upsert(spark, updates, ["o_orderkey"])
+    some_key = updates.select("o_orderkey").first()[0]
+    # overwrite rows NOT including the upserted key's row; rewrite must
+    # not resurrect the pre-upsert version of upserted rows
+    t.overwrite_where(
+        spark, E.eq("o_orderstatus", "P"),
+        df.filter(F.col("o_orderstatus") == "P")
+          .withColumn("o_totalprice", F.lit(0.0)))
+    got = t.to_df(spark)
+    assert got.count() == df.count()
+    row = got.filter(F.col("o_orderkey") == some_key) \
+        .select("o_totalprice").collect()
+    assert len(row) == 1
