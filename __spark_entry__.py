@@ -106,7 +106,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v3"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v4"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -140,6 +140,13 @@ def _fixtures(spark: SparkSession, sf_dir: str):
         t.append(orders)
         t.delete_where(spark, E.eq("o_orderstatus", "F"),
                        mode="merge-on-read")
+
+        t = cat.create_table("db.orders_dv", o_schema,
+                             spec_from_names(o_schema,
+                                             ("o_orderdate", "year")))
+        t.append(orders)
+        t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                       mode="merge-on-read-dv")
 
         t = cat.create_table("db.orders_up", o_schema)
         t.append(orders)
@@ -584,6 +591,21 @@ FROM orders WHERE o_orderstatus <> 'F'
 """
 
 
+def iceberg_dv_delete_scan(spark, sf_dir):
+    """Deletion-vector (v3) MoR scan on a year-partitioned table: bitmaps
+    stay serialized driver-side, membership runs vectorized on executors."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_dv")
+    return (t.scan(E.gt_eq("o_totalprice", 1000.0)).to_df(spark)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+ICE_DV_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus <> 'P' AND o_totalprice >= 1000.0
+"""
+
+
 def iceberg_upsert_scan(spark, sf_dir):
     cat = _fixtures(spark, sf_dir)
     t = cat.load_table("db.orders_up")
@@ -968,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_bucket_scan": iceberg_bucket_scan,
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
         "iceberg_snapshot_log": iceberg_snapshot_log,
         "transforms_datetime": transforms_datetime,
@@ -1006,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_bucket_scan": ICE_BUCKET_SQL,
         "iceberg_time_travel": ICE_TT_SQL,
         "iceberg_mor_delete_scan": ICE_MOR_SQL,
+        "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
         "transforms_datetime": TRANSFORMS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,

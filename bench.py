@@ -28,6 +28,7 @@ HEADLINE = [
     "iceberg_scan_filter_project",
     "iceberg_bucket_scan",
     "iceberg_mor_delete_scan",
+    "iceberg_dv_delete_scan",
     "transforms_datetime",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -167,10 +167,12 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                 os.path.join(md.location, "data"), md.properties,
                 sort_order=md.sort_order())
         dropped = [t.data_file.file_path for t in full + partial]
-        dropped += _dead_delete_paths(table, dropped)
-        keep_manifests = txn._rewrite_manifests_without(dropped)
+        dead = _dead_delete_paths(table, dropped)
+        keep_manifests = txn._rewrite_manifests_without(dropped + dead)
         txn.append_files(rewritten, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests,
+                         removed_paths=dropped, removed_delete_paths=dead,
+                         conflict_filter=expr,
                          extra_summary={
                              "deleted-data-files": str(len(dropped)),
                              "deleted-records": str(sum(
@@ -189,7 +191,11 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
             matches = _matches_df(spark, schema, bound_col, partial)
             delete_files = _pos_delete_fanout(spark, md, matches, partial)
         txn.append_files(delete_files, operation=OP_DELETE,
-                         manifests_to_keep=keep_manifests)
+                         manifests_to_keep=keep_manifests,
+                         removed_paths=[t.data_file.file_path for t in full],
+                         referenced_paths=[t.data_file.file_path
+                                           for t in partial],
+                         conflict_filter=expr)
         return txn.commit()
 
     if mode == "merge-on-read-dv":
@@ -231,7 +237,11 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                     record_count=sum(int(r.card) for r in blobs),
                     file_size_in_bytes=os.path.getsize(pth))]
         txn.append_files(delete_files, operation=OP_DELETE,
-                         manifests_to_keep=keep_manifests)
+                         manifests_to_keep=keep_manifests,
+                         removed_paths=[t.data_file.file_path for t in full],
+                         referenced_paths=[t.data_file.file_path
+                                           for t in partial],
+                         conflict_filter=expr)
         return txn.commit()
 
     raise ValueError(f"unknown delete mode {mode!r}")
@@ -258,12 +268,13 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
                              os.path.join(md.location, "data"),
                              md.properties, sort_order=md.sort_order())
     dropped = [t.data_file.file_path for t in full + partial]
-    if dropped:
-        dropped += _dead_delete_paths(table, dropped)
-    keep_manifests = txn._rewrite_manifests_without(dropped) if dropped \
-        else None
+    dead = _dead_delete_paths(table, dropped) if dropped else []
+    keep_manifests = txn._rewrite_manifests_without(dropped + dead) \
+        if dropped else None
     txn.append_files(added, operation=OP_OVERWRITE,
-                     manifests_to_keep=keep_manifests)
+                     manifests_to_keep=keep_manifests,
+                     removed_paths=dropped, removed_delete_paths=dead,
+                     conflict_filter=expr)
     return txn.commit()
 
 

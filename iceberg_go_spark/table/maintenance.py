@@ -125,11 +125,12 @@ def compact(table, spark: SparkSession,
     still_needed = {d.file_path for t in all_tasks
                     if t.data_file.file_path not in set(group_paths)
                     for d in (t.pos_deletes + t.eq_deletes)}
-    dropped += list(dead_deletes - still_needed)
+    dead = sorted(dead_deletes - still_needed)
 
-    keep = txn._rewrite_manifests_without(dropped)
+    keep = txn._rewrite_manifests_without(dropped + dead)
     txn.append_files(rewritten, operation=OP_REPLACE,
                      manifests_to_keep=keep,
+                     removed_paths=dropped, removed_delete_paths=dead,
                      extra_summary={
                          "compacted-input-files": str(len(group_paths)),
                          "compacted-output-files": str(len(rewritten))})
@@ -183,6 +184,7 @@ def rewrite_manifests(table, target_entries_per_manifest: int = 2000):
                 out.append(mf)
 
     txn.append_files([], operation=OP_REPLACE, manifests_to_keep=out,
+                     full_replace=True,
                      extra_summary={"rewritten-manifests":
                                     str(len(manifests))})
     return txn.commit()
@@ -192,32 +194,61 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
                      retain_last: int = 1,
                      delete_files: bool = True) -> List[str]:
     """Drop expired snapshots; GC files only they referenced
-    (transaction.go:374-557).  Returns deleted file paths."""
+    (transaction.go:374-557).  Returns deleted file paths.
+
+    Commit-first ordering: the trimmed metadata is committed (with
+    refresh+retry on conflict) BEFORE any file is unlinked — deleting
+    first would corrupt the table irreversibly if the commit then lost
+    an OCC race while the still-current metadata references the files."""
     import copy
-    md = table.metadata
+    from ..catalog.filesystem import CommitConflictError
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000)
-    keep_ids: Set[int] = set()
-    for ref in md.refs.values():
-        for s in md.ancestors_of(ref.snapshot_id)[:max(retain_last, 1)]:
-            keep_ids.add(s.snapshot_id)
-    if md.current_snapshot_id is not None:
-        for s in md.ancestors_of()[:max(retain_last, 1)]:
-            keep_ids.add(s.snapshot_id)
-    kept, expired = [], []
-    for s in md.snapshots:
-        if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms:
-            kept.append(s)
-        else:
-            expired.append(s)
-    if not expired:
-        return []
 
-    # files referenced by surviving snapshots
+    for _attempt in range(5):
+        md = table.metadata
+        keep_ids: Set[int] = set()
+        for ref in md.refs.values():
+            for s in md.ancestors_of(ref.snapshot_id)[:max(retain_last, 1)]:
+                keep_ids.add(s.snapshot_id)
+        if md.current_snapshot_id is not None:
+            for s in md.ancestors_of()[:max(retain_last, 1)]:
+                keep_ids.add(s.snapshot_id)
+        kept, expired = [], []
+        for s in md.snapshots:
+            if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms:
+                kept.append(s)
+            else:
+                expired.append(s)
+        if not expired:
+            return []
+
+        new = copy.deepcopy(md)
+        expired_ids = {s.snapshot_id for s in expired}
+        new.snapshots = [s for s in new.snapshots
+                         if s.snapshot_id not in expired_ids]
+        new.snapshot_log = [e for e in new.snapshot_log
+                            if e["snapshot-id"] not in expired_ids]
+        new.last_updated_ms = int(time.time() * 1000)
+        try:
+            path = table.catalog.commit_table(table.identifier,
+                                              table.metadata_location, new)
+            table.metadata, table.metadata_location = new, path
+            break
+        except CommitConflictError:
+            # refresh and recompute the expiry set against latest metadata
+            fresh = table.catalog.load_table(table.identifier)
+            table.metadata = fresh.metadata
+            table.metadata_location = fresh.metadata_location
+    else:
+        raise CommitConflictError("expire_snapshots: too many conflicts")
+
+    # GC phase — only after the trimmed metadata is durably current.
+    # The live set is recomputed from the COMMITTED metadata.
     live_data: Set[str] = set()
     live_manifests: Set[str] = set()
     live_lists: Set[str] = set()
-    for s in kept:
+    for s in table.metadata.snapshots:
         live_lists.add(s.manifest_list)
         for mf in M.read_manifest_list(s.manifest_list):
             live_manifests.add(mf.manifest_path)
@@ -248,17 +279,6 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
             deleted.append(s.manifest_list)
         except FileNotFoundError:
             pass
-
-    new = copy.deepcopy(md)
-    expired_ids = {s.snapshot_id for s in expired}
-    new.snapshots = [s for s in new.snapshots
-                     if s.snapshot_id not in expired_ids]
-    new.snapshot_log = [e for e in new.snapshot_log
-                        if e["snapshot-id"] not in expired_ids]
-    new.last_updated_ms = int(time.time() * 1000)
-    path = table.catalog.commit_table(table.identifier,
-                                      table.metadata_location, new)
-    table.metadata, table.metadata_location = new, path
     return deleted
 
 
@@ -274,6 +294,15 @@ def orphan_files(table, spark: SparkSession,
         older_than_ms = int(time.time() * 1000) - 3 * 24 * 3600 * 1000
 
     referenced: Set[str] = {table.metadata_location}
+    # Puffin statistics files + metadata-log entries are live references
+    for st in md.statistics:
+        p = st.get("statistics-path")
+        if p:
+            referenced.add(p)
+    for entry in md.metadata_log:
+        p = entry.get("metadata-file")
+        if p:
+            referenced.add(p)
     for s in md.snapshots:
         referenced.add(s.manifest_list)
         for mf in M.read_manifest_list(s.manifest_list):
@@ -294,10 +323,15 @@ def orphan_files(table, spark: SparkSession,
                .filter(~F.col("path").rlike(r"version-hint|metadata\.json"))
                .join(ref_df, on="path", how="left_anti"))
     paths = [r.path for r in orphans.collect()]
-    if not dry_run:
-        for p in paths:
+    if not dry_run and paths:
+        # delete on executors: at 100 TB file counts the driver never
+        # becomes the unlink bottleneck (orphan_cleanup.go worker pool)
+        def _rm(p: str) -> None:
+            import os as _os
             try:
-                os.unlink(p)
+                _os.unlink(p)
             except FileNotFoundError:
                 pass
+        spark.sparkContext.parallelize(
+            paths, max(1, min(len(paths) // 1000 + 1, 64))).foreach(_rm)
     return paths

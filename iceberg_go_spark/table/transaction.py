@@ -29,6 +29,19 @@ COMMIT_NUM_RETRIES = 4
 COMMIT_MIN_WAIT_MS = 100
 COMMIT_MAX_WAIT_MS = 60_000
 
+# isolation levels (table/conflict_validation.go:68): serializable fails a
+# delete/overwrite when concurrent commits ADD files its predicate would
+# have matched; snapshot only fails when files it removed/referenced are
+# themselves gone or newly-deleted-from.
+ISOLATION_SERIALIZABLE = "serializable"
+ISOLATION_SNAPSHOT = "snapshot"
+
+
+class ValidationError(Exception):
+    """A staged snapshot cannot be safely re-applied on top of concurrent
+    commits (conflict_validation.go ErrValidation).  NOT retried — the
+    caller must re-run the operation against the refreshed table."""
+
 
 def _new_snapshot_id(metadata: TableMetadata) -> int:
     existing = {s.snapshot_id for s in metadata.snapshots}
@@ -36,6 +49,45 @@ def _new_snapshot_id(metadata: TableMetadata) -> int:
         sid = uuid.uuid4().int & ((1 << 62) - 1)
         if sid not in existing:
             return sid
+
+
+def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
+                     schema: Schema, metadata_dir: str
+                     ) -> List[M.ManifestFile]:
+    """Rewrite ``manifests`` with ``dropped`` file paths removed; surviving
+    entries become EXISTING with explicit (inherited) sequence numbers
+    (snapshot_producers.go existing/deleted entry classification).
+    Untouched manifests are kept as-is (no rewrite cost)."""
+    out: List[M.ManifestFile] = []
+    for mf in manifests:
+        entries, spec, _sid = M.read_manifest(mf.manifest_path)
+        touched = any(e.data_file.file_path in dropped for e in entries)
+        if not touched:
+            out.append(mf)
+            continue
+        survivors = []
+        for e in entries:
+            if not e.is_live or e.data_file.file_path in dropped:
+                continue
+            survivors.append(M.ManifestEntry(
+                status=M.STATUS_EXISTING, snapshot_id=e.snapshot_id,
+                sequence_number=e.sequence_number
+                if e.sequence_number is not None else mf.sequence_number,
+                file_sequence_number=e.file_sequence_number,
+                data_file=e.data_file))
+        if not survivors:
+            continue
+        mpath = os.path.join(metadata_dir, f"{uuid.uuid4().hex}-rw.avro")
+        new_mf = M.write_manifest(mpath, survivors, schema, spec,
+                                  mf.content)
+        new_mf.sequence_number = mf.sequence_number
+        new_mf.min_sequence_number = min(
+            (e.sequence_number for e in survivors
+             if e.sequence_number is not None),
+            default=mf.min_sequence_number)
+        new_mf.added_snapshot_id = mf.added_snapshot_id
+        out.append(new_mf)
+    return out
 
 
 class Transaction:
@@ -207,42 +259,9 @@ class Transaction:
         return out
 
     def _rewrite_manifests_without(self, dropped_paths) -> List[M.ManifestFile]:
-        """Rewrite current manifests with ``dropped_paths`` removed; surviving
-        entries become EXISTING with explicit (inherited) sequence numbers
-        (snapshot_producers.go existing/deleted entry classification)."""
-        dropped = set(dropped_paths)
-        out: List[M.ManifestFile] = []
-        schema = self.metadata.schema()
-        for mf in self._current_manifests():
-            entries, spec, _sid = M.read_manifest(mf.manifest_path)
-            touched = any(e.data_file.file_path in dropped for e in entries)
-            if not touched:
-                out.append(mf)
-                continue
-            survivors = []
-            for e in entries:
-                if not e.is_live or e.data_file.file_path in dropped:
-                    continue
-                survivors.append(M.ManifestEntry(
-                    status=M.STATUS_EXISTING, snapshot_id=e.snapshot_id,
-                    sequence_number=e.sequence_number
-                    if e.sequence_number is not None else mf.sequence_number,
-                    file_sequence_number=e.file_sequence_number,
-                    data_file=e.data_file))
-            if not survivors:
-                continue
-            mpath = os.path.join(self._metadata_dir(),
-                                 f"{uuid.uuid4().hex}-rw.avro")
-            new_mf = M.write_manifest(mpath, survivors, schema, spec,
-                                      mf.content)
-            new_mf.sequence_number = mf.sequence_number
-            new_mf.min_sequence_number = min(
-                (e.sequence_number for e in survivors
-                 if e.sequence_number is not None),
-                default=mf.min_sequence_number)
-            new_mf.added_snapshot_id = mf.added_snapshot_id
-            out.append(new_mf)
-        return out
+        """Rewrite current manifests with ``dropped_paths`` removed."""
+        return _rewrite_without(self._current_manifests(), set(dropped_paths),
+                                self.metadata.schema(), self._metadata_dir())
 
     # ------------------------------------------------------------- user ops
     def append(self, df: DataFrame, properties: Optional[Dict[str, str]] = None
@@ -259,10 +278,29 @@ class Transaction:
     def append_files(self, files: List[M.DataFile], operation: str = OP_APPEND,
                      manifests_to_keep: Optional[List[M.ManifestFile]] = None,
                      extra_summary: Optional[Dict[str, str]] = None,
-                     delete_content: bool = False) -> "Transaction":
-        """Register already-written data files (add_files / internal DML)."""
-        self._produce_snapshot(operation, files, manifests_to_keep,
-                               extra_summary, delete_content)
+                     delete_content: bool = False,
+                     removed_paths: Optional[List[str]] = None,
+                     removed_delete_paths: Optional[List[str]] = None,
+                     referenced_paths: Optional[List[str]] = None,
+                     conflict_filter: Optional[E.Expression] = None,
+                     full_replace: bool = False) -> "Transaction":
+        """Register already-written data files (add_files / internal DML).
+
+        The conflict-context kwargs drive OCC rebase validation
+        (conflict_validation.go): ``removed_paths`` = data/delete files this
+        snapshot dropped (must still be live at rebase), ``referenced_paths``
+        = data files its new delete files point at (validateDataFilesExist),
+        ``conflict_filter`` = predicate for serializable added-file checks,
+        ``full_replace`` = the kept manifests ARE the whole table (manifest
+        rewrite) — never mechanically re-parentable."""
+        snap = self._produce_snapshot(operation, files, manifests_to_keep,
+                                      extra_summary, delete_content)
+        snap._removed_paths = list(removed_paths or [])
+        snap._removed_delete_paths = list(removed_delete_paths or [])
+        snap._referenced_paths = list(referenced_paths or [])
+        snap._conflict_filter = conflict_filter
+        snap._full_replace = full_replace
+        snap._base_seq = self.metadata.last_sequence_number
         return self
 
     def add_files(self, spark, paths: List[str],
@@ -351,10 +389,102 @@ class Transaction:
                 fresh = self.table.catalog.load_table(self.table.identifier)
                 self._rebase(fresh)
 
+    def _isolation(self, operation: str) -> str:
+        props = self.metadata.properties
+        key = {OP_DELETE: "write.delete.isolation-level",
+               OP_OVERWRITE: "write.update.isolation-level"}.get(operation)
+        if key is None:
+            return ISOLATION_SNAPSHOT
+        return props.get(key, ISOLATION_SERIALIZABLE)
+
+    def _validate_rebase(self, snap: Snapshot, fresh_manifests:
+                         List[M.ManifestFile]) -> Dict[str, Any]:
+        """Conflict validation before re-applying a non-append snapshot
+        (conflict_validation.go:68-199,305,646; row_delta.go:65-281).
+
+        Checks, against commits that landed since this snapshot was staged:
+        1. files this snapshot removed or its delete files reference still
+           exist (validateDataFilesExist — a concurrent CoW delete or
+           compaction that rewrote them silently loses our change);
+        2. no NEW delete files were committed that could apply to files we
+           are removing/rewriting (their deletes would be lost with them);
+        3. serializable only: no NEW data files match the operation's
+           predicate (they should have been part of the rewrite/delete).
+        Runs on manifest metadata only — no data files are read."""
+        removed = set(getattr(snap, "_removed_paths", []) or [])
+        referenced = set(getattr(snap, "_referenced_paths", []) or [])
+        cfilter = getattr(snap, "_conflict_filter", None)
+        base_seq = getattr(snap, "_base_seq", 0)
+        op = snap.summary.get("operation", OP_APPEND)
+
+        live_paths: set = set()
+        removed_partitions: List[Dict[str, Any]] = []
+        new_data: List[M.DataFile] = []
+        new_deletes: List[M.DataFile] = []
+        for mf in fresh_manifests:
+            # a manifest's sequence_number bounds its entries' — skip old
+            is_new = (mf.sequence_number or 0) > base_seq
+            entries, _spec, _sid = M.read_manifest(mf.manifest_path)
+            for e in entries:
+                if not e.is_live:
+                    continue
+                eseq = (e.sequence_number if e.sequence_number is not None
+                        else mf.sequence_number) or 0
+                f = e.data_file
+                if f.content == M.CONTENT_DATA:
+                    live_paths.add(f.file_path)
+                    if f.file_path in removed:
+                        removed_partitions.append(f.partition or {})
+                    if is_new and eseq > base_seq:
+                        new_data.append(f)
+                elif is_new and eseq > base_seq:
+                    new_deletes.append(f)
+
+        missing = (removed | referenced) - live_paths
+        if missing:
+            raise ValidationError(
+                f"cannot re-apply {op} snapshot: {len(missing)} "
+                f"referenced/removed data files were removed by a "
+                f"concurrent commit (e.g. {sorted(missing)[0]})")
+
+        if removed and new_deletes:
+            def applies(d: M.DataFile) -> bool:
+                if not d.partition or \
+                        all(v is None for v in d.partition.values()):
+                    return True  # globally-scoped delete
+                return any(d.partition == p for p in removed_partitions)
+            conflicting = [d for d in new_deletes if applies(d)]
+            if conflicting:
+                raise ValidationError(
+                    f"cannot re-apply {op} snapshot: concurrent commits "
+                    f"added {len(conflicting)} delete files that apply to "
+                    f"files this snapshot rewrites (their deletes would be "
+                    f"lost)")
+
+        if cfilter is not None and new_data and \
+                self._isolation(op) == ISOLATION_SERIALIZABLE:
+            from ..plans.evaluators import InclusiveMetricsEvaluator
+            ev = InclusiveMetricsEvaluator(self.metadata.schema(), cfilter)
+            hits = [f for f in new_data if ev.eval(f)]
+            if hits:
+                raise ValidationError(
+                    f"serializable isolation: {len(hits)} concurrently "
+                    f"added data files match this {op}'s predicate")
+        # dead delete files re-dropped opportunistically (not validated:
+        # a concurrent compaction may already have removed them)
+        return {"removed": removed | set(
+            getattr(snap, "_removed_delete_paths", []) or [])}
+
     def _rebase(self, fresh_table) -> None:
-        """Re-parent staged append snapshots onto refreshed metadata
-        (table/table.go:820 rebuildSnapshotUpdates). Manifests are immutable;
-        only manifest lists + parent ids need rewriting."""
+        """Re-parent staged snapshots onto refreshed metadata
+        (table/table.go:820 rebuildSnapshotUpdates + conflict validators).
+
+        Appends re-parent mechanically (own manifests + fresh base).
+        Delete/overwrite/replace snapshots are validated first (see
+        _validate_rebase) and then RE-APPLY their file drops against the
+        fresh base manifests — re-parenting them append-style would
+        resurrect the manifests they dropped.  Manifest rewrites
+        (full_replace) are never re-parentable and always fail."""
         fresh_md = fresh_table.metadata
         base_manifests = []
         fs = fresh_md.current_snapshot()
@@ -364,14 +494,27 @@ class Transaction:
         seq = fresh_md.last_sequence_number
         restaged = []
         lists = {}
+        schema = self.metadata.schema()
         for snap in self._staged:
+            op = snap.summary.get("operation", OP_APPEND)
+            if getattr(snap, "_full_replace", False):
+                raise ValidationError(
+                    "manifest rewrite conflicts with a concurrent commit; "
+                    "re-run it against the refreshed table")
+            keep = base_manifests
+            if op != OP_APPEND:
+                ctx = self._validate_rebase(snap, base_manifests)
+                if ctx["removed"]:
+                    keep = _rewrite_without(
+                        base_manifests, ctx["removed"], schema,
+                        self._metadata_dir())
             seq += 1
             own = [m for m in self._new_manifest_lists[snap.snapshot_id]
                    if m.added_snapshot_id == snap.snapshot_id]
             for m in own:
                 m.sequence_number = seq
                 m.min_sequence_number = seq
-            all_manifests = own + base_manifests
+            all_manifests = own + list(keep)
             list_path = os.path.join(
                 self._metadata_dir(),
                 f"snap-{snap.snapshot_id}-{uuid.uuid4().hex}.avro")

@@ -1,0 +1,151 @@
+"""OCC rebase semantics + conflict validation.
+
+Parity (behavior only): /root/reference/table/conflict_validation.go
+:68-199,305,646 and table/table.go rebuildSnapshotUpdates — a concurrent
+commit must never silently resurrect deleted rows, lose delete files, or
+duplicate rewritten ones.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+from iceberg_go_spark.table.transaction import ValidationError
+
+from conftest import read_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def _make(spark, sf_dir, catalog, name):
+    df = read_table(spark, "orders", sf_dir).limit(2000)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table(f"db.{name}", schema)
+    t.append(df)
+    return t, df
+
+
+def test_append_rebase_over_concurrent_delete(spark, sf_dir, catalog):
+    """An append staged against stale metadata re-parents onto the fresh
+    base — including a concurrent CoW delete's effects (no resurrection)."""
+    t1, df = _make(spark, sf_dir, catalog, "c1")
+    t2 = catalog.load_table("db.c1")  # stale handle
+    t1.delete_where(spark, E.eq("o_orderstatus", "F"))
+    n_after_delete = t1.to_df(spark).count()
+    extra = df.limit(10).withColumn("o_orderkey",
+                                    F.col("o_orderkey") + 10_000_000)
+    t2.append(extra)  # conflicts, rebase re-parents
+    t3 = catalog.load_table("db.c1")
+    assert t3.to_df(spark).count() == n_after_delete + 10
+    # deleted rows must NOT come back
+    assert t3.to_df(spark).filter(
+        (F.col("o_orderstatus") == "F") &
+        (F.col("o_orderkey") < 10_000_000)).count() == 0
+
+
+def test_delete_conflicts_with_concurrent_delete(spark, sf_dir, catalog):
+    """Two CoW deletes racing on the same files: the loser must fail
+    validation (its removed files are gone), not silently duplicate the
+    survivors."""
+    t1, df = _make(spark, sf_dir, catalog, "c2")
+    t2 = catalog.load_table("db.c2")
+    t1.delete_where(spark, E.eq("o_orderstatus", "F"))
+    with pytest.raises(ValidationError):
+        t2.delete_where(spark, E.eq("o_orderstatus", "O"))
+    # table state is the winner's
+    t3 = catalog.load_table("db.c2")
+    assert t3.to_df(spark).count() == \
+        df.filter(F.col("o_orderstatus") != "F").count()
+
+
+def test_serializable_delete_vs_concurrent_matching_append(
+        spark, sf_dir, catalog):
+    """Serializable isolation (the default): a delete must fail if a
+    concurrent commit appended rows its predicate would have matched."""
+    t1, df = _make(spark, sf_dir, catalog, "c3")
+    t2 = catalog.load_table("db.c3")
+    extra = df.filter(F.col("o_orderstatus") == "F").limit(5)
+    t1.append(extra)
+    with pytest.raises(ValidationError):
+        t2.delete_where(spark, E.eq("o_orderstatus", "F"))
+
+
+def test_snapshot_isolation_delete_vs_concurrent_append(
+        spark, sf_dir, catalog):
+    """Snapshot isolation: the same race commits; concurrently appended
+    matching rows survive (they were not visible to the delete)."""
+    df = read_table(spark, "orders", sf_dir).limit(2000)
+    schema = Schema.from_spark(df.schema)
+    t1 = catalog.create_table(
+        "db.c4", schema,
+        properties={"write.delete.isolation-level": "snapshot"})
+    t1.append(df)
+    t2 = catalog.load_table("db.c4")
+    extra = df.filter(F.col("o_orderstatus") == "F").limit(5) \
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    t1.append(extra)
+    t2.delete_where(spark, E.eq("o_orderstatus", "F"))
+    t3 = catalog.load_table("db.c4")
+    got = t3.to_df(spark)
+    # old matching rows gone; concurrently appended ones survive
+    assert got.filter(F.col("o_orderkey") < 10_000_000) \
+        .filter(F.col("o_orderstatus") == "F").count() == 0
+    assert got.filter(F.col("o_orderkey") >= 10_000_000).count() == 5
+
+
+def test_mor_delete_vs_concurrent_compaction(spark, sf_dir, catalog):
+    """A MoR delete staged against files a concurrent compaction rewrote
+    must fail validation — its pos deletes reference dead files."""
+    from iceberg_go_spark.table.maintenance import compact
+    t1, df = _make(spark, sf_dir, catalog, "c5")
+    t1.append(df.limit(100))  # second small file so compaction has work
+    t2 = catalog.load_table("db.c5")
+    compact(t1, spark, min_input_files=2)
+    with pytest.raises(ValidationError):
+        t2.delete_where(spark, E.eq("o_orderstatus", "F"),
+                        mode="merge-on-read")
+
+
+def test_rewrite_manifests_conflict_fails(spark, sf_dir, catalog):
+    from iceberg_go_spark.table.maintenance import rewrite_manifests
+    t1, df = _make(spark, sf_dir, catalog, "c6")
+    t2 = catalog.load_table("db.c6")
+    t1.append(df.limit(10))
+    with pytest.raises(ValidationError):
+        rewrite_manifests(t2)
+
+
+def test_compaction_vs_concurrent_mor_delete(spark, sf_dir, catalog):
+    """Compaction must fail if a concurrent MoR delete added delete files
+    for the files being compacted (committing would lose the deletes)."""
+    from iceberg_go_spark.table.maintenance import compact
+    t1, df = _make(spark, sf_dir, catalog, "c7")
+    t1.append(df.limit(100))
+    t2 = catalog.load_table("db.c7")
+    t1.delete_where(spark, E.eq("o_orderstatus", "F"),
+                    mode="merge-on-read")
+    with pytest.raises(ValidationError):
+        compact(t2, spark, min_input_files=2)
+
+
+def test_expire_snapshots_commit_first(spark, sf_dir, catalog, tmp_path):
+    """expire_snapshots commits trimmed metadata before unlinking; the
+    table stays readable and files of surviving snapshots stay on disk."""
+    import os
+    from iceberg_go_spark.table.maintenance import expire_snapshots
+    t, df = _make(spark, sf_dir, catalog, "c8")
+    t.append(df.limit(10))
+    t.append(df.limit(10))
+    n = t.to_df(spark).count()
+    deleted = expire_snapshots(t, older_than_ms=None, retain_last=1)
+    assert deleted  # old manifest lists went away
+    t2 = catalog.load_table("db.c8")
+    assert len(t2.metadata.snapshots) == 1
+    assert t2.to_df(spark).count() == n
+    for task in t2.scan().plan_files():
+        assert os.path.exists(task.data_file.file_path)
