@@ -51,8 +51,10 @@ class DataFile:
     equality_ids: Optional[List[int]] = None
     sort_order_id: Optional[int] = None
     first_row_id: Optional[int] = None
-    # extension (not in the Iceberg spec): files registered via add_files
-    # without parquet field IDs must be read name-based
+    # in-memory only (never serialized to spec manifests): set at scan
+    # time from a parquet-footer check when the table carries a
+    # schema.name-mapping.default property — files without field IDs
+    # resolve columns through the name mapping
     name_based: bool = False
 
     def lower_bound(self, fid: int, t: T.IcebergType) -> Any:
@@ -204,7 +206,6 @@ def data_file_avro_schema(ptype: T.StructType) -> dict:
         {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"})},
         {"name": "sort_order_id", "type": _opt("int")},
         {"name": "first_row_id", "type": _opt("long")},
-        {"name": "name_based", "type": _opt("boolean")},
     ]}
 
 
@@ -289,7 +290,6 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
                 "equality_ids": df.equality_ids,
                 "sort_order_id": df.sort_order_id,
                 "first_row_id": df.first_row_id,
-                "name_based": df.name_based or None,
             }})
     import json
     meta = {
@@ -382,8 +382,7 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
             split_offsets=d.get("split_offsets"),
             equality_ids=d.get("equality_ids"),
             sort_order_id=d.get("sort_order_id"),
-            first_row_id=d.get("first_row_id"),
-            name_based=bool(d.get("name_based")))
+            first_row_id=d.get("first_row_id"))
         entries.append(ManifestEntry(
             status=r["status"], snapshot_id=r.get("snapshot_id"),
             sequence_number=r.get("sequence_number"),

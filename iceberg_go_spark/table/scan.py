@@ -232,6 +232,20 @@ class Scan:
         if not tasks:
             return spark.createDataFrame([], projection.to_spark())
 
+        # name mapping (spec: schema.name-mapping.default property,
+        # name_mapping.go:85): when present, probe footers on executors
+        # for files lacking parquet field IDs — those resolve columns
+        # through the mapping instead of by ID
+        from ..meta.name_mapping import PROP_NAME_MAPPING
+        nm_json = md.properties.get(PROP_NAME_MAPPING)
+        if nm_json:
+            all_paths = [t.data_file.file_path for t in tasks]
+            flags = spark.sparkContext.parallelize(
+                all_paths, max(1, min(len(all_paths), 64))) \
+                .map(_file_has_field_ids).collect()
+            for t, has_ids in zip(tasks, flags):
+                t.data_file.name_based = not has_ids
+
         need_pos = any(t.pos_deletes for t in tasks)
         need_eq = any(t.eq_deletes for t in tasks)
 
@@ -251,15 +265,36 @@ class Scan:
         dfs = []
         for (pos_set, eq_set, name_based), group in groups.items():
             paths = [t.data_file.file_path for t in group]
-            read_schema = spark_schema
             if name_based:
-                # files without parquet field IDs resolve columns by name
-                import pyspark.sql.types as ST
-                read_schema = ST.StructType([
-                    ST.StructField(f.name, f.dataType, f.nullable)
-                    for f in spark_schema.fields])
-            reader = spark.read.schema(read_schema)
-            df = reader.parquet(*paths)
+                # ID-less files: infer the file schema, then resolve each
+                # current-schema field through the name mapping (file name
+                # -> field ID -> current name), casting promoted types and
+                # null-filling columns added after import.  _metadata is
+                # materialized so the delete/lineage joins below still work.
+                from ..meta.name_mapping import NameMapping
+                nm = NameMapping.from_json(nm_json) if nm_json else None
+                df = (spark.read.option("mergeSchema", "true")
+                      .parquet(*paths))
+                file_cols = set(df.columns)
+                by_id = {}
+                if nm is not None:
+                    for c in file_cols:
+                        fid = nm.id_for(c)
+                        if fid is not None:
+                            by_id[fid] = c
+                sel = []
+                for f0, sf in zip(schema.fields, spark_schema.fields):
+                    src = by_id.get(f0.field_id) if nm is not None else \
+                        (f0.name if f0.name in file_cols else None)
+                    if src is None:
+                        sel.append(F.lit(None).cast(sf.dataType)
+                                   .alias(f0.name))
+                    else:
+                        sel.append(F.col(src).cast(sf.dataType)
+                                   .alias(f0.name))
+                df = df.select(*sel, F.col("_metadata"))
+            else:
+                df = spark.read.schema(spark_schema).parquet(*paths)
             if self.row_lineage:
                 lineage = spark.createDataFrame(
                     [(t.data_file.file_path,
@@ -320,6 +355,8 @@ class Scan:
                     piece = df[c].eqNullSafe(ddf[f"__eq_{c}"])
                     cond = piece if cond is None else (cond & piece)
                 df = df.join(F.broadcast(ddf), cond, "left_anti")
+            if name_based:
+                df = df.drop("_metadata")
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
@@ -369,6 +406,13 @@ class Scan:
             raise ValueError("count not derivable from metadata; "
                              "pass a SparkSession to execute the scan")
         return self.to_df(spark).count()
+
+
+def _file_has_field_ids(path: str) -> bool:
+    """Executor-side footer probe: does this parquet file carry field IDs?"""
+    import pyarrow.parquet as pq
+    sch = pq.ParquetFile(path).schema_arrow
+    return any((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
 
 
 def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):

@@ -96,6 +96,7 @@ class Transaction:
         self.metadata = table.metadata  # base; snapshots appended on staged
         self._staged: List[Snapshot] = []
         self._new_manifest_lists: Dict[int, List[M.ManifestFile]] = {}
+        self._property_updates: Dict[str, str] = {}
         self._committed = False
 
     # ------------------------------------------------------------------ io
@@ -335,6 +336,16 @@ class Transaction:
             split_offsets=sorted(s["split_offsets"]) or None,
             name_based=not s.get("has_field_ids", True))
             for s in stats]
+        # files without parquet field IDs resolve by name mapping (spec:
+        # schema.name-mapping.default property, name_mapping.go:85) —
+        # record the mapping from the CURRENT schema so later renames
+        # (which change names but not IDs) still resolve these files
+        if any(not s.get("has_field_ids", True) for s in stats):
+            from ..meta.name_mapping import NameMapping, PROP_NAME_MAPPING
+            if PROP_NAME_MAPPING not in self.metadata.properties and \
+                    PROP_NAME_MAPPING not in self._property_updates:
+                self._property_updates[PROP_NAME_MAPPING] = \
+                    NameMapping.from_schema(schema).to_json()
         self._produce_snapshot(OP_APPEND, files)
         return self
 
@@ -343,6 +354,7 @@ class Transaction:
         md = self.metadata
         import copy
         new = copy.deepcopy(md)
+        new.properties.update(self._property_updates)
         # metadata log: pointer to the superseded metadata file
         if self.table.metadata_location:
             new.metadata_log.append({

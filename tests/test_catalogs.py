@@ -158,3 +158,36 @@ def test_rest_catalog_cas(rest, spark, sf_dir):
     final = rest.load_table("db.c")
     assert final.to_df(spark).count() == df.count() + 2
     assert [s.sequence_number for s in final.snapshots()] == [1, 2]
+
+
+def test_add_files_name_mapping_rename(cat, spark, sf_dir, tmp_path):
+    """ID-less imported files must resolve through the spec name mapping
+    (schema.name-mapping.default) — including after a column rename, and
+    with only spec fields in the written manifests."""
+    from iceberg_go_spark.meta.name_mapping import PROP_NAME_MAPPING
+    from iceberg_go_spark.meta import manifests as M
+
+    df = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = cat.create_table("db.af2", schema)
+    ext = str(tmp_path / "ext2")
+    df.coalesce(1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext)
+             if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths).commit()
+    assert PROP_NAME_MAPPING in t.properties()
+
+    # rename resolves by field ID through the mapping: old file column
+    # n_name -> id -> new schema name
+    t.update_schema().rename_column("n_name", "nation_name").commit()
+    got = t.to_df(spark)
+    assert "nation_name" in got.columns
+    exp = {r.n_name for r in df.select("n_name").collect()}
+    assert {r.nation_name for r in got.select("nation_name").collect()} == exp
+
+    # manifests contain only spec fields (no custom name_based column)
+    snap = t.current_snapshot()
+    for mf in M.read_manifest_list(snap.manifest_list):
+        with open(mf.manifest_path, "rb") as f:
+            raw = f.read()
+        assert b"name_based" not in raw
