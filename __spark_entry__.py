@@ -930,8 +930,9 @@ FROM documents
 
 
 def transforms_bucket(spark, sf_dir):
-    """Bucket transform columns (murmur3 not expressible in DuckDB ->
-    rows-only; exactness is covered by spec-vector unit tests)."""
+    """Bucket transform columns, value-verified: the oracle re-derives
+    murmur3-32 in pure DuckDB SQL (generated bit arithmetic below), so the
+    engine's vectorized bucket hashing is checked end-to-end."""
     from iceberg_go_spark import types as T
     from iceberg_go_spark.transforms import BucketTransform
     _ensure_workers(spark)
@@ -944,16 +945,114 @@ def transforms_bucket(spark, sf_dir):
         .alias("b8_flag"))
 
 
+# -- murmur3-32 as generated DuckDB SQL (lateral column aliases keep the
+#    expression chain linear).  All arithmetic is mod 2^32; HUGEINT only
+#    for the multiplies that would overflow BIGINT.
+_M32 = 4294967296
+
+
+def _m3_block_steps(p, h_in, k_name, full_block):
+    steps = [
+        (f"{p}ka", f"(CAST({k_name} AS HUGEINT) * 3432918353) % {_M32}"),
+        (f"{p}kb", f"(({p}ka * 32768) % {_M32} + ({p}ka // 131072))"),
+        (f"{p}kc", f"(CAST({p}kb AS HUGEINT) * 461845907) % {_M32}"),
+        (f"{p}hx", f"xor(CAST({h_in} AS BIGINT), CAST({p}kc AS BIGINT))"),
+    ]
+    out = f"{p}hx"
+    if full_block:
+        steps += [
+            (f"{p}hr", f"(({p}hx * 8192) % {_M32} + ({p}hx // 524288))"),
+            (f"{p}hm", f"(CAST({p}hr AS HUGEINT) * 5 + 3864292196) % {_M32}"),
+        ]
+        out = f"{p}hm"
+    return steps, out
+
+
+def _m3_finalize_steps(p, h_in, n_expr):
+    steps = [
+        (f"{p}f0", f"xor(CAST({h_in} AS BIGINT), CAST({n_expr} AS BIGINT))"),
+        (f"{p}f1", f"xor({p}f0, {p}f0 // 65536)"),
+        (f"{p}f2", f"(CAST({p}f1 AS HUGEINT) * 2246822507) % {_M32}"),
+        (f"{p}f3", f"xor(CAST({p}f2 AS BIGINT), "
+                   f"CAST({p}f2 AS BIGINT) // 8192)"),
+        (f"{p}f4", f"(CAST({p}f3 AS HUGEINT) * 3266489909) % {_M32}"),
+        (f"{p}f5", f"xor(CAST({p}f4 AS BIGINT), "
+                   f"CAST({p}f4 AS BIGINT) // 65536)"),
+    ]
+    return steps, f"{p}f5"
+
+
+def _m3_long_bucket_steps(p, col, nb):
+    """bucket[nb] of a long column: murmur3 over its 8-byte LE encoding."""
+    steps = [
+        (f"{p}u", f"(CASE WHEN ({col}) >= 0 THEN CAST(({col}) AS HUGEINT) "
+                  f"ELSE CAST(({col}) AS HUGEINT) + 18446744073709551616 "
+                  f"END)"),
+        (f"{p}k1", f"({p}u % {_M32})"),
+        (f"{p}k2", f"({p}u // {_M32})"),
+    ]
+    s1, h1 = _m3_block_steps(p + "a", "0", f"{p}k1", True)
+    s2, h2 = _m3_block_steps(p + "b", h1, f"{p}k2", True)
+    sf, hf = _m3_finalize_steps(p, h2, "8")
+    steps += s1 + s2 + sf
+    steps.append((f"{p}bk", f"(({hf} % 2147483648) % {nb})"))
+    return steps, f"{p}bk"
+
+
+def _m3_short_ascii_bucket_steps(p, col, nb):
+    """bucket[nb] of an ASCII string of <= 3 chars (tail-only murmur)."""
+    k = " + ".join(
+        f"(CASE WHEN strlen({col}) >= {i + 1} "
+        f"THEN ascii(substr({col}, {i + 1}, 1)) * {256 ** i} ELSE 0 END)"
+        for i in range(3))
+    steps = [(f"{p}k", f"({k})")]
+    s1, h1 = _m3_block_steps(p + "t", "0", f"{p}k", False)
+    sf, hf = _m3_finalize_steps(p, h1, f"strlen({col})")
+    steps += s1 + sf
+    steps.append((f"{p}bk", f"(({hf} % 2147483648) % {nb})"))
+    return steps, f"{p}bk"
+
+
+def _transforms_bucket_sql():
+    s1, b16 = _m3_long_bucket_steps("o_", "l_orderkey", 16)
+    s2, b8 = _m3_short_ascii_bucket_steps("f_", "l_returnflag", 8)
+    cols = ",\n    ".join(f"{expr} AS {name}" for name, expr in s1 + s2)
+    return f"""
+SELECT l_orderkey, CAST({b16} AS INT) AS b16_orderkey,
+       CAST({b8} AS INT) AS b8_flag
+FROM (
+  SELECT l_orderkey, l_returnflag,
+    {cols}
+  FROM lineitem)
+"""
+
+
 def iceberg_snapshot_log(spark, sf_dir):
-    """Snapshot metadata listing (engine-internal; rows-only check)."""
+    """Snapshot metadata listing, deterministic columns only (snapshot ids
+    are random): ordinal, sequence, operation, total-records, root flag —
+    all derivable by the oracle from how the fixture was built."""
     cat = _fixtures(spark, sf_dir)
     t = cat.load_table("db.li_tt")
-    rows = [(s.snapshot_id, s.sequence_number, s.operation,
-             int(s.summary.get("total-records", 0)))
-            for s in t.snapshots()]
+    rows = [(i + 1, s.sequence_number, s.operation,
+             int(s.summary.get("total-records", 0)),
+             s.parent_snapshot_id is None)
+            for i, s in enumerate(t.snapshots())]
     return spark.createDataFrame(
-        rows, "snapshot_id long, sequence_number long, operation string, "
-              "total_records long")
+        rows, "ordinal int, sequence_number long, operation string, "
+              "total_records long, is_root boolean")
+
+
+# db.li_tt is built as: append(even l_orderkey) then append(odd)
+SNAPSHOT_LOG_SQL = """
+SELECT 1 AS ordinal, CAST(1 AS BIGINT) AS sequence_number,
+       'append' AS operation,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey % 2 = 0) AS total_records,
+       TRUE AS is_root
+UNION ALL
+SELECT 2, CAST(2 AS BIGINT), 'append',
+       (SELECT COUNT(*) FROM lineitem), FALSE
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1031,7 +1130,9 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_mor_delete_scan": ICE_MOR_SQL,
         "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
+        "iceberg_snapshot_log": SNAPSHOT_LOG_SQL,
         "transforms_datetime": TRANSFORMS_SQL,
+        "transforms_bucket": _transforms_bucket_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_fingerprint": DEDUP_FP_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
@@ -1045,6 +1146,4 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": CENTROIDS_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,
-        # rows-only (non-SQL-expressible): iceberg_snapshot_log,
-        # transforms_bucket
     }

