@@ -140,6 +140,45 @@ class RestCatalog:
             "source": {"namespace": list(sns), "name": sname},
             "destination": {"namespace": list(dns), "name": dname}})
 
+    # -- scan planning (scan_planning.go:202-574) ----------------------------
+    def plan_table_scan(self, identifier, row_filter=None,
+                        select: Optional[List[str]] = None,
+                        snapshot_id: Optional[int] = None,
+                        case_sensitive: bool = True,
+                        use_async: bool = False):
+        """Server-side scan planning: POST the filter (spec expression
+        JSON) + projection, receive FileScanTasks.  ``use_async`` exercises
+        the submitted/poll protocol (plan-id + status endpoint); otherwise
+        the server answers completed inline.
+
+        At 100 TB the point of remote planning is that manifest pruning
+        happens next to the metadata (catalog side) and only the pruned
+        task list crosses the wire."""
+        import time as _time
+        from ..expr_json import expression_to_json
+        from ..sources.task_codec import decode_tasks
+        ns, name = self._split(identifier)
+        body: Dict[str, object] = {"case-sensitive": case_sensitive}
+        if row_filter is not None:
+            body["filter"] = expression_to_json(row_filter)
+        if select is not None:
+            body["select"] = list(select)
+        if snapshot_id is not None:
+            body["snapshot-id"] = snapshot_id
+        if use_async:
+            body["async"] = True
+        out = self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{name}/plan",
+            body)
+        while out.get("status") == "submitted":
+            _time.sleep(0.05)
+            out = self._request(
+                "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{name}"
+                       f"/plan/{out['plan-id']}")
+        if out.get("status") != "completed":
+            raise RuntimeError(f"scan planning failed: {out}")
+        return decode_tasks(out["file-scan-tasks"])
+
     def commit_table(self, identifier, base_metadata_path: Optional[str],
                      metadata: TableMetadata) -> str:
         ns, name = self._split(identifier)
@@ -165,6 +204,8 @@ class _State:
         self.namespaces: Dict[Tuple[str, ...], Dict[str, str]] = {}
         # (ns, name) -> metadata-location
         self.tables: Dict[Tuple[Tuple[str, ...], str], str] = {}
+        # plan-id -> completed plan response (async protocol)
+        self.plans: Dict[str, dict] = {}
 
     def write_metadata(self, md_dict: dict) -> str:
         loc = md_dict["location"]
@@ -222,7 +263,41 @@ def _make_handler(state: _State):
                     md = json.load(f)
                 return self._send(200, {"metadata-location": loc,
                                         "metadata": md})
+            if len(p) == 7 and p[3] == "tables" and p[5] == "plan":
+                result = state.plans.get(p[6])
+                if result is None:
+                    return self._send(404, {"error": "no such plan"})
+                return self._send(200, result)
             return self._send(404, {"error": "not found"})
+
+        def _plan_scan(self, ns, name, body):
+            """Server-side planning: prune manifests next to the metadata,
+            ship only the task list (scan_planning.go:202-574)."""
+            from ..expr_json import expression_from_json
+            from ..sources.task_codec import encode_tasks
+            from ..table.scan import Scan
+            from ..table.table import Table
+            loc = state.tables.get((ns, name))
+            if loc is None:
+                return self._send(404, {"error": "no such table"})
+            with open(loc) as f:
+                md = TableMetadata.from_json_dict(json.load(f))
+            t = Table((*ns, name), md, loc, None)
+            expr = expression_from_json(body["filter"]) \
+                if body.get("filter") else None
+            scan = Scan(t, row_filter=expr,
+                        selected=body.get("select"),
+                        snapshot_id=body.get("snapshot-id"),
+                        case_sensitive=body.get("case-sensitive", True))
+            tasks = scan.plan_files()
+            result = {"status": "completed",
+                      "file-scan-tasks": encode_tasks(tasks)}
+            if body.get("async"):
+                plan_id = uuid.uuid4().hex
+                state.plans[plan_id] = result
+                return self._send(200, {"status": "submitted",
+                                        "plan-id": plan_id})
+            return self._send(200, result)
 
         def do_POST(self):
             p = self._parts()
@@ -255,6 +330,9 @@ def _make_handler(state: _State):
                     md = json.load(f)
                 return self._send(200, {"metadata-location": loc,
                                         "metadata": md})
+            if len(p) == 6 and p[3] == "tables" and p[5] == "plan":
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                return self._plan_scan(ns, name, body)
             if len(p) == 5 and p[3] == "tables":  # commit
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 key = (ns, name)

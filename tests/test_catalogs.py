@@ -191,3 +191,45 @@ def test_add_files_name_mapping_rename(cat, spark, sf_dir, tmp_path):
         with open(mf.manifest_path, "rb") as f:
             raw = f.read()
         assert b"name_based" not in raw
+
+
+def test_rest_scan_planning(rest, spark, sf_dir):
+    """Remote planTableScan returns the same pruned FileScanTasks as local
+    planning — filter pushdown happens server-side, next to the metadata."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    rest.create_namespace("plandb")
+    t = rest.create_table(
+        "plandb.o", schema, spec_from_names(schema, ("o_orderdate", "year")))
+    t.append(df)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"), mode="merge-on-read")
+    t = rest.load_table("plandb.o")
+
+    expr = E.gt_eq("o_orderdate", "1995-01-01")
+    local = t.scan(expr).plan_files()
+    remote = rest.plan_table_scan("plandb.o", row_filter=expr)
+    assert len(local) == len(remote) > 0
+
+    def key(task):
+        return (task.data_file.file_path, task.sequence_number,
+                tuple(sorted(d.file_path for d in task.pos_deletes)),
+                tuple(sorted(d.file_path for d in task.eq_deletes)))
+    assert sorted(map(key, local)) == sorted(map(key, remote))
+    # stats survive the wire (pruning-relevant fields)
+    lf = {t_.data_file.file_path: t_.data_file for t_ in local}
+    for task in remote:
+        src = lf[task.data_file.file_path]
+        assert task.data_file.record_count == src.record_count
+        assert task.data_file.lower_bounds == src.lower_bounds
+        assert task.data_file.partition == src.partition
+
+    # async submitted/poll protocol yields the same plan
+    polled = rest.plan_table_scan("plandb.o", row_filter=expr,
+                                  use_async=True)
+    assert sorted(map(key, polled)) == sorted(map(key, local))
+    # planning with no filter sees every live file
+    assert len(rest.plan_table_scan("plandb.o")) == \
+        len(t.scan().plan_files())
