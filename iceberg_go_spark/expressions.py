@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 from typing import Any, Iterable, Optional, Tuple
 
@@ -308,6 +308,15 @@ def cast_literal(value: Any, t: T.IcebergType) -> Any:
             return datetime.fromisoformat(value)
         if isinstance(value, date):
             return datetime(value.year, value.month, value.day)
+    if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
+        # canonical runtime value: int nanoseconds since epoch (v3)
+        if isinstance(value, datetime):
+            from .transforms import datetime_to_micros
+            return datetime_to_micros(value) * 1000
+        if isinstance(value, str):
+            from .transforms import datetime_to_micros
+            return datetime_to_micros(datetime.fromisoformat(value)) * 1000
+        return int(value)
     if isinstance(t, T.TimeType):
         return int(value)
     if isinstance(t, (T.StringType, T.UUIDType)):
@@ -429,6 +438,30 @@ def evaluate(expr: Expression, row: dict) -> bool:
 # Compile to Spark Column
 
 
+def _is_ns_type(term) -> bool:
+    t = getattr(getattr(term, "field", None), "field_type", None)
+    return isinstance(t, (T.TimestampNsType, T.TimestamptzNsType))
+
+
+def _ns_lit_to_us(v: int, mode: str):
+    """Convert an int-nanos literal to Spark's µs timestamp domain.
+
+    Spark columns physically hold µs, so a sub-µs literal must round
+    toward the op's semantics: floor for <=,>; ceil for <,>=; exact-only
+    for equality (None when the literal has sub-µs digits — no µs value
+    can equal it)."""
+    k, r = divmod(int(v), 1000)
+    if mode == "floor":
+        q = k
+    elif mode == "ceil":
+        q = k + (1 if r else 0)
+    else:  # exact
+        if r:
+            return None
+        q = k
+    return datetime(1970, 1, 1) + timedelta(microseconds=q)
+
+
 def to_spark_column(expr: Expression):
     """Compile to a pyspark Column; Catalyst handles pushdown from there."""
     from pyspark.sql import functions as F
@@ -458,25 +491,42 @@ def to_spark_column(expr: Expression):
     if op == OP_NOT_NAN:
         return ~F.isnan(c)
     lit = expr.literals[0] if expr.literals else None
+    ns = _is_ns_type(expr.term) and isinstance(lit, int)
     if op == OP_LT:
-        return c < lit
+        return c < (_ns_lit_to_us(lit, "ceil") if ns else lit)
     if op == OP_LT_EQ:
-        return c <= lit
+        return c <= (_ns_lit_to_us(lit, "floor") if ns else lit)
     if op == OP_GT:
-        return c > lit
+        return c > (_ns_lit_to_us(lit, "floor") if ns else lit)
     if op == OP_GT_EQ:
-        return c >= lit
+        return c >= (_ns_lit_to_us(lit, "ceil") if ns else lit)
     if op == OP_EQ:
+        if ns:
+            v = _ns_lit_to_us(lit, "exact")
+            return F.lit(False) if v is None else (c == v)
         return c == lit
     if op == OP_NEQ:
+        if ns:
+            v = _ns_lit_to_us(lit, "exact")
+            return c.isNotNull() if v is None else (c != v)
         return c != lit
     if op == OP_STARTS_WITH:
         return c.startswith(str(lit))
     if op == OP_NOT_STARTS_WITH:
         return ~c.startswith(str(lit))
     if op == OP_IN:
+        if _is_ns_type(expr.term):
+            vals = [_ns_lit_to_us(v, "exact") for v in expr.literals
+                    if isinstance(v, int)]
+            vals = [v for v in vals if v is not None]
+            return c.isin(vals) if vals else F.lit(False)
         return c.isin(list(expr.literals))
     if op == OP_NOT_IN:
+        if _is_ns_type(expr.term):
+            vals = [_ns_lit_to_us(v, "exact") for v in expr.literals
+                    if isinstance(v, int)]
+            vals = [v for v in vals if v is not None]
+            return ~c.isin(vals) if vals else F.lit(True)
         return ~c.isin(list(expr.literals))
     raise ValueError(f"unknown op {op}")
 

@@ -36,6 +36,11 @@ def to_bytes(t: T.IcebergType, v: Any) -> bytes:
         if isinstance(v, datetime):
             v = datetime_to_micros(v)
         return struct.pack("<q", int(v))
+    if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
+        # v3 ns timestamps: bounds stay exact nanoseconds (types.go:877)
+        if isinstance(v, datetime):
+            v = datetime_to_micros(v) * 1000
+        return struct.pack("<q", int(v))
     if isinstance(t, (T.StringType, T.UUIDType)):
         if isinstance(t, T.UUIDType):
             import uuid as _u
@@ -70,6 +75,9 @@ def from_bytes(t: T.IcebergType, b: Optional[bytes]) -> Any:
         return EPOCH_DATE + timedelta(days=struct.unpack("<i", b)[0])
     if isinstance(t, (T.TimestampType, T.TimestamptzType)):
         return _EPOCH_DT + timedelta(microseconds=struct.unpack("<q", b)[0])
+    if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
+        # returned as int nanos — datetime cannot represent ns precision
+        return struct.unpack("<q", b)[0]
     if isinstance(t, T.StringType):
         return b.decode("utf-8")
     if isinstance(t, T.UUIDType):

@@ -184,6 +184,10 @@ def iceberg_hash_bytes(value: Any, source_type: T.IcebergType) -> bytes:
         if isinstance(value, datetime):
             value = datetime_to_micros(value)
         return struct.pack("<q", int(value))
+    if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
+        if isinstance(value, datetime):
+            value = datetime_to_micros(value) * 1000
+        return struct.pack("<q", int(value))
     if isinstance(t, T.DecimalType):
         d = value if isinstance(value, Decimal) else Decimal(str(value))
         d = d.quantize(Decimal(1).scaleb(-t.scale))
@@ -321,6 +325,7 @@ class BucketTransform(Transform):
     def can_transform(self, t: T.IcebergType) -> bool:
         return isinstance(t, (T.IntegerType, T.LongType, T.DateType,
                               T.TimeType, T.TimestampType, T.TimestamptzType,
+                              T.TimestampNsType, T.TimestamptzNsType,
                               T.DecimalType, T.StringType, T.UUIDType,
                               T.FixedType, T.BinaryType))
 
@@ -380,6 +385,22 @@ class BucketTransform(Transform):
                 out[~mask] = np.nan
                 return out
             return _bucket_date(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+        if isinstance(source_type,
+                      (T.TimestampNsType, T.TimestamptzNsType)):
+            # Spark carries these at µs precision; hash the ns encoding
+            # (µs * 1000 — sub-µs digits were floored at the boundary)
+            @F.pandas_udf("int")
+            def _bucket_ts_ns(s: pd.Series) -> pd.Series:
+                mask = s.notna()
+                out = pd.Series(np.zeros(len(s), dtype=np.float64),
+                                index=s.index)
+                vals = s[mask].to_numpy(dtype=np.int64)
+                h = murmur3_32_long_np(vals)
+                out[mask] = ((h & np.uint32(0x7FFFFFFF)) %
+                             np.uint32(n)).astype(np.int32)
+                out[~mask] = np.nan
+                return out
+            return _bucket_ts_ns(F.unix_micros(col) * F.lit(1000))
         if isinstance(source_type, (T.TimestampType, T.TimestamptzType)):
             @F.pandas_udf("int")
             def _bucket_ts(s: pd.Series) -> pd.Series:
@@ -512,9 +533,11 @@ class _TimeTransform(Transform):
     preserves_order = True
 
     def can_transform(self, t: T.IcebergType) -> bool:
-        ok = (T.DateType, T.TimestampType, T.TimestamptzType)
+        ok = (T.DateType, T.TimestampType, T.TimestamptzType,
+              T.TimestampNsType, T.TimestamptzNsType)
         if self.name == "hour":
-            ok = (T.TimestampType, T.TimestamptzType)
+            ok = (T.TimestampType, T.TimestamptzType,
+                  T.TimestampNsType, T.TimestamptzNsType)
         return isinstance(t, ok)
 
     def result_type(self, t: T.IcebergType) -> T.IcebergType:
@@ -527,6 +550,13 @@ class _TimeTransform(Transform):
         if value is None:
             return None
         if isinstance(value, (int, np.integer)):
+            if isinstance(source_type,
+                          (T.TimestampNsType, T.TimestamptzNsType)):
+                # canonical ns literal -> µs datetime (floor)
+                from datetime import timedelta as _td
+                return self._from_dt(
+                    datetime(1970, 1, 1) +
+                    _td(microseconds=int(value) // 1000))
             # days since epoch for date sources; µs for timestamps
             raise TypeError("pass date/datetime to time transforms")
         if isinstance(value, datetime):

@@ -21,7 +21,8 @@ import pyspark.sql.types as S
 __all__ = [
     "IcebergType", "PrimitiveType", "BooleanType", "IntegerType", "LongType",
     "FloatType", "DoubleType", "DecimalType", "DateType", "TimeType",
-    "TimestampType", "TimestamptzType", "StringType", "UUIDType",
+    "TimestampType", "TimestamptzType", "TimestampNsType",
+    "TimestamptzNsType", "UnknownType", "StringType", "UUIDType",
     "BinaryType", "FixedType", "StructType", "ListType", "MapType",
     "NestedField", "type_from_str", "to_spark_type", "from_spark_type",
 ]
@@ -94,6 +95,25 @@ class TimestampType(PrimitiveType):
 class TimestamptzType(PrimitiveType):
     """Microsecond timestamp, UTC-adjusted (Spark TimestampType)."""
     _name = "timestamptz"
+
+
+class TimestampNsType(PrimitiveType):
+    """Nanosecond timestamp without zone (v3, types.go:877).  Spark's max
+    timestamp precision is µs, so values floor-cast ns -> µs at the Spark
+    boundary (arrow_utils.go:1170-1208); bounds/literals stay exact ns."""
+    _name = "timestamp_ns"
+
+
+class TimestamptzNsType(PrimitiveType):
+    """Nanosecond timestamp, UTC-adjusted (v3, types.go:891)."""
+    _name = "timestamptz_ns"
+
+
+class UnknownType(PrimitiveType):
+    """v3 'unknown' (types.go:903): an always-null column that may later be
+    promoted to any type.  Carried as a Spark string column (values are
+    null by definition; parquet can't encode a null-typed column)."""
+    _name = "unknown"
 
 
 class StringType(PrimitiveType):
@@ -192,6 +212,8 @@ _SIMPLE = {
     "time": TimeType, "timestamp": TimestampType,
     "timestamptz": TimestamptzType, "string": StringType,
     "uuid": UUIDType, "binary": BinaryType,
+    "timestamp_ns": TimestampNsType, "timestamptz_ns": TimestamptzNsType,
+    "unknown": UnknownType,
 }
 
 
@@ -229,11 +251,11 @@ def to_spark_type(t: IcebergType) -> S.DataType:
         return S.DecimalType(t.precision, t.scale)
     if isinstance(t, DateType):
         return S.DateType()
-    if isinstance(t, TimestampType):
+    if isinstance(t, (TimestampType, TimestampNsType)):
         return S.TimestampNTZType()
-    if isinstance(t, TimestamptzType):
+    if isinstance(t, (TimestamptzType, TimestamptzNsType)):
         return S.TimestampType()
-    if isinstance(t, (StringType, UUIDType)):
+    if isinstance(t, (StringType, UUIDType, UnknownType)):
         return S.StringType()
     if isinstance(t, (BinaryType, FixedType)):
         return S.BinaryType()

@@ -1,0 +1,103 @@
+"""v3 type surface: timestamp_ns / timestamptz_ns / unknown, plus
+literal-promotion edge cases mined from the reference evaluator suite
+(types.go:877-917, table/evaluators_test.go)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E, types as T
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.conversions import from_bytes, to_bytes
+from iceberg_go_spark.schema import Schema
+from iceberg_go_spark.transforms import (BucketTransform, DayTransform,
+                                         HourTransform, YearTransform)
+
+from conftest import read_table
+
+
+def test_type_parse_roundtrip():
+    for s, cls in [("timestamp_ns", T.TimestampNsType),
+                   ("timestamptz_ns", T.TimestamptzNsType),
+                   ("unknown", T.UnknownType)]:
+        t = T.type_from_str(s)
+        assert isinstance(t, cls)
+        assert str(t) == s
+
+
+def test_ns_bounds_and_literals():
+    t = T.TimestampNsType()
+    ns = 1_700_000_000_123_456_789
+    assert from_bytes(t, to_bytes(t, ns)) == ns
+    # datetime bounds floor to µs then scale to ns
+    dt = datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert from_bytes(t, to_bytes(t, dt)) == 1_700_000_000_123_456_000
+    assert E.cast_literal("2023-11-14T22:13:20.123456", t) == \
+        1_700_000_000_123_456_000
+    assert E.cast_literal(ns, t) == ns
+
+
+def test_ns_transforms():
+    t = T.TimestampNsType()
+    ns = 1_700_000_000_123_456_789  # 2023-11-14T22:13:20.123456789
+    assert YearTransform().apply(ns, t) == 2023 - 1970
+    assert DayTransform().apply(ns, t) == \
+        DayTransform().apply(datetime(2023, 11, 14), T.TimestampType())
+    assert HourTransform().apply(ns, t) == \
+        HourTransform().apply(datetime(2023, 11, 14, 22), T.TimestampType())
+    assert BucketTransform(16).can_transform(t)
+
+
+def test_ns_and_unknown_table_roundtrip(spark, sf_dir, tmp_path):
+    """A table declaring ns-timestamp and unknown columns writes, scans,
+    and prunes; Spark carries ns at µs precision (documented floor)."""
+    orders = read_table(spark, "orders", sf_dir).limit(1000)
+    df = orders.select(
+        F.col("o_orderkey").alias("event_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("ts_ns"),
+        F.lit(None).cast("string").alias("mystery"))
+    schema = Schema([
+        T.NestedField(1, "event_id", T.LongType(), required=True),
+        T.NestedField(2, "ts_ns", T.TimestampNsType()),
+        T.NestedField(3, "mystery", T.UnknownType()),
+    ])
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.ns", schema)
+    t.append(df)
+    got = t.to_df(spark)
+    assert got.count() == 1000
+    assert got.filter(F.col("mystery").isNotNull()).count() == 0
+    # filter with an ns-precision literal string binds and evaluates
+    cutoff = df.agg(F.max("ts_ns")).first()[0]
+    scan = t.scan(E.lt_eq("ts_ns", cutoff.isoformat()))
+    assert scan.to_df(spark).count() == 1000
+    empty = t.scan(E.gt("ts_ns", cutoff.isoformat()))
+    assert empty.to_df(spark).count() == 0
+    assert len(empty.plan_files()) == 0  # pruned from ns bounds
+
+
+def test_int_literal_above_int32_prunes(spark, sf_dir, tmp_path):
+    """Promotion edge case: a long-range literal against an int column
+    must prune (AboveMax semantics), not error or misread."""
+    nation = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(nation.schema)
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.n", schema)
+    t.append(nation)
+    assert t.scan(E.eq("n_nationkey", 2 ** 40)).to_df(spark).count() == 0
+    assert t.scan(E.gt("n_nationkey", 2 ** 40)).to_df(spark).count() == 0
+    assert t.scan(E.lt("n_nationkey", 2 ** 40)).to_df(spark).count() == \
+        nation.count()
+    assert t.scan(E.gt_eq("n_nationkey", -2 ** 40)).to_df(spark).count() == \
+        nation.count()
+
+
+def test_huge_float_literal_on_double(spark, sf_dir, tmp_path):
+    orders = read_table(spark, "orders", sf_dir).limit(500)
+    schema = Schema.from_spark(orders.schema)
+    cat = FilesystemCatalog(str(tmp_path / "wh2"))
+    t = cat.create_table("db.o", schema)
+    t.append(orders)
+    assert t.scan(E.gt("o_totalprice", 1e300)).to_df(spark).count() == 0
+    assert t.scan(E.lt("o_totalprice", 1e300)).to_df(spark).count() == 500
