@@ -819,6 +819,43 @@ def ann_topk_bruteforce(spark, sf_dir):
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, sign-bucket LSH blocked —
+    candidate pairs only within a bucket (2^dims reduction), quantized
+    cosine for engine-exact comparison."""
+    emb = _read(spark, sf_dir, "embeddings") \
+        .withColumn("__q", V.quantize(F.col("embedding"))) \
+        .withColumn("__bucket", V.sign_bucket(F.col("embedding")))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("__q").alias("__qa"), "__bucket")
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("__q").alias("__qb"),
+                   F.col("__bucket").alias("__bucket_b"))
+    cos = V.quantized_cosine(F.col("__qa"), F.col("__qb"))
+    return (a.join(b, (F.col("id_a") < F.col("id_b")) &
+                   (F.col("__bucket") == F.col("__bucket_b")))
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= 0.25)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _near_dup_sql() -> str:
+    qa = V.quantize_sql("a.embedding")
+    qb = V.quantize_sql("b.embedding")
+    cos = V.quantized_cosine_sql("qa", "qb")
+    return f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {qa} AS qa, {qb} AS qb,
+         round({cos}, 6) AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND {V.sign_bucket_sql('a.embedding')} =
+        {V.sign_bucket_sql('b.embedding')})
+WHERE cosine >= 0.25
+"""
+
+
 def _ann_sql(bucketed: bool = False) -> str:
     q = V.quantize_sql("e.embedding")
     qq = V.quantize_sql("q.embedding")
@@ -1104,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_summary_by_lang": token_summary_by_lang,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
+        "embedding_near_dup": embedding_near_dup,
         "label_centroids": label_centroids,
         "multimodal_features": multimodal_features,
         "multimodal_feature_vectors": multimodal_feature_vectors,
@@ -1143,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
         "token_summary_by_lang": TOKEN_SUMMARY_SQL,
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),
+        "embedding_near_dup": _near_dup_sql(),
         "label_centroids": CENTROIDS_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,

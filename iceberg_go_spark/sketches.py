@@ -1,0 +1,205 @@
+"""Theta sketches (Apache DataSketches compact layout) for NDV statistics.
+
+Parity (behavior only): /root/reference/table/statistics.go:26 — the spec
+blob type for NDV statistics is ``apache-datasketches-theta-v1``.  The
+serialization here follows the published DataSketches compact-theta memory
+layout (preamble + ordered 63-bit hash array) and the public
+MurmurHash3 x64-128 algorithm with the library's default seed (9001), so
+the blobs are the spec'd type, not a private format.
+
+Construction is KMV ("k minimum values"): keep the k smallest distinct
+63-bit hashes; theta = the (k+1)-th smallest when more than k survive.
+That is a valid theta sketch (estimate = retained / (theta / 2^63)) and —
+unlike the library's resizing hash table — is expressible as a pure Spark
+aggregation: hash (executor-side, vectorized) -> distinct -> k smallest.
+One shuffle, no driver data movement, exact at any scale.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+DEFAULT_SEED = 9001
+DEFAULT_LG_K = 12  # nominal entries k = 4096
+_MAX_THETA = 1 << 63  # theta for exact mode
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = DEFAULT_SEED
+                    ) -> Tuple[int, int]:
+    """Public MurmurHash3 x64 128-bit variant; returns (h1, h2)."""
+    h1 = h2 = seed & _M64
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = _rotl64((k1 * _C1) & _M64, 31)
+        h1 ^= (k1 * _C2) & _M64
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = _rotl64((k2 * _C2) & _M64, 33)
+        h2 ^= (k2 * _C1) & _M64
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    for i in range(min(len(tail), 8)):
+        k1 |= tail[i] << (8 * i)
+    for i in range(8, len(tail)):
+        k2 |= tail[i] << (8 * (i - 8))
+    if k2:
+        k2 = _rotl64((k2 * _C2) & _M64, 33)
+        h2 ^= (k2 * _C1) & _M64
+    if k1:
+        k1 = _rotl64((k1 * _C1) & _M64, 31)
+        h1 ^= (k1 * _C2) & _M64
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def theta_hash(data: bytes, seed: int = DEFAULT_SEED) -> int:
+    """63-bit update hash (h1 >>> 1, zero excluded by callers)."""
+    return murmur3_x64_128(data, seed)[0] >> 1
+
+
+def compute_seed_hash(seed: int) -> int:
+    """16-bit seed fingerprint stored in every sketch (readers verify it)."""
+    h1, _ = murmur3_x64_128(struct.pack("<q", seed), 0)
+    sh = h1 & 0xFFFF
+    if sh == 0:
+        raise ValueError("seed produced zero seed-hash")
+    return sh
+
+
+# flags byte bits (public layout)
+_FLAG_READ_ONLY = 0x02
+_FLAG_EMPTY = 0x04
+_FLAG_COMPACT = 0x08
+_FLAG_ORDERED = 0x10
+_FAMILY_COMPACT = 3
+_SER_VER = 3
+
+
+class ThetaSketch:
+    """Compact, ordered theta sketch: sorted retained hashes + theta."""
+
+    def __init__(self, hashes: np.ndarray, theta: int = _MAX_THETA,
+                 lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_SEED):
+        self.hashes = np.sort(np.asarray(hashes, dtype=np.uint64))
+        self.theta = int(theta)
+        self.lg_k = lg_k
+        self.seed = seed
+
+    @classmethod
+    def from_hashes(cls, hashes, lg_k: int = DEFAULT_LG_K,
+                    seed: int = DEFAULT_SEED) -> "ThetaSketch":
+        """KMV build: distinct hashes -> keep k smallest, theta = (k+1)-th."""
+        k = 1 << lg_k
+        arr = np.unique(np.asarray(list(hashes), dtype=np.uint64))
+        arr = arr[arr != 0]
+        if len(arr) > k:
+            theta = int(arr[k])  # (k+1)-th smallest (arr is sorted)
+            arr = arr[:k]
+        else:
+            theta = _MAX_THETA
+        return cls(arr, theta, lg_k, seed)
+
+    @property
+    def retained(self) -> int:
+        return len(self.hashes)
+
+    def estimate(self) -> float:
+        if self.theta >= _MAX_THETA:
+            return float(self.retained)
+        return self.retained / (self.theta / _MAX_THETA)
+
+    # -- serialization (public compact-theta memory layout) -----------------
+    def serialize(self) -> bytes:
+        seed_hash = compute_seed_hash(self.seed)
+        empty = self.retained == 0 and self.theta >= _MAX_THETA
+        est_mode = self.theta < _MAX_THETA
+        if empty:
+            pre_longs = 1
+        elif not est_mode:
+            pre_longs = 2
+        else:
+            pre_longs = 3
+        flags = _FLAG_READ_ONLY | _FLAG_COMPACT | _FLAG_ORDERED
+        if empty:
+            flags |= _FLAG_EMPTY
+        out = bytearray()
+        out += struct.pack("<BBBBBBH", pre_longs, _SER_VER, _FAMILY_COMPACT,
+                           self.lg_k, self.lg_k + 1, flags, seed_hash)
+        if pre_longs >= 2:
+            out += struct.pack("<if", self.retained, 1.0)
+        if pre_longs >= 3:
+            out += struct.pack("<Q", self.theta)
+        out += self.hashes.astype("<u8").tobytes()
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, data: bytes, seed: int = DEFAULT_SEED
+                    ) -> "ThetaSketch":
+        pre_longs, ser_ver, family, lg_k, _lg_arr, flags, seed_hash = \
+            struct.unpack_from("<BBBBBBH", data, 0)
+        if ser_ver != _SER_VER or family != _FAMILY_COMPACT:
+            raise ValueError("not a compact theta sketch")
+        if seed_hash != compute_seed_hash(seed):
+            raise ValueError("seed hash mismatch")
+        off = 8
+        retained = 0
+        theta = _MAX_THETA
+        if pre_longs >= 2:
+            retained, _p = struct.unpack_from("<if", data, off)
+            off += 8
+        if pre_longs >= 3:
+            (theta,) = struct.unpack_from("<Q", data, off)
+            off += 8
+        hashes = np.frombuffer(data, dtype="<u8", count=retained,
+                               offset=off)
+        return cls(hashes, theta, lg_k, seed)
+
+    def union(self, other: "ThetaSketch") -> "ThetaSketch":
+        theta = min(self.theta, other.theta)
+        merged = np.unique(np.concatenate([self.hashes, other.hashes]))
+        merged = merged[merged < np.uint64(theta)]
+        k = 1 << self.lg_k
+        if len(merged) > k:
+            theta = int(merged[k])
+            merged = merged[:k]
+        return ThetaSketch(merged, theta, self.lg_k, self.seed)
+
+
+def theta_hash_batch(values: List[bytes],
+                     seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Batch 63-bit hashes (executor-side; murmur128 per value)."""
+    return np.fromiter((theta_hash(v, seed) for v in values),
+                       dtype=np.uint64, count=len(values))

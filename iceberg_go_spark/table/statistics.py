@@ -14,17 +14,42 @@ import time
 import uuid
 from typing import Dict, List, Optional
 
+import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from ..meta.dv import PuffinReader, PuffinWriter
+from ..sketches import DEFAULT_LG_K, ThetaSketch, theta_hash
 
 BLOB_TYPE_HLL = "apache-datasketches-hll-v1"
+# the spec blob type for NDV statistics (table/statistics.go:26)
+BLOB_TYPE_THETA = "apache-datasketches-theta-v1"
+
+
+def _theta_for_column(df, column: str, lg_k: int) -> ThetaSketch:
+    """KMV theta build as a Spark aggregation: hash executor-side, then
+    distinct + (k+1) smallest — one shuffle, only k+1 longs reach the
+    driver regardless of table size."""
+    @F.pandas_udf("long")
+    def h(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: theta_hash(str(v).encode("utf-8"))
+                     if v is not None else None)
+
+    k = 1 << lg_k
+    rows = (df.select(h(F.col(column).cast("string")).alias("h"))
+            .filter(F.col("h").isNotNull())
+            .distinct().orderBy("h").limit(k + 1).collect())
+    return ThetaSketch.from_hashes([r.h for r in rows], lg_k)
 
 
 def compute_ndv_statistics(table, spark: SparkSession,
-                           columns: Optional[List[str]] = None) -> str:
-    """Build HLL sketches for ``columns`` (default: all primitive columns),
-    write a Puffin statistics file, register it in table metadata."""
+                           columns: Optional[List[str]] = None,
+                           lg_k: int = DEFAULT_LG_K) -> str:
+    """Build NDV sketches for ``columns`` (default: all primitive columns),
+    write a Puffin statistics file, register it in table metadata.
+
+    Writes BOTH blob types per column: ``apache-datasketches-theta-v1``
+    (the spec NDV type — compact ordered layout other engines read) and
+    the Spark-native HLL blob (cheap to merge incrementally here)."""
     schema = table.schema()
     if columns is None:
         columns = [f.name for f in schema.fields
@@ -33,6 +58,7 @@ def compute_ndv_statistics(table, spark: SparkSession,
     aggs = [F.hll_sketch_agg(F.col(c).cast("string")).alias(c)
             for c in columns]
     row = df.agg(*aggs).collect()[0]
+    thetas = {c: _theta_for_column(df, c, lg_k) for c in columns}
 
     snap = table.current_snapshot()
     path = os.path.join(table.location(), "metadata",
@@ -40,11 +66,15 @@ def compute_ndv_statistics(table, spark: SparkSession,
     w = PuffinWriter(path)
     for c in columns:
         fid = schema.find_field(c).field_id
+        props = {"field-id": str(fid), "column": c}
+        w.add_blob(BLOB_TYPE_THETA, thetas[c].serialize(),
+                   properties={**props, "ndv":
+                               str(int(thetas[c].estimate()))},
+                   **{"snapshot-id": snap.snapshot_id if snap else None})
         sketch = row[c]
         if sketch is None:
             continue
-        w.add_blob(BLOB_TYPE_HLL, bytes(sketch),
-                   properties={"field-id": str(fid), "column": c},
+        w.add_blob(BLOB_TYPE_HLL, bytes(sketch), properties=props,
                    **{"snapshot-id": snap.snapshot_id if snap else None})
     w.write()
 
@@ -54,9 +84,11 @@ def compute_ndv_statistics(table, spark: SparkSession,
         "statistics-path": path,
         "file-size-in-bytes": os.path.getsize(path),
         "blob-metadata": [
-            {"type": BLOB_TYPE_HLL, "snapshot-id":
+            {"type": t, "snapshot-id":
              snap.snapshot_id if snap else -1,
-             "properties": {"column": c}} for c in columns],
+             "properties": {"column": c}}
+            for c in columns
+            for t in (BLOB_TYPE_THETA, BLOB_TYPE_HLL)],
     }
     md.statistics.append(entry)
     md.last_updated_ms = int(time.time() * 1000)
@@ -67,19 +99,26 @@ def compute_ndv_statistics(table, spark: SparkSession,
 
 
 def estimate_ndv(spark: SparkSession, stats_path: str) -> Dict[str, int]:
-    """Read sketches back and estimate per-column distinct counts."""
+    """Read sketches back and estimate per-column distinct counts.
+
+    Prefers the spec theta blobs; falls back to HLL for columns without
+    one (e.g. files written by an older version)."""
     r = PuffinReader(stats_path)
-    out = {}
-    rows = []
+    out: Dict[str, int] = {}
+    hll_rows = []
     for meta in r.blobs:
-        if meta["type"] != BLOB_TYPE_HLL:
-            continue
-        rows.append((meta["properties"]["column"], r.read_blob(meta)))
-    if not rows:
-        return {}
-    df = spark.createDataFrame(rows, "column string, sketch binary")
-    for rec in df.select(
-            "column",
-            F.hll_sketch_estimate(F.col("sketch")).alias("ndv")).collect():
-        out[rec.column] = int(rec.ndv)
+        col = meta["properties"]["column"]
+        if meta["type"] == BLOB_TYPE_THETA:
+            sk = ThetaSketch.deserialize(r.read_blob(meta))
+            out[col] = int(round(sk.estimate()))
+        elif meta["type"] == BLOB_TYPE_HLL:
+            hll_rows.append((col, r.read_blob(meta)))
+    missing = [(c, b) for c, b in hll_rows if c not in out]
+    if missing:
+        df = spark.createDataFrame(missing, "column string, sketch binary")
+        for rec in df.select(
+                "column",
+                F.hll_sketch_estimate(F.col("sketch")).alias("ndv")
+        ).collect():
+            out[rec.column] = int(rec.ndv)
     return out

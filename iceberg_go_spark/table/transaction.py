@@ -13,6 +13,7 @@ import os
 import random
 import time
 import uuid
+from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, List, Optional
 
 from pyspark.sql import DataFrame
@@ -41,6 +42,26 @@ class ValidationError(Exception):
     """A staged snapshot cannot be safely re-applied on top of concurrent
     commits (conflict_validation.go ErrValidation).  NOT retried — the
     caller must re-run the operation against the refreshed table."""
+
+
+@dataclass
+class CommitReport:
+    """Commit-side observability (metrics/commit_report.go:29) — the
+    write-path sibling of ScanReport.  Attached to the table as
+    ``last_commit_report`` after every successful commit."""
+    table_name: str = ""
+    snapshot_id: int = -1
+    sequence_number: int = -1
+    operation: str = ""
+    attempts: int = 0
+    total_duration_ms: float = 0.0
+    added_data_files: int = 0
+    added_delete_files: int = 0
+    added_records: int = 0
+    added_files_size_bytes: int = 0
+    total_data_files: int = 0
+    total_records: int = 0
+    extra: Dict[str, str] = dc_field(default_factory=dict)
 
 
 def _new_snapshot_id(metadata: TableMetadata) -> int:
@@ -381,6 +402,7 @@ class Transaction:
             return self.table
         from ..catalog.filesystem import CommitConflictError
         attempt = 0
+        t0 = time.time()
         while True:
             new_md = self._build_metadata()
             try:
@@ -389,6 +411,24 @@ class Transaction:
                 self._committed = True
                 self.table.metadata = new_md
                 self.table.metadata_location = path
+                last = self._staged[-1]
+                s = last.summary
+
+                def _i(key: str) -> int:
+                    return int(s.get(key, 0))
+                self.table.last_commit_report = CommitReport(
+                    table_name=".".join(self.table.identifier),
+                    snapshot_id=last.snapshot_id,
+                    sequence_number=last.sequence_number,
+                    operation=s.get("operation", ""),
+                    attempts=attempt + 1,
+                    total_duration_ms=(time.time() - t0) * 1000,
+                    added_data_files=_i("added-data-files"),
+                    added_delete_files=_i("added-delete-files"),
+                    added_records=_i("added-records"),
+                    added_files_size_bytes=_i("added-files-size"),
+                    total_data_files=_i("total-data-files"),
+                    total_records=_i("total-records"))
                 return self.table
             except CommitConflictError:
                 attempt += 1

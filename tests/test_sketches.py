@@ -1,0 +1,110 @@
+"""Theta sketches (spec NDV blob type) + CommitReport."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+from iceberg_go_spark.sketches import (ThetaSketch, compute_seed_hash,
+                                       murmur3_x64_128, theta_hash)
+
+from conftest import read_table
+
+
+def test_murmur128_deterministic_and_dispersed():
+    h1a, h2a = murmur3_x64_128(b"iceberg")
+    h1b, h2b = murmur3_x64_128(b"iceberg")
+    assert (h1a, h2a) == (h1b, h2b)
+    assert murmur3_x64_128(b"icebergg")[0] != h1a
+    # different seeds disperse
+    assert murmur3_x64_128(b"iceberg", 0)[0] != h1a
+    # block + tail paths
+    for payload in (b"", b"x", b"0123456789abcdef", b"0123456789abcdefg",
+                    b"a" * 100):
+        h1, h2 = murmur3_x64_128(payload)
+        assert 0 <= h1 < 2 ** 64 and 0 <= h2 < 2 ** 64
+
+
+def test_seed_hash_nonzero():
+    assert 0 < compute_seed_hash(9001) < 2 ** 16
+
+
+def test_theta_exact_mode_roundtrip():
+    hashes = [theta_hash(str(i).encode()) for i in range(100)]
+    sk = ThetaSketch.from_hashes(hashes)
+    assert sk.estimate() == 100
+    back = ThetaSketch.deserialize(sk.serialize())
+    assert back.retained == 100
+    assert back.estimate() == 100
+    assert (back.hashes == sk.hashes).all()
+
+
+def test_theta_estimation_mode_accuracy():
+    n = 100_000
+    hashes = [theta_hash(str(i).encode()) for i in range(n)]
+    sk = ThetaSketch.from_hashes(hashes, lg_k=12)
+    assert sk.retained == 4096
+    assert sk.theta < 2 ** 63
+    est = sk.estimate()
+    assert abs(est - n) / n < 0.05  # KMV with k=4096 -> ~1.6% typical
+    back = ThetaSketch.deserialize(sk.serialize())
+    assert back.theta == sk.theta
+    assert abs(back.estimate() - est) < 1e-6
+
+
+def test_theta_union():
+    a = ThetaSketch.from_hashes(
+        [theta_hash(str(i).encode()) for i in range(0, 60_000)], lg_k=10)
+    b = ThetaSketch.from_hashes(
+        [theta_hash(str(i).encode()) for i in range(30_000, 90_000)],
+        lg_k=10)
+    u = a.union(b)
+    assert abs(u.estimate() - 90_000) / 90_000 < 0.10
+
+
+def test_theta_empty_sketch():
+    sk = ThetaSketch.from_hashes([])
+    assert sk.estimate() == 0
+    back = ThetaSketch.deserialize(sk.serialize())
+    assert back.retained == 0 and back.estimate() == 0
+
+
+def test_statistics_theta_blob_and_estimates(spark, sf_dir, tmp_path):
+    from iceberg_go_spark.table.statistics import (BLOB_TYPE_THETA,
+                                                   compute_ndv_statistics,
+                                                   estimate_ndv)
+    from iceberg_go_spark.meta.dv import PuffinReader
+    orders = read_table(spark, "orders", sf_dir)
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.s", Schema.from_spark(orders.schema))
+    t.append(orders)
+    path = compute_ndv_statistics(t, spark,
+                                  ["o_orderkey", "o_orderstatus"])
+    # spec blob type present
+    types = {b["type"] for b in PuffinReader(path).blobs}
+    assert BLOB_TYPE_THETA in types
+    est = estimate_ndv(spark, path)
+    true_keys = orders.select("o_orderkey").distinct().count()
+    assert abs(est["o_orderkey"] - true_keys) / true_keys < 0.05
+    assert est["o_orderstatus"] == 3
+
+
+def test_commit_report(spark, sf_dir, tmp_path):
+    from iceberg_go_spark import expressions as E
+    orders = read_table(spark, "orders", sf_dir).limit(500)
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.cr", Schema.from_spark(orders.schema))
+    t.append(orders)
+    rep = t.last_commit_report
+    assert rep.operation == "append"
+    assert rep.attempts == 1
+    assert rep.added_records == 500
+    assert rep.total_records == 500
+    assert rep.added_data_files >= 1
+    assert rep.total_duration_ms > 0
+    assert rep.snapshot_id == t.current_snapshot().snapshot_id
+    t.delete_where(spark, E.eq("o_orderstatus", "F"))
+    rep2 = t.last_commit_report
+    assert rep2.operation == "delete"
+    assert rep2.sequence_number == 2
