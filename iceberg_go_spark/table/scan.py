@@ -213,12 +213,27 @@ class Scan:
         self.report.skipped_data_files = total_files - len(data_entries)
         self.report.total_delete_files = len(delete_entries)
 
+        # residual per task (scanner.go residual evaluation): when strict
+        # metrics prove every row in a file matches the filter, the task's
+        # residual collapses to ALWAYS-TRUE and the executor skips per-row
+        # predicate evaluation for that file entirely
+        residual_strict = None
+        bound = E.bind(self.row_filter, schema, self.case_sensitive)
+        if not isinstance(bound, E.AlwaysTrue):
+            from ..plans.evaluators import StrictMetricsEvaluator
+            residual_strict = StrictMetricsEvaluator(
+                schema, self.row_filter, self.case_sensitive)
+
         tasks = []
         for e, spec_id in data_entries:
             pos, eq = _match_deletes(e, spec_id, delete_entries, md)
+            residual = None
+            if residual_strict is not None:
+                residual = (E.AlwaysTrue()
+                            if residual_strict.eval(e.data_file) else bound)
             tasks.append(FileScanTask(
                 data_file=e.data_file, sequence_number=e.sequence_number,
-                pos_deletes=pos, eq_deletes=eq))
+                pos_deletes=pos, eq_deletes=eq, residual=residual))
         self.report.planning_ms = (_t.time() - t0) * 1000
         return tasks
 
@@ -256,14 +271,19 @@ class Scan:
                               for d in t.pos_deletes),
                     frozenset((tuple(d.equality_ids or []), d.file_path)
                               for d in t.eq_deletes),
-                    t.data_file.name_based)
+                    t.data_file.name_based,
+                    # strict-match files (residual TRUE) skip the filter
+                    not isinstance(t.residual, E.AlwaysTrue)
+                    if t.residual is not None else False)
 
         groups: Dict[Tuple, List[FileScanTask]] = {}
         for t in tasks:
             groups.setdefault(key(t), []).append(t)
 
+        bound = E.bind(self.row_filter, schema, self.case_sensitive)
         dfs = []
-        for (pos_set, eq_set, name_based), group in groups.items():
+        for (pos_set, eq_set, name_based, needs_filter), group \
+                in groups.items():
             paths = [t.data_file.file_path for t in group]
             if name_based:
                 # ID-less files: infer the file schema, then resolve each
@@ -357,14 +377,14 @@ class Scan:
                 df = df.join(F.broadcast(ddf), cond, "left_anti")
             if name_based:
                 df = df.drop("_metadata")
+            # residual filter: strict-match groups skip this entirely
+            if needs_filter and not isinstance(bound, E.AlwaysTrue):
+                df = df.filter(E.to_spark_column(bound))
             dfs.append(df)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
 
-        bound = E.bind(self.row_filter, schema, self.case_sensitive)
-        if not isinstance(bound, E.AlwaysTrue):
-            out = out.filter(E.to_spark_column(bound))
         if self.selected is not None:
             cols = [f.name for f in projection.fields]
             if self.row_lineage:

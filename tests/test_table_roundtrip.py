@@ -202,3 +202,32 @@ def test_uuid_and_fixed_roundtrip(spark, sf_dir, catalog):
     b = BucketTransform(100)
     h = b.apply("f79c3e09-677c-4bbd-a479-3f349cb785e7", T.UUIDType())
     assert h == (1488055340 & 0x7FFFFFFF) % 100
+
+
+def test_residual_filters(spark, sf_dir, tmp_path):
+    """Files whose stats strictly match the filter get an ALWAYS-TRUE
+    residual (executor skips per-row predicate eval); boundary files keep
+    the bound filter. Counts stay exact either way."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    from iceberg_go_spark.schema import Schema
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, "lineitem", sf_dir)
+    schema = Schema.from_spark(li.schema)
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.res", schema,
+                         spec_from_names(schema, ("l_shipdate", "month")))
+    t.append(li)
+    # mid-month cutoff: months strictly above fully match, the cutoff
+    # month is partial
+    scan = t.scan(E.gt_eq("l_shipdate", "1996-06-15"))
+    tasks = scan.plan_files()
+    full = [x for x in tasks if isinstance(x.residual, E.AlwaysTrue)]
+    partial = [x for x in tasks if not isinstance(x.residual, E.AlwaysTrue)]
+    assert full and partial
+    exp = li.filter(F.col("l_shipdate") >= "1996-06-15").count()
+    assert scan.to_df(spark).count() == exp
+    # no filter -> residuals unset
+    assert all(x.residual is None for x in t.scan().plan_files())
