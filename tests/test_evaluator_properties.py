@@ -1,0 +1,168 @@
+"""Property-based soundness of the pruning evaluators (hypothesis).
+
+For randomly generated files (rows -> true stats) and random predicates:
+- INCLUSIVE soundness: a file containing ANY matching row is never pruned
+  (pruning a matching file would silently lose query results);
+- STRICT soundness: if the strict evaluator claims a full match, EVERY
+  row matches (a false claim would delete/skip-filter wrong rows);
+- consistency: strict ⟹ inclusive on non-empty files.
+
+This is the table-driven reference suite (table/evaluators_test.go)
+generalized to thousands of generated cases.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from iceberg_go_spark import expressions as E, types as T
+from iceberg_go_spark.meta.conversions import to_bytes
+from iceberg_go_spark.meta.manifests import CONTENT_DATA, DataFile
+from iceberg_go_spark.plans.evaluators import (InclusiveMetricsEvaluator,
+                                               StrictMetricsEvaluator)
+from iceberg_go_spark.schema import Schema
+
+SCHEMA = Schema([
+    T.NestedField(1, "id", T.LongType()),
+    T.NestedField(2, "name", T.StringType()),
+    T.NestedField(3, "x", T.DoubleType()),
+])
+
+_ids = st.one_of(st.none(), st.integers(-100, 100))
+_names = st.one_of(st.none(), st.text(alphabet="abcxyz", max_size=5))
+_xs = st.one_of(st.none(), st.just(float("nan")),
+                st.floats(-50, 50, allow_nan=False))
+_rows = st.lists(st.tuples(_ids, _names, _xs), min_size=1, max_size=12)
+
+_id_lit = st.integers(-120, 120)
+_name_lit = st.text(alphabet="abcxyz", max_size=4)
+_x_lit = st.floats(-60, 60, allow_nan=False)
+
+_simple = st.one_of(
+    st.builds(lambda op, v: op("id", v),
+              st.sampled_from([E.lt, E.lt_eq, E.gt, E.gt_eq, E.eq, E.neq]),
+              _id_lit),
+    st.builds(lambda vs: E.in_("id", vs), st.lists(_id_lit, min_size=1,
+                                                   max_size=4)),
+    st.builds(lambda vs: E.not_in("id", vs), st.lists(_id_lit, min_size=1,
+                                                      max_size=4)),
+    st.builds(lambda op, v: op("name", v),
+              st.sampled_from([E.lt, E.lt_eq, E.gt, E.gt_eq, E.eq, E.neq,
+                               E.starts_with, E.not_starts_with]),
+              _name_lit),
+    st.builds(lambda op, v: op("x", v),
+              st.sampled_from([E.lt, E.lt_eq, E.gt, E.gt_eq, E.eq]),
+              _x_lit),
+    st.sampled_from([E.is_null("id"), E.not_null("id"),
+                     E.is_null("name"), E.not_null("name"),
+                     E.is_nan("x"), E.not_nan("x")]),
+)
+_exprs = st.one_of(
+    _simple,
+    st.builds(E.and_, _simple, _simple),
+    st.builds(E.or_, _simple, _simple),
+    st.builds(lambda e: e.negate(), _simple),
+)
+
+
+def _matches(expr, row) -> bool:
+    """Independent ground-truth row evaluator (SQL three-valued logic
+    collapsed to keep/drop as the scan does)."""
+    rid, name, x = row
+    if isinstance(expr, E.AlwaysTrue):
+        return True
+    if isinstance(expr, E.AlwaysFalse):
+        return False
+    if isinstance(expr, E.And):
+        return _matches(expr.left, row) and _matches(expr.right, row)
+    if isinstance(expr, E.Or):
+        return _matches(expr.left, row) or _matches(expr.right, row)
+    if isinstance(expr, E.Not):
+        return not _matches(expr.child, row)
+    term = expr.term
+    nm = term.name if isinstance(term, E.Reference) else term.path
+    v = {"id": rid, "name": name, "x": x}[nm]
+    op = expr.op
+    if op == E.OP_IS_NULL:
+        return v is None
+    if op == E.OP_NOT_NULL:
+        return v is not None
+    if op == E.OP_IS_NAN:
+        return v is not None and isinstance(v, float) and math.isnan(v)
+    if op == E.OP_NOT_NAN:
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return False  # comparisons with null/NaN never match
+    lit = expr.literals[0] if expr.literals else None
+    if op == E.OP_LT:
+        return v < lit
+    if op == E.OP_LT_EQ:
+        return v <= lit
+    if op == E.OP_GT:
+        return v > lit
+    if op == E.OP_GT_EQ:
+        return v >= lit
+    if op == E.OP_EQ:
+        return v == lit
+    if op == E.OP_NEQ:
+        return v != lit
+    if op == E.OP_STARTS_WITH:
+        return str(v).startswith(str(lit))
+    if op == E.OP_NOT_STARTS_WITH:
+        return not str(v).startswith(str(lit))
+    if op == E.OP_IN:
+        return v in expr.literals
+    if op == E.OP_NOT_IN:
+        return v not in expr.literals
+    raise AssertionError(op)
+
+
+def _file_for(rows) -> DataFile:
+    cols = {1: [r[0] for r in rows], 2: [r[1] for r in rows],
+            3: [r[2] for r in rows]}
+    vc, nc, nanc, lo, hi = {}, {}, {}, {}, {}
+    for fid, vals in cols.items():
+        t = SCHEMA.find_field(fid).field_type
+        vc[fid] = len(vals)
+        nc[fid] = sum(v is None for v in vals)
+        real = [v for v in vals if v is not None and
+                not (isinstance(v, float) and math.isnan(v))]
+        if fid == 3:
+            nanc[fid] = sum(v is not None and isinstance(v, float)
+                            and math.isnan(v) for v in vals)
+        if real:
+            lo[fid] = to_bytes(t, min(real))
+            hi[fid] = to_bytes(t, max(real))
+    return DataFile(
+        content=CONTENT_DATA, file_path="/p.parquet",
+        file_format="PARQUET", partition={}, record_count=len(rows),
+        file_size_in_bytes=1, value_counts=vc, null_value_counts=nc,
+        nan_value_counts=nanc, lower_bounds=lo, upper_bounds=hi)
+
+
+@settings(max_examples=400, deadline=None)
+@given(rows=_rows, expr=_exprs)
+def test_inclusive_never_prunes_matching_file(rows, expr):
+    f = _file_for(rows)
+    any_match = any(_matches(expr, r) for r in rows)
+    keep = InclusiveMetricsEvaluator(SCHEMA, expr).eval(f)
+    if any_match:
+        assert keep, f"pruned a file with matching rows: {expr} {rows}"
+
+
+@settings(max_examples=400, deadline=None)
+@given(rows=_rows, expr=_exprs)
+def test_strict_claim_implies_all_rows_match(rows, expr):
+    f = _file_for(rows)
+    strict = StrictMetricsEvaluator(SCHEMA, expr).eval(f)
+    if strict:
+        assert all(_matches(expr, r) for r in rows), \
+            f"strict over-claimed: {expr} {rows}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=_rows, expr=_exprs)
+def test_strict_implies_inclusive(rows, expr):
+    f = _file_for(rows)
+    if StrictMetricsEvaluator(SCHEMA, expr).eval(f):
+        assert InclusiveMetricsEvaluator(SCHEMA, expr).eval(f)
