@@ -204,3 +204,37 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     # append mode emits only windows closed by the watermark; the final
     # (open) windows are withheld -> got <= total, and most rows flushed
     assert got is None or got <= 500
+
+
+def test_streaming_stateful_sessionization(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: the final per-user session
+    counter must equal the batch window-function sessionization on the
+    same data (single availableNow pass, so state sees each user once)."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.source import (read_stream,
+                                                   sessionize_batch,
+                                                   sessionize_stream)
+    import __spark_entry__ as em
+    ev = em._read(spark, sf_dir, "events") \
+        .filter(F.col("user_id") % 20 == 0).cache()
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.sess", Schema.from_spark(ev.schema))
+    t.append(ev)
+
+    stream = read_stream(spark, t)
+    sess = sessionize_stream(stream, gap_minutes=30)
+    q = (sess.writeStream.format("memory").queryName("sessions")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    got = {r.user_id: r.session_seq
+           for r in spark.sql(
+               "SELECT user_id, max(session_seq) AS session_seq "
+               "FROM sessions GROUP BY user_id").collect()}
+    exp = {r.user_id: r.n_sessions
+           for r in sessionize_batch(ev, gap_minutes=30)
+           .groupBy("user_id")
+           .agg(F.max("session_seq").alias("n_sessions")).collect()}
+    assert got == exp and got
