@@ -192,7 +192,8 @@ class SqlCatalog:
                     "table_name = ? AND metadata_location = ?",
                     (path, self.name, ns, name, base_metadata_path))
             if cur.rowcount == 0:
-                os.unlink(path)
+                from ..io import load_io
+                load_io(path).delete(path)
                 raise CommitConflictError(
                     f"{identifier}: expected base {base_metadata_path}")
         return path

@@ -408,7 +408,9 @@ def evaluate(expr: Expression, row: dict) -> bool:
     if op == OP_IS_NAN:
         return v is not None and isinstance(v, float) and math.isnan(v)
     if op == OP_NOT_NAN:
-        return v is not None and not (isinstance(v, float) and math.isnan(v))
+        # null IS "not NaN" (visitors.go VisitNotNan = !VisitIsNan, and
+        # Spark's ~isnan(NULL) likewise evaluates true)
+        return not (isinstance(v, float) and math.isnan(v))
     if v is None:
         return False
     if op == OP_LT:
@@ -572,7 +574,9 @@ def to_sql(expr: Expression) -> str:
     if op == OP_IS_NAN:
         return f"isnan({name})"
     if op == OP_NOT_NAN:
-        return f"NOT isnan({name})"
+        # null matches not_nan; DuckDB's isnan(NULL) is NULL, so spell
+        # the null case out to keep the oracle aligned with Spark
+        return f"({name} IS NULL OR NOT isnan({name}))"
     lit = _sql_lit(expr.literals[0]) if expr.literals else None
     cmp = {OP_LT: "<", OP_LT_EQ: "<=", OP_GT: ">", OP_GT_EQ: ">=",
            OP_EQ: "=", OP_NEQ: "<>"}

@@ -1,0 +1,131 @@
+"""FileIO abstraction for the metadata plane.
+
+Parity (behavior only): /root/reference/io/io.go (the ``IO`` interface),
+io/local.go (local FS), io/blob.go (scheme-based resolution onto object
+stores).  Implementations register by URI scheme; path resolution picks
+the registered IO or falls back to the local filesystem.
+
+Scope note (Spark-first design): FileIO governs METADATA files —
+manifests, manifest lists, table-metadata JSON, Puffin statistics and
+deletion-vector blobs.  The data plane (parquet read/write/scan) runs
+through Spark's own Hadoop FileSystem layer, which is already pluggable
+by URI scheme on a real cluster; duplicating it here would build a
+second, slower IO stack next to the one Spark ships.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, List
+
+
+class FileIO:
+    """Byte-level metadata file IO (io/io.go ReadFileIO/WriteFileIO)."""
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def write(self, path: str, data: bytes) -> None:
+        """Full-file write; atomic replace where the store allows it."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:  # no-op for object stores
+        raise NotImplementedError
+
+
+class LocalFileIO(FileIO):
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+
+class InMemoryFileIO(FileIO):
+    """Dict-backed IO for tests and ephemeral catalogs (io/mem parity).
+    Thread-safe; paths are opaque keys."""
+
+    def __init__(self) -> None:
+        self.files: Dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def read(self, path: str) -> bytes:
+        try:
+            return self.files[path]
+        except KeyError:
+            raise FileNotFoundError(path)
+
+    def write(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self.files[path] = bytes(data)
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self.files.pop(path, None)
+
+    def exists(self, path: str) -> bool:
+        return path in self.files
+
+    def size(self, path: str) -> int:
+        return len(self.read(path))
+
+    def makedirs(self, path: str) -> None:
+        pass
+
+    def list(self, prefix: str) -> List[str]:
+        return sorted(p for p in self.files if p.startswith(prefix))
+
+
+_LOCAL = LocalFileIO()
+_REGISTRY: Dict[str, FileIO] = {}
+
+
+def register_io(scheme: str, io: FileIO) -> None:
+    """Register an IO implementation for a URI scheme (io/blob.go)."""
+    _REGISTRY[scheme] = io
+
+
+def unregister_io(scheme: str) -> None:
+    _REGISTRY.pop(scheme, None)
+
+
+def load_io(path: str) -> FileIO:
+    """Resolve the IO for a path by scheme; plain paths -> local FS."""
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme in _REGISTRY:
+            return _REGISTRY[scheme]
+        if scheme == "file":
+            return _LOCAL
+        raise ValueError(f"no FileIO registered for scheme {scheme!r}")
+    return _REGISTRY.get("", _LOCAL)

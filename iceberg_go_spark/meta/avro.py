@@ -230,20 +230,17 @@ def write_container(path: str, schema: JsonSchema, records: List[Any],
     write_bytes(block, payload)
     block.extend(sync)
 
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(head)
-        if records:
-            f.write(block)
-    os.replace(tmp, path)
+    from ..io import load_io
+    load_io(path).write(path, bytes(head) + (bytes(block) if records
+                                             else b""))
 
 
 def read_container(path_or_data) -> tuple[JsonSchema, List[Any], Dict[str, bytes]]:
     if isinstance(path_or_data, (bytes, bytearray)):
         data = bytes(path_or_data)
     else:
-        with open(path_or_data, "rb") as f:
-            data = f.read()
+        from ..io import load_io
+        data = load_io(path_or_data).read(path_or_data)
     r = Reader(data)
     if r.read_fixed(4) != MAGIC:
         raise ValueError("not an avro container file")

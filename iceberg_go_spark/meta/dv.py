@@ -120,29 +120,31 @@ class PuffinWriter:
         self._blobs.append((meta, data))
 
     def write(self) -> None:
-        with open(self.path, "wb") as f:
-            f.write(MAGIC)
-            offset = 4
-            footer_blobs = []
-            for meta, data in self._blobs:
-                f.write(data)
-                m = dict(meta)
-                m["offset"] = offset
-                m["length"] = len(data)
-                footer_blobs.append(m)
-                offset += len(data)
-            payload = json.dumps({"blobs": footer_blobs}).encode()
-            f.write(MAGIC)
-            f.write(payload)
-            f.write(struct.pack("<I", len(payload)))
-            f.write(b"\x00\x00\x00\x00")  # flags
-            f.write(MAGIC)
+        out = bytearray()
+        out += MAGIC
+        offset = 4
+        footer_blobs = []
+        for meta, data in self._blobs:
+            out += data
+            m = dict(meta)
+            m["offset"] = offset
+            m["length"] = len(data)
+            footer_blobs.append(m)
+            offset += len(data)
+        payload = json.dumps({"blobs": footer_blobs}).encode()
+        out += MAGIC
+        out += payload
+        out += struct.pack("<I", len(payload))
+        out += b"\x00\x00\x00\x00"  # flags
+        out += MAGIC
+        from ..io import load_io
+        load_io(self.path).write(self.path, bytes(out))
 
 
 class PuffinReader:
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self.data = f.read()
+        from ..io import load_io
+        self.data = load_io(path).read(path)
         if self.data[:4] != MAGIC or self.data[-4:] != MAGIC:
             raise ValueError("not a puffin file")
         (size,) = struct.unpack_from("<I", self.data, len(self.data) - 12)

@@ -308,8 +308,9 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
     deleted = [e for e in entries if e.status == STATUS_DELETED]
     seqs = [e.sequence_number for e in entries
             if e.sequence_number is not None and e.is_live]
+    from ..io import load_io
     return ManifestFile(
-        manifest_path=path, manifest_length=os.path.getsize(path),
+        manifest_path=path, manifest_length=load_io(path).size(path),
         partition_spec_id=spec.spec_id, content=content,
         sequence_number=0, min_sequence_number=min(seqs) if seqs else 0,
         added_snapshot_id=next((e.snapshot_id for e in entries

@@ -253,15 +253,14 @@ class TableMetadata:
             statistics=d.get("statistics", []))
 
     def write(self, path: str) -> None:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.to_json_dict(), f, indent=1)
-        os.replace(tmp, path)
+        from ..io import load_io
+        load_io(path).write(
+            path, json.dumps(self.to_json_dict(), indent=1).encode())
 
     @classmethod
     def read(cls, path: str) -> "TableMetadata":
-        with open(path) as f:
-            return cls.from_json_dict(json.load(f))
+        from ..io import load_io
+        return cls.from_json_dict(json.loads(load_io(path).read(path)))
 
 
 def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,

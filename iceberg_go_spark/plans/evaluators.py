@@ -91,8 +91,10 @@ class InclusiveMetricsEvaluator:
                 return ROWS_CANNOT_MATCH
             return ROWS_MIGHT_MATCH
         if op == E.OP_NOT_NAN:
+            # nulls match not_nan (evaluators.go VisitNotNan prunes only
+            # when the column contains NaNs ONLY, not NaNs+nulls)
             if (s.nan_count is not None and s.value_count is not None
-                    and s.nan_count + (s.null_count or 0) == s.value_count):
+                    and s.nan_count == s.value_count):
                 return ROWS_CANNOT_MATCH
             return ROWS_MIGHT_MATCH
         # literal ops: an all-null or all-NaN column can't satisfy them

@@ -17,6 +17,7 @@ from typing import Dict, List, Optional
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
+from ..io import load_io
 from ..meta.dv import PuffinReader, PuffinWriter
 from ..sketches import DEFAULT_LG_K, ThetaSketch, theta_hash
 
@@ -82,7 +83,7 @@ def compute_ndv_statistics(table, spark: SparkSession,
     entry = {
         "snapshot-id": snap.snapshot_id if snap else -1,
         "statistics-path": path,
-        "file-size-in-bytes": os.path.getsize(path),
+        "file-size-in-bytes": load_io(path).size(path),
         "blob-metadata": [
             {"type": t, "snapshot-id":
              snap.snapshot_id if snap else -1,

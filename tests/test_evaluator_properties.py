@@ -90,7 +90,8 @@ def _matches(expr, row) -> bool:
     if op == E.OP_IS_NAN:
         return v is not None and isinstance(v, float) and math.isnan(v)
     if op == E.OP_NOT_NAN:
-        return v is not None and not (isinstance(v, float) and math.isnan(v))
+        # null matches not_nan (reference visitors.go; Spark ~isnan(NULL))
+        return not (isinstance(v, float) and math.isnan(v))
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return False  # comparisons with null/NaN never match
     lit = expr.literals[0] if expr.literals else None

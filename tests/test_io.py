@@ -1,0 +1,63 @@
+"""FileIO abstraction: the metadata plane resolves IO by URI scheme.
+
+Parity (behavior only): /root/reference/io/io.go (IO interface),
+io/mem.go (in-memory store used exactly like this in the reference's
+own tests), io/blob.go (scheme-based resolution).
+"""
+
+import pytest
+
+from iceberg_go_spark.io import (InMemoryFileIO, LocalFileIO, load_io,
+                                 register_io, unregister_io)
+from iceberg_go_spark.meta.avro import read_container, write_container
+from iceberg_go_spark.meta.dv import PuffinReader, PuffinWriter
+
+
+@pytest.fixture
+def mem():
+    io = InMemoryFileIO()
+    register_io("mem", io)
+    yield io
+    unregister_io("mem")
+
+
+def test_scheme_resolution(mem):
+    assert load_io("mem://t/metadata/v1.json") is mem
+    assert isinstance(load_io("/tmp/plain/path"), LocalFileIO)
+    assert isinstance(load_io("file:///tmp/x"), LocalFileIO)
+    with pytest.raises(ValueError):
+        load_io("s3://bucket/key")  # unregistered scheme is an error
+
+
+def test_mem_io_roundtrip(mem):
+    mem.write("mem://a/b", b"hello")
+    assert mem.read("mem://a/b") == b"hello"
+    assert mem.size("mem://a/b") == 5
+    assert mem.exists("mem://a/b")
+    mem.delete("mem://a/b")
+    assert not mem.exists("mem://a/b")
+    with pytest.raises(FileNotFoundError):
+        mem.read("mem://a/b")
+
+
+def test_avro_container_through_mem_io(mem):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "long"}, {"name": "s", "type": "string"}]}
+    recs = [{"x": 1, "s": "a"}, {"x": 2, "s": "b"}]
+    write_container("mem://wh/m1.avro", schema, recs, {"k": b"v"})
+    got_schema, got, meta = read_container("mem://wh/m1.avro")
+    assert got == recs
+    assert meta["k"] == b"v"
+
+
+def test_puffin_through_mem_io(mem):
+    w = PuffinWriter("mem://wh/stats.puffin")
+    w.add_blob("apache-datasketches-theta-v1", b"\x01\x02\x03",
+               fields=[1], **{"snapshot-id": 7, "sequence-number": 1})
+    w.write()
+    r = PuffinReader("mem://wh/stats.puffin")
+    blobs = r.blobs
+    assert len(blobs) == 1
+    meta = blobs[0]
+    assert meta["type"] == "apache-datasketches-theta-v1"
+    assert r.read_blob(meta) == b"\x01\x02\x03"
