@@ -41,6 +41,8 @@ OP_STARTS_WITH = "starts_with"
 OP_NOT_STARTS_WITH = "not_starts_with"
 OP_IN = "in"
 OP_NOT_IN = "not_in"
+OP_BBOX_INTERSECTS = "bbox_intersects"
+OP_BBOX_NOT_INTERSECTS = "bbox_not_intersects"
 
 _NEGATIONS = {
     OP_IS_NULL: OP_NOT_NULL, OP_NOT_NULL: OP_IS_NULL,
@@ -49,12 +51,37 @@ _NEGATIONS = {
     OP_EQ: OP_NEQ, OP_NEQ: OP_EQ,
     OP_STARTS_WITH: OP_NOT_STARTS_WITH, OP_NOT_STARTS_WITH: OP_STARTS_WITH,
     OP_IN: OP_NOT_IN, OP_NOT_IN: OP_IN,
+    OP_BBOX_INTERSECTS: OP_BBOX_NOT_INTERSECTS,
+    OP_BBOX_NOT_INTERSECTS: OP_BBOX_INTERSECTS,
 }
 
 UNARY_OPS = {OP_IS_NULL, OP_NOT_NULL, OP_IS_NAN, OP_NOT_NAN}
 LITERAL_OPS = {OP_LT, OP_LT_EQ, OP_GT, OP_GT_EQ, OP_EQ, OP_NEQ,
                OP_STARTS_WITH, OP_NOT_STARTS_WITH}
 SET_OPS = {OP_IN, OP_NOT_IN}
+GEO_OPS = {OP_BBOX_INTERSECTS, OP_BBOX_NOT_INTERSECTS}
+
+
+@dataclass(frozen=True)
+class BoundingBox:
+    """Planar (XY) query box for BBoxIntersects (exprs.go:1147-1189).
+    X is longitude/easting, Y latitude/northing; closed intervals."""
+    min_x: float
+    min_y: float
+    max_x: float
+    max_y: float
+
+    def valid(self) -> bool:
+        """False on any NaN coordinate or an inverted (min > max) axis —
+        either would silently mis-prune."""
+        coords = (self.min_x, self.min_y, self.max_x, self.max_y)
+        if any(math.isnan(c) for c in coords):
+            return False
+        return self.min_x <= self.max_x and self.min_y <= self.max_y
+
+    def __str__(self) -> str:
+        return (f"BoundingBox(minX={self.min_x:g}, minY={self.min_y:g}, "
+                f"maxX={self.max_x:g}, maxY={self.max_y:g})")
 
 
 class Expression:
@@ -166,6 +193,8 @@ class Predicate(Expression):
             return f"{self.op}({self.term})"
         if self.op in SET_OPS:
             return f"{self.term} {self.op} {self.literals}"
+        if self.op in GEO_OPS:
+            return f"{self.op}({self.term}, {self.literals[0]})"
         return f"{self.term} {self.op} {self.literals[0]!r}"
 
 
@@ -230,6 +259,17 @@ def in_(t, values: Iterable[Any]):
     if len(vals) == 1:
         return eq(t, vals[0])
     return Predicate(OP_IN, _term(t), vals)
+
+
+def bbox_intersects(t, bbox: BoundingBox):
+    """Geospatial predicate: rows whose geometry's bounding box intersects
+    ``bbox`` (exprs.go:1200-1222).  Only bbox-level semantics — full
+    geometric ST_Intersects stays a query-engine concern per the spec.
+    Raises on an invalid box, which would silently mis-prune."""
+    if not isinstance(bbox, BoundingBox) or not bbox.valid():
+        raise ValueError(f"invalid bounding box {bbox} "
+                         "(NaN coordinate or min > max)")
+    return Predicate(OP_BBOX_INTERSECTS, _term(t), (bbox,))
 
 
 def not_in(t, values: Iterable[Any]):
@@ -365,6 +405,12 @@ def bind(expr: Expression, schema: Schema, case_sensitive: bool = True
                     ftype, (T.FloatType, T.DoubleType)):
                 raise TypeError(f"is_nan on non-floating column {name}")
             return Predicate(expr.op, ref)
+        if expr.op in GEO_OPS:
+            if not isinstance(ftype, (T.GeometryType, T.GeographyType)):
+                raise TypeError(
+                    f"BBoxIntersects must bind to a geometry or geography "
+                    f"column, not {ftype} ({name})")
+            return Predicate(expr.op, ref, expr.literals)
         lits = tuple(cast_literal(v, ftype) for v in expr.literals)
         if expr.op in SET_OPS:
             lits = tuple(dict.fromkeys(lits))
@@ -411,6 +457,17 @@ def evaluate(expr: Expression, row: dict) -> bool:
         # null IS "not NaN" (visitors.go VisitNotNan = !VisitIsNan, and
         # Spark's ~isnan(NULL) likewise evaluates true)
         return not (isinstance(v, float) and math.isnan(v))
+    if op in GEO_OPS:
+        # a null/empty geometry has no bbox: it matches neither the
+        # intersects op nor its negation (three-valued, like comparisons)
+        from .geo import bbox_intersects_xy, wkb_bounds_xy
+        b = wkb_bounds_xy(v)
+        if b is None:
+            return False
+        box: BoundingBox = expr.value
+        hit = bbox_intersects_xy(b[0], b[1], b[2], b[3],
+                                 box.min_x, box.min_y, box.max_x, box.max_y)
+        return hit if op == OP_BBOX_INTERSECTS else not hit
     if v is None:
         return False
     if op == OP_LT:
@@ -492,6 +549,15 @@ def to_spark_column(expr: Expression):
         return F.isnan(c)
     if op == OP_NOT_NAN:
         return ~F.isnan(c)
+    if op in GEO_OPS:
+        from .geo import bbox_intersects_column
+        box: BoundingBox = expr.value
+        hit = bbox_intersects_column(c, box.min_x, box.min_y,
+                                     box.max_x, box.max_y)
+        if op == OP_BBOX_INTERSECTS:
+            return hit
+        # negation still excludes null/empty geometries (no bbox, no match)
+        return c.isNotNull() & ~hit
     lit = expr.literals[0] if expr.literals else None
     ns = _is_ns_type(expr.term) and isinstance(lit, int)
     if op == OP_LT:
@@ -577,6 +643,10 @@ def to_sql(expr: Expression) -> str:
         # null matches not_nan; DuckDB's isnan(NULL) is NULL, so spell
         # the null case out to keep the oracle aligned with Spark
         return f"({name} IS NULL OR NOT isnan({name}))"
+    if op in GEO_OPS:
+        raise ValueError(
+            "BBoxIntersects has no portable ANSI-SQL rendering (WKB "
+            "parsing); use a spatial oracle or per-row evaluate()")
     lit = _sql_lit(expr.literals[0]) if expr.literals else None
     cmp = {OP_LT: "<", OP_LT_EQ: "<=", OP_GT: ">", OP_GT_EQ: ">=",
            OP_EQ: "=", OP_NEQ: "<>"}

@@ -1,0 +1,312 @@
+"""Geospatial support (Iceberg v3): WKB bounds, bbox codec, row-level test.
+
+Parity (behavior only, original code): /root/reference/table/internal/
+geo_codec.go (bounds accumulator :53-205, single-value bound codec
+:236-305,332-372, GeoBoundsXY :379, BBoxIntersectsXY :407) and
+/root/reference/exprs.go:1147-1230 (BoundingBox semantics).
+
+Iceberg stores geometry/geography column bounds using the *single-value
+serialization* for geospatial types (spec Appendix D): little-endian
+float64 coordinates in X, Y[, Z][, M] order.  Lengths: XY=16, XYZ=24,
+XYM=32 (Z slot written as NaN), XYZM=32.  The lower bound carries
+per-dimension minimums, the upper bound maximums.
+
+Geography bounds are never emitted: geodesic edges can exceed vertex
+latitudes and wrap the antimeridian, so naive vertex min/max would prune
+files that contain matching rows.  Missing bounds only disable pruning,
+which is always safe.
+
+Values are WKB.  Both ISO WKB (dimension encoded in the type number,
+e.g. PointZ=1001) and EWKB (Z/M/SRID flags in the type word's high bits)
+are accepted, read-only, for statistics purposes.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Optional, Tuple
+
+import pandas as pd
+
+__all__ = [
+    "GeoBoundsAccumulator", "encode_geo_bound", "decode_geo_bound",
+    "geo_bounds_xy", "bbox_intersects_xy", "wkb_bounds_xy", "wkb_point",
+    "bbox_intersects_column",
+]
+
+# EWKB flags in the high bits of the type word
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+_EWKB_FLAGS = _EWKB_Z | _EWKB_M | _EWKB_SRID
+
+# base geometry kinds (type word modulo the ISO dimension offset)
+_POINT, _LINESTRING, _POLYGON = 1, 2, 3
+_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION = 4, 5, 6, 7
+
+_NAN = float("nan")
+
+
+class _WKBError(ValueError):
+    pass
+
+
+def _parse_header(data: bytes, off: int) -> Tuple[str, int, bool, bool, int]:
+    """Parse byte order + type word -> (endian, kind, has_z, has_m, new_off).
+
+    ISO WKB encodes dimensionality as type offsets (+1000 Z, +2000 M,
+    +3000 ZM); EWKB flags it in the high bits and may embed an SRID after
+    the type word.  A plain 2D value is byte-identical in both encodings.
+    """
+    if off + 5 > len(data):
+        raise _WKBError("truncated WKB header")
+    order = data[off]
+    if order == 1:
+        endian = "<"
+    elif order == 0:
+        endian = ">"
+    else:
+        raise _WKBError(f"bad WKB byte order {order}")
+    (word,) = struct.unpack_from(endian + "I", data, off + 1)
+    off += 5
+    if word & _EWKB_FLAGS:
+        has_z = bool(word & _EWKB_Z)
+        has_m = bool(word & _EWKB_M)
+        if word & _EWKB_SRID:
+            off += 4  # skip embedded SRID
+        kind = word & 0xFF
+    else:
+        kind = word % 1000
+        dim = word // 1000
+        has_z = dim in (1, 3)
+        has_m = dim in (2, 3)
+        if dim > 3:
+            raise _WKBError(f"bad ISO WKB dimension offset {dim}")
+    if not 1 <= kind <= 7:
+        raise _WKBError(f"unsupported WKB geometry kind {kind}")
+    return endian, kind, has_z, has_m, off
+
+
+def _walk(data: bytes, off: int, out: list) -> int:
+    endian, kind, has_z, has_m, off = _parse_header(data, off)
+    stride = 2 + has_z + has_m
+    fmt = endian + "d" * stride
+
+    def read_points(n: int, o: int) -> int:
+        nonlocal out
+        need = n * stride * 8
+        if o + need > len(data):
+            raise _WKBError("truncated WKB coordinates")
+        vals = struct.unpack_from(endian + "d" * (n * stride), data, o)
+        for base in range(0, len(vals), stride):
+            x, y = vals[base], vals[base + 1]
+            z = vals[base + 2] if has_z else None
+            m = vals[base + 2 + has_z] if has_m else None
+            out.append((x, y, z, m))
+        return o + need
+
+    if kind == _POINT:
+        if off + stride * 8 > len(data):
+            raise _WKBError("truncated WKB point")
+        vals = struct.unpack_from(fmt, data, off)
+        x, y = vals[0], vals[1]
+        # an "empty point" is serialized as all-NaN coordinates; skip it
+        if not (math.isnan(x) and math.isnan(y)):
+            out.append((x, y, vals[2] if has_z else None,
+                        vals[2 + has_z] if has_m else None))
+        return off + stride * 8
+    if kind == _LINESTRING:
+        (n,) = struct.unpack_from(endian + "I", data, off)
+        return read_points(n, off + 4)
+    if kind == _POLYGON:
+        (nrings,) = struct.unpack_from(endian + "I", data, off)
+        off += 4
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(endian + "I", data, off)
+            off = read_points(n, off + 4)
+        return off
+    # multi-geometries and collections hold full WKB sub-values
+    (n,) = struct.unpack_from(endian + "I", data, off)
+    off += 4
+    for _ in range(n):
+        off = _walk(data, off, out)
+    return off
+
+
+class GeoBoundsAccumulator:
+    """Streaming bounding box over WKB values (geo_codec.go:53-205).
+
+    Z/M are emitted only when *every* contributing geometry carried the
+    dimension; a partial dimension would imply rows that lack it have a
+    value in range, driving wrong-answer pruning.
+    """
+
+    def __init__(self, is_geography: bool = False):
+        self.is_geography = is_geography
+        self._min = [math.inf] * 4   # x, y, z, m
+        self._max = [-math.inf] * 4
+        self._has = [False] * 4
+        self._geoms = 0
+        self._z_geoms = 0
+        self._m_geoms = 0
+
+    def add_wkb(self, data: bytes) -> None:
+        coords: list = []
+        _walk(bytes(data), 0, coords)
+        if not coords:
+            return
+        self._geoms += 1
+        saw_z = saw_m = False
+        for x, y, z, m in coords:
+            self._update(0, x)
+            self._update(1, y)
+            if z is not None:
+                saw_z = True
+                self._update(2, z)
+            if m is not None:
+                saw_m = True
+                self._update(3, m)
+        if saw_z:
+            self._z_geoms += 1
+        if saw_m:
+            self._m_geoms += 1
+
+    def _update(self, dim: int, v: float) -> None:
+        if math.isnan(v):
+            return
+        self._has[dim] = True
+        if v < self._min[dim]:
+            self._min[dim] = v
+        if v > self._max[dim]:
+            self._max[dim] = v
+
+    def bounds(self) -> Tuple[Optional[bytes], Optional[bytes]]:
+        """(lower, upper) single-value bound bytes, or (None, None)."""
+        if self.is_geography or not (self._has[0] and self._has[1]):
+            return None, None
+        has_z = self._has[2] and self._z_geoms == self._geoms
+        has_m = self._has[3] and self._m_geoms == self._geoms
+        return (encode_geo_bound(self._min, has_z, has_m),
+                encode_geo_bound(self._max, has_z, has_m))
+
+
+def encode_geo_bound(vals, has_z: bool, has_m: bool) -> bytes:
+    """Single-value serialization of one bound point (geo_codec.go:240).
+
+    ``vals`` is [x, y, z, m].  XYM writes NaN in the Z slot so a reader
+    can distinguish XYM (NaN slot 3) from XYZM (finite Z)."""
+    if has_z and has_m:
+        coords = (vals[0], vals[1], vals[2], vals[3])
+    elif has_z:
+        coords = (vals[0], vals[1], vals[2])
+    elif has_m:
+        coords = (vals[0], vals[1], _NAN, vals[3])
+    else:
+        coords = (vals[0], vals[1])
+    return struct.pack("<" + "d" * len(coords), *coords)
+
+
+def decode_geo_bound(data: Optional[bytes]
+                     ) -> Optional[Tuple[float, float, Optional[float],
+                                         Optional[float]]]:
+    """Inverse of encode_geo_bound -> (x, y, z|None, m|None), or None when
+    the length is not a valid bound length (16/24/32)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    n = len(data)
+    if n == 16:
+        x, y = struct.unpack("<2d", data)
+        return (x, y, None, None)
+    if n == 24:
+        x, y, z = struct.unpack("<3d", data)
+        return (x, y, z, None)
+    if n == 32:
+        x, y, z, m = struct.unpack("<4d", data)
+        if math.isnan(z):
+            return (x, y, None, m)
+        return (x, y, z, m)
+    return None
+
+
+def geo_bounds_xy(lower: Optional[bytes], upper: Optional[bytes]
+                  ) -> Optional[Tuple[float, float, float, float]]:
+    """Decode a geometry column's bounds into planar XY extents, or None
+    when either bound is missing/malformed/NaN or inverted (lo > hi) —
+    cases where pruning on it would be unsafe (geo_codec.go:379)."""
+    lo = decode_geo_bound(lower)
+    hi = decode_geo_bound(upper)
+    if lo is None or hi is None:
+        return None
+    if any(math.isnan(v) for v in (lo[0], lo[1], hi[0], hi[1])):
+        return None
+    if lo[0] > hi[0] or lo[1] > hi[1]:
+        return None
+    return (lo[0], lo[1], hi[0], hi[1])
+
+
+def bbox_intersects_xy(a_min_x: float, a_min_y: float, a_max_x: float,
+                       a_max_y: float, b_min_x: float, b_min_y: float,
+                       b_max_x: float, b_max_y: float) -> bool:
+    """Closed-interval planar bbox intersection: boxes touching at an edge
+    or corner count as intersecting, matching inclusive pruning."""
+    return (a_min_x <= b_max_x and a_max_x >= b_min_x
+            and a_min_y <= b_max_y and a_max_y >= b_min_y)
+
+
+def wkb_bounds_xy(data: Optional[bytes]
+                  ) -> Optional[Tuple[float, float, float, float]]:
+    """Per-value XY bounding box of one WKB geometry, or None for null /
+    empty / unparsable values."""
+    if data is None:
+        return None
+    acc = GeoBoundsAccumulator()
+    try:
+        acc.add_wkb(data)
+    except (_WKBError, struct.error):
+        return None
+    if not (acc._has[0] and acc._has[1]):
+        return None
+    return (acc._min[0], acc._min[1], acc._max[0], acc._max[1])
+
+
+def wkb_point(x: float, y: float, z: Optional[float] = None,
+              m: Optional[float] = None) -> bytes:
+    """Encode an ISO WKB point (little-endian); fixture/test helper."""
+    kind = 1 + (1000 if z is not None and m is None else 0) \
+        + (2000 if m is not None and z is None else 0) \
+        + (3000 if z is not None and m is not None else 0)
+    coords = [x, y]
+    if z is not None:
+        coords.append(z)
+    if m is not None:
+        coords.append(m)
+    return struct.pack("<BI" + "d" * len(coords), 1, kind, *coords)
+
+
+def bbox_intersects_column(col, min_x: float, min_y: float, max_x: float,
+                           max_y: float):
+    """Row-level BBoxIntersects as a Spark Column over a WKB binary column.
+
+    File-level pruning (the spec's requirement) happens in the planner;
+    this is the residual per-row test: does the row geometry's own bbox
+    intersect the query box?  WKB needs structural parsing, so this is an
+    Arrow-batched pandas UDF — the slow path by design, applied only to
+    rows of files that survived pruning.  Null/empty geometries match
+    neither bbox_intersects nor its negation (handled by the caller
+    conjoining a not-null guard for the negated op)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _test(s: pd.Series) -> pd.Series:
+        def one(v):
+            b = wkb_bounds_xy(v)
+            if b is None:
+                return False
+            return bbox_intersects_xy(b[0], b[1], b[2], b[3],
+                                      min_x, min_y, max_x, max_y)
+        return s.map(one)
+
+    return _test(col)

@@ -46,7 +46,9 @@ def to_bytes(t: T.IcebergType, v: Any) -> bytes:
             import uuid as _u
             return _u.UUID(str(v)).bytes
         return str(v).encode("utf-8")
-    if isinstance(t, (T.BinaryType, T.FixedType)):
+    if isinstance(t, (T.BinaryType, T.FixedType, T.GeometryType,
+                      T.GeographyType)):
+        # geo bounds are already single-value-serialized bound points
         return bytes(v)
     if isinstance(t, T.DecimalType):
         d = v if isinstance(v, Decimal) else Decimal(str(v))
@@ -83,7 +85,8 @@ def from_bytes(t: T.IcebergType, b: Optional[bytes]) -> Any:
     if isinstance(t, T.UUIDType):
         import uuid as _u
         return str(_u.UUID(bytes=b))
-    if isinstance(t, (T.BinaryType, T.FixedType)):
+    if isinstance(t, (T.BinaryType, T.FixedType, T.GeometryType,
+                      T.GeographyType)):
         return b
     if isinstance(t, T.DecimalType):
         unscaled = int.from_bytes(b, "big", signed=True)

@@ -97,6 +97,27 @@ class InclusiveMetricsEvaluator:
                     and s.nan_count == s.value_count):
                 return ROWS_CANNOT_MATCH
             return ROWS_MIGHT_MATCH
+        if op == E.OP_BBOX_INTERSECTS:
+            # evaluators.go:1253 VisitBBoxIntersects
+            if (s.null_count is not None and s.value_count is not None
+                    and s.null_count == s.value_count):
+                return ROWS_CANNOT_MATCH  # all-null: nothing can intersect
+            # only geometry bounds are planar-safe; geography bounds are
+            # geodesic and may wrap the antimeridian — never prune on them
+            if isinstance(f.field_type, T.GeographyType):
+                return ROWS_MIGHT_MATCH
+            from ..geo import bbox_intersects_xy, geo_bounds_xy
+            xy = geo_bounds_xy(s.lower, s.upper)
+            if xy is None:  # missing/malformed bound: unprunable, safe
+                return ROWS_MIGHT_MATCH
+            box: E.BoundingBox = expr.value
+            if bbox_intersects_xy(xy[0], xy[1], xy[2], xy[3], box.min_x,
+                                  box.min_y, box.max_x, box.max_y):
+                return ROWS_MIGHT_MATCH
+            return ROWS_CANNOT_MATCH
+        if op == E.OP_BBOX_NOT_INTERSECTS:
+            # bounds overlapping the box doesn't mean every row does
+            return ROWS_MIGHT_MATCH
         # literal ops: an all-null or all-NaN column can't satisfy them
         if (s.null_count is not None and s.value_count is not None
                 and s.null_count == s.value_count):
@@ -196,6 +217,9 @@ class StrictMetricsEvaluator:
         f = expr.term.field
         s = _stats_of(file, f.field_id, f.field_type)
         op = expr.op
+        if op in E.GEO_OPS:
+            # bounds can never prove EVERY row's bbox (non-)intersects
+            return False
         if op == E.OP_IS_NULL:
             return (s.null_count is not None and s.value_count is not None
                     and s.null_count == s.value_count)

@@ -151,6 +151,12 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
     pf = pq.ParquetFile(path)
     md = pf.metadata
     arrow_schema = pf.schema_arrow
+    # geo columns: parquet byte-array min/max over WKB is meaningless, so
+    # bounds are computed from the raw WKB values below (geo_codec.go:53)
+    geo_cols = {name: (fid, tstr) for name, (fid, tstr) in
+                name_to_field.items()
+                if tstr.startswith(("geometry", "geography"))}
+    geo_fids = {fid for fid, _ in geo_cols.values()}
     has_ids = any((f.metadata or {}).get(b"PARQUET:field_id")
                   for f in arrow_schema)
     out: Dict[str, Any] = {
@@ -191,7 +197,7 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
                 if st.null_count is not None:
                     out["null_counts"][fid] = out["null_counts"].get(fid, 0) + \
                         st.null_count
-                if st.has_min_max:
+                if st.has_min_max and fid not in geo_fids:
                     mn, mx = st.min, st.max
                     if fid not in mins or _lt(mn, mins[fid]):
                         mins[fid] = mn
@@ -213,6 +219,22 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
             out["upper"][fid] = _to_bytes(t, mx2)
         except (TypeError, ValueError):
             pass
+    for name, (fid, tstr) in geo_cols.items():
+        if tstr.startswith("geography"):
+            continue  # geodesic edges: vertex min/max is unsafe, no bounds
+        from ..geo import GeoBoundsAccumulator
+        acc = GeoBoundsAccumulator()
+        try:
+            for chunk in pf.read(columns=[name]).column(0).chunks:
+                for v in chunk:
+                    if v.is_valid:
+                        acc.add_wkb(v.as_py())
+        except (ValueError, KeyError):
+            continue  # unparsable WKB: omit bounds (disables pruning, safe)
+        lower, upper = acc.bounds()
+        if lower is not None:
+            out["lower"][fid] = lower
+            out["upper"][fid] = upper
     return out
 
 

@@ -267,6 +267,10 @@ class IdentityTransform(Transform):
     preserves_order = True
 
     def can_transform(self, t: T.IcebergType) -> bool:
+        # geo/variant values are not comparable -> not partitionable
+        # (transforms.go:128-136)
+        if isinstance(t, (T.GeometryType, T.GeographyType)):
+            return False
         return t.is_primitive
 
     def result_type(self, t: T.IcebergType) -> T.IcebergType:

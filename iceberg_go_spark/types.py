@@ -23,7 +23,8 @@ __all__ = [
     "FloatType", "DoubleType", "DecimalType", "DateType", "TimeType",
     "TimestampType", "TimestamptzType", "TimestampNsType",
     "TimestamptzNsType", "UnknownType", "StringType", "UUIDType",
-    "BinaryType", "FixedType", "StructType", "ListType", "MapType",
+    "BinaryType", "FixedType", "GeometryType", "GeographyType",
+    "StructType", "ListType", "MapType",
     "NestedField", "type_from_str", "to_spark_type", "from_spark_type",
 ]
 
@@ -118,6 +119,64 @@ class UnknownType(PrimitiveType):
 
 class StringType(PrimitiveType):
     _name = "string"
+
+
+DEFAULT_GEO_CRS = "OGC:CRS84"
+DEFAULT_GEOGRAPHY_ALGORITHM = "spherical"
+GEOGRAPHY_ALGORITHMS = frozenset(
+    {"spherical", "vincenty", "thomas", "andoyer", "karney"})
+
+
+@dataclass(frozen=True, eq=False)
+class GeometryType(PrimitiveType):
+    """v3 geometry (types.go:933): WKB values with planar edges.  A CRS of
+    ``OGC:CRS84`` (the default) is normalized to the bare form so
+    ``geometry`` and ``geometry(OGC:CRS84)`` compare equal."""
+    crs: str = ""
+
+    def __post_init__(self) -> None:
+        c = self.crs.strip()
+        object.__setattr__(self, "crs", "" if c == DEFAULT_GEO_CRS else c)
+
+    @property
+    def crs_or_default(self) -> str:
+        return self.crs or DEFAULT_GEO_CRS
+
+    def __str__(self) -> str:
+        return f"geometry({self.crs})" if self.crs else "geometry"
+
+
+@dataclass(frozen=True, eq=False)
+class GeographyType(PrimitiveType):
+    """v3 geography (types.go:992): WKB values whose edges are geodesics
+    interpolated by ``algorithm`` (spherical default)."""
+    crs: str = ""
+    algorithm: str = ""
+
+    def __post_init__(self) -> None:
+        c = self.crs.strip()
+        object.__setattr__(self, "crs", "" if c == DEFAULT_GEO_CRS else c)
+        a = self.algorithm.strip().lower()
+        if a == DEFAULT_GEOGRAPHY_ALGORITHM:
+            a = ""
+        if a and a not in GEOGRAPHY_ALGORITHMS:
+            raise ValueError(f"invalid edge interpolation algorithm: {a!r}")
+        object.__setattr__(self, "algorithm", a)
+
+    @property
+    def crs_or_default(self) -> str:
+        return self.crs or DEFAULT_GEO_CRS
+
+    @property
+    def algorithm_or_default(self) -> str:
+        return self.algorithm or DEFAULT_GEOGRAPHY_ALGORITHM
+
+    def __str__(self) -> str:
+        if self.algorithm:
+            return f"geography({self.crs_or_default}, {self.algorithm})"
+        if self.crs:
+            return f"geography({self.crs})"
+        return "geography"
 
 
 class UUIDType(PrimitiveType):
@@ -229,6 +288,15 @@ def type_from_str(s: str) -> IcebergType:
     if s.startswith("fixed"):
         inner = s[s.index("[") + 1:s.index("]")]
         return FixedType(int(inner))
+    if s == "geometry" or s.startswith("geometry("):
+        crs = s[len("geometry("):-1] if s.endswith(")") else ""
+        return GeometryType(crs)
+    if s == "geography" or s.startswith("geography("):
+        inner = s[len("geography("):-1] if s.endswith(")") else ""
+        if "," in inner:
+            crs, algo = (x.strip() for x in inner.rsplit(",", 1))
+            return GeographyType(crs, algo)
+        return GeographyType(inner)
     raise ValueError(f"unknown type string: {s!r}")
 
 
@@ -257,8 +325,8 @@ def to_spark_type(t: IcebergType) -> S.DataType:
         return S.TimestampType()
     if isinstance(t, (StringType, UUIDType, UnknownType)):
         return S.StringType()
-    if isinstance(t, (BinaryType, FixedType)):
-        return S.BinaryType()
+    if isinstance(t, (BinaryType, FixedType, GeometryType, GeographyType)):
+        return S.BinaryType()  # geo values travel as WKB bytes
     if isinstance(t, StructType):
         # parquet.field.id lets Spark's parquet reader/writer match columns
         # by Iceberg field ID instead of by name (renames/evolution-safe)
