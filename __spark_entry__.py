@@ -919,6 +919,78 @@ GROUP BY label, pos
 """
 
 
+def ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: per-label sum-vector coarse quantizer, nprobe=2 inverted
+    lists probed per query (operators/similarity.py ivf_topk)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    return SIM.ivf_topk(emb, qs, k=10, nprobe=2)
+
+
+def _ivf_sql(nprobe: int = 2) -> str:
+    qcos_probe = V.quantized_cosine_sql("q.qq", "c.csum")
+    qcos = V.quantized_cosine_sql("qe", "qq")
+    return f"""
+WITH qs AS (SELECT vec_id AS query_id, {V.quantize_sql('embedding')} AS qq
+            FROM embeddings ORDER BY vec_id LIMIT 5),
+sums AS (
+  SELECT label, pos, SUM(val)::BIGINT AS s
+  FROM (SELECT label,
+               unnest(range(0, len(embedding)))::INT AS pos,
+               unnest({V.quantize_sql('embedding')}) AS val
+        FROM embeddings)
+  GROUP BY label, pos),
+cent AS (SELECT label, list(s ORDER BY pos) AS csum FROM sums GROUP BY label),
+probes AS (
+  SELECT query_id, label, qq FROM (
+    SELECT q.query_id, c.label, q.qq,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({qcos_probe}, 6) DESC,
+                                       c.label)::INT AS pr
+    FROM qs q, cent c)
+  WHERE pr <= {nprobe}),
+pairs AS (
+  SELECT p.query_id, e.vec_id, {V.quantize_sql('e.embedding')} AS qe, p.qq
+  FROM embeddings e JOIN probes p ON e.label = p.label
+  WHERE e.vec_id <> p.query_id)
+SELECT query_id, vec_id, round({qcos}, 6) AS cosine, rank FROM (
+  SELECT query_id, vec_id, qe, qq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({qcos}, 6) DESC, vec_id)::INT AS rank
+  FROM pairs)
+WHERE rank <= 10
+"""
+
+
+def variant_shred(spark, sf_dir):
+    """Variant shredding end-to-end: build JSON from documents, parse to a
+    Spark-native variant, shred to typed subcolumns (try_variant_get,
+    JVM-vectorized), aggregate on the typed view (variant.py)."""
+    from iceberg_go_spark import types as _T
+    from iceberg_go_spark.variant import shred_column
+    docs = _read(spark, sf_dir, "documents")
+    j = docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                    .alias("j"))
+    v = j.withColumn("v", F.parse_json("j"))
+    inner = _T.StructType(
+        _T.NestedField(1, "doc_id", _T.LongType()),
+        _T.NestedField(2, "lang", _T.StringType()),
+        _T.NestedField(3, "n_chars", _T.LongType()))
+    shredded = shred_column(v, "v", inner)
+    return (shredded.select("v_typed.*")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc")))
+
+
+VARIANT_SHRED_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars,
+       MIN(doc_id) AS min_doc
+FROM documents GROUP BY lang
+"""
+
+
 # -- multimodal ------------------------------------------------------------
 
 
@@ -1141,8 +1213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_summary_by_lang": token_summary_by_lang,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
+        "ann_topk_ivf": ann_topk_ivf,
         "embedding_near_dup": embedding_near_dup,
         "label_centroids": label_centroids,
+        "variant_shred": variant_shred,
         "multimodal_features": multimodal_features,
         "multimodal_feature_vectors": multimodal_feature_vectors,
     }
@@ -1181,8 +1255,10 @@ def oracle_sql() -> dict[str, str]:
         "token_summary_by_lang": TOKEN_SUMMARY_SQL,
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),
+        "ann_topk_ivf": _ivf_sql(),
         "embedding_near_dup": _near_dup_sql(),
         "label_centroids": CENTROIDS_SQL,
+        "variant_shred": VARIANT_SHRED_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,
     }

@@ -74,3 +74,49 @@ def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
             .select(F.col(label_col),
                     F.transform("__s", lambda s: s["avg_val"])
                     .alias("centroid")))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", label_col: str = "label",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """IVF-style ANN: coarse-quantize by per-label centroid, probe only the
+    ``nprobe`` nearest inverted lists per query.
+
+    The coarse quantizer is the per-label SUM vector of the quantized
+    embeddings — cosine is scale-invariant, so ranking against the sum is
+    identical to ranking against the centroid, and integer sums keep the
+    probe selection bit-exact across engines (no float-average drift).
+
+    Scale shape: centroids are |labels| rows (tiny -> broadcast); the
+    corpus joins on its label only — each query scans ~nprobe/|labels| of
+    the data instead of all of it, and the join is shuffle-free on the
+    corpus side (broadcast probes)."""
+    emb_q = emb.withColumn("__q", V.quantize(F.col(vec_col)))
+    sums = (emb_q.select(label_col, F.posexplode("__q").alias("pos", "val"))
+            .groupBy(label_col, "pos")
+            .agg(F.sum("val").alias("s")))
+    cent = (sums.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "s")))
+                 .alias("__s"))
+            .select(F.col(label_col),
+                    F.transform("__s", lambda s: s["s"]).alias("csum")))
+    qs = queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
+    sim = F.round(V.quantized_cosine(F.col("__qq"), F.col("csum")), 6)
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col(label_col))
+    probes = (qs.crossJoin(F.broadcast(cent))
+              .withColumn("__sim", sim)
+              .withColumn("__pr", F.row_number().over(wp))
+              .filter(F.col("__pr") <= nprobe)
+              .select(query_id_col, label_col, "__qq"))
+    joined = emb_q.join(F.broadcast(probes), on=label_col) \
+        .filter(F.col(id_col) != F.col(query_id_col))
+    cos = V.quantized_cosine(F.col("__q"), F.col("__qq"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (joined.withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank"))

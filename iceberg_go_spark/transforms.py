@@ -269,7 +269,7 @@ class IdentityTransform(Transform):
     def can_transform(self, t: T.IcebergType) -> bool:
         # geo/variant values are not comparable -> not partitionable
         # (transforms.go:128-136)
-        if isinstance(t, (T.GeometryType, T.GeographyType)):
+        if isinstance(t, (T.GeometryType, T.GeographyType, T.VariantType)):
             return False
         return t.is_primitive
 

@@ -22,7 +22,8 @@ __all__ = [
     "IcebergType", "PrimitiveType", "BooleanType", "IntegerType", "LongType",
     "FloatType", "DoubleType", "DecimalType", "DateType", "TimeType",
     "TimestampType", "TimestamptzType", "TimestampNsType",
-    "TimestamptzNsType", "UnknownType", "StringType", "UUIDType",
+    "TimestamptzNsType", "UnknownType", "VariantType", "StringType",
+    "UUIDType",
     "BinaryType", "FixedType", "GeometryType", "GeographyType",
     "StructType", "ListType", "MapType",
     "NestedField", "type_from_str", "to_spark_type", "from_spark_type",
@@ -115,6 +116,13 @@ class UnknownType(PrimitiveType):
     promoted to any type.  Carried as a Spark string column (values are
     null by definition; parquet can't encode a null-typed column)."""
     _name = "unknown"
+
+
+class VariantType(PrimitiveType):
+    """v3 semi-structured variant (types.go:917).  Spark 4 has a native
+    VariantType (binary metadata+value encoding, ``parse_json`` /
+    ``variant_get`` expressions); see ``variant.py`` for shredding."""
+    _name = "variant"
 
 
 class StringType(PrimitiveType):
@@ -272,7 +280,7 @@ _SIMPLE = {
     "timestamptz": TimestamptzType, "string": StringType,
     "uuid": UUIDType, "binary": BinaryType,
     "timestamp_ns": TimestampNsType, "timestamptz_ns": TimestamptzNsType,
-    "unknown": UnknownType,
+    "unknown": UnknownType, "variant": VariantType,
 }
 
 
@@ -325,6 +333,8 @@ def to_spark_type(t: IcebergType) -> S.DataType:
         return S.TimestampType()
     if isinstance(t, (StringType, UUIDType, UnknownType)):
         return S.StringType()
+    if isinstance(t, VariantType):
+        return S.VariantType()
     if isinstance(t, (BinaryType, FixedType, GeometryType, GeographyType)):
         return S.BinaryType()  # geo values travel as WKB bytes
     if isinstance(t, StructType):
@@ -376,6 +386,8 @@ def from_spark_type(t: S.DataType, next_id=None) -> IcebergType:
         return TimestamptzType()
     if isinstance(t, S.StringType):
         return StringType()
+    if isinstance(t, S.VariantType):
+        return VariantType()
     if isinstance(t, S.BinaryType):
         return BinaryType()
     if isinstance(t, S.StructType):

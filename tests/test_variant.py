@@ -1,0 +1,133 @@
+"""Variant (v3): shredding inference rules + Spark-native shred/extract.
+
+Inference cases re-derived from /root/reference/table/internal/
+variant_shredding.go (most-common-type, int widening, frequency floor,
+field caps, deterministic order); code original."""
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import types as T
+from iceberg_go_spark.variant import (analyze_shredding, shred_column,
+                                      shredded_leaf_paths)
+
+
+def _struct_names(t):
+    return [f.name for f in t.fields]
+
+
+def test_infer_simple_object():
+    sample = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, {"a": 3}]
+    t = analyze_shredding(sample)
+    assert isinstance(t, T.StructType)
+    assert _struct_names(t) == ["a", "b"]
+    assert t.fields[0].field_type == T.IntegerType()
+    assert t.fields[1].field_type == T.StringType()
+
+
+def test_int_family_widens_to_long():
+    sample = [{"n": 1}, {"n": 2}, {"n": 1 << 40}]
+    t = analyze_shredding(sample)
+    assert t.fields[0].field_type == T.LongType()
+
+
+def test_most_common_type_wins_with_tiebreak():
+    # 2 ints vs 2 strings: tie breaks toward the higher-priority string
+    sample = [{"v": 1}, {"v": 2}, {"v": "a"}, {"v": "b"}]
+    t = analyze_shredding(sample)
+    assert t.fields[0].field_type == T.StringType()
+    # 3 ints vs 2 strings: count wins
+    sample = [{"v": 1}, {"v": 2}, {"v": 3}, {"v": "a"}, {"v": "b"}]
+    t = analyze_shredding(sample)
+    assert t.fields[0].field_type == T.IntegerType()
+
+
+def test_frequency_floor_drops_rare_fields():
+    # "rare" appears in 1/20 rows (5% < 10% floor) -> dropped
+    sample = [{"common": i} for i in range(19)] + [{"common": 0, "rare": 1}]
+    t = analyze_shredding(sample)
+    assert _struct_names(t) == ["common"]
+    # exactly at the floor (2/20 = 10%) -> kept
+    sample = [{"common": i} for i in range(18)] + \
+        [{"common": 0, "edge": 1}] * 2
+    t = analyze_shredding(sample)
+    assert _struct_names(t) == ["common", "edge"]
+
+
+def test_nested_and_array():
+    sample = [{"o": {"x": 1.5}, "arr": [1, 2]},
+              {"o": {"x": 2.5}, "arr": [3]}]
+    t = analyze_shredding(sample)
+    o = t.fields[1]  # alphabetical: arr, o
+    assert _struct_names(t) == ["arr", "o"]
+    assert isinstance(t.fields[0].field_type, T.ListType)
+    assert t.fields[0].field_type.element_type == T.IntegerType()
+    assert isinstance(o.field_type, T.StructType)
+    assert o.field_type.fields[0].field_type == T.DoubleType()
+
+
+def test_decimal_widening():
+    sample = [{"d": Decimal("1.50")}, {"d": Decimal("123.4")}]
+    t = analyze_shredding(sample)
+    assert t.fields[0].field_type == T.DecimalType(5, 2)
+
+
+def test_null_only_and_empty():
+    assert analyze_shredding([]) is None
+    assert analyze_shredding([None, None]) is None
+    assert analyze_shredding([{"a": None}, {"a": None}]) is None
+
+
+def test_scalar_root():
+    t = analyze_shredding([1, 2, 3])
+    assert t == T.IntegerType()
+    assert shredded_leaf_paths(t) == [("$", "value", T.IntegerType())]
+
+
+def test_leaf_paths_skip_unescapable_names():
+    inner = T.StructType(
+        T.NestedField(1, "ok", T.LongType()),
+        T.NestedField(2, "needs.escape", T.LongType()))
+    paths = shredded_leaf_paths(inner)
+    assert [p[1] for p in paths] == ["ok"]
+
+
+def test_variant_type_mapping():
+    import pyspark.sql.types as S
+    assert T.type_from_str("variant") == T.VariantType()
+    assert T.to_spark_type(T.VariantType()) == S.VariantType()
+    assert str(T.VariantType()) == "variant"
+
+
+def test_shred_column_spark(spark):
+    rows = [('{"a": 1, "b": "x", "c": {"d": 2.5}}',),
+            ('{"a": 99, "b": "y", "c": {"d": 0.5}}',),
+            ('{"a": "not-an-int", "b": "z"}',)]
+    df = spark.createDataFrame(rows, "j string") \
+        .withColumn("v", F.parse_json("j"))
+    sample = [{"a": 1, "b": "x", "c": {"d": 2.5}},
+              {"a": 99, "b": "y", "c": {"d": 0.5}}]
+    inner = analyze_shredding(sample)
+    out = shred_column(df, "v", inner).select("v_typed.*").orderBy("b")
+    got = [tuple(r) for r in out.collect()]
+    # the mismatched leaf ("not-an-int") nulls only that leaf
+    assert got == [(1, "x", 2.5), (99, "y", 0.5), (None, "z", None)]
+
+
+def test_variant_parquet_roundtrip(spark, tmp_path):
+    """Spark writes/reads variant parquet natively; typed shredded columns
+    carry normal footer stats for pruning."""
+    p = str(tmp_path / "var.parquet")
+    df = spark.range(100).withColumn(
+        "v", F.parse_json(F.concat(F.lit('{"score": '),
+                                   (F.col("id") * 2).cast("string"),
+                                   F.lit('}'))))
+    inner = analyze_shredding([{"score": 1}])
+    shred_column(df, "v", inner).write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    assert back.filter(F.col("v_typed.score") == 84).count() == 1
+    assert back.select(
+        F.variant_get("v", "$.score", "bigint").alias("s")
+    ).agg(F.sum("s")).collect()[0][0] == sum(2 * i for i in range(100))
