@@ -1,0 +1,221 @@
+"""Encryption scaffolding: KMS client interface, registry, envelope keys.
+
+Parity (behavior only, original code): /root/reference/encryption/kms.go
+(KeyManagementClient :66-89, in-memory AES-GCM client :92-226, ciphertext
+layout ``12-byte nonce || ciphertext || 16-byte GCM tag``),
+encryption/kms_registry.go (named factory registry, ``kms-type`` catalog
+property, built-in "memory"), table/encryption.go:29-56 (EncryptionKey
+metadata entries, v3 ``encryption-keys`` list).
+
+Envelope model: a KEK (key-encryption key) lives in the KMS, identified by
+the ``encryption.key-id`` table property; a fresh DEK (data-encryption
+key) is generated per file, wrapped by the KMS, and stored in the file's
+``key_metadata``.  This module supplies the key-management plane; wiring
+DEKs into parquet modular encryption is a later layer (Spark's parquet
+reader supports it via hadoop conf once a KMS is available).
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+
+class EncryptionError(Exception):
+    pass
+
+
+class UnknownKeyIDError(EncryptionError):
+    """A KMS client was asked to (un)wrap with a key ID it doesn't know."""
+
+
+class InvalidKeyLengthError(EncryptionError):
+    """Key or requested key length invalid for the cipher (AES: 16/24/32)."""
+
+
+class CiphertextTooShortError(EncryptionError):
+    """Wrapped key smaller than the minimum (the AES-GCM nonce prefix)."""
+
+
+class AuthenticationFailedError(EncryptionError):
+    """Authenticated decryption rejected its input (tamper/wrong key)."""
+
+
+class KMSTypeNotFoundError(EncryptionError):
+    """No registered KMS factory under the requested ``kms-type``."""
+
+
+_GCM_NONCE_LEN = 12
+
+
+class KeyManagementClient:
+    """Interface to a KMS that wraps/unwraps DEKs with externally-managed
+    KEKs (kms.go:66-89)."""
+
+    def wrap_key(self, key_id: str, plaintext_key: bytes) -> bytes:
+        raise NotImplementedError
+
+    def unwrap_key(self, key_id: str, wrapped_key: bytes) -> bytes:
+        raise NotImplementedError
+
+    def supports_key_generation(self) -> bool:
+        return False
+
+    def generate_key(self, key_id: str, length: int
+                     ) -> Tuple[bytes, bytes]:
+        """-> (plaintext DEK, wrapped DEK)."""
+        raise NotImplementedError
+
+
+class InMemoryKMS(KeyManagementClient):
+    """Test-only KMS backed by an in-process KEK map; AES-GCM wrapping.
+
+    All keys are plaintext in process memory with no persistence, access
+    control, or audit logging — do not use in production (kms.go:92)."""
+
+    def __init__(self):
+        self._keys: Dict[str, bytes] = {}
+        self._mu = threading.RLock()
+
+    def add_key(self, key_id: str, master_key: bytes) -> None:
+        if len(master_key) not in (16, 24, 32):
+            raise InvalidKeyLengthError(
+                f"master key for {key_id!r} must be 16, 24, or 32 bytes; "
+                f"got {len(master_key)}")
+        with self._mu:
+            self._keys[key_id] = bytes(master_key)
+
+    def _kek(self, key_id: str) -> bytes:
+        with self._mu:
+            kek = self._keys.get(key_id)
+        if kek is None:
+            raise UnknownKeyIDError(repr(key_id))
+        return kek
+
+    def wrap_key(self, key_id: str, plaintext_key: bytes) -> bytes:
+        return _aesgcm_seal(self._kek(key_id), bytes(plaintext_key))
+
+    def unwrap_key(self, key_id: str, wrapped_key: bytes) -> bytes:
+        return _aesgcm_open(self._kek(key_id), bytes(wrapped_key))
+
+    def supports_key_generation(self) -> bool:
+        return True
+
+    def generate_key(self, key_id: str, length: int) -> Tuple[bytes, bytes]:
+        if length <= 0:
+            raise InvalidKeyLengthError(
+                f"key length must be positive, got {length}")
+        plaintext = os.urandom(length)
+        return plaintext, self.wrap_key(key_id, plaintext)
+
+
+def _aesgcm_seal(key: bytes, plaintext: bytes) -> bytes:
+    """nonce || ciphertext || tag, random 12-byte nonce (kms.go:188)."""
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    nonce = os.urandom(_GCM_NONCE_LEN)
+    return nonce + AESGCM(key).encrypt(nonce, plaintext, None)
+
+
+def _aesgcm_open(key: bytes, ciphertext: bytes) -> bytes:
+    from cryptography.exceptions import InvalidTag
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    if len(ciphertext) < _GCM_NONCE_LEN:
+        raise CiphertextTooShortError(
+            f"need at least {_GCM_NONCE_LEN} bytes for the AES-GCM nonce, "
+            f"got {len(ciphertext)}")
+    nonce, body = ciphertext[:_GCM_NONCE_LEN], ciphertext[_GCM_NONCE_LEN:]
+    try:
+        return AESGCM(key).decrypt(nonce, body, None)
+    except InvalidTag as e:
+        raise AuthenticationFailedError(str(e)) from e
+
+
+# ---------------------------------------------------------------------------
+# registry (kms_registry.go)
+
+KMS_TYPE_KEY = "kms-type"
+
+_registry: Dict[str, Callable[[Dict[str, str]], KeyManagementClient]] = {}
+_registry_mu = threading.Lock()
+
+
+def register_kms(name: str,
+                 factory: Callable[[Dict[str, str]], KeyManagementClient]
+                 ) -> None:
+    if factory is None:
+        raise ValueError("register_kms factory is None")
+    with _registry_mu:
+        if name in _registry:
+            raise ValueError(f"register_kms called twice for name {name!r}")
+        _registry[name] = factory
+
+
+def unregister_kms(name: str) -> None:
+    with _registry_mu:
+        _registry.pop(name, None)
+
+
+def registered_kms_names() -> List[str]:
+    with _registry_mu:
+        return list(_registry)
+
+
+def load_key_management_client(props: Dict[str, str]) -> KeyManagementClient:
+    name = props.get(KMS_TYPE_KEY, "")
+    if not name:
+        raise KMSTypeNotFoundError(f"{KMS_TYPE_KEY!r} is not set")
+    with _registry_mu:
+        factory = _registry.get(name)
+    if factory is None:
+        raise KMSTypeNotFoundError(repr(name))
+    return factory(props)
+
+
+register_kms("memory", lambda _props: InMemoryKMS())
+
+
+# ---------------------------------------------------------------------------
+# metadata entries (table/encryption.go, v3 `encryption-keys`)
+
+
+@dataclass(frozen=True)
+class EncryptionKey:
+    """One entry of table metadata's v3 ``encryption-keys`` list."""
+    key_id: str
+    encrypted_key_metadata: str  # base64
+    encrypted_by_id: Optional[str] = None
+    properties: Dict[str, str] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if not self.key_id or self.key_id != self.key_id.strip():
+            raise ValueError("encryption key-id must be non-empty with no "
+                             "surrounding whitespace")
+        try:
+            decoded = base64.b64decode(self.encrypted_key_metadata,
+                                       validate=True)
+        except Exception as e:
+            raise ValueError(
+                f"encrypted key metadata must be valid base64: {e}") from e
+        if not decoded:
+            raise ValueError("encrypted key metadata must be non-empty")
+
+    def to_json_dict(self) -> Dict[str, object]:
+        d: Dict[str, object] = {
+            "key-id": self.key_id,
+            "encrypted-key-metadata": self.encrypted_key_metadata,
+        }
+        if self.encrypted_by_id is not None:
+            d["encrypted-by-id"] = self.encrypted_by_id
+        if self.properties:
+            d["properties"] = dict(self.properties)
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, object]) -> "EncryptionKey":
+        return cls(key_id=str(d["key-id"]),
+                   encrypted_key_metadata=str(d["encrypted-key-metadata"]),
+                   encrypted_by_id=d.get("encrypted-by-id"),
+                   properties=dict(d.get("properties") or {}))

@@ -119,6 +119,9 @@ class TableMetadata:
     refs: Dict[str, SnapshotRef] = dc_field(default_factory=dict)
     next_row_id: int = 0
     statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
+    # v3 `encryption-keys` entries (table/encryption.go:29); opaque dicts
+    # here, typed via encryption.EncryptionKey.from_json_dict at use sites
+    encryption_keys: List[Dict[str, Any]] = dc_field(default_factory=list)
 
     # -- lookups ------------------------------------------------------------
     def schema(self) -> Schema:
@@ -206,6 +209,8 @@ class TableMetadata:
             "refs": {k: v.to_json_dict() for k, v in self.refs.items()},
             "next-row-id": self.next_row_id,
             "statistics": self.statistics,
+            **({"encryption-keys": self.encryption_keys}
+               if self.encryption_keys else {}),
         }
 
     @classmethod
@@ -250,7 +255,8 @@ class TableMetadata:
             refs={k: SnapshotRef.from_json_dict(v)
                   for k, v in d.get("refs", {}).items()},
             next_row_id=d.get("next-row-id", 0),
-            statistics=d.get("statistics", []))
+            statistics=d.get("statistics", []),
+            encryption_keys=d.get("encryption-keys", []))
 
     def write(self, path: str) -> None:
         from ..io import load_io

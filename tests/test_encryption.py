@@ -1,0 +1,96 @@
+"""Encryption scaffolding: KMS wrap/unwrap, registry, EncryptionKey entries.
+
+Cases mirror /root/reference/encryption/kms_test semantics; code original."""
+
+import base64
+
+import pytest
+
+from iceberg_go_spark.encryption import (AuthenticationFailedError,
+                                         CiphertextTooShortError,
+                                         EncryptionKey, InMemoryKMS,
+                                         InvalidKeyLengthError,
+                                         KMSTypeNotFoundError,
+                                         UnknownKeyIDError,
+                                         load_key_management_client,
+                                         register_kms, registered_kms_names,
+                                         unregister_kms)
+
+
+def _kms():
+    kms = InMemoryKMS()
+    kms.add_key("kek-1", b"0123456789abcdef")  # AES-128
+    return kms
+
+
+def test_wrap_unwrap_roundtrip():
+    kms = _kms()
+    dek = b"\x01" * 32
+    wrapped = kms.wrap_key("kek-1", dek)
+    assert wrapped != dek and len(wrapped) == 12 + 32 + 16  # nonce|ct|tag
+    assert kms.unwrap_key("kek-1", wrapped) == dek
+    # wrapping is nonce-randomized: same DEK -> different blobs
+    assert kms.wrap_key("kek-1", dek) != wrapped
+
+
+def test_generate_key():
+    kms = _kms()
+    assert kms.supports_key_generation()
+    plain, wrapped = kms.generate_key("kek-1", 16)
+    assert len(plain) == 16
+    assert kms.unwrap_key("kek-1", wrapped) == plain
+    with pytest.raises(InvalidKeyLengthError):
+        kms.generate_key("kek-1", 0)
+
+
+def test_error_paths():
+    kms = _kms()
+    with pytest.raises(UnknownKeyIDError):
+        kms.wrap_key("nope", b"\x00" * 16)
+    with pytest.raises(InvalidKeyLengthError):
+        kms.add_key("bad", b"short")
+    with pytest.raises(CiphertextTooShortError):
+        kms.unwrap_key("kek-1", b"\x00" * 5)
+    wrapped = bytearray(kms.wrap_key("kek-1", b"\x02" * 16))
+    wrapped[-1] ^= 0xFF  # corrupt the GCM tag
+    with pytest.raises(AuthenticationFailedError):
+        kms.unwrap_key("kek-1", bytes(wrapped))
+    # wrong KEK also fails authentication, not silent garbage
+    kms.add_key("kek-2", b"fedcba9876543210")
+    good = kms.wrap_key("kek-1", b"\x03" * 16)
+    with pytest.raises(AuthenticationFailedError):
+        kms.unwrap_key("kek-2", good)
+
+
+def test_registry():
+    assert "memory" in registered_kms_names()
+    client = load_key_management_client({"kms-type": "memory"})
+    assert isinstance(client, InMemoryKMS)
+    with pytest.raises(KMSTypeNotFoundError):
+        load_key_management_client({})
+    with pytest.raises(KMSTypeNotFoundError):
+        load_key_management_client({"kms-type": "vault"})
+    register_kms("testkms", lambda p: InMemoryKMS())
+    try:
+        with pytest.raises(ValueError):
+            register_kms("testkms", lambda p: InMemoryKMS())
+        assert isinstance(
+            load_key_management_client({"kms-type": "testkms"}), InMemoryKMS)
+    finally:
+        unregister_kms("testkms")
+    assert "testkms" not in registered_kms_names()
+
+
+def test_encryption_key_metadata():
+    meta = base64.b64encode(b"wrapped-dek-bytes").decode()
+    k = EncryptionKey(key_id="k1", encrypted_key_metadata=meta)
+    k.validate()
+    d = k.to_json_dict()
+    assert d == {"key-id": "k1", "encrypted-key-metadata": meta}
+    assert EncryptionKey.from_json_dict(d) == k
+    with pytest.raises(ValueError):
+        EncryptionKey(" k1", meta).validate()
+    with pytest.raises(ValueError):
+        EncryptionKey("k1", "!!!not-base64!!!").validate()
+    with pytest.raises(ValueError):
+        EncryptionKey("k1", "").validate()
