@@ -119,15 +119,21 @@ class InclusiveMetricsEvaluator:
             # bounds overlapping the box doesn't mean every row does
             return ROWS_MIGHT_MATCH
         # literal ops: an all-null or all-NaN column can't satisfy them
+        # (containsNullsOnly / containsNansOnly, evaluators.go:675-701)
         if (s.null_count is not None and s.value_count is not None
                 and s.null_count == s.value_count):
             return ROWS_CANNOT_MATCH
-        if s.nan_count is not None and s.nan_count > 0:
-            # NaN breaks bound ordering guarantees — stay inclusive
-            return ROWS_MIGHT_MATCH
+        if (s.nan_count is not None and s.value_count is not None
+                and s.nan_count == s.value_count):
+            return ROWS_CANNOT_MATCH
+        # a NaN bound is unreliable for ordering: drop it (a partial-NaN
+        # column with finite bounds still prunes — evaluators.go:898-1005
+        # only bails per-bound, not per-column)
         lo, hi = s.lower, s.upper
         if isinstance(lo, float) and math.isnan(lo):
-            lo = None  # NaN lower bound is unusable (evaluators.go)
+            lo = None
+        if isinstance(hi, float) and math.isnan(hi):
+            hi = None
         v = expr.literals[0] if expr.literals else None
         if op == E.OP_LT:
             if lo is not None and lo >= v:
@@ -147,10 +153,18 @@ class InclusiveMetricsEvaluator:
             if hi is not None and hi < v:
                 return ROWS_CANNOT_MATCH
         elif op == E.OP_IN:
-            if lo is not None and all(x < lo for x in expr.literals):
-                return ROWS_CANNOT_MATCH
-            if hi is not None and all(x > hi for x in expr.literals):
-                return ROWS_CANNOT_MATCH
+            # per-value elimination (evaluators.go removeBoundCheck): a
+            # value below the lower bound or above the upper can't occur;
+            # prune when none survive
+            vals = expr.literals
+            if lo is not None:
+                vals = [x for x in vals if not x < lo]
+                if not vals:
+                    return ROWS_CANNOT_MATCH
+            if hi is not None:
+                vals = [x for x in vals if not x > hi]
+                if not vals:
+                    return ROWS_CANNOT_MATCH
         elif op == E.OP_STARTS_WITH:
             prefix = str(v)
             if lo is not None and str(lo)[:len(prefix)] > prefix:

@@ -165,3 +165,142 @@ def test_manifest_evaluator_all_null_partition():
     mf = _manifest([FieldSummary(contains_null=True)])
     assert ManifestEvaluator(schema, spec, E.is_null("name")).eval(mf)
     assert not ManifestEvaluator(schema, spec, E.eq("name", "x")).eval(mf)
+
+
+# ---------------------------------------------------------------------------
+# NaN-bound corpus mirroring the reference's schemaDataFileNan fixture
+# (table/evaluators_test.go:1395-1423 setup; Less/Greater/Equals-Nans suites)
+
+NAN_SCHEMA = Schema([
+    T.NestedField(1, "all_nan", T.DoubleType(), required=True),
+    T.NestedField(2, "max_nan", T.DoubleType(), required=True),
+    T.NestedField(3, "min_max_nan", T.FloatType()),
+    T.NestedField(4, "all_nan_null_bounds", T.DoubleType(), required=True),
+    T.NestedField(5, "some_nan_correct_bounds", T.FloatType()),
+])
+
+_NAN = float("nan")
+
+
+def _nan_file():
+    def enc(d):
+        return {fid: to_bytes(NAN_SCHEMA.find_field(fid).field_type, v)
+                for fid, v in d.items()}
+    return DataFile(
+        content=CONTENT_DATA, file_path="/f.parquet", file_format="PARQUET",
+        partition={}, record_count=50, file_size_in_bytes=3,
+        value_counts={1: 10, 2: 10, 3: 10, 4: 10, 5: 10},
+        null_value_counts={1: 0, 2: 0, 3: 0, 4: 0, 5: 0},
+        nan_value_counts={1: 10, 4: 10, 5: 5},
+        lower_bounds=enc({1: _NAN, 2: 7.0, 3: _NAN, 5: 7.0}),
+        upper_bounds=enc({1: _NAN, 2: _NAN, 3: _NAN, 5: 22.0}))
+
+
+F_NANS = _nan_file()
+
+
+@pytest.mark.parametrize("expr,keep,msg", [
+    # lt / lt_eq (TestLessAndLessEqualNans)
+    (E.lt("all_nan", 1.0), False, "all-nan column has no numbers"),
+    (E.lt("max_nan", 1.0), False, "1 below the (valid) lower bound"),
+    (E.lt("max_nan", 10.0), True, "10 above the lower bound"),
+    (E.lt("min_max_nan", 1.0), True, "NaN bounds give no visibility"),
+    (E.lt("all_nan_null_bounds", 1.0), False, "all-nan, no bounds"),
+    (E.lt("some_nan_correct_bounds", 1.0), False,
+     "partial NaN with finite bounds still prunes"),
+    (E.lt("some_nan_correct_bounds", 10.0), True, "10 above lower bound"),
+    (E.lt_eq("max_nan", 1.0), False, "1 below the lower bound"),
+    # gt / gt_eq (TestGreaterAndGreaterEqualNans)
+    (E.gt("all_nan", 1.0), False, "all-nan column has no numbers"),
+    (E.gt("max_nan", 1.0), True, "NaN upper bound: no visibility"),
+    (E.gt("max_nan", 10.0), True, "NaN upper bound: no visibility"),
+    (E.gt("min_max_nan", 1.0), True, "NaN bounds give no visibility"),
+    (E.gt("some_nan_correct_bounds", 30.0), False,
+     "30 above the (valid) upper bound"),
+    (E.gt("some_nan_correct_bounds", 10.0), True, "10 below upper bound"),
+    # eq (TestEqualsNans)
+    (E.eq("all_nan", 1.0), False, "all-nan column has no numbers"),
+    (E.eq("max_nan", 1.0), False, "1 below the lower bound"),
+    (E.eq("max_nan", 10.0), True, "within [7, NaN)"),
+    (E.eq("min_max_nan", 1.0), True, "NaN bounds give no visibility"),
+    (E.eq("some_nan_correct_bounds", 1.0), False, "below lower bound"),
+    (E.eq("some_nan_correct_bounds", 30.0), False, "above upper bound"),
+    (E.eq("some_nan_correct_bounds", 10.0), True, "within bounds"),
+    # in (TestInWithNans)
+    (E.in_("all_nan", [1.0, 2.0]), False, "all-nan column"),
+    (E.in_("max_nan", [10.0, 20.0]), True, "within [7, NaN)"),
+    (E.in_("some_nan_correct_bounds", [1.0, 30.0]), False,
+     "all values outside bounds"),
+    (E.in_("some_nan_correct_bounds", [10.0, 30.0]), True, "10 in bounds"),
+    # not_in can never prune (TestNotInWithNans)
+    (E.not_in("max_nan", [10.0]), True, "not_in never prunes"),
+    # is_nan / not_nan
+    (E.is_nan("all_nan"), True, "all-nan matches is_nan"),
+    (E.not_nan("all_nan"), False, "nans-only cannot match not_nan"),
+    (E.not_nan("some_nan_correct_bounds"), True, "some non-nan values"),
+])
+def test_inclusive_metrics_nan_bounds(expr, keep, msg):
+    assert InclusiveMetricsEvaluator(NAN_SCHEMA, expr).eval(F_NANS) is keep, msg
+
+
+# ---------------------------------------------------------------------------
+# stats-availability + unicode truncation edges (TestMissingStats,
+# TestZeroRecordFileStats, TestStartsWith on multi-byte bounds)
+
+WIDE_SCHEMA = Schema([
+    T.NestedField(1, "id", T.IntegerType(), required=True),
+    T.NestedField(3, "required", T.StringType(), required=True),
+])
+
+
+def _wide_file(lo, hi, count=50):
+    def enc(d):
+        return {fid: to_bytes(WIDE_SCHEMA.find_field(fid).field_type, v)
+                for fid, v in d.items()}
+    return DataFile(
+        content=CONTENT_DATA, file_path="/w.parquet", file_format="PARQUET",
+        partition={}, record_count=count, file_size_in_bytes=3,
+        value_counts={3: 20}, null_value_counts={3: 2},
+        nan_value_counts={}, lower_bounds=enc(lo), upper_bounds=enc(hi))
+
+
+def test_missing_stats_keeps_file():
+    no_stats = _wide_file({}, {})
+    for expr in (E.lt("id", 5), E.eq("id", 70), E.is_nan("x") if False
+                 else E.gt_eq("id", 5), E.not_null("id"),
+                 E.starts_with("required", "a"), E.not_in("id", [1, 2])):
+        assert InclusiveMetricsEvaluator(WIDE_SCHEMA, expr).eval(no_stats), \
+            f"missing stats must keep the file for {expr}"
+
+
+def test_zero_record_file_skipped_for_any_predicate():
+    empty = _wide_file({}, {}, count=0)
+    for expr in (E.lt("id", 5), E.is_null("required"), E.not_null("id")):
+        assert not InclusiveMetricsEvaluator(WIDE_SCHEMA, expr).eval(empty)
+
+
+def test_starts_with_unicode_truncated_bounds():
+    # bounds [abc, イロハニホヘト]: ascii prefix vs multi-byte upper bound
+    f = _wide_file({3: "abc"}, {3: "イロハニホヘト"})
+    assert InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.starts_with("required", "ff")).eval(f)
+    assert not InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.starts_with("required", "5")).eval(f)
+    f2 = _wide_file({3: "1str1"}, {3: "3str3"})
+    assert InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.starts_with("required", "1str1x")).eval(f2)
+    assert not InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.starts_with("required", "3str3x")).eval(f2)
+
+
+def test_int_promotion_long_literal_on_int_column():
+    # a long-typed literal on an int32 column binds + compares exactly
+    f = _wide_file({1: 30}, {1: 79})
+    assert not InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.lt("id", -(1 << 40))).eval(f)
+    assert InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.lt("id", 1 << 40)).eval(f)
+    assert not InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.gt("id", 1 << 40)).eval(f)
+    assert not InclusiveMetricsEvaluator(
+        WIDE_SCHEMA, E.eq("id", 1 << 40)).eval(f)
