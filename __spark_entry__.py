@@ -796,6 +796,36 @@ FROM documents GROUP BY lang
 # -- similarity ------------------------------------------------------------
 
 
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-gram hash, min-per-window) over
+    documents (operators/text.py winnow_fingerprints)."""
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.winnow_fingerprints(docs)
+
+
+def _doc_fp_sql(k: int = 5, window: int = 4) -> str:
+    gram = f"substring(n, i, {k})"
+    h = _hex12_to_int_sql(f"md5({gram})")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {TX.normalized_text_sql('text')} AS n FROM documents),
+hashed AS (
+  SELECT doc_id, i, {h} AS h
+  FROM (SELECT doc_id, n,
+               unnest(range(1, length(n) - {k - 1} + 1))::INT AS i
+        FROM norm WHERE length(n) >= {k})),
+winnowed AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+         AS fp
+  FROM hashed)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM winnowed GROUP BY doc_id
+"""
+
+
 def _queries_df(spark, sf_dir, n: int = 5):
     emb = _read(spark, sf_dir, "embeddings")
     return (emb.orderBy("vec_id").limit(n)
@@ -1211,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_histogram": lang_histogram,
         "token_summary_by_lang": token_summary_by_lang,
+        "doc_fingerprints": doc_fingerprints,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1253,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "lang_histogram": LANG_HIST_SQL,
         "token_summary_by_lang": TOKEN_SUMMARY_SQL,
+        "doc_fingerprints": _doc_fp_sql(),
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),
         "ann_topk_ivf": _ivf_sql(),

@@ -36,6 +36,9 @@ HEADLINE = [
     "text_stats",
     "ann_topk_bruteforce",
     "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "doc_fingerprints",
+    "variant_shred",
     "multimodal_features",
 ]
 

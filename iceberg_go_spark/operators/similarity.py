@@ -94,14 +94,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     the data instead of all of it, and the join is shuffle-free on the
     corpus side (broadcast probes)."""
     emb_q = emb.withColumn("__q", V.quantize(F.col(vec_col)))
-    sums = (emb_q.select(label_col, F.posexplode("__q").alias("pos", "val"))
-            .groupBy(label_col, "pos")
-            .agg(F.sum("val").alias("s")))
-    cent = (sums.groupBy(label_col)
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "s")))
-                 .alias("__s"))
-            .select(F.col(label_col),
-                    F.transform("__s", lambda s: s["s"]).alias("csum")))
+    # per-dimension SUM aggregate instead of posexplode: no dim-fold row
+    # blowup, one map-side-combinable groupBy (the dim lookup is a single
+    # first() on the driver, like a broadcast-size decision)
+    dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    cent = (emb_q.groupBy(label_col)
+            .agg(F.array(*[F.sum(F.element_at("__q", i + 1))
+                           for i in range(dim)]).alias("csum")))
     qs = queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
     sim = F.round(V.quantized_cosine(F.col("__qq"), F.col("csum")), 6)
     wp = Window.partitionBy(query_id_col).orderBy(

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import text_funcs as TX
 
@@ -43,3 +43,40 @@ def token_count_summary(df: DataFrame, text_col: str = "text",
                  F.sum(TX.token_count(c)).alias("total_tokens"),
                  F.round(F.avg(TX.token_count(c)), 6).alias("avg_tokens"),
                  F.max(F.length(c)).alias("max_chars")))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints: rolling k-gram hashes, minimum
+    per sliding window, distinct selected hashes per document.
+
+    The guarantee of winnowing: any shared substring of length >=
+    k + window - 1 between two documents yields at least one shared
+    fingerprint, with ~2/(window+1) of all gram hashes retained.
+
+    Shape at scale: one explode per doc position (normalize materialized
+    below the Generate, like dedup.char_ngram_rows), one md5 per gram,
+    a bounded window-min (no shuffle beyond the per-doc partitioning),
+    then a distinct+groupBy — all map-side-combinable aggregations keyed
+    by doc_id."""
+    norm = df.select(F.col(id_col),
+                     TX.normalized_text(F.col(text_col)).alias("__norm"))
+    pos = (norm.filter(F.length("__norm") >= k)
+           .select(F.col(id_col), F.col("__norm"),
+                   F.explode(F.sequence(
+                       F.lit(1), F.length("__norm") - (k - 1)))
+                   .alias("__i")))
+    hashed = pos.select(
+        F.col(id_col), F.col("__i"),
+        F.conv(F.substring(
+            F.md5(F.col("__norm").substr(F.col("__i"), F.lit(k))), 1, 12),
+            16, 10).cast("long").alias("__h"))
+    w = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, window - 1)
+    fps = (hashed.withColumn("__m", F.min("__h").over(w))
+           .select(F.col(id_col), F.col("__m").alias("fp"))
+           .distinct())
+    return (fps.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp")))

@@ -238,3 +238,35 @@ def test_streaming_stateful_sessionization(spark, sf_dir, tmp_path):
            .groupBy("user_id")
            .agg(F.max("session_seq").alias("n_sessions")).collect()}
     assert got == exp and got
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; disjoint docs share none."""
+    from iceberg_go_spark.operators.text import winnow_fingerprints
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, "AAA " + shared + " BBB"),
+            (2, "CCC " + shared + " DDD"),
+            (3, "completely unrelated content here zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df)
+    assert out.count() == 3
+    # recompute the raw fingerprint sets to check overlap semantics
+    from pyspark.sql import Window, functions as F
+    from iceberg_go_spark.functions import text_funcs as TX
+    k, w = 5, 4
+    norm = df.select("doc_id", TX.normalized_text(F.col("text")).alias("n"))
+    pos = norm.select("doc_id", "n", F.explode(
+        F.sequence(F.lit(1), F.length("n") - (k - 1))).alias("i"))
+    hashed = pos.select("doc_id", "i", F.conv(F.substring(
+        F.md5(F.col("n").substr(F.col("i"), F.lit(k))), 1, 12), 16, 10)
+        .cast("long").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = hashed.withColumn("m", F.min("h").over(win)) \
+        .select("doc_id", "m").distinct().collect()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r.doc_id, set()).add(r.m)
+    assert sets[1] & sets[2], "shared substring must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
