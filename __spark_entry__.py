@@ -575,6 +575,24 @@ WHERE l_orderkey % 2 = 0
 """
 
 
+def iceberg_incremental_scan(spark, sf_dir):
+    """CDC-style incremental read: rows appended AFTER the tagged snapshot
+    (streaming/source.py incremental_append_df; parity
+    snapshot_ancestry.go:103 AncestorsBetween)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_tt")
+    from iceberg_go_spark.streaming.source import incremental_append_df
+    v1 = t.metadata.refs["v1"].snapshot_id
+    inc = incremental_append_df(spark, t, from_snapshot_id=v1)
+    return inc.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+ICE_INC_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey % 2 <> 0
+"""
+
+
 def iceberg_mor_delete_scan(spark, sf_dir):
     cat = _fixtures(spark, sf_dir)
     t = cat.load_table("db.orders_mor")
@@ -1227,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan_filter_project": iceberg_scan_filter_project,
         "iceberg_bucket_scan": iceberg_bucket_scan,
         "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_incremental_scan": iceberg_incremental_scan,
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
@@ -1270,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan_filter_project": ICE_SCAN_SQL,
         "iceberg_bucket_scan": ICE_BUCKET_SQL,
         "iceberg_time_travel": ICE_TT_SQL,
+        "iceberg_incremental_scan": ICE_INC_SQL,
         "iceberg_mor_delete_scan": ICE_MOR_SQL,
         "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,

@@ -341,19 +341,14 @@ class ManifestEvaluator:
         fields = list(self.part_type.fields)
         summaries = manifest.partitions
 
-        def stats(fid: int, t: T.IcebergType) -> Optional[_FieldStats]:
+        def summary_of(fid: int) -> Optional[FieldSummary]:
             for i, f in enumerate(fields):
                 if f.field_id == fid and i < len(summaries):
-                    s: FieldSummary = summaries[i]
-                    return _FieldStats(
-                        value_count=None,
-                        null_count=None if not s.contains_null else 1,
-                        nan_count=1 if s.contains_nan else 0,
-                        lower=from_bytes(t, s.lower_bound),
-                        upper=from_bytes(t, s.upper_bound))
+                    return summaries[i]
             return None
 
         def visit(e: E.Expression) -> bool:
+            # semantics: evaluators.go:58-582 manifestEvalVisitor
             if isinstance(e, E.AlwaysTrue):
                 return True
             if isinstance(e, E.AlwaysFalse):
@@ -366,42 +361,60 @@ class ManifestEvaluator:
                 return True
             assert isinstance(e, E.Predicate) and e.is_bound
             f = e.term.field
-            s = stats(f.field_id, f.field_type)
+            s = summary_of(f.field_id)
             if s is None:
                 return True  # no summary for this field — stay inclusive
             op = e.op
+            is_float = isinstance(f.field_type, (T.FloatType, T.DoubleType))
             if op == E.OP_IS_NULL:
-                return s.null_count is not None
+                return s.contains_null
             if op == E.OP_NOT_NULL:
-                # summaries track only contains_null; a lower bound proves
-                # non-null values exist; otherwise stay inclusive
-                return True
+                # lower_bound is nil iff every partition value is null —
+                # except float columns, whose NaNs are excluded from bounds
+                all_null = s.contains_null and s.lower_bound is None
+                if all_null and is_float:
+                    all_null = s.contains_nan is False
+                return not all_null
             if op == E.OP_IS_NAN:
-                return bool(s.nan_count)
-            if op == E.OP_NOT_NAN:
+                # tri-state: an absent contains_nan (older writer) must
+                # NOT prune — only an explicit False can
+                if s.contains_nan is False:
+                    return False
                 return True
-            lo, hi = s.lower, s.upper
+            if op == E.OP_NOT_NAN:
+                # prune only when the values are provably all NaN
+                if (s.contains_nan is True and not s.contains_null
+                        and s.lower_bound is None):
+                    return False
+                return True
+            if op in E.GEO_OPS:
+                return True  # no geo partition summaries
+            lo = from_bytes(f.field_type, s.lower_bound)
+            hi = from_bytes(f.field_type, s.upper_bound)
             v = e.literals[0] if e.literals else None
-            if lo is None and hi is None:
-                # summary exists but has no bounds: every partition value in
-                # this manifest is null — literal predicates cannot match
-                return False
             if op == E.OP_LT:
-                return not (lo is not None and lo >= v)
+                return not (lo is None or lo >= v)
             if op == E.OP_LT_EQ:
-                return not (lo is not None and lo > v)
+                return not (lo is None or lo > v)
             if op == E.OP_GT:
-                return not (hi is not None and hi <= v)
+                return not (hi is None or hi <= v)
             if op == E.OP_GT_EQ:
-                return not (hi is not None and hi < v)
+                return not (hi is None or hi < v)
             if op == E.OP_EQ:
-                return not ((lo is not None and lo > v)
-                            or (hi is not None and hi < v))
+                # either bound missing => all values null => no match
+                if lo is None or hi is None:
+                    return False
+                return not (lo > v or hi < v)
             if op == E.OP_IN:
-                if lo is not None and all(x < lo for x in e.literals):
+                if lo is None:
                     return False
-                if hi is not None and all(x > hi for x in e.literals):
+                vals = [x for x in e.literals if not x < lo]
+                if not vals:
                     return False
+                if hi is not None:
+                    vals = [x for x in vals if not x > hi]
+                    if not vals:
+                        return False
                 return True
             if op == E.OP_STARTS_WITH:
                 p = str(v)
@@ -410,6 +423,7 @@ class ManifestEvaluator:
                 if hi is not None and str(hi)[:len(p)] < p:
                     return False
                 return True
+            # NOT_EQ / NOT_IN / NOT_STARTS_WITH: bounds can't answer
             return True
 
         return visit(self.part_filter)

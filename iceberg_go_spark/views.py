@@ -147,3 +147,27 @@ class UDFRegistry:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {d.name}({arglist}) "
             f"RETURNS DOUBLE RETURN {d.sql_body}")
+
+
+def register_tables(spark: SparkSession, catalog, namespace,
+                    name_fn=None) -> List[str]:
+    """Register every table of ``namespace`` as a Spark temp view whose
+    plan is the engine's lowered scan (pruned file list + delete
+    anti-joins), so users can run plain ``spark.sql`` over the catalog:
+
+        register_tables(spark, cat, "db")
+        spark.sql("SELECT ... FROM db_li_month JOIN db_orders_mor ...")
+
+    Catalyst then owns join order/broadcast decisions on top of our
+    planned scans.  Temp view names cannot contain dots; the default
+    naming joins identifier parts with underscores (override via
+    ``name_fn``).  Views are lazy: each query re-executes the scan plan
+    (but NOT re-planning — the file list is pinned at registration;
+    re-register to pick up new snapshots)."""
+    names: List[str] = []
+    for ident in catalog.list_tables(namespace):
+        t = catalog.load_table(ident)
+        name = (name_fn or "_".join)(ident)
+        t.to_df(spark).createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -304,3 +304,76 @@ def test_int_promotion_long_literal_on_int_column():
         WIDE_SCHEMA, E.gt("id", 1 << 40)).eval(f)
     assert not InclusiveMetricsEvaluator(
         WIDE_SCHEMA, E.eq("id", 1 << 40)).eval(f)
+
+
+# ---------------------------------------------------------------------------
+# manifest evaluator corpus mirroring TestManifestEvaluator semantics
+# (evaluators.go:167-258 null/nan visitors, :303-420 bound visitors)
+
+
+def _manifest(summaries):
+    return ManifestFile(
+        manifest_path="/m.avro", manifest_length=1, partition_spec_id=0,
+        content=0, sequence_number=1, min_sequence_number=1,
+        added_snapshot_id=1, added_files_count=1, existing_files_count=0,
+        deleted_files_count=0, added_rows_count=1, existing_rows_count=0,
+        deleted_rows_count=0, partitions=summaries)
+
+
+PART_SCHEMA = Schema([T.NestedField(1, "v", T.DoubleType())])
+PART_SPEC = spec_from_names(PART_SCHEMA, ("v", "identity"))
+
+
+def _ev(expr):
+    return ManifestEvaluator(PART_SCHEMA, PART_SPEC, expr)
+
+
+def _summ(contains_null=False, contains_nan=None, lo=None, hi=None):
+    enc = lambda x: None if x is None else to_bytes(T.DoubleType(), x)  # noqa
+    return FieldSummary(contains_null=contains_null,
+                        contains_nan=contains_nan,
+                        lower_bound=enc(lo), upper_bound=enc(hi))
+
+
+def test_manifest_is_nan_tristate():
+    # absent contains_nan (older writer) must NOT prune is_nan
+    assert _ev(E.is_nan("v")).eval(_manifest([_summ(lo=1.0, hi=2.0)]))
+    assert not _ev(E.is_nan("v")).eval(
+        _manifest([_summ(contains_nan=False, lo=1.0, hi=2.0)]))
+    assert _ev(E.is_nan("v")).eval(
+        _manifest([_summ(contains_nan=True, lo=1.0, hi=2.0)]))
+
+
+def test_manifest_not_nan_all_nan_prunes():
+    # contains_nan, no nulls, no bounds => every value is NaN
+    assert not _ev(E.not_nan("v")).eval(
+        _manifest([_summ(contains_nan=True)]))
+    assert _ev(E.not_nan("v")).eval(
+        _manifest([_summ(contains_nan=True, lo=1.0, hi=2.0)]))
+    assert _ev(E.not_nan("v")).eval(
+        _manifest([_summ(contains_null=True, contains_nan=True)]))
+
+
+def test_manifest_not_null_all_null_prunes():
+    assert not _ev(E.not_null("v")).eval(
+        _manifest([_summ(contains_null=True, contains_nan=False)]))
+    # float column with unknown NaN state: NaNs may hide outside bounds
+    assert _ev(E.not_null("v")).eval(
+        _manifest([_summ(contains_null=True)]))
+    assert _ev(E.not_null("v")).eval(
+        _manifest([_summ(contains_null=True, lo=1.0, hi=2.0)]))
+
+
+def test_manifest_missing_bound_prunes_range_ops():
+    all_null = _manifest([_summ(contains_null=True, contains_nan=False)])
+    for expr in (E.lt("v", 5.0), E.lt_eq("v", 5.0), E.gt("v", 5.0),
+                 E.gt_eq("v", 5.0), E.eq("v", 5.0), E.in_("v", [1.0, 2.0])):
+        assert not _ev(expr).eval(all_null), f"{expr} must prune all-null"
+    assert _ev(E.neq("v", 5.0)).eval(all_null)
+    assert _ev(E.not_in("v", [1.0, 2.0])).eval(all_null)
+
+
+def test_manifest_in_per_value_elimination():
+    m = _manifest([_summ(lo=10.0, hi=20.0)])
+    assert not _ev(E.in_("v", [5.0, 25.0])).eval(m)
+    assert _ev(E.in_("v", [5.0, 15.0])).eval(m)

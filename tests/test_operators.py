@@ -270,3 +270,33 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert sets[1] & sets[2], "shared substring must share a fingerprint"
     assert not (sets[1] & sets[3])
     assert not (sets[2] & sets[3])
+
+
+def test_register_tables_sql_join(spark, tmp_path):
+    """spark.sql over registered catalog tables: Catalyst joins on top of
+    the engine's lowered scans."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.views import register_tables
+    from conftest import read_table
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    nation = read_table(spark, "nation")
+    region = read_table(spark, "region")
+    cat.create_table("db.nation", Schema.from_spark(nation.schema)) \
+        .append(nation)
+    cat.create_table("db.region", Schema.from_spark(region.schema)) \
+        .append(region)
+
+    names = register_tables(spark, cat, "db")
+    assert names == ["db_nation", "db_region"]
+    got = spark.sql("""
+        SELECT r.r_name, COUNT(*) AS n
+        FROM db_nation n JOIN db_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""").collect()
+    exp = (nation.join(region,
+                       nation.n_regionkey == region.r_regionkey)
+           .groupBy("r_name").count().orderBy("r_name").collect())
+    assert [(r.r_name, r.n) for r in got] == \
+        [(r.r_name, r["count"]) for r in exp]
