@@ -40,8 +40,9 @@ def char_ngram_rows(df: DataFrame, text_col: str = "text",
     (as a naive `transform(sequence(...), i -> substring(norm, i, n))`
     does) lets Catalyst inline the regex into the per-position lambda —
     O(len^2) regex work per document (observed 50x slowdown)."""
-    norm = df.select(F.col(id_col),
-                     TX.normalized_text(F.col(text_col)).alias("__norm"))
+    from ..session import rebalance_for_amplification
+    norm = rebalance_for_amplification(df).select(
+        F.col(id_col), TX.normalized_text(F.col(text_col)).alias("__norm"))
     pos = (norm
            .filter(F.length("__norm") >= ngram)
            .select(F.col(id_col), F.col("__norm"),

@@ -60,8 +60,9 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     a bounded window-min (no shuffle beyond the per-doc partitioning),
     then a distinct+groupBy — all map-side-combinable aggregations keyed
     by doc_id."""
-    norm = df.select(F.col(id_col),
-                     TX.normalized_text(F.col(text_col)).alias("__norm"))
+    from ..session import rebalance_for_amplification
+    norm = rebalance_for_amplification(df).select(
+        F.col(id_col), TX.normalized_text(F.col(text_col)).alias("__norm"))
     pos = (norm.filter(F.length("__norm") >= k)
            .select(F.col(id_col), F.col("__norm"),
                    F.explode(F.sequence(

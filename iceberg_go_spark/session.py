@@ -49,3 +49,20 @@ def get_spark(app_name: str = "iceberg_go_spark", cpus: int | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def rebalance_for_amplification(df, min_parts: int | None = None):
+    """Repartition a narrow input before a row-amplifying chain (explode/
+    shingle/hash) when the scan yields fewer partitions than cores.
+
+    Single-file / single-row-group inputs scan as ONE partition (parquet
+    splits at row-group boundaries), serializing everything downstream
+    until the first shuffle.  At cluster scale inputs carry enough
+    partitions and this is a no-op — the repartition only triggers for
+    under-partitioned inputs, where its shuffle cost (narrow rows, pre-
+    amplification) is repaid many times by parallelizing the amplified
+    compute."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
