@@ -243,7 +243,12 @@ class StrictMetricsEvaluator:
             return (s.nan_count is not None and s.value_count is not None
                     and s.nan_count == s.value_count)
         if op == E.OP_NOT_NAN:
-            return s.nan_count == 0
+            if s.nan_count == 0:
+                return True
+            # nulls match not_nan (Spark ~isnan(NULL) is true): an
+            # all-null column must-matches even without NaN counts
+            return (s.null_count is not None and s.value_count is not None
+                    and s.null_count == s.value_count)
         # literal predicates: nulls/NaN never match -> must be absent
         if s.null_count is None or s.null_count != 0:
             return False

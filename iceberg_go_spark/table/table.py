@@ -71,12 +71,15 @@ class Table:
         return self.scan(row_filter, selected).to_df(spark)
 
     # -- write --------------------------------------------------------------
-    def new_transaction(self) -> Transaction:
-        return Transaction(self)
+    def new_transaction(self, branch: Optional[str] = None) -> Transaction:
+        return Transaction(self, branch=branch) if branch else Transaction(self)
 
     def append(self, df: DataFrame,
-               properties: Optional[Dict[str, str]] = None) -> "Table":
-        return self.new_transaction().append(df, properties).commit()
+               properties: Optional[Dict[str, str]] = None,
+               branch: Optional[str] = None) -> "Table":
+        """Append to main, or to a named branch (write-audit-publish:
+        stage commits on a branch, ``fast_forward`` main after audit)."""
+        return self.new_transaction(branch).append(df, properties).commit()
 
     def delete_where(self, spark: SparkSession, expr: E.Expression,
                      mode: str = "copy-on-write") -> "Table":
@@ -185,6 +188,38 @@ class Table:
                                          self.metadata_location, new)
         self.metadata, self.metadata_location = new, path
         return self
+
+    def fast_forward(self, name: str, to_ref: str) -> "Table":
+        """Move ref ``name`` to ``to_ref``'s head (publish step of WAP).
+
+        ``to_ref``'s head must be a descendant of ``name``'s current head
+        (true fast-forward) — otherwise the move would silently drop
+        commits; use ``_set_ref`` explicitly to force."""
+        src = self.metadata.refs.get(to_ref)
+        if src is None:
+            raise ValueError(f"unknown ref {to_ref!r}")
+        dst = self.metadata.refs.get(name)
+        if dst is not None:
+            ancestors = {s.snapshot_id
+                         for s in self.metadata.ancestors_of(src.snapshot_id)}
+            if dst.snapshot_id not in ancestors:
+                raise ValueError(
+                    f"{to_ref!r} head is not a descendant of {name!r} — "
+                    "not a fast-forward")
+        if name == "main":
+            import copy
+            new = copy.deepcopy(self.metadata)
+            new.refs[name] = SnapshotRef(src.snapshot_id, "branch")
+            new.current_snapshot_id = src.snapshot_id
+            snap = new.snapshot_by_id(src.snapshot_id)
+            new.snapshot_log.append({"snapshot-id": src.snapshot_id,
+                                     "timestamp-ms": snap.timestamp_ms})
+            new.last_updated_ms = int(time.time() * 1000)
+            path = self.catalog.commit_table(self.identifier,
+                                             self.metadata_location, new)
+            self.metadata, self.metadata_location = new, path
+            return self
+        return self._set_ref(name, "branch", src.snapshot_id)
 
     def remove_ref(self, name: str) -> "Table":
         import copy

@@ -112,9 +112,13 @@ def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
 
 
 class Transaction:
-    def __init__(self, table):
+    def __init__(self, table, branch: str = MAIN_BRANCH):
         self.table = table
         self.metadata = table.metadata  # base; snapshots appended on staged
+        # target branch for every snapshot this transaction commits
+        # (write-audit-publish: stage on a branch, fast-forward main later;
+        # parity: refs surface table/refs.go + branch-targeted producers)
+        self.branch = branch
         self._staged: List[Snapshot] = []
         self._new_manifest_lists: Dict[int, List[M.ManifestFile]] = {}
         self._property_updates: Dict[str, str] = {}
@@ -127,10 +131,19 @@ class Transaction:
     def _data_dir(self) -> str:
         return os.path.join(self.metadata.location, "data")
 
+    def _branch_head_id(self):
+        ref = self.metadata.refs.get(self.branch)
+        if ref is not None:
+            return ref.snapshot_id
+        # nonexistent branch: auto-create at the current main head
+        return self.metadata.current_snapshot_id
+
     def _current_manifests(self) -> List[M.ManifestFile]:
         if self._staged:
             return self._new_manifest_lists[self._staged[-1].snapshot_id]
-        snap = self.metadata.current_snapshot()
+        head = self._branch_head_id()
+        snap = self.metadata.snapshot_by_id(head) \
+            if head is not None else None
         if snap is None:
             return []
         return M.read_manifest_list(snap.manifest_list)
@@ -149,7 +162,7 @@ class Transaction:
         seq = md.last_sequence_number + len(self._staged) + 1
         snapshot_id = _new_snapshot_id(md)
         parent = (self._staged[-1].snapshot_id if self._staged
-                  else md.current_snapshot_id)
+                  else self._branch_head_id())
         schema = md.schema()
         spec = md.spec()
 
@@ -384,13 +397,15 @@ class Transaction:
             new.metadata_log = new.metadata_log[-10:]  # bounded history
         for snap in self._staged:
             new.snapshots.append(snap)
-            new.snapshot_log.append({"snapshot-id": snap.snapshot_id,
-                                     "timestamp-ms": snap.timestamp_ms})
-            new.current_snapshot_id = snap.snapshot_id
             new.last_sequence_number = max(new.last_sequence_number,
                                            snap.sequence_number)
             new.last_updated_ms = snap.timestamp_ms
-            new.refs[MAIN_BRANCH] = SnapshotRef(snap.snapshot_id, "branch")
+            new.refs[self.branch] = SnapshotRef(snap.snapshot_id, "branch")
+            if self.branch == MAIN_BRANCH:
+                # only main moves the table's current state + history log
+                new.snapshot_log.append({"snapshot-id": snap.snapshot_id,
+                                         "timestamp-ms": snap.timestamp_ms})
+                new.current_snapshot_id = snap.snapshot_id
             new.next_row_id += getattr(snap, "_rows_assigned", 0)
         return new
 

@@ -231,3 +231,36 @@ def test_residual_filters(spark, sf_dir, tmp_path):
     assert scan.to_df(spark).count() == exp
     # no filter -> residuals unset
     assert all(x.residual is None for x in t.scan().plan_files())
+
+
+def test_branch_write_audit_publish(spark, sf_dir, catalog):
+    """WAP: append to a branch, main unchanged, audit, fast-forward main."""
+    schema, df = _lineitem_schema(spark, sf_dir)
+    t = catalog.create_table("db.li_wap", schema)
+    first = df.filter(F.col("l_orderkey") % 2 == 0)
+    second = df.filter(F.col("l_orderkey") % 2 != 0)
+    t.append(first)
+    main_count = first.count()
+
+    # append to a (new) audit branch: auto-created at the main head
+    t.append(second, branch="audit")
+    assert t.scan().to_df(spark).count() == main_count  # main untouched
+    audit = t.scan().use_ref("audit").to_df(spark)
+    assert audit.count() == df.count()
+
+    # a second branch commit parents on the branch head, not main
+    t.append(second.limit(10), branch="audit")
+    assert t.scan().use_ref("audit").to_df(spark).count() == df.count() + 10
+    assert t.scan().to_df(spark).count() == main_count
+
+    # publish: fast-forward main onto the audited branch
+    t.fast_forward("main", "audit")
+    assert t.scan().to_df(spark).count() == df.count() + 10
+    assert t.current_snapshot().snapshot_id == \
+        t.refs()["audit"].snapshot_id
+
+    # non-descendant move is rejected
+    t.create_branch("stale", t.metadata.snapshots[0].snapshot_id)
+    t.append(first.limit(1))  # main advances past the branch point
+    with pytest.raises(ValueError):
+        t.fast_forward("main", "stale")
