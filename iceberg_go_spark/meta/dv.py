@@ -7,10 +7,12 @@ puffin/puffin_reader.go:81 / puffin_writer.go:75 (blob container with JSON
 footer).
 
 The container layout follows the public Puffin shape (magic, blobs, JSON
-footer + footer length, magic); the bitmap serialization is a compact
-roaring-style format of our own (array containers <=4096 entries, bitmap
-containers otherwise), documented here rather than byte-compatible with
-the spec's portable roaring — interop is via the engine itself.
+footer + footer length + flags, magic); the bitmap serialization is the
+spec's Iceberg portable format (i64 bucket count, u32 bucket keys,
+standard 32-bit roaring with array/bitmap containers — run containers
+accepted on read), wrapped in the spec DV envelope
+(length/magic/bitmap/CRC-32, deletion_vector.go:55-136), so DV blobs are
+byte-interoperable with other engines.
 """
 
 from __future__ import annotations
@@ -66,46 +68,170 @@ class RoaringBitmap64:
             return np.empty(0, dtype=np.int64)
         return np.concatenate(parts)
 
-    # -- serialization -------------------------------------------------------
+    # -- serialization: Iceberg portable format ------------------------------
+    # 64-bit layout (roaring_bitmap.go:117): i64 LE bucket count, then per
+    # ascending 32-bit bucket key: u32 LE key + standard 32-bit roaring
+    # serialization (RoaringFormatSpec).  Write side emits the
+    # no-run-container flavor (cookie 12346: cookie, size, per-container
+    # (u16 key, u16 card-1) headers, u32 offsets, container data); read
+    # side also accepts run containers (cookie 12347).
+
     def serialize(self) -> bytes:
-        out = bytearray()
-        out += struct.pack("<I", len(self._containers))
-        for hi in sorted(self._containers):
-            vals = sorted(self._containers[hi])
-            if len(vals) <= _ARRAY_MAX:
-                out += struct.pack("<qBI", hi, 0, len(vals))
-                out += struct.pack(f"<{len(vals)}H", *vals)
-            else:
-                bits = bytearray(_BITMAP_BYTES)
-                for v in vals:
-                    bits[v >> 3] |= 1 << (v & 7)
-                out += struct.pack("<qBI", hi, 1, len(vals))
-                out += bits
+        # regroup (hi48 -> lo16 sets) into 32-bit buckets of 16-bit-keyed
+        # containers: bucket = hi48 >> 16, container key = hi48 & 0xFFFF
+        buckets: Dict[int, Dict[int, set]] = {}
+        for hi, vals in self._containers.items():
+            if vals:
+                buckets.setdefault(hi >> 16, {})[hi & 0xFFFF] = vals
+        out = bytearray(struct.pack("<q", len(buckets)))
+        for bkey in sorted(buckets):
+            out += struct.pack("<I", bkey)
+            out += _serialize_roaring32(buckets[bkey])
         return bytes(out)
 
     @classmethod
     def deserialize(cls, data: bytes) -> "RoaringBitmap64":
         bm = cls()
-        (n,) = struct.unpack_from("<I", data, 0)
-        off = 4
+        (n,) = struct.unpack_from("<q", data, 0)
+        off = 8
         for _ in range(n):
-            hi, kind, count = struct.unpack_from("<qBI", data, off)
-            off += 13
-            if kind == 0:
-                vals = struct.unpack_from(f"<{count}H", data, off)
-                off += 2 * count
-                bm._containers[hi] = set(vals)
-            else:
-                bits = data[off:off + _BITMAP_BYTES]
-                off += _BITMAP_BYTES
-                s = set()
-                for byte_i, b in enumerate(bits):
-                    while b:
-                        lsb = b & -b
-                        s.add((byte_i << 3) | lsb.bit_length() - 1)
-                        b ^= lsb
-                bm._containers[hi] = s
+            (bkey,) = struct.unpack_from("<I", data, off)
+            off += 4
+            containers, off = _deserialize_roaring32(data, off)
+            for ckey, vals in containers.items():
+                bm._containers[(bkey << 16) | ckey] = vals
         return bm
+
+
+# standard 32-bit roaring cookies (RoaringFormatSpec)
+_COOKIE_NO_RUN = 12346
+_COOKIE_RUN = 12347
+
+
+def _serialize_roaring32(containers: Dict[int, set]) -> bytes:
+    """Standard 32-bit roaring serialization, no-run flavor (cookie 12346):
+    array containers for card <= 4096, bitmap containers above."""
+    keys = sorted(containers)
+    n = len(keys)
+    out = bytearray(struct.pack("<II", _COOKIE_NO_RUN, n))
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # u32 byte-offset (from stream start) of each container's data
+    data_start = 8 + 4 * n + 4 * n
+    offsets, pos = [], data_start
+    bodies = []
+    for k in keys:
+        vals = sorted(containers[k])
+        if len(vals) <= _ARRAY_MAX:
+            body = struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(_BITMAP_BYTES)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            body = bytes(bits)
+        offsets.append(pos)
+        bodies.append(body)
+        pos += len(body)
+    for o in offsets:
+        out += struct.pack("<I", o)
+    for b in bodies:
+        out += b
+    return bytes(out)
+
+
+def _bitmap_body_to_set(body: bytes) -> set:
+    import numpy as np
+    bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8),
+                         bitorder="little")
+    return set(np.nonzero(bits)[0].astype(int).tolist())
+
+
+def _deserialize_roaring32(data: bytes, off: int
+                           ) -> Tuple[Dict[int, set], int]:
+    """Parse one standard 32-bit roaring bitmap at ``off``; returns
+    ({container_key: value_set}, end_offset).  Accepts both the run
+    (12347) and no-run (12346) cookies."""
+    (word,) = struct.unpack_from("<I", data, off)
+    cookie = word & 0xFFFF
+    if cookie == _COOKIE_RUN:
+        n = (word >> 16) + 1
+        off += 4
+        nrun_bytes = (n + 7) // 8
+        run_flags = data[off:off + nrun_bytes]
+        off += nrun_bytes
+        has_offsets = n >= 4
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", data, off + 4)
+        off += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    headers = []
+    for i in range(n):
+        k, cm1 = struct.unpack_from("<HH", data, off)
+        off += 4
+        headers.append((k, cm1 + 1))
+    if has_offsets:
+        off += 4 * n  # offsets are redundant for sequential parsing
+    containers: Dict[int, set] = {}
+    for i, (k, card) in enumerate(headers):
+        is_run = bool(run_flags[i >> 3] & (1 << (i & 7)))
+        if is_run:
+            (nruns,) = struct.unpack_from("<H", data, off)
+            off += 2
+            s: set = set()
+            for _ in range(nruns):
+                start, length = struct.unpack_from("<HH", data, off)
+                off += 4
+                s.update(range(start, start + length + 1))
+        elif card <= _ARRAY_MAX:
+            s = set(struct.unpack_from(f"<{card}H", data, off))
+            off += 2 * card
+        else:
+            s = _bitmap_body_to_set(data[off:off + _BITMAP_BYTES])
+            off += _BITMAP_BYTES
+        containers[k] = s
+    return containers, off
+
+
+# -- DV blob envelope (deletion_vector.go:55-136) ---------------------------
+
+DV_MAGIC = 0x6439D3D1
+
+
+def serialize_dv(bm: RoaringBitmap64) -> bytes:
+    """Spec DV envelope: u32 BE length (magic+bitmap), u32 LE magic,
+    portable bitmap, u32 BE CRC-32 over magic+bitmap."""
+    import zlib
+    bitmap = bm.serialize()
+    inner = struct.pack("<I", DV_MAGIC) + bitmap
+    return (struct.pack(">I", len(inner)) + inner
+            + struct.pack(">I", zlib.crc32(inner) & 0xFFFFFFFF))
+
+
+def deserialize_dv(data: bytes,
+                   expected_cardinality: int = -1) -> RoaringBitmap64:
+    import zlib
+    data = bytes(data)
+    if len(data) < 12:
+        raise ValueError(f"deletion vector too short: {len(data)} bytes")
+    (length,) = struct.unpack_from(">I", data, 0)
+    if length != len(data) - 8:
+        raise ValueError(f"deletion vector length mismatch: {length} != "
+                         f"{len(data) - 8}")
+    (magic,) = struct.unpack_from("<I", data, 4)
+    if magic != DV_MAGIC:
+        raise ValueError(f"bad deletion vector magic 0x{magic:08x}")
+    inner = data[4:-4]
+    (crc,) = struct.unpack_from(">I", data, len(data) - 4)
+    if zlib.crc32(inner) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion vector CRC mismatch")
+    bm = RoaringBitmap64.deserialize(data[8:-4])
+    if expected_cardinality >= 0 and bm.cardinality != expected_cardinality:
+        raise ValueError(f"deletion vector cardinality mismatch: "
+                         f"{bm.cardinality} != {expected_cardinality}")
+    return bm
 
 
 class PuffinWriter:
@@ -115,7 +241,11 @@ class PuffinWriter:
 
     def add_blob(self, blob_type: str, data: bytes,
                  properties: Optional[dict] = None, **fields) -> None:
-        meta = {"type": blob_type, "properties": properties or {}}
+        # spec BlobMetadata requires fields/snapshot-id/sequence-number;
+        # -1 = not-yet-committed, matching the reference's DV writer
+        # (dv_writer.go:199-202)
+        meta = {"type": blob_type, "fields": [], "snapshot-id": -1,
+                "sequence-number": -1, "properties": properties or {}}
         meta.update(fields)
         self._blobs.append((meta, data))
 
@@ -165,7 +295,7 @@ def write_deletion_vectors(path: str,
     w = PuffinWriter(path)
     cards = {}
     for file_path, bm in dvs.items():
-        w.add_blob(BLOB_TYPE_DV, bm.serialize(),
+        w.add_blob(BLOB_TYPE_DV, serialize_dv(bm),
                    properties={"referenced-data-file": file_path,
                                "cardinality": str(bm.cardinality)})
         cards[file_path] = bm.cardinality
@@ -204,5 +334,6 @@ def read_deletion_vectors(path: str) -> Dict[str, RoaringBitmap64]:
         if meta["type"] != BLOB_TYPE_DV:
             continue
         fp = meta["properties"]["referenced-data-file"]
-        out[fp] = RoaringBitmap64.deserialize(r.read_blob(meta))
+        card = int(meta.get("properties", {}).get("cardinality", -1))
+        out[fp] = deserialize_dv(r.read_blob(meta), card)
     return out

@@ -212,11 +212,12 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
             matches = _matches_df(spark, schema, bound_col, partial)
 
             def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                from iceberg_go_spark.meta.dv import serialize_dv
                 bm = RoaringBitmap64()
                 bm.update(pdf["pos"].tolist())
                 return pd.DataFrame({
                     "file_path": [pdf["file_path"].iloc[0]],
-                    "dv": [bm.serialize()],
+                    "dv": [serialize_dv(bm)],
                     "card": [bm.cardinality]})
 
             blobs = (matches.repartition("file_path")

@@ -455,7 +455,7 @@ def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):
 
     def drop_deleted(batches):
         import numpy as np
-        from iceberg_go_spark.meta.dv import RoaringBitmap64
+        from iceberg_go_spark.meta.dv import deserialize_dv
         cache: Dict[str, Any] = {}
         for pdf in batches:
             if pdf.empty:
@@ -470,7 +470,7 @@ def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):
                     continue
                 arr = cache.get(fp)
                 if arr is None:
-                    parts = [RoaringBitmap64.deserialize(r).to_numpy()
+                    parts = [deserialize_dv(r).to_numpy()
                              for r in raws]
                     arr = np.unique(np.concatenate(parts)) \
                         if len(parts) > 1 else parts[0]

@@ -35,6 +35,54 @@ def test_roaring_dense_container():
     assert list(back)[:3] == [0, 1, 2]
 
 
+def test_portable_serialization_exact_bytes():
+    # spec layout: i64 LE bucket count, u32 LE bucket key, standard
+    # 32-bit roaring (cookie 12346, headers, offsets, array data)
+    import struct
+    bm = RoaringBitmap64()
+    bm.update([1, 2, 3])
+    expect = (struct.pack("<q", 1) + struct.pack("<I", 0)
+              + struct.pack("<II", 12346, 1)
+              + struct.pack("<HH", 0, 2)
+              + struct.pack("<I", 16)
+              + struct.pack("<HHH", 1, 2, 3))
+    assert bm.serialize() == expect
+
+
+def test_portable_run_container_read():
+    # a writer that uses run containers (cookie 12347) must be readable:
+    # one container, run [10, 14] (start=10, length=4)
+    import struct
+    payload = (struct.pack("<q", 1) + struct.pack("<I", 0)
+               + struct.pack("<I", 12347 | (0 << 16))  # n-1=0 in high bits
+               + b"\x01"                               # run flag bitset
+               + struct.pack("<HH", 0, 4)              # key, card-1
+               + struct.pack("<H", 1)                  # 1 run
+               + struct.pack("<HH", 10, 4))            # start, len-1
+    bm = RoaringBitmap64.deserialize(payload)
+    assert list(bm) == [10, 11, 12, 13, 14]
+
+
+def test_dv_envelope():
+    import struct
+    from iceberg_go_spark.meta.dv import (DV_MAGIC, deserialize_dv,
+                                          serialize_dv)
+    bm = RoaringBitmap64()
+    bm.update([7, 1 << 40])
+    blob = serialize_dv(bm)
+    (length,) = struct.unpack_from(">I", blob, 0)
+    assert length == len(blob) - 8
+    (magic,) = struct.unpack_from("<I", blob, 4)
+    assert magic == DV_MAGIC
+    back = deserialize_dv(blob, expected_cardinality=2)
+    assert list(back) == [7, 1 << 40]
+    corrupt = blob[:10] + bytes([blob[10] ^ 0xFF]) + blob[11:]
+    with pytest.raises(ValueError):
+        deserialize_dv(corrupt)
+    with pytest.raises(ValueError):
+        deserialize_dv(blob, expected_cardinality=3)
+
+
 def test_puffin_container(tmp_path):
     p = str(tmp_path / "t.puffin")
     w = PuffinWriter(p)
