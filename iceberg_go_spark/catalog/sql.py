@@ -112,8 +112,9 @@ class SqlCatalog:
                                 sort_order=sort_order)
         os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
-        path = os.path.join(table_dir, "metadata",
-                            f"{uuid.uuid4().hex}.metadata.json")
+        from ..locations import load_location_provider
+        path = load_location_provider(
+            table_dir, md.properties).new_table_metadata_file_location(0)
         md.write(path)
         with self._conn() as con:
             try:
@@ -173,8 +174,10 @@ class SqlCatalog:
     def commit_table(self, identifier, base_metadata_path: Optional[str],
                      metadata: TableMetadata) -> str:
         ns, name = self._split(identifier)
-        path = os.path.join(metadata.location, "metadata",
-                            f"{uuid.uuid4().hex}.metadata.json")
+        from ..locations import load_location_provider
+        path = load_location_provider(
+            metadata.location, metadata.properties
+        ).new_table_metadata_file_location(len(metadata.metadata_log) + 1)
         metadata.write(path)
         with self._conn() as con:
             if base_metadata_path is None:

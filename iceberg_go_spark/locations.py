@@ -1,0 +1,139 @@
+"""Location providers: where newly-written data / metadata files land.
+
+Parity (behavior only): /root/reference/table/locations.go — simple
+provider :44-114, object-storage provider :116-173 (murmur3-derived
+20-bit entropy prefix split into 4-char binary dirs), loader :175,
+property keys/defaults table/properties.go:27-33,88-89,167-169.
+
+Why this matters at 100 TB: object stores (S3 et al.) throttle per key
+prefix.  A table writing every file under ``data/`` funnels all PUT/GET
+traffic through one prefix; the object-storage provider spreads files
+across 2^12 binary-named directories so request rate scales with the
+cluster instead of the prefix limit.  The binary dirs also make orphan
+cleanup's listing fan out naturally.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+from typing import Dict, Optional
+
+from .transforms import murmur3_32
+
+PROP_WRITE_DATA_PATH = "write.data.path"
+PROP_WRITE_METADATA_PATH = "write.metadata.path"
+PROP_OBJECT_STORE_ENABLED = "write.object-storage.enabled"
+PROP_OBJECT_STORE_PARTITIONED_PATHS = "write.object-storage.partitioned-paths"
+PROP_METADATA_COMPRESSION = "write.metadata.compression-codec"
+
+HASH_BITS = 20          # hashBinaryStringBits
+ENTROPY_DIR_LENGTH = 4  # chars per directory level
+ENTROPY_DIR_DEPTH = 3   # directory levels
+
+_COMPRESSION_EXT = {
+    "none": ".metadata.json",
+    "gzip": ".gz.metadata.json",
+    "zstd": ".zstd.metadata.json",
+}
+
+
+def _join(base: str, *parts: str) -> str:
+    """URL-ish join that preserves the scheme and never doubles slashes."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def _truthy(props: Dict[str, str], key: str, default: bool) -> bool:
+    v = props.get(key)
+    if v is None:
+        return default
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+def dirs_from_hash(file_hash: str) -> str:
+    """Split a binary-string hash into ENTROPY_DIR_DEPTH dirs of
+    ENTROPY_DIR_LENGTH chars, remainder as a final component."""
+    total = ENTROPY_DIR_DEPTH * ENTROPY_DIR_LENGTH
+    comps = [file_hash[i:i + ENTROPY_DIR_LENGTH]
+             for i in range(0, total, ENTROPY_DIR_LENGTH)]
+    if len(file_hash) > total:
+        comps.append(file_hash[total:])
+    return "/".join(comps)
+
+
+def compute_hash(data_file_name: str) -> str:
+    """20-bit murmur3 entropy prefix as ``0101/0110/1001/10110010``.
+
+    The ``| top_mask`` keeps leading zeros when formatting as binary
+    (locations.go:122-131)."""
+    top_mask = 1 << HASH_BITS
+    h = (murmur3_32(data_file_name.encode("utf-8")) & (top_mask - 1)) \
+        | top_mask
+    return dirs_from_hash(format(h, "b")[-HASH_BITS:])
+
+
+class SimpleLocationProvider:
+    """``{location}/data/{name}`` and ``{location}/metadata/{name}``,
+    overridable via ``write.data.path`` / ``write.metadata.path``."""
+
+    def __init__(self, table_location: str,
+                 properties: Optional[Dict[str, str]] = None):
+        self.table_location = table_location
+        self.properties = dict(properties or {})
+        self.data_path = self.properties.get(
+            PROP_WRITE_DATA_PATH) or _join(table_location, "data")
+        self.metadata_path = self.properties.get(
+            PROP_WRITE_METADATA_PATH) or _join(table_location, "metadata")
+
+    def new_data_location(self, data_file_name: str) -> str:
+        return _join(self.data_path, data_file_name)
+
+    def new_metadata_location(self, metadata_file_name: str) -> str:
+        return _join(self.metadata_path, metadata_file_name)
+
+    def new_table_metadata_file_location(
+            self, new_version: int, file_uuid: Optional[str] = None) -> str:
+        """``%05d-%s%s`` versioned metadata name; extension tracks
+        ``write.metadata.compression-codec`` (locations.go:55-82)."""
+        if new_version < 0:
+            raise ValueError(
+                f"table metadata version {new_version} must be non-negative")
+        codec = self.properties.get(PROP_METADATA_COMPRESSION, "none")
+        ext = _COMPRESSION_EXT.get(codec)
+        if ext is None:
+            raise ValueError(
+                f"unsupported write metadata compression codec: {codec}")
+        name = f"{new_version:05d}-{file_uuid or str(_uuid.uuid4())}{ext}"
+        return self.new_metadata_location(name)
+
+
+class ObjectStoreLocationProvider(SimpleLocationProvider):
+    """Entropy-prefixed data locations for object-store rate limits.
+
+    Bare file names get a hashed prefix; names that already carry a
+    directory component pass through unhashed (locations.go:149-160)."""
+
+    def __init__(self, table_location: str,
+                 properties: Optional[Dict[str, str]] = None):
+        super().__init__(table_location, properties)
+        self.include_partition_paths = _truthy(
+            self.properties, PROP_OBJECT_STORE_PARTITIONED_PATHS, True)
+
+    def new_data_location(self, data_file_name: str) -> str:
+        if "/" in data_file_name.strip("/"):
+            return super().new_data_location(data_file_name)
+        hashed = compute_hash(data_file_name)
+        if self.include_partition_paths:
+            return _join(self.data_path, hashed, data_file_name)
+        return _join(self.data_path, f"{hashed}-{data_file_name}")
+
+
+def load_location_provider(table_location: str,
+                           properties: Optional[Dict[str, str]] = None
+                           ) -> SimpleLocationProvider:
+    props = dict(properties or {})
+    if _truthy(props, PROP_OBJECT_STORE_ENABLED, False):
+        return ObjectStoreLocationProvider(table_location, props)
+    return SimpleLocationProvider(table_location, props)

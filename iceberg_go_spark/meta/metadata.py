@@ -259,14 +259,26 @@ class TableMetadata:
             encryption_keys=d.get("encryption-keys", []))
 
     def write(self, path: str) -> None:
+        """Write metadata JSON; a ``.gz.metadata.json`` path gzips the
+        payload (write.metadata.compression-codec, locations.go:66-77)."""
         from ..io import load_io
-        load_io(path).write(
-            path, json.dumps(self.to_json_dict(), indent=1).encode())
+        data = json.dumps(self.to_json_dict(), indent=1).encode()
+        if path.endswith(".gz.metadata.json"):
+            import gzip
+            data = gzip.compress(data)
+        elif path.endswith(".zstd.metadata.json"):
+            raise ValueError("zstd metadata compression not available "
+                             "in this environment (use none or gzip)")
+        load_io(path).write(path, data)
 
     @classmethod
     def read(cls, path: str) -> "TableMetadata":
         from ..io import load_io
-        return cls.from_json_dict(json.loads(load_io(path).read(path)))
+        data = load_io(path).read(path)
+        if data[:2] == b"\x1f\x8b":  # gzip magic, any naming scheme
+            import gzip
+            data = gzip.decompress(data)
+        return cls.from_json_dict(json.loads(data))
 
 
 def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,

@@ -313,6 +313,38 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     if not files:
         return []
 
+    # object-storage layout: relocate each file under a murmur3 entropy
+    # prefix (locations.go:116-173) so no single object-store key prefix
+    # absorbs the whole table's request rate.  Spark's fanout writer can't
+    # target per-file hashed dirs directly (the hash needs the final file
+    # name), so this is a post-write move pass, parallelized on executors
+    # — same rename the committer already performs on real object stores.
+    from ..locations import (PROP_OBJECT_STORE_ENABLED, _truthy,
+                             load_location_provider)
+    if _truthy(properties, PROP_OBJECT_STORE_ENABLED, False):
+        import shutil
+        provider = load_location_provider(
+            os.path.dirname(data_dir.rstrip("/")) or data_dir, properties)
+        # Spark repeats task-based basenames across partition dirs
+        # (part-00000-<job-uuid> in every partition one task wrote), so a
+        # unique per-file prefix is required or hashed targets collide and
+        # overwrite each other; it also decorrelates the entropy prefixes.
+        moves = [(p, provider.new_data_location(
+            f"{_uuid.uuid4().hex[:12]}-{os.path.basename(p)}"))
+                 for p, _ in files]
+
+        def _mv(pair):
+            import os as _os
+            import shutil as _sh
+            src, dst = pair
+            _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+            _sh.move(src, dst)
+
+        spark.sparkContext.parallelize(
+            moves, max(1, min(len(moves), 64))).foreach(_mv)
+        files = [(dst, part) for (_s, dst), (_p, part) in zip(moves, files)]
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     truncate_len = int(properties.get(PROP_METRICS_TRUNCATE,
                                       DEFAULT_METRICS_TRUNCATE))
     name_to_field = {
