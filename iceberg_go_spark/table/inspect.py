@@ -1,0 +1,186 @@
+"""Inspect: metadata tables rendered as Spark DataFrames / Arrow tables.
+
+Parity (behavior only): /root/reference/table/inspect.go — History :87
+(snapshot-log walk, is_current_ancestor via the parent chain, silent
+truncation across expired ancestors), Snapshots :175, fixed field IDs
+HistorySchema :254 / SnapshotsSchema :272.  ``files``/``manifests``/
+``partitions``/``refs`` follow the Iceberg metadata-tables spec surface
+the Java/PyIceberg clients expose (the Go reference implements the first
+two; the rest are the same one-row-per-metadata-object rendering).
+
+Scale note: these tables are metadata-plane — rows ∝ snapshots/manifests/
+files, built driver-side from already-parsed metadata and handed to Spark
+as a DataFrame.  ``files`` is the only one that can get large (one row per
+data file); it is built from the manifest entries the planner already
+holds, not by re-listing storage.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from typing import Optional
+
+import pyspark.sql.types as ST
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _ts(ms: int) -> _dt.datetime:
+    return _dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+
+
+HISTORY_SCHEMA = ST.StructType([
+    ST.StructField("made_current_at", ST.TimestampType(), False),
+    ST.StructField("snapshot_id", ST.LongType(), False),
+    ST.StructField("parent_id", ST.LongType(), True),
+    ST.StructField("is_current_ancestor", ST.BooleanType(), False),
+])
+
+SNAPSHOTS_SCHEMA = ST.StructType([
+    ST.StructField("committed_at", ST.TimestampType(), False),
+    ST.StructField("snapshot_id", ST.LongType(), False),
+    ST.StructField("parent_id", ST.LongType(), True),
+    ST.StructField("operation", ST.StringType(), True),
+    ST.StructField("manifest_list", ST.StringType(), True),
+    ST.StructField("summary", ST.MapType(ST.StringType(), ST.StringType()),
+                   True),
+])
+
+REFS_SCHEMA = ST.StructType([
+    ST.StructField("name", ST.StringType(), False),
+    ST.StructField("type", ST.StringType(), False),
+    ST.StructField("snapshot_id", ST.LongType(), False),
+    ST.StructField("max_reference_age_in_ms", ST.LongType(), True),
+    ST.StructField("min_snapshots_to_keep", ST.IntegerType(), True),
+    ST.StructField("max_snapshot_age_in_ms", ST.LongType(), True),
+])
+
+MANIFESTS_SCHEMA = ST.StructType([
+    ST.StructField("path", ST.StringType(), False),
+    ST.StructField("length", ST.LongType(), False),
+    ST.StructField("partition_spec_id", ST.IntegerType(), False),
+    ST.StructField("added_snapshot_id", ST.LongType(), True),
+    ST.StructField("added_data_files_count", ST.IntegerType(), True),
+    ST.StructField("existing_data_files_count", ST.IntegerType(), True),
+    ST.StructField("deleted_data_files_count", ST.IntegerType(), True),
+    ST.StructField("content", ST.IntegerType(), False),
+])
+
+FILES_SCHEMA = ST.StructType([
+    ST.StructField("content", ST.IntegerType(), False),
+    ST.StructField("file_path", ST.StringType(), False),
+    ST.StructField("file_format", ST.StringType(), False),
+    ST.StructField("partition", ST.StringType(), True),  # JSON rendering
+    ST.StructField("record_count", ST.LongType(), False),
+    ST.StructField("file_size_in_bytes", ST.LongType(), False),
+    ST.StructField("sort_order_id", ST.IntegerType(), True),
+    ST.StructField("spec_id", ST.IntegerType(), True),
+])
+
+PARTITIONS_SCHEMA = ST.StructType([
+    ST.StructField("partition", ST.StringType(), True),  # JSON rendering
+    ST.StructField("spec_id", ST.IntegerType(), False),
+    ST.StructField("record_count", ST.LongType(), False),
+    ST.StructField("file_count", ST.IntegerType(), False),
+    ST.StructField("total_data_file_size_in_bytes", ST.LongType(), False),
+])
+
+
+class InspectTable:
+    def __init__(self, table, spark: SparkSession):
+        self.table = table
+        self.spark = spark
+
+    # -- parity tables (inspect.go) -----------------------------------------
+    def history(self) -> DataFrame:
+        md = self.table.metadata
+        ancestors = set()
+        cur = md.current_snapshot()
+        if cur is not None:
+            # ancestors_of truncates silently across expired parents —
+            # snapshots below the gap render is_current_ancestor=false
+            ancestors = {s.snapshot_id for s in md.ancestors_of()}
+        rows = []
+        for entry in md.snapshot_log:
+            sid = entry["snapshot-id"]
+            snap = md.snapshot_by_id(sid)
+            rows.append((
+                _ts(entry["timestamp-ms"]), sid,
+                snap.parent_snapshot_id if snap is not None else None,
+                sid in ancestors))
+        return self.spark.createDataFrame(rows, HISTORY_SCHEMA)
+
+    def snapshots(self) -> DataFrame:
+        rows = []
+        for s in self.table.metadata.snapshots:
+            summary = dict(s.summary) if s.summary else None
+            rows.append((
+                _ts(s.timestamp_ms), s.snapshot_id, s.parent_snapshot_id,
+                s.summary.get("operation") if s.summary else None,
+                s.manifest_list or None, summary))
+        return self.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
+
+    # -- spec metadata tables beyond the Go reference -----------------------
+    def refs(self) -> DataFrame:
+        rows = [(name, r.ref_type, r.snapshot_id, r.max_ref_age_ms,
+                 r.min_snapshots_to_keep, r.max_snapshot_age_ms)
+                for name, r in sorted(self.table.metadata.refs.items())]
+        return self.spark.createDataFrame(rows, REFS_SCHEMA)
+
+    def manifests(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        from ..meta import manifests as M
+        md = self.table.metadata
+        snap = md.snapshot_by_id(snapshot_id) if snapshot_id is not None \
+            else md.current_snapshot()
+        rows = []
+        if snap is not None:
+            for mf in M.read_manifest_list(snap.manifest_list):
+                rows.append((
+                    mf.manifest_path, mf.manifest_length,
+                    mf.partition_spec_id, mf.added_snapshot_id,
+                    mf.added_files_count, mf.existing_files_count,
+                    mf.deleted_files_count, mf.content))
+        return self.spark.createDataFrame(rows, MANIFESTS_SCHEMA)
+
+    def files(self) -> DataFrame:
+        md = self.table.metadata
+        rows = []
+        seen_deletes = set()
+        for t in self.table.scan().plan_files():
+            d = t.data_file
+            rows.append((d.content, d.file_path, d.file_format,
+                         json.dumps(d.partition, sort_keys=True, default=str),
+                         d.record_count, d.file_size_in_bytes,
+                         d.sort_order_id, md.default_spec_id))
+            for dd in list(t.pos_deletes) + list(t.eq_deletes):
+                if dd.file_path in seen_deletes:
+                    continue
+                seen_deletes.add(dd.file_path)
+                rows.append((dd.content, dd.file_path, dd.file_format,
+                             json.dumps(dd.partition, sort_keys=True,
+                                        default=str),
+                             dd.record_count, dd.file_size_in_bytes,
+                             dd.sort_order_id, md.default_spec_id))
+        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+
+    def partitions(self) -> DataFrame:
+        agg = {}
+        for t in self.table.scan().plan_files():
+            d = t.data_file
+            key = json.dumps(d.partition, sort_keys=True, default=str)
+            rec, files, size = agg.get(key, (0, 0, 0))
+            agg[key] = (rec + d.record_count, files + 1,
+                        size + d.file_size_in_bytes)
+        spec_id = self.table.metadata.default_spec_id
+        rows = [(k, spec_id, rec, files, size)
+                for k, (rec, files, size) in sorted(agg.items())]
+        return self.spark.createDataFrame(rows, PARTITIONS_SCHEMA)
+
+    # -- arrow rendering (reference returns Arrow record readers) -----------
+    def history_arrow(self):
+        import pyarrow as pa
+        return pa.Table.from_pandas(self.history().toPandas())
+
+    def snapshots_arrow(self):
+        import pyarrow as pa
+        return pa.Table.from_pandas(self.snapshots().toPandas())

@@ -55,6 +55,12 @@ class Table:
     def refs(self) -> Dict[str, SnapshotRef]:
         return dict(self.metadata.refs)
 
+    def inspect(self, spark: SparkSession):
+        """Metadata tables (history/snapshots/refs/manifests/files/
+        partitions) as Spark DataFrames (inspect.go:44)."""
+        from .inspect import InspectTable
+        return InspectTable(self, spark)
+
     def refresh(self) -> "Table":
         fresh = self.catalog.load_table(self.identifier)
         self.metadata = fresh.metadata

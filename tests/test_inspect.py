@@ -1,0 +1,92 @@
+"""Inspect metadata tables — parity with /root/reference/table/inspect.go
+(history/snapshots column semantics) plus the spec metadata-table surface
+(refs/manifests/files/partitions)."""
+
+import pytest
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+
+
+@pytest.fixture(scope="module")
+def table3(spark, tmp_path_factory):
+    """Three snapshots: append, append, MoR delete."""
+    cat = FilesystemCatalog(str(tmp_path_factory.mktemp("wh_inspect")))
+    df = spark.range(0, 100).selectExpr("id", "id % 5 AS k")
+    t = cat.create_table("db.ins", Schema.from_spark(df.schema))
+    t = t.append(df)
+    t = t.append(spark.range(100, 200).selectExpr("id", "id % 5 AS k"))
+    t = t.delete_where(spark, E.lt("id", 10), mode="merge-on-read")
+    return t
+
+
+def test_history(spark, table3):
+    h = table3.inspect(spark).history().collect()
+    assert len(h) == 3
+    assert [r.is_current_ancestor for r in h] == [True, True, True]
+    assert h[0].parent_id is None
+    assert h[1].parent_id == h[0].snapshot_id
+    assert h[2].parent_id == h[1].snapshot_id
+    assert h[0].made_current_at <= h[1].made_current_at
+
+
+def test_history_rolled_back_not_ancestor(spark, table3):
+    """A snapshot-log entry off the current ancestry chain renders
+    is_current_ancestor=false (inspect.go:87 doc)."""
+    import copy
+    t = copy.deepcopy(table3)
+    snaps = t.metadata.snapshots
+    # roll back: make snapshot #2 current again (snapshot #3 abandoned)
+    t.metadata.current_snapshot_id = snaps[1].snapshot_id
+    t.metadata.refs["main"].snapshot_id = snaps[1].snapshot_id
+    h = {r.snapshot_id: r.is_current_ancestor
+         for r in t.inspect(spark).history().collect()}
+    assert h[snaps[0].snapshot_id] is True
+    assert h[snaps[1].snapshot_id] is True
+    assert h[snaps[2].snapshot_id] is False
+
+
+def test_snapshots(spark, table3):
+    s = table3.inspect(spark).snapshots().collect()
+    assert len(s) == 3
+    assert [r.operation for r in s] == ["append", "append", "delete"]
+    for r in s:
+        assert r.manifest_list
+        assert r.summary["operation"] == r.operation
+    assert s[1].parent_id == s[0].snapshot_id
+
+
+def test_refs(spark, table3):
+    r = {row.name: row for row in table3.inspect(spark).refs().collect()}
+    assert r["main"].type == "branch"
+    assert r["main"].snapshot_id == table3.metadata.current_snapshot_id
+
+
+def test_manifests(spark, table3):
+    m = table3.inspect(spark).manifests().collect()
+    assert m
+    for row in m:
+        assert row.path and row.length > 0
+        assert row.content in (0, 1)
+    # the MoR delete added a delete manifest
+    assert any(row.content == 1 for row in m)
+
+
+def test_files_and_partitions(spark, table3):
+    ins = table3.inspect(spark)
+    f = ins.files().collect()
+    data = [r for r in f if r.content == 0]
+    deletes = [r for r in f if r.content in (1, 2)]
+    assert sum(r.record_count for r in data) == 200
+    assert deletes, "pos-delete file must appear"
+    p = ins.partitions().collect()
+    assert len(p) == 1  # unpartitioned
+    assert p[0].record_count == 200
+    assert p[0].file_count == len(data)
+
+
+def test_arrow_rendering(spark, table3):
+    at = table3.inspect(spark).snapshots_arrow()
+    assert at.num_rows == 3
+    assert "snapshot_id" in at.column_names
