@@ -248,6 +248,83 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
     raise ValueError(f"unknown delete mode {mode!r}")
 
 
+# reserved metadata-column field IDs (metadata_columns.go:29-80)
+ROW_ID_FIELD_ID = 2147483647 - 107
+
+
+def update_where(table, spark: SparkSession, expr: E.Expression,
+                 assignments: Dict[str, object],
+                 preserve_lineage: bool = True):
+    """MoR UPDATE via the position-delta pattern: pos-delete the old row
+    versions + reinsert updated rows, one row-delta snapshot.
+
+    Parity (behavior only): /root/reference/table/position_delta_writer.go
+    (reinserts materialize ``_row_id`` so survivors keep their lineage;
+    ``_last_updated_sequence_number`` is NOT written — readers synthesize
+    it from the new snapshot's sequence number, which is exactly the
+    update semantics the spec requires) composed with the pos-delete
+    fanout writer, committed row-delta style (row_delta.go:65-281).
+
+    ``assignments`` maps column name -> Column or SQL expression string,
+    evaluated against the pre-update row.
+    """
+    md = table.metadata
+    schema = md.schema()
+    for c in assignments:
+        if schema.find_field(c) is None:
+            raise ValueError(f"no such column: {c}")
+    full, partial = _classify(table, expr)
+    if not full and not partial:
+        return table
+
+    txn = table.new_transaction()
+    bound_col = E.to_spark_column(E.bind(expr, schema))
+
+    # 1. pos-deletes for matching rows of partially-matching files;
+    #    fully-matching files are dropped from manifests outright (every
+    #    row is being rewritten, the file is dead)
+    delete_files: List[M.DataFile] = []
+    if partial:
+        matches = _matches_df(spark, schema, bound_col, partial)
+        delete_files = _pos_delete_fanout(spark, md, matches, partial)
+    dropped = [t.data_file.file_path for t in full]
+    dead = _dead_delete_paths(table, dropped) if dropped else []
+    keep_manifests = txn._rewrite_manifests_without(dropped + dead) \
+        if dropped else None
+
+    # 2. reinserts: matching rows read through the scan lowering (existing
+    #    pos/eq/DV deletes applied — a raw-parquet read would resurrect
+    #    rows), updated, written with _row_id preserved
+    from ..schema import Schema as S
+    from ..types import LongType, NestedField, to_spark_type
+    from .scan import Scan
+    sub = Scan(table, row_lineage=preserve_lineage)
+    sub.plan_files = lambda: full + partial  # type: ignore[assignment]
+    src = sub.to_df(spark).filter(bound_col)
+    for cname, a in assignments.items():
+        col = F.expr(a) if isinstance(a, str) else a
+        t = schema.find_field(cname).field_type
+        src = src.withColumn(cname, col.cast(to_spark_type(t)))
+    write_schema = schema
+    if preserve_lineage:
+        src = src.drop("_last_updated_sequence_number")
+        write_schema = S(list(schema.fields) + [
+            NestedField(ROW_ID_FIELD_ID, "_row_id", LongType(), False)])
+    data_files = write_dataframe(
+        src, write_schema, md.spec(), os.path.join(md.location, "data"),
+        md.properties, sort_order=md.sort_order())
+
+    txn.append_files(delete_files + data_files, operation=OP_OVERWRITE,
+                     manifests_to_keep=keep_manifests,
+                     removed_paths=dropped, removed_delete_paths=dead,
+                     referenced_paths=[t.data_file.file_path
+                                      for t in partial],
+                     conflict_filter=expr,
+                     extra_summary={
+                         "updated-rows": ",".join(sorted(assignments))})
+    return txn.commit()
+
+
 def overwrite_where(table, spark: SparkSession, expr: E.Expression,
                     df: DataFrame):
     """Filtered overwrite: CoW-delete matching rows + append ``df`` in ONE

@@ -314,7 +314,18 @@ class Scan:
                                    .alias(f0.name))
                 df = df.select(*sel, F.col("_metadata"))
             else:
-                df = spark.read.schema(spark_schema).parquet(*paths)
+                read_schema = spark_schema
+                if self.row_lineage:
+                    # position-delta reinsert files materialize _row_id
+                    # (position_delta_writer.go); files without the column
+                    # read null here and fall back to synthesis below
+                    import pyspark.sql.types as ST
+                    read_schema = ST.StructType(
+                        list(spark_schema.fields) +
+                        [ST.StructField("_row_id", ST.LongType(), True)])
+                df = spark.read.schema(read_schema).parquet(*paths)
+            if self.row_lineage and name_based:
+                df = df.withColumn("_row_id", F.lit(None).cast("long"))
             if self.row_lineage:
                 lineage = spark.createDataFrame(
                     [(t.data_file.file_path,
@@ -328,7 +339,9 @@ class Scan:
                       .join(F.broadcast(lineage),
                             F.col("__lf") == F.col("__lfile"))
                       .withColumn("_row_id",
-                                  F.col("__first") + F.col("__ri"))
+                                  F.coalesce(F.col("_row_id"),
+                                             F.col("__first") +
+                                             F.col("__ri")))
                       .drop("__lf", "__ri", "__lfile", "__first"))
             if pos_set:
                 # normalize URI scheme differences (file:// vs plain path)

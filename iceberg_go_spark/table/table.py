@@ -97,6 +97,13 @@ class Table:
         from .dml import overwrite_where
         return overwrite_where(self, spark, expr, df)
 
+    def update_where(self, spark: SparkSession, expr: E.Expression,
+                     assignments, preserve_lineage: bool = True) -> "Table":
+        """MoR UPDATE (position-delta): pos-delete old versions, reinsert
+        updated rows preserving ``_row_id`` lineage."""
+        from .dml import update_where
+        return update_where(self, spark, expr, assignments, preserve_lineage)
+
     def upsert(self, spark: SparkSession, df: DataFrame,
                key_columns: List[str]) -> "Table":
         from .dml import upsert
