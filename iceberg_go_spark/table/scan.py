@@ -254,12 +254,19 @@ class Scan:
         from ..meta.name_mapping import PROP_NAME_MAPPING
         nm_json = md.properties.get(PROP_NAME_MAPPING)
         if nm_json:
-            all_paths = [t.data_file.file_path for t in tasks]
-            flags = spark.sparkContext.parallelize(
-                all_paths, max(1, min(len(all_paths), 64))) \
-                .map(_file_has_field_ids).collect()
-            for t, has_ids in zip(tasks, flags):
-                t.data_file.name_based = not has_ids
+            # data files are immutable, so the has-field-ids footer probe
+            # is cached per path for the process lifetime — one executor
+            # probe job per file ever, not one per scan
+            unknown = sorted({t.data_file.file_path for t in tasks}
+                             - _FIELD_ID_PROBE_CACHE.keys())
+            if unknown:
+                flags = spark.sparkContext.parallelize(
+                    unknown, max(1, min(len(unknown), 64))) \
+                    .map(_file_has_field_ids).collect()
+                _FIELD_ID_PROBE_CACHE.update(zip(unknown, flags))
+            for t in tasks:
+                t.data_file.name_based = \
+                    not _FIELD_ID_PROBE_CACHE[t.data_file.file_path]
 
         need_pos = any(t.pos_deletes for t in tasks)
         need_eq = any(t.eq_deletes for t in tasks)
@@ -269,7 +276,8 @@ class Scan:
         def key(t: FileScanTask) -> Tuple:
             return (frozenset((d.file_path, d.file_format, d.record_count)
                               for d in t.pos_deletes),
-                    frozenset((tuple(d.equality_ids or []), d.file_path)
+                    frozenset((tuple(d.equality_ids or []), d.file_path,
+                               d.record_count)
                               for d in t.eq_deletes),
                     t.data_file.name_based,
                     # strict-match files (residual TRUE) skip the filter
@@ -363,7 +371,7 @@ class Scan:
                     # set is small; at large delete counts let AQE pick a
                     # shuffled anti-join instead of OOMing the driver
                     n_del = sum(n for _, n in parquet_dels)
-                    if n_del <= 2_000_000:
+                    if n_del <= _broadcast_row_limit():
                         deletes = F.broadcast(deletes)
                     df = df.join(
                         deletes,
@@ -374,20 +382,28 @@ class Scan:
                     df = _apply_deletion_vectors(spark, df, puffin_dels)
                 df = df.drop("__file", "__pos")
             # one anti-join per key set, not per delete file
-            eq_groups: Dict[Tuple, List[str]] = {}
-            for eq_ids, dpath in sorted(eq_set):
-                eq_groups.setdefault(tuple(eq_ids), []).append(dpath)
-            for eq_ids, dpaths in sorted(eq_groups.items()):
+            eq_groups: Dict[Tuple, List[Tuple[str, int]]] = {}
+            for eq_ids, dpath, n_rows in sorted(eq_set):
+                eq_groups.setdefault(tuple(eq_ids), []).append(
+                    (dpath, n_rows or 0))
+            for eq_ids, dentries in sorted(eq_groups.items()):
                 cols = [schema.find_column_name(fid) for fid in eq_ids]
-                ddf = spark.read.parquet(*dpaths).select(
+                ddf = spark.read.parquet(*[p for p, _ in dentries]).select(
                     *[F.col(c).alias(f"__eq_{c}") for c in cols]).distinct()
+                # broadcast only when manifest record counts say the key
+                # set is small; a 100 TB upsert stream accumulates
+                # billion-key eq-delete sets — above the threshold let
+                # AQE pick a shuffled anti-join (mirrors the pos-delete
+                # gate above)
+                if sum(n for _, n in dentries) <= _broadcast_row_limit():
+                    ddf = F.broadcast(ddf)
                 # null-safe equality: an eq-delete key with NULL matches
                 # rows with NULL (reference null-tagged key encoding)
                 cond = None
                 for c in cols:
                     piece = df[c].eqNullSafe(ddf[f"__eq_{c}"])
                     cond = piece if cond is None else (cond & piece)
-                df = df.join(F.broadcast(ddf), cond, "left_anti")
+                df = df.join(ddf, cond, "left_anti")
             if name_based:
                 df = df.drop("_metadata")
             # residual filter: strict-match groups skip this entirely
@@ -439,6 +455,22 @@ class Scan:
             raise ValueError("count not derivable from metadata; "
                              "pass a SparkSession to execute the scan")
         return self.to_df(spark).count()
+
+
+# data files are immutable once committed, so a path's probe result never
+# changes; keyed by absolute path, process-lifetime
+_FIELD_ID_PROBE_CACHE: Dict[str, bool] = {}
+
+# rows of delete keys/positions below which the delete side of the
+# anti-join is broadcast; above it AQE picks a shuffled strategy.  Env
+# override exists so tests/bench can exercise the shuffled path on small
+# fixtures (and so operators can tune it per deployment).
+DEFAULT_BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _broadcast_row_limit() -> int:
+    return int(os.environ.get("ICEBERG_SPARK_BROADCAST_ROW_LIMIT",
+                              DEFAULT_BROADCAST_ROW_LIMIT))
 
 
 def _file_has_field_ids(path: str) -> bool:
