@@ -51,15 +51,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if name == "events":
-        # normalize the ns-as-long ts back to a microsecond timestamp
-        # (applies whether or not the legacy conf was already active)
         import pyspark.sql.types as ST
         for f in df.schema.fields:
-            if f.name == "ts" and isinstance(f.dataType, ST.LongType):
-                # integer DIV, not floor(x/1000): ns epoch values exceed
-                # double precision (2^53) and round the microsecond
+            if f.name != "ts":
+                continue
+            if isinstance(f.dataType, ST.LongType):
+                # ts stored as TIMESTAMP(NANOS), read ns-as-long: integer
+                # DIV, not floor(x/1000) — ns epoch values exceed double
+                # precision (2^53) and would round the microsecond
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            elif isinstance(f.dataType, ST.TimestampNTZType):
+                # ts stored without isAdjustedToUTC: Spark 4 reads it as
+                # TIMESTAMP_NTZ. The session zone is pinned to UTC
+                # (session.py), so this cast is epoch-exact.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -489,7 +495,7 @@ def sessionization(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     gap_us = 30 * 60 * 1_000_000
     w = W2.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ-tolerant
     gap = us - F.lag(us).over(w)
     sess = (ev
             .withColumn("__new", F.when(gap.isNull() | (gap > gap_us), 1)

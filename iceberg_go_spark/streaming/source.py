@@ -85,7 +85,13 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
                     window: str = "1 hour", watermark: str = "2 hours",
                     group_col: Optional[str] = "event_type") -> DataFrame:
     """Watermarked tumbling-window aggregation (late rows beyond the
-    watermark are dropped by the state store)."""
+    watermark are dropped by the state store).
+
+    Event time must be TIMESTAMP for the watermark; a TIMESTAMP_NTZ
+    column (parquet without isAdjustedToUTC) is cast — epoch-exact under
+    the session's pinned UTC zone, identity (eliminated) otherwise.
+    """
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     groups = [F.window(F.col(ts_col), window)]
     if group_col:
         groups.append(F.col(group_col))
@@ -103,8 +109,9 @@ def sessionize_batch(df: DataFrame, user_col: str = "user_id",
     window functions — one shuffle on user_col."""
     from pyspark.sql import Window as W
     w = W.partitionBy(user_col).orderBy(ts_col)
-    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(
-        F.lag(ts_col).over(w))
+    ts_ltz = F.col(ts_col).cast("timestamp")  # NTZ-tolerant (UTC session)
+    gap = F.unix_timestamp(ts_ltz) - F.unix_timestamp(
+        F.lag(ts_ltz).over(w))
     df2 = (df
            .withColumn("__new_session",
                        F.when(gap.isNull() | (gap > gap_minutes * 60), 1)

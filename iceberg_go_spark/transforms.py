@@ -34,6 +34,22 @@ from . import expressions as E
 
 EPOCH_DATE = date(1970, 1, 1)
 
+
+def _unix_micros_any(col):
+    """`unix_micros` tolerant of both Spark timestamp flavors.
+
+    Spark 4 reads a parquet timestamp without isAdjustedToUTC as
+    TIMESTAMP_NTZ, which `unix_micros` rejects. Sessions here pin the
+    timezone to UTC (session.py), so casting NTZ -> TIMESTAMP is
+    epoch-exact; on a TIMESTAMP input the cast is an identity Catalyst
+    eliminates. An engine must not dictate its input's tz-ness.
+    """
+    from pyspark.sql import functions as F
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_micros(col.cast("timestamp"))
+
+
 # ---------------------------------------------------------------------------
 # murmur3_x86_32 (public algorithm; seed 0 per Iceberg spec)
 
@@ -404,7 +420,7 @@ class BucketTransform(Transform):
                              np.uint32(n)).astype(np.int32)
                 out[~mask] = np.nan
                 return out
-            return _bucket_ts_ns(F.unix_micros(col) * F.lit(1000))
+            return _bucket_ts_ns(_unix_micros_any(col) * F.lit(1000))
         if isinstance(source_type, (T.TimestampType, T.TimestamptzType)):
             @F.pandas_udf("int")
             def _bucket_ts(s: pd.Series) -> pd.Series:
@@ -415,7 +431,7 @@ class BucketTransform(Transform):
                 out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
                 out[~mask] = np.nan
                 return out
-            return _bucket_ts(F.unix_micros(col))
+            return _bucket_ts(_unix_micros_any(col))
         if isinstance(source_type,
                       (T.StringType, T.BinaryType, T.FixedType,
                        T.DecimalType)):
@@ -644,7 +660,8 @@ class HourTransform(_TimeTransform):
 
     def spark_column(self, col, source_type: T.IcebergType):
         from pyspark.sql import functions as F
-        return F.floor(F.unix_micros(col) / F.lit(3_600_000_000)).cast("int")
+        return F.floor(
+            _unix_micros_any(col) / F.lit(3_600_000_000)).cast("int")
 
     def to_human_str(self, v) -> str:
         if v is None:
