@@ -1,0 +1,88 @@
+"""Both Spark timestamp flavors must work everywhere the engine consumes
+event time: parquet written without isAdjustedToUTC surfaces as
+TIMESTAMP_NTZ in Spark 4 and an engine must not dictate its input's
+tz-ness. Regression for the round-3 testdata flip (events.ts
+TIMESTAMP(NANOS) -> timestamp[us] plain) that broke unix_micros-based
+transforms and the streaming watermark."""
+
+import datetime as dt
+
+import pytest
+import pyspark.sql.functions as F
+import pyspark.sql.types as ST
+
+from iceberg_go_spark import transforms as TR
+from iceberg_go_spark import types as T
+
+
+@pytest.fixture(scope="module")
+def two_flavor_events(spark):
+    """The same 100 rows as TIMESTAMP (LTZ) and TIMESTAMP_NTZ."""
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=17 * i)) for i in range(100)]
+    ltz = spark.createDataFrame(
+        rows, ST.StructType([
+            ST.StructField("id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampType())]))
+    ntz = spark.createDataFrame(
+        rows, ST.StructType([
+            ST.StructField("id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampNTZType())]))
+    return ltz, ntz
+
+
+def _collect_transform(df, tr, src_type):
+    col = tr.spark_column(F.col("ts"), src_type)
+    return [r["v"] for r in
+            df.select("id", col.alias("v")).orderBy("id").collect()]
+
+
+@pytest.mark.parametrize("tr,src", [
+    (TR.HourTransform(), T.TimestamptzType()),
+    (TR.DayTransform(), T.TimestamptzType()),
+    (TR.MonthTransform(), T.TimestamptzType()),
+    (TR.YearTransform(), T.TimestamptzType()),
+    (TR.BucketTransform(16), T.TimestamptzType()),
+])
+def test_time_transforms_flavor_agnostic(two_flavor_events, tr, src):
+    ltz, ntz = two_flavor_events
+    got_ltz = _collect_transform(ltz, tr, src)
+    got_ntz = _collect_transform(ntz, tr, src)
+    assert got_ltz == got_ntz
+    # and the LTZ path agrees with the python-side spec implementation
+    if not isinstance(tr, TR.BucketTransform):
+        rows = ltz.orderBy("id").collect()
+        expect = [tr.apply(r["ts"], T.TimestamptzType()) for r in rows]
+        assert got_ltz == expect
+
+
+def test_windowed_counts_accepts_ntz(two_flavor_events):
+    from iceberg_go_spark.streaming.source import windowed_counts
+    ltz, ntz = two_flavor_events
+    ltz = ltz.withColumn("event_type", F.lit("a")).withColumn(
+        "value", F.lit(1.0))
+    ntz = ntz.withColumn("event_type", F.lit("a")).withColumn(
+        "value", F.lit(1.0))
+    a = windowed_counts(ltz).orderBy("window").collect()
+    b = windowed_counts(ntz).orderBy("window").collect()
+    assert [(r["window"], r["n_events"]) for r in a] == \
+           [(r["window"], r["n_events"]) for r in b]
+    assert len(a) > 1
+
+
+def test_sessionize_batch_accepts_ntz(two_flavor_events):
+    from iceberg_go_spark.streaming.source import sessionize_batch
+    ltz, ntz = two_flavor_events
+    ltz = ltz.withColumnRenamed("id", "user_id").withColumn(
+        "value", F.lit(1.0))
+    ntz = ntz.withColumnRenamed("id", "user_id").withColumn(
+        "value", F.lit(1.0))
+    a = sessionize_batch(ltz).agg(F.count("*"), F.sum("n_events")).collect()
+    b = sessionize_batch(ntz).agg(F.count("*"), F.sum("n_events")).collect()
+    assert a == b
+
+
+def test_entry_read_normalizes_events_ts(spark, sf_dir):
+    import __spark_entry__ as ENT
+    ev = ENT._read(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, ST.TimestampType)
