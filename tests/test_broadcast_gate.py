@@ -1,0 +1,95 @@
+"""The eq-delete anti-join broadcast gate and the name-mapping footer
+probe cache (table/scan.py). A 100 TB upsert stream accumulates
+billion-key equality-delete sets, so the delete side must only be
+broadcast when manifest record counts say it is small; above the limit
+the plan must leave the join strategy to AQE (shuffled anti-join)."""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+from tests.conftest import read_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def _upsert_table(spark, sf_dir, catalog, name):
+    df = read_table(spark, "orders", sf_dir)
+    t = catalog.create_table(f"db.{name}", Schema.from_spark(df.schema))
+    t.append(df)
+    updates = df.limit(300).withColumn("o_totalprice", F.lit(42.0))
+    t.upsert(spark, updates, ["o_orderkey"])
+    return t, df
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_gate_open_broadcasts_small_delete_sets(spark, sf_dir, catalog,
+                                                monkeypatch):
+    monkeypatch.delenv("ICEBERG_SPARK_BROADCAST_ROW_LIMIT", raising=False)
+    t, _ = _upsert_table(spark, sf_dir, catalog, "bg1")
+    plan = _optimized_plan(t.to_df(spark))
+    assert "LeftAnti" in plan
+    # the delete side carries an explicit broadcast hint
+    assert "BROADCAST" in plan.upper()
+
+
+def test_gate_closed_results_match_broadcast_path(spark, sf_dir, catalog,
+                                                  monkeypatch):
+    t, df = _upsert_table(spark, sf_dir, catalog, "bg2")
+
+    # broadcast path (default gate)
+    monkeypatch.delenv("ICEBERG_SPARK_BROADCAST_ROW_LIMIT", raising=False)
+    bcast = t.to_df(spark)
+    bcast_rows = bcast.count()
+    bcast_sum = bcast.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))).collect()[0][0]
+
+    # forced-shuffled path: limit below the delete-set size
+    monkeypatch.setenv("ICEBERG_SPARK_BROADCAST_ROW_LIMIT", "1")
+    shuffled = t.to_df(spark)
+    plan = _optimized_plan(shuffled)
+    assert "LeftAnti" in plan
+    assert "BROADCAST" not in plan.upper(), \
+        "gate closed but plan still hints broadcast"
+    assert shuffled.count() == bcast_rows == df.count()
+    got_sum = shuffled.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))).collect()[0][0]
+    assert got_sum == bcast_sum
+    # the 300 updated rows carry the upserted value through both paths
+    assert shuffled.filter(F.col("o_totalprice") == 42.0).count() == 300
+
+
+def test_footer_probe_cached_per_path(spark, sf_dir, catalog, monkeypatch):
+    from iceberg_go_spark.table import scan as SC
+    from iceberg_go_spark.meta.name_mapping import PROP_NAME_MAPPING
+
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table("db.probe", Schema.from_spark(df.schema))
+    t.append(df)
+    # a name mapping triggers the footer probe on scan
+    nm = ('[{"field-id": 1, "names": ["r_regionkey"]},'
+          ' {"field-id": 2, "names": ["r_name"]},'
+          ' {"field-id": 3, "names": ["r_comment"]}]')
+    t.update_properties({PROP_NAME_MAPPING: nm})
+
+    SC._FIELD_ID_PROBE_CACHE.clear()
+    t.to_df(spark).count()
+    first = dict(SC._FIELD_ID_PROBE_CACHE)
+    assert first, "probe cache not populated by a name-mapped scan"
+
+    # second scan must not launch another probe: poison the prober
+    monkeypatch.setattr(
+        SC, "_file_has_field_ids",
+        lambda path: (_ for _ in ()).throw(
+            AssertionError("re-probed an already-cached file")))
+    t.to_df(spark).count()
+    assert dict(SC._FIELD_ID_PROBE_CACHE) == first
