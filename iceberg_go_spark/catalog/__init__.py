@@ -2,7 +2,8 @@ from .filesystem import (CommitConflictError, FilesystemCatalog,
                          NoSuchTableError, TableAlreadyExistsError)
 from .sql import SqlCatalog
 from .rest import RestCatalog, RestCatalogServer
+from .multi_table import MultiTableTransaction, TableCommit
 
 __all__ = ["FilesystemCatalog", "SqlCatalog", "RestCatalog",
            "RestCatalogServer", "CommitConflictError", "NoSuchTableError",
-           "TableAlreadyExistsError"]
+           "TableAlreadyExistsError", "MultiTableTransaction", "TableCommit"]

@@ -160,28 +160,59 @@ class FilesystemCatalog:
                      metadata: TableMetadata) -> str:
         """CAS: write v{N+1} with create-exclusive; raise CommitConflictError
         if someone else already wrote it."""
-        table_dir = self._table_dir(identifier)
-        cur = self._current_version(table_dir) or 0
-        if base_metadata_path is not None:
-            base_ver = int(os.path.basename(base_metadata_path)[1:].split(".")[0])
-            if base_ver != cur:
-                raise CommitConflictError(
-                    f"base is v{base_ver} but current is v{cur}")
-        nxt = cur + 1
-        path = self._version_path(table_dir, nxt)
-        os.makedirs(self._metadata_dir(table_dir), exist_ok=True)
-        tmp = path + f".{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            import json
-            json.dump(metadata.to_json_dict(), f, indent=1)
+        from .multi_table import TableCommit
+        return self.commit_transaction(
+            [TableCommit(tuple(_ident(identifier)), base_metadata_path,
+                         metadata)])[0]
+
+    def commit_transaction(self, commits) -> List[str]:
+        """Atomic-as-possible multi-table commit: validate every base
+        version, then create-exclusive-link every new metadata file; any
+        failure unlinks the versions already created (staged commit with
+        rollback). Single-table ``commit_table`` is the N=1 case."""
+        import json
+        # phase 1: validate all CAS preconditions before touching anything
+        plan = []
+        for c in commits:
+            table_dir = self._table_dir(c.identifier)
+            cur = self._current_version(table_dir) or 0
+            if c.base_metadata_path is not None:
+                base_ver = int(os.path.basename(
+                    c.base_metadata_path)[1:].split(".")[0])
+                if base_ver != cur:
+                    raise CommitConflictError(
+                        f"{'.'.join(c.identifier)}: base is v{base_ver} "
+                        f"but current is v{cur}")
+            plan.append((c, table_dir, cur))
+        # phase 2: stage + link; roll back created links on any failure
+        created = []
         try:
-            os.link(tmp, path)  # atomic create-exclusive
-        except FileExistsError:
-            raise CommitConflictError(f"v{nxt} already exists")
-        finally:
-            os.unlink(tmp)
-        self._write_hint(table_dir, nxt)
-        return path
+            for c, table_dir, cur in plan:
+                nxt = cur + 1
+                path = self._version_path(table_dir, nxt)
+                os.makedirs(self._metadata_dir(table_dir), exist_ok=True)
+                tmp = path + f".{uuid.uuid4().hex}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(c.metadata.to_json_dict(), f, indent=1)
+                try:
+                    os.link(tmp, path)  # atomic create-exclusive
+                except FileExistsError:
+                    raise CommitConflictError(
+                        f"{'.'.join(c.identifier)}: v{nxt} already exists")
+                finally:
+                    os.unlink(tmp)
+                created.append((table_dir, nxt, path))
+        except Exception:
+            for _, _, path in created:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            raise
+        # phase 3: only after every link landed, move the version hints
+        for table_dir, nxt, _ in created:
+            self._write_hint(table_dir, nxt)
+        return [path for _, _, path in created]
 
     def _write_hint(self, table_dir: str, version: int) -> None:
         hint = self._hint_path(table_dir)

@@ -1,0 +1,96 @@
+"""Multi-table transactions: collect changes across N tables and commit
+them atomically through the catalog.
+
+Parity (behavior only): /root/reference/catalog/multi_table_transaction.go
+— AddTransaction rejects nil/committed/duplicate tables, Commit extracts a
+TableCommit per transaction and hands the batch to the catalog's
+transactional commit endpoint; on failure nothing is marked committed and
+the caller may retry; CommitAndReload reloads each table afterwards
+(the REST endpoint returns 204 No Content, so fresh metadata must be
+fetched separately).
+
+Catalog-side atomicity:
+- ``SqlCatalog``: one database transaction around every conditional
+  pointer UPDATE — genuinely atomic.
+- ``FilesystemCatalog``: validate every base version first, then stage
+  the new metadata files with create-exclusive links; any failure rolls
+  back the links already created. Staged-with-rollback, the strongest a
+  plain filesystem offers.
+- ``RestCatalog``: POST /v1/transactions/commit (Iceberg REST spec);
+  the server applies all table changes under one lock.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..meta.metadata import TableMetadata
+from .filesystem import _ident
+
+
+@dataclass
+class TableCommit:
+    """One table's pending change-set: CAS requirement + new metadata
+    (reference table/commit.go:29 TableCommit{Identifier, Requirements,
+    Updates})."""
+    identifier: Tuple[str, ...]
+    base_metadata_path: Optional[str]
+    metadata: TableMetadata
+
+
+class MultiTableTransaction:
+    """Atomic commit across multiple table transactions.
+
+    Not safe for concurrent use from multiple threads.
+    """
+
+    def __init__(self, catalog):
+        if not hasattr(catalog, "commit_transaction"):
+            raise TypeError(
+                "catalog does not support multi-table transactions")
+        self.catalog = catalog
+        self._txns: List = []
+        self._ids: List[Tuple[str, ...]] = []
+        self._committed = False
+
+    def add_transaction(self, tx) -> None:
+        if tx is None:
+            raise ValueError("transaction must not be nil")
+        if self._committed:
+            raise RuntimeError(
+                "multi-table transaction has already been committed")
+        if tx._committed:
+            raise RuntimeError("transaction already committed")
+        ident = tuple(_ident(tx.table.identifier))
+        if ident in self._ids:
+            raise ValueError(
+                f"duplicate table in multi-table transaction: "
+                f"{'.'.join(ident)}")
+        self._txns.append(tx)
+        self._ids.append(ident)
+
+    def commit(self) -> None:
+        """Extract pending changes from every added transaction and commit
+        them atomically. On failure no transaction is marked committed."""
+        if self._committed:
+            raise RuntimeError(
+                "multi-table transaction has already been committed")
+        if not self._txns:
+            raise ValueError("empty commit list")
+        commits = [
+            TableCommit(ident, tx.table.metadata_location,
+                        tx._build_metadata())
+            for ident, tx in zip(self._ids, self._txns)]
+        paths = self.catalog.commit_transaction(commits)
+        self._committed = True
+        for i, (tx, c) in enumerate(zip(self._txns, commits)):
+            tx._committed = True
+            if paths is not None:  # FS/SQL return the new pointer directly
+                tx.table.metadata = c.metadata
+                tx.table.metadata_location = paths[i]
+
+    def commit_and_reload(self) -> List:
+        """Commit atomically, then reload every affected table."""
+        self.commit()
+        return [self.catalog.load_table(ident) for ident in self._ids]

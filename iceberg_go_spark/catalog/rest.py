@@ -192,6 +192,27 @@ class RestCatalog:
                  "metadata": metadata.to_json_dict()}]})
         return out["metadata-location"]
 
+    def commit_transaction(self, commits) -> None:
+        """POST /v1/transactions/commit (Iceberg REST spec multi-table
+        commit). The endpoint returns 204 No Content, so no new metadata
+        locations are available — callers reload tables individually
+        (mirrors reference catalog/multi_table_transaction.go:145-171
+        CommitAndReload)."""
+        changes = []
+        for c in commits:
+            ns, name = list(c.identifier[:-1]), c.identifier[-1]
+            changes.append({
+                "identifier": {"namespace": ns, "name": name},
+                "requirements": [
+                    {"type": "assert-metadata-location",
+                     "metadata-location": c.base_metadata_path}],
+                "updates": [
+                    {"action": "overwrite-metadata",
+                     "metadata": c.metadata.to_json_dict()}]})
+        self._request("POST", "/v1/transactions/commit",
+                      {"table-changes": changes})
+        return None
+
 
 # ---------------------------------------------------------------------------
 # reference server (stdlib; per-table commit lock -> CAS)
@@ -330,6 +351,34 @@ def _make_handler(state: _State):
                     md = json.load(f)
                 return self._send(200, {"metadata-location": loc,
                                         "metadata": md})
+            if p == ["v1", "transactions", "commit"]:
+                # multi-table commit: validate every requirement, then
+                # apply every update, all under one lock (all-or-nothing)
+                with state.lock:
+                    staged = []
+                    for ch in body.get("table-changes", []):
+                        key = (tuple(ch["identifier"]["namespace"]),
+                               ch["identifier"]["name"])
+                        cur = state.tables.get(key)
+                        if cur is None:
+                            return self._send(404, {"error": "no such table"})
+                        for req in ch.get("requirements", []):
+                            if req["type"] == "assert-metadata-location" \
+                                    and req["metadata-location"] != cur:
+                                return self._send(412, {
+                                    "error": f"{key}: expected "
+                                             f"{req['metadata-location']} "
+                                             f"but current is {cur}"})
+                        new_md = None
+                        for upd in ch.get("updates", []):
+                            if upd["action"] == "overwrite-metadata":
+                                new_md = upd["metadata"]
+                        if new_md is None:
+                            return self._send(400, {"error": "no metadata"})
+                        staged.append((key, new_md))
+                    for key, new_md in staged:
+                        state.tables[key] = state.write_metadata(new_md)
+                return self._send(204)
             if len(p) == 6 and p[3] == "tables" and p[5] == "plan":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 return self._plan_scan(ns, name, body)

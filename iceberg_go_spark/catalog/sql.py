@@ -171,32 +171,79 @@ class SqlCatalog:
                 raise NoSuchTableError(str(src))
 
     # -- commit (CAS via conditional UPDATE) ---------------------------------
+    @staticmethod
+    def _next_version(base_metadata_path: Optional[str],
+                      metadata: TableMetadata) -> int:
+        """Monotonic metadata file version. Derived from the current
+        pointer's ``%05d-uuid`` prefix, NOT from len(metadata_log): the
+        log is truncated to its last 10 entries, which froze the prefix
+        at 00011- after ten commits."""
+        if base_metadata_path:
+            prefix = os.path.basename(base_metadata_path).split("-", 1)[0]
+            try:
+                return int(prefix) + 1
+            except ValueError:
+                pass
+        return len(metadata.metadata_log) + 1
+
     def commit_table(self, identifier, base_metadata_path: Optional[str],
                      metadata: TableMetadata) -> str:
-        ns, name = self._split(identifier)
+        from .multi_table import TableCommit
+        from .filesystem import _ident
+        return self.commit_transaction(
+            [TableCommit(tuple(_ident(identifier)), base_metadata_path,
+                         metadata)])[0]
+
+    def commit_transaction(self, commits) -> List[str]:
+        """Atomic multi-table commit: every conditional pointer UPDATE
+        runs inside ONE database transaction — either all tables move or
+        none do. Metadata files are written first (data-plane; harmless
+        orphans on rollback, removed here on failure)."""
         from ..locations import load_location_provider
-        path = load_location_provider(
-            metadata.location, metadata.properties
-        ).new_table_metadata_file_location(len(metadata.metadata_log) + 1)
-        metadata.write(path)
-        with self._conn() as con:
-            if base_metadata_path is None:
-                cur = con.execute(
-                    "UPDATE iceberg_tables SET metadata_location = ?, "
-                    "previous_metadata_location = metadata_location WHERE "
-                    "catalog_name = ? AND table_namespace = ? AND "
-                    "table_name = ? AND metadata_location IS NULL",
-                    (path, self.name, ns, name))
-            else:
-                cur = con.execute(
-                    "UPDATE iceberg_tables SET metadata_location = ?, "
-                    "previous_metadata_location = metadata_location WHERE "
-                    "catalog_name = ? AND table_namespace = ? AND "
-                    "table_name = ? AND metadata_location = ?",
-                    (path, self.name, ns, name, base_metadata_path))
-            if cur.rowcount == 0:
-                from ..io import load_io
-                load_io(path).delete(path)
-                raise CommitConflictError(
-                    f"{identifier}: expected base {base_metadata_path}")
-        return path
+        from ..io import load_io
+        paths: List[str] = []
+        for c in commits:
+            path = load_location_provider(
+                c.metadata.location, c.metadata.properties
+            ).new_table_metadata_file_location(
+                self._next_version(c.base_metadata_path, c.metadata))
+            c.metadata.write(path)
+            paths.append(path)
+        con = self._conn()
+        try:
+            con.execute("BEGIN IMMEDIATE")
+            for c, path in zip(commits, paths):
+                ns, name = ".".join(c.identifier[:-1]), c.identifier[-1]
+                if c.base_metadata_path is None:
+                    cur = con.execute(
+                        "UPDATE iceberg_tables SET metadata_location = ?, "
+                        "previous_metadata_location = metadata_location "
+                        "WHERE catalog_name = ? AND table_namespace = ? AND "
+                        "table_name = ? AND metadata_location IS NULL",
+                        (path, self.name, ns, name))
+                else:
+                    cur = con.execute(
+                        "UPDATE iceberg_tables SET metadata_location = ?, "
+                        "previous_metadata_location = metadata_location "
+                        "WHERE catalog_name = ? AND table_namespace = ? AND "
+                        "table_name = ? AND metadata_location = ?",
+                        (path, self.name, ns, name, c.base_metadata_path))
+                if cur.rowcount == 0:
+                    raise CommitConflictError(
+                        f"{'.'.join(c.identifier)}: expected base "
+                        f"{c.base_metadata_path}")
+            con.execute("COMMIT")
+        except BaseException:
+            try:
+                con.execute("ROLLBACK")
+            except sqlite3.Error:
+                pass
+            for path in paths:
+                try:
+                    load_io(path).delete(path)
+                except OSError:
+                    pass
+            raise
+        finally:
+            con.close()
+        return paths
