@@ -119,6 +119,12 @@ class TableMetadata:
     refs: Dict[str, SnapshotRef] = dc_field(default_factory=dict)
     next_row_id: int = 0
     statistics: List[Dict[str, Any]] = dc_field(default_factory=list)
+    # v3 `partition-statistics` entries (reference table/statistics.go:93
+    # PartitionStatisticsFile{snapshot-id, statistics-path,
+    # file-size-in-bytes}; fixture
+    # table/testdata/TableMetadataV3WithPartitionStatistics.json)
+    partition_statistics: List[Dict[str, Any]] = dc_field(
+        default_factory=list)
     # v3 `encryption-keys` entries (table/encryption.go:29); opaque dicts
     # here, typed via encryption.EncryptionKey.from_json_dict at use sites
     encryption_keys: List[Dict[str, Any]] = dc_field(default_factory=list)
@@ -209,6 +215,8 @@ class TableMetadata:
             "refs": {k: v.to_json_dict() for k, v in self.refs.items()},
             "next-row-id": self.next_row_id,
             "statistics": self.statistics,
+            **({"partition-statistics": self.partition_statistics}
+               if self.partition_statistics else {}),
             **({"encryption-keys": self.encryption_keys}
                if self.encryption_keys else {}),
         }
@@ -256,6 +264,7 @@ class TableMetadata:
                   for k, v in d.get("refs", {}).items()},
             next_row_id=d.get("next-row-id", 0),
             statistics=d.get("statistics", []),
+            partition_statistics=d.get("partition-statistics", []),
             encryption_keys=d.get("encryption-keys", []))
 
     def write(self, path: str) -> None:

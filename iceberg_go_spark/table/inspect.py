@@ -120,6 +120,16 @@ class InspectTable:
                 s.manifest_list or None, summary))
         return self.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
 
+    def partition_statistics(self) -> DataFrame:
+        """Registered partition-statistics files (v3; reference
+        table/statistics.go:93 PartitionStatisticsFile)."""
+        rows = [(e.get("snapshot-id"), e.get("statistics-path"),
+                 e.get("file-size-in-bytes"))
+                for e in self.table.metadata.partition_statistics]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, statistics_path string, "
+                  "file_size_in_bytes long")
+
     # -- spec metadata tables beyond the Go reference -----------------------
     def refs(self) -> DataFrame:
         rows = [(name, r.ref_type, r.snapshot_id, r.max_ref_age_ms,
@@ -148,10 +158,13 @@ class InspectTable:
         seen_deletes = set()
         for t in self.table.scan().plan_files():
             d = t.data_file
+            # the task's own spec, not the table default: multi-spec
+            # tables report each file under the spec it was written with
+            sid = t.spec_id if t.spec_id is not None else md.default_spec_id
             rows.append((d.content, d.file_path, d.file_format,
                          json.dumps(d.partition, sort_keys=True, default=str),
                          d.record_count, d.file_size_in_bytes,
-                         d.sort_order_id, md.default_spec_id))
+                         d.sort_order_id, sid))
             for dd in list(t.pos_deletes) + list(t.eq_deletes):
                 if dd.file_path in seen_deletes:
                     continue
@@ -160,7 +173,7 @@ class InspectTable:
                              json.dumps(dd.partition, sort_keys=True,
                                         default=str),
                              dd.record_count, dd.file_size_in_bytes,
-                             dd.sort_order_id, md.default_spec_id))
+                             dd.sort_order_id, sid))
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
 
     def partitions(self) -> DataFrame:

@@ -229,6 +229,15 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
                          if s.snapshot_id not in expired_ids]
         new.snapshot_log = [e for e in new.snapshot_log
                             if e["snapshot-id"] not in expired_ids]
+        # statistics entries of expired snapshots go with them (reference
+        # metadata builder removes stats for dropped snapshots,
+        # table/metadata.go:623); the files become orphans and are
+        # reclaimed by orphan_files
+        new.statistics = [e for e in new.statistics
+                          if e.get("snapshot-id") not in expired_ids]
+        new.partition_statistics = [
+            e for e in new.partition_statistics
+            if e.get("snapshot-id") not in expired_ids]
         new.last_updated_ms = int(time.time() * 1000)
         try:
             path = table.catalog.commit_table(table.identifier,
@@ -294,8 +303,9 @@ def orphan_files(table, spark: SparkSession,
         older_than_ms = int(time.time() * 1000) - 3 * 24 * 3600 * 1000
 
     referenced: Set[str] = {table.metadata_location}
-    # Puffin statistics files + metadata-log entries are live references
-    for st in md.statistics:
+    # Puffin statistics + partition statistics files + metadata-log
+    # entries are live references
+    for st in list(md.statistics) + list(md.partition_statistics):
         p = st.get("statistics-path")
         if p:
             referenced.add(p)

@@ -41,6 +41,9 @@ class FileScanTask:
     pos_deletes: List[M.DataFile] = dc_field(default_factory=list)
     eq_deletes: List[M.DataFile] = dc_field(default_factory=list)
     residual: Optional[E.Expression] = None
+    # partition spec the file was written under (from its manifest header;
+    # multi-spec tables carry files of several specs at once)
+    spec_id: Optional[int] = None
 
 
 @dataclass
@@ -233,7 +236,8 @@ class Scan:
                             if residual_strict.eval(e.data_file) else bound)
             tasks.append(FileScanTask(
                 data_file=e.data_file, sequence_number=e.sequence_number,
-                pos_deletes=pos, eq_deletes=eq, residual=residual))
+                pos_deletes=pos, eq_deletes=eq, residual=residual,
+                spec_id=spec_id))
         self.report.planning_ms = (_t.time() - t0) * 1000
         return tasks
 

@@ -123,3 +123,182 @@ def estimate_ndv(spark: SparkSession, stats_path: str) -> Dict[str, int]:
         ).collect():
             out[rec.column] = int(rec.ndv)
     return out
+
+
+# ---------------------------------------------------------------------------
+# partition statistics (v3)
+#
+# Parity (behavior only): reference table/statistics.go:93
+# PartitionStatisticsFile{snapshot-id, statistics-path, file-size-in-bytes},
+# metadata builder Set/RemovePartitionStatistics (table/metadata.go:1376,
+# :1399, replace-by-snapshot-id semantics), golden fixture
+# table/testdata/TableMetadataV3WithPartitionStatistics.json. The stats
+# file itself follows the public Iceberg partition-statistics spec: one
+# parquet file per snapshot with per-partition record/file counts.
+
+
+def compute_partition_statistics(table, spark: SparkSession) -> Dict:
+    """Build the partition statistics file for the current snapshot and
+    register it in table metadata (replacing any entry for the same
+    snapshot). Returns the registered entry dict.
+
+    Distributed build: manifests are read on executors (one task per
+    manifest) and the per-partition rollup is a Spark aggregation — at
+    100 TB the driver never materializes per-file rows; only the final
+    one-row-per-partition result is written."""
+    import shutil
+    import tempfile
+
+    from ..meta import manifests as M
+    from ..types import to_spark_type
+    import pyspark.sql.types as ST
+
+    md = table.metadata
+    snap = table.current_snapshot()
+    if snap is None:
+        raise ValueError("table has no current snapshot")
+    schema = md.schema()
+
+    # unified partition tuple: union of partition fields across specs,
+    # in spec order, deduped by field name
+    unified = []
+    seen = set()
+    for spec in md.partition_specs:
+        for nf in spec.partition_type(schema).fields:
+            if nf.name not in seen:
+                seen.add(nf.name)
+                unified.append((nf.name, to_spark_type(nf.field_type)))
+    names = [n for n, _ in unified]
+
+    snap_ts = {s.snapshot_id: s.timestamp_ms for s in md.snapshots}
+    paths = [mf.manifest_path
+             for mf in M.read_manifest_list(snap.manifest_list)]
+    bc = spark.sparkContext.broadcast((names, snap_ts))
+
+    def emit(path):
+        from iceberg_go_spark.meta import manifests as M2
+        nms, ts_map = bc.value
+        entries, _spec, spec_id = M2.read_manifest(path)
+        for e in entries:
+            if not e.is_live:
+                continue
+            d = e.data_file
+            yield tuple(d.partition.get(n) for n in nms) + (
+                spec_id, d.content, int(d.record_count),
+                int(d.file_size_in_bytes), e.snapshot_id,
+                ts_map.get(e.snapshot_id))
+
+    spark_schema = ST.StructType(
+        [ST.StructField(n, t) for n, t in unified] + [
+            ST.StructField("spec_id", ST.IntegerType()),
+            ST.StructField("content", ST.IntegerType()),
+            ST.StructField("record_count", ST.LongType()),
+            ST.StructField("file_size", ST.LongType()),
+            ST.StructField("snapshot_id", ST.LongType()),
+            ST.StructField("updated_ms", ST.LongType())])
+    rdd = spark.sparkContext.parallelize(
+        paths, max(1, min(len(paths), 64))).flatMap(emit)
+    df = spark.createDataFrame(rdd, spark_schema)
+
+    is_data = F.col("content") == M.CONTENT_DATA
+    is_pos = F.col("content") == M.CONTENT_POS_DELETES
+    is_eq = F.col("content") == M.CONTENT_EQ_DELETES
+    zero = F.lit(0).cast("long")
+    agg = (df.groupBy(*names, "spec_id").agg(
+        F.sum(F.when(is_data, F.col("record_count")).otherwise(zero))
+         .alias("data_record_count"),
+        F.sum(F.when(is_data, 1).otherwise(0)).cast("int")
+         .alias("data_file_count"),
+        F.sum(F.when(is_data, F.col("file_size")).otherwise(zero))
+         .alias("total_data_file_size_in_bytes"),
+        F.sum(F.when(is_pos, F.col("record_count")).otherwise(zero))
+         .alias("position_delete_record_count"),
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("int")
+         .alias("position_delete_file_count"),
+        F.sum(F.when(is_eq, F.col("record_count")).otherwise(zero))
+         .alias("equality_delete_record_count"),
+        F.sum(F.when(is_eq, 1).otherwise(0)).cast("int")
+         .alias("equality_delete_file_count"),
+        F.max("updated_ms").alias("last_updated_at"),
+        F.max_by("snapshot_id", F.coalesce("updated_ms", F.lit(0)))
+         .alias("last_updated_snapshot_id")))
+    out = agg.select(
+        F.struct(*names).alias("partition"), "spec_id",
+        "data_record_count", "data_file_count",
+        "total_data_file_size_in_bytes",
+        F.greatest(F.col("data_record_count") -
+                   F.col("position_delete_record_count"), zero)
+         .alias("total_record_count"),
+        "position_delete_record_count", "position_delete_file_count",
+        "equality_delete_record_count", "equality_delete_file_count",
+        "last_updated_at", "last_updated_snapshot_id")
+
+    # spec shape: ONE parquet file per snapshot under metadata/ — write
+    # via Spark (stays JVM-side) then move the single part into place
+    stats_dir = os.path.join(table.location(), "metadata",
+                             "partition-stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    final = os.path.join(
+        stats_dir, f"snap-{snap.snapshot_id}-{uuid.uuid4().hex[:8]}.parquet")
+    tmp = tempfile.mkdtemp(prefix="pstats-")
+    try:
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp)
+                    if p.endswith(".parquet") and not p.startswith("_"))
+        shutil.move(os.path.join(tmp, part), final)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    entry = {"snapshot-id": snap.snapshot_id,
+             "statistics-path": final,
+             "file-size-in-bytes": load_io(final).size(final)}
+    set_partition_statistics(table, entry)
+    return entry
+
+
+def set_partition_statistics(table, entry: Dict) -> None:
+    """Add or replace the partition statistics file for the entry's
+    snapshot (reference table/metadata.go:1376-1394)."""
+    for key in ("snapshot-id", "statistics-path", "file-size-in-bytes"):
+        if key not in entry:
+            raise ValueError(f"partition statistics entry missing {key}")
+    md = copy.deepcopy(table.metadata)
+    md.partition_statistics = [
+        e for e in md.partition_statistics
+        if e.get("snapshot-id") != entry["snapshot-id"]] + [entry]
+    md.last_updated_ms = int(time.time() * 1000)
+    new_path = table.catalog.commit_table(table.identifier,
+                                          table.metadata_location, md)
+    table.metadata, table.metadata_location = md, new_path
+
+
+def remove_partition_statistics(table, snapshot_id: int) -> None:
+    """Drop the partition statistics entry for a snapshot
+    (reference table/metadata.go:1399-1406). The file itself becomes
+    unreferenced and is reclaimed by orphan cleanup."""
+    md = copy.deepcopy(table.metadata)
+    before = len(md.partition_statistics)
+    md.partition_statistics = [e for e in md.partition_statistics
+                               if e.get("snapshot-id") != snapshot_id]
+    if len(md.partition_statistics) == before:
+        return
+    md.last_updated_ms = int(time.time() * 1000)
+    new_path = table.catalog.commit_table(table.identifier,
+                                          table.metadata_location, md)
+    table.metadata, table.metadata_location = md, new_path
+
+
+def read_partition_statistics(table, spark: SparkSession,
+                              snapshot_id: Optional[int] = None):
+    """Load the partition statistics DataFrame for a snapshot (default:
+    the current one)."""
+    if snapshot_id is None:
+        snap = table.current_snapshot()
+        if snap is None:
+            raise ValueError("table has no current snapshot")
+        snapshot_id = snap.snapshot_id
+    for e in table.metadata.partition_statistics:
+        if e.get("snapshot-id") == snapshot_id:
+            return spark.read.parquet(e["statistics-path"])
+    raise ValueError(
+        f"no partition statistics for snapshot {snapshot_id}")

@@ -1,0 +1,156 @@
+"""Partition statistics files (v3): compute, register, round-trip,
+orphan-safety, expire semantics. Parity (behavior only): reference
+table/statistics.go:93, table/metadata.go:1376-1406, fixture
+table/testdata/TableMetadataV3WithPartitionStatistics.json."""
+
+import json
+import os
+import time
+
+import pytest
+import pyspark.sql.functions as F
+
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.metadata import TableMetadata
+from iceberg_go_spark.meta.partitioning import spec_from_names
+from iceberg_go_spark.schema import Schema
+from iceberg_go_spark.table.statistics import (
+    compute_partition_statistics, read_partition_statistics,
+    remove_partition_statistics, set_partition_statistics)
+from tests.conftest import read_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def _bucketed_orders(spark, sf_dir, catalog, name="po"):
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table(
+        f"db.{name}", schema, spec_from_names(schema, ("o_orderkey",
+                                                       "bucket[4]")))
+    t.append(df)
+    return t, df
+
+
+def test_compute_and_read(spark, sf_dir, catalog):
+    t, df = _bucketed_orders(spark, sf_dir, catalog)
+    entry = compute_partition_statistics(t, spark)
+    assert entry["snapshot-id"] == t.current_snapshot().snapshot_id
+    assert os.path.isfile(entry["statistics-path"])
+    assert entry["file-size-in-bytes"] > 0
+
+    stats = read_partition_statistics(t, spark)
+    rows = stats.collect()
+    assert len(rows) == 4  # bucket[4] partitions
+    assert sum(r.data_record_count for r in rows) == df.count()
+    assert all(r.spec_id == t.metadata.default_spec_id for r in rows)
+    assert all(r.position_delete_record_count == 0 for r in rows)
+    # per-partition counts match a direct Spark rollup on the data
+    got = {r.partition.o_orderkey_bucket: r.data_record_count for r in rows}
+    from iceberg_go_spark.transforms import BucketTransform
+    from iceberg_go_spark import types as T
+    bcol = BucketTransform(4).spark_column(F.col("o_orderkey"), T.LongType())
+    expect = {r["b"]: r["n"] for r in
+              df.groupBy(bcol.alias("b")).agg(
+                  F.count("*").alias("n")).collect()}
+    assert got == expect
+
+
+def test_mor_deletes_counted(spark, sf_dir, catalog):
+    from iceberg_go_spark import expressions as E
+    t, df = _bucketed_orders(spark, sf_dir, catalog, "pm")
+    t.delete_where(spark, E.eq("o_orderstatus", "F"), mode="merge-on-read")
+    compute_partition_statistics(t, spark)
+    stats = read_partition_statistics(t, spark)
+    agg = stats.agg(
+        F.sum("position_delete_record_count").alias("pos"),
+        F.sum("total_record_count").alias("total"),
+        F.sum("data_record_count").alias("data")).collect()[0]
+    n_deleted = df.filter(F.col("o_orderstatus") == "F").count()
+    assert agg.pos == n_deleted
+    assert agg.total == agg.data - n_deleted
+    assert t.to_df(spark).count() == agg.total
+
+
+def test_metadata_round_trip(spark, sf_dir, catalog, tmp_path):
+    t, _ = _bucketed_orders(spark, sf_dir, catalog, "pr")
+    entry = compute_partition_statistics(t, spark)
+    # reload through the catalog: JSON round-trip must preserve the entry
+    t2 = catalog.load_table("db.pr")
+    assert t2.metadata.partition_statistics == [entry]
+    # raw JSON round-trip as well
+    d = t2.metadata.to_json_dict()
+    assert d["partition-statistics"] == [entry]
+    again = TableMetadata.from_json_dict(
+        json.loads(json.dumps(d))).to_json_dict()
+    assert again["partition-statistics"] == [entry]
+
+
+def test_golden_fixture_shape_parses():
+    """The reference's golden v3 fixture shape (foreign-written metadata)
+    must survive a load/store round-trip, not be dropped."""
+    entries = [
+        {"snapshot-id": 3051729675574597004,
+         "statistics-path": "s3://bucket/metadata/partition-stats/"
+                            "snap-3051729675574597004.parquet",
+         "file-size-in-bytes": 42330},
+        {"snapshot-id": 3055729675574597004,
+         "statistics-path": "s3://bucket/metadata/partition-stats/"
+                            "snap-3055729675574597004.parquet",
+         "file-size-in-bytes": 65871},
+    ]
+    md = TableMetadata(format_version=3, location="/tmp/x",
+                       partition_statistics=list(entries))
+    out = TableMetadata.from_json_dict(md.to_json_dict()).to_json_dict()
+    assert out["partition-statistics"] == entries
+
+
+def test_set_replaces_and_remove(spark, sf_dir, catalog):
+    t, _ = _bucketed_orders(spark, sf_dir, catalog, "ps")
+    first = compute_partition_statistics(t, spark)
+    # recompute for the same snapshot replaces, never duplicates
+    second = compute_partition_statistics(t, spark)
+    assert len(t.metadata.partition_statistics) == 1
+    assert t.metadata.partition_statistics[0] == second
+    assert first["statistics-path"] != second["statistics-path"]
+    remove_partition_statistics(t, second["snapshot-id"])
+    assert t.metadata.partition_statistics == []
+    with pytest.raises(ValueError):
+        read_partition_statistics(t, spark)
+
+
+def test_orphan_cleanup_preserves_stats_file(spark, sf_dir, catalog):
+    from iceberg_go_spark.table.maintenance import orphan_files
+    t, _ = _bucketed_orders(spark, sf_dir, catalog, "pg")
+    entry = compute_partition_statistics(t, spark)
+    orphans = orphan_files(t, spark, older_than_ms=int(time.time() * 1000)
+                           + 10_000, dry_run=False)
+    assert entry["statistics-path"] not in orphans
+    assert os.path.isfile(entry["statistics-path"])
+
+
+def test_expire_drops_stats_of_expired_snapshots(spark, sf_dir, catalog):
+    from iceberg_go_spark.table.maintenance import expire_snapshots
+    t, df = _bucketed_orders(spark, sf_dir, catalog, "pe")
+    old_snap = t.current_snapshot().snapshot_id
+    entry = compute_partition_statistics(t, spark)
+    t.append(df.limit(10))
+    expire_snapshots(t, older_than_ms=int(time.time() * 1000) + 10_000,
+                     retain_last=1)
+    ids = {s.snapshot_id for s in t.metadata.snapshots}
+    assert old_snap not in ids
+    assert all(e.get("snapshot-id") != old_snap
+               for e in t.metadata.partition_statistics)
+    assert entry not in t.metadata.partition_statistics
+
+
+def test_inspect_partition_statistics(spark, sf_dir, catalog):
+    t, _ = _bucketed_orders(spark, sf_dir, catalog, "pi")
+    entry = compute_partition_statistics(t, spark)
+    rows = t.inspect(spark).partition_statistics().collect()
+    assert len(rows) == 1
+    assert rows[0].snapshot_id == entry["snapshot-id"]
+    assert rows[0].statistics_path == entry["statistics-path"]
