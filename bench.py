@@ -60,13 +60,21 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, SF_DIR).count()
 
+    # min of REPS timed runs per query: single-run wall clock on a shared
+    # VM is noisy (GC pauses, page-cache state); the min is the best
+    # estimate of steady-state cost
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     timings = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

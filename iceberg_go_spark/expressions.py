@@ -556,8 +556,9 @@ def to_spark_column(expr: Expression):
                                      box.max_x, box.max_y)
         if op == OP_BBOX_INTERSECTS:
             return hit
-        # negation still excludes null/empty geometries (no bbox, no match)
-        return c.isNotNull() & ~hit
+        # the test is null for null/empty geometries (no bbox), so the
+        # negation is null too — WHERE drops them, matching evaluate()
+        return ~hit
     lit = expr.literals[0] if expr.literals else None
     ns = _is_ns_type(expr.term) and isinstance(lit, int)
     if op == OP_LT:

@@ -293,9 +293,11 @@ def bbox_intersects_column(col, min_x: float, min_y: float, max_x: float,
     this is the residual per-row test: does the row geometry's own bbox
     intersect the query box?  WKB needs structural parsing, so this is an
     Arrow-batched pandas UDF — the slow path by design, applied only to
-    rows of files that survived pruning.  Null/empty geometries match
-    neither bbox_intersects nor its negation (handled by the caller
-    conjoining a not-null guard for the negated op)."""
+    rows of files that survived pruning.  Null/empty/unparsable geometries
+    have no bbox, so the test is null for them (three-valued, like a
+    comparison on null): under WHERE semantics they match neither
+    bbox_intersects nor its negation, agreeing with the row-level
+    evaluate() path."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
 
@@ -304,7 +306,7 @@ def bbox_intersects_column(col, min_x: float, min_y: float, max_x: float,
         def one(v):
             b = wkb_bounds_xy(v)
             if b is None:
-                return False
+                return None
             return bbox_intersects_xy(b[0], b[1], b[2], b[3],
                                       min_x, min_y, max_x, max_y)
         return s.map(one)

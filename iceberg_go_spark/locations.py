@@ -87,7 +87,11 @@ class SimpleLocationProvider:
         self.metadata_path = self.properties.get(
             PROP_WRITE_METADATA_PATH) or _join(table_location, "metadata")
 
-    def new_data_location(self, data_file_name: str) -> str:
+    def new_data_location(self, data_file_name: str,
+                          partition_path: Optional[str] = None) -> str:
+        if partition_path:
+            return _join(self.data_path, partition_path.strip("/"),
+                         data_file_name)
         return _join(self.data_path, data_file_name)
 
     def new_metadata_location(self, metadata_file_name: str) -> str:
@@ -121,9 +125,16 @@ class ObjectStoreLocationProvider(SimpleLocationProvider):
         self.include_partition_paths = _truthy(
             self.properties, PROP_OBJECT_STORE_PARTITIONED_PATHS, True)
 
-    def new_data_location(self, data_file_name: str) -> str:
+    def new_data_location(self, data_file_name: str,
+                          partition_path: Optional[str] = None) -> str:
         if "/" in data_file_name.strip("/"):
             return super().new_data_location(data_file_name)
+        # `write.object-storage.partitioned-paths` (default true) keeps the
+        # human-readable partition dir INSIDE the entropy prefix; false
+        # drops it entirely (pure hashed keys, shortest possible paths)
+        if partition_path and self.include_partition_paths:
+            combined = f"{partition_path.strip('/')}/{data_file_name}"
+            return _join(self.data_path, compute_hash(combined), combined)
         hashed = compute_hash(data_file_name)
         if self.include_partition_paths:
             return _join(self.data_path, hashed, data_file_name)

@@ -329,8 +329,16 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
         # (part-00000-<job-uuid> in every partition one task wrote), so a
         # unique per-file prefix is required or hashed targets collide and
         # overwrite each other; it also decorrelates the entropy prefixes.
+        # The file's partition dir (relative to the fanout root) rides
+        # along so `write.object-storage.partitioned-paths` can keep it
+        # inside the entropy prefix (the default) or drop it.
+        def _part_dir(p: str) -> Optional[str]:
+            rel = os.path.relpath(os.path.dirname(p), out_dir)
+            return None if rel in (".", "") else rel
+
         moves = [(p, provider.new_data_location(
-            f"{_uuid.uuid4().hex[:12]}-{os.path.basename(p)}"))
+            f"{_uuid.uuid4().hex[:12]}-{os.path.basename(p)}",
+            partition_path=_part_dir(p)))
                  for p, _ in files]
 
         def _mv(pair):

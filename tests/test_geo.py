@@ -279,3 +279,39 @@ def test_geo_table_roundtrip(spark, tmp_path):
     # negated box: row-level filter keeps only disjoint, non-null geometries
     neg = t.scan(E.bbox_intersects("geom", box).negate())
     assert sorted(r.id for r in neg.to_df(spark).collect()) == [0, 1]
+
+
+def test_bbox_empty_geometry_matches_neither_op(spark, tmp_path):
+    """A non-null but EMPTY geometry (all-NaN point) has no bbox: it must
+    match neither bbox_intersects nor its negation, in BOTH the row-level
+    evaluate() path and the Spark column path (they disagreed before —
+    the Spark negation returned empties)."""
+    import pandas as pd
+
+    empty_wkb = struct.pack("<BI2d", 1, 1, math.nan, math.nan)
+    box = E.BoundingBox(0.0, 40.0, 40.0, 70.0)
+    b = E.bind(E.bbox_intersects("geom", box), GEO_SCHEMA)
+    assert not E.evaluate(b, {"geom": empty_wkb})
+    assert not E.evaluate(b.negate(), {"geom": empty_wkb})
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.empties", GEO_SCHEMA)
+    sp_schema = T.to_spark_type(T.StructType(*GEO_SCHEMA.fields))
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [0, 1, 2, 3],
+            "geom": [wkb_point(10.0, 50.0), wkb_point(-120.0, 35.0),
+                     empty_wkb, None],
+            "geog": [None] * 4,
+            "name": ["in", "out", "empty", "null"],
+        }), sp_schema)
+    t.append(df.coalesce(1))
+
+    pos = sorted(r.id for r in
+                 t.scan(E.bbox_intersects("geom", box)).to_df(spark)
+                 .collect())
+    neg = sorted(r.id for r in
+                 t.scan(E.bbox_intersects("geom", box).negate())
+                 .to_df(spark).collect())
+    assert pos == [0]
+    assert neg == [1]  # empty (2) and null (3) excluded from both

@@ -134,3 +134,62 @@ def test_gzip_metadata_roundtrip(tmp_path):
         assert f.read(2) == b"\x1f\x8b"  # actually gzip on disk
     back = TableMetadata.read(path)
     assert back.schema().fields[0].name == "id"
+
+
+def test_object_store_partition_path_semantics():
+    """`write.object-storage.partitioned-paths` (locations.go:170; default
+    true) keeps the partition dir inside the entropy prefix; false drops
+    it entirely."""
+    p = ObjectStoreLocationProvider("t")
+    loc = p.new_data_location("f.parquet", partition_path="k=1")
+    comps = loc.split("/")
+    assert comps[-2] == "k=1" and comps[-1] == "f.parquet"
+    assert all(set(c) <= {"0", "1"} for c in comps[2:-2]), loc
+    # hash covers the combined path: different partitions decorrelate
+    assert p.new_data_location("f.parquet", partition_path="k=2") \
+        .split("/")[2:-2] != comps[2:-2]
+
+    flat = ObjectStoreLocationProvider(
+        "t", {"write.object-storage.partitioned-paths": "false"})
+    loc2 = flat.new_data_location("f.parquet", partition_path="k=1")
+    assert "k=1" not in loc2
+    assert loc2.endswith("-f.parquet")
+
+    # simple provider: partition dir between data path and file name
+    s = SimpleLocationProvider("t")
+    assert s.new_data_location("f.parquet", partition_path="k=1") == \
+        "t/data/k=1/f.parquet"
+
+
+def test_object_store_partitioned_write_end_to_end(spark, tmp_path):
+    """Partitioned fan-out + object storage: partition dirs survive inside
+    the hashed layout by default and vanish with partitioned-paths=false."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    from iceberg_go_spark.schema import Schema
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 3 AS LONG) AS k")
+    schema = Schema.from_spark(df.schema)
+
+    t = cat.create_table(
+        "db.objpart", schema, spec_from_names(schema, ("k", "identity")),
+        properties={"write.object-storage.enabled": "true"})
+    t.append(df)
+    paths = [task.data_file.file_path for task in t.scan().plan_files()]
+    assert paths
+    assert all("k=" in p for p in paths), paths
+    assert t.to_df(spark).count() == 1000
+
+    t2 = cat.create_table(
+        "db.objflat", schema, spec_from_names(schema, ("k", "identity")),
+        properties={"write.object-storage.enabled": "true",
+                    "write.object-storage.partitioned-paths": "false"})
+    t2.append(df)
+    paths2 = [task.data_file.file_path for task in t2.scan().plan_files()]
+    assert paths2
+    assert all("k=" not in p for p in paths2), paths2
+    # partition values still tracked in metadata: pruning must work
+    assert {task.data_file.partition["k"]
+            for task in t2.scan().plan_files()} == {0, 1, 2}
+    assert t2.to_df(spark).count() == 1000
