@@ -2,8 +2,11 @@ from .filesystem import (CommitConflictError, FilesystemCatalog,
                          NoSuchTableError, TableAlreadyExistsError)
 from .sql import SqlCatalog
 from .rest import RestCatalog, RestCatalogServer
+from .glue import FakeGlueClient, GlueCatalog, NoSuchNamespaceError
 from .multi_table import MultiTableTransaction, TableCommit
 
 __all__ = ["FilesystemCatalog", "SqlCatalog", "RestCatalog",
-           "RestCatalogServer", "CommitConflictError", "NoSuchTableError",
-           "TableAlreadyExistsError", "MultiTableTransaction", "TableCommit"]
+           "RestCatalogServer", "GlueCatalog", "FakeGlueClient",
+           "CommitConflictError", "NoSuchTableError",
+           "TableAlreadyExistsError", "NoSuchNamespaceError",
+           "MultiTableTransaction", "TableCommit"]

@@ -345,3 +345,59 @@ def orphan_files(table, spark: SparkSession,
         spark.sparkContext.parallelize(
             paths, max(1, min(len(paths) // 1000 + 1, 64))).foreach(_rm)
     return paths
+
+
+def purge_table_files(metadata, metadata_location: str) -> List[str]:
+    """Best-effort physical delete of every file a dropped table owns:
+    data/delete files of all snapshots, manifests, manifest lists,
+    statistics files, and all metadata versions (reference PurgeTable,
+    catalog/glue/glue.go:445-463 via table.PurgeFiles). Returns the paths
+    it attempted. Driver-side: a purge is a one-shot administrative op
+    with no SparkSession in catalog context."""
+    from ..io import load_io
+
+    paths: Set[str] = {metadata_location}
+    for e in list(metadata.statistics) + list(metadata.partition_statistics):
+        if e.get("statistics-path"):
+            paths.add(e["statistics-path"])
+    for e in metadata.metadata_log:
+        if e.get("metadata-file"):
+            paths.add(e["metadata-file"])
+    for snap in metadata.snapshots:
+        if not snap.manifest_list:
+            continue
+        paths.add(snap.manifest_list)
+        try:
+            manifests = M.read_manifest_list(snap.manifest_list)
+        except (OSError, ValueError, KeyError):
+            continue
+        for mf in manifests:
+            paths.add(mf.manifest_path)
+            try:
+                entries, _spec, _sid = M.read_manifest(mf.manifest_path)
+            except (OSError, ValueError, KeyError):
+                continue
+            for e in entries:
+                paths.add(e.data_file.file_path)
+    # Hadoop's local FS leaves .crc / _SUCCESS sidecars next to data
+    # files; they carry no Iceberg reference, so sweep them with their
+    # primary (object stores never produce them)
+    sidecars: Set[str] = set()
+    for p in paths:
+        d, base = os.path.split(p)
+        sidecars.add(os.path.join(d, f".{base}.crc"))
+        sidecars.add(os.path.join(d, "_SUCCESS"))
+        sidecars.add(os.path.join(d, "._SUCCESS.crc"))
+        sidecars.add(os.path.join(os.path.dirname(d), "_SUCCESS"))
+        sidecars.add(os.path.join(os.path.dirname(d), "._SUCCESS.crc"))
+    for p in sorted(paths):
+        try:
+            load_io(p).delete(p)
+        except OSError:
+            pass
+    for p in sorted(sidecars - paths):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    return sorted(paths)
