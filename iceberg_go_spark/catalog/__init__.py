@@ -3,10 +3,13 @@ from .filesystem import (CommitConflictError, FilesystemCatalog,
 from .sql import SqlCatalog
 from .rest import RestCatalog, RestCatalogServer
 from .glue import FakeGlueClient, GlueCatalog, NoSuchNamespaceError
+from .hive import (FakeHiveMetastoreClient, HiveCatalog,
+                   LockAcquisitionError)
 from .multi_table import MultiTableTransaction, TableCommit
 
 __all__ = ["FilesystemCatalog", "SqlCatalog", "RestCatalog",
            "RestCatalogServer", "GlueCatalog", "FakeGlueClient",
-           "CommitConflictError", "NoSuchTableError",
-           "TableAlreadyExistsError", "NoSuchNamespaceError",
-           "MultiTableTransaction", "TableCommit"]
+           "HiveCatalog", "FakeHiveMetastoreClient",
+           "LockAcquisitionError", "CommitConflictError",
+           "NoSuchTableError", "TableAlreadyExistsError",
+           "NoSuchNamespaceError", "MultiTableTransaction", "TableCommit"]
