@@ -219,3 +219,115 @@ class EncryptionKey:
                    encrypted_key_metadata=str(d["encrypted-key-metadata"]),
                    encrypted_by_id=d.get("encrypted-by-id"),
                    properties=dict(d.get("properties") or {}))
+
+
+# ---------------------------------------------------------------------------
+# file-level DEK envelopes + Spark Parquet Modular Encryption wiring
+#
+# Table properties:
+#   encryption.table-key-id    master key id in the table's KMS
+#   kms-type                   KMS registry name (load_key_management_client)
+#   encryption.parquet.kms-client-class
+#                              JVM KmsClient impl for live Parquet Modular
+#                              Encryption (parquet-hadoop ships only the
+#                              interface; a concrete class must be on the
+#                              Spark classpath)
+#   encryption.parquet.column-keys
+#                              PME column-keys spec "keyId:colA,colB;..."
+
+TABLE_KEY_ID_KEY = "encryption.table-key-id"
+PARQUET_KMS_CLIENT_CLASS_KEY = "encryption.parquet.kms-client-class"
+PARQUET_COLUMN_KEYS_KEY = "encryption.parquet.column-keys"
+DEK_LENGTH = 16
+
+
+def table_encryption_enabled(properties: Dict[str, str]) -> bool:
+    return bool(properties.get(TABLE_KEY_ID_KEY))
+
+
+def generate_file_key(kms: KeyManagementClient, key_id: str
+                      ) -> Tuple[bytes, bytes]:
+    """Generate one per-file data-encryption key: returns (plaintext DEK,
+    key_metadata bytes). The key_metadata envelope — JSON
+    {"key-id", "wrapped-dek" b64} — is what lands in
+    DataFile.key_metadata; only the KMS holding key-id can unwrap it."""
+    import json
+    if kms.supports_key_generation():
+        dek, wrapped = kms.generate_key(key_id, DEK_LENGTH)
+    else:
+        dek = os.urandom(DEK_LENGTH)
+        wrapped = kms.wrap_key(key_id, dek)
+    meta = json.dumps({
+        "key-id": key_id,
+        "wrapped-dek": base64.b64encode(wrapped).decode("ascii"),
+    }).encode("utf-8")
+    return dek, meta
+
+
+def unwrap_file_key(kms: KeyManagementClient, key_metadata: bytes) -> bytes:
+    """Recover a file's plaintext DEK from its key_metadata envelope."""
+    import json
+    try:
+        d = json.loads(key_metadata.decode("utf-8"))
+        key_id, wrapped = d["key-id"], base64.b64decode(d["wrapped-dek"])
+    except (ValueError, KeyError, UnicodeDecodeError) as e:
+        raise EncryptionError(f"malformed key_metadata envelope: {e}") from e
+    return kms.unwrap_key(key_id, wrapped)
+
+
+def attach_file_keys(data_files, properties: Dict[str, str]) -> None:
+    """Stamp a fresh wrapped DEK envelope onto every DataFile of a write
+    (in place). One DEK per file: compromising one file's key exposes one
+    file. No-op when the table has no encryption key configured."""
+    key_id = properties.get(TABLE_KEY_ID_KEY)
+    if not key_id:
+        return
+    kms = load_key_management_client(properties)
+    for df in data_files:
+        _dek, meta = generate_file_key(kms, key_id)
+        df.key_metadata = meta
+
+
+def spark_parquet_encryption_confs(properties: Dict[str, str]
+                                   ) -> Dict[str, str]:
+    """Hadoop confs enabling Spark's native Parquet Modular Encryption
+    for a table's writes/reads (PropertiesDrivenCryptoFactory + a
+    KmsClient). parquet-hadoop in this Spark ships only the KmsClient
+    INTERFACE, so live PME requires the table property
+    ``encryption.parquet.kms-client-class`` naming a concrete class on
+    the JVM classpath; without it this raises KMSTypeNotFoundError —
+    callers treat that as "metadata-plane only" (DEK envelopes in
+    manifests, plaintext parquet)."""
+    key_id = properties.get(TABLE_KEY_ID_KEY)
+    if not key_id:
+        return {}
+    kms_class = properties.get(PARQUET_KMS_CLIENT_CLASS_KEY)
+    if not kms_class:
+        raise KMSTypeNotFoundError(
+            f"{PARQUET_KMS_CLIENT_CLASS_KEY!r} is not set: no JVM KmsClient "
+            "for live Parquet Modular Encryption")
+    confs = {
+        "parquet.crypto.factory.class":
+            "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+        "parquet.encryption.kms.client.class": kms_class,
+        "parquet.encryption.footer.key": key_id,
+    }
+    col_keys = properties.get(PARQUET_COLUMN_KEYS_KEY)
+    if col_keys:
+        confs["parquet.encryption.column.keys"] = col_keys
+    return confs
+
+
+def apply_parquet_encryption(spark, properties: Dict[str, str]) -> bool:
+    """Set the PME hadoop confs on the session if the table is fully
+    configured for live encryption; returns whether they were applied."""
+    try:
+        confs = spark_parquet_encryption_confs(properties)
+    except KMSTypeNotFoundError:
+        return False
+    if not confs:
+        return False
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in confs.items():
+        hconf.set(k, v)
+    return True

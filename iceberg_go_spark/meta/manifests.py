@@ -51,6 +51,10 @@ class DataFile:
     equality_ids: Optional[List[int]] = None
     sort_order_id: Optional[int] = None
     first_row_id: Optional[int] = None
+    # wrapped per-file encryption key envelope (spec data_file field 131;
+    # reference table/encryption.go EncryptionKey carries the table-level
+    # keys, this is the file-level DEK descriptor)
+    key_metadata: Optional[bytes] = None
     # in-memory only (never serialized to spec manifests): set at scan
     # time from a parquet-footer check when the table carries a
     # schema.name-mapping.default property — files without field IDs
@@ -206,6 +210,7 @@ def data_file_avro_schema(ptype: T.StructType) -> dict:
         {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"})},
         {"name": "sort_order_id", "type": _opt("int")},
         {"name": "first_row_id", "type": _opt("long")},
+        {"name": "key_metadata", "type": _opt("bytes")},
     ]}
 
 
@@ -290,6 +295,7 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
                 "equality_ids": df.equality_ids,
                 "sort_order_id": df.sort_order_id,
                 "first_row_id": df.first_row_id,
+                "key_metadata": df.key_metadata,
             }})
     import json
     meta = {
@@ -383,7 +389,8 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
             split_offsets=d.get("split_offsets"),
             equality_ids=d.get("equality_ids"),
             sort_order_id=d.get("sort_order_id"),
-            first_row_id=d.get("first_row_id"))
+            first_row_id=d.get("first_row_id"),
+            key_metadata=d.get("key_metadata"))
         entries.append(ManifestEntry(
             status=r["status"], snapshot_id=r.get("snapshot_id"),
             sequence_number=r.get("sequence_number"),

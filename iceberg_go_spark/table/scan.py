@@ -251,6 +251,13 @@ class Scan:
         if not tasks:
             return spark.createDataFrame([], projection.to_spark())
 
+        # encrypted tables: arm the session's PME confs so the parquet
+        # reader can unwrap footers (no-op without a JVM KmsClient)
+        from ..encryption import (apply_parquet_encryption,
+                                  table_encryption_enabled)
+        if table_encryption_enabled(md.properties):
+            apply_parquet_encryption(spark, md.properties)
+
         # name mapping (spec: schema.name-mapping.default property,
         # name_mapping.go:85): when present, probe footers on executors
         # for files lacking parquet field IDs — those resolve columns

@@ -304,6 +304,10 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
                                               "zstd"))
     if pcols:
         writer = writer.partitionBy(*pcols)
+    # live Parquet Modular Encryption when the table names a JVM
+    # KmsClient; otherwise the metadata plane alone carries the DEKs
+    from ..encryption import apply_parquet_encryption
+    apply_parquet_encryption(spark, properties)
     writer.parquet(out_dir)
 
     # discover written files + their partition tuples
@@ -376,4 +380,8 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
             lower_bounds=s["lower"], upper_bounds=s["upper"],
             split_offsets=sorted(s["split_offsets"]) or None,
             sort_order_id=(sort_order.order_id if sort_order else None)))
+    # encrypted tables: stamp a wrapped per-file DEK envelope on every
+    # new data file (encryption.table-key-id + kms-type properties)
+    from ..encryption import attach_file_keys
+    attach_file_keys(out, properties)
     return out

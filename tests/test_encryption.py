@@ -94,3 +94,92 @@ def test_encryption_key_metadata():
         EncryptionKey("k1", "!!!not-base64!!!").validate()
     with pytest.raises(ValueError):
         EncryptionKey("k1", "").validate()
+
+
+# ---------------------------------------------------------------------------
+# file-level DEK envelopes + write/scan wiring
+
+
+def test_file_key_envelope_roundtrip():
+    from iceberg_go_spark.encryption import (InMemoryKMS, generate_file_key,
+                                             unwrap_file_key)
+    kms = InMemoryKMS()
+    kms.add_key("master", b"0123456789abcdef")
+    dek, meta = generate_file_key(kms, "master")
+    assert len(dek) == 16
+    assert unwrap_file_key(kms, meta) == dek
+    # each file gets its own DEK
+    dek2, meta2 = generate_file_key(kms, "master")
+    assert dek2 != dek and meta2 != meta
+    with pytest.raises(Exception):
+        unwrap_file_key(kms, b"garbage")
+
+
+def test_pme_confs_gated_on_jvm_class():
+    from iceberg_go_spark.encryption import (KMSTypeNotFoundError,
+                                             spark_parquet_encryption_confs)
+    assert spark_parquet_encryption_confs({}) == {}
+    with pytest.raises(KMSTypeNotFoundError):
+        spark_parquet_encryption_confs(
+            {"encryption.table-key-id": "master"})
+    confs = spark_parquet_encryption_confs({
+        "encryption.table-key-id": "master",
+        "encryption.parquet.kms-client-class": "com.example.Kms",
+        "encryption.parquet.column-keys": "master:name"})
+    assert confs["parquet.encryption.footer.key"] == "master"
+    assert confs["parquet.encryption.kms.client.class"] == "com.example.Kms"
+    assert confs["parquet.encryption.column.keys"] == "master:name"
+    assert confs["parquet.crypto.factory.class"].endswith(
+        "PropertiesDrivenCryptoFactory")
+
+
+def test_encrypted_table_stamps_key_metadata(spark, tmp_path):
+    """Write to a table with encryption.table-key-id: every data file's
+    manifest entry must carry a wrapped DEK envelope that the table's KMS
+    (and only it) can unwrap; envelopes survive the manifest round-trip
+    and differ per file."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.encryption import (InMemoryKMS, register_kms,
+                                             unregister_kms, unwrap_file_key)
+    from iceberg_go_spark.schema import Schema
+
+    kms = InMemoryKMS()
+    kms.add_key("table-master", b"fedcba9876543210")
+    register_kms("test-table-kms", lambda _p: kms)
+    try:
+        cat = FilesystemCatalog(str(tmp_path / "wh"))
+        df = spark.range(0, 1000).selectExpr("id", "id % 5 AS k")
+        t = cat.create_table(
+            "db.enc", Schema.from_spark(df.schema),
+            properties={"encryption.table-key-id": "table-master",
+                        "kms-type": "test-table-kms"})
+        t = t.append(df.repartition(4))
+
+        tasks = t.scan().plan_files()
+        assert len(tasks) >= 2
+        envelopes = [k.data_file.key_metadata for k in tasks]
+        assert all(e for e in envelopes)
+        assert len(set(envelopes)) == len(envelopes)  # per-file DEKs
+        deks = {unwrap_file_key(kms, e) for e in envelopes}
+        assert len(deks) == len(envelopes)
+        # reads still work (metadata-plane only: no JVM KmsClient here)
+        assert t.to_df(spark).count() == 1000
+
+        # a KMS without the master key cannot unwrap
+        other = InMemoryKMS()
+        other.add_key("table-master", b"0000000000000000")
+        with pytest.raises(Exception):
+            unwrap_file_key(other, envelopes[0])
+    finally:
+        unregister_kms("test-table-kms")
+
+
+def test_unencrypted_table_has_no_key_metadata(spark, tmp_path):
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.range(0, 10).selectExpr("id")
+    t = cat.create_table("db.plain", Schema.from_spark(df.schema))
+    t = t.append(df)
+    assert all(k.data_file.key_metadata is None
+               for k in t.scan().plan_files())
