@@ -1,10 +1,13 @@
-"""Views and UDF definitions: versioned SQL stored in the catalog,
-executed through Spark.
+"""Views and UDF definitions: versioned, multi-dialect SQL stored in the
+catalog, executed through Spark.
 
-Parity (behavior only): /root/reference/view/metadata.go:64 (versioned view
-metadata, per-dialect SQL representations :102) and udf/metadata.go:52-121
-(scalar udf vs table-function udtf, typed params, versioned bodies).
-Execution is Spark's — the reference stores definitions only.
+Parity (behavior only): /root/reference/view/metadata.go:64 (versioned
+view metadata, per-dialect SQL representations :102) and
+udf/metadata.go (SQLRepresentation :89, UnknownRepresentation :161
+round-tripping foreign representation types raw, typed Parameters :199,
+immutable DefinitionVersions :239 with on-null-input semantics :281,
+canonical definition IDs from parameter types :378-430). Execution is
+Spark's — the reference stores definitions only.
 """
 
 from __future__ import annotations
@@ -14,18 +17,101 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
+
+ON_NULL_CALL = "call"
+ON_NULL_RETURN_NULL = "return-null"
+
+
+# ---------------------------------------------------------------------------
+# representations (shared by views and UDFs)
+
+
+@dataclass(frozen=True)
+class SQLRepresentation:
+    """One dialect's SQL for a view/UDF version (udf/metadata.go:89)."""
+    dialect: str
+    sql: str
+
+    def __post_init__(self):
+        if not self.dialect:
+            raise ValueError("sql representation requires a dialect")
+        if not self.sql:
+            raise ValueError("sql representation requires a sql expression")
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"type": "sql", "dialect": self.dialect, "sql": self.sql}
+
+
+@dataclass(frozen=True)
+class UnknownRepresentation:
+    """A representation of an unrecognized type, preserved raw so metadata
+    written by newer/extended writers round-trips intact
+    (udf/metadata.go:161)."""
+    type_name: str
+    raw: str  # compact JSON
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return json.loads(self.raw)
+
+
+Representation = Union[SQLRepresentation, UnknownRepresentation]
+
+
+def representation_from_json(d: Dict[str, Any]) -> Representation:
+    t = d.get("type")
+    if not t:
+        raise ValueError("representation requires a type")
+    if t == "sql":
+        return SQLRepresentation(d["dialect"], d["sql"])
+    return UnknownRepresentation(t, json.dumps(d, sort_keys=True,
+                                               separators=(",", ":")))
+
+
+def _resolve_sql(representations: List[Representation],
+                 dialect: str) -> str:
+    for r in representations:
+        if isinstance(r, SQLRepresentation) and r.dialect == dialect:
+            return r.sql
+    have = sorted(r.dialect for r in representations
+                  if isinstance(r, SQLRepresentation))
+    raise ValueError(
+        f"no SQL representation for dialect {dialect!r} (have {have})")
+
+
+def _as_representations(sql: Union[str, Dict[str, str],
+                                   List[Representation]],
+                        default_dialect: str = "spark"
+                        ) -> List[Representation]:
+    if isinstance(sql, str):
+        return [SQLRepresentation(default_dialect, sql)]
+    if isinstance(sql, dict):
+        return [SQLRepresentation(d, s) for d, s in sorted(sql.items())]
+    return list(sql)
+
+
+# ---------------------------------------------------------------------------
+# views
 
 
 @dataclass
 class ViewVersion:
     version_id: int
     timestamp_ms: int
-    sql: str
+    sql: str = ""                 # spark-dialect shorthand
     dialect: str = "spark"
     summary: Dict[str, str] = dc_field(default_factory=dict)
+    representations: List[Representation] = dc_field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.representations and self.sql:
+            self.representations = [SQLRepresentation(self.dialect,
+                                                      self.sql)]
+
+    def sql_for(self, dialect: str = "spark") -> str:
+        return _resolve_sql(self.representations, dialect)
 
 
 @dataclass
@@ -42,19 +128,10 @@ class ViewMetadata:
         raise ValueError("missing current view version")
 
 
-@dataclass
-class UDFDefinition:
-    """Scalar ``udf`` or table function ``udtf`` (udf/metadata.go:52)."""
-    name: str
-    func_type: str            # "udf" | "udtf"
-    sql_body: str             # SQL expression/query with $params
-    params: List[str] = dc_field(default_factory=list)
-    deterministic: bool = True
-    dialect: str = "spark"
-
-
 class ViewCatalog:
-    """File-backed registry under {warehouse}/_views."""
+    """File-backed registry under {warehouse}/_views. ``sql`` arguments
+    accept a plain string (spark dialect) or {dialect: sql} for
+    multi-dialect views (view/metadata.go:102)."""
 
     def __init__(self, warehouse: str):
         self.dir = os.path.join(warehouse, "_views")
@@ -63,16 +140,22 @@ class ViewCatalog:
     def _path(self, identifier: str) -> str:
         return os.path.join(self.dir, identifier.replace(".", "__") + ".json")
 
-    def create_view(self, identifier: str, sql: str) -> ViewMetadata:
+    def create_view(self, identifier: str,
+                    sql: Union[str, Dict[str, str]]) -> ViewMetadata:
+        reps = _as_representations(sql)
         md = ViewMetadata(str(uuid.uuid4()), identifier, 1,
-                          [ViewVersion(1, int(time.time() * 1000), sql)])
+                          [ViewVersion(1, int(time.time() * 1000),
+                                       representations=reps)])
         self._write(md)
         return md
 
-    def replace_view(self, identifier: str, sql: str) -> ViewMetadata:
+    def replace_view(self, identifier: str,
+                     sql: Union[str, Dict[str, str]]) -> ViewMetadata:
         md = self.load_view(identifier)
         vid = max(v.version_id for v in md.versions) + 1
-        md.versions.append(ViewVersion(vid, int(time.time() * 1000), sql))
+        md.versions.append(ViewVersion(vid, int(time.time() * 1000),
+                                       representations=_as_representations(
+                                           sql)))
         md.current_version_id = vid
         self._write(md)
         return md
@@ -80,11 +163,15 @@ class ViewCatalog:
     def load_view(self, identifier: str) -> ViewMetadata:
         with open(self._path(identifier)) as f:
             d = json.load(f)
-        return ViewMetadata(
-            d["view-uuid"], d["identifier"], d["current-version-id"],
-            [ViewVersion(v["version-id"], v["timestamp-ms"], v["sql"],
-                         v.get("dialect", "spark"))
-             for v in d["versions"]])
+        versions = []
+        for v in d["versions"]:
+            reps = [representation_from_json(r)
+                    for r in v.get("representations", [])]
+            versions.append(ViewVersion(
+                v["version-id"], v["timestamp-ms"],
+                summary=v.get("summary", {}), representations=reps))
+        return ViewMetadata(d["view-uuid"], d["identifier"],
+                            d["current-version-id"], versions)
 
     def drop_view(self, identifier: str) -> None:
         os.unlink(self._path(identifier))
@@ -96,9 +183,13 @@ class ViewCatalog:
     def _write(self, md: ViewMetadata) -> None:
         d = {"view-uuid": md.view_uuid, "identifier": md.identifier,
              "current-version-id": md.current_version_id,
-             "versions": [{"version-id": v.version_id,
-                           "timestamp-ms": v.timestamp_ms, "sql": v.sql,
-                           "dialect": v.dialect} for v in md.versions]}
+             "versions": [
+                 {"version-id": v.version_id,
+                  "timestamp-ms": v.timestamp_ms,
+                  "summary": v.summary,
+                  "representations": [r.to_json_dict()
+                                      for r in v.representations]}
+                 for v in md.versions]}
         tmp = self._path(md.identifier) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(d, f, indent=1)
@@ -106,17 +197,153 @@ class ViewCatalog:
 
     # -- execution -----------------------------------------------------------
     def run_view(self, spark: SparkSession, identifier: str,
-                 version_id: Optional[int] = None) -> DataFrame:
+                 version_id: Optional[int] = None,
+                 dialect: str = "spark") -> DataFrame:
         md = self.load_view(identifier)
         if version_id is None:
             v = md.current()
         else:
             v = next(x for x in md.versions if x.version_id == version_id)
-        return spark.sql(v.sql)
+        return spark.sql(v.sql_for(dialect))
+
+
+# ---------------------------------------------------------------------------
+# UDFs
+
+
+@dataclass(frozen=True)
+class Parameter:
+    """A typed function parameter (udf/metadata.go:199). ``type`` is a
+    Spark SQL type string ("double", "bigint", "string", ...)."""
+    name: str
+    type: str = "double"
+    doc: str = ""
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        d: Dict[str, Any] = {"name": self.name, "type": self.type}
+        if self.doc:
+            d["doc"] = self.doc
+        return d
+
+
+@dataclass
+class UDFVersion:
+    """An immutable versioned implementation (udf/metadata.go:239):
+    changes to a definition introduce a new version."""
+    version_id: int
+    representations: List[Representation]
+    deterministic: bool = True
+    on_null_input: str = ON_NULL_CALL
+    timestamp_ms: int = 0
+
+    def validate(self) -> None:
+        if self.version_id < 0:
+            raise ValueError(f"invalid version-id {self.version_id}")
+        if not self.representations:
+            raise ValueError(
+                f"version {self.version_id} must have at least one "
+                "representation")
+        if self.on_null_input not in (ON_NULL_CALL, ON_NULL_RETURN_NULL):
+            raise ValueError(
+                f"invalid on-null-input {self.on_null_input!r}")
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"version-id": self.version_id,
+                "representations": [r.to_json_dict()
+                                    for r in self.representations],
+                "deterministic": self.deterministic,
+                "on-null-input": self.on_null_input,
+                "timestamp-ms": self.timestamp_ms}
+
+
+@dataclass
+class UDFDefinition:
+    """Scalar ``udf`` or table function ``udtf`` (udf/metadata.go:52).
+
+    Legacy shorthand (``sql_body`` + name-only ``params``) is normalized
+    into version 1 with double-typed parameters; rich callers pass typed
+    ``parameters``, ``return_type`` and ``versions`` directly.
+    """
+    name: str
+    func_type: str                # "udf" | "udtf"
+    sql_body: str = ""
+    params: List[str] = dc_field(default_factory=list)
+    deterministic: bool = True
+    dialect: str = "spark"
+    parameters: List[Parameter] = dc_field(default_factory=list)
+    return_type: str = "double"
+    return_nullable: bool = True
+    on_null_input: str = ON_NULL_CALL
+    doc: str = ""
+    versions: List[UDFVersion] = dc_field(default_factory=list)
+    current_version_id: int = 0
+
+    def __post_init__(self):
+        if not self.parameters and self.params:
+            self.parameters = [Parameter(p) for p in self.params]
+        if not self.versions:
+            if not self.sql_body:
+                raise ValueError(
+                    f"udf {self.name}: either sql_body or versions required")
+            self.versions = [UDFVersion(
+                1, [SQLRepresentation(self.dialect, self.sql_body)],
+                deterministic=self.deterministic,
+                on_null_input=self.on_null_input,
+                timestamp_ms=int(time.time() * 1000))]
+            self.current_version_id = 1
+        for v in self.versions:
+            v.validate()
+        if self.func_type not in ("udf", "udtf"):
+            raise ValueError(f"invalid function-type {self.func_type!r}")
+
+    @property
+    def definition_id(self) -> str:
+        """Canonical ID derived from the parameter types
+        (udf/metadata.go:378 CanonicalDefinitionID): two definitions with
+        the same type list collide regardless of parameter names."""
+        return f"{self.name}({','.join(p.type for p in self.parameters)})"
+
+    def current(self) -> UDFVersion:
+        for v in self.versions:
+            if v.version_id == self.current_version_id:
+                return v
+        raise ValueError(f"udf {self.name}: missing current version "
+                         f"{self.current_version_id}")
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        return {"name": self.name,
+                "function-type": self.func_type,
+                "definition-id": self.definition_id,
+                "parameters": [p.to_json_dict() for p in self.parameters],
+                "return-type": self.return_type,
+                "return-nullable": self.return_nullable,
+                "doc": self.doc,
+                "versions": [v.to_json_dict() for v in self.versions],
+                "current-version-id": self.current_version_id}
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any]) -> "UDFDefinition":
+        versions = [UDFVersion(
+            v["version-id"],
+            [representation_from_json(r) for r in v["representations"]],
+            deterministic=v.get("deterministic", True),
+            on_null_input=v.get("on-null-input", ON_NULL_CALL),
+            timestamp_ms=v.get("timestamp-ms", 0))
+            for v in d["versions"]]
+        return cls(name=d["name"], func_type=d["function-type"],
+                   parameters=[Parameter(p["name"], p.get("type", "double"),
+                                         p.get("doc", ""))
+                               for p in d.get("parameters", [])],
+                   return_type=d.get("return-type", "double"),
+                   return_nullable=d.get("return-nullable", True),
+                   doc=d.get("doc", ""), versions=versions,
+                   current_version_id=d["current-version-id"])
 
 
 class UDFRegistry:
-    """File-backed UDF definitions; applied to a session as SQL macros."""
+    """File-backed UDF definitions; applied to a session as SQL
+    functions. Replacing a definition appends an immutable new version
+    (udf/metadata_builder.go AddVersion semantics)."""
 
     def __init__(self, warehouse: str):
         self.dir = os.path.join(warehouse, "_udfs")
@@ -126,27 +353,52 @@ class UDFRegistry:
         return os.path.join(self.dir, name + ".json")
 
     def register(self, d: UDFDefinition) -> None:
-        with open(self._path(d.name), "w") as f:
-            json.dump(d.__dict__, f, indent=1)
+        tmp = self._path(d.name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d.to_json_dict(), f, indent=1)
+        os.replace(tmp, self._path(d.name))
+
+    def replace(self, name: str,
+                sql: Union[str, Dict[str, str]],
+                deterministic: bool = True,
+                on_null_input: str = ON_NULL_CALL) -> UDFDefinition:
+        """Add a new current version; prior versions stay addressable."""
+        d = self.load(name)
+        vid = max(v.version_id for v in d.versions) + 1
+        d.versions.append(UDFVersion(
+            vid, _as_representations(sql), deterministic=deterministic,
+            on_null_input=on_null_input,
+            timestamp_ms=int(time.time() * 1000)))
+        d.current_version_id = vid
+        self.register(d)
+        return d
 
     def load(self, name: str) -> UDFDefinition:
         with open(self._path(name)) as f:
-            return UDFDefinition(**json.load(f))
+            return UDFDefinition.from_json_dict(json.load(f))
 
     def list_udfs(self) -> List[str]:
         return sorted(p[:-5] for p in os.listdir(self.dir)
                       if p.endswith(".json"))
 
-    def apply(self, spark: SparkSession, name: str) -> None:
-        """Install as a Spark SQL temp function (SQL-body macro)."""
+    def apply(self, spark: SparkSession, name: str,
+              version_id: Optional[int] = None,
+              dialect: str = "spark") -> None:
+        """Install as a Spark SQL function with the definition's typed
+        signature (Spark 3.5+ SQL UDF syntax)."""
         d = self.load(name)
-        params = ", ".join(f"{p} ANY" for p in d.params) if d.params else ""
-        # Spark SQL CREATE TEMPORARY FUNCTION requires a class; use SQL
-        # function syntax (Spark 3.5+ SQL UDF)
-        arglist = ", ".join(f"{p} DOUBLE" for p in d.params)
+        v = (d.current() if version_id is None else
+             next(x for x in d.versions if x.version_id == version_id))
+        body = _resolve_sql(v.representations, dialect)
+        arglist = ", ".join(f"{p.name} {p.type.upper()}"
+                            for p in d.parameters)
+        if d.func_type == "udtf":
+            ret = f"RETURNS TABLE ({d.return_type})"
+        else:
+            ret = f"RETURNS {d.return_type.upper()}"
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {d.name}({arglist}) "
-            f"RETURNS DOUBLE RETURN {d.sql_body}")
+            f"{ret} RETURN {body}")
 
 
 def register_tables(spark: SparkSession, catalog, namespace,

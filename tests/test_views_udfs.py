@@ -1,0 +1,112 @@
+"""Multi-dialect views and versioned typed UDF metadata.
+
+Parity (behavior only): /root/reference/view/metadata.go:102 (per-dialect
+SQL representations), udf/metadata.go:89-196 (sql + unknown
+representations, raw round-trip), :199 (typed parameters), :239-340
+(immutable versions, on-null-input), :378-430 (canonical definition id).
+"""
+
+import json
+
+import pytest
+
+from iceberg_go_spark.views import (ON_NULL_RETURN_NULL, Parameter,
+                                    SQLRepresentation, UDFDefinition,
+                                    UDFRegistry, UDFVersion,
+                                    UnknownRepresentation, ViewCatalog,
+                                    representation_from_json)
+
+
+def test_view_multi_dialect(tmp_path, spark):
+    vc = ViewCatalog(str(tmp_path))
+    vc.create_view("db.v", {"spark": "SELECT 1 AS one",
+                            "trino": "SELECT 1 one"})
+    v = vc.load_view("db.v").current()
+    assert v.sql_for("spark") == "SELECT 1 AS one"
+    assert v.sql_for("trino") == "SELECT 1 one"
+    with pytest.raises(ValueError, match="duckdb"):
+        v.sql_for("duckdb")
+    assert vc.run_view(spark, "db.v").collect()[0].one == 1
+    # replace adds a version; old version + dialect stay addressable
+    vc.replace_view("db.v", {"spark": "SELECT 2 AS one"})
+    assert vc.run_view(spark, "db.v").collect()[0].one == 2
+    assert vc.run_view(spark, "db.v", version_id=1,
+                       dialect="trino") is not None
+
+
+def test_unknown_representation_roundtrip(tmp_path):
+    raw = {"type": "python", "code": "lambda x: x+1", "runtime": "3.11"}
+    r = representation_from_json(raw)
+    assert isinstance(r, UnknownRepresentation)
+    assert r.type_name == "python"
+    assert r.to_json_dict() == raw
+    # survives a full write/load cycle alongside a sql representation
+    d = UDFDefinition(
+        "f", "udf", parameters=[Parameter("x", "double")],
+        versions=[UDFVersion(1, [SQLRepresentation("spark", "x + 1"), r],
+                             timestamp_ms=1)],
+        current_version_id=1)
+    reg = UDFRegistry(str(tmp_path))
+    reg.register(d)
+    back = reg.load("f")
+    reps = back.current().representations
+    assert any(isinstance(x, UnknownRepresentation)
+               and x.to_json_dict() == raw for x in reps)
+
+
+def test_udf_typed_params_and_definition_id(tmp_path, spark):
+    d = UDFDefinition(
+        "taxed", "udf",
+        parameters=[Parameter("price", "double", doc="base price"),
+                    Parameter("qty", "bigint")],
+        return_type="double",
+        versions=[UDFVersion(
+            1, [SQLRepresentation("spark", "price * qty * 1.1")],
+            timestamp_ms=1)],
+        current_version_id=1)
+    assert d.definition_id == "taxed(double,bigint)"
+    reg = UDFRegistry(str(tmp_path))
+    reg.register(d)
+    reg.apply(spark, "taxed")
+    out = spark.sql("SELECT taxed(10.0, 3) AS v").collect()[0].v
+    assert abs(out - 33.0) < 1e-9
+
+
+def test_udf_versioning(tmp_path, spark):
+    reg = UDFRegistry(str(tmp_path))
+    reg.register(UDFDefinition("disc", "udf", "x * 0.9", params=["x"]))
+    reg.replace("disc", "x * 0.8")
+    d = reg.load("disc")
+    assert d.current_version_id == 2 and len(d.versions) == 2
+    reg.apply(spark, "disc")
+    assert abs(spark.sql("SELECT disc(10.0) AS v").collect()[0].v
+               - 8.0) < 1e-9
+    reg.apply(spark, "disc", version_id=1)
+    assert abs(spark.sql("SELECT disc(10.0) AS v").collect()[0].v
+               - 9.0) < 1e-9
+
+
+def test_udf_validation():
+    with pytest.raises(ValueError):
+        UDFDefinition("f", "udf")  # no body and no versions
+    with pytest.raises(ValueError):
+        UDFDefinition("f", "macro", "1")  # bad function type
+    with pytest.raises(ValueError):
+        UDFVersion(1, []).validate()  # no representations
+    with pytest.raises(ValueError):
+        UDFVersion(1, [SQLRepresentation("spark", "1")],
+                   on_null_input="explode").validate()
+    v = UDFVersion(1, [SQLRepresentation("spark", "1")],
+                   on_null_input=ON_NULL_RETURN_NULL)
+    v.validate()
+
+
+def test_udf_json_shape(tmp_path):
+    reg = UDFRegistry(str(tmp_path))
+    reg.register(UDFDefinition("f", "udf", "x + 1", params=["x"]))
+    with open(reg._path("f")) as fh:
+        d = json.load(fh)
+    assert d["definition-id"] == "f(double)"
+    assert d["versions"][0]["representations"][0] == {
+        "type": "sql", "dialect": "spark", "sql": "x + 1"}
+    assert d["current-version-id"] == 1
