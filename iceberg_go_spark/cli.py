@@ -57,6 +57,45 @@ def main(argv=None) -> int:
     sp = sub.add_parser("orphan-files")
     sp.add_argument("table")
     sp.add_argument("--delete", action="store_true")
+
+    # create/drop/rename family (main.go:87-123)
+    sp = sub.add_parser("create-namespace")
+    sp.add_argument("namespace")
+    sp.add_argument("--description")
+    sp.add_argument("--location-uri")
+    sp = sub.add_parser("create-table")
+    sp.add_argument("table")
+    sp.add_argument("--schema", help="schema JSON (iceberg field list)")
+    sp.add_argument("--infer-schema",
+                    help="infer the schema from a local parquet file")
+    sp.add_argument("--partition-spec",
+                    help="comma-separated col:transform pairs, e.g. "
+                         "'l_shipdate:month,l_orderkey:bucket[8]'")
+    sp.add_argument("--sort-order",
+                    help="comma-separated field:direction[:null-order], "
+                         "e.g. 'l_shipdate:desc:nulls-last'")
+    sp.add_argument("--properties", help="comma-separated key=value pairs")
+    sp = sub.add_parser("drop-namespace")
+    sp.add_argument("namespace")
+    sp = sub.add_parser("drop-table")
+    sp.add_argument("table")
+    sp.add_argument("--purge", action="store_true",
+                    help="physically delete all table files")
+    sp = sub.add_parser("rename")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+
+    # properties get/set/remove (main.go:126-151)
+    sp = sub.add_parser("properties")
+    sp.add_argument("action", choices=["get", "set", "remove"])
+    sp.add_argument("table")
+    sp.add_argument("prop_name", nargs="?")
+    sp.add_argument("value", nargs="?")
+
+    sp = sub.add_parser("rewrite-manifests")
+    sp.add_argument("table")
+    sp.add_argument("--target-entries", type=int, default=2000,
+                    help="target manifest entries per rewritten manifest")
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -67,6 +106,82 @@ def main(argv=None) -> int:
         else:
             rows = [(".".join(n),) for n in cat.list_namespaces()]
         _emit(args, rows, ["identifier"])
+        return 0
+
+    if args.cmd in ("create-namespace", "create-table", "drop-namespace",
+                    "drop-table", "rename"):
+        from .catalog import FilesystemCatalog
+        cat = FilesystemCatalog(args.warehouse)
+        if args.cmd == "create-namespace":
+            cat.create_namespace(args.namespace)
+            print(f"created namespace {args.namespace}")
+        elif args.cmd == "create-table":
+            from .meta.partitioning import (SortField, SortOrder,
+                                            spec_from_names)
+            from .schema import Schema
+            if args.infer_schema:
+                # arrow -> spark -> iceberg: no JVM needed for the footer
+                import pyarrow.parquet as pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+                schema = Schema.from_spark(
+                    from_arrow_schema(pq.read_schema(args.infer_schema)))
+            elif args.schema:
+                schema = Schema.from_json_dict(
+                    {"type": "struct", "schema-id": 0,
+                     "fields": json.loads(args.schema)})
+            else:
+                print("create-table needs --schema or --infer-schema",
+                      file=sys.stderr)
+                return 2
+            spec = None
+            if args.partition_spec:
+                pairs = [tuple(x.split(":", 1))
+                         for x in args.partition_spec.split(",")]
+                spec = spec_from_names(schema, *pairs)
+            order = None
+            if args.sort_order:
+                from .transforms import parse_transform
+                fields = []
+                for part in args.sort_order.split(","):
+                    bits = part.split(":")
+                    f = schema.find_field(bits[0])
+                    if f is None:
+                        print(f"no such column: {bits[0]}", file=sys.stderr)
+                        return 2
+                    fields.append(SortField(
+                        f.field_id, parse_transform("identity"),
+                        bits[1] if len(bits) > 1 else "asc",
+                        bits[2] if len(bits) > 2 else "nulls-first"))
+                order = SortOrder(fields, order_id=1)
+            props = {}
+            if args.properties:
+                props = dict(kv.split("=", 1)
+                             for kv in args.properties.split(","))
+            cat.create_table(args.table, schema, spec, sort_order=order,
+                             properties=props)
+            print(f"created table {args.table}")
+        elif args.cmd == "drop-namespace":
+            if cat.list_tables(args.namespace):
+                print(f"namespace {args.namespace} is not empty",
+                      file=sys.stderr)
+                return 1
+            import shutil as _sh
+            import os as _os
+            _sh.rmtree(_os.path.join(args.warehouse, args.namespace))
+            print(f"dropped namespace {args.namespace}")
+        elif args.cmd == "drop-table":
+            # catalog entry first, then best-effort physical purge
+            # (reference PurgeTable order, catalog/glue/glue.go:445-463)
+            t = cat.load_table(args.table) if args.purge else None
+            cat.drop_table(args.table)
+            if t is not None:
+                from .table.maintenance import purge_table_files
+                purge_table_files(t.metadata, t.metadata_location)
+            print(f"dropped table {args.table}"
+                  + (" (purged)" if args.purge else ""))
+        else:
+            cat.rename_table(args.src, args.dst)
+            print(f"renamed {args.src} -> {args.dst}")
         return 0
 
     t = _table(args)
@@ -124,6 +239,41 @@ def main(argv=None) -> int:
         paths = t.orphan_files(get_spark("cli"), dry_run=not args.delete)
         for pth in paths:
             print(pth)
+    elif args.cmd == "properties":
+        if args.action == "get":
+            props = t.properties()
+            if args.prop_name:
+                if args.prop_name not in props:
+                    print(f"no such property: {args.prop_name}",
+                          file=sys.stderr)
+                    return 1
+                print(props[args.prop_name])
+            else:
+                _emit(args, sorted(props.items()), ["key", "value"])
+        elif args.action == "set":
+            if args.prop_name is None or args.value is None:
+                print("properties set needs NAME VALUE", file=sys.stderr)
+                return 2
+            t.update_properties({args.prop_name: args.value})
+            print(f"set {args.prop_name}={args.value}")
+        else:
+            if args.prop_name is None:
+                print("properties remove needs NAME", file=sys.stderr)
+                return 2
+            t.update_properties(removals=[args.prop_name])
+            print(f"removed {args.prop_name}")
+    elif args.cmd == "rewrite-manifests":
+        from .meta import manifests as M
+        from .table.maintenance import rewrite_manifests
+        before = len(M.read_manifest_list(
+            t.metadata.current_snapshot().manifest_list)) \
+            if t.metadata.current_snapshot() else 0
+        t2 = rewrite_manifests(
+            t, target_entries_per_manifest=args.target_entries)
+        after = len(M.read_manifest_list(
+            t2.metadata.current_snapshot().manifest_list)) \
+            if t2.metadata.current_snapshot() else 0
+        print(f"rewrote manifests: {before} -> {after}")
     return 0
 
 

@@ -73,3 +73,83 @@ def test_cli_expire_and_text_output(capsys, wh):
     # text mode renders a header row
     txt = _run(capsys, "--warehouse", wh, "list")
     assert "identifier" in txt
+
+
+def test_cli_create_table_full_flags(capsys, wh, sf_dir, spark):
+    """create-table with --infer-schema/--partition-spec/--sort-order/
+    --properties (main.go:93-101), then write through the library and
+    confirm the spec drove the layout."""
+    import os
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = _run(capsys, "--warehouse", wh, "create-table", "db.o",
+               "--infer-schema", src,
+               "--partition-spec", "o_orderdate:year",
+               "--sort-order", "o_totalprice:desc:nulls-last",
+               "--properties", "write.parquet.compression-codec=snappy,owner=cli")
+    assert "created table db.o" in out
+    cat = FilesystemCatalog(wh)
+    t = cat.load_table("db.o")
+    assert t.properties()["owner"] == "cli"
+    assert [f.name for f in t.metadata.spec().fields] == ["o_orderdate_year"]
+    so = next(o for o in t.metadata.sort_orders
+              if o.order_id == t.metadata.default_sort_order_id)
+    assert so.fields[0].direction == "desc"
+    assert so.fields[0].null_order == "nulls-last"
+    t.append(read_table(spark, "orders", sf_dir))
+    parts = {json.dumps(k.data_file.partition)
+             for k in t.scan().plan_files()}
+    assert len(parts) > 1  # year-partitioned layout engaged
+
+
+def test_cli_create_schema_json_and_drop_purge(capsys, wh):
+    import os
+    out = _run(capsys, "--warehouse", wh, "create-table", "db.j",
+               "--schema",
+               '[{"id":1,"name":"id","type":"long","required":true},'
+               '{"id":2,"name":"v","type":"string","required":false}]')
+    assert "created table db.j" in out
+    cat = FilesystemCatalog(wh)
+    loc = cat.load_table("db.j").metadata_location
+    assert os.path.exists(loc)
+    out = _run(capsys, "--warehouse", wh, "drop-table", "db.j", "--purge")
+    assert "purged" in out
+    assert not os.path.exists(loc)
+    assert not cat.table_exists("db.j")
+
+
+def test_cli_rename_and_namespaces(capsys, wh):
+    _run(capsys, "--warehouse", wh, "create-namespace", "db2")
+    out = _run(capsys, "--warehouse", wh, "rename", "db.n", "db2.renamed")
+    assert "renamed" in out
+    out = _run(capsys, "--warehouse", wh, "--output", "json", "list", "db2")
+    assert json.loads(out)[0]["identifier"] == "db2.renamed"
+    rc = main(["--warehouse", wh, "drop-namespace", "db2"])
+    assert rc == 1  # not empty
+    _run(capsys, "--warehouse", wh, "drop-table", "db2.renamed")
+    capsys.readouterr()
+    _run(capsys, "--warehouse", wh, "drop-namespace", "db2")
+
+
+def test_cli_properties(capsys, wh):
+    out = _run(capsys, "--warehouse", wh, "properties", "set", "db.n",
+               "commit.retry.num-retries", "7")
+    assert "set" in out
+    out = _run(capsys, "--warehouse", wh, "properties", "get", "db.n",
+               "commit.retry.num-retries")
+    assert out.strip() == "7"
+    out = _run(capsys, "--warehouse", wh, "--output", "json",
+               "properties", "get", "db.n")
+    assert {"key": "commit.retry.num-retries", "value": "7"} in \
+        json.loads(out)
+    _run(capsys, "--warehouse", wh, "properties", "remove", "db.n",
+         "commit.retry.num-retries")
+    capsys.readouterr()
+    rc = main(["--warehouse", wh, "properties", "get", "db.n",
+               "commit.retry.num-retries"])
+    assert rc == 1
+
+
+def test_cli_rewrite_manifests_sizing(capsys, wh):
+    out = _run(capsys, "--warehouse", wh, "rewrite-manifests", "db.n",
+               "--target-entries", "1")
+    assert "rewrote manifests" in out
