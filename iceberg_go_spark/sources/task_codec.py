@@ -94,6 +94,8 @@ def encode_tasks(tasks: List[FileScanTask]) -> str:
         "sequence_number": t.sequence_number,
         "pos_deletes": [_df_to_dict(d) for d in t.pos_deletes],
         "eq_deletes": [_df_to_dict(d) for d in t.eq_deletes],
+        "start": t.start,
+        "length": t.length,
     } for t in tasks])
 
 
@@ -104,5 +106,6 @@ def decode_tasks(payload: str) -> List[FileScanTask]:
             data_file=_df_from_dict(d["data_file"]),
             sequence_number=d["sequence_number"],
             pos_deletes=[_df_from_dict(x) for x in d["pos_deletes"]],
-            eq_deletes=[_df_from_dict(x) for x in d["eq_deletes"]]))
+            eq_deletes=[_df_from_dict(x) for x in d["eq_deletes"]],
+            start=d.get("start", 0), length=d.get("length")))
     return out

@@ -44,6 +44,58 @@ class FileScanTask:
     # partition spec the file was written under (from its manifest header;
     # multi-spec tables carry files of several specs at once)
     spec_id: Optional[int] = None
+    # byte range of this task within the file (reference scanner.go:981
+    # FileScanTask.Start/Length): 0/file-size for whole-file tasks;
+    # split_tasks() carves ranges on row-group boundaries
+    start: int = 0
+    length: Optional[int] = None
+
+    @property
+    def size(self) -> int:
+        return (self.length if self.length is not None
+                else self.data_file.file_size_in_bytes)
+
+
+PROP_SPLIT_TARGET_SIZE = "read.split.target.size"
+DEFAULT_SPLIT_TARGET_SIZE = 128 * 1024 * 1024
+
+
+def split_tasks(tasks: List["FileScanTask"],
+                target_size: int = DEFAULT_SPLIT_TARGET_SIZE
+                ) -> List["FileScanTask"]:
+    """Carve whole-file tasks into byte-range tasks of ~target_size,
+    aligned on the file's row-group boundaries (split_offsets harvested
+    at write time). Files without split offsets, or smaller than the
+    target, pass through whole. Delete files ride along on every split —
+    position deletes are row-addressed against the whole file, so each
+    range still needs the full delete set."""
+    out: List[FileScanTask] = []
+    for t in tasks:
+        size = t.data_file.file_size_in_bytes
+        offs = sorted(t.data_file.split_offsets or [])
+        if len(offs) <= 1 or size <= target_size:
+            out.append(t)
+            continue
+        bounds = offs + [size]
+        start = bounds[0]
+        for nxt in bounds[1:]:
+            # grow the current range until adding the next row group
+            # would push it past the target
+            if nxt - start >= target_size:
+                out.append(FileScanTask(
+                    data_file=t.data_file,
+                    sequence_number=t.sequence_number,
+                    pos_deletes=t.pos_deletes, eq_deletes=t.eq_deletes,
+                    residual=t.residual, spec_id=t.spec_id,
+                    start=start, length=nxt - start))
+                start = nxt
+        if start < size:
+            out.append(FileScanTask(
+                data_file=t.data_file, sequence_number=t.sequence_number,
+                pos_deletes=t.pos_deletes, eq_deletes=t.eq_deletes,
+                residual=t.residual, spec_id=t.spec_id,
+                start=start, length=size - start))
+    return out
 
 
 @dataclass
@@ -240,6 +292,18 @@ class Scan:
                 spec_id=spec_id))
         self.report.planning_ms = (_t.time() - t0) * 1000
         return tasks
+
+    def plan_tasks(self, target_split_size: Optional[int] = None
+                   ) -> List[FileScanTask]:
+        """Plan files, then split into byte-range tasks of
+        ``read.split.target.size`` (default 128 MB) for balanced
+        distribution across readers (scanner.go:981). Spark's own reader
+        re-splits parquet internally, so to_df() uses whole files; this
+        surface exists for external/REST task consumers."""
+        if target_split_size is None:
+            target_split_size = int(self.table.metadata.properties.get(
+                PROP_SPLIT_TARGET_SIZE, DEFAULT_SPLIT_TARGET_SIZE))
+        return split_tasks(self.plan_files(), target_split_size)
 
     # ------------------------------------------------------------ execute
     def to_df(self, spark: SparkSession) -> DataFrame:

@@ -173,7 +173,12 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         first_col = rg.column(0)
-        out["split_offsets"].append(first_col.file_offset)
+        # parquet deprecated ColumnChunk.file_offset (writers emit 0);
+        # the row group's true start is its first page offset
+        off = first_col.dictionary_page_offset
+        if off is None or off <= 0:
+            off = first_col.data_page_offset
+        out["split_offsets"].append(off)
         for ci in range(rg.num_columns):
             col = rg.column(ci)
             name = col.path_in_schema.split(".")[0]

@@ -300,3 +300,57 @@ def test_register_tables_sql_join(spark, tmp_path):
            .groupBy("r_name").count().orderBy("r_name").collect())
     assert [(r.r_name, r.n) for r in got] == \
         [(r.r_name, r["count"]) for r in exp]
+
+
+def test_byte_range_task_splits(spark, tmp_path, sf_dir):
+    """plan_tasks carves whole-file tasks on row-group boundaries into
+    ~read.split.target.size ranges (reference scanner.go:981
+    Start/Length); ranges tile each file exactly and round-trip the
+    task codec."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.sources.task_codec import (decode_tasks,
+                                                     encode_tasks)
+    from iceberg_go_spark.table.scan import split_tasks
+
+    from conftest import read_table
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "lineitem", sf_dir)
+    t = cat.create_table("db.li", Schema.from_spark(df.schema))
+    # small parquet row groups so one sf0.001 file carries several
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.block.size", "65536")
+    try:
+        t = t.append(df.coalesce(1))
+    finally:
+        hconf.unset("parquet.block.size")
+
+    whole = t.scan().plan_files()
+    assert len(whole[0].data_file.split_offsets) > 1
+    # tiny split target so even sf0.001 files split
+    split = split_tasks(whole, target_size=64 * 1024)
+    assert len(split) > len(whole)
+    by_file = {}
+    for task in split:
+        by_file.setdefault(task.data_file.file_path, []).append(task)
+    for path, parts in by_file.items():
+        parts.sort(key=lambda x: x.start)
+        size = parts[0].data_file.file_size_in_bytes
+        if len(parts) == 1:
+            continue
+        # ranges tile the file: first starts at the first row group,
+        # consecutive ranges abut, last ends at file end
+        for a, b in zip(parts, parts[1:]):
+            assert a.start + a.length == b.start
+        assert parts[-1].start + parts[-1].length == size
+
+    # plan_tasks honors the table property
+    t.update_properties({"read.split.target.size": str(64 * 1024)})
+    t2 = cat.load_table("db.li")
+    assert len(t2.scan().plan_tasks()) == len(split)
+
+    # codec round-trips byte ranges
+    back = decode_tasks(encode_tasks(split))
+    assert [(x.start, x.length) for x in back] == \
+        [(x.start, x.length) for x in split]
