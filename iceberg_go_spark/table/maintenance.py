@@ -190,9 +190,47 @@ def rewrite_manifests(table, target_entries_per_manifest: int = 2000):
     return txn.commit()
 
 
+def _referenced_paths_df(spark: SparkSession, snapshots,
+                         extra: Optional[Set[str]] = None):
+    """DataFrame of every file path the given snapshots reference,
+    built in two executor waves so neither the per-manifest fan-out nor
+    the per-entry fan-out lands on the driver: wave 1 reads manifest
+    lists (one task each) and yields manifest paths; wave 2 reads
+    manifests and yields data/delete file paths. Only path strings ever
+    reach the driver between waves."""
+    lists = sorted({s.manifest_list for s in snapshots if s.manifest_list})
+    extra_rows = [(p,) for p in (extra or set())]
+    if not lists:
+        return spark.createDataFrame(extra_rows or [("",)],
+                                     "path string").filter("path != ''")
+
+    def manifests_of(ml):
+        from iceberg_go_spark.meta import manifests as M2
+        return [mf.manifest_path for mf in M2.read_manifest_list(ml)]
+
+    manifest_paths = sorted(set(
+        spark.sparkContext.parallelize(lists, max(1, min(len(lists), 64)))
+        .flatMap(manifests_of).collect()))
+
+    def entries_of(mp):
+        from iceberg_go_spark.meta import manifests as M2
+        es, _spec, _sid = M2.read_manifest(mp)
+        return [e.data_file.file_path for e in es]
+
+    entry_rdd = spark.sparkContext.parallelize(
+        manifest_paths, max(1, min(len(manifest_paths), 64))) \
+        .flatMap(entries_of).map(lambda p: (p,))
+    entry_df = spark.createDataFrame(entry_rdd, "path string")
+    known = spark.createDataFrame(
+        [(p,) for p in lists] + [(p,) for p in manifest_paths] + extra_rows,
+        "path string")
+    return entry_df.union(known).distinct()
+
+
 def expire_snapshots(table, older_than_ms: Optional[int] = None,
                      retain_last: int = 1,
-                     delete_files: bool = True) -> List[str]:
+                     delete_files: bool = True,
+                     spark: Optional[SparkSession] = None) -> List[str]:
     """Drop expired snapshots; GC files only they referenced
     (transaction.go:374-557).  Returns deleted file paths.
 
@@ -254,6 +292,27 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
 
     # GC phase — only after the trimmed metadata is durably current.
     # The live set is recomputed from the COMMITTED metadata.
+    if spark is not None:
+        # distributed: candidate paths (expired snapshots) minus live
+        # paths (current snapshots) as a DataFrame anti-join; both sides
+        # built on executors, deletes fanned out on executors
+        live_df = _referenced_paths_df(spark, table.metadata.snapshots)
+        cand_df = _referenced_paths_df(spark, expired)
+        deleted = [r.path for r in
+                   cand_df.join(live_df, on="path", how="left_anti")
+                   .collect()]
+        if delete_files and deleted:
+            def _rm(p: str) -> None:
+                import os as _os
+                try:
+                    _os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            spark.sparkContext.parallelize(
+                deleted, max(1, min(len(deleted) // 1000 + 1, 64))) \
+                .foreach(_rm)
+        return deleted
+
     live_data: Set[str] = set()
     live_manifests: Set[str] = set()
     live_lists: Set[str] = set()
@@ -302,32 +361,56 @@ def orphan_files(table, spark: SparkSession,
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - 3 * 24 * 3600 * 1000
 
-    referenced: Set[str] = {table.metadata_location}
+    extra: Set[str] = {table.metadata_location}
     # Puffin statistics + partition statistics files + metadata-log
     # entries are live references
     for st in list(md.statistics) + list(md.partition_statistics):
         p = st.get("statistics-path")
         if p:
-            referenced.add(p)
+            extra.add(p)
     for entry in md.metadata_log:
         p = entry.get("metadata-file")
         if p:
-            referenced.add(p)
-    for s in md.snapshots:
-        referenced.add(s.manifest_list)
-        for mf in M.read_manifest_list(s.manifest_list):
-            referenced.add(mf.manifest_path)
-            entries, _, _ = M.read_manifest(mf.manifest_path)
-            for e in entries:
-                referenced.add(e.data_file.file_path)
+            extra.add(p)
+    # manifest/entry references built on executors, never on the driver
+    ref_df = _referenced_paths_df(spark, md.snapshots, extra)
 
-    listing = []
-    for root, _d, names in os.walk(md.location):
-        for n in names:
-            p = os.path.join(root, n)
-            listing.append((p, int(os.path.getmtime(p) * 1000)))
-    fs_df = spark.createDataFrame(listing, "path string, mtime_ms long")
-    ref_df = spark.createDataFrame([(p,) for p in referenced], "path string")
+    # listing fanned out per first-level subtree (the object-store
+    # analogue is a per-prefix LIST); the driver only enumerates the
+    # table root
+    roots = [md.location]
+    subtrees = []
+    try:
+        for n in sorted(os.listdir(md.location)):
+            p = os.path.join(md.location, n)
+            if os.path.isdir(p):
+                subtrees.append(p)
+    except FileNotFoundError:
+        pass
+
+    def walk_one(base):
+        import os as _os
+        out = []
+        if base == roots[0]:
+            for n in _os.listdir(base):
+                p = _os.path.join(base, n)
+                if _os.path.isfile(p):
+                    out.append((p, int(_os.path.getmtime(p) * 1000)))
+            return out
+        for r, _d, names in _os.walk(base):
+            for n in names:
+                p = _os.path.join(r, n)
+                try:
+                    out.append((p, int(_os.path.getmtime(p) * 1000)))
+                except OSError:
+                    pass
+        return out
+
+    targets = roots + subtrees
+    listing_rdd = spark.sparkContext.parallelize(
+        targets, max(1, min(len(targets), 64))).flatMap(walk_one)
+    fs_df = spark.createDataFrame(listing_rdd,
+                                  "path string, mtime_ms long")
     orphans = (fs_df
                .filter(F.col("mtime_ms") < older_than_ms)
                .filter(~F.col("path").rlike(r"version-hint|metadata\.json"))

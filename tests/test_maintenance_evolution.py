@@ -206,3 +206,42 @@ def test_properties_and_sort_order(spark, sf_dir, catalog):
     assert all(x.data_file.sort_order_id == 1 for x in tasks)
     # metadata log recorded prior versions
     assert t.metadata.metadata_log
+
+
+def test_expire_distributed_gc_matches_driver_path(spark, tmp_path, sf_dir):
+    """expire_snapshots(spark=...) runs the GC live/candidate sets and the
+    deletes as Spark jobs; it must delete exactly what the driver-side
+    path deletes (checked via dry evaluation on identical twin tables)."""
+    import os
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+
+    from conftest import read_table
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+
+    def build(name):
+        t = cat.create_table(("db", name), Schema.from_spark(df.schema))
+        t = t.append(df)
+        t = t.append(df.limit(10))
+        t = t.append(df.limit(5))
+        return t
+
+    a, b = build("a"), build("b")
+    del_a = a.expire_snapshots(retain_last=1, older_than_ms=None)
+    del_b = b.expire_snapshots(retain_last=1, older_than_ms=None,
+                               spark=spark)
+
+    def rel(paths, root):
+        return sorted(os.path.relpath(p, root).split("/")[-1][-5:]
+                      for p in paths)
+
+    # same number and kinds of files deleted on both paths
+    assert len(del_a) == len(del_b) > 0
+    assert sorted(os.path.basename(p)[-5:] for p in del_a) == \
+        sorted(os.path.basename(p)[-5:] for p in del_b)
+    for p in del_b:
+        assert not os.path.exists(p)
+    assert len(b.metadata.snapshots) == 1
+    assert b.to_df(spark).count() == 40  # appends accumulate
