@@ -1234,6 +1234,238 @@ def entry(spark: SparkSession) -> DataFrame:
                  F.count(F.lit(1)).alias("n_items")))
 
 
+# ---------------------------------------------------------------------------
+# TPC-H widening (round 4): q8/q13/q15/q17/q18/q19 shapes over the reduced
+# schema (no commit/receipt dates, containers, or phones in the testdata;
+# predicates adapted, query SHAPES preserved)
+
+
+def q8_market_share(spark, sf_dir):
+    """National market share: a supplier-nation's share of revenue among
+    AMERICA-customer orders for one part type, by order year (EXISTS-free
+    two-level aggregation over a 6-table join)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    vol = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    j = (li
+         .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+               li.l_partkey == part.p_partkey)
+         .join(orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                             & (F.col("o_orderdate") < "1998-01-01")),
+               li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+         .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+               F.col("n1.n_regionkey") == region.r_regionkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+         .withColumn("o_year", F.year("o_orderdate"))
+         .withColumn("volume", vol)
+         .withColumn("nation_vol",
+                     F.when(F.col("n2.n_name") == "NATION_3",
+                            F.col("volume"))
+                     .otherwise(F.lit(0).cast("decimal(12,2)"))))
+    return (j.groupBy("o_year")
+            .agg((F.sum("nation_vol").cast("double")
+                  / F.sum("volume").cast("double")).alias("mkt_share"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("o_year"))
+
+
+Q8_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     (CAST(1 AS DECIMAL(12,2)) -
+                      CAST(l_discount AS DECIMAL(12,2)))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(12,2)) -
+                   CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS mkt_share,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Customer order-count distribution: LEFT JOIN so zero-order
+    customers land in the c_count=0 bucket."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Top supplier(s) by quarter revenue: exact-decimal revenue compared
+    against its own max (ties kept), so no float nondeterminism."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_dec("l_extendedprice")
+                      * (F.lit(1).cast("decimal(12,2)")
+                         - _dec("l_discount"))).alias("total_rev")))
+    top = rev.agg(F.max("total_rev").alias("mx"))
+    return (rev.join(F.broadcast(top), rev.total_rev == top.mx)
+            .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double")
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Average yearly revenue lost to small-quantity orders of one brand:
+    correlated per-part average-quantity subquery as a co-grouped join."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#13")
+    avg_q = (li.join(F.broadcast(brand),
+                     li.l_partkey == part.p_partkey)
+             .groupBy("l_partkey")
+             .agg((F.avg("l_quantity") * 0.2).alias("qty_limit")))
+    small = (li.join(F.broadcast(brand), li.l_partkey == part.p_partkey)
+             .join(F.broadcast(avg_q.withColumnRenamed("l_partkey", "ak")),
+                   li.l_partkey == F.col("ak"))
+             .filter(F.col("l_quantity") < F.col("qty_limit")))
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"))
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """Customers whose single orders exceed 250 units (GROUP + HAVING
+    semi-join back through orders)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice",
+                    F.col("total_qty").cast("double").alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(100))
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """Disjunctive brand/size/quantity predicate blocks pushed into one
+    join filter (Catalyst turns the OR-of-ANDs into partition/row
+    filters)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    blocks = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 30)))
+    rev = (_dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount")))
+    return j.filter(blocks).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) -
+                 CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1243,6 +1475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
+        "q8_market_share": q8_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_discounted_revenue": q19_discounted_revenue,
         "rollup_pricing": rollup_pricing,
         "set_ops_customers": set_ops_customers,
         "top_customers_per_nation": top_customers_per_nation,
@@ -1287,6 +1525,12 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
         "q14_promo_revenue": Q14_SQL,
+        "q8_market_share": Q8_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q18_large_volume_customers": Q18_SQL,
+        "q19_discounted_revenue": Q19_SQL,
         "rollup_pricing": ROLLUP_SQL,
         "set_ops_customers": SET_OPS_SQL,
         "top_customers_per_nation": TOP_CUST_SQL,
