@@ -555,14 +555,58 @@ def _file_has_field_ids(path: str) -> bool:
     return any((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
 
 
+DEFAULT_DV_BROADCAST_BYTE_LIMIT = 64 * 1024 * 1024
+
+
+def _dv_broadcast_byte_limit() -> int:
+    return int(os.environ.get("ICEBERG_SPARK_DV_BROADCAST_BYTE_LIMIT",
+                              DEFAULT_DV_BROADCAST_BYTE_LIMIT))
+
+
+def _apply_dv_join(spark: SparkSession, df, puffin_paths):
+    """Large-DV path: puffin files are read and their bitmaps exploded to
+    (file, position) rows ON EXECUTORS, then removed with a shuffled
+    (spillable) anti-join — the driver never touches blob bytes. Chosen
+    when the summed puffin size exceeds the broadcast byte limit."""
+    import pyspark.sql.types as ST
+    paths = sorted(set(puffin_paths))
+
+    def explode(pth):
+        from iceberg_go_spark.meta.dv import (deserialize_dv,
+                                              read_deletion_vector_blobs)
+        for fp, raw in read_deletion_vector_blobs(pth).items():
+            for p in deserialize_dv(raw).to_numpy():
+                yield (fp, int(p))
+
+    rdd = spark.sparkContext.parallelize(
+        paths, max(1, min(len(paths), 64))).flatMap(explode)
+    ddf = spark.createDataFrame(rdd, ST.StructType([
+        ST.StructField("__file", ST.StringType()),
+        ST.StructField("__pos", ST.LongType())])).distinct()
+    return df.join(ddf, ["__file", "__pos"], "left_anti")
+
+
 def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):
     """Filter DV-deleted rows without ever expanding bitmaps on the driver.
 
     The driver ships only the *serialized* bitmap bytes (broadcast); each
     executor lazily deserializes the bitmaps for the files in its batches
     and runs a vectorized ``np.searchsorted`` membership test (parity:
-    table/arrow_scanner.go:533-552 applies DVs per record batch)."""
+    table/arrow_scanner.go:533-552 applies DVs per record batch). When
+    the summed puffin size exceeds the broadcast limit (billions of
+    deleted rows across many files), the application switches to a
+    shuffled anti-join built entirely on executors."""
+    from ..io import load_io
     from ..meta.dv import read_deletion_vector_blobs
+
+    total = 0
+    for pth in set(puffin_paths):
+        try:
+            total += load_io(pth).size(pth)
+        except OSError:
+            pass
+    if total > _dv_broadcast_byte_limit():
+        return _apply_dv_join(spark, df, puffin_paths)
 
     blob_map: Dict[str, List[bytes]] = {}
     for pth in puffin_paths:

@@ -93,3 +93,34 @@ def test_footer_probe_cached_per_path(spark, sf_dir, catalog, monkeypatch):
             AssertionError("re-probed an already-cached file")))
     t.to_df(spark).count()
     assert dict(SC._FIELD_ID_PROBE_CACHE) == first
+
+
+def test_dv_gate_join_path_matches_broadcast(spark, sf_dir, catalog,
+                                             monkeypatch):
+    """Deletion-vector application above the puffin byte limit must
+    switch to the executor-built shuffled anti-join and return exactly
+    the broadcast path's rows (a 100 TB table can carry billions of
+    DV'd positions — the driver must never hold all blobs)."""
+    df = read_table(spark, "orders", sf_dir)
+    t = catalog.create_table("db.dvg", Schema.from_spark(df.schema))
+    t.append(df)
+    from iceberg_go_spark import expressions as E
+    t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                   mode="merge-on-read-dv")
+
+    monkeypatch.delenv("ICEBERG_SPARK_DV_BROADCAST_BYTE_LIMIT",
+                       raising=False)
+    bcast = t.to_df(spark)
+    bcast_rows = bcast.count()
+    bcast_sum = bcast.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))).collect()[0][0]
+    expected = df.filter(F.col("o_orderstatus") != "P").count()
+    assert bcast_rows == expected
+
+    monkeypatch.setenv("ICEBERG_SPARK_DV_BROADCAST_BYTE_LIMIT", "0")
+    joined = t.to_df(spark)
+    assert joined.count() == bcast_rows
+    got_sum = joined.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))).collect()[0][0]
+    assert got_sum == bcast_sum
+    assert joined.filter(F.col("o_orderstatus") == "P").count() == 0
