@@ -181,15 +181,31 @@ class RestCatalog:
 
     def commit_table(self, identifier, base_metadata_path: Optional[str],
                      metadata: TableMetadata) -> str:
+        """Granular commit (rest.go:1399-1439): the request carries
+        assert-* requirements plus the update-action list diffed from the
+        base metadata — the server replays actions onto ITS current
+        state, so concurrent non-conflicting commits compose instead of
+        last-writer-wins. Falls back to overwrite-metadata if the base
+        cannot be read (registered foreign location)."""
+        from .updates import compute_updates, default_requirements
         ns, name = self._split(identifier)
+        base = None
+        if base_metadata_path:
+            try:
+                base = TableMetadata.read(base_metadata_path)
+            except (OSError, ValueError, KeyError):
+                pass
+        reqs = [{"type": "assert-metadata-location",
+                 "metadata-location": base_metadata_path}]
+        if base is not None or base_metadata_path is None:
+            reqs += default_requirements(base)
+            updates = compute_updates(base, metadata)
+        else:
+            updates = [{"action": "overwrite-metadata",
+                        "metadata": metadata.to_json_dict()}]
         out = self._request(
             "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{name}",
-            {"requirements": [
-                {"type": "assert-metadata-location",
-                 "metadata-location": base_metadata_path}],
-             "updates": [
-                {"action": "overwrite-metadata",
-                 "metadata": metadata.to_json_dict()}]})
+            {"requirements": reqs, "updates": updates})
         return out["metadata-location"]
 
     def commit_transaction(self, commits) -> None:
@@ -236,6 +252,33 @@ class _State:
         with open(path, "w") as f:
             json.dump(md_dict, f)
         return path
+
+
+def _resolve_commit(cur_loc: Optional[str], requirements, updates):
+    """Resolve a commit body into a metadata dict: validate assert-*
+    requirements against the CURRENT server-side metadata, then either
+    accept a legacy overwrite-metadata payload or replay granular update
+    actions (updates.py). Returns (metadata_dict, None) or
+    (None, (status, body))."""
+    from .updates import (RequirementFailedError, apply_updates,
+                          check_requirements)
+    cur_md = TableMetadata.read(cur_loc) if cur_loc else None
+    try:
+        check_requirements(
+            cur_md, [r for r in requirements
+                     if r.get("type") != "assert-metadata-location"])
+    except RequirementFailedError as e:
+        return None, (412, {"error": str(e)})
+    overwrite = [u for u in updates
+                 if u.get("action") == "overwrite-metadata"]
+    if overwrite:
+        return overwrite[-1]["metadata"], None
+    if not updates:
+        return None, (400, {"error": "no updates"})
+    try:
+        return apply_updates(cur_md, updates).to_json_dict(), None
+    except (ValueError, KeyError) as e:
+        return None, (400, {"error": f"bad update: {e}"})
 
 
 def _make_handler(state: _State):
@@ -369,12 +412,11 @@ def _make_handler(state: _State):
                                     "error": f"{key}: expected "
                                              f"{req['metadata-location']} "
                                              f"but current is {cur}"})
-                        new_md = None
-                        for upd in ch.get("updates", []):
-                            if upd["action"] == "overwrite-metadata":
-                                new_md = upd["metadata"]
-                        if new_md is None:
-                            return self._send(400, {"error": "no metadata"})
+                        new_md, err = _resolve_commit(
+                            cur, ch.get("requirements", []),
+                            ch.get("updates", []))
+                        if err is not None:
+                            return self._send(*err)
                         staged.append((key, new_md))
                     for key, new_md in staged:
                         state.tables[key] = state.write_metadata(new_md)
@@ -395,12 +437,11 @@ def _make_handler(state: _State):
                             return self._send(412, {
                                 "error": f"expected {req['metadata-location']}"
                                          f" but current is {cur}"})
-                    new_md = None
-                    for upd in body.get("updates", []):
-                        if upd["action"] == "overwrite-metadata":
-                            new_md = upd["metadata"]
-                    if new_md is None:
-                        return self._send(400, {"error": "no metadata"})
+                    new_md, err = _resolve_commit(
+                        cur, body.get("requirements", []),
+                        body.get("updates", []))
+                    if err is not None:
+                        return self._send(*err)
                     loc = state.write_metadata(new_md)
                     state.tables[key] = loc
                 return self._send(200, {"metadata-location": loc})

@@ -1,0 +1,353 @@
+"""Granular REST commit model: update actions + requirements.
+
+Parity (behavior only): /root/reference/table/updates.go:36-62 (the
+action vocabulary), table/requirements.go:30-100 (assert-* requirement
+types and their failure conditions), and the REST catalog's commit shape
+(catalog/rest/rest.go:1399-1439 builds update lists instead of shipping
+whole metadata).
+
+Two halves:
+- ``compute_updates(base, new)`` diffs two metadata objects into a list
+  of spec-named actions (what a client sends).
+- ``apply_updates(base, updates)`` replays actions onto a base (what a
+  server does), so ``apply(base, compute(base, new))`` reproduces
+  ``new``.
+- ``default_requirements(base)`` / ``check_requirements(current, reqs)``
+  implement optimistic concurrency at the protocol level: the server
+  re-validates the client's assumptions against ITS current state.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, Optional
+
+from ..meta.metadata import Snapshot, SnapshotRef, TableMetadata
+from ..meta.partitioning import PartitionSpec, SortOrder
+from ..schema import Schema
+
+
+class RequirementFailedError(Exception):
+    """A commit requirement does not hold against current server state —
+    the retryable conflict signal of the REST protocol."""
+
+
+# ---------------------------------------------------------------------------
+# diff -> update actions
+
+
+def compute_updates(base: Optional[TableMetadata],
+                    new: TableMetadata) -> List[Dict[str, Any]]:
+    """Granular actions transforming ``base`` into ``new``
+    (updates.go:36-62 vocabulary). For a create (base None) the full
+    bootstrap sequence is emitted, mirroring rest.go:1399-1439."""
+    ups: List[Dict[str, Any]] = []
+    if base is None:
+        ups.append({"action": "assign-uuid", "uuid": new.table_uuid})
+        ups.append({"action": "upgrade-format-version",
+                    "format-version": new.format_version})
+        ups.append({"action": "set-location", "location": new.location})
+        base = TableMetadata(table_uuid=new.table_uuid,
+                             format_version=new.format_version,
+                             location=new.location, schemas=[],
+                             sort_orders=[], partition_specs=[],
+                             properties={})
+
+    if new.format_version != base.format_version:
+        ups.append({"action": "upgrade-format-version",
+                    "format-version": new.format_version})
+    if new.location != base.location:
+        ups.append({"action": "set-location", "location": new.location})
+
+    base_schemas = {s.schema_id for s in base.schemas}
+    for s in new.schemas:
+        if s.schema_id not in base_schemas:
+            ups.append({"action": "add-schema",
+                        "schema": s.to_json_dict(),
+                        "last-column-id": new.last_column_id})
+    removed_schemas = sorted(
+        base_schemas - {s.schema_id for s in new.schemas})
+    if removed_schemas:
+        ups.append({"action": "remove-schemas",
+                    "schema-ids": removed_schemas})
+    if new.current_schema_id != base.current_schema_id or base is None:
+        ups.append({"action": "set-current-schema",
+                    "schema-id": new.current_schema_id})
+
+    base_specs = {p.spec_id for p in base.partition_specs}
+    for p in new.partition_specs:
+        if p.spec_id not in base_specs:
+            ups.append({"action": "add-spec",
+                        "spec": {"spec-id": p.spec_id,
+                                 "fields": [f.to_json_dict()
+                                            for f in p.fields]}})
+    removed_specs = sorted(
+        base_specs - {p.spec_id for p in new.partition_specs})
+    if removed_specs:
+        ups.append({"action": "remove-partition-specs",
+                    "spec-ids": removed_specs})
+    if new.default_spec_id != base.default_spec_id:
+        ups.append({"action": "set-default-spec",
+                    "spec-id": new.default_spec_id})
+
+    base_orders = {o.order_id for o in base.sort_orders}
+    for o in new.sort_orders:
+        if o.order_id not in base_orders:
+            ups.append({"action": "add-sort-order",
+                        "sort-order": o.to_json_dict()})
+    if new.default_sort_order_id != base.default_sort_order_id:
+        ups.append({"action": "set-default-sort-order",
+                    "sort-order-id": new.default_sort_order_id})
+
+    if new.properties != base.properties:
+        removed = sorted(set(base.properties) - set(new.properties))
+        changed = {k: v for k, v in new.properties.items()
+                   if base.properties.get(k) != v}
+        if removed:
+            ups.append({"action": "remove-properties",
+                        "removals": removed})
+        if changed:
+            ups.append({"action": "set-properties", "updates": changed})
+
+    base_snaps = {s.snapshot_id for s in base.snapshots}
+    for s in new.snapshots:
+        if s.snapshot_id not in base_snaps:
+            ups.append({"action": "add-snapshot",
+                        "snapshot": s.to_json_dict()})
+    removed_snaps = sorted(
+        base_snaps - {s.snapshot_id for s in new.snapshots})
+    if removed_snaps:
+        ups.append({"action": "remove-snapshots",
+                    "snapshot-ids": removed_snaps})
+
+    for name, ref in new.refs.items():
+        old = base.refs.get(name)
+        if old is None or old.to_json_dict() != ref.to_json_dict():
+            ups.append({"action": "set-snapshot-ref", "ref-name": name,
+                        **ref.to_json_dict()})
+    for name in sorted(set(base.refs) - set(new.refs)):
+        ups.append({"action": "remove-snapshot-ref", "ref-name": name})
+    # the main ref is implicit in current_snapshot_id for non-ref flows
+    if new.current_snapshot_id != base.current_snapshot_id and \
+            "main" not in new.refs and new.current_snapshot_id is not None:
+        ups.append({"action": "set-snapshot-ref", "ref-name": "main",
+                    "snapshot-id": new.current_snapshot_id,
+                    "type": "branch"})
+
+    def _stat_diff(kind: str, old: List[Dict], cur: List[Dict],
+                   set_action: str, remove_action: str) -> None:
+        old_by = {e.get("snapshot-id"): e for e in old}
+        cur_by = {e.get("snapshot-id"): e for e in cur}
+        for sid, e in cur_by.items():
+            if old_by.get(sid) != e:
+                ups.append({"action": set_action, kind: e})
+        for sid in sorted(set(old_by) - set(cur_by),
+                          key=lambda x: (x is None, x)):
+            ups.append({"action": remove_action, "snapshot-id": sid})
+
+    _stat_diff("statistics", base.statistics, new.statistics,
+               "set-statistics", "remove-statistics")
+    _stat_diff("partition-statistics", base.partition_statistics,
+               new.partition_statistics, "set-partition-statistics",
+               "remove-partition-statistics")
+
+    base_keys = {k.get("key-id"): k for k in base.encryption_keys}
+    for k in new.encryption_keys:
+        if base_keys.get(k.get("key-id")) != k:
+            ups.append({"action": "add-encryption-key",
+                        "encryption-key": k})
+    for kid in sorted(set(base_keys)
+                      - {k.get("key-id") for k in new.encryption_keys}):
+        ups.append({"action": "remove-encryption-key", "key-id": kid})
+
+    return ups
+
+
+# ---------------------------------------------------------------------------
+# apply actions
+
+
+def apply_updates(base: Optional[TableMetadata],
+                  updates: List[Dict[str, Any]]) -> TableMetadata:
+    """Replay granular actions onto ``base`` (server side). Unknown
+    actions raise — a server must not silently drop client intent."""
+    import time as _time
+    md = copy.deepcopy(base) if base is not None else TableMetadata(
+        schemas=[], sort_orders=[], partition_specs=[], properties={})
+    for u in updates:
+        action = u.get("action")
+        if action == "assign-uuid":
+            md.table_uuid = u["uuid"]
+        elif action == "upgrade-format-version":
+            md.format_version = u["format-version"]
+        elif action == "set-location":
+            md.location = u["location"]
+        elif action == "add-schema":
+            s = Schema.from_json_dict(u["schema"])
+            md.schemas = [x for x in md.schemas
+                          if x.schema_id != s.schema_id] + [s]
+            md.last_column_id = max(md.last_column_id,
+                                    u.get("last-column-id", 0))
+        elif action == "remove-schemas":
+            drop = set(u["schema-ids"])
+            md.schemas = [x for x in md.schemas
+                          if x.schema_id not in drop]
+        elif action == "set-current-schema":
+            md.current_schema_id = u["schema-id"]
+        elif action == "add-spec":
+            p = PartitionSpec.from_json_dict(u["spec"])
+            md.partition_specs = [x for x in md.partition_specs
+                                  if x.spec_id != p.spec_id] + [p]
+            md.last_partition_id = max(
+                [md.last_partition_id]
+                + [f.field_id for f in p.fields])
+        elif action == "remove-partition-specs":
+            drop = set(u["spec-ids"])
+            md.partition_specs = [x for x in md.partition_specs
+                                  if x.spec_id not in drop]
+        elif action == "set-default-spec":
+            md.default_spec_id = u["spec-id"]
+        elif action == "add-sort-order":
+            o = SortOrder.from_json_dict(u["sort-order"])
+            md.sort_orders = [x for x in md.sort_orders
+                              if x.order_id != o.order_id] + [o]
+        elif action == "set-default-sort-order":
+            md.default_sort_order_id = u["sort-order-id"]
+        elif action == "set-properties":
+            md.properties.update(u["updates"])
+        elif action == "remove-properties":
+            for k in u["removals"]:
+                md.properties.pop(k, None)
+        elif action == "add-snapshot":
+            s = Snapshot.from_json_dict(u["snapshot"])
+            md.snapshots = [x for x in md.snapshots
+                            if x.snapshot_id != s.snapshot_id] + [s]
+            md.last_sequence_number = max(md.last_sequence_number,
+                                          s.sequence_number)
+            md.snapshot_log.append({"timestamp-ms": s.timestamp_ms,
+                                    "snapshot-id": s.snapshot_id})
+            # v3 row lineage: the server advances next-row-id from the
+            # snapshot's first-row-id + its added rows
+            if s.first_row_id is not None:
+                md.next_row_id = max(
+                    md.next_row_id,
+                    s.first_row_id
+                    + int(s.summary.get("added-records", 0)))
+        elif action == "remove-snapshots":
+            drop = set(u["snapshot-ids"])
+            md.snapshots = [x for x in md.snapshots
+                            if x.snapshot_id not in drop]
+            md.snapshot_log = [e for e in md.snapshot_log
+                               if e["snapshot-id"] not in drop]
+            md.statistics = [e for e in md.statistics
+                             if e.get("snapshot-id") not in drop]
+            md.partition_statistics = [
+                e for e in md.partition_statistics
+                if e.get("snapshot-id") not in drop]
+        elif action == "set-snapshot-ref":
+            name = u["ref-name"]
+            md.refs[name] = SnapshotRef.from_json_dict(
+                {k: v for k, v in u.items()
+                 if k not in ("action", "ref-name")})
+            if name == "main":
+                md.current_snapshot_id = u["snapshot-id"]
+        elif action == "remove-snapshot-ref":
+            md.refs.pop(u["ref-name"], None)
+            if u["ref-name"] == "main":
+                md.current_snapshot_id = None
+        elif action == "set-statistics":
+            e = u["statistics"]
+            md.statistics = [x for x in md.statistics
+                             if x.get("snapshot-id")
+                             != e.get("snapshot-id")] + [e]
+        elif action == "remove-statistics":
+            md.statistics = [x for x in md.statistics
+                             if x.get("snapshot-id") != u["snapshot-id"]]
+        elif action == "set-partition-statistics":
+            e = u["partition-statistics"]
+            md.partition_statistics = [
+                x for x in md.partition_statistics
+                if x.get("snapshot-id") != e.get("snapshot-id")] + [e]
+        elif action == "remove-partition-statistics":
+            md.partition_statistics = [
+                x for x in md.partition_statistics
+                if x.get("snapshot-id") != u["snapshot-id"]]
+        elif action == "add-encryption-key":
+            e = u["encryption-key"]
+            md.encryption_keys = [
+                x for x in md.encryption_keys
+                if x.get("key-id") != e.get("key-id")] + [e]
+        elif action == "remove-encryption-key":
+            md.encryption_keys = [x for x in md.encryption_keys
+                                  if x.get("key-id") != u["key-id"]]
+        else:
+            raise ValueError(f"unknown update action: {action!r}")
+    md.last_updated_ms = int(_time.time() * 1000)
+    return md
+
+
+# ---------------------------------------------------------------------------
+# requirements
+
+
+def default_requirements(base: Optional[TableMetadata]
+                         ) -> List[Dict[str, Any]]:
+    """The assertions a client sends with a commit
+    (requirements.go:30-37): create asserts the table does not exist;
+    an update asserts the uuid and the main-branch snapshot the client
+    based its changes on."""
+    if base is None:
+        return [{"type": "assert-create"}]
+    reqs: List[Dict[str, Any]] = [
+        {"type": "assert-table-uuid", "uuid": base.table_uuid}]
+    reqs.append({"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": base.current_snapshot_id})
+    return reqs
+
+
+def check_requirements(current: Optional[TableMetadata],
+                       requirements: List[Dict[str, Any]]) -> None:
+    """Server-side validation (requirements.go semantics); raises
+    RequirementFailedError on the first violated assertion."""
+    for r in requirements:
+        t = r.get("type")
+        if t == "assert-create":
+            if current is not None:
+                raise RequirementFailedError("table already exists")
+        elif current is None:
+            raise RequirementFailedError("table does not exist")
+        elif t == "assert-table-uuid":
+            if current.table_uuid != r.get("uuid"):
+                raise RequirementFailedError(
+                    f"uuid changed: {current.table_uuid}")
+        elif t == "assert-ref-snapshot-id":
+            name = r.get("ref", "main")
+            if name == "main":
+                cur = current.current_snapshot_id
+            else:
+                ref = current.refs.get(name)
+                cur = ref.snapshot_id if ref else None
+            if cur != r.get("snapshot-id"):
+                raise RequirementFailedError(
+                    f"ref {name} moved: {cur} != {r.get('snapshot-id')}")
+        elif t == "assert-default-spec-id":
+            if current.default_spec_id != r.get("default-spec-id"):
+                raise RequirementFailedError("default spec changed")
+        elif t == "assert-current-schema-id":
+            if current.current_schema_id != r.get("current-schema-id"):
+                raise RequirementFailedError("current schema changed")
+        elif t == "assert-default-sort-order-id":
+            if current.default_sort_order_id \
+                    != r.get("default-sort-order-id"):
+                raise RequirementFailedError("default sort order changed")
+        elif t == "assert-last-assigned-field-id":
+            if current.last_column_id != r.get("last-assigned-field-id"):
+                raise RequirementFailedError("last column id changed")
+        elif t == "assert-last-assigned-partition-id":
+            if current.last_partition_id \
+                    != r.get("last-assigned-partition-id"):
+                raise RequirementFailedError("last partition id changed")
+        elif t == "assert-metadata-location":
+            pass  # handled by the pointer-CAS transport layer
+        else:
+            raise RequirementFailedError(f"unknown requirement {t!r}")

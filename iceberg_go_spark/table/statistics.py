@@ -169,6 +169,10 @@ def compute_partition_statistics(table, spark: SparkSession) -> Dict:
                 seen.add(nf.name)
                 unified.append((nf.name, to_spark_type(nf.field_type)))
     names = [n for n, _ in unified]
+    if not names:
+        raise ValueError(
+            "partition statistics require a partitioned table; every "
+            "spec of this table is unpartitioned")
 
     snap_ts = {s.snapshot_id: s.timestamp_ms for s in md.snapshots}
     paths = [mf.manifest_path

@@ -154,3 +154,18 @@ def test_inspect_partition_statistics(spark, sf_dir, catalog):
     assert len(rows) == 1
     assert rows[0].snapshot_id == entry["snapshot-id"]
     assert rows[0].statistics_path == entry["statistics-path"]
+
+
+def test_partition_statistics_rejects_unpartitioned(spark, tmp_path,
+                                                    sf_dir):
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.table.statistics import \
+        compute_partition_statistics
+    from tests.conftest import read_table
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.n", Schema.from_spark(df.schema))
+    t.append(df)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        compute_partition_statistics(t, spark)
