@@ -1,0 +1,60 @@
+"""Structured Streaming sink: writeStream into an engine table with
+exactly-once batch semantics.
+
+The reference has no streaming surface (extension, like
+streaming/source.py). The Spark-first shape is ``foreachBatch`` +
+transactional append: each micro-batch commits one snapshot whose
+summary records the (query-id, batch-id) pair, and on restart the sink
+consults the snapshot history to SKIP batches that already committed —
+Spark replays the last uncommitted batch after a crash, so idempotent
+batch tracking is what upgrades at-least-once replay to exactly-once
+table contents. The same pattern Iceberg's own Spark integration uses.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+SUMMARY_QUERY_ID = "streaming.query-id"
+SUMMARY_BATCH_ID = "streaming.batch-id"
+
+
+def last_committed_batch(table, query_id: str) -> Optional[int]:
+    """Highest batch id this query already committed to the table, or
+    None. Scans snapshot summaries newest-first (the common case finds
+    the answer in the first snapshot)."""
+    for snap in sorted(table.metadata.snapshots,
+                       key=lambda s: -s.sequence_number):
+        if snap.summary.get(SUMMARY_QUERY_ID) == query_id:
+            bid = snap.summary.get(SUMMARY_BATCH_ID)
+            if bid is not None:
+                return int(bid)
+    return None
+
+
+def write_stream_to_table(stream_df: DataFrame, catalog, identifier,
+                          checkpoint_dir: str, query_id: str,
+                          trigger_available_now: bool = True):
+    """Start a streaming write into ``identifier``; returns the
+    StreamingQuery. Exactly-once: a replayed micro-batch whose id is
+    <= the last committed one for this ``query_id`` is skipped, so
+    crash/restart cannot double-append."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = catalog.load_table(identifier)
+        done = last_committed_batch(table, query_id)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already in the table
+        table.new_transaction().append(
+            batch_df,
+            extra_summary={SUMMARY_QUERY_ID: query_id,
+                           SUMMARY_BATCH_ID: str(batch_id)}).commit()
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

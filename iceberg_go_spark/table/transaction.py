@@ -299,15 +299,19 @@ class Transaction:
                                 self.metadata.schema(), self._metadata_dir())
 
     # ------------------------------------------------------------- user ops
-    def append(self, df: DataFrame, properties: Optional[Dict[str, str]] = None
+    def append(self, df: DataFrame, properties: Optional[Dict[str, str]] = None,
+               extra_summary: Optional[Dict[str, str]] = None
                ) -> "Transaction":
-        """Fast append (snapshot_producers.go:92): new manifest per append."""
+        """Fast append (snapshot_producers.go:92): new manifest per append.
+        ``extra_summary`` entries land in the snapshot summary (e.g. the
+        streaming sink's query/batch idempotence markers)."""
         md = self.metadata
         props = {**md.properties, **(properties or {})}
         files = write_dataframe(df, md.schema(), md.spec(), self._data_dir(),
                                 props, sort_order=md.sort_order())
         if files:
-            self._produce_snapshot(OP_APPEND, files)
+            self._produce_snapshot(OP_APPEND, files,
+                                   extra_summary=extra_summary)
         return self
 
     def append_files(self, files: List[M.DataFile], operation: str = OP_APPEND,

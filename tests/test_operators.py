@@ -354,3 +354,60 @@ def test_byte_range_task_splits(spark, tmp_path, sf_dir):
     back = decode_tasks(encode_tasks(split))
     assert [(x.start, x.length) for x in back] == \
         [(x.start, x.length) for x in split]
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path, sf_dir):
+    """writeStream -> foreachBatch -> transactional append: every
+    micro-batch commits one snapshot stamped with (query-id, batch-id),
+    and a REPLAYED batch id is skipped so restart cannot double-append."""
+    import os
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.sink import (last_committed_batch,
+                                                 write_stream_to_table)
+
+    from conftest import read_table
+
+    src_df = read_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value")
+    src_dir = str(tmp_path / "incoming")
+    src_df.limit(400).coalesce(2).write.parquet(src_dir)
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.sunk", Schema.from_spark(src_df.schema))
+
+    stream = (spark.readStream.schema(src_df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = write_stream_to_table(stream, cat, "db.sunk",
+                              str(tmp_path / "ckpt"), query_id="q1")
+    q.awaitTermination(120)
+
+    t = cat.load_table("db.sunk")
+    assert t.to_df(spark).count() == 400
+    last = last_committed_batch(t, "q1")
+    assert last is not None and last >= 0
+    for snap in t.metadata.snapshots:
+        assert snap.summary["streaming.query-id"] == "q1"
+
+    # replay simulation: re-commit batch 0's data with a stale batch id
+    n_snaps = len(t.metadata.snapshots)
+    from iceberg_go_spark.streaming.sink import SUMMARY_BATCH_ID
+    batch0 = spark.read.parquet(src_dir).limit(100)
+
+    def replay(batch_df, batch_id):
+        tt = cat.load_table("db.sunk")
+        if last_committed_batch(tt, "q1") >= batch_id:
+            return
+        raise AssertionError("stale batch not skipped")
+
+    replay(batch0, 0)  # must no-op, not raise
+    assert cat.load_table("db.sunk").to_df(spark).count() == 400
+    assert len(cat.load_table("db.sunk").metadata.snapshots) == n_snaps
+
+    # a NEW query id is independent: its first batch commits
+    q2 = write_stream_to_table(
+        spark.readStream.schema(src_df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src_dir),
+        cat, "db.sunk", str(tmp_path / "ckpt2"), query_id="q2")
+    q2.awaitTermination(120)
+    assert cat.load_table("db.sunk").to_df(spark).count() == 800
