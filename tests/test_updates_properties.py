@@ -1,0 +1,150 @@
+"""Property-based check of the granular REST update model: for ANY
+sequence of metadata mutations, apply_updates(base, compute_updates(
+base, new)) reproduces new (modulo transport-local bookkeeping).
+
+Complements tests/test_rest_updates.py's real-engine flows with randomly
+composed mutation sequences (hypothesis), covering interleavings the
+engine does not produce today but the protocol must survive.
+"""
+
+import copy
+
+from hypothesis import given, settings, strategies as st
+
+from iceberg_go_spark.catalog.updates import apply_updates, compute_updates
+from iceberg_go_spark.meta.metadata import (Snapshot, SnapshotRef,
+                                            TableMetadata)
+from iceberg_go_spark.meta.partitioning import (PartitionField,
+                                                PartitionSpec, SortOrder)
+from iceberg_go_spark.schema import Schema
+from iceberg_go_spark.transforms import parse_transform
+from iceberg_go_spark import types as T
+
+
+def _base_metadata() -> TableMetadata:
+    schema = Schema([T.NestedField(1, "id", T.LongType(), True),
+                     T.NestedField(2, "v", T.StringType())], schema_id=0)
+    md = TableMetadata(
+        location="/tmp/t", schemas=[schema], current_schema_id=0,
+        partition_specs=[PartitionSpec()], default_spec_id=0,
+        sort_orders=[SortOrder()], default_sort_order_id=0,
+        properties={"k0": "v0"}, last_column_id=2)
+    return md
+
+
+_COUNTER = st.integers(min_value=1, max_value=6)
+
+
+def _mutate(md: TableMetadata, op: str, arg: int) -> None:
+    """One random-but-valid mutation, keyed off (op, arg)."""
+    if op == "snapshot":
+        sid = 1000 + arg
+        if any(s.snapshot_id == sid for s in md.snapshots):
+            return
+        seq = md.last_sequence_number + 1
+        md.snapshots.append(Snapshot(
+            snapshot_id=sid, sequence_number=seq,
+            timestamp_ms=1_700_000_000_000 + seq,
+            manifest_list=f"/tmp/t/metadata/snap-{sid}.avro",
+            summary={"operation": "append", "added-records": str(arg)}))
+        md.last_sequence_number = seq
+        md.snapshot_log.append({"timestamp-ms": 1_700_000_000_000 + seq,
+                                "snapshot-id": sid})
+        md.current_snapshot_id = sid
+        md.refs["main"] = SnapshotRef(sid)
+    elif op == "drop-snapshot":
+        if len(md.snapshots) > 1:
+            victim = md.snapshots[0]
+            if victim.snapshot_id != md.current_snapshot_id:
+                md.snapshots = md.snapshots[1:]
+                md.snapshot_log = [
+                    e for e in md.snapshot_log
+                    if e["snapshot-id"] != victim.snapshot_id]
+    elif op == "schema":
+        sid = max(s.schema_id for s in md.schemas) + 1
+        fid = md.last_column_id + 1
+        md.schemas.append(Schema(
+            [T.NestedField(1, "id", T.LongType(), True),
+             T.NestedField(2, "v", T.StringType()),
+             T.NestedField(fid, f"c{fid}", T.DoubleType())],
+            schema_id=sid))
+        md.current_schema_id = sid
+        md.last_column_id = fid
+    elif op == "spec":
+        pid = max(p.spec_id for p in md.partition_specs) + 1
+        md.partition_specs.append(PartitionSpec(
+            [PartitionField(1, 1000 + pid, f"id_bucket_{pid}",
+                            parse_transform(f"bucket[{arg + 1}]"))],
+            spec_id=pid))
+        md.default_spec_id = pid
+        md.last_partition_id = 1000 + pid
+    elif op == "props":
+        md.properties[f"k{arg}"] = f"v{arg}"
+    elif op == "unprops":
+        for k in list(md.properties)[:1]:
+            del md.properties[k]
+    elif op == "tag":
+        if md.current_snapshot_id is not None:
+            md.refs[f"tag{arg}"] = SnapshotRef(md.current_snapshot_id,
+                                               ref_type="tag")
+    elif op == "untag":
+        for name in [n for n in md.refs if n.startswith("tag")][:1]:
+            del md.refs[name]
+    elif op == "stats":
+        if md.current_snapshot_id is not None:
+            e = {"snapshot-id": md.current_snapshot_id,
+                 "statistics-path": f"/tmp/t/s{arg}.puffin",
+                 "file-size-in-bytes": arg}
+            md.statistics = [x for x in md.statistics
+                             if x["snapshot-id"] != e["snapshot-id"]] + [e]
+    elif op == "key":
+        md.encryption_keys = [
+            x for x in md.encryption_keys
+            if x.get("key-id") != f"k{arg}"] + [
+            {"key-id": f"k{arg}", "encrypted-key-metadata": "QUJD"}]
+
+
+_OPS = st.lists(
+    st.tuples(st.sampled_from(
+        ["snapshot", "drop-snapshot", "schema", "spec", "props",
+         "unprops", "tag", "untag", "stats", "key"]), _COUNTER),
+    min_size=1, max_size=12)
+
+
+def _normalize(md: TableMetadata) -> dict:
+    d = md.to_json_dict()
+    d.pop("metadata-log", None)
+    d.pop("last-updated-ms", None)
+    d["snapshot-log"] = sorted(d.get("snapshot-log", []),
+                               key=lambda e: e["snapshot-id"])
+    return d
+
+
+@settings(max_examples=60, deadline=None)
+@given(ops=_OPS)
+def test_diff_apply_roundtrip(ops):
+    base = _base_metadata()
+    new = copy.deepcopy(base)
+    for op, arg in ops:
+        _mutate(new, op, arg)
+    ups = compute_updates(base, new)
+    assert _normalize(apply_updates(base, ups)) == _normalize(new)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=_OPS)
+def test_diff_apply_roundtrip_from_create(ops):
+    new = _base_metadata()
+    for op, arg in ops:
+        _mutate(new, op, arg)
+    ups = compute_updates(None, new)
+    assert _normalize(apply_updates(None, ups)) == _normalize(new)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=_OPS)
+def test_empty_diff_for_identical(ops):
+    base = _base_metadata()
+    for op, arg in ops:
+        _mutate(base, op, arg)
+    assert compute_updates(base, copy.deepcopy(base)) == []
