@@ -220,16 +220,20 @@ def simhash16(col: Column) -> Column:
     it identically, keeping the operator oracle-checkable.
     """
     bits = 16
-    toks = tokens(col)
+    # hash each token ONCE via a single transform(); the 16 bit-vote
+    # aggregates below then run pure integer ops over the small int
+    # array. Putting md5 inside each aggregate's lambda costs 16x the
+    # hashing — Catalyst does not CSE across separate HOF lambdas.
     th = lambda g: F.conv(F.substring(F.md5(g), 12, 4), 16, 10).cast("long")  # noqa: E731
+    hashes = F.transform(tokens(col), th)
 
     def bit_vote(i: int):
         # separate scope (NOT a default arg: pyspark would read a 3-ary
         # lambda as a (acc, x, idx) merge function and bind i as a Column)
         return F.aggregate(
-            toks, F.lit(0).cast("long"),
-            lambda a, g: a + F.when(
-                th(g).bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1))
+            hashes, F.lit(0).cast("long"),
+            lambda a, h: a + F.when(
+                h.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1))
 
     acc = F.lit(0).cast("long")
     for i in range(bits):

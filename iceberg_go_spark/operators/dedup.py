@@ -195,7 +195,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     """Dedup on identical 16-bit SimHash (cheap fuzzy-bucket variant).
 
     At 100 TB this is one map + one shuffle on a 2-byte key with map-side
-    combine; hamming-distance widening belongs in a follow-up bucket-join."""
+    combine; hamming-distance widening belongs in a follow-up bucket-join.
+    (An explode+groupBy variant was measured: the extra keyed shuffle
+    costs more than the inline column at every scale tried.)"""
     w = Window.partitionBy("__sh").orderBy(F.col(id_col))
     return (df.withColumn("__sh", TX.simhash16(F.col(text_col)))
             .withColumn("__rn", F.row_number().over(w))
