@@ -615,6 +615,37 @@ FROM orders WHERE o_orderstatus <> 'F'
 """
 
 
+def iceberg_changelog_scan(spark, sf_dir):
+    """Row-level CDC over the MoR fixture: the append emits every order
+    as an insert, the merge-on-read status-F delete emits those rows as
+    deletes (table/changelog.py; Iceberg-Java changelog semantics — the
+    reference exposes append-only incremental scans)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_mor")
+    ch = t.changelog(spark)
+    return (ch.groupBy("_change_type", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("total_price")))
+
+
+ICE_CHANGELOG_SQL = """
+SELECT * FROM (
+  SELECT 'insert' AS _change_type, o_orderstatus,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS total_price
+  FROM orders GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'delete' AS _change_type, o_orderstatus,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS total_price
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+)
+"""
+
+
 def iceberg_dv_delete_scan(spark, sf_dir):
     """Deletion-vector (v3) MoR scan on a year-partitioned table: bitmaps
     stay serialized driver-side, membership runs vectorized on executors."""
@@ -1491,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_incremental_scan": iceberg_incremental_scan,
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
         "iceberg_snapshot_log": iceberg_snapshot_log,
@@ -1541,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_time_travel": ICE_TT_SQL,
         "iceberg_incremental_scan": ICE_INC_SQL,
         "iceberg_mor_delete_scan": ICE_MOR_SQL,
+        "iceberg_changelog_scan": ICE_CHANGELOG_SQL,
         "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
         "iceberg_snapshot_log": SNAPSHOT_LOG_SQL,

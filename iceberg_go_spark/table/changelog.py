@@ -1,0 +1,208 @@
+"""Changelog (CDC) scan: the row-level changes between two snapshots as
+(_change_type, _change_ordinal, _commit_snapshot_id)-stamped rows.
+
+Parity (behavior only): the reference exposes only incremental APPEND
+scans (table/scanner.go AppendsBetween); full changelog semantics follow
+Iceberg Java's ChangelogScanTask model — per snapshot in (from, to]:
+
+- append     -> added data files' rows as ``insert``
+- delete     -> CoW: removed-minus-readded rows as ``delete``;
+                MoR: rows targeted by the new pos/eq/DV delete files
+- overwrite  -> removed rows as ``delete`` + added rows as ``insert``
+- replace    -> NO change rows (compaction/rewrites are physical, not
+                logical, changes)
+
+Spark-first shape: every piece is a DataFrame op — file reads, (file,
+pos) joins for position deletes and DVs, null-safe equality joins for
+eq deletes, exceptAll for the CoW diff — so the changelog distributes
+and spills like any other scan; nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..meta import manifests as M
+from ..meta.metadata import (OP_APPEND, OP_DELETE, OP_OVERWRITE,
+                             OP_REPLACE)
+
+CHANGE_TYPE = "_change_type"
+CHANGE_ORDINAL = "_change_ordinal"
+COMMIT_SNAPSHOT_ID = "_commit_snapshot_id"
+
+
+def _live_files(snap):
+    """{path: DataFile} live in this snapshot, split (data, deletes).
+    Set-diffing consecutive snapshots' live sets detects adds/removes
+    without relying on STATUS_DELETED tombstones (our manifests drop
+    removed entries; foreign writers may tombstone — both diff the
+    same)."""
+    data, dels = {}, {}
+    if snap is None or not snap.manifest_list:
+        return data, dels
+    for mf in M.read_manifest_list(snap.manifest_list):
+        es, _spec, _sid = M.read_manifest(mf.manifest_path)
+        for e in es:
+            if not e.is_live:
+                continue
+            d = e.data_file
+            (data if d.content == M.CONTENT_DATA else dels)[d.file_path] = d
+    return data, dels
+
+
+def _read_files(spark: SparkSession, schema, paths: List[str]) -> DataFrame:
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*sorted(set(paths)))
+
+
+def _with_pos(spark: SparkSession, schema, paths: List[str]) -> DataFrame:
+    """File rows plus (__file, __pos) identity for position joins."""
+    df = _read_files(spark, schema, paths)
+    if not paths:
+        return df.withColumn("__file", F.lit("")) \
+                 .withColumn("__pos", F.lit(0).cast("long"))
+    return (df.select("*", F.col("_metadata"))
+            .withColumn("__file", F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .drop("_metadata"))
+
+
+def changelog(table, spark: SparkSession,
+              from_snapshot_id: Optional[int] = None,
+              to_snapshot_id: Optional[int] = None) -> DataFrame:
+    """Row-level changes in snapshot range (from, to]; ``from_snapshot_id
+    None`` means from table creation. Ordered by _change_ordinal."""
+    md = table.metadata
+    schema = md.schema().to_spark()
+    snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
+    if to_snapshot_id is None and md.current_snapshot_id is not None:
+        to_snapshot_id = md.current_snapshot_id
+    started = from_snapshot_id is None
+    in_range = []
+    for s in snaps:
+        if started:
+            in_range.append(s)
+        if s.snapshot_id == from_snapshot_id:
+            started = True
+        if started and s.snapshot_id == to_snapshot_id:
+            break
+
+    frames: List[DataFrame] = []
+
+    def stamp(df: DataFrame, kind: str, ordinal: int, snap_id: int
+              ) -> DataFrame:
+        return df.select(*[F.col(f.name) for f in schema.fields]) \
+            .withColumn(CHANGE_TYPE, F.lit(kind)) \
+            .withColumn(CHANGE_ORDINAL, F.lit(ordinal)) \
+            .withColumn(COMMIT_SNAPSHOT_ID,
+                        F.lit(snap_id).cast("long"))
+
+    by_id = {s.snapshot_id: s for s in snaps}
+    for ordinal, snap in enumerate(in_range):
+        op = snap.operation
+        if op == OP_REPLACE:
+            continue  # physical rewrite: no logical change
+        parent = by_id.get(snap.parent_snapshot_id)
+        prev_data, prev_dels = _live_files(parent)
+        cur_data, cur_dels = _live_files(snap)
+        added_data = [f for p, f in cur_data.items() if p not in prev_data]
+        removed_data = [f for p, f in prev_data.items()
+                        if p not in cur_data]
+        added_deletes = [f for p, f in cur_dels.items()
+                         if p not in prev_dels]
+
+        if op == OP_APPEND:
+            if added_data:
+                frames.append(stamp(_read_files(
+                    spark, schema, [f.file_path for f in added_data]),
+                    "insert", ordinal, snap.snapshot_id))
+            continue
+
+        # delete / overwrite
+        if removed_data:
+            # CoW: removed rows minus rows re-added by the same commit
+            # are the logical deletes; re-added minus removed are inserts
+            # (exceptAll keeps duplicate multiplicity)
+            removed_rows = _read_files(
+                spark, schema, [f.file_path for f in removed_data])
+            readded_rows = _read_files(
+                spark, schema, [f.file_path for f in added_data])
+            frames.append(stamp(removed_rows.exceptAll(readded_rows),
+                                "delete", ordinal, snap.snapshot_id))
+            if op == OP_OVERWRITE:
+                frames.append(stamp(readded_rows.exceptAll(removed_rows),
+                                    "insert", ordinal, snap.snapshot_id))
+        elif op == OP_OVERWRITE and added_data:
+            frames.append(stamp(_read_files(
+                spark, schema, [f.file_path for f in added_data]),
+                "insert", ordinal, snap.snapshot_id))
+
+        if not added_deletes:
+            continue
+        # MoR: the delete files added by this snapshot target data files
+        # that were live BEFORE it
+        target_paths = sorted(prev_data)
+        pos_files = [f for f in added_deletes
+                     if f.content == M.CONTENT_POS_DELETES]
+        eq_files = [f for f in added_deletes
+                    if f.content == M.CONTENT_EQ_DELETES]
+        dv_files = [f for f in pos_files
+                    if f.file_path.endswith(".puffin")]
+        pos_files = [f for f in pos_files if f not in dv_files]
+
+        if pos_files:
+            data = _with_pos(spark, schema, target_paths)
+            dels = (spark.read.parquet(
+                *sorted({f.file_path for f in pos_files}))
+                .select(F.regexp_replace(F.col("file_path"), "^file:", "")
+                        .alias("__file"),
+                        F.col("pos").alias("__pos")))
+            frames.append(stamp(
+                data.join(dels, ["__file", "__pos"], "inner")
+                    .drop("__file", "__pos"),
+                "delete", ordinal, snap.snapshot_id))
+        if dv_files:
+            from ..meta.dv import read_deletion_vector_blobs
+            from .scan import _apply_dv_join  # noqa: F401 (shape parity)
+            pairs = []
+            for f in dv_files:
+                for fp, raw in read_deletion_vector_blobs(
+                        f.file_path).items():
+                    from ..meta.dv import deserialize_dv
+                    for p in deserialize_dv(raw).to_numpy():
+                        pairs.append((fp, int(p)))
+            if pairs:
+                data = _with_pos(spark, schema, target_paths)
+                dels = spark.createDataFrame(pairs,
+                                             "__file string, __pos long")
+                frames.append(stamp(
+                    data.join(dels, ["__file", "__pos"], "inner")
+                        .drop("__file", "__pos"),
+                    "delete", ordinal, snap.snapshot_id))
+        if eq_files:
+            data = _read_files(spark, schema, target_paths)
+            for f in eq_files:
+                key_ids = f.equality_ids or []
+                names = [fld.name for fld in md.schema().fields
+                         if fld.field_id in key_ids]
+                keys = spark.read.parquet(f.file_path).select(*names) \
+                    .dropDuplicates()
+                cond = [data[n].eqNullSafe(keys[n]) for n in names]
+                frames.append(stamp(
+                    data.alias("d").join(keys, cond, "leftsemi"),
+                    "delete", ordinal, snap.snapshot_id))
+
+    if not frames:
+        empty = spark.createDataFrame([], schema) \
+            .withColumn(CHANGE_TYPE, F.lit("")) \
+            .withColumn(CHANGE_ORDINAL, F.lit(0)) \
+            .withColumn(COMMIT_SNAPSHOT_ID, F.lit(0).cast("long"))
+        return empty.limit(0)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

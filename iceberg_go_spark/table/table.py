@@ -178,6 +178,15 @@ class Table:
         from .maintenance import orphan_files
         return orphan_files(self, spark, **kw)
 
+    def changelog(self, spark: SparkSession,
+                  from_snapshot_id: Optional[int] = None,
+                  to_snapshot_id: Optional[int] = None):
+        """Row-level CDC between snapshots: rows stamped with
+        _change_type insert/delete, _change_ordinal, _commit_snapshot_id
+        (changelog.py)."""
+        from .changelog import changelog
+        return changelog(self, spark, from_snapshot_id, to_snapshot_id)
+
     # -- branches / tags ----------------------------------------------------
     def create_branch(self, name: str,
                       snapshot_id: Optional[int] = None) -> "Table":
