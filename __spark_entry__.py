@@ -488,6 +488,38 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def asof_join_events(spark, sf_dir):
+    """Point-in-time join: each event matched to its user's most recent
+    daily anchor row (operators/asof.py tag-union-window shape — one
+    keyed shuffle, no range join). Day sums ride as exact decimals so
+    the fold is engine-independent."""
+    from iceberg_go_spark.operators.asof import asof_join
+    ev = _read(spark, sf_dir, "events")
+    anchors = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__d"))
+               .agg(F.min("ts").alias("ts"),
+                    F.sum(_dec("value")).alias("day_sum"))
+               .select("user_id", "ts", "day_sum"))
+    j = asof_join(ev.select("event_id", "user_id", "ts", "event_type"),
+                  anchors, "ts", ["user_id"], ["day_sum"])
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("day_sum").cast("double").alias("sum_day_sums")))
+
+
+ASOF_SQL = """
+WITH anchors AS (
+  SELECT user_id, MIN(ts) AS ts,
+         SUM(CAST(value AS DECIMAL(12,2))) AS day_sum
+  FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(a.day_sum) AS DOUBLE) AS sum_day_sums
+FROM events e ASOF JOIN anchors a
+  ON e.user_id = a.user_id AND e.ts >= a.ts
+GROUP BY e.event_type
+"""
+
+
 def sessionization(spark, sf_dir):
     """Gap-based sessionization of the event stream (exact µs math so the
     DuckDB oracle computes identical session boundaries)."""
@@ -1517,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_nation": top_customers_per_nation,
         "events_hourly": events_hourly,
         "sessionization": sessionization,
+        "asof_join_events": asof_join_events,
         "iceberg_scan_filter_project": iceberg_scan_filter_project,
         "iceberg_bucket_scan": iceberg_bucket_scan,
         "iceberg_time_travel": iceberg_time_travel,
@@ -1568,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_per_nation": TOP_CUST_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "sessionization": SESSIONIZATION_SQL,
+        "asof_join_events": ASOF_SQL,
         "iceberg_scan_filter_project": ICE_SCAN_SQL,
         "iceberg_bucket_scan": ICE_BUCKET_SQL,
         "iceberg_time_travel": ICE_TT_SQL,

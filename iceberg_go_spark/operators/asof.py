@@ -1,0 +1,80 @@
+"""As-of (point-in-time) join: match each left row to the most recent
+right row at or before its timestamp, per key.
+
+Spark has no ASOF JOIN operator (the brief's canonical example of a
+custom operator the engine must supply); the scalable shape is NOT a
+range join (quadratic per key) but tag-union-window:
+
+    union(left tagged 1, right tagged 0)
+      -> window last_value(right cols, ignorenulls) per key ordered by
+         (time, tag)
+      -> keep left rows
+
+One shuffle on the key columns, linear work, spillable state — the same
+plan Flink/kdb-style as-of joins lower to. Ties (equal timestamps)
+match, mirroring DuckDB/kdb semantics: the right row sorts before the
+left row at the same instant. A ``tolerance`` bounds staleness: matches
+older than it are nulled out.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, time_col: str,
+              by_cols: List[str], value_cols: Optional[List[str]] = None,
+              tolerance_seconds: Optional[float] = None) -> DataFrame:
+    """Left rows + the latest ``value_cols`` from ``right`` whose
+    ``time_col`` is <= the left row's, matched per ``by_cols`` key;
+    unmatched (or out-of-tolerance) rows carry nulls."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in by_cols + [time_col]]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"value_cols collide with left columns: {sorted(overlap)}")
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[time_col].dataType)
+        .alias("__rt"))
+    r_tag = right.select(
+        *[F.col(c) if c in by_cols + [time_col]
+          else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(time_col).alias("__rt"))
+
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at the same timestamp: equal
+    # timestamps match (ASOF `>=`)
+    w = (Window.partitionBy(*by_cols)
+         .orderBy(F.col(time_col), F.col("__is_left"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "*",
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+          for c in value_cols],
+        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"))
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        fresh = (F.unix_micros(F.col(time_col).cast("timestamp"))
+                 - F.unix_micros(F.col("__c_rt").cast("timestamp"))
+                 ) <= int(tolerance_seconds * 1_000_000)
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.when(fresh, F.col(f"__c_{c}")).alias(c)
+              for c in value_cols])
+    else:
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"__c_{c}").alias(c) for c in value_cols])
+    return out

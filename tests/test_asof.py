@@ -1,0 +1,84 @@
+"""As-of join operator: tie/unmatched/tolerance semantics and the
+DuckDB-ASOF-equivalent behavior on real events data (the oracle query
+asof_join_events covers the at-scale aggregate; these pin row-level
+semantics)."""
+
+import datetime
+
+import pytest
+import pyspark.sql.functions as F
+
+from iceberg_go_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(9), "a"), ("u1", _ts(12), "b"),
+         ("u2", _ts(10), "c"), ("u3", _ts(8), "d")],
+        "k string, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [("u1", _ts(9), 1.0), ("u1", _ts(11), 2.0),
+         ("u2", _ts(11), 3.0)],
+        "k string, ts timestamp, px double")
+    return left, right
+
+
+def test_asof_basic_and_ties(sides):
+    left, right = sides
+    out = {(r.k, r.ev): r.px for r in
+           asof_join(left, right, "ts", ["k"]).collect()}
+    # tie at 09:00 matches (>= semantics); 12:00 takes the 11:00 row
+    assert out[("u1", "a")] == 1.0
+    assert out[("u1", "b")] == 2.0
+    # u2's event at 10:00 precedes its only right row (11:00): null
+    assert out[("u2", "c")] is None
+    # u3 has no right rows at all: null
+    assert out[("u3", "d")] is None
+
+
+def test_asof_tolerance(sides):
+    left, right = sides
+    out = {(r.k, r.ev): r.px for r in
+           asof_join(left, right, "ts", ["k"],
+                     tolerance_seconds=1800).collect()}
+    assert out[("u1", "a")] == 1.0      # exact match: 0s stale
+    assert out[("u1", "b")] is None     # 1h stale > 30min tolerance
+    out2 = {(r.k, r.ev): r.px for r in
+            asof_join(left, right, "ts", ["k"],
+                      tolerance_seconds=7200).collect()}
+    assert out2[("u1", "b")] == 2.0     # within 2h
+
+
+def test_asof_column_collision_rejected(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("px", "ev"),
+                  "ts", ["k"])
+
+
+def test_asof_matches_duckdb(spark, sf_dir):
+    """Row-count parity with DuckDB's native ASOF JOIN on real events."""
+    import duckdb
+    import os
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    ev = spark.read.parquet(ev_path).select("event_id", "user_id", "ts")
+    anchors = (ev.groupBy("user_id")
+               .agg(F.min("ts").alias("ts"),
+                    F.count(F.lit(1)).alias("n")))
+    j = asof_join(ev, anchors.select("user_id", "ts", "n"),
+                  "ts", ["user_id"])
+    got = j.filter(F.col("n").isNotNull()).count()
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH e AS (SELECT * FROM read_parquet('{ev_path}')),
+        a AS (SELECT user_id, MIN(ts) AS ts, COUNT(*) AS n
+              FROM e GROUP BY user_id)
+        SELECT COUNT(*) FROM e ASOF JOIN a
+          ON e.user_id = a.user_id AND e.ts >= a.ts
+    """).fetchone()[0]
+    assert got == want == ev.count()
