@@ -520,6 +520,43 @@ GROUP BY e.event_type
 """
 
 
+def range_join_acctbal(spark, sf_dir):
+    """Interval join: customers matched to their nation's
+    [min_acctbal, min_acctbal + 5000] band (operators/range_join.py
+    binned shape — equi-join on (nation, bin), never a nested loop)."""
+    from iceberg_go_spark.operators.range_join import range_join
+    cust = _read(spark, sf_dir, "customer")
+    bands = (cust.groupBy("c_nationkey")
+             .agg(F.min(_dec("c_acctbal")).alias("lo"))
+             .withColumn("hi", F.col("lo")
+                         + F.lit(5000).cast("decimal(12,2)"))
+             .withColumnRenamed("c_nationkey", "n_key"))
+    j = range_join(cust, bands, "c_acctbal", "lo", "hi",
+                   bin_width=1000.0) \
+        .filter(F.col("c_nationkey") == F.col("n_key"))
+    return (j.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_in_band"),
+                 F.sum(_dec("c_acctbal")).cast("double")
+                 .alias("band_acctbal")))
+
+
+RANGE_JOIN_SQL = """
+WITH bands AS (
+  SELECT c_nationkey AS n_key,
+         MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS lo,
+         MIN(CAST(c_acctbal AS DECIMAL(12,2)))
+           + CAST(5000 AS DECIMAL(12,2)) AS hi
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, COUNT(*) AS n_in_band,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         AS band_acctbal
+FROM customer JOIN bands
+  ON c_nationkey = n_key AND c_acctbal BETWEEN lo AND hi
+GROUP BY c_nationkey
+"""
+
+
 def sessionization(spark, sf_dir):
     """Gap-based sessionization of the event stream (exact µs math so the
     DuckDB oracle computes identical session boundaries)."""
@@ -1550,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "sessionization": sessionization,
         "asof_join_events": asof_join_events,
+        "range_join_acctbal": range_join_acctbal,
         "iceberg_scan_filter_project": iceberg_scan_filter_project,
         "iceberg_bucket_scan": iceberg_bucket_scan,
         "iceberg_time_travel": iceberg_time_travel,
@@ -1602,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "sessionization": SESSIONIZATION_SQL,
         "asof_join_events": ASOF_SQL,
+        "range_join_acctbal": RANGE_JOIN_SQL,
         "iceberg_scan_filter_project": ICE_SCAN_SQL,
         "iceberg_bucket_scan": ICE_BUCKET_SQL,
         "iceberg_time_travel": ICE_TT_SQL,

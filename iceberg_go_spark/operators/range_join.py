@@ -1,0 +1,44 @@
+"""Range (interval) join: left rows matched to right intervals
+[lo, hi] containing their value, with optional extra equi-keys.
+
+Spark lowers a bare non-equi join to BroadcastNestedLoopJoin — quadratic
+and driver-bound once the right side outgrows a broadcast. The scalable
+shape is BINNING: both sides bucket by ``bin_width`` (each right
+interval explodes to the bins it spans), the join becomes an equi-join
+on (keys..., bin), and the exact containment predicate filters inside
+matched bins. Each (row, interval) pair meets in exactly ONE bin — the
+bin holding the row's value — so no post-join dedup is needed. Pick
+``bin_width`` near the typical interval span: wider wastes filter work,
+narrower multiplies the interval-side explode.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def range_join(left: DataFrame, right: DataFrame, value_col: str,
+               lo_col: str, hi_col: str,
+               by_cols: Optional[List[str]] = None,
+               bin_width: float = 1000.0) -> DataFrame:
+    """Inner join of left rows to right intervals with
+    ``lo <= value <= hi`` (plus equality on ``by_cols``)."""
+    by_cols = by_cols or []
+    overlap = (set(right.columns) - {lo_col, hi_col} - set(by_cols)) \
+        & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right columns collide with left: {sorted(overlap)}")
+    lb = left.withColumn(
+        "__bin", F.floor(F.col(value_col) / F.lit(bin_width)))
+    rb = right.withColumn(
+        "__bin", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(bin_width)),
+            F.floor(F.col(hi_col) / F.lit(bin_width)))))
+    joined = lb.join(rb, on=by_cols + ["__bin"], how="inner")
+    return (joined
+            .filter((F.col(value_col) >= F.col(lo_col))
+                    & (F.col(value_col) <= F.col(hi_col)))
+            .drop("__bin"))
