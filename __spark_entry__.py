@@ -112,7 +112,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v5"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v6"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -159,6 +159,27 @@ def _fixtures(spark: SparkSession, sf_dir: str):
         updates = orders.filter(F.col("o_orderkey") % 100 == 0) \
             .withColumn("o_totalprice", F.lit(0.0))
         t.upsert(spark, updates, ["o_orderkey"])
+
+        # continuous-aggregate fixture: partial load -> rollup -> more
+        # appends + a delete -> incremental refresh
+        from iceberg_go_spark.operators.rollup import (create_rollup,
+                                                       refresh_rollup)
+        ev = _read(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value")
+        t = cat.create_table("db.events_src",
+                             Schema.from_spark(ev.schema))
+        t.append(ev.filter(F.col("event_id") % 3 == 0))
+        rollup_aggs = {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)"))}
+        create_rollup(cat, "db.events_src", "db.events_hourly", spark,
+                      "ts", "hour", ["event_type"], rollup_aggs)
+        t = cat.load_table("db.events_src")
+        t.append(ev.filter(F.col("event_id") % 3 != 0))
+        t.delete_where(spark, E.eq("event_type", "purchase"),
+                       mode="merge-on-read")
+        refresh_rollup(cat, "db.events_src", "db.events_hourly", spark,
+                       "ts", "hour", ["event_type"], rollup_aggs)
 
         with open(marker, "w") as f:
             f.write(FIXTURE_VERSION)
@@ -681,6 +702,31 @@ ICE_MOR_SQL = """
 SELECT o_orderkey, o_orderstatus, o_totalprice,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+def hypertable_rollup(spark, sf_dir):
+    """Incrementally-refreshed hourly continuous aggregate
+    (operators/rollup.py): built at partial load, then brought up to
+    date bucket-by-bucket from the changelog after more appends and a
+    MoR delete. Must equal a from-scratch recompute of the final source
+    state — which is what the oracle computes."""
+    cat = _fixtures(spark, sf_dir)
+    df = cat.load_table("db.events_hourly").to_df(spark)
+    return df.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"), "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"))
+
+
+HYPERTABLE_SQL = """
+SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type <> 'purchase'
+GROUP BY 1, 2
 """
 
 
@@ -1594,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental_scan": iceberg_incremental_scan,
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
         "iceberg_changelog_scan": iceberg_changelog_scan,
+        "hypertable_rollup": hypertable_rollup,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
         "iceberg_snapshot_log": iceberg_snapshot_log,
@@ -1647,6 +1694,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_incremental_scan": ICE_INC_SQL,
         "iceberg_mor_delete_scan": ICE_MOR_SQL,
         "iceberg_changelog_scan": ICE_CHANGELOG_SQL,
+        "hypertable_rollup": HYPERTABLE_SQL,
         "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
         "iceberg_snapshot_log": SNAPSHOT_LOG_SQL,

@@ -1,0 +1,94 @@
+"""Hypertable rollup: a time-bucketed continuous aggregate maintained
+INCREMENTALLY from the source table's changelog.
+
+TimescaleDB continuous-aggregate semantics re-expressed Spark-first
+(the brief's canonical custom-operator example): the rollup is itself an
+engine table; ``refresh`` reads the CDC rows since the last refreshed
+snapshot (table/changelog.py), finds the time buckets they touch, and
+recomputes ONLY those buckets from the source — an overwrite of the
+dirty buckets, never a full rebuild. At 100 TB a day's late data dirties
+a handful of buckets; refresh cost tracks the CHANGE volume, not the
+table size. The high-water snapshot id rides in the rollup table's
+properties, so refresh is idempotent and crash-safe (re-running refresh
+for an already-applied range recomputes the same buckets to the same
+values).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+PROP_SOURCE_SNAPSHOT = "rollup.source-snapshot-id"
+PROP_SOURCE_TABLE = "rollup.source-table"
+BUCKET_COL = "bucket_start"
+
+
+def _bucketed(df: DataFrame, time_col: str, bucket: str) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL,
+        F.date_trunc(bucket, F.col(time_col).cast("timestamp")))
+
+
+def _aggregate(df: DataFrame, time_col: str, bucket: str,
+               group_cols: List[str],
+               aggs: Dict[str, Column]) -> DataFrame:
+    return (_bucketed(df, time_col, bucket)
+            .groupBy(BUCKET_COL, *group_cols)
+            .agg(*[c.alias(name) for name, c in aggs.items()]))
+
+
+def create_rollup(catalog, source_ident, rollup_ident, spark: SparkSession,
+                  time_col: str, bucket: str, group_cols: List[str],
+                  aggs: Dict[str, Column]):
+    """Materialize the initial rollup table from the source's current
+    snapshot and record the high-water mark."""
+    from ..schema import Schema
+    src = catalog.load_table(source_ident)
+    agg_df = _aggregate(src.to_df(spark), time_col, bucket, group_cols,
+                        aggs)
+    snap = src.current_snapshot()
+    t = catalog.create_table(
+        rollup_ident, Schema.from_spark(agg_df.schema),
+        properties={
+            PROP_SOURCE_TABLE: ".".join(src.identifier),
+            PROP_SOURCE_SNAPSHOT:
+                str(snap.snapshot_id) if snap else ""})
+    if snap is not None:
+        t.append(agg_df)
+    return t
+
+
+def refresh_rollup(catalog, source_ident, rollup_ident,
+                   spark: SparkSession, time_col: str, bucket: str,
+                   group_cols: List[str], aggs: Dict[str, Column]):
+    """Bring the rollup up to the source's current snapshot by
+    recomputing only the buckets the changelog touched."""
+    from .. import expressions as E
+    src = catalog.load_table(source_ident)
+    roll = catalog.load_table(rollup_ident)
+    last = roll.properties().get(PROP_SOURCE_SNAPSHOT) or None
+    cur = src.current_snapshot()
+    if cur is None or (last and int(last) == cur.snapshot_id):
+        return roll
+
+    changes = src.changelog(
+        spark, from_snapshot_id=int(last) if last else None,
+        to_snapshot_id=cur.snapshot_id)
+    dirty = [r[BUCKET_COL] for r in
+             _bucketed(changes, time_col, bucket)
+             .select(BUCKET_COL).distinct().collect()]
+    if dirty:
+        # recompute dirty buckets from the CURRENT source state
+        src_df = _bucketed(src.to_df(spark), time_col, bucket)
+        fresh = (src_df.filter(F.col(BUCKET_COL).isin(dirty))
+                 .groupBy(BUCKET_COL, *group_cols)
+                 .agg(*[c.alias(n) for n, c in aggs.items()]))
+        # drop the dirty buckets' old rows, append the recomputed ones
+        roll.delete_where(spark, E.in_(BUCKET_COL, dirty))
+        roll = catalog.load_table(rollup_ident)
+        roll.append(fresh)
+        roll = catalog.load_table(rollup_ident)
+    roll.update_properties({PROP_SOURCE_SNAPSHOT: str(cur.snapshot_id)})
+    return catalog.load_table(rollup_ident)

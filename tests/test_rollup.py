@@ -1,0 +1,88 @@
+"""Incremental hypertable rollup: refresh recomputes only changelog-
+touched buckets yet always equals a full recompute; idempotent on
+no-change refresh; deletes propagate."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.operators.rollup import (PROP_SOURCE_SNAPSHOT,
+                                               create_rollup,
+                                               refresh_rollup)
+from iceberg_go_spark.schema import Schema
+from tests.conftest import read_table
+
+def AGGS():
+    # built lazily: Column construction needs an active SparkContext
+    return {"n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,2)"))}
+
+
+def _full(spark, src_df):
+    return (src_df.withColumn(
+        "bucket_start", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .groupBy("bucket_start", "event_type")
+        .agg(*[c.alias(n) for n, c in AGGS().items()]))
+
+
+def _assert_equal(a, b):
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.fixture()
+def setup(spark, tmp_path, sf_dir):
+    ev = read_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    src = cat.create_table("db.events", Schema.from_spark(ev.schema))
+    src.append(ev.filter(F.col("event_id") % 3 == 0))
+    return cat, ev
+
+
+def test_rollup_create_and_incremental_refresh(setup, spark):
+    cat, ev = setup
+    create_rollup(cat, "db.events", "db.hourly", spark,
+                  "ts", "hour", ["event_type"], AGGS())
+    src = cat.load_table("db.events")
+    _assert_equal(cat.load_table("db.hourly").to_df(spark),
+                  _full(spark, src.to_df(spark)))
+
+    # new appends dirty only their buckets; refresh must still equal a
+    # full recompute
+    src.append(ev.filter(F.col("event_id") % 3 == 1))
+    refresh_rollup(cat, "db.events", "db.hourly", spark,
+                   "ts", "hour", ["event_type"], AGGS())
+    src = cat.load_table("db.events")
+    _assert_equal(cat.load_table("db.hourly").to_df(spark),
+                  _full(spark, src.to_df(spark)))
+
+    # idempotent: refreshing with no source change leaves snapshots alone
+    before = len(cat.load_table("db.hourly").metadata.snapshots)
+    refresh_rollup(cat, "db.events", "db.hourly", spark,
+                   "ts", "hour", ["event_type"], AGGS())
+    assert len(cat.load_table("db.hourly").metadata.snapshots) == before
+
+
+def test_rollup_delete_propagates(setup, spark):
+    cat, ev = setup
+    create_rollup(cat, "db.events", "db.hourly", spark,
+                  "ts", "hour", ["event_type"], AGGS())
+    src = cat.load_table("db.events")
+    src.delete_where(spark, E.eq("event_type", "click"))
+    refresh_rollup(cat, "db.events", "db.hourly", spark,
+                   "ts", "hour", ["event_type"], AGGS())
+    roll = cat.load_table("db.hourly").to_df(spark)
+    assert roll.filter(F.col("event_type") == "click").count() == 0
+    _assert_equal(roll,
+                  _full(spark, cat.load_table("db.events").to_df(spark)))
+
+
+def test_rollup_tracks_watermark(setup, spark):
+    cat, _ev = setup
+    create_rollup(cat, "db.events", "db.hourly", spark,
+                  "ts", "hour", ["event_type"], AGGS())
+    src = cat.load_table("db.events")
+    assert cat.load_table("db.hourly").properties()[
+        PROP_SOURCE_SNAPSHOT] == str(src.current_snapshot().snapshot_id)
