@@ -260,8 +260,13 @@ class TableMetadata:
             sort_orders=[SortOrder.from_json_dict(o)
                          for o in d.get("sort-orders", [])],
             default_sort_order_id=d.get("default-sort-order-id", 0),
+            # spec: a metadata file without a refs map implies a main
+            # branch at current-snapshot-id (pre-refs writers)
             refs={k: SnapshotRef.from_json_dict(v)
-                  for k, v in d.get("refs", {}).items()},
+                  for k, v in d.get("refs", {}).items()}
+            or ({"main": SnapshotRef(d["current-snapshot-id"])}
+                if d.get("current-snapshot-id") not in (None, -1)
+                else {}),
             next_row_id=d.get("next-row-id", 0),
             statistics=d.get("statistics", []),
             partition_statistics=d.get("partition-statistics", []),

@@ -1,0 +1,79 @@
+"""Interop: the reference repo's own golden metadata fixtures
+(/root/reference/table/testdata/*.json) read through OUR TableMetadata —
+a table written by the Go engine loads here with the same structure,
+and survives a write/read round-trip through our serializer.
+
+Schema-invalid fixtures (missing schemas / dangling current-schema-id)
+defer the failure to schema() access; structurally-optional omissions
+(sort order, last-partition-id) read leniently with defaults, matching
+the reference's parse-then-validate split.
+"""
+
+import pytest
+
+from iceberg_go_spark.meta.metadata import TableMetadata
+
+FIXTURES = "/root/reference/table/testdata"
+
+
+def test_v2_valid_full(tmp_path):
+    md = TableMetadata.read(f"{FIXTURES}/TableMetadataV2Valid.json")
+    assert md.format_version == 2
+    assert md.table_uuid == "9c12d441-03fe-4693-9a96-a0705ddf69c1"
+    assert len(md.schemas) == 2 and md.current_schema_id == 1
+    assert [f.name for f in md.schema().fields] == ["x", "y", "z"]
+    assert len(md.snapshots) == 2
+    assert md.current_snapshot_id == 3055729675574597004
+    assert md.spec().fields[0].name == "x"
+    assert md.sort_order().fields  # sorted table
+    assert md.refs["main"].snapshot_id == md.current_snapshot_id
+    # round-trip through OUR serializer preserves identity
+    p = str(tmp_path / "rt.metadata.json")
+    md.write(p)
+    back = TableMetadata.read(p)
+    assert back.table_uuid == md.table_uuid
+    assert back.current_snapshot_id == md.current_snapshot_id
+    assert [s.snapshot_id for s in back.snapshots] == \
+        [s.snapshot_id for s in md.snapshots]
+    assert back.schema().to_json_dict() == md.schema().to_json_dict()
+
+
+def test_v2_valid_minimal():
+    md = TableMetadata.read(f"{FIXTURES}/TableMetadataV2ValidMinimal.json")
+    assert md.format_version == 2
+    assert not md.snapshots and md.current_snapshot_id is None
+    assert [f.name for f in md.schema().fields] == ["x", "y", "z"]
+
+
+def test_v3_partition_statistics(tmp_path):
+    md = TableMetadata.read(
+        f"{FIXTURES}/TableMetadataV3WithPartitionStatistics.json")
+    assert md.format_version == 3
+    assert len(md.partition_statistics) == 2
+    by_snap = {e["snapshot-id"]: e for e in md.partition_statistics}
+    assert all(e.get("statistics-path") for e in by_snap.values())
+    assert all(e.get("file-size-in-bytes", 0) > 0 for e in by_snap.values())
+    # entries survive OUR round-trip
+    p = str(tmp_path / "rt.metadata.json")
+    md.write(p)
+    assert TableMetadata.read(p).partition_statistics == \
+        md.partition_statistics
+
+
+@pytest.mark.parametrize("name", [
+    "TableMetadataV2CurrentSchemaNotFound.json",
+    "TableMetadataV2MissingSchemas.json",
+])
+def test_schema_invalid_fixtures_fail_on_access(name):
+    md = TableMetadata.read(f"{FIXTURES}/{name}")
+    with pytest.raises(ValueError):
+        md.schema()
+
+
+@pytest.mark.parametrize("name", [
+    "TableMetadataV2MissingSortOrder.json",
+    "TableMetadataV2MissingLastPartitionId.json",
+])
+def test_optional_omissions_read_with_defaults(name):
+    md = TableMetadata.read(f"{FIXTURES}/{name}")
+    assert md.schema().fields  # loads and resolves
