@@ -300,7 +300,12 @@ class UDFDefinition:
     def definition_id(self) -> str:
         """Canonical ID derived from the parameter types
         (udf/metadata.go:378 CanonicalDefinitionID): two definitions with
-        the same type list collide regardless of parameter names."""
+        the same type list collide regardless of parameter names. A
+        verbatim id parsed from foreign metadata wins (the reference
+        derives ids from types only, no name prefix)."""
+        verbatim = self.__dict__.get("_definition_id")
+        if verbatim:
+            return verbatim
         return f"{self.name}({','.join(p.type for p in self.parameters)})"
 
     def current(self) -> UDFVersion:
@@ -423,3 +428,85 @@ def register_tables(spark: SparkSession, catalog, namespace,
         t.to_df(spark).createOrReplaceTempView(name)
         names.append(name)
     return names
+
+
+# ---------------------------------------------------------------------------
+# spec-shape interop (reference golden formats)
+
+
+def _type_str(t: Any) -> str:
+    """Reference UDF type (string or struct object, udf/types.go) ->
+    Spark DDL type string."""
+    if isinstance(t, str):
+        return t
+    if isinstance(t, dict) and t.get("type") == "struct":
+        inner = ", ".join(f"{f['name']} {_type_str(f['type'])}"
+                          for f in t.get("fields", []))
+        return inner  # RETURNS TABLE (...) column list
+    raise ValueError(f"unsupported type: {t!r}")
+
+
+def view_metadata_from_json(d: Dict[str, Any]) -> ViewMetadata:
+    """Parse the spec's view metadata JSON (view/metadata.go:64;
+    golden fixture view/testdata/view-metadata.json): versions carry
+    per-dialect representations; engine summary rides in
+    ViewVersion.summary."""
+    versions = []
+    for v in d["versions"]:
+        versions.append(ViewVersion(
+            v["version-id"], v["timestamp-ms"],
+            summary=dict(v.get("summary", {})),
+            representations=[representation_from_json(r)
+                             for r in v.get("representations", [])]))
+    return ViewMetadata(d["view-uuid"],
+                        d.get("location", ""),
+                        d["current-version-id"], versions)
+
+
+@dataclass
+class FunctionMetadata:
+    """The spec's function metadata wrapper (udf/metadata.go:52; golden
+    fixtures udf/testdata/udf-metadata-*.json): one function name, a
+    UUID, and N overloaded definitions keyed by canonical
+    definition-id."""
+    function_uuid: str
+    format_version: int
+    definitions: List[UDFDefinition]
+    properties: Dict[str, str] = dc_field(default_factory=dict)
+
+    def definition(self, definition_id: str) -> UDFDefinition:
+        for d in self.definitions:
+            if d.definition_id == definition_id:
+                return d
+        raise KeyError(definition_id)
+
+    @classmethod
+    def from_json_dict(cls, d: Dict[str, Any],
+                       name: str = "fn") -> "FunctionMetadata":
+        defs = []
+        for dd in d["definitions"]:
+            versions = [UDFVersion(
+                v["version-id"],
+                [representation_from_json(r)
+                 for r in v["representations"]],
+                deterministic=v.get("deterministic", True),
+                on_null_input=v.get("on-null-input", ON_NULL_CALL),
+                timestamp_ms=v.get("timestamp-ms", 0))
+                for v in dd["versions"]]
+            udf = UDFDefinition(
+                name=dd.get("specific-name") or name,
+                func_type=dd["function-type"],
+                parameters=[Parameter(p["name"],
+                                      _type_str(p.get("type", "double")),
+                                      p.get("doc", ""))
+                            for p in dd.get("parameters", [])],
+                return_type=_type_str(dd["return-type"]),
+                return_nullable=dd.get("return-nullable", True),
+                doc=dd.get("doc", ""), versions=versions,
+                current_version_id=dd["current-version-id"])
+            # preserve the canonical id verbatim (reference derives it
+            # from parameter types only, without the function name)
+            udf.__dict__["_definition_id"] = dd.get("definition-id")
+            defs.append(udf)
+        return cls(d["function-uuid"], d.get("format-version", 1), defs,
+                   dict(d.get("properties", {})))

@@ -77,3 +77,57 @@ def test_schema_invalid_fixtures_fail_on_access(name):
 def test_optional_omissions_read_with_defaults(name):
     md = TableMetadata.read(f"{FIXTURES}/{name}")
     assert md.schema().fields  # loads and resolves
+
+
+def test_view_metadata_fixture(spark):
+    from iceberg_go_spark.views import view_metadata_from_json
+    import json
+    with open("/root/reference/view/testdata/view-metadata.json") as f:
+        md = view_metadata_from_json(json.load(f))
+    assert md.view_uuid == "fa6506c3-7681-40c8-86dc-e36561f83385"
+    assert md.current_version_id == 2
+    v = md.current()
+    assert v.summary["engine-name"] == "Spark"
+    assert "prod.default.events" in v.sql_for("spark")
+    # version 1 stays addressable with its own SQL
+    v1 = next(x for x in md.versions if x.version_id == 1)
+    assert "FROM events" in v1.sql_for("spark")
+
+
+def test_udf_scalar_fixture(spark):
+    from iceberg_go_spark.views import FunctionMetadata
+    import json
+    with open(f"/root/reference/udf/testdata/"
+              "udf-metadata-scalar.json") as f:
+        fm = FunctionMetadata.from_json_dict(json.load(f), name="add_one")
+    assert len(fm.definitions) == 2  # int and float overloads
+    d = fm.definition("int")
+    assert d.current_version_id == 2
+    assert d.parameters[0].doc == "Input integer"
+    # v2 carries both dialects; v1 is trino-only
+    from iceberg_go_spark.views import _resolve_sql
+    assert _resolve_sql(d.current().representations, "spark") == "x + 1"
+    v1 = next(v for v in d.versions if v.version_id == 1)
+    with pytest.raises(ValueError):
+        _resolve_sql(v1.representations, "spark")
+    # the spark representation runs as a real SQL function
+    from iceberg_go_spark.views import UDFRegistry
+    import tempfile
+    reg = UDFRegistry(tempfile.mkdtemp())
+    d.return_type = "int"
+    reg.register(d)
+    reg.apply(spark, "add_one")
+    assert spark.sql("SELECT add_one(41) AS v").collect()[0].v == 42
+
+
+def test_udf_table_function_fixture():
+    from iceberg_go_spark.views import FunctionMetadata
+    import json
+    with open(f"/root/reference/udf/testdata/"
+              "udf-metadata-table.json") as f:
+        fm = FunctionMetadata.from_json_dict(json.load(f), name="fruits")
+    d = fm.definitions[0]
+    assert d.func_type == "udtf"
+    # struct return type renders as a RETURNS TABLE column list
+    assert "name string" in d.return_type
+    assert d.definition_id == "string"  # verbatim from the fixture
