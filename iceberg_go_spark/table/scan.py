@@ -108,6 +108,35 @@ class ScanReport:
     total_delete_files: int = 0
     planning_ms: float = 0.0
 
+    def to_json_dict(self, table_name: str = "",
+                     snapshot_id: int = -1,
+                     schema_id: int = 0,
+                     filter_: bool = False) -> Dict[str, Any]:
+        """Spec wire format (metrics/scan_report.go MarshalJSON; golden
+        fixture metrics/testdata/scan_report.json): counters as
+        {unit, value}, durations as {count, time-unit, total-duration}."""
+        def cnt(v, unit="count"):
+            return {"unit": unit, "value": int(v)}
+        return {
+            "report-type": "scan-report",
+            "table-name": table_name,
+            "snapshot-id": snapshot_id,
+            "schema-id": schema_id,
+            "filter": filter_,
+            "metrics": {
+                "total-planning-duration": {
+                    "count": 1, "time-unit": "nanoseconds",
+                    "total-duration": int(self.planning_ms * 1e6)},
+                "result-data-files": cnt(self.total_data_files
+                                         - self.skipped_data_files),
+                "result-delete-files": cnt(self.total_delete_files),
+                "total-data-manifests": cnt(self.total_manifests),
+                "scanned-data-manifests": cnt(self.total_manifests
+                                              - self.skipped_manifests),
+                "skipped-data-manifests": cnt(self.skipped_manifests),
+            },
+        }
+
 
 class Scan:
     def __init__(self, table, row_filter: E.Expression = None,

@@ -63,6 +63,32 @@ class CommitReport:
     total_records: int = 0
     extra: Dict[str, str] = dc_field(default_factory=dict)
 
+    def to_json_dict(self) -> Dict[str, Any]:
+        """Spec wire format (metrics/commit_report.go MarshalJSON; golden
+        fixture metrics/testdata/commit_report.json)."""
+        def cnt(v, unit="count"):
+            return {"unit": unit, "value": int(v)}
+        return {
+            "report-type": "commit-report",
+            "table-name": self.table_name,
+            "snapshot-id": self.snapshot_id,
+            "sequence-number": self.sequence_number,
+            "operation": self.operation,
+            "metrics": {
+                "total-duration": {
+                    "count": 1, "time-unit": "nanoseconds",
+                    "total-duration": int(self.total_duration_ms * 1e6)},
+                "attempts": cnt(self.attempts),
+                "added-data-files": cnt(self.added_data_files),
+                "added-delete-files": cnt(self.added_delete_files),
+                "total-data-files": cnt(self.total_data_files),
+                "added-records": cnt(self.added_records),
+                "total-records": cnt(self.total_records),
+                "added-files-size-bytes": cnt(
+                    self.added_files_size_bytes, "bytes"),
+            },
+        }
+
 
 def _new_snapshot_id(metadata: TableMetadata) -> int:
     existing = {s.snapshot_id for s in metadata.snapshots}

@@ -131,3 +131,50 @@ def test_udf_table_function_fixture():
     # struct return type renders as a RETURNS TABLE column list
     assert "name string" in d.return_type
     assert d.definition_id == "string"  # verbatim from the fixture
+
+
+def test_metrics_report_wire_format(spark, tmp_path, sf_dir):
+    """Our scan/commit reports emit the spec's metrics JSON shape —
+    compared structurally against the reference's golden report
+    fixtures (counters as {unit, value}, durations as
+    {count, time-unit, total-duration})."""
+    import json
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from tests.conftest import read_table
+
+    with open("/root/reference/metrics/testdata/scan_report.json") as f:
+        golden_scan = json.load(f)
+    with open("/root/reference/metrics/testdata/commit_report.json") as f:
+        golden_commit = json.load(f)
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.n", Schema.from_spark(df.schema))
+    t = t.append(df)
+
+    s = t.scan()
+    s.plan_files()
+    mine = s.report.to_json_dict(table_name="db.n",
+                                 snapshot_id=t.current_snapshot()
+                                 .snapshot_id)
+    assert mine["report-type"] == golden_scan["report-type"]
+    for key in ("total-data-manifests", "scanned-data-manifests",
+                "skipped-data-manifests", "result-data-files",
+                "result-delete-files"):
+        assert set(mine["metrics"][key]) == \
+            set(golden_scan["metrics"][key]), key
+    assert set(mine["metrics"]["total-planning-duration"]) == \
+        set(golden_scan["metrics"]["total-planning-duration"])
+    assert mine["metrics"]["total-data-manifests"]["value"] == 1
+    assert mine["metrics"]["result-data-files"]["value"] >= 1
+
+    cr = t.last_commit_report.to_json_dict()
+    assert cr["report-type"] == golden_commit["report-type"]
+    assert cr["operation"] == "append"
+    for key in ("attempts", "added-data-files", "total-data-files",
+                "added-records", "total-records",
+                "added-files-size-bytes"):
+        assert set(cr["metrics"][key]) == \
+            set(golden_commit["metrics"][key]), key
+    assert cr["metrics"]["added-records"]["value"] == df.count()
