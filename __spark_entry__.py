@@ -509,6 +509,61 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def running_revenue(spark, sf_dir):
+    """Cumulative revenue per customer over order time (running-total
+    window; deterministic frame via (date, orderkey) ordering)."""
+    o = _read(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    top = o.filter(F.col("o_custkey") % 50 == 0)
+    return (top.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double")
+        .alias("running_total")))
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders WHERE o_custkey % 50 = 0
+"""
+
+
+def moving_avg_value(spark, sf_dir):
+    """7-row moving average of event values per user (sliding window
+    frame), plus lag delta — the standard time-series smoothing pair."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-6, W.currentRow)
+    sel = ev.filter(F.col("user_id") % 20 == 0)
+    return (sel.select(
+        "user_id", "event_id",
+        F.round(F.avg(F.col("value").cast("decimal(18,6)")).over(frame)
+                .cast("double"), 6).alias("avg7"),
+        F.round((F.col("value")
+                 - F.lag("value").over(w)).cast("double"), 6)
+        .alias("delta")))
+
+
+MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       ROUND(CAST(AVG(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS avg7,
+       ROUND(CAST(value - LAG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 6)
+         AS delta
+FROM events WHERE user_id % 20 = 0
+"""
+
+
 def asof_join_events(spark, sf_dir):
     """Point-in-time join: each event matched to its user's most recent
     daily anchor row (operators/asof.py tag-union-window shape — one
@@ -1634,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": sessionization,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
+        "running_revenue": running_revenue,
+        "moving_avg_value": moving_avg_value,
         "iceberg_scan_filter_project": iceberg_scan_filter_project,
         "iceberg_bucket_scan": iceberg_bucket_scan,
         "iceberg_time_travel": iceberg_time_travel,
@@ -1688,6 +1745,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": SESSIONIZATION_SQL,
         "asof_join_events": ASOF_SQL,
         "range_join_acctbal": RANGE_JOIN_SQL,
+        "running_revenue": RUNNING_REVENUE_SQL,
+        "moving_avg_value": MOVING_AVG_SQL,
         "iceberg_scan_filter_project": ICE_SCAN_SQL,
         "iceberg_bucket_scan": ICE_BUCKET_SQL,
         "iceberg_time_travel": ICE_TT_SQL,
