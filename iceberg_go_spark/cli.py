@@ -92,6 +92,11 @@ def main(argv=None) -> int:
     sp.add_argument("prop_name", nargs="?")
     sp.add_argument("value", nargs="?")
 
+    sp = sub.add_parser("changelog")
+    sp.add_argument("table")
+    sp.add_argument("--from-snapshot", type=int, default=None)
+    sp.add_argument("--to-snapshot", type=int, default=None)
+
     sp = sub.add_parser("rewrite-manifests")
     sp.add_argument("table")
     sp.add_argument("--target-entries", type=int, default=2000,
@@ -262,6 +267,19 @@ def main(argv=None) -> int:
                 return 2
             t.update_properties(removals=[args.prop_name])
             print(f"removed {args.prop_name}")
+    elif args.cmd == "changelog":
+        from .session import get_spark
+        import pyspark.sql.functions as F
+        ch = t.changelog(get_spark("cli"),
+                         from_snapshot_id=args.from_snapshot,
+                         to_snapshot_id=args.to_snapshot)
+        rows = (ch.groupBy("_commit_snapshot_id", "_change_ordinal",
+                           "_change_type")
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .orderBy("_change_ordinal", "_change_type").collect())
+        _emit(args, [(r["_commit_snapshot_id"], r["_change_ordinal"],
+                      r["_change_type"], r["n_rows"]) for r in rows],
+              ["snapshot_id", "ordinal", "change_type", "n_rows"])
     elif args.cmd == "rewrite-manifests":
         from .meta import manifests as M
         from .table.maintenance import rewrite_manifests

@@ -153,3 +153,11 @@ def test_cli_rewrite_manifests_sizing(capsys, wh):
     out = _run(capsys, "--warehouse", wh, "rewrite-manifests", "db.n",
                "--target-entries", "1")
     assert "rewrote manifests" in out
+
+
+def test_cli_changelog(capsys, wh):
+    out = _run(capsys, "--warehouse", wh, "--output", "json",
+               "changelog", "db.n")
+    rows = json.loads(out)
+    assert all(r["change_type"] == "insert" for r in rows)
+    assert sum(r["n_rows"] for r in rows) == 30  # 25 + 5 appended
