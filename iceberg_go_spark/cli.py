@@ -12,9 +12,24 @@ import json
 import sys
 
 
+def _catalog(args):
+    """Explicit --warehouse beats the config file (reference mergeConf,
+    main.go:835-870); otherwise the catalog comes from --config /
+    ~/.iceberg-go-spark.yaml resolved by --catalog-name."""
+    if args.warehouse:
+        from .catalog import FilesystemCatalog
+        return FilesystemCatalog(args.warehouse)
+    from . import config as _cfg
+    text = _cfg.load_config_file(args.config or "")
+    cat_cfg = _cfg.parse_config(text, args.catalog_name or "")
+    if cat_cfg is None:
+        raise SystemExit("no --warehouse given and no catalog "
+                         f"{args.catalog_name or 'default'!r} in config")
+    return _cfg.resolve_catalog(cat_cfg)
+
+
 def _table(args):
-    from .catalog import FilesystemCatalog
-    return FilesystemCatalog(args.warehouse).load_table(args.table)
+    return _catalog(args).load_table(args.table)
 
 
 def _emit(args, rows, headers):
@@ -31,7 +46,13 @@ def _emit(args, rows, headers):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="iceberg_go_spark")
-    p.add_argument("--warehouse", required=True)
+    p.add_argument("--warehouse",
+                   help="filesystem warehouse root (beats config file)")
+    p.add_argument("--config",
+                   help="path to a catalog config file "
+                        "(default ~/.iceberg-go-spark.yaml)")
+    p.add_argument("--catalog-name", default="",
+                   help="catalog name from the config file")
     p.add_argument("--output", choices=["text", "json"], default="text")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -104,8 +125,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "list":
-        from .catalog import FilesystemCatalog
-        cat = FilesystemCatalog(args.warehouse)
+        cat = _catalog(args)
         if args.namespace:
             rows = [(".".join(t),) for t in cat.list_tables(args.namespace)]
         else:
@@ -115,8 +135,7 @@ def main(argv=None) -> int:
 
     if args.cmd in ("create-namespace", "create-table", "drop-namespace",
                     "drop-table", "rename"):
-        from .catalog import FilesystemCatalog
-        cat = FilesystemCatalog(args.warehouse)
+        cat = _catalog(args)
         if args.cmd == "create-namespace":
             cat.create_namespace(args.namespace)
             print(f"created namespace {args.namespace}")
@@ -172,7 +191,7 @@ def main(argv=None) -> int:
                 return 1
             import shutil as _sh
             import os as _os
-            _sh.rmtree(_os.path.join(args.warehouse, args.namespace))
+            _sh.rmtree(_os.path.join(cat.warehouse, args.namespace))
             print(f"dropped namespace {args.namespace}")
         elif args.cmd == "drop-table":
             # catalog entry first, then best-effort physical purge

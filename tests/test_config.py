@@ -1,0 +1,144 @@
+"""Config-file catalog registry (parity: /root/reference/config/config.go
++ cmd/iceberg/main.go applyConfigFile/mergeConf)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+from iceberg_go_spark import config as C
+
+YAML = textwrap.dedent("""\
+    default-catalog: prod
+    max-workers: 7
+    catalog:
+      prod:
+        type: fs
+        warehouse: {wh_prod}
+        output: json
+      local:
+        type: sql
+        uri: sqlite:{db}
+        warehouse: {wh_local}
+      remote:
+        type: rest
+        uri: http://localhost:1
+        credential: t0ken
+        rest:
+          sigv4-enabled: true
+          signing-name: execute-api
+          signing-region: us-west-2
+      weird:
+        type: fs
+        warehouse: {wh_prod}
+        future-knob: 42
+""")
+
+
+def _write(tmp_path, **wh):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(YAML.format(**wh))
+    return str(p)
+
+
+@pytest.fixture
+def cfg_path(tmp_path):
+    return _write(tmp_path,
+                  wh_prod=str(tmp_path / "wh_prod"),
+                  wh_local=str(tmp_path / "wh_local"),
+                  db=str(tmp_path / "cat.db"))
+
+
+def test_parse_whole_file(cfg_path):
+    cfg = C.parse_config_text(C.load_config_file(cfg_path))
+    assert cfg.default_catalog == "prod"
+    assert cfg.max_workers == 7
+    assert set(cfg.catalogs) == {"prod", "local", "remote", "weird"}
+
+
+def test_resolution_order_name_default_builtin(cfg_path, tmp_path):
+    text = C.load_config_file(cfg_path)
+    # explicit name
+    assert C.parse_config(text, "local").catalog_type == "sql"
+    # empty name -> file default-catalog
+    assert C.parse_config(text, "").warehouse.endswith("wh_prod")
+    # unknown name -> None (config.go ParseConfig)
+    assert C.parse_config(text, "nope") is None
+    # file without default-catalog falls back to "default"
+    p = tmp_path / "d.yaml"
+    p.write_text("catalog:\n  default:\n    type: fs\n    warehouse: /tmp/x\n")
+    assert C.parse_config(p.read_text(), "").warehouse == "/tmp/x"
+
+
+def test_missing_implicit_vs_explicit(tmp_path, monkeypatch):
+    monkeypatch.setenv("ICEBERG_GO_SPARK_HOME", str(tmp_path / "nohome"))
+    assert C.load_config_file("") is None  # implicit missing: not an error
+    with pytest.raises(C.ConfigError):
+        C.load_config_file(str(tmp_path / "absent.yaml"))
+
+
+def test_parse_errors():
+    with pytest.raises(C.ConfigError):
+        C.parse_config_text("catalog: [not, a, mapping]")
+    with pytest.raises(C.ConfigError):
+        C.parse_config_text("- top\n- level\n- list\n")
+    assert C.parse_config_text("").catalogs == {}
+    assert C.parse_config(None, "x") is None
+
+
+def test_rest_options_and_extra_keys(cfg_path):
+    text = C.load_config_file(cfg_path)
+    remote = C.parse_config(text, "remote")
+    assert remote.rest_options.sigv4_enabled is True
+    assert remote.rest_options.signing_region == "us-west-2"
+    assert remote.credential == "t0ken"
+    weird = C.parse_config(text, "weird")
+    assert weird.extra == {"future-knob": 42}  # unknown keys preserved
+
+
+def test_resolve_fs_and_sql(cfg_path, tmp_path):
+    text = C.load_config_file(cfg_path)
+    cat = C.resolve_catalog(C.parse_config(text, "prod"))
+    assert type(cat).__name__ == "FilesystemCatalog"
+    cat = C.resolve_catalog(C.parse_config(text, "local"))
+    assert type(cat).__name__ == "SqlCatalog"
+    assert cat.db_path == str(tmp_path / "cat.db")
+    with pytest.raises(C.ConfigError):
+        C.resolve_catalog(C.CatalogConfig(catalog_type="glue"))
+    with pytest.raises(C.ConfigError):
+        C.resolve_catalog(C.CatalogConfig(catalog_type="martian"))
+
+
+def test_cli_reads_catalog_from_config(cfg_path, tmp_path):
+    """End-to-end: CLI with no --warehouse resolves the config default
+    catalog; --catalog-name picks another; explicit --warehouse wins."""
+    wh = str(tmp_path / "wh_prod")
+    os.makedirs(os.path.join(wh, "nsx"), exist_ok=True)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    out = subprocess.run(
+        [sys.executable, "-m", "iceberg_go_spark.cli",
+         "--config", cfg_path, "list"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "nsx" in out.stdout
+
+    # --catalog-name local -> sql catalog over empty warehouse
+    out = subprocess.run(
+        [sys.executable, "-m", "iceberg_go_spark.cli",
+         "--config", cfg_path, "--catalog-name", "local", "list"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "nsx" not in out.stdout
+
+    # explicit --warehouse beats the file (mergeConf)
+    wh2 = str(tmp_path / "explicit")
+    os.makedirs(os.path.join(wh2, "only_here"), exist_ok=True)
+    out = subprocess.run(
+        [sys.executable, "-m", "iceberg_go_spark.cli",
+         "--config", cfg_path, "--warehouse", wh2, "list"],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "only_here" in out.stdout and "nsx" not in out.stdout
