@@ -63,7 +63,7 @@ def main() -> None:
     # min of REPS timed runs per query: single-run wall clock on a shared
     # VM is noisy (GC pauses, page-cache state); the min is the best
     # estimate of steady-state cost
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     timings = {}
     for name in HEADLINE:
         fn = qs[name]

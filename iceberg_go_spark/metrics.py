@@ -1,0 +1,246 @@
+"""Pluggable metrics reporters.
+
+Parity (behavior only): /root/reference/metrics/{reporter.go,reporters.go,
+registry.go,cached_reporter.go}.  A reporter is a sink for the scan/commit
+report dicts already produced in the spec wire format
+(``ScanReport.to_json_dict`` / ``CommitReport.to_json_dict``); it is
+selected by the ``metrics-reporter-impl`` property through a name->factory
+registry, defaulting to the free no-op.  Reports are delivered inline at
+the scan/commit completion point, so a reporter must return promptly and
+must never raise into the observed operation — ``combine()`` isolates each
+fan-out target, and the engine call sites wrap delivery in a guard.
+
+A catalog holds ONE reporter for its lifetime via ``CachedReporter``
+(reference cached_reporter.go): built on first use, every later caller
+gets the same instance, and ``close()`` gives the owner a single cleanup
+point — after close, ``get()`` hands back the no-op.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Callable, Dict, Optional
+
+REPORTER_IMPL_KEY = "metrics-reporter-impl"
+REPORTER_NAME_NOP = "nop"
+REPORTER_NAME_LOGGING = "logging"
+
+_LOG = logging.getLogger("iceberg_go_spark.metrics")
+
+
+class Reporter:
+    """Sink for metrics report dicts.  ``report`` must not raise into the
+    observed operation; ``close`` releases any resources (once)."""
+
+    def report(self, report: dict) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def is_nop(self) -> bool:
+        return False
+
+
+class NopReporter(Reporter):
+    """Discards every report — the default, so instrumentation is free
+    unless a user opts in (reporters.go NopReporter)."""
+
+    def report(self, report: dict) -> None:
+        pass
+
+    def is_nop(self) -> bool:
+        return True
+
+
+class LoggingReporter(Reporter):
+    """Logs each report at INFO (reporters.go LoggingReporter); a nil
+    logger resolves the module logger at call time."""
+
+    def __init__(self, logger: Optional[logging.Logger] = None):
+        self._logger = logger
+
+    def report(self, report: dict) -> None:
+        if report is None:
+            return
+        (self._logger or _LOG).info("iceberg metrics report: %s", report)
+
+
+class InMemoryReporter(Reporter):
+    """Retains every report, for tests and inspection; thread-safe."""
+
+    def __init__(self):
+        self._mu = threading.Lock()
+        self._reports: list = []
+
+    def report(self, report: dict) -> None:
+        if report is None:
+            return
+        with self._mu:
+            self._reports.append(report)
+
+    def reports(self) -> list:
+        with self._mu:
+            return list(self._reports)
+
+    def reset(self) -> None:
+        with self._mu:
+            self._reports = []
+
+
+class _CompositeReporter(Reporter):
+    def __init__(self, reporters):
+        self._reporters = reporters
+
+    def report(self, report: dict) -> None:
+        for r in self._reporters:
+            try:
+                r.report(report)
+            except Exception:
+                # Reporter contract: a broken reporter never affects the
+                # observed operation or its sibling reporters — but surface
+                # it so missing metrics are traceable (reporters.go Combine)
+                _LOG.warning("metrics reporter %s failed",
+                             type(r).__name__, exc_info=True)
+
+    def close(self) -> None:
+        for r in self._reporters:
+            try:
+                r.close()
+            except Exception:
+                _LOG.warning("metrics reporter %s close failed",
+                             type(r).__name__, exc_info=True)
+
+    def is_nop(self) -> bool:
+        return all(r.is_nop() for r in self._reporters)
+
+
+def combine(*reporters: Optional[Reporter]) -> Reporter:
+    """Fan each report out to all given reporters, isolating each from the
+    others' failures; no non-None reporters -> NopReporter."""
+    live = [r for r in reporters if r is not None]
+    if not live:
+        return NopReporter()
+    return _CompositeReporter(live)
+
+
+def is_nop(r: Reporter) -> bool:
+    try:
+        return bool(r.is_nop())
+    except Exception:
+        return False
+
+
+# -- registry (registry.go) -------------------------------------------------
+
+Factory = Callable[[Dict[str, str]], Reporter]
+
+_registry_mu = threading.Lock()
+_registry: Dict[str, Factory] = {}
+
+
+def register(name: str, factory: Factory) -> None:
+    """Register a factory under name; duplicate or empty names raise
+    (registry.go Register mirrors database/sql.Register)."""
+    if not name:
+        raise ValueError("metrics: reporter name must not be empty")
+    with _registry_mu:
+        if name in _registry:
+            raise ValueError(f"metrics: reporter {name!r} already registered")
+        _registry[name] = factory
+
+
+def registered_names() -> list:
+    with _registry_mu:
+        return sorted(_registry)
+
+
+def from_properties(props: Optional[Dict[str, str]]) -> Reporter:
+    """Build the reporter named by props[metrics-reporter-impl]; absent or
+    empty -> NopReporter; unknown name raises (registry.go
+    FromProperties)."""
+    name = (props or {}).get(REPORTER_IMPL_KEY, "")
+    if not name:
+        return NopReporter()
+    with _registry_mu:
+        factory = _registry.get(name)
+    if factory is None:
+        raise ValueError(
+            f"metrics: no reporter registered as {name!r} "
+            f"(have: {', '.join(registered_names()) or 'none'})")
+    rep = factory(dict(props or {}))
+    if rep is None:
+        raise ValueError(f"metrics: factory for {name!r} returned None")
+    return rep
+
+
+register(REPORTER_NAME_NOP, lambda props: NopReporter())
+register(REPORTER_NAME_LOGGING, lambda props: LoggingReporter())
+
+
+class CachedReporter:
+    """Build-once holder so an owner (catalog) keeps a single reporter for
+    its lifetime (cached_reporter.go).  First call's result — reporter or
+    error — is cached; props on later calls are ignored.  After close(),
+    get() returns the no-op."""
+
+    def __init__(self):
+        self._mu = threading.Lock()
+        self._built = False
+        self._closed = False
+        self._rep: Optional[Reporter] = None
+        self._err: Optional[Exception] = None
+
+    def get(self, props: Optional[Dict[str, str]]) -> Reporter:
+        with self._mu:
+            if self._closed:
+                return NopReporter()
+            if not self._built:
+                self._built = True
+                try:
+                    self._rep = from_properties(props)
+                except Exception as exc:
+                    self._err = exc
+            if self._err is not None:
+                raise self._err
+            return self._rep
+
+    def close(self) -> None:
+        with self._mu:
+            if self._closed:
+                return
+            self._closed = True
+            rep, self._rep = self._rep, None
+            if rep is not None:
+                rep.close()
+
+
+def reporter_for(owner, props: Optional[Dict[str, str]]) -> Reporter:
+    """The owner's lifetime reporter: lazily attach a CachedReporter to the
+    owner (a catalog; the table itself for catalog-less tables) and resolve
+    it from props.  Resolution errors are downgraded to the no-op with a
+    warning — instrumentation must never fail the operation."""
+    cache = getattr(owner, "_metrics_cached_reporter", None)
+    if cache is None:
+        cache = CachedReporter()
+        try:
+            owner._metrics_cached_reporter = cache
+        except Exception:  # owner forbids attributes: uncached fallback
+            pass
+    try:
+        return cache.get(props)
+    except Exception:
+        _LOG.warning("metrics reporter resolution failed; using nop",
+                     exc_info=True)
+        return NopReporter()
+
+
+def deliver(reporter: Optional[Reporter], report: dict) -> None:
+    """Inline delivery guard for engine call sites: never raises."""
+    if reporter is None or report is None:
+        return
+    try:
+        reporter.report(report)
+    except Exception:
+        _LOG.warning("metrics report delivery failed", exc_info=True)

@@ -320,6 +320,16 @@ class Scan:
                 pos_deletes=pos, eq_deletes=eq, residual=residual,
                 spec_id=spec_id))
         self.report.planning_ms = (_t.time() - t0) * 1000
+        # inline delivery at planning completion (metrics/reporter.go:
+        # never raises into the scan, free when the reporter is the nop)
+        from .. import metrics as _metrics
+        rep = self.table.metrics_reporter()
+        if not _metrics.is_nop(rep):
+            _metrics.deliver(rep, self.report.to_json_dict(
+                table_name=self.table.name,
+                snapshot_id=snap.snapshot_id,
+                schema_id=snap.schema_id or 0,
+                filter_=not isinstance(bound, E.AlwaysTrue)))
         return tasks
 
     def plan_tasks(self, target_split_size: Optional[int] = None

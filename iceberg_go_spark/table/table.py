@@ -61,6 +61,14 @@ class Table:
         from .inspect import InspectTable
         return InspectTable(self, spark)
 
+    def metrics_reporter(self):
+        """The owning catalog's lifetime reporter, resolved from this
+        table's properties on first use (metrics/cached_reporter.go: one
+        reporter per catalog, built once, closed by the owner)."""
+        from .. import metrics
+        owner = self.catalog if self.catalog is not None else self
+        return metrics.reporter_for(owner, self.metadata.properties)
+
     def refresh(self) -> "Table":
         fresh = self.catalog.load_table(self.identifier)
         self.metadata = fresh.metadata

@@ -474,6 +474,13 @@ class Transaction:
                     added_files_size_bytes=_i("added-files-size"),
                     total_data_files=_i("total-data-files"),
                     total_records=_i("total-records"))
+                # inline delivery at commit completion (metrics/reporter.go
+                # contract: must never raise into the commit)
+                from .. import metrics as _metrics
+                rep = self.table.metrics_reporter()
+                if not _metrics.is_nop(rep):
+                    _metrics.deliver(
+                        rep, self.table.last_commit_report.to_json_dict())
                 return self.table
             except CommitConflictError:
                 attempt += 1

@@ -1,0 +1,135 @@
+"""Pluggable metrics reporters (parity: /root/reference/metrics/
+{reporters,registry,cached_reporter}.go) and their engine wiring: scan
+planning and commit completion deliver the spec wire-format reports to the
+catalog's cached reporter, and a broken reporter never breaks the
+operation."""
+
+import pytest
+
+from iceberg_go_spark import metrics as M
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+
+
+# -- unit surface -----------------------------------------------------------
+
+def test_from_properties_resolution():
+    assert M.is_nop(M.from_properties(None))
+    assert M.is_nop(M.from_properties({}))
+    assert M.is_nop(M.from_properties({M.REPORTER_IMPL_KEY: ""}))
+    assert isinstance(M.from_properties({M.REPORTER_IMPL_KEY: "nop"}),
+                      M.NopReporter)
+    assert isinstance(M.from_properties({M.REPORTER_IMPL_KEY: "logging"}),
+                      M.LoggingReporter)
+    with pytest.raises(ValueError):
+        M.from_properties({M.REPORTER_IMPL_KEY: "does-not-exist"})
+
+
+def test_register_custom_and_duplicates():
+    sink = M.InMemoryReporter()
+    name = "test-custom-reporter"
+    if name not in M.registered_names():
+        M.register(name, lambda props: sink)
+    r = M.from_properties({M.REPORTER_IMPL_KEY: name})
+    r.report({"report-type": "scan-report"})
+    assert sink.reports() == [{"report-type": "scan-report"}]
+    with pytest.raises(ValueError):
+        M.register(name, lambda props: sink)  # duplicate
+    with pytest.raises(ValueError):
+        M.register("", lambda props: sink)  # empty
+
+
+def test_combine_isolates_failures_and_nop_detection():
+    class Broken(M.Reporter):
+        def report(self, report):
+            raise RuntimeError("boom")
+
+    sink = M.InMemoryReporter()
+    combo = M.combine(None, Broken(), sink)
+    combo.report({"x": 1})  # Broken must not starve sink
+    assert sink.reports() == [{"x": 1}]
+    assert M.is_nop(M.combine()) and M.is_nop(M.combine(M.NopReporter()))
+    assert not M.is_nop(combo)
+
+
+def test_cached_reporter_lifecycle():
+    calls = []
+    name = "test-cached-counting"
+    if name not in M.registered_names():
+        M.register(name, lambda props: (calls.append(1), M.InMemoryReporter())[1])
+    c = M.CachedReporter()
+    props = {M.REPORTER_IMPL_KEY: name}
+    r1 = c.get(props)
+    r2 = c.get({M.REPORTER_IMPL_KEY: "logging"})  # later props ignored
+    assert r1 is r2 and len(calls) == 1
+    c.close()
+    assert M.is_nop(c.get(props))  # after close: nop, not the released one
+    # first-call error is cached too
+    c2 = M.CachedReporter()
+    with pytest.raises(ValueError):
+        c2.get({M.REPORTER_IMPL_KEY: "never-registered"})
+    with pytest.raises(ValueError):
+        c2.get({M.REPORTER_IMPL_KEY: "logging"})
+
+
+# -- engine wiring ----------------------------------------------------------
+
+@pytest.fixture()
+def sink_table(spark, tmp_path):
+    sink = M.InMemoryReporter()
+    name = "test-wiring-sink"
+    if name not in M.registered_names():
+        M.register(name, lambda props: M._WIRING_SINK)
+    M._WIRING_SINK = sink  # factory indirection: fresh sink per test
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.range(0, 100).selectExpr("id", "id % 5 AS k")
+    t = cat.create_table("db.m", Schema.from_spark(df.schema),
+                         properties={M.REPORTER_IMPL_KEY: name})
+    t = t.append(df)
+    return t, sink
+
+
+def test_commit_and_scan_reports_flow_to_reporter(spark, sink_table):
+    t, sink = sink_table
+    commits = [r for r in sink.reports()
+               if r["report-type"] == "commit-report"]
+    assert len(commits) == 1
+    assert commits[0]["operation"] == "append"
+    assert commits[0]["metrics"]["added-data-files"]["value"] >= 1
+    assert commits[0]["metrics"]["total-records"]["value"] == 100
+
+    from iceberg_go_spark import expressions as E
+    t.scan(E.lt("id", 10)).plan_files()
+    scans = [r for r in sink.reports() if r["report-type"] == "scan-report"]
+    assert len(scans) == 1
+    assert scans[0]["table-name"] == "db.m"
+    assert scans[0]["filter"] is True
+    assert scans[0]["metrics"]["total-data-manifests"]["value"] >= 1
+
+    # one reporter per catalog lifetime (cached_reporter.go)
+    assert t.metrics_reporter() is t.metrics_reporter()
+
+
+def test_broken_reporter_never_fails_the_operation(spark, tmp_path):
+    name = "test-wiring-broken"
+
+    class Broken(M.Reporter):
+        def report(self, report):
+            raise RuntimeError("reporter exploded")
+
+    if name not in M.registered_names():
+        M.register(name, lambda props: Broken())
+    cat = FilesystemCatalog(str(tmp_path / "wh2"))
+    df = spark.range(0, 10).selectExpr("id")
+    t = cat.create_table("db.b", Schema.from_spark(df.schema),
+                         properties={M.REPORTER_IMPL_KEY: name})
+    t = t.append(df)  # commit must succeed despite the reporter
+    assert t.scan().to_df(spark).count() == 10  # scan too
+
+
+def test_unconfigured_table_stays_nop(spark, tmp_path):
+    cat = FilesystemCatalog(str(tmp_path / "wh3"))
+    df = spark.range(0, 10).selectExpr("id")
+    t = cat.create_table("db.n", Schema.from_spark(df.schema))
+    t = t.append(df)
+    assert M.is_nop(t.metrics_reporter())
