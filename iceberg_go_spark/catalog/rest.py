@@ -140,6 +140,23 @@ class RestCatalog:
             "source": {"namespace": list(sns), "name": sname},
             "destination": {"namespace": list(dns), "name": dname}})
 
+    # -- metrics (rest/endpoints.go endpointReportMetrics) -------------------
+    def report_metrics(self, identifier, report: dict) -> None:
+        """POST a scan/commit report (spec wire format) to the catalog's
+        ReportMetrics endpoint."""
+        ns, name = self._split(identifier)
+        self._request(
+            "POST",
+            f"/v1/namespaces/{self._ns(ns)}/tables/"
+            f"{urllib.parse.quote(name, safe='')}/metrics", report)
+
+    def default_metrics_reporter(self):
+        """REST catalogs report back to their server by default (Java's
+        RESTMetricsReporter); a client-props-selected reporter is combined
+        with — never replaces — this one (rest.go:784-792; only
+        client-supplied properties may select the extra reporter)."""
+        return RestMetricsReporter(self)
+
     # -- scan planning (scan_planning.go:202-574) ----------------------------
     def plan_table_scan(self, identifier, row_filter=None,
                         select: Optional[List[str]] = None,
@@ -234,6 +251,30 @@ class RestCatalog:
 # reference server (stdlib; per-table commit lock -> CAS)
 
 
+class RestMetricsReporter:
+    """Reporter that forwards each report to the catalog's ReportMetrics
+    endpoint.  Only the spec report types carry a discriminator the server
+    understands, so anything without a table-name is dropped (see
+    metrics/reporter.go on custom report types and REST).  Errors are
+    swallowed per the Reporter contract — delivery must never fail the
+    observed scan/commit."""
+
+    def __init__(self, catalog: RestCatalog):
+        self._catalog = catalog
+
+    def report(self, report: dict) -> None:
+        name = (report or {}).get("table-name")
+        if not name:
+            return
+        self._catalog.report_metrics(name, report)
+
+    def close(self) -> None:
+        pass
+
+    def is_nop(self) -> bool:
+        return False
+
+
 class _State:
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -243,6 +284,9 @@ class _State:
         self.tables: Dict[Tuple[Tuple[str, ...], str], str] = {}
         # plan-id -> completed plan response (async protocol)
         self.plans: Dict[str, dict] = {}
+        # metrics reports received on the ReportMetrics endpoint, in
+        # arrival order (rest/endpoints.go endpointReportMetrics)
+        self.metrics: List[dict] = []
 
     def write_metadata(self, md_dict: dict) -> str:
         loc = md_dict["location"]
@@ -424,6 +468,14 @@ def _make_handler(state: _State):
             if len(p) == 6 and p[3] == "tables" and p[5] == "plan":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 return self._plan_scan(ns, name, body)
+            if len(p) == 6 and p[3] == "tables" and p[5] == "metrics":
+                # ReportMetrics (rest/endpoints.go:106): accept and retain;
+                # a metrics sink never rejects a well-formed report
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                with state.lock:
+                    state.metrics.append({"namespace": ns, "table": name,
+                                          "report": body})
+                return self._send(204)
             if len(p) == 5 and p[3] == "tables":  # commit
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 key = (ns, name)

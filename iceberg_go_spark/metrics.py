@@ -185,12 +185,13 @@ class CachedReporter:
     error — is cached; props on later calls are ignored.  After close(),
     get() returns the no-op."""
 
-    def __init__(self):
+    def __init__(self, builder: Optional[Factory] = None):
         self._mu = threading.Lock()
         self._built = False
         self._closed = False
         self._rep: Optional[Reporter] = None
         self._err: Optional[Exception] = None
+        self._builder = builder or from_properties
 
     def get(self, props: Optional[Dict[str, str]]) -> Reporter:
         with self._mu:
@@ -199,7 +200,7 @@ class CachedReporter:
             if not self._built:
                 self._built = True
                 try:
-                    self._rep = from_properties(props)
+                    self._rep = self._builder(props)
                 except Exception as exc:
                     self._err = exc
             if self._err is not None:
@@ -219,11 +220,21 @@ class CachedReporter:
 def reporter_for(owner, props: Optional[Dict[str, str]]) -> Reporter:
     """The owner's lifetime reporter: lazily attach a CachedReporter to the
     owner (a catalog; the table itself for catalog-less tables) and resolve
-    it from props.  Resolution errors are downgraded to the no-op with a
-    warning — instrumentation must never fail the operation."""
+    it from props.  An owner exposing ``default_metrics_reporter()`` (e.g.
+    a REST catalog reporting back to its server) gets that reporter
+    combined with any props-selected one.  Resolution errors are
+    downgraded to the no-op with a warning — instrumentation must never
+    fail the operation."""
     cache = getattr(owner, "_metrics_cached_reporter", None)
     if cache is None:
-        cache = CachedReporter()
+        def build(p):
+            rep = from_properties(p)
+            dflt_fn = getattr(owner, "default_metrics_reporter", None)
+            dflt = dflt_fn() if callable(dflt_fn) else None
+            if dflt is None:
+                return rep
+            return dflt if is_nop(rep) else combine(dflt, rep)
+        cache = CachedReporter(builder=build)
         try:
             owner._metrics_cached_reporter = cache
         except Exception:  # owner forbids attributes: uncached fallback

@@ -133,3 +133,44 @@ def test_unconfigured_table_stays_nop(spark, tmp_path):
     t = cat.create_table("db.n", Schema.from_spark(df.schema))
     t = t.append(df)
     assert M.is_nop(t.metrics_reporter())
+
+
+# -- REST reporting (rest/endpoints.go endpointReportMetrics) ---------------
+
+def test_rest_catalog_reports_to_server(spark, tmp_path):
+    """A REST catalog reports scan/commit metrics back to its server by
+    default (Java RESTMetricsReporter); a client-props reporter is
+    combined with, not instead of, the REST one."""
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+    from iceberg_go_spark import expressions as E
+
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        df = spark.range(0, 50).selectExpr("id", "id % 5 AS k")
+        t = cat.create_table("db.r", Schema.from_spark(df.schema))
+        t = t.append(df)
+        t.scan(E.lt("id", 10)).plan_files()
+
+        kinds = [m["report"]["report-type"] for m in server.state.metrics]
+        assert "commit-report" in kinds and "scan-report" in kinds
+        scan = [m for m in server.state.metrics
+                if m["report"]["report-type"] == "scan-report"][0]
+        assert scan["namespace"] == ("db",) and scan["table"] == "r"
+        assert scan["report"]["filter"] is True
+
+        # client-props-selected sink is combined with the REST default
+        sink = M.InMemoryReporter()
+        name = "test-rest-extra-sink"
+        if name not in M.registered_names():
+            M.register(name, lambda props: sink)
+        cat2 = RestCatalog(server.uri)  # fresh catalog: fresh cached reporter
+        t2 = cat2.load_table("db.r")
+        t2.metadata.properties[M.REPORTER_IMPL_KEY] = name
+        before = len(server.state.metrics)
+        t2.scan().plan_files()
+        assert len(server.state.metrics) == before + 1  # REST still fires
+        assert [r["report-type"] for r in sink.reports()] == ["scan-report"]
+    finally:
+        server.stop()
