@@ -106,8 +106,109 @@ class InMemoryFileIO(FileIO):
         return sorted(p for p in self.files if p.startswith(prefix))
 
 
+# -- object-store (blob) IO -------------------------------------------------
+# Parity (behavior only): /root/reference/io/gocloud/{blob,s3,register}.go +
+# io/config.go property keys.  A BlobFileIO adapts any bucket-shaped client
+# (duck-typed to get/put/delete/exists/size/list) to the FileIO interface;
+# scheme factories build one per (scheme, bucket) from table/catalog
+# properties.  The real cloud SDKs are environment-bound, so the client
+# comes from a pluggable provider — tests install InMemoryBucket, a
+# production deployment installs a thin boto3/gcs adapter with the same
+# five methods and everything above this line is unchanged.
+
+# property keys (io/config.go:21-63; the offline-meaningful subset)
+S3_REGION = "s3.region"
+S3_ACCESS_KEY_ID = "s3.access-key-id"
+S3_SECRET_ACCESS_KEY = "s3.secret-access-key"
+S3_SESSION_TOKEN = "s3.session-token"
+S3_ENDPOINT = "s3.endpoint"
+S3_FORCE_VIRTUAL_ADDRESSING = "s3.force-virtual-addressing"
+GCS_ENDPOINT = "gcs.endpoint"
+ADLS_ENDPOINT = "adls.endpoint"
+
+
+class InMemoryBucket:
+    """Bucket-shaped store (gocloud blob.Bucket surface, memblob
+    semantics): flat keys, prefix listing, thread-safe."""
+
+    def __init__(self) -> None:
+        self.objects: Dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: str) -> bytes:
+        try:
+            return self.objects[key]
+        except KeyError:
+            raise FileNotFoundError(key)
+
+    def put(self, key: str, data: bytes) -> None:
+        with self._lock:
+            self.objects[key] = bytes(data)
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self.objects.pop(key, None)
+
+    def exists(self, key: str) -> bool:
+        return key in self.objects
+
+    def size(self, key: str) -> int:
+        return len(self.get(key))
+
+    def list(self, prefix: str = "") -> List[str]:
+        return sorted(k for k in self.objects if k.startswith(prefix))
+
+
+class BlobFileIO(FileIO):
+    """FileIO over one bucket client; paths are full URIs
+    (``s3://bucket/key``) and resolve to keys within the bound bucket
+    (io/gocloud/blob.go)."""
+
+    def __init__(self, scheme: str, bucket_name: str, client,
+                 properties: Dict[str, str] = None) -> None:
+        self.scheme = scheme
+        self.bucket_name = bucket_name
+        self.client = client
+        self.properties = dict(properties or {})
+
+    def _key(self, path: str) -> str:
+        prefix = f"{self.scheme}://{self.bucket_name}/"
+        if not path.startswith(prefix):
+            raise ValueError(
+                f"path {path!r} is outside bucket {prefix!r}")
+        return path[len(prefix):]
+
+    def read(self, path: str) -> bytes:
+        return self.client.get(self._key(path))
+
+    def write(self, path: str, data: bytes) -> None:
+        # single-shot PUT: object stores are atomic per object, no tmp+rename
+        self.client.put(self._key(path), data)
+
+    def delete(self, path: str) -> None:
+        self.client.delete(self._key(path))
+
+    def exists(self, path: str) -> bool:
+        return self.client.exists(self._key(path))
+
+    def size(self, path: str) -> int:
+        return self.client.size(self._key(path))
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def list(self, prefix_path: str) -> List[str]:
+        base = f"{self.scheme}://{self.bucket_name}/"
+        return [base + k for k in self.client.list(self._key(prefix_path))]
+
+
 _LOCAL = LocalFileIO()
 _REGISTRY: Dict[str, FileIO] = {}
+# scheme -> factory(scheme, bucket, props) -> FileIO; instances cached per
+# (scheme, bucket) like the reference's per-bucket blob handles
+_FACTORIES: Dict[str, object] = {}
+_BLOB_CACHE: Dict[tuple, FileIO] = {}
+_provider = None  # (scheme, bucket, props) -> bucket client
 
 
 def register_io(scheme: str, io: FileIO) -> None:
@@ -119,13 +220,50 @@ def unregister_io(scheme: str) -> None:
     _REGISTRY.pop(scheme, None)
 
 
-def load_io(path: str) -> FileIO:
-    """Resolve the IO for a path by scheme; plain paths -> local FS."""
+def register_io_factory(scheme: str, factory) -> None:
+    """Register factory(scheme, bucket, props) -> FileIO for a scheme
+    (io/gocloud/register.go Register)."""
+    _FACTORIES[scheme] = factory
+
+
+def set_blob_client_provider(fn) -> None:
+    """Install the bucket-client provider used by the built-in blob
+    schemes: fn(scheme, bucket, props) -> client.  Clears cached blob IOs
+    so a new provider takes effect immediately."""
+    global _provider
+    _provider = fn
+    _BLOB_CACHE.clear()
+
+
+def _blob_factory(scheme: str, bucket: str, props: Dict[str, str]) -> FileIO:
+    if _provider is None:
+        raise ValueError(
+            f"no blob client provider installed for {scheme}://{bucket} "
+            "(set_blob_client_provider; cloud SDKs are environment-bound)")
+    return BlobFileIO(scheme, bucket, _provider(scheme, bucket, props), props)
+
+
+for _s in ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "mem"):
+    _FACTORIES[_s] = _blob_factory
+
+
+def load_io(path: str, properties: Dict[str, str] = None) -> FileIO:
+    """Resolve the IO for a path: explicit scheme registration first, then
+    scheme factory (cached per scheme+bucket), then local FS for plain and
+    file:// paths (io/io.go LoadFS)."""
     if "://" in path:
-        scheme = path.split("://", 1)[0]
+        scheme, rest = path.split("://", 1)
         if scheme in _REGISTRY:
             return _REGISTRY[scheme]
         if scheme == "file":
             return _LOCAL
+        if scheme in _FACTORIES:
+            bucket = rest.split("/", 1)[0]
+            key = (scheme, bucket)
+            io = _BLOB_CACHE.get(key)
+            if io is None:
+                io = _FACTORIES[scheme](scheme, bucket, dict(properties or {}))
+                _BLOB_CACHE[key] = io
+            return io
         raise ValueError(f"no FileIO registered for scheme {scheme!r}")
     return _REGISTRY.get("", _LOCAL)
