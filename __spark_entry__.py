@@ -28,6 +28,7 @@ if _REPO not in sys.path:
 from iceberg_go_spark import expressions as E  # noqa: E402
 from iceberg_go_spark.functions import text_funcs as TX  # noqa: E402
 from iceberg_go_spark.functions import vector_funcs as V  # noqa: E402
+from iceberg_go_spark.operators import curation as CU  # noqa: E402
 from iceberg_go_spark.operators import dedup as DD  # noqa: E402
 from iceberg_go_spark.operators import multimodal as MM  # noqa: E402
 from iceberg_go_spark.operators import similarity as SIM  # noqa: E402
@@ -1051,6 +1052,89 @@ FROM winnowed GROUP BY doc_id
 """
 
 
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals per document
+    (operators/curation.py repetition_metrics)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.repetition_metrics(docs)
+
+
+REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS w
+  FROM documents),
+wc AS (SELECT doc_id, w, COUNT(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+wa AS (SELECT doc_id, SUM(n)::BIGINT AS n_words,
+              COUNT(*)::BIGINT AS n_distinct_words, MAX(n) AS top_w
+       FROM wc GROUP BY 1),
+ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+              AS ws
+       FROM documents),
+bg0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM ws WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg FROM bg0),
+bc AS (SELECT doc_id, bg, COUNT(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
+ba AS (SELECT doc_id, SUM(n)::BIGINT AS n_bg, MAX(n) AS top_bg
+       FROM bc GROUP BY 1)
+SELECT wa.doc_id AS doc_id, n_words, n_distinct_words,
+  round(1.0 - n_distinct_words / n_words::DOUBLE, 6) AS dup_word_frac,
+  round(top_w / n_words::DOUBLE, 6) AS top_word_frac,
+  round(coalesce(top_bg / n_bg::DOUBLE, 0.0), 6) AS top_bigram_frac
+FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+"""
+
+
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: every 100th document plays the held-out
+    eval set; corpus docs sharing any 8-word shingle with it are flagged
+    (operators/curation.py decontaminate — broadcast the benchmark
+    shingles, stream the corpus)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    # n=4 on this synthetic corpus of short random word streams; real
+    # decontamination pipelines use the operator default (8-13 words)
+    return CU.decontaminate(corpus, bench, n=4)
+
+
+DECONTAMINATE_SQL = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+sh0 AS (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+        FROM ws),
+sh AS (SELECT DISTINCT doc_id,
+              md5(array_to_string(ws[i:i+3], ' ')) AS shingle
+       FROM sh0),
+bench AS (SELECT shingle, doc_id AS bench_id FROM sh WHERE doc_id % 100 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 100 <> 0)
+SELECT corp.doc_id AS doc_id, COUNT(*)::BIGINT AS n_hits,
+       COUNT(DISTINCT bench_id)::BIGINT AS n_benchmark_docs
+FROM corp JOIN bench USING (shingle) GROUP BY 1
+"""
+
+
+def stratified_sample_by_lang(spark, sf_dir):
+    """Deterministic md5-keyed 25% sample, rolled up per language
+    (operators/curation.py stratified_sample: stateless shuffle-free
+    predicate, engine-reproducible)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (CU.stratified_sample(docs).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+SAMPLE_SQL = """
+SELECT lang, COUNT(*)::BIGINT AS n_sampled,
+       SUM(doc_id)::BIGINT AS id_checksum
+FROM documents
+WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '40'
+GROUP BY lang
+"""
+
+
 def _queries_df(spark, sf_dir, n: int = 5):
     emb = _read(spark, sf_dir, "embeddings")
     return (emb.orderBy("vec_id").limit(n)
@@ -1712,6 +1796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_histogram": lang_histogram,
         "token_summary_by_lang": token_summary_by_lang,
         "doc_fingerprints": doc_fingerprints,
+        "repetition_metrics": repetition_metrics,
+        "decontaminate_docs": decontaminate_docs,
+        "stratified_sample_by_lang": stratified_sample_by_lang,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1768,6 +1855,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_histogram": LANG_HIST_SQL,
         "token_summary_by_lang": TOKEN_SUMMARY_SQL,
         "doc_fingerprints": _doc_fp_sql(),
+        "repetition_metrics": REPETITION_SQL,
+        "decontaminate_docs": DECONTAMINATE_SQL,
+        "stratified_sample_by_lang": SAMPLE_SQL,
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),
         "ann_topk_ivf": _ivf_sql(),

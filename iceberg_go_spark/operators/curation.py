@@ -1,0 +1,138 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Repetition metrics (Gopher-style repetitive-text signals), benchmark
+decontamination (n-gram overlap against a held-out eval set), and
+deterministic stratified sampling.  All three are pure DataFrame
+compositions — no Python UDFs — so they stay inside whole-stage codegen
+and scale as keyed aggregations / hash joins:
+
+- repetition: explode words -> count per (doc, token) -> per-doc rollup.
+  Two shuffles, both keyed by doc_id (+token), map-side combinable.
+- decontamination: the benchmark shingle set is small by construction
+  (eval sets are thousands of docs, the corpus is billions) -> distinct
+  then broadcast hash join against corpus shingles; corpus side is
+  never shuffled.
+- sampling: stateless per-row predicate on md5(doc_id) — no shuffle at
+  all, reproducible across engines and runs, and strata arrive already
+  proportional without a per-stratum pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..session import rebalance_for_amplification
+
+
+def _words(df: DataFrame, text_col: str, id_col: str,
+           with_pos: bool = False) -> DataFrame:
+    """One row per whitespace token; split exactly like the oracle's
+    string_split(text, ' ') with empties dropped."""
+    arr = F.split(F.col(text_col), " ")
+    if with_pos:
+        out = (df.select(F.col(id_col),
+                         F.posexplode(arr).alias("__p", "__w"))
+               .filter(F.col("__w") != ""))
+    else:
+        out = (df.select(F.col(id_col), F.explode(arr).alias("__w"))
+               .filter(F.col("__w") != ""))
+    return out
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (the word-level analogues of the
+    Gopher repetition filters — duplicate-line metrics degrade to word
+    metrics on single-line documents):
+
+    - n_words, n_distinct_words
+    - dup_word_frac: 1 - distinct/total (mass in repeated tokens)
+    - top_word_frac: occurrences of the most frequent word / total
+    - top_bigram_frac: occurrences of the most frequent word 2-gram /
+      total bigrams (0.0 for single-word docs)
+
+    High values on any of these mark boilerplate/spam for removal before
+    training."""
+    words = _words(rebalance_for_amplification(df), text_col, id_col,
+                   with_pos=True)
+    wc = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
+    word_agg = wc.groupBy(id_col).agg(
+        F.sum("__n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("__n").alias("__top_w"))
+
+    # bigram at position p = word[p] + ' ' + word[p+1]: a self-join on
+    # adjacent positions keyed by (doc, pos) — co-partitioned, no skew
+    nxt = words.select(F.col(id_col), (F.col("__p") - 1).alias("__p"),
+                       F.col("__w").alias("__w2"))
+    bigrams = (words.join(nxt, [id_col, "__p"])
+               .select(F.col(id_col),
+                       F.concat_ws(" ", "__w", "__w2").alias("__bg")))
+    bc = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__n"))
+    bg_agg = bc.groupBy(id_col).agg(F.sum("__n").alias("__n_bg"),
+                                    F.max("__n").alias("__top_bg"))
+
+    return (word_agg.join(bg_agg, id_col, "left")
+            .select(
+                F.col(id_col), F.col("n_words"), F.col("n_distinct_words"),
+                F.round(1.0 - F.col("n_distinct_words")
+                        / F.col("n_words"), 6).alias("dup_word_frac"),
+                F.round(F.col("__top_w") / F.col("n_words"), 6)
+                .alias("top_word_frac"),
+                F.round(F.coalesce(F.col("__top_bg") / F.col("__n_bg"),
+                                   F.lit(0.0)), 6).alias("top_bigram_frac")))
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Distinct word n-gram shingles per document, hashed to md5 text.
+    Explode-by-position then substring-free assembly via slice on the
+    split array keeps everything JVM-side."""
+    arr = F.split(F.col(text_col), " ")
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), F.filter(arr, lambda w: w != "").alias("__ws"))
+    # docs shorter than n have no shingles; filter BEFORE the explode —
+    # Spark's sequence(1, 0) counts DOWN (it is not empty like DuckDB's
+    # generate_series), which would fabricate slice starts of 0
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col), F.col("__ws"),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__i"))
+    return (pos.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__i"), n)))
+        .alias("shingle"))
+        .distinct())
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Flag corpus documents sharing any word n-gram with a benchmark
+    (eval-set leakage detection).  Returns (doc_id, n_hits,
+    n_benchmark_docs): overlapping shingle count and how many distinct
+    benchmark documents they leak from.
+
+    Scale shape: the benchmark shingle set is distinct-ed then broadcast
+    (eval suites are tiny next to a training corpus); the corpus side
+    streams through a broadcast hash join with no shuffle, and only
+    matching rows reach the final doc_id aggregation."""
+    bench = shingle_rows(benchmark, text_col, id_col, n).select(
+        F.col("shingle"), F.col(id_col).alias("__bench_id"))
+    corp = shingle_rows(corpus, text_col, id_col, n)
+    hits = corp.join(F.broadcast(bench), "shingle")
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.countDistinct("__bench_id").alias("n_benchmark_docs")))
+
+
+def stratified_sample(df: DataFrame, id_col: str = "doc_id",
+                      hex_threshold: str = "40") -> DataFrame:
+    """Deterministic, engine-reproducible sample: keep rows whose
+    md5(id) first two hex chars sort below the threshold ('40' = 64/256
+    = 25%).  md5 is uniform per stratum, so strata stay proportionally
+    represented without a per-stratum pass; the filter is stateless and
+    shuffle-free, and the same rows are selected by any engine with md5
+    (the DuckDB oracle uses the identical predicate)."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.filter(key < F.lit(hex_threshold))

@@ -1,0 +1,75 @@
+"""Corpus-curation operators (operators/curation.py): repetition
+metrics, benchmark decontamination, deterministic stratified sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark.operators import curation as CU
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one word repeated
+        (2, "a b a b a b a b"),                        # repeated bigram
+        (3, "the quick brown fox jumps over dogs"),    # all distinct
+        (4, "solo"),                                   # single word
+        (5, "the quick brown fox jumps over cats"),    # shares 5-gram w/ 3
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_metrics(docs):
+    m = {r["doc_id"]: r for r in CU.repetition_metrics(docs).collect()}
+    spam = m[1]
+    assert spam["n_words"] == 6 and spam["n_distinct_words"] == 1
+    assert spam["top_word_frac"] == 1.0 and spam["top_bigram_frac"] == 1.0
+    assert spam["dup_word_frac"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+
+    ab = m[2]
+    assert ab["top_word_frac"] == 0.5
+    # 7 bigrams: 'a b' x4, 'b a' x3
+    assert ab["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+
+    distinct = m[3]
+    assert distinct["dup_word_frac"] == 0.0
+    assert distinct["top_word_frac"] == pytest.approx(1 / 7, abs=1e-6)
+
+    solo = m[4]  # no bigrams -> 0.0, not null
+    assert solo["n_words"] == 1 and solo["top_bigram_frac"] == 0.0
+
+
+def test_decontaminate_flags_overlap(docs):
+    bench = docs.filter(F.col("doc_id") == 3)
+    corpus = docs.filter(F.col("doc_id") != 3)
+    out = CU.decontaminate(corpus, bench, n=5).collect()
+    # doc 5 shares 'the quick brown fox jumps' (+ 'quick brown fox jumps
+    # over') with the benchmark doc 3; nothing else overlaps
+    assert {r["doc_id"] for r in out} == {5}
+    assert out[0]["n_hits"] == 2 and out[0]["n_benchmark_docs"] == 1
+    # shingles shorter than n never match spuriously
+    assert CU.decontaminate(corpus, bench, n=8).count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark(docs):
+    plan = CU.decontaminate(docs, docs.limit(2), n=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark side must broadcast
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("lang"))
+    s1 = CU.stratified_sample(df)
+    s2 = CU.stratified_sample(df)
+    assert s1.count() == s2.count()  # same rows every run
+    assert s1.exceptAll(s2).count() == 0
+    n = s1.count()
+    assert abs(n - 20000 * 0.25) < 400  # ~25% overall
+    per = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, cnt in per.items():  # each stratum stays ~25% of its 5000
+        assert abs(cnt - 1250) < 200, (lang, cnt)
+    # threshold scales the rate: '80' hex = 50%
+    half = CU.stratified_sample(df, hex_threshold="80").count()
+    assert abs(half - 10000) < 600
