@@ -1116,6 +1116,33 @@ FROM corp JOIN bench USING (shingle) GROUP BY 1
 """
 
 
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing: lay documents into 2048-token context windows
+    per language shard (operators/curation.py pack_sequences — one
+    in-partition cumsum per shard, no global sort)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.pack_sequences(docs, budget=2048)
+
+
+PACK_SQL = """
+WITH t AS (
+  SELECT lang AS shard, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         coalesce(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t)
+SELECT shard, doc_id, n_tokens,
+       (before // 2048)::BIGINT AS pack_id,
+       (before % 2048)::BIGINT AS pack_offset
+FROM c
+"""
+
+
 def stratified_sample_by_lang(spark, sf_dir):
     """Deterministic md5-keyed 25% sample, rolled up per language
     (operators/curation.py stratified_sample: stateless shuffle-free
@@ -1799,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": repetition_metrics,
         "decontaminate_docs": decontaminate_docs,
         "stratified_sample_by_lang": stratified_sample_by_lang,
+        "pack_sequences": pack_sequences_q,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "ann_topk_ivf": ann_topk_ivf,
@@ -1858,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": REPETITION_SQL,
         "decontaminate_docs": DECONTAMINATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
+        "pack_sequences": PACK_SQL,
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),
         "ann_topk_ivf": _ivf_sql(),

@@ -126,6 +126,40 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                  F.countDistinct("__bench_id").alias("n_benchmark_docs")))
 
 
+def pack_sequences(df: DataFrame, budget: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shard_col: str = "lang") -> DataFrame:
+    """Assign documents to fixed-token-budget context windows (sequence
+    packing for LLM pretraining): within each shard, documents are laid
+    out in id order and cut into packs of ``budget`` tokens; a document
+    longer than the remaining space starts at its natural cumulative
+    offset (contiguous fill — deterministic, and exactly what a
+    window-function oracle computes).
+
+    Returns (shard, doc_id, n_tokens, pack_id, pack_offset): the window
+    each document lands in and its token offset inside it.
+
+    Scale shape: one window partitioned by the shard column — packing
+    parallelizes across shards (languages / sources / hash buckets) and
+    needs no global sort; each shard's cumsum is a single in-partition
+    pass.  Documents above the budget are flagged by pack_offset +
+    n_tokens > budget rather than split (splitting is the tokenizer's
+    job downstream)."""
+    from pyspark.sql import Window
+    toks = (F.size(F.filter(F.split(F.col(text_col), " "),
+                            lambda w: w != ""))).cast("bigint")
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = df.select(F.col(shard_col).alias("shard"), F.col(id_col),
+                     toks.alias("n_tokens"))
+    cum = base.withColumn(
+        "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return cum.select(
+        "shard", id_col, "n_tokens",
+        F.floor(F.col("__before") / budget).alias("pack_id"),
+        (F.col("__before") % budget).alias("pack_offset"))
+
+
 def stratified_sample(df: DataFrame, id_col: str = "doc_id",
                       hex_threshold: str = "40") -> DataFrame:
     """Deterministic, engine-reproducible sample: keep rows whose

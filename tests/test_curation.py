@@ -73,3 +73,21 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # threshold scales the rate: '80' hex = 50%
     half = CU.stratified_sample(df, hex_threshold="80").count()
     assert abs(half - 10000) < 600
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    rows = [(1, "a " * 100, "en"), (2, "b " * 60, "en"),
+            (3, "c " * 80, "en"), (4, "d " * 10, "de")]
+    df = spark.createDataFrame(
+        [(i, t.strip(), l) for i, t, l in rows], ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in
+           CU.pack_sequences(df, budget=128).collect()}
+    # en shard: 100 -> pack 0 @ 0; 60 -> cum 100: pack 0 @ 100 (spills
+    # past the budget -> flagged by offset+n > budget); 80 -> cum 160:
+    # pack 1 @ 32
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (0, 100)
+    assert out[2]["pack_offset"] + out[2]["n_tokens"] > 128
+    assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 32)
+    # de shard packs independently
+    assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 0)
