@@ -975,6 +975,30 @@ WHERE len(list_distinct(a.grams || b.grams)) > 0
 """
 
 
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: jaccard near-dup pairs -> connected
+    components, cluster_id = min member (operators/dedup.py
+    connected_components — iterative min-label propagation, edge-list
+    shuffles only, converges in O(diameter) rounds)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
+    return DD.connected_components(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql()}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, reach.lab FROM reach JOIN e ON reach.id = e.a
+)
+SELECT id AS doc_id, MIN(lab)::BIGINT AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def text_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return TOP.text_stats(docs)
@@ -1819,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard_dups": ngram_jaccard_dups,
+        "dedup_clusters": dedup_clusters,
         "text_stats": text_stats,
         "lang_histogram": lang_histogram,
         "token_summary_by_lang": token_summary_by_lang,
@@ -1879,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,
         "ngram_jaccard_dups": _jaccard_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "text_stats": TEXT_STATS_SQL,
         "lang_histogram": LANG_HIST_SQL,
         "token_summary_by_lang": TOKEN_SUMMARY_SQL,

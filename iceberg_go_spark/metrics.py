@@ -193,6 +193,18 @@ class CachedReporter:
         self._err: Optional[Exception] = None
         self._builder = builder or from_properties
 
+    def __deepcopy__(self, memo):
+        # a copied owner (e.g. a deep-copied table/catalog) gets its own
+        # fresh, unbuilt cache: the reporter belongs to ONE owner's
+        # lifetime, and the lock is not copyable anyway
+        return CachedReporter()
+
+    def __getstate__(self):  # pickling (e.g. to executors): same story
+        return {}
+
+    def __setstate__(self, state):
+        self.__init__()
+
     def get(self, props: Optional[Dict[str, str]]) -> Reporter:
         with self._mu:
             if self._closed:

@@ -228,3 +228,48 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
             .withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components with cluster_id = min member id.  This is the step after
+    any pairwise dedup (LSH / jaccard / embedding-cosine) — "keep one doc
+    per component", not "one per pair".
+
+    Algorithm: iterative min-label propagation.  Each round every vertex
+    takes the minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup graphs are shallow — chains of
+    near-identical docs), checked by a count of changed labels.  Each
+    round is one co-partitioned join + one keyed min-aggregation, both
+    shuffled on the vertex id, so a round costs two hash shuffles of the
+    EDGE list — never quadratic.  localCheckpoint truncates the plan
+    lineage per round (an iterative driver loop over DataFrames, not a
+    driver loop over rows).
+
+    Returns (doc_id, cluster_id) for every vertex that appears in pairs.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct())
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iterations):
+        neighbor = (edges.join(labels, edges.src == labels.id)
+                    .select(F.col("dst").alias("id"), "label"))
+        new_labels = (labels.unionByName(neighbor)
+                      .groupBy("id").agg(F.min("label").alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -91,3 +91,14 @@ def test_pack_sequences_contiguous_fill(spark):
     assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 32)
     # de shard packs independently
     assert (out[4]["pack_id"], out[4]["pack_offset"]) == (0, 0)
+
+
+def test_connected_components(spark):
+    from iceberg_go_spark.operators import dedup as DD
+    # two components: a 4-chain (diameter > 1 forces multiple rounds)
+    # and a separate pair; ids chosen so min-label must propagate "up"
+    pairs = spark.createDataFrame(
+        [(9, 7), (7, 5), (5, 1), (20, 30)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in DD.connected_components(pairs).collect()}
+    assert out == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 30: 20}

@@ -174,3 +174,16 @@ def test_rest_catalog_reports_to_server(spark, tmp_path):
         assert [r["report-type"] for r in sink.reports()] == ["scan-report"]
     finally:
         server.stop()
+
+
+def test_cached_reporter_survives_deepcopy_and_pickle(spark, sink_table):
+    """A deep-copied owner gets a fresh unbuilt cache (the reporter
+    belongs to one owner's lifetime; locks aren't copyable)."""
+    import copy
+    import pickle
+    t, sink = sink_table
+    t.metrics_reporter()  # force cache attach + build
+    t2 = copy.deepcopy(t)  # must not raise on the embedded lock
+    assert t2.metrics_reporter() is not t.metrics_reporter()
+    c = pickle.loads(pickle.dumps(M.CachedReporter()))
+    assert M.is_nop(c.get(None))
