@@ -976,18 +976,31 @@ WHERE len(list_distinct(a.grams || b.grams)) > 0
 
 
 def dedup_clusters(spark, sf_dir):
-    """Duplicate-cluster resolution: jaccard near-dup pairs -> connected
-    components, cluster_id = min member (operators/dedup.py
-    connected_components — iterative min-label propagation, edge-list
-    shuffles only, converges in O(diameter) rounds)."""
-    docs = _read(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.6)
-    return DD.connected_components(pairs)
+    """Duplicate-cluster resolution, the scalable industrial pipeline:
+    MinHash-LSH band buckets -> star edges (each doc to its bucket's min
+    member — linear in bucket sizes, same components as clique edges) ->
+    connected components (operators/dedup.py connected_components —
+    iterative min-label propagation, edge-list shuffles only).  An
+    all-pairs jaccard edge list goes quadratic within blocks (measured
+    850k pairs / 80 s from 5k docs at sf0.1); this stays linear."""
+    groups = dedup_minhash_lsh(spark, sf_dir)  # band, band_key, doc_id
+    w = W.partitionBy("band", "band_key")
+    edges = (groups.withColumn("__m", F.min("doc_id").over(w))
+             .filter(F.col("doc_id") != F.col("__m"))
+             .select(F.col("__m").alias("id_a"),
+                     F.col("doc_id").alias("id_b"))
+             .distinct())
+    return DD.connected_components(edges)
 
 
 def _dedup_clusters_sql() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_jaccard_sql()}),
+WITH RECURSIVE lsh AS ({_minhash_sql()}),
+e0 AS (SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY band, band_key) AS m
+       FROM lsh),
+pairs AS (SELECT DISTINCT m AS id_a, doc_id AS id_b
+          FROM e0 WHERE doc_id <> m),
 e AS (SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
 reach(id, lab) AS (

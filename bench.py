@@ -42,6 +42,17 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# round-4 additions to the measured set.  "value" covers HEADLINE +
+# EXTRA; "value_comparable21" restates the original 21-query subtotal so
+# per-round trends stay apples-to-apples against the BASELINE.md anchor.
+EXTRA = [
+    "repetition_metrics",
+    "decontaminate_docs",
+    "stratified_sample_by_lang",
+    "pack_sequences",
+    "dedup_clusters",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -57,7 +68,7 @@ def main() -> None:
     entrymod._fixtures(spark, SF_DIR)
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     if os.environ.get("BENCH_WARMUP", "1") != "0":
-        for name in HEADLINE:
+        for name in HEADLINE + EXTRA:
             qs[name](spark, SF_DIR).count()
 
     # min of REPS timed runs per query: single-run wall clock on a shared
@@ -65,7 +76,7 @@ def main() -> None:
     # estimate of steady-state cost
     reps = int(os.environ.get("BENCH_REPS", "3"))
     timings = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         fn = qs[name]
         best, n = None, 0
         for _ in range(max(1, reps)):
@@ -87,6 +98,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_comparable21": round(
+            sum(timings[n] for n in HEADLINE), 3),
         "sf": sf_val,
     }))
 
