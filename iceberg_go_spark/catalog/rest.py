@@ -140,6 +140,100 @@ class RestCatalog:
             "source": {"namespace": list(sns), "name": sname},
             "destination": {"namespace": list(dns), "name": dname}})
 
+    # -- views (rest/endpoints.go:113-120) -----------------------------------
+    def create_view(self, identifier, sql) -> "ViewMetadata":
+        """Create a view from SQL (str = spark dialect, or
+        {dialect: sql}); stores spec view metadata on the server."""
+        import time as _time
+        import uuid as _uuid
+        from ..views import (ViewMetadata, ViewVersion,
+                             _as_representations, view_metadata_to_json)
+        ns, name = self._split(identifier)
+        md = ViewMetadata(
+            str(_uuid.uuid4()), ".".join((*ns, name)), 1,
+            [ViewVersion(1, int(_time.time() * 1000),
+                         representations=_as_representations(sql))])
+        self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/views",
+            {"name": name, "metadata": view_metadata_to_json(md)})
+        return md
+
+    def load_view(self, identifier) -> "ViewMetadata":
+        from ..views import view_metadata_from_json
+        ns, name = self._split(identifier)
+        resp = self._request(
+            "GET", f"/v1/namespaces/{self._ns(ns)}/views/"
+                   f"{urllib.parse.quote(name, safe='')}")
+        md = view_metadata_from_json(resp["metadata"])
+        md.identifier = resp["metadata"].get("identifier", md.identifier)
+        return md
+
+    def replace_view(self, identifier, sql) -> "ViewMetadata":
+        """Append a new current version (views are versioned, not
+        overwritten); CAS on the base version id."""
+        import time as _time
+        from ..views import (ViewVersion, _as_representations,
+                             view_metadata_to_json)
+        ns, name = self._split(identifier)
+        md = self.load_view(identifier)
+        base = md.current_version_id
+        vid = max(v.version_id for v in md.versions) + 1
+        md.versions.append(ViewVersion(
+            vid, int(_time.time() * 1000),
+            representations=_as_representations(sql)))
+        md.current_version_id = vid
+        self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/views/"
+                    f"{urllib.parse.quote(name, safe='')}",
+            {"base-version-id": base,
+             "metadata": view_metadata_to_json(md)})
+        return md
+
+    def list_views(self, namespace) -> List[Tuple[str, ...]]:
+        resp = self._request(
+            "GET", f"/v1/namespaces/{self._ns(namespace)}/views")
+        return [(*i["namespace"], i["name"]) for i in resp["identifiers"]]
+
+    def drop_view(self, identifier) -> None:
+        ns, name = self._split(identifier)
+        self._request(
+            "DELETE", f"/v1/namespaces/{self._ns(ns)}/views/"
+                      f"{urllib.parse.quote(name, safe='')}")
+
+    def rename_view(self, src, dst) -> None:
+        sns, sname = self._split(src)
+        dns, dname = self._split(dst)
+        self._request("POST", "/v1/views/rename", {
+            "source": {"namespace": list(sns), "name": sname},
+            "destination": {"namespace": list(dns), "name": dname}})
+
+    def view_exists(self, identifier) -> bool:
+        from urllib.error import HTTPError
+        ns, name = self._split(identifier)
+        req = urllib.request.Request(
+            f"{self.uri}/v1/namespaces/{self._ns(ns)}/views/"
+            f"{urllib.parse.quote(name, safe='')}", method="HEAD")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status == 204
+        except HTTPError:
+            return False
+
+    # -- functions (rest/endpoints.go:125-126; read-only plane) --------------
+    def list_functions(self, namespace) -> List[Tuple[str, ...]]:
+        resp = self._request(
+            "GET", f"/v1/namespaces/{self._ns(namespace)}/functions")
+        return [(*i["namespace"], i["name"]) for i in resp["identifiers"]]
+
+    def load_function(self, identifier) -> dict:
+        """Raw function (UDF) metadata JSON; parse with
+        views.function_metadata_from_json."""
+        ns, name = self._split(identifier)
+        resp = self._request(
+            "GET", f"/v1/namespaces/{self._ns(ns)}/functions/"
+                   f"{urllib.parse.quote(name, safe='')}")
+        return resp["metadata"]
+
     # -- metrics (rest/endpoints.go endpointReportMetrics) -------------------
     def report_metrics(self, identifier, report: dict) -> None:
         """POST a scan/commit report (spec wire format) to the catalog's
@@ -287,6 +381,12 @@ class _State:
         # metrics reports received on the ReportMetrics endpoint, in
         # arrival order (rest/endpoints.go endpointReportMetrics)
         self.metrics: List[dict] = []
+        # (ns, name) -> view metadata JSON dict (endpoints.go:113-120)
+        self.views: Dict[Tuple[Tuple[str, ...], str], dict] = {}
+        # (ns, name) -> function (UDF) metadata JSON dict; the function
+        # plane is read-only over the wire (endpoints.go:125-126 defines
+        # only List/Load), so tests/deployments populate this directly
+        self.functions: Dict[Tuple[Tuple[str, ...], str], dict] = {}
 
     def write_metadata(self, md_dict: dict) -> str:
         loc = md_dict["location"]
@@ -376,6 +476,22 @@ def _make_handler(state: _State):
                 if result is None:
                     return self._send(404, {"error": "no such plan"})
                 return self._send(200, result)
+            # views / functions (endpoints.go:113-126)
+            if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] in ("views", "functions"):
+                ns = tuple(p[2].split("\x1f"))
+                store = state.views if p[3] == "views" else state.functions
+                ids = [{"namespace": list(k[0]), "name": k[1]}
+                       for k in sorted(store) if k[0] == ns]
+                return self._send(200, {"identifiers": ids})
+            if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] in ("views", "functions"):
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                store = state.views if p[3] == "views" else state.functions
+                md = store.get((ns, name))
+                if md is None:
+                    return self._send(404, {"error": f"no such {p[3][:-1]}"})
+                return self._send(200, {"metadata": md})
             return self._send(404, {"error": "not found"})
 
         def _plan_scan(self, ns, name, body):
@@ -468,6 +584,43 @@ def _make_handler(state: _State):
             if len(p) == 6 and p[3] == "tables" and p[5] == "plan":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 return self._plan_scan(ns, name, body)
+            if p == ["v1", "views", "rename"]:
+                s = (tuple(body["source"]["namespace"]),
+                     body["source"]["name"])
+                d = (tuple(body["destination"]["namespace"]),
+                     body["destination"]["name"])
+                with state.lock:
+                    if s not in state.views:
+                        return self._send(404, {"error": "no such view"})
+                    if d in state.views:
+                        return self._send(409, {"error": "exists"})
+                    md = state.views.pop(s)
+                    md["identifier"] = ".".join((*d[0], d[1]))
+                    state.views[d] = md
+                return self._send(200, {})
+            if len(p) == 4 and p[3] == "views":  # create
+                ns = tuple(p[2].split("\x1f"))
+                key = (ns, body["name"])
+                with state.lock:
+                    if key in state.views:
+                        return self._send(409, {"error": "exists"})
+                    state.views[key] = body["metadata"]
+                return self._send(200, {"metadata": body["metadata"]})
+            if len(p) == 5 and p[3] == "views":  # replace (new version)
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                with state.lock:
+                    cur = state.views.get((ns, name))
+                    if cur is None:
+                        return self._send(404, {"error": "no such view"})
+                    base = body.get("base-version-id")
+                    if base is not None \
+                            and base != cur["current-version-id"]:
+                        return self._send(412, {
+                            "error": f"expected version {base} but "
+                                     f"current is "
+                                     f"{cur['current-version-id']}"})
+                    state.views[(ns, name)] = body["metadata"]
+                return self._send(200, {"metadata": body["metadata"]})
             if len(p) == 6 and p[3] == "tables" and p[5] == "metrics":
                 # ReportMetrics (rest/endpoints.go:106): accept and retain;
                 # a metrics sink never rejects a well-formed report
@@ -508,7 +661,30 @@ def _make_handler(state: _State):
                         return self._send(404, {"error": "no such table"})
                     del state.tables[(ns, name)]
                 return self._send(200, {})
+            if len(p) == 5 and p[3] == "views":
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                with state.lock:
+                    if (ns, name) not in state.views:
+                        return self._send(404, {"error": "no such view"})
+                    del state.views[(ns, name)]
+                return self._send(200, {})
             return self._send(404, {"error": "not found"})
+
+        def do_HEAD(self):
+            # exists probes (endpoints.go:92,100,115)
+            p = self._parts()
+            code = 404
+            if len(p) == 5 and p[3] in ("tables", "views", "functions"):
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                store = {"tables": state.tables, "views": state.views,
+                         "functions": state.functions}[p[3]]
+                code = 204 if (ns, name) in store else 404
+            elif len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+                ns = tuple(p[2].split("\x1f"))
+                code = 204 if ns in state.namespaces else 404
+            self.send_response(code)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
     return Handler
 

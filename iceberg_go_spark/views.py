@@ -463,6 +463,20 @@ def view_metadata_from_json(d: Dict[str, Any]) -> ViewMetadata:
                         d["current-version-id"], versions)
 
 
+def view_metadata_to_json(md: ViewMetadata) -> Dict[str, Any]:
+    """Inverse of view_metadata_from_json (ViewCatalog._write wire
+    shape, shared with the REST view endpoints)."""
+    return {"view-uuid": md.view_uuid, "identifier": md.identifier,
+            "current-version-id": md.current_version_id,
+            "versions": [
+                {"version-id": v.version_id,
+                 "timestamp-ms": v.timestamp_ms,
+                 "summary": v.summary,
+                 "representations": [r.to_json_dict()
+                                     for r in v.representations]}
+                for v in md.versions]}
+
+
 @dataclass
 class FunctionMetadata:
     """The spec's function metadata wrapper (udf/metadata.go:52; golden

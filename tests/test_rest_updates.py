@@ -154,3 +154,93 @@ def test_rest_commit_sends_granular_actions(tmp_path, spark, sf_dir):
         assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
     finally:
         server.stop()
+
+
+# -- REST view + function endpoints (rest/endpoints.go:113-126) -------------
+
+def test_rest_view_crud_and_rename(tmp_path, spark):
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        md = cat.create_view("db.v1", "SELECT 1 AS one")
+        assert cat.view_exists("db.v1") and not cat.view_exists("db.nope")
+        assert cat.list_views("db") == [("db", "v1")]
+
+        back = cat.load_view("db.v1")
+        assert back.view_uuid == md.view_uuid
+        assert back.current().sql_for("spark") == "SELECT 1 AS one"
+
+        # replace appends a version; history is addressable
+        cat.replace_view("db.v1", {"spark": "SELECT 2 AS one",
+                                   "trino": "SELECT 2 one"})
+        v2 = cat.load_view("db.v1")
+        assert v2.current_version_id == 2 and len(v2.versions) == 2
+        assert v2.current().sql_for("trino") == "SELECT 2 one"
+        assert v2.versions[0].sql_for("spark") == "SELECT 1 AS one"
+
+        # CAS: a replace racing on a stale base version is rejected
+        from iceberg_go_spark.catalog.filesystem import CommitConflictError
+        from iceberg_go_spark.views import view_metadata_to_json
+        stale = view_metadata_to_json(v2)
+        stale["current-version-id"] = 3
+        with pytest.raises(CommitConflictError):
+            cat._request("POST", "/v1/namespaces/db/views/v1",
+                         {"base-version-id": 1, "metadata": stale})
+
+        # the loaded view executes through Spark
+        assert spark.sql(
+            v2.current().sql_for("spark")).collect()[0]["one"] == 2
+
+        cat.rename_view("db.v1", "db.v2")
+        assert cat.list_views("db") == [("db", "v2")]
+        cat.drop_view("db.v2")
+        assert cat.list_views("db") == []
+        with pytest.raises(Exception):
+            cat.load_view("db.v2")
+    finally:
+        server.stop()
+
+
+def test_rest_function_plane_read_only(tmp_path, spark):
+    """Functions are vended by the server (List/Load only over the wire);
+    a definition loaded from REST parses and executes as Spark SQL."""
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+    from iceberg_go_spark.views import FunctionMetadata
+
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        fn_md = {
+            "function-uuid": "00000000-0000-0000-0000-0000000000aa",
+            "name": "add2",
+            "definitions": [{
+                "definition-id": "add2(double)",
+                "function-type": "udf",
+                "parameters": [{"name": "x", "type": "double"}],
+                "return-type": "double",
+                "current-version-id": 1,
+                "versions": [{
+                    "version-id": 1,
+                    "representations": [
+                        {"type": "sql", "dialect": "spark",
+                         "sql": "x + 2.0"}],
+                    "deterministic": True,
+                    "on-null-input": "call",
+                    "timestamp-ms": 1}],
+            }],
+        }
+        server.state.functions[(("db",), "add2")] = fn_md
+        assert cat.list_functions("db") == [("db", "add2")]
+        loaded = cat.load_function("db.add2")
+        parsed = FunctionMetadata.from_json_dict(loaded, name="add2")
+        assert isinstance(parsed, FunctionMetadata)
+        body = parsed.definitions[0].current().representations[0].sql
+        assert spark.sql(
+            f"SELECT ({body.replace('x', '40.0')}) AS r"
+        ).collect()[0]["r"] == 42.0
+    finally:
+        server.stop()
