@@ -1,0 +1,95 @@
+"""Physical-plan scale invariants across the whole query surface.
+
+These are the 100 TB guardrails, asserted at plan level so a regression
+shows up at sf0.001 without needing big data: no accidental cartesian
+products, broadcasts where a small side is declared, filters and column
+pruning reaching the parquet scan, and whole-stage codegen on the hot
+relational queries.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# the only queries allowed a nested-loop/cartesian stage, each declared:
+# - ann_topk_bruteforce: the documented exact all-pairs baseline
+# - ann_topk_ivf: probe->nearest-centroid assignment (N_queries x
+#   N_centroids, both tiny and broadcast); the corpus side is an
+#   equi-join on the inverted-list label
+CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf"}
+
+
+def _plan(spark, name):
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = _plan(spark, name)
+        return cache[name]
+
+    return get
+
+
+def test_no_undeclared_cartesian_products(spark, plans):
+    offenders = []
+    for name in entry.queries():
+        if name in CARTESIAN_ALLOWED:
+            continue
+        p = plans(name)
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            offenders.append(name)
+    assert offenders == [], f"undeclared cartesian in: {offenders}"
+
+
+def test_ivf_corpus_side_is_equi_join(spark, plans):
+    """The IVF cartesian must be confined to probes x centroids; the
+    corpus joins through a broadcast HASH join on the list label."""
+    p = plans("ann_topk_ivf")
+    assert "BroadcastHashJoin [label" in p
+
+
+def test_dimension_joins_broadcast(spark, plans):
+    for name in ("q3_shipping_priority", "q5_regional_revenue",
+                 "q10_returned_items", "q14_promo_revenue"):
+        assert "BroadcastHashJoin" in plans(name), name
+
+
+def test_filter_pushdown_reaches_scan(spark, plans):
+    # q6 is a pure scan+filter+agg: the date/discount/quantity predicates
+    # must appear as parquet PushedFilters, not post-scan Filter only
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull" in p.split("PushedFilters:")[1][:400]
+
+
+def test_column_pruning_reaches_scan(spark, plans):
+    # q1 touches 7 lineitem columns; the scan must not read all 11
+    p = plans("q1_pricing_summary")
+    scan = [ln for ln in p.splitlines() if "FileScan parquet" in ln][0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    assert "l_quantity" in scan and "l_returnflag" in scan
+
+
+def test_hot_queries_whole_stage_codegen(spark):
+    # AQE only shows codegen spans in the FINAL plan, so execute first
+    for name in ("q1_pricing_summary", "q6_forecast_revenue",
+                 "events_hourly"):
+        df = entry.queries()[name](spark, SF)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # "*(n)" prefixes mark whole-stage-codegen spans in toString form
+        assert "isFinalPlan=true" in p and "*(" in p, name
+
+
+def test_exact_dedup_single_shuffle(spark, plans):
+    # md5-groupBy dedup is one hash aggregation: exactly one exchange
+    p = plans("dedup_exact")
+    assert p.count("Exchange hashpartitioning") == 1
