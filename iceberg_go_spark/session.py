@@ -40,6 +40,8 @@ def get_spark(app_name: str = "iceberg_go_spark", cpus: int | None = None,
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # our Python DataSource prunes files from pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -1,0 +1,193 @@
+"""PySpark Python DataSource over the engine's scan planner.
+
+Registers a batch source so any Spark user can read engine tables with
+the stock reader API::
+
+    from iceberg_go_spark.sources.datasource import register
+    register(spark)
+    df = (spark.read.format("iceberg_go_spark")
+          .option("warehouse", "/wh").option("table", "db.t").load())
+
+Division of labor (the Spark-first shape):
+
+- the DRIVER side (``schema``/``pushFilters``/``partitions``) runs the
+  engine's planner: snapshot resolution (``snapshot_id``/``ref``
+  options), manifest+metrics pruning with the pushed filters, byte-range
+  task splitting — one InputPartition per FileScanTask, shipped as the
+  engine's task-codec JSON (the same wire format the REST planning
+  endpoint speaks).
+- the EXECUTOR side (``read``) is a pyarrow row-group reader: it reads
+  only the row groups inside the task's byte range, applies positional
+  deletes and deletion vectors as a vectorized row-index mask, and
+  yields Arrow batches.
+- filters are pushed for FILE pruning only and all of them are returned
+  to Spark as leftovers, so Spark re-applies them row-level (partial
+  pushdown — pruning is a performance contract, never a correctness
+  one).
+
+Equality deletes are rejected here: their null-safe key anti-join
+belongs in the relational plan — ``table.to_df(spark)`` is the supported
+path for MoR tables with eq-deletes.
+
+Parity note: this is the Spark-native analogue of the reference's Arrow
+scanner entry point (table/arrow_scanner.go) — same planning semantics,
+but Spark owns parallelism and the row-level filter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    EqualTo, GreaterThan, InputPartition)
+import pyspark.sql.types as ST
+
+FORMAT_NAME = "iceberg_go_spark"
+
+
+def register(spark) -> None:
+    spark.dataSource.register(IcebergGoSparkDataSource)
+
+
+def _load_table(options):
+    from ..catalog import FilesystemCatalog
+    wh = options.get("warehouse")
+    ident = options.get("table")
+    if not wh or not ident:
+        raise ValueError(
+            "iceberg_go_spark source needs options warehouse and table")
+    return FilesystemCatalog(wh).load_table(ident)
+
+
+def _scan(options, row_filter=None):
+    t = _load_table(options)
+    kw = {}
+    if options.get("snapshot_id"):
+        kw["snapshot_id"] = int(options["snapshot_id"])
+    if options.get("ref"):
+        kw["ref"] = options["ref"]
+    return t.scan(row_filter=row_filter, **kw)
+
+
+class IcebergGoSparkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> ST.StructType:
+        return _scan(self.options).projection().to_spark()
+
+    def reader(self, schema: ST.StructType) -> "_Reader":
+        return _Reader(self.options, schema)
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options, schema: ST.StructType):
+        self.options = dict(options)
+        self.spark_schema = schema
+        self.columns = [f.name for f in schema.fields]
+        self.pushed = []  # [(col, op, value)] — picklable, not Column
+
+    def pushFilters(self, filters):
+        """Use supported filters to prune FILES at planning time; return
+        every filter (by reference) so Spark still applies them to rows
+        — partial pushdown per the DataSource contract."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "eq", f.value))
+            elif isinstance(f, GreaterThan) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "gt", f.value))
+            yield f
+
+    def _row_filter(self):
+        from .. import expressions as E
+        expr = None
+        for col, op, val in self.pushed:
+            piece = E.eq(col, val) if op == "eq" else E.gt(col, val)
+            expr = piece if expr is None else E.and_(expr, piece)
+        return expr
+
+    def partitions(self) -> List[InputPartition]:
+        from .task_codec import encode_tasks
+        scan = _scan(self.options, self._row_filter())
+        tasks = scan.plan_tasks()
+        for t in tasks:
+            if t.eq_deletes:
+                # NOT NotImplementedError: the DataSource API reserves it
+                # as the "source is unpartitioned" signal and swallows it
+                raise ValueError(
+                    "table has equality deletes, which need the "
+                    "relational anti-join: read it via "
+                    "Table.to_df(spark)")
+        # one partition per byte-range task; encode per task so each
+        # executor deserializes only its own slice
+        return [InputPartition(encode_tasks([t])) for t in tasks]
+
+    def read(self, partition) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .task_codec import decode_tasks
+
+        (task,) = decode_tasks(partition.value)
+        df_meta = task.data_file
+        pf = pq.ParquetFile(df_meta.file_path)
+
+        # row groups whose byte range starts inside [start, start+length)
+        # (split_tasks carves on row-group boundaries, same rule here)
+        end = task.start + (task.length or df_meta.file_size_in_bytes)
+        groups, first_row = [], 0
+        for i in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(i)
+            off = rg.column(0).file_offset or rg.column(0).data_page_offset
+            if task.start <= off < end:
+                groups.append(i)
+            elif not groups:
+                # rows before the first selected group (ranges carved on
+                # row-group boundaries are contiguous)
+                first_row += rg.num_rows
+
+        if not groups:
+            return
+        cols = [c for c in self.columns
+                if c in set(pf.schema_arrow.names)]
+        table = pf.read_row_groups(groups, columns=cols)
+
+        deleted = self._deleted_positions(task)
+        if deleted.size:
+            # global row index of every row in the slice we read
+            base = first_row
+            idx = np.arange(base, base + table.num_rows, dtype=np.int64)
+            keep = ~np.isin(idx, deleted)
+            table = table.filter(pa.array(keep))
+        for batch in table.to_batches():
+            yield batch
+
+    @staticmethod
+    def _deleted_positions(task):
+        """Positions deleted in this task's data file, from positional
+        delete parquet files and puffin deletion vectors."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        out = []
+        for d in task.pos_deletes:
+            if d.file_format == "PUFFIN":
+                from ..meta.dv import (deserialize_dv,
+                                       read_deletion_vector_blobs)
+                blob = read_deletion_vector_blobs(d.file_path).get(
+                    task.data_file.file_path)
+                if blob is not None:
+                    out.append(deserialize_dv(blob).to_numpy())
+            else:
+                t = pq.read_table(d.file_path,
+                                  columns=["file_path", "pos"])
+                mask = np.asarray(t["file_path"]) == \
+                    task.data_file.file_path
+                out.append(np.asarray(t["pos"])[mask].astype(np.int64))
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(out))
+
+

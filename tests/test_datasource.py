@@ -1,0 +1,100 @@
+"""PySpark Python DataSource over the engine scan planner
+(sources/datasource.py): stock spark.read.format() reads engine tables,
+including byte-range tasks, positional deletes / DVs, time travel, and
+planning-time file pruning from pushed filters."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.partitioning import spec_from_names
+from iceberg_go_spark.schema import Schema
+from tests.conftest import read_table
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory, sf_dir):
+    root = str(tmp_path_factory.mktemp("wh_ds"))
+    cat = FilesystemCatalog(root)
+    li = read_table(spark, "lineitem", sf_dir)
+    schema = Schema.from_spark(li.schema)
+    t = cat.create_table("db.li", schema,
+                         spec_from_names(schema, ("l_shipdate", "month")))
+    t.append(li)
+    t = cat.load_table("db.li")
+    t.delete_where(spark, E.eq("l_linenumber", 1), mode="merge-on-read")
+
+    from iceberg_go_spark.sources.datasource import register
+    register(spark)
+    return root, cat, li
+
+
+def _read(spark, root, table="db.li", **opts):
+    r = (spark.read.format("iceberg_go_spark")
+         .option("warehouse", root).option("table", table))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_matches_relational_path(spark, wh):
+    root, cat, li = wh
+    got = _read(spark, root)
+    exp = cat.load_table("db.li").to_df(spark)
+    assert got.count() == exp.count()  # pos deletes applied
+    assert got.count() < li.count()
+    a = got.agg(F.sum("l_orderkey"), F.sum("l_linenumber")).first()
+    b = exp.agg(F.sum("l_orderkey"), F.sum("l_linenumber")).first()
+    assert tuple(a) == tuple(b)
+    assert got.filter(F.col("l_linenumber") == 1).count() == 0
+
+
+def test_filters_and_projection(spark, wh):
+    root, cat, li = wh
+    got = (_read(spark, root)
+           .filter(F.col("l_shipdate") >= "1999-01-01")
+           .select("l_orderkey", "l_extendedprice"))
+    exp = (cat.load_table("db.li").to_df(spark)
+           .filter(F.col("l_shipdate") >= "1999-01-01")
+           .select("l_orderkey", "l_extendedprice"))
+    assert got.count() == exp.count()
+    assert abs(got.agg(F.sum("l_extendedprice")).first()[0]
+               - exp.agg(F.sum("l_extendedprice")).first()[0]) < 1e-6
+
+
+def test_pushed_filter_prunes_files(spark, wh):
+    """EqualTo/GreaterThan reach the planner: fewer input partitions
+    than the unfiltered scan (month-partitioned fixture)."""
+    root, _cat, _li = wh
+
+    def n_parts(df):
+        return df.rdd.getNumPartitions()
+
+    all_parts = n_parts(_read(spark, root))
+    pruned = n_parts(_read(spark, root)
+                     .filter(F.col("l_shipdate") > "2001-06-01"))
+    assert 0 < pruned < all_parts
+
+
+def test_time_travel_option(spark, wh):
+    root, cat, li = wh
+    t = cat.load_table("db.li")
+    first = t.metadata.snapshots[0].snapshot_id
+    got = _read(spark, root, snapshot_id=str(first))
+    assert got.count() == li.count()  # before the MoR delete
+
+
+def test_eq_deletes_rejected(spark, wh, sf_dir):
+    root, cat, _li = wh
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.eq", Schema.from_spark(df.schema))
+    t.append(df)
+    t = cat.load_table("db.eq")
+    from iceberg_go_spark.table.dml import upsert
+    upsert(t, spark, df.limit(3).withColumn(
+        "n_name", F.lit("CHANGED")), ["n_nationkey"])
+    with pytest.raises(Exception, match="[Ee]quality deletes"):
+        _read(spark, root, table="db.eq").count()
