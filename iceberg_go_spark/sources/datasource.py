@@ -39,7 +39,8 @@ from __future__ import annotations
 from typing import Iterator, List
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, GreaterThan, InputPartition)
+                                    DataSourceStreamReader, EqualTo,
+                                    GreaterThan, InputPartition)
 import pyspark.sql.types as ST
 
 FORMAT_NAME = "iceberg_go_spark"
@@ -79,6 +80,9 @@ class IcebergGoSparkDataSource(DataSource):
 
     def reader(self, schema: ST.StructType) -> "_Reader":
         return _Reader(self.options, schema)
+
+    def streamReader(self, schema: ST.StructType) -> "_StreamReader":
+        return _StreamReader(self.options, schema)
 
 
 class _Reader(DataSourceReader):
@@ -191,3 +195,49 @@ class _Reader(DataSourceReader):
         return np.unique(np.concatenate(out))
 
 
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Incremental snapshot streaming: spark.readStream over an engine
+    table.  Offsets are snapshot ids (the engine's natural changelog
+    cursor, parity table/snapshot_ancestry.go AncestorsBetween); each
+    microbatch covers the data files ADDED by append/overwrite snapshots
+    in (start, end], one InputPartition per file so the batch reads in
+    parallel on executors.  With option starting_snapshot_id=0 the first
+    batch replays the whole table (earliest); by default streaming
+    starts at the CURRENT snapshot (latest, new appends only)."""
+
+    def __init__(self, options, schema: ST.StructType):
+        self.options = dict(options)
+        self.spark_schema = schema
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        start = self.options.get("starting_snapshot_id")
+        if start is not None:
+            return {"snapshot_id": int(start)}
+        t = _load_table(self.options)
+        return {"snapshot_id": int(t.metadata.current_snapshot_id or 0)}
+
+    def latestOffset(self) -> dict:
+        t = _load_table(self.options)  # re-load: sees new commits
+        return {"snapshot_id": int(t.metadata.current_snapshot_id or 0)}
+
+    def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        from ..streaming.source import added_files_between
+        s, e = start["snapshot_id"], end["snapshot_id"]
+        if e == 0 or s == e:
+            return []
+        t = _load_table(self.options)
+        files = added_files_between(t, s or None, e)
+        return [InputPartition(p) for p in files]
+
+    def read(self, partition) -> Iterator:
+        import pyarrow.parquet as pq
+        pf = pq.ParquetFile(partition.value)
+        cols = [c for c in self.columns if c in set(pf.schema_arrow.names)]
+        for batch in pf.iter_batches(columns=cols):
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's checkpoint, not the table
