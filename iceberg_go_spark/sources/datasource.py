@@ -36,11 +36,14 @@ but Spark owns parallelism and the row-level filter.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, List
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, EqualTo,
-                                    GreaterThan, InputPartition)
+                                    DataSourceStreamReader,
+                                    DataSourceWriter, EqualTo,
+                                    GreaterThan, InputPartition,
+                                    WriterCommitMessage)
 import pyspark.sql.types as ST
 
 FORMAT_NAME = "iceberg_go_spark"
@@ -83,6 +86,14 @@ class IcebergGoSparkDataSource(DataSource):
 
     def streamReader(self, schema: ST.StructType) -> "_StreamReader":
         return _StreamReader(self.options, schema)
+
+    def writer(self, schema: ST.StructType,
+               overwrite: bool) -> "_Writer":
+        if overwrite:
+            raise ValueError(
+                "mode('overwrite') is not supported; use "
+                "Table.overwrite_where for filtered overwrites")
+        return _Writer(self.options, schema)
 
 
 class _Reader(DataSourceReader):
@@ -241,3 +252,97 @@ class _StreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in Spark's checkpoint, not the table
+
+
+class _CommitMsg(WriterCommitMessage):
+    def __init__(self, stats):
+        self.stats = stats  # None for empty partitions
+
+
+class _Writer(DataSourceWriter):
+    """Distributed append through the engine transaction: each executor
+    writes its partition as one parquet file (arrow, spec field-ids in
+    the schema metadata) directly into the table's data directory and
+    harvests the footer stats locally; the driver turns the collected
+    stats into DataFile entries and commits ONE append snapshot via
+    Transaction.append_files — no second stats job, no data movement.
+    A failed job aborts by unlinking the written files (the commit never
+    happened, so the table never saw them)."""
+
+    def __init__(self, options, schema: ST.StructType):
+        self.options = dict(options)
+        self.spark_schema = schema
+        t = _load_table(options)
+        if not t.metadata.spec().is_unpartitioned:
+            raise ValueError(
+                "DataSource writes currently target unpartitioned "
+                "tables; use Table.append for partitioned fan-out")
+        sch = t.schema()
+        self.data_dir = os.path.join(t.metadata.location, "data")
+        self.name_to_field = {f.name: (f.field_id, str(f.field_type))
+                              for f in sch.fields
+                              if f.field_type.is_primitive}
+
+    def write(self, iterator) -> _CommitMsg:
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..table.write import _harvest_one
+
+        rows = list(iterator)
+        if not rows:
+            return _CommitMsg(None)
+        cols = [f.name for f in self.spark_schema.fields]
+        pdf = pd.DataFrame.from_records(rows, columns=cols)
+        arrow_schema = to_arrow_schema(self.spark_schema)
+        # stamp spec field ids so readers resolve columns by id
+        fields = []
+        for f in arrow_schema:
+            fid = self.name_to_field.get(f.name, (None,))[0]
+            meta = {b"PARQUET:field_id": str(fid).encode()} if fid else None
+            fields.append(f.with_metadata(meta) if meta else f)
+        arrow_schema = pa.schema(fields)
+        table = pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                     preserve_index=False)
+        os.makedirs(self.data_dir, exist_ok=True)
+        path = os.path.join(self.data_dir, f"ds-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, path)
+        return _CommitMsg(_harvest_one(path, self.name_to_field, 16))
+
+    def commit(self, messages) -> None:
+        from ..meta import manifests as M
+
+        files = []
+        for m in messages:
+            s = getattr(m, "stats", None)
+            if not s:
+                continue
+            files.append(M.DataFile(
+                content=M.CONTENT_DATA, file_path=s["path"],
+                file_format="PARQUET", partition={},
+                record_count=s["record_count"],
+                file_size_in_bytes=s["file_size"],
+                column_sizes=s["column_sizes"],
+                value_counts=s["value_counts"],
+                null_value_counts=s["null_counts"],
+                lower_bounds=s["lower"], upper_bounds=s["upper"],
+                split_offsets=sorted(s["split_offsets"]) or None))
+        if not files:
+            return
+        t = _load_table(self.options)
+        txn = t.new_transaction()
+        txn.append_files(files)
+        txn.commit()
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            s = getattr(m, "stats", None)
+            if s:
+                try:
+                    os.remove(s["path"])
+                except OSError:
+                    pass

@@ -143,3 +143,42 @@ def test_stream_reader_incremental_snapshots(spark, tmp_path, sf_dir):
     assert got.count() == 38  # only the delta was re-read
     assert got.select("n_nationkey").distinct().count() \
         == nation.limit(25).count()
+
+
+def test_writer_appends_through_transaction(spark, tmp_path, sf_dir):
+    """df.write.format(): executors write parquet with spec field-ids and
+    harvest stats locally; the driver commits one append snapshot."""
+    from iceberg_go_spark.sources.datasource import register
+    register(spark)
+    root = str(tmp_path / "wh")
+    cat = FilesystemCatalog(root)
+    nation = read_table(spark, "nation", sf_dir)
+    cat.create_table("db.w", Schema.from_spark(nation.schema))
+
+    (nation.repartition(4).write.format("iceberg_go_spark")
+     .option("warehouse", root).option("table", "db.w")
+     .mode("append").save())
+
+    t = cat.load_table("db.w")
+    snap = t.current_snapshot()
+    assert snap.summary["operation"] == "append"
+    got = t.to_df(spark)
+    assert got.count() == nation.count()
+    assert got.agg(F.sum("n_nationkey")).first()[0] == \
+        nation.agg(F.sum("n_nationkey")).first()[0]
+
+    # stats landed: metrics pruning works on the written files
+    from iceberg_go_spark import expressions as E
+    scan = t.scan(E.gt("n_nationkey", 1000))
+    assert scan.plan_files() == []  # all files pruned by bounds
+
+    # second append accumulates
+    (nation.limit(5).write.format("iceberg_go_spark")
+     .option("warehouse", root).option("table", "db.w")
+     .mode("append").save())
+    assert cat.load_table("db.w").to_df(spark).count() == nation.count() + 5
+
+    with pytest.raises(Exception, match="overwrite"):
+        (nation.write.format("iceberg_go_spark")
+         .option("warehouse", root).option("table", "db.w")
+         .mode("overwrite").save())
