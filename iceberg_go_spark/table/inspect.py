@@ -152,6 +152,51 @@ class InspectTable:
                     mf.deleted_files_count, mf.content))
         return self.spark.createDataFrame(rows, MANIFESTS_SCHEMA)
 
+    def all_manifests(self) -> DataFrame:
+        """Manifests across ALL snapshots, deduped by path with a
+        reference-snapshot-ids rollup (parity: Table.AllManifests,
+        table/all_manifests_internal_test.go — every snapshot's manifest
+        list is read, shared manifests appear once)."""
+        from ..meta import manifests as M
+        md = self.table.metadata
+        by_path: dict = {}
+        refs: dict = {}
+        for snap in md.snapshots:
+            try:
+                mfs = M.read_manifest_list(snap.manifest_list)
+            except FileNotFoundError:  # expired-but-logged snapshot
+                continue
+            for mf in mfs:
+                by_path.setdefault(mf.manifest_path, mf)
+                refs.setdefault(mf.manifest_path, []).append(
+                    snap.snapshot_id)
+        rows = [(mf.manifest_path, mf.manifest_length,
+                 mf.partition_spec_id, mf.added_snapshot_id,
+                 mf.added_files_count, mf.existing_files_count,
+                 mf.deleted_files_count, mf.content,
+                 sorted(refs[p]))
+                for p, mf in sorted(by_path.items())]
+        import pyspark.sql.types as ST
+        schema = ST.StructType(
+            list(MANIFESTS_SCHEMA.fields) +
+            [ST.StructField("reference_snapshot_ids",
+                            ST.ArrayType(ST.LongType()), False)])
+        return self.spark.createDataFrame(rows, schema)
+
+    def metadata_log_entries(self) -> DataFrame:
+        """The table's metadata-file lineage (spec metadata_log_entries
+        metadata table; metadata.go MetadataLog)."""
+        import pyspark.sql.types as ST
+        md = self.table.metadata
+        rows = [( _ts(e["timestamp-ms"]), e["metadata-file"])
+                for e in md.metadata_log]
+        rows.append((_ts(md.last_updated_ms),
+                     self.table.metadata_location))
+        schema = ST.StructType([
+            ST.StructField("timestamp", ST.TimestampType(), False),
+            ST.StructField("file", ST.StringType(), False)])
+        return self.spark.createDataFrame(rows, schema)
+
     def files(self) -> DataFrame:
         md = self.table.metadata
         rows = []

@@ -90,3 +90,27 @@ def test_arrow_rendering(spark, table3):
     at = table3.inspect(spark).snapshots_arrow()
     assert at.num_rows == 3
     assert "snapshot_id" in at.column_names
+
+
+def test_all_manifests(spark, table3):
+    """Manifests across all snapshots, deduped, with the referencing
+    snapshot ids rolled up (Table.AllManifests parity)."""
+    am = table3.inspect(spark).all_manifests().collect()
+    cur = table3.inspect(spark).manifests().collect()
+    paths = {r.path for r in am} if hasattr(am[0], "path") \
+        else {r[0] for r in am}
+    assert len(am) >= len(cur) >= 1
+    assert len(paths) == len(am)  # deduped
+    snap_ids = {s.snapshot_id for s in table3.metadata.snapshots}
+    for r in am:
+        ids = set(r.reference_snapshot_ids)
+        assert ids and ids <= snap_ids
+
+
+def test_metadata_log_entries(spark, table3):
+    rows = table3.inspect(spark).metadata_log_entries().collect()
+    # 3 commits: >=2 superseded entries + the current pointer
+    assert len(rows) >= 3
+    assert rows[-1].file == table3.metadata_location
+    ts = [r.timestamp for r in rows]
+    assert ts == sorted(ts)
