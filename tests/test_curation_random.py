@@ -1,0 +1,78 @@
+"""Randomized cross-checks of the curation/cluster operators against
+pure-Python reference implementations (fixed seeds — deterministic)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark.operators import curation as CU
+from iceberg_go_spark.operators import dedup as DD
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_connected_components_vs_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(1, n + 1), 2)))
+                    for _ in range(45)})
+
+    # reference: classic union-find
+    parent = list(range(n + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    verts = {v for e in edges for v in e}
+    expected = {}
+    for v in verts:
+        root = find(v)
+        expected.setdefault(root, []).append(v)
+    want = {v: min(members) for members in expected.values()
+            for v in members}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in DD.connected_components(pairs).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_pack_sequences_vs_scalar_scan(spark, seed):
+    rng = random.Random(seed)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 50))),
+             rng.choice(["en", "de", "fr"]))
+            for i in range(1, 120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    budget = 64
+    got = {r["doc_id"]: r for r in
+           CU.pack_sequences(df, budget=budget).collect()}
+
+    by_shard = {}
+    for i, text, lang in rows:
+        by_shard.setdefault(lang, []).append((i, len(text.split())))
+    for lang, docs in by_shard.items():
+        cum = 0
+        for i, ntok in sorted(docs):
+            r = got[i]
+            assert r["shard"] == lang and r["n_tokens"] == ntok
+            assert r["pack_id"] == cum // budget, (lang, i)
+            assert r["pack_offset"] == cum % budget, (lang, i)
+            cum += ntok
+
+
+def test_stratified_sample_subset_and_monotone(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in
+             CU.stratified_sample(df, hex_threshold="20").collect()}
+    big = {r["doc_id"] for r in
+           CU.stratified_sample(df, hex_threshold="80").collect()}
+    assert small < big  # raising the threshold only ADDS rows
+    # md5-hex uniformity: '20'/256 = 12.5%, '80'/256 = 50%
+    assert abs(len(small) - 625) < 120
+    assert abs(len(big) - 2500) < 250
