@@ -279,7 +279,17 @@ class Transaction:
         """Merge append (snapshot_producers.go:495 mergeManifests): when a
         snapshot would carry more than ``commit.manifest.min-count-to-merge``
         small data manifests of the same spec, bin-pack them into one.
-        Entries keep their inherited sequence numbers (written explicitly)."""
+        Entries keep their inherited sequence numbers (written explicitly).
+
+        Gated on ``commit.manifest-merge.enabled`` — default FALSE per the
+        reference (properties.go:64-65; transaction.go:287 reads it for
+        every append producer, including AddFiles — the reference shipped
+        a regression where AddFiles hardcoded fast-append, see
+        addfiles_merge_regression_test.go; here every producer flows
+        through _produce_snapshot so the gate is structural)."""
+        if self.metadata.properties.get(
+                "commit.manifest-merge.enabled", "false").lower() != "true":
+            return manifests
         min_count = int(self.metadata.properties.get(
             "commit.manifest.min-count-to-merge", "100"))
         target_size = int(self.metadata.properties.get(

@@ -173,7 +173,8 @@ def test_merge_append(spark, sf_dir, catalog):
     schema = Schema.from_spark(df.schema)
     t = catalog.create_table(
         "db.ma", schema,
-        properties={"commit.manifest.min-count-to-merge": "3"})
+        properties={"commit.manifest-merge.enabled": "true",
+                    "commit.manifest.min-count-to-merge": "3"})
     from iceberg_go_spark.meta.manifests import read_manifest_list
     for _ in range(4):
         t.append(df)

@@ -264,3 +264,44 @@ def test_branch_write_audit_publish(spark, sf_dir, catalog):
     t.append(first.limit(1))  # main advances past the branch point
     with pytest.raises(ValueError):
         t.fast_forward("main", "stale")
+
+
+def test_manifest_merge_gated_on_property(spark, tmp_path, sf_dir):
+    """commit.manifest-merge.enabled gates merge-append for EVERY
+    producer, add_files included (reference default false,
+    properties.go:64; addfiles_merge_regression_test.go guards the
+    AddFiles path specifically)."""
+    import pyarrow.parquet as pq
+
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.schema import Schema
+    from tests.conftest import read_table
+
+    df = read_table(spark, "region", sf_dir)
+
+    def build(name, props):
+        cat = FilesystemCatalog(str(tmp_path / name))
+        t = cat.create_table("db.r", Schema.from_spark(df.schema),
+                             properties=props)
+        # 4 separate add_files COMMITS: manifests accumulate one per
+        # commit unless merge-append bin-packs them
+        for i in range(4):
+            p = str(tmp_path / name / f"ext{i}.parquet")
+            pq.write_table(df.limit(2).toArrow(), p)
+            t = cat.load_table("db.r")
+            txn = t.new_transaction()
+            txn.add_files(spark, [p])
+            txn.commit()
+        t = cat.load_table("db.r")
+        mfs = M.read_manifest_list(t.current_snapshot().manifest_list)
+        assert t.to_df(spark).count() == 8  # merge never loses rows
+        return mfs
+
+    # default: merging disabled -> one manifest per commit survives
+    off = build("off", {"commit.manifest.min-count-to-merge": "2"})
+    assert len(off) == 4
+    # enabled + low threshold -> small data manifests bin-packed
+    on = build("on", {"commit.manifest-merge.enabled": "true",
+                      "commit.manifest.min-count-to-merge": "2"})
+    assert len(on) == 1
