@@ -182,3 +182,28 @@ def test_writer_appends_through_transaction(spark, tmp_path, sf_dir):
         (nation.write.format("iceberg_go_spark")
          .option("warehouse", root).option("table", "db.w")
          .mode("overwrite").save())
+
+
+def test_fully_deleted_file_does_not_mask_others(spark, tmp_path, sf_dir):
+    """Analogue of the reference's empty-scan-task regression
+    (empty_scan_task_regression_test.go): a task yielding ZERO rows
+    (every row pos-deleted) must not suppress the other tasks' rows."""
+    from iceberg_go_spark.sources.datasource import register
+    register(spark)
+    root = str(tmp_path / "wh")
+    cat = FilesystemCatalog(root)
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.z", Schema.from_spark(nation.schema))
+    t.append(nation.filter(F.col("n_nationkey") < 10))
+    t = cat.load_table("db.z")
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    t = cat.load_table("db.z")
+    # wipe the ENTIRE first file via merge-on-read positional deletes
+    t.delete_where(spark, E.lt("n_nationkey", 10), mode="merge-on-read")
+
+    got = (spark.read.format("iceberg_go_spark")
+           .option("warehouse", root).option("table", "db.z").load())
+    keys = sorted(r["n_nationkey"] for r in got.collect())
+    want = sorted(r["n_nationkey"] for r in
+                  nation.filter(F.col("n_nationkey") >= 10).collect())
+    assert keys == want  # second file fully present, first fully gone
