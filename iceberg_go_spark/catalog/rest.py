@@ -37,16 +37,66 @@ from .filesystem import (CommitConflictError, NoSuchTableError,
 
 
 class RestCatalog:
+    """``token`` is a static bearer token; ``credential``
+    ("client_id:client_secret", or a bare secret) drives the OAuth2
+    client-credentials grant against ``oauth2_server_uri`` (default
+    {uri}/v1/oauth/tokens — the legacy in-catalog endpoint Java/
+    PyIceberg/iceberg-rust use), with expiry-aware refresh
+    (rest.go:828-900 setupOAuthManager; a static token wins over
+    credential, matching StaticTokenSource)."""
+
     def __init__(self, uri: str, warehouse: Optional[str] = None,
-                 token: Optional[str] = None, name: str = "rest"):
+                 token: Optional[str] = None, name: str = "rest",
+                 credential: Optional[str] = None,
+                 oauth2_server_uri: Optional[str] = None,
+                 scope: str = "catalog"):
         self.uri = uri.rstrip("/")
         self.name = name
         self.token = token
+        self.credential = credential if not token else None
+        self.oauth2_server_uri = oauth2_server_uri
+        self.scope = scope
+        self._token_expiry = None  # monotonic deadline for refresh
         cfg = self._request("GET", "/v1/config")
         self.warehouse = warehouse or cfg.get("defaults", {}).get("warehouse")
 
+    def _fetch_token(self) -> None:
+        """client_credentials grant, params in the form body
+        (AuthStyleInParams)."""
+        import time as _time
+        cid, sep, secret = (self.credential or "").partition(":")
+        if not sep:  # bare secret: empty client id (rest.go:852-855)
+            cid, secret = "", self.credential
+        url = self.oauth2_server_uri or f"{self.uri}/v1/oauth/tokens"
+        form = urllib.parse.urlencode({
+            "grant_type": "client_credentials",
+            "client_id": cid, "client_secret": secret,
+            "scope": self.scope})
+        req = urllib.request.Request(
+            url, method="POST", data=form.encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                tok = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            raise RuntimeError(f"oauth error {e.code}: {e.read().decode()}")
+        self.token = tok["access_token"]
+        expires = tok.get("expires_in")
+        # refresh a little early so in-flight requests don't race expiry
+        self._token_expiry = (_time.monotonic() + expires - 30
+                              if expires else None)
+
+    def _ensure_token(self) -> None:
+        if self.credential is None:
+            return
+        import time as _time
+        if self.token is None or (self._token_expiry is not None
+                                  and _time.monotonic() >= self._token_expiry):
+            self._fetch_token()
+
     def _request(self, method: str, path: str, body: Optional[dict] = None
                  ) -> dict:
+        self._ensure_token()
         req = urllib.request.Request(
             self.uri + path, method=method,
             data=json.dumps(body).encode() if body is not None else None,
@@ -387,6 +437,11 @@ class _State:
         # plane is read-only over the wire (endpoints.go:125-126 defines
         # only List/Load), so tests/deployments populate this directly
         self.functions: Dict[Tuple[Tuple[str, ...], str], dict] = {}
+        # OAuth2: when a credential is configured, every endpoint except
+        # the token endpoint requires a live bearer token
+        self.credential: Optional[str] = None
+        self.token_ttl_s: float = 3600.0
+        self.tokens: Dict[str, float] = {}  # token -> expiry deadline
 
     def write_metadata(self, md_dict: dict) -> str:
         loc = md_dict["location"]
@@ -448,6 +503,8 @@ def _make_handler(state: _State):
 
         def do_GET(self):
             p = self._parts()
+            if not self._check_auth():
+                return
             if p == ["v1", "config"]:
                 return self._send(200, {"defaults":
                                         {"warehouse": state.warehouse}})
@@ -523,8 +580,48 @@ def _make_handler(state: _State):
                                         "plan-id": plan_id})
             return self._send(200, result)
 
+        def _authorized(self) -> bool:
+            if state.credential is None:
+                return True
+            auth = self.headers.get("Authorization", "")
+            if not auth.startswith("Bearer "):
+                return False
+            import time as _time
+            deadline = state.tokens.get(auth[len("Bearer "):])
+            return deadline is not None and _time.time() < deadline
+
+        def _check_auth(self) -> bool:
+            if self._authorized():
+                return True
+            self._send(401, {"error": "unauthorized"})
+            return False
+
+        def _oauth_tokens(self):
+            """Legacy in-catalog token endpoint (client_credentials grant,
+            params in the form body)."""
+            import time as _time
+            import uuid as _uuid
+            n = int(self.headers.get("Content-Length", 0))
+            form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            secret = (form.get("client_secret") or [""])[0]
+            want = state.credential or ""
+            want_secret = want.partition(":")[2] or want
+            if form.get("grant_type") != ["client_credentials"] \
+                    or secret != want_secret:
+                return self._send(401, {"error": "invalid_client"})
+            tok = _uuid.uuid4().hex
+            with state.lock:
+                state.tokens[tok] = _time.time() + state.token_ttl_s
+            return self._send(200, {
+                "access_token": tok, "token_type": "bearer",
+                "expires_in": int(state.token_ttl_s)})
+
         def do_POST(self):
             p = self._parts()
+            if p == ["v1", "oauth", "tokens"]:
+                return self._oauth_tokens()
+            if not self._check_auth():
+                return
             body = self._body()
             if p == ["v1", "namespaces"]:
                 ns = tuple(body["namespace"])
@@ -654,6 +751,8 @@ def _make_handler(state: _State):
 
         def do_DELETE(self):
             p = self._parts()
+            if not self._check_auth():
+                return
             if len(p) == 5 and p[3] == "tables":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 with state.lock:
@@ -673,6 +772,11 @@ def _make_handler(state: _State):
         def do_HEAD(self):
             # exists probes (endpoints.go:92,100,115)
             p = self._parts()
+            if state.credential is not None and not self._authorized():
+                self.send_response(401)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             code = 404
             if len(p) == 5 and p[3] in ("tables", "views", "functions"):
                 ns, name = tuple(p[2].split("\x1f")), p[4]
@@ -692,9 +796,13 @@ def _make_handler(state: _State):
 class RestCatalogServer:
     """In-process reference server; bind port 0 for an ephemeral port."""
 
-    def __init__(self, warehouse: str, port: int = 0):
+    def __init__(self, warehouse: str, port: int = 0,
+                 credential: Optional[str] = None,
+                 token_ttl_s: float = 3600.0):
         os.makedirs(warehouse, exist_ok=True)
         self.state = _State(warehouse)
+        self.state.credential = credential
+        self.state.token_ttl_s = token_ttl_s
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                          _make_handler(self.state))
         self.port = self.httpd.server_address[1]

@@ -181,9 +181,13 @@ def resolve_catalog(cat_cfg: CatalogConfig, client=None):
         from .catalog.rest import RestCatalog
         if not cat_cfg.uri:
             raise ConfigError("rest catalog needs a uri")
+        kwargs = {}
+        if cat_cfg.rest_options is not None:
+            pass  # sigv4 options are environment-bound (no AWS here)
         return RestCatalog(cat_cfg.uri,
                            warehouse=cat_cfg.warehouse or None,
-                           token=cat_cfg.credential or None)
+                           credential=cat_cfg.credential or None,
+                           **kwargs)
     if ctype == "glue":
         if client is None:
             raise ConfigError("glue catalog needs a client (boto3 glue)")

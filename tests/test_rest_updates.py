@@ -244,3 +244,55 @@ def test_rest_function_plane_read_only(tmp_path, spark):
         ).collect()[0]["r"] == 42.0
     finally:
         server.stop()
+
+
+# -- OAuth2 client-credentials (rest.go:828-900 setupOAuthManager) ----------
+
+def test_rest_oauth_client_credentials(tmp_path):
+    import time
+
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    server = RestCatalogServer(str(tmp_path / "wh"),
+                               credential="svc:s3cret").start()
+    try:
+        # no credential -> 401 on the first config call
+        with pytest.raises(RuntimeError, match="401"):
+            RestCatalog(server.uri)
+        # wrong secret -> token endpoint rejects
+        with pytest.raises(RuntimeError, match="oauth error 401"):
+            RestCatalog(server.uri, credential="svc:wrong")
+        # right credential -> token minted and used everywhere
+        cat = RestCatalog(server.uri, credential="svc:s3cret")
+        cat.create_namespace("db")
+        assert ("db",) in cat.list_namespaces()
+        # bare-secret form (empty client id) also authenticates
+        cat2 = RestCatalog(server.uri, credential="s3cret")
+        assert ("db",) in cat2.list_namespaces()
+        # a static token bypasses the flow entirely (StaticTokenSource)
+        tok = cat.token
+        cat3 = RestCatalog(server.uri, token=tok)
+        assert cat3.credential is None
+        assert ("db",) in cat3.list_namespaces()
+    finally:
+        server.stop()
+
+
+def test_rest_oauth_token_refresh_on_expiry(tmp_path):
+    import time
+
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    # 31s ttl: client refreshes 30s early, so the second call re-fetches
+    server = RestCatalogServer(str(tmp_path / "wh"),
+                               credential="svc:s3cret",
+                               token_ttl_s=31).start()
+    try:
+        cat = RestCatalog(server.uri, credential="svc:s3cret")
+        first = cat.token
+        time.sleep(1.2)
+        cat.list_namespaces()  # past the early-refresh deadline
+        assert cat.token != first  # new token fetched transparently
+        assert len(server.state.tokens) >= 2
+    finally:
+        server.stop()
