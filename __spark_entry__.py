@@ -1180,6 +1180,50 @@ FROM c
 """
 
 
+def pii_scrub(spark, sf_dir):
+    """PII redaction with cross-engine-identical regexes
+    (operators/curation.py scrub_pii — stateless, codegen'd).  The
+    synthetic corpus carries no PII, so the query plants a
+    deterministic email/IP/phone per doc first; counts and the
+    scrubbed-text md5 are value-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text", F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com at 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 or +1555"),
+            F.col("doc_id").cast("string")))
+    return (CU.scrub_pii(aug)
+            .withColumn("scrub_md5", F.md5("scrubbed"))
+            .drop("scrubbed"))
+
+
+PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at 10.' ||
+         (doc_id % 256) || '.0.1 or +1555' || doc_id AS text
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+      AS n_email,
+    len(regexp_extract_all(text,
+        '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+    len(regexp_extract_all(text, '\+\d{7,15}\b'))::BIGINT AS n_phone,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g'),
+        '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+      '\+\d{7,15}\b', '<PHONE>', 'g') AS scrubbed
+  FROM aug)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(scrubbed) AS scrub_md5 FROM s
+"""
+
+
 def stratified_sample_by_lang(spark, sf_dir):
     """Deterministic md5-keyed 25% sample, rolled up per language
     (operators/curation.py stratified_sample: stateless shuffle-free
@@ -1864,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": repetition_metrics,
         "decontaminate_docs": decontaminate_docs,
         "stratified_sample_by_lang": stratified_sample_by_lang,
+        "pii_scrub": pii_scrub,
         "pack_sequences": pack_sequences_q,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
@@ -1925,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_metrics": REPETITION_SQL,
         "decontaminate_docs": DECONTAMINATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
+        "pii_scrub": PII_SQL,
         "pack_sequences": PACK_SQL,
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),

@@ -126,6 +126,34 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                  F.countDistinct("__bench_id").alias("n_benchmark_docs")))
 
 
+# portable across Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences — so the oracle replaces byte-identically
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4 addresses / international phone numbers,
+    returning per-doc match counts and the scrubbed text.  Pure
+    regexp_replace/regexp_count — stateless, shuffle-free, whole-stage
+    codegen; the patterns avoid lookaround so any RE2-class engine
+    produces identical redactions (cross-engine reproducibility matters
+    when scrub runs in one system and audit in another)."""
+    c = F.col(text_col)
+    scrubbed = c
+    for name, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *[F.regexp_count(c, F.lit(p)).alias(f"n_{name}")
+          for name, p in PII_PATTERNS.items()],
+        scrubbed.alias("scrubbed"))
+
+
 def pack_sequences(df: DataFrame, budget: int,
                    text_col: str = "text", id_col: str = "doc_id",
                    shard_col: str = "lang") -> DataFrame:

@@ -183,6 +183,44 @@ class InspectTable:
                             ST.ArrayType(ST.LongType()), False)])
         return self.spark.createDataFrame(rows, schema)
 
+    def entries(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        """The spec's ``entries`` metadata table: one row per manifest
+        entry of the (current or given) snapshot with its status
+        (0=existing, 1=added, 2=deleted), sequence numbers, and data-file
+        descriptor fields."""
+        import pyspark.sql.types as ST
+        from ..meta import manifests as M
+        md = self.table.metadata
+        snap = md.snapshot_by_id(snapshot_id) if snapshot_id is not None \
+            else md.current_snapshot()
+        rows = []
+        if snap is not None:
+            for mf in M.read_manifest_list(snap.manifest_list):
+                es, _spec, _sid = M.read_manifest(mf.manifest_path)
+                for e in es:
+                    d = e.data_file
+                    rows.append((
+                        e.status, e.snapshot_id, e.sequence_number,
+                        e.file_sequence_number, d.content, d.file_path,
+                        d.file_format, d.record_count,
+                        d.file_size_in_bytes,
+                        {k: str(v) for k, v in (d.partition or {}).items()}))
+        schema = ST.StructType([
+            ST.StructField("status", ST.IntegerType(), False),
+            ST.StructField("snapshot_id", ST.LongType(), True),
+            ST.StructField("sequence_number", ST.LongType(), True),
+            ST.StructField("file_sequence_number", ST.LongType(), True),
+            ST.StructField("content", ST.IntegerType(), False),
+            ST.StructField("file_path", ST.StringType(), False),
+            ST.StructField("file_format", ST.StringType(), False),
+            ST.StructField("record_count", ST.LongType(), False),
+            ST.StructField("file_size_in_bytes", ST.LongType(), False),
+            ST.StructField("partition",
+                           ST.MapType(ST.StringType(), ST.StringType()),
+                           False),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
     def metadata_log_entries(self) -> DataFrame:
         """The table's metadata-file lineage (spec metadata_log_entries
         metadata table; metadata.go MetadataLog)."""

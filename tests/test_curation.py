@@ -102,3 +102,17 @@ def test_connected_components(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in DD.connected_components(pairs).collect()}
     assert out == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 30: 20}
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or 10.0.0.1 or +123456789 end"),
+         (2, "clean text no pii 1.2.3 +12 345")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CU.scrub_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["scrubbed"] == "mail <EMAIL> or <IPV4> or <PHONE> end"
+    r2 = out[2]  # 3-octet and short numbers are NOT redacted
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["scrubbed"] == "clean text no pii 1.2.3 +12 345"

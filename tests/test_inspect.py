@@ -114,3 +114,17 @@ def test_metadata_log_entries(spark, table3):
     assert rows[-1].file == table3.metadata_location
     ts = [r.timestamp for r in rows]
     assert ts == sorted(ts)
+
+
+def test_entries(spark, table3):
+    ents = table3.inspect(spark).entries().collect()
+    files = table3.inspect(spark).files().collect()
+    # every live data/delete file of the current snapshot appears
+    assert {e.file_path for e in ents} >= {f.file_path for f in files}
+    assert all(e.status in (0, 1, 2) for e in ents)
+    # the MoR delete produced at least one delete-content entry
+    assert any(e.content != 0 for e in ents)
+    # added rows carry the adding snapshot's id
+    snap_ids = {s.snapshot_id for s in table3.metadata.snapshots}
+    assert all(e.snapshot_id in snap_ids for e in ents
+               if e.snapshot_id is not None)
