@@ -227,12 +227,84 @@ def _referenced_paths_df(spark: SparkSession, snapshots,
     return entry_df.union(known).distinct()
 
 
+# Spec defaults are "keep everything" (properties.go:102-109 uses
+# MaxInt); any finite sentinel works since comparisons are `age > max`.
+_RETENTION_INF = 1 << 62
+
+
+def _first_set(*vals):
+    for v in vals:
+        if v is not None:
+            return v
+    return _RETENTION_INF
+
+
+def _retention_keep_set(md, now_ms: int, retain_last: Optional[int],
+                        caller_max_age: Optional[int]
+                        ) -> Tuple[Set[int], Set[str]]:
+    """Resolve per-ref retention (transaction.go:468-538): reference age
+    falls back ref.max-ref-age-ms -> table prop; snapshot age falls back
+    ref -> caller -> table prop; min-snapshots-to-keep likewise.  Tags
+    keep only their snapshot; branches walk the parent chain keeping a
+    snapshot unless it is BOTH over max-age AND past min-keep.  A
+    non-main ref older than its max-ref-age is itself removed.  Returns
+    (snapshot ids to keep, ref names to drop)."""
+    props = md.properties
+    prop_max_ref_age = (int(props["max-ref-age-ms"])
+                        if "max-ref-age-ms" in props else None)
+    prop_min_keep = (int(props["min-snapshots-to-keep"])
+                     if "min-snapshots-to-keep" in props else None)
+    prop_max_age = (int(props["max-snapshot-age-ms"])
+                    if "max-snapshot-age-ms" in props else None)
+
+    keep_ids: Set[int] = set()
+    drop_refs: Set[str] = set()
+    for name, ref in md.refs.items():
+        if name == "main":
+            # the main head is always retained (transaction.go:487)
+            keep_ids.add(ref.snapshot_id)
+        head = md.snapshot_by_id(ref.snapshot_id)
+        if head is None:
+            continue
+        max_ref_age = _first_set(ref.max_ref_age_ms, prop_max_ref_age)
+        if name != "main" and now_ms - head.timestamp_ms > max_ref_age:
+            drop_refs.add(name)
+            continue
+        if ref.ref_type != "branch":
+            keep_ids.add(ref.snapshot_id)
+            continue
+        min_keep = _first_set(ref.min_snapshots_to_keep, retain_last,
+                              prop_min_keep)
+        max_age = _first_set(ref.max_snapshot_age_ms, caller_max_age,
+                             prop_max_age)
+        n_kept, sid = 0, ref.snapshot_id
+        while True:
+            s = md.snapshot_by_id(sid)
+            if s is None:  # parent trimmed by a prior expiry: end of chain
+                break
+            if now_ms - s.timestamp_ms > max_age and n_kept >= min_keep:
+                break
+            keep_ids.add(s.snapshot_id)
+            if s.parent_snapshot_id is None:
+                break
+            sid = s.parent_snapshot_id
+            n_kept += 1
+    return keep_ids, drop_refs
+
+
 def expire_snapshots(table, older_than_ms: Optional[int] = None,
-                     retain_last: int = 1,
+                     retain_last: Optional[int] = 1,
                      delete_files: bool = True,
                      spark: Optional[SparkSession] = None) -> List[str]:
     """Drop expired snapshots; GC files only they referenced
     (transaction.go:374-557).  Returns deleted file paths.
+
+    ``older_than_ms`` is an absolute cutoff (default: now) translated to
+    the caller-level snapshot age; ``retain_last`` the caller-level
+    min-snapshots-to-keep.  Per-ref settings beat both, table properties
+    (max-ref-age-ms / max-snapshot-age-ms / min-snapshots-to-keep) are
+    the last resort; pass ``retain_last=None`` to defer fully to
+    ref/table policy.  Unreferenced snapshots are always eligible.
 
     Commit-first ordering: the trimmed metadata is committed (with
     refresh+retry on conflict) BEFORE any file is unlinked — deleting
@@ -240,28 +312,26 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     an OCC race while the still-current metadata references the files."""
     import copy
     from ..catalog.filesystem import CommitConflictError
+    now_ms = int(time.time() * 1000)
     if older_than_ms is None:
-        older_than_ms = int(time.time() * 1000)
+        older_than_ms = now_ms
+    caller_max_age = now_ms - older_than_ms
 
     for _attempt in range(5):
         md = table.metadata
-        keep_ids: Set[int] = set()
-        for ref in md.refs.values():
-            for s in md.ancestors_of(ref.snapshot_id)[:max(retain_last, 1)]:
+        keep_ids, drop_refs = _retention_keep_set(
+            md, now_ms, retain_last, caller_max_age)
+        if md.current_snapshot_id is not None and "main" not in md.refs:
+            for s in md.ancestors_of()[:max(retain_last or 1, 1)]:
                 keep_ids.add(s.snapshot_id)
-        if md.current_snapshot_id is not None:
-            for s in md.ancestors_of()[:max(retain_last, 1)]:
-                keep_ids.add(s.snapshot_id)
-        kept, expired = [], []
-        for s in md.snapshots:
-            if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms:
-                kept.append(s)
-            else:
-                expired.append(s)
-        if not expired:
+        expired = [s for s in md.snapshots
+                   if s.snapshot_id not in keep_ids]
+        if not expired and not drop_refs:
             return []
 
         new = copy.deepcopy(md)
+        new.refs = {k: v for k, v in new.refs.items()
+                    if k not in drop_refs}
         expired_ids = {s.snapshot_id for s in expired}
         new.snapshots = [s for s in new.snapshots
                          if s.snapshot_id not in expired_ids]

@@ -197,22 +197,47 @@ class Table:
 
     # -- branches / tags ----------------------------------------------------
     def create_branch(self, name: str,
-                      snapshot_id: Optional[int] = None) -> "Table":
-        return self._set_ref(name, "branch", snapshot_id)
+                      snapshot_id: Optional[int] = None,
+                      min_snapshots_to_keep: Optional[int] = None,
+                      max_snapshot_age_ms: Optional[int] = None,
+                      max_ref_age_ms: Optional[int] = None) -> "Table":
+        return self._set_ref(name, "branch", snapshot_id,
+                             min_snapshots_to_keep, max_snapshot_age_ms,
+                             max_ref_age_ms)
 
-    def create_tag(self, name: str, snapshot_id: Optional[int] = None
-                   ) -> "Table":
-        return self._set_ref(name, "tag", snapshot_id)
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None,
+                   max_ref_age_ms: Optional[int] = None) -> "Table":
+        return self._set_ref(name, "tag", snapshot_id,
+                             max_ref_age_ms=max_ref_age_ms)
 
     def _set_ref(self, name: str, ref_type: str,
-                 snapshot_id: Optional[int]) -> "Table":
+                 snapshot_id: Optional[int],
+                 min_snapshots_to_keep: Optional[int] = None,
+                 max_snapshot_age_ms: Optional[int] = None,
+                 max_ref_age_ms: Optional[int] = None) -> "Table":
+        """Per-ref retention options per refs.go:42-48 (validated like
+        refs.go:89-104: positive where set; snapshot-retention fields are
+        branch-only)."""
         import copy
+        if min_snapshots_to_keep is not None and min_snapshots_to_keep <= 0:
+            raise ValueError("min-snapshots-to-keep must be positive")
+        if max_snapshot_age_ms is not None and max_snapshot_age_ms <= 0:
+            raise ValueError("max-snapshot-age-ms must be positive")
+        if max_ref_age_ms is not None and max_ref_age_ms <= 0:
+            raise ValueError("max-ref-age-ms must be positive")
+        if ref_type != "branch" and (min_snapshots_to_keep is not None
+                                     or max_snapshot_age_ms is not None):
+            raise ValueError(
+                "tags only support max-ref-age-ms retention")
         sid = snapshot_id if snapshot_id is not None \
             else self.metadata.current_snapshot_id
         if sid is None:
             raise ValueError("table has no snapshots")
         new = copy.deepcopy(self.metadata)
-        new.refs[name] = SnapshotRef(sid, ref_type)
+        new.refs[name] = SnapshotRef(
+            sid, ref_type, min_snapshots_to_keep=min_snapshots_to_keep,
+            max_snapshot_age_ms=max_snapshot_age_ms,
+            max_ref_age_ms=max_ref_age_ms)
         new.last_updated_ms = int(time.time() * 1000)
         path = self.catalog.commit_table(self.identifier,
                                          self.metadata_location, new)

@@ -1,0 +1,123 @@
+"""Per-ref snapshot retention on expire (refs.go:42-48 retention fields,
+transaction.go:447-538 resolution order: ref > caller > table property,
+retention_validation_test.go validation rules)."""
+
+import time
+
+import pytest
+
+from conftest import read_table
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+NOW = lambda: int(time.time() * 1000)  # noqa: E731
+WEEK = 7 * 24 * 3600 * 1000
+
+
+def _table(catalog, spark, sf_dir, name, n_appends=4):
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table(("db", name), Schema.from_spark(df.schema))
+    for _ in range(n_appends):
+        t = t.append(df)
+    return t, df
+
+
+def test_branch_min_snapshots_to_keep(spark, sf_dir, catalog):
+    """A branch's min-snapshots-to-keep beats the caller's retain_last."""
+    t, _ = _table(catalog, spark, sf_dir, "r1")
+    t.create_branch("dev", min_snapshots_to_keep=3)
+    t.expire_snapshots(older_than_ms=NOW() + 10, retain_last=1)
+    # main kept 1 (caller), dev kept 3 (ref setting); chains share
+    # ancestry so the union is the last 3 snapshots
+    assert len(t.snapshots()) == 3
+
+
+def test_branch_max_snapshot_age_keeps_young(spark, sf_dir, catalog):
+    """A branch's max-snapshot-age-ms protects young ancestors even when
+    the caller asks to expire everything."""
+    t, _ = _table(catalog, spark, sf_dir, "r2")
+    t.create_branch("dev", max_snapshot_age_ms=WEEK)
+    t.expire_snapshots(older_than_ms=NOW() + 10, retain_last=1)
+    # every snapshot is younger than a week -> all kept via dev
+    assert len(t.snapshots()) == 4
+
+
+def test_tag_keeps_only_its_snapshot(spark, sf_dir, catalog):
+    t, df = _table(catalog, spark, sf_dir, "r3", n_appends=2)
+    first = t.snapshots()[0]
+    t.create_tag("v1", first.snapshot_id)
+    t = t.append(df)
+    t.expire_snapshots(older_than_ms=NOW() + 10, retain_last=1)
+    ids = {s.snapshot_id for s in t.snapshots()}
+    # head of main + the tagged snapshot; the untagged middle expired
+    assert first.snapshot_id in ids
+    assert len(ids) == 2
+    # the tagged snapshot still reads
+    n = t.scan().use_snapshot(first.snapshot_id).to_df(spark).count()
+    assert n == df.count()
+
+
+def test_old_ref_removed_by_max_ref_age(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "r4", n_appends=2)
+    t.create_tag("stale", max_ref_age_ms=1)
+    t.create_branch("fresh")
+    time.sleep(0.01)
+    t.expire_snapshots(older_than_ms=NOW() + 10, retain_last=1)
+    assert "stale" not in t.metadata.refs
+    assert "fresh" in t.metadata.refs
+    assert "main" in t.metadata.refs
+
+
+def test_main_never_removed_by_ref_age(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "r5", n_appends=2)
+    t.metadata.properties["max-ref-age-ms"] = "1"
+    time.sleep(0.01)
+    t.expire_snapshots(older_than_ms=NOW() + 10, retain_last=1)
+    assert "main" in t.metadata.refs
+    assert len(t.snapshots()) == 1
+
+
+def test_table_property_fallback(spark, sf_dir, catalog):
+    """With retain_last=None the table's min-snapshots-to-keep applies."""
+    t, _ = _table(catalog, spark, sf_dir, "r6")
+    t.metadata.properties["min-snapshots-to-keep"] = "2"
+    t.expire_snapshots(older_than_ms=NOW() + 10, retain_last=None)
+    assert len(t.snapshots()) == 2
+
+
+def test_default_keeps_everything_when_unconfigured(spark, sf_dir, catalog):
+    """No caller age, no ref/table settings -> spec default is keep-all
+    (properties.go:102-109 MaxInt defaults)."""
+    t, _ = _table(catalog, spark, sf_dir, "r7")
+    deleted = t.expire_snapshots(older_than_ms=NOW() - WEEK,
+                                 retain_last=None)
+    assert deleted == []
+    assert len(t.snapshots()) == 4
+
+
+def test_ref_option_validation(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "r8", n_appends=1)
+    with pytest.raises(ValueError):
+        t.create_branch("b", min_snapshots_to_keep=0)
+    with pytest.raises(ValueError):
+        t.create_branch("b", max_snapshot_age_ms=-5)
+    with pytest.raises(ValueError):
+        t.create_tag("t", max_ref_age_ms=0)
+    with pytest.raises(ValueError):
+        t._set_ref("t", "tag", None, min_snapshots_to_keep=2)
+
+
+def test_retention_fields_roundtrip_metadata(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "r9", n_appends=1)
+    t.create_branch("dev", min_snapshots_to_keep=5,
+                    max_snapshot_age_ms=WEEK, max_ref_age_ms=2 * WEEK)
+    t2 = catalog.load_table(("db", "r9"))
+    ref = t2.metadata.refs["dev"]
+    assert ref.min_snapshots_to_keep == 5
+    assert ref.max_snapshot_age_ms == WEEK
+    assert ref.max_ref_age_ms == 2 * WEEK
