@@ -66,15 +66,35 @@ def main(argv=None) -> int:
     sp.add_argument("table")
     sp.add_argument("name")
     sp.add_argument("--snapshot-id", type=int)
+    sp.add_argument("--max-ref-age-ms", type=int)
     sp = sub.add_parser("create-branch")
     sp.add_argument("table")
     sp.add_argument("name")
     sp.add_argument("--snapshot-id", type=int)
+    sp.add_argument("--min-snapshots-to-keep", type=int)
+    sp.add_argument("--max-snapshot-age-ms", type=int)
+    sp.add_argument("--max-ref-age-ms", type=int)
     sp = sub.add_parser("compact")
     sp.add_argument("table")
     sp = sub.add_parser("expire-snapshots")
     sp.add_argument("table")
     sp.add_argument("--retain-last", type=int, default=1)
+    sp.add_argument("--older-than-ms", type=int, default=None,
+                    help="absolute cutoff; snapshots at/after it count as "
+                         "young for branch retention")
+
+    # upgrade / rollback (cmd/iceberg/upgrade_rollback.go)
+    sp = sub.add_parser("upgrade",
+                        help="upgrade table format version")
+    sp.add_argument("table")
+    sp.add_argument("format_version", type=int)
+    sp.add_argument("--dry-run", action="store_true")
+    sp = sub.add_parser("rollback",
+                        help="roll back main to a previous snapshot")
+    sp.add_argument("table")
+    sp.add_argument("--snapshot-id", type=int, default=None)
+    sp.add_argument("--timestamp",
+                    help="RFC3339 timestamp, e.g. 2026-01-15T03:00:00Z")
     sp = sub.add_parser("orphan-files")
     sp.add_argument("table")
     sp.add_argument("--delete", action="store_true")
@@ -246,18 +266,41 @@ def main(argv=None) -> int:
                 for name, r in t.refs().items()]
         _emit(args, rows, ["name", "type", "snapshot_id"])
     elif args.cmd == "create-tag":
-        t.create_tag(args.name, args.snapshot_id)
+        t.create_tag(args.name, args.snapshot_id,
+                     max_ref_age_ms=args.max_ref_age_ms)
         print(f"tagged {args.name}")
     elif args.cmd == "create-branch":
-        t.create_branch(args.name, args.snapshot_id)
+        t.create_branch(args.name, args.snapshot_id,
+                        min_snapshots_to_keep=args.min_snapshots_to_keep,
+                        max_snapshot_age_ms=args.max_snapshot_age_ms,
+                        max_ref_age_ms=args.max_ref_age_ms)
         print(f"branched {args.name}")
     elif args.cmd == "compact":
         from .session import get_spark
         t.compact(get_spark("cli"))
         print("compacted")
     elif args.cmd == "expire-snapshots":
-        deleted = t.expire_snapshots(retain_last=args.retain_last)
+        deleted = t.expire_snapshots(retain_last=args.retain_last,
+                                     older_than_ms=args.older_than_ms)
         print(f"deleted {len(deleted)} files")
+    elif args.cmd == "upgrade":
+        cur = t.metadata.format_version
+        if args.dry_run:
+            print(f"would upgrade from v{cur} to v{args.format_version}")
+        else:
+            t.upgrade_format_version(args.format_version)
+            print(f"upgraded from v{cur} to v{args.format_version}")
+    elif args.cmd == "rollback":
+        ts_ms = None
+        if args.timestamp:
+            from datetime import datetime
+            ts_ms = int(datetime.fromisoformat(
+                args.timestamp.replace("Z", "+00:00")).timestamp() * 1000)
+        prev = t.metadata.current_snapshot_id
+        t.rollback_to_snapshot(snapshot_id=args.snapshot_id,
+                               timestamp_ms=ts_ms)
+        print(f"rolled back from {prev} to "
+              f"{t.metadata.current_snapshot_id}")
     elif args.cmd == "orphan-files":
         from .session import get_spark
         paths = t.orphan_files(get_spark("cli"), dry_run=not args.delete)

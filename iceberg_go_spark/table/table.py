@@ -244,6 +244,72 @@ class Table:
         self.metadata, self.metadata_location = new, path
         return self
 
+    def rollback_to_snapshot(self, snapshot_id: Optional[int] = None,
+                             timestamp_ms: Optional[int] = None) -> "Table":
+        """Move main back to an ancestor snapshot (transaction.go:326-351;
+        CLI selector rules cmd/iceberg/upgrade_rollback.go:179-191).
+        Exactly one selector; with ``timestamp_ms`` the latest snapshot at
+        or before it is used.  The target must be an ancestor of the
+        current snapshot; main's retention settings are preserved."""
+        import copy
+        if (snapshot_id is None) == (timestamp_ms is None):
+            raise ValueError(
+                "exactly one of snapshot_id or timestamp_ms is required")
+        md = self.metadata
+        cur = md.current_snapshot()
+        if cur is None:
+            raise ValueError("cannot rollback: table has no current snapshot")
+        if timestamp_ms is not None:
+            snap = md.snapshot_as_of(timestamp_ms)
+            if snap is None:
+                raise ValueError(
+                    f"no snapshot found at or before {timestamp_ms}")
+            snapshot_id = snap.snapshot_id
+        elif md.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"snapshot {snapshot_id} not found")
+        ancestors = {s.snapshot_id for s in md.ancestors_of()}
+        if snapshot_id not in ancestors:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of current "
+                f"snapshot {cur.snapshot_id}")
+        new = copy.deepcopy(md)
+        old = new.refs.get("main")
+        new.refs["main"] = SnapshotRef(
+            snapshot_id, "branch",
+            min_snapshots_to_keep=old.min_snapshots_to_keep if old else None,
+            max_snapshot_age_ms=old.max_snapshot_age_ms if old else None,
+            max_ref_age_ms=old.max_ref_age_ms if old else None)
+        new.current_snapshot_id = snapshot_id
+        snap = new.snapshot_by_id(snapshot_id)
+        new.snapshot_log.append({"snapshot-id": snapshot_id,
+                                 "timestamp-ms": snap.timestamp_ms})
+        new.last_updated_ms = int(time.time() * 1000)
+        path = self.catalog.commit_table(self.identifier,
+                                         self.metadata_location, new)
+        self.metadata, self.metadata_location = new, path
+        return self
+
+    def upgrade_format_version(self, version: int) -> "Table":
+        """Upgrade the table format version (transaction.go:316-324;
+        no-op when equal, downgrade and unsupported versions error —
+        commit_test.go:155-200)."""
+        import copy
+        cur = self.metadata.format_version
+        if version == cur:
+            return self
+        if version < cur:
+            raise ValueError(
+                f"cannot downgrade format version from {cur} to {version}")
+        if version > 3:
+            raise ValueError(f"unsupported format version {version}")
+        new = copy.deepcopy(self.metadata)
+        new.format_version = version
+        new.last_updated_ms = int(time.time() * 1000)
+        path = self.catalog.commit_table(self.identifier,
+                                         self.metadata_location, new)
+        self.metadata, self.metadata_location = new, path
+        return self
+
     def fast_forward(self, name: str, to_ref: str) -> "Table":
         """Move ref ``name`` to ``to_ref``'s head (publish step of WAP).
 

@@ -1,0 +1,120 @@
+"""Rollback-to-snapshot and format-version upgrade
+(transaction.go:316-351, cmd/iceberg/upgrade_rollback.go,
+commit_test.go:155-200, transaction_internal_test.go:539)."""
+
+import pytest
+
+from conftest import read_table
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.cli import main as cli_main
+from iceberg_go_spark.schema import Schema
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def _table(catalog, spark, sf_dir, name, n=3):
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table(("db", name), Schema.from_spark(df.schema))
+    for _ in range(n):
+        t = t.append(df)
+    return t, df
+
+
+def test_rollback_by_snapshot_id(spark, sf_dir, catalog):
+    t, df = _table(catalog, spark, sf_dir, "rb1")
+    first = t.snapshots()[0]
+    t.rollback_to_snapshot(snapshot_id=first.snapshot_id)
+    assert t.metadata.current_snapshot_id == first.snapshot_id
+    assert t.metadata.refs["main"].snapshot_id == first.snapshot_id
+    assert t.to_df(spark).count() == df.count()
+    # the rolled-over snapshots remain (rollback is not expiry)
+    assert len(t.snapshots()) == 3
+    # snapshot_log records the move (history shows the rollback)
+    assert t.metadata.snapshot_log[-1]["snapshot-id"] == first.snapshot_id
+
+
+def test_rollback_by_timestamp(spark, sf_dir, catalog):
+    t, df = _table(catalog, spark, sf_dir, "rb2")
+    second = t.snapshots()[1]
+    t.rollback_to_snapshot(timestamp_ms=second.timestamp_ms)
+    assert t.metadata.current_snapshot_id == second.snapshot_id
+    assert t.to_df(spark).count() == 2 * df.count()
+
+
+def test_rollback_selector_validation(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "rb3")
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rollback_to_snapshot()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rollback_to_snapshot(snapshot_id=1, timestamp_ms=1)
+    with pytest.raises(ValueError, match="not found"):
+        t.rollback_to_snapshot(snapshot_id=123456789)
+    with pytest.raises(ValueError, match="at or before"):
+        t.rollback_to_snapshot(timestamp_ms=1)
+
+
+def test_rollback_rejects_non_ancestor(spark, sf_dir, catalog):
+    t, df = _table(catalog, spark, sf_dir, "rb4", n=1)
+    base = t.metadata.current_snapshot_id
+    t.create_branch("side", base)
+    t = t.append(df, branch="side")
+    side_head = t.metadata.refs["side"].snapshot_id
+    assert side_head != t.metadata.current_snapshot_id
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to_snapshot(snapshot_id=side_head)
+
+
+def test_rollback_preserves_main_retention(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "rb5")
+    from iceberg_go_spark.meta.metadata import SnapshotRef
+    md = t.metadata
+    md.refs["main"] = SnapshotRef(md.current_snapshot_id, "branch",
+                                  min_snapshots_to_keep=4)
+    first = t.snapshots()[0]
+    t.rollback_to_snapshot(snapshot_id=first.snapshot_id)
+    assert t.metadata.refs["main"].min_snapshots_to_keep == 4
+
+
+def test_upgrade_format_version(spark, sf_dir, catalog):
+    t, _ = _table(catalog, spark, sf_dir, "up1", n=1)
+    cur = t.metadata.format_version
+    assert cur == 2
+    t.upgrade_format_version(2)  # same version: no-op
+    assert t.metadata.format_version == 2
+    t.upgrade_format_version(3)
+    assert t.metadata.format_version == 3
+    reloaded = catalog.load_table(("db", "up1"))
+    assert reloaded.metadata.format_version == 3
+    with pytest.raises(ValueError, match="downgrade"):
+        t.upgrade_format_version(2)
+    with pytest.raises(ValueError, match="unsupported"):
+        t.upgrade_format_version(4)
+
+
+def test_cli_rollback_and_upgrade(capsys, tmp_path, spark, sf_dir):
+    wh = str(tmp_path / "wh")
+    cat = FilesystemCatalog(wh)
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.n", Schema.from_spark(df.schema))
+    t.append(df)
+    t.append(df.limit(5))
+    first = t.snapshots()[0]
+
+    rc = cli_main(["--warehouse", wh, "upgrade", "db.n", "3", "--dry-run"])
+    assert rc == 0
+    assert "would upgrade" in capsys.readouterr().out
+    assert cat.load_table("db.n").metadata.format_version == 2
+
+    rc = cli_main(["--warehouse", wh, "upgrade", "db.n", "3"])
+    assert rc == 0
+    assert cat.load_table("db.n").metadata.format_version == 3
+
+    rc = cli_main(["--warehouse", wh, "rollback", "db.n",
+                   "--snapshot-id", str(first.snapshot_id)])
+    assert rc == 0
+    assert "rolled back" in capsys.readouterr().out
+    assert cat.load_table("db.n").metadata.current_snapshot_id == \
+        first.snapshot_id
