@@ -1409,6 +1409,56 @@ WHERE rank <= 10
 """
 
 
+def kmeans_topic_clusters(spark, sf_dir):
+    """Spherical k-means over embeddings (k=8, 2 Lloyd iterations):
+    deterministic sum-vector centroids seeded from the 8 lowest vec_ids,
+    corpus never shuffled (operators/similarity.py kmeans_assignments).
+    Output: per-cluster member count, id checksum, mean cosine."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.kmeans_cluster_profile(emb, k=8, iters=2)
+
+
+def _kmeans_sql(k: int = 8) -> str:
+    cos0 = V.quantized_cosine_sql("v.qq", "c.csum")
+    return f"""
+WITH q AS (SELECT vec_id, {V.quantize_sql('embedding')} AS qq
+           FROM embeddings),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+              qq AS csum
+       FROM q ORDER BY vec_id LIMIT {k}),
+a0 AS (
+  SELECT vec_id, cluster, qq FROM (
+    SELECT v.vec_id, c.cluster, v.qq,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos0}, 6) DESC,
+                                       c.cluster) AS rn
+    FROM q v CROSS JOIN c0 c) WHERE rn = 1),
+sums AS (
+  SELECT cluster, pos, SUM(val)::BIGINT AS s
+  FROM (SELECT cluster,
+               unnest(range(0, len(qq)))::INT AS pos,
+               unnest(qq) AS val
+        FROM a0)
+  GROUP BY cluster, pos),
+c1u AS (SELECT cluster, list(s ORDER BY pos) AS csum
+        FROM sums GROUP BY cluster),
+c1 AS (
+  SELECT c0.cluster, COALESCE(c1u.csum, c0.csum) AS csum
+  FROM c0 LEFT JOIN c1u ON c0.cluster = c1u.cluster),
+a1 AS (
+  SELECT vec_id, cluster, cos FROM (
+    SELECT v.vec_id, c.cluster, round({cos0}, 6) AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos0}, 6) DESC,
+                                       c.cluster) AS rn
+    FROM q v CROSS JOIN c1 c) WHERE rn = 1)
+SELECT cluster, COUNT(*) AS n_members, SUM(vec_id) AS sum_ids,
+       round(SUM(round(cos * 1e6)::BIGINT) / COUNT(*) / 1e6, 6)
+         AS avg_cosine
+FROM a1 GROUP BY cluster
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -1913,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "ann_topk_ivf": ann_topk_ivf,
+        "kmeans_topic_clusters": kmeans_topic_clusters,
         "embedding_near_dup": embedding_near_dup,
         "label_centroids": label_centroids,
         "variant_shred": variant_shred,
@@ -1975,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bruteforce": _ann_sql(False),
         "ann_topk_bucketed": _ann_sql(True),
         "ann_topk_ivf": _ivf_sql(),
+        "kmeans_topic_clusters": _kmeans_sql(),
         "embedding_near_dup": _near_dup_sql(),
         "label_centroids": CENTROIDS_SQL,
         "variant_shred": VARIANT_SHRED_SQL,

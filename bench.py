@@ -51,6 +51,7 @@ EXTRA = [
     "stratified_sample_by_lang",
     "pack_sequences",
     "dedup_clusters",
+    "kmeans_topic_clusters",
 ]
 
 

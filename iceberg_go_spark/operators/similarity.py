@@ -76,6 +76,71 @@ def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
                     .alias("centroid")))
 
 
+def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Spherical k-means over an embedding column: Lloyd's iterations
+    with cosine assignment, deterministic across engines.
+
+    Determinism: centroids are SUM vectors of integer-quantized
+    embeddings (cosine is scale-invariant, so ranking against the sum
+    equals ranking against the mean), seeded from the ``k`` lowest ids —
+    integer sums are exact, sqrt is correctly rounded, so every
+    assignment is bit-reproducible; cosine ties break on cluster id.
+
+    Scale shape (100 TB): the corpus NEVER shuffles — each iteration
+    broadcasts k sum-vectors, assigns via a JVM-side cosine, and
+    recomputes centroids with one map-side-combinable groupBy whose
+    output is k rows.  Cost is iters sequential jobs, not iters
+    shuffles of the data.  Returns (id, cluster, cosine)."""
+    emb_q = emb.select(F.col(id_col),
+                       V.quantize(F.col(vec_col)).alias("__q"))
+    dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    seeds = emb_q.orderBy(id_col).limit(k).collect()
+    cent = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
+
+    def assign(cent_rows) -> DataFrame:
+        spark = emb_q.sparkSession
+        cdf = spark.createDataFrame(cent_rows, "cluster int, csum array<long>")
+        cos = F.round(V.quantized_cosine(F.col("__q"), F.col("csum")), 6)
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cosine").desc(), F.col("cluster"))
+        return (emb_q.crossJoin(F.broadcast(cdf))
+                .withColumn("cosine", cos)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(id_col, "cluster", "cosine", "__q"))
+
+    for _ in range(max(iters - 1, 0)):
+        assigned = assign(cent)
+        sums = (assigned.groupBy("cluster")
+                .agg(F.array(*[F.sum(F.element_at("__q", i + 1))
+                               for i in range(dim)]).alias("csum"))
+                .collect())
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        by_id = {r["cluster"]: [int(v) for v in r["csum"]] for r in sums}
+        cent = [(c, by_id.get(c, s)) for c, s in cent]
+
+    return assign(cent).drop("__q")
+
+
+def kmeans_cluster_profile(emb: DataFrame, k: int = 8, iters: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Cluster-level rollup of ``kmeans_assignments``: member count, id
+    checksum and mean cosine-to-centroid per cluster (the shape a data-
+    mixing pipeline samples from)."""
+    a = kmeans_assignments(emb, k, iters, id_col, vec_col)
+    # mean cosine via an exact integer sum (cosine is already rounded to
+    # 6 decimals; float-sum order would differ per engine, long sums not)
+    cos_e6 = F.round(F.col("cosine") * 1e6).cast("long")
+    return (a.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum(id_col).alias("sum_ids"),
+                 F.round(F.sum(cos_e6) / F.count(F.lit(1)) / 1e6, 6)
+                 .alias("avg_cosine")))
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", label_col: str = "label",

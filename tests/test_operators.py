@@ -411,3 +411,38 @@ def test_streaming_sink_exactly_once(spark, tmp_path, sf_dir):
         cat, "db.sunk", str(tmp_path / "ckpt2"), query_id="q2")
     q2.awaitTermination(120)
     assert cat.load_table("db.sunk").to_df(spark).count() == 800
+
+
+def test_kmeans_assignments(spark, sf_dir):
+    from iceberg_go_spark.operators.similarity import (
+        kmeans_assignments, kmeans_cluster_profile)
+    emb = read_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    out = kmeans_assignments(emb, k=4, iters=2)
+    rows = out.collect()
+    # every vector assigned to exactly one cluster in [0, k)
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    assert {r.cluster for r in rows} <= set(range(4))
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    # deterministic: re-running yields identical assignments
+    again = {r.vec_id: r.cluster for r in
+             kmeans_assignments(emb, k=4, iters=2).collect()}
+    assert all(again[r.vec_id] == r.cluster for r in rows)
+
+    prof = kmeans_cluster_profile(emb, k=4, iters=2).collect()
+    assert sum(p.n_members for p in prof) == n
+    assert sum(p.sum_ids for p in prof) == sum(r.vec_id for r in rows)
+
+
+def test_kmeans_iteration_tightens_clusters(spark, sf_dir):
+    """Lloyd's update must not decrease the mean cosine-to-centroid
+    (monotone objective for spherical k-means)."""
+    from iceberg_go_spark.operators.similarity import kmeans_assignments
+    from pyspark.sql import functions as F2
+    emb = read_table(spark, "embeddings", sf_dir)
+    m1 = kmeans_assignments(emb, k=4, iters=1) \
+        .agg(F2.avg("cosine")).first()[0]
+    m3 = kmeans_assignments(emb, k=4, iters=3) \
+        .agg(F2.avg("cosine")).first()[0]
+    assert m3 >= m1 - 1e-9

@@ -18,7 +18,10 @@ SF = "/root/testdata/sf0.001"
 # - ann_topk_ivf: probe->nearest-centroid assignment (N_queries x
 #   N_centroids, both tiny and broadcast); the corpus side is an
 #   equi-join on the inverted-list label
-CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf"}
+# - kmeans_topic_clusters: corpus x k broadcast centroids per Lloyd
+#   iteration — linear in the corpus, the k side is always tiny
+CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
+                     "kmeans_topic_clusters"}
 
 
 def _plan(spark, name):
