@@ -1135,6 +1135,60 @@ def decontaminate_docs(spark, sf_dir):
     return CU.decontaminate(corpus, bench, n=4)
 
 
+def token_rarity_scores(spark, sf_dir):
+    """Rank-based token-rarity scoring (deterministic perplexity proxy;
+    operators/curation.py token_rarity)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.token_rarity(docs)
+
+
+TOKEN_RARITY_SQL = """
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS w
+           FROM documents),
+v AS (SELECT w, COUNT(*)::BIGINT AS c FROM w GROUP BY 1),
+r AS (SELECT w, row_number() OVER (ORDER BY c DESC, w)::BIGINT AS rank
+      FROM v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(rank)::BIGINT AS sum_rank,
+       MAX(rank)::BIGINT AS max_rank,
+       round(SUM(rank)::BIGINT / COUNT(*)::DOUBLE, 6) AS mean_rank
+FROM w JOIN r USING (w) GROUP BY doc_id
+"""
+
+
+def boilerplate_ngram_flags(spark, sf_dir):
+    """Per-source boilerplate 3-grams (appearing in >=3 documents of the
+    same source) flagged per document (operators/curation.py
+    boilerplate_ngrams)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.boilerplate_ngrams(docs, n=3, min_docs=3)
+
+
+BOILERPLATE_SQL = """
+WITH ws AS (SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+sh0 AS (SELECT doc_id, source, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        FROM ws),
+sh AS (SELECT DISTINCT doc_id, source,
+              md5(array_to_string(ws[i:i+2], ' ')) AS shingle
+       FROM sh0),
+freq AS (SELECT source, shingle
+         FROM sh GROUP BY source, shingle
+         HAVING COUNT(*) >= 3)
+SELECT sh.doc_id AS doc_id, COUNT(*)::BIGINT AS n_ngrams,
+       SUM(CASE WHEN freq.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_boiler,
+       round(SUM(CASE WHEN freq.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 6) AS boiler_frac
+FROM sh LEFT JOIN freq
+  ON sh.source = freq.source AND sh.shingle = freq.shingle
+GROUP BY sh.doc_id
+"""
+
+
 DECONTAMINATE_SQL = """
 WITH ws AS (SELECT doc_id,
                    list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -1957,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "repetition_metrics": repetition_metrics,
         "decontaminate_docs": decontaminate_docs,
+        "token_rarity_scores": token_rarity_scores,
+        "boilerplate_ngram_flags": boilerplate_ngram_flags,
         "stratified_sample_by_lang": stratified_sample_by_lang,
         "pii_scrub": pii_scrub,
         "pack_sequences": pack_sequences_q,
@@ -2020,6 +2076,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _doc_fp_sql(),
         "repetition_metrics": REPETITION_SQL,
         "decontaminate_docs": DECONTAMINATE_SQL,
+        "token_rarity_scores": TOKEN_RARITY_SQL,
+        "boilerplate_ngram_flags": BOILERPLATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
         "pii_scrub": PII_SQL,
         "pack_sequences": PACK_SQL,

@@ -52,6 +52,8 @@ EXTRA = [
     "pack_sequences",
     "dedup_clusters",
     "kmeans_topic_clusters",
+    "token_rarity_scores",
+    "boilerplate_ngram_flags",
 ]
 
 

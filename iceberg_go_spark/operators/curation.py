@@ -19,6 +19,8 @@ and scale as keyed aggregations / hash joins:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..session import rebalance_for_amplification
@@ -198,3 +200,84 @@ def stratified_sample(df: DataFrame, id_col: str = "doc_id",
     (the DuckDB oracle uses the identical predicate)."""
     key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.filter(key < F.lit(hex_threshold))
+
+
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Rank-based token-rarity score per document (a deterministic
+    perplexity proxy: rare-token-heavy docs score high, boilerplate of
+    common tokens scores low).
+
+    The corpus vocabulary is ranked by global frequency (count desc,
+    word asc -> a unique integer rank per word); a document's score is
+    the mean rank of its tokens.  All-integer sums keep the score
+    bit-identical across engines; the single division is exact-operand
+    IEEE and equally deterministic.
+
+    Scale shape: one groupBy(word) builds the vocabulary (map-side
+    combinable); the rank window runs over |V| rows, not the corpus
+    (vocabulary size, not data size — document-scale corpora have
+    million-row vocabularies, fine for one window); tokens join the
+    ranked vocabulary on word (broadcast when small) and reduce per
+    document."""
+    from pyspark.sql import Window
+    words = _words(df, text_col, id_col)
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    wr = Window.orderBy(F.col("__c").desc(), F.col("__w"))
+    ranked = vocab.select(F.col("__w"),
+                          F.row_number().over(wr).cast("bigint")
+                          .alias("__rank"))
+    scored = words.join(F.broadcast(ranked), "__w")
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("__rank").alias("sum_rank"),
+                 F.max("__rank").alias("max_rank"))
+            .withColumn("mean_rank",
+                        F.round(F.col("sum_rank") /
+                                F.col("n_tokens"), 6)))
+
+
+def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", source_col: str = "source",
+                       n: int = 3, min_docs: int = 3,
+                       min_doc_frac: Optional[float] = None) -> DataFrame:
+    """Per-source boilerplate detection (the n-gram analogue of CCNet's
+    per-domain repeated-line removal): an n-gram is boilerplate for a
+    source when it appears in at least ``min_docs`` documents of that
+    source (or ``min_doc_frac`` of them when given — web pipelines use a
+    fraction, dedup-support pipelines an absolute floor).  Returns per
+    document: distinct n-gram count, how many of them are boilerplate,
+    and the boilerplate fraction.
+
+    Scale shape: per-(source, ngram) doc-frequency is one map-side-
+    combinable aggregation over distinct doc shingles; the surviving
+    frequent set is tiny by construction (frequency floor) and
+    broadcasts back over the corpus — the corpus itself shuffles only
+    for its per-doc distinct."""
+    sh = shingle_rows(df.select(id_col, text_col), text_col, id_col, n)
+    src = df.select(id_col, F.col(source_col).alias("__src"))
+    sh = sh.join(src, id_col)
+    counted = (sh.groupBy("__src", "shingle")
+               .agg(F.count(F.lit(1)).alias("__df")))
+    if min_doc_frac is not None:
+        per_src_docs = (src.groupBy("__src")
+                        .agg(F.countDistinct(id_col).alias("__nd")))
+        # floor of 2: an n-gram must recur ACROSS documents to be
+        # boilerplate — otherwise every n-gram of a single-doc source
+        # trivially clears any fraction
+        counted = (counted.join(F.broadcast(per_src_docs), "__src")
+                   .filter((F.col("__df") >=
+                            F.col("__nd") * min_doc_frac) &
+                           (F.col("__df") >= 2)))
+    else:
+        counted = counted.filter(F.col("__df") >= min_docs)
+    freq = counted.select("__src", "shingle",
+                          F.lit(1).alias("__boiler"))
+    marked = sh.join(F.broadcast(freq), ["__src", "shingle"], "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.coalesce(F.col("__boiler"), F.lit(0)))
+                 .cast("bigint").alias("n_boiler"))
+            .withColumn("boiler_frac",
+                        F.round(F.col("n_boiler") /
+                                F.col("n_ngrams"), 6)))

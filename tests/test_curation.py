@@ -116,3 +116,43 @@ def test_scrub_pii(spark):
     r2 = out[2]  # 3-octet and short numbers are NOT redacted
     assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
     assert r2["scrubbed"] == "clean text no pii 1.2.3 +12 345"
+
+
+def test_token_rarity(spark):
+    from iceberg_go_spark.operators.curation import token_rarity
+    df = spark.createDataFrame(
+        [(1, "the the the the rare"), (2, "the the the the the")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in token_rarity(df).collect()}
+    # vocab: the(count 9, rank 1), rare(count 1, rank 2)
+    assert rows[1].n_tokens == 5 and rows[2].n_tokens == 5
+    assert rows[1].sum_rank == 4 * 1 + 2
+    assert rows[2].sum_rank == 5
+    assert rows[1].mean_rank > rows[2].mean_rank  # rare-heavy scores higher
+    assert rows[1].max_rank == 2 and rows[2].max_rank == 1
+
+
+def test_boilerplate_ngrams(spark):
+    from iceberg_go_spark.operators.curation import boilerplate_ngrams
+    boiler = "click here to subscribe"
+    df = spark.createDataFrame(
+        [(1, f"{boiler} alpha beta gamma", "a"),
+         (2, f"{boiler} delta epsilon zeta", "a"),
+         (3, f"{boiler} eta theta iota", "a"),
+         (4, "kappa lambda mu nu xi", "a"),
+         # same boilerplate in source b, but only once there
+         (5, f"{boiler} omicron pi rho", "b")],
+        "doc_id long, text string, source string")
+    rows = {r.doc_id: r for r in
+            boilerplate_ngrams(df, n=4, min_docs=3).collect()}
+    # docs 1-3 share the 4-gram "click here to subscribe" (3 docs in a)
+    for d in (1, 2, 3):
+        assert rows[d].n_boiler == 1, rows[d]
+        assert rows[d].boiler_frac > 0
+    assert rows[4].n_boiler == 0
+    # source b has it only once -> not boilerplate there
+    assert rows[5].n_boiler == 0
+    # fraction mode: 3/4 of source a's docs => frac threshold 0.7 fires
+    rows_f = {r.doc_id: r for r in
+              boilerplate_ngrams(df, n=4, min_doc_frac=0.7).collect()}
+    assert rows_f[1].n_boiler == 1 and rows_f[5].n_boiler == 0
