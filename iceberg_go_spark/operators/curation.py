@@ -202,6 +202,47 @@ def stratified_sample(df: DataFrame, id_col: str = "doc_id",
     return df.filter(key < F.lit(hex_threshold))
 
 
+def global_rank(df: DataFrame, order_cols, rank_col: str = "__rank",
+                num_partitions: Optional[int] = None) -> DataFrame:
+    """Exact global row_number over ``order_cols`` without the
+    single-partition window Spark emits for ``Window.orderBy`` with no
+    partition key (which serializes the whole input through one task).
+
+    Distributed shape: range-partition + local sort on the order key
+    (one shuffle, every partition holds a contiguous rank range), stamp
+    the partition id, then row_number within each partition and add the
+    partition's cumulative row offset.  The offsets are |partitions|
+    integers collected to the driver — metadata, not data.  Ranks are
+    exact wherever the range boundaries land, provided ``order_cols``
+    is a total order (include a tiebreaker column)."""
+    from pyspark.sql import Window
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # localCheckpoint: the sorted layout feeds two jobs (sizes + ranks);
+    # without it the upstream aggregation would recompute per job
+    part = (df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .withColumn("__gr_pid", F.spark_partition_id())
+            .localCheckpoint())
+    sizes = {r[0]: r[1] for r in
+             part.groupBy("__gr_pid").agg(F.count(F.lit(1))).collect()}
+    if not sizes:
+        return df.withColumn(rank_col, F.lit(None).cast("bigint"))
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv])
+    w = Window.partitionBy("__gr_pid").orderBy(*cols)
+    return (part.withColumn("__gr_lr", F.row_number().over(w))
+            .withColumn(rank_col,
+                        (F.col("__gr_lr").cast("bigint")
+                         + omap[F.col("__gr_pid")].cast("bigint")))
+            .drop("__gr_pid", "__gr_lr"))
+
+
 def token_rarity(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Rank-based token-rarity score per document (a deterministic
@@ -215,19 +256,21 @@ def token_rarity(df: DataFrame, text_col: str = "text",
     IEEE and equally deterministic.
 
     Scale shape: one groupBy(word) builds the vocabulary (map-side
-    combinable); the rank window runs over |V| rows, not the corpus
-    (vocabulary size, not data size — document-scale corpora have
-    million-row vocabularies, fine for one window); tokens join the
-    ranked vocabulary on word (broadcast when small) and reduce per
-    document."""
-    from pyspark.sql import Window
+    combinable); the global frequency rank is computed distributed via
+    ``global_rank`` (range-partition + per-partition row_number + offset
+    — never a single-partition window, so a billion-n-gram vocabulary
+    ranks in parallel); tokens join the ranked vocabulary on word
+    (broadcast-gated on vocabulary size) and reduce per document."""
     words = _words(df, text_col, id_col)
     vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
-    wr = Window.orderBy(F.col("__c").desc(), F.col("__w"))
-    ranked = vocab.select(F.col("__w"),
-                          F.row_number().over(wr).cast("bigint")
-                          .alias("__rank"))
-    scored = words.join(F.broadcast(ranked), "__w")
+    ranked = global_rank(
+        vocab, [F.col("__c").desc(), F.col("__w")], "__rank"
+    ).select("__w", "__rank")
+    # ranked is exactly the vocabulary: broadcast only while it is known
+    # small (collected offsets already told us |V| fits driver metadata;
+    # the row data itself may not fit an executor broadcast at corpus
+    # scale, so let AQE pick the join side instead of forcing it)
+    scored = words.join(ranked, "__w")
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("__rank").alias("sum_rank"),
