@@ -1963,6 +1963,180 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """Order-priority check (TPC-H Q4 shape): orders in one quarter that
+    had at least one item shipped >90 days after ordering, counted by
+    priority.  The correlated EXISTS compiles to a LEFT SEMI join keyed
+    on orderkey — one shuffle, no row duplication from multi-item
+    orders.  (Testdata has no l_commitdate/l_receiptdate; lateness is
+    l_shipdate > o_orderdate + 90 days.)"""
+    orders = _read(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= "1996-07-01")
+                & (F.col("o_orderdate") < "1996-10-01"))
+    li = _read(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = (orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate
+           + F.expr("INTERVAL 90 DAYS")), "leftsemi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """Product-type profit by supplier nation and order year (TPC-H Q9
+    shape; ps_supplycost does not exist in the testdata, so cost =
+    p_retailprice * l_quantity).  All money math in exact decimals; the
+    part filter broadcasts, nation broadcasts, and the lineitem-orders
+    join is the only large shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part") \
+        .filter(F.col("p_name").contains("red"))
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    nation = _read(spark, sf_dir, "nation")
+    amount = (_dec("l_extendedprice")
+              * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+              - _dec("p_retailprice") * _dec("l_quantity"))
+    return (li
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           - CAST(p_retailprice AS DECIMAL(12,2)) *
+             CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """Suppliers who kept multi-supplier orders waiting (TPC-H Q21
+    shape): finished orders where this supplier shipped >60 days late,
+    another supplier participated (EXISTS -> LEFT SEMI), and no other
+    supplier was late (NOT EXISTS -> LEFT ANTI).  Both correlated
+    subqueries become orderkey-keyed joins — co-partitioned with the
+    main stream, no nested-loop evaluation."""
+    li = _read(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    supp = _read(spark, sf_dir, "supplier")
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") > F.col("o_orderdate")
+                    + F.expr("INTERVAL 60 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    other = li.select(F.col("l_orderkey").alias("o2_ok"),
+                      F.col("l_suppkey").alias("o2_sk"))
+    multi = late.join(
+        other, (late.l_orderkey == other.o2_ok)
+        & (late.l_suppkey != other.o2_sk), "leftsemi")
+    other_late = late.select(F.col("l_orderkey").alias("o3_ok"),
+                             F.col("l_suppkey").alias("o3_sk"))
+    sole = multi.join(
+        other_late, (multi.l_orderkey == other_late.o3_ok)
+        & (multi.l_suppkey != other_late.o3_sk), "leftanti")
+    return (sole.join(F.broadcast(supp),
+                      sole.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20))
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND o3.o_orderstatus = 'F'
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """Global sales opportunity (TPC-H Q22 shape): per market segment,
+    customers with above-average positive balances who never placed an
+    order.  The scalar average broadcasts as a 1-row cross join; the
+    lapsed-customer test is a LEFT ANTI join against recent orders
+    (every testdata customer has ordered at some point, so "idle" means
+    no order since 1999; testdata has no c_phone, so segments stand in
+    for country codes)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = (_read(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "1999-01-01")
+              .select("o_custkey"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg")))
+    rich = (cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg")))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                     "leftanti")
+    return (idle.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum(_dec("c_acctbal")).cast("double")
+                 .alias("totacctbal"))
+            .orderBy("segment"))
+
+
+Q22_SQL = """
+SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1978,6 +2152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_discounted_revenue": q19_discounted_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q9_product_profit": q9_product_profit,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_idle_customers": q22_idle_customers,
         "rollup_pricing": rollup_pricing,
         "set_ops_customers": set_ops_customers,
         "top_customers_per_nation": top_customers_per_nation,
@@ -2043,6 +2221,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": Q17_SQL,
         "q18_large_volume_customers": Q18_SQL,
         "q19_discounted_revenue": Q19_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q21_waiting_supplier": Q21_SQL,
+        "q22_idle_customers": Q22_SQL,
         "rollup_pricing": ROLLUP_SQL,
         "set_ops_customers": SET_OPS_SQL,
         "top_customers_per_nation": TOP_CUST_SQL,

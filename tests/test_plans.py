@@ -20,8 +20,10 @@ SF = "/root/testdata/sf0.001"
 #   equi-join on the inverted-list label
 # - kmeans_topic_clusters: corpus x k broadcast centroids per Lloyd
 #   iteration — linear in the corpus, the k side is always tiny
+# - q22_idle_customers: the scalar-subquery average joins as a
+#   broadcast 1-row cross join — linear in customer
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
-                     "kmeans_topic_clusters"}
+                     "kmeans_topic_clusters", "q22_idle_customers"}
 
 
 def _plan(spark, name):
