@@ -1297,6 +1297,102 @@ GROUP BY lang
 """
 
 
+def mixture_sample_by_source(spark, sf_dir):
+    """Per-stratum mixture reweighting: en kept at 50%, zh at 75%,
+    everything else at the 25% default (operators/curation.py
+    mixture_sample: stateless md5-cutoff predicate per stratum)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (CU.mixture_sample(docs, {"en": "80", "zh": "c0"})
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+MIXTURE_SQL = """
+SELECT lang, COUNT(*)::BIGINT AS n_sampled,
+       SUM(doc_id)::BIGINT AS id_checksum
+FROM documents
+WHERE substring(md5(doc_id::VARCHAR), 1, 2) <
+      CASE WHEN lang = 'zh' THEN 'c0'
+           WHEN lang = 'en' THEN '80' ELSE '40' END
+GROUP BY lang
+"""
+
+
+def shuffle_shards_export(spark, sf_dir):
+    """Deterministic global shuffle into 16 training shards with
+    resumable in-shard positions (operators/curation.py shuffle_shards:
+    md5 permutation, per-shard rank — no global sort)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.shuffle_shards(docs, n_shards=16)
+
+
+SHUFFLE_SHARDS_SQL = f"""
+SELECT ({_hex12_to_int_sql("md5(doc_id::VARCHAR)")} % 16)::INT AS shard,
+       row_number() OVER (
+           PARTITION BY {_hex12_to_int_sql("md5(doc_id::VARCHAR)")} % 16
+           ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS pos,
+       doc_id
+FROM documents
+"""
+
+
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup over the embeddings table: spherical k-means clusters
+    (k=8, 2 Lloyd iterations) then within-cluster cosine pruning at
+    0.45 — lowest vec_id of each semantic-duplicate group survives
+    (operators/similarity.py semantic_dedup; real embeddings use the
+    0.95 default — the synthetic test vectors are near-orthogonal, so
+    the query lowers the cutoff to exercise the duplicate branch)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, k=8, iters=2, threshold=0.45)
+
+
+def _semantic_dedup_sql(k: int = 8, threshold: float = 0.45) -> str:
+    cos0 = V.quantized_cosine_sql("v.qq", "c.csum")
+    cosab = V.quantized_cosine_sql("a.qq", "b.qq")
+    return f"""
+WITH q AS (SELECT vec_id, {V.quantize_sql('embedding')} AS qq
+           FROM embeddings),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+              qq AS csum
+       FROM q ORDER BY vec_id LIMIT {k}),
+a0 AS (
+  SELECT vec_id, cluster, qq FROM (
+    SELECT v.vec_id, c.cluster, v.qq,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos0}, 6) DESC,
+                                       c.cluster) AS rn
+    FROM q v CROSS JOIN c0 c) WHERE rn = 1),
+sums AS (
+  SELECT cluster, pos, SUM(val)::BIGINT AS s
+  FROM (SELECT cluster,
+               unnest(range(0, len(qq)))::INT AS pos,
+               unnest(qq) AS val
+        FROM a0)
+  GROUP BY cluster, pos),
+c1u AS (SELECT cluster, list(s ORDER BY pos) AS csum
+        FROM sums GROUP BY cluster),
+c1 AS (
+  SELECT c0.cluster, COALESCE(c1u.csum, c0.csum) AS csum
+  FROM c0 LEFT JOIN c1u ON c0.cluster = c1u.cluster),
+af AS (
+  SELECT vec_id, cluster, qq FROM (
+    SELECT v.vec_id, c.cluster, v.qq,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos0}, 6) DESC,
+                                       c.cluster) AS rn
+    FROM q v CROSS JOIN c1 c) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT a.vec_id FROM af a JOIN af b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE round({cosab}, 6) >= {threshold})
+SELECT af.vec_id, af.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM af LEFT JOIN dups d ON af.vec_id = d.vec_id
+"""
+
+
 def _queries_df(spark, sf_dir, n: int = 5):
     emb = _read(spark, sf_dir, "embeddings")
     return (emb.orderBy("vec_id").limit(n)
@@ -2192,6 +2288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_scores": token_rarity_scores,
         "boilerplate_ngram_flags": boilerplate_ngram_flags,
         "stratified_sample_by_lang": stratified_sample_by_lang,
+        "mixture_sample_by_source": mixture_sample_by_source,
+        "shuffle_shards_export": shuffle_shards_export,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "pii_scrub": pii_scrub,
         "pack_sequences": pack_sequences_q,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -2261,6 +2360,9 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity_scores": TOKEN_RARITY_SQL,
         "boilerplate_ngram_flags": BOILERPLATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
+        "mixture_sample_by_source": MIXTURE_SQL,
+        "shuffle_shards_export": SHUFFLE_SHARDS_SQL,
+        "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "pii_scrub": PII_SQL,
         "pack_sequences": PACK_SQL,
         "ann_topk_bruteforce": _ann_sql(False),

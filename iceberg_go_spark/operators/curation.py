@@ -202,6 +202,49 @@ def stratified_sample(df: DataFrame, id_col: str = "doc_id",
     return df.filter(key < F.lit(hex_threshold))
 
 
+def mixture_sample(df: DataFrame, thresholds: dict,
+                   default_threshold: str = "40",
+                   strat_col: str = "lang",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Data-mixture reweighting by per-stratum sampling rates (the
+    down-sampling half of mixture tuning a la DoReMi / The Pile's
+    per-source epochs; upsampling is the loader's job).  ``thresholds``
+    maps stratum value -> two-hex-char md5 cutoff ('40' = 64/256 = 25%,
+    'ff'+ = keep all); unlisted strata use ``default_threshold``.
+
+    Same engine-portable primitive as ``stratified_sample``: keep a row
+    iff the first md5(id) byte sorts below its stratum's cutoff —
+    stateless, shuffle-free, reproducible across engines and runs."""
+    key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    thr = F.lit(default_threshold)
+    for value, cutoff in sorted(thresholds.items()):
+        thr = F.when(F.col(strat_col) == value, F.lit(cutoff)) \
+            .otherwise(thr)
+    return df.filter(key < thr)
+
+
+def shuffle_shards(df: DataFrame, n_shards: int = 64,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export: shard = md5(id) mod n_shards, position = rank of the hash
+    within its shard.  The md5 ordering is a reproducible permutation
+    of the corpus (same shards, same order, any engine, any run) —
+    exactly what a dataloader needs to resume mid-epoch.
+
+    Scale shape: one hash shuffle keyed by shard; each shard's ordering
+    is a window partitioned BY the shard (never a global sort), so all
+    shards rank in parallel and a shard maps 1:1 to an output file."""
+    from pyspark.sql import Window
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (df.select(F.col(id_col), h.alias("__h"),
+                      shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w))
+            .select("shard", "pos", id_col))
+
+
 def global_rank(df: DataFrame, order_cols, rank_col: str = "__rank",
                 num_partitions: Optional[int] = None) -> DataFrame:
     """Exact global row_number over ``order_cols`` without the

@@ -78,7 +78,8 @@ def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
 
 def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       keep_vec: bool = False) -> DataFrame:
     """Spherical k-means over an embedding column: Lloyd's iterations
     with cosine assignment, deterministic across engines.
 
@@ -121,7 +122,41 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
         by_id = {r["cluster"]: [int(v) for v in r["csum"]] for r in sums}
         cent = [(c, by_id.get(c, s)) for c, s in cent]
 
-    return assign(cent).drop("__q")
+    out = assign(cent)
+    return out if keep_vec else out.drop("__q")
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with spherical k-means, then
+    within each cluster mark as duplicate every vector whose cosine to
+    a LOWER-id cluster-mate reaches ``threshold`` — the lowest id of
+    each semantic-duplicate group survives.  Returns (id, cluster,
+    is_dup 0/1).
+
+    Scale shape (100 TB): the pairwise comparison is confined WITHIN
+    clusters — the SemDeDup insight: choose k proportional to corpus
+    size so cluster populations stay bounded, making the within-cluster
+    pair join quadratic only in cluster size.  The pair join is an
+    equi-join on cluster id (one corpus shuffle), never an all-pairs
+    cartesian; cosine is the integer-quantized deterministic form."""
+    a = kmeans_assignments(emb, k, iters, id_col, vec_col, keep_vec=True)
+    left = a.select(F.col("cluster"), F.col(id_col).alias("__a"),
+                    F.col("__q").alias("__qa"))
+    right = a.select(F.col("cluster"), F.col(id_col).alias("__b"),
+                     F.col("__q").alias("__qb"))
+    cos = F.round(V.quantized_cosine(F.col("__qa"), F.col("__qb")), 6)
+    dup_ids = (left.join(right, "cluster")
+               .filter(F.col("__b") < F.col("__a"))
+               .filter(cos >= F.lit(threshold))
+               .select(F.col("__a").alias(id_col))
+               .distinct()
+               .withColumn("__dup", F.lit(1)))
+    return (a.join(dup_ids, id_col, "left")
+            .select(F.col(id_col), F.col("cluster"),
+                    F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup")))
 
 
 def kmeans_cluster_profile(emb: DataFrame, k: int = 8, iters: int = 2,

@@ -156,3 +156,55 @@ def test_boilerplate_ngrams(spark):
     rows_f = {r.doc_id: r for r in
               boilerplate_ngrams(df, n=4, min_doc_frac=0.7).collect()}
     assert rows_f[1].n_boiler == 1 and rows_f[5].n_boiler == 0
+
+
+def test_mixture_sample(spark):
+    from iceberg_go_spark.operators.curation import (mixture_sample,
+                                                     stratified_sample)
+    df = spark.createDataFrame(
+        [(i, "x", "en" if i % 2 == 0 else "zh") for i in range(200)],
+        "doc_id long, text string, lang string")
+    # 'ff...' cutoff keeps ~all of zh; '00' drops all of en
+    kept = mixture_sample(df, {"en": "00", "zh": "zz"}).collect()
+    assert all(r.lang == "zh" for r in kept)
+    assert len(kept) == 100
+    # default threshold matches stratified_sample's 25% cut exactly
+    only_default = mixture_sample(df, {})
+    base = stratified_sample(df)
+    assert sorted(r.doc_id for r in only_default.collect()) == \
+        sorted(r.doc_id for r in base.collect())
+
+
+def test_shuffle_shards(spark):
+    from iceberg_go_spark.operators.curation import shuffle_shards
+    df = spark.createDataFrame([(i, "t") for i in range(300)],
+                               "doc_id long, text string")
+    out = shuffle_shards(df, n_shards=8).collect()
+    assert len(out) == 300
+    assert {r.shard for r in out} <= set(range(8))
+    # positions are dense 1..len per shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic: a second run yields the identical permutation
+    again = shuffle_shards(df, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semantic_dedup(spark):
+    from iceberg_go_spark.operators.similarity import semantic_dedup
+    # vec 1 and 2 identical direction, 3 orthogonal, 4 near-1 but
+    # higher id -> 2 and 4 flagged, 1 (lowest id of group) kept
+    rows = [(1, [1.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.999, 0.01, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()}
+    assert out[1].is_dup == 0
+    assert out[2].is_dup == 1
+    assert out[3].is_dup == 0
+    assert out[4].is_dup == 1

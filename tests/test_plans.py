@@ -22,8 +22,11 @@ SF = "/root/testdata/sf0.001"
 #   iteration — linear in the corpus, the k side is always tiny
 # - q22_idle_customers: the scalar-subquery average joins as a
 #   broadcast 1-row cross join — linear in customer
+# - semantic_dedup_embeddings: corpus x k broadcast centroids (kmeans
+#   assignment); the within-cluster pair join itself is an equi-join
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
-                     "kmeans_topic_clusters", "q22_idle_customers"}
+                     "kmeans_topic_clusters", "q22_idle_customers",
+                     "semantic_dedup_embeddings"}
 
 
 def _plan(spark, name):
