@@ -286,7 +286,39 @@ class PuffinReader:
         return self.footer["blobs"]
 
     def read_blob(self, meta: dict) -> bytes:
-        return self.data[meta["offset"]:meta["offset"] + meta["length"]]
+        raw = self.data[meta["offset"]:meta["offset"] + meta["length"]]
+        codec = meta.get("compression-codec")
+        if codec is None:
+            return raw
+        if codec == "zstd":
+            import pyarrow as pa
+            size = _zstd_content_size(raw)
+            return pa.Codec("zstd").decompress(
+                raw, decompressed_size=size, asbytes=True)
+        raise ValueError(f"unsupported puffin blob codec: {codec}")
+
+
+def _zstd_content_size(data: bytes) -> int:
+    """Frame-Content-Size from a zstd frame header (RFC 8878 §3.1.1) —
+    pyarrow's zstd codec needs the exact decompressed size up front.
+    Writers of puffin metric blobs (Java, Go) emit single-frame zstd
+    with the content size recorded; frames without it are rejected."""
+    if len(data) < 5 or data[:4] != b"\x28\xb5\x2f\xfd":
+        raise ValueError("not a zstd frame")
+    desc = data[4]
+    fcs_flag = desc >> 6
+    single_segment = (desc >> 5) & 1
+    did_size = (0, 1, 2, 4)[desc & 3]
+    off = 5 + (0 if single_segment else 1) + did_size
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame does not record content size")
+        return data[off]
+    if fcs_flag == 1:
+        return struct.unpack_from("<H", data, off)[0] + 256
+    if fcs_flag == 2:
+        return struct.unpack_from("<I", data, off)[0]
+    return struct.unpack_from("<Q", data, off)[0]
 
 
 def write_deletion_vectors(path: str,
