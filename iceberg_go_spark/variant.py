@@ -264,3 +264,120 @@ def shred_column(df, variant_col: str, inner: T.IcebergType,
                           T.to_spark_type(t).simpleString()).alias(cname)
         for path, cname, t in leaves]
     return df.withColumn(shredded_name, F.struct(*cols))
+
+
+# --- variant binary decoding (parquet-format VariantEncoding.md) ----------
+# Decodes the canonical binary form (metadata bytes + value bytes) used by
+# golden fixtures (reference table/testdata/shredded_variant/*.variant.bin)
+# so externally-written variants can be compared against engine output.
+
+import datetime as _dt
+import struct as _struct
+
+
+def _read_le(data: bytes, off: int, n: int) -> int:
+    return int.from_bytes(data[off:off + n], "little")
+
+
+def _decode_metadata(data: bytes) -> Tuple[List[str], int]:
+    """Returns (dictionary, total metadata length)."""
+    header = data[0]
+    if header & 0x0F != 1:
+        raise ValueError(f"unsupported variant metadata version {header & 0x0F}")
+    offset_size = (header >> 6) + 1
+    dict_size = _read_le(data, 1, offset_size)
+    offsets_at = 1 + offset_size
+    bytes_at = offsets_at + (dict_size + 1) * offset_size
+    offsets = [_read_le(data, offsets_at + i * offset_size, offset_size)
+               for i in range(dict_size + 1)]
+    strings = [data[bytes_at + offsets[i]:bytes_at + offsets[i + 1]]
+               .decode("utf-8") for i in range(dict_size)]
+    return strings, bytes_at + offsets[dict_size]
+
+
+_EPOCH = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _decode_value(data: bytes, off: int, dictionary: List[str]) -> Any:
+    header = data[off]
+    basic = header & 0x03
+    vh = header >> 2
+    if basic == 1:  # short string
+        return data[off + 1:off + 1 + vh].decode("utf-8")
+    if basic == 0:  # primitive
+        p = off + 1
+        if vh == 0:
+            return None
+        if vh == 1:
+            return True
+        if vh == 2:
+            return False
+        if vh == 3:
+            return int.from_bytes(data[p:p + 1], "little", signed=True)
+        if vh == 4:
+            return int.from_bytes(data[p:p + 2], "little", signed=True)
+        if vh == 5:
+            return int.from_bytes(data[p:p + 4], "little", signed=True)
+        if vh == 6:
+            return int.from_bytes(data[p:p + 8], "little", signed=True)
+        if vh == 7:
+            return _struct.unpack_from("<d", data, p)[0]
+        if vh in (8, 9, 10):  # decimal4/8/16: scale byte + unscaled LE
+            width = {8: 4, 9: 8, 10: 16}[vh]
+            scale = data[p]
+            unscaled = int.from_bytes(data[p + 1:p + 1 + width], "little",
+                                      signed=True)
+            return Decimal(unscaled).scaleb(-scale)
+        if vh == 11:
+            return _EPOCH + _dt.timedelta(days=_struct.unpack_from(
+                "<i", data, p)[0])
+        if vh in (12, 13):  # timestamp(tz)/ntz micros
+            us = _struct.unpack_from("<q", data, p)[0]
+            ts = _EPOCH_TS + _dt.timedelta(microseconds=us)
+            return ts if vh == 12 else ts.replace(tzinfo=None)
+        if vh == 14:
+            return _struct.unpack_from("<f", data, p)[0]
+        if vh == 15:  # binary: u32 length + bytes
+            n = _struct.unpack_from("<I", data, p)[0]
+            return data[p + 4:p + 4 + n]
+        if vh == 16:  # long string: u32 length + bytes
+            n = _struct.unpack_from("<I", data, p)[0]
+            return data[p + 4:p + 4 + n].decode("utf-8")
+        raise ValueError(f"unsupported variant primitive type {vh}")
+    if basic == 2:  # object
+        offset_size = (vh & 0x03) + 1
+        id_size = ((vh >> 2) & 0x03) + 1
+        is_large = (vh >> 4) & 0x01
+        p = off + 1
+        n = _read_le(data, p, 4 if is_large else 1)
+        p += 4 if is_large else 1
+        ids = [_read_le(data, p + i * id_size, id_size) for i in range(n)]
+        p += n * id_size
+        offs = [_read_le(data, p + i * offset_size, offset_size)
+                for i in range(n + 1)]
+        p += (n + 1) * offset_size
+        return {dictionary[ids[i]]: _decode_value(data, p + offs[i],
+                                                  dictionary)
+                for i in range(n)}
+    # basic == 3: array
+    offset_size = (vh & 0x03) + 1
+    is_large = (vh >> 2) & 0x01
+    p = off + 1
+    n = _read_le(data, p, 4 if is_large else 1)
+    p += 4 if is_large else 1
+    offs = [_read_le(data, p + i * offset_size, offset_size)
+            for i in range(n + 1)]
+    p += (n + 1) * offset_size
+    return [_decode_value(data, p + offs[i], dictionary) for i in range(n)]
+
+
+def decode_variant(metadata: bytes, value: bytes) -> Any:
+    dictionary, _ = _decode_metadata(metadata)
+    return _decode_value(value, 0, dictionary)
+
+
+def decode_variant_blob(blob: bytes) -> Any:
+    """Decode the concatenated (metadata || value) canonical form."""
+    dictionary, mlen = _decode_metadata(blob)
+    return _decode_value(blob, mlen, dictionary)

@@ -131,3 +131,57 @@ def test_variant_parquet_roundtrip(spark, tmp_path):
     assert back.select(
         F.variant_get("v", "$.score", "bigint").alias("s")
     ).agg(F.sum("s")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+# --- golden shredded-variant fixtures (Java-authored) ---------------------
+
+_SHRED_FIX = "/root/reference/table/testdata/shredded_variant"
+
+
+def test_decode_variant_primitives_handbuilt():
+    from iceberg_go_spark.variant import decode_variant
+    from decimal import Decimal
+    meta = bytes([0x01, 0x00, 0x00])  # v1, empty dictionary
+    # decimal4: header 8<<2, scale 2, unscaled 1234 LE
+    assert decode_variant(meta, bytes([8 << 2, 2]) +
+                          (1234).to_bytes(4, "little")) == Decimal("12.34")
+    # date: 11<<2, epoch day 19000
+    import datetime
+    assert decode_variant(meta, bytes([11 << 2]) +
+                          (19000).to_bytes(4, "little")) == \
+        datetime.date(1970, 1, 1) + datetime.timedelta(days=19000)
+    # long string
+    assert decode_variant(meta, bytes([16 << 2]) +
+                          (3).to_bytes(4, "little") + b"abc") == "abc"
+    # short string
+    assert decode_variant(meta, bytes([(3 << 2) | 1]) + b"xyz") == "xyz"
+
+
+@pytest.mark.parametrize("case", ["case-001", "case-002", "case-013",
+                                  "case-083", "case-089", "case-133",
+                                  "case-135", "case-136", "case-138"])
+def test_shredded_variant_golden_cases(spark, case):
+    """The reference's Java-authored shredded-variant parquet fixtures
+    (vendored from apache/parquet-testing; see the fixture README) read
+    through Spark reassemble to the canonical Java golden binaries,
+    decoded with our variant-binary decoder."""
+    import glob
+    import json
+    import os
+    import re
+    if not os.path.exists(os.path.join(_SHRED_FIX, f"{case}.parquet")):
+        pytest.skip("reference fixtures not present")
+    from iceberg_go_spark.variant import decode_variant_blob
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(os.path.join(_SHRED_FIX, f"{case}.parquet"))
+    rows = df.select("id", F.to_json("var").alias("j")) \
+        .orderBy("id").collect()
+    goldens = {}
+    for p in glob.glob(os.path.join(_SHRED_FIX,
+                                    f"{case}_row-*.variant.bin")):
+        r = int(re.search(r"row-(\d+)", p).group(1))
+        goldens[r] = decode_variant_blob(open(p, "rb").read())
+    assert rows, case
+    for i, row in enumerate(rows):
+        got = json.loads(row.j) if row.j is not None else None
+        assert got == goldens.get(i), (case, i, row.j, goldens.get(i))
