@@ -164,3 +164,27 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = 30,
             .applyInPandasWithState(fn, SESSION_OUT_SCHEMA,
                                     SESSION_STATE_SCHEMA, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def dedup_stream(stream_df: DataFrame, key_cols=("event_id",),
+                 ts_col: str = "ts", watermark: str = "2 hours",
+                 exact: bool = False) -> DataFrame:
+    """Streaming exactly-once-per-key deduplication for event ingestion
+    (at-least-once sources redeliver; training pipelines must not count
+    a document twice).
+
+    Default mode bounds state with the watermark
+    (``dropDuplicatesWithinWatermark``): a duplicate arriving within the
+    watermark horizon of its first copy is dropped, and per-key state is
+    evicted once the key's event time falls behind the watermark — state
+    is O(keys per horizon), not O(all keys ever), which is what survives
+    an unbounded stream.  ``exact=True`` keeps state forever
+    (``dropDuplicates``) for short-lived backfills where global
+    uniqueness matters more than state growth."""
+    stream_df = stream_df.withColumn(ts_col,
+                                     F.col(ts_col).cast("timestamp"))
+    marked = stream_df.withWatermark(ts_col, watermark)
+    cols = list(key_cols)
+    if exact:
+        return marked.dropDuplicates(cols)
+    return marked.dropDuplicatesWithinWatermark(cols)

@@ -240,6 +240,31 @@ def test_streaming_stateful_sessionization(spark, sf_dir, tmp_path):
     assert got == exp and got
 
 
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: redelivered events collapse
+    to one copy per key within the watermark horizon."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.source import dedup_stream, read_stream
+    import __spark_entry__ as em
+    ev = em._read(spark, sf_dir, "events").limit(300).cache()
+    doubled = ev.unionAll(ev)  # at-least-once redelivery
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.dup", Schema.from_spark(ev.schema))
+    t.append(doubled)
+
+    stream = read_stream(spark, t)
+    ded = dedup_stream(stream, key_cols=("event_id",), watermark="24 hours")
+    q = (ded.writeStream.format("memory").queryName("dedup_ev")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) FROM dedup_ev").first()[0]
+    n_keys = ev.select("event_id").distinct().count()
+    assert n == n_keys, (n, n_keys)
+
+
 def test_winnow_fingerprints_shared_substring(spark):
     """Winnowing guarantee: docs sharing a substring of length >= k+w-1
     share at least one fingerprint; disjoint docs share none."""
