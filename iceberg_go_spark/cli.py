@@ -241,9 +241,18 @@ def main(argv=None) -> int:
                 ("properties", json.dumps(md.properties))]
         _emit(args, rows, ["field", "value"])
     elif args.cmd == "schema":
-        rows = [(f.field_id, f.name, str(f.field_type), f.required)
+        # defaults column mirrors cmd/iceberg/schema_defaults.go: "-"
+        # when unset, strings quoted
+        def _fmt_default(v):
+            if v is None:
+                return "-"
+            return json.dumps(v)
+        rows = [(f.field_id, f.name, str(f.field_type), f.required,
+                 _fmt_default(f.initial_default),
+                 _fmt_default(f.write_default))
                 for f in t.schema().fields]
-        _emit(args, rows, ["id", "name", "type", "required"])
+        _emit(args, rows, ["id", "name", "type", "required",
+                           "initial_default", "write_default"])
     elif args.cmd == "files":
         rows = [(tk.data_file.file_path, tk.data_file.record_count,
                  tk.data_file.file_size_in_bytes,

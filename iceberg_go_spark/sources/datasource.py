@@ -102,6 +102,13 @@ class _Reader(DataSourceReader):
         self.spark_schema = schema
         self.columns = [f.name for f in schema.fields]
         self.pushed = []  # [(col, op, value)] — picklable, not Column
+        # v3 initial-defaults, captured at construction (driver-side) so
+        # the pickled-to-executor reader can fill columns absent from
+        # old files in read()
+        self._defaults = {
+            f.name: f.initial_default
+            for f in _load_table(options).schema().fields
+            if f.initial_default is not None}
 
     def pushFilters(self, filters):
         """Use supported filters to prune FILES at planning time; return
@@ -165,9 +172,25 @@ class _Reader(DataSourceReader):
 
         if not groups:
             return
-        cols = [c for c in self.columns
-                if c in set(pf.schema_arrow.names)]
+        present = set(pf.schema_arrow.names)
+        cols = [c for c in self.columns if c in present]
         table = pf.read_row_groups(groups, columns=cols)
+
+        # columns absent from this file (added after it was written):
+        # fill the v3 initial-default where declared, else nulls
+        missing = [c for c in self.columns if c not in present]
+        if missing:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            aschema = to_arrow_schema(self.spark_schema)
+            defaults = getattr(self, "_defaults", {})
+            n = table.num_rows
+            for c in missing:
+                fld = aschema.field(c)
+                val = defaults.get(c)
+                arr = (pa.nulls(n, fld.type) if val is None
+                       else pa.array([val] * n).cast(fld.type))
+                table = table.append_column(fld, arr)
+            table = table.select(self.columns)
 
         deleted = self._deleted_positions(task)
         if deleted.size:

@@ -49,13 +49,20 @@ class UpdateSchema:
 
     def add_column(self, name: str, field_type: T.IcebergType,
                    doc: Optional[str] = None,
-                   required: bool = False) -> "UpdateSchema":
+                   required: bool = False,
+                   initial_default=None,
+                   write_default=None) -> "UpdateSchema":
+        """Add a column.  A required column needs an ``initial_default``
+        (v3 default values, spec single-value JSON form): existing rows
+        have no value for it, and the default is what scans return for
+        files written before the column existed."""
         if self._schema.find_field(name) is not None:
             raise ValueError(f"column already exists: {name}")
-        if required:
+        if required and initial_default is None:
             raise ValueError("cannot add a required column without a default")
-        self._adds.append(T.NestedField(self._alloc(), name, field_type,
-                                        required=False, doc=doc))
+        self._adds.append(T.NestedField(
+            self._alloc(), name, field_type, required=required, doc=doc,
+            initial_default=initial_default, write_default=write_default))
         return self
 
     def drop_column(self, name: str) -> "UpdateSchema":

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import expressions as E
+from .. import types as T
 from ..meta import manifests as M
 from ..meta.metadata import Snapshot, TableMetadata
 from ..plans.evaluators import (InclusiveMetricsEvaluator, ManifestEvaluator,
@@ -215,13 +216,19 @@ class Scan:
 
     def projection(self) -> Schema:
         md = self.table.metadata
-        snap = self._resolve_snapshot()
         schema = md.schema()
-        if snap is not None and snap.schema_id is not None:
-            try:
-                schema = md.schema_by_id(snap.schema_id)
-            except ValueError:
-                pass
+        # time travel reads use the snapshot's schema; a current-state
+        # scan always uses the CURRENT schema (the current snapshot may
+        # predate a schema evolution that added no data)
+        time_travel = (self.snapshot_id is not None or
+                       self.ref is not None or self.as_of_ms is not None)
+        if time_travel:
+            snap = self._resolve_snapshot()
+            if snap is not None and snap.schema_id is not None:
+                try:
+                    schema = md.schema_by_id(snap.schema_id)
+                except ValueError:
+                    pass
         if self.selected is None:
             return schema
         return schema.select(*self.selected,
@@ -385,6 +392,19 @@ class Scan:
         need_pos = any(t.pos_deletes for t in tasks)
         need_eq = any(t.eq_deletes for t in tasks)
 
+        # v3 default values: files written before a defaulted column was
+        # added must read that column as its initial-default, not null —
+        # a per-FILE decision (a newer file's explicit nulls stay null),
+        # so footer-probe which default fields each file lacks and group
+        # by the missing set (defaults_by_id/fill below)
+        default_fields = [f for f in schema.fields
+                          if f.initial_default is not None]
+        missing_defaults: Dict[str, frozenset] = {}
+        if default_fields:
+            missing_defaults = _probe_missing_defaults(
+                spark, tasks, default_fields)
+        defaults_by_id = {f.field_id: f for f in default_fields}
+
         # group tasks by (applicable delete sets, name-based flag) so each
         # group is one clean scan + anti-join pipeline; usually one group
         def key(t: FileScanTask) -> Tuple:
@@ -396,7 +416,9 @@ class Scan:
                     t.data_file.name_based,
                     # strict-match files (residual TRUE) skip the filter
                     not isinstance(t.residual, E.AlwaysTrue)
-                    if t.residual is not None else False)
+                    if t.residual is not None else False,
+                    missing_defaults.get(t.data_file.file_path,
+                                         frozenset()))
 
         groups: Dict[Tuple, List[FileScanTask]] = {}
         for t in tasks:
@@ -404,8 +426,8 @@ class Scan:
 
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
         dfs = []
-        for (pos_set, eq_set, name_based, needs_filter), group \
-                in groups.items():
+        for (pos_set, eq_set, name_based, needs_filter, missing_ids), \
+                group in groups.items():
             paths = [t.data_file.file_path for t in group]
             if name_based:
                 # ID-less files: infer the file schema, then resolve each
@@ -446,6 +468,15 @@ class Scan:
                         list(spark_schema.fields) +
                         [ST.StructField("_row_id", ST.LongType(), True)])
                 df = spark.read.schema(read_schema).parquet(*paths)
+            # v3 initial-defaults: this group's files all lack these
+            # fields — every row reads the default (constant column,
+            # filled before delete joins and residual filters so both
+            # see the defaulted values)
+            for fid in sorted(missing_ids):
+                f0 = defaults_by_id[fid]
+                df = df.withColumn(
+                    f0.name, F.lit(f0.initial_default).cast(
+                        T.to_spark_type(f0.field_type)))
             if self.row_lineage and name_based:
                 df = df.withColumn("_row_id", F.lit(None).cast("long"))
             if self.row_lineage:
@@ -592,6 +623,43 @@ def _file_has_field_ids(path: str) -> bool:
     import pyarrow.parquet as pq
     sch = pq.ParquetFile(path).schema_arrow
     return any((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
+
+
+# data files are immutable: top-level field-id sets cached per path for
+# the process lifetime (same policy as _FIELD_ID_PROBE_CACHE)
+_FILE_FIELD_IDS_CACHE: Dict[str, frozenset] = {}
+
+
+def _file_field_ids(path: str) -> frozenset:
+    """Executor-side footer probe: the top-level field IDs present in
+    this parquet file (for v3 default values: a field absent from the
+    file reads as its initial-default, not null)."""
+    import pyarrow.parquet as pq
+    sch = pq.ParquetFile(path).schema_arrow
+    ids = set()
+    for f in sch:
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            ids.add(int(fid))
+    return frozenset(ids)
+
+
+def _probe_missing_defaults(spark: SparkSession, tasks,
+                            default_fields) -> Dict[str, frozenset]:
+    """Per data file: which initial-default fields are absent from its
+    footer.  Probes run once per file per process (executor-parallel),
+    cached like the name-mapping probe."""
+    paths = sorted({t.data_file.file_path for t in tasks}
+                   - _FILE_FIELD_IDS_CACHE.keys())
+    if paths:
+        sets = spark.sparkContext.parallelize(
+            paths, max(1, min(len(paths), 64))) \
+            .map(_file_field_ids).collect()
+        _FILE_FIELD_IDS_CACHE.update(zip(paths, sets))
+    dids = {f.field_id for f in default_fields}
+    return {t.data_file.file_path:
+            frozenset(dids - _FILE_FIELD_IDS_CACHE[t.data_file.file_path])
+            for t in tasks}
 
 
 DEFAULT_DV_BROADCAST_BYTE_LIMIT = 64 * 1024 * 1024

@@ -278,6 +278,25 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     spark = df.sparkSession
     out_dir = os.path.join(data_dir, batch_id or _uuid.uuid4().hex[:16])
 
+    # columns missing from the input fill from their write-default
+    # (falling back to initial-default), per v3 default values
+    # (arrow_utils.go:1255-1263 useWriteDefault); a required column with
+    # no default cannot be synthesized
+    present = set(df.columns)
+    fills = {}
+    for f in schema.fields:
+        if f.name in present:
+            continue
+        default = f.write_default if f.write_default is not None \
+            else f.initial_default
+        if default is None and f.required:
+            raise ValueError(
+                f"required field is missing and has no default: {f.name}")
+        fills[f.name] = F.lit(default).cast(
+            T.to_spark_type(f.field_type))
+    if fills:
+        df = df.withColumns(fills)
+
     # stamp parquet field IDs so files are readable by-ID after renames
     df = df.select(*[
         F.col(f.name).alias(f.name, metadata={

@@ -207,3 +207,26 @@ def test_fully_deleted_file_does_not_mask_others(spark, tmp_path, sf_dir):
     want = sorted(r["n_nationkey"] for r in
                   nation.filter(F.col("n_nationkey") >= 10).collect())
     assert keys == want  # second file fully present, first fully gone
+
+
+def test_datasource_initial_defaults(spark, tmp_path, sf_dir):
+    """A column added with a v3 initial-default after the first append
+    reads as the default through the stock reader (per-file fill on
+    executors)."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.sources.datasource import register
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.defaults", Schema.from_spark(nation.schema))
+    t.append(nation)
+    t = (t.update_schema()
+         .add_column("tier", T.StringType(), initial_default="bronze")
+         .add_column("rank", T.LongType())  # no default -> nulls
+         .commit())
+    register(spark)
+    got = (spark.read.format("iceberg_go_spark")
+           .option("warehouse", str(tmp_path / "wh"))
+           .option("table", "db.defaults").load())
+    assert got.filter(F.col("tier") == "bronze").count() == nation.count()
+    assert got.filter(F.col("rank").isNull()).count() == nation.count()

@@ -246,3 +246,51 @@ def test_expire_distributed_gc_matches_driver_path(spark, tmp_path, sf_dir):
         assert not os.path.exists(p)
     assert len(b.metadata.snapshots) == 1
     assert b.to_df(spark).count() == 40  # appends accumulate
+
+
+def test_default_values_read_and_write(spark, sf_dir, catalog):
+    """v3 default values: files written before a defaulted column was
+    added read the initial-default (per file — newer files' real values
+    and explicit nulls are untouched); appends missing the column fill
+    the write-default."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.defs", Schema.from_spark(df.schema))
+    t.append(df)  # file without the column
+
+    t = (t.update_schema()
+         .add_column("tier", T.StringType(), required=True,
+                     initial_default="bronze", write_default="silver")
+         .commit())
+
+    # old file: every row reads the initial-default
+    got = t.to_df(spark)
+    assert got.filter(F.col("tier") == "bronze").count() == df.count()
+
+    # append WITHOUT the column: write-default fills it
+    t.append(df.limit(5))
+    got = t.to_df(spark)
+    assert got.filter(F.col("tier") == "silver").count() == 5
+    assert got.filter(F.col("tier") == "bronze").count() == df.count()
+
+    # append WITH explicit values (including none at all for optionals):
+    # explicit values win over defaults
+    t.append(df.limit(3).withColumn("tier", F.lit("gold")))
+    got = t.to_df(spark)
+    assert got.filter(F.col("tier") == "gold").count() == 3
+    assert got.count() == df.count() + 8
+
+    # filters on the defaulted column see default values
+    assert t.scan(E.eq("tier", "bronze")).to_df(spark).count() == df.count()
+
+    # metadata round-trip preserves both defaults
+    t2 = catalog.load_table("db.defs")
+    f = t2.schema().find_field("tier")
+    assert f.initial_default == "bronze" and f.write_default == "silver"
+    assert f.required
+
+
+def test_required_missing_without_default_rejected(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table("db.defs2", Schema.from_spark(df.schema))
+    with pytest.raises(ValueError, match="without a default"):
+        t.update_schema().add_column("x", T.LongType(), required=True)
