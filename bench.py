@@ -54,6 +54,14 @@ EXTRA = [
     "kmeans_topic_clusters",
     "token_rarity_scores",
     "boilerplate_ngram_flags",
+    # session-3 additions
+    "q4_order_priority",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "mixture_sample_by_source",
+    "shuffle_shards_export",
+    "semantic_dedup_embeddings",
 ]
 
 
