@@ -113,7 +113,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v6"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v7"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -160,6 +160,25 @@ def _fixtures(spark: SparkSession, sf_dir: str):
         updates = orders.filter(F.col("o_orderkey") % 100 == 0) \
             .withColumn("o_totalprice", F.lit(0.0))
         t.upsert(spark, updates, ["o_orderkey"])
+
+        # MERGE fixture: update every %7 key's priority, delete-by-merge
+        # %11 'F' keys, insert shifted new keys — one row-delta commit
+        # each, scanned by iceberg_merge_scan
+        t = cat.create_table("db.orders_merged", o_schema)
+        t.append(orders)
+        mx = orders.agg(F.max("o_orderkey")).first()[0]
+        upd = (orders.filter(F.col("o_orderkey") % 7 == 0)
+               .withColumn("o_orderpriority", F.lit("MERGED")))
+        ins = (orders.filter(F.col("o_orderkey") % 13 == 0)
+               .withColumn("o_orderkey", F.col("o_orderkey") + mx + 1)
+               .withColumn("o_orderpriority", F.lit("INSERTED")))
+        t = t.merge_into(spark, upd.unionByName(ins), ["o_orderkey"])
+        t.merge_into(spark,
+                     orders.filter(F.col("o_orderkey") % 11 == 0)
+                     .select("o_orderkey"),
+                     ["o_orderkey"], when_matched="delete",
+                     insert_not_matched=False,
+                     matched_condition="o_orderstatus = 'F'")
 
         # continuous-aggregate fixture: partial load -> rollup -> more
         # appends + a delete -> incremental refresh
@@ -845,6 +864,37 @@ SELECT o_orderkey,
          AS o_totalprice,
        o_orderstatus
 FROM orders
+"""
+
+
+def iceberg_merge_scan(spark, sf_dir):
+    """Scan after two MERGE INTO commits (update+insert, then a
+    conditional delete-by-merge): the row-delta pos-deletes and new
+    files must compose (table/dml.py merge_into)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_merged")
+    return (t.to_df(spark)
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").alias("key_checksum")))
+
+
+ICE_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'MERGED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders) + 1,
+         o_orderstatus, 'INSERTED'
+  FROM orders WHERE o_orderkey % 13 = 0)
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows,
+       SUM(o_orderkey)::BIGINT AS key_checksum
+FROM base
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0))
+GROUP BY o_orderstatus, o_orderpriority
 """
 
 
@@ -2270,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": hypertable_rollup,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
+        "iceberg_merge_scan": iceberg_merge_scan,
         "iceberg_snapshot_log": iceberg_snapshot_log,
         "transforms_datetime": transforms_datetime,
         "transforms_bucket": transforms_bucket,
@@ -2342,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
         "hypertable_rollup": HYPERTABLE_SQL,
         "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
+        "iceberg_merge_scan": ICE_MERGE_SQL,
         "iceberg_snapshot_log": SNAPSHOT_LOG_SQL,
         "transforms_datetime": TRANSFORMS_SQL,
         "transforms_bucket": _transforms_bucket_sql(),

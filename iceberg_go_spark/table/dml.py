@@ -356,6 +356,122 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
     return txn.commit()
 
 
+def merge_into(table, spark: SparkSession, source: DataFrame,
+               key_columns: List[str], when_matched: str = "update",
+               insert_not_matched: bool = True,
+               matched_condition=None):
+    """MERGE INTO via the MoR position-delta pattern: pos-delete the
+    matched target rows, write replacement + insert rows, one row-delta
+    snapshot (the same machinery as ``update_where``/``upsert``, with
+    the match decided by a key JOIN against ``source`` instead of a
+    predicate).
+
+    - ``when_matched``: "update" replaces each matched target key's
+      rows with the source row's values (upsert identity — duplicate
+      target rows of a key collapse to the one source row), "delete"
+      removes them, None leaves matched rows untouched.
+    - ``insert_not_matched``: source rows whose keys are absent from
+      the target are appended.
+    - ``matched_condition``: optional extra predicate (Column or SQL
+      string) over the target row; non-qualifying matches are left
+      untouched.
+
+    Source keys must be unique — a key with several source rows makes
+    the update nondeterministic and is rejected (standard MERGE
+    cardinality check).
+
+    Scale shape: match detection is one raw scan of candidate files
+    semi-joined on the keys (shuffle keyed by the join); pos deletes
+    fan out partition-aware; the replacement/insert union writes
+    through the normal distributed path.  Everything commits atomically
+    with OCC retry."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"unsupported when_matched: {when_matched!r}")
+    md = table.metadata
+    schema = md.schema()
+    for c in key_columns:
+        if schema.find_field(c) is None:
+            raise ValueError(f"no such key column: {c}")
+        if c not in source.columns:
+            raise ValueError(f"source is missing key column: {c}")
+
+    # cardinality check: one source row per key
+    dup = (source.groupBy(*key_columns)
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            "MERGE source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in key_columns)}")
+
+    cond = None
+    if matched_condition is not None:
+        cond = F.expr(matched_condition) \
+            if isinstance(matched_condition, str) else matched_condition
+
+    tasks = table.scan().plan_files()
+    txn = table.new_transaction()
+    src_keys = source.select(*key_columns)
+
+    # 1. pos-deletes for matched target rows (raw read is fine: rows
+    #    already MoR-deleted reappearing here is idempotent)
+    delete_files: List[M.DataFile] = []
+    if when_matched is not None and tasks:
+        raw = spark.read.schema(schema.to_spark()).parquet(
+            *[t.data_file.file_path for t in tasks])
+        matches = (raw
+                   .withColumn("file_path",
+                               F.regexp_replace("_metadata.file_path",
+                                                "^file:", ""))
+                   .withColumn("pos", F.col("_metadata.row_index")))
+        if cond is not None:
+            matches = matches.filter(cond)
+        matches = (matches
+                   .join(src_keys, key_columns, "leftsemi")
+                   .select("file_path", "pos"))
+        delete_files = _pos_delete_fanout(spark, md, matches, tasks)
+
+    # 2. replacement + insert rows, one distributed write.  Key sets
+    #    come from the scan lowering (existing deletes applied) — two
+    #    passes over the target, which beats materializing every key.
+    from ..types import to_spark_type
+    target = _tasks_scan_df(table, spark, tasks) if tasks else None
+    pieces = []
+    if when_matched == "update" and target is not None:
+        matched_keys = target.filter(cond) if cond is not None else target
+        matched_keys = matched_keys.select(*key_columns).distinct()
+        pieces.append(source.join(matched_keys, key_columns, "leftsemi"))
+    if insert_not_matched:
+        if target is None:
+            pieces.append(source)
+        else:
+            pieces.append(source.join(
+                target.select(*key_columns).distinct(),
+                key_columns, "leftanti"))
+    data_files: List[M.DataFile] = []
+    if pieces:
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        out = out.select(*[
+            F.col(f.name).cast(to_spark_type(f.field_type))
+            for f in schema.fields if f.name in out.columns])
+        data_files = write_dataframe(
+            out, schema, md.spec(), os.path.join(md.location, "data"),
+            md.properties, sort_order=md.sort_order())
+
+    if not delete_files and not data_files:
+        return table
+    txn.append_files(delete_files + data_files, operation=OP_OVERWRITE,
+                     referenced_paths=[t.data_file.file_path
+                                       for t in tasks],
+                     extra_summary={
+                         "merge-keys": ",".join(key_columns),
+                         "merge-matched": str(when_matched),
+                     })
+    return txn.commit()
+
+
 def upsert(table, spark: SparkSession, df: DataFrame,
            key_columns: List[str]):
     """Row delta (row_delta.go): equality-delete keys + new data, one

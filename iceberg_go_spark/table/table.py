@@ -117,6 +117,16 @@ class Table:
         from .dml import upsert
         return upsert(self, spark, df, key_columns)
 
+    def merge_into(self, spark: SparkSession, source: DataFrame,
+                   key_columns: List[str], when_matched: str = "update",
+                   insert_not_matched: bool = True,
+                   matched_condition=None) -> "Table":
+        """MERGE INTO (MoR position-delta): update/delete matched target
+        rows by key against ``source``, insert unmatched source rows."""
+        from .dml import merge_into
+        return merge_into(self, spark, source, key_columns, when_matched,
+                          insert_not_matched, matched_condition)
+
     # -- evolution ----------------------------------------------------------
     def update_schema(self):
         from .evolution import UpdateSchema

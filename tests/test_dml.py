@@ -161,3 +161,59 @@ def test_overwrite_after_upsert_no_resurrection(spark, sf_dir, catalog):
     row = got.filter(F.col("o_orderkey") == some_key) \
         .select("o_totalprice").collect()
     assert len(row) == 1
+
+
+def test_merge_into_update_and_insert(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "mrg")
+    n = df.count()
+    # source: 10 existing keys with changed priority + 5 brand-new keys
+    existing = (df.limit(10)
+                .withColumn("o_orderpriority", F.lit("MERGED")))
+    mx = df.agg(F.max("o_orderkey")).first()[0]
+    new = (df.limit(5)
+           .withColumn("o_orderkey", F.col("o_orderkey") + mx + 1000)
+           .withColumn("o_orderpriority", F.lit("NEW")))
+    t = t.merge_into(spark, existing.unionByName(new), ["o_orderkey"])
+
+    got = t.to_df(spark)
+    assert got.count() == n + 5
+    assert got.filter(F.col("o_orderpriority") == "MERGED").count() == 10
+    assert got.filter(F.col("o_orderpriority") == "NEW").count() == 5
+    # untouched rows unchanged
+    keys = [r.o_orderkey for r in existing.select("o_orderkey").collect()]
+    untouched = got.filter(~F.col("o_orderkey").isin(keys)
+                           & (F.col("o_orderpriority") != "NEW"))
+    assert untouched.count() == n - 10
+
+
+def test_merge_into_delete_and_condition(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "mrgdel",
+                  spec_parts=[("o_orderdate", "month")])
+    n = df.count()
+    victims = df.filter(F.col("o_orderstatus") == "F").limit(20)
+    nv = victims.count()
+    t = t.merge_into(spark, victims.select("o_orderkey"), ["o_orderkey"],
+                     when_matched="delete", insert_not_matched=False)
+    assert t.to_df(spark).count() == n - nv
+
+    # conditional update: only 'O' rows of the matched keys change
+    some = t.to_df(spark).limit(30).select("o_orderkey", "o_custkey",
+                                           "o_orderstatus", "o_totalprice",
+                                           "o_orderdate", "o_orderpriority")
+    cond_src = some.withColumn("o_orderpriority", F.lit("COND"))
+    before_o = (t.to_df(spark)
+                .join(some.select("o_orderkey"), "o_orderkey", "leftsemi")
+                .filter(F.col("o_orderstatus") == "O").count())
+    t = t.merge_into(spark, cond_src, ["o_orderkey"],
+                     matched_condition="o_orderstatus = 'O'",
+                     insert_not_matched=False)
+    got = t.to_df(spark)
+    assert got.filter(F.col("o_orderpriority") == "COND").count() == before_o
+    assert got.count() == n - nv
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, sf_dir, catalog):
+    t, df = _make(spark, sf_dir, catalog, "mrgdup")
+    src = df.limit(3).unionByName(df.limit(3))
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge_into(spark, src, ["o_orderkey"])
