@@ -132,15 +132,31 @@ class RestCatalog:
             "namespace": list(_ident(namespace)),
             "properties": properties or {}})
 
+    def _paginate(self, path: str, key: str) -> List[dict]:
+        """Follow the spec's opaque page tokens until exhausted
+        (rest.go:1181-1205 paginateIdentifiers): a 100k-table catalog
+        must not truncate at the server's page size."""
+        out: List[dict] = []
+        token = None
+        while True:
+            sep = "&" if "?" in path else "?"
+            url = path if token is None else \
+                f"{path}{sep}pageToken={urllib.parse.quote(token)}"
+            resp = self._request("GET", url)
+            out.extend(resp.get(key, []))
+            token = resp.get("next-page-token")
+            if not token:
+                return out
+
     def list_namespaces(self) -> List[Tuple[str, ...]]:
-        out = self._request("GET", "/v1/namespaces")
-        return [tuple(ns) for ns in out.get("namespaces", [])]
+        return [tuple(ns)
+                for ns in self._paginate("/v1/namespaces", "namespaces")]
 
     def list_tables(self, namespace) -> List[Tuple[str, ...]]:
         ns = self._ns(namespace)
-        out = self._request("GET", f"/v1/namespaces/{ns}/tables")
         return [tuple(t["namespace"]) + (t["name"],)
-                for t in out.get("identifiers", [])]
+                for t in self._paginate(f"/v1/namespaces/{ns}/tables",
+                                        "identifiers")]
 
     # -- tables --------------------------------------------------------------
     def create_table(self, identifier, schema: Schema,
@@ -240,9 +256,8 @@ class RestCatalog:
         return md
 
     def list_views(self, namespace) -> List[Tuple[str, ...]]:
-        resp = self._request(
-            "GET", f"/v1/namespaces/{self._ns(namespace)}/views")
-        return [(*i["namespace"], i["name"]) for i in resp["identifiers"]]
+        return [(*i["namespace"], i["name"]) for i in self._paginate(
+            f"/v1/namespaces/{self._ns(namespace)}/views", "identifiers")]
 
     def drop_view(self, identifier) -> None:
         ns, name = self._split(identifier)
@@ -271,9 +286,9 @@ class RestCatalog:
 
     # -- functions (rest/endpoints.go:125-126; read-only plane) --------------
     def list_functions(self, namespace) -> List[Tuple[str, ...]]:
-        resp = self._request(
-            "GET", f"/v1/namespaces/{self._ns(namespace)}/functions")
-        return [(*i["namespace"], i["name"]) for i in resp["identifiers"]]
+        return [(*i["namespace"], i["name"]) for i in self._paginate(
+            f"/v1/namespaces/{self._ns(namespace)}/functions",
+            "identifiers")]
 
     def load_function(self, identifier) -> dict:
         """Raw function (UDF) metadata JSON; parse with
@@ -422,6 +437,8 @@ class RestMetricsReporter:
 class _State:
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
+        # list-endpoint page size; None = no pagination
+        self.page_size: Optional[int] = None
         self.lock = threading.Lock()
         self.namespaces: Dict[Tuple[str, ...], Dict[str, str]] = {}
         # (ns, name) -> metadata-location
@@ -501,6 +518,22 @@ def _make_handler(state: _State):
             return [urllib.parse.unquote(p)
                     for p in self.path.split("?")[0].split("/") if p]
 
+        def _page(self, items: list, key: str) -> dict:
+            """Spec pagination: slice to the server page size and hand
+            back an opaque next-page-token (the start offset) while
+            more pages remain.  page_size None = everything in one
+            response (pagination off)."""
+            qs = urllib.parse.parse_qs(
+                urllib.parse.urlsplit(self.path).query)
+            start = int(qs.get("pageToken", ["0"])[0] or 0)
+            size = state.page_size
+            if not size:
+                return {key: items[start:]}
+            out = {key: items[start:start + size]}
+            if start + size < len(items):
+                out["next-page-token"] = str(start + size)
+            return out
+
         def do_GET(self):
             p = self._parts()
             if not self._check_auth():
@@ -509,15 +542,15 @@ def _make_handler(state: _State):
                 return self._send(200, {"defaults":
                                         {"warehouse": state.warehouse}})
             if p == ["v1", "namespaces"]:
-                return self._send(200, {"namespaces":
-                                        [list(ns) for ns in
-                                         sorted(state.namespaces)]})
+                return self._send(200, self._page(
+                    [list(ns) for ns in sorted(state.namespaces)],
+                    "namespaces"))
             if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "tables":
                 ns = tuple(p[2].split("\x1f"))
                 ids = [{"namespace": list(k[0]), "name": k[1]}
                        for k in sorted(state.tables) if k[0] == ns]
-                return self._send(200, {"identifiers": ids})
+                return self._send(200, self._page(ids, "identifiers"))
             if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "tables":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
@@ -540,7 +573,7 @@ def _make_handler(state: _State):
                 store = state.views if p[3] == "views" else state.functions
                 ids = [{"namespace": list(k[0]), "name": k[1]}
                        for k in sorted(store) if k[0] == ns]
-                return self._send(200, {"identifiers": ids})
+                return self._send(200, self._page(ids, "identifiers"))
             if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
                     and p[3] in ("views", "functions"):
                 ns, name = tuple(p[2].split("\x1f")), p[4]
@@ -798,11 +831,13 @@ class RestCatalogServer:
 
     def __init__(self, warehouse: str, port: int = 0,
                  credential: Optional[str] = None,
-                 token_ttl_s: float = 3600.0):
+                 token_ttl_s: float = 3600.0,
+                 page_size: Optional[int] = None):
         os.makedirs(warehouse, exist_ok=True)
         self.state = _State(warehouse)
         self.state.credential = credential
         self.state.token_ttl_s = token_ttl_s
+        self.state.page_size = page_size
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                          _make_handler(self.state))
         self.port = self.httpd.server_address[1]

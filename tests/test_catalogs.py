@@ -233,3 +233,26 @@ def test_rest_scan_planning(rest, spark, sf_dir):
     # planning with no filter sees every live file
     assert len(rest.plan_table_scan("plandb.o")) == \
         len(t.scan().plan_files())
+
+
+def test_rest_list_pagination(tmp_path):
+    """The client follows next-page-token across every list endpoint; a
+    page_size-2 server still yields the complete catalog."""
+    from iceberg_go_spark.catalog.rest import (RestCatalog,
+                                               RestCatalogServer)
+    srv = RestCatalogServer(str(tmp_path / "wh"), page_size=2).start()
+    try:
+        cat = RestCatalog(srv.uri)
+        for i in range(7):
+            cat.create_namespace((f"ns{i}",))
+        assert len(cat.list_namespaces()) == 7
+        import pyspark.sql.types as ST
+        from iceberg_go_spark.schema import Schema
+        sch = Schema.from_spark(ST.StructType(
+            [ST.StructField("id", ST.LongType())]))
+        for i in range(5):
+            cat.create_table(("ns0", f"t{i}"), sch)
+        tables = cat.list_tables(("ns0",))
+        assert sorted(tables) == [("ns0", f"t{i}") for i in range(5)]
+    finally:
+        srv.stop()
