@@ -142,7 +142,10 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
     pair join quadratic only in cluster size.  The pair join is an
     equi-join on cluster id (one corpus shuffle), never an all-pairs
     cartesian; cosine is the integer-quantized deterministic form."""
-    a = kmeans_assignments(emb, k, iters, id_col, vec_col, keep_vec=True)
+    # the assignment feeds three consumers (pair-join left/right + the
+    # final flag join): checkpoint so the Lloyd chain runs once, not 3x
+    a = kmeans_assignments(emb, k, iters, id_col, vec_col,
+                           keep_vec=True).localCheckpoint()
     left = a.select(F.col("cluster"), F.col(id_col).alias("__a"),
                     F.col("__q").alias("__qa"))
     right = a.select(F.col("cluster"), F.col(id_col).alias("__b"),
