@@ -86,9 +86,59 @@ class FilesystemCatalog:
         return best
 
     # -- namespace ops ------------------------------------------------------
-    def create_namespace(self, namespace) -> None:
-        os.makedirs(os.path.join(self.warehouse, *_ident(namespace)),
-                    exist_ok=True)
+    def create_namespace(self, namespace,
+                         properties: Optional[Dict[str, str]] = None
+                         ) -> None:
+        d = os.path.join(self.warehouse, *_ident(namespace))
+        os.makedirs(d, exist_ok=True)
+        if properties:
+            self._write_ns_props(d, dict(properties))
+
+    @staticmethod
+    def _ns_props_path(ns_dir: str) -> str:
+        return os.path.join(ns_dir, ".namespace-properties.json")
+
+    def _write_ns_props(self, ns_dir: str, props: Dict[str, str]) -> None:
+        import json
+        with open(self._ns_props_path(ns_dir), "w") as f:
+            json.dump(props, f)
+
+    def _ns_dir(self, namespace) -> str:
+        d = os.path.join(self.warehouse, *_ident(namespace))
+        if not os.path.isdir(d):
+            from .glue import NoSuchNamespaceError
+            raise NoSuchNamespaceError(".".join(_ident(namespace)))
+        return d
+
+    def load_namespace_properties(self, namespace) -> Dict[str, str]:
+        import json
+        p = self._ns_props_path(self._ns_dir(namespace))
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def update_namespace_properties(self, namespace,
+                                    removals: Optional[List[str]] = None,
+                                    updates: Optional[Dict[str, str]] = None
+                                    ) -> Dict[str, List[str]]:
+        """Returns the spec's summary: which keys were updated, removed,
+        and which removals were missing (catalog.go
+        UpdateNamespaceProperties)."""
+        overlap = set(removals or []) & set(updates or {})
+        if overlap:
+            raise ValueError(
+                f"properties in both removals and updates: {sorted(overlap)}")
+        d = self._ns_dir(namespace)
+        props = self.load_namespace_properties(namespace)
+        removed, missing = [], []
+        for k in removals or []:
+            (removed if k in props else missing).append(k)
+            props.pop(k, None)
+        props.update(updates or {})
+        self._write_ns_props(d, props)
+        return {"updated": sorted(updates or {}), "removed": removed,
+                "missing": missing}
 
     def list_namespaces(self) -> List[Tuple[str, ...]]:
         out = []

@@ -152,6 +152,23 @@ class RestCatalog:
         return [tuple(ns)
                 for ns in self._paginate("/v1/namespaces", "namespaces")]
 
+    def load_namespace_properties(self, namespace) -> Dict[str, str]:
+        out = self._request("GET", f"/v1/namespaces/{self._ns(namespace)}")
+        return out.get("properties", {})
+
+    def update_namespace_properties(self, namespace,
+                                    removals: Optional[List[str]] = None,
+                                    updates: Optional[Dict[str, str]] = None
+                                    ) -> Dict[str, List[str]]:
+        overlap = set(removals or []) & set(updates or {})
+        if overlap:
+            raise ValueError(
+                f"properties in both removals and updates: {sorted(overlap)}")
+        return self._request(
+            "POST", f"/v1/namespaces/{self._ns(namespace)}/properties",
+            {"removals": list(removals or []),
+             "updates": dict(updates or {})})
+
     def list_tables(self, namespace) -> List[Tuple[str, ...]]:
         ns = self._ns(namespace)
         return [tuple(t["namespace"]) + (t["name"],)
@@ -545,6 +562,13 @@ def _make_handler(state: _State):
                 return self._send(200, self._page(
                     [list(ns) for ns in sorted(state.namespaces)],
                     "namespaces"))
+            if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+                ns = tuple(p[2].split("\x1f"))
+                props = state.namespaces.get(ns)
+                if props is None:
+                    return self._send(404, {"error": "no such namespace"})
+                return self._send(200, {"namespace": list(ns),
+                                        "properties": props})
             if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "tables":
                 ns = tuple(p[2].split("\x1f"))
@@ -660,6 +684,24 @@ def _make_handler(state: _State):
                 ns = tuple(body["namespace"])
                 state.namespaces[ns] = body.get("properties", {})
                 return self._send(200, {"namespace": list(ns)})
+            if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] == "properties":
+                ns = tuple(p[2].split("\x1f"))
+                with state.lock:
+                    props = state.namespaces.get(ns)
+                    if props is None:
+                        return self._send(404,
+                                          {"error": "no such namespace"})
+                    removals = body.get("removals", [])
+                    updates = body.get("updates", {})
+                    removed = [k for k in removals if k in props]
+                    missing = [k for k in removals if k not in props]
+                    for k in removed:
+                        props.pop(k, None)
+                    props.update(updates)
+                return self._send(200, {"updated": sorted(updates),
+                                        "removed": removed,
+                                        "missing": missing})
             if p == ["v1", "tables", "rename"]:
                 s = (tuple(body["source"]["namespace"]),
                      body["source"]["name"])

@@ -84,6 +84,37 @@ class SqlCatalog:
                 "namespace = ?", (self.name, ns)).fetchall()
         return {k: v for k, v in rows if k != "exists"}
 
+    # spec-name alias (catalog.go LoadNamespaceProperties)
+    def load_namespace_properties(self, namespace) -> Dict[str, str]:
+        return self.namespace_properties(namespace)
+
+    def update_namespace_properties(self, namespace,
+                                    removals: Optional[List[str]] = None,
+                                    updates: Optional[Dict[str, str]] = None
+                                    ) -> Dict[str, List[str]]:
+        """Removals + updates in ONE database transaction; returns the
+        spec summary (catalog.go UpdateNamespaceProperties)."""
+        overlap = set(removals or []) & set(updates or {})
+        if overlap:
+            raise ValueError(
+                f"properties in both removals and updates: {sorted(overlap)}")
+        ns = ".".join(_ident(namespace))
+        existing = set(self.namespace_properties(namespace))
+        removed = sorted(set(removals or []) & existing)
+        missing = sorted(set(removals or []) - existing)
+        with self._conn() as con:
+            for k in removed:
+                con.execute(
+                    "DELETE FROM iceberg_namespace_properties WHERE "
+                    "catalog_name = ? AND namespace = ? AND "
+                    "property_key = ?", (self.name, ns, k))
+            for k, v in (updates or {}).items():
+                con.execute(
+                    "INSERT OR REPLACE INTO iceberg_namespace_properties "
+                    "VALUES (?, ?, ?, ?)", (self.name, ns, k, v))
+        return {"updated": sorted(updates or {}), "removed": removed,
+                "missing": missing}
+
     # -- tables --------------------------------------------------------------
     def list_tables(self, namespace) -> List[Tuple[str, ...]]:
         ns = ".".join(_ident(namespace))

@@ -125,3 +125,32 @@ def test_append_scan_prune(cat, spark):
     assert s.to_df(spark).count() == 10
     # metrics pruning skips files whose id range is entirely below 90
     assert s.report.skipped_data_files > 0
+
+
+def test_namespace_properties_contract(cat):
+    """load/update namespace properties (catalog.go
+    LoadNamespaceProperties / UpdateNamespaceProperties): updates apply,
+    removals report removed vs missing, overlap rejected."""
+    ns = "nsprops"
+    try:
+        cat.create_namespace(ns, properties={"owner": "a", "tier": "hot"})
+    except TypeError:  # catalogs whose create_namespace lacks properties
+        cat.create_namespace(ns)
+        cat.update_namespace_properties(
+            ns, updates={"owner": "a", "tier": "hot"})
+    props = cat.load_namespace_properties(ns)
+    assert props.get("owner") == "a" and props.get("tier") == "hot"
+
+    summary = cat.update_namespace_properties(
+        ns, removals=["tier", "ghost"], updates={"owner": "b", "x": "1"})
+    if summary is not None:  # glue/hive return None (client-side apply)
+        assert summary["removed"] == ["tier"]
+        assert summary["missing"] == ["ghost"]
+        assert sorted(summary["updated"]) == ["owner", "x"]
+    props = cat.load_namespace_properties(ns)
+    assert props.get("owner") == "b" and props.get("x") == "1"
+    assert "tier" not in props
+
+    with pytest.raises(ValueError, match="both removals and updates"):
+        cat.update_namespace_properties(ns, removals=["k"],
+                                        updates={"k": "v"})

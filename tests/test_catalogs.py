@@ -256,3 +256,20 @@ def test_rest_list_pagination(tmp_path):
         assert sorted(tables) == [("ns0", f"t{i}") for i in range(5)]
     finally:
         srv.stop()
+
+
+def test_rest_namespace_properties(tmp_path):
+    from iceberg_go_spark.catalog.rest import (RestCatalog,
+                                               RestCatalogServer)
+    srv = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(srv.uri)
+        cat.create_namespace(("db",), properties={"owner": "a"})
+        assert cat.load_namespace_properties(("db",)) == {"owner": "a"}
+        summary = cat.update_namespace_properties(
+            ("db",), removals=["owner", "nope"], updates={"tier": "cold"})
+        assert summary == {"updated": ["tier"], "removed": ["owner"],
+                           "missing": ["nope"]}
+        assert cat.load_namespace_properties(("db",)) == {"tier": "cold"}
+    finally:
+        srv.stop()
