@@ -259,6 +259,40 @@ class InspectTable:
                              dd.sort_order_id, sid))
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
 
+    def data_files(self) -> DataFrame:
+        """Only content=0 rows of files() (Iceberg data_files table)."""
+        return self.files().filter("content = 0")
+
+    def delete_files(self) -> DataFrame:
+        """Only delete rows of files() (Iceberg delete_files table):
+        positional (1) and equality (2) delete files plus puffin DVs."""
+        return self.files().filter("content != 0")
+
+    def all_files(self) -> DataFrame:
+        """files() across EVERY snapshot (Iceberg all_files table):
+        union of each snapshot's live file set, deduplicated by path —
+        files no longer live in the current snapshot still appear."""
+        md = self.table.metadata
+        from .scan import Scan
+        seen = set()
+        rows = []
+        for snap in md.snapshots:
+            scan = Scan(self.table, snapshot_id=snap.snapshot_id)
+            for t in scan.plan_files():
+                sid = t.spec_id if t.spec_id is not None \
+                    else md.default_spec_id
+                for d in ([t.data_file] + list(t.pos_deletes) +
+                          list(t.eq_deletes)):
+                    if d.file_path in seen:
+                        continue
+                    seen.add(d.file_path)
+                    rows.append((d.content, d.file_path, d.file_format,
+                                 json.dumps(d.partition, sort_keys=True,
+                                            default=str),
+                                 d.record_count, d.file_size_in_bytes,
+                                 d.sort_order_id, sid))
+        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+
     def partitions(self) -> DataFrame:
         agg = {}
         for t in self.table.scan().plan_files():

@@ -128,3 +128,16 @@ def test_entries(spark, table3):
     snap_ids = {s.snapshot_id for s in table3.metadata.snapshots}
     assert all(e.snapshot_id in snap_ids for e in ents
                if e.snapshot_id is not None)
+
+
+def test_data_delete_all_files(spark, table3):
+    ins = table3.inspect(spark)
+    data = ins.data_files().collect()
+    dels = ins.delete_files().collect()
+    assert data and all(r.content == 0 for r in data)
+    assert dels and all(r.content != 0 for r in dels)
+    live = {r.file_path for r in ins.files().collect()}
+    assert {r.file_path for r in data} | {r.file_path for r in dels} == live
+    # all_files covers every snapshot's files — a superset of the live set
+    allf = {r.file_path for r in ins.all_files().collect()}
+    assert allf >= live
