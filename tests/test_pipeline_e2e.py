@@ -1,0 +1,104 @@
+"""End-to-end training-data pipeline over the documents table: quality
+filter -> MinHash-LSH dedup (cluster-keep-min) -> benchmark
+decontamination -> mixture sampling -> sequence packing -> commit to an
+engine table -> incremental stream read back.
+
+This is the switch-over scenario the engine exists for: every stage is
+an operator from `operators/` composed with the table/stream planes, and
+every intermediate invariant is asserted (monotone shrinking, no
+survivor duplicated, packed budgets honored, exactly-once stream
+replay)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.functions import text_funcs as TX
+from iceberg_go_spark.operators.curation import (decontaminate,
+                                                 mixture_sample,
+                                                 pack_sequences)
+from iceberg_go_spark.operators.dedup import (connected_components,
+                                              minhash_lsh_groups)
+from iceberg_go_spark.schema import Schema
+
+from conftest import read_table
+
+
+def test_training_data_pipeline(spark, sf_dir, tmp_path):
+    docs = read_table(spark, "documents", sf_dir)
+    n0 = docs.count()
+
+    # 1. quality floor: drop the bottom of the quality-score range
+    scored = docs.withColumn("q", TX.quality_score(F.col("text")))
+    kept = scored.filter(F.col("q") >= 0.2).drop("q")
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    # 2. near-dup removal: LSH buckets -> star edges -> components ->
+    #    keep the min doc_id of every cluster
+    buckets = minhash_lsh_groups(kept)
+    edges = (buckets.groupBy("band", "band_key")
+             .agg(F.min("doc_id").alias("id_a"),
+                  F.collect_set("doc_id").alias("__ids"))
+             .select("id_a", F.explode("__ids").alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")))
+    clusters = connected_components(edges)
+    victims = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+               .select("doc_id"))
+    deduped = kept.join(victims, "doc_id", "leftanti")
+    n2 = deduped.count()
+    assert n2 <= n1
+    # no two surviving docs share a component
+    surv = deduped.select("doc_id").join(clusters, "doc_id", "left")
+    comp_counts = (surv.filter(F.col("cluster_id").isNotNull())
+                   .groupBy("cluster_id").count().filter("count > 1"))
+    assert comp_counts.count() == 0
+
+    # 3. decontamination against a fake benchmark made of real docs —
+    #    those docs must flag themselves
+    bench = docs.orderBy("doc_id").limit(5)
+    hits = decontaminate(deduped, bench, n=8)
+    bench_ids = {r.doc_id for r in bench.collect()}
+    flagged = {r.doc_id for r in hits.collect()}
+    long_bench_ids = {
+        r.doc_id for r in bench.collect()
+        if len([w for w in r.text.split(" ") if w]) >= 8}
+    assert long_bench_ids & set(
+        r.doc_id for r in deduped.select("doc_id").collect()) <= flagged
+    clean = deduped.join(hits.select("doc_id"), "doc_id", "leftanti")
+    n3 = clean.count()
+    assert n3 <= n2
+
+    # 4. mixture: keep all zh, half en, default quarter elsewhere
+    mixed = mixture_sample(clean, {"zh": "zz", "en": "80"})
+    n4 = mixed.count()
+    assert n4 <= n3
+    zh_clean = clean.filter(F.col("lang") == "zh").count()
+    assert mixed.filter(F.col("lang") == "zh").count() == zh_clean
+
+    # 5. pack into 512-token context windows per language
+    packed = pack_sequences(mixed, budget=512)
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == \
+        {r.doc_id for r in mixed.select("doc_id").collect()}
+    for r in rows:
+        assert 0 <= r.pack_offset < 512
+
+    # 6. commit the curated corpus and stream it back exactly-once
+    out = mixed.select("doc_id", "text", "lang", "source")
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.curated", Schema.from_spark(out.schema))
+    t.append(out)
+    from iceberg_go_spark.streaming.source import read_stream
+    q = (read_stream(spark, cat.load_table("db.curated"))
+         .writeStream.format("memory").queryName("curated_stream")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT count(*) AS n, sum(doc_id) AS cs FROM curated_stream"
+    ).first()
+    direct = out.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("doc_id").alias("cs")).first()
+    assert (streamed.n, streamed.cs) == (direct.n, direct.cs)
