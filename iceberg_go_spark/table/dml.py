@@ -359,7 +359,8 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
 def merge_into(table, spark: SparkSession, source: DataFrame,
                key_columns: List[str], when_matched: str = "update",
                insert_not_matched: bool = True,
-               matched_condition=None):
+               matched_condition=None,
+               candidate_filter: Optional[E.Expression] = None):
     """MERGE INTO via the MoR position-delta pattern: pos-delete the
     matched target rows, write replacement + insert rows, one row-delta
     snapshot (the same machinery as ``update_where``/``upsert``, with
@@ -375,6 +376,12 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
     - ``matched_condition``: optional extra predicate (Column or SQL
       string) over the target row; non-qualifying matches are left
       untouched.
+    - ``candidate_filter``: optional engine Expression bounding where
+      matches can live (e.g. the source batch's date range) — planning
+      prunes partitions/files with it, so a merge into one day of a
+      year-partitioned table scans one day, not the table.  Rows
+      OUTSIDE the filter are never matched; the not-matched key set is
+      still computed table-wide so inserts stay correct.
 
     Source keys must be unique — a key with several source rows makes
     the update nondeterministic and is rejected (standard MERGE
@@ -409,7 +416,8 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
         cond = F.expr(matched_condition) \
             if isinstance(matched_condition, str) else matched_condition
 
-    tasks = table.scan().plan_files()
+    tasks = table.scan(row_filter=candidate_filter).plan_files() \
+        if candidate_filter is not None else table.scan().plan_files()
     txn = table.new_transaction()
     src_keys = source.select(*key_columns)
 
@@ -442,11 +450,18 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
         matched_keys = matched_keys.select(*key_columns).distinct()
         pieces.append(source.join(matched_keys, key_columns, "leftsemi"))
     if insert_not_matched:
-        if target is None:
+        # insert-side existence is decided against the WHOLE table even
+        # under a candidate_filter — a key living outside the filter
+        # must not be re-inserted
+        all_tasks = tasks if candidate_filter is None \
+            else table.scan().plan_files()
+        existing = _tasks_scan_df(table, spark, all_tasks) \
+            if all_tasks else None
+        if existing is None:
             pieces.append(source)
         else:
             pieces.append(source.join(
-                target.select(*key_columns).distinct(),
+                existing.select(*key_columns).distinct(),
                 key_columns, "leftanti"))
     data_files: List[M.DataFile] = []
     if pieces:

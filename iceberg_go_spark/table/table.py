@@ -120,12 +120,16 @@ class Table:
     def merge_into(self, spark: SparkSession, source: DataFrame,
                    key_columns: List[str], when_matched: str = "update",
                    insert_not_matched: bool = True,
-                   matched_condition=None) -> "Table":
+                   matched_condition=None,
+                   candidate_filter=None) -> "Table":
         """MERGE INTO (MoR position-delta): update/delete matched target
-        rows by key against ``source``, insert unmatched source rows."""
+        rows by key against ``source``, insert unmatched source rows.
+        ``candidate_filter`` (engine Expression) prunes the match scan
+        to the partitions/files where matches can live."""
         from .dml import merge_into
         return merge_into(self, spark, source, key_columns, when_matched,
-                          insert_not_matched, matched_condition)
+                          insert_not_matched, matched_condition,
+                          candidate_filter)
 
     # -- evolution ----------------------------------------------------------
     def update_schema(self):

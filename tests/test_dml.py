@@ -217,3 +217,26 @@ def test_merge_into_rejects_duplicate_source_keys(spark, sf_dir, catalog):
     src = df.limit(3).unionByName(df.limit(3))
     with pytest.raises(ValueError, match="multiple rows"):
         t.merge_into(spark, src, ["o_orderkey"])
+
+
+def test_merge_into_candidate_filter_prunes(spark, sf_dir, catalog):
+    """candidate_filter bounds the match scan to the source's partition
+    range; keys outside it are neither matched nor re-inserted."""
+    t, df = _make(spark, sf_dir, catalog, "mrgcand",
+                  spec_parts=[("o_orderdate", "year")])
+    n = df.count()
+    win = (F.col("o_orderdate") >= "1996-01-01") & \
+        (F.col("o_orderdate") < "1997-01-01")
+    src = (df.filter(win).limit(15)
+           .withColumn("o_orderpriority", F.lit("CAND")))
+    n_src = src.count()
+    expr = E.and_(E.gt_eq("o_orderdate", "1996-01-01T00:00:00"),
+                  E.lt("o_orderdate", "1997-01-01T00:00:00"))
+    # pruning engaged: the bounded scan plans fewer files
+    full = len(t.scan().plan_files())
+    pruned = len(t.scan(expr).plan_files())
+    assert pruned < full
+    t = t.merge_into(spark, src, ["o_orderkey"], candidate_filter=expr)
+    got = t.to_df(spark)
+    assert got.count() == n  # updates only, no spurious inserts
+    assert got.filter(F.col("o_orderpriority") == "CAND").count() == n_src
