@@ -259,6 +259,43 @@ class InspectTable:
                              dd.sort_order_id, sid))
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
 
+    def position_deletes(self) -> DataFrame:
+        """One row per deleted position of the current snapshot
+        (Iceberg position_deletes table): parquet pos-delete files read
+        distributed; puffin deletion vectors exploded on executors."""
+        import pyspark.sql.types as ST
+        from pyspark.sql import functions as F
+        tasks = self.table.scan().plan_files()
+        parquet = sorted({d.file_path for t in tasks
+                          for d in t.pos_deletes
+                          if d.file_format != "PUFFIN"})
+        puffin = sorted({d.file_path for t in tasks
+                         for d in t.pos_deletes
+                         if d.file_format == "PUFFIN"})
+        schema = ST.StructType([
+            ST.StructField("file_path", ST.StringType(), False),
+            ST.StructField("pos", ST.LongType(), False)])
+        dfs = []
+        if parquet:
+            dfs.append(self.spark.read.parquet(*parquet)
+                       .select("file_path", F.col("pos").cast("long")))
+        if puffin:
+            def explode(path):
+                from ..meta.dv import read_deletion_vectors
+                for data_file, bm in read_deletion_vectors(path).items():
+                    for pos in bm:
+                        yield (data_file, int(pos))
+            rdd = (self.spark.sparkContext
+                   .parallelize(puffin, min(len(puffin), 64))
+                   .flatMap(explode))
+            dfs.append(self.spark.createDataFrame(rdd, schema))
+        if not dfs:
+            return self.spark.createDataFrame([], schema)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct()
+
     def data_files(self) -> DataFrame:
         """Only content=0 rows of files() (Iceberg data_files table)."""
         return self.files().filter("content = 0")

@@ -141,3 +141,15 @@ def test_data_delete_all_files(spark, table3):
     # all_files covers every snapshot's files — a superset of the live set
     allf = {r.file_path for r in ins.all_files().collect()}
     assert allf >= live
+
+
+def test_position_deletes(spark, table3):
+    rows = table3.inspect(spark).position_deletes().collect()
+    assert rows
+    # deleted (file,pos) pairs exactly account for the scan row removal
+    raw = sum(t.data_file.record_count
+              for t in table3.scan().plan_files())
+    live = table3.to_df(spark).count()
+    assert raw - live == len(rows)
+    paths = {t.data_file.file_path for t in table3.scan().plan_files()}
+    assert all(r.file_path in paths for r in rows)
