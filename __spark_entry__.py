@@ -1706,6 +1706,23 @@ FROM documents
 """
 
 
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (operators/multimodal.py resize_media): batched
+    mapInPandas, stubbed pixel kernel with an md5 stand-in so the
+    output is value-checked."""
+    _ensure_workers(spark)
+    docs = _read(spark, sf_dir, "documents")
+    media = MM.synthesize_media(spark, docs)
+    return MM.resize_media(media, 32, 32)
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS media_id, 32 AS out_width, 32 AS out_height,
+       md5(text || '32x32') AS resized_md5
+FROM documents
+"""
+
+
 def multimodal_feature_vectors(spark, sf_dir):
     """Full feature vectors with the array column rendered canonically.
 
@@ -2352,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": label_centroids,
         "variant_shred": variant_shred,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
         "multimodal_feature_vectors": multimodal_feature_vectors,
     }
 
@@ -2425,5 +2443,6 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": CENTROIDS_SQL,
         "variant_shred": VARIANT_SHRED_SQL,
         "multimodal_features": MULTIMODAL_SQL,
+        "multimodal_resize": MULTIMODAL_RESIZE_SQL,
         "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,
     }

@@ -81,6 +81,34 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = ("media_id long, out_width int, out_height int, "
+                 "resized_md5 string")
+
+
+def resize_media(df: DataFrame, width: int = 32,
+                 height: int = 32) -> DataFrame:
+    """Resize plumbing over opaque payloads: Arrow-batched mapInPandas
+    with the pixel kernel STUBBED (no codec libs in this container) —
+    the deterministic stand-in emits md5(payload || 'WxH') so results
+    stay engine-reproducible and oracle-checkable, while schema, batch
+    shape, null handling and partitioning are exactly what a real
+    resampling kernel (PIL/opencv per batch) plugs into."""
+    tag = f"{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "out_width": width,
+                "out_height": height,
+                "resized_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b) + tag).hexdigest()
+                    if b is not None else None),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def synthesize_media(spark, docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Build a deterministic media table from the documents fixture: the
