@@ -113,7 +113,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v7"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v8"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -179,6 +179,27 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                      ["o_orderkey"], when_matched="delete",
                      insert_not_matched=False,
                      matched_condition="o_orderstatus = 'F'")
+
+        # default-values fixture: append -> evolve (add tier with
+        # initial/write defaults) -> append without the column -> append
+        # with explicit values; iceberg_defaults_scan value-checks all
+        # three generations
+        cust = _read(spark, sf_dir, "customer")
+        c_schema = Schema.from_spark(cust.schema)
+        t = cat.create_table("db.cust_defaults", c_schema)
+        t.append(cust)
+        from iceberg_go_spark import types as _T
+        t = (t.update_schema()
+             .add_column("tier", _T.StringType(), required=True,
+                         initial_default="legacy", write_default="standard")
+             .commit())
+        gen2 = cust.filter(F.col("c_custkey") % 10 == 0) \
+            .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+        t.append(gen2)  # write-default fills tier
+        gen3 = (cust.filter(F.col("c_custkey") % 10 == 1)
+                .withColumn("c_custkey", F.col("c_custkey") + 2_000_000)
+                .withColumn("tier", F.lit("explicit")))
+        t.append(gen3)
 
         # continuous-aggregate fixture: partial load -> rollup -> more
         # appends + a delete -> incremental refresh
@@ -895,6 +916,32 @@ FROM base
 WHERE NOT (o_orderstatus = 'F' AND o_orderkey IN
            (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0))
 GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def iceberg_defaults_scan(spark, sf_dir):
+    """v3 default values end-to-end: pre-evolution files read the
+    initial-default per file, write-default fills appends missing the
+    column, explicit values win (table/scan.py, table/write.py)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.cust_defaults")
+    return (t.to_df(spark)
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_checksum")))
+
+
+ICE_DEFAULTS_SQL = """
+WITH base AS (
+  SELECT c_custkey, 'legacy' AS tier FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, 'standard' FROM customer
+  WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, 'explicit' FROM customer
+  WHERE c_custkey % 10 = 1)
+SELECT tier, COUNT(*) AS n_rows, SUM(c_custkey)::BIGINT AS key_checksum
+FROM base GROUP BY tier
 """
 
 
@@ -2338,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
         "iceberg_merge_scan": iceberg_merge_scan,
+        "iceberg_defaults_scan": iceberg_defaults_scan,
         "iceberg_snapshot_log": iceberg_snapshot_log,
         "transforms_datetime": transforms_datetime,
         "transforms_bucket": transforms_bucket,
@@ -2412,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_dv_delete_scan": ICE_DV_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
         "iceberg_merge_scan": ICE_MERGE_SQL,
+        "iceberg_defaults_scan": ICE_DEFAULTS_SQL,
         "iceberg_snapshot_log": SNAPSHOT_LOG_SQL,
         "transforms_datetime": TRANSFORMS_SQL,
         "transforms_bucket": _transforms_bucket_sql(),
