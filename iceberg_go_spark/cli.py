@@ -133,6 +133,19 @@ def main(argv=None) -> int:
     sp.add_argument("prop_name", nargs="?")
     sp.add_argument("value", nargs="?")
 
+    # partition statistics (cmd/iceberg/partition_stats.go)
+    sp = sub.add_parser("partition-stats",
+                        help="list registered partition-statistics "
+                             "files, or compute for the current "
+                             "snapshot")
+    sp.add_argument("table")
+    sp.add_argument("--snapshot-id", type=int, default=None)
+    sp.add_argument("--all", action="store_true",
+                    help="list entries for every snapshot")
+    sp.add_argument("--compute", action="store_true",
+                    help="build + register stats for the current "
+                         "snapshot (needs a Spark session)")
+
     sp = sub.add_parser("changelog")
     sp.add_argument("table")
     sp.add_argument("--from-snapshot", type=int, default=None)
@@ -338,6 +351,22 @@ def main(argv=None) -> int:
                 return 2
             t.update_properties(removals=[args.prop_name])
             print(f"removed {args.prop_name}")
+    elif args.cmd == "partition-stats":
+        if args.compute:
+            from .session import get_spark
+            from .table.statistics import compute_partition_statistics
+            entry = compute_partition_statistics(t, get_spark())
+            print(json.dumps(entry))
+        else:
+            entries = t.metadata.partition_statistics or []
+            want = args.snapshot_id
+            if want is None and not args.all:
+                cur = t.current_snapshot()
+                want = cur.snapshot_id if cur else None
+            rows = [(e["snapshot-id"], e["statistics-path"],
+                     e["file-size-in-bytes"]) for e in entries
+                    if args.all or e["snapshot-id"] == want]
+            _emit(args, rows, ["snapshot_id", "path", "size_bytes"])
     elif args.cmd == "changelog":
         from .session import get_spark
         import pyspark.sql.functions as F

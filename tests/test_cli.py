@@ -161,3 +161,29 @@ def test_cli_changelog(capsys, wh):
     rows = json.loads(out)
     assert all(r["change_type"] == "insert" for r in rows)
     assert sum(r["n_rows"] for r in rows) == 30  # 25 + 5 appended
+
+
+def test_cli_partition_stats(capsys, tmp_path, spark, sf_dir):
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    from iceberg_go_spark.table.statistics import (
+        compute_partition_statistics)
+    from conftest import read_table
+    wh = str(tmp_path / "pswh")
+    cat = FilesystemCatalog(wh)
+    cat.create_namespace("db")
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = cat.create_table("db.ps", schema,
+                         spec_from_names(schema, ("o_orderdate", "year")))
+    t.append(df)
+    t = cat.load_table("db.ps")
+    # empty before compute
+    assert _run_json(capsys, wh, "partition-stats", "db.ps") == []
+    entry = compute_partition_statistics(t, spark)
+    rows = _run_json(capsys, wh, "partition-stats", "db.ps")
+    assert len(rows) == 1
+    assert rows[0]["path"] == entry["statistics-path"]
+    assert rows[0]["size_bytes"] > 0
+    assert _run_json(capsys, wh, "partition-stats", "db.ps",
+                     "--all") == rows
