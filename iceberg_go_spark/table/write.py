@@ -310,7 +310,18 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     # input_partitions × partition_values small files
     dist_mode = properties.get("write.distribution-mode",
                                "hash" if pcols else "none")
-    if pcols and dist_mode == "hash":
+    if dist_mode == "range":
+        # range distribution: globally cluster by (partition cols, sort
+        # order) — each task holds a contiguous key range, so sorted
+        # tables get non-overlapping file min/max bounds and range
+        # predicates prune to a handful of files (Iceberg
+        # write.distribution-mode=range)
+        range_cols = [F.col(c) for c in pcols]
+        if sort_order and not sort_order.is_unsorted:
+            range_cols += list(sort_order.spark_columns(schema))
+        if range_cols:
+            writer_df = writer_df.repartitionByRange(*range_cols)
+    elif pcols and dist_mode == "hash":
         writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
     if sort_order and not sort_order.is_unsorted:
         writer_df = writer_df.sortWithinPartitions(

@@ -294,3 +294,35 @@ def test_required_missing_without_default_rejected(spark, sf_dir, catalog):
     t = catalog.create_table("db.defs2", Schema.from_spark(df.schema))
     with pytest.raises(ValueError, match="without a default"):
         t.update_schema().add_column("x", T.LongType(), required=True)
+
+
+def test_range_distribution_mode(spark, sf_dir, catalog):
+    """write.distribution-mode=range clusters rows globally by the sort
+    key: file min/max bounds become non-overlapping, so a range
+    predicate on the key prunes most files at planning time."""
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table(
+        "db.range", schema,
+        properties={"write.distribution-mode": "range",
+                    "write.target-file-size-bytes": "262144"})
+    t = t.replace_sort_order(("o_orderkey", "identity", "asc"))
+    # tiny test input: stop AQE from coalescing the range shuffle into
+    # one task so multiple disjoint files actually materialize
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        t.append(df.repartition(16))  # scrambled input
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+
+    t = catalog.load_table("db.range")
+    assert t.to_df(spark).count() == df.count()
+    tasks = t.scan().plan_files()
+    assert len(tasks) > 1
+    scan = t.scan(E.lt("o_orderkey", 100))
+    scan.plan_files()
+    assert scan.report.skipped_data_files > 0
+    assert scan.to_df(spark).count() == \
+        df.filter(F.col("o_orderkey") < 100).count()
