@@ -132,3 +132,24 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(0),
                         F.coalesce(F.col("duration_ms"), F.lit(0)),
                         F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 10_000,
+                     overlap_ms: int = 0) -> DataFrame:
+    """Audio chunking *plan*: one row per (media_id, chunk_start_ms,
+    chunk_end_ms) window, optionally overlapping (ASR pipelines use
+    small overlaps so words at boundaries survive).  The resample/
+    decode kernel is the stubbed part; window generation is plain
+    DataFrame work that scales with total duration, not file count."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap must be smaller than the chunk")
+    step = chunk_ms - overlap_ms
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    return (df.filter(F.col("media_type") == "audio")
+            .select("media_id", dur.alias("__dur"),
+                    F.explode(F.sequence(
+                        F.lit(0), F.greatest(dur - 1, F.lit(0)),
+                        F.lit(step))).alias("chunk_start_ms"))
+            .select("media_id", "chunk_start_ms",
+                    F.least(F.col("chunk_start_ms") + chunk_ms,
+                            F.col("__dur")).alias("chunk_end_ms")))

@@ -471,3 +471,23 @@ def test_kmeans_iteration_tightens_clusters(spark, sf_dir):
     m3 = kmeans_assignments(emb, k=4, iters=3) \
         .agg(F2.avg("cosine")).first()[0]
     assert m3 >= m1 - 1e-9
+
+
+def test_audio_chunk_plan(spark):
+    from iceberg_go_spark.operators.multimodal import audio_chunk_plan
+    df = spark.createDataFrame(
+        [(1, "audio", 25_000), (2, "audio", 10_000), (3, "video", 99_000),
+         (4, "audio", 0)],
+        "media_id long, media_type string, duration_ms long")
+    rows = sorted((r.media_id, r.chunk_start_ms, r.chunk_end_ms)
+                  for r in audio_chunk_plan(df, chunk_ms=10_000).collect())
+    assert rows == [(1, 0, 10_000), (1, 10_000, 20_000),
+                    (1, 20_000, 25_000),
+                    (2, 0, 10_000),
+                    (4, 0, 0)]
+    # overlapping windows step by chunk - overlap
+    ov = sorted((r.chunk_start_ms, r.chunk_end_ms)
+                for r in audio_chunk_plan(
+                    df.filter("media_id = 2"), chunk_ms=6_000,
+                    overlap_ms=2_000).collect())
+    assert ov == [(0, 6_000), (4_000, 10_000), (8_000, 10_000)]
