@@ -62,6 +62,9 @@ EXTRA = [
     "mixture_sample_by_source",
     "shuffle_shards_export",
     "semantic_dedup_embeddings",
+    "iceberg_merge_scan",
+    "iceberg_defaults_scan",
+    "multimodal_resize",
 ]
 
 
