@@ -1490,6 +1490,64 @@ FROM af LEFT JOIN dups d ON af.vec_id = d.vec_id
 """
 
 
+def _duplicated_docs(spark, sf_dir):
+    """documents plus shifted-id copies of every %3 doc — deterministic
+    duplicate mass for the keep-best / soft-dedup queries (the raw
+    testdata has no exact duplicates)."""
+    docs = _read(spark, sf_dir, "documents")
+    copies = (docs.filter(F.col("doc_id") % 3 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return docs.unionByName(copies)
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Exact dedup keeping the highest-scoring copy per content group
+    (operators/dedup.py exact_dedup_keep_best); the score ranks the
+    shifted copies above the originals, so survivors of duplicated
+    groups are the copies — demonstrably not keep-min-id."""
+    d = _duplicated_docs(spark, sf_dir)
+    scored = d.withColumn(
+        "score", F.when(F.col("doc_id") >= 1_000_000, 2).otherwise(1))
+    out = DD.exact_dedup_keep_best(scored, "score")
+    return out.select("doc_id", "lang", "n_copies")
+
+
+KEEP_BEST_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 3 = 0),
+scored AS (
+  SELECT *, CASE WHEN doc_id >= 1000000 THEN 2 ELSE 1 END AS score,
+         md5(text) AS h FROM corpus)
+SELECT doc_id, lang, n_copies FROM (
+  SELECT doc_id, lang,
+         COUNT(*) OVER (PARTITION BY h)::BIGINT AS n_copies,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
+def soft_dedup_weights(spark, sf_dir):
+    """Soft dedup: 1/n_copies weights instead of dropping
+    (operators/dedup.py soft_dedup_weights)."""
+    d = _duplicated_docs(spark, sf_dir)
+    return DD.soft_dedup_weights(d)
+
+
+SOFT_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
+       round(1.0 / COUNT(*) OVER (PARTITION BY md5(text)), 6) AS weight
+FROM corpus
+"""
+
+
 def _queries_df(spark, sf_dir, n: int = 5):
     emb = _read(spark, sf_dir, "embeddings")
     return (emb.orderBy("vec_id").limit(n)
@@ -2390,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transforms_datetime": transforms_datetime,
         "transforms_bucket": transforms_bucket,
         "dedup_exact": dedup_exact,
+        "dedup_keep_best": dedup_keep_best,
+        "soft_dedup_weights": soft_dedup_weights,
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
@@ -2465,6 +2525,8 @@ def oracle_sql() -> dict[str, str]:
         "transforms_datetime": TRANSFORMS_SQL,
         "transforms_bucket": _transforms_bucket_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_keep_best": KEEP_BEST_SQL,
+        "soft_dedup_weights": SOFT_DEDUP_SQL,
         "dedup_fingerprint": DEDUP_FP_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,

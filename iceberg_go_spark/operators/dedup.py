@@ -66,6 +66,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .drop("__h", "__rn"))
 
 
+def exact_dedup_keep_best(df: DataFrame, score_col,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the BEST copy per content group (highest
+    ``score_col``, doc_id tiebreak) instead of the arbitrary min-id —
+    near-identical web crawls differ in boilerplate, and the quality
+    scorer should pick the survivor.  Adds n_copies (group size) so
+    downstream mixture weighting can see duplication mass.
+
+    Scale shape: identical to exact_dedup — one shuffle keyed by the
+    content hash, window within group."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("__h").orderBy(F.desc("__s"), F.col(id_col))
+    cnt = Window.partitionBy("__h")
+    return (df.withColumn("__h", h).withColumn("__s", score)
+            .withColumn("n_copies", F.count(F.lit(1)).over(cnt))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__s", "__rn"))
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Soft deduplication: instead of dropping duplicates, weight every
+    document by 1/n_copies of its exact-content group (SoftDeDup-style
+    reweighting — total mass per unique content is 1, so the training
+    distribution matches the deduplicated one without losing any
+    provenance rows).  Returns (id, n_copies, weight).
+
+    One map-side-combinable groupBy on the content hash; the weights
+    join back broadcast-free on the same key."""
+    h = F.md5(F.col(text_col))
+    base = df.select(F.col(id_col), h.alias("__h"))
+    sizes = base.groupBy("__h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (base.join(sizes, "__h")
+            .select(id_col, "n_copies",
+                    F.round(F.lit(1.0) / F.col("n_copies"), 6)
+                    .alias("weight")))
+
+
 def exact_dedup_normalized(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the *normalized* fingerprint (case/punct-insensitive)."""

@@ -208,3 +208,23 @@ def test_semantic_dedup(spark):
     assert out[2].is_dup == 1
     assert out[3].is_dup == 0
     assert out[4].is_dup == 1
+
+
+def test_exact_dedup_keep_best_and_soft_weights(spark):
+    from iceberg_go_spark.operators.dedup import (exact_dedup_keep_best,
+                                                  soft_dedup_weights)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9),
+         (3, "same text", 0.9), (4, "unique", 0.1)],
+        "doc_id long, text string, q double")
+    kept = exact_dedup_keep_best(df, "q").collect()
+    by_id = {r.doc_id: r for r in kept}
+    # highest score wins, doc_id breaks the 2-vs-3 tie
+    assert set(by_id) == {2, 4}
+    assert by_id[2].n_copies == 3 and by_id[4].n_copies == 1
+    w = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    assert len(w) == 4
+    for d in (1, 2, 3):
+        assert w[d].n_copies == 3 and abs(w[d].weight - 1 / 3) < 1e-6
+    assert w[4].weight == 1.0
