@@ -273,16 +273,17 @@ class TableMetadata:
             encryption_keys=d.get("encryption-keys", []))
 
     def write(self, path: str) -> None:
-        """Write metadata JSON; a ``.gz.metadata.json`` path gzips the
-        payload (write.metadata.compression-codec, locations.go:66-77)."""
+        """Write metadata JSON; ``.gz.metadata.json`` gzips and
+        ``.zstd.metadata.json`` zstd-compresses the payload
+        (write.metadata.compression-codec, locations.go:66-77)."""
         from ..io import load_io
         data = json.dumps(self.to_json_dict(), indent=1).encode()
         if path.endswith(".gz.metadata.json"):
             import gzip
             data = gzip.compress(data)
         elif path.endswith(".zstd.metadata.json"):
-            raise ValueError("zstd metadata compression not available "
-                             "in this environment (use none or gzip)")
+            import pyarrow as pa
+            data = pa.Codec("zstd").compress(data, asbytes=True)
         load_io(path).write(path, data)
 
     @classmethod
@@ -292,6 +293,12 @@ class TableMetadata:
         if data[:2] == b"\x1f\x8b":  # gzip magic, any naming scheme
             import gzip
             data = gzip.decompress(data)
+        elif data[:4] == b"\x28\xb5\x2f\xfd":  # zstd magic
+            import pyarrow as pa
+            from .dv import _zstd_content_size
+            data = pa.Codec("zstd").decompress(
+                data, decompressed_size=_zstd_content_size(data),
+                asbytes=True)
         return cls.from_json_dict(json.loads(data))
 
 

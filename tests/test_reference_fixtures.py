@@ -178,3 +178,20 @@ def test_metrics_report_wire_format(spark, tmp_path, sf_dir):
         assert set(cr["metrics"][key]) == \
             set(golden_commit["metrics"][key]), key
     assert cr["metrics"]["added-records"]["value"] == df.count()
+
+
+def test_v2_valid_zstd_metadata():
+    """The reference's zstd-compressed golden metadata file reads
+    through our model and round-trips through our zstd writer."""
+    import os
+    import tempfile
+    from iceberg_go_spark.meta.metadata import TableMetadata
+    p = os.path.join(FIXTURES, "TableMetadataV2Valid.zstd.metadata.json")
+    md = TableMetadata.read(p)
+    assert md.format_version == 2 and md.schema().fields
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "00001-r.zstd.metadata.json")
+        md.write(out)
+        with open(out, "rb") as f:
+            assert f.read(4) == b"\x28\xb5\x2f\xfd"
+        assert TableMetadata.read(out).table_uuid == md.table_uuid
