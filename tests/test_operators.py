@@ -491,3 +491,35 @@ def test_audio_chunk_plan(spark):
                     df.filter("media_id = 2"), chunk_ms=6_000,
                     overlap_ms=2_000).collect())
     assert ov == [(0, 6_000), (4_000, 10_000), (8_000, 10_000)]
+
+
+def test_streaming_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: the incremental event stream enriches from a
+    static dimension table (broadcast per microbatch) — counts and
+    per-key sums must match the batch join."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.source import read_stream
+    import __spark_entry__ as em
+    ev = em._read(spark, sf_dir, "events").limit(400).cache()
+    users = (ev.select("user_id").distinct()
+             .withColumn("segment", (F.col("user_id") % 4)))
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.enrich", Schema.from_spark(ev.schema))
+    t.append(ev)
+
+    stream = read_stream(spark, t)
+    joined = (stream.join(F.broadcast(users), "user_id")
+              .groupBy("segment")
+              .agg(F.count(F.lit(1)).alias("n")))
+    q = (joined.writeStream.format("memory").queryName("enriched")
+         .outputMode("complete").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(120)
+    got = {r.segment: r.n for r in spark.sql(
+        "SELECT segment, n FROM enriched").collect()}
+    exp = {r.segment: r.n for r in
+           ev.join(users, "user_id").groupBy("segment")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp and got
