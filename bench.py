@@ -65,6 +65,8 @@ EXTRA = [
     "iceberg_merge_scan",
     "iceberg_defaults_scan",
     "multimodal_resize",
+    "dedup_keep_best",
+    "soft_dedup_weights",
 ]
 
 
