@@ -306,28 +306,39 @@ class InspectTable:
         return self.files().filter("content != 0")
 
     def all_files(self) -> DataFrame:
-        """files() across EVERY snapshot (Iceberg all_files table):
-        union of each snapshot's live file set, deduplicated by path —
-        files no longer live in the current snapshot still appear."""
+        """files() across EVERY snapshot (Iceberg all_files table),
+        deduplicated by path — files no longer live in the current
+        snapshot still appear.
+
+        Scale shape: snapshots share almost all their manifests, so the
+        walk dedupes MANIFESTS first (the all_manifests logic) and reads
+        each shared manifest exactly once — O(distinct manifests), not
+        O(snapshots x manifests) like replanning every snapshot would
+        be."""
+        from ..meta import manifests as M
         md = self.table.metadata
-        from .scan import Scan
+        manifest_paths: dict = {}
+        for snap in md.snapshots:
+            try:
+                mfs = M.read_manifest_list(snap.manifest_list)
+            except FileNotFoundError:  # expired-but-logged snapshot
+                continue
+            for mf in mfs:
+                manifest_paths.setdefault(mf.manifest_path, mf)
         seen = set()
         rows = []
-        for snap in md.snapshots:
-            scan = Scan(self.table, snapshot_id=snap.snapshot_id)
-            for t in scan.plan_files():
-                sid = t.spec_id if t.spec_id is not None \
-                    else md.default_spec_id
-                for d in ([t.data_file] + list(t.pos_deletes) +
-                          list(t.eq_deletes)):
-                    if d.file_path in seen:
-                        continue
-                    seen.add(d.file_path)
-                    rows.append((d.content, d.file_path, d.file_format,
-                                 json.dumps(d.partition, sort_keys=True,
-                                            default=str),
-                                 d.record_count, d.file_size_in_bytes,
-                                 d.sort_order_id, sid))
+        for path, mf in sorted(manifest_paths.items()):
+            entries, _spec, _sid = M.read_manifest(path)
+            for entry in entries:
+                d = entry.data_file
+                if d.file_path in seen or entry.status == M.STATUS_DELETED:
+                    continue
+                seen.add(d.file_path)
+                rows.append((d.content, d.file_path, d.file_format,
+                             json.dumps(d.partition, sort_keys=True,
+                                        default=str),
+                             d.record_count, d.file_size_in_bytes,
+                             d.sort_order_id, mf.partition_spec_id))
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
 
     def partitions(self) -> DataFrame:
