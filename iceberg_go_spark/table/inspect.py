@@ -85,6 +85,20 @@ PARTITIONS_SCHEMA = ST.StructType([
     ST.StructField("total_data_file_size_in_bytes", ST.LongType(), False),
 ])
 
+ENTRIES_SCHEMA = ST.StructType([
+    ST.StructField("status", ST.IntegerType(), False),
+    ST.StructField("snapshot_id", ST.LongType(), True),
+    ST.StructField("sequence_number", ST.LongType(), True),
+    ST.StructField("file_sequence_number", ST.LongType(), True),
+    ST.StructField("content", ST.IntegerType(), False),
+    ST.StructField("file_path", ST.StringType(), False),
+    ST.StructField("file_format", ST.StringType(), False),
+    ST.StructField("record_count", ST.LongType(), False),
+    ST.StructField("file_size_in_bytes", ST.LongType(), False),
+    ST.StructField("partition",
+                   ST.MapType(ST.StringType(), ST.StringType()), False),
+])
+
 
 class InspectTable:
     def __init__(self, table, spark: SparkSession):
@@ -196,30 +210,39 @@ class InspectTable:
         rows = []
         if snap is not None:
             for mf in M.read_manifest_list(snap.manifest_list):
-                es, _spec, _sid = M.read_manifest(mf.manifest_path)
-                for e in es:
-                    d = e.data_file
-                    rows.append((
-                        e.status, e.snapshot_id, e.sequence_number,
-                        e.file_sequence_number, d.content, d.file_path,
-                        d.file_format, d.record_count,
-                        d.file_size_in_bytes,
-                        {k: str(v) for k, v in (d.partition or {}).items()}))
-        schema = ST.StructType([
-            ST.StructField("status", ST.IntegerType(), False),
-            ST.StructField("snapshot_id", ST.LongType(), True),
-            ST.StructField("sequence_number", ST.LongType(), True),
-            ST.StructField("file_sequence_number", ST.LongType(), True),
-            ST.StructField("content", ST.IntegerType(), False),
-            ST.StructField("file_path", ST.StringType(), False),
-            ST.StructField("file_format", ST.StringType(), False),
-            ST.StructField("record_count", ST.LongType(), False),
-            ST.StructField("file_size_in_bytes", ST.LongType(), False),
-            ST.StructField("partition",
-                           ST.MapType(ST.StringType(), ST.StringType()),
-                           False),
-        ])
-        return self.spark.createDataFrame(rows, schema)
+                rows.extend(self._entry_rows(mf.manifest_path))
+        return self.spark.createDataFrame(rows, ENTRIES_SCHEMA)
+
+    @staticmethod
+    def _entry_rows(manifest_path: str):
+        from ..meta import manifests as M
+        es, _spec, _sid = M.read_manifest(manifest_path)
+        for e in es:
+            d = e.data_file
+            yield (e.status, e.snapshot_id, e.sequence_number,
+                   e.file_sequence_number, d.content, d.file_path,
+                   d.file_format, d.record_count, d.file_size_in_bytes,
+                   {k: str(v) for k, v in (d.partition or {}).items()})
+
+    def all_entries(self) -> DataFrame:
+        """entries() across every snapshot's manifest list, reading each
+        shared manifest once (same dedupe walk as all_files): the full
+        add/exist/delete history of every file the table has ever
+        referenced."""
+        from ..meta import manifests as M
+        md = self.table.metadata
+        manifest_paths = {}
+        for snap in md.snapshots:
+            try:
+                mfs = M.read_manifest_list(snap.manifest_list)
+            except FileNotFoundError:
+                continue
+            for mf in mfs:
+                manifest_paths.setdefault(mf.manifest_path, mf)
+        rows = []
+        for path in sorted(manifest_paths):
+            rows.extend(self._entry_rows(path))
+        return self.spark.createDataFrame(rows, ENTRIES_SCHEMA)
 
     def metadata_log_entries(self) -> DataFrame:
         """The table's metadata-file lineage (spec metadata_log_entries

@@ -153,3 +153,13 @@ def test_position_deletes(spark, table3):
     assert raw - live == len(rows)
     paths = {t.data_file.file_path for t in table3.scan().plan_files()}
     assert all(r.file_path in paths for r in rows)
+
+
+def test_all_entries(spark, table3):
+    ents = table3.inspect(spark).all_entries().collect()
+    cur = table3.inspect(spark).entries().collect()
+    assert len(ents) >= len(cur)
+    assert {e.file_path for e in ents} >= {e.file_path for e in cur}
+    # history includes ADDED rows from every snapshot
+    snap_ids = {s.snapshot_id for s in table3.metadata.snapshots}
+    assert {e.snapshot_id for e in ents if e.status == 1} <= snap_ids
