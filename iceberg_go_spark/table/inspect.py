@@ -226,23 +226,18 @@ class InspectTable:
 
     def all_entries(self) -> DataFrame:
         """entries() across every snapshot's manifest list, reading each
-        shared manifest once (same dedupe walk as all_files): the full
-        add/exist/delete history of every file the table has ever
+        shared manifest once ON EXECUTORS (same walk as all_files): the
+        full add/exist/delete history of every file the table has ever
         referenced."""
-        from ..meta import manifests as M
-        md = self.table.metadata
-        manifest_paths = {}
-        for snap in md.snapshots:
-            try:
-                mfs = M.read_manifest_list(snap.manifest_list)
-            except FileNotFoundError:
-                continue
-            for mf in mfs:
-                manifest_paths.setdefault(mf.manifest_path, mf)
-        rows = []
-        for path in sorted(manifest_paths):
-            rows.extend(self._entry_rows(path))
-        return self.spark.createDataFrame(rows, ENTRIES_SCHEMA)
+        manifest_paths = self._deduped_manifests()
+        if not manifest_paths:
+            return self.spark.createDataFrame([], ENTRIES_SCHEMA)
+        reader = InspectTable._entry_rows
+        paths = sorted(manifest_paths)
+        rdd = (self.spark.sparkContext
+               .parallelize(paths, min(len(paths), 64))
+               .flatMap(reader))
+        return self.spark.createDataFrame(rdd, ENTRIES_SCHEMA)
 
     def metadata_log_entries(self) -> DataFrame:
         """The table's metadata-file lineage (spec metadata_log_entries
@@ -334,35 +329,52 @@ class InspectTable:
         snapshot still appear.
 
         Scale shape: snapshots share almost all their manifests, so the
-        walk dedupes MANIFESTS first (the all_manifests logic) and reads
-        each shared manifest exactly once — O(distinct manifests), not
-        O(snapshots x manifests) like replanning every snapshot would
-        be."""
-        from ..meta import manifests as M
+        walk dedupes MANIFESTS first (the all_manifests logic); the
+        deduped manifests are then read ON EXECUTORS (one task per
+        manifest, like the orphan scanner) and the per-file dedupe is a
+        distributed dropDuplicates — the driver holds only manifest
+        paths, never file rows."""
         md = self.table.metadata
-        manifest_paths: dict = {}
-        for snap in md.snapshots:
+        manifest_paths = self._deduped_manifests()
+        if not manifest_paths:
+            return self.spark.createDataFrame([], FILES_SCHEMA)
+        spec_by_path = {p: mf.partition_spec_id
+                        for p, mf in manifest_paths.items()}
+
+        def read_rows(path):
+            from iceberg_go_spark.meta import manifests as M2
+            entries, _spec, _sid = M2.read_manifest(path)
+            for entry in entries:
+                if entry.status == M2.STATUS_DELETED:
+                    continue
+                d = entry.data_file
+                yield (d.content, d.file_path, d.file_format,
+                       json.dumps(d.partition, sort_keys=True,
+                                  default=str),
+                       d.record_count, d.file_size_in_bytes,
+                       d.sort_order_id, spec_by_path[path])
+
+        paths = sorted(manifest_paths)
+        rdd = (self.spark.sparkContext
+               .parallelize(paths, min(len(paths), 64))
+               .flatMap(read_rows))
+        return (self.spark.createDataFrame(rdd, FILES_SCHEMA)
+                .dropDuplicates(["file_path"]))
+
+    def _deduped_manifests(self) -> dict:
+        """Distinct manifest-path -> ManifestFile across every
+        snapshot's manifest list (expired-but-logged snapshots
+        skipped)."""
+        from ..meta import manifests as M
+        out: dict = {}
+        for snap in self.table.metadata.snapshots:
             try:
                 mfs = M.read_manifest_list(snap.manifest_list)
-            except FileNotFoundError:  # expired-but-logged snapshot
+            except FileNotFoundError:
                 continue
             for mf in mfs:
-                manifest_paths.setdefault(mf.manifest_path, mf)
-        seen = set()
-        rows = []
-        for path, mf in sorted(manifest_paths.items()):
-            entries, _spec, _sid = M.read_manifest(path)
-            for entry in entries:
-                d = entry.data_file
-                if d.file_path in seen or entry.status == M.STATUS_DELETED:
-                    continue
-                seen.add(d.file_path)
-                rows.append((d.content, d.file_path, d.file_format,
-                             json.dumps(d.partition, sort_keys=True,
-                                        default=str),
-                             d.record_count, d.file_size_in_bytes,
-                             d.sort_order_id, mf.partition_spec_id))
-        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+                out.setdefault(mf.manifest_path, mf)
+        return out
 
     def partitions(self) -> DataFrame:
         agg = {}
