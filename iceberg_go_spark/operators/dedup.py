@@ -424,3 +424,29 @@ def unicode_nfc_fingerprint(df: DataFrame, text_col: str = "text",
     nfc_md5 = pandas_udf(_nfc_md5, "string")
     return df.select(F.col(id_col), nfc_md5(F.col(text_col))
                      .alias("nfc_md5"))
+
+
+def incremental_dedup_sharded(new_batch: DataFrame, history: DataFrame,
+                              n_shards: int = 4,
+                              text_col: str = "text",
+                              n_bits: int = 1 << 22,
+                              n_hashes: int = 5) -> DataFrame:
+    """The documented scale path for bloom dedup: when one filter over
+    the whole history outgrows broadcast, shard by an md5 prefix of the
+    content and run one bounded pass per shard — each pass builds and
+    broadcasts only that shard's bloom and filters only that shard's
+    batch rows, so peak broadcast is total_bits/n_shards regardless of
+    history size.  Results union back (shards partition the key space,
+    so passes are independent)."""
+    shard = (F.conv(F.substring(F.md5(F.col(text_col)), 1, 2), 16, 10)
+             .cast("int") % n_shards)
+    outs = []
+    for s in range(n_shards):
+        hist_s = history.filter(shard == s)
+        bloom = build_content_bloom(hist_s, text_col, n_bits, n_hashes)
+        batch_s = new_batch.filter(shard == s)
+        outs.append(incremental_dedup(batch_s, bloom, text_col, n_hashes))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

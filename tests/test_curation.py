@@ -262,3 +262,24 @@ def test_unicode_nfc_fingerprint(spark):
     assert out[1] == out[2]           # canonical equivalents collapse
     assert out[1] != out[3]
     assert out[4] is None
+
+
+def test_incremental_bloom_dedup_sharded(spark):
+    from iceberg_go_spark.operators.dedup import (incremental_dedup,
+                                                  build_content_bloom,
+                                                  incremental_dedup_sharded)
+    hist = spark.createDataFrame(
+        [(i, f"historical document {i}") for i in range(400)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1000 + i, f"historical document {i}") for i in range(80)]
+        + [(2000 + i, f"fresh document {i}") for i in range(80)],
+        "doc_id long, text string")
+    sharded = {r.doc_id for r in
+               incremental_dedup_sharded(new, hist, n_shards=4).collect()}
+    single = {r.doc_id for r in
+              incremental_dedup(new, build_content_bloom(hist)).collect()}
+    # shards partition the key space: no replayed doc survives, and the
+    # survivor set matches the single-bloom path up to fpp noise
+    assert not any(1000 <= i < 1080 for i in sharded)
+    assert len(sharded.symmetric_difference(single)) <= 4
