@@ -156,6 +156,9 @@ class RestCatalog:
         out = self._request("GET", f"/v1/namespaces/{self._ns(namespace)}")
         return out.get("properties", {})
 
+    def drop_namespace(self, namespace) -> None:
+        self._request("DELETE", f"/v1/namespaces/{self._ns(namespace)}")
+
     def update_namespace_properties(self, namespace,
                                     removals: Optional[List[str]] = None,
                                     updates: Optional[Dict[str, str]] = None
@@ -535,21 +538,26 @@ def _make_handler(state: _State):
             return [urllib.parse.unquote(p)
                     for p in self.path.split("?")[0].split("/") if p]
 
-        def _page(self, items: list, key: str) -> dict:
-            """Spec pagination: slice to the server page size and hand
-            back an opaque next-page-token (the start offset) while
-            more pages remain.  page_size None = everything in one
+        def _page(self, pairs: list, key: str) -> dict:
+            """Spec pagination: ``pairs`` is a SORTED list of
+            (sort_key_tuple, rendered_item).  The opaque next-page-token
+            is the JSON of the last served sort key, and a page resumes
+            strictly AFTER it — a stable cursor, so concurrent
+            creates/drops never skip or repeat surviving entries (an
+            offset token would).  page_size None = everything in one
             response (pagination off)."""
             qs = urllib.parse.parse_qs(
                 urllib.parse.urlsplit(self.path).query)
-            start = int(qs.get("pageToken", ["0"])[0] or 0)
+            token = qs.get("pageToken", [None])[0]
+            if token:
+                cursor = tuple(json.loads(token))
+                pairs = [p for p in pairs if p[0] > cursor]
             size = state.page_size
-            if not size:
-                return {key: items[start:]}
-            out = {key: items[start:start + size]}
-            if start + size < len(items):
-                out["next-page-token"] = str(start + size)
-            return out
+            if not size or len(pairs) <= size:
+                return {key: [r for _k, r in pairs]}
+            page = pairs[:size]
+            return {key: [r for _k, r in page],
+                    "next-page-token": json.dumps(list(page[-1][0]))}
 
         def do_GET(self):
             p = self._parts()
@@ -560,7 +568,7 @@ def _make_handler(state: _State):
                                         {"warehouse": state.warehouse}})
             if p == ["v1", "namespaces"]:
                 return self._send(200, self._page(
-                    [list(ns) for ns in sorted(state.namespaces)],
+                    [(ns, list(ns)) for ns in sorted(state.namespaces)],
                     "namespaces"))
             if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
                 ns = tuple(p[2].split("\x1f"))
@@ -572,7 +580,8 @@ def _make_handler(state: _State):
             if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "tables":
                 ns = tuple(p[2].split("\x1f"))
-                ids = [{"namespace": list(k[0]), "name": k[1]}
+                ids = [(k[0] + (k[1],),
+                        {"namespace": list(k[0]), "name": k[1]})
                        for k in sorted(state.tables) if k[0] == ns]
                 return self._send(200, self._page(ids, "identifiers"))
             if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
@@ -595,7 +604,8 @@ def _make_handler(state: _State):
                     and p[3] in ("views", "functions"):
                 ns = tuple(p[2].split("\x1f"))
                 store = state.views if p[3] == "views" else state.functions
-                ids = [{"namespace": list(k[0]), "name": k[1]}
+                ids = [(k[0] + (k[1],),
+                        {"namespace": list(k[0]), "name": k[1]})
                        for k in sorted(store) if k[0] == ns]
                 return self._send(200, self._page(ids, "identifiers"))
             if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
@@ -828,6 +838,17 @@ def _make_handler(state: _State):
             p = self._parts()
             if not self._check_auth():
                 return
+            if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+                ns = tuple(p[2].split("\x1f"))
+                with state.lock:
+                    if ns not in state.namespaces:
+                        return self._send(404,
+                                          {"error": "no such namespace"})
+                    if any(k[0] == ns for k in state.tables):
+                        return self._send(409,
+                                          {"error": "namespace not empty"})
+                    del state.namespaces[ns]
+                return self._send(204)
             if len(p) == 5 and p[3] == "tables":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
                 with state.lock:

@@ -273,3 +273,35 @@ def test_rest_namespace_properties(tmp_path):
         assert cat.load_namespace_properties(("db",)) == {"tier": "cold"}
     finally:
         srv.stop()
+
+
+def test_rest_pagination_stable_under_mutation(tmp_path):
+    """Cursor tokens (not offsets): dropping an already-served entry
+    between pages must not skip a surviving one."""
+    from iceberg_go_spark.catalog.rest import (RestCatalog,
+                                               RestCatalogServer)
+    import json as _json
+    import urllib.request
+    srv = RestCatalogServer(str(tmp_path / "wh"), page_size=2).start()
+    try:
+        cat = RestCatalog(srv.uri)
+        for i in range(6):
+            cat.create_namespace((f"ns{i}",))
+        # fetch page 1 manually
+        with urllib.request.urlopen(srv.uri + "/v1/namespaces") as r:
+            first = _json.loads(r.read())
+        assert [n[0] for n in first["namespaces"]] == ["ns0", "ns1"]
+        token = first["next-page-token"]
+        # drop an entry that was already served, then continue paging
+        cat.drop_namespace(("ns0",))
+        url = (srv.uri + "/v1/namespaces?pageToken="
+               + urllib.parse.quote(token))
+        import urllib.parse
+        with urllib.request.urlopen(url) as r:
+            second = _json.loads(r.read())
+        assert [n[0] for n in second["namespaces"]] == ["ns2", "ns3"]
+        # full client walk sees every survivor exactly once
+        assert sorted(cat.list_namespaces()) == \
+            [(f"ns{i}",) for i in range(1, 6)]
+    finally:
+        srv.stop()
