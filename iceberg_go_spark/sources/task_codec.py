@@ -109,3 +109,38 @@ def decode_tasks(payload: str) -> List[FileScanTask]:
             eq_deletes=[_df_from_dict(x) for x in d["eq_deletes"]],
             start=d.get("start", 0), length=d.get("length")))
     return out
+
+
+# --- Avro single-entry DataFile wire form ---------------------------------
+
+def encode_data_file_avro(d: DataFile, schema, spec) -> bytes:
+    """Wire-parity DataFile exchange (codec/data_file.go EncodeDataFile):
+    the DataFile travels as ONE manifest-entry record in a standard Avro
+    manifest container, so any engine that reads Iceberg manifests can
+    decode it — unlike the JSON task codec, which is ours alone."""
+    import os
+    import tempfile
+
+    from ..meta import manifests as M
+
+    entry = M.ManifestEntry(status=M.STATUS_ADDED, snapshot_id=None,
+                            sequence_number=None,
+                            file_sequence_number=None, data_file=d)
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    os.close(fd)
+    try:
+        M.write_manifest(path, [entry], schema, spec)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def decode_data_file_avro(data: bytes) -> DataFile:
+    """Decode the Avro manifest-entry wire form back to a DataFile."""
+    from ..meta import manifests as M
+    entries, _spec, _sid = M.read_manifest(data)
+    if len(entries) != 1:
+        raise ValueError(
+            f"expected one manifest entry, got {len(entries)}")
+    return entries[0].data_file

@@ -230,3 +230,31 @@ def test_datasource_initial_defaults(spark, tmp_path, sf_dir):
            .option("table", "db.defaults").load())
     assert got.filter(F.col("tier") == "bronze").count() == nation.count()
     assert got.filter(F.col("rank").isNull()).count() == nation.count()
+
+
+def test_data_file_avro_codec_roundtrip():
+    """codec/data_file.go parity: a DataFile exchanged as a one-entry
+    Avro manifest container round-trips, and the container is a plain
+    manifest any engine can read."""
+    from iceberg_go_spark.sources.task_codec import (
+        decode_data_file_avro, encode_data_file_avro)
+    from iceberg_go_spark.meta.manifests import DataFile
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    from iceberg_go_spark import types as T
+    schema = Schema([T.NestedField(1, "id", T.LongType(), required=True),
+                     T.NestedField(2, "cat", T.StringType())])
+    spec = spec_from_names(schema, ("cat", "identity"))
+    d = DataFile(content=0, file_path="/data/x.parquet",
+                 file_format="PARQUET", partition={"cat": "a"},
+                 record_count=10, file_size_in_bytes=1234,
+                 value_counts={1: 10},
+                 lower_bounds={1: b"\x01\x00\x00\x00\x00\x00\x00\x00"},
+                 upper_bounds={1: b"\x0a\x00\x00\x00\x00\x00\x00\x00"})
+    blob = encode_data_file_avro(d, schema, spec)
+    assert blob[:4] == b"Obj\x01"  # standard Avro container magic
+    back = decode_data_file_avro(blob)
+    assert back.file_path == d.file_path
+    assert back.partition == d.partition
+    assert back.record_count == d.record_count
+    assert back.lower_bounds == d.lower_bounds
+    assert back.upper_bounds == d.upper_bounds
