@@ -70,6 +70,17 @@ def _scan(options, row_filter=None):
         kw["snapshot_id"] = int(options["snapshot_id"])
     if options.get("ref"):
         kw["ref"] = options["ref"]
+    if options.get("as_of"):
+        # epoch millis, or an ISO timestamp (UTC assumed when naive)
+        v = options["as_of"]
+        try:
+            kw["as_of_ms"] = int(v)
+        except ValueError:
+            import datetime as _dt
+            ts = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            kw["as_of_ms"] = int(ts.timestamp() * 1000)
     return t.scan(row_filter=row_filter, **kw)
 
 

@@ -258,3 +258,34 @@ def test_data_file_avro_codec_roundtrip():
     assert back.record_count == d.record_count
     assert back.lower_bounds == d.lower_bounds
     assert back.upper_bounds == d.upper_bounds
+
+
+def test_datasource_as_of_time_travel(spark, tmp_path, sf_dir):
+    """option('as_of'): epoch millis or ISO timestamp resolves the
+    snapshot current at that time."""
+    import time
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.sources.datasource import register
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.tt", Schema.from_spark(nation.schema))
+    t = t.append(nation.limit(10))
+    mid_ms = t.current_snapshot().timestamp_ms
+    time.sleep(0.05)
+    t.append(nation)
+    register(spark)
+
+    def load(**opts):
+        r = (spark.read.format("iceberg_go_spark")
+             .option("warehouse", str(tmp_path / "wh"))
+             .option("table", "db.tt"))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert load().count() == 10 + nation.count()
+    assert load(as_of=str(mid_ms)).count() == 10
+    import datetime
+    iso = datetime.datetime.fromtimestamp(
+        mid_ms / 1000, datetime.timezone.utc).isoformat()
+    assert load(as_of=iso).count() == 10
