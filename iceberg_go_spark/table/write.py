@@ -310,6 +310,10 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     # input_partitions × partition_values small files
     dist_mode = properties.get("write.distribution-mode",
                                "hash" if pcols else "none")
+    if dist_mode not in ("none", "hash", "range"):
+        raise ValueError(
+            f"unsupported write.distribution-mode: {dist_mode!r} "
+            "(none, hash, range)")
     if dist_mode == "range":
         # range distribution: globally cluster by (partition cols, sort
         # order) — each task holds a contiguous key range, so sorted

@@ -326,3 +326,12 @@ def test_range_distribution_mode(spark, sf_dir, catalog):
     assert scan.report.skipped_data_files > 0
     assert scan.to_df(spark).count() == \
         df.filter(F.col("o_orderkey") < 100).count()
+
+
+def test_unknown_distribution_mode_rejected(spark, sf_dir, catalog):
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table(
+        "db.badmode", Schema.from_spark(df.schema),
+        properties={"write.distribution-mode": "round-robin"})
+    with pytest.raises(ValueError, match="distribution-mode"):
+        t.append(df)
