@@ -216,8 +216,12 @@ class RestCatalog:
 
     def drop_table(self, identifier, purge: bool = False) -> None:
         ns, name = self._split(identifier)
-        self._request("DELETE",
-                      f"/v1/namespaces/{self._ns(ns)}/tables/{name}")
+        # purgeRequested per rest.go:1701,1727 — the server deletes the
+        # table's files, not just the catalog pointer
+        self._request(
+            "DELETE",
+            f"/v1/namespaces/{self._ns(ns)}/tables/{name}"
+            f"?purgeRequested={'true' if purge else 'false'}")
 
     def rename_table(self, src, dst) -> None:
         sns, sname = self._split(src)
@@ -851,10 +855,25 @@ def _make_handler(state: _State):
                 return self._send(204)
             if len(p) == 5 and p[3] == "tables":
                 ns, name = tuple(p[2].split("\x1f")), p[4]
+                qs = urllib.parse.parse_qs(
+                    urllib.parse.urlsplit(self.path).query)
+                purge = qs.get("purgeRequested", ["false"])[0] == "true"
                 with state.lock:
-                    if (ns, name) not in state.tables:
+                    loc = state.tables.get((ns, name))
+                    if loc is None:
                         return self._send(404, {"error": "no such table"})
                     del state.tables[(ns, name)]
+                if purge and loc and os.path.exists(loc):
+                    # physical purge: the whole table tree under the
+                    # metadata file's table location
+                    import shutil
+                    try:
+                        with open(loc) as f:
+                            tbl_loc = json.load(f).get("location")
+                        if tbl_loc and os.path.isdir(tbl_loc):
+                            shutil.rmtree(tbl_loc, ignore_errors=True)
+                    except (OSError, ValueError):
+                        pass
                 return self._send(200, {})
             if len(p) == 5 and p[3] == "views":
                 ns, name = tuple(p[2].split("\x1f")), p[4]

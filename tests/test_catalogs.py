@@ -305,3 +305,29 @@ def test_rest_pagination_stable_under_mutation(tmp_path):
             [(f"ns{i}",) for i in range(1, 6)]
     finally:
         srv.stop()
+
+
+def test_rest_drop_table_purge(tmp_path, spark, sf_dir):
+    import os
+    from iceberg_go_spark.catalog.rest import (RestCatalog,
+                                               RestCatalogServer)
+    from conftest import read_table
+    srv = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(srv.uri)
+        cat.create_namespace(("db",))
+        df = read_table(spark, "region", sf_dir)
+        t = cat.create_table(("db", "purged"), Schema.from_spark(df.schema))
+        t.append(df)
+        loc = t.location()
+        assert os.path.isdir(loc)
+        cat.drop_table(("db", "purged"), purge=True)
+        assert not os.path.exists(loc)
+        # non-purge drop keeps files
+        t2 = cat.create_table(("db", "kept"), Schema.from_spark(df.schema))
+        t2.append(df)
+        loc2 = t2.location()
+        cat.drop_table(("db", "kept"))
+        assert os.path.isdir(loc2)
+    finally:
+        srv.stop()
