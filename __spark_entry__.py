@@ -31,6 +31,7 @@ from iceberg_go_spark.functions import vector_funcs as V  # noqa: E402
 from iceberg_go_spark.operators import curation as CU  # noqa: E402
 from iceberg_go_spark.operators import dedup as DD  # noqa: E402
 from iceberg_go_spark.operators import multimodal as MM  # noqa: E402
+from iceberg_go_spark.operators import rollup as RU  # noqa: E402
 from iceberg_go_spark.operators import similarity as SIM  # noqa: E402
 from iceberg_go_spark.operators import text as TOP  # noqa: E402
 
@@ -446,6 +447,33 @@ SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
   COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type, hour_epoch
+"""
+
+
+def events_resampled_dense(spark, sf_dir):
+    """Gap-filled hourly resample per event type over a sparse user
+    subset: every bucket between a type's first and last event appears,
+    empty ones as zero rows (operators/rollup.py resample_dense)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 7)
+    return RU.resample_dense(ev, bucket_seconds=3600)
+
+
+RESAMPLE_DENSE_SQL = """
+WITH sparse AS (
+  SELECT event_type AS grp,
+         (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket_epoch,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events WHERE user_id % 100 = 7 GROUP BY 1, 2),
+grid AS (
+  SELECT grp, unnest(range(mn, mx + 3600, 3600)) AS bucket_epoch
+  FROM (SELECT grp, MIN(bucket_epoch) AS mn, MAX(bucket_epoch) AS mx
+        FROM sparse GROUP BY grp))
+SELECT g.grp AS event_type, g.bucket_epoch::BIGINT AS bucket_epoch,
+       COALESCE(s.n_events, 0)::BIGINT AS n_events,
+       COALESCE(s.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN sparse s
+  ON g.grp = s.grp AND g.bucket_epoch = s.bucket_epoch
 """
 
 
@@ -2428,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": set_ops_customers,
         "top_customers_per_nation": top_customers_per_nation,
         "events_hourly": events_hourly,
+        "events_resampled_dense": events_resampled_dense,
         "sessionization": sessionization,
         "asof_join_events": asof_join_events,
         "range_join_acctbal": range_join_acctbal,
@@ -2505,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_customers": SET_OPS_SQL,
         "top_customers_per_nation": TOP_CUST_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "events_resampled_dense": RESAMPLE_DENSE_SQL,
         "sessionization": SESSIONIZATION_SQL,
         "asof_join_events": ASOF_SQL,
         "range_join_acctbal": RANGE_JOIN_SQL,

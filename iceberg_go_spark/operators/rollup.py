@@ -25,6 +25,42 @@ PROP_SOURCE_TABLE = "rollup.source-table"
 BUCKET_COL = "bucket_start"
 
 
+def resample_dense(df: DataFrame, bucket_seconds: int,
+                   time_col: str = "ts", group_col: str = "event_type",
+                   value_col: str = "value") -> DataFrame:
+    """Gap-filled time-series resample: one row per (group, bucket) for
+    EVERY bucket between each group's first and last event — empty
+    buckets materialize with zero counts (dashboards and forecasting
+    models need the dense grid, not the sparse groupBy).
+
+    Scale shape: the sparse aggregate is the usual keyed groupBy; the
+    dense grid explodes a per-GROUP bucket sequence (|groups| x
+    |buckets| rows — grid-sized, not data-sized) and left-joins the
+    sparse result on (group, bucket).  No window over the full data,
+    no driver materialization."""
+    ts_ltz = F.col(time_col).cast("timestamp")  # NTZ-tolerant (UTC)
+    bucket = (F.floor(F.unix_timestamp(ts_ltz) / bucket_seconds)
+              * bucket_seconds).cast("long")
+    sparse = (df.groupBy(F.col(group_col).alias("grp"),
+                         bucket.alias("bucket_epoch"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col(value_col).cast("decimal(18,6)"))
+                   .alias("__tv")))
+    spans = (sparse.groupBy("grp")
+             .agg(F.min("bucket_epoch").alias("__lo"),
+                  F.max("bucket_epoch").alias("__hi")))
+    grid = spans.select(
+        "grp",
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             F.lit(bucket_seconds).cast("long")))
+        .alias("bucket_epoch"))
+    return (grid.join(sparse, ["grp", "bucket_epoch"], "left")
+            .select(F.col("grp").alias(group_col), "bucket_epoch",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.coalesce(F.col("__tv").cast("double"), F.lit(0.0))
+                    .alias("total_value")))
+
+
 def _bucketed(df: DataFrame, time_col: str, bucket: str) -> DataFrame:
     return df.withColumn(
         BUCKET_COL,
