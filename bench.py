@@ -67,6 +67,7 @@ EXTRA = [
     "multimodal_resize",
     "dedup_keep_best",
     "soft_dedup_weights",
+    "events_resampled_dense",
 ]
 
 
