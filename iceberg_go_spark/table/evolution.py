@@ -129,7 +129,12 @@ class UpdateSchema:
                 self._renames.get(f.field_id, f.name),
                 self._retypes.get(f.field_id, f.field_type),
                 required=self._requireds.get(f.field_id, f.required),
-                doc=f.doc))
+                doc=f.doc,
+                # v3 defaults survive unrelated evolutions: losing them
+                # would make scans of pre-evolution files return NULL
+                # where the spec requires the initial-default
+                initial_default=f.initial_default,
+                write_default=f.write_default))
         out.extend(self._adds)
         new_id = max((s.schema_id for s in self.table.metadata.schemas),
                      default=0) + 1

@@ -402,7 +402,7 @@ class Scan:
         missing_defaults: Dict[str, frozenset] = {}
         if default_fields:
             missing_defaults = _probe_missing_defaults(
-                spark, tasks, default_fields)
+                spark, tasks, default_fields, nm_json)
         defaults_by_id = {f.field_id: f for f in default_fields}
 
         # group tasks by (applicable delete sets, name-based flag) so each
@@ -447,9 +447,11 @@ class Scan:
                         if fid is not None:
                             by_id[fid] = c
                 sel = []
+                resolved: Dict[int, Optional[str]] = {}
                 for f0, sf in zip(schema.fields, spark_schema.fields):
                     src = by_id.get(f0.field_id) if nm is not None else \
                         (f0.name if f0.name in file_cols else None)
+                    resolved[f0.field_id] = src
                     if src is None:
                         sel.append(F.lit(None).cast(sf.dataType)
                                    .alias(f0.name))
@@ -457,6 +459,14 @@ class Scan:
                         sel.append(F.col(src).cast(sf.dataType)
                                    .alias(f0.name))
                 df = df.select(*sel, F.col("_metadata"))
+                # ID-less files have no PARQUET:field_id, so the footer
+                # probe marks every defaulted field "missing" — but a
+                # name-resolved column IS present; filling it would
+                # clobber real data.  Fill only fields the name
+                # resolution could not find in the file.
+                missing_ids = frozenset(
+                    fid for fid in missing_ids
+                    if resolved.get(fid) is None)
             else:
                 read_schema = spark_schema
                 if self.row_lineage:
@@ -625,40 +635,59 @@ def _file_has_field_ids(path: str) -> bool:
     return any((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
 
 
-# data files are immutable: top-level field-id sets cached per path for
-# the process lifetime (same policy as _FIELD_ID_PROBE_CACHE)
-_FILE_FIELD_IDS_CACHE: Dict[str, frozenset] = {}
+# data files are immutable: top-level field-id sets cached per
+# (path, name-mapping) for the process lifetime (same policy as
+# _FIELD_ID_PROBE_CACHE; nm in the key because a mapping change alters
+# what an ID-less footer resolves to)
+_FILE_FIELD_IDS_CACHE: Dict[Tuple[str, Optional[str]], frozenset] = {}
 
 
-def _file_field_ids(path: str) -> frozenset:
+def _file_field_ids(path_nm: Tuple[str, Optional[str]]) -> frozenset:
     """Executor-side footer probe: the top-level field IDs present in
     this parquet file (for v3 default values: a field absent from the
-    file reads as its initial-default, not null)."""
+    file reads as its initial-default, not null).  ID-less files
+    (imported via add_files) carry no PARQUET:field_id, so their column
+    NAMES are resolved through the table name mapping — without this, a
+    present-by-name column would be wrongly reported missing and its
+    real values clobbered by the default constant."""
     import pyarrow.parquet as pq
+    path, nm_json = path_nm
     sch = pq.ParquetFile(path).schema_arrow
     ids = set()
+    unmapped_names = []
     for f in sch:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
             ids.add(int(fid))
+        else:
+            unmapped_names.append(f.name)
+    if unmapped_names and nm_json:
+        from iceberg_go_spark.meta.name_mapping import NameMapping
+        nm = NameMapping.from_json(nm_json)
+        for name in unmapped_names:
+            mapped = nm.id_for(name)
+            if mapped is not None:
+                ids.add(int(mapped))
     return frozenset(ids)
 
 
-def _probe_missing_defaults(spark: SparkSession, tasks,
-                            default_fields) -> Dict[str, frozenset]:
+def _probe_missing_defaults(spark: SparkSession, tasks, default_fields,
+                            nm_json: Optional[str] = None
+                            ) -> Dict[str, frozenset]:
     """Per data file: which initial-default fields are absent from its
     footer.  Probes run once per file per process (executor-parallel),
     cached like the name-mapping probe."""
-    paths = sorted({t.data_file.file_path for t in tasks}
-                   - _FILE_FIELD_IDS_CACHE.keys())
-    if paths:
+    keys = sorted({(t.data_file.file_path, nm_json) for t in tasks}
+                  - _FILE_FIELD_IDS_CACHE.keys())
+    if keys:
         sets = spark.sparkContext.parallelize(
-            paths, max(1, min(len(paths), 64))) \
+            keys, max(1, min(len(keys), 64))) \
             .map(_file_field_ids).collect()
-        _FILE_FIELD_IDS_CACHE.update(zip(paths, sets))
+        _FILE_FIELD_IDS_CACHE.update(zip(keys, sets))
     dids = {f.field_id for f in default_fields}
     return {t.data_file.file_path:
-            frozenset(dids - _FILE_FIELD_IDS_CACHE[t.data_file.file_path])
+            frozenset(dids - _FILE_FIELD_IDS_CACHE[
+                (t.data_file.file_path, nm_json)])
             for t in tasks}
 
 

@@ -289,6 +289,83 @@ def test_default_values_read_and_write(spark, sf_dir, catalog):
     assert f.required
 
 
+def test_defaults_survive_unrelated_evolution(spark, sf_dir, catalog):
+    """Regression: a second, unrelated schema evolution must not erase the
+    v3 initial/write defaults of existing fields — apply() rebuilds every
+    field and used to drop them, so after any later commit scans of
+    pre-evolution files returned NULL where the spec requires the
+    default."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.defs3", Schema.from_spark(df.schema))
+    t.append(df)
+
+    t = (t.update_schema()
+         .add_column("tier", T.StringType(), required=True,
+                     initial_default="bronze", write_default="silver")
+         .commit())
+
+    # the unrelated evolution that used to wipe the defaults
+    t = t.update_schema().rename_column("n_name", "nation_name").commit()
+    f = t.schema().find_field("tier")
+    assert f.initial_default == "bronze"
+    assert f.write_default == "silver"
+    assert f.required
+
+    # pre-evolution files still read the initial-default after the
+    # second commit
+    got = t.to_df(spark)
+    assert got.filter(F.col("tier") == "bronze").count() == df.count()
+
+    # and appends missing the column still fill the write-default
+    t.append(t.to_df(spark).drop("tier").limit(4))
+    assert t.to_df(spark).filter(F.col("tier") == "silver").count() == 4
+
+    # reload from the catalog: defaults persisted through metadata JSON
+    f2 = catalog.load_table("db.defs3").schema().find_field("tier")
+    assert f2.initial_default == "bronze" and f2.write_default == "silver"
+
+
+def test_defaults_not_clobbered_in_name_based_files(spark, sf_dir, catalog,
+                                                    tmp_path):
+    """Regression (advisor-found): an ID-less imported file that DOES
+    contain the defaulted column (resolved by name mapping) must read its
+    real values — the footer field-id probe sees no PARQUET:field_id and
+    used to mark the field 'missing', overwriting gold/silver with the
+    default constant."""
+    df = read_table(spark, "region", sf_dir)
+    base = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.defs4", base)
+    t = (t.update_schema()
+         .add_column("tier", T.StringType(), initial_default="legacy")
+         .commit())
+
+    # external ID-less file WITH real tier values
+    ext = str(tmp_path / "ext_defaults")
+    df.withColumn("tier",
+                  F.when(F.col("r_regionkey") % 2 == 0, "gold")
+                  .otherwise("silver")) \
+        .coalesce(1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext)
+             if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths).commit()
+
+    got = t.to_df(spark)
+    assert got.filter(F.col("tier") == "legacy").count() == 0
+    assert got.filter(F.col("tier") == "gold").count() == \
+        df.filter(F.col("r_regionkey") % 2 == 0).count()
+    assert got.filter(F.col("tier") == "silver").count() == \
+        df.filter(F.col("r_regionkey") % 2 == 1).count()
+
+    # an ID-less file genuinely MISSING the column still gets the default
+    ext2 = str(tmp_path / "ext_defaults2")
+    df.coalesce(1).write.parquet(ext2)
+    paths2 = [os.path.join(ext2, p) for p in os.listdir(ext2)
+              if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths2).commit()
+    got = t.to_df(spark)
+    assert got.filter(F.col("tier") == "legacy").count() == df.count()
+
+
 def test_required_missing_without_default_rejected(spark, sf_dir, catalog):
     df = read_table(spark, "region", sf_dir)
     t = catalog.create_table("db.defs2", Schema.from_spark(df.schema))
