@@ -1,21 +1,34 @@
 """Schema & partition-spec evolution.
 
 Parity (behavior only): /root/reference/table/update_schema.go:92-722
-(add/delete/rename/update-type, union-by-name, ID assignment, compatibility
+(nested add/delete/rename/update via parent paths, move first/before/after,
+identifier-field updates, union-by-name, fresh-ID assignment, compatibility
 checks) and table/update_spec.go.  Field IDs are identity: renames keep IDs,
-adds allocate fresh IDs, type updates must be safe promotions
+adds allocate fresh IDs pre-order (field before its subtree,
+schema.go:1554 AssignFreshSchemaIDs), type updates must be safe promotions
 (int->long, float->double, decimal precision widening — arrow_utils.go:1064).
+
+Paths address nested fields with dots: ``"address.zip"`` adds/renames inside
+the ``address`` struct; a list or map parent addresses its element / value
+struct (``"tags.x"`` adds to the struct elements of list ``tags``, matching
+update_schema.go:268 addColumn's parent resolution).  A list/tuple of path
+segments is accepted anywhere a dotted string is.
 """
 
 from __future__ import annotations
 
 import copy
+import dataclasses
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
 
 from .. import types as T
 from ..meta.partitioning import PartitionField, PartitionSpec
 from ..schema import Schema
+
+TABLE_ROOT_ID = -1
+
+PathLike = Union[str, Sequence[str]]
 
 
 def _is_safe_promotion(old: T.IcebergType, new: T.IcebergType) -> bool:
@@ -30,129 +43,569 @@ def _is_safe_promotion(old: T.IcebergType, new: T.IcebergType) -> bool:
     return False
 
 
-class UpdateSchema:
-    """Fluent builder: stage changes, then commit() -> new schema version."""
+def _is_primitive(t: T.IcebergType) -> bool:
+    return not isinstance(t, (T.StructType, T.ListType, T.MapType))
 
-    def __init__(self, table):
+
+def _parts(path: PathLike) -> List[str]:
+    if isinstance(path, str):
+        return path.split(".")
+    return list(path)
+
+
+def _full(path: PathLike) -> str:
+    return ".".join(_parts(path))
+
+
+_UNSET = object()
+
+
+@dataclasses.dataclass
+class _Move:
+    field_id: int
+    relative_to: int  # -1 for move-first
+    op: str           # 'first' | 'before' | 'after'
+
+
+class UpdateSchema:
+    """Fluent builder: stage changes, then commit() -> new schema version.
+
+    Changes are validated as they are staged (in chain order, matching the
+    reference's deferred-op order since each op sees prior staged state)
+    and applied structurally by ``apply()``.
+    """
+
+    def __init__(self, table, case_sensitive: bool = True,
+                 allow_incompatible_changes: bool = False):
         self.table = table
-        self._schema = table.metadata.schema()
-        self._adds: List[T.NestedField] = []
-        self._drops: set = set()
-        self._renames: Dict[int, str] = {}
-        self._retypes: Dict[int, T.IcebergType] = {}
-        self._requireds: Dict[int, bool] = {}
+        self._schema: Schema = table.metadata.schema()
+        self._case = case_sensitive
+        self._allow_incompatible = allow_incompatible_changes
+        # staged state, all keyed by field IDs of the CURRENT schema
+        # (adds/moves keyed by the owning struct: TABLE_ROOT_ID, a
+        # struct field's id, a list's element id, or a map's value id)
+        self._adds: Dict[int, List[T.NestedField]] = {}
+        self._updates: Dict[int, T.NestedField] = {}
+        self._deletes: Set[int] = set()
+        self._moves: Dict[int, List[_Move]] = {}
+        self._added_name_to_id: Dict[str, int] = {}
+        self._added_parent: Dict[int, int] = {}
+        self._identifier_names: Set[str] = {
+            self._schema.find_column_name(fid)
+            for fid in self._schema.identifier_field_ids}
+        self._identifier_names.discard(None)
         self._next_id = table.metadata.last_column_id
 
+    # -- helpers ------------------------------------------------------------
     def _alloc(self) -> int:
         self._next_id += 1
         return self._next_id
 
-    def add_column(self, name: str, field_type: T.IcebergType,
+    def _find(self, full_name: str) -> Optional[T.NestedField]:
+        return self._schema.find_field(full_name, self._case)
+
+    def _require(self, path: PathLike) -> T.NestedField:
+        f = self._find(_full(path))
+        if f is None:
+            raise ValueError(f"no such column: {_full(path)}")
+        return f
+
+    def _parent_id(self, field_id: int) -> int:
+        return self._schema._parents.get(field_id, TABLE_ROOT_ID)
+
+    def _fresh_type(self, t: T.IcebergType) -> T.IcebergType:
+        """Fresh IDs pre-order (field before its subtree)."""
+        if isinstance(t, T.StructType):
+            out = []
+            for f in t.fields:
+                fid = self._alloc()
+                out.append(T.NestedField(
+                    fid, f.name, self._fresh_type(f.field_type),
+                    required=f.required, doc=f.doc,
+                    initial_default=f.initial_default,
+                    write_default=f.write_default))
+            return T.StructType(*out)
+        if isinstance(t, T.ListType):
+            eid = self._alloc()
+            return T.ListType(eid, self._fresh_type(t.element_type),
+                              t.element_required)
+        if isinstance(t, T.MapType):
+            kid = self._alloc()
+            kt = self._fresh_type(t.key_type)
+            vid = self._alloc()
+            return T.MapType(kid, kt, vid, self._fresh_type(t.value_type),
+                             t.value_required)
+        return t
+
+    def _resolve_add_parent(self, parent_parts: List[str]) -> int:
+        """Owning-struct id for an add: root, a struct field, or through a
+        list/map parent its element/value struct (update_schema.go:302)."""
+        if not parent_parts:
+            return TABLE_ROOT_ID
+        pfull = ".".join(parent_parts)
+        pf = self._find(pfull)
+        if pf is None:
+            raise ValueError(f"parent field not found: {pfull}")
+        owner_id, ptype = pf.field_id, pf.field_type
+        if isinstance(ptype, T.ListType):
+            owner_id, ptype = ptype.element_id, ptype.element_type
+        elif isinstance(ptype, T.MapType):
+            owner_id, ptype = ptype.value_id, ptype.value_type
+        if not isinstance(ptype, T.StructType):
+            raise ValueError(f"cannot add field to non-struct type: {pfull}")
+        return owner_id
+
+    # -- staging ops --------------------------------------------------------
+    def add_column(self, path: PathLike, field_type: T.IcebergType,
                    doc: Optional[str] = None,
                    required: bool = False,
                    initial_default=None,
                    write_default=None) -> "UpdateSchema":
-        """Add a column.  A required column needs an ``initial_default``
-        (v3 default values, spec single-value JSON form): existing rows
-        have no value for it, and the default is what scans return for
-        files written before the column existed."""
-        if self._schema.find_field(name) is not None:
-            raise ValueError(f"column already exists: {name}")
-        if required and initial_default is None:
-            raise ValueError("cannot add a required column without a default")
-        self._adds.append(T.NestedField(
-            self._alloc(), name, field_type, required=required, doc=doc,
-            initial_default=initial_default, write_default=write_default))
-        return self
-
-    def drop_column(self, name: str) -> "UpdateSchema":
-        f = self._require(name)
-        if f.field_id in {i for i in self._schema.identifier_field_ids}:
-            raise ValueError(f"cannot drop identifier field {name}")
-        for pf in self.table.metadata.spec().fields:
-            if pf.source_id == f.field_id:
-                raise ValueError(f"cannot drop partition source column {name}")
-        self._drops.add(f.field_id)
-        return self
-
-    def rename_column(self, name: str, new_name: str) -> "UpdateSchema":
-        f = self._require(name)
-        if self._schema.find_field(new_name) is not None:
-            raise ValueError(f"column already exists: {new_name}")
-        self._renames[f.field_id] = new_name
-        return self
-
-    def update_column_type(self, name: str, new_type: T.IcebergType
-                           ) -> "UpdateSchema":
-        f = self._require(name)
-        if not _is_safe_promotion(f.field_type, new_type):
+        """Add a column (nested via a dotted parent path).  A required
+        column needs an ``initial_default`` (v3 default values): existing
+        rows have no value for it, and the default is what scans return
+        for files written before the column existed."""
+        parts = _parts(path)
+        if not parts or not parts[-1]:
+            raise ValueError("path is empty")
+        full_name = ".".join(parts)
+        if not _is_primitive(field_type):
+            if initial_default is not None or write_default is not None:
+                raise ValueError(
+                    f"default values are not supported for {field_type}")
+        elif required and initial_default is None \
+                and not self._allow_incompatible:
             raise ValueError(
-                f"unsafe type change {f.field_type} -> {new_type} for {name}")
-        self._retypes[f.field_id] = new_type
+                f"cannot add a required column without a default: "
+                f"{full_name}")
+
+        owner = self._resolve_add_parent(parts[:-1])
+        name = parts[-1]
+        for add in self._adds.get(owner, []):
+            if add.name == name:
+                raise ValueError(f"field already exists in adds: {full_name}")
+        existing = self._find(full_name)
+        if existing is not None and existing.field_id not in self._deletes:
+            # a field renamed away frees its old name for a new add
+            upd = self._updates.get(existing.field_id)
+            renamed_away = upd is not None and upd.name != name
+            if not renamed_away:
+                raise ValueError(f"column already exists: {full_name}")
+
+        fid = self._alloc()
+        field = T.NestedField(
+            fid, name, self._fresh_type(field_type), required=required,
+            doc=doc, initial_default=initial_default,
+            write_default=write_default)
+        self._adds.setdefault(owner, []).append(field)
+        self._added_name_to_id[full_name] = fid
+        self._added_parent[fid] = owner
         return self
 
-    def make_column_optional(self, name: str) -> "UpdateSchema":
-        f = self._require(name)
-        self._requireds[f.field_id] = False
+    def delete_column(self, path: PathLike) -> "UpdateSchema":
+        f = self._require(path)
+        full_name = _full(path)
+        if f.field_id in self._adds:
+            raise ValueError(
+                f"field that has additions cannot be deleted: {full_name}")
+        if f.field_id in self._updates:
+            raise ValueError(
+                f"field that has updates cannot be deleted: {full_name}")
+        # dropping a partition source column breaks the active spec
+        removed = {f.field_id} | _nested_ids(f.field_type)
+        for pf in self.table.metadata.spec().fields:
+            if pf.source_id in removed:
+                raise ValueError(
+                    f"cannot drop partition source column {full_name}")
+        self._identifier_names.discard(full_name)
+        self._deletes.add(f.field_id)
         return self
 
-    def union_by_name(self, other: Schema) -> "UpdateSchema":
-        """Merge new top-level columns / promote types from ``other``
-        (update_schema.go:647-660 mergeSchema semantics)."""
-        for f in other.fields:
-            mine = self._schema.find_field(f.name)
-            if mine is None:
-                self._adds.append(T.NestedField(
-                    self._alloc(), f.name, f.field_type, required=False))
-            elif mine.field_type != f.field_type:
-                if _is_safe_promotion(mine.field_type, f.field_type):
-                    self._retypes[mine.field_id] = f.field_type
-                elif not _is_safe_promotion(f.field_type, mine.field_type):
+    # existing public name
+    drop_column = delete_column
+
+    def update_column(self, path: PathLike, *,
+                      name: Optional[str] = None,
+                      field_type: Optional[T.IcebergType] = None,
+                      required: Optional[bool] = None,
+                      doc: Optional[str] = None,
+                      write_default=_UNSET) -> "UpdateSchema":
+        if (name is None and field_type is None and required is None
+                and doc is None and write_default is _UNSET):
+            return self
+        parts = _parts(path)
+        full_name = ".".join(parts)
+        f = self._require(parts)
+        if f.field_id in self._deletes:
+            raise ValueError(
+                f"field that has been deleted cannot be updated: {full_name}")
+        parent_id = self._parent_id(f.field_id)
+
+        if name is not None:
+            if name == "":
+                raise ValueError(f"cannot rename field to empty name: "
+                                 f"{full_name}")
+            if f.name == name:
+                raise ValueError(f"cannot rename field to the same name: "
+                                 f"{full_name}")
+            new_full = ".".join(parts[:-1] + [name])
+            clash = self._find(new_full)
+            if clash is not None and clash.field_id not in self._deletes:
+                raise ValueError(f"column already exists: {new_full}")
+            for add in self._adds.get(parent_id, []):
+                if add.name == name:
                     raise ValueError(
-                        f"incompatible types for {f.name}: "
-                        f"{mine.field_type} vs {f.field_type}")
+                        f"cannot rename field to added field: {new_full}")
+            for fid, upd in self._updates.items():
+                if (self._parent_id(fid) == parent_id
+                        and upd.name == name and fid != f.field_id):
+                    raise ValueError(
+                        f"cannot rename field to renamed field: {new_full}")
+            if full_name in self._identifier_names:
+                self._identifier_names.discard(full_name)
+                self._identifier_names.add(new_full)
+
+        if field_type is not None:
+            if not _is_primitive(f.field_type):
+                raise ValueError(
+                    f"cannot update field type for non-primitive type: "
+                    f"{full_name}")
+            if field_type != f.field_type and not self._allow_incompatible \
+                    and not _is_safe_promotion(f.field_type, field_type):
+                raise ValueError(
+                    f"unsafe type change {f.field_type} -> {field_type} "
+                    f"for {full_name}")
+
+        if required is not None and f.required != required and required \
+                and not self._allow_incompatible:
+            raise ValueError(
+                f"cannot change column nullability from optional to "
+                f"required: {full_name}")
+
+        if write_default is not _UNSET and write_default is None \
+                and f.required and not self._allow_incompatible:
+            raise ValueError(
+                f"cannot change default value of required column to None: "
+                f"{full_name}")
+
+        cur = self._updates.get(f.field_id, f)
+        changes: Dict[str, object] = {}
+        if name is not None:
+            changes["name"] = name
+        if field_type is not None:
+            changes["field_type"] = field_type
+        if required is not None:
+            changes["required"] = required
+        if doc is not None:
+            changes["doc"] = doc
+        if write_default is not _UNSET:
+            changes["write_default"] = write_default
+        self._updates[f.field_id] = dataclasses.replace(cur, **changes)
         return self
 
-    def _require(self, name: str) -> T.NestedField:
-        f = self._schema.find_field(name)
-        if f is None:
-            raise ValueError(f"no such column: {name}")
-        return f
+    def rename_column(self, path: PathLike, new_name: str) -> "UpdateSchema":
+        return self.update_column(path, name=new_name)
 
-    def apply(self) -> Schema:
+    def update_column_type(self, path: PathLike, new_type: T.IcebergType
+                           ) -> "UpdateSchema":
+        return self.update_column(path, field_type=new_type)
+
+    def make_column_optional(self, path: PathLike) -> "UpdateSchema":
+        return self.update_column(path, required=False)
+
+    def update_column_doc(self, path: PathLike, doc: str) -> "UpdateSchema":
+        return self.update_column(path, doc=doc)
+
+    def update_column_default(self, path: PathLike,
+                              write_default) -> "UpdateSchema":
+        return self.update_column(path, write_default=write_default)
+
+    # -- moves --------------------------------------------------------------
+    def _find_for_move(self, full_name: str) -> Optional[int]:
+        f = self._find(full_name)
+        if f is not None:
+            return f.field_id
+        return self._added_name_to_id.get(full_name)
+
+    def _move_parent(self, fid: int) -> int:
+        if fid in self._added_parent:
+            return self._added_parent[fid]
+        return self._parent_id(fid)
+
+    def _move(self, op: str, path: PathLike,
+              relative_to: Optional[PathLike]) -> "UpdateSchema":
+        full_name = _full(path)
+        fid = self._find_for_move(full_name)
+        if fid is None:
+            raise ValueError(f"no such column: {full_name}")
+        if fid in self._deletes:
+            raise ValueError(
+                f"field that has been deleted cannot be moved: {full_name}")
+        parent_id = self._move_parent(fid)
+        if op == "first":
+            self._moves.setdefault(parent_id, []).append(
+                _Move(fid, -1, "first"))
+            return self
+        rel_full = _full(relative_to)
+        rel_id = self._find_for_move(rel_full)
+        if rel_id is None:
+            raise ValueError(f"relative-to field not found: {rel_full}")
+        if rel_id == fid:
+            raise ValueError(f"cannot move a field to itself: {full_name}")
+        if self._move_parent(rel_id) != parent_id:
+            raise ValueError(
+                f"cannot move field across structs: {full_name} relative "
+                f"to {rel_full}")
+        self._moves.setdefault(parent_id, []).append(_Move(fid, rel_id, op))
+        return self
+
+    def move_first(self, path: PathLike) -> "UpdateSchema":
+        return self._move("first", path, None)
+
+    def move_before(self, path: PathLike,
+                    relative_to: PathLike) -> "UpdateSchema":
+        return self._move("before", path, relative_to)
+
+    def move_after(self, path: PathLike,
+                   relative_to: PathLike) -> "UpdateSchema":
+        return self._move("after", path, relative_to)
+
+    # -- identifier fields --------------------------------------------------
+    def set_identifier_fields(self, *paths: PathLike) -> "UpdateSchema":
+        """Replace the identifier-field set (resolved against the NEW
+        schema at apply time, so renamed/added columns work)."""
+        self._identifier_names = {_full(p) for p in paths}
+        return self
+
+    # -- union by name ------------------------------------------------------
+    def union_by_name(self, other: Schema) -> "UpdateSchema":
+        """Evolve into the union of the current schema and ``other``,
+        matching by name (update_schema.go:660 UnionByNameWith):
+
+        - new fields are added optional with fresh IDs, keeping
+          doc/initial-default/write-default;
+        - required->optional applies, optional->required is skipped;
+        - primitive changes apply only if safe promotions, narrowing is
+          ignored, cross-kind changes are rejected;
+        - doc updates only when non-empty and different;
+        - write-default updates when different (initial-default of an
+          existing column never changes);
+        - map keys are immutable."""
+        self._union_struct([], self._schema.as_struct(), other.as_struct())
+        return self
+
+    def _union_struct(self, prefix: List[str], mine: T.StructType,
+                      theirs: T.StructType) -> None:
+        by_name = {(f.name if self._case else f.name.lower()): f
+                   for f in mine.fields}
+        for nf in theirs.fields:
+            key = nf.name if self._case else nf.name.lower()
+            existing = by_name.get(key)
+            path = prefix + [nf.name]
+            if existing is None:
+                if ".".join(path) in self._added_name_to_id:
+                    raise ValueError(
+                        f"field already exists in adds: {'.'.join(path)}")
+                self.add_column(path, nf.field_type, doc=nf.doc or None,
+                                required=False,
+                                initial_default=nf.initial_default,
+                                write_default=nf.write_default)
+            else:
+                self._union_field(prefix, existing, nf)
+
+    def _union_field(self, prefix: List[str], mine: T.NestedField,
+                     theirs: T.NestedField) -> None:
+        path = prefix + [mine.name]
+        full = ".".join(path)
+        mt, tt = mine.field_type, theirs.field_type
+        if _is_primitive(mt) or _is_primitive(tt):
+            if not _is_primitive(mt) or not _is_primitive(tt):
+                raise ValueError(
+                    f"incompatible types for {full}: {mt} vs {tt}")
+            if mt != tt:
+                if _is_safe_promotion(mt, tt):
+                    self.update_column(path, field_type=tt)
+                elif not _is_safe_promotion(tt, mt):
+                    raise ValueError(
+                        f"incompatible types for {full}: {mt} vs {tt}")
+                # else: narrowing — ignore
+        elif isinstance(mt, T.StructType) and isinstance(tt, T.StructType):
+            self._union_struct(path, mt, tt)
+        elif isinstance(mt, T.ListType) and isinstance(tt, T.ListType):
+            elem_mine = T.NestedField(mt.element_id, "element",
+                                      mt.element_type, mt.element_required)
+            elem_theirs = T.NestedField(0, "element", tt.element_type,
+                                        tt.element_required)
+            self._union_field(path, elem_mine, elem_theirs)
+        elif isinstance(mt, T.MapType) and isinstance(tt, T.MapType):
+            # keys are immutable: identical or ignorably-narrower only
+            if mt.key_type != tt.key_type and \
+                    not _is_safe_promotion(tt.key_type, mt.key_type):
+                raise ValueError(f"cannot alter map keys: {full}")
+            val_mine = T.NestedField(mt.value_id, "value", mt.value_type,
+                                     mt.value_required)
+            val_theirs = T.NestedField(0, "value", tt.value_type,
+                                       tt.value_required)
+            self._union_field(path, val_mine, val_theirs)
+        else:
+            raise ValueError(f"incompatible types for {full}: {mt} vs {tt}")
+        # optionality: required->optional applies, optional->required skips
+        if mine.required and not theirs.required:
+            self.update_column(path, required=False)
+        # doc: only a non-empty, different doc updates
+        if theirs.doc and theirs.doc != mine.doc:
+            self.update_column(path, doc=theirs.doc)
+        # write-default: update when different (never touch initial)
+        if theirs.write_default is not None \
+                and theirs.write_default != mine.write_default \
+                and _is_primitive(mine.field_type):
+            self.update_column(path, write_default=theirs.write_default)
+
+    # -- apply --------------------------------------------------------------
+    def _apply_children(self, st: T.StructType,
+                        owner_id: int) -> List[T.NestedField]:
         out: List[T.NestedField] = []
-        for f in self._schema.fields:
-            if f.field_id in self._drops:
+        for f in st.fields:
+            if f.field_id in self._deletes:
                 continue
+            upd = self._updates.get(f.field_id)
+            if isinstance(f.field_type, T.StructType):
+                ftype: T.IcebergType = T.StructType(
+                    *self._apply_children(f.field_type, f.field_id))
+            elif isinstance(f.field_type, T.ListType):
+                ftype = self._apply_list(f.field_type)
+            elif isinstance(f.field_type, T.MapType):
+                ftype = self._apply_map(f.field_type)
+            else:
+                ftype = upd.field_type if upd is not None else f.field_type
             out.append(T.NestedField(
                 f.field_id,
-                self._renames.get(f.field_id, f.name),
-                self._retypes.get(f.field_id, f.field_type),
-                required=self._requireds.get(f.field_id, f.required),
-                doc=f.doc,
-                # v3 defaults survive unrelated evolutions: losing them
-                # would make scans of pre-evolution files return NULL
-                # where the spec requires the initial-default
+                upd.name if upd is not None else f.name,
+                ftype,
+                required=upd.required if upd is not None else f.required,
+                doc=upd.doc if upd is not None else f.doc,
                 initial_default=f.initial_default,
-                write_default=f.write_default))
-        out.extend(self._adds)
+                write_default=(upd.write_default if upd is not None
+                               else f.write_default)))
+        out.extend(self._adds.get(owner_id, []))
+        return _move_fields(out, self._moves.get(owner_id, []))
+
+    def _apply_list(self, lt: T.ListType) -> T.ListType:
+        if lt.element_id in self._deletes:
+            raise ValueError("cannot delete the element of a list")
+        upd = self._updates.get(lt.element_id)
+        et = lt.element_type
+        if isinstance(et, T.StructType):
+            et = T.StructType(*self._apply_children(et, lt.element_id))
+        elif isinstance(et, T.ListType):
+            et = self._apply_list(et)
+        elif isinstance(et, T.MapType):
+            et = self._apply_map(et)
+        else:
+            et = upd.field_type if upd is not None else et
+        req = upd.required if upd is not None else lt.element_required
+        return T.ListType(lt.element_id, et, req)
+
+    def _apply_map(self, mt: T.MapType) -> T.MapType:
+        if mt.key_id in self._deletes or mt.value_id in self._deletes:
+            raise ValueError("cannot delete map keys or values")
+        if mt.key_id in self._updates or mt.key_id in self._adds:
+            raise ValueError("cannot alter map keys")
+        upd = self._updates.get(mt.value_id)
+        vt = mt.value_type
+        if isinstance(vt, T.StructType):
+            vt = T.StructType(*self._apply_children(vt, mt.value_id))
+        elif isinstance(vt, T.ListType):
+            vt = self._apply_list(vt)
+        elif isinstance(vt, T.MapType):
+            vt = self._apply_map(vt)
+        else:
+            vt = upd.field_type if upd is not None else vt
+        req = upd.required if upd is not None else mt.value_required
+        return T.MapType(mt.key_id, mt.key_type, mt.value_id, vt, req)
+
+    def apply(self) -> Schema:
+        fields = self._apply_children(self._schema.as_struct(),
+                                      TABLE_ROOT_ID)
+        staged = Schema(fields, schema_id=0)
+        ident_ids: List[int] = []
+        for name in sorted(self._identifier_names):
+            f = staged.find_field(name, self._case)
+            if f is None:
+                raise ValueError(f"identifier field not found: {name}")
+            ident_ids.append(f.field_id)
         new_id = max((s.schema_id for s in self.table.metadata.schemas),
                      default=0) + 1
-        return Schema(out, schema_id=new_id,
-                      identifier_field_ids=self._schema.identifier_field_ids)
+        return Schema(fields, schema_id=new_id,
+                      identifier_field_ids=ident_ids)
 
     def commit(self):
         new_schema = self.apply()
+        current = self.table.metadata.schema()
+        if (new_schema.fields == current.fields
+                and new_schema.identifier_field_ids ==
+                current.identifier_field_ids):
+            return self.table  # no-op evolution: nothing to commit
         md = copy.deepcopy(self.table.metadata)
-        md.schemas.append(new_schema)
-        md.current_schema_id = new_schema.schema_id
+        # an identical historical schema is reused instead of re-added
+        # (update_schema.go:1031 BuildUpdates)
+        for s in md.schemas:
+            if (s.fields == new_schema.fields
+                    and s.identifier_field_ids ==
+                    new_schema.identifier_field_ids):
+                md.current_schema_id = s.schema_id
+                break
+        else:
+            md.schemas.append(new_schema)
+            md.current_schema_id = new_schema.schema_id
         md.last_column_id = max(md.last_column_id,
-                                new_schema.highest_field_id)
+                                new_schema.highest_field_id, self._next_id)
         md.last_updated_ms = int(time.time() * 1000)
         path = self.table.catalog.commit_table(
             self.table.identifier, self.table.metadata_location, md)
         self.table.metadata, self.table.metadata_location = md, path
         return self.table
+
+
+def _nested_ids(t: T.IcebergType) -> Set[int]:
+    ids: Set[int] = set()
+    if isinstance(t, T.StructType):
+        for f in t.fields:
+            ids.add(f.field_id)
+            ids |= _nested_ids(f.field_type)
+    elif isinstance(t, T.ListType):
+        ids.add(t.element_id)
+        ids |= _nested_ids(t.element_type)
+    elif isinstance(t, T.MapType):
+        ids.add(t.key_id)
+        ids.add(t.value_id)
+        ids |= _nested_ids(t.key_type)
+        ids |= _nested_ids(t.value_type)
+    return ids
+
+
+def _move_fields(fields: List[T.NestedField],
+                 moves: Optional[List[_Move]]) -> List[T.NestedField]:
+    """Apply moves in order (update_schema.go:1345 moveFields)."""
+    if not moves:
+        return fields
+    out = list(fields)
+    for mv in moves:
+        idx = next((i for i, f in enumerate(out)
+                    if f.field_id == mv.field_id), None)
+        if idx is None:
+            continue
+        field = out.pop(idx)
+        if mv.op == "first":
+            out.insert(0, field)
+            continue
+        rel = next((i for i, f in enumerate(out)
+                    if f.field_id == mv.relative_to), None)
+        if rel is None:
+            out.insert(idx, field)  # relative target vanished: keep place
+            continue
+        out.insert(rel if mv.op == "before" else rel + 1, field)
+    return out
 
 
 class UpdateSpec:

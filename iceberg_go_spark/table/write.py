@@ -40,6 +40,30 @@ PROP_METRICS_TRUNCATE = "write.metadata.metrics.truncate-length"
 DEFAULT_METRICS_TRUNCATE = 16
 
 
+def _erase_metadata(dt):
+    """Copy of a Spark DataType with all StructField metadata removed and
+    nullability relaxed.
+
+    Metadata: the id-stamping aliases below must ADD metadata that was
+    not on the input attributes — an alias whose metadata is already
+    present upstream is redundant and the optimizer strips it, silently
+    writing id-less parquet files.  Nullability: DataFrame.to rejects a
+    nullable input column for a required target field, but required-ness
+    is an Iceberg metadata contract enforced by our schema plane, not by
+    the parquet writer."""
+    import pyspark.sql.types as ST
+    if isinstance(dt, ST.StructType):
+        return ST.StructType([
+            ST.StructField(f.name, _erase_metadata(f.dataType), True)
+            for f in dt.fields])
+    if isinstance(dt, ST.ArrayType):
+        return ST.ArrayType(_erase_metadata(dt.elementType), True)
+    if isinstance(dt, ST.MapType):
+        return ST.MapType(_erase_metadata(dt.keyType),
+                          _erase_metadata(dt.valueType), True)
+    return dt
+
+
 def truncate_lower_text(s: str, width: int) -> str:
     return s[:width]
 
@@ -297,12 +321,22 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     if fills:
         df = df.withColumns(fills)
 
-    # stamp parquet field IDs so files are readable by-ID after renames
-    df = df.select(*[
-        F.col(f.name).alias(f.name, metadata={
-            "iceberg.field-id": f.field_id,
-            "parquet.field.id": f.field_id})
-        for f in schema.fields])
+    # stamp parquet field IDs (nested included) so files are readable
+    # by-ID after renames/moves at any depth: DataFrame.to reconciles
+    # columns and inner struct fields BY NAME (reorder + safe upcast),
+    # then an explicit cast-to-id-carrying-type + alias attaches the
+    # parquet.field.id metadata that fieldId.write.enabled turns into
+    # footer field ids.  The alias metadata must be EXPLICIT — the
+    # optimizer strips no-op aliases whose metadata came in implicitly,
+    # which silently writes id-less files.  (Spark cannot stamp list
+    # element / map key/value ids — ArrayType/MapType carry no metadata
+    # slot — but their struct children get ids, which is what Spark's
+    # own fieldId.read matching uses.)
+    tgt = T.to_spark_type(T.StructType(*schema.fields))
+    plain = _erase_metadata(tgt)
+    df = df.to(plain).select(*[
+        F.col(f.name).cast(f.dataType).alias(f.name, metadata=f.metadata)
+        for f in tgt.fields])
     writer_df, pcols = partition_columns(df, schema, spec)
     # write.distribution-mode=hash (the Iceberg default for partitioned
     # tables): shuffle rows to their partition before the fanout write, so
