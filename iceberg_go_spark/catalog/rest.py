@@ -4,9 +4,13 @@ Parity (behavior only): /root/reference/catalog/rest/rest.go (2567 LoC) —
 config fetch, namespace/table CRUD, load-table responses carrying
 metadata-location + metadata, commit with requirements (optimistic CAS).
 
-Differences kept small and documented: commits ship the full replacement
-metadata under a single ``overwrite-metadata`` update (the spec's granular
-update-action model is planned); auth is a static bearer token.
+Commits ship the spec's granular update actions with requirement checks
+(catalog/updates.py; rest.go:382-426 builds the same wire form); a legacy
+``overwrite-metadata`` payload is still accepted server-side.  Auth is a
+static bearer token OR an OAuth2 client-credentials grant with
+expiry-aware + reactive-401 refresh; load-table responses can carry
+vended storage credentials that feed FileIO construction
+(vended_creds.go parity below).
 
 The bundled ``RestCatalogServer`` (stdlib http.server) exists so the client
 has a real wire protocol to test against in this offline container; it
@@ -30,6 +34,102 @@ from ..meta.partitioning import PartitionSpec, SortOrder
 from ..schema import Schema
 from .filesystem import (CommitConflictError, NoSuchTableError,
                          TableAlreadyExistsError, _ident)
+
+
+# ---------------------------------------------------------------------------
+# vended storage credentials (parity: catalog/rest/vended_creds.go)
+
+# keys whose epoch-ms value marks when a vended credential stops working
+CREDENTIAL_EXPIRY_KEYS = (
+    "s3.session-token-expires-at-ms",
+    "adls.sas-token-expires-at-ms",
+    "gcs.oauth2.token-expires-at",
+    "expiration-time",
+)
+
+
+def resolve_storage_credentials(creds: List[dict], location: str
+                                ) -> Dict[str, str]:
+    """Longest-prefix match of ``location`` against the vended
+    credential list (vended_creds.go:48 resolveStorageCredentials;
+    mirrors Java/PyIceberg)."""
+    best = None
+    for c in creds:
+        prefix = c.get("prefix", "")
+        if location.startswith(prefix):
+            if best is None or len(prefix) > len(best.get("prefix", "")):
+                best = c
+    return dict(best.get("config") or {}) if best else {}
+
+
+def parse_credential_expiry(config: Dict[str, str]) -> Optional[int]:
+    """Epoch-ms expiry from the first recognized key, else None
+    (= never expires)."""
+    for key in CREDENTIAL_EXPIRY_KEYS:
+        v = config.get(key)
+        if v is not None:
+            try:
+                ms = int(v)
+            except (TypeError, ValueError):
+                continue
+            if ms > 0:
+                return ms
+    return None
+
+
+class VendedCredentials:
+    """Storage credentials vended on a load-table response, refreshed
+    through the loadCredentials endpoint when they expire
+    (vended_creds.go:86 vendedCredentialRefresher).  Each install also
+    rebuilds the cached BlobFileIO for the table location so the
+    metadata plane never reads through a client built with dead
+    credentials."""
+
+    def __init__(self, catalog, identifier, location: str,
+                 config: Dict[str, str], creds: List[dict]):
+        self.catalog = catalog
+        self.identifier = tuple(identifier)
+        self.location = location
+        self.base = dict(config or {})
+        self._lock = threading.Lock()
+        self._install(resolve_storage_credentials(creds, location))
+
+    def _install(self, cred_props: Dict[str, str]) -> None:
+        self.props = {**self.base, **(cred_props or {})}
+        self.expires_at_ms = parse_credential_expiry(self.props)
+        from .. import io as IO
+        try:
+            IO.refresh_blob_io(self.location, self.props)
+        except ValueError:
+            # no blob client provider installed for the scheme (cloud
+            # SDKs are environment-bound); the properties stay available
+            # for explicit load_io(path, io_properties()) calls
+            pass
+
+    def expired(self) -> bool:
+        import time as _time
+        return (self.expires_at_ms is not None
+                and _time.time() * 1000 >= self.expires_at_ms)
+
+    def io_properties(self) -> Dict[str, str]:
+        """Current FileIO properties, refreshing first if expired.
+        Raises instead of handing back dead credentials (the caller
+        would otherwise see undiagnosable storage 403s)."""
+        with self._lock:
+            if self.expired():
+                fresh = self.catalog.load_credentials(self.identifier,
+                                                      self.location)
+                if not fresh:
+                    raise RuntimeError(
+                        f"vended storage credentials expired for "
+                        f"{self.location} and the server exposes no "
+                        f"loadCredentials endpoint to renew them")
+                self._install(fresh)
+                if self.expired():
+                    raise RuntimeError(
+                        f"vended storage credentials for {self.location} "
+                        f"already expired when served")
+            return dict(self.props)
 
 
 # ---------------------------------------------------------------------------
@@ -94,13 +194,15 @@ class RestCatalog:
                                   and _time.monotonic() >= self._token_expiry):
             self._fetch_token()
 
-    def _request(self, method: str, path: str, body: Optional[dict] = None
-                 ) -> dict:
+    def _request(self, method: str, path: str, body: Optional[dict] = None,
+                 headers: Optional[Dict[str, str]] = None,
+                 _retried: bool = False) -> dict:
         self._ensure_token()
         req = urllib.request.Request(
             self.uri + path, method=method,
             data=json.dumps(body).encode() if body is not None else None,
             headers={"Content-Type": "application/json",
+                     **(headers or {}),
                      **({"Authorization": f"Bearer {self.token}"}
                         if self.token else {})})
         try:
@@ -109,6 +211,15 @@ class RestCatalog:
                 return json.loads(data) if data else {}
         except urllib.error.HTTPError as e:
             payload = e.read().decode()
+            if e.code == 401 and self.credential and not _retried:
+                # reactive refresh: the server revoked/expired our token
+                # before the proactive deadline — mint a new one and
+                # retry ONCE (oauth2.TokenSource semantics: a 401 means
+                # the cached token is dead regardless of local expiry)
+                self.token = None
+                self._token_expiry = None
+                return self._request(method, path, body, headers,
+                                     _retried=True)
             if e.code == 404:
                 raise NoSuchTableError(payload)
             if e.code == 409:
@@ -201,11 +312,36 @@ class RestCatalog:
     def load_table(self, identifier):
         from ..table.table import Table
         ns, name = self._split(identifier)
+        # request server-side storage-credential vending (rest.go:78-82
+        # headerIcebergAccessDelegation, default "vended-credentials")
         out = self._request(
-            "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{name}")
-        return Table(_ident(identifier),
-                     TableMetadata.from_json_dict(out["metadata"]),
-                     out["metadata-location"], self)
+            "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{name}",
+            headers={"X-Iceberg-Access-Delegation": "vended-credentials"})
+        t = Table(_ident(identifier),
+                  TableMetadata.from_json_dict(out["metadata"]),
+                  out["metadata-location"], self)
+        config = out.get("config") or {}
+        creds = out.get("storage-credentials") or []
+        if config or creds:
+            t.vended_credentials = VendedCredentials(
+                self, t.identifier, out["metadata-location"], config, creds)
+            t.io_properties = t.vended_credentials.io_properties()
+        return t
+
+    def load_credentials(self, identifier, location: str
+                         ) -> Optional[Dict[str, str]]:
+        """Fresh storage credentials for a table via the dedicated
+        loadCredentials endpoint (rest.go:1157 fetchTableCreds); None if
+        the server does not expose the endpoint."""
+        ns, name = self._split(identifier)
+        try:
+            out = self._request(
+                "GET",
+                f"/v1/namespaces/{self._ns(ns)}/tables/{name}/credentials")
+        except NoSuchTableError:
+            return None
+        return resolve_storage_credentials(
+            out.get("storage-credentials") or [], location)
 
     def table_exists(self, identifier) -> bool:
         try:
@@ -483,6 +619,32 @@ class _State:
         self.credential: Optional[str] = None
         self.token_ttl_s: float = 3600.0
         self.tokens: Dict[str, float] = {}  # token -> expiry deadline
+        # vended storage credentials: [{"prefix": ..., "config": {...}}]
+        # templates served on load-table (when the client sends
+        # X-Iceberg-Access-Delegation) and on the loadCredentials
+        # endpoint, each serving stamped with a fresh expiry when
+        # credential_ttl_s is set; config = server-side table config
+        # overrides (rest.go:180-196)
+        self.storage_credentials: List[dict] = []
+        self.table_config: Dict[str, str] = {}
+        self.credential_ttl_s: Optional[float] = None
+        self.credentials_served: int = 0
+
+    def vend_credentials(self) -> List[dict]:
+        import time as _time
+        with self.lock:
+            self.credentials_served += 1
+            n = self.credentials_served
+        out = []
+        for c in self.storage_credentials:
+            cfg = dict(c.get("config") or {})
+            if self.credential_ttl_s is not None:
+                cfg["expiration-time"] = str(int(
+                    (_time.time() + self.credential_ttl_s) * 1000))
+                # rotate like STS would, so clients can observe renewal
+                cfg["s3.session-token"] = f"vended-{n}"
+            out.append({"prefix": c.get("prefix", ""), "config": cfg})
+        return out
 
     def write_metadata(self, md_dict: dict) -> str:
         loc = md_dict["location"]
@@ -527,6 +689,12 @@ def _make_handler(state: _State):
             pass
 
         def _send(self, code: int, body: Optional[dict] = None):
+            if code == 204:
+                # 204 No Content MUST NOT carry a body; writing one
+                # would corrupt the stream for keep-alive clients
+                self.send_response(code)
+                self.end_headers()
+                return
             payload = json.dumps(body or {}).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -596,8 +764,26 @@ def _make_handler(state: _State):
                     return self._send(404, {"error": "no such table"})
                 with open(loc) as f:
                     md = json.load(f)
-                return self._send(200, {"metadata-location": loc,
-                                        "metadata": md})
+                resp = {"metadata-location": loc, "metadata": md}
+                if state.table_config:
+                    resp["config"] = dict(state.table_config)
+                # storage credentials only when the client asked for
+                # delegation (rest.go:81 headerIcebergAccessDelegation)
+                if state.storage_credentials and \
+                        self.headers.get("X-Iceberg-Access-Delegation"):
+                    resp["storage-credentials"] = state.vend_credentials()
+                return self._send(200, resp)
+            if len(p) == 6 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] == "tables" and p[5] == "credentials":
+                ns, name = tuple(p[2].split("\x1f")), p[4]
+                if (ns, name) not in state.tables:
+                    return self._send(404, {"error": "no such table"})
+                if not state.storage_credentials:
+                    return self._send(404,
+                                      {"error": "credentials not vended"})
+                return self._send(
+                    200,
+                    {"storage-credentials": state.vend_credentials()})
             if len(p) == 7 and p[3] == "tables" and p[5] == "plan":
                 result = state.plans.get(p[6])
                 if result is None:
@@ -914,12 +1100,18 @@ class RestCatalogServer:
     def __init__(self, warehouse: str, port: int = 0,
                  credential: Optional[str] = None,
                  token_ttl_s: float = 3600.0,
-                 page_size: Optional[int] = None):
+                 page_size: Optional[int] = None,
+                 storage_credentials: Optional[List[dict]] = None,
+                 table_config: Optional[Dict[str, str]] = None,
+                 credential_ttl_s: Optional[float] = None):
         os.makedirs(warehouse, exist_ok=True)
         self.state = _State(warehouse)
         self.state.credential = credential
         self.state.token_ttl_s = token_ttl_s
         self.state.page_size = page_size
+        self.state.storage_credentials = list(storage_credentials or [])
+        self.state.table_config = dict(table_config or {})
+        self.state.credential_ttl_s = credential_ttl_s
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                          _make_handler(self.state))
         self.port = self.httpd.server_address[1]

@@ -247,6 +247,24 @@ for _s in ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "mem"):
     _FACTORIES[_s] = _blob_factory
 
 
+def refresh_blob_io(path: str, properties: Dict[str, str] = None):
+    """Force-rebuild the cached per-(scheme, bucket) BlobFileIO for
+    ``path`` with fresh ``properties`` — vended-credential rotation: the
+    cached client was constructed with storage credentials that have
+    since expired, so a plain load_io (which caches) would keep handing
+    back an IO whose reads 403 (vended_creds.go:109 loadFS refresh).
+    Returns the new IO, or None for non-blob paths."""
+    if "://" not in path:
+        return None
+    scheme, rest = path.split("://", 1)
+    if scheme in _REGISTRY or scheme == "file" or scheme not in _FACTORIES:
+        return None
+    bucket = rest.split("/", 1)[0]
+    io = _FACTORIES[scheme](scheme, bucket, dict(properties or {}))
+    _BLOB_CACHE[(scheme, bucket)] = io
+    return io
+
+
 def load_io(path: str, properties: Dict[str, str] = None) -> FileIO:
     """Resolve the IO for a path: explicit scheme registration first, then
     scheme factory (cached per scheme+bucket), then local FS for plain and

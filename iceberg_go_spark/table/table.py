@@ -25,6 +25,11 @@ class Table:
         self.metadata = metadata
         self.metadata_location = metadata_location
         self.catalog = catalog
+        # storage properties for FileIO construction; REST catalogs fill
+        # these from load-table config + vended storage credentials
+        # (rest.go:1390, vended_creds.go)
+        self.io_properties: Dict[str, str] = {}
+        self.vended_credentials = None  # catalog.rest.VendedCredentials
 
     # -- inspection ---------------------------------------------------------
     @property

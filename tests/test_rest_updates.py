@@ -296,3 +296,146 @@ def test_rest_oauth_token_refresh_on_expiry(tmp_path):
         assert len(server.state.tokens) >= 2
     finally:
         server.stop()
+
+
+def test_rest_oauth_reactive_refresh_on_401(tmp_path):
+    """A server-side token revocation (before the client's proactive
+    expiry deadline) must be healed by a one-shot re-fetch + retry, not
+    surfaced as an error (oauth2.TokenSource semantics)."""
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    server = RestCatalogServer(str(tmp_path / "wh"),
+                               credential="svc:s3cret").start()
+    try:
+        cat = RestCatalog(server.uri, credential="svc:s3cret")
+        cat.create_namespace("db")
+        first = cat.token
+        server.state.tokens.clear()  # revoke everything server-side
+        assert ("db",) in cat.list_namespaces()  # transparent retry
+        assert cat.token != first
+        # a static-token client (no credential) must NOT loop: it fails
+        from iceberg_go_spark.catalog.rest import RestCatalog as RC
+        bad = RC.__new__(RC)
+        bad.uri, bad.token, bad.credential = server.uri, "deadbeef", None
+        bad._token_expiry = None
+        with pytest.raises(RuntimeError, match="401"):
+            bad._request("GET", "/v1/namespaces")
+    finally:
+        server.stop()
+
+
+def test_resolve_storage_credentials_longest_prefix():
+    from iceberg_go_spark.catalog.rest import (parse_credential_expiry,
+                                               resolve_storage_credentials)
+    creds = [
+        {"prefix": "s3://bkt/", "config": {"k": "broad"}},
+        {"prefix": "s3://bkt/wh/db/", "config": {"k": "narrow"}},
+        {"prefix": "gs://other/", "config": {"k": "gcs"}},
+    ]
+    assert resolve_storage_credentials(
+        creds, "s3://bkt/wh/db/t/metadata/v1.json") == {"k": "narrow"}
+    assert resolve_storage_credentials(
+        creds, "s3://bkt/elsewhere") == {"k": "broad"}
+    assert resolve_storage_credentials(creds, "abfs://nope") == {}
+    assert parse_credential_expiry({"expiration-time": "1234"}) == 1234
+    assert parse_credential_expiry(
+        {"s3.session-token-expires-at-ms": "99",
+         "expiration-time": "1"}) == 99  # first recognized key wins
+    assert parse_credential_expiry({"expiration-time": "junk"}) is None
+    assert parse_credential_expiry({}) is None
+
+
+def test_rest_vended_credentials_load_and_refresh(tmp_path):
+    """load-table vends storage credentials into Table.io_properties
+    (only when the client requests delegation); expiry triggers a
+    refresh through the loadCredentials endpoint."""
+    import time
+
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    server = RestCatalogServer(
+        str(tmp_path / "wh"),
+        storage_credentials=[
+            {"prefix": "", "config": {"s3.access-key-id": "AKID"}}],
+        table_config={"s3.endpoint": "http://stub:9000"},
+        credential_ttl_s=3600.0).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        sch = Schema.from_json_dict({
+            "type": "struct", "schema-id": 0,
+            "fields": [{"id": 1, "name": "x", "required": False,
+                        "type": "long"}]})
+        cat.create_table("db.v", sch)
+        t = cat.load_table("db.v")
+        # config + matched credential merged into io properties
+        assert t.io_properties["s3.endpoint"] == "http://stub:9000"
+        assert t.io_properties["s3.access-key-id"] == "AKID"
+        assert t.io_properties["s3.session-token"] == "vended-1"
+        assert t.vended_credentials.expires_at_ms is not None
+        assert not t.vended_credentials.expired()
+
+        # force expiry -> io_properties() renews via loadCredentials
+        t.vended_credentials.expires_at_ms = 1
+        before = server.state.credentials_served
+        props = t.vended_credentials.io_properties()
+        assert server.state.credentials_served == before + 1
+        assert props["s3.session-token"] == f"vended-{before + 1}"
+        assert not t.vended_credentials.expired()
+    finally:
+        server.stop()
+
+
+def test_rest_vended_credentials_expired_without_endpoint(tmp_path):
+    """Expired creds with no renewal endpoint fail loudly instead of
+    handing back an IO whose reads 403 (ErrVendedCredentialsExpired)."""
+    from iceberg_go_spark.catalog.rest import (RestCatalog,
+                                               RestCatalogServer,
+                                               VendedCredentials)
+
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        sch = Schema.from_json_dict({
+            "type": "struct", "schema-id": 0,
+            "fields": [{"id": 1, "name": "x", "required": False,
+                        "type": "long"}]})
+        cat.create_table("db.e", sch)
+        vc = VendedCredentials(
+            cat, ("db", "e"), "s3://bkt/wh",
+            {}, [{"prefix": "s3://bkt/",
+                  "config": {"expiration-time": "1"}}])
+        # server has no storage credentials -> loadCredentials 404s
+        with pytest.raises(RuntimeError, match="expired"):
+            vc.io_properties()
+    finally:
+        server.stop()
+
+
+def test_vended_credentials_rebuild_blob_io(tmp_path):
+    """Each credential install rebuilds the cached BlobFileIO with the
+    fresh properties — the cache would otherwise keep a client built
+    with the dead credentials."""
+    import iceberg_go_spark.io as IO
+
+    seen = []
+
+    def provider(scheme, bucket, props):
+        seen.append(dict(props))
+        return IO.InMemoryBucket()
+
+    IO.set_blob_client_provider(provider)
+    try:
+        io1 = IO.load_io("mem://vcb/x", {"s3.session-token": "t1"})
+        io2 = IO.load_io("mem://vcb/y")  # cached: provider NOT re-invoked
+        assert io2 is io1 and len(seen) == 1
+        io3 = IO.refresh_blob_io("mem://vcb/z", {"s3.session-token": "t2"})
+        assert io3 is not io1
+        assert seen[-1]["s3.session-token"] == "t2"
+        assert IO.load_io("mem://vcb/x") is io3  # cache replaced
+        # non-blob paths are a no-op
+        assert IO.refresh_blob_io(str(tmp_path), {}) is None
+        assert IO.refresh_blob_io("file:///x", {}) is None
+    finally:
+        IO.set_blob_client_provider(None)
