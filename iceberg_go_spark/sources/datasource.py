@@ -18,16 +18,14 @@ Division of labor (the Spark-first shape):
   endpoint speaks).
 - the EXECUTOR side (``read``) is a pyarrow row-group reader: it reads
   only the row groups inside the task's byte range, applies positional
-  deletes and deletion vectors as a vectorized row-index mask, and
-  yields Arrow batches.
+  deletes and deletion vectors as a vectorized row-index mask, applies
+  the task's equality deletes as a null-safe key anti-join (task-local
+  key sets — the executor analogue of the relational path's broadcast
+  side), and yields Arrow batches.
 - filters are pushed for FILE pruning only and all of them are returned
   to Spark as leftovers, so Spark re-applies them row-level (partial
   pushdown — pruning is a performance contract, never a correctness
   one).
-
-Equality deletes are rejected here: their null-safe key anti-join
-belongs in the relational plan — ``table.to_df(spark)`` is the supported
-path for MoR tables with eq-deletes.
 
 Parity note: this is the Spark-native analogue of the reference's Arrow
 scanner entry point (table/arrow_scanner.go) — same planning semantics,
@@ -116,10 +114,14 @@ class _Reader(DataSourceReader):
         # v3 initial-defaults, captured at construction (driver-side) so
         # the pickled-to-executor reader can fill columns absent from
         # old files in read()
+        _schema = _load_table(options).schema()
         self._defaults = {
             f.name: f.initial_default
-            for f in _load_table(options).schema().fields
+            for f in _schema.fields
             if f.initial_default is not None}
+        # field-id -> column name, so executors can resolve the
+        # equality_ids of attached eq-delete files without the table
+        self._col_by_id = {f.field_id: f.name for f in _schema.fields}
 
     def pushFilters(self, filters):
         """Use supported filters to prune FILES at planning time; return
@@ -141,19 +143,20 @@ class _Reader(DataSourceReader):
         return expr
 
     def partitions(self) -> List[InputPartition]:
+        # NOTE (upstream quirk): Spark plans python-source reads in a
+        # worker with a FRESH reader per plan (pushFilters -> partitions,
+        # sql/worker/data_source_pushdown_filters.py), but the planned
+        # partitions are cached on the shared relation — after a
+        # FILTERED action on a DataFrame, an unfiltered action on the
+        # SAME DataFrame can reuse the file-pruned partitions.  Use a
+        # fresh load() per query (the normal reader pattern) when mixing
+        # filtered and unfiltered reads of one loaded DataFrame.
         from .task_codec import encode_tasks
         scan = _scan(self.options, self._row_filter())
         tasks = scan.plan_tasks()
-        for t in tasks:
-            if t.eq_deletes:
-                # NOT NotImplementedError: the DataSource API reserves it
-                # as the "source is unpartitioned" signal and swallows it
-                raise ValueError(
-                    "table has equality deletes, which need the "
-                    "relational anti-join: read it via "
-                    "Table.to_df(spark)")
         # one partition per byte-range task; encode per task so each
-        # executor deserializes only its own slice
+        # executor deserializes only its own slice (eq-delete files ride
+        # along in the task wire form and are applied in read())
         return [InputPartition(encode_tasks([t])) for t in tasks]
 
     def read(self, partition) -> Iterator:
@@ -210,8 +213,51 @@ class _Reader(DataSourceReader):
             idx = np.arange(base, base + table.num_rows, dtype=np.int64)
             keep = ~np.isin(idx, deleted)
             table = table.filter(pa.array(keep))
+        table = self._apply_eq_deletes(task, table)
         for batch in table.to_batches():
             yield batch
+
+    def _apply_eq_deletes(self, task, table):
+        """Null-safe equality-delete anti-join, per task, executor-side:
+        the planner already gated which delete files apply to this data
+        file (seq_delete > seq_data, partition scope), so this only has
+        to drop rows whose key tuple appears in the attached files.
+        Null-tagged semantics: a delete key with NULL matches rows with
+        NULL (equality_delete_reader.go:53-180).  The key set is
+        per-task-local (the executor analogue of the relational path's
+        broadcast side); billion-key histories should read through
+        Table.to_df, where AQE picks a shuffled anti-join."""
+        if not task.eq_deletes:
+            return table
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        groups: dict = {}
+        for d in task.eq_deletes:
+            groups.setdefault(tuple(d.equality_ids or ()),
+                              []).append(d.file_path)
+        for eq_ids, paths in sorted(groups.items()):
+            cols = []
+            for fid in eq_ids:
+                name = self._col_by_id.get(fid)
+                if name is None:
+                    raise ValueError(
+                        f"equality delete references unknown field id "
+                        f"{fid}")
+                cols.append(name)
+            keys = pa.concat_tables(
+                [pq.read_table(p, columns=cols) for p in sorted(set(paths))]
+            ).to_pandas().drop_duplicates()
+            if not len(keys) or not table.num_rows:
+                continue
+            # pandas merge factorizes keys, so NaN/None match NaN/None —
+            # exactly the null-tagged encoding we need
+            data = table.select(cols).to_pandas()
+            merged = data.merge(keys, on=cols, how="left", indicator=True)
+            keep = (merged["_merge"] == "left_only").to_numpy()
+            table = table.filter(pa.array(keep))
+        return table
 
     @staticmethod
     def _deleted_positions(task):
