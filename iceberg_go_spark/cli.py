@@ -328,6 +328,9 @@ def main(argv=None) -> int:
         paths = t.orphan_files(get_spark("cli"), dry_run=not args.delete)
         for pth in paths:
             print(pth)
+        if getattr(paths, "truncated", False):
+            print(f"... ({paths.total_count} total; sample truncated)",
+                  file=sys.stderr)
     elif args.cmd == "properties":
         if args.action == "get":
             props = t.properties()

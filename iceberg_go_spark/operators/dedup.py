@@ -446,6 +446,11 @@ def incremental_dedup_sharded(new_batch: DataFrame, history: DataFrame,
         bloom = build_content_bloom(hist_s, text_col, n_bits, n_hashes)
         batch_s = new_batch.filter(shard == s)
         outs.append(incremental_dedup(batch_s, bloom, text_col, n_hashes))
+    # md5(NULL) is NULL, so null-text rows match no shard filter; route
+    # them past the loop unchanged — the unsharded path keeps them (a
+    # null never tests positive against the bloom), and both paths must
+    # agree
+    outs.append(new_batch.filter(F.col(text_col).isNull()))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -145,7 +145,10 @@ def audio_chunk_plan(df: DataFrame, chunk_ms: int = 10_000,
         raise ValueError("overlap must be smaller than the chunk")
     step = chunk_ms - overlap_ms
     dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    # zero/unknown duration yields NO chunks: sequence(0, 0) would emit
+    # one degenerate (0, 0) row otherwise
     return (df.filter(F.col("media_type") == "audio")
+            .filter(dur > 0)
             .select("media_id", dur.alias("__dur"),
                     F.explode(F.sequence(
                         F.lit(0), F.greatest(dur - 1, F.lit(0)),

@@ -420,13 +420,30 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     return deleted
 
 
+class OrphanResult(List[str]):
+    """A (possibly truncated) sample of orphan paths, plus the FULL
+    count and an optional written manifest.  list-compatible so small
+    tables (sample == everything) behave exactly as before."""
+    total_count: int = 0
+    manifest_path: Optional[str] = None
+    truncated: bool = False
+
+
 def orphan_files(table, spark: SparkSession,
                  older_than_ms: Optional[int] = None,
-                 dry_run: bool = True) -> List[str]:
+                 dry_run: bool = True,
+                 max_results: Optional[int] = 10_000,
+                 manifest_path: Optional[str] = None) -> "OrphanResult":
     """Files under the table location referenced by NO snapshot.
 
     The referenced set and the FS listing are joined as DataFrames
-    (orphan_cleanup.go's listing diff, but spill-able at 100 TB)."""
+    (orphan_cleanup.go's listing diff, but spill-able at 100 TB).
+    Deletes run on executors straight from the orphan DataFrame — the
+    driver never materializes the full path list (a 100 TB table can
+    hold millions of orphans).  The return value is a SAMPLE capped at
+    ``max_results`` (None = unbounded, the pre-scale behavior) carrying
+    ``total_count``; pass ``manifest_path`` to write the complete list
+    as text, one path per line, via executors."""
     md = table.metadata
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - 3 * 24 * 3600 * 1000
@@ -484,20 +501,35 @@ def orphan_files(table, spark: SparkSession,
     orphans = (fs_df
                .filter(F.col("mtime_ms") < older_than_ms)
                .filter(~F.col("path").rlike(r"version-hint|metadata\.json"))
-               .join(ref_df, on="path", how="left_anti"))
-    paths = [r.path for r in orphans.collect()]
-    if not dry_run and paths:
-        # delete on executors: at 100 TB file counts the driver never
-        # becomes the unlink bottleneck (orphan_cleanup.go worker pool)
-        def _rm(p: str) -> None:
-            import os as _os
-            try:
-                _os.unlink(p)
-            except FileNotFoundError:
-                pass
-        spark.sparkContext.parallelize(
-            paths, max(1, min(len(paths) // 1000 + 1, 64))).foreach(_rm)
-    return paths
+               .join(ref_df, on="path", how="left_anti")
+               .select("path")
+               .cache())  # reused by count + manifest + delete + sample
+    try:
+        total = orphans.count()
+        if manifest_path and total:
+            orphans.write.mode("overwrite").text(manifest_path)
+        if not dry_run and total:
+            # delete on executors straight from the partitioned frame:
+            # at 100 TB file counts the driver is neither the unlink
+            # bottleneck nor the path-list holder
+            # (orphan_cleanup.go worker pool)
+            def _rm_part(rows) -> None:
+                import os as _os
+                for r in rows:
+                    try:
+                        _os.unlink(r.path)
+                    except FileNotFoundError:
+                        pass
+            orphans.foreachPartition(_rm_part)
+        sample_df = orphans.limit(max_results) if max_results else orphans
+        sample = [r.path for r in sample_df.collect()]
+    finally:
+        orphans.unpersist()
+    res = OrphanResult(sample)
+    res.total_count = total
+    res.manifest_path = manifest_path if (manifest_path and total) else None
+    res.truncated = len(sample) < total
+    return res
 
 
 def purge_table_files(metadata, metadata_location: str) -> List[str]:

@@ -214,14 +214,20 @@ class Scan:
             return md.snapshot_as_of(self.as_of_ms)
         return md.current_snapshot()
 
-    def projection(self) -> Schema:
+    def effective_schema(self) -> Schema:
+        """The schema this scan reads under: time-travel reads (explicit
+        snapshot id, as-of timestamp, or a TAG ref) pin the snapshot's
+        schema; a current-state scan and BRANCH reads use the CURRENT
+        schema — per Iceberg semantics a branch is a living line of the
+        table (the current snapshot may also predate a schema evolution
+        that added no data)."""
         md = self.table.metadata
         schema = md.schema()
-        # time travel reads use the snapshot's schema; a current-state
-        # scan always uses the CURRENT schema (the current snapshot may
-        # predate a schema evolution that added no data)
-        time_travel = (self.snapshot_id is not None or
-                       self.ref is not None or self.as_of_ms is not None)
+        ref_is_tag = (self.ref is not None and
+                      getattr(md.refs.get(self.ref), "ref_type",
+                              "branch") == "tag")
+        time_travel = (self.snapshot_id is not None or ref_is_tag
+                       or self.as_of_ms is not None)
         if time_travel:
             snap = self._resolve_snapshot()
             if snap is not None and snap.schema_id is not None:
@@ -229,6 +235,10 @@ class Scan:
                     schema = md.schema_by_id(snap.schema_id)
                 except ValueError:
                     pass
+        return schema
+
+    def projection(self) -> Schema:
+        schema = self.effective_schema()
         if self.selected is None:
             return schema
         return schema.select(*self.selected,
@@ -241,7 +251,7 @@ class Scan:
         snap = self._resolve_snapshot()
         if snap is None:
             return []
-        schema = md.schema()
+        schema = self.effective_schema()
         manifests = M.read_manifest_list(snap.manifest_list)
         self.report.total_manifests = len(manifests)
 
@@ -354,7 +364,7 @@ class Scan:
     # ------------------------------------------------------------ execute
     def to_df(self, spark: SparkSession) -> DataFrame:
         md = self.table.metadata
-        schema = md.schema()
+        schema = self.effective_schema()
         projection = self.projection()
         tasks = self.plan_files()
         spark_schema = schema.to_spark()

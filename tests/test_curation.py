@@ -273,7 +273,8 @@ def test_incremental_bloom_dedup_sharded(spark):
         "doc_id long, text string")
     new = spark.createDataFrame(
         [(1000 + i, f"historical document {i}") for i in range(80)]
-        + [(2000 + i, f"fresh document {i}") for i in range(80)],
+        + [(2000 + i, f"fresh document {i}") for i in range(80)]
+        + [(3000, None), (3001, None)],
         "doc_id long, text string")
     sharded = {r.doc_id for r in
                incremental_dedup_sharded(new, hist, n_shards=4).collect()}
@@ -282,4 +283,7 @@ def test_incremental_bloom_dedup_sharded(spark):
     # shards partition the key space: no replayed doc survives, and the
     # survivor set matches the single-bloom path up to fpp noise
     assert not any(1000 <= i < 1080 for i in sharded)
+    # null-text rows match no md5 shard; both paths must keep them
+    # (advisor-found: the sharded path silently dropped them)
+    assert {3000, 3001} <= sharded and {3000, 3001} <= single
     assert len(sharded.symmetric_difference(single)) <= 4

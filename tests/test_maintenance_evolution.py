@@ -412,3 +412,41 @@ def test_unknown_distribution_mode_rejected(spark, sf_dir, catalog):
         properties={"write.distribution-mode": "round-robin"})
     with pytest.raises(ValueError, match="distribution-mode"):
         t.append(df)
+
+
+def test_orphan_files_scale_shape(spark, sf_dir, catalog, tmp_path):
+    """The scale contract: deletes run from the DataFrame (no driver
+    path list), the return value is a capped sample carrying the full
+    count, and the complete list can be written as a manifest file."""
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.o2", schema)
+    t.append(df)
+    strays = []
+    for i in range(6):
+        p = os.path.join(t.location(), "data", f"stray{i}.bin")
+        with open(p, "wb") as f:
+            f.write(b"junk")
+        old = time.time() - 30 * 24 * 3600
+        os.utime(p, (old, old))
+        strays.append(p)
+
+    manifest = str(tmp_path / "orphans_manifest")
+    found = t.orphan_files(spark, dry_run=True, max_results=2,
+                           manifest_path=manifest)
+    assert found.total_count == 6
+    assert len(found) == 2 and found.truncated
+    assert found.manifest_path == manifest
+    listed = set()
+    for name in os.listdir(manifest):
+        if name.startswith("part-"):
+            with open(os.path.join(manifest, name)) as f:
+                listed |= {line.strip() for line in f if line.strip()}
+    assert listed == set(strays)
+
+    # delete pass removes ALL orphans (not just the sample)
+    res = t.orphan_files(spark, dry_run=False, max_results=2)
+    assert res.total_count == 6 and res.truncated
+    for p in strays:
+        assert not os.path.exists(p)
+    assert t.to_df(spark).count() == df.count()

@@ -477,14 +477,15 @@ def test_audio_chunk_plan(spark):
     from iceberg_go_spark.operators.multimodal import audio_chunk_plan
     df = spark.createDataFrame(
         [(1, "audio", 25_000), (2, "audio", 10_000), (3, "video", 99_000),
-         (4, "audio", 0)],
+         (4, "audio", 0), (5, "audio", None)],
         "media_id long, media_type string, duration_ms long")
     rows = sorted((r.media_id, r.chunk_start_ms, r.chunk_end_ms)
                   for r in audio_chunk_plan(df, chunk_ms=10_000).collect())
+    # zero/unknown-duration media yields NO chunk rows (not a degenerate
+    # (0, 0) window)
     assert rows == [(1, 0, 10_000), (1, 10_000, 20_000),
                     (1, 20_000, 25_000),
-                    (2, 0, 10_000),
-                    (4, 0, 0)]
+                    (2, 0, 10_000)]
     # overlapping windows step by chunk - overlap
     ov = sorted((r.chunk_start_ms, r.chunk_end_ms)
                 for r in audio_chunk_plan(

@@ -305,3 +305,32 @@ def test_manifest_merge_gated_on_property(spark, tmp_path, sf_dir):
     on = build("on", {"commit.manifest-merge.enabled": "true",
                       "commit.manifest.min-count-to-merge": "2"})
     assert len(on) == 1
+
+
+def test_branch_reads_current_schema_tag_pins_snapshot_schema(
+        spark, sf_dir, catalog):
+    """Iceberg ref semantics: a branch is a living line read with the
+    table's CURRENT schema; only tags (and snapshot-id/as-of reads) pin
+    the snapshot's schema (advisor-found: branch reads missed newly
+    added columns)."""
+    from iceberg_go_spark import types as T
+
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table("db.refschema", Schema.from_spark(df.schema))
+    t.append(df)
+    snap = t.current_snapshot().snapshot_id
+    t.create_branch("dev", snap)
+    t.create_tag("v1", snap)
+
+    t = t.update_schema().add_column("note", T.StringType()).commit()
+
+    # branch read: current schema, the added column appears (as nulls)
+    dev = t.scan().use_ref("dev").to_df(spark)
+    assert "note" in dev.columns
+    assert dev.filter(F.col("note").isNull()).count() == df.count()
+    # tag read: pinned pre-evolution schema, no added column
+    v1 = t.scan().use_ref("v1").to_df(spark)
+    assert "note" not in v1.columns
+    # snapshot-id read also pins
+    pinned = t.scan().use_snapshot(snap).to_df(spark)
+    assert "note" not in pinned.columns
