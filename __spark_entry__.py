@@ -1076,6 +1076,27 @@ SELECT doc_id, {TX.simhash16_sql('text')}::BIGINT AS simhash FROM documents
 """
 
 
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash hamming<=3 near-dup pairs via pigeonhole bit-band
+    blocking (equi-join on band keys, never all-pairs); the DuckDB
+    oracle is the brute-force quadratic self-join, so the value check
+    proves the blocking loses no pair."""
+    docs = _read(spark, sf_dir, "documents")
+    return (DD.simhash_near_dup_pairs(docs, max_hamming=3)
+            .withColumn("hamming", F.col("hamming").cast("long")))
+
+
+SIMHASH_NEAR_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {TX.simhash16_sql('text')}::BIGINT AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
 def ngram_jaccard_dups(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs, threshold=0.6)
@@ -2482,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_near": dedup_simhash_near,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "dedup_clusters": dedup_clusters,
         "text_stats": text_stats,
@@ -2560,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": DEDUP_FP_SQL,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,
+        "dedup_simhash_near": SIMHASH_NEAR_SQL,
         "ngram_jaccard_dups": _jaccard_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "text_stats": TEXT_STATS_SQL,

@@ -246,6 +246,50 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             .drop("__sh", "__rn"))
 
 
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3,
+                           bits: int = 16) -> DataFrame:
+    """SimHash hamming-distance widening: pairs of docs whose 16-bit
+    SimHashes differ in at most ``max_hamming`` bits.
+
+    Blocking by pigeonhole: split the hash into ``max_hamming + 1``
+    bit-bands — two hashes within distance d must agree EXACTLY on at
+    least one band, so candidate generation is an equi-join on
+    (band, band_bits), never all-pairs.  The exact hamming distance
+    (bit_count of xor) then filters candidates and distinct() collapses
+    pairs that collide in several bands.  At 100 TB: one explode
+    (bands≈4 rows/doc), one hash shuffle on the band key, and the join
+    fans out only within same-band buckets — the same shape as
+    MinHash-LSH banding."""
+    bands = max_hamming + 1
+    if bits % bands:
+        # widen to the next divisor so every band has equal width
+        while bits % bands:
+            bands += 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = df.select(F.col(id_col),
+                     TX.simhash16(F.col(text_col)).alias("__sh"))
+    keys = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("__sh"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(bands)])
+    e = base.select(F.col(id_col), "__sh", F.explode(keys).alias("bk"))
+    a = e.select(F.col(id_col).alias("id_a"),
+                 F.col("__sh").alias("__sa"), F.col("bk"))
+    b = e.select(F.col(id_col).alias("id_b"),
+                 F.col("__sh").alias("__sb"), F.col("bk").alias("bk_b"))
+    return (a.join(b, (F.col("bk") == F.col("bk_b")) &
+                   (F.col("id_a") < F.col("id_b")))
+            .withColumn("hamming", F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .distinct())
+
+
 def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
                              threshold: float = 0.98,
                              id_col: str = "vec_id",

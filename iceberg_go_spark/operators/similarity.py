@@ -126,9 +126,11 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     return out if keep_vec else out.drop("__q")
 
 
-def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
                    threshold: float = 0.95, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   target_cluster_size: int = 1024,
+                   max_cluster_size: int = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with spherical k-means, then
     within each cluster mark as duplicate every vector whose cosine to
@@ -141,17 +143,43 @@ def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
     size so cluster populations stay bounded, making the within-cluster
     pair join quadratic only in cluster size.  The pair join is an
     equi-join on cluster id (one corpus shuffle), never an all-pairs
-    cartesian; cosine is the integer-quantized deterministic form."""
+    cartesian; cosine is the integer-quantized deterministic form.
+
+    Two enforcement levers (the doc alone used to be the only guard):
+
+    - ``k="auto"`` derives k from the corpus count so the EXPECTED
+      cluster size is ``target_cluster_size``;
+    - ``max_cluster_size`` HARD-bounds the join: oversized clusters are
+      deterministically salt-split (xxhash64 of the id) into
+      ceil(size/max) sub-buckets, so no bucket's pair count can go
+      quadratic on a skewed/degenerate clustering.  Pairs across salt
+      buckets of one cluster are not compared — the documented
+      approximation (SemDeDup is approximate by construction; a skewed
+      cluster that would OOM the join loses some recall instead)."""
+    if k == "auto":
+        import math
+        k = max(8, math.ceil(emb.count() / max(target_cluster_size, 1)))
     # the assignment feeds three consumers (pair-join left/right + the
     # final flag join): checkpoint so the Lloyd chain runs once, not 3x
     a = kmeans_assignments(emb, k, iters, id_col, vec_col,
                            keep_vec=True).localCheckpoint()
-    left = a.select(F.col("cluster"), F.col(id_col).alias("__a"),
+    join_keys = ["cluster"]
+    if max_cluster_size is not None:
+        sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        a = (a.join(F.broadcast(sizes), "cluster")
+             .withColumn("__nsalt", F.ceil(F.col("__n") /
+                                           F.lit(max_cluster_size))
+                         .cast("int"))
+             .withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                          F.col("__nsalt")).cast("int"))
+             .drop("__n", "__nsalt"))
+        join_keys = ["cluster", "__salt"]
+    left = a.select(*join_keys, F.col(id_col).alias("__a"),
                     F.col("__q").alias("__qa"))
-    right = a.select(F.col("cluster"), F.col(id_col).alias("__b"),
+    right = a.select(*join_keys, F.col(id_col).alias("__b"),
                      F.col("__q").alias("__qb"))
     cos = F.round(V.quantized_cosine(F.col("__qa"), F.col("__qb")), 6)
-    dup_ids = (left.join(right, "cluster")
+    dup_ids = (left.join(right, join_keys)
                .filter(F.col("__b") < F.col("__a"))
                .filter(cos >= F.lit(threshold))
                .select(F.col("__a").alias(id_col))

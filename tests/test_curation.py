@@ -287,3 +287,32 @@ def test_incremental_bloom_dedup_sharded(spark):
     # (advisor-found: the sharded path silently dropped them)
     assert {3000, 3001} <= sharded and {3000, 3001} <= single
     assert len(sharded.symmetric_difference(single)) <= 4
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce(spark):
+    """Pigeonhole banding must find EXACTLY the pairs the quadratic
+    scan finds (blocking is lossless for hamming <= max_hamming)."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark.functions import text_funcs as TX
+    from iceberg_go_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [(i, f"shared prefix words {i % 7} tail {i % 3}")
+            for i in range(120)] + [(500, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
+
+    h = df.select("doc_id", TX.simhash16(F.col("text")).alias("sh"))
+    a = h.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = h.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = {(r.id_a, r.id_b, r.hamming)
+             for r in (a.join(b, F.col("id_a") < F.col("id_b"))
+                       .withColumn("hamming", F.bit_count(
+                           F.col("sa").bitwiseXOR(F.col("sb"))))
+                       .filter(F.col("hamming") <= 3)).collect()}
+    assert got == brute and len(got) > 0
+    # the blocked plan must not be a cartesian join
+    plan = simhash_near_dup_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan

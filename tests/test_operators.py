@@ -524,3 +524,43 @@ def test_streaming_static_enrichment(spark, sf_dir, tmp_path):
            ev.join(users, "user_id").groupBy("segment")
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == exp and got
+
+
+def test_semantic_dedup_cluster_size_bound(spark):
+    """A pathological corpus (every embedding identical -> ONE cluster)
+    must not drive the within-cluster pair join quadratic: with
+    max_cluster_size set, oversized clusters are salt-split and each
+    bucket's population stays bounded.  The documented trade: one
+    survivor PER BUCKET instead of one per cluster."""
+    import math
+    from pyspark.sql import functions as F2
+    from iceberg_go_spark.operators.similarity import semantic_dedup
+
+    n, cap = 1200, 100
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(emb, k=4, iters=1, max_cluster_size=cap)
+    rows = out.collect()
+    assert len(rows) == n
+    survivors = [r.vec_id for r in rows if r.is_dup == 0]
+    n_buckets = math.ceil(n / cap)
+    # every bucket keeps exactly its minimum id
+    assert 1 < len(survivors) <= n_buckets
+    # bucket populations are hash-balanced: replicate the salting and
+    # assert no bucket exceeds 2x the cap (so pair work is
+    # sum(b_i^2) ~ n*cap, never n^2)
+    buckets = (emb.withColumn(
+        "salt", F2.pmod(F2.xxhash64("vec_id"), F2.lit(n_buckets)))
+        .groupBy("salt").count().collect())
+    assert max(r["count"] for r in buckets) <= 2 * cap
+
+    # unbounded behavior unchanged: one survivor for the whole corpus
+    out2 = semantic_dedup(emb.limit(300), k=4, iters=1)
+    assert [r.vec_id for r in out2.collect() if r.is_dup == 0] == [0]
+
+    # k="auto" derives k from the corpus size
+    out3 = semantic_dedup(emb, k="auto", iters=1,
+                          target_cluster_size=150)
+    assert out3.count() == n
