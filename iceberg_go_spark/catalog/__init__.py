@@ -1,13 +1,16 @@
 from .filesystem import (CommitConflictError, FilesystemCatalog,
                          NoSuchTableError, TableAlreadyExistsError)
-from .sql import SqlCatalog
+from .sql import PostgresDialect, SqliteDialect, SqlCatalog
+from .fake_pg import FakePgConnection, fake_pg_connect
 from .rest import RestCatalog, RestCatalogServer
 from .glue import FakeGlueClient, GlueCatalog, NoSuchNamespaceError
 from .hive import (FakeHiveMetastoreClient, HiveCatalog,
                    LockAcquisitionError)
 from .multi_table import MultiTableTransaction, TableCommit
 
-__all__ = ["FilesystemCatalog", "SqlCatalog", "RestCatalog",
+__all__ = ["FilesystemCatalog", "SqlCatalog",
+           "SqliteDialect", "PostgresDialect",
+           "FakePgConnection", "fake_pg_connect", "RestCatalog",
            "RestCatalogServer", "GlueCatalog", "FakeGlueClient",
            "HiveCatalog", "FakeHiveMetastoreClient",
            "LockAcquisitionError", "CommitConflictError",

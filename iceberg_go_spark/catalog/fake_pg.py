@@ -1,0 +1,92 @@
+"""Fake-wire Postgres driver for the SQL catalog's postgres dialect.
+
+The same pattern as FakeGlueClient / FakeHiveMetastoreClient: a
+duck-typed stand-in that speaks the REAL driver surface — '%s' ("format")
+parameter style, pg exception class names (UniqueViolation), autocommit
+attribute, cursor() DB-API — so a genuine psycopg / pg8000 ``connect``
+callable drops into ``SqlCatalog(dialect="postgres", connect=...)``
+unchanged.  Storage is a shared sqlite file, which gives the conformance
+suite real cross-connection CAS semantics offline.
+
+The adapter REJECTS sqlite-flavored SQL ('?' placeholders,
+INSERT OR REPLACE, BEGIN IMMEDIATE): a statement that would fail against
+a real postgres server fails here too, which is the point of the fake
+wire.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from typing import Tuple
+
+
+class UniqueViolation(Exception):
+    """Name-compatible with psycopg.errors.UniqueViolation."""
+
+
+class FakePgCursor:
+    def __init__(self, cur: sqlite3.Cursor):
+        self._cur = cur
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        if "?" in sql:
+            raise SyntaxError(
+                f"postgres does not accept '?' placeholders: {sql!r}")
+        if "INSERT OR REPLACE" in sql.upper():
+            raise SyntaxError(
+                f"sqlite-only INSERT OR REPLACE sent to postgres: {sql!r}")
+        if "BEGIN IMMEDIATE" in sql.upper():
+            raise SyntaxError(
+                f"sqlite-only BEGIN IMMEDIATE sent to postgres: {sql!r}")
+        return sql.replace("%s", "?")
+
+    def execute(self, sql: str, params: Tuple = ()) -> "FakePgCursor":
+        try:
+            self._cur.execute(self._translate(sql), params)
+        except sqlite3.IntegrityError as e:
+            raise UniqueViolation(str(e))
+        return self
+
+    @property
+    def rowcount(self) -> int:
+        return self._cur.rowcount
+
+    def fetchone(self):
+        return self._cur.fetchone()
+
+    def fetchall(self):
+        return self._cur.fetchall()
+
+    def close(self) -> None:
+        self._cur.close()
+
+
+class FakePgConnection:
+    def __init__(self, db_path: str):
+        self._con = sqlite3.connect(db_path, timeout=30)
+        self._con.isolation_level = None  # explicit BEGIN/COMMIT only
+        self.autocommit = True  # attribute surface of psycopg/pg8000
+
+    def cursor(self) -> FakePgCursor:
+        return FakePgCursor(self._con.cursor())
+
+    def commit(self) -> None:
+        try:
+            self._con.commit()
+        except sqlite3.OperationalError:
+            pass
+
+    def rollback(self) -> None:
+        try:
+            self._con.rollback()
+        except sqlite3.OperationalError:
+            pass
+
+    def close(self) -> None:
+        self._con.close()
+
+
+def fake_pg_connect(db_path: str) -> FakePgConnection:
+    """Zero-arg-partial this into SqlCatalog(connect=...)."""
+    return FakePgConnection(db_path)

@@ -1,7 +1,19 @@
-"""SQL catalog over sqlite (stdlib) — the reference's catalog/sql/sql.go
-(1858 LoC, bun ORM, dialects) re-expressed on sqlite3 with the same table
-layout (iceberg_tables / iceberg_namespace_properties) and the same CAS
-semantics: commit = UPDATE ... WHERE metadata_location = <expected>.
+"""SQL catalog over any DB-API driver — the reference's catalog/sql/sql.go
+(1858 LoC, bun ORM, dialects sqlite/postgres/mysql/mssql/oracle,
+sql.go:44-50) re-expressed as a dialect layer over DB-API connections with
+the same table layout (iceberg_tables / iceberg_namespace_properties) and
+the same CAS semantics: commit = UPDATE ... WHERE metadata_location =
+<expected>.
+
+Dialects: sqlite (stdlib, default) and postgres.  The postgres dialect is
+driver-duck-typed like the Glue/Hive pattern — pass ``connect=`` a
+zero-arg callable returning a DB-API connection (psycopg / pg8000 drop in
+unchanged; the test suite uses a fake-wire adapter that speaks the pg
+parameter style and exception surface).  All statements are written in
+'?'-placeholder form and translated per dialect; transactions are explicit
+BEGIN/COMMIT statements on autocommit connections, so multi-statement ops
+(multi-table commits, namespace property updates) are atomic on every
+backend.
 
 Metadata/manifest files live on the filesystem under the warehouse, as with
 the FS catalog; only the pointer swap is transactional in SQL.
@@ -11,8 +23,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
-import uuid
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 from ..meta.metadata import TableMetadata, new_table_metadata
 from ..meta.partitioning import PartitionSpec, SortOrder
@@ -37,51 +48,148 @@ _DDL = [
 ]
 
 
+class SqliteDialect:
+    """'?' placeholders pass through; BEGIN IMMEDIATE takes the write
+    lock up front so concurrent committers serialize instead of
+    failing mid-transaction."""
+
+    name = "sqlite"
+    begin = "BEGIN IMMEDIATE"
+
+    def translate(self, sql: str) -> str:
+        return sql
+
+    def upsert_namespace_property(self) -> str:
+        return ("INSERT OR REPLACE INTO iceberg_namespace_properties "
+                "VALUES (?, ?, ?, ?)")
+
+
+class PostgresDialect:
+    """%s placeholders (psycopg / pg8000 'format' paramstyle); upserts
+    via the standard ON CONFLICT form (sql.go:44-50 bun pgdialect)."""
+
+    name = "postgres"
+    begin = "BEGIN"
+
+    def translate(self, sql: str) -> str:
+        # our statements carry no literal '?', so a plain substitution
+        # is exact
+        return sql.replace("?", "%s")
+
+    def upsert_namespace_property(self) -> str:
+        return ("INSERT INTO iceberg_namespace_properties "
+                "VALUES (%s, %s, %s, %s) "
+                "ON CONFLICT (catalog_name, namespace, property_key) "
+                "DO UPDATE SET property_value = EXCLUDED.property_value")
+
+
+_DIALECTS = {"sqlite": SqliteDialect, "postgres": PostgresDialect}
+
+
+def _is_integrity_error(exc: BaseException) -> bool:
+    """Duck-typed across drivers: sqlite3.IntegrityError,
+    psycopg.errors.UniqueViolation, pg8000 IntegrityError — match by
+    class-name anywhere in the MRO."""
+    return any(c.__name__ in ("IntegrityError", "UniqueViolation")
+               for c in type(exc).__mro__)
+
+
 class SqlCatalog:
     def __init__(self, warehouse: str, db_path: Optional[str] = None,
-                 name: str = "sql"):
+                 name: str = "sql", dialect: str = "sqlite",
+                 connect: Optional[Callable[[], object]] = None):
         self.warehouse = os.path.abspath(warehouse)
         self.name = name
+        if dialect not in _DIALECTS:
+            raise ValueError(
+                f"unknown sql catalog dialect {dialect!r} "
+                f"(supported: {sorted(_DIALECTS)})")
+        self.dialect = _DIALECTS[dialect]()
         os.makedirs(self.warehouse, exist_ok=True)
-        self.db_path = db_path or os.path.join(self.warehouse, "catalog.db")
-        with self._conn() as con:
+        if connect is not None:
+            self._connect_fn = connect
+        else:
+            if dialect != "sqlite":
+                raise ValueError(
+                    f"dialect {dialect!r} needs a connect= callable "
+                    f"returning a DB-API connection")
+            self.db_path = db_path or os.path.join(self.warehouse,
+                                                   "catalog.db")
+            self._connect_fn = self._sqlite_connect
+        con = self._conn()
+        try:
+            cur = con.cursor()
             for ddl in _DDL:
-                con.execute(ddl)
+                cur.execute(self.dialect.translate(ddl))
+            con.commit()
+        finally:
+            con.close()
 
-    def _conn(self) -> sqlite3.Connection:
+    def _sqlite_connect(self):
         con = sqlite3.connect(self.db_path, timeout=30)
         con.isolation_level = None  # autocommit; we use explicit BEGIN
         return con
+
+    def _conn(self):
+        con = self._connect_fn()
+        # explicit-statement transactions need autocommit drivers
+        if hasattr(con, "autocommit"):
+            try:
+                con.autocommit = True
+            except Exception:
+                pass
+        return con
+
+    def _exec(self, cur, sql: str, params: Tuple = ()):
+        cur.execute(self.dialect.translate(sql), params)
+        return cur
+
+    def _run(self, sql: str, params: Tuple = (), fetch: str = "none"):
+        """One-statement op on a fresh autocommit connection."""
+        con = self._conn()
+        try:
+            cur = self._exec(con.cursor(), sql, params)
+            if fetch == "one":
+                return cur.fetchone()
+            if fetch == "all":
+                return cur.fetchall()
+            if fetch == "rowcount":
+                return cur.rowcount
+            con.commit()
+            return None
+        finally:
+            con.close()
 
     # -- namespaces ----------------------------------------------------------
     def create_namespace(self, namespace,
                          properties: Optional[Dict[str, str]] = None) -> None:
         ns = ".".join(_ident(namespace))
-        with self._conn() as con:
-            con.execute(
-                "INSERT OR REPLACE INTO iceberg_namespace_properties "
-                "VALUES (?, ?, 'exists', 'true')", (self.name, ns))
+        upsert = self.dialect.upsert_namespace_property()
+        con = self._conn()
+        try:
+            cur = con.cursor()
+            cur.execute(self.dialect.translate(self.dialect.begin))
+            cur.execute(upsert, (self.name, ns, "exists", "true"))
             for k, v in (properties or {}).items():
-                con.execute(
-                    "INSERT OR REPLACE INTO iceberg_namespace_properties "
-                    "VALUES (?, ?, ?, ?)", (self.name, ns, k, v))
+                cur.execute(upsert, (self.name, ns, k, v))
+            cur.execute("COMMIT")
+        finally:
+            con.close()
 
     def list_namespaces(self) -> List[Tuple[str, ...]]:
-        with self._conn() as con:
-            rows = con.execute(
-                "SELECT DISTINCT namespace FROM iceberg_namespace_properties "
-                "WHERE catalog_name = ? UNION "
-                "SELECT DISTINCT table_namespace FROM iceberg_tables "
-                "WHERE catalog_name = ?", (self.name, self.name)).fetchall()
+        rows = self._run(
+            "SELECT DISTINCT namespace FROM iceberg_namespace_properties "
+            "WHERE catalog_name = ? UNION "
+            "SELECT DISTINCT table_namespace FROM iceberg_tables "
+            "WHERE catalog_name = ?", (self.name, self.name), fetch="all")
         return sorted(tuple(r[0].split(".")) for r in rows)
 
     def namespace_properties(self, namespace) -> Dict[str, str]:
         ns = ".".join(_ident(namespace))
-        with self._conn() as con:
-            rows = con.execute(
-                "SELECT property_key, property_value FROM "
-                "iceberg_namespace_properties WHERE catalog_name = ? AND "
-                "namespace = ?", (self.name, ns)).fetchall()
+        rows = self._run(
+            "SELECT property_key, property_value FROM "
+            "iceberg_namespace_properties WHERE catalog_name = ? AND "
+            "namespace = ?", (self.name, ns), fetch="all")
         return {k: v for k, v in rows if k != "exists"}
 
     # spec-name alias (catalog.go LoadNamespaceProperties)
@@ -102,27 +210,32 @@ class SqlCatalog:
         existing = set(self.namespace_properties(namespace))
         removed = sorted(set(removals or []) & existing)
         missing = sorted(set(removals or []) - existing)
-        with self._conn() as con:
+        upsert = self.dialect.upsert_namespace_property()
+        con = self._conn()
+        try:
+            cur = con.cursor()
+            cur.execute(self.dialect.translate(self.dialect.begin))
             for k in removed:
-                con.execute(
+                self._exec(
+                    cur,
                     "DELETE FROM iceberg_namespace_properties WHERE "
                     "catalog_name = ? AND namespace = ? AND "
                     "property_key = ?", (self.name, ns, k))
             for k, v in (updates or {}).items():
-                con.execute(
-                    "INSERT OR REPLACE INTO iceberg_namespace_properties "
-                    "VALUES (?, ?, ?, ?)", (self.name, ns, k, v))
+                cur.execute(upsert, (self.name, ns, k, v))
+            cur.execute("COMMIT")
+        finally:
+            con.close()
         return {"updated": sorted(updates or {}), "removed": removed,
                 "missing": missing}
 
     # -- tables --------------------------------------------------------------
     def list_tables(self, namespace) -> List[Tuple[str, ...]]:
         ns = ".".join(_ident(namespace))
-        with self._conn() as con:
-            rows = con.execute(
-                "SELECT table_namespace, table_name FROM iceberg_tables "
-                "WHERE catalog_name = ? AND table_namespace = ?",
-                (self.name, ns)).fetchall()
+        rows = self._run(
+            "SELECT table_namespace, table_name FROM iceberg_tables "
+            "WHERE catalog_name = ? AND table_namespace = ?",
+            (self.name, ns), fetch="all")
         return [tuple(r[0].split(".")) + (r[1],) for r in rows]
 
     def _split(self, identifier) -> Tuple[str, str]:
@@ -147,23 +260,23 @@ class SqlCatalog:
         path = load_location_provider(
             table_dir, md.properties).new_table_metadata_file_location(0)
         md.write(path)
-        with self._conn() as con:
-            try:
-                con.execute(
-                    "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
-                    (self.name, ns, name, path))
-            except sqlite3.IntegrityError:
+        try:
+            self._run(
+                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                (self.name, ns, name, path))
+        except Exception as e:
+            if _is_integrity_error(e):
                 raise TableAlreadyExistsError(str(identifier))
+            raise
         return Table(_ident(identifier), md, path, self)
 
     def load_table(self, identifier):
         from ..table.table import Table
         ns, name = self._split(identifier)
-        with self._conn() as con:
-            row = con.execute(
-                "SELECT metadata_location FROM iceberg_tables WHERE "
-                "catalog_name = ? AND table_namespace = ? AND table_name = ?",
-                (self.name, ns, name)).fetchone()
+        row = self._run(
+            "SELECT metadata_location FROM iceberg_tables WHERE "
+            "catalog_name = ? AND table_namespace = ? AND table_name = ?",
+            (self.name, ns, name), fetch="one")
         if row is None or row[0] is None:
             raise NoSuchTableError(str(identifier))
         return Table(_ident(identifier), TableMetadata.read(row[0]),
@@ -178,28 +291,28 @@ class SqlCatalog:
 
     def drop_table(self, identifier, purge: bool = False) -> None:
         ns, name = self._split(identifier)
-        with self._conn() as con:
-            cur = con.execute(
-                "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
-                "table_namespace = ? AND table_name = ?",
-                (self.name, ns, name))
-            if cur.rowcount == 0:
-                raise NoSuchTableError(str(identifier))
+        n = self._run(
+            "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
+            "table_namespace = ? AND table_name = ?",
+            (self.name, ns, name), fetch="rowcount")
+        if n == 0:
+            raise NoSuchTableError(str(identifier))
 
     def rename_table(self, src, dst) -> None:
         sns, sname = self._split(src)
         dns, dname = self._split(dst)
-        with self._conn() as con:
-            try:
-                cur = con.execute(
-                    "UPDATE iceberg_tables SET table_namespace = ?, "
-                    "table_name = ? WHERE catalog_name = ? AND "
-                    "table_namespace = ? AND table_name = ?",
-                    (dns, dname, self.name, sns, sname))
-            except sqlite3.IntegrityError:
+        try:
+            n = self._run(
+                "UPDATE iceberg_tables SET table_namespace = ?, "
+                "table_name = ? WHERE catalog_name = ? AND "
+                "table_namespace = ? AND table_name = ?",
+                (dns, dname, self.name, sns, sname), fetch="rowcount")
+        except Exception as e:
+            if _is_integrity_error(e):
                 raise TableAlreadyExistsError(str(dst))
-            if cur.rowcount == 0:
-                raise NoSuchTableError(str(src))
+            raise
+        if n == 0:
+            raise NoSuchTableError(str(src))
 
     # -- commit (CAS via conditional UPDATE) ---------------------------------
     @staticmethod
@@ -242,18 +355,21 @@ class SqlCatalog:
             paths.append(path)
         con = self._conn()
         try:
-            con.execute("BEGIN IMMEDIATE")
+            cur = con.cursor()
+            cur.execute(self.dialect.translate(self.dialect.begin))
             for c, path in zip(commits, paths):
                 ns, name = ".".join(c.identifier[:-1]), c.identifier[-1]
                 if c.base_metadata_path is None:
-                    cur = con.execute(
+                    self._exec(
+                        cur,
                         "UPDATE iceberg_tables SET metadata_location = ?, "
                         "previous_metadata_location = metadata_location "
                         "WHERE catalog_name = ? AND table_namespace = ? AND "
                         "table_name = ? AND metadata_location IS NULL",
                         (path, self.name, ns, name))
                 else:
-                    cur = con.execute(
+                    self._exec(
+                        cur,
                         "UPDATE iceberg_tables SET metadata_location = ?, "
                         "previous_metadata_location = metadata_location "
                         "WHERE catalog_name = ? AND table_namespace = ? AND "
@@ -263,11 +379,11 @@ class SqlCatalog:
                     raise CommitConflictError(
                         f"{'.'.join(c.identifier)}: expected base "
                         f"{c.base_metadata_path}")
-            con.execute("COMMIT")
+            cur.execute("COMMIT")
         except BaseException:
             try:
-                con.execute("ROLLBACK")
-            except sqlite3.Error:
+                con.cursor().execute("ROLLBACK")
+            except Exception:
                 pass
             for path in paths:
                 try:

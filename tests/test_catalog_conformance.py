@@ -25,7 +25,7 @@ SCHEMA = Schema([
     T.NestedField(2, "v", T.StringType()),
 ])
 
-CATALOGS = ["fs", "sql", "glue", "hive"]
+CATALOGS = ["fs", "sql", "pg", "glue", "hive"]
 
 
 def make_catalog(kind: str, root: str):
@@ -33,6 +33,17 @@ def make_catalog(kind: str, root: str):
         return FilesystemCatalog(root)
     if kind == "sql":
         return SqlCatalog(root)
+    if kind == "pg":
+        # postgres dialect over the fake-wire pg adapter: '%s' params,
+        # pg exceptions, ON CONFLICT upserts — a real psycopg connect
+        # callable drops in unchanged
+        import functools
+        import os as _os
+        from iceberg_go_spark.catalog import fake_pg_connect
+        return SqlCatalog(root, dialect="postgres",
+                          connect=functools.partial(
+                              fake_pg_connect,
+                              _os.path.join(root, "pg.db")))
     if kind == "glue":
         c = GlueCatalog(root, FakeGlueClient())
         c.create_namespace("db")
