@@ -2456,6 +2456,23 @@ ORDER BY segment
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+
+        # never-yet-driver-checked entries first: the driver's per-round
+        # gate samples a prefix, and a driver row is the durable record
+        "dedup_simhash_near": dedup_simhash_near,
+        "repetition_metrics": repetition_metrics,
+        "decontaminate_docs": decontaminate_docs,
+        "token_rarity_scores": token_rarity_scores,
+        "boilerplate_ngram_flags": boilerplate_ngram_flags,
+        "stratified_sample_by_lang": stratified_sample_by_lang,
+        "mixture_sample_by_source": mixture_sample_by_source,
+        "shuffle_shards_export": shuffle_shards_export,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "pii_scrub": pii_scrub,
+        "pack_sequences": pack_sequences_q,
+        "kmeans_topic_clusters": kmeans_topic_clusters,
+        "multimodal_resize": multimodal_resize,
+        # driver-verified in earlier rounds:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_regional_revenue": q5_regional_revenue,
@@ -2503,32 +2520,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
-        "dedup_simhash_near": dedup_simhash_near,
         "ngram_jaccard_dups": ngram_jaccard_dups,
         "dedup_clusters": dedup_clusters,
         "text_stats": text_stats,
         "lang_histogram": lang_histogram,
         "token_summary_by_lang": token_summary_by_lang,
         "doc_fingerprints": doc_fingerprints,
-        "repetition_metrics": repetition_metrics,
-        "decontaminate_docs": decontaminate_docs,
-        "token_rarity_scores": token_rarity_scores,
-        "boilerplate_ngram_flags": boilerplate_ngram_flags,
-        "stratified_sample_by_lang": stratified_sample_by_lang,
-        "mixture_sample_by_source": mixture_sample_by_source,
-        "shuffle_shards_export": shuffle_shards_export,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "pii_scrub": pii_scrub,
-        "pack_sequences": pack_sequences_q,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "ann_topk_ivf": ann_topk_ivf,
-        "kmeans_topic_clusters": kmeans_topic_clusters,
         "embedding_near_dup": embedding_near_dup,
         "label_centroids": label_centroids,
         "variant_shred": variant_shred,
         "multimodal_features": multimodal_features,
-        "multimodal_resize": multimodal_resize,
         "multimodal_feature_vectors": multimodal_feature_vectors,
     }
 
