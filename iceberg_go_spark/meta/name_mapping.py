@@ -58,18 +58,67 @@ class NameMapping:
         return cls([MappedField.from_json_dict(d) for d in json.loads(s)])
 
     @classmethod
-    def from_schema(cls, schema: Schema) -> "NameMapping":
-        def conv(t: T.IcebergType) -> List[MappedField]:
-            if isinstance(t, T.StructType):
-                return [MappedField([f.name], f.field_id, conv(f.field_type))
-                        for f in t.fields]
-            if isinstance(t, T.ListType):
-                return [MappedField(["element"], t.element_id,
-                                    conv(t.element_type))]
-            if isinstance(t, T.MapType):
-                return [MappedField(["key"], t.key_id),
-                        MappedField(["value"], t.value_id,
-                                    conv(t.value_type))]
-            return []
+    def from_field_type(cls, t: T.IcebergType) -> List[MappedField]:
+        if isinstance(t, T.StructType):
+            return [MappedField([f.name], f.field_id,
+                                cls.from_field_type(f.field_type))
+                    for f in t.fields]
+        if isinstance(t, T.ListType):
+            return [MappedField(["element"], t.element_id,
+                                cls.from_field_type(t.element_type))]
+        if isinstance(t, T.MapType):
+            return [MappedField(["key"], t.key_id),
+                    MappedField(["value"], t.value_id,
+                                cls.from_field_type(t.value_type))]
+        return []
 
-        return cls(conv(schema.as_struct()))
+    @classmethod
+    def from_schema(cls, schema: Schema) -> "NameMapping":
+        return cls(cls.from_field_type(schema.as_struct()))
+
+
+def update_name_mapping(nm: NameMapping, updates: Dict[int, Any],
+                        adds: Dict[int, List[T.NestedField]]
+                        ) -> NameMapping:
+    """Evolve a name mapping alongside a schema evolution
+    (name_mapping.go:144 UpdateNameMapping):
+
+    - a renamed field's NEW name is appended as an alias (ID-less files
+      written with either name keep resolving);
+    - a name reassigned to a DIFFERENT field id (renamed away, then a
+      new column added under the old name) is removed from its previous
+      owner — dropping the mapped field entirely if no names remain;
+    - added fields (keyed by owning struct id; -1 = root) append fresh
+      mapped entries including their subtrees.
+    """
+    def add_new(parent_id: int) -> List[MappedField]:
+        return [MappedField([f.name], f.field_id,
+                            NameMapping.from_field_type(f.field_type))
+                for f in adds.get(parent_id, [])]
+
+    def visit(fields: List[MappedField], parent_id: int
+              ) -> List[MappedField]:
+        # names that updates assign to some field at this level
+        reassigned: Dict[str, int] = {}
+        for mf in fields:
+            if mf.field_id is not None and mf.field_id in updates:
+                upd = updates[mf.field_id]
+                reassigned[upd.name] = upd.field_id
+        out: List[MappedField] = []
+        for mf in fields:
+            names = list(mf.names)
+            if mf.field_id is not None and mf.field_id in updates:
+                new_name = updates[mf.field_id].name
+                if new_name not in names:
+                    names.append(new_name)
+            names = [n for n in names
+                     if not (n in reassigned
+                             and reassigned[n] != mf.field_id)]
+            if not names:
+                continue
+            children = visit(mf.fields, mf.field_id) \
+                if (mf.fields or mf.field_id in adds) else list(mf.fields)
+            out.append(MappedField(names, mf.field_id, children))
+        return out + add_new(parent_id)
+
+    return NameMapping(visit(nm.fields, -1))

@@ -558,6 +558,16 @@ class UpdateSchema:
         else:
             md.schemas.append(new_schema)
             md.current_schema_id = new_schema.schema_id
+        # evolve the name mapping alongside the schema so ID-less files
+        # written under either old or new names keep resolving
+        # (update_schema.go:1061 BuildUpdates -> UpdateNameMapping)
+        from ..meta.name_mapping import (PROP_NAME_MAPPING, NameMapping,
+                                         update_name_mapping)
+        nm_json = md.properties.get(PROP_NAME_MAPPING)
+        if nm_json and (self._adds or self._updates):
+            nm = update_name_mapping(NameMapping.from_json(nm_json),
+                                     self._updates, self._adds)
+            md.properties[PROP_NAME_MAPPING] = nm.to_json()
         md.last_column_id = max(md.last_column_id,
                                 new_schema.highest_field_id, self._next_id)
         md.last_updated_ms = int(time.time() * 1000)

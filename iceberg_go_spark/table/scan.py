@@ -450,24 +450,29 @@ class Scan:
                 df = (spark.read.option("mergeSchema", "true")
                       .parquet(*paths))
                 file_cols = set(df.columns)
-                by_id = {}
+                by_id: Dict[int, List[str]] = {}
                 if nm is not None:
-                    for c in file_cols:
+                    for c in sorted(file_cols):
                         fid = nm.id_for(c)
                         if fid is not None:
-                            by_id[fid] = c
+                            by_id.setdefault(fid, []).append(c)
                 sel = []
-                resolved: Dict[int, Optional[str]] = {}
+                resolved: Dict[int, Optional[List[str]]] = {}
                 for f0, sf in zip(schema.fields, spark_schema.fields):
-                    src = by_id.get(f0.field_id) if nm is not None else \
-                        (f0.name if f0.name in file_cols else None)
-                    resolved[f0.field_id] = src
-                    if src is None:
+                    srcs = by_id.get(f0.field_id) if nm is not None else \
+                        ([f0.name] if f0.name in file_cols else None)
+                    resolved[f0.field_id] = srcs
+                    if not srcs:
                         sel.append(F.lit(None).cast(sf.dataType)
                                    .alias(f0.name))
                     else:
-                        sel.append(F.col(src).cast(sf.dataType)
-                                   .alias(f0.name))
+                        # several file columns can map to one field id
+                        # after a rename (the mapping keeps the old name
+                        # as an alias): per ROW exactly one is non-null,
+                        # since each file carries one of the aliases
+                        src = (F.col(srcs[0]) if len(srcs) == 1
+                               else F.coalesce(*[F.col(c) for c in srcs]))
+                        sel.append(src.cast(sf.dataType).alias(f0.name))
                 df = df.select(*sel, F.col("_metadata"))
                 # ID-less files have no PARQUET:field_id, so the footer
                 # probe marks every defaulted field "missing" — but a

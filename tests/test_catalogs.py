@@ -366,3 +366,82 @@ def test_sql_catalog_postgres_dialect_wire(tmp_path):
         SqlCatalog(root, dialect="oracle")
     with pytest.raises(ValueError, match="needs a connect"):
         SqlCatalog(root, dialect="postgres")
+
+
+def test_name_mapping_evolves_with_schema(cat, spark, sf_dir, tmp_path):
+    """Schema evolution updates schema.name-mapping.default alongside
+    (UpdateNameMapping parity): renamed columns gain their new name as
+    an alias, so ID-less files written under EITHER name resolve; a
+    column added after import resolves new ID-less files by name too."""
+    from iceberg_go_spark.meta.name_mapping import (NameMapping,
+                                                    PROP_NAME_MAPPING)
+
+    df = read_table(spark, "region", sf_dir)
+    t = cat.create_table("db.nmev", Schema.from_spark(df.schema))
+    ext = str(tmp_path / "nm1")
+    df.coalesce(1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext)
+             if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths).commit()
+
+    t = (t.update_schema()
+         .rename_column("r_name", "region_name")
+         .add_column("tier", __import__(
+             "iceberg_go_spark.types", fromlist=["types"]).StringType())
+         .commit())
+    nm = NameMapping.from_json(t.properties()[PROP_NAME_MAPPING])
+    # old and new names both map to the same field id
+    assert nm.id_for("r_name") == nm.id_for("region_name") is not None
+    assert nm.id_for("tier") is not None
+
+    # import an ID-less file written with the NEW names
+    from pyspark.sql import functions as F
+    ext2 = str(tmp_path / "nm2")
+    (df.withColumnRenamed("r_name", "region_name")
+       .withColumn("tier", F.lit("gold"))
+       .withColumn("r_regionkey", F.col("r_regionkey") + 100)
+       .coalesce(1).write.parquet(ext2))
+    paths2 = [os.path.join(ext2, p) for p in os.listdir(ext2)
+              if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths2).commit()
+
+    got = t.to_df(spark)
+    new_rows = got.filter(F.col("r_regionkey") >= 100)
+    assert new_rows.count() == df.count()
+    assert new_rows.filter(F.col("region_name").isNull()).count() == 0
+    assert new_rows.filter(F.col("tier") == "gold").count() == df.count()
+    # pre-evolution imported rows resolve through the OLD name alias
+    old_rows = got.filter(F.col("r_regionkey") < 100)
+    assert old_rows.filter(F.col("region_name").isNull()).count() == 0
+
+
+def test_update_name_mapping_reassignment_and_adds():
+    """Pure-unit UpdateNameMapping parity: rename appends an alias; a
+    name reassigned to a different id is removed from its old owner;
+    adds append entries (root and nested)."""
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.meta.name_mapping import (MappedField,
+                                                    NameMapping,
+                                                    update_name_mapping)
+
+    nm = NameMapping([
+        MappedField(["a"], 1),
+        MappedField(["b"], 2),
+        MappedField(["s"], 3, [MappedField(["x"], 4)]),
+    ])
+    # rename b->c; rename a->b (b now belongs to id 1: old owner loses it)
+    updates = {
+        2: T.NestedField(2, "c", T.StringType()),
+        1: T.NestedField(1, "b", T.StringType()),
+    }
+    adds = {-1: [T.NestedField(10, "new_top", T.LongType())],
+            3: [T.NestedField(11, "y", T.LongType())]}
+    out = update_name_mapping(nm, updates, adds)
+    assert out.id_for("a") == 1 and out.id_for("b") == 1
+    assert out.id_for("c") == 2
+    # field 2 no longer owns "b"
+    f2 = next(f for f in out.fields if f.field_id == 2)
+    assert f2.names == ["c"]
+    assert out.id_for("new_top") == 10
+    s = next(f for f in out.fields if f.field_id == 3)
+    assert [f.names for f in s.fields] == [["x"], ["y"]]
