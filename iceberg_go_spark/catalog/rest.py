@@ -149,7 +149,12 @@ class RestCatalog:
                  token: Optional[str] = None, name: str = "rest",
                  credential: Optional[str] = None,
                  oauth2_server_uri: Optional[str] = None,
-                 scope: str = "catalog"):
+                 scope: str = "catalog",
+                 sigv4_region: Optional[str] = None,
+                 sigv4_service: str = "execute-api",
+                 sigv4_access_key: Optional[str] = None,
+                 sigv4_secret_key: Optional[str] = None,
+                 sigv4_session_token: Optional[str] = None):
         self.uri = uri.rstrip("/")
         self.name = name
         self.token = token
@@ -157,6 +162,17 @@ class RestCatalog:
         self.oauth2_server_uri = oauth2_server_uri
         self.scope = scope
         self._token_expiry = None  # monotonic deadline for refresh
+        # SigV4 (rest.go:89-91 rest.sigv4-enabled/signing-region/
+        # signing-name): when a region is set, requests are SigV4-signed
+        # and the Authorization header carries the signature instead of
+        # a bearer token (AWS-fronted catalogs authenticate by signature)
+        self.sigv4 = None
+        if sigv4_region:
+            self.sigv4 = {"region": sigv4_region,
+                          "service": sigv4_service,
+                          "access_key": sigv4_access_key or "",
+                          "secret_key": sigv4_secret_key or "",
+                          "session_token": sigv4_session_token}
         cfg = self._request("GET", "/v1/config")
         self.warehouse = warehouse or cfg.get("defaults", {}).get("warehouse")
 
@@ -198,13 +214,21 @@ class RestCatalog:
                  headers: Optional[Dict[str, str]] = None,
                  _retried: bool = False) -> dict:
         self._ensure_token()
+        data = json.dumps(body).encode() if body is not None else None
+        hdrs = {"Content-Type": "application/json", **(headers or {})}
+        if self.sigv4 is not None:
+            from . import sigv4 as _s4
+            hdrs.update(_s4.sign(
+                method, self.uri + path, hdrs, data,
+                access_key=self.sigv4["access_key"],
+                secret_key=self.sigv4["secret_key"],
+                region=self.sigv4["region"],
+                service=self.sigv4["service"],
+                session_token=self.sigv4["session_token"]))
+        elif self.token:
+            hdrs["Authorization"] = f"Bearer {self.token}"
         req = urllib.request.Request(
-            self.uri + path, method=method,
-            data=json.dumps(body).encode() if body is not None else None,
-            headers={"Content-Type": "application/json",
-                     **(headers or {}),
-                     **({"Authorization": f"Bearer {self.token}"}
-                        if self.token else {})})
+            self.uri + path, method=method, data=data, headers=hdrs)
         try:
             with urllib.request.urlopen(req) as resp:
                 data = resp.read()
@@ -629,6 +653,9 @@ class _State:
         self.table_config: Dict[str, str] = {}
         self.credential_ttl_s: Optional[float] = None
         self.credentials_served: int = 0
+        # SigV4 enforcement: (access_key, secret_key) -> every request
+        # must carry a valid AWS4-HMAC-SHA256 Authorization header
+        self.sigv4_credentials: Optional[Tuple[str, str]] = None
 
     def vend_credentials(self) -> List[dict]:
         import time as _time
@@ -838,6 +865,13 @@ def _make_handler(state: _State):
             return self._send(200, result)
 
         def _authorized(self) -> bool:
+            if state.sigv4_credentials is not None:
+                from . import sigv4 as _s4
+                ak, sk = state.sigv4_credentials
+                split = urllib.parse.urlsplit(self.path)
+                return _s4.verify(self.command, split.path, split.query,
+                                  dict(self.headers), None,
+                                  access_key=ak, secret_key=sk)
             if state.credential is None:
                 return True
             auth = self.headers.get("Authorization", "")
@@ -1103,7 +1137,8 @@ class RestCatalogServer:
                  page_size: Optional[int] = None,
                  storage_credentials: Optional[List[dict]] = None,
                  table_config: Optional[Dict[str, str]] = None,
-                 credential_ttl_s: Optional[float] = None):
+                 credential_ttl_s: Optional[float] = None,
+                 sigv4_credentials: Optional[Tuple[str, str]] = None):
         os.makedirs(warehouse, exist_ok=True)
         self.state = _State(warehouse)
         self.state.credential = credential
@@ -1112,6 +1147,7 @@ class RestCatalogServer:
         self.state.storage_credentials = list(storage_credentials or [])
         self.state.table_config = dict(table_config or {})
         self.state.credential_ttl_s = credential_ttl_s
+        self.state.sigv4_credentials = sigv4_credentials
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                          _make_handler(self.state))
         self.port = self.httpd.server_address[1]

@@ -182,8 +182,19 @@ def resolve_catalog(cat_cfg: CatalogConfig, client=None):
         if not cat_cfg.uri:
             raise ConfigError("rest catalog needs a uri")
         kwargs = {}
-        if cat_cfg.rest_options is not None:
-            pass  # sigv4 options are environment-bound (no AWS here)
+        ro = cat_cfg.rest_options
+        if ro is not None and ro.sigv4_enabled:
+            # keys from env per AWS convention; the signer itself is
+            # offline (catalog/sigv4.py, verified against the documented
+            # AWS example vector)
+            import os as _os
+            kwargs.update(
+                sigv4_region=ro.signing_region or
+                _os.environ.get("AWS_REGION", ""),
+                sigv4_service=ro.signing_name or "execute-api",
+                sigv4_access_key=_os.environ.get("AWS_ACCESS_KEY_ID"),
+                sigv4_secret_key=_os.environ.get("AWS_SECRET_ACCESS_KEY"),
+                sigv4_session_token=_os.environ.get("AWS_SESSION_TOKEN"))
         return RestCatalog(cat_cfg.uri,
                            warehouse=cat_cfg.warehouse or None,
                            credential=cat_cfg.credential or None,

@@ -317,7 +317,7 @@ def test_rest_oauth_reactive_refresh_on_401(tmp_path):
         from iceberg_go_spark.catalog.rest import RestCatalog as RC
         bad = RC.__new__(RC)
         bad.uri, bad.token, bad.credential = server.uri, "deadbeef", None
-        bad._token_expiry = None
+        bad._token_expiry, bad.sigv4 = None, None
         with pytest.raises(RuntimeError, match="401"):
             bad._request("GET", "/v1/namespaces")
     finally:
@@ -439,3 +439,72 @@ def test_vended_credentials_rebuild_blob_io(tmp_path):
         assert IO.refresh_blob_io("file:///x", {}) is None
     finally:
         IO.set_blob_client_provider(None)
+
+
+def test_sigv4_matches_aws_documented_vector():
+    """The signer reproduces the official AWS SigV4 example (IAM
+    ListUsers GET, 20150830T123600Z, AKIDEXAMPLE) bit-for-bit."""
+    from iceberg_go_spark.catalog.sigv4 import EMPTY_SHA256, _signature
+
+    sig, signed = _signature(
+        "GET", "/", "Action=ListUsers&Version=2010-05-08",
+        {"content-type":
+         "application/x-www-form-urlencoded; charset=utf-8",
+         "host": "iam.amazonaws.com",
+         "x-amz-date": "20150830T123600Z"},
+        ["content-type", "host", "x-amz-date"],
+        EMPTY_SHA256, "20150830T123600Z", "us-east-1", "iam",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    assert signed == "content-type;host;x-amz-date"
+    assert sig == ("5d672d79c15b13162d9279b0855cfba6"
+                   "789a8edb4c82c400e06b5924a6f2b5d7")
+
+
+def test_sigv4_sign_verify_roundtrip():
+    from iceberg_go_spark.catalog import sigv4
+
+    hdrs = sigv4.sign("POST", "http://h:8181/v1/namespaces?a=1&b=2",
+                      {"Content-Type": "application/json"}, b'{"x":1}',
+                      access_key="AK", secret_key="SK",
+                      region="eu-west-1", service="execute-api",
+                      session_token="STOK")
+    assert "x-amz-security-token" in hdrs
+    all_h = {"Content-Type": "application/json", "host": "h:8181", **hdrs}
+    assert sigv4.verify("POST", "/v1/namespaces", "a=1&b=2", all_h,
+                        b'{"x":1}', access_key="AK", secret_key="SK")
+    # wrong secret / tampered path reject
+    assert not sigv4.verify("POST", "/v1/namespaces", "a=1&b=2", all_h,
+                            b'{"x":1}', access_key="AK",
+                            secret_key="WRONG")
+    assert not sigv4.verify("POST", "/v1/other", "a=1&b=2", all_h,
+                            b'{"x":1}', access_key="AK", secret_key="SK")
+
+
+def test_rest_sigv4_end_to_end(tmp_path, spark, sf_dir):
+    """A SigV4-enforcing server accepts only correctly signed requests;
+    the full catalog surface (namespace/table CRUD, append via commit,
+    scan) works through signed requests."""
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+    from tests.conftest import read_table
+
+    server = RestCatalogServer(str(tmp_path / "wh"),
+                               sigv4_credentials=("AKID", "s3cr3t")).start()
+    try:
+        # unsigned client -> 401 on first config fetch
+        with pytest.raises(RuntimeError, match="401"):
+            RestCatalog(server.uri)
+        # wrong secret -> 401
+        with pytest.raises(RuntimeError, match="401"):
+            RestCatalog(server.uri, sigv4_region="us-east-1",
+                        sigv4_access_key="AKID",
+                        sigv4_secret_key="wrong")
+        cat = RestCatalog(server.uri, sigv4_region="us-east-1",
+                          sigv4_access_key="AKID",
+                          sigv4_secret_key="s3cr3t")
+        cat.create_namespace("db")
+        df = read_table(spark, "region", sf_dir)
+        t = cat.create_table("db.s4", Schema.from_spark(df.schema))
+        t.append(df)
+        assert cat.load_table("db.s4").to_df(spark).count() == df.count()
+    finally:
+        server.stop()
