@@ -1,7 +1,9 @@
 from .filesystem import (CommitConflictError, FilesystemCatalog,
                          NoSuchTableError, TableAlreadyExistsError)
-from .sql import PostgresDialect, SqliteDialect, SqlCatalog
-from .fake_pg import FakePgConnection, fake_pg_connect
+from .sql import (MySQLDialect, PostgresDialect, SqliteDialect,
+                  SqlCatalog)
+from .fake_pg import (FakeMySQLConnection, FakePgConnection,
+                      fake_mysql_connect, fake_pg_connect)
 from .rest import RestCatalog, RestCatalogServer
 from .glue import FakeGlueClient, GlueCatalog, NoSuchNamespaceError
 from .hive import (FakeHiveMetastoreClient, HiveCatalog,
@@ -10,7 +12,8 @@ from .multi_table import MultiTableTransaction, TableCommit
 
 __all__ = ["FilesystemCatalog", "SqlCatalog",
            "SqliteDialect", "PostgresDialect",
-           "FakePgConnection", "fake_pg_connect", "RestCatalog",
+           "FakePgConnection", "fake_pg_connect", "MySQLDialect",
+           "FakeMySQLConnection", "fake_mysql_connect", "RestCatalog",
            "RestCatalogServer", "GlueCatalog", "FakeGlueClient",
            "HiveCatalog", "FakeHiveMetastoreClient",
            "LockAcquisitionError", "CommitConflictError",

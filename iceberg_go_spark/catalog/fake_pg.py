@@ -90,3 +90,39 @@ class FakePgConnection:
 def fake_pg_connect(db_path: str) -> FakePgConnection:
     """Zero-arg-partial this into SqlCatalog(connect=...)."""
     return FakePgConnection(db_path)
+
+
+class FakeMySQLCursor(FakePgCursor):
+    """MySQL-wire flavor: accepts ON DUPLICATE KEY UPDATE (translated to
+    sqlite's upsert form), rejects sqlite-isms AND pg-flavored
+    ON CONFLICT."""
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        up = sql.upper()
+        if "ON CONFLICT" in up:
+            raise SyntaxError(
+                f"postgres-only ON CONFLICT sent to mysql: {sql!r}")
+        if "ON DUPLICATE KEY UPDATE" in up:
+            # our only upsert statement; rewrite onto sqlite's upsert
+            head = sql[:up.index("ON DUPLICATE KEY UPDATE")]
+            sql = (head + "ON CONFLICT (catalog_name, namespace, "
+                   "property_key) DO UPDATE SET property_value = "
+                   "excluded.property_value")
+        return FakePgCursor._translate(sql)
+
+    def execute(self, sql, params=()):
+        try:
+            self._cur.execute(self._translate(sql), params)
+        except sqlite3.IntegrityError as e:
+            raise UniqueViolation(str(e))
+        return self
+
+
+class FakeMySQLConnection(FakePgConnection):
+    def cursor(self):
+        return FakeMySQLCursor(self._con.cursor())
+
+
+def fake_mysql_connect(db_path: str) -> FakeMySQLConnection:
+    return FakeMySQLConnection(db_path)

@@ -5,11 +5,12 @@ the same table layout (iceberg_tables / iceberg_namespace_properties) and
 the same CAS semantics: commit = UPDATE ... WHERE metadata_location =
 <expected>.
 
-Dialects: sqlite (stdlib, default) and postgres.  The postgres dialect is
-driver-duck-typed like the Glue/Hive pattern — pass ``connect=`` a
-zero-arg callable returning a DB-API connection (psycopg / pg8000 drop in
-unchanged; the test suite uses a fake-wire adapter that speaks the pg
-parameter style and exception surface).  All statements are written in
+Dialects: sqlite (stdlib, default), postgres, and mysql.  The non-sqlite
+dialects are driver-duck-typed like the Glue/Hive pattern — pass
+``connect=`` a zero-arg callable returning a DB-API connection (psycopg /
+pg8000 / pymysql / MySQLdb drop in unchanged; the test suite uses
+fake-wire adapters that speak each backend's parameter style, upsert
+syntax, and exception surface).  All statements are written in
 '?'-placeholder form and translated per dialect; transactions are explicit
 BEGIN/COMMIT statements on autocommit connections, so multi-statement ops
 (multi-table commits, namespace property updates) are atomic on every
@@ -83,7 +84,25 @@ class PostgresDialect:
                 "DO UPDATE SET property_value = EXCLUDED.property_value")
 
 
-_DIALECTS = {"sqlite": SqliteDialect, "postgres": PostgresDialect}
+class MySQLDialect:
+    """%s placeholders (MySQLdb / pymysql 'format' paramstyle); upserts
+    via ON DUPLICATE KEY UPDATE (sql.go:44-50 bun mysqldialect)."""
+
+    name = "mysql"
+    begin = "BEGIN"
+
+    def translate(self, sql: str) -> str:
+        return sql.replace("?", "%s")
+
+    def upsert_namespace_property(self) -> str:
+        return ("INSERT INTO iceberg_namespace_properties "
+                "VALUES (%s, %s, %s, %s) "
+                "ON DUPLICATE KEY UPDATE "
+                "property_value = VALUES(property_value)")
+
+
+_DIALECTS = {"sqlite": SqliteDialect, "postgres": PostgresDialect,
+             "mysql": MySQLDialect}
 
 
 def _is_integrity_error(exc: BaseException) -> bool:

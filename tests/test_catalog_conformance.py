@@ -25,7 +25,7 @@ SCHEMA = Schema([
     T.NestedField(2, "v", T.StringType()),
 ])
 
-CATALOGS = ["fs", "sql", "pg", "glue", "hive"]
+CATALOGS = ["fs", "sql", "pg", "mysql", "glue", "hive"]
 
 
 def make_catalog(kind: str, root: str):
@@ -33,6 +33,14 @@ def make_catalog(kind: str, root: str):
         return FilesystemCatalog(root)
     if kind == "sql":
         return SqlCatalog(root)
+    if kind == "mysql":
+        import functools
+        import os as _os
+        from iceberg_go_spark.catalog import fake_mysql_connect
+        return SqlCatalog(root, dialect="mysql",
+                          connect=functools.partial(
+                              fake_mysql_connect,
+                              _os.path.join(root, "my.db")))
     if kind == "pg":
         # postgres dialect over the fake-wire pg adapter: '%s' params,
         # pg exceptions, ON CONFLICT upserts — a real psycopg connect
