@@ -407,7 +407,11 @@ class Scan:
         # a per-FILE decision (a newer file's explicit nulls stay null),
         # so footer-probe which default fields each file lacks and group
         # by the missing set (defaults_by_id/fill below)
-        default_fields = [f for f in schema.fields
+        # nested fields included: a default inside a struct fills via
+        # withField on rows whose parent struct exists (a file missing
+        # the whole struct reads the struct as null, not as a struct of
+        # defaults — reference ToRequestedSchema semantics)
+        default_fields = [f for f in schema._by_id.values()
                           if f.initial_default is not None]
         missing_defaults: Dict[str, frozenset] = {}
         if default_fields:
@@ -499,9 +503,35 @@ class Scan:
             # see the defaulted values)
             for fid in sorted(missing_ids):
                 f0 = defaults_by_id[fid]
-                df = df.withColumn(
-                    f0.name, F.lit(f0.initial_default).cast(
-                        T.to_spark_type(f0.field_type)))
+                path = schema.find_column_name(fid) or f0.name
+                lit = F.lit(f0.initial_default).cast(
+                    T.to_spark_type(f0.field_type))
+                if "." in path:
+                    top, rest = path.split(".", 1)
+                    if top not in df.columns:
+                        continue  # whole parent absent: stays null
+                    # withField addresses struct nesting only; defaults
+                    # buried under list/map interiors stay null (same
+                    # as a null parent)
+                    cur = schema.find_field(top)
+                    ok, segs = True, rest.split(".")
+                    for seg in segs[:-1]:
+                        ft = cur.field_type if cur else None
+                        if not isinstance(ft, T.StructType):
+                            ok = False
+                            break
+                        cur = ft.field_by_name(seg) if hasattr(
+                            ft, "field_by_name") else next(
+                            (x for x in ft.fields if x.name == seg),
+                            None)
+                    if not ok or not isinstance(
+                            (cur.field_type if cur else None),
+                            T.StructType):
+                        continue
+                    df = df.withColumn(
+                        top, F.col(top).withField(rest, lit))
+                else:
+                    df = df.withColumn(f0.name, lit)
             if self.row_lineage and name_based:
                 df = df.withColumn("_row_id", F.lit(None).cast("long"))
             if self.row_lineage:
@@ -666,16 +696,32 @@ def _file_field_ids(path_nm: Tuple[str, Optional[str]]) -> frozenset:
     present-by-name column would be wrongly reported missing and its
     real values clobbered by the default constant."""
     import pyarrow.parquet as pq
+    import pyarrow as _pa
     path, nm_json = path_nm
     sch = pq.ParquetFile(path).schema_arrow
     ids = set()
     unmapped_names = []
-    for f in sch:
+
+    def walk(f, top_level: bool) -> None:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
             ids.add(int(fid))
-        else:
+        elif top_level:
+            # name-mapping resolution is top-level (nested ID-less
+            # files are out of mapping scope)
             unmapped_names.append(f.name)
+        t = f.type
+        if _pa.types.is_struct(t):
+            for i in range(t.num_fields):
+                walk(t.field(i), False)
+        elif _pa.types.is_list(t) or _pa.types.is_large_list(t):
+            walk(t.value_field, False)
+        elif _pa.types.is_map(t):
+            walk(t.key_field, False)
+            walk(t.item_field, False)
+
+    for f in sch:
+        walk(f, True)
     if unmapped_names and nm_json:
         from iceberg_go_spark.meta.name_mapping import NameMapping
         nm = NameMapping.from_json(nm_json)

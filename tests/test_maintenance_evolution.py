@@ -450,3 +450,37 @@ def test_orphan_files_scale_shape(spark, sf_dir, catalog, tmp_path):
     for p in strays:
         assert not os.path.exists(p)
     assert t.to_df(spark).count() == df.count()
+
+
+def test_nested_initial_default_fill(spark, catalog):
+    """A defaulted column added INSIDE a struct: pre-evolution files
+    read the default for rows whose struct exists; rows with a NULL
+    struct stay null; post-evolution explicit values win."""
+    df = spark.createDataFrame(
+        [(1, ("a", 10)), (2, ("b", 20)), (3, None)],
+        "id int, s struct<name:string, v:int>")
+    t = catalog.create_table("db.ndef", Schema.from_spark(df.schema))
+    t.append(df)
+    t = (t.update_schema()
+         .add_column("s.tier", T.StringType(), initial_default="basic")
+         .commit())
+
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert rows[1].s.tier == "basic" and rows[1].s.name == "a"
+    assert rows[2].s.tier == "basic"
+    assert rows[3].s is None  # null struct is NOT materialized
+
+    # appends with explicit nested values are untouched
+    df2 = spark.createDataFrame(
+        [(4, ("d", 40, "gold"))],
+        "id int, s struct<name:string, v:int, tier:string>")
+    t.append(df2)
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert rows[4].s.tier == "gold"
+    assert rows[1].s.tier == "basic"
+
+    # a second unrelated evolution keeps filling (nested default
+    # survives apply())
+    t = t.update_schema().rename_column("id", "doc_id").commit()
+    rows = {r.doc_id: r for r in t.to_df(spark).collect()}
+    assert rows[2].s.tier == "basic" and rows[4].s.tier == "gold"
