@@ -1235,6 +1235,45 @@ FROM winnowed GROUP BY doc_id
 """
 
 
+def dedup_paragraphs_clean(spark, sf_dir):
+    """Paragraph-level corpus dedup (RefinedWeb-style boilerplate
+    removal): the corpus has no newlines, so paragraphs are derived
+    deterministically by splitting on ' a ' in BOTH engines; paragraphs
+    appearing in more than 2 documents are dropped and documents
+    reassembled from the survivors in order."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " a ", "\n"))
+    return CU.dedup_paragraphs(docs, max_occurrences=2)
+
+
+PARA_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(replace(text, ' a ', chr(10)), chr(10))
+         AS parts
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id, unnest(parts) AS para0,
+         unnest(generate_series(1, len(parts))) AS pos
+  FROM base
+),
+p AS (
+  SELECT doc_id, pos, trim(para0) AS para, md5(trim(para0)) AS h
+  FROM p0 WHERE trim(para0) <> ''
+),
+c AS (
+  SELECT h, count(DISTINCT doc_id) AS docs FROM p GROUP BY h
+)
+SELECT p.doc_id,
+       coalesce(string_agg(CASE WHEN c.docs <= 2 THEN p.para END,
+                           chr(10) ORDER BY p.pos), '') AS clean_text,
+       sum(CASE WHEN c.docs <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN c.docs > 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM p JOIN c USING (h)
+GROUP BY p.doc_id
+"""
+
+
 def repetition_metrics(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/curation.py repetition_metrics)."""
@@ -2460,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-yet-driver-checked entries first: the driver's per-round
         # gate samples a prefix, and a driver row is the durable record
         "dedup_simhash_near": dedup_simhash_near,
+        "dedup_paragraphs_clean": dedup_paragraphs_clean,
         "repetition_metrics": repetition_metrics,
         "decontaminate_docs": decontaminate_docs,
         "token_rarity_scores": token_rarity_scores,
@@ -2587,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": SIMHASH_SQL,
         "dedup_simhash_near": SIMHASH_NEAR_SQL,
+        "dedup_paragraphs_clean": PARA_DEDUP_SQL,
         "ngram_jaccard_dups": _jaccard_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "text_stats": TEXT_STATS_SQL,

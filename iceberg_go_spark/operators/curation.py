@@ -367,3 +367,47 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
             .withColumn("boiler_frac",
                         F.round(F.col("n_boiler") /
                                 F.col("n_ngrams"), 6)))
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_occurrences: int = 1,
+                     sep: str = "\n") -> DataFrame:
+    """Paragraph-level corpus dedup (RefinedWeb/CCNet-style boilerplate
+    removal): drop every paragraph whose normalized form appears in MORE
+    than ``max_occurrences`` documents across the corpus, then
+    reassemble each document from its surviving paragraphs in original
+    order.  Returns (id, clean_text, n_kept, n_dropped).
+
+    Scale shape (100 TB): posexplode -> md5 -> one map-side-combinable
+    count shuffle on the paragraph hash -> AQE-gated join back (the
+    over-represented hash set is small; a skewed boilerplate hash is
+    exactly what AQE skew-join splits) -> one keyed reassembly
+    aggregation.  Pure built-ins, whole-stage codegen throughout; never
+    an all-pairs comparison."""
+    paras = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("__pos", "__para"))
+             .filter(F.trim(F.col("__para")) != "")
+             .withColumn("__h", F.md5(F.trim(F.col("__para")))))
+    # distinct docs per paragraph hash: the same paragraph repeated
+    # WITHIN one doc does not make it corpus-boilerplate
+    counts = (paras.select("__h", id_col).distinct()
+              .groupBy("__h")
+              .agg(F.count(F.lit(1)).alias("__docs")))
+    kept = (paras.join(counts, "__h")
+            .withColumn("__keep", F.col("__docs") <= max_occurrences))
+    return (kept.groupBy(id_col)
+            .agg(F.concat_ws(
+                     sep,
+                     F.transform(
+                         F.array_sort(F.collect_list(F.when(
+                             F.col("__keep"),
+                             F.struct(F.col("__pos"),
+                                      F.col("__para"))))),
+                         lambda s: s.getField("__para")))
+                 .alias("clean_text"),
+                 F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+                 .cast("long").alias("n_dropped")))

@@ -316,3 +316,35 @@ def test_simhash_near_dup_pairs_matches_bruteforce(spark):
     plan = simhash_near_dup_pairs(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_paragraphs(spark):
+    from iceberg_go_spark.operators.curation import dedup_paragraphs
+
+    rows = [
+        (1, "unique one\nBOILER\nunique two"),
+        (2, "BOILER\nother text"),
+        (3, "BOILER\nmore\nBOILER"),   # repeated WITHIN one doc
+        (4, "all mine\nalso mine"),
+        (5, "   \nonly spaces around\n "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup_paragraphs(df, max_occurrences=2).collect()}
+    # BOILER appears in 3 DISTINCT docs -> dropped everywhere
+    assert out[1].clean_text == "unique one\nunique two"
+    assert out[1].n_kept == 2 and out[1].n_dropped == 1
+    assert out[2].clean_text == "other text"
+    # within-doc repetition counts once toward the corpus count, but
+    # BOTH occurrences are dropped from the doc
+    assert out[3].clean_text == "more"
+    assert out[3].n_dropped == 2
+    assert out[4].clean_text == "all mine\nalso mine"
+    # blank paragraphs are ignored entirely
+    assert out[5].clean_text == "only spaces around"
+    # a doc losing everything still appears, empty
+    df2 = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "X")], "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            dedup_paragraphs(df2, max_occurrences=1).collect()}
+    assert out2[1].clean_text == "" and out2[1].n_kept == 0
