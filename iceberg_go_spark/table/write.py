@@ -321,6 +321,40 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     if fills:
         df = df.withColumns(fills)
 
+    # nested write-defaults: a defaulted field INSIDE a struct that the
+    # input lacks fills via withField (rows whose parent struct is null
+    # stay null); list/map interiors are not addressable and fall
+    # through to DataFrame.to's missing-field error
+    import pyspark.sql.types as ST
+
+    def _nav(dt, parts):
+        for p in parts:
+            if not isinstance(dt, ST.StructType) or p not in dt.names:
+                return None
+            dt = dt[p].dataType
+        return dt
+
+    for f in schema._by_id.values():
+        default = f.write_default if f.write_default is not None \
+            else f.initial_default
+        if default is None:
+            continue
+        path = schema.find_column_name(f.field_id) or f.name
+        if "." not in path:
+            continue  # top-level handled by the fills above
+        top, rest = path.split(".", 1)
+        if top not in df.columns:
+            continue
+        segs = rest.split(".")
+        if _nav(df.schema[top].dataType, segs) is not None:
+            continue  # present in the input: explicit values win
+        parent = _nav(df.schema[top].dataType, segs[:-1])
+        if not isinstance(parent, ST.StructType):
+            continue
+        df = df.withColumn(
+            top, F.col(top).withField(rest, F.lit(default).cast(
+                T.to_spark_type(f.field_type))))
+
     # stamp parquet field IDs (nested included) so files are readable
     # by-ID after renames/moves at any depth: DataFrame.to reconciles
     # columns and inner struct fields BY NAME (reorder + safe upcast),

@@ -484,3 +484,32 @@ def test_nested_initial_default_fill(spark, catalog):
     t = t.update_schema().rename_column("id", "doc_id").commit()
     rows = {r.doc_id: r for r in t.to_df(spark).collect()}
     assert rows[2].s.tier == "basic" and rows[4].s.tier == "gold"
+
+
+def test_nested_write_default_fill_on_append(spark, catalog):
+    """Appends missing a nested defaulted field fill the write-default
+    (falling back to initial-default); explicit values and null parent
+    structs are untouched."""
+    df = spark.createDataFrame(
+        [(1, ("a",))], "id int, s struct<name:string>")
+    t = catalog.create_table("db.nwd", Schema.from_spark(df.schema))
+    t.append(df)  # pre-evolution file
+    t = (t.update_schema()
+         .add_column("s.tier", T.StringType(),
+                     initial_default="basic", write_default="std")
+         .commit())
+
+    # append WITHOUT the nested column: write-default fills
+    t.append(spark.createDataFrame(
+        [(2, ("b",)), (3, None)], "id int, s struct<name:string>"))
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert rows[2].s.tier == "std"
+    assert rows[3].s is None
+    # pre-evolution file reads the initial-default
+    assert rows[1].s.tier == "basic"
+
+    # append WITH explicit nested values: untouched
+    t.append(spark.createDataFrame(
+        [(4, ("c", "gold"))], "id int, s struct<name:string, tier:string>"))
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert rows[4].s.tier == "gold" and rows[2].s.tier == "std"
