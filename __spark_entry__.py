@@ -29,6 +29,7 @@ from iceberg_go_spark import expressions as E  # noqa: E402
 from iceberg_go_spark.functions import text_funcs as TX  # noqa: E402
 from iceberg_go_spark.functions import vector_funcs as V  # noqa: E402
 from iceberg_go_spark.operators import curation as CU  # noqa: E402
+from iceberg_go_spark.operators import funnel as FU  # noqa: E402
 from iceberg_go_spark.operators import dedup as DD  # noqa: E402
 from iceberg_go_spark.operators import multimodal as MM  # noqa: E402
 from iceberg_go_spark.operators import rollup as RU  # noqa: E402
@@ -1274,6 +1275,93 @@ GROUP BY p.doc_id
 """
 
 
+def event_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: users per deepest
+    stage reached (stage k needs step k at-or-after the earliest
+    completion of stage k-1).  Chain of co-partitioned keyed
+    aggregations; the oracle is the classic correlated-min SQL."""
+    ev = _read(spark, sf_dir, "events")
+    return FU.funnel_counts(ev, ["view", "click", "purchase"],
+                            within_seconds=86400) \
+        .orderBy("funnel_stage")
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 86400 SECOND
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT user_id,
+         CASE WHEN user_id IN (SELECT user_id FROM s3) THEN 3
+              WHEN user_id IN (SELECT user_id FROM s2) THEN 2
+              ELSE 1 END AS funnel_stage
+  FROM s1
+)
+SELECT funnel_stage::BIGINT AS funnel_stage,
+       count(*)::BIGINT AS n_users
+FROM stages GROUP BY 1 ORDER BY 1
+"""
+
+
+def user_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users by first-activity week, counted
+    active per whole-week offset from their cohort week."""
+    ev = _read(spark, sf_dir, "events")
+    return FU.retention_cohorts(ev)
+
+
+RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS wk FROM events
+),
+first AS (
+  SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT w.user_id, first.cohort_week,
+         ((w.wk - first.cohort_week) / 7)::BIGINT AS week_offset
+  FROM w JOIN first USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
+def props_json_stats(spark, sf_dir):
+    """JSON property extraction (props is a JSON object column): per
+    event type, count + avg/max of $.k."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg(k), 6).alias("avg_k"),
+                 F.max(k).alias("max_k")))
+
+
+PROPS_JSON_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(avg((props ->> '$.k')::BIGINT), 6) AS avg_k,
+       max((props ->> '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def repetition_metrics(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/curation.py repetition_metrics)."""
@@ -2500,6 +2588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate samples a prefix, and a driver row is the durable record
         "dedup_simhash_near": dedup_simhash_near,
         "dedup_paragraphs_clean": dedup_paragraphs_clean,
+        "event_funnel": event_funnel,
+        "user_retention_cohorts": user_retention_cohorts,
+        "props_json_stats": props_json_stats,
         "repetition_metrics": repetition_metrics,
         "decontaminate_docs": decontaminate_docs,
         "token_rarity_scores": token_rarity_scores,
@@ -2628,6 +2719,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": SIMHASH_SQL,
         "dedup_simhash_near": SIMHASH_NEAR_SQL,
         "dedup_paragraphs_clean": PARA_DEDUP_SQL,
+        "event_funnel": FUNNEL_SQL,
+        "user_retention_cohorts": RETENTION_SQL,
+        "props_json_stats": PROPS_JSON_SQL,
         "ngram_jaccard_dups": _jaccard_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "text_stats": TEXT_STATS_SQL,

@@ -1,0 +1,89 @@
+"""Behavioral analytics over event streams: ordered funnels and
+retention cohorts.
+
+Net-new surface (the reference has no relational operators); both are
+pure DataFrame compositions shaped for scale:
+
+- funnel: one aggregation per stage, every one keyed by the user id —
+  the first shuffle hash-partitions by user and each later stage joins
+  co-partitioned on the same key, so stage N never re-shuffles the raw
+  event stream, only the (user, threshold-ts) frame from stage N-1.
+- cohorts: first-touch per user (map-side-combinable min), then one
+  co-partitioned join + one count-distinct rollup.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_stages(events: DataFrame, steps: List[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  within_seconds: Optional[float] = None) -> DataFrame:
+    """Ordered-funnel completion: a user reaches stage k when they
+    performed ``steps[k]`` AT OR AFTER their earliest completion of
+    stage k-1.  Returns one row per user with the deepest stage reached
+    (1-based; users with none of step 0 don't appear).
+
+    ``within_seconds`` bounds each conversion: stage k must land at
+    most that long after the stage k-1 threshold (the usual funnel
+    window).  Equivalent to the classic correlated-min SQL formulation
+    (the oracle); expressed as a chain of co-partitioned keyed
+    aggregations."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    # stage 1: earliest occurrence of the first step per user
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col)
+           .agg(F.min(ts_col).alias("__t")))
+    out = cur.select(F.col(user_col), F.lit(1).alias("stage"))
+    for k, step in enumerate(steps[1:], start=2):
+        cond = F.col(ts_col) >= F.col("__t")
+        if within_seconds is not None:
+            cond = cond & (F.col(ts_col) <= F.col("__t") +
+                           F.expr(f"INTERVAL {within_seconds} SECOND"))
+        nxt = (events.filter(F.col(type_col) == step)
+               .join(cur, user_col)
+               .filter(cond)
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("__t")))
+        out = out.unionByName(
+            nxt.select(F.col(user_col), F.lit(k).alias("stage")))
+        cur = nxt
+    # deepest stage per user
+    return (out.groupBy(user_col)
+            .agg(F.max("stage").cast("long").alias("funnel_stage")))
+
+
+def funnel_counts(events: DataFrame, steps: List[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  within_seconds: Optional[float] = None) -> DataFrame:
+    """Users per deepest-stage-reached (the funnel report)."""
+    return (funnel_stages(events, steps, user_col, ts_col, type_col,
+                          within_seconds)
+            .groupBy("funnel_stage")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      max_weeks: Optional[int] = None) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (cohort), counted as active per whole-week offset from their
+    cohort week.  Returns (cohort_week, week_offset, n_users)."""
+    week = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    first = (events.groupBy(user_col)
+             .agg(F.min(week).alias("cohort_week")))
+    act = (events.select(F.col(user_col), week.alias("__w")).distinct()
+           .join(first, user_col)
+           .withColumn("week_offset",
+                       (F.datediff(F.col("__w"), F.col("cohort_week"))
+                        / 7).cast("long")))
+    if max_weeks is not None:
+        act = act.filter(F.col("week_offset") <= max_weeks)
+    return (act.groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct(F.col(user_col)).alias("n_users")))

@@ -1,0 +1,86 @@
+"""Ordered funnels + retention cohorts (operators/funnel.py)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark.operators.funnel import (funnel_counts,
+                                               funnel_stages,
+                                               retention_cohorts)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_order_matters(spark):
+    t = datetime(2024, 1, 1)
+
+    def at(h):
+        return datetime(2024, 1, 1, h)
+
+    ev = _ev(spark, [
+        # u1 completes in order
+        (1, at(1), "view"), (1, at(2), "click"), (1, at(3), "purchase"),
+        # u2 clicked BEFORE viewing: click doesn't count; re-click later
+        (2, at(1), "click"), (2, at(2), "view"),
+        # u3 purchase before click: stops at click
+        (3, at(1), "view"), (3, at(2), "purchase"), (3, at(3), "click"),
+        # u4 never viewed: not in the funnel at all
+        (4, at(1), "click"), (4, at(2), "purchase"),
+    ])
+    got = {r.user_id: r.funnel_stage
+           for r in funnel_stages(
+               ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 2}
+    counts = {r.funnel_stage: r.n_users
+              for r in funnel_counts(
+                  ev, ["view", "click", "purchase"]).collect()}
+    assert counts == {1: 1, 2: 1, 3: 1}
+
+
+def test_funnel_conversion_window(spark):
+    def at(h):
+        return datetime(2024, 1, 1, h)
+
+    ev = _ev(spark, [
+        (1, at(0), "view"), (1, at(1), "click"),      # converts in 1h
+        (2, at(0), "view"), (2, at(5), "click"),      # too slow
+    ])
+    got = {r.user_id: r.funnel_stage
+           for r in funnel_stages(ev, ["view", "click"],
+                                  within_seconds=2 * 3600).collect()}
+    assert got == {1: 2, 2: 1}
+    # equal timestamps count (>=, same-instant conversion)
+    ev2 = _ev(spark, [(9, at(0), "view"), (9, at(0), "click")])
+    assert funnel_stages(ev2, ["view", "click"]).first().funnel_stage == 2
+    with pytest.raises(ValueError):
+        funnel_stages(ev, [])
+
+
+def test_retention_cohorts(spark):
+    def d(day, h=0):
+        return datetime(2024, 1, day, h)
+
+    ev = _ev(spark, [
+        # u1 first in week of Jan 1, active again 2 weeks later
+        (1, d(2), "view"), (1, d(16), "view"),
+        # u2 same cohort, only week 0 (two events, one distinct week)
+        (2, d(3), "view"), (2, d(4), "view"),
+        # u3 later cohort (week of Jan 8)
+        (3, d(9), "view"), (3, d(15, 23), "view"),
+    ])
+    got = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+    # max_weeks truncates the triangle
+    got2 = {(str(r.cohort_week), r.week_offset)
+            for r in retention_cohorts(ev, max_weeks=1).collect()}
+    assert ("2024-01-01", 2) not in got2
