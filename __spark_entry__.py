@@ -1078,23 +1078,29 @@ SELECT doc_id, {TX.simhash16_sql('text')}::BIGINT AS simhash FROM documents
 
 
 def dedup_simhash_near(spark, sf_dir):
-    """SimHash hamming<=3 near-dup pairs via pigeonhole bit-band
-    blocking (equi-join on band keys, never all-pairs); the DuckDB
-    oracle is the brute-force quadratic self-join, so the value check
-    proves the blocking loses no pair."""
+    """64-bit SimHash hamming<=3 near-dup pairs via pigeonhole
+    16-bit-band blocking (equi-join on band keys, never all-pairs); the
+    DuckDB oracle is the brute-force quadratic self-join, so the value
+    check proves the blocking loses no pair."""
     docs = _read(spark, sf_dir, "documents")
     return (DD.simhash_near_dup_pairs(docs, max_hamming=3)
             .withColumn("hamming", F.col("hamming").cast("long")))
 
 
+_S64 = TX.simhash64_parts_sql("text")
 SIMHASH_NEAR_SQL = f"""
 WITH h AS (
-  SELECT doc_id, {TX.simhash16_sql('text')}::BIGINT AS sh FROM documents
+  SELECT doc_id, {_S64[0]}::BIGINT AS p0, {_S64[1]}::BIGINT AS p1,
+         {_S64[2]}::BIGINT AS p2, {_S64[3]}::BIGINT AS p3
+  FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+       (bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
+        bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)))::BIGINT
+       AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 3
+WHERE (bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
+       bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3))) <= 3
 """
 
 

@@ -68,6 +68,12 @@ EXTRA = [
     "dedup_keep_best",
     "soft_dedup_weights",
     "events_resampled_dense",
+    # round-5 additions
+    "dedup_simhash_near",
+    "dedup_paragraphs_clean",
+    "event_funnel",
+    "user_retention_cohorts",
+    "props_json_stats",
 ]
 
 

