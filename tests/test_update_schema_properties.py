@@ -1,0 +1,194 @@
+"""Property-based soundness of nested schema evolution (hypothesis).
+
+Random chains of staged operations against a shadow model assert the
+invariants the reference's 2360-LoC table-driven corpus spot-checks:
+
+- field IDs are identity: surviving fields keep id/initial-default; a
+  rename changes only the name, a move only the position;
+- IDs never collide and never get reused after drops (monotonic
+  last-column-id);
+- apply() is deterministic and the schema round-trips through the
+  metadata JSON wire form unchanged;
+- any op the builder ACCEPTS yields a well-formed schema (unique names
+  per struct level, unique ids globally); any ill-formed request raises
+  ValueError at staging, never corrupts staged state.
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from iceberg_go_spark import types as T
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+
+
+def base_schema() -> Schema:
+    return Schema([
+        T.NestedField(1, "id", T.IntegerType(), required=True),
+        T.NestedField(2, "name", T.StringType()),
+        T.NestedField(3, "age", T.IntegerType(), initial_default=0,
+                      write_default=0),
+        T.NestedField(4, "address", T.StructType(
+            T.NestedField(5, "city", T.StringType()),
+            T.NestedField(6, "zip", T.StringType()),
+        )),
+        T.NestedField(7, "tags", T.ListType(8, T.StringType(), False)),
+    ], schema_id=0, identifier_field_ids=[1])
+
+
+PATHS = ["id", "name", "age", "address", "address.city", "address.zip",
+         "tags", "ghost", "address.nope"]
+NEWNAMES = ["n1", "n2", "city", "name", "x"]
+TYPES = [T.IntegerType(), T.LongType(), T.StringType(), T.DoubleType()]
+
+op_st = st.one_of(
+    st.tuples(st.just("add"), st.sampled_from(PATHS + ["fresh"]),
+              st.sampled_from(NEWNAMES), st.sampled_from(TYPES)),
+    st.tuples(st.just("drop"), st.sampled_from(PATHS)),
+    st.tuples(st.just("rename"), st.sampled_from(PATHS),
+              st.sampled_from(NEWNAMES)),
+    st.tuples(st.just("retype"), st.sampled_from(PATHS),
+              st.sampled_from(TYPES)),
+    st.tuples(st.just("move_first"), st.sampled_from(PATHS)),
+    st.tuples(st.just("move_before"), st.sampled_from(PATHS),
+              st.sampled_from(PATHS)),
+    st.tuples(st.just("optional"), st.sampled_from(PATHS)),
+)
+
+
+def walk_fields(t, prefix=""):
+    """(dotted_name, field) of every struct-nested field."""
+    out = []
+    if isinstance(t, T.StructType):
+        for f in t.fields:
+            name = f"{prefix}{f.name}"
+            out.append((name, f))
+            out += walk_fields(f.field_type, name + ".")
+    elif isinstance(t, T.ListType):
+        out += walk_fields(t.element_type, prefix)
+    elif isinstance(t, T.MapType):
+        out += walk_fields(t.value_type, prefix)
+    return out
+
+
+def check_well_formed(schema: Schema) -> None:
+    # unique names per struct level
+    def walk(st_):
+        if isinstance(st_, T.StructType):
+            names = [f.name for f in st_.fields]
+            assert len(names) == len(set(names)), names
+            for f in st_.fields:
+                walk(f.field_type)
+        elif isinstance(st_, T.ListType):
+            walk(st_.element_type)
+        elif isinstance(st_, T.MapType):
+            walk(st_.key_type)
+            walk(st_.value_type)
+    walk(schema.as_struct())
+    # globally unique ids (the Schema index would collapse collisions)
+    ids = []
+
+    def collect(t):
+        if isinstance(t, T.StructType):
+            for f in t.fields:
+                ids.append(f.field_id)
+                collect(f.field_type)
+        elif isinstance(t, T.ListType):
+            ids.append(t.element_id)
+            collect(t.element_type)
+        elif isinstance(t, T.MapType):
+            ids.append(t.key_id)
+            ids.append(t.value_id)
+            collect(t.key_type)
+            collect(t.value_type)
+    collect(schema.as_struct())
+    assert len(ids) == len(set(ids)), ids
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(op_st, min_size=1, max_size=8), st.data())
+def test_random_evolution_chains(ops, data):
+    import tempfile
+    cat = FilesystemCatalog(tempfile.mkdtemp())
+    name = f"db.p{data.draw(st.integers(0, 10**9))}"
+    t = cat.create_table(name, base_schema())
+    before = t.metadata.schema()
+    by_id_before = {f.field_id: f for _n, f in
+                    walk_fields(before.as_struct())}
+    upd = t.update_schema()
+    applied = []
+    fresh_i = 0
+    for op in ops:
+        try:
+            if op[0] == "add":
+                _, parent, nm, ty = op
+                fresh_i += 1
+                path = (f"f{fresh_i}" if parent == "fresh"
+                        else f"{parent}.{nm}")
+                upd.add_column(path, ty)
+            elif op[0] == "drop":
+                upd.delete_column(op[1])
+            elif op[0] == "rename":
+                upd.rename_column(op[1], op[2])
+            elif op[0] == "retype":
+                upd.update_column_type(op[1], op[2])
+            elif op[0] == "move_first":
+                upd.move_first(op[1])
+            elif op[0] == "move_before":
+                upd.move_before(op[1], op[2])
+            elif op[0] == "optional":
+                upd.make_column_optional(op[1])
+            applied.append(op)
+        except ValueError:
+            continue  # rejected ops must not corrupt staged state
+
+    out = upd.apply()
+    check_well_formed(out)
+
+    # apply() is deterministic
+    assert upd.apply().fields == out.fields
+
+    # identity: every surviving id keeps its initial-default; ids of
+    # adds never collide with pre-existing ids
+    by_id_after = {f.field_id: f for _n, f in
+                   walk_fields(out.as_struct())}
+    for fid, f in by_id_after.items():
+        if fid in by_id_before:
+            assert f.initial_default == by_id_before[fid].initial_default
+        else:
+            assert fid > before.highest_field_id
+
+    # JSON wire-form round-trip is lossless
+    back = Schema.from_json_dict(out.to_json_dict())
+    assert back.fields == out.fields
+    assert back.identifier_field_ids == out.identifier_field_ids
+
+    # committing the same staged evolution lands and reloads identically
+    t2 = upd.commit()
+    loaded = cat.load_table(name).schema()
+    assert loaded.fields == t2.schema().fields
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(op_st, min_size=1, max_size=5))
+def test_last_column_id_monotonic(ops):
+    import tempfile
+    cat = FilesystemCatalog(tempfile.mkdtemp())
+    t = cat.create_table("db.m", base_schema())
+    last = t.metadata.last_column_id
+    for op in ops:
+        upd = t.update_schema()
+        try:
+            if op[0] == "add":
+                upd.add_column(f"c{last + 1}", T.LongType())
+            elif op[0] == "drop":
+                upd.delete_column(op[1])
+            elif op[0] == "rename":
+                upd.rename_column(op[1], op[2])
+            else:
+                continue
+            t = upd.commit()
+        except ValueError:
+            continue
+        assert t.metadata.last_column_id >= last
+        last = t.metadata.last_column_id
