@@ -1,7 +1,7 @@
 from .filesystem import (CommitConflictError, FilesystemCatalog,
                          NoSuchTableError, TableAlreadyExistsError)
-from .sql import (MySQLDialect, PostgresDialect, SqliteDialect,
-                  SqlCatalog)
+from .sql import (MSSQLDialect, MySQLDialect, OracleDialect,
+                  PostgresDialect, SqliteDialect, SqlCatalog)
 from .fake_pg import (FakeMySQLConnection, FakePgConnection,
                       fake_mysql_connect, fake_pg_connect)
 from .rest import RestCatalog, RestCatalogServer
@@ -13,7 +13,8 @@ from .multi_table import MultiTableTransaction, TableCommit
 __all__ = ["FilesystemCatalog", "SqlCatalog",
            "SqliteDialect", "PostgresDialect",
            "FakePgConnection", "fake_pg_connect", "MySQLDialect",
-           "FakeMySQLConnection", "fake_mysql_connect", "RestCatalog",
+           "FakeMySQLConnection", "fake_mysql_connect",
+           "MSSQLDialect", "OracleDialect", "RestCatalog",
            "RestCatalogServer", "GlueCatalog", "FakeGlueClient",
            "HiveCatalog", "FakeHiveMetastoreClient",
            "LockAcquisitionError", "CommitConflictError",

@@ -126,3 +126,78 @@ class FakeMySQLConnection(FakePgConnection):
 
 def fake_mysql_connect(db_path: str) -> FakeMySQLConnection:
     return FakeMySQLConnection(db_path)
+
+
+_UPSERT_SQLITE = ("ON CONFLICT (catalog_name, namespace, property_key) "
+                  "DO UPDATE SET property_value = excluded.property_value")
+
+
+class FakeMSSQLCursor(FakePgCursor):
+    """MSSQL-wire flavor: accepts the dialect's MERGE upsert (translated
+    narrowly onto sqlite's upsert), BEGIN TRANSACTION, and '%s' params;
+    rejects sqlite/pg/mysql-flavored statements."""
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        up = sql.upper()
+        if "ON CONFLICT" in up or "ON DUPLICATE KEY" in up:
+            raise SyntaxError(f"non-mssql upsert sent to mssql: {sql!r}")
+        if up.startswith("MERGE "):
+            return ("INSERT INTO iceberg_namespace_properties "
+                    "VALUES (?, ?, ?, ?) " + _UPSERT_SQLITE)
+        if up.strip() == "BEGIN TRANSACTION":
+            sql = "BEGIN"
+        return FakePgCursor._translate(sql)
+
+    def execute(self, sql, params=()):
+        try:
+            self._cur.execute(self._translate(sql), params)
+        except sqlite3.IntegrityError as e:
+            raise UniqueViolation(str(e))
+        return self
+
+
+class FakeMSSQLConnection(FakePgConnection):
+    def cursor(self):
+        return FakeMSSQLCursor(self._con.cursor())
+
+
+def fake_mssql_connect(db_path: str) -> FakeMSSQLConnection:
+    return FakeMSSQLConnection(db_path)
+
+
+class FakeOracleCursor(FakePgCursor):
+    """Oracle-wire flavor: ':1'-numbered binds and MERGE ... FROM dual;
+    rejects '?'/'%s' parameter styles and non-oracle upserts."""
+
+    @staticmethod
+    def _translate(sql: str) -> str:
+        import re
+        up = sql.upper()
+        if "?" in sql or "%s" in sql:
+            raise SyntaxError(
+                f"oracle accepts only :n binds, got: {sql!r}")
+        if "ON CONFLICT" in up or "ON DUPLICATE KEY" in up:
+            raise SyntaxError(f"non-oracle upsert sent to oracle: {sql!r}")
+        if up.startswith("MERGE "):
+            return ("INSERT INTO iceberg_namespace_properties "
+                    "VALUES (?, ?, ?, ?) " + _UPSERT_SQLITE)
+        # numbered binds -> positional (our statements bind :1..:n in
+        # order, so a plain rewrite is exact)
+        return re.sub(r":\d+", "?", sql)
+
+    def execute(self, sql, params=()):
+        try:
+            self._cur.execute(self._translate(sql), params)
+        except sqlite3.IntegrityError as e:
+            raise UniqueViolation(str(e))
+        return self
+
+
+class FakeOracleConnection(FakePgConnection):
+    def cursor(self):
+        return FakeOracleCursor(self._con.cursor())
+
+
+def fake_oracle_connect(db_path: str) -> FakeOracleConnection:
+    return FakeOracleConnection(db_path)

@@ -5,7 +5,8 @@ the same table layout (iceberg_tables / iceberg_namespace_properties) and
 the same CAS semantics: commit = UPDATE ... WHERE metadata_location =
 <expected>.
 
-Dialects: sqlite (stdlib, default), postgres, and mysql.  The non-sqlite
+Dialects: sqlite (stdlib, default), postgres, mysql, mssql, and oracle
+— the reference's full set.  The non-sqlite
 dialects are driver-duck-typed like the Glue/Hive pattern — pass
 ``connect=`` a zero-arg callable returning a DB-API connection (psycopg /
 pg8000 / pymysql / MySQLdb drop in unchanged; the test suite uses
@@ -101,8 +102,69 @@ class MySQLDialect:
                 "property_value = VALUES(property_value)")
 
 
+class MSSQLDialect:
+    """%s placeholders (pymssql 'format' paramstyle); upserts via MERGE
+    (sql.go:44-50 bun mssqldialect).  BEGIN TRANSACTION syntax."""
+
+    name = "mssql"
+    begin = "BEGIN TRANSACTION"
+
+    def translate(self, sql: str) -> str:
+        return sql.replace("?", "%s")
+
+    def upsert_namespace_property(self) -> str:
+        return (
+            "MERGE iceberg_namespace_properties AS t "
+            "USING (SELECT %s AS catalog_name, %s AS namespace, "
+            "%s AS property_key, %s AS property_value) AS s "
+            "ON t.catalog_name = s.catalog_name "
+            "AND t.namespace = s.namespace "
+            "AND t.property_key = s.property_key "
+            "WHEN MATCHED THEN UPDATE SET "
+            "property_value = s.property_value "
+            "WHEN NOT MATCHED THEN INSERT "
+            "(catalog_name, namespace, property_key, property_value) "
+            "VALUES (s.catalog_name, s.namespace, s.property_key, "
+            "s.property_value);")
+
+
+class OracleDialect:
+    """:1-numbered bind placeholders (oracledb 'numbered' paramstyle);
+    upserts via MERGE ... USING (SELECT ... FROM dual)
+    (sql.go:44-50 bun oracledialect)."""
+
+    name = "oracle"
+    begin = "BEGIN"  # no-op under oracledb's implicit transactions
+
+    def translate(self, sql: str) -> str:
+        out, i = [], 0
+        for ch in sql:
+            if ch == "?":
+                i += 1
+                out.append(f":{i}")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def upsert_namespace_property(self) -> str:
+        return (
+            "MERGE INTO iceberg_namespace_properties t "
+            "USING (SELECT :1 AS catalog_name, :2 AS namespace, "
+            ":3 AS property_key, :4 AS property_value FROM dual) s "
+            "ON (t.catalog_name = s.catalog_name "
+            "AND t.namespace = s.namespace "
+            "AND t.property_key = s.property_key) "
+            "WHEN MATCHED THEN UPDATE SET "
+            "t.property_value = s.property_value "
+            "WHEN NOT MATCHED THEN INSERT "
+            "(catalog_name, namespace, property_key, property_value) "
+            "VALUES (s.catalog_name, s.namespace, s.property_key, "
+            "s.property_value)")
+
+
 _DIALECTS = {"sqlite": SqliteDialect, "postgres": PostgresDialect,
-             "mysql": MySQLDialect}
+             "mysql": MySQLDialect, "mssql": MSSQLDialect,
+             "oracle": OracleDialect}
 
 
 def _is_integrity_error(exc: BaseException) -> bool:

@@ -25,7 +25,7 @@ SCHEMA = Schema([
     T.NestedField(2, "v", T.StringType()),
 ])
 
-CATALOGS = ["fs", "sql", "pg", "mysql", "glue", "hive"]
+CATALOGS = ["fs", "sql", "pg", "mysql", "mssql", "oracle", "glue", "hive"]
 
 
 def make_catalog(kind: str, root: str):
@@ -33,6 +33,15 @@ def make_catalog(kind: str, root: str):
         return FilesystemCatalog(root)
     if kind == "sql":
         return SqlCatalog(root)
+    if kind in ("mssql", "oracle"):
+        import functools
+        import os as _os
+        from iceberg_go_spark.catalog import fake_pg as FP
+        conn = {"mssql": FP.fake_mssql_connect,
+                "oracle": FP.fake_oracle_connect}[kind]
+        return SqlCatalog(root, dialect=kind,
+                          connect=functools.partial(
+                              conn, _os.path.join(root, f"{kind}.db")))
     if kind == "mysql":
         import functools
         import os as _os

@@ -363,7 +363,7 @@ def test_sql_catalog_postgres_dialect_wire(tmp_path):
 
     # configuration guardrails
     with pytest.raises(ValueError, match="unknown sql catalog dialect"):
-        SqlCatalog(root, dialect="oracle")
+        SqlCatalog(root, dialect="cockroach")
     with pytest.raises(ValueError, match="needs a connect"):
         SqlCatalog(root, dialect="postgres")
 
