@@ -173,11 +173,17 @@ class UpdateSchema:
             if initial_default is not None or write_default is not None:
                 raise ValueError(
                     f"default values are not supported for {field_type}")
-        elif required and initial_default is None \
-                and not self._allow_incompatible:
-            raise ValueError(
-                f"cannot add a required column without a default: "
-                f"{full_name}")
+        else:
+            if required and initial_default is None \
+                    and not self._allow_incompatible:
+                raise ValueError(
+                    f"cannot add a required column without a default: "
+                    f"{full_name}")
+            for dv in (initial_default, write_default):
+                if dv is not None and not _default_matches(field_type, dv):
+                    raise ValueError(
+                        f"default value type mismatch for {full_name}: "
+                        f"{dv!r} is not a {field_type}")
 
         owner = self._resolve_add_parent(parts[:-1])
         name = parts[-1]
@@ -577,6 +583,24 @@ class UpdateSchema:
         return self.table
 
 
+def _default_matches(t: T.IcebergType, v) -> bool:
+    """Can ``v`` serve as a v3 default for primitive type ``t``
+    (update_schema.go:938 validateDefaultValue, JSON single-value
+    forms)?"""
+    if isinstance(t, T.BooleanType):
+        return isinstance(v, bool)
+    if isinstance(t, (T.IntegerType, T.LongType)):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if isinstance(t, T.DecimalType):
+        from decimal import Decimal
+        return isinstance(v, (str, int, float, Decimal)) \
+            and not isinstance(v, bool)
+    # string-carried forms: string/uuid/date/time/timestamps/binary hex
+    return isinstance(v, (str, bytes))
+
+
 def _nested_ids(t: T.IcebergType) -> Set[int]:
     ids: Set[int] = set()
     if isinstance(t, T.StructType):
@@ -646,10 +670,34 @@ class UpdateSpec:
         base = tf.name.split("[")[0]
         pname = name or (source_name if base == "identity"
                          else f"{source_name}_{base}")
-        self._last += 1
-        self._fields.append(PartitionField(src.field_id, self._last,
-                                           pname, tf))
+        if any(f.name == pname for f in self._fields):
+            raise ValueError(f"partition field name in use: {pname}")
+        # the same (source, transform) in ANY historical spec keeps its
+        # field id (update_spec.go:371 partitionField transformKey
+        # lookup) — re-adding a removed field round-trips its identity
+        fid = None
+        for sp in self.table.metadata.partition_specs:
+            for f in sp.fields:
+                if f.source_id == src.field_id \
+                        and str(f.transform) == str(tf):
+                    fid = f.field_id
+                    break
+        if fid is None:
+            self._last += 1
+            fid = self._last
+        self._fields.append(PartitionField(src.field_id, fid, pname, tf))
         return self
+
+    def rename_field(self, name: str, new_name: str) -> "UpdateSpec":
+        """Rename a partition field (update_spec.go:137 RenameField)."""
+        if any(f.name == new_name for f in self._fields):
+            raise ValueError(f"partition field name in use: {new_name}")
+        for i, f in enumerate(self._fields):
+            if f.name == name:
+                self._fields[i] = PartitionField(
+                    f.source_id, f.field_id, new_name, f.transform)
+                return self
+        raise ValueError(f"no such partition field: {name}")
 
     def remove_field(self, name: str) -> "UpdateSpec":
         before = len(self._fields)

@@ -500,3 +500,44 @@ def test_nested_evolution_oracle_against_duckdb(spark, tmp_path, sf_dir):
         assert g.c_custkey == o[0]
         assert abs(g.balance - o[1]) < 1e-9
         assert g.note is None and o[2] is None
+
+
+def test_add_default_type_mismatch_rejected(table):
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.update_schema().add_column("x", T.IntegerType(),
+                                         initial_default="nope")
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.update_schema().add_column("y", T.StringType(),
+                                         initial_default=7)
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.update_schema().add_column("z", T.LongType(),
+                                         initial_default=True)
+    # matching defaults pass
+    s = (table.update_schema()
+         .add_column("ok1", T.LongType(), initial_default=7)
+         .add_column("ok2", T.DoubleType(), write_default=1.5)
+         .apply())
+    assert s.find_field("ok1").initial_default == 7
+
+
+def test_spec_rename_and_field_id_reuse(tmp_path):
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.spec", ref_schema())
+    t = t.update_spec().add_field("age", "bucket[4]").commit()
+    spec1 = t.metadata.spec()
+    fid = spec1.fields[0].field_id
+    # rename keeps source/transform/id
+    t = t.update_spec().rename_field("age_bucket", "age_b").commit()
+    f = t.metadata.spec().fields[0]
+    assert (f.name, f.field_id, f.source_id) == ("age_b", fid, 3)
+    with pytest.raises(ValueError, match="no such partition field"):
+        t.update_spec().rename_field("ghost", "x")
+    # remove, then re-add the same (source, transform): id round-trips
+    t = t.update_spec().remove_field("age_b").commit()
+    assert list(t.metadata.spec().fields) == []
+    t = t.update_spec().add_field("age", "bucket[4]").commit()
+    assert t.metadata.spec().fields[0].field_id == fid
+    # a DIFFERENT transform gets a fresh id
+    t = t.update_spec().add_field("id", "bucket[8]").commit()
+    ids = [f.field_id for f in t.metadata.spec().fields]
+    assert len(set(ids)) == len(ids) and max(ids) > fid
