@@ -147,6 +147,8 @@ class FakeMSSQLCursor(FakePgCursor):
                     "VALUES (?, ?, ?, ?) " + _UPSERT_SQLITE)
         if up.strip() == "BEGIN TRANSACTION":
             sql = "BEGIN"
+        # sqlite's type grammar takes only numbers inside parens
+        sql = sql.replace("NVARCHAR(MAX)", "TEXT")
         return FakePgCursor._translate(sql)
 
     def execute(self, sql, params=()):
@@ -167,13 +169,22 @@ def fake_mssql_connect(db_path: str) -> FakeMSSQLConnection:
 
 
 class FakeOracleCursor(FakePgCursor):
-    """Oracle-wire flavor: ':1'-numbered binds and MERGE ... FROM dual;
-    rejects '?'/'%s' parameter styles and non-oracle upserts."""
+    """Oracle-wire flavor: ':1'-numbered binds, MERGE ... FROM dual, and
+    IMPLICIT transactions (any statement opens one; COMMIT/ROLLBACK are
+    always valid — a client must never send BEGIN); rejects '?'/'%s'
+    parameter styles and non-oracle upserts."""
+
+    def __init__(self, cur: sqlite3.Cursor, con: sqlite3.Connection):
+        super().__init__(cur)
+        self._con = con
 
     @staticmethod
     def _translate(sql: str) -> str:
         import re
-        up = sql.upper()
+        up = sql.upper().strip()
+        if up.startswith("BEGIN"):
+            raise SyntaxError(
+                f"bare BEGIN opens a PL/SQL block on oracle: {sql!r}")
         if "?" in sql or "%s" in sql:
             raise SyntaxError(
                 f"oracle accepts only :n binds, got: {sql!r}")
@@ -187,6 +198,13 @@ class FakeOracleCursor(FakePgCursor):
         return re.sub(r":\d+", "?", sql)
 
     def execute(self, sql, params=()):
+        up = sql.upper().strip()
+        if up in ("COMMIT", "ROLLBACK"):
+            if self._con.in_transaction:
+                self._cur.execute(up)
+            return self
+        if not self._con.in_transaction:
+            self._cur.execute("BEGIN")  # oracle's implicit transaction
         try:
             self._cur.execute(self._translate(sql), params)
         except sqlite3.IntegrityError as e:
@@ -196,7 +214,7 @@ class FakeOracleCursor(FakePgCursor):
 
 class FakeOracleConnection(FakePgConnection):
     def cursor(self):
-        return FakeOracleCursor(self._con.cursor())
+        return FakeOracleCursor(self._con.cursor(), self._con)
 
 
 def fake_oracle_connect(db_path: str) -> FakeOracleConnection:

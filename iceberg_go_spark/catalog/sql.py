@@ -33,21 +33,24 @@ from ..schema import Schema
 from .filesystem import (CommitConflictError, NoSuchTableError,
                          TableAlreadyExistsError, _ident)
 
-_DDL = [
-    """CREATE TABLE IF NOT EXISTS iceberg_tables (
-        catalog_name TEXT NOT NULL,
-        table_namespace TEXT NOT NULL,
-        table_name TEXT NOT NULL,
-        metadata_location TEXT,
-        previous_metadata_location TEXT,
+def _ddl(key_type: str = "TEXT", value_type: str = "TEXT",
+         if_not_exists: str = "IF NOT EXISTS ") -> List[str]:
+    """The two catalog tables; key columns parameterized because MySQL
+    cannot index unbounded TEXT and MSSQL/Oracle lack IF NOT EXISTS."""
+    return [
+        f"""CREATE TABLE {if_not_exists}iceberg_tables (
+        catalog_name {key_type} NOT NULL,
+        table_namespace {key_type} NOT NULL,
+        table_name {key_type} NOT NULL,
+        metadata_location {value_type},
+        previous_metadata_location {value_type},
         PRIMARY KEY (catalog_name, table_namespace, table_name))""",
-    """CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
-        catalog_name TEXT NOT NULL,
-        namespace TEXT NOT NULL,
-        property_key TEXT NOT NULL,
-        property_value TEXT,
-        PRIMARY KEY (catalog_name, namespace, property_key))""",
-]
+        f"""CREATE TABLE {if_not_exists}iceberg_namespace_properties (
+        catalog_name {key_type} NOT NULL,
+        namespace {key_type} NOT NULL,
+        property_key {key_type} NOT NULL,
+        property_value {value_type},
+        PRIMARY KEY (catalog_name, namespace, property_key))"""]
 
 
 class SqliteDialect:
@@ -57,6 +60,9 @@ class SqliteDialect:
 
     name = "sqlite"
     begin = "BEGIN IMMEDIATE"
+
+    def ddl(self) -> List[str]:
+        return _ddl()
 
     def translate(self, sql: str) -> str:
         return sql
@@ -72,6 +78,9 @@ class PostgresDialect:
 
     name = "postgres"
     begin = "BEGIN"
+
+    def ddl(self) -> List[str]:
+        return _ddl()
 
     def translate(self, sql: str) -> str:
         # our statements carry no literal '?', so a plain substitution
@@ -92,6 +101,10 @@ class MySQLDialect:
     name = "mysql"
     begin = "BEGIN"
 
+    def ddl(self) -> List[str]:
+        # MySQL cannot put unbounded TEXT in a PRIMARY KEY
+        return _ddl(key_type="VARCHAR(255)", value_type="TEXT")
+
     def translate(self, sql: str) -> str:
         return sql.replace("?", "%s")
 
@@ -108,6 +121,12 @@ class MSSQLDialect:
 
     name = "mssql"
     begin = "BEGIN TRANSACTION"
+
+    def ddl(self) -> List[str]:
+        # no IF NOT EXISTS on MSSQL CREATE TABLE; creation errors on an
+        # existing table are swallowed by the caller
+        return _ddl(key_type="NVARCHAR(255)",
+                    value_type="NVARCHAR(MAX)", if_not_exists="")
 
     def translate(self, sql: str) -> str:
         return sql.replace("?", "%s")
@@ -134,7 +153,13 @@ class OracleDialect:
     (sql.go:44-50 bun oracledialect)."""
 
     name = "oracle"
-    begin = "BEGIN"  # no-op under oracledb's implicit transactions
+    # bare BEGIN is invalid Oracle SQL (it opens a PL/SQL block);
+    # oracledb runs implicit transactions, so no statement is issued
+    begin = None
+
+    def ddl(self) -> List[str]:
+        return _ddl(key_type="VARCHAR2(255)",
+                    value_type="VARCHAR2(4000)", if_not_exists="")
 
     def translate(self, sql: str) -> str:
         out, i = [], 0
@@ -200,9 +225,22 @@ class SqlCatalog:
         con = self._conn()
         try:
             cur = con.cursor()
-            for ddl in _DDL:
-                cur.execute(self.dialect.translate(ddl))
+            for ddl in self.dialect.ddl():
+                try:
+                    cur.execute(self.dialect.translate(ddl))
+                except Exception:
+                    # dialects without IF NOT EXISTS raise when the
+                    # table already exists — idempotent either way
+                    if "IF NOT EXISTS" in ddl:
+                        raise
             con.commit()
+            # a swallowed error above must mean already-exists, never a
+            # broken DDL: probe both tables so misconfiguration fails
+            # loudly at construction
+            for tname in ("iceberg_tables",
+                          "iceberg_namespace_properties"):
+                cur.execute(f"SELECT count(*) FROM {tname}")
+                cur.fetchone()
         finally:
             con.close()
 
@@ -213,12 +251,17 @@ class SqlCatalog:
 
     def _conn(self):
         con = self._connect_fn()
-        # explicit-statement transactions need autocommit drivers
-        if hasattr(con, "autocommit"):
-            try:
+        # explicit-statement transactions need autocommit drivers;
+        # psycopg/pg8000 expose an attribute, pymysql/MySQLdb a METHOD
+        # (a bare assignment would silently shadow the method)
+        ac = getattr(con, "autocommit", None)
+        try:
+            if callable(ac):
+                con.autocommit(True)
+            elif ac is not None:
                 con.autocommit = True
-            except Exception:
-                pass
+        except Exception:
+            pass
         return con
 
     def _exec(self, cur, sql: str, params: Tuple = ()):
@@ -231,13 +274,18 @@ class SqlCatalog:
         try:
             cur = self._exec(con.cursor(), sql, params)
             if fetch == "one":
-                return cur.fetchone()
-            if fetch == "all":
-                return cur.fetchall()
-            if fetch == "rowcount":
-                return cur.rowcount
+                out = cur.fetchone()
+            elif fetch == "all":
+                out = cur.fetchall()
+            elif fetch == "rowcount":
+                out = cur.rowcount
+            else:
+                out = None
+            # commit unconditionally: rowcount fetches are DML
+            # (drop/rename), and a driver whose autocommit could not be
+            # enabled would otherwise roll the statement back on close
             con.commit()
-            return None
+            return out
         finally:
             con.close()
 
@@ -249,7 +297,8 @@ class SqlCatalog:
         con = self._conn()
         try:
             cur = con.cursor()
-            cur.execute(self.dialect.translate(self.dialect.begin))
+            if self.dialect.begin:
+                cur.execute(self.dialect.translate(self.dialect.begin))
             cur.execute(upsert, (self.name, ns, "exists", "true"))
             for k, v in (properties or {}).items():
                 cur.execute(upsert, (self.name, ns, k, v))
@@ -295,7 +344,8 @@ class SqlCatalog:
         con = self._conn()
         try:
             cur = con.cursor()
-            cur.execute(self.dialect.translate(self.dialect.begin))
+            if self.dialect.begin:
+                cur.execute(self.dialect.translate(self.dialect.begin))
             for k in removed:
                 self._exec(
                     cur,
@@ -304,7 +354,7 @@ class SqlCatalog:
                     "property_key = ?", (self.name, ns, k))
             for k, v in (updates or {}).items():
                 cur.execute(upsert, (self.name, ns, k, v))
-            cur.execute("COMMIT")
+            con.commit()
         finally:
             con.close()
         return {"updated": sorted(updates or {}), "removed": removed,
@@ -437,7 +487,8 @@ class SqlCatalog:
         con = self._conn()
         try:
             cur = con.cursor()
-            cur.execute(self.dialect.translate(self.dialect.begin))
+            if self.dialect.begin:
+                cur.execute(self.dialect.translate(self.dialect.begin))
             for c, path in zip(commits, paths):
                 ns, name = ".".join(c.identifier[:-1]), c.identifier[-1]
                 if c.base_metadata_path is None:

@@ -188,9 +188,14 @@ def resolve_catalog(cat_cfg: CatalogConfig, client=None):
             # offline (catalog/sigv4.py, verified against the documented
             # AWS example vector)
             import os as _os
+            region = ro.signing_region or _os.environ.get("AWS_REGION", "")
+            if not region:
+                raise ConfigError(
+                    "rest.sigv4-enabled needs rest.signing-region or "
+                    "AWS_REGION — refusing to silently send unsigned "
+                    "requests")
             kwargs.update(
-                sigv4_region=ro.signing_region or
-                _os.environ.get("AWS_REGION", ""),
+                sigv4_region=region,
                 sigv4_service=ro.signing_name or "execute-api",
                 sigv4_access_key=_os.environ.get("AWS_ACCESS_KEY_ID"),
                 sigv4_secret_key=_os.environ.get("AWS_SECRET_ACCESS_KEY"),

@@ -385,8 +385,12 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     exactly what AQE skew-join splits) -> one keyed reassembly
     aggregation.  Pure built-ins, whole-stage codegen throughout; never
     an all-pairs comparison."""
+    import re as _re
+    # F.split takes a REGEX; sep is a literal (concat_ws rejoins with
+    # the same literal), so escape metacharacters
     paras = (df.select(F.col(id_col),
-                       F.posexplode(F.split(F.col(text_col), sep))
+                       F.posexplode(F.split(F.col(text_col),
+                                            _re.escape(sep)))
                        .alias("__pos", "__para"))
              .filter(F.trim(F.col("__para")) != "")
              .withColumn("__h", F.md5(F.trim(F.col("__para")))))

@@ -288,11 +288,19 @@ class UpdateSchema:
                 f"cannot change column nullability from optional to "
                 f"required: {full_name}")
 
-        if write_default is not _UNSET and write_default is None \
-                and f.required and not self._allow_incompatible:
-            raise ValueError(
-                f"cannot change default value of required column to None: "
-                f"{full_name}")
+        if write_default is not _UNSET:
+            if write_default is None and f.required \
+                    and not self._allow_incompatible:
+                raise ValueError(
+                    f"cannot change default value of required column to "
+                    f"None: {full_name}")
+            new_type = field_type if field_type is not None \
+                else f.field_type
+            if write_default is not None and _is_primitive(new_type) \
+                    and not _default_matches(new_type, write_default):
+                raise ValueError(
+                    f"default value type mismatch for {full_name}: "
+                    f"{write_default!r} is not a {new_type}")
 
         cur = self._updates.get(f.field_id, f)
         changes: Dict[str, object] = {}

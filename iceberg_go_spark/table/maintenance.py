@@ -506,6 +506,10 @@ def orphan_files(table, spark: SparkSession,
                .cache())  # reused by count + manifest + delete + sample
     try:
         total = orphans.count()
+        # sample BEFORE any deletes: a cache eviction would otherwise
+        # recompute the listing post-unlink and return an empty sample
+        sample_df = orphans.limit(max_results) if max_results else orphans
+        sample = [r.path for r in sample_df.collect()]
         if manifest_path and total:
             orphans.write.mode("overwrite").text(manifest_path)
         if not dry_run and total:
@@ -521,8 +525,6 @@ def orphan_files(table, spark: SparkSession,
                     except FileNotFoundError:
                         pass
             orphans.foreachPartition(_rm_part)
-        sample_df = orphans.limit(max_results) if max_results else orphans
-        sample = [r.path for r in sample_df.collect()]
     finally:
         orphans.unpersist()
     res = OrphanResult(sample)

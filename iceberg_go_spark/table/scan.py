@@ -481,11 +481,14 @@ class Scan:
                 # ID-less files have no PARQUET:field_id, so the footer
                 # probe marks every defaulted field "missing" — but a
                 # name-resolved column IS present; filling it would
-                # clobber real data.  Fill only fields the name
-                # resolution could not find in the file.
+                # clobber real data.  Fill only TOP-LEVEL fields the
+                # name resolution could not find; nested defaults are
+                # skipped entirely for name-based groups (presence of a
+                # nested field cannot be probed through the top-level
+                # mapping, and a wrong fill overwrites real values)
                 missing_ids = frozenset(
                     fid for fid in missing_ids
-                    if resolved.get(fid) is None)
+                    if fid in resolved and resolved.get(fid) is None)
             else:
                 read_schema = spark_schema
                 if self.row_lineage:
