@@ -142,3 +142,16 @@ def test_cli_reads_catalog_from_config(cfg_path, tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo")
     assert out.returncode == 0, out.stderr
     assert "only_here" in out.stdout and "nsx" not in out.stdout
+
+
+def test_sigv4_enabled_without_region_errors(monkeypatch):
+    """Explicitly requested signing must never silently degrade to
+    unsigned requests."""
+    import pytest as _pytest
+    from iceberg_go_spark.config import (CatalogConfig, ConfigError,
+                                         RestOptions, resolve_catalog)
+    monkeypatch.delenv("AWS_REGION", raising=False)
+    cfg = CatalogConfig(catalog_type="rest", uri="http://x:1",
+                        rest_options=RestOptions(sigv4_enabled=True))
+    with _pytest.raises(ConfigError, match="signing-region"):
+        resolve_catalog(cfg)

@@ -355,3 +355,16 @@ def test_dedup_paragraphs(spark):
     out2 = {r.doc_id: r for r in
             dedup_paragraphs(df2, max_occurrences=1).collect()}
     assert out2[1].clean_text == "" and out2[1].n_kept == 0
+
+
+def test_dedup_paragraphs_regex_metachar_separator(spark):
+    """sep is a LITERAL: a '|' separator must not explode the text into
+    characters (F.split takes a regex; the operator escapes it)."""
+    from iceberg_go_spark.operators.curation import dedup_paragraphs
+    df = spark.createDataFrame(
+        [(1, "keep me|SHARED|mine too"), (2, "SHARED|other")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup_paragraphs(df, max_occurrences=1, sep="|").collect()}
+    assert out[1].clean_text == "keep me|mine too"
+    assert out[2].clean_text == "other"

@@ -513,3 +513,29 @@ def test_nested_write_default_fill_on_append(spark, catalog):
         [(4, ("c", "gold"))], "id int, s struct<name:string, tier:string>"))
     rows = {r.id: r for r in t.to_df(spark).collect()}
     assert rows[4].s.tier == "gold" and rows[2].s.tier == "std"
+
+
+def test_name_based_files_never_fill_nested_defaults(spark, catalog,
+                                                     tmp_path):
+    """An ID-less imported file whose struct carries REAL nested values
+    must keep them even when the nested field has an initial-default —
+    nested presence cannot be probed through the top-level name mapping,
+    so name-based groups skip nested fills entirely."""
+    df = spark.createDataFrame(
+        [(1, ("a", "real1")), (2, ("b", "real2"))],
+        "id int, s struct<name:string, zip:string>")
+    t = catalog.create_table("db.nbnd", Schema.from_spark(df.schema))
+    t = (t.update_schema()
+         .add_column("s.tier", T.StringType(), initial_default="basic")
+         .commit())
+    ext = str(tmp_path / "nb_ext")
+    df.withColumn("s", F.struct(
+        F.col("s.name").alias("name"), F.col("s.zip").alias("zip"),
+        F.lit("gold").alias("tier"))).coalesce(1).write.parquet(ext)
+    paths = [os.path.join(ext, p) for p in os.listdir(ext)
+             if p.endswith(".parquet")]
+    t.new_transaction().add_files(spark, paths).commit()
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    # real nested values survive; no default clobber
+    assert rows[1].s.zip == "real1" and rows[1].s.tier == "gold"
+    assert rows[2].s.tier == "gold"

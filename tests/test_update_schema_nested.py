@@ -541,3 +541,13 @@ def test_spec_rename_and_field_id_reuse(tmp_path):
     t = t.update_spec().add_field("id", "bucket[8]").commit()
     ids = [f.field_id for f in t.metadata.spec().fields]
     assert len(set(ids)) == len(ids) and max(ids) > fid
+
+
+def test_update_column_default_type_validated(table):
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.update_schema().update_column("age", write_default="nope")
+    with pytest.raises(ValueError, match="type mismatch"):
+        table.update_schema().update_column(
+            "age", field_type=T.LongType(), write_default="still no")
+    s = table.update_schema().update_column("age", write_default=9).apply()
+    assert s.find_field("age").write_default == 9
