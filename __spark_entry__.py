@@ -1368,6 +1368,48 @@ FROM events GROUP BY event_type
 """
 
 
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 relevance for the query bag {table, scan, window}
+    over the documents corpus (sparse retrieval ranking: query-filtered
+    token explode, broadcast idf table, co-keyed length join)."""
+    import iceberg_go_spark.operators.text as TXO
+    docs = _read(spark, sf_dir, "documents")
+    return TXO.bm25_scores(docs, ["table", "scan", "window"])
+
+
+_BM25_TERMS = "['table', 'scan', 'window']"
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TX.tokens_sql('text')} AS t FROM documents
+),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+hits AS (
+  SELECT doc_id, probe, len(list_filter(t, x -> x = probe)) AS tf
+  FROM (SELECT doc_id, t,
+               unnest(list_intersect(list_distinct(t), {_BM25_TERMS}))
+               AS probe
+        FROM toks)
+),
+dfreq AS (SELECT probe, count(*) AS df FROM hits GROUP BY probe),
+idf AS (
+  SELECT probe, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfreq, stats
+),
+scored AS (
+  SELECT h.doc_id,
+         idf.idf * h.tf * (1.2 + 1)
+         / (h.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+  FROM hits h
+  JOIN idf USING (probe)
+  JOIN lens l USING (doc_id), stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25,
+       count(*)::BIGINT AS n_terms_hit
+FROM scored GROUP BY doc_id
+"""
+
+
 def repetition_metrics(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/curation.py repetition_metrics)."""
@@ -2597,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": event_funnel,
         "user_retention_cohorts": user_retention_cohorts,
         "props_json_stats": props_json_stats,
+        "bm25_search": bm25_search,
         "repetition_metrics": repetition_metrics,
         "decontaminate_docs": decontaminate_docs,
         "token_rarity_scores": token_rarity_scores,
@@ -2728,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": FUNNEL_SQL,
         "user_retention_cohorts": RETENTION_SQL,
         "props_json_stats": PROPS_JSON_SQL,
+        "bm25_search": BM25_SQL,
         "ngram_jaccard_dups": _jaccard_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "text_stats": TEXT_STATS_SQL,

@@ -81,3 +81,52 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_fingerprints"),
                  F.min("fp").alias("min_fp"),
                  F.max("fp").alias("max_fp")))
+
+
+def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document for a bag of query terms
+    (the classic sparse-retrieval ranking; idf = ln(1 + (N-df+0.5)/
+    (df+0.5)), tf saturation k1, length normalization b).
+
+    Scale shape (100 TB): the token explode is FILTERED to the query
+    terms before any shuffle, so per-doc work is O(matching tokens) and
+    the (doc, term) tf aggregation shuffles only matching rows; the
+    query-term idf table is a handful of rows (broadcast); doc lengths
+    join co-keyed on the doc id; N and avgdl are a 1-row broadcast
+    cross join.  Only docs matching >= 1 term appear (score > 0)."""
+    if not query_terms:
+        raise ValueError("bm25 needs at least one query term")
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col))
+                     .alias("__toks"))
+    lens = toks.select(F.col(id_col), F.size("__toks").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"))
+    hits = (toks.select(F.col(id_col),
+                        F.explode(F.array_intersect(
+                            F.array_distinct("__toks"), terms))
+                        .alias("__probe"), F.col("__toks"))
+            .select(F.col(id_col), F.col("__probe"),
+                    F.size(F.filter("__toks",
+                                    lambda t: t == F.col("__probe")))
+                    .alias("__tf")))
+    dfreq = (hits.groupBy("__probe")
+             .agg(F.count(F.lit(1)).alias("__df")))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "__probe",
+        F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5)
+              / (F.col("__df") + 0.5)).alias("__idf"))
+    scored = (hits.join(F.broadcast(idf), "__probe")
+              .join(lens, id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn(
+                  "__s",
+                  F.col("__idf") * F.col("__tf") * (k1 + 1)
+                  / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl")
+                                           / F.col("__avgdl")))))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("__s"), 6).alias("bm25"),
+                 F.count(F.lit(1)).cast("long").alias("n_terms_hit")))

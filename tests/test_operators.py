@@ -564,3 +564,30 @@ def test_semantic_dedup_cluster_size_bound(spark):
     out3 = semantic_dedup(emb, k="auto", iters=1,
                           target_cluster_size=150)
     assert out3.count() == n
+
+
+def test_bm25_scores(spark):
+    """Hand-checkable BM25: a term in fewer docs outranks a common one;
+    higher tf raises the score with saturation; non-matching docs are
+    absent."""
+    import math
+    from iceberg_go_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([
+        (1, "rare common common"),
+        (2, "common filler filler"),
+        (3, "filler filler filler"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bm25_scores(df, ["rare", "common"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 matches nothing
+    assert out[1].n_terms_hit == 2 and out[2].n_terms_hit == 1
+    assert out[1].bm25 > out[2].bm25
+
+    # closed-form check for doc 2 (tf=1, dl=3, avgdl=3, df(common)=2, N=3)
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    exp = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+    assert abs(out[2].bm25 - round(exp, 6)) < 1e-9
+
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])

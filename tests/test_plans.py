@@ -24,9 +24,11 @@ SF = "/root/testdata/sf0.001"
 #   broadcast 1-row cross join — linear in customer
 # - semantic_dedup_embeddings: corpus x k broadcast centroids (kmeans
 #   assignment); the within-cluster pair join itself is an equi-join
+# - bm25_search: the 1-row (N, avgdl) corpus statistics broadcast as a
+#   scalar cross join — linear in matching tokens
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
                      "kmeans_topic_clusters", "q22_idle_customers",
-                     "semantic_dedup_embeddings"}
+                     "semantic_dedup_embeddings", "bm25_search"}
 
 
 def _plan(spark, name):
