@@ -99,6 +99,33 @@ def main(argv=None) -> int:
     sp.add_argument("table")
     sp.add_argument("--delete", action="store_true")
 
+    # schema evolution (alter-table family; nested paths use dots)
+    sp = sub.add_parser("alter-add-column",
+                        help="add a column (nested via parent.child)")
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp.add_argument("--type", required=True, dest="col_type",
+                    help="iceberg type string, e.g. long, string, "
+                         "decimal(10,2)")
+    sp.add_argument("--required", action="store_true")
+    sp.add_argument("--doc")
+    sp.add_argument("--initial-default")
+    sp.add_argument("--write-default")
+    sp = sub.add_parser("alter-rename-column")
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp.add_argument("new_name")
+    sp = sub.add_parser("alter-drop-column")
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp = sub.add_parser("alter-move-column",
+                        help="reorder: --first, or --before/--after REF")
+    sp.add_argument("table")
+    sp.add_argument("column")
+    sp.add_argument("--first", action="store_true")
+    sp.add_argument("--before")
+    sp.add_argument("--after")
+
     # create/drop/rename family (main.go:87-123)
     sp = sub.add_parser("create-namespace")
     sp.add_argument("namespace")
@@ -331,6 +358,46 @@ def main(argv=None) -> int:
         if getattr(paths, "truncated", False):
             print(f"... ({paths.total_count} total; sample truncated)",
                   file=sys.stderr)
+    elif args.cmd == "alter-add-column":
+        from .types import type_from_str
+        ftype = type_from_str(args.col_type)
+
+        def conv(v):
+            if v is None:
+                return None
+            from . import types as _T
+            if isinstance(ftype, (_T.IntegerType, _T.LongType)):
+                return int(v)
+            if isinstance(ftype, (_T.FloatType, _T.DoubleType)):
+                return float(v)
+            if isinstance(ftype, _T.BooleanType):
+                return v.lower() in ("1", "true", "yes")
+            return v
+        t.update_schema().add_column(
+            args.column, ftype, doc=args.doc, required=args.required,
+            initial_default=conv(args.initial_default),
+            write_default=conv(args.write_default)).commit()
+        print(f"added {args.column} {args.col_type}")
+    elif args.cmd == "alter-rename-column":
+        t.update_schema().rename_column(args.column, args.new_name).commit()
+        print(f"renamed {args.column} -> {args.new_name}")
+    elif args.cmd == "alter-drop-column":
+        t.update_schema().delete_column(args.column).commit()
+        print(f"dropped {args.column}")
+    elif args.cmd == "alter-move-column":
+        u = t.update_schema()
+        if args.first:
+            u.move_first(args.column)
+        elif args.before:
+            u.move_before(args.column, args.before)
+        elif args.after:
+            u.move_after(args.column, args.after)
+        else:
+            print("one of --first/--before/--after required",
+                  file=sys.stderr)
+            return 1
+        u.commit()
+        print(f"moved {args.column}")
     elif args.cmd == "properties":
         if args.action == "get":
             props = t.properties()

@@ -187,3 +187,43 @@ def test_cli_partition_stats(capsys, tmp_path, spark, sf_dir):
     assert rows[0]["size_bytes"] > 0
     assert _run_json(capsys, wh, "partition-stats", "db.ps",
                      "--all") == rows
+
+
+def test_cli_alter_table_family(capsys, tmp_path, spark, sf_dir):
+    from iceberg_go_spark.cli import main as cli_main
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from tests.conftest import read_table
+
+    wh = str(tmp_path / "wh")
+    cat = FilesystemCatalog(wh)
+    df = read_table(spark, "region", sf_dir)
+    cat.create_table("db.alt", Schema.from_spark(df.schema))
+
+    def run(*argv):
+        rc = cli_main(["--warehouse", wh, *argv])
+        out = capsys.readouterr().out
+        assert rc in (0, None), out
+        return out
+
+    run("alter-add-column", "db.alt", "tier", "--type", "string",
+        "--initial-default", "bronze", "--write-default", "silver")
+    run("alter-add-column", "db.alt", "score", "--type", "long",
+        "--initial-default", "7")
+    run("alter-rename-column", "db.alt", "r_name", "region_name")
+    run("alter-move-column", "db.alt", "tier", "--first")
+    t = cat.load_table("db.alt")
+    s = t.schema()
+    assert [f.name for f in s.fields][0] == "tier"
+    f = s.find_field("tier")
+    assert f.initial_default == "bronze" and f.write_default == "silver"
+    assert s.find_field("score").initial_default == 7
+    assert s.find_field("region_name") is not None
+    run("alter-drop-column", "db.alt", "score")
+    assert cat.load_table("db.alt").schema().find_field("score") is None
+    # guard errors surface as clean failures
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cli_main(["--warehouse", wh, "alter-rename-column", "db.alt",
+                  "ghost", "x"])
+    capsys.readouterr()
