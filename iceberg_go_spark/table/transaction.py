@@ -429,12 +429,20 @@ class Transaction:
         import copy
         new = copy.deepcopy(md)
         new.properties.update(self._property_updates)
-        # metadata log: pointer to the superseded metadata file
+        # metadata log: pointer to the superseded metadata file;
+        # bounded by write.metadata.previous-versions-max
+        # (properties.go:85, default 100, floor 1)
         if self.table.metadata_location:
+            try:
+                keep = int(new.properties.get(
+                    "write.metadata.previous-versions-max", 100))
+            except ValueError:
+                keep = 100
+            keep = max(1, keep)
             new.metadata_log.append({
                 "timestamp-ms": md.last_updated_ms,
                 "metadata-file": self.table.metadata_location})
-            new.metadata_log = new.metadata_log[-10:]  # bounded history
+            new.metadata_log = new.metadata_log[-keep:]
         for snap in self._staged:
             new.snapshots.append(snap)
             new.last_sequence_number = max(new.last_sequence_number,
@@ -459,6 +467,7 @@ class Transaction:
         attempt = 0
         t0 = time.time()
         while True:
+            base_md = self.table.metadata
             new_md = self._build_metadata()
             try:
                 path = self.table.catalog.commit_table(
@@ -466,6 +475,7 @@ class Transaction:
                 self._committed = True
                 self.table.metadata = new_md
                 self.table.metadata_location = path
+                _delete_old_metadata(base_md, new_md)
                 last = self._staged[-1]
                 s = last.summary
 
@@ -645,3 +655,24 @@ class Transaction:
         self.table.metadata = fresh_md
         self.table.metadata_location = fresh_table.metadata_location
         self.metadata = fresh_md
+
+
+def _delete_old_metadata(base_md, new_md) -> None:
+    """write.metadata.delete-after-commit.enabled (table.go:1007
+    deleteOldMetadata): after a successful commit, remove the metadata
+    files that dropped OUT of the (bounded) metadata log — best-effort,
+    an external compactor may have deleted them already."""
+    props = new_md.properties
+    if str(props.get("write.metadata.delete-after-commit.enabled",
+                     "false")).lower() != "true":
+        return
+    old = {e.get("metadata-file") for e in base_md.metadata_log}
+    kept = {e.get("metadata-file") for e in new_md.metadata_log}
+    from ..io import load_io
+    for path in sorted(old - kept):
+        if not path:
+            continue
+        try:
+            load_io(path).delete(path)
+        except OSError:
+            pass

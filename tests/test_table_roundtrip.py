@@ -334,3 +334,28 @@ def test_branch_reads_current_schema_tag_pins_snapshot_schema(
     # snapshot-id read also pins
     pinned = t.scan().use_snapshot(snap).to_df(spark)
     assert "note" not in pinned.columns
+
+
+def test_metadata_log_bound_and_delete_after_commit(spark, sf_dir, catalog):
+    """write.metadata.previous-versions-max bounds the metadata log and
+    write.metadata.delete-after-commit.enabled physically removes
+    versions that drop out of it (table.go:1007 deleteOldMetadata)."""
+    df = read_table(spark, "region", sf_dir)
+    t = catalog.create_table(
+        "db.mdlog", Schema.from_spark(df.schema),
+        properties={"write.metadata.previous-versions-max": "2",
+                    "write.metadata.delete-after-commit.enabled": "true"})
+    locations = []
+    for _ in range(5):
+        locations.append(t.metadata_location)
+        t = t.append(df.limit(2))
+    assert len(t.metadata.metadata_log) == 2
+    kept = {e["metadata-file"] for e in t.metadata.metadata_log}
+    for loc in locations:
+        if loc in kept:
+            assert os.path.exists(loc)
+        else:
+            assert not os.path.exists(loc), loc
+    # current pointer always survives; table still reads
+    assert os.path.exists(t.metadata_location)
+    assert t.to_df(spark).count() == 10
