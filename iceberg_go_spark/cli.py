@@ -122,9 +122,10 @@ def main(argv=None) -> int:
                         help="reorder: --first, or --before/--after REF")
     sp.add_argument("table")
     sp.add_argument("column")
-    sp.add_argument("--first", action="store_true")
-    sp.add_argument("--before")
-    sp.add_argument("--after")
+    grp = sp.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--first", action="store_true")
+    grp.add_argument("--before")
+    grp.add_argument("--after")
 
     # create/drop/rename family (main.go:87-123)
     sp = sub.add_parser("create-namespace")
@@ -371,7 +372,12 @@ def main(argv=None) -> int:
             if isinstance(ftype, (_T.FloatType, _T.DoubleType)):
                 return float(v)
             if isinstance(ftype, _T.BooleanType):
-                return v.lower() in ("1", "true", "yes")
+                lv = v.lower()
+                if lv in ("true", "1", "yes"):
+                    return True
+                if lv in ("false", "0", "no"):
+                    return False
+                raise SystemExit(f"not a boolean default: {v!r}")
             return v
         t.update_schema().add_column(
             args.column, ftype, doc=args.doc, required=args.required,
@@ -390,12 +396,8 @@ def main(argv=None) -> int:
             u.move_first(args.column)
         elif args.before:
             u.move_before(args.column, args.before)
-        elif args.after:
-            u.move_after(args.column, args.after)
         else:
-            print("one of --first/--before/--after required",
-                  file=sys.stderr)
-            return 1
+            u.move_after(args.column, args.after)
         u.commit()
         print(f"moved {args.column}")
     elif args.cmd == "properties":

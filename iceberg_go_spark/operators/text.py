@@ -101,15 +101,19 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
     terms = F.array(*[F.lit(t) for t in query_terms])
     toks = df.select(F.col(id_col), TX.tokens(F.col(text_col))
                      .alias("__toks"))
-    lens = toks.select(F.col(id_col), F.size("__toks").alias("__dl"))
-    stats = lens.agg(
+    # corpus-level stats are ONE tokenization pass; hits carry the doc
+    # length inline so no second tokenize-and-join per doc is needed
+    # (at corpus scale, precompute/caching these two scalars amortizes
+    # the remaining pass across queries)
+    stats = toks.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.avg("__dl").alias("__avgdl"))
-    hits = (toks.select(F.col(id_col),
+        F.avg(F.size("__toks")).alias("__avgdl"))
+    hits = (toks.select(F.col(id_col), F.col("__toks"),
+                        F.size("__toks").alias("__dl"),
                         F.explode(F.array_intersect(
                             F.array_distinct("__toks"), terms))
-                        .alias("__probe"), F.col("__toks"))
-            .select(F.col(id_col), F.col("__probe"),
+                        .alias("__probe"))
+            .select(F.col(id_col), F.col("__probe"), F.col("__dl"),
                     F.size(F.filter("__toks",
                                     lambda t: t == F.col("__probe")))
                     .alias("__tf")))
@@ -120,7 +124,6 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
         F.log(1.0 + (F.col("__n") - F.col("__df") + 0.5)
               / (F.col("__df") + 0.5)).alias("__idf"))
     scored = (hits.join(F.broadcast(idf), "__probe")
-              .join(lens, id_col)
               .crossJoin(F.broadcast(stats))
               .withColumn(
                   "__s",

@@ -674,5 +674,8 @@ def _delete_old_metadata(base_md, new_md) -> None:
             continue
         try:
             load_io(path).delete(path)
-        except OSError:
+        except Exception:
+            # best-effort by contract: a missing file, an unregistered
+            # scheme, or a storage error must never fail a commit that
+            # already landed
             pass
