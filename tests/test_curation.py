@@ -368,3 +368,17 @@ def test_dedup_paragraphs_regex_metachar_separator(spark):
            dedup_paragraphs(df, max_occurrences=1, sep="|").collect()}
     assert out[1].clean_text == "keep me|mine too"
     assert out[2].clean_text == "other"
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping: a 64-vertex chain resolves within O(log d)
+    rounds — max_iterations=10 must fully converge where plain
+    propagation would need ~63."""
+    from iceberg_go_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)] + [(100, 101)],
+        "id_a long, id_b long")
+    out = connected_components(chain, max_iterations=10).collect()
+    got = {r.doc_id: r.cluster_id for r in out}
+    assert all(got[i] == 0 for i in range(64))
+    assert got[100] == got[101] == 100
