@@ -1982,8 +1982,7 @@ a1 AS (
                                        c.cluster) AS rn
     FROM q v CROSS JOIN c1 c) WHERE rn = 1)
 SELECT cluster, COUNT(*) AS n_members, SUM(vec_id) AS sum_ids,
-       round(SUM(round(cos * 1e6)::BIGINT) / COUNT(*) / 1e6, 6)
-         AS avg_cosine
+       SUM(round(cos * 1e6)::BIGINT) // COUNT(*) AS avg_cosine_e6
 FROM a1 GROUP BY cluster
 """
 

@@ -168,6 +168,14 @@ class RestCatalog:
         # a bearer token (AWS-fronted catalogs authenticate by signature)
         self.sigv4 = None
         if sigv4_region:
+            if not sigv4_access_key or not sigv4_secret_key:
+                # same fail-loud stance as the missing-region check in
+                # config.py: signing with empty credentials yields an
+                # undiagnosable 401 on every request
+                raise ValueError(
+                    "SigV4 signing needs an access key and secret key "
+                    "(AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY) — "
+                    "refusing to sign with empty credentials")
             self.sigv4 = {"region": sigv4_region,
                           "service": sigv4_service,
                           "access_key": sigv4_access_key or "",
@@ -729,9 +737,17 @@ def _make_handler(state: _State):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _raw_body(self) -> bytes:
+            # read-once cache: SigV4 enforcement hashes the body before
+            # the route handler parses it
+            if not hasattr(self, "_cached_body"):
+                n = int(self.headers.get("Content-Length", 0))
+                self._cached_body = self.rfile.read(n) if n else b""
+            return self._cached_body
+
         def _body(self) -> dict:
-            n = int(self.headers.get("Content-Length", 0))
-            return json.loads(self.rfile.read(n)) if n else {}
+            raw = self._raw_body()
+            return json.loads(raw) if raw else {}
 
         def _parts(self):
             return [urllib.parse.unquote(p)
@@ -870,7 +886,7 @@ def _make_handler(state: _State):
                 ak, sk = state.sigv4_credentials
                 split = urllib.parse.urlsplit(self.path)
                 return _s4.verify(self.command, split.path, split.query,
-                                  dict(self.headers), None,
+                                  dict(self.headers), self._raw_body(),
                                   access_key=ak, secret_key=sk)
             if state.credential is None:
                 return True
@@ -892,8 +908,7 @@ def _make_handler(state: _State):
             params in the form body)."""
             import time as _time
             import uuid as _uuid
-            n = int(self.headers.get("Content-Length", 0))
-            form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+            form = urllib.parse.parse_qs(self._raw_body().decode())
             secret = (form.get("client_secret") or [""])[0]
             want = state.credential or ""
             want_secret = want.partition(":")[2] or want

@@ -150,8 +150,15 @@ def verify(method: str, path: str, query: str, headers: Dict[str, str],
         return False
     signed_names = fields.get("SignedHeaders", "").split(";")
     lower = {k.lower(): v for k, v in headers.items()}
-    payload_hash = lower.get("x-amz-content-sha256") \
-        or _sha256_hex(body or b"")
+    claimed = lower.get("x-amz-content-sha256")
+    if body is not None and claimed is not None \
+            and claimed != "UNSIGNED-PAYLOAD":
+        # a valid signature over headers proves nothing about the body
+        # unless the signed content hash matches the bytes we received —
+        # reject tampered/replayed-body requests
+        if not hmac.compare_digest(_sha256_hex(body), claimed):
+            return False
+    payload_hash = claimed or _sha256_hex(body or b"")
     want, _ = _signature(method, path, query, lower, signed_names,
                          payload_hash, amz_date, region, service,
                          secret_key)

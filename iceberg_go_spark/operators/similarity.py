@@ -198,13 +198,19 @@ def kmeans_cluster_profile(emb: DataFrame, k: int = 8, iters: int = 2,
     mixing pipeline samples from)."""
     a = kmeans_assignments(emb, k, iters, id_col, vec_col)
     # mean cosine via an exact integer sum (cosine is already rounded to
-    # 6 decimals; float-sum order would differ per engine, long sums not)
+    # 6 decimals; float-sum order would differ per engine, long sums not).
+    # The mean itself stays in integer micro-units (floor division): a
+    # long/long->double division rounds differently across engines when
+    # the quotient lands on a decimal .5 boundary (Spark shortest-string
+    # HALF_UP vs DuckDB binary-double round), so no float ever appears.
     cos_e6 = F.round(F.col("cosine") * 1e6).cast("long")
     return (a.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sum(id_col).alias("sum_ids"),
-                 F.round(F.sum(cos_e6) / F.count(F.lit(1)) / 1e6, 6)
-                 .alias("avg_cosine")))
+                 F.sum(cos_e6).alias("__sum_cos"))
+            .withColumn("avg_cosine_e6",
+                        F.expr("__sum_cos div n_members"))
+            .select("cluster", "n_members", "sum_ids", "avg_cosine_e6"))
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,

@@ -197,6 +197,17 @@ class UpdateSchema:
             renamed_away = upd is not None and upd.name != name
             if not renamed_away:
                 raise ValueError(f"column already exists: {full_name}")
+        # mirror of the rename-vs-add guard in update_column: a staged
+        # rename of a SIBLING field INTO this name would otherwise commit
+        # two same-named fields in one struct (unique names per level is
+        # a check_well_formed invariant)
+        for fid, upd in self._updates.items():
+            if (self._parent_id(fid) == owner and upd.name == name
+                    and fid not in self._deletes
+                    and (existing is None or fid != existing.field_id)):
+                raise ValueError(
+                    f"cannot add field with same name as renamed field: "
+                    f"{full_name}")
 
         fid = self._alloc()
         field = T.NestedField(

@@ -478,6 +478,16 @@ def test_sigv4_sign_verify_roundtrip():
                             secret_key="WRONG")
     assert not sigv4.verify("POST", "/v1/other", "a=1&b=2", all_h,
                             b'{"x":1}', access_key="AK", secret_key="SK")
+    # tampered body: signed headers verify but the content hash must not
+    assert not sigv4.verify("POST", "/v1/namespaces", "a=1&b=2", all_h,
+                            b'{"x":2}', access_key="AK", secret_key="SK")
+
+
+def test_sigv4_missing_credentials_fail_loud():
+    from iceberg_go_spark.catalog.rest import RestCatalog
+
+    with pytest.raises(ValueError, match="empty credentials"):
+        RestCatalog("http://localhost:1", sigv4_region="us-east-1")
 
 
 def test_rest_sigv4_end_to_end(tmp_path, spark, sf_dir):

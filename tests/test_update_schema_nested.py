@@ -213,6 +213,37 @@ def test_rename_conflicts(table):
     assert s.find_field("age").field_id == 2
 
 
+def test_add_colliding_with_staged_rename_rejected(table):
+    # inverse order of the rename-vs-add guard: a sibling renamed INTO
+    # the added name must reject the add (two fields named 'x' would
+    # otherwise commit and break per-level name uniqueness)
+    with pytest.raises(ValueError, match="renamed field"):
+        (table.update_schema()
+         .rename_column("name", "x")
+         .add_column("x", T.LongType()))
+    # nested level: rename inside address, then add the same name there
+    with pytest.raises(ValueError, match="renamed field"):
+        (table.update_schema()
+         .rename_column("address.city", "town")
+         .add_column("address.town", T.StringType()))
+    # different struct levels do NOT collide
+    s = (table.update_schema()
+         .rename_column("address.city", "town")
+         .add_column("town", T.StringType())
+         .apply())
+    assert s.find_field("town") is not None
+    assert s.find_field("address.town").field_id == 5
+    # rename away still frees the name at the SAME level (regression:
+    # name->full_name frees 'name' for an add; the new guard must not
+    # trip on the renamed-away field's own update entry)
+    s2 = (table.update_schema()
+          .rename_column("name", "full_name")
+          .add_column("name", T.LongType())
+          .apply())
+    assert s2.find_field("full_name").field_id == 2
+    assert isinstance(s2.find_field("name").field_type, T.LongType)
+
+
 def test_update_nested_type_and_optionality(table):
     s = (table.update_schema()
          .update_column_type("id", T.LongType())
