@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v8"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v10"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -154,6 +154,10 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                              spec_from_names(o_schema,
                                              ("o_orderdate", "year")))
         t.append(orders)
+        # v3: the delete writes spec-exact per-DV manifest entries
+        # (referenced_data_file + content_offset/content_size_in_bytes)
+        # and the scan locates blobs from the entries, not a footer scan
+        t = t.upgrade_format_version(3)
         t.delete_where(spark, E.eq("o_orderstatus", "P"),
                        mode="merge-on-read-dv")
 
@@ -202,6 +206,32 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                 .withColumn("c_custkey", F.col("c_custkey") + 2_000_000)
                 .withColumn("tier", F.lit("explicit")))
         t.append(gen3)
+
+        # nested-defaults fixture: defaulted field INSIDE an array
+        # element struct (three generations: pre-evolution files read
+        # the initial default via F.transform, appends missing the
+        # interior field fill the write default, explicit values win) —
+        # iceberg_nested_defaults_scan value-checks all three
+        nd = cust.select(
+            "c_custkey",
+            F.array(F.struct(F.col("c_mktsegment").alias("seg")))
+            .alias("notes"))
+        t = cat.create_table("db.cust_nested_defaults",
+                             Schema.from_spark(nd.schema))
+        t.append(nd)
+        t = (t.update_schema()
+             .add_column("notes.flag", _T.LongType(),
+                         initial_default=1, write_default=2)
+             .commit())
+        t.append(nd.filter(F.col("c_custkey") % 7 == 0)
+                 .withColumn("c_custkey", F.col("c_custkey") + 1_000_000))
+        t.append(cust.filter(F.col("c_custkey") % 7 == 1)
+                 .select(F.col("c_custkey") + 2_000_000,
+                         F.array(F.struct(
+                             F.col("c_mktsegment").alias("seg"),
+                             F.lit(5).cast("long").alias("flag")))
+                         .alias("notes"))
+                 .toDF("c_custkey", "notes"))
 
         # continuous-aggregate fixture: partial load -> rollup -> more
         # appends + a delete -> incremental refresh
@@ -958,6 +988,34 @@ def iceberg_defaults_scan(spark, sf_dir):
             .groupBy("tier")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("c_custkey").alias("key_checksum")))
+
+
+def iceberg_nested_defaults_scan(spark, sf_dir):
+    """v3 defaults under a LIST interior: pre-evolution files fill the
+    initial default inside array<struct> elements (table/defaults.py
+    transform rewrite), write-defaults fill appends missing the interior
+    field, explicit values win."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.cust_nested_defaults")
+    return (t.to_df(spark)
+            .select("c_custkey",
+                    F.explode("notes").alias("note"))
+            .groupBy(F.col("note.flag").alias("flag"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("c_custkey").alias("key_checksum")))
+
+
+ICE_NESTED_DEFAULTS_SQL = """
+WITH base AS (
+  SELECT c_custkey, 1 AS flag FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, 2 FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, 5 FROM customer WHERE c_custkey % 7 = 1)
+SELECT flag::BIGINT AS flag, COUNT(*) AS n_rows,
+       SUM(c_custkey)::BIGINT AS key_checksum
+FROM base GROUP BY flag
+"""
 
 
 ICE_DEFAULTS_SQL = """
@@ -2633,6 +2691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # never-yet-driver-checked entries first: the driver's per-round
         # gate samples a prefix, and a driver row is the durable record
+        "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
+        "kmeans_topic_clusters": kmeans_topic_clusters,
+        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "dedup_simhash_near": dedup_simhash_near,
         "dedup_paragraphs_clean": dedup_paragraphs_clean,
         "event_funnel": event_funnel,
@@ -2649,7 +2710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "pii_scrub": pii_scrub,
         "pack_sequences": pack_sequences_q,
-        "kmeans_topic_clusters": kmeans_topic_clusters,
         "multimodal_resize": multimodal_resize,
         # driver-verified in earlier rounds:
         "q1_pricing_summary": q1_pricing_summary,
@@ -2686,7 +2746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
         "iceberg_changelog_scan": iceberg_changelog_scan,
         "hypertable_rollup": hypertable_rollup,
-        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_upsert_scan": iceberg_upsert_scan,
         "iceberg_merge_scan": iceberg_merge_scan,
         "iceberg_defaults_scan": iceberg_defaults_scan,
@@ -2753,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_changelog_scan": ICE_CHANGELOG_SQL,
         "hypertable_rollup": HYPERTABLE_SQL,
         "iceberg_dv_delete_scan": ICE_DV_SQL,
+        "iceberg_nested_defaults_scan": ICE_NESTED_DEFAULTS_SQL,
         "iceberg_upsert_scan": ICE_UPSERT_SQL,
         "iceberg_merge_scan": ICE_MERGE_SQL,
         "iceberg_defaults_scan": ICE_DEFAULTS_SQL,

@@ -183,6 +183,12 @@ def main(argv=None) -> int:
     sp.add_argument("table")
     sp.add_argument("--target-entries", type=int, default=2000,
                     help="target manifest entries per rewritten manifest")
+    sp.add_argument("--target-bytes", type=int, default=None,
+                    help="target manifest size in bytes (overrides "
+                         "--target-entries; entries/chunk derived from "
+                         "measured source bytes/entry)")
+    sp.add_argument("--spec-id", type=int, default=None,
+                    help="only rewrite manifests of this partition spec")
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -459,7 +465,9 @@ def main(argv=None) -> int:
             t.metadata.current_snapshot().manifest_list)) \
             if t.metadata.current_snapshot() else 0
         t2 = rewrite_manifests(
-            t, target_entries_per_manifest=args.target_entries)
+            t, target_entries_per_manifest=args.target_entries,
+            target_manifest_size_bytes=args.target_bytes,
+            spec_id=args.spec_id)
         after = len(M.read_manifest_list(
             t2.metadata.current_snapshot().manifest_list)) \
             if t2.metadata.current_snapshot() else 0

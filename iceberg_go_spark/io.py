@@ -26,6 +26,11 @@ class FileIO:
     def read(self, path: str) -> bytes:
         raise NotImplementedError
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Ranged read (object stores serve this as a byte-range GET);
+        default falls back to a full read + slice."""
+        return self.read(path)[offset:offset + length]
+
     def write(self, path: str, data: bytes) -> None:
         """Full-file write; atomic replace where the store allows it."""
         raise NotImplementedError
@@ -47,6 +52,11 @@ class LocalFileIO(FileIO):
     def read(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
 
     def write(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

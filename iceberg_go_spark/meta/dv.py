@@ -336,15 +336,31 @@ def write_deletion_vectors(path: str,
 
 
 def write_deletion_vector_blobs(path: str,
-                                blobs: Dict[str, Tuple[bytes, int]]) -> None:
+                                blobs: Dict[str, Tuple[bytes, int]]
+                                ) -> Dict[str, Tuple[int, int]]:
     """Write pre-serialized DV blobs (built on executors): one
-    (serialized bitmap, cardinality) pair per referenced data file."""
+    (serialized bitmap, cardinality) pair per referenced data file.
+    Returns {referenced file: (content_offset, content_size)} so the
+    caller can emit spec-exact v3 manifest entries for each blob."""
     w = PuffinWriter(path)
+    offsets: Dict[str, Tuple[int, int]] = {}
+    off = 4  # MAGIC
     for file_path, (raw, card) in sorted(blobs.items()):
         w.add_blob(BLOB_TYPE_DV, raw,
                    properties={"referenced-data-file": file_path,
                                "cardinality": str(card)})
+        offsets[file_path] = (off, len(raw))
+        off += len(raw)
     w.write()
+    return offsets
+
+
+def read_dv_blob_slice(path: str, offset: int, length: int) -> bytes:
+    """Read one DV blob by its manifest-recorded (content_offset,
+    content_size_in_bytes) — no footer parse needed (the v3 read path:
+    manifest entries locate blobs directly)."""
+    from ..io import load_io
+    return load_io(path).read_range(path, offset, length)
 
 
 def read_deletion_vector_blobs(path: str) -> Dict[str, bytes]:

@@ -55,6 +55,14 @@ class DataFile:
     # reference table/encryption.go EncryptionKey carries the table-level
     # keys, this is the file-level DEK descriptor)
     key_metadata: Optional[bytes] = None
+    # v3 deletion-vector fields (spec data_file 143/144/145; reference
+    # manifest.go:2143-2145 ReferencedDataFileField/ContentOffsetField/
+    # ContentSizeInBytesField): a DV entry is one manifest entry per
+    # deletion vector — file_path is the puffin container, these locate
+    # the blob and name the one data file it applies to
+    referenced_data_file: Optional[str] = None
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
     # in-memory only (never serialized to spec manifests): set at scan
     # time from a parquet-footer check when the table carries a
     # schema.name-mapping.default property — files without field IDs
@@ -105,6 +113,10 @@ class ManifestFile:
     existing_rows_count: int
     deleted_rows_count: int
     partitions: List[FieldSummary] = dc_field(default_factory=list)
+    # v3 manifest-list field (spec manifest_file 520; reference
+    # manifest.go:300 FirstRowIDValue): starting row id assigned to the
+    # manifest for first-row-id inheritance; null on delete manifests
+    first_row_id: Optional[int] = None
 
     @property
     def has_added_files(self) -> bool:
@@ -192,60 +204,128 @@ def _decode_partition_value(t: T.IcebergType, v: Any) -> Any:
     return v
 
 
-def data_file_avro_schema(ptype: T.StructType) -> dict:
-    return {"type": "record", "name": "data_file", "fields": [
-        {"name": "content", "type": "int"},
-        {"name": "file_path", "type": "string"},
-        {"name": "file_format", "type": "string"},
-        {"name": "partition", "type": partition_avro_schema(ptype)},
-        {"name": "record_count", "type": "long"},
-        {"name": "file_size_in_bytes", "type": "long"},
+def data_file_avro_schema(ptype: T.StructType,
+                          format_version: int = 2) -> dict:
+    """Per-version data_file layouts (manifest.go:1054-1086 writer
+    variants): v1 has no content/sequence plumbing and carries the
+    historical required block_size_in_bytes; v3 adds the deletion-vector
+    locator fields (referenced_data_file/content_offset/
+    content_size_in_bytes)."""
+    stats = [
         {"name": "column_sizes", "type": _opt(_kv_array("k117_v118", "long"))},
         {"name": "value_counts", "type": _opt(_kv_array("k119_v120", "long"))},
         {"name": "null_value_counts", "type": _opt(_kv_array("k121_v122", "long"))},
         {"name": "nan_value_counts", "type": _opt(_kv_array("k138_v139", "long"))},
         {"name": "lower_bounds", "type": _opt(_kv_array("k126_v127", "bytes"))},
         {"name": "upper_bounds", "type": _opt(_kv_array("k129_v130", "bytes"))},
+    ]
+    if format_version == 1:
+        return {"type": "record", "name": "data_file", "fields": [
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": partition_avro_schema(ptype)},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "block_size_in_bytes", "type": "long"},
+            *stats,
+            {"name": "split_offsets", "type": _opt({"type": "array", "items": "long"})},
+            {"name": "sort_order_id", "type": _opt("int")},
+            {"name": "key_metadata", "type": _opt("bytes")},
+        ]}
+    fields = [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": partition_avro_schema(ptype)},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        *stats,
         {"name": "split_offsets", "type": _opt({"type": "array", "items": "long"})},
         {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"})},
         {"name": "sort_order_id", "type": _opt("int")},
         {"name": "first_row_id", "type": _opt("long")},
         {"name": "key_metadata", "type": _opt("bytes")},
-    ]}
+    ]
+    if format_version >= 3:
+        fields += [
+            {"name": "referenced_data_file", "type": _opt("string")},
+            {"name": "content_offset", "type": _opt("long")},
+            {"name": "content_size_in_bytes", "type": _opt("long")},
+        ]
+    return {"type": "record", "name": "data_file", "fields": fields}
 
 
-def manifest_entry_avro_schema(ptype: T.StructType) -> dict:
+def manifest_entry_avro_schema(ptype: T.StructType,
+                               format_version: int = 2) -> dict:
+    if format_version == 1:
+        # v1: snapshot id is required, no sequence-number inheritance
+        return {"type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": "long"},
+            {"name": "data_file",
+             "type": data_file_avro_schema(ptype, 1)},
+        ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": _opt("long")},
         {"name": "sequence_number", "type": _opt("long")},
         {"name": "file_sequence_number", "type": _opt("long")},
-        {"name": "data_file", "type": data_file_avro_schema(ptype)},
+        {"name": "data_file",
+         "type": data_file_avro_schema(ptype, format_version)},
     ]}
 
 
-MANIFEST_LIST_SCHEMA = {"type": "record", "name": "manifest_file", "fields": [
-    {"name": "manifest_path", "type": "string"},
-    {"name": "manifest_length", "type": "long"},
-    {"name": "partition_spec_id", "type": "int"},
-    {"name": "content", "type": "int"},
-    {"name": "sequence_number", "type": "long"},
-    {"name": "min_sequence_number", "type": "long"},
-    {"name": "added_snapshot_id", "type": "long"},
-    {"name": "added_files_count", "type": "int"},
-    {"name": "existing_files_count", "type": "int"},
-    {"name": "deleted_files_count", "type": "int"},
-    {"name": "added_rows_count", "type": "long"},
-    {"name": "existing_rows_count", "type": "long"},
-    {"name": "deleted_rows_count", "type": "long"},
-    {"name": "partitions", "type": _opt({"type": "array", "items": {
+_PARTITIONS_FIELD = {"name": "partitions", "type": _opt({
+    "type": "array", "items": {
         "type": "record", "name": "r508", "fields": [
             {"name": "contains_null", "type": "boolean"},
             {"name": "contains_nan", "type": _opt("boolean")},
             {"name": "lower_bound", "type": _opt("bytes")},
             {"name": "upper_bound", "type": _opt("bytes")},
-        ]}})},
-]}
+        ]}})}
+
+
+def manifest_list_avro_schema(format_version: int = 2) -> dict:
+    """Per-version manifest_file layouts (manifest.go:1563-1625 list
+    writer variants): v1 uses the historical *_data_files_count names
+    and has no content/sequence fields; v3 adds first_row_id."""
+    if format_version == 1:
+        return {"type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "added_data_files_count", "type": _opt("int")},
+            {"name": "existing_data_files_count", "type": _opt("int")},
+            {"name": "deleted_data_files_count", "type": _opt("int")},
+            {"name": "added_rows_count", "type": _opt("long")},
+            {"name": "existing_rows_count", "type": _opt("long")},
+            {"name": "deleted_rows_count", "type": _opt("long")},
+            _PARTITIONS_FIELD,
+        ]}
+    fields = [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        _PARTITIONS_FIELD,
+    ]
+    if format_version >= 3:
+        fields.append({"name": "first_row_id", "type": _opt("long")})
+    return {"type": "record", "name": "manifest_file", "fields": fields}
+
+
+# historical alias (v2 layout)
+MANIFEST_LIST_SCHEMA = manifest_list_avro_schema(2)
 
 
 # ---------------------------------------------------------------------------
@@ -265,44 +345,90 @@ def _records_to_kv(lst) -> Dict[int, Any]:
 
 
 def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
-                   spec: PartitionSpec, content: int = MANIFEST_DATA) -> ManifestFile:
+                   spec: PartitionSpec, content: int = MANIFEST_DATA,
+                   format_version: int = 2) -> ManifestFile:
     """Write one manifest; returns its manifest-list entry (summaries filled,
     sequence numbers must be patched by the committer if inheriting)."""
+    if format_version < 1 or format_version > 3:
+        raise ValueError(
+            f"unsupported manifest format version: {format_version}")
+    if format_version == 1 and content != MANIFEST_DATA:
+        raise ValueError("v1 manifests cannot carry delete files")
     ptype = spec.partition_type(schema)
-    avro_schema = manifest_entry_avro_schema(ptype)
+    avro_schema = manifest_entry_avro_schema(ptype, format_version)
     recs = []
     for e in entries:
         df = e.data_file
+        if format_version >= 3 and df.file_format == "PUFFIN":
+            # a v3 DV entry must locate its blob and reference exactly
+            # one data file (manifest.go:2756-2759)
+            if (df.referenced_data_file is None
+                    or df.content_offset is None
+                    or df.content_size_in_bytes is None):
+                raise ValueError(
+                    "v3 deletion-vector entries require "
+                    "referenced_data_file, content_offset and "
+                    "content_size_in_bytes")
+        if content == MANIFEST_DELETES and df.first_row_id is not None:
+            # manifest.go:1445
+            raise ValueError(
+                "first_row_id must not be set on delete manifests")
         part = {f.name: _encode_partition_value(f.field_type,
                                                 df.partition.get(f.name))
                 for f in ptype.fields}
+        if format_version == 1:
+            recs.append({
+                "status": e.status,
+                "snapshot_id": e.snapshot_id or 0,
+                "data_file": {
+                    "file_path": df.file_path,
+                    "file_format": df.file_format, "partition": part,
+                    "record_count": df.record_count,
+                    "file_size_in_bytes": df.file_size_in_bytes,
+                    "block_size_in_bytes": df.file_size_in_bytes,
+                    "column_sizes": _kv_to_records(df.column_sizes),
+                    "value_counts": _kv_to_records(df.value_counts),
+                    "null_value_counts": _kv_to_records(df.null_value_counts),
+                    "nan_value_counts": _kv_to_records(df.nan_value_counts),
+                    "lower_bounds": _kv_to_records(df.lower_bounds),
+                    "upper_bounds": _kv_to_records(df.upper_bounds),
+                    "split_offsets": df.split_offsets,
+                    "sort_order_id": df.sort_order_id,
+                    "key_metadata": df.key_metadata,
+                }})
+            continue
+        rec_df = {
+            "content": df.content, "file_path": df.file_path,
+            "file_format": df.file_format, "partition": part,
+            "record_count": df.record_count,
+            "file_size_in_bytes": df.file_size_in_bytes,
+            "column_sizes": _kv_to_records(df.column_sizes),
+            "value_counts": _kv_to_records(df.value_counts),
+            "null_value_counts": _kv_to_records(df.null_value_counts),
+            "nan_value_counts": _kv_to_records(df.nan_value_counts),
+            "lower_bounds": _kv_to_records(df.lower_bounds),
+            "upper_bounds": _kv_to_records(df.upper_bounds),
+            "split_offsets": df.split_offsets,
+            "equality_ids": df.equality_ids,
+            "sort_order_id": df.sort_order_id,
+            "first_row_id": df.first_row_id,
+            "key_metadata": df.key_metadata,
+        }
+        if format_version >= 3:
+            rec_df["referenced_data_file"] = df.referenced_data_file
+            rec_df["content_offset"] = df.content_offset
+            rec_df["content_size_in_bytes"] = df.content_size_in_bytes
         recs.append({
             "status": e.status, "snapshot_id": e.snapshot_id,
             "sequence_number": e.sequence_number,
             "file_sequence_number": e.file_sequence_number,
-            "data_file": {
-                "content": df.content, "file_path": df.file_path,
-                "file_format": df.file_format, "partition": part,
-                "record_count": df.record_count,
-                "file_size_in_bytes": df.file_size_in_bytes,
-                "column_sizes": _kv_to_records(df.column_sizes),
-                "value_counts": _kv_to_records(df.value_counts),
-                "null_value_counts": _kv_to_records(df.null_value_counts),
-                "nan_value_counts": _kv_to_records(df.nan_value_counts),
-                "lower_bounds": _kv_to_records(df.lower_bounds),
-                "upper_bounds": _kv_to_records(df.upper_bounds),
-                "split_offsets": df.split_offsets,
-                "equality_ids": df.equality_ids,
-                "sort_order_id": df.sort_order_id,
-                "first_row_id": df.first_row_id,
-                "key_metadata": df.key_metadata,
-            }})
+            "data_file": rec_df})
     import json
     meta = {
         "schema": json.dumps(schema.to_json_dict()),
         "partition-spec": json.dumps([f.to_json_dict() for f in spec.fields]),
         "partition-spec-id": str(spec.spec_id),
-        "format-version": "2",
+        "format-version": str(format_version),
         "content": "data" if content == MANIFEST_DATA else "deletes",
     }
     avro.write_container(path, avro_schema, recs, metadata=meta)
@@ -376,7 +502,8 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
                                                 d["partition"].get(f.name))
                 for f in ptype.fields}
         df = DataFile(
-            content=d["content"], file_path=d["file_path"],
+            content=d.get("content", CONTENT_DATA),  # v1: data only
+            file_path=d["file_path"],
             file_format=d["file_format"], partition=part,
             record_count=d["record_count"],
             file_size_in_bytes=d["file_size_in_bytes"],
@@ -390,7 +517,10 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
             equality_ids=d.get("equality_ids"),
             sort_order_id=d.get("sort_order_id"),
             first_row_id=d.get("first_row_id"),
-            key_metadata=d.get("key_metadata"))
+            key_metadata=d.get("key_metadata"),
+            referenced_data_file=d.get("referenced_data_file"),
+            content_offset=d.get("content_offset"),
+            content_size_in_bytes=d.get("content_size_in_bytes"))
         entries.append(ManifestEntry(
             status=r["status"], snapshot_id=r.get("snapshot_id"),
             sequence_number=r.get("sequence_number"),
@@ -398,10 +528,43 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
     return entries, spec, spec_id
 
 
-def write_manifest_list(path: str, manifests: List[ManifestFile]) -> None:
+def write_manifest_list(path: str, manifests: List[ManifestFile],
+                        format_version: int = 2,
+                        first_row_id: Optional[int] = None) -> None:
+    """Write a manifest list.  For v3, ``first_row_id`` is the
+    snapshot's starting row id: data manifests are assigned sequential
+    first_row_id values (advancing by live rows, manifest.go:1630
+    advanceRowID); delete manifests stay null."""
+    if format_version < 1 or format_version > 3:
+        raise ValueError(
+            f"unsupported manifest-list format version: {format_version}")
+    next_row_id = first_row_id
     recs = []
     for m in manifests:
-        recs.append({
+        parts = [{
+            "contains_null": s.contains_null,
+            "contains_nan": s.contains_nan,
+            "lower_bound": s.lower_bound, "upper_bound": s.upper_bound,
+        } for s in m.partitions] or None
+        if format_version == 1:
+            if m.content != MANIFEST_DATA:
+                raise ValueError(
+                    "v1 manifest lists cannot carry delete manifests")
+            recs.append({
+                "manifest_path": m.manifest_path,
+                "manifest_length": m.manifest_length,
+                "partition_spec_id": m.partition_spec_id,
+                "added_snapshot_id": m.added_snapshot_id,
+                "added_data_files_count": m.added_files_count,
+                "existing_data_files_count": m.existing_files_count,
+                "deleted_data_files_count": m.deleted_files_count,
+                "added_rows_count": m.added_rows_count,
+                "existing_rows_count": m.existing_rows_count,
+                "deleted_rows_count": m.deleted_rows_count,
+                "partitions": parts,
+            })
+            continue
+        rec = {
             "manifest_path": m.manifest_path,
             "manifest_length": m.manifest_length,
             "partition_spec_id": m.partition_spec_id, "content": m.content,
@@ -414,14 +577,20 @@ def write_manifest_list(path: str, manifests: List[ManifestFile]) -> None:
             "added_rows_count": m.added_rows_count,
             "existing_rows_count": m.existing_rows_count,
             "deleted_rows_count": m.deleted_rows_count,
-            "partitions": [{
-                "contains_null": s.contains_null,
-                "contains_nan": s.contains_nan,
-                "lower_bound": s.lower_bound, "upper_bound": s.upper_bound,
-            } for s in m.partitions] or None,
-        })
-    avro.write_container(path, MANIFEST_LIST_SCHEMA, recs,
-                         metadata={"format-version": "2"})
+            "partitions": parts,
+        }
+        if format_version >= 3:
+            if m.content == MANIFEST_DATA and next_row_id is not None:
+                m.first_row_id = next_row_id
+                next_row_id += m.live_rows_count
+            rec["first_row_id"] = m.first_row_id \
+                if m.content == MANIFEST_DATA else None
+        recs.append(rec)
+    meta = {"format-version": str(format_version)}
+    if format_version >= 3 and first_row_id is not None:
+        meta["first-row-id"] = str(first_row_id)
+    avro.write_container(path, manifest_list_avro_schema(format_version),
+                         recs, metadata=meta)
 
 
 def read_manifest_list(path: str) -> List[ManifestFile]:
@@ -435,14 +604,22 @@ def read_manifest_list(path: str) -> List[ManifestFile]:
         out.append(ManifestFile(
             manifest_path=r["manifest_path"],
             manifest_length=r["manifest_length"],
-            partition_spec_id=r["partition_spec_id"], content=r["content"],
-            sequence_number=r["sequence_number"],
-            min_sequence_number=r["min_sequence_number"],
+            partition_spec_id=r["partition_spec_id"],
+            content=r.get("content", MANIFEST_DATA),  # v1: data only
+            sequence_number=r.get("sequence_number", 0),
+            min_sequence_number=r.get("min_sequence_number", 0),
             added_snapshot_id=r["added_snapshot_id"],
-            added_files_count=r["added_files_count"],
-            existing_files_count=r["existing_files_count"],
-            deleted_files_count=r["deleted_files_count"],
-            added_rows_count=r["added_rows_count"],
-            existing_rows_count=r["existing_rows_count"],
-            deleted_rows_count=r["deleted_rows_count"], partitions=parts))
+            added_files_count=r.get("added_files_count",
+                                    r.get("added_data_files_count") or 0),
+            existing_files_count=r.get(
+                "existing_files_count",
+                r.get("existing_data_files_count") or 0),
+            deleted_files_count=r.get(
+                "deleted_files_count",
+                r.get("deleted_data_files_count") or 0),
+            added_rows_count=r.get("added_rows_count") or 0,
+            existing_rows_count=r.get("existing_rows_count") or 0,
+            deleted_rows_count=r.get("deleted_rows_count") or 0,
+            partitions=parts,
+            first_row_id=r.get("first_row_id")))
     return out

@@ -270,7 +270,15 @@ class _Reader(DataSourceReader):
         for d in task.pos_deletes:
             if d.file_format == "PUFFIN":
                 from ..meta.dv import (deserialize_dv,
-                                       read_deletion_vector_blobs)
+                                       read_deletion_vector_blobs,
+                                       read_dv_blob_slice)
+                if d.referenced_data_file is not None:
+                    # v3: manifest entry locates the blob directly
+                    if d.referenced_data_file == task.data_file.file_path:
+                        out.append(deserialize_dv(read_dv_blob_slice(
+                            d.file_path, d.content_offset,
+                            d.content_size_in_bytes)).to_numpy())
+                    continue
                 blob = read_deletion_vector_blobs(d.file_path).get(
                     task.data_file.file_path)
                 if blob is not None:

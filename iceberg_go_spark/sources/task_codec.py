@@ -31,6 +31,9 @@ def _df_to_dict(d: DataFile) -> Dict[str, Any]:
                          for k, v in d.upper_bounds.items()},
         "split_offsets": d.split_offsets, "equality_ids": d.equality_ids,
         "sort_order_id": d.sort_order_id, "first_row_id": d.first_row_id,
+        "referenced_data_file": d.referenced_data_file,
+        "content_offset": d.content_offset,
+        "content_size_in_bytes": d.content_size_in_bytes,
         "name_based": d.name_based,
     }
 
@@ -85,6 +88,9 @@ def _df_from_dict(d: Dict[str, Any]) -> DataFile:
         equality_ids=d.get("equality_ids"),
         sort_order_id=d.get("sort_order_id"),
         first_row_id=d.get("first_row_id"),
+        referenced_data_file=d.get("referenced_data_file"),
+        content_offset=d.get("content_offset"),
+        content_size_in_bytes=d.get("content_size_in_bytes"),
         name_based=bool(d.get("name_based")))
 
 

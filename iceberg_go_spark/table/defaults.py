@@ -1,0 +1,68 @@
+"""Default-value fill at any nesting depth.
+
+v3 default values: ``initial_default`` is what scans return for files
+written before the column existed; ``write_default`` fills appends that
+omit the column.  Struct nesting is addressable with ``withField``, but
+defaults buried under list/map interiors need element-wise rewrites:
+``F.transform(arr, x -> x.withField(...))`` for arrays and a
+keys+transformed-values rebuild for maps.
+
+Parity (behavior only): /root/reference/table/arrow_utils.go:1046-1410 —
+the ToRequestedSchema projection visitor fills defaults at ANY depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from .. import types as T
+
+
+def _fill(expr: Column, itype: T.IcebergType, segs, lit: Column) -> Column:
+    """Rebuild ``expr`` (of Iceberg type ``itype``) with the field at
+    ``segs`` replaced by ``lit``.  Null parents (null struct / null
+    array / null map) propagate null — rows without the parent stay
+    without it."""
+    seg = segs[0]
+    if isinstance(itype, T.StructType):
+        f = next((x for x in itype.fields if x.name == seg), None)
+        if f is None:
+            return expr
+        if len(segs) == 1:
+            return expr.withField(seg, lit)
+        return expr.withField(
+            seg, _fill(expr.getField(seg), f.field_type, segs[1:], lit))
+    if isinstance(itype, T.ListType) and seg == "element":
+        if len(segs) == 1:  # a defaulted bare element makes no sense
+            return expr
+        return F.transform(
+            expr, lambda x: _fill(x, itype.element_type, segs[1:], lit))
+    if isinstance(itype, T.MapType) and seg == "value":
+        if len(segs) == 1:
+            return expr
+        return F.map_from_arrays(
+            F.map_keys(expr),
+            F.transform(F.map_values(expr),
+                        lambda v: _fill(v, itype.value_type, segs[1:], lit)))
+    # map keys (and anything else) are not fillable
+    return expr
+
+
+def fill_default(df, schema, path: str, field: T.NestedField, default):
+    """Return ``df`` with the (missing-from-file) field at dotted
+    ``path`` filled with ``default`` at any depth.  ``path`` uses the
+    schema's canonical naming (``arr.element.f``, ``m.value.g``).  The
+    top-level column must exist in ``df``; whole-parent-absent stays
+    null (callers fill top-level columns separately)."""
+    segs = path.split(".")
+    top = segs[0]
+    if top not in df.columns:
+        return df
+    lit = F.lit(default).cast(T.to_spark_type(field.field_type))
+    if len(segs) == 1:
+        return df.withColumn(top, lit)
+    top_field = schema.find_field(top)
+    if top_field is None:
+        return df
+    return df.withColumn(
+        top, _fill(F.col(top), top_field.field_type, segs[1:], lit))

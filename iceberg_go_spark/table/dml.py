@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .. import expressions as E
 from ..meta import manifests as M
 from ..meta.conversions import to_bytes
-from ..meta.dv import RoaringBitmap64, write_deletion_vector_blobs
 from ..meta.metadata import OP_DELETE, OP_OVERWRITE
 from ..plans.evaluators import (InclusiveMetricsEvaluator,
                                 StrictMetricsEvaluator)
@@ -199,44 +198,111 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
         return txn.commit()
 
     if mode == "merge-on-read-dv":
-        # v3 deletion vectors: one roaring bitmap per data file in a
-        # Puffin-style container (dv/deletion_vector.go).  Bitmaps are
-        # built ON EXECUTORS (groupBy file + applyInPandas); the driver
-        # only collects (path, serialized-bitmap) pairs — never positions.
-        keep_manifests = None
-        if full:
-            keep_manifests = txn._rewrite_manifests_without(
-                [t.data_file.file_path for t in full])
-        delete_files = []
+        # v3 deletion vectors: one roaring bitmap per data file, located
+        # by spec-exact manifest entries (one entry per DV carrying
+        # referenced_data_file + content_offset/content_size_in_bytes;
+        # manifest.go:2123).  Bitmaps are built AND the puffin
+        # containers written ON EXECUTORS — matches repartition by file,
+        # each non-empty partition writes one container holding its
+        # files' DVs, and the driver collects only tiny locator rows
+        # (never bitmap bytes; mirrors _pos_delete_fanout's shape).
+        fv = md.format_version
+        delete_files: List[M.DataFile] = []
+        dropped_dv_refs: set = set()
         if partial:
             matches = _matches_df(spark, schema, bound_col, partial)
+            part_of = {t.data_file.file_path: dict(t.data_file.partition)
+                       for t in partial}
+            # v3 spec: at most ONE DV per data file — merge any existing
+            # DV into the new bitmap on the executor, then drop the
+            # superseded manifest entry
+            existing: Dict[str, list] = {}
+            if fv >= 3:
+                for t in partial:
+                    for d in t.pos_deletes:
+                        if d.referenced_data_file is not None \
+                                and d.file_format == "PUFFIN":
+                            existing.setdefault(
+                                d.referenced_data_file, []).append(
+                                (d.file_path, d.content_offset,
+                                 d.content_size_in_bytes))
+            ex_bc = spark.sparkContext.broadcast(existing)
+            out_dir = os.path.join(md.location, "deletes")
+            out_schema = ("puffin_path string, referenced string, "
+                          "content_offset long, content_size long, "
+                          "cardinality long, file_size long")
 
-            def build(pdf: pd.DataFrame) -> pd.DataFrame:
-                from iceberg_go_spark.meta.dv import serialize_dv
-                bm = RoaringBitmap64()
-                bm.update(pdf["pos"].tolist())
-                return pd.DataFrame({
-                    "file_path": [pdf["file_path"].iloc[0]],
-                    "dv": [serialize_dv(bm)],
-                    "card": [bm.cardinality]})
+            def write_dvs(batches):
+                import uuid as _uuid
+                from iceberg_go_spark.io import load_io
+                from iceberg_go_spark.meta.dv import (
+                    RoaringBitmap64, deserialize_dv, read_dv_blob_slice,
+                    serialize_dv, write_deletion_vector_blobs)
+                bms: Dict[str, RoaringBitmap64] = {}
+                for pdf in batches:
+                    for fp, grp in pdf.groupby("file_path"):
+                        bms.setdefault(fp, RoaringBitmap64()).update(
+                            int(p) for p in grp["pos"])
+                if not bms:
+                    return
+                for fp, bm in bms.items():
+                    for (opth, ooff, oln) in ex_bc.value.get(fp, []):
+                        bm.update(int(p) for p in deserialize_dv(
+                            read_dv_blob_slice(opth, ooff, oln)))
+                pth = os.path.join(
+                    out_dir, f"dv-{_uuid.uuid4().hex[:12]}.puffin")
+                offsets = write_deletion_vector_blobs(
+                    pth, {fp: (serialize_dv(bm), bm.cardinality)
+                          for fp, bm in bms.items()})
+                size = load_io(pth).size(pth)
+                fps = sorted(bms)
+                yield pd.DataFrame({
+                    "puffin_path": [pth] * len(fps),
+                    "referenced": fps,
+                    "content_offset": [offsets[f][0] for f in fps],
+                    "content_size": [offsets[f][1] for f in fps],
+                    "cardinality": [bms[f].cardinality for f in fps],
+                    "file_size": [size] * len(fps)})
 
-            blobs = (matches.repartition("file_path")
-                     .groupBy("file_path")
-                     .applyInPandas(build,
-                                    "file_path string, dv binary, card long")
-                     .collect())
-            if blobs:
-                pth = os.path.join(md.location, "deletes",
-                                   f"dv-{uuid.uuid4().hex[:12]}.puffin")
-                os.makedirs(os.path.dirname(pth), exist_ok=True)
-                write_deletion_vector_blobs(
-                    pth, {r.file_path: (bytes(r.dv), int(r.card))
-                          for r in blobs})
-                delete_files = [M.DataFile(
-                    content=M.CONTENT_POS_DELETES, file_path=pth,
-                    file_format="PUFFIN", partition={},
-                    record_count=sum(int(r.card) for r in blobs),
-                    file_size_in_bytes=os.path.getsize(pth))]
+            rows = (matches.repartition("file_path")
+                    .mapInPandas(write_dvs, out_schema)
+                    .collect())
+            if fv >= 3:
+                new_refs = set()
+                for r in rows:
+                    new_refs.add(r.referenced)
+                    delete_files.append(M.DataFile(
+                        content=M.CONTENT_POS_DELETES,
+                        file_path=r.puffin_path, file_format="PUFFIN",
+                        partition=part_of.get(r.referenced, {}),
+                        record_count=int(r.cardinality),
+                        file_size_in_bytes=int(r.file_size),
+                        referenced_data_file=r.referenced,
+                        content_offset=int(r.content_offset),
+                        content_size_in_bytes=int(r.content_size)))
+                dropped_dv_refs = {
+                    (opth, fp)
+                    for fp in new_refs
+                    for (opth, _o, _l) in existing.get(fp, [])}
+            else:
+                # pre-v3 manifests can't express per-DV entries: keep
+                # the legacy one-entry-per-container form (footer-based
+                # blob resolution on read)
+                by_container: Dict[str, List] = {}
+                for r in rows:
+                    by_container.setdefault(
+                        r.puffin_path, [0, int(r.file_size)])[0] += \
+                        int(r.cardinality)
+                for pth, (cards, fsize) in sorted(by_container.items()):
+                    delete_files.append(M.DataFile(
+                        content=M.CONTENT_POS_DELETES, file_path=pth,
+                        file_format="PUFFIN", partition={},
+                        record_count=cards, file_size_in_bytes=fsize))
+        keep_manifests = None
+        if full or dropped_dv_refs:
+            keep_manifests = txn._rewrite_manifests_without(
+                [t.data_file.file_path for t in full],
+                dropped_dv_refs=dropped_dv_refs)
         txn.append_files(delete_files, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests,
                          removed_paths=[t.data_file.file_path for t in full],

@@ -137,9 +137,26 @@ def compact(table, spark: SparkSession,
     return txn.commit()
 
 
-def rewrite_manifests(table, target_entries_per_manifest: int = 2000):
-    """Repack all live manifests into right-sized ones (one metadata-only
-    REPLACE commit; manifests stay immutable, only the list changes)."""
+def rewrite_manifests(table, target_entries_per_manifest: int = 2000,
+                      target_manifest_size_bytes: Optional[int] = None,
+                      spec_id: Optional[int] = None,
+                      predicate=None):
+    """Repack eligible data manifests into right-sized ones (one
+    metadata-only REPLACE commit; manifests stay immutable, only the
+    list changes).  Parity: table/rewrite_manifests.go:85-110,169 —
+
+    - ``target_manifest_size_bytes``: size the output manifests by
+      BYTES (a 100 TB table compacts manifests by size, not row count);
+      entries per chunk are derived from the source manifests' measured
+      bytes/entry.  Overrides ``target_entries_per_manifest``.
+    - ``spec_id``: restrict the rewrite to manifests of one partition
+      spec (WithRewriteSpecID).
+    - ``predicate``: ``ManifestFile -> bool`` — only rewrite manifests
+      for which it returns True (WithRewriteManifestPredicate).
+
+    Only DATA manifests are eligible (rewrite_manifests.go:214
+    eligible); delete manifests and non-matching manifests pass through
+    untouched."""
     md = table.metadata
     snap = md.current_snapshot()
     if snap is None:
@@ -148,45 +165,62 @@ def rewrite_manifests(table, target_entries_per_manifest: int = 2000):
     manifests = M.read_manifest_list(snap.manifest_list)
     schema = md.schema()
 
-    out: List[M.ManifestFile] = []
-    for content in (M.MANIFEST_DATA, M.MANIFEST_DELETES):
-        entries: List[Tuple[M.ManifestEntry, int]] = []
-        spec_by_id = {}
-        for mf in manifests:
-            if mf.content != content:
+    def eligible(mf: M.ManifestFile) -> bool:
+        if mf.content != M.MANIFEST_DATA:
+            return False
+        if spec_id is not None and mf.partition_spec_id != spec_id:
+            return False
+        if predicate is not None and not predicate(mf):
+            return False
+        return True
+
+    to_rewrite = [mf for mf in manifests if eligible(mf)]
+    kept = [mf for mf in manifests if not eligible(mf)]
+    if not to_rewrite:
+        return table  # no-op: nothing eligible, skip the empty commit
+
+    entries: List[Tuple[M.ManifestEntry, int]] = []
+    spec_by_id = {}
+    for mf in to_rewrite:
+        es, spec, sid = M.read_manifest(mf.manifest_path)
+        spec_by_id[sid] = spec
+        for e in es:
+            if not e.is_live:
                 continue
-            es, spec, spec_id = M.read_manifest(mf.manifest_path)
-            spec_by_id[spec_id] = spec
-            for e in es:
-                if not e.is_live:
-                    continue
-                if e.sequence_number is None:
-                    e.sequence_number = mf.sequence_number
-                entries.append((M.ManifestEntry(
-                    M.STATUS_EXISTING, e.snapshot_id, e.sequence_number,
-                    e.file_sequence_number, e.data_file), spec_id))
-        # group by spec, chunk to target size
-        by_spec: Dict[int, List[M.ManifestEntry]] = {}
-        for e, sid in entries:
-            by_spec.setdefault(sid, []).append(e)
-        for sid, es in by_spec.items():
-            for i in range(0, len(es), target_entries_per_manifest):
-                chunk = es[i:i + target_entries_per_manifest]
-                mpath = os.path.join(txn._metadata_dir(),
-                                     f"{uuid.uuid4().hex}-rm.avro")
-                mf = M.write_manifest(mpath, chunk, schema,
-                                      spec_by_id[sid], content)
-                mf.sequence_number = md.last_sequence_number
-                mf.min_sequence_number = min(
-                    (e.sequence_number for e in chunk
-                     if e.sequence_number is not None), default=0)
-                mf.added_snapshot_id = snap.snapshot_id
-                out.append(mf)
+            if e.sequence_number is None:
+                e.sequence_number = mf.sequence_number
+            entries.append((M.ManifestEntry(
+                M.STATUS_EXISTING, e.snapshot_id, e.sequence_number,
+                e.file_sequence_number, e.data_file), sid))
+
+    per_chunk = target_entries_per_manifest
+    if target_manifest_size_bytes is not None and entries:
+        # measured bytes/entry from the source manifests being rewritten
+        avg = max(1, sum(mf.manifest_length for mf in to_rewrite)
+                  // len(entries))
+        per_chunk = max(1, target_manifest_size_bytes // avg)
+
+    out: List[M.ManifestFile] = list(kept)
+    for sid in sorted({s for _e, s in entries}):
+        es = [e for e, s in entries if s == sid]
+        for i in range(0, len(es), per_chunk):
+            chunk = es[i:i + per_chunk]
+            mpath = os.path.join(txn._metadata_dir(),
+                                 f"{uuid.uuid4().hex}-rm.avro")
+            mf = M.write_manifest(mpath, chunk, schema,
+                                  spec_by_id[sid], M.MANIFEST_DATA,
+                                  format_version=md.format_version)
+            mf.sequence_number = md.last_sequence_number
+            mf.min_sequence_number = min(
+                (e.sequence_number for e in chunk
+                 if e.sequence_number is not None), default=0)
+            mf.added_snapshot_id = snap.snapshot_id
+            out.append(mf)
 
     txn.append_files([], operation=OP_REPLACE, manifests_to_keep=out,
                      full_replace=True,
                      extra_summary={"rewritten-manifests":
-                                    str(len(manifests))})
+                                    str(len(to_rewrite))})
     return txn.commit()
 
 

@@ -422,8 +422,13 @@ class Scan:
         # group tasks by (applicable delete sets, name-based flag) so each
         # group is one clean scan + anti-join pipeline; usually one group
         def key(t: FileScanTask) -> Tuple:
+            # v3 per-DV entries (referenced_data_file set) are excluded
+            # from the key: each applies to exactly one file by path, so
+            # unioning them across a group is safe — keying on them
+            # would explode the grouping to one scan per file
             return (frozenset((d.file_path, d.file_format, d.record_count)
-                              for d in t.pos_deletes),
+                              for d in t.pos_deletes
+                              if d.referenced_data_file is None),
                     frozenset((tuple(d.equality_ids or []), d.file_path,
                                d.record_count)
                               for d in t.eq_deletes),
@@ -504,37 +509,15 @@ class Scan:
             # fields — every row reads the default (constant column,
             # filled before delete joins and residual filters so both
             # see the defaulted values)
+            # defaults fill at ANY depth (struct via withField, list
+            # interiors via transform, map values via a keys+values
+            # rebuild); null parents stay null (table/defaults.py)
+            from .defaults import fill_default
             for fid in sorted(missing_ids):
                 f0 = defaults_by_id[fid]
                 path = schema.find_column_name(fid) or f0.name
-                lit = F.lit(f0.initial_default).cast(
-                    T.to_spark_type(f0.field_type))
-                if "." in path:
-                    top, rest = path.split(".", 1)
-                    if top not in df.columns:
-                        continue  # whole parent absent: stays null
-                    # withField addresses struct nesting only; defaults
-                    # buried under list/map interiors stay null (same
-                    # as a null parent)
-                    cur = schema.find_field(top)
-                    ok, segs = True, rest.split(".")
-                    for seg in segs[:-1]:
-                        ft = cur.field_type if cur else None
-                        if not isinstance(ft, T.StructType):
-                            ok = False
-                            break
-                        cur = ft.field_by_name(seg) if hasattr(
-                            ft, "field_by_name") else next(
-                            (x for x in ft.fields if x.name == seg),
-                            None)
-                    if not ok or not isinstance(
-                            (cur.field_type if cur else None),
-                            T.StructType):
-                        continue
-                    df = df.withColumn(
-                        top, F.col(top).withField(rest, lit))
-                else:
-                    df = df.withColumn(f0.name, lit)
+                df = fill_default(df, schema, path, f0,
+                                  f0.initial_default)
             if self.row_lineage and name_based:
                 df = df.withColumn("_row_id", F.lit(None).cast("long"))
             if self.row_lineage:
@@ -554,7 +537,14 @@ class Scan:
                                              F.col("__first") +
                                              F.col("__ri")))
                       .drop("__lf", "__ri", "__lfile", "__first"))
-            if pos_set:
+            # v3 sliced DVs: located directly by manifest fields, no
+            # footer scan (one blob read per (container, offset, size))
+            dv_slices = sorted({
+                (d.file_path, d.content_offset, d.content_size_in_bytes,
+                 d.referenced_data_file)
+                for t in group for d in t.pos_deletes
+                if d.referenced_data_file is not None})
+            if pos_set or dv_slices:
                 # normalize URI scheme differences (file:// vs plain path)
                 df = df.withColumns({
                     "__file": F.regexp_replace(
@@ -581,8 +571,9 @@ class Scan:
                         (df["__file"] == deletes["__dfile"]) &
                         (df["__pos"] == deletes["__dpos"]),
                         "left_anti")
-                if puffin_dels:
-                    df = _apply_deletion_vectors(spark, df, puffin_dels)
+                if puffin_dels or dv_slices:
+                    df = _apply_deletion_vectors(spark, df, puffin_dels,
+                                                 dv_slices)
                 df = df.drop("__file", "__pos")
             # one anti-join per key set, not per delete file
             eq_groups: Dict[Tuple, List[Tuple[str, int]]] = {}
@@ -763,30 +754,42 @@ def _dv_broadcast_byte_limit() -> int:
                               DEFAULT_DV_BROADCAST_BYTE_LIMIT))
 
 
-def _apply_dv_join(spark: SparkSession, df, puffin_paths):
+def _apply_dv_join(spark: SparkSession, df, puffin_paths, dv_slices=()):
     """Large-DV path: puffin files are read and their bitmaps exploded to
     (file, position) rows ON EXECUTORS, then removed with a shuffled
     (spillable) anti-join — the driver never touches blob bytes. Chosen
     when the summed puffin size exceeds the broadcast byte limit."""
     import pyspark.sql.types as ST
-    paths = sorted(set(puffin_paths))
+    # work items: legacy containers resolve blobs via the footer; v3
+    # sliced DVs read exactly (offset, size) per referenced file
+    items = [("footer", pth, 0, 0, "") for pth in sorted(set(puffin_paths))]
+    items += [("slice", pth, off, ln, fp)
+              for pth, off, ln, fp in sorted(set(dv_slices))]
 
-    def explode(pth):
+    def explode(item):
         from iceberg_go_spark.meta.dv import (deserialize_dv,
-                                              read_deletion_vector_blobs)
-        for fp, raw in read_deletion_vector_blobs(pth).items():
-            for p in deserialize_dv(raw).to_numpy():
+                                              read_deletion_vector_blobs,
+                                              read_dv_blob_slice)
+        kind, pth, off, ln, fp = item
+        if kind == "footer":
+            for rfp, raw in read_deletion_vector_blobs(pth).items():
+                for p in deserialize_dv(raw).to_numpy():
+                    yield (rfp, int(p))
+        else:
+            for p in deserialize_dv(
+                    read_dv_blob_slice(pth, off, ln)).to_numpy():
                 yield (fp, int(p))
 
     rdd = spark.sparkContext.parallelize(
-        paths, max(1, min(len(paths), 64))).flatMap(explode)
+        items, max(1, min(len(items), 64))).flatMap(explode)
     ddf = spark.createDataFrame(rdd, ST.StructType([
         ST.StructField("__file", ST.StringType()),
         ST.StructField("__pos", ST.LongType())])).distinct()
     return df.join(ddf, ["__file", "__pos"], "left_anti")
 
 
-def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):
+def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths,
+                            dv_slices=()):
     """Filter DV-deleted rows without ever expanding bitmaps on the driver.
 
     The driver ships only the *serialized* bitmap bytes (broadcast); each
@@ -795,23 +798,29 @@ def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths):
     table/arrow_scanner.go:533-552 applies DVs per record batch). When
     the summed puffin size exceeds the broadcast limit (billions of
     deleted rows across many files), the application switches to a
-    shuffled anti-join built entirely on executors."""
-    from ..io import load_io
-    from ..meta.dv import read_deletion_vector_blobs
+    shuffled anti-join built entirely on executors.
 
-    total = 0
+    ``dv_slices`` are v3 manifest-located DVs: (container path,
+    content_offset, content_size_in_bytes, referenced_data_file) —
+    resolved by ranged reads, never a footer parse."""
+    from ..io import load_io
+    from ..meta.dv import read_deletion_vector_blobs, read_dv_blob_slice
+
+    total = sum(ln for _p, _o, ln, _f in dv_slices)
     for pth in set(puffin_paths):
         try:
             total += load_io(pth).size(pth)
         except OSError:
             pass
     if total > _dv_broadcast_byte_limit():
-        return _apply_dv_join(spark, df, puffin_paths)
+        return _apply_dv_join(spark, df, puffin_paths, dv_slices)
 
     blob_map: Dict[str, List[bytes]] = {}
     for pth in puffin_paths:
         for fp, raw in read_deletion_vector_blobs(pth).items():
             blob_map.setdefault(fp, []).append(raw)
+    for pth, off, ln, fp in dv_slices:
+        blob_map.setdefault(fp, []).append(read_dv_blob_slice(pth, off, ln))
     if not blob_map:
         return df
     bc = spark.sparkContext.broadcast(blob_map)
@@ -875,8 +884,13 @@ def _match_deletes(entry: M.ManifestEntry, spec_id: int,
                 continue
         else:
             continue
-        if dspec_id == spec_id and not _is_global_delete(df.partition) and \
-                df.partition != entry.data_file.partition:
+        if df.referenced_data_file is not None:
+            # v3 DV entry: applies to exactly one data file by path —
+            # exact gating, partition comparison irrelevant
+            if df.referenced_data_file != entry.data_file.file_path:
+                continue
+        elif dspec_id == spec_id and not _is_global_delete(df.partition) \
+                and df.partition != entry.data_file.partition:
             continue  # partition-scoped delete for a different partition
         (pos if df.content == M.CONTENT_POS_DELETES else eq).append(df)
     return pos, eq

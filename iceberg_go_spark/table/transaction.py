@@ -99,22 +99,32 @@ def _new_snapshot_id(metadata: TableMetadata) -> int:
 
 
 def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
-                     schema: Schema, metadata_dir: str
+                     schema: Schema, metadata_dir: str,
+                     format_version: int = 2,
+                     dropped_refs: set = frozenset()
                      ) -> List[M.ManifestFile]:
     """Rewrite ``manifests`` with ``dropped`` file paths removed; surviving
     entries become EXISTING with explicit (inherited) sequence numbers
     (snapshot_producers.go existing/deleted entry classification).
     Untouched manifests are kept as-is (no rewrite cost)."""
+    def _gone(df: M.DataFile) -> bool:
+        # drop by file path, or (for v3 DV entries superseded by a
+        # merged rewrite) by the (container, referenced-file) pair
+        return (df.file_path in dropped
+                or (df.referenced_data_file is not None
+                    and (df.file_path, df.referenced_data_file)
+                    in dropped_refs))
+
     out: List[M.ManifestFile] = []
     for mf in manifests:
         entries, spec, _sid = M.read_manifest(mf.manifest_path)
-        touched = any(e.data_file.file_path in dropped for e in entries)
+        touched = any(_gone(e.data_file) for e in entries)
         if not touched:
             out.append(mf)
             continue
         survivors = []
         for e in entries:
-            if not e.is_live or e.data_file.file_path in dropped:
+            if not e.is_live or _gone(e.data_file):
                 continue
             survivors.append(M.ManifestEntry(
                 status=M.STATUS_EXISTING, snapshot_id=e.snapshot_id,
@@ -126,7 +136,8 @@ def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
             continue
         mpath = os.path.join(metadata_dir, f"{uuid.uuid4().hex}-rw.avro")
         new_mf = M.write_manifest(mpath, survivors, schema, spec,
-                                  mf.content)
+                                  mf.content,
+                                  format_version=format_version)
         new_mf.sequence_number = mf.sequence_number
         new_mf.min_sequence_number = min(
             (e.sequence_number for e in survivors
@@ -221,7 +232,8 @@ class Transaction:
                 for df in group]
             mpath = os.path.join(self._metadata_dir(),
                                  f"{uuid.uuid4().hex}-m{i}.avro")
-            mf = M.write_manifest(mpath, entries, schema, spec, content)
+            mf = M.write_manifest(mpath, entries, schema, spec, content,
+                                  format_version=md.format_version)
             mf.sequence_number = seq
             mf.min_sequence_number = seq
             mf.added_snapshot_id = snapshot_id
@@ -231,7 +243,10 @@ class Transaction:
         all_manifests = self._maybe_merge_manifests(all_manifests, schema)
         list_path = os.path.join(
             self._metadata_dir(), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
-        M.write_manifest_list(list_path, all_manifests)
+        M.write_manifest_list(list_path, all_manifests,
+                              format_version=md.format_version,
+                              first_row_id=first_row_id
+                              if added_data else None)
 
         summary = self._summary(operation, added, keep, delete_content)
         summary.update(extra_summary or {})
@@ -321,7 +336,8 @@ class Transaction:
             mpath = os.path.join(self._metadata_dir(),
                                  f"{uuid.uuid4().hex}-merged.avro")
             mf = M.write_manifest(mpath, entries, schema, spec,
-                                  M.MANIFEST_DATA)
+                                  M.MANIFEST_DATA,
+                                  format_version=self.metadata.format_version)
             mf.sequence_number = max(m.sequence_number for m in group)
             mf.min_sequence_number = min(m.min_sequence_number
                                          for m in group)
@@ -329,10 +345,16 @@ class Transaction:
             out.append(mf)
         return out
 
-    def _rewrite_manifests_without(self, dropped_paths) -> List[M.ManifestFile]:
-        """Rewrite current manifests with ``dropped_paths`` removed."""
+    def _rewrite_manifests_without(self, dropped_paths,
+                                   dropped_dv_refs=frozenset()
+                                   ) -> List[M.ManifestFile]:
+        """Rewrite current manifests with ``dropped_paths`` removed
+        (and, for v3 DV supersedence, ``dropped_dv_refs`` —
+        (container-path, referenced-data-file) pairs)."""
         return _rewrite_without(self._current_manifests(), set(dropped_paths),
-                                self.metadata.schema(), self._metadata_dir())
+                                self.metadata.schema(), self._metadata_dir(),
+                                self.metadata.format_version,
+                                set(dropped_dv_refs))
 
     # ------------------------------------------------------------- user ops
     def append(self, df: DataFrame, properties: Optional[Dict[str, str]] = None,
@@ -631,7 +653,7 @@ class Transaction:
                 if ctx["removed"]:
                     keep = _rewrite_without(
                         base_manifests, ctx["removed"], schema,
-                        self._metadata_dir())
+                        self._metadata_dir(), fresh_md.format_version)
             seq += 1
             own = [m for m in self._new_manifest_lists[snap.snapshot_id]
                    if m.added_snapshot_id == snap.snapshot_id]
@@ -642,7 +664,9 @@ class Transaction:
             list_path = os.path.join(
                 self._metadata_dir(),
                 f"snap-{snap.snapshot_id}-{uuid.uuid4().hex}.avro")
-            M.write_manifest_list(list_path, all_manifests)
+            M.write_manifest_list(list_path, all_manifests,
+                                  format_version=fresh_md.format_version,
+                                  first_row_id=snap.first_row_id)
             snap.parent_snapshot_id = parent
             snap.sequence_number = seq
             snap.manifest_list = list_path

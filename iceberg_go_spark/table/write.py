@@ -321,17 +321,28 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     if fills:
         df = df.withColumns(fills)
 
-    # nested write-defaults: a defaulted field INSIDE a struct that the
-    # input lacks fills via withField (rows whose parent struct is null
-    # stay null); list/map interiors are not addressable and fall
-    # through to DataFrame.to's missing-field error
+    # nested write-defaults: a defaulted field the input lacks fills at
+    # ANY depth — struct via withField, list interiors via transform,
+    # map values via a keys+values rebuild (table/defaults.py); rows
+    # whose parent struct/array/map is null stay null
     import pyspark.sql.types as ST
 
+    from .defaults import fill_default
+
     def _nav(dt, parts):
+        # navigate the INPUT's Spark type to test field presence —
+        # explicit input values always win over defaults
         for p in parts:
-            if not isinstance(dt, ST.StructType) or p not in dt.names:
+            if isinstance(dt, ST.ArrayType) and p == "element":
+                dt = dt.elementType
+            elif isinstance(dt, ST.MapType) and p == "value":
+                dt = dt.valueType
+            elif isinstance(dt, ST.MapType) and p == "key":
+                dt = dt.keyType
+            elif isinstance(dt, ST.StructType) and p in dt.names:
+                dt = dt[p].dataType
+            else:
                 return None
-            dt = dt[p].dataType
         return dt
 
     for f in schema._by_id.values():
@@ -345,15 +356,9 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
         top, rest = path.split(".", 1)
         if top not in df.columns:
             continue
-        segs = rest.split(".")
-        if _nav(df.schema[top].dataType, segs) is not None:
+        if _nav(df.schema[top].dataType, rest.split(".")) is not None:
             continue  # present in the input: explicit values win
-        parent = _nav(df.schema[top].dataType, segs[:-1])
-        if not isinstance(parent, ST.StructType):
-            continue
-        df = df.withColumn(
-            top, F.col(top).withField(rest, F.lit(default).cast(
-                T.to_spark_type(f.field_type))))
+        df = fill_default(df, schema, path, f, default)
 
     # stamp parquet field IDs (nested included) so files are readable
     # by-ID after renames/moves at any depth: DataFrame.to reconciles

@@ -128,6 +128,60 @@ def test_dv_delete_end_to_end(spark, sf_dir, tmp_path):
     assert t.to_df(spark).count() == expected2.count()
 
 
+def _live_dv_entries(t):
+    from iceberg_go_spark.meta import manifests as M
+    out = []
+    for mf in M.read_manifest_list(t.current_snapshot().manifest_list):
+        if mf.content != M.MANIFEST_DELETES:
+            continue
+        es, _, _ = M.read_manifest(mf.manifest_path)
+        out += [e.data_file for e in es
+                if e.is_live and e.data_file.file_format == "PUFFIN"]
+    return out
+
+
+def test_v3_dv_spec_exact_manifest_entries(spark, sf_dir, tmp_path):
+    """v3: one manifest entry PER deletion vector, carrying
+    referenced_data_file + content_offset/content_size_in_bytes; a
+    second delete MERGES into one DV per file and supersedes the old
+    entry (spec: at most one DV per data file)."""
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    # partitioned so the delete spans several data files -> several DVs
+    t = cat.create_table("db.dv3", schema,
+                         spec_from_names(schema, ("o_orderdate", "year")))
+    t.append(df)
+    t = t.upgrade_format_version(3)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")
+    dvs = _live_dv_entries(t)
+    assert len(dvs) > 1  # one entry per referenced data file
+    for d in dvs:
+        assert d.referenced_data_file
+        assert d.content_offset is not None
+        assert d.content_size_in_bytes
+        assert d.record_count > 0
+    refs = [d.referenced_data_file for d in dvs]
+    assert len(refs) == len(set(refs))
+    expected = df.filter(F.col("o_orderstatus") != "F")
+    assert t.to_df(spark).count() == expected.count()
+
+    # second delete merges + supersedes: still exactly one DV per file
+    t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                   mode="merge-on-read-dv")
+    dvs2 = _live_dv_entries(t)
+    refs2 = [d.referenced_data_file for d in dvs2]
+    assert len(refs2) == len(set(refs2)), "must merge, not stack, DVs"
+    expected2 = expected.filter(F.col("o_orderstatus") != "P")
+    assert t.to_df(spark).count() == expected2.count()
+    # a fresh load from disk reads identically (fields survive Avro)
+    t2 = FilesystemCatalog(str(tmp_path / "wh")).load_table("db.dv3")
+    assert t2.to_df(spark).count() == expected2.count()
+
+
 # --- canonical cross-implementation fixtures ------------------------------
 # /root/reference/puffin/testdata: the Java-produced DV payload lifted from
 # apache/iceberg test resources, plus canonical Puffin v1 files from the

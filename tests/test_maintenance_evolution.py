@@ -107,6 +107,67 @@ def test_rewrite_manifests(spark, sf_dir, catalog):
     assert t.to_df(spark).count() == 3 * df.count()
 
 
+def test_rewrite_manifests_options(spark, sf_dir, catalog):
+    """Reference option parity (rewrite_manifests.go:85-110):
+    byte-size target, spec-id filter, manifest predicate; delete
+    manifests and non-matching manifests pass through untouched."""
+    from iceberg_go_spark.meta.manifests import (MANIFEST_DATA,
+                                                 read_manifest_list)
+    df = read_table(spark, "region", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.rmo", schema)
+    for _ in range(4):
+        t.append(df)
+    snap = t.current_snapshot()
+    before = read_manifest_list(snap.manifest_list)
+    assert len(before) == 4
+
+    # predicate: rewrite only two of the four -> 2 untouched + 1 merged
+    pick = {before[0].manifest_path, before[1].manifest_path}
+    t.rewrite_manifests(predicate=lambda m: m.manifest_path in pick)
+    after = read_manifest_list(t.current_snapshot().manifest_list)
+    assert len(after) == 3
+    untouched = {m.manifest_path for m in after} & \
+        {m.manifest_path for m in before}
+    assert untouched == {before[2].manifest_path,
+                         before[3].manifest_path}
+    assert t.to_df(spark).count() == 4 * df.count()
+
+    # byte-size target: per-chunk derived from measured bytes/entry;
+    # a target of one source-manifest's size yields ~one manifest per
+    # source entry-count worth of bytes (here: no merge possible ->
+    # entry-exact, so a tiny byte target splits instead of merging)
+    one = read_manifest_list(t.current_snapshot().manifest_list)[0]
+    t.rewrite_manifests(target_manifest_size_bytes=1)  # 1 byte -> 1 entry/chunk
+    split = read_manifest_list(t.current_snapshot().manifest_list)
+    n_entries = sum(m.added_files_count + m.existing_files_count
+                    for m in split if m.content == MANIFEST_DATA)
+    assert len([m for m in split if m.content == MANIFEST_DATA]) \
+        == n_entries  # one entry per manifest
+    assert t.to_df(spark).count() == 4 * df.count()
+
+    # big byte target merges everything back to one
+    t.rewrite_manifests(target_manifest_size_bytes=64 * 1024 * 1024)
+    merged = read_manifest_list(t.current_snapshot().manifest_list)
+    assert len([m for m in merged if m.content == MANIFEST_DATA]) == 1
+
+    # spec-id filter: no manifest of spec 99 -> no-op, no empty commit
+    head = t.current_snapshot().snapshot_id
+    t.rewrite_manifests(spec_id=99)
+    assert t.current_snapshot().snapshot_id == head
+
+    # delete manifests pass through untouched
+    t.delete_where(spark, E.eq("r_regionkey", 0), mode="merge-on-read")
+    dels_before = [m for m in read_manifest_list(
+        t.current_snapshot().manifest_list) if m.content != MANIFEST_DATA]
+    assert dels_before
+    t.rewrite_manifests()
+    dels_after = [m for m in read_manifest_list(
+        t.current_snapshot().manifest_list) if m.content != MANIFEST_DATA]
+    assert {m.manifest_path for m in dels_after} == \
+        {m.manifest_path for m in dels_before}
+
+
 def test_schema_evolution_add_rename(spark, sf_dir, catalog):
     df = read_table(spark, "region", sf_dir)
     schema = Schema.from_spark(df.schema)
@@ -513,6 +574,51 @@ def test_nested_write_default_fill_on_append(spark, catalog):
         [(4, ("c", "gold"))], "id int, s struct<name:string, tier:string>"))
     rows = {r.id: r for r in t.to_df(spark).collect()}
     assert rows[4].s.tier == "gold" and rows[2].s.tier == "std"
+
+
+def test_default_fill_under_list_and_map_interiors(spark, catalog):
+    """Defaults buried under list/map interiors fill at read AND write
+    (struct-inside-array via transform, struct-inside-map-value via a
+    keys+values rebuild); null parents stay null; explicit values win.
+    Parity: arrow_utils.go:1046-1410 fills defaults at any depth."""
+    df = spark.createDataFrame(
+        [(1, [("a", 1), ("b", 2)], {"k1": ("x",)}),
+         (2, [], {}),
+         (3, None, None)],
+        "id int, arr array<struct<name:string, v:int>>, "
+        "m map<string, struct<tag:string>>")
+    t = catalog.create_table("db.lmdef", Schema.from_spark(df.schema))
+    t.append(df)  # generation 1: pre-evolution files
+    t = (t.update_schema()
+         .add_column("arr.tier", T.StringType(), initial_default="basic")
+         .add_column("m.value.score", T.LongType(), initial_default=7)
+         .commit())
+
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert [e.tier for e in rows[1].arr] == ["basic", "basic"]
+    assert [e.name for e in rows[1].arr] == ["a", "b"]  # real data kept
+    assert rows[1].m["k1"].score == 7
+    assert rows[2].arr == [] and rows[2].m == {}
+    assert rows[3].arr is None and rows[3].m is None  # null parents
+
+    # generation 2: append WITHOUT the new interior fields — the
+    # write-default (falling back to initial) fills on write
+    t.append(spark.createDataFrame(
+        [(4, [("c", 3)], {"k2": ("y",)})],
+        "id int, arr array<struct<name:string, v:int>>, "
+        "m map<string, struct<tag:string>>"))
+    # generation 3: explicit interior values win
+    t.append(spark.createDataFrame(
+        [(5, [("d", 4, "gold")], {"k3": ("z", 99)})],
+        "id int, arr array<struct<name:string, v:int, tier:string>>, "
+        "m map<string, struct<tag:string, score:bigint>>"))
+    rows = {r.id: r for r in t.to_df(spark).collect()}
+    assert [e.tier for e in rows[4].arr] == ["basic"]
+    assert rows[4].m["k2"].score == 7
+    assert [e.tier for e in rows[5].arr] == ["gold"]
+    assert rows[5].m["k3"].score == 99
+    # generation-1 files still read the initial default
+    assert [e.tier for e in rows[1].arr] == ["basic", "basic"]
 
 
 def test_name_based_files_never_fill_nested_defaults(spark, catalog,

@@ -100,6 +100,105 @@ def test_manifest_roundtrip(tmp_path):
     assert back[0].added_rows_count == 100
 
 
+def test_manifest_v3_dv_entry_roundtrip(tmp_path):
+    """v3 spec: one manifest entry per deletion vector carrying
+    referenced_data_file/content_offset/content_size_in_bytes
+    (manifest.go:2143-2145)."""
+    import pytest
+    spec = PartitionSpec([])
+    dv = M.DataFile(
+        content=M.CONTENT_POS_DELETES, file_path="/deletes/c1.puffin",
+        file_format="PUFFIN", partition={}, record_count=7,
+        file_size_in_bytes=512, referenced_data_file="/data/f1.parquet",
+        content_offset=4, content_size_in_bytes=96)
+    entry = M.ManifestEntry(M.STATUS_ADDED, 9, 3, 3, dv)
+    p = str(tmp_path / "m3.avro")
+    M.write_manifest(p, [entry], SCHEMA, spec, M.MANIFEST_DELETES,
+                     format_version=3)
+    entries, _, _ = M.read_manifest(p)
+    d = entries[0].data_file
+    assert d.referenced_data_file == "/data/f1.parquet"
+    assert d.content_offset == 4
+    assert d.content_size_in_bytes == 96
+    assert d.record_count == 7
+    # a v3 DV entry without its locator fields must be rejected
+    bad = M.DataFile(
+        content=M.CONTENT_POS_DELETES, file_path="/deletes/c2.puffin",
+        file_format="PUFFIN", partition={}, record_count=1,
+        file_size_in_bytes=64)
+    with pytest.raises(ValueError, match="referenced_data_file"):
+        M.write_manifest(str(tmp_path / "bad.avro"),
+                         [M.ManifestEntry(M.STATUS_ADDED, 9, 3, 3, bad)],
+                         SCHEMA, spec, M.MANIFEST_DELETES,
+                         format_version=3)
+    # first_row_id is data-manifest-only (manifest.go:1445)
+    wrong = M.DataFile(
+        content=M.CONTENT_POS_DELETES, file_path="/deletes/c1.puffin",
+        file_format="PUFFIN", partition={}, record_count=1,
+        file_size_in_bytes=64, first_row_id=5,
+        referenced_data_file="/data/f1.parquet",
+        content_offset=4, content_size_in_bytes=10)
+    with pytest.raises(ValueError, match="first_row_id"):
+        M.write_manifest(str(tmp_path / "bad2.avro"),
+                         [M.ManifestEntry(M.STATUS_ADDED, 9, 3, 3, wrong)],
+                         SCHEMA, spec, M.MANIFEST_DELETES,
+                         format_version=3)
+
+
+def test_manifest_v1_layout_roundtrip(tmp_path):
+    """v1 manifests: no content/sequence plumbing, data files only;
+    v1 manifest lists use the historical *_data_files_count names."""
+    import pytest
+    spec = PartitionSpec([])
+    df = M.DataFile(
+        content=M.CONTENT_DATA, file_path="/data/f1.parquet",
+        file_format="PARQUET", partition={}, record_count=10,
+        file_size_in_bytes=1000, value_counts={1: 10})
+    entry = M.ManifestEntry(M.STATUS_ADDED, 42, None, None, df)
+    p = str(tmp_path / "m1v1.avro")
+    mf = M.write_manifest(p, [entry], SCHEMA, spec, format_version=1)
+    entries, _, _ = M.read_manifest(p)
+    e = entries[0]
+    assert e.snapshot_id == 42
+    assert e.sequence_number is None
+    assert e.data_file.content == M.CONTENT_DATA
+    assert e.data_file.value_counts == {1: 10}
+    with pytest.raises(ValueError, match="v1"):
+        M.write_manifest(str(tmp_path / "bad.avro"), [entry], SCHEMA,
+                         spec, M.MANIFEST_DELETES, format_version=1)
+    lp = str(tmp_path / "l1.avro")
+    M.write_manifest_list(lp, [mf], format_version=1)
+    back = M.read_manifest_list(lp)
+    assert back[0].added_files_count == 1
+    assert back[0].added_rows_count == 10
+    assert back[0].content == M.MANIFEST_DATA
+
+
+def test_manifest_list_v3_first_row_id(tmp_path):
+    """v3 manifest lists assign sequential first_row_id to data
+    manifests (advanceRowID, manifest.go:1630); delete manifests null."""
+    spec = PartitionSpec([])
+    def mk(content, added_rows):
+        return M.ManifestFile(
+            manifest_path=f"/m/{content}-{added_rows}.avro",
+            manifest_length=10, partition_spec_id=0, content=content,
+            sequence_number=1, min_sequence_number=1,
+            added_snapshot_id=1, added_files_count=1,
+            existing_files_count=0, deleted_files_count=0,
+            added_rows_count=added_rows, existing_rows_count=0,
+            deleted_rows_count=0)
+    m1 = mk(M.MANIFEST_DATA, 100)
+    md_del = mk(M.MANIFEST_DELETES, 5)
+    m2 = mk(M.MANIFEST_DATA, 30)
+    lp = str(tmp_path / "l3.avro")
+    M.write_manifest_list(lp, [m1, md_del, m2], format_version=3,
+                          first_row_id=1000)
+    back = M.read_manifest_list(lp)
+    assert back[0].first_row_id == 1000
+    assert back[1].first_row_id is None       # delete manifest
+    assert back[2].first_row_id == 1100       # advanced by live rows
+
+
 def test_metadata_json_roundtrip(tmp_path):
     md = new_table_metadata(SCHEMA, spec_from_names(SCHEMA, ("id", "bucket[8]")),
                             location=str(tmp_path), properties={"k": "v"})
