@@ -58,6 +58,39 @@ def bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, id_col, "cosine", "rank"))
 
 
+# above this width, per-dimension inline aggregates stop codegen-ing
+# (thousands of aggregate expressions -> interpreted eval); switch to
+# the posexplode shape, which keeps a constant expression count
+DIM_INLINE_LIMIT = 256
+
+
+def _sum_vectors(df: DataFrame, group_cols, vec_col: str,
+                 dim: int) -> DataFrame:
+    """Per-group SUM vector of an integer-quantized embedding column,
+    as ``(group_cols..., csum array<long>)``.
+
+    Shape is picked by ``dim``: inline per-dimension sum-aggregates
+    codegen cleanly at narrow dims (no row blowup); at real embedding
+    widths (768-3072) that is thousands of aggregate expressions and
+    the aggregate goes interpreted — past DIM_INLINE_LIMIT we
+    posexplode to (group, pos, val) rows instead (dim-fold row blowup,
+    but constant expression count and still ONE map-side-combinable
+    shuffle keyed on (group, pos))."""
+    if dim <= DIM_INLINE_LIMIT:
+        return df.groupBy(*group_cols).agg(
+            F.array(*[F.sum(F.element_at(vec_col, i + 1))
+                      for i in range(dim)]).alias("csum"))
+    exploded = df.select(*group_cols,
+                         F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    return (exploded.groupBy(*group_cols, "pos")
+            .agg(F.sum("val").alias("__s"))
+            .groupBy(*group_cols)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "__s")))
+                 .alias("__ss"))
+            .select(*group_cols,
+                    F.transform("__ss", lambda s: s["__s"]).alias("csum")))
+
+
 def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
                              vec_col: str = "embedding") -> DataFrame:
     """Per-label centroid vectors (IVF coarse-quantizer training step,
@@ -114,10 +147,7 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
 
     for _ in range(max(iters - 1, 0)):
         assigned = assign(cent)
-        sums = (assigned.groupBy("cluster")
-                .agg(F.array(*[F.sum(F.element_at("__q", i + 1))
-                               for i in range(dim)]).alias("csum"))
-                .collect())
+        sums = _sum_vectors(assigned, ["cluster"], "__q", dim).collect()
         # empty clusters keep their previous centroid (standard Lloyd's)
         by_id = {r["cluster"]: [int(v) for v in r["csum"]] for r in sums}
         cent = [(c, by_id.get(c, s)) for c, s in cent]
@@ -231,13 +261,11 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     the data instead of all of it, and the join is shuffle-free on the
     corpus side (broadcast probes)."""
     emb_q = emb.withColumn("__q", V.quantize(F.col(vec_col)))
-    # per-dimension SUM aggregate instead of posexplode: no dim-fold row
-    # blowup, one map-side-combinable groupBy (the dim lookup is a single
-    # first() on the driver, like a broadcast-size decision)
+    # dim-gated sum-vector shape (the dim lookup is a single first() on
+    # the driver, like a broadcast-size decision)
     dim = emb.select(F.size(F.col(vec_col))).first()[0]
-    cent = (emb_q.groupBy(label_col)
-            .agg(F.array(*[F.sum(F.element_at("__q", i + 1))
-                           for i in range(dim)]).alias("csum")))
+    cent = _sum_vectors(emb_q.select(label_col, "__q"), [label_col],
+                        "__q", dim)
     qs = queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
     sim = F.round(V.quantized_cosine(F.col("__qq"), F.col("csum")), 6)
     wp = Window.partitionBy(query_id_col).orderBy(

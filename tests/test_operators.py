@@ -460,6 +460,32 @@ def test_kmeans_assignments(spark, sf_dir):
     assert sum(p.sum_ids for p in prof) == sum(r.vec_id for r in rows)
 
 
+def test_sum_vector_shapes_identical(spark, sf_dir, monkeypatch):
+    """The inline per-dimension aggregate and the posexplode shape (used
+    past DIM_INLINE_LIMIT, i.e. at real embedding widths) must produce
+    bit-identical sum vectors — and k-means assignments must not change
+    when the gate flips."""
+    from iceberg_go_spark.operators import similarity as S
+    emb = read_table(spark, "embeddings", sf_dir).limit(200)
+    from iceberg_go_spark.functions import vector_funcs as V
+    q = emb.select("label", V.quantize(F.col("embedding")).alias("__q"))
+    dim = emb.select(F.size("embedding")).first()[0]
+
+    inline = {r["label"]: list(r["csum"]) for r in
+              S._sum_vectors(q, ["label"], "__q", dim).collect()}
+    monkeypatch.setattr(S, "DIM_INLINE_LIMIT", 0)  # force posexplode
+    exploded = {r["label"]: list(r["csum"]) for r in
+                S._sum_vectors(q, ["label"], "__q", dim).collect()}
+    assert inline == exploded
+
+    a1 = {r.vec_id: r.cluster for r in
+          S.kmeans_assignments(emb, k=4, iters=2).collect()}
+    monkeypatch.setattr(S, "DIM_INLINE_LIMIT", 256)
+    a2 = {r.vec_id: r.cluster for r in
+          S.kmeans_assignments(emb, k=4, iters=2).collect()}
+    assert a1 == a2
+
+
 def test_kmeans_iteration_tightens_clusters(spark, sf_dir):
     """Lloyd's update must not decrease the mean cosine-to-centroid
     (monotone objective for spherical k-means)."""
