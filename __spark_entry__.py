@@ -2688,12 +2688,41 @@ ORDER BY segment
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-
-        # never-yet-driver-checked entries first: the driver's per-round
-        # gate samples a prefix, and a driver row is the durable record
+        # ordering: never-driver-checked entries first (the driver's
+        # per-round gate samples a prefix and a green driver row is the
+        # durable record); kmeans_topic_clusters stays at the head until
+        # its r5 red row is superseded by a green one
         "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
-        "kmeans_topic_clusters": kmeans_topic_clusters,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
+        "kmeans_topic_clusters": kmeans_topic_clusters,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
+        "hypertable_rollup": hypertable_rollup,
+        "iceberg_upsert_scan": iceberg_upsert_scan,
+        "iceberg_merge_scan": iceberg_merge_scan,
+        "iceberg_defaults_scan": iceberg_defaults_scan,
+        "iceberg_snapshot_log": iceberg_snapshot_log,
+        "transforms_datetime": transforms_datetime,
+        "transforms_bucket": transforms_bucket,
+        "dedup_exact": dedup_exact,
+        "dedup_keep_best": dedup_keep_best,
+        "soft_dedup_weights": soft_dedup_weights,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "dedup_clusters": dedup_clusters,
+        "text_stats": text_stats,
+        "lang_histogram": lang_histogram,
+        "token_summary_by_lang": token_summary_by_lang,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_bucketed": ann_topk_bucketed,
+        "ann_topk_ivf": ann_topk_ivf,
+        "embedding_near_dup": embedding_near_dup,
+        "label_centroids": label_centroids,
+        "variant_shred": variant_shred,
+        "multimodal_features": multimodal_features,
+        "multimodal_feature_vectors": multimodal_feature_vectors,
         "dedup_simhash_near": dedup_simhash_near,
         "dedup_paragraphs_clean": dedup_paragraphs_clean,
         "event_funnel": event_funnel,
@@ -2711,7 +2740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "pack_sequences": pack_sequences_q,
         "multimodal_resize": multimodal_resize,
-        # driver-verified in earlier rounds:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_regional_revenue": q5_regional_revenue,
@@ -2744,34 +2772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": iceberg_time_travel,
         "iceberg_incremental_scan": iceberg_incremental_scan,
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
-        "iceberg_changelog_scan": iceberg_changelog_scan,
-        "hypertable_rollup": hypertable_rollup,
-        "iceberg_upsert_scan": iceberg_upsert_scan,
-        "iceberg_merge_scan": iceberg_merge_scan,
-        "iceberg_defaults_scan": iceberg_defaults_scan,
-        "iceberg_snapshot_log": iceberg_snapshot_log,
-        "transforms_datetime": transforms_datetime,
-        "transforms_bucket": transforms_bucket,
-        "dedup_exact": dedup_exact,
-        "dedup_keep_best": dedup_keep_best,
-        "soft_dedup_weights": soft_dedup_weights,
-        "dedup_fingerprint": dedup_fingerprint,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "dedup_clusters": dedup_clusters,
-        "text_stats": text_stats,
-        "lang_histogram": lang_histogram,
-        "token_summary_by_lang": token_summary_by_lang,
-        "doc_fingerprints": doc_fingerprints,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_topk_bucketed": ann_topk_bucketed,
-        "ann_topk_ivf": ann_topk_ivf,
-        "embedding_near_dup": embedding_near_dup,
-        "label_centroids": label_centroids,
-        "variant_shred": variant_shred,
-        "multimodal_features": multimodal_features,
-        "multimodal_feature_vectors": multimodal_feature_vectors,
     }
 
 
