@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v10"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v12"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -232,6 +232,22 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                              F.lit(5).cast("long").alias("flag")))
                          .alias("notes"))
                  .toDF("c_custkey", "notes"))
+
+        # variant-bounds fixture: a VARIANT column appended in n_chars
+        # bands so per-file variant bounds make a variant_get predicate
+        # prune files (variant_prune_scan)
+        docs = _read(spark, sf_dir, "documents")
+        vdocs = docs.select(
+            "doc_id",
+            F.parse_json(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+            .alias("v"))
+        t = cat.create_table("db.docs_variant",
+                             Schema.from_spark(vdocs.schema))
+        for lo_b, hi_b in ((0, 200), (200, 400), (400, 1 << 40)):
+            t.append(vdocs.join(
+                docs.filter((F.col("n_chars") >= lo_b) &
+                            (F.col("n_chars") < hi_b)).select("doc_id"),
+                "doc_id"))
 
         # continuous-aggregate fixture: partial load -> rollup -> more
         # appends + a delete -> incremental refresh
@@ -2074,6 +2090,33 @@ FROM documents GROUP BY lang
 """
 
 
+def variant_prune_scan(spark, sf_dir):
+    """Variant bounds -> FILE-level pruning: the fixture table stores a
+    VARIANT column; writes shred it into typed companions and fold
+    per-path min/max into spec variant-bounds objects under the variant
+    field id (table/write.py, variant.py encode_variant_blob); the scan
+    prunes files on a variant_get predicate (plans/evaluators.py
+    _variant_might_match) and filters rows with JVM try_variant_get."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark import types as _T
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.docs_variant")
+    pred = E.gt_eq(E.variant_get("v", "$.n_chars", _T.LongType()), 300)
+    return (t.scan(pred).to_df(spark)
+            .select(F.variant_get("v", "$.lang", "string").alias("lang"),
+                    F.variant_get("v", "$.doc_id", "bigint")
+                    .alias("doc_id"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+VARIANT_PRUNE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(doc_id)::BIGINT AS id_checksum
+FROM documents WHERE n_chars >= 300 GROUP BY lang
+"""
+
+
 # -- multimodal ------------------------------------------------------------
 
 
@@ -2692,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round gate samples a prefix and a green driver row is the
         # durable record); kmeans_topic_clusters stays at the head until
         # its r5 red row is superseded by a green one
+        "variant_prune_scan": variant_prune_scan,
         "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "kmeans_topic_clusters": kmeans_topic_clusters,
@@ -2854,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(),
         "label_centroids": CENTROIDS_SQL,
         "variant_shred": VARIANT_SHRED_SQL,
+        "variant_prune_scan": VARIANT_PRUNE_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,
         "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,

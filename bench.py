@@ -74,6 +74,9 @@ EXTRA = [
     "event_funnel",
     "user_retention_cohorts",
     "props_json_stats",
+    # round-6 additions
+    "iceberg_nested_defaults_scan",
+    "variant_prune_scan",
 ]
 
 

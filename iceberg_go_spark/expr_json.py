@@ -67,8 +67,18 @@ def expression_to_json(expr: E.Expression) -> Dict[str, Any]:
     if isinstance(expr, E.Not):
         return {"type": "not", "child": expression_to_json(expr.child)}
     assert isinstance(expr, E.Predicate)
-    term = expr.term.path if isinstance(expr.term, E.BoundReference) \
-        else expr.term.name
+    if isinstance(expr.term, (E.VariantRef, E.BoundVariantRef)):
+        if isinstance(expr.term, E.BoundVariantRef):
+            term = {"type": "variant-get", "term": expr.term.column,
+                    "path": expr.term.normalized_path,
+                    "value-type": str(expr.term.value_type)}
+        else:
+            term = {"type": "variant-get", "term": expr.term.name,
+                    "path": expr.term.path,
+                    "value-type": str(expr.term.value_type)}
+    else:
+        term = expr.term.path if isinstance(expr.term, E.BoundReference) \
+            else expr.term.name
     d: Dict[str, Any] = {"type": _OP_TO_JSON[expr.op], "term": term}
     if expr.op in E.SET_OPS:
         d["values"] = [_value_to_json(v) for v in expr.literals]
@@ -92,7 +102,12 @@ def expression_from_json(d: Dict[str, Any]) -> E.Expression:
     if t == "not":
         return E.Not(expression_from_json(d["child"]))
     op = _JSON_TO_OP[t]
-    ref = E.Reference(d["term"])
+    if isinstance(d["term"], dict) and d["term"].get("type") == "variant-get":
+        from .types import type_from_str
+        ref = E.VariantRef(d["term"]["term"], d["term"]["path"],
+                           type_from_str(d["term"]["value-type"]))
+    else:
+        ref = E.Reference(d["term"])
     if op in E.UNARY_OPS:
         return E.Predicate(op, ref)
     if op in E.SET_OPS:

@@ -170,8 +170,91 @@ class BoundReference:
 
 
 @dataclass(frozen=True)
+class VariantRef:
+    """Unbound extraction term on a VARIANT column: ``variant_get(col,
+    '$.a.b', type)``.  Binds to BoundVariantRef; predicates over it prune
+    files via the spec's variant bounds objects (lower/upper bounds of
+    the variant field id hold a serialized variant keyed by normalized
+    JSON path — reference table/internal/variant_bounds.go)."""
+    name: str
+    path: str          # "$.a.b" or "$['a']['b']"
+    value_type: Any    # T.PrimitiveType expected at the path
+
+    def __str__(self) -> str:
+        return f"variant_get({self.name}, {self.path})"
+
+
+@dataclass(frozen=True)
+class BoundVariantRef:
+    field: T.NestedField   # the VARIANT column
+    column: str            # dotted column path in the schema
+    segments: Tuple[str, ...]
+    value_type: Any
+
+    @property
+    def normalized_path(self) -> str:
+        """RFC-9535 normalized path — the bounds-object key
+        (variant_bounds.go:155 normalizedVariantPath)."""
+        if not self.segments:
+            return "$"
+        return "$" + "".join(f"['{_rfc9535_escape(s)}']"
+                             for s in self.segments)
+
+    @property
+    def spark_path(self) -> str:
+        return "$" + "".join(f".{s}" for s in self.segments)
+
+    def __str__(self) -> str:
+        return f"variant_get({self.column}, {self.normalized_path})"
+
+
+def _rfc9535_escape(name: str) -> str:
+    out = []
+    for ch in name:
+        if ch == "'":
+            out.append("\\'")
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ord(ch) < 0x20:
+            out.append({"\b": "\\b", "\t": "\\t", "\f": "\\f",
+                        "\n": "\\n", "\r": "\\r"}.get(
+                ch, f"\\u{ord(ch):04x}"))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def parse_variant_path(path: str) -> Tuple[str, ...]:
+    """Parse "$.a.b" or "$['a']['b']" into segments."""
+    if not path.startswith("$"):
+        raise ValueError(f"variant path must start with $: {path!r}")
+    rest = path[1:]
+    if not rest:
+        return ()
+    if rest.startswith("."):
+        segs = tuple(s for s in rest[1:].split("."))
+        if any(not s for s in segs):
+            raise ValueError(f"empty segment in variant path: {path!r}")
+        return segs
+    import re
+    segs = re.findall(r"\['((?:[^'\\]|\\.)*)'\]", rest)
+    joined = "".join(f"['{s}']" for s in segs)
+    if joined != rest:
+        raise ValueError(f"malformed variant path: {path!r}")
+    return tuple(s.replace("\\'", "'").replace("\\\\", "\\")
+                 for s in segs)
+
+
+def variant_get(name: str, path: str, value_type) -> VariantRef:
+    """Extraction term for predicates on variant columns:
+    ``E.gt(E.variant_get("v", "$.score", T.LongType()), 10)``."""
+    return VariantRef(name, path, value_type)
+
+
+@dataclass(frozen=True)
 class Predicate(Expression):
-    """Unbound or bound predicate. ``term`` is Reference / BoundReference;
+    """Unbound or bound predicate. ``term`` is Reference / BoundReference
+    (or VariantRef / BoundVariantRef for variant-path extraction);
     ``literals`` is () for unary ops, (v,) for literal ops, tuple for sets."""
     op: str
     term: Any
@@ -183,7 +266,7 @@ class Predicate(Expression):
 
     @property
     def is_bound(self) -> bool:
-        return isinstance(self.term, BoundReference)
+        return isinstance(self.term, (BoundReference, BoundVariantRef))
 
     def negate(self) -> Expression:
         return Predicate(_NEGATIONS[self.op], self.term, self.literals)
@@ -390,6 +473,34 @@ def bind(expr: Expression, schema: Schema, case_sensitive: bool = True
     if isinstance(expr, Predicate):
         if expr.is_bound:
             return expr
+        if isinstance(expr.term, VariantRef):
+            name = expr.term.name
+            field = schema.find_field(name, case_sensitive)
+            if field is None:
+                raise ValueError(
+                    f"cannot bind variant reference {name!r}: not in schema")
+            if not isinstance(field.field_type, T.VariantType):
+                raise TypeError(
+                    f"variant_get must bind to a VARIANT column, not "
+                    f"{field.field_type} ({name})")
+            vt = expr.term.value_type
+            vref = BoundVariantRef(field, name,
+                                   parse_variant_path(expr.term.path), vt)
+            if expr.op in UNARY_OPS:
+                if expr.op in (OP_IS_NAN, OP_NOT_NAN) and not isinstance(
+                        vt, (T.FloatType, T.DoubleType)):
+                    raise TypeError("is_nan on non-floating variant path")
+                return Predicate(expr.op, vref)
+            if expr.op in GEO_OPS:
+                raise TypeError("bbox predicates cannot bind to a "
+                                "variant path")
+            lits = tuple(cast_literal(v, vt) for v in expr.literals)
+            if expr.op in SET_OPS:
+                lits = tuple(dict.fromkeys(lits))
+                if not lits:
+                    return AlwaysFalse() if expr.op == OP_IN \
+                        else AlwaysTrue()
+            return Predicate(expr.op, vref, lits)
         name = expr.term.name
         field = schema.find_field(name, case_sensitive)
         if field is None:
@@ -526,7 +637,20 @@ def to_spark_column(expr: Expression):
     from pyspark.sql import functions as F
 
     def col_of(term) -> Any:
-        return F.col(term.path if isinstance(term, BoundReference) else term.name)
+        if isinstance(term, BoundVariantRef):
+            # JVM-vectorized extraction; a non-castable row yields null
+            # (which WHERE drops), matching the shredded typed_value/raw
+            # split semantics
+            return F.try_variant_get(
+                F.col(term.column), term.spark_path,
+                T.to_spark_type(term.value_type).simpleString())
+        if isinstance(term, VariantRef):
+            return F.try_variant_get(
+                F.col(term.name), "$" + "".join(
+                    f".{s}" for s in parse_variant_path(term.path)),
+                T.to_spark_type(term.value_type).simpleString())
+        return F.col(term.path if isinstance(term, BoundReference)
+                     else term.name)
 
     if isinstance(expr, AlwaysTrue):
         return F.lit(True)

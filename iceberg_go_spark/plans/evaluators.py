@@ -55,25 +55,31 @@ class InclusiveMetricsEvaluator:
     def eval(self, file: DataFile) -> bool:
         if file.record_count == 0:
             return ROWS_CANNOT_MATCH
-        return self._visit(self.expr, lambda fid, t: _stats_of(file, fid, t))
+        return self._visit(self.expr, lambda fid, t: _stats_of(file, fid, t),
+                           file)
 
     # generic visitor shared with the manifest evaluator -------------------
     def _visit(self, expr: E.Expression,
-               stats: Callable[[int, T.IcebergType], _FieldStats]) -> bool:
+               stats: Callable[[int, T.IcebergType], _FieldStats],
+               file: Optional[DataFile] = None) -> bool:
         if isinstance(expr, E.AlwaysTrue):
             return ROWS_MIGHT_MATCH
         if isinstance(expr, E.AlwaysFalse):
             return ROWS_CANNOT_MATCH
         if isinstance(expr, E.And):
-            return (self._visit(expr.left, stats)
-                    and self._visit(expr.right, stats))
+            return (self._visit(expr.left, stats, file)
+                    and self._visit(expr.right, stats, file))
         if isinstance(expr, E.Or):
-            return (self._visit(expr.left, stats)
-                    or self._visit(expr.right, stats))
+            return (self._visit(expr.left, stats, file)
+                    or self._visit(expr.right, stats, file))
         if isinstance(expr, E.Not):
             # NOT should have been eliminated at bind; be conservative
             return ROWS_MIGHT_MATCH
         assert isinstance(expr, E.Predicate) and expr.is_bound
+        if isinstance(expr.term, E.BoundVariantRef):
+            # variant-path predicate: consult the spec's variant bounds
+            # objects under the variant column's field id
+            return _variant_might_match(expr, file)
         f = expr.term.field
         s = stats(f.field_id, f.field_type)
         op = expr.op
@@ -192,6 +198,62 @@ def _is_bound(expr: E.Expression) -> bool:
     return isinstance(expr, E.Predicate) and expr.is_bound
 
 
+def _variant_might_match(pred: E.Predicate,
+                         file: Optional[DataFile]) -> bool:
+    """Inclusive check of a variant-path predicate against the variant
+    bounds objects (lower/upper bounds of the VARIANT field id hold a
+    serialized variant keyed by normalized JSON path; parity:
+    table/internal/variant_bounds.go).  Missing bounds / missing path /
+    cross-type comparisons stay inclusive."""
+    if file is None:
+        return ROWS_MIGHT_MATCH
+    fid = pred.term.field.field_id
+    lo_blob = file.lower_bounds.get(fid)
+    hi_blob = file.upper_bounds.get(fid)
+    if not lo_blob and not hi_blob:
+        return ROWS_MIGHT_MATCH
+    from ..variant import decode_variant_blob
+    try:
+        lo_map = decode_variant_blob(lo_blob) if lo_blob else {}
+        hi_map = decode_variant_blob(hi_blob) if hi_blob else {}
+        if not isinstance(lo_map, dict) or not isinstance(hi_map, dict):
+            return ROWS_MIGHT_MATCH
+    except (ValueError, KeyError, IndexError):
+        return ROWS_MIGHT_MATCH
+    key = pred.term.normalized_path
+    lo, hi = lo_map.get(key), hi_map.get(key)
+    op = pred.op
+    try:
+        if op == E.OP_LT and lo is not None and not (lo < pred.value):
+            return ROWS_CANNOT_MATCH
+        if op == E.OP_LT_EQ and lo is not None and not (lo <= pred.value):
+            return ROWS_CANNOT_MATCH
+        if op == E.OP_GT and hi is not None and not (hi > pred.value):
+            return ROWS_CANNOT_MATCH
+        if op == E.OP_GT_EQ and hi is not None and not (hi >= pred.value):
+            return ROWS_CANNOT_MATCH
+        if op == E.OP_EQ:
+            if lo is not None and pred.value < lo:
+                return ROWS_CANNOT_MATCH
+            if hi is not None and pred.value > hi:
+                return ROWS_CANNOT_MATCH
+        if op == E.OP_IN:
+            if lo is not None and all(v < lo for v in pred.literals):
+                return ROWS_CANNOT_MATCH
+            if hi is not None and all(v > hi for v in pred.literals):
+                return ROWS_CANNOT_MATCH
+        if op == E.OP_STARTS_WITH and isinstance(pred.value, str):
+            if lo is not None and isinstance(lo, str) \
+                    and lo > pred.value and not lo.startswith(pred.value):
+                return ROWS_CANNOT_MATCH
+            if hi is not None and isinstance(hi, str) \
+                    and hi < pred.value and not pred.value.startswith(hi):
+                return ROWS_CANNOT_MATCH
+    except TypeError:
+        return ROWS_MIGHT_MATCH
+    return ROWS_MIGHT_MATCH
+
+
 def _stats_of(file: DataFile, fid: int, t: T.IcebergType) -> _FieldStats:
     return _FieldStats(
         value_count=file.value_counts.get(fid),
@@ -228,6 +290,9 @@ class StrictMetricsEvaluator:
         if isinstance(expr, E.Not):
             return False  # conservative
         assert isinstance(expr, E.Predicate) and expr.is_bound
+        if isinstance(expr.term, E.BoundVariantRef):
+            # per-path bounds can never prove EVERY row matches
+            return False
         f = expr.term.field
         s = _stats_of(file, f.field_id, f.field_type)
         op = expr.op

@@ -160,11 +160,106 @@ def discover_partitioned_files(out_dir: str, ptype: T.StructType
     return files
 
 
+def _harvest_via_spark(spark, paths: List[str],
+                       name_to_field: Dict[str, Tuple[int, str]],
+                       shred_map: Dict[str, Tuple[int, str, str]],
+                       truncate_len: int) -> List[Dict[str, Any]]:
+    """Footer-free stats harvest for variant-bearing files: one Spark
+    aggregation grouped by file computes per-column count/nulls/min/max
+    and the shredded-variant per-path bounds.  split_offsets are
+    unavailable without a footer (None -> whole-file splits)."""
+    import pyspark.sql.functions as F
+
+    from .. import types as _T
+    from ..meta.conversions import to_bytes as _to_bytes
+    from ..types import type_from_str as _tfs
+
+    df = spark.read.parquet(*paths)
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, (fid, tstr) in sorted(name_to_field.items()):
+        if name not in cols:
+            continue
+        aggs += [F.min(name).alias(f"mn_{fid}"),
+                 F.max(name).alias(f"mx_{fid}"),
+                 F.count(F.lit(1)).alias(f"vc_{fid}"),
+                 F.sum(F.col(name).isNull().cast("long"))
+                 .alias(f"nc_{fid}")]
+    for ppath, (vfid, norm, _tstr) in sorted(shred_map.items()):
+        top = ppath.split(".", 1)[0]
+        if top not in cols:
+            continue
+        tag = f"{vfid}_{abs(hash(norm)) % 10**8}"
+        aggs += [F.min(F.col(ppath)).alias(f"vmn_{tag}"),
+                 F.max(F.col(ppath)).alias(f"vmx_{tag}")]
+    rows = (df.groupBy(F.regexp_replace(
+                F.input_file_name(), "^file:/+", "/").alias("__p"))
+            .agg(*aggs).collect())
+    by_path = {r["__p"]: r for r in rows}
+    out = []
+    for p in paths:
+        r = by_path.get(p)
+        s: Dict[str, Any] = {
+            "path": p, "has_field_ids": True,
+            "record_count": int(r["__n"]) if r is not None else 0,
+            "file_size": os.path.getsize(p),
+            "column_sizes": {}, "value_counts": {}, "null_counts": {},
+            "lower": {}, "upper": {}, "split_offsets": [],
+        }
+        if r is not None:
+            for name, (fid, tstr) in name_to_field.items():
+                if f"vc_{fid}" not in r.__fields__:
+                    continue
+                s["value_counts"][fid] = int(r[f"vc_{fid}"])
+                s["null_counts"][fid] = int(r[f"nc_{fid}"] or 0)
+                t = _tfs(tstr)
+                mn, mx = r[f"mn_{fid}"], r[f"mx_{fid}"]
+                if mn is not None:
+                    try:
+                        s["lower"][fid] = _to_bytes(
+                            t, _truncate_lower(mn, truncate_len))
+                    except (TypeError, ValueError):
+                        pass
+                if mx is not None:
+                    mx2 = _truncate_upper(mx, truncate_len)
+                    if mx2 is not None:
+                        try:
+                            s["upper"][fid] = _to_bytes(t, mx2)
+                        except (TypeError, ValueError):
+                            pass
+            vl: Dict[int, Dict[str, Any]] = {}
+            vu: Dict[int, Dict[str, Any]] = {}
+            for ppath, (vfid, norm, _tstr) in shred_map.items():
+                tag = f"{vfid}_{abs(hash(norm)) % 10**8}"
+                if f"vmn_{tag}" not in r.__fields__:
+                    continue
+                mn, mx = r[f"vmn_{tag}"], r[f"vmx_{tag}"]
+                if mn is not None:
+                    vl.setdefault(vfid, {})[norm] = _truncate_lower(
+                        mn, truncate_len)
+                if mx is not None:
+                    mx2 = _truncate_upper(mx, truncate_len)
+                    if mx2 is not None:
+                        vu.setdefault(vfid, {})[norm] = mx2
+            if vl:
+                s["variant_lower"] = vl
+            if vu:
+                s["variant_upper"] = vu
+        out.append(s)
+    return out
+
+
 def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
-                 truncate_len: int) -> Dict[str, Any]:
+                 truncate_len: int,
+                 shred_map: Optional[Dict[str, Tuple[int, str, str]]] = None
+                 ) -> Dict[str, Any]:
     """Executor-side: read one parquet footer -> stats dict.
 
     ``name_to_field`` maps top-level column name -> (field_id, type_str).
+    ``shred_map`` maps a shredded-variant companion leaf's parquet path
+    (``_shred_v.a_b``) -> (variant field id, normalized JSON path,
+    type str); per-path min/max land in ``variant_lower``/``variant_upper``
+    as plain python values, encoded to variant bounds blobs on the driver.
     """
     import pyarrow.parquet as pq
     from ..schema import Schema as _S  # noqa: F401  (import side effects none)
@@ -194,6 +289,9 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
     mins: Dict[int, Any] = {}
     maxs: Dict[int, Any] = {}
     types: Dict[int, Any] = {}
+    vmins: Dict[Tuple[int, str], Any] = {}
+    vmaxs: Dict[Tuple[int, str], Any] = {}
+    shred_map = shred_map or {}
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         first_col = rg.column(0)
@@ -206,6 +304,17 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
         for ci in range(rg.num_columns):
             col = rg.column(ci)
             name = col.path_in_schema.split(".")[0]
+            sm = shred_map.get(col.path_in_schema)
+            if sm is not None:
+                vfid, norm, _tstr = sm
+                if col.is_stats_set and col.statistics.has_min_max:
+                    st = col.statistics
+                    k = (vfid, norm)
+                    if k not in vmins or _lt(st.min, vmins[k]):
+                        vmins[k] = st.min
+                    if k not in vmaxs or _lt(vmaxs[k], st.max):
+                        vmaxs[k] = st.max
+                continue
             info = name_to_field.get(col.path_in_schema) or name_to_field.get(name)
             if info is None:
                 continue
@@ -248,6 +357,18 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
             out["upper"][fid] = _to_bytes(t, mx2)
         except (TypeError, ValueError):
             pass
+    if vmins or vmaxs:
+        vl: Dict[int, Dict[str, Any]] = {}
+        vu: Dict[int, Dict[str, Any]] = {}
+        for (vfid, norm), v in vmins.items():
+            vl.setdefault(vfid, {})[norm] = _truncate_lower(v, truncate_len)
+        for (vfid, norm), v in vmaxs.items():
+            v2 = _truncate_upper(v, truncate_len)
+            if v2 is None:
+                continue
+            vu.setdefault(vfid, {})[norm] = v2
+        out["variant_lower"] = vl
+        out["variant_upper"] = vu
     for name, (fid, tstr) in geo_cols.items():
         if tstr.startswith("geography"):
             continue  # geodesic edges: vertex min/max is unsafe, no bounds
@@ -376,6 +497,47 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     df = df.to(plain).select(*[
         F.col(f.name).cast(f.dataType).alias(f.name, metadata=f.metadata)
         for f in tgt.fields])
+
+    # variant shredding companions: materialize typed subcolumns next to
+    # each VARIANT column (try_variant_get, JVM-vectorized) so the
+    # parquet footers carry per-path min/max, folded below into the
+    # spec's variant-bounds objects under the variant field id — the
+    # metrics evaluator then prunes FILES on variant-path predicates.
+    # The companions are physical-file-only: scans read with an explicit
+    # schema, so they never surface.  Parity (behavior):
+    # table/internal/variant_bounds.go + variant_shredding_writer.go.
+    shred_map: Dict[str, Tuple[int, str, str]] = {}
+    if properties.get("write.variant.shred.enabled",
+                      "true").lower() == "true":
+        import json as _json
+
+        from ..variant import (analyze_shredding, shred_column,
+                               shredded_leaf_paths)
+        for f in schema.fields:
+            if not isinstance(f.field_type, T.VariantType):
+                continue
+            # planner-style driver sample to infer the shredded shape
+            # (most-common-type inference, variant_shredding.go)
+            try:
+                sample = [_json.loads(r[0]) for r in
+                          df.select(F.col(f.name).cast("string"))
+                          .limit(1024).collect() if r[0] is not None]
+            except Exception:
+                continue
+            if not sample:
+                continue
+            inner = analyze_shredding(sample)
+            if not isinstance(inner, T.StructType) or not inner.fields:
+                continue
+            comp = f"_shred_{f.name}"
+            df = shred_column(df, f.name, inner, shredded_name=comp)
+            for path, cname, t in shredded_leaf_paths(inner):
+                if not t.is_primitive:
+                    continue
+                norm = "$" + "".join(f"['{seg}']"
+                                     for seg in path[2:].split("."))
+                shred_map[f"{comp}.{cname}"] = (f.field_id, norm, str(t))
+
     writer_df, pcols = partition_columns(df, schema, spec)
     # write.distribution-mode=hash (the Iceberg default for partitioned
     # tables): shuffle rows to their partition before the fanout write, so
@@ -471,25 +633,58 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
 
     truncate_len = int(properties.get(PROP_METRICS_TRUNCATE,
                                       DEFAULT_METRICS_TRUNCATE))
+    # VARIANT columns are excluded from the generic harvest (parquet
+    # min/max over the metadata/value binaries is meaningless); their
+    # bounds come from the shredded companions via shred_map
     name_to_field = {
         f.name: (f.field_id, str(f.field_type))
-        for f in schema.fields if f.field_type.is_primitive}
+        for f in schema.fields
+        if f.field_type.is_primitive
+        and not isinstance(f.field_type, T.VariantType)}
     paths = [p for p, _ in files]
-    # harvest footers on executors: O(files) work never lands on the driver
-    stats_list = spark.sparkContext.parallelize(paths, max(1, min(len(paths), 64))) \
-        .map(lambda p: _harvest_one(p, name_to_field, truncate_len)).collect()
+    has_variant = any(isinstance(f.field_type, T.VariantType)
+                      for f in schema.fields)
+    if has_variant:
+        # this container's pyarrow cannot open footers carrying the
+        # VARIANT logical type (unrecognized Thrift LogicalType — same
+        # env limitation as GEOMETRY), so stats come from ONE Spark
+        # aggregation grouped by file instead of a footer pass
+        stats_list = _harvest_via_spark(spark, paths, name_to_field,
+                                        shred_map, truncate_len)
+    else:
+        # harvest footers on executors: O(files) work never lands on
+        # the driver
+        stats_list = spark.sparkContext.parallelize(
+            paths, max(1, min(len(paths), 64))) \
+            .map(lambda p: _harvest_one(p, name_to_field, truncate_len,
+                                        shred_map)).collect()
     stats_by_path = {s["path"]: s for s in stats_list}
 
     out: List[DataFile] = []
     for path, part in files:
         s = stats_by_path[path]
+        lower, upper = dict(s["lower"]), dict(s["upper"])
+        if s.get("variant_lower") or s.get("variant_upper"):
+            # encode per-path bounds into the spec's variant bounds
+            # objects under the variant column's field id
+            from ..variant import encode_variant_blob
+            for vfid, m in (s.get("variant_lower") or {}).items():
+                try:
+                    lower[vfid] = encode_variant_blob(m)
+                except (TypeError, ValueError):
+                    pass
+            for vfid, m in (s.get("variant_upper") or {}).items():
+                try:
+                    upper[vfid] = encode_variant_blob(m)
+                except (TypeError, ValueError):
+                    pass
         out.append(DataFile(
             content=CONTENT_DATA, file_path=path, file_format="PARQUET",
             partition=part, record_count=s["record_count"],
             file_size_in_bytes=s["file_size"],
             column_sizes=s["column_sizes"], value_counts=s["value_counts"],
             null_value_counts=s["null_counts"],
-            lower_bounds=s["lower"], upper_bounds=s["upper"],
+            lower_bounds=lower, upper_bounds=upper,
             split_offsets=sorted(s["split_offsets"]) or None,
             sort_order_id=(sort_order.order_id if sort_order else None)))
     # encrypted tables: stamp a wrapped per-file DEK envelope on every

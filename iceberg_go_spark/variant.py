@@ -372,6 +372,101 @@ def _decode_value(data: bytes, off: int, dictionary: List[str]) -> Any:
     return [_decode_value(data, p + offs[i], dictionary) for i in range(n)]
 
 
+def _encode_primitive(v: Any) -> bytes:
+    """Encode one primitive as a variant value (header + payload)."""
+    if v is None:
+        return bytes([0])
+    if v is True:
+        return bytes([1 << 2])
+    if v is False:
+        return bytes([2 << 2])
+    if isinstance(v, Decimal):
+        exp = v.as_tuple().exponent
+        scale = max(0, -exp)
+        unscaled = int(v.scaleb(scale))
+        for tag, width in ((8, 4), (9, 8), (10, 16)):
+            try:
+                raw = unscaled.to_bytes(width, "little", signed=True)
+            except OverflowError:
+                continue
+            return bytes([tag << 2, scale]) + raw
+        raise ValueError(f"decimal too wide for variant: {v}")
+    if isinstance(v, bool):  # pragma: no cover (caught above)
+        raise AssertionError
+    if isinstance(v, int):
+        for tag, width in ((3, 1), (4, 2), (5, 4), (6, 8)):
+            try:
+                raw = v.to_bytes(width, "little", signed=True)
+            except OverflowError:
+                continue
+            return bytes([tag << 2]) + raw
+        raise ValueError(f"integer too wide for variant: {v}")
+    if isinstance(v, float):
+        return bytes([7 << 2]) + _struct.pack("<d", v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            us = (v - _EPOCH_TS) // _dt.timedelta(microseconds=1)
+            return bytes([12 << 2]) + _struct.pack("<q", us)
+        us = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        return bytes([13 << 2]) + _struct.pack("<q", us)
+    if isinstance(v, _dt.date):
+        return bytes([11 << 2]) + _struct.pack(
+            "<i", (v - _EPOCH).days)
+    if isinstance(v, str):
+        raw = v.encode("utf-8")
+        if len(raw) < 64:
+            return bytes([(len(raw) << 2) | 1]) + raw
+        return bytes([16 << 2]) + _struct.pack("<I", len(raw)) + raw
+    if isinstance(v, (bytes, bytearray)):
+        return bytes([15 << 2]) + _struct.pack("<I", len(v)) + bytes(v)
+    raise TypeError(f"cannot encode {type(v).__name__} as variant")
+
+
+def encode_variant_blob(obj: Dict[str, Any]) -> bytes:
+    """Encode a flat object of primitives as the canonical
+    (metadata || value) variant form — the shape of the spec's variant
+    BOUNDS objects (lower/upper bounds of a variant field are a
+    serialized variant keyed by normalized JSON path; parity:
+    variant_bounds.go:248 serializeVariantBounds).  Round-trips through
+    ``decode_variant_blob``."""
+    keys = sorted(obj)
+    # metadata: v1 header with sorted dictionary
+    key_bytes = [k.encode("utf-8") for k in keys]
+    total = sum(len(b) for b in key_bytes)
+    off_size = 1 if total < 256 and len(keys) < 256 else \
+        (2 if total < 65536 else 4)
+    header = 0x01 | 0x10 | ((off_size - 1) << 6)  # version 1, sorted
+    meta = bytearray([header])
+    meta += len(keys).to_bytes(off_size, "little")
+    pos = 0
+    offs = [0]
+    for b in key_bytes:
+        pos += len(b)
+        offs.append(pos)
+    for o in offs:
+        meta += o.to_bytes(off_size, "little")
+    for b in key_bytes:
+        meta += b
+    # object value
+    vals = [_encode_primitive(obj[k]) for k in keys]
+    voff = [0]
+    for v in vals:
+        voff.append(voff[-1] + len(v))
+    id_size = 1 if len(keys) < 256 else (2 if len(keys) < 65536 else 4)
+    voff_size = 1 if voff[-1] < 256 else (2 if voff[-1] < 65536 else 4)
+    is_large = len(keys) > 255
+    vh = (voff_size - 1) | ((id_size - 1) << 2) | (int(is_large) << 4)
+    val = bytearray([(vh << 2) | 2])
+    val += len(keys).to_bytes(4 if is_large else 1, "little")
+    for i in range(len(keys)):
+        val += i.to_bytes(id_size, "little")  # ids = sorted positions
+    for o in voff:
+        val += o.to_bytes(voff_size, "little")
+    for v in vals:
+        val += v
+    return bytes(meta) + bytes(val)
+
+
 def decode_variant(metadata: bytes, value: bytes) -> Any:
     dictionary, _ = _decode_metadata(metadata)
     return _decode_value(value, 0, dictionary)
