@@ -1673,6 +1673,27 @@ SELECT doc_id, n_email, n_ipv4, n_phone, md5(scrubbed) AS scrub_md5 FROM s
 """
 
 
+def leakage_safe_split_stats(spark, sf_dir):
+    """Group-aware train/val split: documents are assigned by
+    md5(normalized-text fingerprint), so exact/normalized duplicates
+    can never straddle the split (operators/curation.py
+    leakage_safe_split — stateless, shuffle-free, engine-reproducible)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (CU.leakage_safe_split(docs)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+LEAKAGE_SPLIT_SQL = f"""
+SELECT CASE WHEN substring(md5({TX.normalized_text_sql('text')}), 1, 2) < '1a'
+            THEN 'val' ELSE 'train' END AS split,
+       lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(doc_id)::BIGINT AS id_checksum
+FROM documents GROUP BY split, lang
+"""
+
+
 def stratified_sample_by_lang(spark, sf_dir):
     """Deterministic md5-keyed 25% sample, rolled up per language
     (operators/curation.py stratified_sample: stateless shuffle-free
@@ -2736,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # durable record); kmeans_topic_clusters stays at the head until
         # its r5 red row is superseded by a green one
         "variant_prune_scan": variant_prune_scan,
+        "leakage_safe_split_stats": leakage_safe_split_stats,
         "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "kmeans_topic_clusters": kmeans_topic_clusters,
@@ -2899,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": CENTROIDS_SQL,
         "variant_shred": VARIANT_SHRED_SQL,
         "variant_prune_scan": VARIANT_PRUNE_SQL,
+        "leakage_safe_split_stats": LEAKAGE_SPLIT_SQL,
         "multimodal_features": MULTIMODAL_SQL,
         "multimodal_resize": MULTIMODAL_RESIZE_SQL,
         "multimodal_feature_vectors": MULTIMODAL_VEC_SQL,

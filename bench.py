@@ -77,6 +77,7 @@ EXTRA = [
     # round-6 additions
     "iceberg_nested_defaults_scan",
     "variant_prune_scan",
+    "leakage_safe_split_stats",
 ]
 
 

@@ -359,9 +359,13 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
     recs = []
     for e in entries:
         df = e.data_file
-        if format_version >= 3 and df.file_format == "PUFFIN":
-            # a v3 DV entry must locate its blob and reference exactly
-            # one data file (manifest.go:2756-2759)
+        if format_version >= 3 and df.file_format == "PUFFIN" \
+                and e.status == STATUS_ADDED:
+            # a NEWLY-ADDED v3 DV entry must locate its blob and
+            # reference exactly one data file (manifest.go:2756-2759);
+            # EXISTING entries may be pre-upgrade footer-style
+            # containers carried forward by a manifest rewrite — the
+            # read path resolves those via the puffin footer
             if (df.referenced_data_file is None
                     or df.content_offset is None
                     or df.content_size_in_bytes is None):

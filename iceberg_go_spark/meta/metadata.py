@@ -305,8 +305,15 @@ class TableMetadata:
 def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,
                        properties: Optional[Dict[str, str]] = None,
                        sort_order: Optional[SortOrder] = None) -> TableMetadata:
+    # the reserved "format-version" property selects the created table's
+    # format (1..3, default 2) and is consumed, not stored (same contract
+    # as the reference's create options)
+    props = dict(properties or {})
+    fv = int(props.pop("format-version", 2))
+    if fv < 1 or fv > 3:
+        raise ValueError(f"unsupported format version: {fv}")
     return TableMetadata(
-        format_version=2,
+        format_version=fv,
         location=location,
         last_updated_ms=int(time.time() * 1000),
         last_column_id=schema.highest_field_id,
@@ -315,4 +322,4 @@ def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,
         last_partition_id=spec.last_assigned_field_id(),
         sort_orders=[sort_order] if sort_order else [SortOrder()],
         default_sort_order_id=sort_order.order_id if sort_order else 0,
-        properties=dict(properties or {}))
+        properties=props)

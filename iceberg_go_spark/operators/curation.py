@@ -23,6 +23,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions import text_funcs as TX
 from ..session import rebalance_for_amplification
 
 
@@ -200,6 +201,29 @@ def stratified_sample(df: DataFrame, id_col: str = "doc_id",
     (the DuckDB oracle uses the identical predicate)."""
     key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.filter(key < F.lit(hex_threshold))
+
+
+def leakage_safe_split(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       val_hex_threshold: str = "1a",
+                       group_col: Optional[str] = None) -> DataFrame:
+    """Group-aware train/validation split: the unit of assignment is a
+    content GROUP — by default the normalized-text fingerprint — so
+    exact and normalized-duplicate documents can NEVER straddle the
+    split (the classic train/val leakage failure of row-wise random
+    splits).  Pass ``group_col`` to split by any precomputed group
+    (near-dup cluster id, source domain, ...).
+
+    Scale shape: assignment is a stateless per-row predicate on
+    md5(group key) — no shuffle, no history table, engine-reproducible
+    (the DuckDB oracle applies the identical predicate).  '1a' = 26/256
+    ≈ 10% validation."""
+    key = F.md5(TX.normalized_text(F.col(text_col))) \
+        if group_col is None else F.md5(F.col(group_col).cast("string"))
+    return df.withColumn(
+        "split",
+        F.when(F.substring(key, 1, 2) < F.lit(val_hex_threshold),
+               F.lit("val")).otherwise(F.lit("train")))
 
 
 def mixture_sample(df: DataFrame, thresholds: dict,

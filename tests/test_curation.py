@@ -382,3 +382,36 @@ def test_connected_components_long_chain_converges_fast(spark):
     got = {r.doc_id: r.cluster_id for r in out}
     assert all(got[i] == 0 for i in range(64))
     assert got[100] == got[101] == 100
+
+
+def test_leakage_safe_split(spark, sf_dir):
+    from iceberg_go_spark.operators.curation import leakage_safe_split
+    from conftest import read_table
+    docs = read_table(spark, "documents", sf_dir)
+    out = leakage_safe_split(docs)
+    # total partition: every row labeled, nothing dropped
+    assert out.count() == docs.count()
+    assert set(r.split for r in
+               out.select("split").distinct().collect()) <= {"train", "val"}
+    # the leakage property: identical (post-normalization) text can
+    # never straddle the split — check on a corpus with forced dups
+    dup = docs.limit(50).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.upper(F.col("text")))  # normalization-equal variant
+    both = leakage_safe_split(docs.limit(50).unionByName(dup))
+    from iceberg_go_spark.functions.text_funcs import fingerprint
+    groups = (both.withColumn("fp", fingerprint(F.col("text")))
+              .groupBy("fp")
+              .agg(F.countDistinct("split").alias("n_sides"))
+              .agg(F.max("n_sides")).first()[0])
+    assert groups == 1, "a content group straddled the train/val split"
+    # deterministic across runs
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    assert a == b
+    # group_col override splits by the given key
+    bysrc = leakage_safe_split(docs, group_col="lang")
+    one_side = (bysrc.groupBy("lang")
+                .agg(F.countDistinct("split").alias("n"))
+                .agg(F.max("n")).first()[0])
+    assert one_side == 1

@@ -182,6 +182,28 @@ def test_v3_dv_spec_exact_manifest_entries(spark, sf_dir, tmp_path):
     assert t2.to_df(spark).count() == expected2.count()
 
 
+def test_v2_to_v3_upgrade_with_legacy_dv(spark, sf_dir, tmp_path):
+    """A table that took DV deletes at v2 (footer-style container
+    entries) keeps reading correctly after an upgrade to v3, composes
+    with a v3 per-entry DV delete, and survives manifest rewrites that
+    carry the legacy entries forward."""
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir)
+    t = cat.create_table("db.upg", Schema.from_spark(df.schema))
+    t.append(df)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")   # v2 container entry
+    t = t.upgrade_format_version(3)
+    t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                   mode="merge-on-read-dv")   # v3 per-DV entries
+    expected = df.filter(~F.col("o_orderstatus").isin("F", "P"))
+    assert t.to_df(spark).count() == expected.count()
+    t.rewrite_manifests()
+    assert t.to_df(spark).count() == expected.count()
+    t2 = FilesystemCatalog(str(tmp_path / "wh")).load_table("db.upg")
+    assert t2.to_df(spark).count() == expected.count()
+
+
 # --- canonical cross-implementation fixtures ------------------------------
 # /root/reference/puffin/testdata: the Java-produced DV payload lifted from
 # apache/iceberg test resources, plus canonical Puffin v1 files from the

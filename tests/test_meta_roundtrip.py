@@ -131,6 +131,19 @@ def test_manifest_v3_dv_entry_roundtrip(tmp_path):
                          [M.ManifestEntry(M.STATUS_ADDED, 9, 3, 3, bad)],
                          SCHEMA, spec, M.MANIFEST_DELETES,
                          format_version=3)
+    # upgrade tolerance: an EXISTING pre-upgrade footer-style container
+    # entry (no locator fields) may be carried forward by a manifest
+    # rewrite on a v3 table; only ADDED entries must be spec-exact
+    legacy = M.DataFile(
+        content=M.CONTENT_POS_DELETES, file_path="/deletes/old.puffin",
+        file_format="PUFFIN", partition={}, record_count=3,
+        file_size_in_bytes=100)
+    M.write_manifest(str(tmp_path / "mixed.avro"),
+                     [M.ManifestEntry(M.STATUS_EXISTING, 9, 2, 2, legacy)],
+                     SCHEMA, spec, M.MANIFEST_DELETES, format_version=3)
+    back, _, _ = M.read_manifest(str(tmp_path / "mixed.avro"))
+    assert back[0].data_file.referenced_data_file is None
+
     # first_row_id is data-manifest-only (manifest.go:1445)
     wrong = M.DataFile(
         content=M.CONTENT_POS_DELETES, file_path="/deletes/c1.puffin",

@@ -359,3 +359,54 @@ def test_metadata_log_bound_and_delete_after_commit(spark, sf_dir, catalog):
     # current pointer always survives; table still reads
     assert os.path.exists(t.metadata_location)
     assert t.to_df(spark).count() == 10
+
+
+def test_create_v1_and_v3_tables(spark, sf_dir, tmp_path):
+    """The reserved "format-version" create property selects the table
+    format: v1 tables write v1 manifests/manifest lists (append+scan,
+    CoW delete; MoR delete fails loudly — v1 has no delete files), v3
+    tables start at format 3 without an upgrade step."""
+    import pytest
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta import manifests as M
+    from conftest import read_table
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "region", sf_dir)
+    t1 = cat.create_table("db.v1t", Schema.from_spark(df.schema),
+                          properties={"format-version": "1"})
+    assert t1.metadata.format_version == 1
+    assert "format-version" not in t1.metadata.properties
+    t1.append(df)
+    t1.append(df)
+    assert t1.to_df(spark).count() == 2 * df.count()
+    # list + manifests round-trip through the v1 avro layouts
+    mfs = M.read_manifest_list(t1.current_snapshot().manifest_list)
+    assert all(m.content == M.MANIFEST_DATA for m in mfs)
+    es, _, _ = M.read_manifest(mfs[0].manifest_path)
+    assert es[0].sequence_number is None  # v1: no sequence plumbing
+    # CoW delete works; MoR needs delete manifests -> v1 rejects
+    t1.delete_where(spark, E.eq("r_regionkey", 0))
+    assert t1.to_df(spark).count() == 2 * (df.count() - 1)
+    with pytest.raises(ValueError, match="v1"):
+        t1.delete_where(spark, E.eq("r_regionkey", 1),
+                        mode="merge-on-read")
+
+    t3 = cat.create_table("db.v3t", Schema.from_spark(df.schema),
+                          properties={"format-version": "3"})
+    assert t3.metadata.format_version == 3
+    t3.append(df)
+    t3.delete_where(spark, E.eq("r_regionkey", 2),
+                    mode="merge-on-read-dv")
+    dvs = [e.data_file
+           for mf in M.read_manifest_list(
+               t3.current_snapshot().manifest_list)
+           if mf.content == M.MANIFEST_DELETES
+           for e in M.read_manifest(mf.manifest_path)[0] if e.is_live]
+    assert dvs and all(d.referenced_data_file for d in dvs)
+    assert t3.to_df(spark).count() == df.count() - 1
+
+    with pytest.raises(ValueError, match="format version"):
+        cat.create_table("db.v9t", Schema.from_spark(df.schema),
+                         properties={"format-version": "9"})
