@@ -191,7 +191,16 @@ class TableMetadata:
 
     # -- JSON ----------------------------------------------------------------
     def to_json_dict(self) -> Dict[str, Any]:
+        # v1 metadata carries the singular back-compat fields v1 readers
+        # require ("schema" + "partition-spec"); the modern plural forms
+        # ride along and are ignored by v1 readers
+        v1_compat: Dict[str, Any] = {}
+        if self.format_version == 1 and self.schemas:
+            v1_compat["schema"] = self.schema().to_json_dict()
+            v1_compat["partition-spec"] = [
+                f.to_json_dict() for f in self.spec().fields]
         return {
+            **v1_compat,
             "format-version": self.format_version,
             "table-uuid": self.table_uuid,
             "location": self.location,

@@ -91,6 +91,17 @@ class IcebergGoSparkDataSource(DataSource):
         return _scan(self.options).projection().to_spark()
 
     def reader(self, schema: ST.StructType) -> "_Reader":
+        # fail loudly up front: the batch reader materializes files with
+        # pyarrow, which in this container cannot open parquet footers
+        # carrying the VARIANT logical type — the relational path
+        # (table.to_df / scan API) reads those fine through Spark
+        if any(t == "variant" or "variant" in t
+               for t in (f.dataType.simpleString() for f in schema.fields)):
+            raise NotImplementedError(
+                "variant-bearing tables are not readable through the "
+                "Python DataSource in this environment (pyarrow lacks "
+                "the VARIANT logical type) — use table.to_df(spark) or "
+                "the scan API instead")
         return _Reader(self.options, schema)
 
     def streamReader(self, schema: ST.StructType) -> "_StreamReader":
