@@ -178,6 +178,21 @@ class FilesystemCatalog:
         self._write_hint(table_dir, 1)
         return Table(_ident(identifier), md, path, self)
 
+    def register_table(self, identifier, metadata_location: str):
+        """Adopt an existing metadata file: the metadata JSON is copied
+        as this catalog's version-1 metadata (data/manifest paths inside
+        it are absolute, so the table reads in place)."""
+        from ..table.table import Table
+        table_dir = self._table_dir(identifier)
+        if os.path.isdir(self._metadata_dir(table_dir)):
+            raise TableAlreadyExistsError(str(identifier))
+        md = TableMetadata.read(metadata_location)
+        os.makedirs(self._metadata_dir(table_dir), exist_ok=True)
+        path = self._version_path(table_dir, 1)
+        md.write(path)
+        self._write_hint(table_dir, 1)
+        return Table(_ident(identifier), md, path, self)
+
     def load_table(self, identifier):
         from ..table.table import Table
         table_dir = self._table_dir(identifier)

@@ -341,6 +341,18 @@ class RestCatalog:
                      TableMetadata.from_json_dict(out["metadata"]),
                      out["metadata-location"], self)
 
+    def register_table(self, identifier, metadata_location: str):
+        """Adopt an existing metadata file into the catalog (rest.go:1564
+        RegisterTable; POST /v1/namespaces/{ns}/register)."""
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        out = self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/register",
+            {"name": name, "metadata-location": metadata_location})
+        return Table(_ident(identifier),
+                     TableMetadata.from_json_dict(out["metadata"]),
+                     out["metadata-location"], self)
+
     def load_table(self, identifier):
         from ..table.table import Table
         ns, name = self._split(identifier)
@@ -415,6 +427,17 @@ class RestCatalog:
             "POST", f"/v1/namespaces/{self._ns(ns)}/views",
             {"name": name, "metadata": view_metadata_to_json(md)})
         return md
+
+    def register_view(self, identifier, metadata_location: str
+                      ) -> "ViewMetadata":
+        """Adopt an existing view metadata file (rest.go:2277
+        RegisterView; POST /v1/namespaces/{ns}/register-view)."""
+        from ..views import view_metadata_from_json
+        ns, name = self._split(identifier)
+        out = self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/register-view",
+            {"name": name, "metadata-location": metadata_location})
+        return view_metadata_from_json(out["metadata"])
 
     def load_view(self, identifier) -> "ViewMetadata":
         from ..views import view_metadata_from_json
@@ -963,6 +986,27 @@ def _make_handler(state: _State):
                         return self._send(409, {"error": "exists"})
                     state.tables[d] = state.tables.pop(s)
                 return self._send(200, {})
+            if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] == "register":
+                # adopt an existing metadata file (endpoints.go:105)
+                ns = tuple(p[2].split("\x1f"))
+                key = (ns, body["name"])
+                loc = body["metadata-location"]
+                with state.lock:
+                    if ns not in state.namespaces:
+                        return self._send(404,
+                                          {"error": "no such namespace"})
+                    if key in state.tables:
+                        return self._send(409, {"error": "exists"})
+                    try:
+                        with open(loc) as f:
+                            md = json.load(f)
+                    except OSError:
+                        return self._send(
+                            404, {"error": f"unreadable metadata: {loc}"})
+                    state.tables[key] = loc
+                return self._send(200, {"metadata-location": loc,
+                                        "metadata": md})
             if len(p) == 4 and p[3] == "tables":  # create
                 ns = tuple(p[2].split("\x1f"))
                 key = (ns, body["name"])
@@ -1019,6 +1063,27 @@ def _make_handler(state: _State):
                     md["identifier"] = ".".join((*d[0], d[1]))
                     state.views[d] = md
                 return self._send(200, {})
+            if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
+                    and p[3] == "register-view":
+                # adopt an existing view metadata file (endpoints.go:120)
+                ns = tuple(p[2].split("\x1f"))
+                key = (ns, body["name"])
+                loc = body["metadata-location"]
+                with state.lock:
+                    if ns not in state.namespaces:
+                        return self._send(404,
+                                          {"error": "no such namespace"})
+                    if key in state.views:
+                        return self._send(409, {"error": "exists"})
+                    try:
+                        with open(loc) as f:
+                            vmd = json.load(f)
+                    except OSError:
+                        return self._send(
+                            404, {"error": f"unreadable metadata: {loc}"})
+                    state.views[key] = vmd
+                return self._send(200, {"metadata-location": loc,
+                                        "metadata": vmd})
             if len(p) == 4 and p[3] == "views":  # create
                 ns = tuple(p[2].split("\x1f"))
                 key = (ns, body["name"])

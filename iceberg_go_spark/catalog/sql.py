@@ -401,6 +401,22 @@ class SqlCatalog:
             raise
         return Table(_ident(identifier), md, path, self)
 
+    def register_table(self, identifier, metadata_location: str):
+        """Adopt an existing metadata file into the catalog (sql.go
+        RegisterTable): one row insert pointing at the given location."""
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        md = TableMetadata.read(metadata_location)
+        try:
+            self._run(
+                "INSERT INTO iceberg_tables VALUES (?, ?, ?, ?, NULL)",
+                (self.name, ns, name, metadata_location))
+        except Exception as e:
+            if _is_integrity_error(e):
+                raise TableAlreadyExistsError(str(identifier))
+            raise
+        return Table(_ident(identifier), md, metadata_location, self)
+
     def load_table(self, identifier):
         from ..table.table import Table
         ns, name = self._split(identifier)

@@ -179,6 +179,11 @@ def main(argv=None) -> int:
     sp.add_argument("--from-snapshot", type=int, default=None)
     sp.add_argument("--to-snapshot", type=int, default=None)
 
+    sp = sub.add_parser("register-table")
+    sp.add_argument("table")
+    sp.add_argument("metadata_location",
+                    help="existing table metadata JSON to adopt")
+
     sp = sub.add_parser("rewrite-manifests")
     sp.add_argument("table")
     sp.add_argument("--target-entries", type=int, default=2000,
@@ -200,12 +205,17 @@ def main(argv=None) -> int:
         _emit(args, rows, ["identifier"])
         return 0
 
-    if args.cmd in ("create-namespace", "create-table", "drop-namespace",
+    if args.cmd in ("create-namespace", "create-table", "register-table",
+                    "drop-namespace",
                     "drop-table", "rename"):
         cat = _catalog(args)
         if args.cmd == "create-namespace":
             cat.create_namespace(args.namespace)
             print(f"created namespace {args.namespace}")
+        elif args.cmd == "register-table":
+            t = cat.register_table(args.table, args.metadata_location)
+            print(f"registered table {args.table} at "
+                  f"{t.metadata_location}")
         elif args.cmd == "create-table":
             from .meta.partitioning import (SortField, SortOrder,
                                             spec_from_names)

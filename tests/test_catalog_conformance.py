@@ -182,3 +182,17 @@ def test_namespace_properties_contract(cat):
     with pytest.raises(ValueError, match="both removals and updates"):
         cat.update_namespace_properties(ns, removals=["k"],
                                         updates={"k": "v"})
+
+
+def test_register_table(cat):
+    """register_table adopts an existing metadata file under a new
+    identifier: same uuid/schema, loadable, duplicate rejected
+    (catalog.go RegisterTable contract; rest.go:1564, glue.go:311)."""
+    src = cat.create_table("db.orig", SCHEMA)
+    t2 = cat.register_table("db.adopted", src.metadata_location)
+    assert t2.metadata.table_uuid == src.metadata.table_uuid
+    back = cat.load_table("db.adopted")
+    assert back.metadata.table_uuid == src.metadata.table_uuid
+    assert [f.name for f in back.metadata.schema().fields] == ["id", "v"]
+    with pytest.raises(TableAlreadyExistsError):
+        cat.register_table("db.adopted", src.metadata_location)

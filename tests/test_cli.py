@@ -227,3 +227,19 @@ def test_cli_alter_table_family(capsys, tmp_path, spark, sf_dir):
         cli_main(["--warehouse", wh, "alter-rename-column", "db.alt",
                   "ghost", "x"])
     capsys.readouterr()
+
+
+def test_cli_register_table(capsys, wh, sf_dir, spark):
+    """register-table adopts an existing metadata file under a new
+    identifier; the registered table loads and scans."""
+    import os
+    src = os.path.join(sf_dir, "region.parquet")
+    _run(capsys, "--warehouse", wh, "create-table", "db.src",
+         "--infer-schema", src)
+    cat = FilesystemCatalog(wh)
+    t = cat.load_table("db.src")
+    out = _run(capsys, "--warehouse", wh, "register-table", "db.adopted",
+               t.metadata_location)
+    assert "registered table db.adopted" in out
+    back = FilesystemCatalog(wh).load_table("db.adopted")
+    assert back.metadata.table_uuid == t.metadata.table_uuid

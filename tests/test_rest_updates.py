@@ -518,3 +518,55 @@ def test_rest_sigv4_end_to_end(tmp_path, spark, sf_dir):
         assert cat.load_table("db.s4").to_df(spark).count() == df.count()
     finally:
         server.stop()
+
+
+def test_rest_register_table(tmp_path):
+    """POST /v1/namespaces/{ns}/register adopts an existing metadata
+    file (rest.go:1564 RegisterTable; endpoints.go:105)."""
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.catalog import (NoSuchTableError,
+                                          TableAlreadyExistsError)
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        src = cat.create_table("db.orig", Schema([
+            T.NestedField(1, "id", T.LongType(), required=True)]))
+        t2 = cat.register_table("db.adopted", src.metadata_location)
+        assert t2.metadata.table_uuid == src.metadata.table_uuid
+        assert cat.load_table("db.adopted").metadata.table_uuid \
+            == src.metadata.table_uuid
+        with pytest.raises(TableAlreadyExistsError):
+            cat.register_table("db.adopted", src.metadata_location)
+        with pytest.raises(NoSuchTableError):  # missing namespace -> 404
+            cat.register_table("nope.t", src.metadata_location)
+    finally:
+        server.stop()
+
+
+def test_rest_register_view(tmp_path):
+    """POST /v1/namespaces/{ns}/register-view adopts an existing view
+    metadata file (rest.go:2277 RegisterView; endpoints.go:120)."""
+    import json
+    from iceberg_go_spark.catalog import TableAlreadyExistsError
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+    from iceberg_go_spark.views import view_metadata_to_json
+
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        md = cat.create_view("db.src", "SELECT 1 AS one")
+        loc = str(tmp_path / "view.metadata.json")
+        with open(loc, "w") as f:
+            json.dump(view_metadata_to_json(md), f)
+        back = cat.register_view("db.adopted", loc)
+        assert back.view_uuid == md.view_uuid
+        assert cat.load_view("db.adopted").current() \
+            .sql_for("spark") == "SELECT 1 AS one"
+        with pytest.raises(TableAlreadyExistsError):
+            cat.register_view("db.adopted", loc)
+    finally:
+        server.stop()
