@@ -445,6 +445,65 @@ class Transaction:
         self._produce_snapshot(OP_APPEND, files)
         return self
 
+    def replace_data_files(self, spark, files_to_delete: List[str],
+                           files_to_add: List[str]) -> "Transaction":
+        """Swap specific data files in one OVERWRITE snapshot
+        (transaction.go:612 ReplaceDataFiles): drop ``files_to_delete``
+        from the metadata and adopt ``files_to_add`` with
+        footer-harvested stats, validating that delete paths belong to
+        the table, add paths are not already referenced, and both sets
+        are duplicate-free.  An empty delete set degenerates to
+        ``add_files``."""
+        if not files_to_delete:
+            if files_to_add:
+                return self.add_files(spark, files_to_add)
+            return self
+        to_delete, to_add = set(files_to_delete), set(files_to_add)
+        if len(to_delete) != len(files_to_delete):
+            raise ValueError("delete file paths must be unique")
+        if len(to_add) != len(files_to_add):
+            raise ValueError("add file paths must be unique")
+        if self._branch_head_id() is None:
+            raise ValueError("cannot replace files in a table without "
+                             "an existing snapshot")
+        live = {e.data_file.file_path
+                for mf in self._current_manifests()
+                if mf.content == M.MANIFEST_DATA
+                for e in M.read_manifest(mf.manifest_path)[0] if e.is_live}
+        already = live & to_add
+        if already:
+            raise ValueError("cannot add files that are already "
+                             f"referenced by table: {sorted(already)[:3]}")
+        missing = to_delete - live
+        if missing:
+            raise ValueError("cannot delete files that do not belong to "
+                             f"the table: {sorted(missing)[:3]}")
+        keep = self._rewrite_manifests_without(sorted(to_delete))
+        schema = self.metadata.schema()
+        from .write import _harvest_one
+        name_to_field = {f.name: (f.field_id, str(f.field_type))
+                         for f in schema.fields if f.field_type.is_primitive}
+        files: List[M.DataFile] = []
+        if files_to_add:
+            stats = spark.sparkContext.parallelize(
+                files_to_add, min(len(files_to_add), 64)) \
+                .map(lambda p: _harvest_one(p, name_to_field, 16)).collect()
+            files = [M.DataFile(
+                content=M.CONTENT_DATA, file_path=s["path"],
+                file_format="PARQUET", partition={},
+                record_count=s["record_count"],
+                file_size_in_bytes=s["file_size"],
+                column_sizes=s["column_sizes"],
+                value_counts=s["value_counts"],
+                null_value_counts=s["null_counts"], lower_bounds=s["lower"],
+                upper_bounds=s["upper"],
+                split_offsets=sorted(s["split_offsets"]) or None,
+                name_based=not s.get("has_field_ids", True))
+                for s in stats]
+        self._produce_snapshot(OP_OVERWRITE, files,
+                               manifests_to_keep=keep)
+        return self
+
     # ------------------------------------------------------------- commit
     def _build_metadata(self) -> TableMetadata:
         md = self.metadata

@@ -112,3 +112,51 @@ def test_update_partitioned(spark, tmp_path):
         "bucket_col = 2 AND id < 1000 AND val <> id * 10").count() == 0
     assert got.filter(
         "NOT (bucket_col = 2 AND id < 1000) AND val <> id").count() == 0
+
+
+def test_replace_data_files(spark, sf_dir, tmp_path):
+    """Transaction.replace_data_files (transaction.go:612): swap specific
+    data files in one overwrite snapshot, with the reference's
+    validation (unique sets, delete paths must belong, add paths must
+    not already be referenced, no-snapshot rejected)."""
+    import pyspark.sql.functions as F
+    import pytest
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from conftest import read_table
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "region", sf_dir)
+    t = cat.create_table("db.rep", Schema.from_spark(df.schema))
+    t.append(df)
+    old_paths = [tk.data_file.file_path for tk in t.scan().plan_files()]
+
+    # externally-written replacement files
+    ext = str(tmp_path / "ext")
+    df.filter(F.col("r_regionkey") < 3).coalesce(1).write.parquet(ext)
+    import glob
+    new_paths = sorted(glob.glob(ext + "/*.parquet"))
+    assert new_paths
+
+    t.new_transaction().replace_data_files(
+        spark, old_paths, new_paths).commit()
+    t = cat.load_table("db.rep")
+    assert t.to_df(spark).count() == 3
+    assert t.current_snapshot().operation == "overwrite"
+    live = {tk.data_file.file_path for tk in t.scan().plan_files()}
+    assert live == set(new_paths)
+
+    # validation errors
+    with pytest.raises(ValueError, match="already referenced"):
+        t.new_transaction().replace_data_files(
+            spark, list(live), new_paths)
+    with pytest.raises(ValueError, match="do not belong"):
+        t.new_transaction().replace_data_files(
+            spark, ["/nope.parquet"], [])
+    with pytest.raises(ValueError, match="unique"):
+        t.new_transaction().replace_data_files(
+            spark, [old_paths[0], old_paths[0]], [])
+    t2 = cat.create_table("db.empty", Schema.from_spark(df.schema))
+    with pytest.raises(ValueError, match="existing snapshot"):
+        t2.new_transaction().replace_data_files(
+            spark, ["/x.parquet"], [])
