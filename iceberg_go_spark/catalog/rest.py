@@ -341,6 +341,32 @@ class RestCatalog:
                      TableMetadata.from_json_dict(out["metadata"]),
                      out["metadata-location"], self)
 
+    def create_table_staged(self, identifier, schema: Schema,
+                            spec: Optional[PartitionSpec] = None,
+                            sort_order: Optional[SortOrder] = None,
+                            properties: Optional[Dict[str, str]] = None):
+        """Two-phase staged creation (rest.go:1354-1384; catalog.go:84-94
+        StagedUpdates): phase 1 POSTs the create with stage-create=true —
+        the table is NOT committed and load_table cannot see it; the
+        returned table's FIRST transaction commit sends assert-create +
+        the full create changes atomically (write-audit-publish for
+        CREATE: stage, write data, publish in one commit)."""
+        from ..table.table import Table
+        ns, name = self._split(identifier)
+        md = new_table_metadata(
+            schema, spec or PartitionSpec(),
+            location=os.path.join(self.warehouse, *ns, name),
+            properties=properties, sort_order=sort_order)
+        os.makedirs(os.path.join(md.location, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(md.location, "data"), exist_ok=True)
+        out = self._request(
+            "POST", f"/v1/namespaces/{self._ns(ns)}/tables",
+            {"name": name, "metadata": md.to_json_dict(),
+             "stage-create": True})
+        return Table(_ident(identifier),
+                     TableMetadata.from_json_dict(out["metadata"]),
+                     None, self)
+
     def register_table(self, identifier, metadata_location: str):
         """Adopt an existing metadata file into the catalog (rest.go:1564
         RegisterTable; POST /v1/namespaces/{ns}/register)."""
@@ -586,12 +612,19 @@ class RestCatalog:
                 base = TableMetadata.read(base_metadata_path)
             except (OSError, ValueError, KeyError):
                 pass
-        reqs = [{"type": "assert-metadata-location",
-                 "metadata-location": base_metadata_path}]
-        if base is not None or base_metadata_path is None:
+        if base_metadata_path is None:
+            # staged create: no base — assert-create + the full create
+            # changes, committed atomically (rest.go commitStagedCreate)
+            reqs = default_requirements(None)
+            updates = compute_updates(None, metadata)
+        elif base is not None:
+            reqs = [{"type": "assert-metadata-location",
+                     "metadata-location": base_metadata_path}]
             reqs += default_requirements(base)
             updates = compute_updates(base, metadata)
         else:
+            reqs = [{"type": "assert-metadata-location",
+                     "metadata-location": base_metadata_path}]
             updates = [{"action": "overwrite-metadata",
                         "metadata": metadata.to_json_dict()}]
         out = self._request(
@@ -658,6 +691,10 @@ class _State:
         self.namespaces: Dict[Tuple[str, ...], Dict[str, str]] = {}
         # (ns, name) -> metadata-location
         self.tables: Dict[Tuple[Tuple[str, ...], str], str] = {}
+        # (ns, name) -> staged-create metadata-location: phase 1 of a
+        # two-phase create (stage-create=true); invisible to load_table
+        # until the assert-create commit lands (rest.go:1354-1384)
+        self.staged: Dict[Tuple[Tuple[str, ...], str], str] = {}
         # plan-id -> completed plan response (async protocol)
         self.plans: Dict[str, dict] = {}
         # metrics reports received on the ReportMetrics endpoint, in
@@ -1014,6 +1051,15 @@ def _make_handler(state: _State):
                     if key in state.tables:
                         return self._send(409, {"error": "exists"})
                     loc = state.write_metadata(body["metadata"])
+                    if body.get("stage-create"):
+                        # phase 1: stage only — not loadable until the
+                        # assert-create commit (phase 2)
+                        state.staged[key] = loc
+                        with open(loc) as f:
+                            md = json.load(f)
+                        return self._send(200,
+                                          {"metadata-location": loc,
+                                           "metadata": md})
                     state.tables[key] = loc
                 with open(loc) as f:
                     md = json.load(f)
@@ -1121,7 +1167,21 @@ def _make_handler(state: _State):
                 with state.lock:
                     cur = state.tables.get(key)
                     if cur is None:
-                        return self._send(404, {"error": "no such table"})
+                        # phase 2 of a staged create: an assert-create
+                        # commit materializes the table atomically
+                        if not any(r.get("type") == "assert-create"
+                                   for r in body.get("requirements", [])):
+                            return self._send(404,
+                                              {"error": "no such table"})
+                        new_md, err = _resolve_commit(
+                            None, body.get("requirements", []),
+                            body.get("updates", []))
+                        if err is not None:
+                            return self._send(*err)
+                        loc = state.write_metadata(new_md)
+                        state.tables[key] = loc
+                        state.staged.pop(key, None)
+                        return self._send(200, {"metadata-location": loc})
                     for req in body.get("requirements", []):
                         if req["type"] == "assert-metadata-location" and \
                                 req["metadata-location"] != cur:

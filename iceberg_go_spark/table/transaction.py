@@ -584,6 +584,13 @@ class Transaction:
                         rep, self.table.last_commit_report.to_json_dict())
                 return self.table
             except CommitConflictError:
+                if self.table.metadata_location is None:
+                    # staged create (no base): the table now exists with
+                    # someone else's identity — rebasing onto it would
+                    # silently append to a foreign table; terminal
+                    from ..catalog.filesystem import TableAlreadyExistsError
+                    raise TableAlreadyExistsError(
+                        ".".join(self.table.identifier))
                 attempt += 1
                 if attempt > COMMIT_NUM_RETRIES:
                     raise

@@ -570,3 +570,37 @@ def test_rest_register_view(tmp_path):
             cat.register_view("db.adopted", loc)
     finally:
         server.stop()
+
+
+def test_rest_staged_create(tmp_path, spark, sf_dir):
+    """Two-phase staged creation (rest.go:1354-1384): phase 1
+    stage-create leaves the table invisible to load_table; the first
+    commit sends assert-create + full create changes and publishes the
+    table WITH its data atomically (write-audit-publish for CREATE)."""
+    from iceberg_go_spark.catalog import (NoSuchTableError,
+                                          TableAlreadyExistsError)
+    from iceberg_go_spark.catalog.rest import RestCatalog, RestCatalogServer
+
+    df = read_table(spark, "region", sf_dir)
+    server = RestCatalogServer(str(tmp_path / "wh")).start()
+    try:
+        cat = RestCatalog(server.uri)
+        cat.create_namespace("db")
+        st = cat.create_table_staged("db.staged",
+                                     Schema.from_spark(df.schema))
+        # staged: not loadable, not listed
+        with pytest.raises(NoSuchTableError):
+            cat.load_table("db.staged")
+        # write data against the staged handle, then commit = publish
+        st.append(df)
+        t = cat.load_table("db.staged")
+        assert t.to_df(spark).count() == df.count()
+        assert t.current_snapshot().operation == "append"
+        # a second staged create of an EXISTING table conflicts at commit
+        st2 = cat.create_table_staged("db.staged2",
+                                      Schema.from_spark(df.schema))
+        cat.create_table("db.staged2", Schema.from_spark(df.schema))
+        with pytest.raises(TableAlreadyExistsError):
+            st2.append(df)
+    finally:
+        server.stop()
