@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v12"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v14"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -192,7 +192,8 @@ def _fixtures(spark: SparkSession, sf_dir: str):
         # three generations
         cust = _read(spark, sf_dir, "customer")
         c_schema = Schema.from_spark(cust.schema)
-        t = cat.create_table("db.cust_defaults", c_schema)
+        t = cat.create_table("db.cust_defaults", c_schema,
+                             properties={"format-version": "3"})
         t.append(cust)
         from iceberg_go_spark import types as _T
         t = (t.update_schema()
@@ -217,7 +218,8 @@ def _fixtures(spark: SparkSession, sf_dir: str):
             F.array(F.struct(F.col("c_mktsegment").alias("seg")))
             .alias("notes"))
         t = cat.create_table("db.cust_nested_defaults",
-                             Schema.from_spark(nd.schema))
+                             Schema.from_spark(nd.schema),
+                             properties={"format-version": "3"})
         t.append(nd)
         t = (t.update_schema()
              .add_column("notes.flag", _T.LongType(),
@@ -242,7 +244,8 @@ def _fixtures(spark: SparkSession, sf_dir: str):
             F.parse_json(F.to_json(F.struct("doc_id", "lang", "n_chars")))
             .alias("v"))
         t = cat.create_table("db.docs_variant",
-                             Schema.from_spark(vdocs.schema))
+                             Schema.from_spark(vdocs.schema),
+                             properties={"format-version": "3"})
         for lo_b, hi_b in ((0, 200), (200, 400), (400, 1 << 40)):
             t.append(vdocs.join(
                 docs.filter((F.col("n_chars") >= lo_b) &
@@ -2750,12 +2753,162 @@ ORDER BY segment
 """
 
 
+def source_contribution_caps(spark, sf_dir):
+    """Per-source contribution caps — keep the top-15 longest docs per
+    source (operators/curation.py cap_per_stratum: salted two-phase
+    top-K so a hot source never lands on one reducer), rolled up per
+    source for the value check."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = CU.cap_per_stratum(docs, strat_col="source", cap=15,
+                              order_col="n_chars", id_col="doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_checksum"),
+                 F.min("n_chars").alias("min_kept_chars")))
+
+
+CAP_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+SELECT source, COUNT(*)::BIGINT AS n_kept,
+       SUM(doc_id)::BIGINT AS id_checksum,
+       MIN(n_chars)::BIGINT AS min_kept_chars
+FROM r WHERE rk <= 15 GROUP BY source
+"""
+
+
+def temperature_mixture_sample(spark, sf_dir):
+    """alpha=0.5 temperature mixture sampling to an expected 200 rows
+    (operators/curation.py temperature_mixture: exact integer sqrt /
+    DECIMAL(38,0) products / integer division / 48-bit md5 cutoff — no
+    float anywhere, so the kept set is bit-identical on any engine)."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = CU.temperature_mixture(docs, target_rows=200,
+                                  strat_col="source", id_col="doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
+TEMPERATURE_SQL = f"""
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS c
+           FROM documents GROUP BY source),
+y0 AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS y FROM c),
+y1 AS (SELECT source, c,
+              CASE WHEN y*y > c THEN y-1 ELSE y END AS y FROM y0),
+w  AS (SELECT source, c,
+              CASE WHEN (y+1)*(y+1) <= c THEN y+1 ELSE y END AS w
+       FROM y1),
+thr AS (SELECT source, c, w,
+        least(CAST(281474976710656 AS HUGEINT),
+              (CAST(281474976710656 AS HUGEINT) * 200 * w)
+              // (CAST((SELECT SUM(w) FROM w) AS HUGEINT) * c)) AS thr
+        FROM w)
+SELECT d.source, COUNT(*)::BIGINT AS n_kept,
+       SUM(d.doc_id)::BIGINT AS id_checksum
+FROM documents d JOIN thr t ON d.source = t.source
+WHERE {_hex12_to_int_sql("md5(d.doc_id::VARCHAR)")} < t.thr
+GROUP BY d.source
+"""
+
+
+def context_window_chunks(spark, sf_dir):
+    """Sliding 16-token windows at stride 8 over every document
+    (operators/curation.py context_windows: pure array built-ins, no
+    shuffle), rolled up per window index with an md5 checksum of the
+    window text so values — not just counts — are verified."""
+    docs = _read(spark, sf_dir, "documents")
+    wins = CU.context_windows(docs, window=16, stride=8,
+                              text_col="text", id_col="doc_id")
+    h = (F.conv(F.substring(F.md5(F.col("window_text")), 1, 12), 16, 10)
+         .cast("long") % 1000003)
+    return (wins.groupBy("win_idx")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum(h).alias("text_checksum")))
+
+
+CONTEXT_WINDOW_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '')
+                  AS toks
+           FROM documents),
+x AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+wdw AS (SELECT doc_id, (s - 1) // 8 AS win_idx,
+               least(16, n - s + 1) AS n_toks,
+               md5(array_to_string(toks[s : least(s + 15, n)], ' '))
+               AS h
+        FROM x, unnest(generate_series(1, n, 8)) AS u(s))
+SELECT win_idx::BIGINT AS win_idx, COUNT(*)::BIGINT AS n_windows,
+       SUM(n_toks)::BIGINT AS sum_tokens,
+       SUM({_hex12_to_int_sql("h")} % 1000003)::BIGINT AS text_checksum
+FROM wdw GROUP BY win_idx
+"""
+
+
+def bpe_top_pairs(spark, sf_dir):
+    """Corpus-wide adjacent character-pair counts — the first BPE merge
+    statistic (operators/text.py bpe_pair_counts); top-30 by
+    (count desc, pair asc), a total order."""
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.bpe_pair_counts(docs, text_col="text", top_k=30)
+
+
+BPE_PAIRS_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t
+              FROM documents),
+p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                                   i -> substr(t, i, 2))) AS pair
+      FROM toks WHERE length(t) >= 2)
+SELECT pair, COUNT(*)::BIGINT AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 30
+"""
+
+
+def distinctive_terms_by_lang(spark, sf_dir):
+    """Top-5 most distinctive terms per language by the integer-exact
+    tf-idf analogue score = tf_lang * 1e6 div tf_global
+    (operators/text.py distinctive_terms — integer ranking can never
+    flip on a float idf's last ulp)."""
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.distinctive_terms(docs, text_col="text",
+                                 lang_col="lang", top_k=5, min_tf=5)
+
+
+DISTINCTIVE_TERMS_SQL = """
+WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT lang, term, COUNT(*)::BIGINT AS tf
+       FROM toks WHERE term <> '' GROUP BY lang, term),
+g AS (SELECT lang, term, tf,
+             SUM(tf) OVER (PARTITION BY term) AS tf_global
+      FROM tf WHERE tf >= 5),
+s AS (SELECT lang, term, tf,
+             (tf * 1000000 // tf_global)::BIGINT AS score FROM g),
+r AS (SELECT lang, term, tf, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, tf DESC, term)
+             AS rank
+      FROM s)
+SELECT lang, term, tf, score, rank::INT AS rank FROM r WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering: never-driver-checked entries first (the driver's
         # per-round gate samples a prefix and a green driver row is the
         # durable record); kmeans_topic_clusters stays at the head until
         # its r5 red row is superseded by a green one
+        "source_contribution_caps": source_contribution_caps,
+        "temperature_mixture_sample": temperature_mixture_sample,
+        "context_window_chunks": context_window_chunks,
+        "bpe_top_pairs": bpe_top_pairs,
+        "distinctive_terms_by_lang": distinctive_terms_by_lang,
         "variant_prune_scan": variant_prune_scan,
         "leakage_safe_split_stats": leakage_safe_split_stats,
         "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
@@ -2909,6 +3062,11 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngram_flags": BOILERPLATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
         "mixture_sample_by_source": MIXTURE_SQL,
+        "source_contribution_caps": CAP_SQL,
+        "temperature_mixture_sample": TEMPERATURE_SQL,
+        "context_window_chunks": CONTEXT_WINDOW_SQL,
+        "bpe_top_pairs": BPE_PAIRS_SQL,
+        "distinctive_terms_by_lang": DISTINCTIVE_TERMS_SQL,
         "shuffle_shards_export": SHUFFLE_SHARDS_SQL,
         "semantic_dedup_embeddings": _semantic_dedup_sql(),
         "pii_scrub": PII_SQL,

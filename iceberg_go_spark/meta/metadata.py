@@ -311,6 +311,86 @@ class TableMetadata:
         return cls.from_json_dict(json.loads(data))
 
 
+def _min_format_version_for_type(t) -> int:
+    """Smallest table format version a type is valid in
+    (metadata_schema_compatibility.go minFormatVersionForType)."""
+    from .. import types as T
+    if isinstance(t, (T.VariantType, T.UnknownType, T.TimestampNsType,
+                      T.TimestamptzNsType, T.GeometryType,
+                      T.GeographyType)):
+        return 3
+    return 1
+
+
+def check_schema_compatibility(schema: Schema, format_version: int) -> None:
+    """Reject schemas carrying types or features from a LATER format
+    version than the table's (metadata_schema_compatibility.go:107
+    checkSchemaCompatibility; Java Schema::checkCompatibility): v3-only
+    types (variant/unknown/ns-timestamps/geo), non-null default values
+    before v3, any default on geo/unknown/variant columns, required
+    unknown fields, malformed struct/list/map defaults, and reserved
+    metadata-column field ids.  Runs when a schema is added — table
+    creation and schema evolution — never when parsing existing
+    metadata (mirrors the reference: ParseMetadataBytes never calls
+    this, metadata_schema_compatibility.go:100-106)."""
+    from .. import types as T
+    problems = []
+    # reserved metadata-column range (metadata_columns.go:29-80)
+    reserved_min = 2147483647 - 200
+    for fid in sorted(schema.field_ids()):
+        f = schema._by_id[fid]
+        name = schema.find_column_name(fid) or f.name
+        if fid >= reserved_min:
+            raise ValueError(
+                f"invalid schema: field {name!r} uses reserved metadata "
+                f"column id {fid}")
+        mv = _min_format_version_for_type(f.field_type)
+        if format_version < mv:
+            problems.append(
+                f"invalid type for {name}: {f.field_type} is not "
+                f"supported until v{mv}")
+        # unknown must be optional; unknown/variant must default to null
+        # (metadata_schema_compatibility.go:273-296 unknownTypeValidator)
+        if isinstance(f.field_type, T.UnknownType) and f.required:
+            raise ValueError(
+                f"unknown type field {name!r} (id: {fid}) must be "
+                f"optional, but was marked as required")
+        if isinstance(f.field_type, (T.UnknownType, T.VariantType)):
+            if f.initial_default is not None or f.write_default is not None:
+                raise ValueError(
+                    f"{f.field_type} type field {name!r} (id: {fid}) must "
+                    f"have null defaults")
+        # complex-type defaults must be shaped like the type
+        # (metadata_schema_compatibility.go:449 validateComplexDefault)
+        _shape = {T.StructType: (dict, "JSON object"),
+                  T.MapType: (dict, "JSON object"),
+                  T.ListType: (list, "JSON array")}.get(type(f.field_type))
+        if _shape is not None:
+            py_t, label = _shape
+            for which, dv in (("initial-default", f.initial_default),
+                              ("write-default", f.write_default)):
+                if dv is not None and not isinstance(dv, py_t):
+                    raise ValueError(
+                        f"{type(f.field_type).__name__} field {name!r} "
+                        f"(id: {fid}) must have null or {label} {which}, "
+                        f"but got: {dv!r}")
+        has_default = (f.initial_default is not None
+                       or f.write_default is not None)
+        if has_default:
+            if isinstance(f.field_type, (T.GeometryType, T.GeographyType)):
+                problems.append(
+                    f"invalid default for {name}: {f.field_type} columns "
+                    f"must default to null")
+            elif format_version < 3:
+                problems.append(
+                    f"invalid default for {name}: non-null defaults are "
+                    f"not supported until v3")
+    if problems:
+        raise ValueError(
+            f"incompatible schema for v{format_version}: "
+            + "; ".join(problems))
+
+
 def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,
                        properties: Optional[Dict[str, str]] = None,
                        sort_order: Optional[SortOrder] = None) -> TableMetadata:
@@ -321,6 +401,7 @@ def new_table_metadata(schema: Schema, spec: PartitionSpec, location: str,
     fv = int(props.pop("format-version", 2))
     if fv < 1 or fv > 3:
         raise ValueError(f"unsupported format version: {fv}")
+    check_schema_compatibility(schema, fv)
     return TableMetadata(
         format_version=fv,
         location=location,

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import text_funcs as TX
 from ..session import rebalance_for_amplification
@@ -439,3 +439,106 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                  .cast("long").alias("n_kept"),
                  F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
                  .cast("long").alias("n_dropped")))
+
+
+def cap_per_stratum(df: DataFrame, strat_col: str = "source",
+                    cap: int = 50, order_col: str = "n_chars",
+                    id_col: str = "doc_id", n_salt: int = 8) -> DataFrame:
+    """Per-stratum contribution caps (the per-domain caps of
+    RefinedWeb / C4-style curation): keep at most ``cap`` documents per
+    stratum, preferring the highest ``order_col`` with ``id_col`` as a
+    total tie-break, so the kept set is deterministic on any engine.
+
+    Scale shape — two-phase top-K, never a whole-stratum sort on one
+    reducer: phase 1 ranks within (stratum, salt-of-id) sub-partitions
+    and keeps ``cap`` from each, so a hot stratum (one domain = half the
+    crawl) fans out across ``n_salt`` reducers and the survivor set is
+    hard-bounded at cap x n_salt rows per stratum; phase 2 ranks only
+    that bounded candidate set.  Lossless vs the single-window
+    formulation: the global top-cap rows are each top-cap within their
+    own salt bucket, so phase 1 never drops a final survivor.
+    """
+    ordr = [F.desc(order_col), F.asc(id_col)]
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(n_salt))
+    w1 = Window.partitionBy(F.col(strat_col), salt).orderBy(*ordr)
+    cand = (df.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= cap).drop("__r1"))
+    w2 = Window.partitionBy(strat_col).orderBy(*ordr)
+    return (cand.withColumn("__rank", F.row_number().over(w2))
+            .filter(F.col("__rank") <= cap))
+
+
+def _exact_isqrt(c):
+    """floor(sqrt(c)) as an exact integer column for c < 2^52: start
+    from the double sqrt and correct the possible +-1 ulp error, so the
+    result is identical on any engine with IEEE sqrt."""
+    y = F.floor(F.sqrt(F.col(c) * F.lit(1.0))).cast("long")
+    y = F.when(y * y > F.col(c), y - 1).otherwise(y)
+    return F.when((y + 1) * (y + 1) <= F.col(c), y + 1).otherwise(y)
+
+
+def temperature_mixture(df: DataFrame, target_rows: int,
+                        strat_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture sampling (the alpha=0.5 multinomial
+    flattening of mT5/XLM-R): stratum s with c_s documents is kept at a
+    rate proportional to sqrt(c_s)/c_s, so small sources are
+    up-weighted relative to their share and the expected total is
+    ``target_rows``.  Every step is exact integer arithmetic — integer
+    sqrt, DECIMAL(38,0) products, integer division — and membership is
+    a cutoff on the first 48 bits of md5(id), so the kept set is
+    bit-reproducible on any engine (no float ever appears; the same
+    hazard class as the kmeans rounding divergence is designed out).
+
+    Scale shape: one map-side-combinable count per stratum, a one-row
+    weight-total broadcast (declared scalar cross join), then a
+    stateless per-row hash predicate — the corpus never shuffles.
+    """
+    counts = df.groupBy(strat_col).agg(F.count(F.lit(1)).alias("__c"))
+    weights = counts.withColumn("__w", _exact_isqrt("__c"))
+    total = weights.agg(F.sum("__w").alias("__s"))
+    dec = "decimal(38,0)"
+    thr = F.least(
+        F.lit(1 << 48).cast("long"),
+        F.expr(f"CAST({1 << 48} AS {dec}) * CAST({target_rows} AS {dec})"
+               f" * CAST(__w AS {dec})"
+               f" div (CAST(__s AS {dec}) * CAST(__c AS {dec}))"))
+    rates = (weights.crossJoin(F.broadcast(total))
+             .select(strat_col, thr.alias("__thr")))
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+               16, 10).cast("long")
+    return (df.join(F.broadcast(rates), strat_col)
+            .filter(h < F.col("__thr")).drop("__thr"))
+
+
+def context_windows(df: DataFrame, window: int = 16, stride: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding context-window chunking for LLM pretraining: whitespace
+    tokens are cut into windows of ``window`` tokens every ``stride``
+    tokens (the standard overlapping-chunk shape for packing long
+    documents into fixed context lengths).  Emits one row per window:
+    (id, win_idx, start token pos, n_tokens, the window text).
+
+    Scale shape: pure per-row array functions (split / sequence /
+    slice / array_join) inside whole-stage codegen — no shuffle, no
+    UDF, no state; each document expands to ceil(n/stride) rows.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: x != F.lit(""))
+    out = (df.select(F.col(id_col), toks.alias("__toks"))
+           .withColumn("__n", F.size("__toks"))
+           .filter(F.col("__n") > 0)
+           .select(id_col, "__toks", "__n",
+                   F.explode(F.sequence(
+                       F.lit(1), F.col("__n"),
+                       F.lit(stride))).alias("start")))
+    return (out.select(
+        id_col,
+        F.expr(f"(start - 1) div {stride}").alias("win_idx"),
+        "start",
+        F.least(F.lit(window),
+                F.col("__n") - F.col("start") + 1).alias("n_tokens"),
+        F.array_join(F.slice(F.col("__toks"), F.col("start"),
+                             F.lit(window)), " ").alias("window_text")))

@@ -133,3 +133,59 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.round(F.sum("__s"), 6).alias("bm25"),
                  F.count(F.lit(1)).cast("long").alias("n_terms_hit")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top_k: int = 30) -> DataFrame:
+    """First iteration of BPE vocabulary induction: corpus-wide counts
+    of adjacent character pairs inside whitespace tokens (the statistic
+    a byte-pair-encoding trainer maximizes for its next merge).  Emits
+    the ``top_k`` pairs ordered by (count desc, pair asc) — a total
+    order, so the result is engine-reproducible.
+
+    Scale shape: token explode then a per-token character-pair explode
+    via sequence/substring inside whole-stage codegen (no UDF); the
+    pair count is a map-side-combinable aggregation on a key space
+    bounded by |alphabet|^2, and only top_k rows survive to the driver.
+    """
+    toks = (df.select(F.explode(F.split(F.col(text_col), " "))
+                      .alias("__t"))
+            .filter(F.length("__t") >= 2))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(1, length(__t) - 1),"
+        " i -> substring(__t, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(top_k))
+
+
+def distinctive_terms(df: DataFrame, text_col: str = "text",
+                      lang_col: str = "lang", top_k: int = 5,
+                      min_tf: int = 5) -> DataFrame:
+    """Most distinctive terms per language — an integer-exact tf-idf
+    analogue: score = tf_in_lang * 1_000_000 div tf_global, so a term
+    concentrated in one language scores near 1e6 and corpus-wide terms
+    score near its share.  Integer division keeps ranking identical on
+    every engine (a float idf's last-ulp differences can flip ranks).
+
+    Scale shape: one (lang, term) count — map-side combinable off the
+    token explode — then a window over term for the global count and a
+    per-lang top-k window.  Both windows partition by high-cardinality
+    keys (term, lang), so no single reducer sees the corpus.
+    """
+    toks = (df.select(F.col(lang_col).alias("lang"),
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("term"))
+            .filter(F.col("term") != ""))
+    tf = (toks.groupBy("lang", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    total = Window.partitionBy("term")
+    scored = (tf.filter(F.col("tf") >= min_tf)
+              .withColumn("tf_global", F.sum("tf").over(total))
+              .withColumn("score", F.expr("tf * 1000000 div tf_global")))
+    rank = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(rank))
+            .filter(F.col("rank") <= top_k)
+            .select("lang", "term", "tf", "score", "rank"))

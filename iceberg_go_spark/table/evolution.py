@@ -566,6 +566,9 @@ class UpdateSchema:
 
     def commit(self):
         new_schema = self.apply()
+        from ..meta.metadata import check_schema_compatibility
+        check_schema_compatibility(new_schema,
+                                   self.table.metadata.format_version)
         current = self.table.metadata.schema()
         if (new_schema.fields == current.fields
                 and new_schema.identifier_field_ids ==

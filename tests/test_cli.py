@@ -198,7 +198,9 @@ def test_cli_alter_table_family(capsys, tmp_path, spark, sf_dir):
     wh = str(tmp_path / "wh")
     cat = FilesystemCatalog(wh)
     df = read_table(spark, "region", sf_dir)
-    cat.create_table("db.alt", Schema.from_spark(df.schema))
+    # defaults require v3 (check_schema_compatibility gates evolution too)
+    cat.create_table("db.alt", Schema.from_spark(df.schema),
+                     properties={"format-version": "3"})
 
     def run(*argv):
         rc = cli_main(["--warehouse", wh, *argv])

@@ -415,3 +415,123 @@ def test_leakage_safe_split(spark, sf_dir):
                 .agg(F.countDistinct("split").alias("n"))
                 .agg(F.max("n")).first()[0])
     assert one_side == 1
+
+
+def test_cap_per_stratum_matches_single_window(spark, sf_dir):
+    """The salted two-phase top-K must be lossless vs the plain
+    one-window formulation, including under n_salt variation."""
+    from pyspark.sql import Window, functions as F
+
+    from iceberg_go_spark.operators import curation as CU
+    from tests.conftest import read_table
+    docs = read_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             F.asc("doc_id"))
+    want = sorted(r.doc_id for r in docs
+                  .withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 7).collect())
+    for n_salt in (1, 3, 8):
+        got = sorted(r.doc_id for r in CU.cap_per_stratum(
+            docs, strat_col="source", cap=7, order_col="n_chars",
+            id_col="doc_id", n_salt=n_salt).collect())
+        assert got == want, n_salt
+    # rank column is the true global rank
+    top1 = CU.cap_per_stratum(docs, strat_col="source", cap=7,
+                              order_col="n_chars").filter("__rank = 1")
+    best = docs.groupBy("source").agg(F.max("n_chars").alias("m"))
+    assert {(r.source, r.n_chars) for r in top1.collect()} == \
+           {(r.source, r.m) for r in best.collect()}
+
+
+def test_temperature_mixture_flattens_and_hits_target(spark, sf_dir):
+    """Expected total ~= target; small strata keep a HIGHER fraction
+    than large strata (the whole point of temperature flattening); and
+    the kept set is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from iceberg_go_spark.operators import curation as CU
+    from tests.conftest import read_table
+    docs = read_table(spark, "documents", sf_dir)
+    # build skew: replicate one source 4x with fresh ids
+    big = (docs.filter(F.col("source") == "src0")
+           .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    skewed = docs.unionByName(big)
+    kept = CU.temperature_mixture(skewed, target_rows=200,
+                                  strat_col="source")
+    n = kept.count()
+    assert 120 <= n <= 280, n  # expected 200, binomial spread
+    rates = (skewed.groupBy("source").agg(F.count("*").alias("c"))
+             .join(kept.groupBy("source").agg(F.count("*").alias("k")),
+                   "source"))
+    r = {row.source: row.k / row.c for row in rates.collect()}
+    big_rate = r["src0"]
+    others = [v for s, v in r.items() if s != "src0"]
+    # realized per-stratum rates are binomial-noisy at 25 docs/stratum;
+    # the flattening claim is about the mean (theoretical 0.166 vs
+    # 0.377 here), not each stratum's draw
+    assert big_rate < sum(others) / len(others), (big_rate, others)
+    # determinism
+    again = CU.temperature_mixture(skewed, target_rows=200,
+                                   strat_col="source")
+    assert sorted(x.doc_id for x in kept.collect()) == \
+           sorted(x.doc_id for x in again.collect())
+
+
+def test_context_windows_cover_all_tokens(spark):
+    """Every token appears in >=1 window; stride-sized overlap between
+    consecutive windows; short docs produce exactly one window."""
+    from pyspark.sql import functions as F
+
+    from iceberg_go_spark.operators import curation as CU
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20))),
+         (2, "a b c"),
+         (3, "solo")],
+        "doc_id long, text string")
+    w = CU.context_windows(df, window=8, stride=4).collect()
+    by_doc = {}
+    for r in w:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,5,9,13,17 -> 5 windows; last has 4 tokens
+    d1 = sorted(by_doc[1], key=lambda r: r.start)
+    assert [r.start for r in d1] == [1, 5, 9, 13, 17]
+    assert [r.n_tokens for r in d1] == [8, 8, 8, 8, 4]
+    assert d1[0].window_text.split(" ")[:4] == ["t0", "t1", "t2", "t3"]
+    assert d1[-1].window_text == "t16 t17 t18 t19"
+    # overlap: window k shares its last (window-stride) tokens with k+1
+    assert d1[0].window_text.split(" ")[4:] == \
+           d1[1].window_text.split(" ")[:4]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+    assert by_doc[3][0].window_text == "solo"
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    from iceberg_go_spark.operators import text as TOP
+    df = spark.createDataFrame([(1, "aa ab aa"), (2, "x baa")],
+                               "doc_id long, text string")
+    got = {r.pair: r.n_occurrences
+           for r in TOP.bpe_pair_counts(df).collect()}
+    # tokens: aa, ab, aa, baa ('x' too short)
+    assert got == {"aa": 3, "ab": 1, "ba": 1}
+
+
+def test_distinctive_terms_integer_ranking(spark):
+    from iceberg_go_spark.operators import text as TOP
+    rows = []
+    # 'foo' only in en (tf 6), 'bar' everywhere, 'baz' only in fr (tf 5)
+    for i in range(6):
+        rows.append((i, "foo bar", "en"))
+    for i in range(6, 11):
+        rows.append((i, "baz bar", "fr"))
+    rows.append((11, "bar bar bar bar bar", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = TOP.distinctive_terms(df, top_k=2, min_tf=5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang["en"][0].term == "foo"
+    assert by_lang["en"][0].score == 1_000_000  # 6*1e6 div 6
+    assert by_lang["fr"][0].term == "baz"
+    # 'bar' global tf = 6+5+5 = 16; en share 6 -> 375000
+    bar_en = [r for r in by_lang["en"] if r.term == "bar"][0]
+    assert bar_en.score == 6 * 1_000_000 // 16

@@ -273,7 +273,8 @@ def test_datasource_initial_defaults(spark, tmp_path, sf_dir):
     from iceberg_go_spark.sources.datasource import register
     cat = FilesystemCatalog(str(tmp_path / "wh"))
     nation = read_table(spark, "nation", sf_dir)
-    t = cat.create_table("db.defaults", Schema.from_spark(nation.schema))
+    t = cat.create_table("db.defaults", Schema.from_spark(nation.schema),
+                         properties={"format-version": "3"})
     t.append(nation)
     t = (t.update_schema()
          .add_column("tier", T.StringType(), initial_default="bronze")

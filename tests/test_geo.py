@@ -240,7 +240,8 @@ def test_geo_table_roundtrip(spark, tmp_path):
     import pandas as pd
 
     cat = FilesystemCatalog(str(tmp_path / "wh"))
-    t = cat.create_table("db.places", GEO_SCHEMA)
+    t = cat.create_table("db.places", GEO_SCHEMA,
+                         properties={"format-version": "3"})
 
     def batch(points, base):
         return pd.DataFrame({
@@ -295,7 +296,8 @@ def test_bbox_empty_geometry_matches_neither_op(spark, tmp_path):
     assert not E.evaluate(b.negate(), {"geom": empty_wkb})
 
     cat = FilesystemCatalog(str(tmp_path / "wh"))
-    t = cat.create_table("db.empties", GEO_SCHEMA)
+    t = cat.create_table("db.empties", GEO_SCHEMA,
+                         properties={"format-version": "3"})
     sp_schema = T.to_spark_type(T.StructType(*GEO_SCHEMA.fields))
     df = spark.createDataFrame(
         pd.DataFrame({

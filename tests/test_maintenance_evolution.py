@@ -315,7 +315,8 @@ def test_default_values_read_and_write(spark, sf_dir, catalog):
     and explicit nulls are untouched); appends missing the column fill
     the write-default."""
     df = read_table(spark, "nation", sf_dir)
-    t = catalog.create_table("db.defs", Schema.from_spark(df.schema))
+    t = catalog.create_table("db.defs", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
     t.append(df)  # file without the column
 
     t = (t.update_schema()
@@ -357,7 +358,8 @@ def test_defaults_survive_unrelated_evolution(spark, sf_dir, catalog):
     pre-evolution files returned NULL where the spec requires the
     default."""
     df = read_table(spark, "nation", sf_dir)
-    t = catalog.create_table("db.defs3", Schema.from_spark(df.schema))
+    t = catalog.create_table("db.defs3", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
     t.append(df)
 
     t = (t.update_schema()
@@ -395,7 +397,8 @@ def test_defaults_not_clobbered_in_name_based_files(spark, sf_dir, catalog,
     default constant."""
     df = read_table(spark, "region", sf_dir)
     base = Schema.from_spark(df.schema)
-    t = catalog.create_table("db.defs4", base)
+    t = catalog.create_table("db.defs4", base,
+                             properties={"format-version": "3"})
     t = (t.update_schema()
          .add_column("tier", T.StringType(), initial_default="legacy")
          .commit())
@@ -520,7 +523,8 @@ def test_nested_initial_default_fill(spark, catalog):
     df = spark.createDataFrame(
         [(1, ("a", 10)), (2, ("b", 20)), (3, None)],
         "id int, s struct<name:string, v:int>")
-    t = catalog.create_table("db.ndef", Schema.from_spark(df.schema))
+    t = catalog.create_table("db.ndef", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
     t.append(df)
     t = (t.update_schema()
          .add_column("s.tier", T.StringType(), initial_default="basic")
@@ -553,7 +557,8 @@ def test_nested_write_default_fill_on_append(spark, catalog):
     structs are untouched."""
     df = spark.createDataFrame(
         [(1, ("a",))], "id int, s struct<name:string>")
-    t = catalog.create_table("db.nwd", Schema.from_spark(df.schema))
+    t = catalog.create_table("db.nwd", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
     t.append(df)  # pre-evolution file
     t = (t.update_schema()
          .add_column("s.tier", T.StringType(),
@@ -587,7 +592,8 @@ def test_default_fill_under_list_and_map_interiors(spark, catalog):
          (3, None, None)],
         "id int, arr array<struct<name:string, v:int>>, "
         "m map<string, struct<tag:string>>")
-    t = catalog.create_table("db.lmdef", Schema.from_spark(df.schema))
+    t = catalog.create_table("db.lmdef", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
     t.append(df)  # generation 1: pre-evolution files
     t = (t.update_schema()
          .add_column("arr.tier", T.StringType(), initial_default="basic")
@@ -630,7 +636,8 @@ def test_name_based_files_never_fill_nested_defaults(spark, catalog,
     df = spark.createDataFrame(
         [(1, ("a", "real1")), (2, ("b", "real2"))],
         "id int, s struct<name:string, zip:string>")
-    t = catalog.create_table("db.nbnd", Schema.from_spark(df.schema))
+    t = catalog.create_table("db.nbnd", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
     t = (t.update_schema()
          .add_column("s.tier", T.StringType(), initial_default="basic")
          .commit())

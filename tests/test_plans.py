@@ -26,9 +26,13 @@ SF = "/root/testdata/sf0.001"
 #   assignment); the within-cluster pair join itself is an equi-join
 # - bm25_search: the 1-row (N, avgdl) corpus statistics broadcast as a
 #   scalar cross join — linear in matching tokens
+# - temperature_mixture_sample: the 1-row weight-total broadcast as a
+#   scalar cross join against the per-stratum weights (k rows) — the
+#   corpus itself joins through a broadcast hash join on the stratum
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
                      "kmeans_topic_clusters", "q22_idle_customers",
-                     "semantic_dedup_embeddings", "bm25_search"}
+                     "semantic_dedup_embeddings", "bm25_search",
+                     "temperature_mixture_sample"}
 
 
 def _plan(spark, name):

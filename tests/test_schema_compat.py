@@ -1,0 +1,177 @@
+"""Schema / format-version compatibility checks.
+
+Parity (behavior only): /root/reference/table/metadata_schema_compatibility.go
+(checkSchemaCompatibility :107, minFormatVersionForType :228,
+unknownTypeValidator :273-296, validateComplexDefault :449) and the cases in
+metadata_builder_internal_test.go:1734 (TestUnsupportedTypes) and :2150-2230.
+The check runs when a schema is ADDED (table creation, evolution commit),
+never when parsing stored metadata.
+"""
+import pytest
+
+from iceberg_go_spark import types as T
+from iceberg_go_spark.meta.metadata import (check_schema_compatibility,
+                                            new_table_metadata)
+from iceberg_go_spark.meta.partitioning import PartitionSpec
+from iceberg_go_spark.schema import Schema
+
+V3_ONLY_TYPES = [T.TimestampNsType(), T.TimestamptzNsType(), T.UnknownType(),
+                 T.VariantType(), T.GeometryType(), T.GeographyType()]
+
+
+def _schema(*fields):
+    return Schema(list(fields))
+
+
+# -- v3-only types gated on format version (TestUnsupportedTypes) ----------
+
+@pytest.mark.parametrize("typ", V3_ONLY_TYPES,
+                         ids=[str(t) for t in V3_ONLY_TYPES])
+@pytest.mark.parametrize("fv", [1, 2])
+def test_v3_type_rejected_before_v3(typ, fv):
+    sc = _schema(T.NestedField(1, "top", typ))
+    with pytest.raises(ValueError, match="not supported until v3"):
+        check_schema_compatibility(sc, fv)
+    check_schema_compatibility(sc, 3)  # fine at v3
+
+
+def test_v3_type_rejected_at_any_depth():
+    """Mirrors the reference's nested corpus: list element, struct member,
+    struct-in-array interior (metadata_builder_internal_test.go:1783-1789)."""
+    typ = T.TimestampNsType()
+    sc = _schema(
+        T.NestedField(1, "ok", T.LongType()),
+        T.NestedField(2, "arr", T.ListType(3, typ)),
+        T.NestedField(4, "struct", T.StructType(
+            T.NestedField(5, "inner", typ),
+            T.NestedField(6, "struct_arr", T.ListType(
+                7, T.StructType(T.NestedField(8, "deep", typ)))))),
+    )
+    with pytest.raises(ValueError) as ei:
+        check_schema_compatibility(sc, 2)
+    msg = str(ei.value)
+    for col in ("arr.element", "struct.inner", "struct.struct_arr", "deep"):
+        assert col in msg, msg
+    check_schema_compatibility(sc, 3)
+
+
+def test_plain_types_pass_all_versions():
+    sc = _schema(
+        T.NestedField(1, "a", T.LongType(), required=True),
+        T.NestedField(2, "b", T.StringType()),
+        T.NestedField(3, "c", T.TimestampType()),
+        T.NestedField(4, "d", T.ListType(5, T.DoubleType())),
+    )
+    for fv in (1, 2, 3):
+        check_schema_compatibility(sc, fv)
+
+
+# -- defaults --------------------------------------------------------------
+
+def test_non_null_default_rejected_before_v3():
+    sc = _schema(T.NestedField(1, "x", T.LongType(), initial_default=7))
+    for fv in (1, 2):
+        with pytest.raises(ValueError, match="not supported until v3"):
+            check_schema_compatibility(sc, fv)
+    check_schema_compatibility(sc, 3)
+
+
+def test_write_default_also_gated_before_v3():
+    # reference intentionally validates write-default too (:106)
+    sc = _schema(T.NestedField(1, "x", T.LongType(), write_default=7))
+    with pytest.raises(ValueError, match="not supported until v3"):
+        check_schema_compatibility(sc, 2)
+
+
+def test_geo_columns_must_default_null():
+    for typ in (T.GeometryType(), T.GeographyType()):
+        sc = _schema(T.NestedField(1, "g", typ, initial_default="POINT(0 0)"))
+        with pytest.raises(ValueError, match="must default to null"):
+            check_schema_compatibility(sc, 3)
+
+
+@pytest.mark.parametrize("typ", [T.UnknownType(), T.VariantType()],
+                         ids=["unknown", "variant"])
+def test_unknown_and_variant_must_default_null(typ):
+    sc = _schema(T.NestedField(1, "v", typ, initial_default="x"))
+    with pytest.raises(ValueError, match="must have null defaults"):
+        check_schema_compatibility(sc, 3)
+    sc = _schema(T.NestedField(1, "v", typ, write_default="x"))
+    with pytest.raises(ValueError, match="must have null defaults"):
+        check_schema_compatibility(sc, 3)
+
+
+def test_unknown_must_be_optional():
+    sc = _schema(T.NestedField(1, "u", T.UnknownType(), required=True))
+    with pytest.raises(ValueError, match="must be optional"):
+        check_schema_compatibility(sc, 3)
+    check_schema_compatibility(
+        _schema(T.NestedField(1, "u", T.UnknownType())), 3)
+
+
+def test_unknown_list_element_must_be_optional():
+    sc = _schema(T.NestedField(
+        1, "arr", T.ListType(2, T.UnknownType(), element_required=True)))
+    with pytest.raises(ValueError, match="must be optional"):
+        check_schema_compatibility(sc, 3)
+    check_schema_compatibility(
+        _schema(T.NestedField(1, "arr", T.ListType(2, T.UnknownType()))), 3)
+
+
+def test_complex_default_shape_validated():
+    # struct default must be a JSON object, list a JSON array, map an object
+    # (validateComplexDefault, metadata_schema_compatibility.go:449)
+    st = T.StructType(T.NestedField(2, "a", T.LongType()))
+    bad = _schema(T.NestedField(1, "s", st, initial_default=42))
+    with pytest.raises(ValueError, match="JSON object"):
+        check_schema_compatibility(bad, 3)
+    ok = _schema(T.NestedField(1, "s", st, initial_default={"a": 1}))
+    check_schema_compatibility(ok, 3)
+
+    bad = _schema(T.NestedField(1, "l", T.ListType(2, T.LongType()),
+                                write_default={"a": 1}))
+    with pytest.raises(ValueError, match="JSON array"):
+        check_schema_compatibility(bad, 3)
+    ok = _schema(T.NestedField(1, "l", T.ListType(2, T.LongType()),
+                               write_default=[1, 2]))
+    check_schema_compatibility(ok, 3)
+
+    bad = _schema(T.NestedField(
+        1, "m", T.MapType(2, T.StringType(), 3, T.LongType()),
+        initial_default=[1]))
+    with pytest.raises(ValueError, match="JSON object"):
+        check_schema_compatibility(bad, 3)
+
+
+def test_reserved_metadata_column_id_rejected():
+    sc = _schema(T.NestedField(2147483546, "smuggled", T.LongType()))
+    with pytest.raises(ValueError, match="reserved metadata column id"):
+        check_schema_compatibility(sc, 2)
+
+
+# -- wired into table creation and evolution -------------------------------
+
+def test_create_table_metadata_enforces_check(tmp_path):
+    sc = _schema(T.NestedField(1, "v", T.VariantType()))
+    with pytest.raises(ValueError, match="not supported until v3"):
+        new_table_metadata(sc, PartitionSpec(), str(tmp_path),
+                           properties={"format-version": "2"})
+    md = new_table_metadata(sc, PartitionSpec(), str(tmp_path),
+                            properties={"format-version": "3"})
+    assert md.format_version == 3
+
+
+def test_evolution_commit_enforces_check(tmp_path):
+    from iceberg_go_spark.catalog.filesystem import FilesystemCatalog
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.compat", _schema(
+        T.NestedField(1, "id", T.LongType(), required=True)))
+    assert t.metadata.format_version == 2
+    with pytest.raises(ValueError, match="not supported until v3"):
+        t.update_schema().add_column("v", T.VariantType()).commit()
+    # same add on a v3 table commits fine
+    t3 = cat.create_table("db.compat3", _schema(
+        T.NestedField(1, "id", T.LongType(), required=True)),
+        properties={"format-version": "3"})
+    t3.update_schema().add_column("v", T.VariantType()).commit()
+    assert t3.metadata.schema().find_field("v") is not None

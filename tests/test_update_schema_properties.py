@@ -111,7 +111,8 @@ def test_random_evolution_chains(ops, data):
     import tempfile
     cat = FilesystemCatalog(tempfile.mkdtemp())
     name = f"db.p{data.draw(st.integers(0, 10**9))}"
-    t = cat.create_table(name, base_schema())
+    t = cat.create_table(name, base_schema(),
+                     properties={"format-version": "3"})
     before = t.metadata.schema()
     by_id_before = {f.field_id: f for _n, f in
                     walk_fields(before.as_struct())}
@@ -174,7 +175,8 @@ def test_random_evolution_chains(ops, data):
 def test_last_column_id_monotonic(ops):
     import tempfile
     cat = FilesystemCatalog(tempfile.mkdtemp())
-    t = cat.create_table("db.m", base_schema())
+    t = cat.create_table("db.m", base_schema(),
+                     properties={"format-version": "3"})
     last = t.metadata.last_column_id
     for op in ops:
         upd = t.update_schema()

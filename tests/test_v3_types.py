@@ -63,7 +63,8 @@ def test_ns_and_unknown_table_roundtrip(spark, sf_dir, tmp_path):
         T.NestedField(3, "mystery", T.UnknownType()),
     ])
     cat = FilesystemCatalog(str(tmp_path / "wh"))
-    t = cat.create_table("db.ns", schema)
+    t = cat.create_table("db.ns", schema,
+                         properties={"format-version": "3"})
     t.append(df)
     got = t.to_df(spark)
     assert got.count() == 1000

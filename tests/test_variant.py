@@ -206,7 +206,8 @@ def test_variant_bounds_file_pruning(spark, tmp_path):
                 F.lit('{"score": '), F.col("id").cast("string"),
                 F.lit(f', "meta": {{"tag": "{tag}"}}}}'))).alias("v"))
 
-    t = cat.create_table("db.vb", Schema.from_spark(gen(0, 1, "x").schema))
+    t = cat.create_table("db.vb", Schema.from_spark(gen(0, 1, "x").schema),
+                         properties={"format-version": "3"})
     t.append(gen(0, 1000, "a"))
     t.append(gen(1000, 2000, "b"))
     t.append(gen(2000, 3000, "c"))
@@ -258,7 +259,8 @@ def test_variant_bounds_partitioned_table(spark, tmp_path):
                               F.lit('}'))).alias("v"))
     schema = Schema.from_spark(df.schema)
     t = cat.create_table("db.vbp", schema,
-                         spec_from_names(schema, ("grp", "identity")))
+                         spec_from_names(schema, ("grp", "identity")),
+                         properties={"format-version": "3"})
     t.append(df)
     pred = E.and_(E.eq("grp", 1),
                   E.gt(E.variant_get("v", "$.score", T.LongType()), 1500))
