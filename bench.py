@@ -78,6 +78,11 @@ EXTRA = [
     "iceberg_nested_defaults_scan",
     "variant_prune_scan",
     "leakage_safe_split_stats",
+    "source_contribution_caps",
+    "temperature_mixture_sample",
+    "context_window_chunks",
+    "bpe_top_pairs",
+    "distinctive_terms_by_lang",
 ]
 
 

@@ -20,3 +20,6 @@ __all__ = ["FilesystemCatalog", "SqlCatalog",
            "LockAcquisitionError", "CommitConflictError",
            "NoSuchTableError", "TableAlreadyExistsError",
            "NoSuchNamespaceError", "MultiTableTransaction", "TableCommit"]
+from .registry import (CatalogNotFoundError, load_catalog,
+                       register_catalog, registered_catalogs,
+                       unregister_catalog)

@@ -1,0 +1,118 @@
+"""Pluggable catalog registry — load a catalog by type name or URI
+scheme, with user-registered implementations.
+
+Parity (behavior only): /root/reference/catalog/registry.go —
+Register/Unregister (:80,:88), GetRegisteredCatalogs (:94), Load
+(:131): passed properties take priority over the config-file entry,
+the "type" property picks the registrar, and when no type is given the
+URI scheme is used (http/https resolve to the REST catalog); unknown
+types raise CatalogNotFoundError (registry.go ErrCatalogNotFound).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, Optional
+
+from ..config import (CatalogConfig, ConfigError, load_config_file,
+                      parse_config_text, resolve_catalog)
+
+
+class CatalogNotFoundError(KeyError):
+    """No registered catalog for the requested type (registry.go:27)."""
+
+
+# factory(name, props) -> catalog instance
+Registrar = Callable[[str, Dict[str, str]], object]
+
+_lock = threading.Lock()
+_registry: Dict[str, Registrar] = {}
+
+
+def register_catalog(catalog_type: str, factory: Registrar) -> None:
+    """Register (or replace) a catalog factory under a type name
+    (registry.go:80 Register; lookups are case-insensitive)."""
+    with _lock:
+        _registry[catalog_type.lower()] = factory
+
+
+def unregister_catalog(catalog_type: str) -> None:
+    """Remove a registered factory; unknown names are a no-op
+    (registry.go:88 Unregister)."""
+    with _lock:
+        _registry.pop(catalog_type.lower(), None)
+
+
+def registered_catalogs() -> list:
+    """Sorted type names currently registered (registry.go:94
+    GetRegisteredCatalogs)."""
+    with _lock:
+        return sorted(_registry)
+
+
+def _builtin(name: str, props: Dict[str, str], ctype: str):
+    cfg = CatalogConfig(
+        catalog_type=ctype,
+        uri=props.get("uri", ""),
+        credential=props.get("credential", ""),
+        warehouse=props.get("warehouse", ""),
+        extra={k: v for k, v in props.items()
+               if k not in ("type", "uri", "credential", "warehouse")})
+    return resolve_catalog(cfg, client=props.get("client"))
+
+
+for _t in ("filesystem", "fs", "hadoop", "sql", "glue", "hive"):
+    register_catalog(
+        _t, lambda name, props, _t=_t: _builtin(name, props, _t))
+# scheme aliases: file:// warehouses are the filesystem catalog,
+# sqlite: URIs the SQL catalog
+register_catalog("file", lambda name, props: _builtin(
+    name, {**props, "warehouse": (props.get("warehouse")
+                                  or props.get("uri", "")
+                                  .replace("file://", "", 1))},
+    "filesystem"))
+register_catalog("sqlite", lambda name, props: _builtin(name, props, "sql"))
+# rest also answers for bare http(s) URIs (registry.go:128-131: "The
+# REST catalog also registers http and https")
+for _t in ("rest", "http", "https"):
+    register_catalog(
+        _t, lambda name, props: _builtin(name, props, "rest"))
+del _t
+
+
+def load_catalog(name: str = "", props: Optional[Dict[str, str]] = None,
+                 config_text: Optional[str] = None):
+    """Load a catalog by config name and/or explicit properties
+    (registry.go:131 Load).
+
+    Resolution order mirrors the reference: the named entry from the
+    config file (``config_text`` overrides the on-disk file) supplies
+    defaults for uri/credential/warehouse/type; passed ``props`` take
+    priority; when neither gives a type, the URI scheme decides
+    (``http(s)://...`` -> rest, ``file://...`` -> filesystem)."""
+    text = config_text if config_text is not None else load_config_file()
+    cfg = parse_config_text(text) if text else None
+    if not name and cfg is not None:
+        name = cfg.default_catalog or ""
+    entry = (cfg.catalogs.get(name) if cfg is not None else None)
+
+    merged: Dict[str, str] = {}
+    if entry is not None:
+        merged.update({"uri": entry.uri, "credential": entry.credential,
+                       "warehouse": entry.warehouse,
+                       "type": entry.catalog_type})
+        merged.update(entry.extra)
+    if props:
+        merged.update({k: v for k, v in props.items() if v is not None})
+
+    ctype = (merged.get("type") or "").lower()
+    if not ctype:
+        uri = merged.get("uri", "") or ""
+        if "://" in uri:
+            ctype = uri.split("://", 1)[0].lower()
+    with _lock:
+        factory = _registry.get(ctype)
+    if factory is None:
+        raise CatalogNotFoundError(
+            f"catalog implementation not registered: {ctype!r}")
+    return factory(name, merged)

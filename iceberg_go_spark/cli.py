@@ -14,8 +14,16 @@ import sys
 
 def _catalog(args):
     """Explicit --warehouse beats the config file (reference mergeConf,
-    main.go:835-870); otherwise the catalog comes from --config /
+    main.go:835-870); --catalog/--uri route through the type registry
+    (catalog/registry.go Load: scheme picks the type when no --catalog);
+    otherwise the catalog comes from --config /
     ~/.iceberg-go-spark.yaml resolved by --catalog-name."""
+    if getattr(args, "catalog_type", None) or getattr(args, "uri", None):
+        from .catalog.registry import load_catalog
+        props = {"type": args.catalog_type, "uri": args.uri,
+                 "warehouse": args.warehouse}
+        return load_catalog(args.catalog_name or "",
+                            {k: v for k, v in props.items() if v})
     if args.warehouse:
         from .catalog import FilesystemCatalog
         return FilesystemCatalog(args.warehouse)
@@ -48,6 +56,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="iceberg_go_spark")
     p.add_argument("--warehouse",
                    help="filesystem warehouse root (beats config file)")
+    p.add_argument("--catalog", dest="catalog_type",
+                   help="catalog type from the registry "
+                        "(filesystem/sql/rest/glue/hive/...)")
+    p.add_argument("--uri",
+                   help="catalog URI; its scheme selects the type when "
+                        "--catalog is absent (http(s) -> rest)")
     p.add_argument("--config",
                    help="path to a catalog config file "
                         "(default ~/.iceberg-go-spark.yaml)")
@@ -59,7 +73,7 @@ def main(argv=None) -> int:
     sp = sub.add_parser("list", help="list namespaces or tables")
     sp.add_argument("namespace", nargs="?")
     for name in ("describe", "schema", "files", "snapshots", "history",
-                 "refs"):
+                 "refs", "spec", "uuid", "location", "info"):
         sp = sub.add_parser(name)
         sp.add_argument("table")
     sp = sub.add_parser("create-tag")
@@ -74,6 +88,11 @@ def main(argv=None) -> int:
     sp.add_argument("--min-snapshots-to-keep", type=int)
     sp.add_argument("--max-snapshot-age-ms", type=int)
     sp.add_argument("--max-ref-age-ms", type=int)
+    for name in ("drop-branch", "drop-tag"):
+        sp = sub.add_parser(name, help=f"delete a {name[5:]} ref "
+                            "(branch_tag.go runRefDelete)")
+        sp.add_argument("table")
+        sp.add_argument("name")
     sp = sub.add_parser("compact")
     sp.add_argument("table")
     sp = sub.add_parser("expire-snapshots")
@@ -331,6 +350,47 @@ def main(argv=None) -> int:
         rows = [(name, r.ref_type, r.snapshot_id)
                 for name, r in t.refs().items()]
         _emit(args, rows, ["name", "type", "snapshot_id"])
+    elif args.cmd == "spec":
+        _emit(args, [(f.field_id, f.name, f.source_id, str(f.transform))
+                     for f in t.metadata.spec().fields],
+              ["field_id", "name", "source_id", "transform"])
+    elif args.cmd == "uuid":
+        print(t.metadata.table_uuid)
+    elif args.cmd == "location":
+        print(t.metadata.location)
+    elif args.cmd == "info":
+        # single-screen summary (cmd/iceberg/info.go buildTableInfo)
+        md = t.metadata
+        import datetime as _dt
+        refs = t.refs()
+        info = {
+            "table": args.table,
+            "uuid": md.table_uuid,
+            "format_version": md.format_version,
+            "location": md.location,
+            "last_updated": _dt.datetime.fromtimestamp(
+                md.last_updated_ms / 1000,
+                _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "current_snapshot_id": md.current_snapshot_id,
+            "schema_id": md.current_schema_id,
+            "schema_field_count": len(md.schema().fields),
+            "partition_spec": repr(md.spec()),
+            "sort_order": repr(md.sort_order()),
+            "snapshot_count": len(md.snapshots),
+            "refs": {"branches": sum(1 for r in refs.values()
+                                     if r.ref_type == "branch"),
+                     "tags": sum(1 for r in refs.values()
+                                 if r.ref_type == "tag")},
+            "property_count": len(md.properties),
+        }
+        next_row_id = getattr(md, "next_row_id", None)
+        if next_row_id:
+            info["next_row_id"] = next_row_id
+        if args.output == "json":
+            print(json.dumps(info, default=str, indent=1))
+        else:
+            _emit(args, [(k, json.dumps(v) if isinstance(v, dict) else v)
+                         for k, v in info.items()], ["field", "value"])
     elif args.cmd == "create-tag":
         t.create_tag(args.name, args.snapshot_id,
                      max_ref_age_ms=args.max_ref_age_ms)
@@ -341,6 +401,21 @@ def main(argv=None) -> int:
                         max_snapshot_age_ms=args.max_snapshot_age_ms,
                         max_ref_age_ms=args.max_ref_age_ms)
         print(f"branched {args.name}")
+    elif args.cmd in ("drop-branch", "drop-tag"):
+        want = "branch" if args.cmd == "drop-branch" else "tag"
+        if want == "branch" and args.name == "main":
+            print("cannot delete the main branch", file=sys.stderr)
+            return 1
+        ref = t.refs().get(args.name)
+        if ref is None:
+            print(f"ref {args.name!r} does not exist", file=sys.stderr)
+            return 1
+        if ref.ref_type != want:
+            print(f"ref {args.name!r} is a {ref.ref_type}, not a {want}",
+                  file=sys.stderr)
+            return 1
+        t.remove_ref(args.name)
+        print(f"deleted {want} {args.name}")
     elif args.cmd == "compact":
         from .session import get_spark
         t.compact(get_spark("cli"))

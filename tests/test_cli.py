@@ -245,3 +245,46 @@ def test_cli_register_table(capsys, wh, sf_dir, spark):
     assert "registered table db.adopted" in out
     back = FilesystemCatalog(wh).load_table("db.adopted")
     assert back.metadata.table_uuid == t.metadata.table_uuid
+
+
+def test_cli_spec_uuid_location_info(capsys, wh):
+    """cmd/iceberg/main.go spec/uuid/location + info.go buildTableInfo."""
+    cat = FilesystemCatalog(wh)
+    t = cat.load_table("db.n")
+
+    out = _run(capsys, "--warehouse", wh, "uuid", "db.n").strip()
+    assert out == t.metadata.table_uuid
+
+    out = _run(capsys, "--warehouse", wh, "location", "db.n").strip()
+    assert out == t.metadata.location
+
+    out = _run(capsys, "--warehouse", wh, "spec", "db.n")
+    assert "field_id" in out  # unpartitioned: header only
+
+    info = _run_json(capsys, wh, "info", "db.n")
+    assert info["uuid"] == t.metadata.table_uuid
+    assert info["format_version"] == t.metadata.format_version
+    assert info["snapshot_count"] == 2
+    assert info["schema_field_count"] == len(t.schema().fields)
+    assert info["refs"] == {"branches": 1, "tags": 0}  # main only
+    assert info["current_snapshot_id"] == t.metadata.current_snapshot_id
+
+
+def test_cli_drop_branch_tag(capsys, wh):
+    """branch_tag.go runRefDelete: main protected, type mismatch
+    rejected, missing ref is an error, delete removes the ref."""
+    _run(capsys, "--warehouse", wh, "create-tag", "db.n", "v1")
+    _run(capsys, "--warehouse", wh, "create-branch", "db.n", "audit")
+
+    # main branch is protected
+    assert main(["--warehouse", wh, "drop-branch", "db.n", "main"]) == 1
+    # type mismatch: v1 is a tag
+    assert main(["--warehouse", wh, "drop-branch", "db.n", "v1"]) == 1
+    # unknown ref
+    assert main(["--warehouse", wh, "drop-tag", "db.n", "nope"]) == 1
+    capsys.readouterr()
+
+    _run(capsys, "--warehouse", wh, "drop-tag", "db.n", "v1")
+    _run(capsys, "--warehouse", wh, "drop-branch", "db.n", "audit")
+    refs = _run_json(capsys, wh, "refs", "db.n")
+    assert [r["name"] for r in refs] == ["main"]

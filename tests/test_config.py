@@ -155,3 +155,75 @@ def test_sigv4_enabled_without_region_errors(monkeypatch):
                         rest_options=RestOptions(sigv4_enabled=True))
     with _pytest.raises(ConfigError, match="signing-region"):
         resolve_catalog(cfg)
+
+
+# ---------------------------------------------------------------------------
+# catalog type registry (catalog/registry.go parity)
+
+def test_registry_builtin_types_and_scheme_inference(tmp_path):
+    from iceberg_go_spark.catalog import (FilesystemCatalog, load_catalog,
+                                          registered_catalogs)
+    types = registered_catalogs()
+    for t in ("filesystem", "fs", "hadoop", "sql", "rest", "http",
+              "https", "glue", "hive", "file", "sqlite"):
+        assert t in types
+    wh = str(tmp_path / "wh")
+    c = load_catalog(props={"type": "filesystem", "warehouse": wh})
+    assert isinstance(c, FilesystemCatalog)
+    # no type: the uri scheme decides (registry.go:153-160)
+    c2 = load_catalog(props={"uri": f"file://{wh}"})
+    assert isinstance(c2, FilesystemCatalog)
+    assert c2.warehouse == wh
+
+
+def test_registry_props_override_config(tmp_path):
+    from iceberg_go_spark.catalog import load_catalog
+    wh = str(tmp_path / "wh2")
+    cfg = """
+catalog:
+  prod: { type: filesystem, warehouse: /from-config }
+default-catalog: prod
+"""
+    # config supplies the type; passed props take priority on warehouse
+    # (registry.go:140-148)
+    c = load_catalog("prod", props={"warehouse": wh}, config_text=cfg)
+    assert c.warehouse == wh
+    # default-catalog resolves when no name is passed
+    c2 = load_catalog(props={"warehouse": wh}, config_text=cfg)
+    assert c2.warehouse == wh
+
+
+def test_registry_custom_register_unregister():
+    from iceberg_go_spark.catalog import (CatalogNotFoundError,
+                                          load_catalog, register_catalog,
+                                          unregister_catalog)
+
+    class Custom:
+        def __init__(self, name, props):
+            self.name, self.props = name, props
+
+    register_catalog("myext", Custom)
+    try:
+        got = load_catalog("n1", props={"type": "MyExt", "k": "v"})
+        assert isinstance(got, Custom) and got.props["k"] == "v"
+    finally:
+        unregister_catalog("myext")
+    with pytest.raises(CatalogNotFoundError):
+        load_catalog(props={"type": "myext"})
+    # unknown scheme and absent type also raise (registry.go:162-165)
+    with pytest.raises(CatalogNotFoundError):
+        load_catalog(props={"uri": "bogus://x"}, config_text="")
+
+
+def test_cli_uri_flag_routes_through_registry(tmp_path, capsys):
+    from iceberg_go_spark.cli import main as cli_main
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark import types as T
+    wh = str(tmp_path / "wh3")
+    cat = FilesystemCatalog(wh)
+    cat.create_table("db.t", Schema([
+        T.NestedField(1, "id", T.LongType())]))
+    rc = cli_main(["--uri", f"file://{wh}", "list", "db"])
+    assert rc == 0
+    assert "db.t" in capsys.readouterr().out
