@@ -105,6 +105,24 @@ def compact(table, spark: SparkSession,
     from .scan import Scan
     sub = Scan(table)
     sub.plan_files = lambda: tasks  # type: ignore[assignment]
+    # v3 row lineage survives compaction only when EVERY source file
+    # carries it: scan with lineage and materialize _row_id /
+    # _last_updated_sequence_number into the rewritten files (reserved
+    # field ids), which the lineage read path prefers over synthesis.
+    # A mixed group (legacy v2-era files on an upgraded table) would
+    # emit nulls for some rows — degrade to no lineage, like the
+    # reference (rewrite_data_files.go:330-360 preserveLineage).
+    preserve_lineage = (md.format_version >= 3 and tasks and
+                        all(t.data_file.first_row_id is not None
+                            for t in tasks))
+    if preserve_lineage:
+        sub.row_lineage = True
+    elif md.format_version >= 3 and any(
+            t.data_file.first_row_id is not None for t in tasks):
+        import logging
+        logging.getLogger(__name__).warning(
+            "compaction group has mixed row lineage; "
+            "dropping _row_id on output")
     df = sub.to_df(spark)
     # bin-pack the output: small input files must merge, so shrink the
     # partition count to ceil(total_bytes / target) (Spark otherwise keeps
@@ -112,8 +130,19 @@ def compact(table, spark: SparkSession,
     total = sum(t.data_file.file_size_in_bytes for t in tasks)
     n_out = max(1, -(-total // target_size))
     df = df.coalesce(int(n_out))
+    write_schema = schema
+    if preserve_lineage:
+        # extend the write schema with the reserved lineage fields
+        # (metadata_columns.go:41-52) so the parquet footers carry
+        # their field ids and foreign v3 readers resolve them by id
+        from .. import types as _T
+        from ..schema import Schema as _Schema
+        write_schema = _Schema(list(schema.fields) + [
+            _T.NestedField(2147483540, "_row_id", _T.LongType()),
+            _T.NestedField(2147483539, "_last_updated_sequence_number",
+                           _T.LongType())])
     rewritten = write_dataframe(
-        df, schema, md.spec(), os.path.join(md.location, "data"),
+        df, write_schema, md.spec(), os.path.join(md.location, "data"),
         {**md.properties,
          "write.target-file-size-bytes": str(target_size)},
         sort_order=md.sort_order())

@@ -498,12 +498,17 @@ class Scan:
                 read_schema = spark_schema
                 if self.row_lineage:
                     # position-delta reinsert files materialize _row_id
-                    # (position_delta_writer.go); files without the column
-                    # read null here and fall back to synthesis below
+                    # (position_delta_writer.go), and lineage-preserving
+                    # compaction materializes BOTH lineage columns
+                    # (rewrite_data_files.go:339-390 WithPreserveRowLineage);
+                    # files without the columns read null here and fall
+                    # back to synthesis below
                     import pyspark.sql.types as ST
                     read_schema = ST.StructType(
                         list(spark_schema.fields) +
-                        [ST.StructField("_row_id", ST.LongType(), True)])
+                        [ST.StructField("_row_id", ST.LongType(), True),
+                         ST.StructField("_last_updated_sequence_number",
+                                        ST.LongType(), True)])
                 df = spark.read.schema(read_schema).parquet(*paths)
             # v3 initial-defaults: this group's files all lack these
             # fields — every row reads the default (constant column,
@@ -519,14 +524,18 @@ class Scan:
                 df = fill_default(df, schema, path, f0,
                                   f0.initial_default)
             if self.row_lineage and name_based:
-                df = df.withColumn("_row_id", F.lit(None).cast("long"))
+                df = (df.withColumn("_row_id", F.lit(None).cast("long"))
+                      .withColumn("_last_updated_sequence_number",
+                                  F.lit(None).cast("long")))
             if self.row_lineage:
+                # materialized lineage (compaction-preserved) wins;
+                # otherwise synthesize from the manifest: _row_id =
+                # first_row_id + position, seq = data sequence number
                 lineage = spark.createDataFrame(
                     [(t.data_file.file_path,
                       int(t.data_file.first_row_id or 0),
                       int(t.sequence_number or 0)) for t in group],
-                    "__lfile string, __first long, "
-                    "_last_updated_sequence_number long")
+                    "__lfile string, __first long, __lseq long")
                 df = (df.withColumn("__lf", F.regexp_replace(
                           F.col("_metadata.file_path"), "^file:", ""))
                       .withColumn("__ri", F.col("_metadata.row_index"))
@@ -536,7 +545,13 @@ class Scan:
                                   F.coalesce(F.col("_row_id"),
                                              F.col("__first") +
                                              F.col("__ri")))
-                      .drop("__lf", "__ri", "__lfile", "__first"))
+                      .withColumn(
+                          "_last_updated_sequence_number",
+                          F.coalesce(
+                              F.col("_last_updated_sequence_number"),
+                              F.col("__lseq")))
+                      .drop("__lf", "__ri", "__lfile", "__first",
+                            "__lseq"))
             # v3 sliced DVs: located directly by manifest fields, no
             # footer scan (one blob read per (container, offset, size))
             dv_slices = sorted({

@@ -51,3 +51,63 @@ def test_ndv_statistics(spark, sf_dir, catalog):
     # metadata with statistics survives a reload
     t2 = catalog.load_table("db.st")
     assert t2.metadata.statistics[0]["statistics-path"] == path
+
+
+def test_row_lineage_preserved_through_compaction(spark, sf_dir, catalog):
+    """rewrite_data_files.go:330-390 + row_lineage_rewrite_test.go:
+    when every source file carries first_row_id, compaction
+    materializes _row_id/_last_updated_sequence_number into the
+    rewritten files, so surviving rows keep their identity."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.rlc", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
+    t.append(df)
+    t.append(df.limit(7))
+    before = {r.n_nationkey: (r._row_id, r._last_updated_sequence_number)
+              for r in t.scan().with_row_lineage().to_df(spark)
+              .select("n_nationkey", "_row_id",
+                      "_last_updated_sequence_number").collect()
+              if r._row_id < df.count()}  # first-append copy only
+
+    t = t.compact(spark, min_input_files=2)
+    out = t.scan().with_row_lineage().to_df(spark)
+    rows = out.select("n_nationkey", "_row_id",
+                      "_last_updated_sequence_number").collect()
+    assert len(rows) == df.count() + 7
+    # every pre-compaction (row_id, seq) pair survives bit-identical
+    after = {r._row_id: r._last_updated_sequence_number for r in rows}
+    for key, (rid, seq) in before.items():
+        assert after.get(rid) == seq, (key, rid, seq, after.get(rid))
+    # ids still unique
+    assert len(after) == len(rows)
+    # and the rewritten parquet really materializes the columns
+    import pyarrow.parquet as pq
+    cur = t.scan().plan_files()
+    cols = pq.read_schema(cur[0].data_file.file_path).names
+    assert "_row_id" in cols and "_last_updated_sequence_number" in cols
+
+
+def test_row_lineage_upgraded_table_compaction(spark, sf_dir, catalog):
+    """row_lineage_rewrite_test.go:345-400: every data file in a
+    committed v3 snapshot carries an inherited first_row_id, INCLUDING
+    v2-era files — so compaction on an upgraded table preserves
+    lineage rather than hitting a mixed group."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.rlm", Schema.from_spark(df.schema))
+    t.append(df)                       # v2-era file
+    t.upgrade_format_version(3)
+    t = catalog.load_table("db.rlm")
+    t.append(df.limit(3))              # v3 file
+    tasks = t.scan().plan_files()
+    # the v2-era file got a first_row_id at the v3 manifest-list write
+    assert all(x.data_file.first_row_id is not None for x in tasks)
+    before = {r._row_id: r._last_updated_sequence_number
+              for r in t.scan().with_row_lineage().to_df(spark)
+              .select("_row_id",
+                      "_last_updated_sequence_number").collect()}
+    t = t.compact(spark, min_input_files=2)
+    out = t.scan().with_row_lineage().to_df(spark)
+    rows = out.collect()
+    assert len(rows) == df.count() + 3
+    after = {r._row_id: r._last_updated_sequence_number for r in rows}
+    assert after == before             # identity preserved bit-exact
