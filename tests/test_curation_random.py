@@ -76,3 +76,69 @@ def test_stratified_sample_subset_and_monotone(spark):
     # md5-hex uniformity: '20'/256 = 12.5%, '80'/256 = 50%
     assert abs(len(small) - 625) < 120
     assert abs(len(big) - 2500) < 250
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_cap_per_stratum_lossless_vs_single_window(spark, seed):
+    """The salted two-phase top-K keeps EXACTLY the rows a single
+    global window would (the claimed losslessness: every final
+    survivor is top-cap within its own salt bucket), across random
+    skew including strata far above and below the cap."""
+    rng = random.Random(seed)
+    rows = []
+    did = 0
+    for s in range(6):
+        n = rng.choice([1, 3, 7, 40, 150])   # below/at/above cap
+        for _ in range(n):
+            did += 1
+            rows.append((did, f"s{s}", rng.randint(0, 50)))  # many ties
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    for cap, n_salt in ((5, 4), (12, 8), (1, 2)):
+        got = CU.cap_per_stratum(df, strat_col="source", cap=cap,
+                                 order_col="n_chars", id_col="doc_id",
+                                 n_salt=n_salt)
+        from pyspark.sql import Window
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                                 F.asc("doc_id"))
+        want = (df.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= cap))
+        g = sorted(r.doc_id for r in got.select("doc_id").collect())
+        e = sorted(r.doc_id for r in want.select("doc_id").collect())
+        assert g == e, (cap, n_salt)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_temperature_mixture_exact_and_flattening(spark, seed):
+    """Exact-integer temperature sampling: membership equals the
+    closed-form threshold predicate recomputed in Python (so the kept
+    set is engine-independent), and the alpha=0.5 flattening holds —
+    a stratum's expected keep-rate is proportional to 1/sqrt(c)."""
+    import hashlib
+    import math
+    rng = random.Random(seed)
+    rows = []
+    did = 0
+    sizes = {f"s{i}": rng.choice([20, 200, 2000]) for i in range(5)}
+    for s, n in sizes.items():
+        for _ in range(n):
+            did += 1
+            rows.append((did, s))
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = 300
+    kept = CU.temperature_mixture(df, target_rows=target,
+                                  strat_col="source", id_col="doc_id")
+    got = sorted(r.doc_id for r in kept.select("doc_id").collect())
+
+    # closed-form replay in pure Python
+    w = {s: math.isqrt(n) for s, n in sizes.items()}
+    sw = sum(w.values())
+    thr = {s: min(1 << 48, ((1 << 48) * target * w[s])
+                  // (sw * sizes[s])) for s in sizes}
+    exp = []
+    for doc, s in rows:
+        h = int(hashlib.md5(str(doc).encode()).hexdigest()[:12], 16)
+        if h < thr[s]:
+            exp.append(doc)
+    assert got == sorted(exp)
+    # expected total is near target (hash uniformity)
+    assert abs(len(got) - target) < target * 0.35
