@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v14"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v15"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -272,6 +272,28 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                        mode="merge-on-read")
         refresh_rollup(cat, "db.events_src", "db.events_hourly", spark,
                        "ts", "hour", ["event_type"], rollup_aggs)
+
+        # spec-evolution fixture: month(l_shipdate) spec for the first
+        # half, then add bucket[8](l_orderkey); the scan planner must
+        # run per-spec evaluators over both file generations
+        # (iceberg_spec_evolution_scan)
+        t = cat.create_table(
+            "db.li_specevo", li_schema,
+            spec_from_names(li_schema, ("l_shipdate", "month")))
+        t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+        t.update_spec().add_field("l_orderkey", "bucket[8]").commit()
+        t = cat.load_table("db.li_specevo")
+        t.append(li.filter(F.col("l_orderkey") % 2 != 0))
+
+        # branch fixture (write-audit-publish): main holds F rows, the
+        # audit branch adds P on top; main advances independently with O
+        # (iceberg_branch_scan reads the branch head)
+        t = cat.create_table("db.orders_branch", o_schema)
+        t.append(orders.filter(F.col("o_orderstatus") == "F"))
+        t.create_branch("audit")
+        t.append(orders.filter(F.col("o_orderstatus") == "P"),
+                 branch="audit")
+        t.append(orders.filter(F.col("o_orderstatus") == "O"))
 
         with open(marker, "w") as f:
             f.write(FIXTURE_VERSION)
@@ -2085,6 +2107,46 @@ FROM a1 GROUP BY cluster
 """
 
 
+def iceberg_spec_evolution_scan(spark, sf_dir):
+    """Multi-spec scan: the table's first generation is partitioned by
+    month(l_shipdate), the second by (month, bucket[8](l_orderkey)) —
+    the planner runs per-spec partition evaluators so each manifest
+    prunes under ITS spec (table/evolution.py UpdateSpec; parity
+    scanner.go:503 per-spec evaluator multiplex, update_spec.go)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_specevo")
+    keys = [3, 18, 33, 68, 193, 450, 901]
+    scan = t.scan(E.in_("l_orderkey", keys),
+                  selected=["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_shipdate"])
+    return scan.to_df(spark)
+
+
+ICE_SPECEVO_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+WHERE l_orderkey IN (3, 18, 33, 68, 193, 450, 901)
+"""
+
+
+def iceberg_branch_scan(spark, sf_dir):
+    """Branch head read (write-audit-publish): the audit branch holds
+    F + P rows while main moved on to F + O — use_ref resolves the
+    branch snapshot and reads with the branch's schema
+    (table/refs surface; parity table.go SetSnapshotRef +
+    scanner.go UseRef)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_branch")
+    return (t.scan(selected=["o_orderkey", "o_orderstatus",
+                             "o_totalprice"])
+            .use_ref("audit").to_df(spark))
+
+
+ICE_BRANCH_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus IN ('F', 'P')
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -2904,6 +2966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round gate samples a prefix and a green driver row is the
         # durable record); kmeans_topic_clusters stays at the head until
         # its r5 red row is superseded by a green one
+        "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
+        "iceberg_branch_scan": iceberg_branch_scan,
         "source_contribution_caps": source_contribution_caps,
         "temperature_mixture_sample": temperature_mixture_sample,
         "context_window_chunks": context_window_chunks,
@@ -3062,6 +3126,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngram_flags": BOILERPLATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
         "mixture_sample_by_source": MIXTURE_SQL,
+        "iceberg_spec_evolution_scan": ICE_SPECEVO_SQL,
+        "iceberg_branch_scan": ICE_BRANCH_SQL,
         "source_contribution_caps": CAP_SQL,
         "temperature_mixture_sample": TEMPERATURE_SQL,
         "context_window_chunks": CONTEXT_WINDOW_SQL,

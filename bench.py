@@ -78,6 +78,8 @@ EXTRA = [
     "iceberg_nested_defaults_scan",
     "variant_prune_scan",
     "leakage_safe_split_stats",
+    "iceberg_spec_evolution_scan",
+    "iceberg_branch_scan",
     "source_contribution_caps",
     "temperature_mixture_sample",
     "context_window_chunks",
