@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v15"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v16"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -294,6 +294,32 @@ def _fixtures(spark: SparkSession, sf_dir: str):
         t.append(orders.filter(F.col("o_orderstatus") == "P"),
                  branch="audit")
         t.append(orders.filter(F.col("o_orderstatus") == "O"))
+
+        # compaction fixture: three small appends + a MoR delete, then
+        # bin-pack compaction (dead deletes dropped, v3 lineage
+        # materialized); iceberg_compacted_scan value-checks the result
+        t = cat.create_table("db.orders_compacted", o_schema,
+                             properties={"format-version": "3"})
+        for lo, hi in ((0, 3000), (3000, 6000), (6000, 1 << 40)):
+            t.append(orders.filter((F.col("o_orderkey") >= lo) &
+                                   (F.col("o_orderkey") < hi)))
+        t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                       mode="merge-on-read")
+        t.compact(spark, min_input_files=2)
+
+        # sorted-table fixture: sort order on l_shipdate with range
+        # distribution -> non-overlapping file bounds -> range
+        # predicates prune to a handful of files (iceberg_sorted_scan)
+        from iceberg_go_spark.meta.partitioning import SortField, SortOrder
+        from iceberg_go_spark.transforms import parse_transform
+        shipdate_id = li_schema.find_field("l_shipdate").field_id
+        t = cat.create_table(
+            "db.li_sorted", li_schema,
+            sort_order=SortOrder(
+                [SortField(shipdate_id, parse_transform("identity"))],
+                order_id=1),
+            properties={"write.distribution-mode": "range"})
+        t.append(li)
 
         with open(marker, "w") as f:
             f.write(FIXTURE_VERSION)
@@ -2147,6 +2173,88 @@ WHERE o_orderstatus IN ('F', 'P')
 """
 
 
+def iceberg_rest_scan(spark, sf_dir):
+    """Remote scan planning end-to-end: the fixture table is registered
+    into an in-process REST catalog server, the FILTER is shipped as
+    spec expression JSON, the SERVER prunes manifests and returns
+    FileScanTasks over the wire, and the rows below come from those
+    remote-planned tasks (catalog/rest.py plan_table_scan; parity
+    rest planTableScan + sources/task_codec.py Avro wire form).  At
+    100 TB remote planning keeps manifest pruning next to the metadata
+    — only the pruned task list crosses the wire."""
+    cat = _fixtures(spark, sf_dir)
+    t_local = cat.load_table("db.li_month")
+    from iceberg_go_spark.catalog.rest import (RestCatalog,
+                                               RestCatalogServer)
+    server = RestCatalogServer(cat.warehouse + "_restsrv").start()
+    try:
+        rc = RestCatalog(server.uri)
+        try:
+            rc.create_namespace("db")
+        except Exception:
+            pass  # second run against a live server state
+        try:
+            rc.register_table("db.li_month", t_local.metadata_location)
+        except Exception:
+            pass
+        expr = E.and_(E.gt_eq("l_shipdate", "1998-02-01"),
+                      E.lt("l_shipdate", "1998-06-01"))
+        tasks = rc.plan_table_scan("db.li_month", row_filter=expr)
+        t = rc.load_table("db.li_month")
+        scan = t.scan(expr, selected=["l_orderkey", "l_linenumber",
+                                      "l_quantity", "l_returnflag"])
+        scan.plan_files = lambda: tasks  # rows come from the REMOTE plan
+        return scan.to_df(spark)
+    finally:
+        server.stop()  # planning done; the read is plain parquet
+
+
+ICE_REST_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-02-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+"""
+
+
+def iceberg_compacted_scan(spark, sf_dir):
+    """Scan after bin-pack compaction: three appends + a merge-on-read
+    delete were rewritten into consolidated files with dead deletes
+    dropped and v3 row lineage materialized (table/maintenance.py
+    compact; parity rewrite_data_files.go) — the logical rows must be
+    unchanged."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.orders_compacted")
+    return (t.scan(selected=["o_orderkey", "o_orderstatus",
+                             "o_totalprice"]).to_df(spark))
+
+
+ICE_COMPACTED_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus <> 'F'
+"""
+
+
+def iceberg_sorted_scan(spark, sf_dir):
+    """Range predicate on a sorted, range-distributed table: files hold
+    non-overlapping l_shipdate ranges, so the metrics evaluator prunes
+    to the few files covering the window (table/write.py range
+    distribution; parity sort_keys.go + rolling_data_writer.go)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_sorted")
+    return (t.scan(E.and_(E.gt_eq("l_shipdate", "2000-05-01"),
+                          E.lt("l_shipdate", "2000-07-01")),
+                   selected=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_discount"])
+            .to_df(spark))
+
+
+ICE_SORTED_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-05-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2000-07-01 00:00:00'
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -2968,6 +3076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its r5 red row is superseded by a green one
         "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
         "iceberg_branch_scan": iceberg_branch_scan,
+        "iceberg_rest_scan": iceberg_rest_scan,
+        "iceberg_compacted_scan": iceberg_compacted_scan,
+        "iceberg_sorted_scan": iceberg_sorted_scan,
         "source_contribution_caps": source_contribution_caps,
         "temperature_mixture_sample": temperature_mixture_sample,
         "context_window_chunks": context_window_chunks,
@@ -3128,6 +3239,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_by_source": MIXTURE_SQL,
         "iceberg_spec_evolution_scan": ICE_SPECEVO_SQL,
         "iceberg_branch_scan": ICE_BRANCH_SQL,
+        "iceberg_rest_scan": ICE_REST_SQL,
+        "iceberg_compacted_scan": ICE_COMPACTED_SQL,
+        "iceberg_sorted_scan": ICE_SORTED_SQL,
         "source_contribution_caps": CAP_SQL,
         "temperature_mixture_sample": TEMPERATURE_SQL,
         "context_window_chunks": CONTEXT_WINDOW_SQL,

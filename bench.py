@@ -80,6 +80,9 @@ EXTRA = [
     "leakage_safe_split_stats",
     "iceberg_spec_evolution_scan",
     "iceberg_branch_scan",
+    "iceberg_rest_scan",
+    "iceberg_compacted_scan",
+    "iceberg_sorted_scan",
     "source_contribution_caps",
     "temperature_mixture_sample",
     "context_window_chunks",
