@@ -2255,6 +2255,63 @@ WHERE l_shipdate >= TIMESTAMP '2000-05-01 00:00:00'
 """
 
 
+def iceberg_partition_stats(spark, sf_dir):
+    """Partition statistics file round-trip: build the per-partition
+    rollup on executors (manifests read in parallel, driver never sees
+    per-file rows), register it in table metadata, read the stats file
+    back, and value-check record counts per month partition against
+    the raw data (table/statistics.py compute_partition_statistics;
+    parity partitions.go + cmd/iceberg/partition_stats.go)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_month")
+    from iceberg_go_spark.table.statistics import (
+        compute_partition_statistics, read_partition_statistics)
+    snap = t.current_snapshot().snapshot_id
+    if not any(e.get("snapshot-id") == snap
+               for e in (t.metadata.partition_statistics or [])):
+        compute_partition_statistics(t, spark)
+        t = cat.load_table("db.li_month")
+    df = read_partition_statistics(t, spark)
+    return (df.select(
+        F.col("partition.l_shipdate_month").alias("month"),
+        F.col("data_record_count"))
+        .orderBy("month"))
+
+
+ICE_PARTSTATS_SQL = """
+SELECT (EXTRACT(year FROM l_shipdate) - 1970) * 12
+       + EXTRACT(month FROM l_shipdate) - 1 AS month,
+       COUNT(*)::BIGINT AS data_record_count
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def iceberg_view_query(spark, sf_dir):
+    """Iceberg view metadata executed as Spark SQL: the view's
+    versioned SQL representation aggregates the fixture table per
+    returnflag; the oracle runs the same logical SQL on the raw data
+    (views.py ViewCatalog/run_view; parity view/metadata.go +
+    udf/metadata.go dialect representations)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_month")
+    from iceberg_go_spark.views import ViewCatalog
+    vc = ViewCatalog(cat.warehouse)
+    t.to_df(spark).createOrReplaceTempView("li_month_v")
+    sql = ("SELECT l_returnflag, COUNT(*) AS n_items, "
+           "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) "
+           "AS sum_qty FROM li_month_v GROUP BY l_returnflag")
+    if "db.li_flag_summary" not in vc.list_views():
+        vc.create_view("db.li_flag_summary", sql)
+    return vc.run_view(spark, "db.li_flag_summary")
+
+
+ICE_VIEW_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -3074,6 +3131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-round gate samples a prefix and a green driver row is the
         # durable record); kmeans_topic_clusters stays at the head until
         # its r5 red row is superseded by a green one
+        "iceberg_partition_stats": iceberg_partition_stats,
+        "iceberg_view_query": iceberg_view_query,
         "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
         "iceberg_branch_scan": iceberg_branch_scan,
         "iceberg_rest_scan": iceberg_rest_scan,
@@ -3237,6 +3296,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngram_flags": BOILERPLATE_SQL,
         "stratified_sample_by_lang": SAMPLE_SQL,
         "mixture_sample_by_source": MIXTURE_SQL,
+        "iceberg_partition_stats": ICE_PARTSTATS_SQL,
+        "iceberg_view_query": ICE_VIEW_SQL,
         "iceberg_spec_evolution_scan": ICE_SPECEVO_SQL,
         "iceberg_branch_scan": ICE_BRANCH_SQL,
         "iceberg_rest_scan": ICE_REST_SQL,
