@@ -2312,6 +2312,55 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def duplicate_span_stats(spark, sf_dir):
+    """Exact duplicated-substring spans per document (ExactSubstr of Lee
+    et al. 2022): word 8-grams occurring >= 2 times corpus-wide, merged
+    into maximal per-doc spans; reports span count, covered tokens and
+    the duplicated fraction in exact integer micro-units."""
+    docs = _read(spark, sf_dir, "documents")
+    return DD.duplicate_span_stats(docs, n=8, min_count=2)
+
+
+DUP_SPAN_SQL = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+tot AS (SELECT doc_id, len(ws)::BIGINT AS total_tokens FROM ws),
+g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS s
+       FROM ws),
+g AS (SELECT doc_id, s,
+             md5(array_to_string(ws[s:s+7], ' ')) AS gram
+      FROM g0),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+h AS (SELECT doc_id, s FROM g JOIN dup USING (gram)),
+isl0 AS (SELECT doc_id, s,
+  CASE WHEN s > COALESCE(MAX(s + 7) OVER (
+         PARTITION BY doc_id ORDER BY s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+       THEN 1 ELSE 0 END AS brk
+  FROM h),
+isl AS (SELECT doc_id, s,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM isl0),
+sp AS (SELECT doc_id, island, MIN(s) AS a, MAX(s + 7) AS b
+       FROM isl GROUP BY 1, 2),
+agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+               SUM(b - a + 1)::BIGINT AS dup_tokens
+        FROM sp GROUP BY 1)
+SELECT tot.doc_id AS doc_id,
+       COALESCE(n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(dup_tokens, 0)::BIGINT AS dup_tokens,
+       total_tokens,
+       CASE WHEN total_tokens = 0 THEN 0
+            ELSE COALESCE(dup_tokens, 0) * 1000000 // total_tokens
+       END::BIGINT AS dup_fraction_e6
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -3133,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its r5 red row is superseded by a green one
         "iceberg_partition_stats": iceberg_partition_stats,
         "iceberg_view_query": iceberg_view_query,
+        "duplicate_span_stats": duplicate_span_stats,
         "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
         "iceberg_branch_scan": iceberg_branch_scan,
         "iceberg_rest_scan": iceberg_rest_scan,
@@ -3298,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_by_source": MIXTURE_SQL,
         "iceberg_partition_stats": ICE_PARTSTATS_SQL,
         "iceberg_view_query": ICE_VIEW_SQL,
+        "duplicate_span_stats": DUP_SPAN_SQL,
         "iceberg_spec_evolution_scan": ICE_SPECEVO_SQL,
         "iceberg_branch_scan": ICE_BRANCH_SQL,
         "iceberg_rest_scan": ICE_REST_SQL,

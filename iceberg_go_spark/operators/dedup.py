@@ -544,3 +544,78 @@ def incremental_dedup_sharded(new_batch: DataFrame, history: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def duplicate_span_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 8,
+                         min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring statistics per document (the ExactSubstr
+    pass of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499): every word ``n``-gram occurring at
+    least ``min_count`` times across the corpus is a duplicated gram;
+    overlapping/adjacent duplicated gram occurrences inside a document
+    merge into maximal spans (the regions the paper strips).  Returns one
+    row per document: ``n_spans``, ``dup_tokens`` (tokens covered by
+    spans), ``total_tokens`` and ``dup_fraction_e6`` (exact integer
+    micro-units — no float crosses the engine boundary).
+
+    Scale shape (100 TB): the paper builds a suffix array, which is a
+    global sort the corpus can't afford twice; fixed-length gram hashing
+    reaches the same maximal-span answer for spans >= n with two keyed
+    shuffles — (1) gram-count groupBy (map-side combinable, md5 keys so
+    the shuffle never carries text), (2) hits join on gram hash (both
+    sides corpus-scale, plain hash join).  Span merging is a per-document
+    window (documents are tiny vs. partitions, both windows share one
+    partitioning), and the final per-doc rollup re-uses that partitioning.
+    Nothing is quadratic and nothing collects."""
+    from ..session import rebalance_for_amplification
+    arr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), arr.alias("__ws"))
+    tot = base.select(F.col(id_col),
+                      F.size("__ws").cast("long").alias("total_tokens"))
+    # 1-based gram start positions; docs shorter than n contribute none
+    # (filter BEFORE the explode: Spark's sequence(1, 0) counts DOWN)
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col), F.col("__ws"),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__s"))
+    grams = pos.select(
+        F.col(id_col), F.col("__s"),
+        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
+        .alias("__g"))
+    dup = (grams.groupBy("__g")
+           .agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count)
+           .select("__g"))
+    hits = grams.join(dup, "__g").select(id_col, "__s")
+    # gaps-and-islands over fixed-length intervals [s, s+n-1]: a new
+    # island starts when s clears the running max end by more than 1
+    # (adjacent spans merge — a contiguous duplicated region is one span)
+    w_prev = (Window.partitionBy(id_col).orderBy("__s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prev_end = F.max(F.col("__s") + (n - 1)).over(w_prev)
+    brk = F.when(prev_end.isNull() | (F.col("__s") > prev_end + 1),
+                 F.lit(1)).otherwise(F.lit(0))
+    w_run = (Window.partitionBy(id_col).orderBy("__s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    spans = (hits.withColumn("__brk", brk)
+             .withColumn("__isl", F.sum("__brk").over(w_run))
+             .groupBy(id_col, "__isl")
+             .agg(F.min("__s").alias("__a"),
+                  F.max(F.col("__s") + (n - 1)).alias("__b")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum(F.col("__b") - F.col("__a") + 1)
+                    .alias("dup_tokens")))
+    out = (tot.join(per_doc, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("n_spans", F.lit(0)).cast("long")
+                   .alias("n_spans"),
+                   F.coalesce("dup_tokens", F.lit(0)).cast("long")
+                   .alias("dup_tokens"),
+                   F.col("total_tokens")))
+    return out.withColumn(
+        "dup_fraction_e6",
+        F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("dup_tokens * 1000000 div total_tokens")))

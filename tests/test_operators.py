@@ -617,3 +617,54 @@ def test_bm25_scores(spark):
 
     with pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_duplicate_span_stats_merges_overlaps(spark):
+    """Two docs sharing a 10-token prefix (8-grams at starts 1..3 merge
+    into ONE span of 10 tokens); a third doc shares nothing."""
+    from iceberg_go_spark.operators.dedup import duplicate_span_stats
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, shared + " tail1a tail1b tail1c"),
+         (2, shared + " other2a other2b other2c"),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            duplicate_span_stats(df, n=8, min_count=2).collect()}
+    assert rows[1].n_spans == 1 and rows[1].dup_tokens == 10
+    assert rows[1].total_tokens == 13
+    assert rows[1].dup_fraction_e6 == 10 * 1000000 // 13
+    assert rows[2].n_spans == 1 and rows[2].dup_tokens == 10
+    assert rows[3].n_spans == 0 and rows[3].dup_tokens == 0
+    assert rows[3].dup_fraction_e6 == 0
+
+
+def test_duplicate_span_stats_disjoint_spans_and_self_repeat(spark):
+    """A doc repeating its own 8-gram counts (min_count hits within one
+    document); two separated shared regions give two spans."""
+    from iceberg_go_spark.operators.dedup import duplicate_span_stats
+    g = "a1 a2 a3 a4 a5 a6 a7 a8"          # 8 tokens
+    h = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [(1, g + " x1 x2 " + h),            # spans [1..8] and [11..18]
+         (2, g + " y1 y2 y3 " + h),         # same grams elsewhere
+         (3, g + " z1 " + g)],              # self-repeat: 2 spans
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            duplicate_span_stats(df, n=8, min_count=2).collect()}
+    assert rows[1].n_spans == 2 and rows[1].dup_tokens == 16
+    assert rows[2].n_spans == 2 and rows[2].dup_tokens == 16
+    assert rows[3].n_spans == 2 and rows[3].dup_tokens == 16
+    assert rows[3].total_tokens == 17
+
+
+def test_duplicate_span_stats_short_and_empty_docs(spark):
+    from iceberg_go_spark.operators.dedup import duplicate_span_stats
+    df = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc"), (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            duplicate_span_stats(df, n=8, min_count=2).collect()}
+    # < n tokens -> no grams -> no spans, even for exact duplicates
+    assert rows[1].n_spans == 0 and rows[2].n_spans == 0
+    assert rows[3].total_tokens == 0 and rows[3].dup_fraction_e6 == 0
