@@ -2361,6 +2361,49 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def strip_duplicate_spans(spark, sf_dir):
+    """Removal half of the ExactSubstr pass: strip every maximal
+    duplicated 8-gram span and reassemble the surviving tokens in
+    order; fully-duplicated documents survive as empty strings."""
+    docs = _read(spark, sf_dir, "documents")
+    return DD.strip_duplicate_spans(docs, n=8, min_count=2)
+
+
+STRIP_SPAN_SQL = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+tot AS (SELECT doc_id, len(ws)::BIGINT AS nt FROM ws),
+toks AS (SELECT doc_id, p, ws[p] AS w
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws))) AS p
+               FROM ws)),
+g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS s
+       FROM ws),
+g AS (SELECT doc_id, s,
+             md5(array_to_string(ws[s:s+7], ' ')) AS gram
+      FROM g0),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, s + o AS p
+        FROM (SELECT doc_id, s FROM g JOIN dup USING (gram))
+        CROSS JOIN generate_series(0, 7) AS t(o)),
+kept AS (SELECT toks.doc_id, toks.p, toks.w
+         FROM toks LEFT JOIN cov
+           ON toks.doc_id = cov.doc_id AND toks.p = cov.p
+         WHERE cov.p IS NULL),
+agg AS (SELECT doc_id,
+               string_agg(w, ' ' ORDER BY p) AS clean_text,
+               COUNT(*)::BIGINT AS kept_tokens
+        FROM kept GROUP BY doc_id)
+SELECT tot.doc_id AS doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       COALESCE(kept_tokens, 0)::BIGINT AS kept_tokens,
+       (nt - COALESCE(kept_tokens, 0))::BIGINT AS removed_tokens
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -3183,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_stats": iceberg_partition_stats,
         "iceberg_view_query": iceberg_view_query,
         "duplicate_span_stats": duplicate_span_stats,
+        "strip_duplicate_spans": strip_duplicate_spans,
         "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
         "iceberg_branch_scan": iceberg_branch_scan,
         "iceberg_rest_scan": iceberg_rest_scan,
@@ -3349,6 +3393,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partition_stats": ICE_PARTSTATS_SQL,
         "iceberg_view_query": ICE_VIEW_SQL,
         "duplicate_span_stats": DUP_SPAN_SQL,
+        "strip_duplicate_spans": STRIP_SPAN_SQL,
         "iceberg_spec_evolution_scan": ICE_SPECEVO_SQL,
         "iceberg_branch_scan": ICE_BRANCH_SQL,
         "iceberg_rest_scan": ICE_REST_SQL,

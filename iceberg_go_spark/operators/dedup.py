@@ -619,3 +619,65 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
         "dup_fraction_e6",
         F.when(F.col("total_tokens") == 0, F.lit(0).cast("long"))
         .otherwise(F.expr("dup_tokens * 1000000 div total_tokens")))
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """The removal half of the ExactSubstr pass (Lee et al. 2022): strip
+    every maximal duplicated span found by the ``duplicate_span_stats``
+    criterion and reassemble the surviving tokens in order.  Returns
+    (id, clean_text, kept_tokens, removed_tokens); a fully-duplicated
+    document survives with an empty string.
+
+    Scale shape: reuses the gram-count + hits pipeline (two keyed
+    shuffles); covered positions come from exploding each duplicated
+    gram start into its n positions (bounded x``n`` amplification on the
+    HIT rows only, not the corpus) and de-duping, so the removal is an
+    equi anti-join on (id, position) — no range join, no per-row UDF.
+    Reassembly sorts each document's surviving (position, token) structs
+    inside one aggregate, bounded by document length."""
+    from ..session import rebalance_for_amplification
+    arr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), arr.alias("__ws"))
+    toks = base.select(
+        F.col(id_col),
+        F.posexplode("__ws").alias("__p", "__w")).withColumn(
+        "__p", F.col("__p") + 1)  # 1-based, matching gram starts
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col), F.col("__ws"),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__s"))
+    grams = pos.select(
+        F.col(id_col), F.col("__s"),
+        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
+        .alias("__g"))
+    dup = (grams.groupBy("__g")
+           .agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count)
+           .select("__g"))
+    covered = (grams.join(dup, "__g")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("__s"), F.col("__s") + (n - 1)))
+                       .alias("__p"))
+               .distinct())
+    kept = toks.join(covered, [id_col, "__p"], "left_anti")
+    out = (kept.groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(F.struct("__p", "__w")))
+                .alias("__kept"))
+           .select(F.col(id_col),
+                   F.concat_ws(" ", F.transform("__kept",
+                                                lambda s: s["__w"]))
+                   .alias("clean_text"),
+                   F.size("__kept").cast("long").alias("kept_tokens")))
+    tot = base.select(F.col(id_col),
+                      F.size("__ws").cast("long").alias("__nt"))
+    return (tot.join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_tokens", F.lit(0)).cast("long")
+                    .alias("kept_tokens"),
+                    (F.col("__nt") - F.coalesce("kept_tokens", F.lit(0)))
+                    .cast("long").alias("removed_tokens")))

@@ -668,3 +668,23 @@ def test_duplicate_span_stats_short_and_empty_docs(spark):
     # < n tokens -> no grams -> no spans, even for exact duplicates
     assert rows[1].n_spans == 0 and rows[2].n_spans == 0
     assert rows[3].total_tokens == 0 and rows[3].dup_fraction_e6 == 0
+
+
+def test_strip_duplicate_spans(spark):
+    from iceberg_go_spark.operators.dedup import strip_duplicate_spans
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(1, shared + " tail1a tail1b"),
+         (2, shared + " other2a other2b"),
+         (3, "u1 u2 u3 u4 u5"),
+         (4, shared)],                       # fully duplicated -> empty
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            strip_duplicate_spans(df, n=8, min_count=2).collect()}
+    assert rows[1].clean_text == "tail1a tail1b"
+    assert rows[1].kept_tokens == 2 and rows[1].removed_tokens == 10
+    assert rows[2].clean_text == "other2a other2b"
+    assert rows[3].clean_text == "u1 u2 u3 u4 u5"
+    assert rows[3].removed_tokens == 0
+    assert rows[4].clean_text == "" and rows[4].kept_tokens == 0
+    assert rows[4].removed_tokens == 10
