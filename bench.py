@@ -88,6 +88,10 @@ EXTRA = [
     "context_window_chunks",
     "bpe_top_pairs",
     "distinctive_terms_by_lang",
+    "iceberg_partition_stats",
+    "iceberg_view_query",
+    "duplicate_span_stats",
+    "strip_duplicate_spans",
 ]
 
 
