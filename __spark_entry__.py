@@ -2404,6 +2404,40 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def length_quantiles_by_source(spark, sf_dir):
+    """Exact per-source document-length quantiles via histogram
+    aggregation (never a per-source corpus sort): value at 0-based
+    sorted index floor(p*(n-1)), the same explicit index rule on both
+    engines."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.length_quantile_profile(
+        docs, value_col="n_chars", strat_col="source",
+        ps=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+LENGTH_QUANTILES_SQL = """
+WITH hist AS (SELECT source, n_chars AS v, COUNT(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2),
+h AS (SELECT source, v, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM hist)
+SELECT source,
+       SUM(c)::BIGINT AS n_docs,
+       MIN(v)::BIGINT AS min_len,
+       MAX(v)::BIGINT AS max_len,
+       SUM(v * c)::BIGINT AS sum_len,
+       MIN(CASE WHEN cum >= floor(0.25 * (n - 1)) + 1 THEN v END)::BIGINT AS p25,
+       MIN(CASE WHEN cum >= floor(0.5  * (n - 1)) + 1 THEN v END)::BIGINT AS p5,
+       MIN(CASE WHEN cum >= floor(0.75 * (n - 1)) + 1 THEN v END)::BIGINT AS p75,
+       MIN(CASE WHEN cum >= floor(0.9  * (n - 1)) + 1 THEN v END)::BIGINT AS p9,
+       MIN(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN v END)::BIGINT AS p99
+FROM h GROUP BY source
+"""
+
+
 def variant_shred(spark, sf_dir):
     """Variant shredding end-to-end: build JSON from documents, parse to a
     Spark-native variant, shred to typed subcolumns (try_variant_get,
@@ -3227,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_view_query": iceberg_view_query,
         "duplicate_span_stats": duplicate_span_stats,
         "strip_duplicate_spans": strip_duplicate_spans,
+        "length_quantiles_by_source": length_quantiles_by_source,
         "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
         "iceberg_branch_scan": iceberg_branch_scan,
         "iceberg_rest_scan": iceberg_rest_scan,
@@ -3394,6 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_view_query": ICE_VIEW_SQL,
         "duplicate_span_stats": DUP_SPAN_SQL,
         "strip_duplicate_spans": STRIP_SPAN_SQL,
+        "length_quantiles_by_source": LENGTH_QUANTILES_SQL,
         "iceberg_spec_evolution_scan": ICE_SPECEVO_SQL,
         "iceberg_branch_scan": ICE_BRANCH_SQL,
         "iceberg_rest_scan": ICE_REST_SQL,

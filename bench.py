@@ -92,6 +92,7 @@ EXTRA = [
     "iceberg_view_query",
     "duplicate_span_stats",
     "strip_duplicate_spans",
+    "length_quantiles_by_source",
 ]
 
 

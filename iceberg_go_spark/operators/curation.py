@@ -542,3 +542,44 @@ def context_windows(df: DataFrame, window: int = 16, stride: int = 8,
                 F.col("__n") - F.col("start") + 1).alias("n_tokens"),
         F.array_join(F.slice(F.col("__toks"), F.col("start"),
                              F.lit(window)), " ").alias("window_text")))
+
+
+def length_quantile_profile(df: DataFrame, value_col: str = "n_chars",
+                            strat_col: str = "source",
+                            ps=(0.25, 0.5, 0.75, 0.9, 0.99)) -> DataFrame:
+    """Exact per-stratum quantiles of an integer-valued column (document
+    length profiles drive packing budgets and truncation limits).  The
+    quantile at p is the value at 0-based sorted index floor(p*(n-1)) —
+    an explicit integer index rule, so both engines agree bit-for-bit
+    (no percentile_disc/quantile_cont semantics drift, and the index
+    arithmetic is the same IEEE double multiply on both sides).
+
+    Scale shape (100 TB): NOT a per-stratum sort.  Integer values make
+    quantiles histogram-computable: one map-side-combinable groupBy on
+    (stratum, value) collapses the corpus to |distinct values| rows per
+    stratum, and the quantile is the smallest value whose cumulative
+    count reaches the target index — a window over the tiny histogram,
+    never over the corpus.  A per-source window sort of the raw corpus
+    would put whole sources in single partitions; this never does."""
+    hist = (df.groupBy(strat_col, value_col)
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w_cum = (Window.partitionBy(strat_col).orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.partitionBy(strat_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    cum = F.sum("__c").over(w_cum)
+    cnt = F.sum("__c").over(w_all)
+    h = hist.select(
+        F.col(strat_col), F.col(value_col).cast("long").alias("__v"),
+        F.col("__c"), cum.alias("__cum"), cnt.alias("__n"))
+    aggs = [F.sum("__c").alias("n_docs"),
+            F.min("__v").alias("min_len"),
+            F.max("__v").alias("max_len"),
+            F.sum(F.col("__v") * F.col("__c")).alias("sum_len")]
+    for p in ps:
+        idx = F.floor(F.lit(float(p)) * (F.col("__n") - 1))
+        tag = f"p{str(p)[2:]}"
+        aggs.append(F.min(F.when(F.col("__cum") >= idx + 1, F.col("__v")))
+                    .alias(tag))
+    return h.groupBy(strat_col).agg(*aggs)

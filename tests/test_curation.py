@@ -535,3 +535,32 @@ def test_distinctive_terms_integer_ranking(spark):
     # 'bar' global tf = 6+5+5 = 16; en share 6 -> 375000
     bar_en = [r for r in by_lang["en"] if r.term == "bar"][0]
     assert bar_en.score == 6 * 1_000_000 // 16
+
+
+def test_length_quantile_profile_exact_indices(spark):
+    """Quantile = value at 0-based sorted index floor(p*(n-1)); the
+    histogram path must reproduce the brute-force sorted-list answer,
+    including duplicate values and a single-row stratum."""
+    import math
+    from iceberg_go_spark.operators.curation import length_quantile_profile
+    lens_a = [10, 10, 20, 30, 30, 30, 40, 50, 60, 100]  # n=10, dups
+    lens_b = [7]                                         # n=1 edge
+    rows = ([(i, "a", v) for i, v in enumerate(lens_a)]
+            + [(100, "b", 7)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r for r in
+           length_quantile_profile(df, ps=(0.25, 0.5, 0.9, 0.99)).collect()}
+
+    def brute(vals, p):
+        s = sorted(vals)
+        return s[math.floor(p * (len(s) - 1))]
+
+    for src, vals in (("a", lens_a), ("b", lens_b)):
+        r = out[src]
+        assert r["n_docs"] == len(vals)
+        assert r["min_len"] == min(vals) and r["max_len"] == max(vals)
+        assert r["sum_len"] == sum(vals)
+        assert r["p25"] == brute(vals, 0.25)
+        assert r["p5"] == brute(vals, 0.5)
+        assert r["p9"] == brute(vals, 0.9)
+        assert r["p99"] == brute(vals, 0.99)
