@@ -569,7 +569,10 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
     partitioning), and the final per-doc rollup re-uses that partitioning.
     Nothing is quadratic and nothing collects."""
     from ..session import rebalance_for_amplification
-    arr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # null text tokenizes to the empty doc (Spark size(NULL) is -1,
+    # which would poison total_tokens; the oracle's len(NULL) is NULL)
+    arr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                           " "), lambda w: w != "")
     base = rebalance_for_amplification(df).select(
         F.col(id_col), arr.alias("__ws"))
     tot = base.select(F.col(id_col),
@@ -638,7 +641,10 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     Reassembly sorts each document's surviving (position, token) structs
     inside one aggregate, bounded by document length."""
     from ..session import rebalance_for_amplification
-    arr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # null text tokenizes to the empty doc (Spark size(NULL) is -1,
+    # which would poison total_tokens; the oracle's len(NULL) is NULL)
+    arr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                           " "), lambda w: w != "")
     base = rebalance_for_amplification(df).select(
         F.col(id_col), arr.alias("__ws"))
     toks = base.select(

@@ -688,3 +688,15 @@ def test_strip_duplicate_spans(spark):
     assert rows[3].removed_tokens == 0
     assert rows[4].clean_text == "" and rows[4].kept_tokens == 0
     assert rows[4].removed_tokens == 10
+
+
+def test_duplicate_span_ops_null_text(spark):
+    from iceberg_go_spark.operators.dedup import (duplicate_span_stats,
+                                                  strip_duplicate_spans)
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string")
+    s = {r.doc_id: r for r in duplicate_span_stats(df).collect()}
+    assert s[1].total_tokens == 0 and s[1].dup_fraction_e6 == 0
+    c = {r.doc_id: r for r in strip_duplicate_spans(df).collect()}
+    assert c[1].clean_text == "" and c[1].removed_tokens == 0
+    assert c[2].clean_text == "a b c"
