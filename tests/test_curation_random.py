@@ -142,3 +142,48 @@ def test_temperature_mixture_exact_and_flattening(spark, seed):
     assert got == sorted(exp)
     # expected total is near target (hash uniformity)
     assert abs(len(got) - target) < target * 0.35
+
+
+@pytest.mark.parametrize("seed,n,min_count", [(11, 4, 2), (29, 3, 3)])
+def test_duplicate_spans_vs_bruteforce(spark, seed, n, min_count):
+    """Random docs over a tiny alphabet (forcing heavy gram collisions,
+    overlaps, self-repeats and adjacent-span merges) — the distributed
+    gram-hash + gaps-and-islands pipeline must equal a scalar scan."""
+    rng = random.Random(seed)
+    docs = [(i, " ".join(rng.choice("ab") for _ in range(rng.randint(0, 24))))
+            for i in range(1, 41)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    from collections import Counter
+    grams = Counter()
+    toks = {}
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        toks[i] = ws
+        for s in range(len(ws) - n + 1):
+            grams[" ".join(ws[s:s + n])] += 1
+    want = {}
+    for i, ws in toks.items():
+        spans = []
+        for s in range(len(ws) - n + 1):
+            if grams[" ".join(ws[s:s + n])] >= min_count:
+                e = s + n - 1
+                if spans and s <= spans[-1][1] + 1:
+                    spans[-1][1] = max(spans[-1][1], e)
+                else:
+                    spans.append([s, e])
+        dup = sum(b - a + 1 for a, b in spans)
+        kept = [w for p, w in enumerate(ws)
+                if not any(a <= p <= b for a, b in spans)]
+        want[i] = (len(spans), dup, len(ws), " ".join(kept))
+
+    stats = {r["doc_id"]: r for r in
+             DD.duplicate_span_stats(df, n=n, min_count=min_count).collect()}
+    clean = {r["doc_id"]: r for r in
+             DD.strip_duplicate_spans(df, n=n, min_count=min_count).collect()}
+    for i, (ns, dup, tot, ktext) in want.items():
+        assert stats[i]["n_spans"] == ns, i
+        assert stats[i]["dup_tokens"] == dup, i
+        assert stats[i]["total_tokens"] == tot, i
+        assert clean[i]["clean_text"] == ktext, i
+        assert clean[i]["removed_tokens"] == dup, i
