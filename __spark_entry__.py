@@ -1816,8 +1816,9 @@ def semantic_dedup_embeddings(spark, sf_dir):
 
 
 def _semantic_dedup_sql(k: int = 8, threshold: float = 0.45) -> str:
-    cos0 = V.quantized_cosine_sql("v.qq", "c.csum")
-    cosab = V.quantized_cosine_sql("a.qq", "b.qq")
+    cos0 = V.quantized_cosine_e6_sql("v.qq", "c.csum")
+    cosab = V.quantized_cosine_e6_sql("a.qq", "b.qq")
+    thr_e6 = int(round(threshold * 1_000_000))
     return f"""
 WITH q AS (SELECT vec_id, {V.quantize_sql('embedding')} AS qq
            FROM embeddings),
@@ -1828,7 +1829,7 @@ a0 AS (
   SELECT vec_id, cluster, qq FROM (
     SELECT v.vec_id, c.cluster, v.qq,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round({cos0}, 6) DESC,
+                              ORDER BY {cos0} DESC,
                                        c.cluster) AS rn
     FROM q v CROSS JOIN c0 c) WHERE rn = 1),
 sums AS (
@@ -1847,13 +1848,13 @@ af AS (
   SELECT vec_id, cluster, qq FROM (
     SELECT v.vec_id, c.cluster, v.qq,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round({cos0}, 6) DESC,
+                              ORDER BY {cos0} DESC,
                                        c.cluster) AS rn
     FROM q v CROSS JOIN c1 c) WHERE rn = 1),
 dups AS (
   SELECT DISTINCT a.vec_id FROM af a JOIN af b
     ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-  WHERE round({cosab}, 6) >= {threshold})
+  WHERE {cosab} >= {thr_e6})
 SELECT af.vec_id, af.cluster,
        CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
 FROM af LEFT JOIN dups d ON af.vec_id = d.vec_id
@@ -1932,13 +1933,13 @@ def ann_topk_bruteforce(spark, sf_dir):
         .withColumn("__qq", V.quantize(F.col("query_vec")))
     joined = emb.crossJoin(F.broadcast(qs)) \
         .filter(F.col("vec_id") != F.col("query_id"))
-    cos = V.quantized_cosine(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
     w = W.partitionBy("query_id").orderBy(
-        F.round(cos, 6).desc(), F.col("vec_id"))
-    return (joined.withColumn("cosine", F.round(cos, 6))
+        cos.desc(), F.col("vec_id"))
+    return (joined.withColumn("cosine_e6", cos)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 10)
-            .select("query_id", "vec_id", "cosine", "rank"))
+            .select("query_id", "vec_id", "cosine_e6", "rank"))
 
 
 def embedding_near_dup(spark, sf_dir):
@@ -1953,35 +1954,35 @@ def embedding_near_dup(spark, sf_dir):
     b = emb.select(F.col("vec_id").alias("id_b"),
                    F.col("__q").alias("__qb"),
                    F.col("__bucket").alias("__bucket_b"))
-    cos = V.quantized_cosine(F.col("__qa"), F.col("__qb"))
+    cos = V.quantized_cosine_e6(F.col("__qa"), F.col("__qb"))
     return (a.join(b, (F.col("id_a") < F.col("id_b")) &
                    (F.col("__bucket") == F.col("__bucket_b")))
-            .withColumn("cosine", F.round(cos, 6))
-            .filter(F.col("cosine") >= 0.25)
-            .select("id_a", "id_b", "cosine"))
+            .withColumn("cosine_e6", cos)
+            .filter(F.col("cosine_e6") >= 250_000)
+            .select("id_a", "id_b", "cosine_e6"))
 
 
 def _near_dup_sql() -> str:
     qa = V.quantize_sql("a.embedding")
     qb = V.quantize_sql("b.embedding")
-    cos = V.quantized_cosine_sql("qa", "qb")
+    cos = V.quantized_cosine_e6_sql("qa", "qb")
     return f"""
-SELECT id_a, id_b, cosine FROM (
+SELECT id_a, id_b, cosine_e6 FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {qa} AS qa, {qb} AS qb,
-         round({cos}, 6) AS cosine
+         {cos} AS cosine_e6
   FROM embeddings a, embeddings b
   WHERE a.vec_id < b.vec_id
     AND {V.sign_bucket_sql('a.embedding')} =
         {V.sign_bucket_sql('b.embedding')})
-WHERE cosine >= 0.25
+WHERE cosine_e6 >= 250000
 """
 
 
 def _ann_sql(bucketed: bool = False) -> str:
     q = V.quantize_sql("e.embedding")
     qq = V.quantize_sql("q.embedding")
-    cos = V.quantized_cosine_sql("qe", "qq")
+    cos = V.quantized_cosine_e6_sql("qe", "qq")
     bucket_cond = ""
     if bucketed:
         bucket_cond = (f" AND {V.sign_bucket_sql('e.embedding')} = "
@@ -1994,10 +1995,10 @@ pairs AS (
   FROM embeddings e, qs q
   WHERE e.vec_id <> q.query_id{bucket_cond}
 )
-SELECT query_id, vec_id, round({cos}, 6) AS cosine, rank FROM (
-  SELECT query_id, vec_id, qe, qq,
+SELECT query_id, vec_id, cosine_e6, rank FROM (
+  SELECT query_id, vec_id, {cos} AS cosine_e6,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY round({cos}, 6) DESC, vec_id)::INT AS rank
+                            ORDER BY {cos} DESC, vec_id)::INT AS rank
   FROM pairs)
 WHERE rank <= 10
 """
@@ -2012,13 +2013,13 @@ def ann_topk_bucketed(spark, sf_dir):
         .withColumn("__bucket", V.sign_bucket(F.col("query_vec")))
     joined = emb.join(F.broadcast(qs), on="__bucket") \
         .filter(F.col("vec_id") != F.col("query_id"))
-    cos = V.quantized_cosine(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
     w = W.partitionBy("query_id").orderBy(
-        F.round(cos, 6).desc(), F.col("vec_id"))
-    return (joined.withColumn("cosine", F.round(cos, 6))
+        cos.desc(), F.col("vec_id"))
+    return (joined.withColumn("cosine_e6", cos)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 10)
-            .select("query_id", "vec_id", "cosine", "rank"))
+            .select("query_id", "vec_id", "cosine_e6", "rank"))
 
 
 def label_centroids(spark, sf_dir):
@@ -2050,8 +2051,8 @@ def ann_topk_ivf(spark, sf_dir):
 
 
 def _ivf_sql(nprobe: int = 2) -> str:
-    qcos_probe = V.quantized_cosine_sql("q.qq", "c.csum")
-    qcos = V.quantized_cosine_sql("qe", "qq")
+    qcos_probe = V.quantized_cosine_e6_sql("q.qq", "c.csum")
+    qcos = V.quantized_cosine_e6_sql("qe", "qq")
     return f"""
 WITH qs AS (SELECT vec_id AS query_id, {V.quantize_sql('embedding')} AS qq
             FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -2067,7 +2068,7 @@ probes AS (
   SELECT query_id, label, qq FROM (
     SELECT q.query_id, c.label, q.qq,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY round({qcos_probe}, 6) DESC,
+                              ORDER BY {qcos_probe} DESC,
                                        c.label)::INT AS pr
     FROM qs q, cent c)
   WHERE pr <= {nprobe}),
@@ -2075,10 +2076,10 @@ pairs AS (
   SELECT p.query_id, e.vec_id, {V.quantize_sql('e.embedding')} AS qe, p.qq
   FROM embeddings e JOIN probes p ON e.label = p.label
   WHERE e.vec_id <> p.query_id)
-SELECT query_id, vec_id, round({qcos}, 6) AS cosine, rank FROM (
-  SELECT query_id, vec_id, qe, qq,
+SELECT query_id, vec_id, cosine_e6, rank FROM (
+  SELECT query_id, vec_id, {qcos} AS cosine_e6,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY round({qcos}, 6) DESC, vec_id)::INT AS rank
+                            ORDER BY {qcos} DESC, vec_id)::INT AS rank
   FROM pairs)
 WHERE rank <= 10
 """
@@ -2094,7 +2095,7 @@ def kmeans_topic_clusters(spark, sf_dir):
 
 
 def _kmeans_sql(k: int = 8) -> str:
-    cos0 = V.quantized_cosine_sql("v.qq", "c.csum")
+    cos0 = V.quantized_cosine_e6_sql("v.qq", "c.csum")
     return f"""
 WITH q AS (SELECT vec_id, {V.quantize_sql('embedding')} AS qq
            FROM embeddings),
@@ -2105,7 +2106,7 @@ a0 AS (
   SELECT vec_id, cluster, qq FROM (
     SELECT v.vec_id, c.cluster, v.qq,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round({cos0}, 6) DESC,
+                              ORDER BY {cos0} DESC,
                                        c.cluster) AS rn
     FROM q v CROSS JOIN c0 c) WHERE rn = 1),
 sums AS (
@@ -2121,14 +2122,14 @@ c1 AS (
   SELECT c0.cluster, COALESCE(c1u.csum, c0.csum) AS csum
   FROM c0 LEFT JOIN c1u ON c0.cluster = c1u.cluster),
 a1 AS (
-  SELECT vec_id, cluster, cos FROM (
-    SELECT v.vec_id, c.cluster, round({cos0}, 6) AS cos,
+  SELECT vec_id, cluster, cos_e6 FROM (
+    SELECT v.vec_id, c.cluster, {cos0} AS cos_e6,
            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round({cos0}, 6) DESC,
+                              ORDER BY {cos0} DESC,
                                        c.cluster) AS rn
     FROM q v CROSS JOIN c1 c) WHERE rn = 1)
 SELECT cluster, COUNT(*) AS n_members, SUM(vec_id) AS sum_ids,
-       SUM(round(cos * 1e6)::BIGINT) // COUNT(*) AS avg_cosine_e6
+       SUM(cos_e6)::BIGINT // COUNT(*) AS avg_cosine_e6
 FROM a1 GROUP BY cluster
 """
 

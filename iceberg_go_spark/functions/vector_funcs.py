@@ -60,6 +60,73 @@ def quantized_cosine_sql(qa: str, qb: str) -> str:
     return f"({d} / ({na} * {nb}))"
 
 
+def isqrt_long(p: Column) -> Column:
+    """floor(sqrt(p)) as an exact long column, 0 <= p < 2^62.
+
+    Start from the double sqrt (at most +-2 off after the long->double
+    conversion loses bits past 2^52), step down to a guaranteed lower
+    bound, then count how many of the next 4 increments still square to
+    <= p.  Every comparison is integer, so the result is identical on
+    any engine with IEEE sqrt; see isqrt_sql for the DuckDB twin."""
+    y0 = F.floor(F.sqrt(p.cast("double"))).cast("long")
+    y = F.greatest(y0 - F.lit(2).cast("long"), F.lit(0).cast("long"))
+    adj = None
+    for j in (1, 2, 3, 4):
+        step = F.when((y + j) * (y + j) <= p, 1).otherwise(0)
+        adj = step if adj is None else adj + step
+    return (y + adj).cast("long")
+
+
+def isqrt_sql(p: str) -> str:
+    """DuckDB rendering of isqrt_long; the single-element list_transform
+    binds the (large) p expression once instead of inlining it 6x."""
+    return (
+        f"list_transform([{p}], __p -> "
+        f"list_transform([greatest("
+        f"cast(floor(sqrt(__p::DOUBLE)) as bigint) - 2, 0)], __y -> "
+        f"__y + len(list_filter([1,2,3,4], "
+        f"__j -> (__y+__j)*(__y+__j) <= __p)))[1])[1]")
+
+
+def quantized_cosine_e6(qa: Column, qb: Column) -> Column:
+    """Micro-cosine of two integer-quantized vectors as an exact LONG:
+    trunc((dot * 1e6) / isqrt(na * nb)).
+
+    No double ever reaches the output or a ranking built on it: dot and
+    the two squared norms are order-independent integer sums, the
+    denominator is an exact integer sqrt (isqrt_long), and the final
+    division is integer-exact — (num - num % s) is exactly divisible by
+    s and both operands stay below 2^53 (requires dim * scale^2 *
+    max|x|^2 * 1e6 < 2^53, i.e. dim <= ~4k at scale=1000 for unit-ish
+    vectors), so the IEEE quotient IS the integral trunc quotient.
+    Truncation (toward zero) matches DuckDB's integer `//`.
+
+    Replaces the quantized_cosine + round(…, 6) idiom whose double
+    HALF_UP rounding diverged between Spark and DuckDB on representable-
+    boundary values (kmeans_topic_clusters driver red, rounds 5-6)."""
+    d = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+    na = F.aggregate(qa, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    nb = F.aggregate(qb, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    s = isqrt_long(na * nb)
+    num = d * F.lit(1_000_000).cast("long")
+    q = ((num - num % s) / s).cast("long")
+    return F.when(s == 0, F.lit(0).cast("long")).otherwise(q)
+
+
+def quantized_cosine_e6_sql(qa: str, qb: str) -> str:
+    """DuckDB twin of quantized_cosine_e6 (same integers, `//` trunc
+    division; DuckDB list_sum yields HUGEINT, hence the BIGINT casts)."""
+    d = (f"(list_sum(list_transform(range(1, len({qa}) + 1), "
+         f"i -> {qa}[i] * {qb}[i]))::BIGINT)")
+    na = f"(list_sum(list_transform({qa}, x -> x * x))::BIGINT)"
+    nb = f"(list_sum(list_transform({qb}, x -> x * x))::BIGINT)"
+    s = isqrt_sql(f"{na} * {nb}")
+    return (f"list_transform([{s}], __s -> "
+            f"CASE WHEN __s = 0 THEN 0 "
+            f"ELSE ({d} * 1000000) // __s END)[1]")
+
+
 def sign_bucket(a: Column, dims: int = 8) -> Column:
     """LSH-ish bucket key: sign bits of the first ``dims`` components.
 

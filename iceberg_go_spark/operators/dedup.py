@@ -319,22 +319,27 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
                              bucket_dims: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-bucket LSH blocking.
 
+    Similarity is the integer micro-cosine contract
+    (vector_funcs.quantized_cosine_e6) — threshold compares and the
+    output column are exact longs, engine-reproducible.
     (docs is unused except for API symmetry when joining back to text.)"""
     from ..functions import vector_funcs as V
-    base = emb.select(F.col(id_col), F.col(vec_col),
+    base = emb.select(F.col(id_col),
+                      V.quantize(F.col(vec_col)).alias("__q"),
                       V.sign_bucket(F.col(vec_col), bucket_dims)
                       .alias("__bucket"))
     a = base.select(F.col(id_col).alias("id_a"),
-                    F.col(vec_col).alias("__va"), "__bucket")
+                    F.col("__q").alias("__qa"), "__bucket")
     b = base.select(F.col(id_col).alias("id_b"),
-                    F.col(vec_col).alias("__vb"),
+                    F.col("__q").alias("__qb"),
                     F.col("__bucket").alias("__bucket_b"))
-    cos = V.cosine(F.col("__va"), F.col("__vb"))
+    cos = V.quantized_cosine_e6(F.col("__qa"), F.col("__qb"))
+    thr_e6 = int(round(threshold * 1_000_000))
     return (a.join(b, (F.col("id_a") < F.col("id_b")) &
                    (F.col("__bucket") == F.col("__bucket_b")))
-            .withColumn("cosine", F.round(cos, 6))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+            .withColumn("cosine_e6", cos)
+            .filter(F.col("cosine_e6") >= thr_e6)
+            .select("id_a", "id_b", "cosine_e6"))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -22,16 +22,20 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     queries is expected tiny vs emb -> broadcast; the corpus never
     shuffles until the per-query top-k reduction (rank window partitioned
-    by query)."""
-    joined = emb.crossJoin(F.broadcast(queries))
-    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    by query).  Similarity is the integer micro-cosine contract
+    (quantized_cosine_e6): no double in the output or ranking lineage."""
+    joined = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
+              .crossJoin(F.broadcast(
+                  queries.withColumn("__qq",
+                                     V.quantize(F.col(query_vec_col))))))
+    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col))
+        F.col("cosine_e6").desc(), F.col(id_col))
     return (joined
-            .withColumn("cosine", F.round(cos, 6))
+            .withColumn("cosine_e6", cos)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine", "rank"))
+            .select(query_id_col, id_col, "cosine_e6", "rank"))
 
 
 def bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -42,20 +46,23 @@ def bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     """ANN top-k: probe only the query's sign-bucket (LSH-style).
 
     ~2^dims-fold candidate reduction; recall < 1 by design.  Deterministic
-    bucket fn keeps this oracle-checkable."""
-    b_emb = emb.withColumn("__bucket",
-                           V.sign_bucket(F.col(vec_col), bucket_dims))
-    b_q = queries.withColumn("__bucket",
-                             V.sign_bucket(F.col(query_vec_col), bucket_dims))
+    bucket fn keeps this oracle-checkable; integer micro-cosine keeps the
+    ranking engine-exact."""
+    b_emb = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
+             .withColumn("__bucket",
+                         V.sign_bucket(F.col(vec_col), bucket_dims)))
+    b_q = (queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
+           .withColumn("__bucket",
+                       V.sign_bucket(F.col(query_vec_col), bucket_dims)))
     joined = b_emb.join(F.broadcast(b_q), on="__bucket")
-    cos = V.cosine(F.col(vec_col), F.col(query_vec_col))
+    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col))
+        F.col("cosine_e6").desc(), F.col(id_col))
     return (joined
-            .withColumn("cosine", F.round(cos, 6))
+            .withColumn("cosine_e6", cos)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine", "rank"))
+            .select(query_id_col, id_col, "cosine_e6", "rank"))
 
 
 # above this width, per-dimension inline aggregates stop codegen-ing
@@ -118,15 +125,16 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
 
     Determinism: centroids are SUM vectors of integer-quantized
     embeddings (cosine is scale-invariant, so ranking against the sum
-    equals ranking against the mean), seeded from the ``k`` lowest ids —
-    integer sums are exact, sqrt is correctly rounded, so every
+    equals ranking against the mean), seeded from the ``k`` lowest ids;
+    similarity is the integer micro-cosine (quantized_cosine_e6) — no
+    double anywhere in the assignment or ranking lineage, so every
     assignment is bit-reproducible; cosine ties break on cluster id.
 
     Scale shape (100 TB): the corpus NEVER shuffles — each iteration
     broadcasts k sum-vectors, assigns via a JVM-side cosine, and
     recomputes centroids with one map-side-combinable groupBy whose
     output is k rows.  Cost is iters sequential jobs, not iters
-    shuffles of the data.  Returns (id, cluster, cosine)."""
+    shuffles of the data.  Returns (id, cluster, cosine_e6)."""
     emb_q = emb.select(F.col(id_col),
                        V.quantize(F.col(vec_col)).alias("__q"))
     dim = emb.select(F.size(F.col(vec_col))).first()[0]
@@ -136,14 +144,14 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     def assign(cent_rows) -> DataFrame:
         spark = emb_q.sparkSession
         cdf = spark.createDataFrame(cent_rows, "cluster int, csum array<long>")
-        cos = F.round(V.quantized_cosine(F.col("__q"), F.col("csum")), 6)
+        cos = V.quantized_cosine_e6(F.col("__q"), F.col("csum"))
         w = Window.partitionBy(id_col).orderBy(
-            F.col("cosine").desc(), F.col("cluster"))
+            F.col("cosine_e6").desc(), F.col("cluster"))
         return (emb_q.crossJoin(F.broadcast(cdf))
-                .withColumn("cosine", cos)
+                .withColumn("cosine_e6", cos)
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .select(id_col, "cluster", "cosine", "__q"))
+                .select(id_col, "cluster", "cosine_e6", "__q"))
 
     for _ in range(max(iters - 1, 0)):
         assigned = assign(cent)
@@ -208,10 +216,11 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
                     F.col("__q").alias("__qa"))
     right = a.select(*join_keys, F.col(id_col).alias("__b"),
                      F.col("__q").alias("__qb"))
-    cos = F.round(V.quantized_cosine(F.col("__qa"), F.col("__qb")), 6)
+    cos = V.quantized_cosine_e6(F.col("__qa"), F.col("__qb"))
+    thr_e6 = int(round(threshold * 1_000_000))
     dup_ids = (left.join(right, join_keys)
                .filter(F.col("__b") < F.col("__a"))
-               .filter(cos >= F.lit(threshold))
+               .filter(cos >= F.lit(thr_e6))
                .select(F.col("__a").alias(id_col))
                .distinct()
                .withColumn("__dup", F.lit(1)))
@@ -227,17 +236,15 @@ def kmeans_cluster_profile(emb: DataFrame, k: int = 8, iters: int = 2,
     checksum and mean cosine-to-centroid per cluster (the shape a data-
     mixing pipeline samples from)."""
     a = kmeans_assignments(emb, k, iters, id_col, vec_col)
-    # mean cosine via an exact integer sum (cosine is already rounded to
-    # 6 decimals; float-sum order would differ per engine, long sums not).
-    # The mean itself stays in integer micro-units (floor division): a
-    # long/long->double division rounds differently across engines when
-    # the quotient lands on a decimal .5 boundary (Spark shortest-string
-    # HALF_UP vs DuckDB binary-double round), so no float ever appears.
-    cos_e6 = F.round(F.col("cosine") * 1e6).cast("long")
+    # cosine_e6 is already an exact long (quantized_cosine_e6) — the
+    # mean stays in integer micro-units via integral division; Spark
+    # `div` and DuckDB `//` both truncate toward zero (pinned by
+    # tests/test_operators.py::test_trunc_div_semantics), so no float
+    # ever appears in the lineage.
     return (a.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sum(id_col).alias("sum_ids"),
-                 F.sum(cos_e6).alias("__sum_cos"))
+                 F.sum("cosine_e6").alias("__sum_cos"))
             .withColumn("avg_cosine_e6",
                         F.expr("__sum_cos div n_members"))
             .select("cluster", "n_members", "sum_ids", "avg_cosine_e6"))
@@ -267,7 +274,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     cent = _sum_vectors(emb_q.select(label_col, "__q"), [label_col],
                         "__q", dim)
     qs = queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
-    sim = F.round(V.quantized_cosine(F.col("__qq"), F.col("csum")), 6)
+    sim = V.quantized_cosine_e6(F.col("__qq"), F.col("csum"))
     wp = Window.partitionBy(query_id_col).orderBy(
         F.col("__sim").desc(), F.col(label_col))
     probes = (qs.crossJoin(F.broadcast(cent))
@@ -277,10 +284,10 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
               .select(query_id_col, label_col, "__qq"))
     joined = emb_q.join(F.broadcast(probes), on=label_col) \
         .filter(F.col(id_col) != F.col(query_id_col))
-    cos = V.quantized_cosine(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col))
-    return (joined.withColumn("cosine", F.round(cos, 6))
+        F.col("cosine_e6").desc(), F.col(id_col))
+    return (joined.withColumn("cosine_e6", cos)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine", "rank"))
+            .select(query_id_col, id_col, "cosine_e6", "rank"))

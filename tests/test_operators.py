@@ -79,9 +79,9 @@ def test_brute_force_topk(spark, sf_dir):
     for qid in {r.query_id for r in rows}:
         ranks = sorted(r.rank for r in rows if r.query_id == qid)
         assert ranks == [1, 2, 3, 4, 5]
-        # self-match is rank 1 with cosine ~1
+        # self-match is rank 1 with micro-cosine ~1e6
         top = next(r for r in rows if r.query_id == qid and r.rank == 1)
-        assert top.vec_id == qid and abs(top.cosine - 1.0) < 1e-4
+        assert top.vec_id == qid and abs(top.cosine_e6 - 1_000_000) < 100
 
 
 def test_text_stats_shape(spark, sf_dir):
@@ -449,7 +449,7 @@ def test_kmeans_assignments(spark, sf_dir):
     assert len(rows) == n
     assert len({r.vec_id for r in rows}) == n
     assert {r.cluster for r in rows} <= set(range(4))
-    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    assert all(-1_000_000 <= r.cosine_e6 <= 1_000_000 for r in rows)
     # deterministic: re-running yields identical assignments
     again = {r.vec_id: r.cluster for r in
              kmeans_assignments(emb, k=4, iters=2).collect()}
@@ -493,10 +493,11 @@ def test_kmeans_iteration_tightens_clusters(spark, sf_dir):
     from pyspark.sql import functions as F2
     emb = read_table(spark, "embeddings", sf_dir)
     m1 = kmeans_assignments(emb, k=4, iters=1) \
-        .agg(F2.avg("cosine")).first()[0]
+        .agg(F2.avg("cosine_e6")).first()[0]
     m3 = kmeans_assignments(emb, k=4, iters=3) \
-        .agg(F2.avg("cosine")).first()[0]
-    assert m3 >= m1 - 1e-9
+        .agg(F2.avg("cosine_e6")).first()[0]
+    # micro-cosine units; allow 1 micro-unit of truncation slack
+    assert m3 >= m1 - 1.0
 
 
 def test_audio_chunk_plan(spark):
@@ -700,3 +701,71 @@ def test_duplicate_span_ops_null_text(spark):
     c = {r.doc_id: r for r in strip_duplicate_spans(df).collect()}
     assert c[1].clean_text == "" and c[1].removed_tokens == 0
     assert c[2].clean_text == "a b c"
+
+
+def test_trunc_div_semantics(spark):
+    """avg_cosine_e6 relies on Spark `div` and DuckDB `//` agreeing:
+    both truncate toward zero on negative quotients (pinned here so an
+    engine upgrade that flips either to floor-division fails loudly)."""
+    import duckdb
+    r = spark.sql("SELECT -7 div 2 a, 7 div 2 b, -7 div -2 c").first()
+    d = duckdb.connect().execute("SELECT -7 // 2, 7 // 2, -7 // -2") \
+        .fetchone()
+    assert (r.a, r.b, r.c) == tuple(d) == (-3, 3, 3)
+
+
+def test_isqrt_long_exact(spark):
+    """isqrt_long must equal math.isqrt including around perfect squares
+    and past 2^52 where the double sqrt seed loses integer precision."""
+    import math
+    from iceberg_go_spark.functions.vector_funcs import isqrt_long
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 999999, 1000000, 1000001,
+            (1 << 52) - 1, 1 << 52, (1 << 52) + 1,
+            (1 << 60) - 1, 1 << 60, 3 ** 37, 10 ** 18]
+    vals += [x * x for x in (1, 7, 12345, 3513641, 10 ** 9)]
+    vals += [x * x - 1 for x in (7, 12345, 3513641, 10 ** 9)]
+    df = spark.createDataFrame([(v,) for v in vals], "p long")
+    got = {r.p: r.s for r in
+           df.select("p", isqrt_long(F.col("p")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_quantized_cosine_e6_cross_engine(spark):
+    """The integer micro-cosine contract: Spark, DuckDB and pure-Python
+    trunc((dot*1e6)/isqrt(na*nb)) agree bit-for-bit (the double-rounding
+    divergence behind the r5/r6 kmeans driver red is designed out)."""
+    import duckdb
+    import math
+    import random
+    from iceberg_go_spark.functions import vector_funcs as V
+    rng = random.Random(7)
+    rows = [(i,
+             [rng.randint(-600, 600) for _ in range(64)],
+             [rng.randint(-600, 600) for _ in range(64)])
+            for i in range(100)]
+    rows.append((100, [0] * 64, [1] * 64))        # zero-norm guard
+    rows.append((101, [600] * 64, [600] * 64))    # exact 1e6
+    rows.append((102, [600] * 64, [-600] * 64))   # exact -1e6
+    df = spark.createDataFrame(rows, "id long, qa array<long>, qb array<long>")
+    sp = {r.id: r.c for r in df.select(
+        "id", V.quantized_cosine_e6(F.col("qa"), F.col("qb"))
+        .alias("c")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, qa BIGINT[], qb BIGINT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    expr = V.quantized_cosine_e6_sql("qa", "qb")
+    dk = {r[0]: r[1] for r in
+          con.execute(f"SELECT id, {expr} FROM t").fetchall()}
+
+    def ref(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        s = math.isqrt(sum(x * x for x in a) * sum(x * x for x in b))
+        if s == 0:
+            return 0
+        n = d * 1_000_000
+        return n // s if n >= 0 else -((-n) // s)
+
+    py = {i: ref(a, b) for i, a, b in rows}
+    assert sp == dk == py
+    assert sp[101] == 1_000_000 and sp[102] == -1_000_000 and sp[100] == 0
