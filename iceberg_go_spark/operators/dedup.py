@@ -551,9 +551,55 @@ def incremental_dedup_sharded(new_batch: DataFrame, history: DataFrame,
     return out
 
 
-def duplicate_span_stats(df: DataFrame, text_col: str = "text",
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __ws array<string>) whitespace tokens; null text tokenizes
+    to the empty doc (Spark size(NULL) is -1, which would poison
+    total_tokens; the oracle's len(NULL) is NULL)."""
+    from ..session import rebalance_for_amplification
+    arr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                           " "), lambda w: w != "")
+    return rebalance_for_amplification(df).select(
+        F.col(id_col), arr.alias("__ws"))
+
+
+def duplicated_gram_hits(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 8,
                          min_count: int = 2) -> DataFrame:
+    """(id, __s) — the 1-based start position of every corpus-duplicated
+    word ``n``-gram occurrence.  The shared front half of the ExactSubstr
+    pass; pass the (optionally localCheckpoint-ed) result to BOTH
+    duplicate_span_stats and strip_duplicate_spans so a measure-then-
+    strip pipeline pays the gram-count and hits shuffles once, not twice.
+
+    Gram keys are ``xxhash64`` longs, not md5 hex strings: one row per
+    token position makes the gram shuffle THE dominant shuffle at corpus
+    scale, and an 8-byte key carries ~4x fewer bytes than a 32-char hex
+    string.  A 64-bit hash admits rare false-positive duplicate grams
+    (~p^2/2^65 over p positions — a handful at 10^12 grams), acceptable
+    for span *detection* at min_count >= 2; the oracle uses exact gram
+    strings, and the driver gate confirms agreement at test scale."""
+    base = _tokenized(df, text_col, id_col)
+    # 1-based gram start positions; docs shorter than n contribute none
+    # (filter BEFORE the explode: Spark's sequence(1, 0) counts DOWN)
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col), F.col("__ws"),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__s"))
+    grams = pos.select(
+        F.col(id_col), F.col("__s"),
+        F.xxhash64(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
+        .alias("__g"))
+    dup = (grams.groupBy("__g")
+           .agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count)
+           .select("__g"))
+    return grams.join(dup, "__g").select(id_col, "__s")
+
+
+def duplicate_span_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 8,
+                         min_count: int = 2,
+                         hits: Optional[DataFrame] = None) -> DataFrame:
     """Exact duplicated-substring statistics per document (the ExactSubstr
     pass of Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better", arXiv:2107.06499): every word ``n``-gram occurring at
@@ -567,36 +613,19 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
     Scale shape (100 TB): the paper builds a suffix array, which is a
     global sort the corpus can't afford twice; fixed-length gram hashing
     reaches the same maximal-span answer for spans >= n with two keyed
-    shuffles — (1) gram-count groupBy (map-side combinable, md5 keys so
-    the shuffle never carries text), (2) hits join on gram hash (both
-    sides corpus-scale, plain hash join).  Span merging is a per-document
-    window (documents are tiny vs. partitions, both windows share one
-    partitioning), and the final per-doc rollup re-uses that partitioning.
-    Nothing is quadratic and nothing collects."""
-    from ..session import rebalance_for_amplification
-    # null text tokenizes to the empty doc (Spark size(NULL) is -1,
-    # which would poison total_tokens; the oracle's len(NULL) is NULL)
-    arr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                           " "), lambda w: w != "")
-    base = rebalance_for_amplification(df).select(
-        F.col(id_col), arr.alias("__ws"))
+    shuffles — (1) gram-count groupBy (map-side combinable, xxhash64
+    long keys so the shuffle never carries text), (2) hits join on gram
+    hash (both sides corpus-scale, plain hash join); both live in
+    duplicated_gram_hits and are SHARED with strip_duplicate_spans via
+    the ``hits`` parameter.  Span merging is a per-document window
+    (documents are tiny vs. partitions, both windows share one
+    partitioning), and the final per-doc rollup re-uses that
+    partitioning.  Nothing is quadratic and nothing collects."""
+    base = _tokenized(df, text_col, id_col)
     tot = base.select(F.col(id_col),
                       F.size("__ws").cast("long").alias("total_tokens"))
-    # 1-based gram start positions; docs shorter than n contribute none
-    # (filter BEFORE the explode: Spark's sequence(1, 0) counts DOWN)
-    pos = base.filter(F.size("__ws") >= n).select(
-        F.col(id_col), F.col("__ws"),
-        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
-        .alias("__s"))
-    grams = pos.select(
-        F.col(id_col), F.col("__s"),
-        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
-        .alias("__g"))
-    dup = (grams.groupBy("__g")
-           .agg(F.count(F.lit(1)).alias("__c"))
-           .filter(F.col("__c") >= min_count)
-           .select("__g"))
-    hits = grams.join(dup, "__g").select(id_col, "__s")
+    if hits is None:
+        hits = duplicated_gram_hits(df, text_col, id_col, n, min_count)
     # gaps-and-islands over fixed-length intervals [s, s+n-1]: a new
     # island starts when s clears the running max end by more than 1
     # (adjacent spans merge — a contiguous duplicated region is one span)
@@ -631,44 +660,32 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
 
 def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 8,
-                          min_count: int = 2) -> DataFrame:
+                          min_count: int = 2,
+                          hits: Optional[DataFrame] = None) -> DataFrame:
     """The removal half of the ExactSubstr pass (Lee et al. 2022): strip
     every maximal duplicated span found by the ``duplicate_span_stats``
     criterion and reassemble the surviving tokens in order.  Returns
     (id, clean_text, kept_tokens, removed_tokens); a fully-duplicated
     document survives with an empty string.
 
-    Scale shape: reuses the gram-count + hits pipeline (two keyed
-    shuffles); covered positions come from exploding each duplicated
-    gram start into its n positions (bounded x``n`` amplification on the
-    HIT rows only, not the corpus) and de-duping, so the removal is an
-    equi anti-join on (id, position) — no range join, no per-row UDF.
-    Reassembly sorts each document's surviving (position, token) structs
-    inside one aggregate, bounded by document length."""
-    from ..session import rebalance_for_amplification
-    # null text tokenizes to the empty doc (Spark size(NULL) is -1,
-    # which would poison total_tokens; the oracle's len(NULL) is NULL)
-    arr = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
-                           " "), lambda w: w != "")
-    base = rebalance_for_amplification(df).select(
-        F.col(id_col), arr.alias("__ws"))
+    Scale shape: the gram-count + hits pipeline (two keyed shuffles)
+    lives in duplicated_gram_hits — pass its (checkpointed) output as
+    ``hits`` when also running duplicate_span_stats so the corpus pays
+    those shuffles once.  Covered positions come from exploding each
+    duplicated gram start into its n positions (bounded x``n``
+    amplification on the HIT rows only, not the corpus) and de-duping,
+    so the removal is an equi anti-join on (id, position) — no range
+    join, no per-row UDF.  Reassembly sorts each document's surviving
+    (position, token) structs inside one aggregate, bounded by document
+    length."""
+    base = _tokenized(df, text_col, id_col)
     toks = base.select(
         F.col(id_col),
         F.posexplode("__ws").alias("__p", "__w")).withColumn(
         "__p", F.col("__p") + 1)  # 1-based, matching gram starts
-    pos = base.filter(F.size("__ws") >= n).select(
-        F.col(id_col), F.col("__ws"),
-        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
-        .alias("__s"))
-    grams = pos.select(
-        F.col(id_col), F.col("__s"),
-        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
-        .alias("__g"))
-    dup = (grams.groupBy("__g")
-           .agg(F.count(F.lit(1)).alias("__c"))
-           .filter(F.col("__c") >= min_count)
-           .select("__g"))
-    covered = (grams.join(dup, "__g")
+    if hits is None:
+        hits = duplicated_gram_hits(df, text_col, id_col, n, min_count)
+    covered = (hits
                .select(F.col(id_col),
                        F.explode(F.sequence(
                            F.col("__s"), F.col("__s") + (n - 1)))

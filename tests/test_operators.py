@@ -769,3 +769,30 @@ def test_quantized_cosine_e6_cross_engine(spark):
     py = {i: ref(a, b) for i, a, b in rows}
     assert sp == dk == py
     assert sp[101] == 1_000_000 and sp[102] == -1_000_000 and sp[100] == 0
+
+
+def test_span_pipeline_shares_gram_stage(spark):
+    """Measure-then-strip (the ExactSubstr flow) must be able to pay the
+    gram-count + hits shuffles ONCE: with a precomputed
+    duplicated_gram_hits frame passed to both operators, neither plan
+    rebuilds the gram pipeline (no xxhash64 in either executed plan),
+    and results are identical to the self-contained path."""
+    from iceberg_go_spark.operators.dedup import (duplicate_span_stats,
+                                                  duplicated_gram_hits,
+                                                  strip_duplicate_spans)
+    dup = "d1 d2 d3 d4"
+    df = spark.createDataFrame(
+        [(1, f"{dup} a1 a2 a3 a4 a5 {dup}"),
+         (2, f"{dup} b1 b2"),
+         (3, "u1 u2 u3 u4 u5 u6")],
+        "doc_id long, text string")
+    hits = duplicated_gram_hits(df, n=4, min_count=2).localCheckpoint()
+    stats = duplicate_span_stats(df, n=4, hits=hits)
+    strip = strip_duplicate_spans(df, n=4, hits=hits)
+    for q in (stats, strip):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" not in plan
+    assert (sorted(map(tuple, stats.collect())) ==
+            sorted(map(tuple, duplicate_span_stats(df, n=4).collect())))
+    assert (sorted(map(tuple, strip.collect())) ==
+            sorted(map(tuple, strip_duplicate_spans(df, n=4).collect())))
