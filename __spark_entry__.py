@@ -3254,107 +3254,109 @@ SELECT lang, term, tf, score, rank::INT AS rank FROM r WHERE rank <= 5
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ordering: never-driver-checked entries first (the driver's
-        # per-round gate samples a prefix and a green driver row is the
-        # durable record); kmeans_topic_clusters stays at the head until
-        # its r5 red row is superseded by a green one
-        "iceberg_partition_stats": iceberg_partition_stats,
-        "iceberg_view_query": iceberg_view_query,
-        "duplicate_span_stats": duplicate_span_stats,
-        "strip_duplicate_spans": strip_duplicate_spans,
-        "length_quantiles_by_source": length_quantiles_by_source,
-        "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
-        "iceberg_branch_scan": iceberg_branch_scan,
-        "iceberg_rest_scan": iceberg_rest_scan,
-        "iceberg_compacted_scan": iceberg_compacted_scan,
-        "iceberg_sorted_scan": iceberg_sorted_scan,
-        "source_contribution_caps": source_contribution_caps,
-        "temperature_mixture_sample": temperature_mixture_sample,
-        "context_window_chunks": context_window_chunks,
-        "bpe_top_pairs": bpe_top_pairs,
-        "distinctive_terms_by_lang": distinctive_terms_by_lang,
-        "variant_prune_scan": variant_prune_scan,
-        "leakage_safe_split_stats": leakage_safe_split_stats,
-        "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
-        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
+        # ordering = driver-gate rotation priority: queries whose
+        # Spark/oracle code CHANGED this round first (they need a
+        # fresh driver row — kmeans_topic_clusters was red in r5+r6),
+        # then least-recently-driver-checked (r5-stale backlog of 47),
+        # then the freshly-green r6 set.  Recomputed each round from
+        # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
         "kmeans_topic_clusters": kmeans_topic_clusters,
-        "iceberg_changelog_scan": iceberg_changelog_scan,
-        "hypertable_rollup": hypertable_rollup,
-        "iceberg_upsert_scan": iceberg_upsert_scan,
-        "iceberg_merge_scan": iceberg_merge_scan,
-        "iceberg_defaults_scan": iceberg_defaults_scan,
-        "iceberg_snapshot_log": iceberg_snapshot_log,
-        "transforms_datetime": transforms_datetime,
-        "transforms_bucket": transforms_bucket,
-        "dedup_exact": dedup_exact,
-        "dedup_keep_best": dedup_keep_best,
-        "soft_dedup_weights": soft_dedup_weights,
-        "dedup_fingerprint": dedup_fingerprint,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "dedup_clusters": dedup_clusters,
-        "text_stats": text_stats,
-        "lang_histogram": lang_histogram,
-        "token_summary_by_lang": token_summary_by_lang,
-        "doc_fingerprints": doc_fingerprints,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "ann_topk_ivf": ann_topk_ivf,
         "embedding_near_dup": embedding_near_dup,
-        "label_centroids": label_centroids,
-        "variant_shred": variant_shred,
-        "multimodal_features": multimodal_features,
-        "multimodal_feature_vectors": multimodal_feature_vectors,
-        "dedup_simhash_near": dedup_simhash_near,
-        "dedup_paragraphs_clean": dedup_paragraphs_clean,
-        "event_funnel": event_funnel,
-        "user_retention_cohorts": user_retention_cohorts,
-        "props_json_stats": props_json_stats,
+        "duplicate_span_stats": duplicate_span_stats,
+        "strip_duplicate_spans": strip_duplicate_spans,
+        "asof_join_events": asof_join_events,
         "bm25_search": bm25_search,
-        "repetition_metrics": repetition_metrics,
-        "decontaminate_docs": decontaminate_docs,
-        "token_rarity_scores": token_rarity_scores,
         "boilerplate_ngram_flags": boilerplate_ngram_flags,
-        "stratified_sample_by_lang": stratified_sample_by_lang,
+        "decontaminate_docs": decontaminate_docs,
+        "event_funnel": event_funnel,
+        "events_hourly": events_hourly,
+        "events_resampled_dense": events_resampled_dense,
+        "iceberg_bucket_scan": iceberg_bucket_scan,
+        "iceberg_incremental_scan": iceberg_incremental_scan,
+        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "iceberg_scan_filter_project": iceberg_scan_filter_project,
+        "iceberg_time_travel": iceberg_time_travel,
         "mixture_sample_by_source": mixture_sample_by_source,
-        "shuffle_shards_export": shuffle_shards_export,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "pii_scrub": pii_scrub,
-        "pack_sequences": pack_sequences_q,
+        "moving_avg_value": moving_avg_value,
         "multimodal_resize": multimodal_resize,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_regional_revenue": q5_regional_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
+        "pack_sequences": pack_sequences_q,
+        "pii_scrub": pii_scrub,
+        "props_json_stats": props_json_stats,
         "q10_returned_items": q10_returned_items,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q8_market_share": q8_market_share,
         "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_discounted_revenue": q19_discounted_revenue,
-        "q4_order_priority": q4_order_priority,
-        "q9_product_profit": q9_product_profit,
+        "q1_pricing_summary": q1_pricing_summary,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_idle_customers": q22_idle_customers,
-        "rollup_pricing": rollup_pricing,
-        "set_ops_customers": set_ops_customers,
-        "top_customers_per_nation": top_customers_per_nation,
-        "events_hourly": events_hourly,
-        "events_resampled_dense": events_resampled_dense,
-        "sessionization": sessionization,
-        "asof_join_events": asof_join_events,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_regional_revenue": q5_regional_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
         "range_join_acctbal": range_join_acctbal,
+        "repetition_metrics": repetition_metrics,
+        "rollup_pricing": rollup_pricing,
         "running_revenue": running_revenue,
-        "moving_avg_value": moving_avg_value,
-        "iceberg_scan_filter_project": iceberg_scan_filter_project,
-        "iceberg_bucket_scan": iceberg_bucket_scan,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_incremental_scan": iceberg_incremental_scan,
-        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "sessionization": sessionization,
+        "set_ops_customers": set_ops_customers,
+        "shuffle_shards_export": shuffle_shards_export,
+        "stratified_sample_by_lang": stratified_sample_by_lang,
+        "token_rarity_scores": token_rarity_scores,
+        "top_customers_per_nation": top_customers_per_nation,
+        "user_retention_cohorts": user_retention_cohorts,
+        "bpe_top_pairs": bpe_top_pairs,
+        "context_window_chunks": context_window_chunks,
+        "dedup_clusters": dedup_clusters,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_keep_best": dedup_keep_best,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_paragraphs_clean": dedup_paragraphs_clean,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_near": dedup_simhash_near,
+        "distinctive_terms_by_lang": distinctive_terms_by_lang,
+        "doc_fingerprints": doc_fingerprints,
+        "hypertable_rollup": hypertable_rollup,
+        "iceberg_branch_scan": iceberg_branch_scan,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
+        "iceberg_compacted_scan": iceberg_compacted_scan,
+        "iceberg_defaults_scan": iceberg_defaults_scan,
+        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
+        "iceberg_merge_scan": iceberg_merge_scan,
+        "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
+        "iceberg_partition_stats": iceberg_partition_stats,
+        "iceberg_rest_scan": iceberg_rest_scan,
+        "iceberg_snapshot_log": iceberg_snapshot_log,
+        "iceberg_sorted_scan": iceberg_sorted_scan,
+        "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
+        "iceberg_upsert_scan": iceberg_upsert_scan,
+        "iceberg_view_query": iceberg_view_query,
+        "label_centroids": label_centroids,
+        "lang_histogram": lang_histogram,
+        "leakage_safe_split_stats": leakage_safe_split_stats,
+        "length_quantiles_by_source": length_quantiles_by_source,
+        "multimodal_feature_vectors": multimodal_feature_vectors,
+        "multimodal_features": multimodal_features,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "soft_dedup_weights": soft_dedup_weights,
+        "source_contribution_caps": source_contribution_caps,
+        "temperature_mixture_sample": temperature_mixture_sample,
+        "text_stats": text_stats,
+        "token_summary_by_lang": token_summary_by_lang,
+        "transforms_bucket": transforms_bucket,
+        "transforms_datetime": transforms_datetime,
+        "variant_prune_scan": variant_prune_scan,
+        "variant_shred": variant_shred,
     }
 
 

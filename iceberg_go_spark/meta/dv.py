@@ -249,17 +249,23 @@ class PuffinWriter:
         meta.update(fields)
         self._blobs.append((meta, data))
 
-    def write(self) -> None:
+    def write(self) -> List[Tuple[int, int]]:
+        """Write the container; returns the (offset, length) actually
+        recorded in the footer for each blob, in add_blob order — the
+        single source of truth for manifest-recorded content_offset /
+        content_size_in_bytes (callers must not re-derive the layout)."""
         out = bytearray()
         out += MAGIC
         offset = 4
         footer_blobs = []
+        extents: List[Tuple[int, int]] = []
         for meta, data in self._blobs:
             out += data
             m = dict(meta)
             m["offset"] = offset
             m["length"] = len(data)
             footer_blobs.append(m)
+            extents.append((offset, len(data)))
             offset += len(data)
         payload = json.dumps({"blobs": footer_blobs}).encode()
         out += MAGIC
@@ -269,6 +275,7 @@ class PuffinWriter:
         out += MAGIC
         from ..io import load_io
         load_io(self.path).write(self.path, bytes(out))
+        return extents
 
 
 class PuffinReader:
@@ -343,16 +350,17 @@ def write_deletion_vector_blobs(path: str,
     Returns {referenced file: (content_offset, content_size)} so the
     caller can emit spec-exact v3 manifest entries for each blob."""
     w = PuffinWriter(path)
-    offsets: Dict[str, Tuple[int, int]] = {}
-    off = 4  # MAGIC
+    order = []
     for file_path, (raw, card) in sorted(blobs.items()):
         w.add_blob(BLOB_TYPE_DV, raw,
                    properties={"referenced-data-file": file_path,
                                "cardinality": str(card)})
-        offsets[file_path] = (off, len(raw))
-        off += len(raw)
-    w.write()
-    return offsets
+        order.append(file_path)
+    # the writer reports the extents it actually wrote — re-deriving the
+    # layout here would silently break every manifest-recorded offset if
+    # the container format ever gains compression/alignment/header bytes
+    extents = w.write()
+    return dict(zip(order, extents))
 
 
 def read_dv_blob_slice(path: str, offset: int, length: int) -> bytes:

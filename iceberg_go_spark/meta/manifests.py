@@ -444,6 +444,18 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
     deleted = [e for e in entries if e.status == STATUS_DELETED]
     seqs = [e.sequence_number for e in entries
             if e.sequence_number is not None and e.is_live]
+    # v3 row lineage: when every live data file already carries an
+    # explicit first_row_id (this engine stamps them at stage time),
+    # the manifest inherits the smallest — its id range is already
+    # reserved, so the manifest-list writer must NOT assign it a fresh
+    # block (which would advance next-row-id past rows that own ids).
+    # Any live file without an id leaves this None for list-time
+    # assignment + read-side inheritance (manifest.go:802-826).
+    first_row_id = None
+    if format_version >= 3 and content == MANIFEST_DATA:
+        live_ids = [e.data_file.first_row_id for e in entries if e.is_live]
+        if live_ids and all(i is not None for i in live_ids):
+            first_row_id = min(live_ids)
     from ..io import load_io
     return ManifestFile(
         manifest_path=path, manifest_length=load_io(path).size(path),
@@ -456,7 +468,7 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
         added_rows_count=sum(e.data_file.record_count for e in added),
         existing_rows_count=sum(e.data_file.record_count for e in existing),
         deleted_rows_count=sum(e.data_file.record_count for e in deleted),
-        partitions=summaries)
+        partitions=summaries, first_row_id=first_row_id)
 
 
 def _field_summaries(ptype: T.StructType, entries: List[ManifestEntry]
@@ -584,7 +596,18 @@ def write_manifest_list(path: str, manifests: List[ManifestFile],
             "partitions": parts,
         }
         if format_version >= 3:
-            if m.content == MANIFEST_DATA and next_row_id is not None:
+            # v3 row lineage (manifest.go:1736-1745): a data manifest is
+            # assigned a first_row_id ONCE — when it first enters a
+            # manifest list with a null value — and keeps it in every
+            # later list (reassigning a carried-forward manifest would
+            # shift ids past next-row-id and duplicate _row_ids for
+            # readers using manifest-list inheritance).  The id range
+            # reserved is live rows (added+existing, advanceRowID);
+            # stamping the in-memory object is deliberate: it IS the
+            # durable one-time assignment, so later lists built from the
+            # same staged objects preserve it.
+            if (m.content == MANIFEST_DATA and m.first_row_id is None
+                    and next_row_id is not None):
                 m.first_row_id = next_row_id
                 next_row_id += m.live_rows_count
             rec["first_row_id"] = m.first_row_id \

@@ -285,12 +285,26 @@ class Scan:
             entries, _spec, spec_id = M.read_manifest(mf.manifest_path)
             out_d, out_del = [], []
             n_data = 0
+            # v3 first-row-id inheritance (manifest.go:922-933): v3
+            # manifests written by other engines leave the file-level
+            # first_row_id null and readers derive it — manifest's
+            # first_row_id plus record counts of the preceding live data
+            # files that were themselves assigned (files carrying an
+            # explicit id do NOT advance the counter, mirroring Java's
+            # ManifestReader.idAssigner).  Runs over every live data
+            # entry BEFORE pruning: assignment order is a property of
+            # the manifest, not of this scan's filter.
+            next_first_row_id = mf.first_row_id
             for e in entries:
                 if not e.is_live:
                     continue
                 if e.sequence_number is None:  # inheritance
                     e.sequence_number = mf.sequence_number
                 is_data = e.data_file.content == M.CONTENT_DATA
+                if (is_data and next_first_row_id is not None
+                        and e.data_file.first_row_id is None):
+                    e.data_file.first_row_id = next_first_row_id
+                    next_first_row_id += e.data_file.record_count
                 n_data += is_data
                 if is_data:
                     if pev(spec_id)(e.data_file.partition) and \

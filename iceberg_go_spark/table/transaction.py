@@ -148,6 +148,37 @@ def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
     return out
 
 
+def _shift_row_ids(manifests: List[M.ManifestFile], delta: int,
+                   schema: Schema, metadata_dir: str,
+                   format_version: int) -> List[M.ManifestFile]:
+    """Shift the stamped v3 row-id ranges of a staged snapshot's own
+    data manifests by ``delta`` during OCC rebase: a concurrent commit
+    consumed row ids from the shared counter, so the ids staged against
+    the old metadata would collide with the winner's (_row_id uniqueness
+    is a table invariant — the reference derives ids from refreshed
+    metadata when rebuilding snapshots, table/table.go:820)."""
+    out: List[M.ManifestFile] = []
+    for mf in manifests:
+        if mf.content != M.MANIFEST_DATA:
+            out.append(mf)
+            continue
+        entries, spec, _sid = M.read_manifest(mf.manifest_path)
+        if not any(e.data_file.first_row_id is not None for e in entries):
+            out.append(mf)
+            continue
+        for e in entries:
+            if e.data_file.first_row_id is not None:
+                e.data_file.first_row_id += delta
+        mpath = os.path.join(metadata_dir, f"{uuid.uuid4().hex}-rid.avro")
+        new_mf = M.write_manifest(mpath, entries, schema, spec, mf.content,
+                                  format_version=format_version)
+        new_mf.sequence_number = mf.sequence_number
+        new_mf.min_sequence_number = mf.min_sequence_number
+        new_mf.added_snapshot_id = mf.added_snapshot_id
+        out.append(new_mf)
+    return out
+
+
 class Transaction:
     def __init__(self, table, branch: str = MAIN_BRANCH):
         self.table = table
@@ -704,6 +735,7 @@ class Transaction:
             base_manifests = M.read_manifest_list(fs.manifest_list)
         parent = fresh_md.current_snapshot_id
         seq = fresh_md.last_sequence_number
+        next_rid = fresh_md.next_row_id
         restaged = []
         lists = {}
         schema = self.metadata.schema()
@@ -723,6 +755,19 @@ class Transaction:
             seq += 1
             own = [m for m in self._new_manifest_lists[snap.snapshot_id]
                    if m.added_snapshot_id == snap.snapshot_id]
+            # v3 row lineage: this snapshot's row ids were assigned from
+            # the PRE-refresh next-row-id; if the concurrent winner also
+            # assigned ids, re-base the staged range onto the refreshed
+            # counter (rewriting own manifests' stamped file-level ids)
+            # so _row_ids stay table-unique
+            if fresh_md.format_version >= 3 and snap.first_row_id is not None:
+                delta = next_rid - snap.first_row_id
+                if delta:
+                    own = _shift_row_ids(own, delta, schema,
+                                         self._metadata_dir(),
+                                         fresh_md.format_version)
+                    snap.first_row_id = next_rid
+                next_rid += getattr(snap, "_rows_assigned", 0)
             for m in own:
                 m.sequence_number = seq
                 m.min_sequence_number = seq

@@ -192,13 +192,30 @@ def _harvest_via_spark(spark, paths: List[str],
         tag = f"{vfid}_{abs(hash(norm)) % 10**8}"
         aggs += [F.min(F.col(ppath)).alias(f"vmn_{tag}"),
                  F.max(F.col(ppath)).alias(f"vmx_{tag}")]
-    rows = (df.groupBy(F.regexp_replace(
-                F.input_file_name(), "^file:/+", "/").alias("__p"))
+    rows = (df.groupBy(F.input_file_name().alias("__p"))
             .agg(*aggs).collect())
-    by_path = {r["__p"]: r for r in rows}
+    # input_file_name() is a percent-encoded URI; the lookup below is by
+    # raw filesystem path, so unquote AFTER stripping the scheme — a
+    # space/'#'/non-ASCII character in the path would otherwise miss the
+    # lookup and silently write record_count=0 (which the metrics
+    # evaluator reads as ROWS_CANNOT_MATCH, dropping the file's rows
+    # from every filtered scan)
+    import re as _re
+    from urllib.parse import unquote as _unquote
+    by_path = {_unquote(_re.sub("^file:/+", "/", r["__p"])): r
+               for r in rows}
     out = []
     for p in paths:
         r = by_path.get(p)
+        if r is None:
+            # a written file absent from the aggregation is only valid
+            # if it genuinely holds zero rows — verify per-file rather
+            # than defaulting to 0 (fail loudly on a lookup bug)
+            n_direct = spark.read.parquet(p).count()
+            if n_direct != 0:
+                raise ValueError(
+                    f"stats harvest missed written file {p} "
+                    f"({n_direct} rows); path-normalization bug")
         s: Dict[str, Any] = {
             "path": p, "has_field_ids": True,
             "record_count": int(r["__n"]) if r is not None else 0,

@@ -111,3 +111,66 @@ def test_row_lineage_upgraded_table_compaction(spark, sf_dir, catalog):
     assert len(rows) == df.count() + 3
     after = {r._row_id: r._last_updated_sequence_number for r in rows}
     assert after == before             # identity preserved bit-exact
+
+
+def test_manifest_first_row_id_stable_across_snapshots(spark, sf_dir,
+                                                       catalog):
+    """A carried-forward data manifest must KEEP its first_row_id in
+    every later manifest list (manifest.go:1736-1745 assigns only when
+    nil); unconditional reassignment pushes assigned ids past
+    next-row-id and duplicates _row_ids for inheritance readers."""
+    from iceberg_go_spark.meta import manifests as M
+    df = read_table(spark, "nation", sf_dir)  # 25 rows
+    t = catalog.create_table("db.frid", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
+    t.append(df)             # rows 0..24
+    t.append(df.limit(5))    # rows 25..29
+    snaps = t.metadata.snapshots
+    l1 = {m.manifest_path: m.first_row_id
+          for m in M.read_manifest_list(snaps[0].manifest_list)}
+    l2 = {m.manifest_path: m.first_row_id
+          for m in M.read_manifest_list(snaps[1].manifest_list)}
+    for p, frid in l1.items():
+        assert l2[p] == frid, "carried-forward manifest id changed"
+    assert min(l1.values()) == 0
+    assert sorted(l2.values())[-1] == 25
+    assert t.metadata.next_row_id == 30
+    # every manifest-level id stays under the table's next-row-id
+    assert all(v < 30 for v in l2.values())
+
+
+def test_first_row_id_inheritance_from_manifest_list(spark, sf_dir,
+                                                     catalog):
+    """v3 manifests written by engines that leave the file-level
+    first_row_id null rely on manifest-list inheritance: file id =
+    manifest first_row_id + record counts of preceding live data files
+    (manifest.go:922-933).  Strip the stamped ids and re-scan."""
+    import os
+    from iceberg_go_spark.meta import manifests as M
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.inh", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
+    t.append(df)
+    snap = t.current_snapshot()
+    mfs = M.read_manifest_list(snap.manifest_list)
+    stripped = []
+    for mf in mfs:
+        entries, spec, _sid = M.read_manifest(mf.manifest_path)
+        for e in entries:
+            e.data_file.first_row_id = None   # foreign-writer shape
+        npath = mf.manifest_path.replace(".avro", "-noids.avro")
+        nmf = M.write_manifest(npath, entries, t.metadata.schema(), spec,
+                               mf.content, format_version=3)
+        assert nmf.first_row_id is None
+        nmf.sequence_number = mf.sequence_number
+        nmf.min_sequence_number = mf.min_sequence_number
+        nmf.added_snapshot_id = mf.added_snapshot_id
+        stripped.append(nmf)
+    nlist = os.path.join(os.path.dirname(snap.manifest_list),
+                         "snap-inh-noids.avro")
+    M.write_manifest_list(nlist, stripped, format_version=3,
+                          first_row_id=snap.first_row_id or 0)
+    snap.manifest_list = nlist
+    out = t.scan().with_row_lineage().to_df(spark)
+    ids = sorted(r._row_id for r in out.select("_row_id").collect())
+    assert ids == list(range(df.count()))  # dense, unique, zero-based

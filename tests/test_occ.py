@@ -149,3 +149,23 @@ def test_expire_snapshots_commit_first(spark, sf_dir, catalog, tmp_path):
     assert t2.to_df(spark).count() == n
     for task in t2.scan().plan_files():
         assert os.path.exists(task.data_file.file_path)
+
+
+def test_rebase_shifts_v3_row_ids(spark, sf_dir, catalog):
+    """Two stale v3 handles appending concurrently: the loser's staged
+    row-id range was assigned from pre-refresh metadata, so rebase must
+    re-derive it from the winner's next-row-id (rewriting the stamped
+    file-level ids) — _row_ids stay dense and table-unique."""
+    df = read_table(spark, "nation", sf_dir)  # 25 rows
+    schema = Schema.from_spark(df.schema)
+    t1 = catalog.create_table("db.rid", schema,
+                              properties={"format-version": "3"})
+    t1.append(df)                       # rows 0..24
+    t2 = catalog.load_table("db.rid")   # stale handle
+    t1.append(df.limit(10))             # winner: rows 25..34
+    t2.append(df.limit(7))              # loser: staged as 25..31, must
+    t3 = catalog.load_table("db.rid")   # rebase to 35..41
+    assert t3.metadata.next_row_id == 42
+    out = t3.scan().with_row_lineage().to_df(spark)
+    ids = sorted(r._row_id for r in out.select("_row_id").collect())
+    assert ids == list(range(42))  # dense, unique after rebase

@@ -284,3 +284,31 @@ def test_encode_variant_blob_roundtrip():
     assert decode_variant_blob(encode_variant_blob({})) == {}
     big = {f"$['k{i:03d}']": i for i in range(300)}
     assert decode_variant_blob(encode_variant_blob(big)) == big
+
+
+def test_variant_stats_harvest_url_encoded_path(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; a warehouse path
+    with a space or non-ASCII characters must still hit the per-file
+    stats lookup in the footer-free variant harvest — a miss used to
+    default record_count=0, which the metrics evaluator reads as
+    ROWS_CANNOT_MATCH and silently drops the file from filtered scans."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+
+    cat = FilesystemCatalog(str(tmp_path / "wh with space" / "täble dätä"))
+
+    def gen(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", F.parse_json(F.concat(
+                F.lit('{"score": '), F.col("id").cast("string"),
+                F.lit('}'))).alias("v"))
+
+    t = cat.create_table("db.venc", Schema.from_spark(gen(0, 1).schema),
+                         properties={"format-version": "3"})
+    t.append(gen(0, 1000))
+    tasks = t.scan().plan_files()
+    assert tasks and all(tk.data_file.record_count > 0 for tk in tasks)
+    pred = E.gt(E.variant_get("v", "$.score", T.LongType()), 500)
+    assert t.scan(pred).to_df(spark).count() == 499
