@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v16"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v17"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -320,6 +320,25 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                 order_id=1),
             properties={"write.distribution-mode": "range"})
         t.append(li)
+
+        # encrypted-table fixture: AES-GCM parquet via pyarrow PME
+        # (in-memory KMS; KEK shipped in properties for executor-side
+        # reconstruction — test-only by definition); read back through
+        # the Python DataSource (iceberg_encrypted_scan)
+        import base64 as _b64
+        from iceberg_go_spark.encryption import append_encrypted
+        nat = _read(spark, sf_dir, "nation")
+        t = cat.create_table(
+            "db.nation_enc", Schema.from_spark(nat.schema),
+            properties={
+                "format-version": "3",
+                "encryption.table-key-id": "fixture-key",
+                "kms-type": "memory",
+                "encryption.kms.memory.keys":
+                    "fixture-key:" +
+                    _b64.b64encode(b"0123456789abcdef").decode(),
+            })
+        append_encrypted(t, spark, nat)
 
         with open(marker, "w") as f:
             f.write(FIXTURE_VERSION)
@@ -3252,6 +3271,28 @@ SELECT lang, term, tf, score, rank::INT AS rank FROM r WHERE rank <= 5
 """
 
 
+
+def iceberg_encrypted_scan(spark, sf_dir):
+    """Scan of an AES-GCM-encrypted table (pyarrow Parquet Modular
+    Encryption, in-memory KMS envelope) through the Python DataSource —
+    the JVM reader cannot open these files without a classpath
+    KmsClient, the pyarrow executor path decrypts via the shipped
+    envelope properties (encryption.py; parity table/encryption.go:76,
+    encryption/kms.go:92-226)."""
+    cat = _fixtures(spark, sf_dir)
+    from iceberg_go_spark.sources.datasource import register
+    register(spark)
+    return (spark.read.format("iceberg_go_spark")
+            .option("warehouse", cat.warehouse)
+            .option("table", "db.nation_enc").load()
+            .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+ENCRYPTED_SCAN_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3260,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "iceberg_encrypted_scan": iceberg_encrypted_scan,
         "kmeans_topic_clusters": kmeans_topic_clusters,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -3362,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iceberg_encrypted_scan": ENCRYPTED_SCAN_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_regional_revenue": Q5_SQL,

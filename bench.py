@@ -93,6 +93,8 @@ EXTRA = [
     "duplicate_span_stats",
     "strip_duplicate_spans",
     "length_quantiles_by_source",
+    # round-7 additions
+    "iceberg_encrypted_scan",
 ]
 
 

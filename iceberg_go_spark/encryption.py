@@ -174,7 +174,23 @@ def load_key_management_client(props: Dict[str, str]) -> KeyManagementClient:
     return factory(props)
 
 
-register_kms("memory", lambda _props: InMemoryKMS())
+def _memory_kms_factory(props: Dict[str, str]) -> "InMemoryKMS":
+    """Built-in test KMS; the optional ``encryption.kms.memory.keys``
+    property ("keyid:base64kek,...") seeds KEKs so an executor-side
+    reconstruction (Python DataSource read) holds the same keys as the
+    driver.  Plaintext keys in table properties are TEST-ONLY by
+    definition — a real deployment registers a KMS type whose factory
+    reaches an external service instead."""
+    kms = InMemoryKMS()
+    for pair in filter(None, props.get(MEMORY_KMS_KEYS_KEY, "").split(",")):
+        kid, b64 = pair.split(":", 1)
+        kms.add_key(kid, base64.b64decode(b64))
+    return kms
+
+
+MEMORY_KMS_KEYS_KEY = "encryption.kms.memory.keys"
+
+register_kms("memory", _memory_kms_factory)
 
 
 # ---------------------------------------------------------------------------
@@ -331,3 +347,112 @@ def apply_parquet_encryption(spark, properties: Dict[str, str]) -> bool:
     for k, v in confs.items():
         hconf.set(k, v)
     return True
+
+
+# ---------------------------------------------------------------------------
+# pyarrow Parquet Modular Encryption (no JVM KmsClient needed)
+#
+# Spark's JVM PME path needs a KmsClient class on the classpath (absent
+# in this container), but pyarrow ships full PME: the Python DataSource
+# read path and a pyarrow write helper close the loop, so encrypted
+# parquet DATA (not just the metadata-plane DEK envelopes) round-trips
+# end-to-end.  Reference executes its envelope path natively
+# (table/encryption.go:76, encryption/kms.go:92-226).
+
+
+def _pyarrow_kms_adapter(props: Dict[str, str]):
+    """pyarrow KmsClient bridging to this module's KeyManagementClient:
+    pyarrow hands us (key bytes, master key id); wrapping delegates to
+    the registered KMS (AES-GCM for the in-memory one)."""
+    import pyarrow.parquet.encryption as pe
+
+    kms = load_key_management_client(props)
+
+    class _Adapter(pe.KmsClient):
+        def __init__(self, *_a):
+            pe.KmsClient.__init__(self)
+
+        def wrap_key(self, key_bytes, master_key_identifier):
+            return base64.b64encode(
+                kms.wrap_key(master_key_identifier,
+                             bytes(key_bytes))).decode("ascii")
+
+        def unwrap_key(self, wrapped_key, master_key_identifier):
+            if isinstance(wrapped_key, str):
+                wrapped_key = wrapped_key.encode("ascii")
+            return kms.unwrap_key(master_key_identifier,
+                                  base64.b64decode(wrapped_key))
+
+    return _Adapter
+
+
+def pyarrow_encryption_properties(properties: Dict[str, str],
+                                  column_names: List[str]):
+    """(crypto_factory, FileEncryptionProperties) for writing one
+    encrypted parquet file under the table's ``encryption.table-key-id``
+    (every column plus the footer under the table key — this pyarrow
+    exposes no uniform_encryption flag, so the column list is explicit).
+    Keep the factory referenced while the properties are in use."""
+    import pyarrow.parquet.encryption as pe
+    key_id = properties.get(TABLE_KEY_ID_KEY)
+    if not key_id:
+        raise EncryptionError(f"{TABLE_KEY_ID_KEY!r} is not set")
+    adapter = _pyarrow_kms_adapter(properties)
+    factory = pe.CryptoFactory(lambda _cfg: adapter())
+    conf = pe.KmsConnectionConfig()
+    enc = pe.EncryptionConfiguration(
+        footer_key=key_id, column_keys={key_id: list(column_names)})
+    return factory, factory.file_encryption_properties(conf, enc)
+
+
+def pyarrow_decryption_properties(properties: Dict[str, str]):
+    """(crypto_factory, FileDecryptionProperties) for reading parquet
+    files written via pyarrow_encryption_properties."""
+    import pyarrow.parquet.encryption as pe
+    adapter = _pyarrow_kms_adapter(properties)
+    factory = pe.CryptoFactory(lambda _cfg: adapter())
+    conf = pe.KmsConnectionConfig()
+    return factory, factory.file_decryption_properties(conf)
+
+
+def write_encrypted_parquet(arrow_table, path: str,
+                            properties: Dict[str, str]) -> None:
+    """Write one AES-GCM-encrypted parquet file (footer + all columns
+    under the table key's envelope; pyarrow generates and wraps the
+    per-file DEKs, key material stored in-file)."""
+    import pyarrow.parquet as pq
+    factory, enc = pyarrow_encryption_properties(
+        properties, list(arrow_table.schema.names))
+    pq.write_table(arrow_table, path, encryption_properties=enc)
+
+
+def append_encrypted(table, spark, df) -> None:
+    """Append a Spark DataFrame as ONE pyarrow-PME-encrypted data file.
+
+    Spark's JVM writer can't encrypt without a JVM KmsClient, so the
+    rows funnel through the driver here — this is the container-bound
+    demonstration path, not the 100 TB path (which configures
+    spark_parquet_encryption_confs on a cluster whose classpath has a
+    KmsClient and keeps writes distributed).  The file enters the table
+    through a normal transaction with footer-true stats unavailable
+    (encrypted footer): record_count from the arrow table, no bounds."""
+    import os as _os
+    import uuid as _uuid
+
+    from .meta import manifests as M
+
+    props = table.metadata.properties
+    atable = df.toArrow()
+    data_dir = _os.path.join(table.metadata.location, "data")
+    _os.makedirs(data_dir, exist_ok=True)
+    path = _os.path.join(data_dir, f"enc-{_uuid.uuid4().hex}.parquet")
+    write_encrypted_parquet(atable, path, props)
+    key_id = props.get(TABLE_KEY_ID_KEY)
+    kms = load_key_management_client(props)
+    _dek, key_meta = generate_file_key(kms, key_id)
+    dfile = M.DataFile(
+        content=M.CONTENT_DATA, file_path=path, file_format="PARQUET",
+        partition={}, record_count=atable.num_rows,
+        file_size_in_bytes=_os.path.getsize(path),
+        key_metadata=key_meta)
+    table.new_transaction().append_files([dfile]).commit()

@@ -125,7 +125,8 @@ class _Reader(DataSourceReader):
         # v3 initial-defaults, captured at construction (driver-side) so
         # the pickled-to-executor reader can fill columns absent from
         # old files in read()
-        _schema = _load_table(options).schema()
+        _t = _load_table(options)
+        _schema = _t.schema()
         self._defaults = {
             f.name: f.initial_default
             for f in _schema.fields
@@ -133,6 +134,15 @@ class _Reader(DataSourceReader):
         # field-id -> column name, so executors can resolve the
         # equality_ids of attached eq-delete files without the table
         self._col_by_id = {f.field_id: f.name for f in _schema.fields}
+        # encrypted tables: ship the encryption properties (a plain
+        # dict, picklable) so each executor can rebuild its KMS client
+        # and decrypt parquet via pyarrow PME — the JVM reader can't
+        # without a classpath KmsClient (encryption.py, parity
+        # table/encryption.go:76)
+        from ..encryption import table_encryption_enabled
+        self._enc_props = (dict(_t.metadata.properties)
+                           if table_encryption_enabled(
+                               _t.metadata.properties) else None)
 
     def pushFilters(self, filters):
         """Use supported filters to prune FILES at planning time; return
@@ -179,7 +189,13 @@ class _Reader(DataSourceReader):
 
         (task,) = decode_tasks(partition.value)
         df_meta = task.data_file
-        pf = pq.ParquetFile(df_meta.file_path)
+        if getattr(self, "_enc_props", None):
+            from ..encryption import pyarrow_decryption_properties
+            _factory, dec = pyarrow_decryption_properties(self._enc_props)
+            pf = pq.ParquetFile(df_meta.file_path,
+                                decryption_properties=dec)
+        else:
+            pf = pq.ParquetFile(df_meta.file_path)
 
         # row groups whose byte range starts inside [start, start+length)
         # (split_tasks carves on row-group boundaries, same rule here)

@@ -183,3 +183,51 @@ def test_unencrypted_table_has_no_key_metadata(spark, tmp_path):
     t = t.append(df)
     assert all(k.data_file.key_metadata is None
                for k in t.scan().plan_files())
+
+
+def test_encrypted_datafile_roundtrip_datasource(spark, sf_dir, tmp_path):
+    """End-to-end encrypted DATA (not just metadata-plane envelopes)
+    without a JVM KmsClient: write an AES-GCM parquet file via pyarrow
+    PME under the in-memory KMS, commit it through a normal transaction,
+    and read it back decrypted through the Python DataSource.  The JVM
+    relational path must FAIL on the same file (proves it is actually
+    encrypted).  Reference executes its envelope path natively
+    (table/encryption.go:76, encryption/kms.go:92-226)."""
+    import base64
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from conftest import read_table
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.encryption import append_encrypted
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.sources.datasource import register
+
+    kek = base64.b64encode(b"0123456789abcdef").decode()
+    props = {
+        "format-version": "3",
+        "encryption.table-key-id": "t-key",
+        "kms-type": "memory",
+        "encryption.kms.memory.keys": f"t-key:{kek}",
+    }
+    wh = str(tmp_path / "wh")
+    cat = FilesystemCatalog(wh)
+    df = read_table(spark, "region", sf_dir)
+    t = cat.create_table("db.enc", Schema.from_spark(df.schema),
+                         properties=props)
+    append_encrypted(t, spark, df)
+
+    # the parquet file on disk is really encrypted: plain pyarrow fails
+    task = t.scan().plan_files()[0]
+    assert task.data_file.key_metadata is not None
+    with _pytest.raises(Exception):
+        pq.read_table(task.data_file.file_path)
+
+    # Python DataSource decrypts via the shipped properties
+    register(spark)
+    out = (spark.read.format("iceberg_go_spark")
+           .option("warehouse", wh).option("table", "db.enc").load())
+    got = {(r.r_regionkey, r.r_name) for r in out.collect()}
+    want = {(r.r_regionkey, r.r_name) for r in df.collect()}
+    assert got == want
