@@ -3293,6 +3293,37 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+
+def token_frequency_quality(spark, sf_dir):
+    """Corpus-frequency quality signals (CCNet-class common-token
+    heuristic, exact integers): mean relative token frequency and hapax
+    ratio per document (operators/curation.py token_frequency_quality)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.token_frequency_quality(docs)
+
+
+TOKEN_FREQ_SQL = """
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents),
+cnt AS (SELECT w, COUNT(*)::BIGINT AS c FROM toks GROUP BY w),
+tot AS (SELECT SUM(c)::HUGEINT AS n FROM cnt),
+per AS (SELECT doc_id, COUNT(*)::BIGINT AS nt, SUM(c)::BIGINT AS sc,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS h
+        FROM toks JOIN cnt USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(nt, 0) AS n_tokens,
+       (CASE WHEN COALESCE(nt, 0) = 0 THEN 0
+             ELSE (sc::HUGEINT * 1000000) // (nt::HUGEINT * tot.n)
+        END)::BIGINT AS mean_token_freq_e6,
+       (CASE WHEN COALESCE(nt, 0) = 0 THEN 0
+             ELSE (h::HUGEINT * 1000000) // nt::HUGEINT
+        END)::BIGINT AS hapax_ratio_e6
+FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3301,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "token_frequency_quality": token_frequency_quality,
         "iceberg_encrypted_scan": iceberg_encrypted_scan,
         "kmeans_topic_clusters": kmeans_topic_clusters,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -3404,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_frequency_quality": TOKEN_FREQ_SQL,
         "iceberg_encrypted_scan": ENCRYPTED_SCAN_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,

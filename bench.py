@@ -95,6 +95,7 @@ EXTRA = [
     "length_quantiles_by_source",
     # round-7 additions
     "iceberg_encrypted_scan",
+    "token_frequency_quality",
 ]
 
 

@@ -583,3 +583,60 @@ def length_quantile_profile(df: DataFrame, value_col: str = "n_chars",
         aggs.append(F.min(F.when(F.col("__cum") >= idx + 1, F.col("__v")))
                     .alias(tag))
     return h.groupBy(strat_col).agg(*aggs)
+
+
+def token_frequency_quality(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency quality signals per document (the common-token
+    heuristic of CCNet-class pipelines, arXiv:1911.00359, re-expressed
+    without a language model): documents made of corpus-common tokens
+    score high, token-noise (OCR garbage, base64, mangled boilerplate)
+    scores low.  Returns one row per document:
+
+    - ``n_tokens``
+    - ``mean_token_freq_e6`` — mean relative corpus frequency of the
+      document's tokens in exact integer micro-units:
+      trunc(sum(count(tok)) * 1e6 / (n_tokens * corpus_tokens)).
+    - ``hapax_ratio_e6`` — fraction of tokens occurring exactly once in
+      the whole corpus (micro-units); high hapax mass = noise-like.
+
+    Every value is exact integer arithmetic (DECIMAL(38,0) products so
+    the formula survives 100-TB token counts, trunc division identical
+    on Spark `div` / DuckDB `//`) — the same no-float contract as the
+    cosine family.
+
+    Scale shape (100 TB): explode to one row per token (inherent to any
+    token-level signal), ONE map-side-combinable token-count aggregation
+    (vocabulary-sized output), one equi-join of tokens to counts keyed
+    by token (vocabularies follow Zipf — the count side is small enough
+    to broadcast at sane vocab sizes, and a skewed head token is still a
+    single-key join, not a cartesian), one per-doc rollup sharing the
+    doc_id partitioning, and a one-row corpus-total broadcast (declared
+    scalar cross join).  No collect, no window over the corpus."""
+    toks = _words(rebalance_for_amplification(df), text_col, id_col)
+    counts = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__ctot"))
+    dec = "decimal(38,0)"
+    per_doc = (toks.join(counts, "__w")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.sum("__c").alias("__sc"),
+                    F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                    .alias("__h")))
+    mean_e6 = F.expr(
+        f"CAST(__sc AS {dec}) * 1000000 div "
+        f"(CAST(__n AS {dec}) * CAST(__ctot AS {dec}))")
+    hapax_e6 = F.expr(
+        f"CAST(__h AS {dec}) * 1000000 div CAST(__n AS {dec})")
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .crossJoin(F.broadcast(total))
+            .select(F.col(id_col),
+                    F.coalesce("__n", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.when(F.coalesce("__n", F.lit(0)) == 0,
+                           F.lit(0).cast("long"))
+                    .otherwise(mean_e6).alias("mean_token_freq_e6"),
+                    F.when(F.coalesce("__n", F.lit(0)) == 0,
+                           F.lit(0).cast("long"))
+                    .otherwise(hapax_e6).alias("hapax_ratio_e6")))

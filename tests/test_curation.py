@@ -564,3 +564,21 @@ def test_length_quantile_profile_exact_indices(spark):
         assert r["p5"] == brute(vals, 0.5)
         assert r["p9"] == brute(vals, 0.9)
         assert r["p99"] == brute(vals, 0.99)
+
+
+def test_token_frequency_quality_exact(spark):
+    """Hand-computed corpus: 'a' occurs 4x, 'b' 2x, 'z' 1x (7 total).
+    doc1 = 'a a b' -> mean freq = (4+4+2)/(3*7); hapax 0.
+    doc3 = 'z'     -> mean freq = 1/7, hapax ratio 1. Null text -> zeros."""
+    from iceberg_go_spark.operators.curation import token_frequency_quality
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b"), (3, "z"), (4, None)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in token_frequency_quality(df).collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[1].mean_token_freq_e6 == (10 * 1_000_000) // (3 * 7)
+    assert rows[1].hapax_ratio_e6 == 0
+    assert rows[3].n_tokens == 1
+    assert rows[3].mean_token_freq_e6 == 1_000_000 // 7
+    assert rows[3].hapax_ratio_e6 == 1_000_000
+    assert rows[4].n_tokens == 0 and rows[4].mean_token_freq_e6 == 0
