@@ -1950,9 +1950,12 @@ def ann_topk_bruteforce(spark, sf_dir):
         .withColumn("__q", V.quantize(F.col("embedding")))
     qs = _queries_df(spark, sf_dir) \
         .withColumn("__qq", V.quantize(F.col("query_vec")))
+    emb = emb.withColumn("__na", V.norm_sq(F.col("__q")))
+    qs = qs.withColumn("__nb", V.norm_sq(F.col("__qq")))
     joined = emb.crossJoin(F.broadcast(qs)) \
         .filter(F.col("vec_id") != F.col("query_id"))
-    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
+                                   F.col("__na"), F.col("__nb"))
     w = W.partitionBy("query_id").orderBy(
         cos.desc(), F.col("vec_id"))
     return (joined.withColumn("cosine_e6", cos)
@@ -1968,17 +1971,23 @@ def embedding_near_dup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings") \
         .withColumn("__q", V.quantize(F.col("embedding"))) \
         .withColumn("__bucket", V.sign_bucket(F.col("embedding")))
+    emb = emb.withColumn("__nsq", V.norm_sq(F.col("__q")))
     a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("__q").alias("__qa"), "__bucket")
+                   F.col("__q").alias("__qa"),
+                   F.col("__nsq").alias("__nsqa"), "__bucket")
     b = emb.select(F.col("vec_id").alias("id_b"),
                    F.col("__q").alias("__qb"),
+                   F.col("__nsq").alias("__nsqb"),
                    F.col("__bucket").alias("__bucket_b"))
-    cos = V.quantized_cosine_e6(F.col("__qa"), F.col("__qb"))
+    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
+                                F.col("__nsqa"), F.col("__nsqb"),
+                                250_000)
+    cos = V.quantized_cosine_e6_nn(F.col("__qa"), F.col("__qb"),
+                                   F.col("__nsqa"), F.col("__nsqb"))
     return (a.join(b, (F.col("id_a") < F.col("id_b")) &
                    (F.col("__bucket") == F.col("__bucket_b")))
-            .withColumn("cosine_e6", cos)
-            .filter(F.col("cosine_e6") >= 250_000)
-            .select("id_a", "id_b", "cosine_e6"))
+            .filter(hit)
+            .select("id_a", "id_b", cos.alias("cosine_e6")))
 
 
 def _near_dup_sql() -> str:
@@ -2030,9 +2039,12 @@ def ann_topk_bucketed(spark, sf_dir):
     qs = _queries_df(spark, sf_dir) \
         .withColumn("__qq", V.quantize(F.col("query_vec"))) \
         .withColumn("__bucket", V.sign_bucket(F.col("query_vec")))
+    emb = emb.withColumn("__na", V.norm_sq(F.col("__q")))
+    qs = qs.withColumn("__nb", V.norm_sq(F.col("__qq")))
     joined = emb.join(F.broadcast(qs), on="__bucket") \
         .filter(F.col("vec_id") != F.col("query_id"))
-    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
+                                   F.col("__na"), F.col("__nb"))
     w = W.partitionBy("query_id").orderBy(
         cos.desc(), F.col("vec_id"))
     return (joined.withColumn("cosine_e6", cos)
@@ -3324,6 +3336,64 @@ FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
 """
 
 
+
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): m=2 subspace
+    codebooks (4 seed centroids each, iters=1), vectors stored as 2
+    small codes, query scoring via per-subspace ADC lookup tables —
+    the corpus never touches full vectors at query time
+    (operators/similarity.py pq_topk)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    return SIM.pq_topk(emb, qs, k=10, m=2, n_centroids=4, iters=1)
+
+
+def _pq_sql(m: int = 2, n_centroids: int = 4, dim: int = 64,
+            nq: int = 5, k: int = 10) -> str:
+    sub = dim // m
+    ctes = [
+        f"q AS (SELECT vec_id, {V.quantize_sql('embedding')} AS qq "
+        f"FROM embeddings)",
+        f"seeds AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT"
+        f" AS code, qq FROM q ORDER BY vec_id LIMIT {n_centroids})",
+        f"qs AS (SELECT vec_id AS query_id, qq FROM q "
+        f"ORDER BY vec_id LIMIT {nq})",
+    ]
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        cos = V.quantized_cosine_e6_sql(f"v.qq[{lo}:{hi}]",
+                                        f"s.qq[{lo}:{hi}]")
+        ctes.append(
+            f"c{mi} AS (SELECT vec_id, code FROM ("
+            f"SELECT v.vec_id, s.code, row_number() OVER ("
+            f"PARTITION BY v.vec_id ORDER BY {cos} DESC, s.code) AS rn "
+            f"FROM q v, seeds s) WHERE rn = 1)")
+        dot = (f"(list_sum(list_transform(range(1, {sub} + 1), "
+               f"i -> qs.qq[{lo}:{hi}][i] * s.qq[{lo}:{hi}][i]))::BIGINT)")
+        ctes.append(
+            f"t{mi} AS (SELECT qs.query_id, s.code, "
+            f"{dot} * 1000000 AS tv FROM qs, seeds s)")
+    score = " + ".join(f"t{mi}.tv" for mi in range(m))
+    joins = ["c0"]
+    for mi in range(1, m):
+        joins.append(f"JOIN c{mi} USING (vec_id)")
+    joins.append("JOIN t0 ON t0.code = c0.code")
+    for mi in range(1, m):
+        joins.append(f"JOIN t{mi} ON t{mi}.code = c{mi}.code "
+                     f"AND t{mi}.query_id = t0.query_id")
+    cte_body = ",\n".join(ctes)
+    return f"""
+WITH {cte_body}
+SELECT query_id, vec_id, adc_score, rank FROM (
+  SELECT t0.query_id, c0.vec_id, ({score})::BIGINT AS adc_score,
+         row_number() OVER (PARTITION BY t0.query_id
+                            ORDER BY ({score}) DESC, c0.vec_id)::INT AS rank
+  FROM {' '.join(joins)}
+  WHERE c0.vec_id <> t0.query_id)
+WHERE rank <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3332,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "ann_topk_pq": ann_topk_pq,
         "token_frequency_quality": token_frequency_quality,
         "iceberg_encrypted_scan": iceberg_encrypted_scan,
         "kmeans_topic_clusters": kmeans_topic_clusters,
@@ -3436,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_topk_pq": _pq_sql(),
         "token_frequency_quality": TOKEN_FREQ_SQL,
         "iceberg_encrypted_scan": ENCRYPTED_SCAN_SQL,
         "q1_pricing_summary": Q1_SQL,

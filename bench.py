@@ -96,6 +96,7 @@ EXTRA = [
     # round-7 additions
     "iceberg_encrypted_scan",
     "token_frequency_quality",
+    "ann_topk_pq",
 ]
 
 

@@ -88,6 +88,58 @@ def isqrt_sql(p: str) -> str:
         f"__j -> (__y+__j)*(__y+__j) <= __p)))[1])[1]")
 
 
+def trunc_div(num: Column, den: Column) -> Column:
+    """Exact integral trunc(num/den) for den > 0 as a long Column.
+
+    (num - num % den) is exactly divisible by den and both operands stay
+    below 2^53 in every caller's domain, so the IEEE double quotient IS
+    the integral quotient — no rounding enters.  Java % follows the
+    dividend's sign, making the result truncation toward zero, matching
+    DuckDB's integer `//` (pinned by test_trunc_div_semantics)."""
+    return ((num - num % den) / den).cast("long")
+
+
+def norm_sq(qa: Column) -> Column:
+    """Exact long sum of squares of a quantized vector.  Hot-path
+    consumers precompute this ONCE PER ROW before a pair join — inside
+    quantized_cosine_e6 the norm aggregates sit under the isqrt
+    correction tree and get re-evaluated per PAIR (measured 3.5x on the
+    SemDeDup within-cluster join at sf0.1)."""
+    return F.aggregate(qa, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+
+
+def dot_long(qa: Column, qb: Column) -> Column:
+    """Exact long dot product of two quantized vectors."""
+    return F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def quantized_cosine_e6_nn(qa: Column, qb: Column,
+                           na: Column, nb: Column) -> Column:
+    """quantized_cosine_e6 with the squared norms supplied as (cheap,
+    usually precomputed-per-row) columns — identical integers, far
+    fewer aggregate evaluations on pair joins."""
+    s = isqrt_long(na * nb)
+    num = dot_long(qa, qb) * F.lit(1_000_000).cast("long")
+    q = ((num - num % s) / s).cast("long")
+    return F.when(s == 0, F.lit(0).cast("long")).otherwise(q)
+
+
+def cosine_ge_threshold(qa: Column, qb: Column, na: Column, nb: Column,
+                        thr_e6: int) -> Column:
+    """Predicate equivalent to ``quantized_cosine_e6 >= thr_e6`` for
+    thr_e6 >= 1, with NO division and the dot aggregate evaluated once:
+    trunc(num/s) >= t  <=>  num >= t*s  (s > 0, integer t >= 1; and for
+    s == 0 the cosine is defined 0 < t, both sides false).  This is the
+    hot shape for similarity FILTERS (near-dup, SemDeDup) — the full
+    micro-cosine is only worth computing on surviving pairs."""
+    if thr_e6 < 1:
+        raise ValueError("cosine_ge_threshold requires thr_e6 >= 1")
+    s = isqrt_long(na * nb)
+    return (dot_long(qa, qb) * F.lit(1_000_000).cast("long")
+            >= F.lit(int(thr_e6)).cast("long") * s)
+
+
 def quantized_cosine_e6(qa: Column, qb: Column) -> Column:
     """Micro-cosine of two integer-quantized vectors as an exact LONG:
     trunc((dot * 1e6) / isqrt(na * nb)).

