@@ -160,6 +160,178 @@ def discover_partitioned_files(out_dir: str, ptype: T.StructType
     return files
 
 
+def _jvm_stat_value(st, tstr: str, is_min: bool):
+    """Convert a JVM parquet Statistics min/max into the python value
+    the bounds pipeline expects for iceberg type ``tstr``; raises for
+    types without a safe conversion (decimal/uuid -> no bounds)."""
+    import datetime as dt
+    if tstr == "string":
+        b = bytes(st.getMinBytes() if is_min else st.getMaxBytes())
+        return b.decode("utf-8", "replace")
+    if tstr == "binary" or tstr.startswith("fixed"):
+        return bytes(st.getMinBytes() if is_min else st.getMaxBytes())
+    v = st.genericGetMin() if is_min else st.genericGetMax()
+    if tstr in ("int", "long"):
+        return int(v)
+    if tstr in ("float", "double"):
+        return float(v)
+    if tstr == "boolean":
+        return bool(v)
+    if tstr == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=int(v))
+    if tstr.startswith("timestamptz"):
+        return (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                + dt.timedelta(microseconds=int(v)))
+    if tstr.startswith("timestamp"):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(v))
+    raise ValueError(f"no footer-bound conversion for {tstr}")
+
+
+def _harvest_via_jvm_footers(spark, paths: List[str],
+                             name_to_field: Dict[str, Tuple[int, str]],
+                             shred_map: Dict[str, Tuple[int, str, str]],
+                             truncate_len: int,
+                             variant_fids: Dict[str, int]
+                             ) -> List[Dict[str, Any]]:
+    """Footer harvest for variant-bearing files through Spark's JVM
+    parquet reader (parquet-java reads VARIANT-typed footers fine; this
+    container's pyarrow cannot).  Produces the full footer parity the
+    reference gets natively (parquet_files.go:168): record counts,
+    per-column compressed sizes, value/null counts, min/max bounds
+    (including shredded-variant leaf paths), and row-group
+    split_offsets — all of which the Spark-aggregation fallback cannot
+    provide.
+
+    Driver-side by necessity (the py4j gateway lives on the driver); at
+    very large per-commit file counts prefer splitting commits or
+    accept O(files) ~ms-each footer reads — still metadata-only I/O,
+    never data pages."""
+    from ..meta.conversions import to_bytes as _to_bytes
+    from ..types import type_from_str as _tfs
+
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    out_list: List[Dict[str, Any]] = []
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
+            .fromPath(jpath, conf)
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            footer = rdr.getFooter()
+            blocks = footer.getBlocks()
+            pschema = footer.getFileMetaData().getSchema()
+            has_ids = any(
+                pschema.getFields().get(i).getId() is not None
+                for i in range(pschema.getFieldCount()))
+            out: Dict[str, Any] = {
+                "path": p, "has_field_ids": bool(has_ids),
+                "record_count": 0, "file_size": os.path.getsize(p),
+                "column_sizes": {}, "value_counts": {},
+                "null_counts": {},
+                "lower": {}, "upper": {}, "split_offsets": [],
+            }
+            mins: Dict[int, Any] = {}
+            maxs: Dict[int, Any] = {}
+            types: Dict[int, Any] = {}
+            vmins: Dict[Tuple[int, str], Any] = {}
+            vmaxs: Dict[Tuple[int, str], Any] = {}
+            for bi in range(blocks.size()):
+                b = blocks.get(bi)
+                out["record_count"] += b.getRowCount()
+                out["split_offsets"].append(int(b.getStartingPos()))
+                cols = b.getColumns()
+                for ci in range(cols.size()):
+                    c = cols.get(ci)
+                    dotted = c.getPath().toDotString()
+                    top = dotted.split(".", 1)[0]
+                    st = c.getStatistics()
+                    st_ok = (st is not None and not st.isEmpty()
+                             and st.hasNonNullValue())
+                    sm = shred_map.get(dotted)
+                    if sm is not None:
+                        vfid, norm, tstr = sm
+                        if st_ok:
+                            try:
+                                mn = _jvm_stat_value(st, tstr, True)
+                                mx = _jvm_stat_value(st, tstr, False)
+                            except (ValueError, TypeError):
+                                continue
+                            k = (vfid, norm)
+                            if k not in vmins or _lt(mn, vmins[k]):
+                                vmins[k] = mn
+                            if k not in vmaxs or _lt(vmaxs[k], mx):
+                                vmaxs[k] = mx
+                        continue
+                    if top in variant_fids:
+                        # variant interior leaves (metadata/value/...)
+                        # contribute to the variant column's size only
+                        vfid = variant_fids[top]
+                        out["column_sizes"][vfid] = \
+                            out["column_sizes"].get(vfid, 0) + \
+                            int(c.getTotalSize())
+                        continue
+                    info = name_to_field.get(dotted) \
+                        or name_to_field.get(top)
+                    if info is None:
+                        continue
+                    fid, tstr = info
+                    out["column_sizes"][fid] = \
+                        out["column_sizes"].get(fid, 0) + \
+                        int(c.getTotalSize())
+                    if "." in dotted:
+                        continue
+                    if fid not in types:
+                        types[fid] = _tfs(tstr)
+                    out["value_counts"][fid] = \
+                        out["value_counts"].get(fid, 0) + \
+                        int(c.getValueCount())
+                    if st is not None and st.isNumNullsSet():
+                        out["null_counts"][fid] = \
+                            out["null_counts"].get(fid, 0) + \
+                            int(st.getNumNulls())
+                    if st_ok:
+                        try:
+                            mn = _jvm_stat_value(st, tstr, True)
+                            mx = _jvm_stat_value(st, tstr, False)
+                        except (ValueError, TypeError):
+                            continue
+                        if fid not in mins or _lt(mn, mins[fid]):
+                            mins[fid] = mn
+                        if fid not in maxs or _lt(maxs[fid], mx):
+                            maxs[fid] = mx
+            for fid, mn in mins.items():
+                try:
+                    out["lower"][fid] = _to_bytes(
+                        types[fid], _truncate_lower(mn, truncate_len))
+                except (TypeError, ValueError):
+                    pass
+            for fid, mx in maxs.items():
+                mx2 = _truncate_upper(mx, truncate_len)
+                if mx2 is None:
+                    continue
+                try:
+                    out["upper"][fid] = _to_bytes(types[fid], mx2)
+                except (TypeError, ValueError):
+                    pass
+            if vmins or vmaxs:
+                vl: Dict[int, Dict[str, Any]] = {}
+                vu: Dict[int, Dict[str, Any]] = {}
+                for (vfid, norm), v in vmins.items():
+                    vl.setdefault(vfid, {})[norm] = \
+                        _truncate_lower(v, truncate_len)
+                for (vfid, norm), v in vmaxs.items():
+                    v2 = _truncate_upper(v, truncate_len)
+                    if v2 is not None:
+                        vu.setdefault(vfid, {})[norm] = v2
+                out["variant_lower"] = vl
+                out["variant_upper"] = vu
+            out_list.append(out)
+        finally:
+            rdr.close()
+    return out_list
+
+
 def _harvest_via_spark(spark, paths: List[str],
                        name_to_field: Dict[str, Tuple[int, str]],
                        shred_map: Dict[str, Tuple[int, str, str]],
@@ -664,10 +836,19 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     if has_variant:
         # this container's pyarrow cannot open footers carrying the
         # VARIANT logical type (unrecognized Thrift LogicalType — same
-        # env limitation as GEOMETRY), so stats come from ONE Spark
-        # aggregation grouped by file instead of a footer pass
-        stats_list = _harvest_via_spark(spark, paths, name_to_field,
-                                        shred_map, truncate_len)
+        # env limitation as GEOMETRY), but parquet-java CAN: harvest
+        # through the JVM gateway for full footer parity (column sizes,
+        # split offsets, bounds incl. shredded leaves); fall back to
+        # the one-pass Spark aggregation if the JVM classes are absent
+        variant_fids = {f.name: f.field_id for f in schema.fields
+                        if isinstance(f.field_type, T.VariantType)}
+        try:
+            stats_list = _harvest_via_jvm_footers(
+                spark, paths, name_to_field, shred_map, truncate_len,
+                variant_fids)
+        except Exception:  # pragma: no cover - gateway/classpath envs
+            stats_list = _harvest_via_spark(spark, paths, name_to_field,
+                                            shred_map, truncate_len)
     else:
         # harvest footers on executors: O(files) work never lands on
         # the driver

@@ -312,3 +312,34 @@ def test_variant_stats_harvest_url_encoded_path(spark, tmp_path):
     assert tasks and all(tk.data_file.record_count > 0 for tk in tasks)
     pred = E.gt(E.variant_get("v", "$.score", T.LongType()), 500)
     assert t.scan(pred).to_df(spark).count() == 499
+
+
+def test_variant_footer_harvest_jvm(spark, tmp_path):
+    """Variant-table writes must get FULL footer stats via the JVM
+    parquet reader (pyarrow can't open VARIANT footers): split_offsets
+    and column_sizes exist ONLY on that path, so their presence proves
+    the harvest didn't silently fall back to the Spark aggregation."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.range(0, 500).select(
+        "id", F.parse_json(F.concat(
+            F.lit('{"score": '), F.col("id").cast("string"),
+            F.lit('}'))).alias("v"))
+    t = cat.create_table("db.vfj", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df)
+    tasks = t.scan().plan_files()
+    assert tasks
+    for tk in tasks:
+        d = tk.data_file
+        assert d.split_offsets, "split_offsets missing: JVM path not used"
+        assert d.column_sizes, "column_sizes missing: JVM path not used"
+        # id column bounds present and correct type
+        sch = t.metadata.schema()
+        id_fid = sch.find_field("id").field_id
+        v_fid = sch.find_field("v").field_id
+        assert id_fid in d.lower_bounds
+        assert v_fid in d.column_sizes  # variant leaves attributed
+        assert d.record_count > 0
