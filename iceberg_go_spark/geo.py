@@ -312,3 +312,31 @@ def bbox_intersects_column(col, min_x: float, min_y: float, max_x: float,
         return s.map(one)
 
     return _test(col)
+
+
+def geo_type_from_parquet_annotation(ann: str):
+    """Map a parquet GEOMETRY/GEOGRAPHY logical-type annotation string
+    (parquet-java ``LogicalTypeAnnotation.toString()`` form, e.g.
+    ``GEOMETRY``, ``GEOMETRY(srid:5070)``, ``GEOGRAPHY(OGC:CRS84,
+    spherical)``) to the corresponding Iceberg geo type.  Used when
+    adopting externally-written geo parquet (the apache/parquet-testing
+    fixtures vendored by the reference at table/testdata/geo)."""
+    from . import types as T
+    s = ann.strip()
+    if s.startswith("GEOMETRY"):
+        inner = s[len("GEOMETRY"):].strip()
+        crs = inner[1:-1].strip() if inner.startswith("(") else ""
+        return T.GeometryType(crs=crs)
+    if s.startswith("GEOGRAPHY"):
+        inner = s[len("GEOGRAPHY"):].strip()
+        crs = algo = ""
+        if inner.startswith("("):
+            body = inner[1:-1]
+            # algorithm is a trailing ", <name>" only when the body isn't
+            # a projjson JSON object (which contains commas of its own)
+            if not body.lstrip().startswith("{") and "," in body:
+                crs, algo = (p.strip() for p in body.rsplit(",", 1))
+            else:
+                crs = body.strip()
+        return T.GeographyType(crs=crs, algorithm=algo)
+    raise ValueError(f"not a geo annotation: {ann!r}")

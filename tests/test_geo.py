@@ -317,3 +317,121 @@ def test_bbox_empty_geometry_matches_neither_op(spark, tmp_path):
                  .to_df(spark).collect())
     assert pos == [0]
     assert neg == [1]  # empty (2) and null (3) excluded from both
+
+
+_GEO_FIX = "/root/reference/table/testdata/geo"
+
+
+def _wkt_xy_bbox(wkt: str):
+    """Bounding box of a WKT string's finite x/y coordinates (tuples are
+    'x y [z [m]]' — only the leading pair feeds the xy box)."""
+    import math
+    import re
+    xs, ys = [], []
+    for tup in re.findall(r"[-+0-9.eE nanNA]+", wkt):
+        nums = []
+        for tok in tup.split():
+            try:
+                nums.append(float(tok))
+            except ValueError:
+                break
+        if len(nums) >= 2:
+            if not math.isnan(nums[0]):
+                xs.append(nums[0])
+            if not math.isnan(nums[1]):
+                ys.append(nums[1])
+    if not xs or not ys:
+        return None
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+@pytest.mark.parametrize("fixture", ["geospatial.parquet",
+                                     "geospatial-with-nan.parquet"])
+def test_golden_geo_fixtures_wkb_bounds(spark, fixture):
+    """apache/parquet-testing geospatial fixtures (vendored by the
+    reference at table/testdata/geo): our WKB walker's per-geometry
+    bounds must equal the bbox derived independently from the WKT
+    column, across every geometry class, EMPTY forms and NaN
+    coordinates.  Read with an explicit schema — Spark's schema
+    converter rejects the GEOMETRY annotation, but a binary-typed
+    read of the same column yields the raw WKB."""
+    import math
+    import os
+    p = os.path.join(_GEO_FIX, fixture)
+    if not os.path.exists(p):
+        pytest.skip("reference fixtures not present")
+    from iceberg_go_spark.geo import wkb_bounds_xy
+    rows = (spark.read.schema("group string, wkt string, geometry binary")
+            .parquet(p).collect())
+    assert rows
+    checked = 0
+    for r in rows:
+        if r.geometry is None:
+            continue
+        want = _wkt_xy_bbox(r.wkt or "")
+        got = wkb_bounds_xy(bytes(r.geometry))
+        if want is None:
+            assert got is None or got == (), (r.wkt, got)
+            continue
+        assert got is not None, (r.wkt,)
+        for g, w in zip(got, want):
+            assert math.isclose(g, w, rel_tol=1e-12, abs_tol=1e-12), \
+                (r.wkt, got, want)
+        checked += 1
+    assert checked >= 20 or "nan" in fixture
+
+
+def test_golden_geo_fixture_annotations(spark):
+    """The crs-variant fixtures' GEOMETRY/GEOGRAPHY logical annotations
+    must map onto our geo types (default CRS, srid:, projjson:, inline
+    projjson, geography)."""
+    import os
+    if not os.path.isdir(_GEO_FIX):
+        pytest.skip("reference fixtures not present")
+    from iceberg_go_spark import types as T
+    from iceberg_go_spark.geo import geo_type_from_parquet_annotation
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    expect = {
+        "crs-default.parquet": T.GeometryType(),
+        "crs-srid.parquet": T.GeometryType(crs="srid:5070"),
+        "crs-projjson.parquet":
+            T.GeometryType(crs="projjson:projjson_epsg_5070"),
+        "crs-geography.parquet": T.GeographyType(),
+    }
+    for fname, want in expect.items():
+        p = os.path.join(_GEO_FIX, fname)
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
+            .fromPath(jvm.org.apache.hadoop.fs.Path(p), conf)
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            sch = rdr.getFooter().getFileMetaData().getSchema()
+            anns = [sch.getFields().get(i).asPrimitiveType()
+                    .getLogicalTypeAnnotation()
+                    for i in range(sch.getFieldCount())
+                    if sch.getFields().get(i).isPrimitive()]
+            geo = [a for a in anns if a is not None and
+                   ("GEOMETRY" in a.toString() or
+                    "GEOGRAPHY" in a.toString())]
+            assert len(geo) == 1, fname
+            got = geo_type_from_parquet_annotation(geo[0].toString())
+            assert got == want, (fname, str(got), str(want))
+        finally:
+            rdr.close()
+    # the inline-projjson fixture parses to a GeometryType carrying the
+    # full JSON as its crs (exact JSON equality is writer-formatting
+    # dependent; structural check only)
+    p = os.path.join(_GEO_FIX, "crs-arbitrary-value.parquet")
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
+        .fromPath(jvm.org.apache.hadoop.fs.Path(p), conf)
+    rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        sch = rdr.getFooter().getFileMetaData().getSchema()
+        ann = sch.getFields().get(sch.getFieldCount() - 1) \
+            .asPrimitiveType().getLogicalTypeAnnotation().toString()
+    finally:
+        rdr.close()
+    import json
+    t = geo_type_from_parquet_annotation(ann)
+    assert isinstance(t, T.GeometryType) and t.crs.startswith("{")
+    assert json.loads(t.crs)["id"]["code"] == 5070
