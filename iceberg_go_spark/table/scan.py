@@ -470,8 +470,35 @@ class Scan:
                 # materialized so the delete/lineage joins below still work.
                 from ..meta.name_mapping import NameMapping
                 nm = NameMapping.from_json(nm_json) if nm_json else None
-                df = (spark.read.option("mergeSchema", "true")
-                      .parquet(*paths))
+                try:
+                    df = (spark.read.option("mergeSchema", "true")
+                          .parquet(*paths))
+                except Exception:
+                    # schema inference rejects GEOMETRY/unshredded
+                    # VARIANT annotations on externally-written files;
+                    # list the footer's top-level columns through the
+                    # JVM reader and read with an explicit schema (geo
+                    # lowers to binary, which the reader accepts)
+                    import pyspark.sql.types as ST
+                    fcols = _jvm_top_level_columns(spark, paths)
+                    by_name = {sf.name: sf.dataType
+                               for sf in spark_schema.fields}
+                    read_fields = []
+                    for c in fcols:
+                        fid = nm.id_for(c) if nm is not None else None
+                        tgt = None
+                        if fid is not None:
+                            fld = schema.find_field(fid) \
+                                if hasattr(schema, "find_field") else None
+                            # map through current name -> spark type
+                            cur = schema.find_column_name(fid)
+                            tgt = by_name.get(cur)
+                        if tgt is None:
+                            tgt = by_name.get(c)
+                        if tgt is not None:
+                            read_fields.append(ST.StructField(c, tgt, True))
+                    df = spark.read.schema(
+                        ST.StructType(read_fields)).parquet(*paths)
                 file_cols = set(df.columns)
                 by_id: Dict[int, List[str]] = {}
                 if nm is not None:
@@ -697,9 +724,17 @@ def _broadcast_row_limit() -> int:
 
 
 def _file_has_field_ids(path: str) -> bool:
-    """Executor-side footer probe: does this parquet file carry field IDs?"""
+    """Executor-side footer probe: does this parquet file carry field IDs?
+
+    pyarrow cannot open footers with VARIANT/GEOMETRY logical types —
+    such files are always externally written here (our writer stamps
+    ids through Spark), so an unreadable footer resolves name-based
+    (the conservative answer: name mapping handles both cases)."""
     import pyarrow.parquet as pq
-    sch = pq.ParquetFile(path).schema_arrow
+    try:
+        sch = pq.ParquetFile(path).schema_arrow
+    except OSError:
+        return False
     return any((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
 
 
@@ -923,3 +958,25 @@ def _match_deletes(entry: M.ManifestEntry, spec_id: int,
             continue  # partition-scoped delete for a different partition
         (pos if df.content == M.CONTENT_POS_DELETES else eq).append(df)
     return pos, eq
+
+
+def _jvm_top_level_columns(spark, paths: List[str]) -> List[str]:
+    """Union of top-level parquet field names across ``paths``, read
+    through the JVM footer reader (pyarrow cannot open GEOMETRY/VARIANT
+    footers; parquet-java can).  Driver-side metadata-only I/O."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    seen: List[str] = []
+    for p in paths:
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
+            .fromPath(jvm.org.apache.hadoop.fs.Path(p), conf)
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            sch = rdr.getFooter().getFileMetaData().getSchema()
+            for i in range(sch.getFieldCount()):
+                n = sch.getFields().get(i).getName()
+                if n not in seen:
+                    seen.append(n)
+        finally:
+            rdr.close()
+    return seen

@@ -448,11 +448,25 @@ class Transaction:
             raise ValueError("add_files currently requires an unpartitioned "
                              "table (no partition values in plain paths)")
         schema = self.metadata.schema()
-        from .write import _harvest_one
+        from .. import types as _T
+        from .write import _harvest_one, _harvest_via_jvm_footers
         name_to_field = {f.name: (f.field_id, str(f.field_type))
                          for f in schema.fields if f.field_type.is_primitive}
-        stats = spark.sparkContext.parallelize(paths, min(len(paths), 64)) \
-            .map(lambda p: _harvest_one(p, name_to_field, 16)).collect()
+        try:
+            stats = spark.sparkContext.parallelize(
+                paths, min(len(paths), 64)) \
+                .map(lambda p: _harvest_one(p, name_to_field, 16)).collect()
+        except Exception:
+            # pyarrow cannot open footers carrying VARIANT/GEOMETRY
+            # logical types — adopt such files through the JVM footer
+            # reader instead (driver-side, metadata-only I/O)
+            variant_fids = {f.name: f.field_id for f in schema.fields
+                            if isinstance(f.field_type, _T.VariantType)}
+            plain = {n: v for n, v in name_to_field.items()
+                     if n not in variant_fids
+                     and not v[1].startswith(("geometry", "geography"))}
+            stats = _harvest_via_jvm_footers(spark, paths, plain, {},
+                                             16, variant_fids)
         files = [M.DataFile(
             content=M.CONTENT_DATA, file_path=s["path"],
             file_format="PARQUET", partition={},
