@@ -155,8 +155,18 @@ def compact(table, spark: SparkSession,
                     if t.data_file.file_path not in set(group_paths)
                     for d in (t.pos_deletes + t.eq_deletes)}
     dead = sorted(dead_deletes - still_needed)
+    # v3 DVs: a puffin CONTAINER shared with surviving files stays live,
+    # but the per-file DV entries of COMPACTED files must be expunged in
+    # the same rewrite snapshot — no live entry may reference a removed
+    # data file (dv_rewrite_test.go guarantee; the reference's
+    # RewriteDataFiles covers both commit paths)
+    dv_refs_dropped = {
+        (d.file_path, d.referenced_data_file)
+        for t in tasks for d in t.pos_deletes
+        if d.referenced_data_file is not None}
 
-    keep = txn._rewrite_manifests_without(dropped + dead)
+    keep = txn._rewrite_manifests_without(dropped + dead,
+                                          dropped_dv_refs=dv_refs_dropped)
     txn.append_files(rewritten, operation=OP_REPLACE,
                      manifests_to_keep=keep,
                      removed_paths=dropped, removed_delete_paths=dead,

@@ -262,3 +262,58 @@ def test_canonical_java_puffin_files():
         _GOLDEN, "sample-metric-data-compressed-zstd.bin"))
     by_type_z = {b["type"]: zstd.read_blob(b) for b in zstd.blobs}
     assert by_type_z == by_type
+
+
+def test_partial_compaction_expunges_dv_entries(spark, sf_dir, tmp_path):
+    """Compacting a data file carrying a DV must expunge that DV's
+    manifest entry in the same rewrite snapshot, even when the puffin
+    CONTAINER is shared with surviving files (which keep their
+    entries) — no live entry may reference a removed data file
+    (parity: table/dv_rewrite_test.go)."""
+    from pyspark.sql import functions as F2
+
+    from conftest import read_table
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.table.maintenance import compact
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir).limit(4000)
+    t = cat.create_table("db.dvc", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df.repartition(1))                        # big file, survives
+    for i in range(3):                                 # small, compacted
+        t.append(df.limit(300).withColumn(
+            "o_orderkey", F2.col("o_orderkey") + 10_000_000 * (i + 1))
+            .repartition(1))
+    t = cat.load_table("db.dvc")
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")
+    t = cat.load_table("db.dvc")
+    tasks = t.scan().plan_files()
+    containers = {}
+    for tk in tasks:
+        for d in tk.pos_deletes:
+            containers.setdefault(d.file_path, set()) \
+                .add(d.referenced_data_file)
+    assert any(len(refs) > 1 for refs in containers.values()), \
+        "fixture must produce a SHARED DV container"
+    n_before = t.to_df(spark).count()
+    sizes = sorted(tk.data_file.file_size_in_bytes for tk in tasks)
+    t2 = compact(t, spark, target_size=sizes[-1] - 1, min_input_files=2)
+    assert t2.to_df(spark).count() == n_before
+    live_data = {tk.data_file.file_path for tk in t2.scan().plan_files()}
+    snap = t2.current_snapshot()
+    stale = [
+        e.data_file.referenced_data_file
+        for mf in M.read_manifest_list(snap.manifest_list)
+        for e in M.read_manifest(mf.manifest_path)[0]
+        if e.is_live and e.data_file.referenced_data_file is not None
+        and e.data_file.referenced_data_file not in live_data]
+    assert stale == []
+    # surviving file's DV still applies: its deleted rows stay deleted
+    surv = [tk for tk in t2.scan().plan_files()
+            if tk.pos_deletes]
+    assert surv, "surviving file must keep its DV"
