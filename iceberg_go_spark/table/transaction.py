@@ -108,12 +108,18 @@ def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
     (snapshot_producers.go existing/deleted entry classification).
     Untouched manifests are kept as-is (no rewrite cost)."""
     def _gone(df: M.DataFile) -> bool:
-        # drop by file path, or (for v3 DV entries superseded by a
-        # merged rewrite) by the (container, referenced-file) pair
+        # drop by file path; by the (container, referenced-file) pair
+        # (v3 DV entries superseded by a merged rewrite); or — for ANY
+        # delete entry that declares its single referenced data file —
+        # when that data file is itself dropped: a DV is 1:1 with its
+        # file, so a live entry referencing a removed file would
+        # violate the spec invariant in every caller (compaction, CoW
+        # delete, OCC re-apply, replace_data_files) at once
         return (df.file_path in dropped
                 or (df.referenced_data_file is not None
-                    and (df.file_path, df.referenced_data_file)
-                    in dropped_refs))
+                    and (df.referenced_data_file in dropped
+                         or (df.file_path, df.referenced_data_file)
+                         in dropped_refs)))
 
     out: List[M.ManifestFile] = []
     for mf in manifests:

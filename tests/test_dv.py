@@ -317,3 +317,51 @@ def test_partial_compaction_expunges_dv_entries(spark, sf_dir, tmp_path):
     surv = [tk for tk in t2.scan().plan_files()
             if tk.pos_deletes]
     assert surv, "surviving file must keep its DV"
+
+
+def test_cow_delete_expunges_dv_entries_of_rewritten_files(
+        spark, sf_dir, tmp_path):
+    """The generalized invariant: ANY operation that drops a data file
+    (here a copy-on-write delete rewriting DV-carrying files) must also
+    drop the DV entries referencing it, even when their shared puffin
+    container survives for other files."""
+    from pyspark.sql import functions as F2
+
+    from conftest import read_table
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.schema import Schema
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir).limit(2000)
+    t = cat.create_table("db.dvcow", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df.repartition(1))
+    t.append(df.withColumn("o_orderkey",
+                           F2.col("o_orderkey") + 10_000_000)
+             .repartition(1))
+    t = cat.load_table("db.dvcow")
+    # shared DV container across both files
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")
+    t = cat.load_table("db.dvcow")
+    n = t.to_df(spark).count()
+    # CoW delete that rewrites ONLY the second file (keys >= 10M)
+    t.delete_where(spark, E.and_(
+        E.gt_eq("o_orderkey", 10_000_000),
+        E.eq("o_orderstatus", "O")), mode="copy-on-write")
+    t = cat.load_table("db.dvcow")
+    live_data = {tk.data_file.file_path for tk in t.scan().plan_files()}
+    snap = t.current_snapshot()
+    stale = [
+        e.data_file.referenced_data_file
+        for mf in M.read_manifest_list(snap.manifest_list)
+        for e in M.read_manifest(mf.manifest_path)[0]
+        if e.is_live and e.data_file.referenced_data_file is not None
+        and e.data_file.referenced_data_file not in live_data]
+    assert stale == []
+    # the untouched file's DV still applies; deleted statuses stay gone
+    out = t.to_df(spark)
+    assert out.filter(F2.col("o_orderstatus") == "F").count() == 0
+    assert out.count() < n
