@@ -115,7 +115,7 @@ def _fixtures(spark: SparkSession, sf_dir: str):
     from iceberg_go_spark.meta.partitioning import spec_from_names
     from iceberg_go_spark.schema import Schema
 
-    FIXTURE_VERSION = "v18"  # bump when fixture definitions change
+    FIXTURE_VERSION = "v19"  # bump when fixture definitions change
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     wh = os.path.join("/tmp", "ibs_fixtures", tag)
     marker = os.path.join(wh, "_COMPLETE")
@@ -319,6 +319,19 @@ def _fixtures(spark: SparkSession, sf_dir: str):
                 [SortField(shipdate_id, parse_transform("identity"))],
                 order_id=1),
             properties={"write.distribution-mode": "range"})
+        t.append(li)
+
+        # z-ordered lineitem (write.distribution-mode=zorder over
+        # (l_orderkey, l_shipdate)): files carry tight bounds on BOTH
+        # dims, so single-dim range predicates prune
+        # (iceberg_zorder_scan; table/write.py _zorder_value)
+        t = cat.create_table(
+            "db.li_zorder", li_schema,
+            properties={
+                "write.distribution-mode": "zorder",
+                "write.zorder.columns": "l_orderkey,l_shipdate",
+                "write.target-file-size-bytes": str(256 * 1024),
+            })
         t.append(li)
 
         # encrypted-table fixture: AES-GCM parquet via pyarrow PME
@@ -3394,6 +3407,31 @@ WHERE rank <= {k}
 """
 
 
+
+def iceberg_zorder_scan(spark, sf_dir):
+    """Range scan over a Z-ORDER-clustered table: the Morton-interleaved
+    layout gives every file tight min/max bounds on BOTH z columns, so
+    this single-dimension shipdate predicate prunes files even though
+    the table is not sorted by shipdate alone (table/write.py
+    _zorder_value; pruning asserted in tests/test_plans.py)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_zorder")
+    import datetime
+    cutoff = datetime.datetime(1996, 1, 1)
+    scan = t.scan(E.and_(E.lt("l_shipdate", cutoff),
+                         E.lt("l_orderkey", 5000)),
+                  selected=["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_shipdate"])
+    return scan.to_df(spark)
+
+
+ZORDER_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_orderkey < 5000
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3402,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "iceberg_zorder_scan": iceberg_zorder_scan,
         "ann_topk_pq": ann_topk_pq,
         "token_frequency_quality": token_frequency_quality,
         "iceberg_encrypted_scan": iceberg_encrypted_scan,
@@ -3507,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
         "token_frequency_quality": TOKEN_FREQ_SQL,
         "iceberg_encrypted_scan": ENCRYPTED_SCAN_SQL,

@@ -97,6 +97,7 @@ EXTRA = [
     "iceberg_encrypted_scan",
     "token_frequency_quality",
     "ann_topk_pq",
+    "iceberg_zorder_scan",
 ]
 
 

@@ -38,6 +38,57 @@ PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
 PROP_METRICS_TRUNCATE = "write.metadata.metrics.truncate-length"
 DEFAULT_METRICS_TRUNCATE = 16
+PROP_ZORDER_COLUMNS = "write.zorder.columns"
+ZORDER_BITS = 8  # buckets per dimension; 8 bits x <=8 dims fits a long
+
+
+def _zorder_value(df: DataFrame, cols: List[str]):
+    """Z-order (Morton) key column over ``cols``: each column maps to a
+    2^ZORDER_BITS-bucket rank via its observed min/max (one tiny agg on
+    the driver — the same class of decision as a broadcast threshold),
+    and the buckets' bits interleave into one long.
+
+    Linear bucketing is deliberate: the mapping only shapes LAYOUT
+    (query results never see it), mild skew costs some pruning
+    selectivity but never correctness, and it needs no per-column
+    quantile pass over the corpus.  Numeric/date/timestamp columns
+    only; nulls cluster at bucket 0."""
+    n = len(cols)
+    if not 2 <= n <= 8:
+        raise ValueError("zorder needs 2..8 columns")
+    dtypes = dict(df.dtypes)
+
+    def num(c):
+        # temporal types have no direct double cast; go via timestamp
+        if dtypes.get(c, "").startswith(("timestamp", "date")):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(num(c)).alias(f"mn_{c}"),
+                 F.max(num(c)).alias(f"mx_{c}")]
+    row = df.agg(*aggs).first()
+    nbuckets = 1 << ZORDER_BITS
+    buckets = []
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            buckets.append(F.lit(0))
+            continue
+        span = mx - mn
+        b = F.floor((num(c) - F.lit(mn))
+                    / F.lit(span) * nbuckets).cast("long")
+        buckets.append(F.coalesce(
+            F.least(F.lit(nbuckets - 1), F.greatest(F.lit(0), b)),
+            F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(ZORDER_BITS):
+        for i, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * n + i).cast("long")
+    return z
 
 
 def _erase_metadata(dt):
@@ -728,17 +779,37 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
                 shred_map[f"{comp}.{cname}"] = (f.field_id, norm, str(t))
 
     writer_df, pcols = partition_columns(df, schema, spec)
+    zorder_cols = [c.strip() for c in
+                   properties.get(PROP_ZORDER_COLUMNS, "").split(",")
+                   if c.strip()]
     # write.distribution-mode=hash (the Iceberg default for partitioned
     # tables): shuffle rows to their partition before the fanout write, so
     # output files ≈ one-per-partition-per-target-size instead of
     # input_partitions × partition_values small files
     dist_mode = properties.get("write.distribution-mode",
                                "hash" if pcols else "none")
-    if dist_mode not in ("none", "hash", "range"):
+    if dist_mode not in ("none", "hash", "range", "zorder"):
         raise ValueError(
             f"unsupported write.distribution-mode: {dist_mode!r} "
-            "(none, hash, range)")
-    if dist_mode == "range":
+            "(none, hash, range, zorder)")
+    if dist_mode == "zorder":
+        # Z-order clustering: interleave the bits of rank-bucketed
+        # write.zorder.columns into one key, then range-distribute +
+        # sort on it.  Files get TIGHT min/max bounds on EVERY z
+        # dimension simultaneously, so a predicate on any one of them
+        # prunes — the multi-dimensional analogue of the sorted-table
+        # layout (a plain sort only helps its leading column).  The
+        # z key is a layout decision, never part of query results.
+        if not zorder_cols:
+            raise ValueError(
+                "write.distribution-mode=zorder requires "
+                f"{PROP_ZORDER_COLUMNS!r}")
+        zval = _zorder_value(writer_df, zorder_cols)
+        writer_df = (writer_df.withColumn("__zorder", zval)
+                     .repartitionByRange(F.col("__zorder"))
+                     .sortWithinPartitions("__zorder")
+                     .drop("__zorder"))
+    elif dist_mode == "range":
         # range distribution: globally cluster by (partition cols, sort
         # order) — each task holds a contiguous key range, so sorted
         # tables get non-overlapping file min/max bounds and range
@@ -751,7 +822,7 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
             writer_df = writer_df.repartitionByRange(*range_cols)
     elif pcols and dist_mode == "hash":
         writer_df = writer_df.repartition(*[F.col(c) for c in pcols])
-    if sort_order and not sort_order.is_unsorted:
+    if dist_mode != "zorder" and sort_order and not sort_order.is_unsorted:
         writer_df = writer_df.sortWithinPartitions(
             *sort_order.spark_columns(schema))
 

@@ -114,3 +114,48 @@ def test_exact_dedup_single_shuffle(spark, plans):
     # md5-groupBy dedup is one hash aggregation: exactly one exchange
     p = plans("dedup_exact")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark):
+    """Z-order layout (write.distribution-mode=zorder): files carry
+    tight bounds on EVERY z column, so a filter on either dimension
+    alone prunes files — a plain sort only helps its leading column."""
+    from conftest import read_table
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    import tempfile
+    from pyspark.sql import functions as F
+
+    cat = FilesystemCatalog(tempfile.mkdtemp())
+    li = read_table(spark, "lineitem", "/root/testdata/sf0.01")
+    t = cat.create_table(
+        "db.li_z", Schema.from_spark(li.schema),
+        properties={
+            "write.distribution-mode": "zorder",
+            "write.zorder.columns": "l_orderkey,l_shipdate",
+            # small files so the layout yields many prunable units
+            "write.target-file-size-bytes": str(64 * 1024),
+        })
+    t.append(li.repartition(8))
+    t = cat.load_table("db.li_z")
+    n_files = len(t.scan().plan_files())
+    assert n_files >= 4, "need multiple files to demonstrate pruning"
+
+    lo_key = li.agg(F.expr("percentile(l_orderkey, 0.1)")).first()[0]
+    sc1 = t.scan(E.lt("l_orderkey", int(lo_key)))
+    sc1.to_df(spark).count()
+    assert sc1.report.skipped_data_files > 0, "orderkey filter must prune"
+
+    cutoff = li.agg(F.expr(
+        "percentile(cast(cast(l_shipdate as timestamp) as double), 0.1)")) \
+        .first()[0]
+    import datetime
+    cutoff = datetime.datetime.utcfromtimestamp(cutoff)
+    sc2 = t.scan(E.lt("l_shipdate", cutoff))
+    sc2.to_df(spark).count()
+    assert sc2.report.skipped_data_files > 0, "shipdate filter must prune"
+
+    # correctness: z-ordered scan returns exactly the plain-filter rows
+    want = li.filter(F.col("l_orderkey") < int(lo_key)).count()
+    assert sc1.to_df(spark).count() == want
