@@ -39,6 +39,49 @@ DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
 PROP_METRICS_TRUNCATE = "write.metadata.metrics.truncate-length"
 DEFAULT_METRICS_TRUNCATE = 16
 PROP_ZORDER_COLUMNS = "write.zorder.columns"
+
+# Iceberg write.parquet.* table properties -> parquet-mr writer options
+# (spec property names per the reference, parquet_files.go:53-92; the
+# parquet-mr keys are what Spark's writer hands to the OutputFormat, so
+# a table carrying these properties gets the same physical layout from
+# either implementation)
+_PARQUET_PROP_MAP = {
+    "write.parquet.row-group-size-bytes": "parquet.block.size",
+    "write.parquet.page-size-bytes": "parquet.page.size",
+    "write.parquet.page-row-limit": "parquet.page.row.count.limit",
+    "write.parquet.dict-size-bytes": "parquet.dictionary.page.size",
+    "write.parquet.bloom-filter-max-bytes": "parquet.bloom.filter.max.bytes",
+    # parquet-mr key read as-is by Iceberg Java (parquet_files.go:88-92)
+    "parquet.enable.dictionary": "parquet.enable.dictionary",
+}
+_BLOOM_COL_PREFIX = "write.parquet.bloom-filter-enabled.column."
+_DICT_COL_PREFIX = "write.parquet.dict-encoding-enabled.column."
+
+
+def _parquet_writer_options(properties: Dict[str, str]) -> Dict[str, str]:
+    """Translate Iceberg ``write.parquet.*`` table properties to the
+    parquet-mr option keys Spark's writer understands (per-column bloom
+    filters and dictionary toggles use parquet-mr's ``key#column``
+    form)."""
+    out: Dict[str, str] = {}
+    for prop, opt in _PARQUET_PROP_MAP.items():
+        v = properties.get(prop)
+        if v is not None:
+            out[opt] = v
+    lvl = properties.get("write.parquet.compression-level")
+    if lvl is not None:
+        codec = properties.get("write.parquet.compression-codec", "zstd")
+        out[f"parquet.compression.codec.{codec}.level"] = lvl
+    ver = properties.get("write.parquet.page-version")
+    if ver is not None:
+        out["parquet.writer.version"] = \
+            {"1": "PARQUET_1_0", "2": "PARQUET_2_0"}.get(ver, ver)
+    for k, v in properties.items():
+        if k.startswith(_BLOOM_COL_PREFIX):
+            out[f"parquet.bloom.filter.enabled#{k[len(_BLOOM_COL_PREFIX):]}"] = v
+        elif k.startswith(_DICT_COL_PREFIX):
+            out[f"parquet.enable.dictionary#{k[len(_DICT_COL_PREFIX):]}"] = v
+    return out
 ZORDER_BITS = 8  # buckets per dimension; 8 bits x <=8 dims fits a long
 
 
@@ -836,6 +879,8 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
         .option("maxRecordsPerFile", str(max_records)) \
         .option("compression", properties.get("write.parquet.compression-codec",
                                               "zstd"))
+    for k, v in _parquet_writer_options(properties).items():
+        writer = writer.option(k, v)
     if pcols:
         writer = writer.partitionBy(*pcols)
     # live Parquet Modular Encryption when the table names a JVM

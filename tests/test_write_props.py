@@ -1,0 +1,68 @@
+"""Iceberg write.parquet.* property passthrough to the parquet writer
+(parity: table/internal/parquet_files.go:53-92 property names — the
+physical layout knobs a large-scale deployment tunes)."""
+
+import pytest
+
+from conftest import read_table
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+
+
+def _footer(spark, path):
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile \
+        .fromPath(jvm.org.apache.hadoop.fs.Path(path), conf)
+    return jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+
+
+def test_bloom_filter_and_row_group_properties(spark, sf_dir, tmp_path):
+    """write.parquet.bloom-filter-enabled.column.X must produce a bloom
+    filter in the footer; write.parquet.row-group-size-bytes must bound
+    row-group size (multiple blocks in one file)."""
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", "/root/testdata/sf0.01")
+    t = cat.create_table(
+        "db.wopts", Schema.from_spark(df.schema),
+        properties={
+            "write.parquet.bloom-filter-enabled.column.o_orderkey": "true",
+            "write.parquet.row-group-size-bytes": str(64 * 1024),
+            "write.parquet.page-size-bytes": str(16 * 1024),
+        })
+    t.append(df.repartition(1))
+    task = t.scan().plan_files()[0]
+    rdr = _footer(spark, task.data_file.file_path)
+    try:
+        blocks = rdr.getFooter().getBlocks()
+        assert blocks.size() > 1, "row-group size cap must split blocks"
+        b = blocks.get(0)
+        by_name = {}
+        for i in range(b.getColumns().size()):
+            c = b.getColumns().get(i)
+            by_name[c.getPath().toDotString()] = c
+        assert by_name["o_orderkey"].getBloomFilterOffset() > 0, \
+            "bloom filter missing for enabled column"
+        assert by_name["o_custkey"].getBloomFilterOffset() <= 0, \
+            "bloom filter present on a non-enabled column"
+    finally:
+        rdr.close()
+
+
+def test_dictionary_toggle_property(spark, sf_dir, tmp_path):
+    """parquet.enable.dictionary=false must disable dictionary encoding
+    (no dictionary page offsets in any column chunk)."""
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table(
+        "db.wdict", Schema.from_spark(df.schema),
+        properties={"parquet.enable.dictionary": "false"})
+    t.append(df)
+    task = t.scan().plan_files()[0]
+    rdr = _footer(spark, task.data_file.file_path)
+    try:
+        b = rdr.getFooter().getBlocks().get(0)
+        for i in range(b.getColumns().size()):
+            assert b.getColumns().get(i).getDictionaryPageOffset() <= 0
+    finally:
+        rdr.close()
