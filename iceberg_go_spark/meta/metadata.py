@@ -13,7 +13,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from ..schema import Schema
 from .partitioning import PartitionSpec, SortOrder
@@ -178,16 +178,81 @@ class TableMetadata:
         return self.snapshot_by_id(best) if best is not None else None
 
     def ancestors_of(self, snapshot_id: Optional[int] = None) -> List[Snapshot]:
-        """Snapshot ancestry, newest first (table/snapshot_ancestry.go:37)."""
-        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
-        out = []
+        """Snapshot ancestry, newest first (table/snapshot_ancestry.go:37).
+        Silently truncates on broken chains; conflict-detection callers
+        use ancestors_of_checked and MUST treat complete=False as
+        divergent."""
+        return self.ancestors_of_checked(snapshot_id)[0]
+
+    def ancestors_of_checked(self, snapshot_id: Optional[int] = None
+                             ) -> Tuple[List[Snapshot], bool]:
+        """(ancestry newest-first, complete) — complete is True only
+        when the walk ended at a clean root; False on an unresolvable
+        start, a missing intermediate snapshot, or a cycle in malformed
+        metadata, in which case the list is the partial walk before
+        truncation: diagnostic context, NOT an enumerable ancestry
+        (snapshot_ancestry.go:58 AncestorsOfChecked)."""
+        sid = snapshot_id if snapshot_id is not None \
+            else self.current_snapshot_id
+        out: List[Snapshot] = []
+        seen = set()
         while sid is not None:
+            if sid in seen:
+                return out, False
+            seen.add(sid)
+            s = self.snapshot_by_id(sid)
+            if s is None:
+                return out, False
+            out.append(s)
+            sid = s.parent_snapshot_id
+        return out, True
+
+    def ancestors_between(self, latest_id: int, base_id: int
+                          ) -> Tuple[List[Snapshot], bool]:
+        """Snapshots from latest_id (inclusive) down to but NOT
+        including base_id — the "concurrent" snapshots a writer based
+        on base_id must examine for conflicts.  base_found=False means
+        base_id was never reached (diverged branch, expired base,
+        broken chain, or cycle): the list is diagnostic only and
+        conflict detection MUST refuse the commit
+        (snapshot_ancestry.go:103 AncestorsBetween)."""
+        if latest_id == base_id:
+            return [], True
+        out: List[Snapshot] = []
+        seen = set()
+        sid: Optional[int] = latest_id
+        while sid is not None:
+            if sid == base_id:
+                return out, True
+            if sid in seen:
+                break
+            seen.add(sid)
             s = self.snapshot_by_id(sid)
             if s is None:
                 break
             out.append(s)
             sid = s.parent_snapshot_id
-        return out
+        return out, False
+
+    def is_ancestor_of(self, snapshot_id: int, ancestor_id: int) -> bool:
+        """True when ancestor_id is on snapshot_id's parent chain (or
+        equal, provided snapshot_id resolves).  Strict like the
+        reference: every chain link must resolve — a broken chain
+        returns False rather than matching an unreachable id
+        (snapshot_ancestry.go:150 IsAncestorOf)."""
+        seen = set()
+        sid: Optional[int] = snapshot_id
+        while sid is not None:
+            if sid in seen:
+                return False
+            seen.add(sid)
+            s = self.snapshot_by_id(sid)
+            if s is None:
+                return False
+            if sid == ancestor_id:
+                return True
+            sid = s.parent_snapshot_id
+        return False
 
     # -- JSON ----------------------------------------------------------------
     def to_json_dict(self) -> Dict[str, Any]:

@@ -275,3 +275,54 @@ def test_task_codec_roundtrip():
     assert b0.data_file.first_row_id == 7
     assert b0.eq_deletes[0].equality_ids == [1, 2]
     assert b0.sequence_number == 5
+
+
+def test_snapshot_ancestry_family():
+    """AncestorsOfChecked / AncestorsBetween / IsAncestorOf semantics
+    (snapshot_ancestry.go:58,103,150): completeness flags on broken
+    chains and cycles, baseFound contract, strict resolvability."""
+    from iceberg_go_spark.meta.metadata import Snapshot, TableMetadata
+
+    def snap(sid, parent):
+        return Snapshot(snapshot_id=sid, sequence_number=sid,
+                        timestamp_ms=sid, manifest_list=f"s{sid}.avro",
+                        summary={}, parent_snapshot_id=parent)
+
+    md = TableMetadata(format_version=2, location="/tmp/x")
+    md.snapshots = [snap(1, None), snap(2, 1), snap(3, 2), snap(5, 4)]
+    md.current_snapshot_id = 3
+
+    anc, complete = md.ancestors_of_checked(3)
+    assert [s.snapshot_id for s in anc] == [3, 2, 1] and complete
+
+    # snapshot 5's parent (4) is missing: truncated, complete=False
+    anc, complete = md.ancestors_of_checked(5)
+    assert [s.snapshot_id for s in anc] == [5] and not complete
+
+    # unresolvable start
+    anc, complete = md.ancestors_of_checked(99)
+    assert anc == [] and not complete
+
+    # between: (latest, base] exclusive of base
+    bet, found = md.ancestors_between(3, 1)
+    assert [s.snapshot_id for s in bet] == [3, 2] and found
+    assert md.ancestors_between(3, 3) == ([], True)
+    # base not in ancestry -> base_found False, diagnostic list only
+    bet, found = md.ancestors_between(3, 5)
+    assert not found and [s.snapshot_id for s in bet] == [3, 2, 1]
+    # broken chain never reaches base
+    bet, found = md.ancestors_between(5, 1)
+    assert not found
+
+    assert md.is_ancestor_of(3, 1)
+    assert md.is_ancestor_of(3, 3)
+    assert not md.is_ancestor_of(1, 3)
+    assert not md.is_ancestor_of(5, 1)   # broken chain: strict False
+    assert not md.is_ancestor_of(99, 1)  # unresolvable start
+
+    # cycle in malformed metadata terminates with complete=False
+    md.snapshots.append(snap(7, 8))
+    md.snapshots.append(snap(8, 7))
+    anc, complete = md.ancestors_of_checked(7)
+    assert not complete and [s.snapshot_id for s in anc] == [7, 8]
+    assert not md.is_ancestor_of(7, 1)
