@@ -829,3 +829,30 @@ def test_pq_lloyd_iterations_refine_codebook(spark, sf_dir):
     b = pq_topk(emb, qs, k=5, m=2, n_centroids=4, iters=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 10
+
+
+def test_isqrt_and_trunc_div_randomized(spark):
+    """Randomized batch: isqrt_long == math.isqrt and trunc_div ==
+    Python trunc division over 2000 draws spanning magnitudes up to
+    2^62 / 2^52 — one Spark job, exact comparison."""
+    import math
+    import random
+    from iceberg_go_spark.functions.vector_funcs import (isqrt_long,
+                                                         trunc_div)
+    rng = random.Random(20260815)
+    ps = [rng.randrange(0, 1 << b) for b in
+          (8, 16, 24, 32, 40, 48, 52, 56, 60, 62) for _ in range(150)]
+    divs = [(rng.randrange(-(1 << 50), 1 << 50),
+             rng.randrange(1, 1 << 30)) for _ in range(500)]
+    df = spark.createDataFrame([(p,) for p in ps], "p long")
+    got = {r.p: r.s for r in
+           df.select("p", isqrt_long(F.col("p")).alias("s")).collect()}
+    for p in ps:
+        assert got[p] == math.isqrt(p), p
+    df2 = spark.createDataFrame(divs, "a long, b long")
+    got2 = df2.select("a", "b",
+                      trunc_div(F.col("a"), F.col("b")).alias("q")) \
+        .collect()
+    for r in got2:
+        want = abs(r.a) // r.b * (1 if r.a >= 0 else -1)
+        assert r.q == want, (r.a, r.b, r.q, want)
