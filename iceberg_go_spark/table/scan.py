@@ -376,6 +376,17 @@ class Scan:
         return split_tasks(self.plan_files(), target_split_size)
 
     # ------------------------------------------------------------ execute
+    def to_arrow(self, spark: SparkSession):
+        """Scan result as one pyarrow Table (reference
+        scanner.go:1096 ToArrowTable) — a driver-side materialization:
+        use to_df for anything larger than a driver's memory."""
+        return self.to_df(spark).toArrow()
+
+    def to_pandas(self, spark: SparkSession):
+        """Scan result as a pandas DataFrame (driver-side
+        materialization, Arrow-mediated)."""
+        return self.to_df(spark).toPandas()
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         md = self.table.metadata
         schema = self.effective_schema()

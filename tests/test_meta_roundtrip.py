@@ -326,3 +326,23 @@ def test_snapshot_ancestry_family():
     anc, complete = md.ancestors_of_checked(7)
     assert not complete and [s.snapshot_id for s in anc] == [7, 8]
     assert not md.is_ancestor_of(7, 1)
+
+
+def test_scan_to_arrow_and_pandas(spark, sf_dir, tmp_path):
+    """Driver-side materialization conveniences (parity:
+    scanner.go:1096 ToArrowTable): same rows as to_df."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+
+    from conftest import read_table
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.arrow", Schema.from_spark(df.schema))
+    t.append(df)
+    sc = t.scan(E.lt("n_nationkey", 10), selected=["n_nationkey", "n_name"])
+    at = sc.to_arrow(spark)
+    assert at.num_rows == 10 and at.column_names == ["n_nationkey",
+                                                     "n_name"]
+    pd_df = t.scan(E.lt("n_nationkey", 10)).to_pandas(spark)
+    assert len(pd_df) == 10 and "n_name" in pd_df.columns
