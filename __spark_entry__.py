@@ -1275,13 +1275,14 @@ WITH g AS (
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.grams, b.grams)) /
-             len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+       (len(list_intersect(a.grams, b.grams))::BIGINT * 1000000)
+         // len(list_distinct(a.grams || b.grams))::BIGINT AS jaccard_e6
 FROM g a JOIN g b
   ON a.doc_id < b.doc_id AND a.blk = b.blk
 WHERE len(list_distinct(a.grams || b.grams)) > 0
-  AND round(len(list_intersect(a.grams, b.grams)) /
-            len(list_distinct(a.grams || b.grams)), 6) >= {threshold}
+  AND len(list_intersect(a.grams, b.grams))::BIGINT * 1000000
+      >= {int(round(threshold * 1_000_000))}
+         * len(list_distinct(a.grams || b.grams))::BIGINT
 """
 
 
@@ -1332,9 +1333,9 @@ SELECT doc_id,
   length(text)::INT AS n_chars,
   ({TX.token_count_sql('text')})::INT AS n_tokens,
   ({TX.bpe_ish_token_count_sql('text')})::INT AS n_subword_tokens,
-  round({TX.alpha_ratio_sql('text')}, 6) AS alpha_ratio,
-  round({TX.stopword_ratio_sql('text')}, 6) AS stopword_ratio,
-  {TX.quality_score_sql('text')} AS quality,
+  {TX.alpha_ratio_e6_sql('text')} AS alpha_ratio_e6,
+  {TX.stopword_ratio_e6_sql('text')} AS stopword_ratio_e6,
+  {TX.quality_score_e6_sql('text')} AS quality_e6,
   {TX.lang_id_sql('text')} AS lang_guess,
   {TX.fingerprint_sql('text')} AS fingerprint
 FROM documents
@@ -1360,7 +1361,8 @@ def token_summary_by_lang(spark, sf_dir):
 TOKEN_SUMMARY_SQL = f"""
 SELECT lang, COUNT(*) AS n_docs,
   SUM({TX.token_count_sql('text')})::BIGINT AS total_tokens,
-  round(AVG({TX.token_count_sql('text')}), 6) AS avg_tokens,
+  {TX.ratio_e6_dec_sql(f"SUM({TX.token_count_sql('text')})",
+                       "COUNT(*)")} AS avg_tokens_e6,
   MAX(length(text))::INT AS max_chars
 FROM documents GROUP BY lang
 """
@@ -1561,7 +1563,7 @@ scored AS (
   JOIN idf USING (probe)
   JOIN lens l USING (doc_id), stats s
 )
-SELECT doc_id, round(sum(sc), 6) AS bm25,
+SELECT doc_id, sum(round(sc * 1000000)::BIGINT)::BIGINT AS bm25_e6,
        count(*)::BIGINT AS n_terms_hit
 FROM scored GROUP BY doc_id
 """
@@ -1593,9 +1595,11 @@ bc AS (SELECT doc_id, bg, COUNT(*)::BIGINT AS n FROM bg GROUP BY 1, 2),
 ba AS (SELECT doc_id, SUM(n)::BIGINT AS n_bg, MAX(n) AS top_bg
        FROM bc GROUP BY 1)
 SELECT wa.doc_id AS doc_id, n_words, n_distinct_words,
-  round(1.0 - n_distinct_words / n_words::DOUBLE, 6) AS dup_word_frac,
-  round(top_w / n_words::DOUBLE, 6) AS top_word_frac,
-  round(coalesce(top_bg / n_bg::DOUBLE, 0.0), 6) AS top_bigram_frac
+  ((n_words - n_distinct_words) * 1000000) // n_words AS dup_word_frac_e6,
+  (top_w * 1000000) // n_words AS top_word_frac_e6,
+  (CASE WHEN coalesce(n_bg, 0) = 0 THEN 0
+        ELSE (coalesce(top_bg, 0) * 1000000) // n_bg END)::BIGINT
+    AS top_bigram_frac_e6
 FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
 """
 
@@ -1630,7 +1634,8 @@ r AS (SELECT w, row_number() OVER (ORDER BY c DESC, w)::BIGINT AS rank
       FROM v)
 SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(rank)::BIGINT AS sum_rank,
        MAX(rank)::BIGINT AS max_rank,
-       round(SUM(rank)::BIGINT / COUNT(*)::DOUBLE, 6) AS mean_rank
+       ((SUM(rank)::HUGEINT * 1000000) // COUNT(*)::HUGEINT)::BIGINT
+         AS mean_rank_e6
 FROM w JOIN r USING (w) GROUP BY doc_id
 """
 
@@ -1659,8 +1664,8 @@ freq AS (SELECT source, shingle
 SELECT sh.doc_id AS doc_id, COUNT(*)::BIGINT AS n_ngrams,
        SUM(CASE WHEN freq.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
          AS n_boiler,
-       round(SUM(CASE WHEN freq.shingle IS NOT NULL THEN 1 ELSE 0 END)
-             / COUNT(*)::DOUBLE, 6) AS boiler_frac
+       (SUM(CASE WHEN freq.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        * 1000000) // COUNT(*)::BIGINT AS boiler_frac_e6
 FROM sh LEFT JOIN freq
   ON sh.source = freq.source AND sh.shingle = freq.shingle
 GROUP BY sh.doc_id
@@ -1946,7 +1951,8 @@ WITH corpus AS (
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
 SELECT doc_id,
        COUNT(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
-       round(1.0 / COUNT(*) OVER (PARTITION BY md5(text)), 6) AS weight
+       (1000000 // COUNT(*) OVER (PARTITION BY md5(text)))::BIGINT
+         AS weight_e6
 FROM corpus
 """
 

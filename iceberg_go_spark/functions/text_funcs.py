@@ -56,48 +56,92 @@ def bpe_ish_token_count_sql(c: str) -> str:
     return f"len({tokens_sql(inner)})"
 
 
-def alpha_ratio(col: Column) -> Column:
-    n = F.length(col)
+def ratio_e6(num: Column, den: Column) -> Column:
+    """Exact micro-ratio trunc(num*1e6/den) as a LONG; 0 when den = 0.
+
+    The engine-portable replacement for round(num/den, 6): a rational
+    output lands EXACTLY on a 6-decimal tie whenever its denominator
+    divides k*2*10^6 (e.g. top_word_frac on a 128-word doc with an odd
+    top count is k*7812.5 micro-units), and Spark's BigDecimal HALF_UP
+    disagrees with DuckDB's scaled std::round there — the same
+    divergence that kept kmeans_topic_clusters driver-red for two
+    rounds.  (num*1e6 - (num*1e6 % den)) is exactly divisible by den
+    and all operands stay below 2^53 in every caller's domain, so the
+    IEEE double quotient IS the integral trunc quotient (same contract
+    as vector_funcs.trunc_div); DuckDB's integer `//` also truncates
+    (pinned by test_trunc_div_semantics)."""
+    n6 = num.cast("long") * F.lit(1_000_000).cast("long")
+    q = ((n6 - n6 % den) / den).cast("long")
+    return F.when(den == F.lit(0), F.lit(0).cast("long")).otherwise(q)
+
+
+def ratio_e6_sql(num: str, den: str) -> str:
+    return (f"(CASE WHEN ({den}) = 0 THEN 0 ELSE "
+            f"(({num})::BIGINT * 1000000) // ({den})::BIGINT END)::BIGINT")
+
+
+def ratio_e6_dec(num: Column, den: Column) -> Column:
+    """ratio_e6 for numerators that can exceed 2^53/1e6 (e.g. a per-doc
+    SUM of global vocabulary ranks): the scaled numerator widens to
+    DECIMAL(38,0), the subtract-remainder trick keeps the division
+    exact, and the exactly-divisible decimal quotient casts back to
+    long.  DuckDB twin: HUGEINT `//` (ratio_e6_dec_sql)."""
+    n6 = num.cast("decimal(38,0)") * F.lit(1_000_000).cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    q = ((n6 - n6 % d) / d).cast("long")
+    return F.when(den == F.lit(0), F.lit(0).cast("long")).otherwise(q)
+
+
+def ratio_e6_dec_sql(num: str, den: str) -> str:
+    return (f"(CASE WHEN ({den}) = 0 THEN 0 ELSE "
+            f"(({num})::HUGEINT * 1000000) // ({den})::HUGEINT END)::BIGINT")
+
+
+def alpha_ratio_e6(col: Column) -> Column:
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
-    return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n)
+    return ratio_e6(alpha, F.length(col))
 
 
-def alpha_ratio_sql(c: str) -> str:
-    return (f"CASE WHEN length({c}) = 0 THEN 0.0 ELSE "
-            f"length(regexp_replace({c}, '[^A-Za-z]', '', 'g'))::DOUBLE"
-            f" / length({c}) END")
+def alpha_ratio_e6_sql(c: str) -> str:
+    return ratio_e6_sql(
+        f"length(regexp_replace({c}, '[^A-Za-z]', '', 'g'))",
+        f"length({c})")
 
 
-def stopword_ratio(col: Column, lang: str = "en") -> Column:
+def stopword_ratio_e6(col: Column, lang: str = "en") -> Column:
     toks = tokens(col)
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
     hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
-    distinct_n = F.size(F.array_distinct(toks))
-    return F.when(distinct_n == 0, F.lit(0.0)) \
-        .otherwise(hits / distinct_n)
+    return ratio_e6(hits, F.size(F.array_distinct(toks)))
 
 
-def stopword_ratio_sql(c: str, lang: str = "en") -> str:
+def stopword_ratio_e6_sql(c: str, lang: str = "en") -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     toks = tokens_sql(c)
-    return (f"CASE WHEN len(list_distinct({toks})) = 0 THEN 0.0 ELSE "
-            f"len(list_intersect(list_distinct({toks}), [{words}]))::DOUBLE "
-            f"/ len(list_distinct({toks})) END")
+    return ratio_e6_sql(
+        f"len(list_intersect(list_distinct({toks}), [{words}]))",
+        f"len(list_distinct({toks}))")
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic [0,1] quality heuristic: length band + alphabetic ratio
-    + stopword presence (the classic cheap pre-filters for LLM corpora)."""
-    n = F.length(col)
-    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
-    return F.round(
-        0.4 * len_score + 0.4 * alpha_ratio(col)
-        + 0.2 * stopword_ratio(col), 6)
+def quality_score_e6(col: Column) -> Column:
+    """Deterministic quality heuristic in exact micro-units [0, 1e6]:
+    length band + alphabetic ratio + stopword presence (the classic
+    cheap pre-filters for LLM corpora).  Weights 0.4/0.4/0.2 become the
+    integer blend (4*len + 4*alpha + 2*stop) div 10 — every term is an
+    exact long, so the score is bit-identical on any engine."""
+    n = F.length(col).cast("long")
+    len_e6 = F.least(n * F.lit(2_000).cast("long"),
+                     F.lit(1_000_000).cast("long"))
+    total = (F.lit(4).cast("long") * len_e6
+             + F.lit(4).cast("long") * alpha_ratio_e6(col)
+             + F.lit(2).cast("long") * stopword_ratio_e6(col))
+    return ((total - total % F.lit(10)) / 10).cast("long")
 
 
-def quality_score_sql(c: str) -> str:
-    return (f"round(0.4 * least(length({c}) / 500.0, 1.0) + "
-            f"0.4 * {alpha_ratio_sql(c)} + 0.2 * {stopword_ratio_sql(c)}, 6)")
+def quality_score_e6_sql(c: str) -> str:
+    return (f"((4 * least(length({c})::BIGINT * 2000, 1000000) + "
+            f"4 * {alpha_ratio_e6_sql(c)} + "
+            f"2 * {stopword_ratio_e6_sql(c)}) // 10)::BIGINT")
 
 
 def lang_id(col: Column) -> Column:

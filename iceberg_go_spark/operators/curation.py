@@ -75,15 +75,19 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     bg_agg = bc.groupBy(id_col).agg(F.sum("__n").alias("__n_bg"),
                                     F.max("__n").alias("__top_bg"))
 
+    # exact micro-unit ratios (ratio_e6): round(k/n, 6) doubles tie at
+    # 6 decimals whenever n divides k*2e6 (a 128-word doc guarantees
+    # one) and the engines' HALF_UP paths diverge there
     return (word_agg.join(bg_agg, id_col, "left")
             .select(
                 F.col(id_col), F.col("n_words"), F.col("n_distinct_words"),
-                F.round(1.0 - F.col("n_distinct_words")
-                        / F.col("n_words"), 6).alias("dup_word_frac"),
-                F.round(F.col("__top_w") / F.col("n_words"), 6)
-                .alias("top_word_frac"),
-                F.round(F.coalesce(F.col("__top_bg") / F.col("__n_bg"),
-                                   F.lit(0.0)), 6).alias("top_bigram_frac")))
+                TX.ratio_e6(F.col("n_words") - F.col("n_distinct_words"),
+                            F.col("n_words")).alias("dup_word_frac_e6"),
+                TX.ratio_e6(F.col("__top_w"), F.col("n_words"))
+                .alias("top_word_frac_e6"),
+                TX.ratio_e6(F.coalesce(F.col("__top_bg"), F.lit(0)),
+                            F.coalesce(F.col("__n_bg"), F.lit(0)))
+                .alias("top_bigram_frac_e6")))
 
 
 def shingle_rows(df: DataFrame, text_col: str = "text",
@@ -342,9 +346,12 @@ def token_rarity(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("__rank").alias("sum_rank"),
                  F.max("__rank").alias("max_rank"))
-            .withColumn("mean_rank",
-                        F.round(F.col("sum_rank") /
-                                F.col("n_tokens"), 6)))
+            # decimal-widened exact ratio: sum_rank*1e6 can pass 2^63
+            # at a billion-word vocabulary (per-doc rank sums reach
+            # n_tokens * |V|), so this one takes the DECIMAL(38,0) path
+            .withColumn("mean_rank_e6",
+                        TX.ratio_e6_dec(F.col("sum_rank"),
+                                        F.col("n_tokens"))))
 
 
 def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
@@ -388,9 +395,9 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).alias("n_ngrams"),
                  F.sum(F.coalesce(F.col("__boiler"), F.lit(0)))
                  .cast("bigint").alias("n_boiler"))
-            .withColumn("boiler_frac",
-                        F.round(F.col("n_boiler") /
-                                F.col("n_ngrams"), 6)))
+            .withColumn("boiler_frac_e6",
+                        TX.ratio_e6(F.col("n_boiler"),
+                                    F.col("n_ngrams"))))
 
 
 def dedup_paragraphs(df: DataFrame, text_col: str = "text",

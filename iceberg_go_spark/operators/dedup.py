@@ -92,9 +92,11 @@ def soft_dedup_weights(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Soft deduplication: instead of dropping duplicates, weight every
     document by 1/n_copies of its exact-content group (SoftDeDup-style
-    reweighting — total mass per unique content is 1, so the training
+    reweighting — total mass per unique content is ~1, so the training
     distribution matches the deduplicated one without losing any
-    provenance rows).  Returns (id, n_copies, weight).
+    provenance rows).  Returns (id, n_copies, weight_e6): the weight in
+    exact micro-units — trunc(1e6/n), engine-portable (round(1/n, 6)
+    doubles tie at 6 decimals whenever n has a 2^7/5^7 factor).
 
     One map-side-combinable groupBy on the content hash; the weights
     join back broadcast-free on the same key."""
@@ -103,8 +105,8 @@ def soft_dedup_weights(df: DataFrame, text_col: str = "text",
     sizes = base.groupBy("__h").agg(F.count(F.lit(1)).alias("n_copies"))
     return (base.join(sizes, "__h")
             .select(id_col, "n_copies",
-                    F.round(F.lit(1.0) / F.col("n_copies"), 6)
-                    .alias("weight")))
+                    TX.ratio_e6(F.lit(1), F.col("n_copies"))
+                    .alias("weight_e6")))
 
 
 def exact_dedup_normalized(df: DataFrame, text_col: str = "text",
@@ -183,8 +185,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Pairs are generated within blocks (default: language + coarse length
     band) — the classic blocking trick that keeps the join from going
     quadratic over the corpus; at scale each block is one shuffle
-    partition's worth of work.  Output: (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold."""
+    partition's worth of work.  Output: (id_a, id_b, jaccard_e6) with
+    id_a < id_b and jaccard >= threshold; the similarity is the exact
+    integer micro-Jaccard trunc(shared*1e6/union) and the threshold is
+    the division-free shared*1e6 >= thr_e6*union (round(j, 6) doubles
+    tie at 6 decimals on union sizes with 2^7/5^7 factors)."""
     # inverted-index formulation: join docs through shared (block, gram)
     # keys and COUNT shared grams per pair, instead of materializing gram
     # arrays and intersecting per pair — turns O(pairs * grams) array work
@@ -223,12 +228,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                        F.col("__cnt").alias("__na"))
     cb = counts.select(F.col(id_col).alias("id_b"),
                        F.col("__cnt").alias("__nb"))
-    jac = F.col("__shared") / (F.col("__na") + F.col("__nb")
-                               - F.col("__shared"))
+    union = (F.col("__na") + F.col("__nb") - F.col("__shared"))
+    thr_e6 = int(round(threshold * 1_000_000))
     return (shared.join(ca, on="id_a").join(cb, on="id_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .filter(F.col("__shared") * F.lit(1_000_000).cast("long")
+                    >= F.lit(thr_e6).cast("long") * union)
+            .withColumn("jaccard_e6", TX.ratio_e6(F.col("__shared"), union))
+            .select("id_a", "id_b", "jaccard_e6"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",

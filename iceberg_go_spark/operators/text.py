@@ -17,9 +17,9 @@ def text_stats(df: DataFrame, text_col: str = "text",
         F.length(c).alias("n_chars"),
         TX.token_count(c).alias("n_tokens"),
         TX.bpe_ish_token_count(c).alias("n_subword_tokens"),
-        F.round(TX.alpha_ratio(c), 6).alias("alpha_ratio"),
-        F.round(TX.stopword_ratio(c), 6).alias("stopword_ratio"),
-        TX.quality_score(c).alias("quality"),
+        TX.alpha_ratio_e6(c).alias("alpha_ratio_e6"),
+        TX.stopword_ratio_e6(c).alias("stopword_ratio_e6"),
+        TX.quality_score_e6(c).alias("quality_e6"),
         TX.lang_id(c).alias("lang_guess"),
         TX.fingerprint(c).alias("fingerprint"),
     )
@@ -32,7 +32,8 @@ def language_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_filter(df: DataFrame, text_col: str = "text",
                    min_quality: float = 0.5) -> DataFrame:
-    return df.filter(TX.quality_score(F.col(text_col)) >= min_quality)
+    thr_e6 = int(round(min_quality * 1_000_000))
+    return df.filter(TX.quality_score_e6(F.col(text_col)) >= thr_e6)
 
 
 def token_count_summary(df: DataFrame, text_col: str = "text",
@@ -41,8 +42,12 @@ def token_count_summary(df: DataFrame, text_col: str = "text",
     return (df.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(TX.token_count(c)).alias("total_tokens"),
-                 F.round(F.avg(TX.token_count(c)), 6).alias("avg_tokens"),
-                 F.max(F.length(c)).alias("max_chars")))
+                 F.max(F.length(c)).alias("max_chars"))
+            .withColumn("avg_tokens_e6",
+                        TX.ratio_e6_dec(F.col("total_tokens"),
+                                        F.col("n_docs")))
+            .select(group_col, "n_docs", "total_tokens", "avg_tokens_e6",
+                    "max_chars"))
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
@@ -130,8 +135,15 @@ def bm25_scores(df: DataFrame, query_terms, text_col: str = "text",
                   F.col("__idf") * F.col("__tf") * (k1 + 1)
                   / (F.col("__tf") + k1 * (1 - b + b * F.col("__dl")
                                            / F.col("__avgdl")))))
+    # per-term scores quantize to micro-units BEFORE the sum: a double
+    # sum is combine-order-dependent (Spark's partial aggregation order
+    # varies run to run), an integer sum is exact and engine-portable.
+    # The one remaining double hop (idf's log) is transcendental — never
+    # at a representable rounding boundary, unlike the rational ratios
+    # the *_e6 sweep removed.
     return (scored.groupBy(id_col)
-            .agg(F.round(F.sum("__s"), 6).alias("bm25"),
+            .agg(F.sum(F.round(F.col("__s") * 1_000_000).cast("long"))
+                 .alias("bm25_e6"),
                  F.count(F.lit(1)).cast("long").alias("n_terms_hit")))
 
 

@@ -23,20 +23,21 @@ def test_repetition_metrics(docs):
     m = {r["doc_id"]: r for r in CU.repetition_metrics(docs).collect()}
     spam = m[1]
     assert spam["n_words"] == 6 and spam["n_distinct_words"] == 1
-    assert spam["top_word_frac"] == 1.0 and spam["top_bigram_frac"] == 1.0
-    assert spam["dup_word_frac"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+    assert spam["top_word_frac_e6"] == 1_000_000
+    assert spam["top_bigram_frac_e6"] == 1_000_000
+    assert spam["dup_word_frac_e6"] == 5 * 1_000_000 // 6  # trunc(5e6/6)
 
     ab = m[2]
-    assert ab["top_word_frac"] == 0.5
+    assert ab["top_word_frac_e6"] == 500_000
     # 7 bigrams: 'a b' x4, 'b a' x3
-    assert ab["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert ab["top_bigram_frac_e6"] == 4 * 1_000_000 // 7
 
     distinct = m[3]
-    assert distinct["dup_word_frac"] == 0.0
-    assert distinct["top_word_frac"] == pytest.approx(1 / 7, abs=1e-6)
+    assert distinct["dup_word_frac_e6"] == 0
+    assert distinct["top_word_frac_e6"] == 1_000_000 // 7
 
-    solo = m[4]  # no bigrams -> 0.0, not null
-    assert solo["n_words"] == 1 and solo["top_bigram_frac"] == 0.0
+    solo = m[4]  # no bigrams -> 0, not null
+    assert solo["n_words"] == 1 and solo["top_bigram_frac_e6"] == 0
 
 
 def test_decontaminate_flags_overlap(docs):
@@ -128,7 +129,7 @@ def test_token_rarity(spark):
     assert rows[1].n_tokens == 5 and rows[2].n_tokens == 5
     assert rows[1].sum_rank == 4 * 1 + 2
     assert rows[2].sum_rank == 5
-    assert rows[1].mean_rank > rows[2].mean_rank  # rare-heavy scores higher
+    assert rows[1].mean_rank_e6 > rows[2].mean_rank_e6  # rare-heavy scores higher
     assert rows[1].max_rank == 2 and rows[2].max_rank == 1
 
 
@@ -148,7 +149,7 @@ def test_boilerplate_ngrams(spark):
     # docs 1-3 share the 4-gram "click here to subscribe" (3 docs in a)
     for d in (1, 2, 3):
         assert rows[d].n_boiler == 1, rows[d]
-        assert rows[d].boiler_frac > 0
+        assert rows[d].boiler_frac_e6 > 0
     assert rows[4].n_boiler == 0
     # source b has it only once -> not boilerplate there
     assert rows[5].n_boiler == 0
@@ -226,8 +227,8 @@ def test_exact_dedup_keep_best_and_soft_weights(spark):
     w = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
     assert len(w) == 4
     for d in (1, 2, 3):
-        assert w[d].n_copies == 3 and abs(w[d].weight - 1 / 3) < 1e-6
-    assert w[4].weight == 1.0
+        assert w[d].n_copies == 3 and w[d].weight_e6 == 333_333
+    assert w[4].weight_e6 == 1_000_000
 
 
 def test_incremental_bloom_dedup(spark):

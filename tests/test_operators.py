@@ -51,7 +51,7 @@ def test_ngram_jaccard_pairs(spark):
     pairs = ngram_jaccard_pairs(df, threshold=0.9).collect()
     assert len(pairs) == 1
     assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
-    assert pairs[0].jaccard == 1.0
+    assert pairs[0].jaccard_e6 == 1_000_000
 
 
 def test_simhash_close_for_similar(spark):
@@ -90,8 +90,8 @@ def test_text_stats_shape(spark, sf_dir):
     out = text_stats(docs)
     row = out.first()
     assert row.n_chars > 0 and row.n_tokens > 0
-    assert 0.0 <= row.alpha_ratio <= 1.0
-    assert 0.0 <= row.quality <= 1.0
+    assert 0 <= row.alpha_ratio_e6 <= 1_000_000
+    assert 0 <= row.quality_e6 <= 1_000_000
     assert len(row.fingerprint) == 32
 
 
@@ -609,12 +609,12 @@ def test_bm25_scores(spark):
            bm25_scores(df, ["rare", "common"]).collect()}
     assert set(out) == {1, 2}  # doc 3 matches nothing
     assert out[1].n_terms_hit == 2 and out[2].n_terms_hit == 1
-    assert out[1].bm25 > out[2].bm25
+    assert out[1].bm25_e6 > out[2].bm25_e6
 
     # closed-form check for doc 2 (tf=1, dl=3, avgdl=3, df(common)=2, N=3)
     idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
     exp = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
-    assert abs(out[2].bm25 - round(exp, 6)) < 1e-9
+    assert out[2].bm25_e6 == round(exp * 1_000_000)
 
     with pytest.raises(ValueError):
         bm25_scores(df, [])

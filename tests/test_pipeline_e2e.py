@@ -29,8 +29,8 @@ def test_training_data_pipeline(spark, sf_dir, tmp_path):
     n0 = docs.count()
 
     # 1. quality floor: drop the bottom of the quality-score range
-    scored = docs.withColumn("q", TX.quality_score(F.col("text")))
-    kept = scored.filter(F.col("q") >= 0.2).drop("q")
+    scored = docs.withColumn("q", TX.quality_score_e6(F.col("text")))
+    kept = scored.filter(F.col("q") >= 200_000).drop("q")
     n1 = kept.count()
     assert 0 < n1 <= n0
 
