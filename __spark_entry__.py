@@ -3438,6 +3438,176 @@ WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_orderkey < 5000
 """
 
 
+
+def ngram_novelty_scores(spark, sf_dir):
+    """Per-doc word-3-gram novelty: the fraction of a document's
+    distinct 3-grams whose corpus-wide first occurrence (min doc_id) is
+    this document (operators/curation.py ngram_novelty — gram-keyed
+    min-aggregation with xxhash64 long keys, never quadratic)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.ngram_novelty(docs, n=3)
+
+
+NGRAM_NOVELTY_SQL = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+       FROM ws),
+g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM g0),
+fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+per AS (SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0
+                   END)::BIGINT AS novel_grams
+        FROM g JOIN fst USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id AS doc_id,
+       COALESCE(n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(novel_grams, 0)::BIGINT AS novel_grams,
+       (CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+             ELSE (novel_grams * 1000000) // n_grams END)::BIGINT
+         AS novelty_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def c4_quality_filter(spark, sf_dir):
+    """C4/Gopher document rule flags: word-count floor, banned words
+    ('spam'/'slow' exercise the rule on this corpus), curly-brace code
+    leak, mean-word-length band via integer cross-multiplication
+    (operators/curation.py c4_rules — shuffle-free single pass)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.c4_rules(docs, min_words=5, banned_words=["spam", "slow"])
+
+
+_C4_TOKS = TX.tokens_sql("text")
+_C4_SUMLEN = (f"COALESCE(list_sum(list_transform({_C4_TOKS}, "
+              f"w -> length(w))), 0)::BIGINT")
+C4_RULES_SQL = f"""
+SELECT doc_id,
+  len({_C4_TOKS})::BIGINT AS n_words,
+  (CASE WHEN len({_C4_TOKS}) < 5 THEN 1 ELSE 0 END)::INT
+    AS flag_too_few_words,
+  (CASE WHEN len(list_intersect(list_distinct({_C4_TOKS}),
+                                ['spam', 'slow'])) > 0
+        THEN 1 ELSE 0 END)::INT AS flag_banned_word,
+  (CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END)::INT AS flag_brace,
+  (CASE WHEN {_C4_SUMLEN} < 3 * len({_C4_TOKS})::BIGINT
+          OR {_C4_SUMLEN} > 10 * len({_C4_TOKS})::BIGINT
+        THEN 1 ELSE 0 END)::INT AS flag_word_length,
+  (CASE WHEN len({_C4_TOKS}) >= 5
+         AND len(list_intersect(list_distinct({_C4_TOKS}),
+                                ['spam', 'slow'])) = 0
+         AND NOT contains(text, '{{')
+         AND {_C4_SUMLEN} >= 3 * len({_C4_TOKS})::BIGINT
+         AND {_C4_SUMLEN} <= 10 * len({_C4_TOKS})::BIGINT
+        THEN 1 ELSE 0 END)::INT AS keep
+FROM documents
+"""
+
+
+def bigram_predictability_scores(spark, sf_dir):
+    """Mean bigram conditional probability per document in exact
+    micro-units — deterministic KenLM-perplexity stand-in (CCNet;
+    operators/curation.py bigram_predictability)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.bigram_predictability(docs)
+
+
+BIGRAM_PRED_SQL = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents),
+bg0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM ws WHERE len(ws) >= 2),
+bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bg0),
+bc AS (SELECT w1, w2, COUNT(*)::BIGINT AS cbg FROM bg GROUP BY 1, 2),
+pre AS (SELECT w1, SUM(cbg)::BIGINT AS cpre FROM bc GROUP BY 1),
+per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               SUM((cbg * 1000000) // cpre)::BIGINT AS sp
+        FROM bg JOIN bc USING (w1, w2) JOIN pre USING (w1)
+        GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+       (CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+             ELSE sp // n_bigrams END)::BIGINT AS mean_bigram_p_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def ann_topk_pq_rerank(spark, sf_dir):
+    """Two-stage ANN: PQ/ADC shortlist (2x over-fetch) then exact
+    integer micro-cosine re-rank of the shortlist over full vectors
+    (operators/similarity.py pq_rerank_topk — the standard recall fix
+    for PQ quantization error)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    return SIM.pq_rerank_topk(emb, qs, k=10, shortlist_factor=2,
+                              m=2, n_centroids=4, iters=1)
+
+
+def _pq_rerank_sql(k: int = 10, factor: int = 2) -> str:
+    cos = V.quantized_cosine_e6_sql("e.qq", "qv.qq")
+    return f"""
+WITH short AS (SELECT query_id, vec_id FROM ({_pq_sql(k=k * factor)})),
+q AS (SELECT vec_id, {V.quantize_sql('embedding')} AS qq FROM embeddings)
+SELECT query_id, vec_id, cosine_e6, rank FROM (
+  SELECT query_id, vec_id, cosine_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_e6 DESC, vec_id)::INT AS rank
+  FROM (SELECT s.query_id, s.vec_id, {cos} AS cosine_e6
+        FROM short s JOIN q e USING (vec_id)
+        JOIN q qv ON qv.vec_id = s.query_id))
+WHERE rank <= {k}
+"""
+
+
+def minhash_lsh_recall(spark, sf_dir):
+    """LSH-vs-exact evaluation harness: per similarity decile, how many
+    blocked pairs with exact micro-Jaccard >= 0.3 any MinHash band
+    bucket catches, plus a bucket=-1 verification-waste row
+    (operators/dedup.py minhash_lsh_effectiveness)."""
+    docs = _read(spark, sf_dir, "documents")
+    return DD.minhash_lsh_effectiveness(docs, floor=0.3)
+
+
+def _minhash_recall_sql(floor_e6: int = 300000, ngram: int = 3) -> str:
+    grams = TX.char_ngrams_sql("text", ngram)
+    return f"""
+WITH lsh AS ({_minhash_sql()}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM lsh a JOIN lsh b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+g AS (SELECT doc_id, grams, floor(log2(len(grams) + 1)) AS blk
+      FROM (SELECT doc_id, {grams} AS grams FROM documents)),
+ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              (len(list_intersect(a.grams, b.grams))::BIGINT * 1000000)
+                // len(list_distinct(a.grams || b.grams))::BIGINT AS j6
+       FROM g a JOIN g b ON a.doc_id < b.doc_id AND a.blk = b.blk
+       WHERE len(list_distinct(a.grams || b.grams)) > 0
+         AND len(list_intersect(a.grams, b.grams))::BIGINT * 1000000
+             >= {floor_e6}
+                * len(list_distinct(a.grams || b.grams))::BIGINT),
+fl AS (SELECT ex.id_a, ex.id_b, j6,
+              CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       FROM ex LEFT JOIN cand
+         ON ex.id_a = cand.id_a AND ex.id_b = cand.id_b),
+bk AS (SELECT (j6 // 100000)::BIGINT AS bucket,
+              COUNT(*)::BIGINT AS n_pairs, SUM(hit)::BIGINT AS n_lsh_hits
+       FROM fl GROUP BY 1),
+waste AS (SELECT CAST(-1 AS BIGINT) AS bucket,
+                 COUNT(*)::BIGINT AS n_pairs,
+                 COUNT(*)::BIGINT AS n_lsh_hits
+          FROM cand LEFT JOIN ex
+            ON cand.id_a = ex.id_a AND cand.id_b = ex.id_b
+          WHERE ex.id_a IS NULL)
+SELECT * FROM bk UNION ALL SELECT * FROM waste
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3446,6 +3616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "ngram_novelty_scores": ngram_novelty_scores,
+        "c4_quality_filter": c4_quality_filter,
+        "bigram_predictability": bigram_predictability_scores,
+        "ann_topk_pq_rerank": ann_topk_pq_rerank,
+        "minhash_lsh_recall": minhash_lsh_recall,
         "iceberg_zorder_scan": iceberg_zorder_scan,
         "ann_topk_pq": ann_topk_pq,
         "token_frequency_quality": token_frequency_quality,
@@ -3554,6 +3729,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "ngram_novelty_scores": NGRAM_NOVELTY_SQL,
+        "c4_quality_filter": C4_RULES_SQL,
+        "bigram_predictability": BIGRAM_PRED_SQL,
+        "ann_topk_pq_rerank": _pq_rerank_sql(),
+        "minhash_lsh_recall": _minhash_recall_sql(),
         "token_frequency_quality": TOKEN_FREQ_SQL,
         "iceberg_encrypted_scan": ENCRYPTED_SCAN_SQL,
         "q1_pricing_summary": Q1_SQL,

@@ -98,6 +98,12 @@ EXTRA = [
     "token_frequency_quality",
     "ann_topk_pq",
     "iceberg_zorder_scan",
+    # round-7 session-2 additions
+    "ngram_novelty_scores",
+    "c4_quality_filter",
+    "bigram_predictability",
+    "ann_topk_pq_rerank",
+    "minhash_lsh_recall",
 ]
 
 

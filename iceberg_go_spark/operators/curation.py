@@ -647,3 +647,150 @@ def token_frequency_quality(df: DataFrame, text_col: str = "text",
                     F.when(F.coalesce("__n", F.lit(0)) == 0,
                            F.lit(0).cast("long"))
                     .otherwise(hapax_e6).alias("hapax_ratio_e6")))
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word n-grams that the document INTRODUCES to the corpus — no
+    document with a smaller id contains the gram.  A corpus-diversity
+    signal: sampling pipelines up-weight high-novelty docs and flag
+    near-zero-novelty docs as recombinations of existing content
+    (complements dedup, which only sees whole-span duplication).
+    Returns (id, n_grams, novel_grams, novelty_e6) with the exact
+    micro-fraction trunc(novel*1e6/n_grams); docs shorter than n words
+    report (0, 0, 0).
+
+    Determinism: "first" is by document id (min over the corpus), not
+    arrival order, so the measure is stable under any partitioning.
+
+    Scale shape (100 TB): distinct (doc, gram) rows with xxhash64 LONG
+    keys (the hash is only a grouping key, never an output — oracle
+    groups on the raw gram); ONE map-side-combinable min-aggregation
+    keyed by gram gives each gram's introducing doc; one equi-join back
+    on the gram key and one per-doc rollup.  Same two-shuffle shape as
+    duplicate_span_stats; never quadratic."""
+    arr = F.split(F.col(text_col), " ")
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), F.filter(arr, lambda w: w != "").alias("__ws"))
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col), F.col("__ws"),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__i"))
+    grams = (pos.select(
+        F.col(id_col),
+        F.xxhash64(F.concat_ws(" ", F.slice("__ws", F.col("__i"), n)))
+        .alias("__g"))
+        .distinct())
+    first = grams.groupBy("__g").agg(F.min(id_col).alias("__first"))
+    per_doc = (grams.join(first, "__g")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("__first") == F.col(id_col), 1)
+                          .otherwise(0)).cast("long")
+                    .alias("novel_grams")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("novel_grams", F.lit(0)).cast("long")
+                    .alias("novel_grams"))
+            .withColumn("novelty_e6",
+                        TX.ratio_e6(F.col("novel_grams"),
+                                    F.col("n_grams"))))
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words: int = 5,
+             banned_words: Optional[List[str]] = None,
+             mean_word_len_bounds: tuple = (3, 10)) -> DataFrame:
+    """C4/Gopher-style document rule flags (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 A1.1): per-document boolean heuristics a web
+    pipeline applies before any expensive stage — too few words, a
+    banned-word hit ("javascript", "lorem ipsum", policy terms), curly
+    braces (code leakage), mean word length outside [3, 10].  Returns
+    (id, n_words, flag_* ints, keep 0/1).
+
+    Every rule is a single-pass JVM expression over the row — no
+    shuffle, no UDF; the mean-word-length band is evaluated as the
+    integer cross-multiplication lo*n <= sum_len <= hi*n so no ratio is
+    ever materialized.
+
+    Scale shape (100 TB): embarrassingly parallel map; at scale this is
+    the cheapest filter and therefore runs FIRST, shrinking every
+    downstream shuffle."""
+    banned = [w.lower() for w in
+              (banned_words if banned_words is not None
+               else ["javascript", "lorem", "ipsum", "cookies"])]
+    toks = TX.tokens(F.col(text_col))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    lo, hi = mean_word_len_bounds
+    banned_arr = F.array(*[F.lit(w) for w in banned])
+    flag_few = (n < min_words).cast("int")
+    flag_banned = (F.size(F.array_intersect(
+        F.array_distinct(toks), banned_arr)) > 0).cast("int")
+    flag_brace = F.col(text_col).contains("{").cast("int")
+    flag_len = ((sum_len < F.lit(lo).cast("long") * n) |
+                (sum_len > F.lit(hi).cast("long") * n)).cast("int")
+    keep = ((flag_few + flag_banned + flag_brace + flag_len) == 0) \
+        .cast("int")
+    return df.select(
+        F.col(id_col), n.cast("long").alias("n_words"),
+        flag_few.alias("flag_too_few_words"),
+        flag_banned.alias("flag_banned_word"),
+        flag_brace.alias("flag_brace"),
+        flag_len.alias("flag_word_length"),
+        keep.alias("keep"))
+
+
+def bigram_predictability(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram conditional probability in exact
+    micro-units — a deterministic, corpus-self-trained stand-in for the
+    KenLM perplexity filter (CCNet, Wenzek et al. 2020): for each
+    adjacent word pair (w1, w2), P(w2|w1) = count(w1 w2) / count(w1 as
+    a bigram prefix); the doc score is the mean of its positions'
+    micro-probabilities.  Boilerplate built from common continuations
+    scores high; incoherent or highly novel text scores low.  Returns
+    (id, n_bigrams, mean_bigram_p_e6); single-word docs report (0, 0).
+
+    Exactness: per-position p_e6 = trunc(cnt*1e6/prefix_cnt) is an
+    integer, the per-doc sum is an integer, and the final mean is one
+    more trunc division (ratio_e6_dec: the sum can reach n_bigrams*1e6,
+    decimal-widened) — no float anywhere.
+
+    Scale shape (100 TB): the (doc, pos) adjacency self-join is
+    co-partitioned on (doc, pos) like repetition_metrics; bigram and
+    prefix counts are map-side-combinable aggregations whose outputs
+    are vocabulary-sized; the count join back is keyed by bigram (Zipf
+    head is a single hot key, AQE-splittable); the final rollup shares
+    the doc partitioning.  No window over the corpus, no collect."""
+    words = _words(rebalance_for_amplification(df), text_col, id_col,
+                   with_pos=True)
+    nxt = words.select(F.col(id_col), (F.col("__p") - 1).alias("__p"),
+                       F.col("__w").alias("__w2"))
+    bigrams = (words.join(nxt, [id_col, "__p"])
+               .select(F.col(id_col), F.col("__w"), F.col("__w2")))
+    bg_counts = (bigrams.groupBy("__w", "__w2")
+                 .agg(F.count(F.lit(1)).alias("__cbg")))
+    # prefix count = total bigram occurrences starting with w1 (sums the
+    # bigram counts, so prefix and bigram marginals stay consistent)
+    prefix = bg_counts.groupBy("__w").agg(F.sum("__cbg").alias("__cpre"))
+    p_e6 = TX.ratio_e6(F.col("__cbg"), F.col("__cpre"))
+    per_doc = (bigrams.join(bg_counts, ["__w", "__w2"])
+               .join(prefix, "__w")
+               .select(F.col(id_col), p_e6.alias("__p6"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("__p6").alias("__sp")))
+    # per-position values are ALREADY micro-units: the mean is a plain
+    # trunc division (sum stays < 2^53 — n_bigrams * 1e6 per doc)
+    sp = F.coalesce("__sp", F.lit(0)).cast("long")
+    nb = F.coalesce("n_bigrams", F.lit(0)).cast("long")
+    mean = ((sp - sp % nb) / nb).cast("long")
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col), nb.alias("n_bigrams"),
+                    F.when(nb == 0, F.lit(0).cast("long"))
+                    .otherwise(mean).alias("mean_bigram_p_e6")))

@@ -722,3 +722,53 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                     .alias("kept_tokens"),
                     (F.col("__nt") - F.coalesce("kept_tokens", F.lit(0)))
                     .cast("long").alias("removed_tokens")))
+
+
+def minhash_lsh_effectiveness(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_hashes: int = 16, bands: int = 4,
+                              ngram: int = 3,
+                              floor: float = 0.3) -> DataFrame:
+    """Recall curve of MinHash-LSH candidate generation against exact
+    n-gram Jaccard — the evaluation harness a pipeline runs (on a
+    sample) before trusting LSH parameters at full scale: for every
+    blocked pair with exact micro-Jaccard >= ``floor``, did any LSH
+    band bucket catch it?  Returns one row per similarity decile
+    ``bucket = jaccard_e6 div 100000`` with (n_pairs, n_lsh_hits), plus
+    a ``bucket = -1`` row counting LSH candidate pairs that did NOT
+    reach the exact floor (verification waste: both columns carry the
+    same count there).  Recall per decile = n_lsh_hits / n_pairs; the
+    S-curve should cross ~50% at the (bands, rows) threshold
+    (1/bands)^(1/(num_hashes/bands)).
+
+    Scale shape: exact pairs come from the blocked inverted-index join
+    (ngram_jaccard_pairs — never corpus-quadratic); LSH pairs expand
+    within band buckets whose size the LSH design itself bounds; both
+    sides reduce to per-decile counts before any driver interaction."""
+    exact = ngram_jaccard_pairs(df, text_col, id_col, threshold=floor,
+                                ngram=ngram)
+    groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
+                                ngram)
+    right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
+    cand = (groups.select("band", "band_key", F.col(id_col).alias("id_a"))
+            .join(right, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    flagged = exact.join(cand.withColumn("__hit", F.lit(1)),
+                         ["id_a", "id_b"], "left")
+    by_bucket = (flagged
+                 .withColumn("bucket",
+                             ((F.col("jaccard_e6")
+                               - F.col("jaccard_e6") % 100000)
+                              / 100000).cast("long"))
+                 .groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                      .cast("long").alias("n_lsh_hits")))
+    waste = (cand.join(exact.select("id_a", "id_b"),
+                       ["id_a", "id_b"], "left_anti")
+             .agg(F.count(F.lit(1)).alias("n_pairs"))
+             .select(F.lit(-1).cast("long").alias("bucket"),
+                     F.col("n_pairs"),
+                     F.col("n_pairs").alias("n_lsh_hits")))
+    return by_bucket.unionByName(waste)

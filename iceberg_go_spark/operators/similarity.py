@@ -448,3 +448,49 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, "adc_score", "rank"))
+
+
+def pq_rerank_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   shortlist_factor: int = 4, m: int = 2,
+                   n_centroids: int = 8, iters: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   query_vec_col: str = "query_vec") -> DataFrame:
+    """Two-stage ANN: PQ/ADC shortlist of ``k * shortlist_factor``
+    candidates, then EXACT re-rank of the shortlist with the integer
+    micro-cosine over the full vectors — the standard production recall
+    fix for PQ's quantization error (Jégou et al. 2011 §V: "re-ranking
+    with source coding").  Returns (query_id, vec_id, cosine_e6, rank)
+    with at most k rows per query, ranked by the exact similarity.
+
+    Determinism: both stages rank on exact integers (ADC tables and
+    micro-cosine), ties break on vec_id, so shortlist membership and
+    the final order are engine-reproducible.
+
+    Scale shape (100 TB): stage 1 never touches full vectors (codes +
+    broadcast lookup tables); stage 2 re-reads full vectors for ONLY
+    |Q| * k * factor shortlisted ids — an equi-join on vec_id against
+    the corpus (id-keyed, broadcastable from the shortlist side), so
+    the expensive exact kernel runs on thousands of rows, not
+    billions."""
+    short = pq_topk(emb, queries, k=k * shortlist_factor, m=m,
+                    n_centroids=n_centroids, iters=iters, id_col=id_col,
+                    vec_col=vec_col, query_id_col=query_id_col,
+                    query_vec_col=query_vec_col) \
+        .select(query_id_col, id_col)
+    emb_q = (emb.select(F.col(id_col),
+                        V.quantize(F.col(vec_col)).alias("__q"))
+             .withColumn("__na", V.norm_sq(F.col("__q"))))
+    qs_q = (queries.select(F.col(query_id_col),
+                           V.quantize(F.col(query_vec_col)).alias("__qq"))
+            .withColumn("__nb", V.norm_sq(F.col("__qq"))))
+    joined = (short.join(emb_q, id_col)
+              .join(F.broadcast(qs_q), query_id_col))
+    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
+                                   F.col("__na"), F.col("__nb"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_e6").desc(), F.col(id_col))
+    return (joined.withColumn("cosine_e6", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine_e6", "rank"))

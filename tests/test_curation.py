@@ -583,3 +583,57 @@ def test_token_frequency_quality_exact(spark):
     assert rows[3].mean_token_freq_e6 == 1_000_000 // 7
     assert rows[3].hapax_ratio_e6 == 1_000_000
     assert rows[4].n_tokens == 0 and rows[4].mean_token_freq_e6 == 0
+
+
+def test_ngram_novelty_hand_case(spark):
+    from iceberg_go_spark.operators.curation import ngram_novelty
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "a b c"), (4, "solo")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in ngram_novelty(df, n=2).collect()}
+    # grams: d1 {a b, b c} both first here; d2 {a b(min=1), b x(first)};
+    # d3 repeats d1 entirely; d4 too short for any 2-gram
+    assert (rows[1].n_grams, rows[1].novel_grams,
+            rows[1].novelty_e6) == (2, 2, 1_000_000)
+    assert (rows[2].n_grams, rows[2].novel_grams,
+            rows[2].novelty_e6) == (2, 1, 500_000)
+    assert (rows[3].n_grams, rows[3].novel_grams,
+            rows[3].novelty_e6) == (2, 0, 0)
+    assert (rows[4].n_grams, rows[4].novel_grams,
+            rows[4].novelty_e6) == (0, 0, 0)
+
+
+def test_c4_rules_flags(spark):
+    from iceberg_go_spark.operators.curation import c4_rules
+    df = spark.createDataFrame(
+        [(1, "good words flow nicely here"),
+         (2, "too short"),
+         (3, "lorem ipsum something extra words"),
+         (4, "code { x } more words here"),
+         (5, "a a a a a a")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            c4_rules(df, min_words=5, banned_words=["lorem"]).collect()}
+    assert rows[1].keep == 1 and rows[1].n_words == 5
+    assert rows[2].flag_too_few_words == 1 and rows[2].keep == 0
+    assert rows[3].flag_banned_word == 1 and rows[3].keep == 0
+    assert rows[4].flag_brace == 1 and rows[4].keep == 0
+    # mean word length 1 < 3 -> length flag
+    assert rows[5].flag_word_length == 1 and rows[5].keep == 0
+    # exactly one rule fires per crafted doc except 4 (brace + length)
+    assert rows[1].flag_banned_word == 0 and rows[1].flag_brace == 0
+    assert rows[1].flag_word_length == 0
+
+
+def test_bigram_predictability_hand_case(spark):
+    from iceberg_go_spark.operators.curation import bigram_predictability
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_predictability(df).collect()}
+    # bigram counts: (a,b)=2, (a,c)=1; prefix(a)=3
+    assert rows[1].n_bigrams == 1
+    assert rows[1].mean_bigram_p_e6 == 2 * 1_000_000 // 3
+    assert rows[2].mean_bigram_p_e6 == 2 * 1_000_000 // 3
+    assert rows[3].mean_bigram_p_e6 == 1_000_000 // 3
+    assert (rows[4].n_bigrams, rows[4].mean_bigram_p_e6) == (0, 0)

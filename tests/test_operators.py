@@ -856,3 +856,65 @@ def test_isqrt_and_trunc_div_randomized(spark):
     for r in got2:
         want = abs(r.a) // r.b * (1 if r.a >= 0 else -1)
         assert r.q == want, (r.a, r.b, r.q, want)
+
+
+def _py_micro_cosine(a, b, scale=1000):
+    """Python twin of the integer micro-cosine contract."""
+    import math
+    qa = [round(x * scale) for x in a]
+    qb = [round(x * scale) for x in b]
+    d = sum(x * y for x, y in zip(qa, qb))
+    na = sum(x * x for x in qa)
+    nb = sum(x * x for x in qb)
+    s = math.isqrt(na * nb)
+    if s == 0:
+        return 0
+    num = d * 1_000_000
+    return -((-num) // s) if num < 0 else num // s  # trunc toward zero
+
+
+def test_pq_rerank_matches_exact_when_shortlist_covers_corpus(spark):
+    """With a shortlist wider than the corpus, PQ+rerank must equal the
+    exact top-k (minus self): the re-rank stage ranks on the same
+    integer micro-cosine the brute-force path uses."""
+    from iceberg_go_spark.operators.similarity import pq_rerank_topk
+    vecs = [
+        (0, [1.0, 0.1, 0.0, 0.0]), (1, [0.9, 0.2, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.1, 0.0]), (3, [0.1, 0.9, 0.2, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.1]), (5, [0.0, 0.1, 0.9, 0.2]),
+        (6, [0.2, 0.0, 0.0, 1.0]), (7, [0.1, 0.2, 0.0, 0.9]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(0, vecs[0][1]), (2, vecs[2][1])],
+        "query_id long, query_vec array<float>")
+    out = pq_rerank_topk(emb, qs, k=3, shortlist_factor=10,
+                         m=2, n_centroids=4, iters=1).collect()
+    got = {(r.query_id, r.rank): (r.vec_id, r.cosine_e6) for r in out}
+    for qid, qv in [(0, vecs[0][1]), (2, vecs[2][1])]:
+        exact = sorted(
+            ((-_py_micro_cosine(qv, v), vid)
+             for vid, v in vecs if vid != qid))
+        for rank, (negc, vid) in enumerate(exact[:3], start=1):
+            assert got[(qid, rank)] == (vid, -negc), (qid, rank)
+
+
+def test_minhash_lsh_effectiveness_buckets(spark):
+    from iceberg_go_spark.operators.dedup import minhash_lsh_effectiveness
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact dup pair
+         (3, base + " tail"), (4, "entirely different words here"),
+         (5, "another unrelated document body")],
+        "doc_id long, text string")
+    rows = minhash_lsh_effectiveness(df, floor=0.3).collect()
+    by_bucket = {r.bucket: r for r in rows}
+    # identical docs: jaccard 1.0 -> bucket 10, and LSH must catch them
+    assert by_bucket[10].n_pairs >= 1
+    assert by_bucket[10].n_lsh_hits == by_bucket[10].n_pairs
+    # the waste row always exists (possibly zero)
+    assert -1 in by_bucket
+    assert by_bucket[-1].n_pairs == by_bucket[-1].n_lsh_hits
+    # recall can never exceed 1 in any bucket
+    for b, r in by_bucket.items():
+        assert 0 <= r.n_lsh_hits <= r.n_pairs

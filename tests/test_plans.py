@@ -35,11 +35,15 @@ SF = "/root/testdata/sf0.001"
 #   (code assignment, linear in the corpus) and the tiny query x
 #   codebook ADC-table build; the scoring join itself is an equi-join
 #   on (subspace, code)
+# - ann_topk_pq_rerank: stage 1 is ann_topk_pq (same declared
+#   broadcasts); the stage-2 exact re-rank joins are equi-joins on
+#   vec_id / query_id
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
                      "kmeans_topic_clusters", "q22_idle_customers",
                      "semantic_dedup_embeddings", "bm25_search",
                      "temperature_mixture_sample",
-                     "token_frequency_quality", "ann_topk_pq"}
+                     "token_frequency_quality", "ann_topk_pq",
+                     "ann_topk_pq_rerank"}
 
 
 def _plan(spark, name):
