@@ -3608,6 +3608,85 @@ SELECT * FROM bk UNION ALL SELECT * FROM waste
 
 
 
+
+def winnow_near_dups(spark, sf_dir):
+    """MOSS-style near-dup candidate pairs by shared winnowing
+    fingerprints, df-capped inverted-index join (operators/text.py
+    winnow_near_dup_pairs — the sparse alternative to full n-gram
+    Jaccard at the same shared-substring guarantee)."""
+    docs = _read(spark, sf_dir, "documents")
+    # min_shared=6 / max_df=20 on this homogeneous synthetic corpus:
+    # the vocabulary is ~30 common words, so loose thresholds pair half
+    # the corpus (63k pairs at sf0.01) — a detector, not a firehose
+    return TOP.winnow_near_dup_pairs(docs, k=5, window=4,
+                                     min_shared=6, max_df=20)
+
+
+def _winnow_pairs_sql(k: int = 5, window: int = 4, min_shared: int = 2,
+                      max_df: int = 50) -> str:
+    gram = f"substring(n, i, {k})"
+    h = _hex12_to_int_sql(f"md5({gram})")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {TX.normalized_text_sql('text')} AS n FROM documents),
+hashed AS (
+  SELECT doc_id, i, {h} AS h
+  FROM (SELECT doc_id, n,
+               unnest(range(1, length(n) - {k - 1} + 1))::INT AS i
+        FROM norm WHERE length(n) >= {k})),
+winnowed AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+         AS fp
+  FROM hashed),
+keepfp AS (SELECT fp FROM winnowed GROUP BY fp
+           HAVING COUNT(*) <= {max_df}),
+kept AS (SELECT w.doc_id, w.fp FROM winnowed w JOIN keepfp USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*)::BIGINT AS n_shared_fp
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+def source_divergence(spark, sf_dir):
+    """Per-source token-distribution shift vs the corpus: exact
+    total-variation distance in micro-units (operators/curation.py
+    source_token_divergence — DECIMAL(38,0) rational arithmetic, the
+    absent-token mass folded into a closed-form term)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.source_token_divergence(docs)
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH t AS (SELECT source,
+                  unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS w
+           FROM documents),
+sw AS (SELECT source, w, COUNT(*)::BIGINT AS csw FROM t GROUP BY 1, 2),
+cw AS (SELECT w, SUM(csw)::BIGINT AS cwc FROM sw GROUP BY 1),
+nss AS (SELECT source, SUM(csw)::BIGINT AS nst,
+               COUNT(*)::BIGINT AS dt
+        FROM sw GROUP BY 1),
+tot AS (SELECT SUM(cwc)::HUGEINT AS n FROM cw),
+per AS (SELECT sw.source,
+               SUM(abs(sw.csw::HUGEINT * tot.n
+                       - cw.cwc::HUGEINT * nss.nst::HUGEINT))::HUGEINT
+                 AS sum_abs,
+               SUM(cw.cwc)::HUGEINT AS ccov
+        FROM sw JOIN cw USING (w) JOIN nss USING (source), tot
+        GROUP BY sw.source)
+SELECT nss.source AS source, nss.nst AS n_tokens,
+       nss.dt AS distinct_tokens,
+       ((per.sum_abs + nss.nst::HUGEINT * (tot.n - per.ccov)) * 1000000
+        // (2 * nss.nst::HUGEINT * tot.n))::BIGINT AS tv_e6
+FROM nss JOIN per USING (source), tot
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3616,11 +3695,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "winnow_near_dups": winnow_near_dups,
+        "source_divergence": source_divergence,
         "ngram_novelty_scores": ngram_novelty_scores,
         "c4_quality_filter": c4_quality_filter,
         "bigram_predictability": bigram_predictability_scores,
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "minhash_lsh_recall": minhash_lsh_recall,
+        # e6-sweep: oracles/columns changed this session -> refresh
+        "text_stats": text_stats,
+        "token_summary_by_lang": token_summary_by_lang,
+        "bm25_search": bm25_search,
+        "repetition_metrics": repetition_metrics,
+        "token_rarity_scores": token_rarity_scores,
+        "boilerplate_ngram_flags": boilerplate_ngram_flags,
+        "soft_dedup_weights": soft_dedup_weights,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
         "iceberg_zorder_scan": iceberg_zorder_scan,
         "ann_topk_pq": ann_topk_pq,
         "token_frequency_quality": token_frequency_quality,
@@ -3634,8 +3724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_stats": duplicate_span_stats,
         "strip_duplicate_spans": strip_duplicate_spans,
         "asof_join_events": asof_join_events,
-        "bm25_search": bm25_search,
-        "boilerplate_ngram_flags": boilerplate_ngram_flags,
         "decontaminate_docs": decontaminate_docs,
         "event_funnel": event_funnel,
         "events_hourly": events_hourly,
@@ -3669,14 +3757,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "range_join_acctbal": range_join_acctbal,
-        "repetition_metrics": repetition_metrics,
         "rollup_pricing": rollup_pricing,
         "running_revenue": running_revenue,
         "sessionization": sessionization,
         "set_ops_customers": set_ops_customers,
         "shuffle_shards_export": shuffle_shards_export,
         "stratified_sample_by_lang": stratified_sample_by_lang,
-        "token_rarity_scores": token_rarity_scores,
         "top_customers_per_nation": top_customers_per_nation,
         "user_retention_cohorts": user_retention_cohorts,
         "bpe_top_pairs": bpe_top_pairs,
@@ -3712,12 +3798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles_by_source": length_quantiles_by_source,
         "multimodal_feature_vectors": multimodal_feature_vectors,
         "multimodal_features": multimodal_features,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "soft_dedup_weights": soft_dedup_weights,
         "source_contribution_caps": source_contribution_caps,
         "temperature_mixture_sample": temperature_mixture_sample,
-        "text_stats": text_stats,
-        "token_summary_by_lang": token_summary_by_lang,
         "transforms_bucket": transforms_bucket,
         "transforms_datetime": transforms_datetime,
         "variant_prune_scan": variant_prune_scan,
@@ -3729,6 +3811,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "winnow_near_dups": _winnow_pairs_sql(min_shared=6, max_df=20),
+        "source_divergence": SOURCE_DIVERGENCE_SQL,
         "ngram_novelty_scores": NGRAM_NOVELTY_SQL,
         "c4_quality_filter": C4_RULES_SQL,
         "bigram_predictability": BIGRAM_PRED_SQL,

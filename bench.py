@@ -104,6 +104,8 @@ EXTRA = [
     "bigram_predictability",
     "ann_topk_pq_rerank",
     "minhash_lsh_recall",
+    "winnow_near_dups",
+    "source_divergence",
 ]
 
 

@@ -794,3 +794,61 @@ def bigram_predictability(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), nb.alias("n_bigrams"),
                     F.when(nb == 0, F.lit(0).cast("long"))
                     .otherwise(mean).alias("mean_bigram_p_e6")))
+
+
+def source_token_divergence(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            strat_col: str = "source") -> DataFrame:
+    """Per-stratum token-distribution shift against the whole corpus:
+    total-variation distance TV(s) = (1/2) * sum_w |p_s(w) - p(w)| in
+    exact micro-units — the mixture-diagnostics signal a data-mixing
+    pipeline watches when re-weighting sources (a KL analogue without
+    the transcendental log, so it stays engine-exact).  Returns
+    (stratum, n_tokens, distinct_tokens, tv_e6).
+
+    Exact rational arithmetic: with c_sw (count of w in s), N_s, c_w,
+    N all integers, TV_e6 = 1e6 * [sum_{w in s} |c_sw*N - c_w*N_s|
+    + N_s*(N - C_cov)] div (2*N_s*N), where C_cov = sum_{w in s} c_w
+    folds every word ABSENT from the stratum into one closed-form term
+    — no |V| x |strata| dense join.  Products reach N_s*N ~ 1e24 at
+    100-TB counts, so everything widens to DECIMAL(38,0).
+
+    Scale shape: one (stratum, token) count aggregation; corpus token
+    counts derive from it by a second map-side-combinable re-agg (the
+    corpus never re-tokenizes); one equi-join keyed by token (Zipf head
+    is a single hot key — AQE-splittable); a per-stratum rollup and a
+    1-row corpus-total broadcast."""
+    toks = _words(rebalance_for_amplification(
+        df.select(strat_col, text_col, id_col)), text_col, strat_col)
+    sw = toks.groupBy(strat_col, "__w").agg(
+        F.count(F.lit(1)).alias("__csw"))
+    cw = sw.groupBy("__w").agg(F.sum("__csw").alias("__cw"))
+    ns = sw.groupBy(strat_col).agg(
+        F.sum("__csw").alias("__ns"),
+        F.count(F.lit(1)).alias("distinct_tokens"))
+    total = cw.agg(F.sum("__cw").alias("__n"))
+    dec = "decimal(38,0)"
+    joined = (sw.join(cw, "__w")
+              .join(F.broadcast(ns), strat_col)
+              .crossJoin(F.broadcast(total)))
+    # per-(s,w): |c_sw*N - c_w*N_s| in decimal; C_cov accumulates c_w
+    term = F.abs(F.col("__csw").cast(dec) * F.col("__n").cast(dec)
+                 - F.col("__cw").cast(dec) * F.col("__ns").cast(dec))
+    per_s = (joined.groupBy(strat_col)
+             .agg(F.first("__ns").alias("__ns"),
+                  F.first("distinct_tokens").alias("distinct_tokens"),
+                  F.first("__n").alias("__n"),
+                  F.sum(term).alias("__sum_abs"),
+                  F.sum("__cw").alias("__ccov")))
+    num = (F.col("__sum_abs").cast(dec)
+           + F.col("__ns").cast(dec)
+           * (F.col("__n").cast(dec) - F.col("__ccov").cast(dec)))
+    den = (F.lit(2).cast(dec) * F.col("__ns").cast(dec)
+           * F.col("__n").cast(dec))
+    n6 = num * F.lit(1_000_000).cast(dec)
+    tv = ((n6 - n6 % den) / den).cast("long")
+    return per_s.select(
+        F.col(strat_col),
+        F.col("__ns").cast("long").alias("n_tokens"),
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        tv.alias("tv_e6"))

@@ -50,21 +50,16 @@ def token_count_summary(df: DataFrame, text_col: str = "text",
                     "max_chars"))
 
 
-def winnow_fingerprints(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 5,
-                        window: int = 4) -> DataFrame:
-    """MOSS-style winnowing fingerprints: rolling k-gram hashes, minimum
-    per sliding window, distinct selected hashes per document.
-
-    The guarantee of winnowing: any shared substring of length >=
-    k + window - 1 between two documents yields at least one shared
-    fingerprint, with ~2/(window+1) of all gram hashes retained.
+def winnow_fp_rows(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5,
+                   window: int = 4) -> DataFrame:
+    """Distinct (id, fp) winnowing-fingerprint rows — the shared front
+    half of winnow_fingerprints / winnow_near_dup_pairs.
 
     Shape at scale: one explode per doc position (normalize materialized
     below the Generate, like dedup.char_ngram_rows), one md5 per gram,
     a bounded window-min (no shuffle beyond the per-doc partitioning),
-    then a distinct+groupBy — all map-side-combinable aggregations keyed
-    by doc_id."""
+    then a per-doc distinct."""
     from ..session import rebalance_for_amplification
     norm = rebalance_for_amplification(df).select(
         F.col(id_col), TX.normalized_text(F.col(text_col)).alias("__norm"))
@@ -79,9 +74,21 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             F.md5(F.col("__norm").substr(F.col("__i"), F.lit(k))), 1, 12),
             16, 10).cast("long").alias("__h"))
     w = Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, window - 1)
-    fps = (hashed.withColumn("__m", F.min("__h").over(w))
-           .select(F.col(id_col), F.col("__m").alias("fp"))
-           .distinct())
+    return (hashed.withColumn("__m", F.min("__h").over(w))
+            .select(F.col(id_col), F.col("__m").alias("fp"))
+            .distinct())
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints: rolling k-gram hashes, minimum
+    per sliding window, distinct selected hashes per document.
+
+    The guarantee of winnowing: any shared substring of length >=
+    k + window - 1 between two documents yields at least one shared
+    fingerprint, with ~2/(window+1) of all gram hashes retained."""
+    fps = winnow_fp_rows(df, text_col, id_col, k, window)
     return (fps.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_fingerprints"),
                  F.min("fp").alias("min_fp"),
@@ -201,3 +208,34 @@ def distinctive_terms(df: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(rank))
             .filter(F.col("rank") <= top_k)
             .select("lang", "term", "tf", "score", "rank"))
+
+
+def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 5,
+                          window: int = 4, min_shared: int = 2,
+                          max_df: int = 50) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (the MOSS comparison step): two documents pair when they share at
+    least ``min_shared`` selected fingerprints.  The sparse alternative
+    to full n-gram Jaccard — winnowing keeps ~2/(window+1) of gram
+    hashes, so the inverted index is (window+1)/2 x smaller for the
+    same shared-substring guarantee (any common substring of length >=
+    k + window - 1 still collides).  Returns (id_a, id_b, n_shared_fp)
+    with id_a < id_b.
+
+    Scale shape (100 TB): an inverted-index equi-join on the
+    fingerprint, never all-pairs; fingerprints appearing in more than
+    ``max_df`` documents are dropped FIRST (boilerplate fingerprints
+    pair everyone with everyone — the standard df-cap that bounds any
+    single key's pair expansion at max_df^2), then one count
+    aggregation keyed by the pair."""
+    fps = winnow_fp_rows(df, text_col, id_col, k, window)
+    docfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = fps.join(docfreq.filter(F.col("__df") <= max_df), "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+            .filter(F.col("n_shared_fp") >= min_shared))

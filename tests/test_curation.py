@@ -637,3 +637,30 @@ def test_bigram_predictability_hand_case(spark):
     assert rows[2].mean_bigram_p_e6 == 2 * 1_000_000 // 3
     assert rows[3].mean_bigram_p_e6 == 1_000_000 // 3
     assert (rows[4].n_bigrams, rows[4].mean_bigram_p_e6) == (0, 0)
+
+
+def test_source_token_divergence_exact(spark):
+    from iceberg_go_spark.operators.curation import source_token_divergence
+    # source A: 3x 'x', 1x 'y'; source B: 1x 'x', 3x 'y'
+    df = spark.createDataFrame(
+        [(1, "x x x y", "A"), (2, "x y y y", "B")],
+        "doc_id long, text string, source string")
+    rows = {r.source: r for r in source_token_divergence(df).collect()}
+    # corpus: x=4, y=4, N=8; A: ns=4. p_A(x)=3/4 vs 1/2, p_A(y)=1/4 vs 1/2
+    # TV = 0.5*(1/4 + 1/4) = 1/4 -> 250000
+    assert rows["A"].n_tokens == 4 and rows["A"].distinct_tokens == 2
+    assert rows["A"].tv_e6 == 250_000
+    assert rows["B"].tv_e6 == 250_000
+
+
+def test_source_token_divergence_absent_token_mass(spark):
+    from iceberg_go_spark.operators.curation import source_token_divergence
+    # source B never contains 'x': the closed-form absent-mass term
+    # must account for it.  corpus: x=2, y=2, N=4.
+    # A = "x x": p_A(x)=1 vs 1/2, p_A(y)=0 vs 1/2 -> TV = 1/2
+    df = spark.createDataFrame(
+        [(1, "x x", "A"), (2, "y y", "B")],
+        "doc_id long, text string, source string")
+    rows = {r.source: r for r in source_token_divergence(df).collect()}
+    assert rows["A"].tv_e6 == 500_000
+    assert rows["B"].tv_e6 == 500_000

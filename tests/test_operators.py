@@ -918,3 +918,26 @@ def test_minhash_lsh_effectiveness_buckets(spark):
     # recall can never exceed 1 in any bucket
     for b, r in by_bucket.items():
         assert 0 <= r.n_lsh_hits <= r.n_pairs
+
+
+def test_winnow_near_dup_pairs(spark):
+    from iceberg_go_spark.operators.text import winnow_near_dup_pairs
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"),       # heavy overlap
+         (3, "completely unrelated words xyzzy plugh qwerty")],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.n_shared_fp for r in
+           winnow_near_dup_pairs(df, min_shared=2, max_df=10).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert not any(3 in pair for pair in out)
+
+
+def test_winnow_df_cap_drops_boilerplate_fp(spark):
+    """A fingerprint present in MORE than max_df docs must not generate
+    pairs: with max_df=1 no pair can survive."""
+    from iceberg_go_spark.operators.text import winnow_near_dup_pairs
+    base = "shared shared shared shared shared"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(1, 5)], "doc_id long, text string")
+    assert winnow_near_dup_pairs(df, min_shared=1, max_df=1).count() == 0

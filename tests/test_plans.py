@@ -38,12 +38,15 @@ SF = "/root/testdata/sf0.001"
 # - ann_topk_pq_rerank: stage 1 is ann_topk_pq (same declared
 #   broadcasts); the stage-2 exact re-rank joins are equi-joins on
 #   vec_id / query_id
+# - source_divergence: the 1-row corpus-token-total broadcast as a
+#   scalar cross join — per-(source, token) rows join counts via hash
+#   joins keyed by token / source
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
                      "kmeans_topic_clusters", "q22_idle_customers",
                      "semantic_dedup_embeddings", "bm25_search",
                      "temperature_mixture_sample",
                      "token_frequency_quality", "ann_topk_pq",
-                     "ann_topk_pq_rerank"}
+                     "ann_topk_pq_rerank", "source_divergence"}
 
 
 def _plan(spark, name):
