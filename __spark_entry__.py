@@ -1262,17 +1262,24 @@ WHERE (bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
 
 
 def ngram_jaccard_dups(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    """Exact blocked all-pairs n-gram Jaccard — the GROUND-TRUTH kernel,
+    quadratic within length blocks by construction, so the query runs it
+    on a deterministic 1-in-5 sample (73 s full-corpus at sf0.1 vs ~3 s;
+    the full-corpus scale path is jaccard_verified_dups, which verifies
+    only LSH candidates)."""
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0)
     return DD.ngram_jaccard_pairs(docs, threshold=0.6)
 
 
-def _jaccard_sql(threshold: float = 0.6, ngram: int = 3) -> str:
+def _jaccard_sql(threshold: float = 0.6, ngram: int = 3,
+                 sample_mod: int = 5) -> str:
     grams = TX.char_ngrams_sql("text", ngram)
     return f"""
 WITH g AS (
   SELECT doc_id, {grams} AS grams,
          floor(log2(len({grams}) + 1)) AS blk
-  FROM documents
+  FROM documents WHERE doc_id % {sample_mod} = 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        (len(list_intersect(a.grams, b.grams))::BIGINT * 1000000)
@@ -3702,6 +3709,73 @@ FROM nss JOIN per USING (source), tot
 
 
 
+
+def jaccard_verified_dups(spark, sf_dir):
+    """Two-stage near-dup pairs at FULL corpus: MinHash-LSH candidates
+    over WORD 6-gram shingles, exact micro-Jaccard verification on
+    candidates only (operators/dedup.py verified_jaccard_pairs —
+    nothing quadratic in the corpus; char 3-grams measured degenerate
+    here: 7.5M candidates from 5k docs)."""
+    docs = _read(spark, sf_dir, "documents")
+    return DD.verified_jaccard_pairs(docs, threshold=0.5, word_grams=6)
+
+
+def _word_minhash_sql(num_hashes: int = 16, bands: int = 4,
+                      n: int = 6) -> str:
+    from iceberg_go_spark.operators.dedup import (MINHASH_A, MINHASH_B,
+                                                  MINHASH_P)
+    mixes = ", ".join(
+        f"min(({MINHASH_A[q]} * h + {MINHASH_B[q]}) % {MINHASH_P}) AS h{q}"
+        for q in range(num_hashes))
+    r = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({key}) AS band_key "
+                       f"FROM sig")
+    u = " UNION ALL ".join(selects)
+    return (
+        f"WITH ws0 AS (SELECT doc_id, list_filter(string_split(text, ' '),"
+        f" x -> x <> '') AS ws FROM documents),\n"
+        f"gw AS (SELECT doc_id, ws, unnest(generate_series(1, "
+        f"greatest(len(ws) - {n - 1}, 0))) AS i FROM ws0),\n"
+        f"g AS (SELECT DISTINCT doc_id, "
+        f"array_to_string(ws[i:i+{n - 1}], ' ') AS gram FROM gw),\n"
+        f"h AS (SELECT doc_id, {_hex12_to_int_sql('md5(gram)')} AS h "
+        f"FROM g),\n"
+        f"sig AS (SELECT doc_id, {mixes} FROM h GROUP BY doc_id)\n"
+        f"SELECT band, band_key, doc_id FROM ({u}) "
+        f"QUALIFY count(*) OVER (PARTITION BY band, band_key) > 1")
+
+
+def _verified_jaccard_sql(threshold: float = 0.5, n: int = 6) -> str:
+    thr_e6 = int(round(threshold * 1_000_000))
+    return f"""
+WITH lsh AS ({_word_minhash_sql(n=n)}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM lsh a JOIN lsh b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+wsv AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws FROM documents),
+gv0 AS (SELECT doc_id, ws, unnest(generate_series(1,
+               greatest(len(ws) - {n - 1}, 0))) AS i FROM wsv),
+garr AS (SELECT doc_id,
+                list_distinct(list(array_to_string(ws[i:i+{n - 1}], ' ')))
+                  AS grams
+         FROM gv0 GROUP BY doc_id)
+SELECT id_a, id_b,
+       (len(list_intersect(a.grams, b.grams))::BIGINT * 1000000)
+         // len(list_distinct(a.grams || b.grams))::BIGINT AS jaccard_e6
+FROM cand JOIN garr a ON a.doc_id = cand.id_a
+          JOIN garr b ON b.doc_id = cand.id_b
+WHERE len(list_distinct(a.grams || b.grams)) > 0
+  AND len(list_intersect(a.grams, b.grams))::BIGINT * 1000000
+      >= {thr_e6} * len(list_distinct(a.grams || b.grams))::BIGINT
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3710,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "jaccard_verified_dups": jaccard_verified_dups,
         "winnow_near_dups": winnow_near_dups,
         "source_divergence": source_divergence,
         "ngram_novelty_scores": ngram_novelty_scores,
@@ -3826,6 +3901,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "jaccard_verified_dups": _verified_jaccard_sql(),
         "winnow_near_dups": _winnow_pairs_sql(
             min_shared=6,
             max_df_sql="greatest(20, (SELECT COUNT(*) FROM documents) // 25)"),

@@ -106,6 +106,8 @@ EXTRA = [
     "minhash_lsh_recall",
     "winnow_near_dups",
     "source_divergence",
+    "jaccard_verified_dups",
+    "ngram_jaccard_dups",
 ]
 
 

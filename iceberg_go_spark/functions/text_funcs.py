@@ -65,19 +65,20 @@ def ratio_e6(num: Column, den: Column) -> Column:
     top count is k*7812.5 micro-units), and Spark's BigDecimal HALF_UP
     disagrees with DuckDB's scaled std::round there — the same
     divergence that kept kmeans_topic_clusters driver-red for two
-    rounds.  (num*1e6 - (num*1e6 % den)) is exactly divisible by den
-    and all operands stay below 2^53 in every caller's domain, so the
-    IEEE double quotient IS the integral trunc quotient (same contract
-    as vector_funcs.trunc_div); DuckDB's integer `//` also truncates
-    (pinned by test_trunc_div_semantics)."""
-    n6 = num.cast("long") * F.lit(1_000_000).cast("long")
-    q = ((n6 - n6 % den) / den).cast("long")
-    return F.when(den == F.lit(0), F.lit(0).cast("long")).otherwise(q)
+    rounds.  Evaluates on the DECIMAL(38,0) path (exact for
+    num < 10^31): the long-arithmetic shortcut ((n6 - n6 % den) / den
+    as doubles) is exact only while num*1e6 < 2^53 — num ~2^34 already
+    mis-divides by 1 ulp, caught by the randomized cross-engine test.
+    DuckDB twin `//` is native integer division, exact to 2^63
+    (test_trunc_div_semantics pins the trunc semantics)."""
+    return ratio_e6_dec(num, den)
 
 
 def ratio_e6_sql(num: str, den: str) -> str:
+    # HUGEINT-widened like the Spark decimal path: BIGINT * 1000000
+    # overflows at num ~2^43, far below the helper's 10^31 contract
     return (f"(CASE WHEN ({den}) = 0 THEN 0 ELSE "
-            f"(({num})::BIGINT * 1000000) // ({den})::BIGINT END)::BIGINT")
+            f"(({num})::HUGEINT * 1000000) // ({den})::HUGEINT END)::BIGINT")
 
 
 def ratio_e6_dec(num: Column, den: Column) -> Column:

@@ -54,6 +54,30 @@ def char_ngram_rows(df: DataFrame, text_col: str = "text",
                       .alias("gram"))
 
 
+def word_ngram_rows(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 6) -> DataFrame:
+    """Distinct (id, gram) rows of word n-grams (raw text, not hashed).
+
+    Word shingles are the right near-dup granularity for natural text:
+    character 3-grams over a small vocabulary make every document
+    resemble every other (measured: 7.5M LSH candidate pairs from 5k
+    synthetic docs), while random word sequences almost never share a
+    6-gram — overlap means real duplication (Lee et al. 2022 use word
+    grams for the same reason)."""
+    from ..session import rebalance_for_amplification
+    arr = F.split(F.col(text_col), " ")
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), F.filter(arr, lambda w: w != "").alias("__ws"))
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__i"), F.col("__ws"))
+    return (pos.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice("__ws", F.col("__i"), n)).alias("gram"))
+        .distinct())
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact-content group, where
@@ -121,7 +145,8 @@ def exact_dedup_normalized(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
-                       bands: int = 4, ngram: int = 3) -> DataFrame:
+                       bands: int = 4, ngram: int = 3,
+                       gram_rows: Optional[DataFrame] = None) -> DataFrame:
     """MinHash+LSH candidate duplicate groups.
 
     Returns (band, band_key, doc_id) rows for buckets holding >1 doc —
@@ -134,7 +159,8 @@ def minhash_lsh_groups(df: DataFrame, text_col: str = "text",
     (map-side combinable) -> band -> bucket count.  Exploding first means
     the normalize+shingle regex runs once per doc; the single-md5 trick
     cuts hashing cost num_hashes-fold (it dominated the profile)."""
-    grams = char_ngram_rows(df, text_col, id_col, ngram) \
+    grams = (gram_rows if gram_rows is not None
+             else char_ngram_rows(df, text_col, id_col, ngram)) \
         .withColumnRenamed("gram", "__gram")
     base = grams.withColumn(
         "__h", F.conv(F.substring(F.md5(F.col("__gram")), 1, 12), 16, 10)
@@ -772,3 +798,61 @@ def minhash_lsh_effectiveness(df: DataFrame, text_col: str = "text",
                      F.col("n_pairs"),
                      F.col("n_pairs").alias("n_lsh_hits")))
     return by_bucket.unionByName(waste)
+
+
+def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           threshold: float = 0.6, ngram: int = 3,
+                           num_hashes: int = 16, bands: int = 4,
+                           word_grams: Optional[int] = 6) -> DataFrame:
+    """Near-duplicate pairs with EXACT n-gram Jaccard, computed only on
+    MinHash-LSH candidate pairs — the production two-stage shape
+    (candidate generation + exact verification) that replaces
+    ngram_jaccard_pairs' blocked all-pairs join at corpus scale: the
+    exact kernel runs on O(candidates), not O(pairs-within-blocks).
+    Recall is bounded by the LSH stage (pairs no band catches are never
+    verified — the standard trade; tune bands/rows for the target
+    threshold).  Output: (id_a, id_b, jaccard_e6), id_a < id_b,
+    integer micro-Jaccard, division-free threshold.
+
+    Granularity: ``word_grams`` (default 6) switches both stages to
+    WORD n-gram shingles — on natural text, character 3-grams make
+    every doc resemble every other (measured on this corpus: 7.5M LSH
+    candidates from 5k docs, banding-insensitive), while a shared word
+    6-gram means real duplication; pass ``word_grams=None`` for the
+    char-gram form.
+
+    Scale shape (100 TB): LSH candidates via band-bucket equi-joins
+    (bucket sizes bounded by the banding design at a meaningful
+    granularity); the verify stage is candidates x grams-of-a (one
+    equi-join on id_a), then an equi-join on (id_b, gram) — every join
+    keyed, nothing quadratic in the corpus."""
+    gram_src = (word_ngram_rows(df, text_col, id_col, word_grams)
+                if word_grams is not None
+                else char_ngram_rows(df, text_col, id_col, ngram))
+    groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
+                                ngram, gram_rows=gram_src)
+    right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
+    cand = (groups.select("band", "band_key", F.col(id_col).alias("id_a"))
+            .join(right, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    g = gram_src.distinct()
+    counts = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("gram"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("gram"))
+    shared = (cand.join(ga, "id_a")
+              .join(gb, ["id_b", "gram"])
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("__shared")))
+    ca = counts.select(F.col(id_col).alias("id_a"),
+                       F.col("__cnt").alias("__na"))
+    cb = counts.select(F.col(id_col).alias("id_b"),
+                       F.col("__cnt").alias("__nb"))
+    union = (F.col("__na") + F.col("__nb") - F.col("__shared"))
+    thr_e6 = int(round(threshold * 1_000_000))
+    return (shared.join(ca, "id_a").join(cb, "id_b")
+            .filter(F.col("__shared") * F.lit(1_000_000).cast("long")
+                    >= F.lit(thr_e6).cast("long") * union)
+            .withColumn("jaccard_e6", TX.ratio_e6(F.col("__shared"), union))
+            .select("id_a", "id_b", "jaccard_e6"))

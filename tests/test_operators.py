@@ -941,3 +941,94 @@ def test_winnow_df_cap_drops_boilerplate_fp(spark):
     df = spark.createDataFrame(
         [(i, base) for i in range(1, 5)], "doc_id long, text string")
     assert winnow_near_dup_pairs(df, min_shared=1, max_df=1).count() == 0
+
+
+def test_ratio_e6_randomized_cross_engine(spark):
+    """Randomized batch: ratio_e6 / ratio_e6_dec == Python floor (all
+    inputs non-negative, so trunc == floor) AND the DuckDB SQL twin —
+    over magnitudes to 10^25, with the quotient constrained to the
+    int64 output contract (num <= den * 9e12).  Both tiers run the
+    DECIMAL(38,0) path — the original long-arithmetic shortcut
+    mis-divided by 1 ulp past num ~2^34, which THIS test caught."""
+    import random
+    import duckdb
+    from iceberg_go_spark.functions.text_funcs import (
+        ratio_e6, ratio_e6_dec, ratio_e6_sql, ratio_e6_dec_sql)
+    rng = random.Random(20260815)
+    def draw(de):
+        d = rng.randrange(0, 10 ** de)
+        n = rng.randrange(0, max(d, 1) * 9 * 10 ** 12)
+        return n, d
+    small = [draw(de) for de in (1, 2, 4, 6) for _ in range(250)]
+    big = [draw(de) for de in (8, 10, 12) for _ in range(150)]
+    df = spark.createDataFrame(small, "n long, d long")
+    got = df.select("n", "d", ratio_e6(F.col("n"), F.col("d"))
+                    .alias("q")).collect()
+    con = duckdb.connect()
+    for r in got:
+        want = 0 if r.d == 0 else (r.n * 1_000_000) // r.d
+        assert r.q == want, (r.n, r.d)
+        oq = con.execute(
+            f"SELECT {ratio_e6_sql(str(r.n), str(r.d))}").fetchone()[0]
+        assert oq == want, (r.n, r.d, oq)
+    df2 = spark.createDataFrame(
+        [(str(n), d) for n, d in big], "ns string, d long")
+    got2 = df2.select(
+        "ns", "d",
+        ratio_e6_dec(F.col("ns").cast("decimal(38,0)"), F.col("d"))
+        .alias("q")).collect()
+    for r in got2:
+        n = int(r.ns)
+        want = 0 if r.d == 0 else (n * 1_000_000) // r.d
+        assert r.q == want, (n, r.d)
+        oq = con.execute(
+            f"SELECT {ratio_e6_dec_sql(r.ns, str(r.d))}").fetchone()[0]
+        assert oq == want, (n, r.d, oq)
+
+
+def test_quality_score_e6_cross_engine_random_text(spark):
+    """quality_score_e6 equals its DuckDB twin byte-for-byte on random
+    ASCII documents (the lineage the text_stats oracle hashes)."""
+    import random
+    import string
+    import duckdb
+    from iceberg_go_spark.functions.text_funcs import (
+        quality_score_e6, quality_score_e6_sql)
+    rng = random.Random(99)
+    alphabet = string.ascii_letters + "0123456789 .,!the and of to"
+    docs = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 600)))
+            for _ in range(200)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "i long, text string")
+    got = {r.i: r.q for r in
+           df.select("i", quality_score_e6(F.col("text")).alias("q"))
+           .collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(docs)))
+    want = dict(con.execute(
+        f"SELECT i, {quality_score_e6_sql('text')} FROM d").fetchall())
+    assert got == want
+
+
+def test_verified_jaccard_pairs_word_mode(spark):
+    """LSH-candidates + exact verify over word shingles: an exact-dup
+    clique pairs at jaccard 1e6 (identical shingle sets collide in
+    every band); unrelated docs never reach verification.  A 0.875-
+    similar pair may deterministically miss all bands — that's LSH
+    recall, bounded by the banding design, so the test only pins the
+    sure cases."""
+    from iceberg_go_spark.operators.dedup import verified_jaccard_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau")
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base),
+         (4, "one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen sixteen")],
+        "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard_e6 for r in
+           verified_jaccard_pairs(df, threshold=0.5,
+                                  word_grams=6).collect()}
+    assert out == {(1, 2): 1_000_000, (1, 3): 1_000_000,
+                   (2, 3): 1_000_000}
