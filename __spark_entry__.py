@@ -3776,6 +3776,47 @@ WHERE len(list_distinct(a.grams || b.grams)) > 0
 
 
 
+
+def training_pipeline_sample(spark, sf_dir):
+    """END-TO-END curation pipeline as ONE declarative DAG — the shape a
+    real training-data job composes: C4 rule gate -> exact dedup (min
+    doc_id per content hash) -> deterministic 25% md5 sample -> per-doc
+    token counts.  Every stage is engine-exact, so the whole pipeline
+    is oracle-checkable; Catalyst fuses the stages over a single scan
+    (one content-hash shuffle is the only exchange)."""
+    docs = _read(spark, sf_dir, "documents")
+    base = CU.c4_filter(docs, min_words=5, banned_words=["spam"])
+    deduped = DD.exact_dedup(base)
+    sampled = CU.stratified_sample(deduped, hex_threshold="40")
+    return sampled.select(
+        "doc_id", "lang", "source",
+        TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+TRAINING_PIPELINE_SQL = f"""
+WITH kept AS (
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE len({TX.tokens_sql('text')}) >= 5
+    AND len(list_intersect(list_distinct({TX.tokens_sql('text')}),
+                           ['spam'])) = 0
+    AND NOT contains(text, '{{')
+    AND COALESCE(list_sum(list_transform({TX.tokens_sql('text')},
+                                         w -> length(w))), 0)::BIGINT
+        BETWEEN 3 * len({TX.tokens_sql('text')})::BIGINT
+            AND 10 * len({TX.tokens_sql('text')})::BIGINT),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1)
+SELECT doc_id, lang, source,
+       ({TX.token_count_sql('text')})::INT AS n_tokens
+FROM deduped
+WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '40'
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3784,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "training_pipeline_sample": training_pipeline_sample,
         "jaccard_verified_dups": jaccard_verified_dups,
         "winnow_near_dups": winnow_near_dups,
         "source_divergence": source_divergence,
@@ -3901,6 +3943,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "training_pipeline_sample": TRAINING_PIPELINE_SQL,
         "jaccard_verified_dups": _verified_jaccard_sql(),
         "winnow_near_dups": _winnow_pairs_sql(
             min_shared=6,

@@ -108,6 +108,7 @@ EXTRA = [
     "source_divergence",
     "jaccard_verified_dups",
     "ngram_jaccard_dups",
+    "training_pipeline_sample",
 ]
 
 

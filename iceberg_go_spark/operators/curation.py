@@ -719,6 +719,20 @@ def c4_rules(df: DataFrame, text_col: str = "text",
     Scale shape (100 TB): embarrassingly parallel map; at scale this is
     the cheapest filter and therefore runs FIRST, shrinking every
     downstream shuffle."""
+    flags = _c4_flag_columns(text_col, min_words, banned_words,
+                             mean_word_len_bounds)
+    return df.select(
+        F.col(id_col),
+        F.size(TX.tokens(F.col(text_col))).cast("long").alias("n_words"),
+        flags["few"].alias("flag_too_few_words"),
+        flags["banned"].alias("flag_banned_word"),
+        flags["brace"].alias("flag_brace"),
+        flags["len"].alias("flag_word_length"),
+        flags["keep"].alias("keep"))
+
+
+def _c4_flag_columns(text_col, min_words, banned_words,
+                     mean_word_len_bounds):
     banned = [w.lower() for w in
               (banned_words if banned_words is not None
                else ["javascript", "lorem", "ipsum", "cookies"])]
@@ -736,13 +750,22 @@ def c4_rules(df: DataFrame, text_col: str = "text",
                 (sum_len > F.lit(hi).cast("long") * n)).cast("int")
     keep = ((flag_few + flag_banned + flag_brace + flag_len) == 0) \
         .cast("int")
-    return df.select(
-        F.col(id_col), n.cast("long").alias("n_words"),
-        flag_few.alias("flag_too_few_words"),
-        flag_banned.alias("flag_banned_word"),
-        flag_brace.alias("flag_brace"),
-        flag_len.alias("flag_word_length"),
-        keep.alias("keep"))
+    return {"few": flag_few, "banned": flag_banned, "brace": flag_brace,
+            "len": flag_len, "keep": keep}
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              min_words: int = 5,
+              banned_words: Optional[List[str]] = None,
+              mean_word_len_bounds: tuple = (3, 10)) -> DataFrame:
+    """The filtering form of ``c4_rules``: returns the ORIGINAL rows
+    that pass every rule, as a single inline predicate — no flag
+    projection and, crucially for pipeline composition, no self-join
+    back on the id (a rules->join composition costs a shuffle; this is
+    a shuffle-free map filter)."""
+    flags = _c4_flag_columns(text_col, min_words, banned_words,
+                             mean_word_len_bounds)
+    return df.filter(flags["keep"] == 1)
 
 
 def bigram_predictability(df: DataFrame, text_col: str = "text",

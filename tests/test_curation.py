@@ -664,3 +664,20 @@ def test_source_token_divergence_absent_token_mass(spark):
     rows = {r.source: r for r in source_token_divergence(df).collect()}
     assert rows["A"].tv_e6 == 500_000
     assert rows["B"].tv_e6 == 500_000
+
+
+def test_c4_filter_matches_rules_keep(spark):
+    from iceberg_go_spark.operators.curation import c4_filter, c4_rules
+    df = spark.createDataFrame(
+        [(1, "good words flow nicely here"),
+         (2, "too short"),
+         (3, "lorem ipsum something extra words"),
+         (4, "a a a a a a")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  c4_filter(df, min_words=5,
+                            banned_words=["lorem"]).collect())
+    want = sorted(r.doc_id for r in
+                  c4_rules(df, min_words=5, banned_words=["lorem"])
+                  .filter("keep = 1").collect())
+    assert kept == want == [1]
