@@ -3817,6 +3817,33 @@ WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '40'
 
 
 
+
+def contrastive_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: 3
+    hash-mixed partners per anchor on the dense id-rank ring — never
+    self, engine-reproducible (operators/curation.py negative_pairs)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.negative_pairs(docs, k=3)
+
+
+def _negative_pairs_sql(k: int = 3) -> str:
+    mix = _hex12_to_int_sql("md5(doc_id::VARCHAR || '|' || j::VARCHAR)")
+    return f"""
+WITH ranked AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY doc_id)::BIGINT AS r
+                FROM documents),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+anchors AS (SELECT doc_id, r, unnest(generate_series(1, {k}))::BIGINT AS j
+            FROM ranked),
+targets AS (SELECT doc_id AS anchor_id, j AS sample_idx,
+                   1 + ((r - 1 + 1 + (({mix}) % (n.n - 1))) % n.n) AS tr
+            FROM anchors, n)
+SELECT anchor_id, sample_idx, p.doc_id AS neg_id
+FROM targets JOIN ranked p ON p.r = targets.tr
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3825,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "contrastive_negative_pairs": contrastive_negative_pairs,
         "training_pipeline_sample": training_pipeline_sample,
         "jaccard_verified_dups": jaccard_verified_dups,
         "winnow_near_dups": winnow_near_dups,
@@ -3943,6 +3971,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "contrastive_negative_pairs": _negative_pairs_sql(),
         "training_pipeline_sample": TRAINING_PIPELINE_SQL,
         "jaccard_verified_dups": _verified_jaccard_sql(),
         "winnow_near_dups": _winnow_pairs_sql(

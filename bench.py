@@ -109,6 +109,7 @@ EXTRA = [
     "jaccard_verified_dups",
     "ngram_jaccard_dups",
     "training_pipeline_sample",
+    "contrastive_negative_pairs",
 ]
 
 

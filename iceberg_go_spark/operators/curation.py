@@ -875,3 +875,45 @@ def source_token_divergence(df: DataFrame, text_col: str = "text",
         F.col("__ns").cast("long").alias("n_tokens"),
         F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
         tv.alias("tv_e6"))
+
+
+def negative_pairs(df: DataFrame, k: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic negative-pair generation for contrastive training:
+    each anchor document gets ``k`` pseudo-random partners, selected by
+    md5-mixing (anchor id, sample index) into a step in [1, N-1] and
+    walking the dense id-rank ring — stateless given the corpus, so the
+    same pairs come out of any engine, any run, any partitioning, and
+    an anchor can never draw itself (the step is never 0 mod N).
+    Returns (anchor_id, sample_idx, neg_id).
+
+    Scale shape (100 TB): the dense rank comes from ``global_rank``
+    (range-partition + per-partition row_number + broadcast offsets —
+    never a single-partition window); anchors explode k-fold; one
+    equi-join on the target rank resolves partner ids.  N itself is a
+    driver-side count (a broadcast-size-class decision, not data
+    movement)."""
+    ids = df.select(id_col)
+    n = ids.count()
+    if n < 2:
+        raise ValueError("negative_pairs needs at least 2 documents")
+    ranked = global_rank(ids, [F.col(id_col)], "__r")
+    mix = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col(id_col), F.col("__j"))), 1, 12),
+        16, 10).cast("long")
+    anchors = (ranked.select(F.col(id_col).alias("anchor_id"),
+                             F.col("__r"),
+                             F.explode(F.sequence(F.lit(1), F.lit(k)))
+                             .alias("__j"))
+               .withColumnRenamed("anchor_id", id_col))
+    step = F.lit(1).cast("long") + F.pmod(mix, F.lit(n - 1).cast("long"))
+    targets = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("__j").alias("sample_idx"),
+        (F.lit(1).cast("long")
+         + F.pmod(F.col("__r") - 1 + step, F.lit(n).cast("long")))
+        .alias("__tr"))
+    partner = ranked.select(F.col("__r").alias("__tr"),
+                            F.col(id_col).alias("neg_id"))
+    return targets.join(partner, "__tr").select(
+        "anchor_id", "sample_idx", "neg_id")

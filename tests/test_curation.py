@@ -681,3 +681,32 @@ def test_c4_filter_matches_rules_keep(spark):
                   c4_rules(df, min_words=5, banned_words=["lorem"])
                   .filter("keep = 1").collect())
     assert kept == want == [1]
+
+
+def test_negative_pairs_never_self_and_exact_k(spark):
+    from iceberg_go_spark.operators.curation import negative_pairs
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(1, 8)],
+                               "doc_id long, text string")
+    rows = negative_pairs(df, k=3).collect()
+    assert len(rows) == 7 * 3
+    by_anchor = {}
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, set()).add(r.sample_idx)
+    assert all(v == {1, 2, 3} for v in by_anchor.values())
+    # determinism across invocations
+    again = negative_pairs(df, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_negative_pairs_two_docs(spark):
+    """With N=2 the step is always 1: each anchor's every sample is the
+    other document."""
+    from iceberg_go_spark.operators.curation import negative_pairs
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a"), (2, "b")],
+                               "doc_id long, text string")
+    rows = negative_pairs(df, k=2).collect()
+    assert {(r.anchor_id, r.neg_id) for r in rows} == {(1, 2), (2, 1)}
+    with _pytest.raises(ValueError):
+        negative_pairs(df.limit(1), k=1)
