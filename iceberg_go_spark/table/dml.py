@@ -215,10 +215,18 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                        for t in partial}
             # v3 spec: at most ONE DV per data file — merge any existing
             # DV into the new bitmap on the executor, then drop the
-            # superseded manifest entry
+            # superseded manifest entry.  Prior position-delete FILES
+            # (parquet, or legacy footer-resolved puffin — the
+            # pre-upgrade forms) must fold in too: once a DV exists,
+            # readers stop applying position-delete files for that data
+            # file (scanner supersede contract), so a DV that did not
+            # absorb them would resurrect their rows.
             existing: Dict[str, list] = {}
+            prior_parquet: Dict[str, list] = {}
+            prior_footer: Dict[str, list] = {}
             if fv >= 3:
                 for t in partial:
+                    fp_key = t.data_file.file_path
                     for d in t.pos_deletes:
                         if d.referenced_data_file is not None \
                                 and d.file_format == "PUFFIN":
@@ -226,7 +234,15 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                                 d.referenced_data_file, []).append(
                                 (d.file_path, d.content_offset,
                                  d.content_size_in_bytes))
+                        elif d.file_format == "PUFFIN":
+                            prior_footer.setdefault(fp_key, []).append(
+                                d.file_path)
+                        else:
+                            prior_parquet.setdefault(fp_key, []).append(
+                                d.file_path)
             ex_bc = spark.sparkContext.broadcast(existing)
+            pq_bc = spark.sparkContext.broadcast(prior_parquet)
+            ft_bc = spark.sparkContext.broadcast(prior_footer)
             out_dir = os.path.join(md.location, "deletes")
             out_schema = ("puffin_path string, referenced string, "
                           "content_offset long, content_size long, "
@@ -249,6 +265,20 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                     for (opth, ooff, oln) in ex_bc.value.get(fp, []):
                         bm.update(int(p) for p in deserialize_dv(
                             read_dv_blob_slice(opth, ooff, oln)))
+                    for pqp in sorted(set(pq_bc.value.get(fp, []))):
+                        import pyarrow.parquet as _pq
+                        tbl = _pq.read_table(
+                            pqp, columns=["file_path", "pos"],
+                            filters=[("file_path", "==", fp)])
+                        bm.update(int(p)
+                                  for p in tbl.column("pos").to_pylist())
+                    for cont in sorted(set(ft_bc.value.get(fp, []))):
+                        from iceberg_go_spark.meta.dv import (
+                            read_deletion_vector_blobs as _rdvb)
+                        raw = _rdvb(cont).get(fp)
+                        if raw is not None:
+                            bm.update(int(p) for p in
+                                      deserialize_dv(raw).to_numpy())
                 pth = os.path.join(
                     out_dir, f"dv-{_uuid.uuid4().hex[:12]}.puffin")
                 offsets = write_deletion_vector_blobs(

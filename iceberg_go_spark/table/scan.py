@@ -621,12 +621,33 @@ class Scan:
                                       if fmt != "PUFFIN")
                 puffin_dels = sorted(p for p, fmt, _n in pos_set
                                      if fmt == "PUFFIN")
+                # spec contract (v3 deletes; parity scanner.go +
+                # row_lineage_prune_delete_test.go
+                # TestReadTaskDeletionVectorSupersedesPositionalDeletes):
+                # a data file with a deletion vector ignores positional
+                # delete files entirely — the DV is the merged superset,
+                # and applying both would double-drop positions.  The
+                # covered set is driver metadata: slice entries name
+                # their file; legacy containers list theirs in the
+                # puffin footer.
+                dv_covered = {fp for _p, _o, _l, fp in dv_slices}
+                if parquet_dels and puffin_dels:
+                    from ..meta.dv import read_deletion_vector_blobs
+                    for pth in puffin_dels:
+                        dv_covered.update(
+                            read_deletion_vector_blobs(pth).keys())
                 if parquet_dels:
                     deletes = (spark.read.parquet(
                                    *[p for p, _ in parquet_dels])
                                .select(F.col("file_path").alias("__dfile"),
                                        F.col("pos").alias("__dpos"))
                                .distinct())
+                    if dv_covered:
+                        covered_df = spark.createDataFrame(
+                            [(p,) for p in sorted(dv_covered)],
+                            "__dfile string")
+                        deletes = deletes.join(F.broadcast(covered_df),
+                                               "__dfile", "left_anti")
                     # broadcast only when manifest stats say the delete
                     # set is small; at large delete counts let AQE pick a
                     # shuffled anti-join instead of OOMing the driver

@@ -365,3 +365,92 @@ def test_cow_delete_expunges_dv_entries_of_rewritten_files(
     out = t.to_df(spark)
     assert out.filter(F2.col("o_orderstatus") == "F").count() == 0
     assert out.count() < n
+
+
+def test_dv_absorbs_preupgrade_pos_deletes(spark, sf_dir, tmp_path):
+    """v2 parquet pos delete -> upgrade to v3 -> DV delete on the same
+    files: the new DV must absorb the pre-upgrade positions (spec:
+    writers merge ALL existing position deletes into the DV), because
+    the read path stops applying position-delete files to DV-covered
+    data files (scanner supersede contract, parity
+    row_lineage_prune_delete_test.go) — without the merge the v2 rows
+    would resurrect."""
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir)
+    t = cat.create_table("db.up_mix", Schema.from_spark(df.schema))
+    t.append(df)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read")
+    t = t.upgrade_format_version(3)
+    t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                   mode="merge-on-read-dv")
+    expected = df.filter((F.col("o_orderstatus") != "F")
+                         & (F.col("o_orderstatus") != "P"))
+    assert t.to_df(spark).count() == expected.count()
+    # the fixture really is the mixed state: some data file carries BOTH
+    # a per-file DV entry and the pre-upgrade parquet delete
+    tasks = t.scan().plan_files()
+    assert any(
+        any(d.file_format == "PUFFIN" and d.referenced_data_file
+            for d in tk.pos_deletes)
+        and any(d.file_format != "PUFFIN" for d in tk.pos_deletes)
+        for tk in tasks)
+
+
+def test_dv_supersedes_pos_delete_on_read(spark, sf_dir, tmp_path):
+    """Hand-built mixed state (parity row_lineage_prune_delete_test.go
+    TestReadTaskDeletionVectorSupersedesPositionalDeletes): a data file
+    with a DV deleting pos 0 AND a positional-delete file targeting pos
+    4 must drop ONLY pos 0 — the DV wins, the positional delete is
+    ignored."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.meta.dv import (RoaringBitmap64, serialize_dv,
+                                          write_deletion_vector_blobs)
+    from iceberg_go_spark.table.dml import OP_DELETE
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, chr(96 + i)) for i in range(1, 6)], "id long, data string")
+    t = cat.create_table("db.hand", Schema.from_spark(df.schema))
+    t = t.upgrade_format_version(3)
+    t.append(df.coalesce(1))
+    t = cat.load_table("db.hand")
+    tasks = t.scan().plan_files()
+    assert len(tasks) == 1
+    data_path = tasks[0].data_file.file_path
+    ddir = os.path.join(t.metadata.location, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+
+    # DV deleting pos 0
+    bm = RoaringBitmap64()
+    bm.update([0])
+    dv_path = os.path.join(ddir, "dv-hand.puffin")
+    offsets = write_deletion_vector_blobs(
+        dv_path, {data_path: (serialize_dv(bm), 1)})
+    off, ln = offsets[data_path]
+    dv_file = M.DataFile(
+        content=M.CONTENT_POS_DELETES, file_path=dv_path,
+        file_format="PUFFIN", partition={}, record_count=1,
+        file_size_in_bytes=os.path.getsize(dv_path),
+        referenced_data_file=data_path, content_offset=off,
+        content_size_in_bytes=ln)
+
+    # positional-delete parquet targeting pos 4 of the SAME file
+    pd_path = os.path.join(ddir, "pos-hand.parquet")
+    pq.write_table(pa.table({"file_path": [data_path],
+                             "pos": pa.array([4], pa.int64())}), pd_path)
+    pos_file = M.DataFile(
+        content=M.CONTENT_POS_DELETES, file_path=pd_path,
+        file_format="PARQUET", partition={}, record_count=1,
+        file_size_in_bytes=os.path.getsize(pd_path))
+
+    txn = t.new_transaction()
+    txn.append_files([dv_file, pos_file], operation=OP_DELETE,
+                     referenced_paths=[data_path])
+    txn.commit()
+    t = cat.load_table("db.hand")
+    got = sorted(r.id for r in t.to_df(spark).collect())
+    assert got == [2, 3, 4, 5], got  # pos 4 (id=5) must SURVIVE
