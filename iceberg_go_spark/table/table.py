@@ -15,7 +15,24 @@ from .. import expressions as E
 from ..meta.metadata import MAIN_BRANCH, Snapshot, SnapshotRef, TableMetadata
 from ..schema import Schema
 from .scan import Scan
-from .transaction import Transaction
+from .transaction import Transaction, ValidationError
+
+
+def _check_same_table_uuid(base: TableMetadata,
+                           fresh: TableMetadata) -> None:
+    """Refreshing a handle must never silently adopt a DIFFERENT table
+    that reuses the identifier (drop + recreate at the same name):
+    every staged snapshot and scan the caller holds refers to the old
+    identity (parity: refresh_uuid_test.go — refresh and commit-retry
+    both reject a changed UUID and tell the caller to load a new
+    handle).  Missing UUIDs on either side (pre-v1 metadata) skip the
+    check."""
+    if (base.table_uuid and fresh.table_uuid
+            and base.table_uuid != fresh.table_uuid):
+        raise ValidationError(
+            f"table UUID changed on refresh ({base.table_uuid} -> "
+            f"{fresh.table_uuid}): the table was replaced; load a new "
+            f"table handle")
 
 
 class Table:
@@ -76,6 +93,7 @@ class Table:
 
     def refresh(self) -> "Table":
         fresh = self.catalog.load_table(self.identifier)
+        _check_same_table_uuid(self.metadata, fresh.metadata)
         self.metadata = fresh.metadata
         self.metadata_location = fresh.metadata_location
         return self

@@ -650,6 +650,19 @@ class Transaction:
                 time.sleep(wait * (0.5 + random.random() / 2))
                 # refresh: re-parent staged snapshots onto latest metadata
                 fresh = self.table.catalog.load_table(self.table.identifier)
+                # a changed table UUID means drop+recreate raced this
+                # commit — rebasing would append to a FOREIGN table;
+                # terminal, never retried (refresh_uuid_test.go:
+                # TestCommitRetryRejectsChangedTableUUIDBeforeRetryCommit)
+                if (self.table.metadata.table_uuid
+                        and fresh.metadata.table_uuid
+                        and self.table.metadata.table_uuid
+                        != fresh.metadata.table_uuid):
+                    raise ValidationError(
+                        f"table UUID changed during commit retry "
+                        f"({self.table.metadata.table_uuid} -> "
+                        f"{fresh.metadata.table_uuid}): the table was "
+                        f"replaced; load a new table handle")
                 self._rebase(fresh)
 
     def _isolation(self, operation: str) -> str:

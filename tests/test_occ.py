@@ -169,3 +169,62 @@ def test_rebase_shifts_v3_row_ids(spark, sf_dir, catalog):
     out = t3.scan().with_row_lineage().to_df(spark)
     ids = sorted(r._row_id for r in out.select("_row_id").collect())
     assert ids == list(range(42))  # dense, unique after rebase
+
+
+def test_refresh_rejects_changed_table_uuid(spark, sf_dir, tmp_path):
+    """Drop + recreate under the same identifier: a held handle's
+    refresh must fail loudly instead of silently adopting the foreign
+    table (parity refresh_uuid_test.go)."""
+    import pytest
+    from iceberg_go_spark.table.transaction import ValidationError
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.u", Schema.from_spark(df.schema))
+    t.append(df)
+    held = cat.load_table("db.u")
+    cat.drop_table("db.u")
+    t2 = cat.create_table("db.u", Schema.from_spark(df.schema))
+    assert t2.metadata.table_uuid != held.metadata.table_uuid
+    with pytest.raises(ValidationError, match="UUID changed"):
+        held.refresh()
+
+
+def test_commit_retry_rejects_changed_table_uuid(spark, sf_dir, tmp_path):
+    """A commit that conflicts, where the 'peer' actually dropped and
+    recreated the table (different UUID), must stop the retry loop
+    BEFORE a second catalog commit — a rebase would append to a foreign
+    table (parity refresh_uuid_test.go
+    TestCommitRetryRejectsChangedTableUUIDBeforeRetryCommit; like the
+    reference, the racing catalog is faked so the drop doesn't destroy
+    the stale handle's files)."""
+    import pytest
+    from iceberg_go_spark.catalog.filesystem import CommitConflictError
+    from iceberg_go_spark.table.transaction import ValidationError
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.u2", Schema.from_spark(df.schema))
+    t.append(df)
+    stale = cat.load_table("db.u2")
+    foreign = cat.create_table("db.u2_foreign", Schema.from_spark(df.schema))
+    assert foreign.metadata.table_uuid != stale.metadata.table_uuid
+
+    class SwappedCatalog:
+        def __init__(self, inner, fresh):
+            self._inner, self._fresh = inner, fresh
+            self.commits = 0
+
+        def commit_table(self, *a, **k):
+            self.commits += 1
+            raise CommitConflictError("concurrent commit")
+
+        def load_table(self, _ident):
+            return self._fresh
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    swapped = SwappedCatalog(cat, foreign)
+    stale.catalog = swapped
+    with pytest.raises(ValidationError, match="UUID changed"):
+        stale.append(df)
+    assert swapped.commits == 1  # terminal: no second catalog commit
