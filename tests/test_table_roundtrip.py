@@ -410,3 +410,32 @@ def test_create_v1_and_v3_tables(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="format version"):
         cat.create_table("db.v9t", Schema.from_spark(df.schema),
                          properties={"format-version": "9"})
+
+
+def test_manifest_list_partitions_never_null_after_delete_then_add_files(
+        spark, sf_dir, tmp_path):
+    """append -> copy-on-write delete (partial rewrite) -> add_files on
+    an unpartitioned v2 table: the final manifest list must never
+    encode `partitions` as null for any manifest — inherited delete
+    manifests included (parity
+    manifest_list_partitions_regression_test.go, upstream #1309)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_go_spark.meta import manifests as M
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    t = cat.create_table("db.mlp", Schema.from_spark(df.schema))
+    t.append(df)
+    t.delete_where(spark, E.eq("id", 2))  # CoW partial rewrite
+    extra = str(tmp_path / "extra.parquet")
+    pq.write_table(pa.table({"id": pa.array([4, 5], pa.int64())}), extra)
+    t = cat.load_table("db.mlp")
+    txn = t.new_transaction()
+    txn.add_files(spark, [extra])
+    txn.commit()
+    t = cat.load_table("db.mlp")
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 3, 4, 5]
+    mlist = t.current_snapshot().manifest_list
+    for mf in M.read_manifest_list(mlist):
+        assert mf.partitions is not None, mf.manifest_path

@@ -375,3 +375,56 @@ def test_add_files_adopts_golden_shredded_variant(spark, tmp_path):
     rows = out.select("id", F.to_json("var").alias("j")).collect()
     assert len(rows) == tasks[0].data_file.record_count
     assert any(r.j is not None for r in rows)
+
+
+def test_shredded_variant_survives_positional_delete(spark, sf_dir,
+                                                     tmp_path):
+    """A shredded VARIANT column must read back correct values through
+    a merge-on-read positional delete — the shredded companion columns
+    and the variant binary must stay row-aligned after the anti-join
+    (parity variant_shredded_posdelete_test.go)."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f'{{"a": {i}, "city": "NYC"}}') for i in range(5)],
+        "id long, j string").select(
+        "id", F.parse_json(F.col("j")).alias("v"))
+    t = cat.create_table("db.vshred", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df.coalesce(1))
+    t.delete_where(spark, E.eq("id", 1), mode="merge-on-read")
+    t = cat.load_table("db.vshred")
+    out = (t.to_df(spark)
+           .select("id", F.try_variant_get("v", "$.a", "long").alias("a"),
+                   F.try_variant_get("v", "$.city", "string").alias("c"))
+           .collect())
+    got = sorted((r.id, r.a, r.c) for r in out)
+    assert got == [(0, 0, "NYC"), (2, 2, "NYC"),
+                   (3, 3, "NYC"), (4, 4, "NYC")]
+
+
+def test_shredded_variant_survives_dv_delete(spark, sf_dir, tmp_path):
+    """Same contract with a v3 deletion vector instead of a parquet
+    positional delete."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f'{{"a": {i}}}') for i in range(5)],
+        "id long, j string").select(
+        "id", F.parse_json(F.col("j")).alias("v"))
+    t = cat.create_table("db.vshred2", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df.coalesce(1))
+    t.delete_where(spark, E.eq("id", 3), mode="merge-on-read-dv")
+    t = cat.load_table("db.vshred2")
+    out = sorted((r.id, r.a) for r in t.to_df(spark).select(
+        "id", F.try_variant_get("v", "$.a", "long").alias("a")).collect())
+    assert out == [(0, 0), (1, 1), (2, 2), (4, 4)]
