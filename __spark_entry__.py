@@ -3844,6 +3844,62 @@ FROM targets JOIN ranked p ON p.r = targets.tr
 
 
 
+
+def ngram_diversity_profile(spark, sf_dir):
+    """Corpus distinct-n diversity for n=1..4 (the Self-BLEU complement;
+    operators/curation.py ngram_diversity — one shared tokenization
+    pass, one distinct-count aggregation per n, 4 output rows)."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.ngram_diversity(docs, max_n=4)
+
+
+def _ngram_diversity_sql(max_n: int = 4) -> str:
+    parts = []
+    for n in range(1, max_n + 1):
+        parts.append(f"""
+SELECT {n}::INT AS n,
+       COUNT(DISTINCT gram)::BIGINT AS distinct_ngrams,
+       COUNT(*)::BIGINT AS total_ngrams,
+       (COUNT(DISTINCT gram)::BIGINT * 1000000
+        // COUNT(*)::BIGINT)::BIGINT AS diversity_e6
+FROM (SELECT array_to_string(ws[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT ws, unnest(generate_series(1,
+                   greatest(len(ws) - {n - 1}, 0))) AS i
+            FROM (SELECT list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS ws
+                  FROM documents)))""")
+    return " UNION ALL ".join(parts)
+
+
+def iceberg_snapshot_drift(spark, sf_dir):
+    """Drift monitor across table versions: exact total-variation
+    distance of l_quantity's distribution between the 'v1' tag (even
+    orderkeys) and the current snapshot of db.li_tt
+    (operators/curation.py snapshot_value_drift — time travel supplies
+    both sides from one table)."""
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_tt")
+    return CU.snapshot_value_drift(t, spark, "l_quantity", "v1")
+
+
+SNAPSHOT_DRIFT_SQL = """
+WITH old AS (SELECT l_quantity AS v, COUNT(*)::BIGINT AS co
+             FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+new AS (SELECT l_quantity AS v, COUNT(*)::BIGINT AS cn
+        FROM lineitem GROUP BY 1),
+j AS (SELECT COALESCE(co, 0)::BIGINT AS co, COALESCE(cn, 0)::BIGINT AS cn
+      FROM old FULL OUTER JOIN new USING (v)),
+tot AS (SELECT SUM(co)::HUGEINT AS no, SUM(cn)::HUGEINT AS nn,
+               COUNT(*)::BIGINT AS n_values FROM j)
+SELECT tot.no::BIGINT AS n_old, tot.nn::BIGINT AS n_new, n_values,
+       (CASE WHEN tot.no = 0 OR tot.nn = 0 THEN 0 ELSE
+        (SELECT SUM(abs(co::HUGEINT * tot.nn - cn::HUGEINT * tot.no))
+         FROM j) * 1000000 // (2 * tot.no * tot.nn) END)::BIGINT AS tv_e6
+FROM tot
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3852,6 +3908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "ngram_diversity_profile": ngram_diversity_profile,
+        "iceberg_snapshot_drift": iceberg_snapshot_drift,
         "contrastive_negative_pairs": contrastive_negative_pairs,
         "training_pipeline_sample": training_pipeline_sample,
         "jaccard_verified_dups": jaccard_verified_dups,
@@ -3971,6 +4029,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "ngram_diversity_profile": _ngram_diversity_sql(),
+        "iceberg_snapshot_drift": SNAPSHOT_DRIFT_SQL,
         "contrastive_negative_pairs": _negative_pairs_sql(),
         "training_pipeline_sample": TRAINING_PIPELINE_SQL,
         "jaccard_verified_dups": _verified_jaccard_sql(),

@@ -110,6 +110,8 @@ EXTRA = [
     "ngram_jaccard_dups",
     "training_pipeline_sample",
     "contrastive_negative_pairs",
+    "ngram_diversity_profile",
+    "iceberg_snapshot_drift",
 ]
 
 

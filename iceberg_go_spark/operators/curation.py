@@ -917,3 +917,85 @@ def negative_pairs(df: DataFrame, k: int = 3,
                             F.col(id_col).alias("neg_id"))
     return targets.join(partner, "__tr").select(
         "anchor_id", "sample_idx", "neg_id")
+
+
+def ngram_diversity(df: DataFrame, text_col: str = "text",
+                    max_n: int = 4) -> DataFrame:
+    """Corpus-level distinct-n diversity (the Self-BLEU complement used
+    to monitor generation/corpus variety): for each n in 1..max_n, the
+    number of distinct word n-grams, total n-gram occurrences, and the
+    exact micro-ratio distinct/total (low values = templated text).
+    Returns (n, distinct_ngrams, total_ngrams, diversity_e6).
+
+    Scale shape: ONE tokenization pass feeds all n (the position
+    explode is shared; each n adds a slice projection, not a re-scan);
+    per-n the count is a map-side-combinable distinct aggregation keyed
+    by the gram hash.  Output is max_n rows."""
+    arr = F.split(F.col(text_col), " ")
+    base = rebalance_for_amplification(df).select(
+        F.filter(arr, lambda w: w != "").alias("__ws"))
+    frames = []
+    for n in range(1, max_n + 1):
+        pos = base.filter(F.size("__ws") >= n).select(
+            F.col("__ws"),
+            F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+            .alias("__i"))
+        grams = pos.select(
+            F.xxhash64(F.concat_ws(" ", F.slice("__ws", F.col("__i"), n)))
+            .alias("__g"))
+        agg = grams.agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("__g").alias("distinct_ngrams")).select(
+            F.lit(n).cast("int").alias("n"),
+            F.col("distinct_ngrams").cast("long"),
+            F.col("total_ngrams").cast("long"))
+        frames.append(agg)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.withColumn(
+        "diversity_e6", TX.ratio_e6(F.col("distinct_ngrams"),
+                                    F.col("total_ngrams")))
+
+
+def snapshot_value_drift(table, spark, column: str,
+                         from_ref: str) -> DataFrame:
+    """Data-drift monitor across TABLE VERSIONS: exact total-variation
+    distance between a column's value distribution at a tagged/branch
+    snapshot and at the current snapshot — the check a training
+    pipeline runs before retraining on a refreshed table ("did the
+    ingest change the data mix?").  Returns one row
+    (n_old, n_new, n_values, tv_e6).
+
+    Time travel supplies both sides from the SAME table (no second
+    copy): each side is one value-histogram aggregation; the histogram
+    join is keyed by value; the TV fold is the closed-form used by
+    source_token_divergence, in DECIMAL(38,0)."""
+    old = table.scan(selected=[column]).use_ref(from_ref).to_df(spark)
+    new = table.scan(selected=[column]).to_df(spark)
+    ch = old.groupBy(column).agg(F.count(F.lit(1)).alias("__co"))
+    cn = new.groupBy(column).agg(F.count(F.lit(1)).alias("__cn"))
+    j = ch.join(cn, column, "full_outer").select(
+        F.coalesce("__co", F.lit(0)).cast("long").alias("__co"),
+        F.coalesce("__cn", F.lit(0)).cast("long").alias("__cn"))
+    dec = "decimal(38,0)"
+    tot = j.agg(F.sum("__co").alias("__no"),
+                F.sum("__cn").alias("__nn"),
+                F.count(F.lit(1)).alias("n_values"))
+    term = F.abs(F.col("__co").cast(dec) * F.col("__nn").cast(dec)
+                 - F.col("__cn").cast(dec) * F.col("__no").cast(dec))
+    per = (j.crossJoin(F.broadcast(tot))
+           .agg(F.sum(term).alias("__sum_abs"),
+                F.first("__no").alias("__no"),
+                F.first("__nn").alias("__nn"),
+                F.first("n_values").alias("n_values")))
+    num = F.col("__sum_abs").cast(dec) * F.lit(1_000_000).cast(dec)
+    den = (F.lit(2).cast(dec) * F.col("__no").cast(dec)
+           * F.col("__nn").cast(dec))
+    tv = ((num - num % den) / den).cast("long")
+    return per.select(
+        F.col("__no").cast("long").alias("n_old"),
+        F.col("__nn").cast("long").alias("n_new"),
+        F.col("n_values").cast("long").alias("n_values"),
+        F.when(den == 0, F.lit(0).cast("long")).otherwise(tv)
+        .alias("tv_e6"))

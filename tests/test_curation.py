@@ -710,3 +710,16 @@ def test_negative_pairs_two_docs(spark):
     assert {(r.anchor_id, r.neg_id) for r in rows} == {(1, 2), (2, 1)}
     with _pytest.raises(ValueError):
         negative_pairs(df.limit(1), k=1)
+
+
+def test_ngram_diversity_hand_case(spark):
+    from iceberg_go_spark.operators.curation import ngram_diversity
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string")
+    rows = {r.n: r for r in ngram_diversity(df, max_n=2).collect()}
+    # unigrams: 7 total (a,b,a,b,a,b,c), 3 distinct
+    assert rows[1].total_ngrams == 7 and rows[1].distinct_ngrams == 3
+    assert rows[1].diversity_e6 == 3 * 1_000_000 // 7
+    # bigrams: doc1 {a b, b a, a b}, doc2 {a b, b c} -> 5 total, 3 distinct
+    assert rows[2].total_ngrams == 5 and rows[2].distinct_ngrams == 3
+    assert rows[2].diversity_e6 == 3 * 1_000_000 // 5

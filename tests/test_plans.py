@@ -41,12 +41,15 @@ SF = "/root/testdata/sf0.001"
 # - source_divergence: the 1-row corpus-token-total broadcast as a
 #   scalar cross join — per-(source, token) rows join counts via hash
 #   joins keyed by token / source
+# - iceberg_snapshot_drift: the 1-row (n_old, n_new) totals broadcast
+#   as a scalar cross join against the value histogram
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
                      "kmeans_topic_clusters", "q22_idle_customers",
                      "semantic_dedup_embeddings", "bm25_search",
                      "temperature_mixture_sample",
                      "token_frequency_quality", "ann_topk_pq",
-                     "ann_topk_pq_rerank", "source_divergence"}
+                     "ann_topk_pq_rerank", "source_divergence",
+                     "iceberg_snapshot_drift"}
 
 
 def _plan(spark, name):

@@ -439,3 +439,20 @@ def test_manifest_list_partitions_never_null_after_delete_then_add_files(
     mlist = t.current_snapshot().manifest_list
     for mf in M.read_manifest_list(mlist):
         assert mf.partitions is not None, mf.manifest_path
+
+
+def test_snapshot_value_drift_exact(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+    from iceberg_go_spark.operators.curation import snapshot_value_drift
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([("x",), ("x",), ("y",)], "v string")
+    t = cat.create_table("db.drift", Schema.from_spark(df1.schema))
+    t.append(df1)
+    t.create_tag("t0", t.current_snapshot().snapshot_id)
+    t.append(spark.createDataFrame([("y",), ("y",), ("z",)], "v string"))
+    t = cat.load_table("db.drift")
+    row = snapshot_value_drift(t, spark, "v", "t0").collect()[0]
+    # old: x=2,y=1 (n=3); new: x=2,y=3,z=1 (n=6)
+    # TV = 0.5*(|2/3-2/6| + |1/3-3/6| + |0-1/6|) = 0.5*(1/3+1/6+1/6) = 1/3
+    assert (row.n_old, row.n_new, row.n_values) == (3, 6, 3)
+    assert row.tv_e6 == 333_333
