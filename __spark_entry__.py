@@ -3900,6 +3900,42 @@ FROM tot
 
 
 
+
+def multimodal_pack(spark, sf_dir):
+    """Interleaved multimodal sequence packing: per-doc cost = text
+    tokens + 576 per image (deterministic synthetic image count
+    doc_id % 3 — the real pipeline joins an image-manifest table);
+    contiguous fill into 4096-token context windows per source
+    (operators/multimodal.py pack_multimodal_sequences)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "n_images", (F.col("doc_id") % 3).cast("int"))
+    from iceberg_go_spark.operators.multimodal import (
+        pack_multimodal_sequences)
+    return pack_multimodal_sequences(docs, budget=4096)
+
+
+MULTIMODAL_PACK_SQL = """
+WITH base AS (
+  SELECT source AS shard, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens,
+         (doc_id % 3)::BIGINT AS n_images
+  FROM documents),
+costed AS (SELECT *, n_tokens + n_images * 576 AS total_cost FROM base),
+cum AS (SELECT *,
+               COALESCE(SUM(total_cost) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS before
+        FROM costed)
+SELECT shard, doc_id, n_tokens, n_images, total_cost,
+       (before // 4096)::BIGINT AS pack_id,
+       (before % 4096)::BIGINT AS pack_offset
+FROM cum
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3908,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "multimodal_pack": multimodal_pack,
         "ngram_diversity_profile": ngram_diversity_profile,
         "iceberg_snapshot_drift": iceberg_snapshot_drift,
         "contrastive_negative_pairs": contrastive_negative_pairs,
@@ -4029,6 +4066,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "multimodal_pack": MULTIMODAL_PACK_SQL,
         "ngram_diversity_profile": _ngram_diversity_sql(),
         "iceberg_snapshot_drift": SNAPSHOT_DRIFT_SQL,
         "contrastive_negative_pairs": _negative_pairs_sql(),

@@ -112,6 +112,7 @@ EXTRA = [
     "contrastive_negative_pairs",
     "ngram_diversity_profile",
     "iceberg_snapshot_drift",
+    "multimodal_pack",
 ]
 
 

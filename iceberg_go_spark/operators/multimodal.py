@@ -156,3 +156,40 @@ def audio_chunk_plan(df: DataFrame, chunk_ms: int = 10_000,
             .select("media_id", "chunk_start_ms",
                     F.least(F.col("chunk_start_ms") + chunk_ms,
                             F.col("__dur")).alias("chunk_end_ms")))
+
+
+def pack_multimodal_sequences(df, budget: int,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              shard_col: str = "source",
+                              image_count_col: str = "n_images",
+                              image_tokens: int = 576):
+    """Sequence packing for INTERLEAVED multimodal training data: each
+    document's context cost is its text tokens PLUS a fixed per-image
+    token budget (ViT-patch placeholder count — 576 for a 24x24 patch
+    grid, the shape vision-language models reserve per image), and
+    documents are laid into fixed-budget context windows per shard.
+    Returns (shard, doc_id, n_tokens, n_images, total_cost, pack_id,
+    pack_offset).
+
+    Same scale shape as curation.pack_sequences: one window per shard
+    (packing parallelizes across shards, no global sort), contiguous
+    deterministic fill; items above the budget are visible as
+    pack_offset + total_cost > budget rather than split."""
+    from pyspark.sql import Window, functions as F
+    toks = (F.size(F.filter(F.split(F.col(text_col), " "),
+                            lambda w: w != ""))).cast("bigint")
+    cost = toks + F.col(image_count_col).cast("bigint") * image_tokens
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = df.select(F.col(shard_col).alias("shard"), F.col(id_col),
+                     toks.alias("n_tokens"),
+                     F.col(image_count_col).cast("bigint")
+                     .alias("n_images"),
+                     cost.alias("total_cost"))
+    cum = base.withColumn(
+        "__before", F.coalesce(F.sum("total_cost").over(w), F.lit(0)))
+    return cum.select(
+        "shard", id_col, "n_tokens", "n_images", "total_cost",
+        F.floor(F.col("__before") / budget).alias("pack_id"),
+        (F.col("__before") % budget).alias("pack_offset"))

@@ -1032,3 +1032,22 @@ def test_verified_jaccard_pairs_word_mode(spark):
                                   word_grams=6).collect()}
     assert out == {(1, 2): 1_000_000, (1, 3): 1_000_000,
                    (2, 3): 1_000_000}
+
+
+def test_pack_multimodal_sequences(spark):
+    from iceberg_go_spark.operators.multimodal import (
+        pack_multimodal_sequences)
+    df = spark.createDataFrame(
+        [(1, "a b c", "s", 1),      # 3 + 576 = 579
+         (2, "d e", "s", 0),        # 2
+         (3, "f", "s", 2)],         # 1 + 1152 = 1153
+        "doc_id long, text string, source string, n_images int")
+    rows = {r.doc_id: r for r in
+            pack_multimodal_sequences(df, budget=600).collect()}
+    assert rows[1].total_cost == 579
+    assert (rows[1].pack_id, rows[1].pack_offset) == (0, 0)
+    # doc 2 starts at cumulative 579 -> same pack, offset 579
+    assert (rows[2].pack_id, rows[2].pack_offset) == (0, 579)
+    # doc 3 starts at 581 -> pack 0 but overflows (not split)
+    assert rows[3].pack_id == 0 and rows[3].pack_offset == 581
+    assert rows[3].pack_offset + rows[3].total_cost > 600
