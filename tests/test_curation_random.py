@@ -187,3 +187,87 @@ def test_duplicate_spans_vs_bruteforce(spark, seed, n, min_count):
         assert stats[i]["total_tokens"] == tot, i
         assert clean[i]["clean_text"] == ktext, i
         assert clean[i]["removed_tokens"] == dup, i
+
+
+def _rand_docs(rng, n_docs=40, vocab=8, max_len=20):
+    words = [f"w{i}" for i in range(vocab)]
+    return [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randrange(0, max_len))))
+            for i in range(1, n_docs + 1)]
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_ngram_novelty_vs_bruteforce(spark, seed):
+    """ngram_novelty == a pure-Python first-introducer scan over random
+    small-vocab corpora (high gram collision rates on purpose)."""
+    rng = random.Random(seed)
+    docs = _rand_docs(rng)
+    n = 2
+    seen = {}
+    ref = {}
+    for i, text in docs:  # ascending doc id == min-id semantics
+        ws = [w for w in text.split(" ") if w]
+        grams = {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)} \
+            if len(ws) >= n else set()
+        for g in grams:
+            seen.setdefault(g, i)
+        novel = sum(1 for g in grams if seen[g] == i)
+        ref[i] = (len(grams), novel,
+                  0 if not grams else novel * 1_000_000 // len(grams))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.novel_grams, r.novelty_e6)
+           for r in CU.ngram_novelty(df, n=n).collect()}
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [13, 61])
+def test_bigram_predictability_vs_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    docs = _rand_docs(rng, vocab=5)
+    from collections import Counter
+    bg = Counter()
+    for _i, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        bg.update(zip(ws, ws[1:]))
+    pre = Counter()
+    for (w1, _w2), c in bg.items():
+        pre[w1] += c
+    ref = {}
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        ps = [bg[(a, b)] * 1_000_000 // pre[a]
+              for a, b in zip(ws, ws[1:])]
+        ref[i] = (len(ps), 0 if not ps else sum(ps) // len(ps))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.mean_bigram_p_e6)
+           for r in CU.bigram_predictability(df).collect()}
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_source_divergence_vs_bruteforce(spark, seed):
+    from collections import Counter
+    from fractions import Fraction
+    rng = random.Random(seed)
+    docs = [(i, " ".join(rng.choice(["a", "b", "c", "d"])
+                         for _ in range(rng.randrange(1, 12))),
+             rng.choice(["s1", "s2", "s3"]))
+            for i in range(1, 31)]
+    per_src, corpus = {}, Counter()
+    for _i, text, src in docs:
+        ws = text.split(" ")
+        per_src.setdefault(src, Counter()).update(ws)
+        corpus.update(ws)
+    n_total = sum(corpus.values())
+    ref = {}
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        tv = Fraction(0)
+        for w, cw in corpus.items():
+            tv += abs(Fraction(cnt.get(w, 0), ns) - Fraction(cw, n_total))
+        tv = tv / 2
+        ref[src] = (ns, len(cnt), int(tv * 1_000_000))  # trunc
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r.source: (r.n_tokens, r.distinct_tokens, r.tv_e6)
+           for r in CU.source_token_divergence(df).collect()}
+    assert got == ref
