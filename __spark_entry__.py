@@ -3936,6 +3936,52 @@ FROM cum
 
 
 
+
+def bpe_merge_table(spark, sf_dir):
+    """Iterative BPE merge training, 3 greedy steps (Sennrich et al.
+    2016; operators/text.py bpe_train_merges — vocabulary-sized passes,
+    1-row argmax per step, boundary-safe |a||b| encoding so both
+    engines replay the merges bit-for-bit)."""
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.bpe_train_merges(docs, n_merges=3)
+
+
+def _bpe_merges_sql(n_merges: int = 3) -> str:
+    toks = TX.tokens_sql("text")
+    ctes = [
+        (f"w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM "
+         f"(SELECT unnest({toks}) AS w FROM documents) "
+         f"WHERE w <> '' GROUP BY w)"),
+        ("s0 AS (SELECT '|' || array_to_string(string_split(w, ''), "
+         "'||') || '|' AS s, cnt FROM w)"),
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT l, r, SUM(cnt)::BIGINT AS n FROM ("
+            f"SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM ("
+            f"SELECT cnt, syms, unnest(generate_series(1, "
+            f"greatest(len(syms) - 1, 0))) AS i FROM ("
+            f"SELECT cnt, list_filter(string_split(s, '|'), "
+            f"x -> x <> '') AS syms FROM {prev}))) GROUP BY l, r)")
+        ctes.append(
+            f"t{i} AS (SELECT l, r, n FROM p{i} "
+            f"ORDER BY n DESC, l, r LIMIT 1)")
+        ctes.append(
+            f"s{i} AS (SELECT replace(s, "
+            f"'|' || (SELECT l FROM t{i}) || '||' || "
+            f"(SELECT r FROM t{i}) || '|', "
+            f"'|' || (SELECT l FROM t{i}) || (SELECT r FROM t{i}) "
+            f"|| '|') AS s, cnt FROM {prev})")
+        selects.append(
+            f"SELECT {i}::INT AS step, l AS \"left\", "
+            f"r AS \"right\", n AS pair_count FROM t{i}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(selects))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ordering = driver-gate rotation priority: queries whose
@@ -3944,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then least-recently-driver-checked (r5-stale backlog of 47),
         # then the freshly-green r6 set.  Recomputed each round from
         # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
+        "bpe_merge_table": bpe_merge_table,
         "multimodal_pack": multimodal_pack,
         "ngram_diversity_profile": ngram_diversity_profile,
         "iceberg_snapshot_drift": iceberg_snapshot_drift,
@@ -4066,6 +4113,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "iceberg_zorder_scan": ZORDER_SCAN_SQL,
         "ann_topk_pq": _pq_sql(),
+        "bpe_merge_table": _bpe_merges_sql(),
         "multimodal_pack": MULTIMODAL_PACK_SQL,
         "ngram_diversity_profile": _ngram_diversity_sql(),
         "iceberg_snapshot_drift": SNAPSHOT_DRIFT_SQL,

@@ -113,6 +113,7 @@ EXTRA = [
     "ngram_diversity_profile",
     "iceberg_snapshot_drift",
     "multimodal_pack",
+    "bpe_merge_table",
 ]
 
 

@@ -239,3 +239,68 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_fp"))
             .filter(F.col("n_shared_fp") >= min_shared))
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016): start from
+    characters, repeatedly pick the corpus-wide most frequent adjacent
+    symbol pair (count desc, then lexical left/right — deterministic)
+    and merge ALL its non-overlapping occurrences left-to-right.
+    Returns the merge table (step, left, right, pair_count) — the
+    artifact a tokenizer trainer persists.  Extends bpe_pair_counts
+    (one counting pass) to the full greedy loop.
+
+    Cross-engine exactness: the symbol sequence is encoded as
+    ``|s1||s2||...||sn|`` — double separators between symbols, single
+    at the edges — so replacing ``|a||b|`` with ``|ab|`` implements the
+    greedy left-to-right merge EXACTLY (two adjacent matches share no
+    boundary characters; a space-separated encoding would let the first
+    replacement consume the boundary the next match needs).  Both
+    engines' literal replace() scan left-to-right over the source, so
+    the DuckDB oracle reproduces every merge bit-for-bit.
+
+    Scale shape (100 TB): the corpus collapses to (distinct word,
+    count) ONCE — every later pass runs on the vocabulary, not the
+    corpus (the standard BPE-trainer trick; vocabularies are millions
+    of rows where corpora are trillions).  Each step is one map-side-
+    combinable pair-count aggregation + a 1-row argmax collect (a
+    driver decision, like a k-means centroid update), then a stateless
+    column rewrite.  n_merges sequential jobs, no corpus shuffle."""
+    words = (df.select(F.explode(TX.tokens(F.col(text_col)))
+                       .alias("__w"))
+             .filter(F.col("__w") != "")
+             .groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt")))
+    sym = F.concat(F.lit("|"),
+                   F.array_join(F.split(F.col("__w"), ""), "||"),
+                   F.lit("|"))
+    cur = words.select(sym.alias("__s"), F.col("__cnt"))
+    cur = cur.localCheckpoint()  # the loop rewrites __s n_merges times
+    spark = df.sparkSession
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("__s"), r"\|"),
+                        lambda x: x != "")
+        pairs = cur.select(
+            F.col("__cnt"), F.col("__s"), syms.alias("__syms")) \
+            .filter(F.size("__syms") >= 2) \
+            .select(F.col("__cnt"),
+                    F.explode(F.expr(
+                        "transform(sequence(1, size(__syms) - 1), "
+                        "i -> struct(__syms[i - 1] as l, "
+                        "__syms[i] as r))")).alias("__p")) \
+            .groupBy("__p.l", "__p.r") \
+            .agg(F.sum("__cnt").alias("__n"))
+        top = pairs.orderBy(F.col("__n").desc(), "l", "r").limit(1) \
+            .collect()
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["__n"])
+        merges.append((step, l, r, n))
+        pat = f"|{l}||{r}|"
+        rep = f"|{l}{r}|"
+        cur = cur.select(
+            F.replace(F.col("__s"), F.lit(pat), F.lit(rep)).alias("__s"),
+            F.col("__cnt")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long")

@@ -1051,3 +1051,33 @@ def test_pack_multimodal_sequences(spark):
     # doc 3 starts at 581 -> pack 0 but overflows (not split)
     assert rows[3].pack_id == 0 and rows[3].pack_offset == 581
     assert rows[3].pack_offset + rows[3].total_cost > 600
+
+
+def test_bpe_train_merges_hand_case(spark):
+    """Greedy-merge semantics pinned by hand: corpus 'aaab aaab ab'
+    (word counts: aaab x2, ab x1).
+    step1 pairs: (a,a): 2 per 'aaab' x2 = 4; (a,b): 1x2 + 1 = 3
+      -> merge (a,a): 'aaab' -> [aa, a, b], 'ab' -> [a, b]
+    step2 pairs: (aa,a): 2, (a,b): 2+1 = 3 -> merge (a,b):
+      'aaab' -> [aa, ab], 'ab' -> [ab]
+    step3 pairs: (aa,ab): 2 -> merge (aa,ab)."""
+    from iceberg_go_spark.operators.text import bpe_train_merges
+    df = spark.createDataFrame([(1, "aaab aaab ab")],
+                               "doc_id long, text string")
+    rows = [(r.step, r.left, r.right, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=3).collect()]
+    assert rows == [(1, "a", "a", 4), (2, "a", "b", 3),
+                    (3, "aa", "ab", 2)]
+
+
+def test_bpe_train_merges_greedy_nonoverlap(spark):
+    """'aaaa' has three (a,a) adjacencies but greedy left-to-right
+    merging yields (aa)(aa) — the encoding must not let the first
+    replacement eat the next match's boundary."""
+    from iceberg_go_spark.operators.text import bpe_train_merges
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    rows = [(r.step, r.left, r.right, r.pair_count)
+            for r in bpe_train_merges(df, n_merges=2).collect()]
+    # step1: (a,a) count 3 (adjacencies) -> merge -> symbols [aa, aa]
+    # step2: (aa,aa) count 1
+    assert rows == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
