@@ -41,7 +41,13 @@ def quantize(a: Column, scale: int = 1000) -> Column:
 
 
 def quantize_sql(a: str, scale: int = 1000) -> str:
-    return f"list_transform({a}, x -> round(x * {scale})::BIGINT)"
+    # x widens to DOUBLE BEFORE the multiply, matching Spark's
+    # float->double promotion: a FLOAT multiply re-rounds the product to
+    # float32, where e.g. 0.3195f * 1000 lands EXACTLY on 319.5 and
+    # rounds up while the double product 319.4999993 rounds down —
+    # caught by the sf0.1 gate on embedding_near_dup/label_centroids
+    # (the sf0.01 vectors never hit a float32 product ending in .5)
+    return f"list_transform({a}, x -> round(x::DOUBLE * {scale})::BIGINT)"
 
 
 def quantized_cosine(qa: Column, qb: Column) -> Column:

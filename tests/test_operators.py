@@ -1081,3 +1081,22 @@ def test_bpe_train_merges_greedy_nonoverlap(spark):
     # step1: (a,a) count 3 (adjacencies) -> merge -> symbols [aa, aa]
     # step2: (aa,aa) count 1
     assert rows == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_quantize_sql_widens_float_before_multiply(spark):
+    """float32 0.3195 * 1000 lands EXACTLY on 319.5 when multiplied in
+    float32 but on 319.4999993 in double: both engines must widen to
+    double before the multiply or the quantized vectors diverge (found
+    by the sf0.1 gate on embedding_near_dup / label_centroids)."""
+    import duckdb
+    from iceberg_go_spark.functions import vector_funcs as V
+    x = 0.31949999928474426  # exact float32 0.3195
+    df = spark.createDataFrame([([x],)], "embedding array<float>")
+    got_s = df.select(V.quantize(F.col("embedding")).alias("q")) \
+        .first()["q"][0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (embedding FLOAT[])")
+    con.execute("INSERT INTO e VALUES ([?])", [x])
+    got_o = con.execute(
+        f"SELECT {V.quantize_sql('embedding')} FROM e").fetchone()[0][0]
+    assert got_s == got_o == 319
