@@ -3860,8 +3860,9 @@ def _ngram_diversity_sql(max_n: int = 4) -> str:
 SELECT {n}::INT AS n,
        COUNT(DISTINCT gram)::BIGINT AS distinct_ngrams,
        COUNT(*)::BIGINT AS total_ngrams,
-       (COUNT(DISTINCT gram)::BIGINT * 1000000
-        // COUNT(*)::BIGINT)::BIGINT AS diversity_e6
+       (CASE WHEN COUNT(*) = 0 THEN 0
+             ELSE COUNT(DISTINCT gram)::BIGINT * 1000000
+                  // COUNT(*)::BIGINT END)::BIGINT AS diversity_e6
 FROM (SELECT array_to_string(ws[i:i+{n - 1}], ' ') AS gram
       FROM (SELECT ws, unnest(generate_series(1,
                    greatest(len(ws) - {n - 1}, 0))) AS i

@@ -65,20 +65,19 @@ def ratio_e6(num: Column, den: Column) -> Column:
     top count is k*7812.5 micro-units), and Spark's BigDecimal HALF_UP
     disagrees with DuckDB's scaled std::round there — the same
     divergence that kept kmeans_topic_clusters driver-red for two
-    rounds.  Evaluates on the DECIMAL(38,0) path (exact for
-    num < 10^31): the long-arithmetic shortcut ((n6 - n6 % den) / den
-    as doubles) is exact only while num*1e6 < 2^53 — num ~2^34 already
-    mis-divides by 1 ulp, caught by the randomized cross-engine test.
-    DuckDB twin `//` is native integer division, exact to 2^63
-    (test_trunc_div_semantics pins the trunc semantics)."""
+    rounds.  Alias of ratio_e6_dec — always the DECIMAL(38,0) path,
+    exact for num < 10^31 (a long-arithmetic shortcut was tried and
+    removed: the IEEE quotient mis-divides by 1 ulp once num*1e6 passes
+    2^53, caught by the randomized cross-engine test).  DuckDB twin:
+    HUGEINT `//` (trunc semantics pinned by test_trunc_div_semantics)."""
     return ratio_e6_dec(num, den)
 
 
 def ratio_e6_sql(num: str, den: str) -> str:
-    # HUGEINT-widened like the Spark decimal path: BIGINT * 1000000
-    # overflows at num ~2^43, far below the helper's 10^31 contract
-    return (f"(CASE WHEN ({den}) = 0 THEN 0 ELSE "
-            f"(({num})::HUGEINT * 1000000) // ({den})::HUGEINT END)::BIGINT")
+    """Alias of ratio_e6_dec_sql — both tiers render the HUGEINT form
+    (BIGINT * 1000000 overflows at num ~2^43, far below the helper's
+    10^31 contract)."""
+    return ratio_e6_dec_sql(num, den)
 
 
 def ratio_e6_dec(num: Column, den: Column) -> Column:

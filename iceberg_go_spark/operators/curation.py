@@ -30,16 +30,17 @@ from ..session import rebalance_for_amplification
 def _words(df: DataFrame, text_col: str, id_col: str,
            with_pos: bool = False) -> DataFrame:
     """One row per whitespace token; split exactly like the oracle's
-    string_split(text, ' ') with empties dropped."""
-    arr = F.split(F.col(text_col), " ")
+    string_split(text, ' ') with empties dropped.  Positions index the
+    FILTERED token sequence (empties removed BEFORE posexplode) — the
+    oracle's list_filter-then-ws[i] semantics; filtering after the
+    explode leaves holes at runs of whitespace, silently dropping every
+    bigram that spans one (found by review; the gate corpus has only
+    single spaces, so it never showed)."""
+    arr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     if with_pos:
-        out = (df.select(F.col(id_col),
+        return df.select(F.col(id_col),
                          F.posexplode(arr).alias("__p", "__w"))
-               .filter(F.col("__w") != ""))
-    else:
-        out = (df.select(F.col(id_col), F.explode(arr).alias("__w"))
-               .filter(F.col("__w") != ""))
-    return out
+    return df.select(F.col(id_col), F.explode(arr).alias("__w"))
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",
@@ -189,10 +190,14 @@ def pack_sequences(df: DataFrame, budget: int,
                      toks.alias("n_tokens"))
     cum = base.withColumn(
         "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    # exact integral division: bigint/int promotes to DOUBLE and a
+    # cumulative offset past 2^53 can floor off by one against the
+    # exactly-computed % — same trunc idiom as the *_e6 helpers
+    b = F.col("__before")
     return cum.select(
         "shard", id_col, "n_tokens",
-        F.floor(F.col("__before") / budget).alias("pack_id"),
-        (F.col("__before") % budget).alias("pack_offset"))
+        ((b - b % budget) / budget).cast("long").alias("pack_id"),
+        (b % budget).alias("pack_offset"))
 
 
 def stratified_sample(df: DataFrame, id_col: str = "doc_id",
@@ -927,13 +932,15 @@ def ngram_diversity(df: DataFrame, text_col: str = "text",
     exact micro-ratio distinct/total (low values = templated text).
     Returns (n, distinct_ngrams, total_ngrams, diversity_e6).
 
-    Scale shape: ONE tokenization pass feeds all n (the position
-    explode is shared; each n adds a slice projection, not a re-scan);
-    per-n the count is a map-side-combinable distinct aggregation keyed
-    by the gram hash.  Output is max_n rows."""
+    Scale shape: the tokenized array column is localCheckpoint-ed so
+    the corpus scan + split run ONCE and each n reads the materialized
+    arrays (union branches do not share work in Catalyst — without the
+    checkpoint the source is re-scanned max_n times); per-n the count
+    is a map-side-combinable distinct aggregation keyed by the gram
+    hash.  Output is max_n rows."""
     arr = F.split(F.col(text_col), " ")
     base = rebalance_for_amplification(df).select(
-        F.filter(arr, lambda w: w != "").alias("__ws"))
+        F.filter(arr, lambda w: w != "").alias("__ws")).localCheckpoint()
     frames = []
     for n in range(1, max_n + 1):
         pos = base.filter(F.size("__ws") >= n).select(

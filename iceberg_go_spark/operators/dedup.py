@@ -827,9 +827,13 @@ def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
     granularity); the verify stage is candidates x grams-of-a (one
     equi-join on id_a), then an equi-join on (id_b, gram) — every join
     keyed, nothing quadratic in the corpus."""
+    # gram_src is already distinct (both builders end in .distinct());
+    # it feeds BOTH stages, so materialize once instead of re-running
+    # the tokenize+explode+distinct pipeline per consumer
     gram_src = (word_ngram_rows(df, text_col, id_col, word_grams)
                 if word_grams is not None
-                else char_ngram_rows(df, text_col, id_col, ngram))
+                else char_ngram_rows(df, text_col, id_col, ngram)
+                .distinct()).localCheckpoint()
     groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
                                 ngram, gram_rows=gram_src)
     right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
@@ -837,7 +841,7 @@ def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .join(right, ["band", "band_key"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    g = gram_src.distinct()
+    g = gram_src
     counts = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("__cnt"))
     ga = g.select(F.col(id_col).alias("id_a"), F.col("gram"))
     gb = g.select(F.col(id_col).alias("id_b"), F.col("gram"))

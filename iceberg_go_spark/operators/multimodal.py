@@ -189,7 +189,9 @@ def pack_multimodal_sequences(df, budget: int,
                      cost.alias("total_cost"))
     cum = base.withColumn(
         "__before", F.coalesce(F.sum("total_cost").over(w), F.lit(0)))
+    # exact integral division (double floor drifts past 2^53 offsets)
+    b = F.col("__before")
     return cum.select(
         "shard", id_col, "n_tokens", "n_images", "total_cost",
-        F.floor(F.col("__before") / budget).alias("pack_id"),
-        (F.col("__before") % budget).alias("pack_offset"))
+        ((b - b % budget) / budget).cast("long").alias("pack_id"),
+        (b % budget).alias("pack_offset"))

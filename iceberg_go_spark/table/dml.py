@@ -180,6 +180,19 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
         return txn.commit()
 
     if mode == "merge-on-read":
+        # supersede guard: once a data file carries a deletion vector,
+        # readers IGNORE position-delete files for it (scanner
+        # contract), so a new parquet delete would be silently lost —
+        # reject loudly and point at the DV mode (which absorbs)
+        dv_covered = [t.data_file.file_path for t in partial
+                      if any(d.file_format == "PUFFIN"
+                             for d in t.pos_deletes)]
+        if dv_covered:
+            raise ValueError(
+                f"{len(dv_covered)} matched data files already carry "
+                f"deletion vectors (e.g. {dv_covered[0]}); readers "
+                f"ignore position-delete files for DV-covered files — "
+                f"use mode='merge-on-read-dv'")
         # whole-file matches are cheapest as manifest drops even in MoR
         keep_manifests = None
         if full:
@@ -224,22 +237,25 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
             existing: Dict[str, list] = {}
             prior_parquet: Dict[str, list] = {}
             prior_footer: Dict[str, list] = {}
-            if fv >= 3:
-                for t in partial:
-                    fp_key = t.data_file.file_path
-                    for d in t.pos_deletes:
-                        if d.referenced_data_file is not None \
-                                and d.file_format == "PUFFIN":
-                            existing.setdefault(
-                                d.referenced_data_file, []).append(
-                                (d.file_path, d.content_offset,
-                                 d.content_size_in_bytes))
-                        elif d.file_format == "PUFFIN":
-                            prior_footer.setdefault(fp_key, []).append(
-                                d.file_path)
-                        else:
-                            prior_parquet.setdefault(fp_key, []).append(
-                                d.file_path)
+            # absorption is NOT fv-gated: pre-v3 legacy containers also
+            # supersede parquet deletes on read (footer coverage), so a
+            # v2 DV write that skipped absorption would resurrect the
+            # earlier parquet-deleted rows (review finding)
+            for t in partial:
+                fp_key = t.data_file.file_path
+                for d in t.pos_deletes:
+                    if d.referenced_data_file is not None \
+                            and d.file_format == "PUFFIN":
+                        existing.setdefault(
+                            d.referenced_data_file, []).append(
+                            (d.file_path, d.content_offset,
+                             d.content_size_in_bytes))
+                    elif d.file_format == "PUFFIN":
+                        prior_footer.setdefault(fp_key, []).append(
+                            d.file_path)
+                    else:
+                        prior_parquet.setdefault(fp_key, []).append(
+                            d.file_path)
             ex_bc = spark.sparkContext.broadcast(existing)
             pq_bc = spark.sparkContext.broadcast(prior_parquet)
             ft_bc = spark.sparkContext.broadcast(prior_footer)

@@ -723,3 +723,21 @@ def test_ngram_diversity_hand_case(spark):
     # bigrams: doc1 {a b, b a, a b}, doc2 {a b, b c} -> 5 total, 3 distinct
     assert rows[2].total_ngrams == 5 and rows[2].distinct_ngrams == 3
     assert rows[2].diversity_e6 == 3 * 1_000_000 // 5
+
+
+def test_bigrams_span_whitespace_runs(spark):
+    """Consecutive spaces must not break bigram adjacency: positions
+    index the FILTERED token sequence, like the oracle's
+    list_filter-then-ws[i] (review finding — the gate corpus has only
+    single spaces, so this never showed there)."""
+    from iceberg_go_spark.operators.curation import (
+        bigram_predictability, repetition_metrics)
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "a b")],  # doc 1 has a double space
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_predictability(df).collect()}
+    # both docs contribute the SAME (a,b) bigram: count 2, prefix 2
+    assert rows[1].n_bigrams == 1 and rows[2].n_bigrams == 1
+    assert rows[1].mean_bigram_p_e6 == 1_000_000
+    m = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert m[1].top_bigram_frac_e6 == 1_000_000  # 1 bigram, top = it

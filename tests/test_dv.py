@@ -454,3 +454,40 @@ def test_dv_supersedes_pos_delete_on_read(spark, sf_dir, tmp_path):
     t = cat.load_table("db.hand")
     got = sorted(r.id for r in t.to_df(spark).collect())
     assert got == [2, 3, 4, 5], got  # pos 4 (id=5) must SURVIVE
+
+
+def test_v2_dv_write_absorbs_prior_parquet_deletes(spark, sf_dir,
+                                                   tmp_path):
+    """On a v2 table (legacy footer-resolved containers): a DV-mode
+    delete AFTER a parquet MoR delete must absorb the parquet
+    positions — read-side supersede covers container-referenced files,
+    so an unabsorbed DV would resurrect the earlier deletes (review
+    finding: absorption used to be gated on format-version >= 3)."""
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir)
+    t = cat.create_table("db.v2mix", Schema.from_spark(df.schema))
+    t.append(df)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read")
+    t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                   mode="merge-on-read-dv")
+    expected = df.filter((F.col("o_orderstatus") != "F")
+                         & (F.col("o_orderstatus") != "P"))
+    assert t.to_df(spark).count() == expected.count()
+
+
+def test_parquet_mor_delete_rejected_on_dv_covered_file(spark, sf_dir,
+                                                        tmp_path):
+    """Once a data file carries a DV, a parquet position-delete against
+    it would be IGNORED by readers (supersede) — the writer must reject
+    it loudly instead of silently losing the delete."""
+    import pytest
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "orders", sf_dir)
+    t = cat.create_table("db.dvguard", Schema.from_spark(df.schema))
+    t.append(df)
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read-dv")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.delete_where(spark, E.eq("o_orderstatus", "P"),
+                       mode="merge-on-read")
