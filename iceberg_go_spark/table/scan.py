@@ -424,9 +424,6 @@ class Scan:
                 t.data_file.name_based = \
                     not _FIELD_ID_PROBE_CACHE[t.data_file.file_path]
 
-        need_pos = any(t.pos_deletes for t in tasks)
-        need_eq = any(t.eq_deletes for t in tasks)
-
         # v3 default values: files written before a defaulted column was
         # added must read that column as its initial-default, not null —
         # a per-FILE decision (a newer file's explicit nulls stay null),
@@ -499,8 +496,6 @@ class Scan:
                         fid = nm.id_for(c) if nm is not None else None
                         tgt = None
                         if fid is not None:
-                            fld = schema.find_field(fid) \
-                                if hasattr(schema, "find_field") else None
                             # map through current name -> spark type
                             cur = schema.find_column_name(fid)
                             tgt = by_name.get(cur)
@@ -588,11 +583,14 @@ class Scan:
                       int(t.data_file.first_row_id or 0),
                       int(t.sequence_number or 0)) for t in group],
                     "__lfile string, __first long, __lseq long")
+                # LEFT join: a path-normalization miss must degrade
+                # to null lineage for that file, never silently drop
+                # its rows (delete anti-joins fail open; so does this)
                 df = (df.withColumn("__lf", F.regexp_replace(
                           F.col("_metadata.file_path"), "^file:", ""))
                       .withColumn("__ri", F.col("_metadata.row_index"))
                       .join(F.broadcast(lineage),
-                            F.col("__lf") == F.col("__lfile"))
+                            F.col("__lf") == F.col("__lfile"), "left")
                       .withColumn("_row_id",
                                   F.coalesce(F.col("_row_id"),
                                              F.col("__first") +
@@ -705,13 +703,6 @@ class Scan:
             out = out.limit(self.limit)
         return out
 
-    def to_pandas(self, spark: SparkSession):
-        return self.to_df(spark).toPandas()
-
-    def to_arrow(self, spark: SparkSession):
-        """Arrow table result (ToArrowTable parity, scanner.go:1096)."""
-        return self.to_df(spark).toArrow()
-
     def count_rows(self, spark: Optional[SparkSession] = None) -> int:
         """Row count, metadata-only when provably exact: no deletes, and
         every surviving file either fully matches the filter (strict
@@ -719,20 +710,28 @@ class Scan:
 
         At 100 TB this answers count(*) in milliseconds from manifests."""
         tasks = self.plan_files()
-        no_filter = isinstance(E.bind(self.row_filter,
-                                      self.table.metadata.schema(),
-                                      self.case_sensitive), E.AlwaysTrue)
+        # bind against the snapshot-effective schema (time travel may
+        # reference columns since dropped), and gate the limit on
+        # `is not None` — with_limit(0) must count 0, not everything
+        schema = self.effective_schema()
+
+        def capped(total: int) -> int:
+            return min(total, self.limit) if self.limit is not None \
+                else total
+
+        no_filter = isinstance(
+            E.bind(self.row_filter, schema, self.case_sensitive),
+            E.AlwaysTrue)
         if all(not t.pos_deletes and not t.eq_deletes for t in tasks):
             if no_filter:
-                total = sum(t.data_file.record_count for t in tasks)
-                return min(total, self.limit) if self.limit else total
+                return capped(sum(t.data_file.record_count
+                                  for t in tasks))
             from ..plans.evaluators import StrictMetricsEvaluator
-            strict = StrictMetricsEvaluator(self.table.metadata.schema(),
-                                            self.row_filter,
+            strict = StrictMetricsEvaluator(schema, self.row_filter,
                                             self.case_sensitive)
             if all(strict.eval(t.data_file) for t in tasks):
-                total = sum(t.data_file.record_count for t in tasks)
-                return min(total, self.limit) if self.limit else total
+                return capped(sum(t.data_file.record_count
+                                  for t in tasks))
         if spark is None:
             raise ValueError("count not derivable from metadata; "
                              "pass a SparkSession to execute the scan")
@@ -762,10 +761,14 @@ def _file_has_field_ids(path: str) -> bool:
     such files are always externally written here (our writer stamps
     ids through Spark), so an unreadable footer resolves name-based
     (the conservative answer: name mapping handles both cases)."""
+    import pyarrow as _pa
     import pyarrow.parquet as pq
     try:
         sch = pq.ParquetFile(path).schema_arrow
-    except OSError:
+    except (OSError, _pa.lib.ArrowException):
+        # pyarrow raises ArrowNotImplementedError/ArrowInvalid (not
+        # OSError) on VARIANT/GEOMETRY footers — same conservative
+        # name-based answer
         return False
     return any((f.metadata or {}).get(b"PARQUET:field_id") for f in sch)
 
@@ -775,6 +778,9 @@ def _file_has_field_ids(path: str) -> bool:
 # _FIELD_ID_PROBE_CACHE; nm in the key because a mapping change alters
 # what an ID-less footer resolves to)
 _FILE_FIELD_IDS_CACHE: Dict[Tuple[str, Optional[str]], frozenset] = {}
+
+
+FOOTER_UNREADABLE = frozenset({-1})
 
 
 def _file_field_ids(path_nm: Tuple[str, Optional[str]]) -> frozenset:
@@ -788,7 +794,14 @@ def _file_field_ids(path_nm: Tuple[str, Optional[str]]) -> frozenset:
     import pyarrow.parquet as pq
     import pyarrow as _pa
     path, nm_json = path_nm
-    sch = pq.ParquetFile(path).schema_arrow
+    try:
+        sch = pq.ParquetFile(path).schema_arrow
+    except (OSError, _pa.lib.ArrowException):
+        # VARIANT/GEOMETRY footers are unreadable to pyarrow: report
+        # "footer unreadable" so the caller fills NO defaults for this
+        # file (clobbering real values with defaults is the harmful
+        # direction; such files read through the JVM fallback path)
+        return FOOTER_UNREADABLE
     ids = set()
     unmapped_names = []
 
@@ -836,10 +849,13 @@ def _probe_missing_defaults(spark: SparkSession, tasks, default_fields,
             .map(_file_field_ids).collect()
         _FILE_FIELD_IDS_CACHE.update(zip(keys, sets))
     dids = {f.field_id for f in default_fields}
-    return {t.data_file.file_path:
-            frozenset(dids - _FILE_FIELD_IDS_CACHE[
-                (t.data_file.file_path, nm_json)])
-            for t in tasks}
+    out = {}
+    for t in tasks:
+        ids = _FILE_FIELD_IDS_CACHE[(t.data_file.file_path, nm_json)]
+        out[t.data_file.file_path] = (
+            frozenset() if ids == FOOTER_UNREADABLE
+            else frozenset(dids - ids))
+    return out
 
 
 DEFAULT_DV_BROADCAST_BYTE_LIMIT = 64 * 1024 * 1024
@@ -957,7 +973,16 @@ def _apply_deletion_vectors(spark: SparkSession, df, puffin_paths,
 
 def _is_global_delete(partition: Optional[Dict[str, Any]]) -> bool:
     """A delete file with no partition values (or an Avro round-tripped
-    all-None partition struct) is globally scoped."""
+    all-None partition struct) is globally scoped.
+
+    Known ambiguity: after the Avro round-trip an empty tuple and a
+    REAL all-null partition tuple are indistinguishable (the manifest's
+    partition struct always carries the spec's fields).  This engine's
+    writers only emit the empty/global form; an externally-written
+    eq-delete scoped to a genuinely-null partition is treated as global
+    and over-applies.  The spec-clean fix is writing global deletes
+    under an unpartitioned spec (reference behavior) — tracked as a
+    future manifest-writer change."""
     return not partition or all(v is None for v in partition.values())
 
 
@@ -985,9 +1010,14 @@ def _match_deletes(entry: M.ManifestEntry, spec_id: int,
             # exact gating, partition comparison irrelevant
             if df.referenced_data_file != entry.data_file.file_path:
                 continue
-        elif dspec_id == spec_id and not _is_global_delete(df.partition) \
-                and df.partition != entry.data_file.partition:
-            continue  # partition-scoped delete for a different partition
+        elif not _is_global_delete(df.partition) and (
+                dspec_id != spec_id
+                or df.partition != entry.data_file.partition):
+            # partition-scoped deletes bind to their own spec's
+            # partitioning: a different partition OR a different spec
+            # can never match (applying across specs over-deleted —
+            # reference DeleteFileIndex scopes by (spec, partition))
+            continue
         (pos if df.content == M.CONTENT_POS_DELETES else eq).append(df)
     return pos, eq
 

@@ -303,7 +303,8 @@ class Transaction:
                  ) -> Dict[str, str]:
         added_data = [f for f in added if f.content == M.CONTENT_DATA]
         added_del = [f for f in added if f.content != M.CONTENT_DATA]
-        total_records = sum(m.live_rows_count for m in keep) + \
+        total_records = sum(m.live_rows_count for m in keep
+                            if m.content == M.MANIFEST_DATA) + \
             sum(f.record_count for f in added_data)
         total_files = sum(m.added_files_count + m.existing_files_count
                           for m in keep if m.content == M.MANIFEST_DATA) + \
@@ -551,8 +552,18 @@ class Transaction:
                 split_offsets=sorted(s["split_offsets"]) or None,
                 name_based=not s.get("has_field_ids", True))
                 for s in stats]
-        self._produce_snapshot(OP_OVERWRITE, files,
-                               manifests_to_keep=keep)
+        snap = self._produce_snapshot(OP_OVERWRITE, files,
+                                      manifests_to_keep=keep)
+        # conflict context for OCC rebase (same contract as
+        # append_files): without _removed_paths a rebase keeps the
+        # FRESH base manifests unmodified and silently resurrects the
+        # replaced files
+        snap._removed_paths = sorted(to_delete)
+        snap._removed_delete_paths = []
+        snap._referenced_paths = []
+        snap._conflict_filter = None
+        snap._full_replace = False
+        snap._base_seq = self.metadata.last_sequence_number
         return self
 
     # ------------------------------------------------------------- commit
@@ -697,9 +708,15 @@ class Transaction:
         removed_partitions: List[Dict[str, Any]] = []
         new_data: List[M.DataFile] = []
         new_deletes: List[M.DataFile] = []
+        # a multi-snapshot transaction validates each staged snapshot
+        # against base manifests that already include its OWN earlier
+        # restaged snapshots — their files are ordered-by-construction,
+        # not concurrent conflicts (their rows still count as live)
+        own_ids = {sn.snapshot_id for sn in self._staged}
         for mf in fresh_manifests:
             # a manifest's sequence_number bounds its entries' — skip old
-            is_new = (mf.sequence_number or 0) > base_seq
+            is_new = ((mf.sequence_number or 0) > base_seq
+                      and mf.added_snapshot_id not in own_ids)
             entries, _spec, _sid = M.read_manifest(mf.manifest_path)
             for e in entries:
                 if not e.is_live:

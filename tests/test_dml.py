@@ -240,3 +240,63 @@ def test_merge_into_candidate_filter_prunes(spark, sf_dir, catalog):
     got = t.to_df(spark)
     assert got.count() == n  # updates only, no spurious inserts
     assert got.filter(F.col("o_orderpriority") == "CAND").count() == n_src
+
+
+def test_partition_scoped_eq_delete_never_crosses_specs(spark, sf_dir,
+                                                        catalog):
+    """A partition-scoped equality delete written under spec N applies
+    only to spec-N files of that partition: applying it to files of a
+    different spec over-deletes (reference DeleteFileIndex scopes by
+    (spec, partition))."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.meta.metadata import OP_DELETE
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    from iceberg_go_spark.schema import Schema
+    sch = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.xspec", sch,
+                             spec_from_names(sch, ("v", "identity")))
+    t.append(df)  # spec 0 files
+    t.update_spec().add_field("id", "bucket[4]").commit()
+    t = catalog.load_table("db.xspec")
+
+    # eq-delete for id=1, PARTITION-SCOPED under the NEW spec
+    p = os.path.join(t.metadata.location, "deletes", "xspec-eq.parquet")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array([1], pa.int64())}), p)
+    id_field = next(f.field_id for f in t.metadata.schema().fields
+                    if f.name == "id")
+    eq = M.DataFile(content=M.CONTENT_EQ_DELETES, file_path=p,
+                    file_format="PARQUET",
+                    partition={"v": "a", "id_bucket": 2},
+                    record_count=1, file_size_in_bytes=os.path.getsize(p),
+                    equality_ids=[id_field])
+    txn = t.new_transaction()
+    txn.append_files([eq], operation=OP_DELETE)
+    txn.commit()
+    t = catalog.load_table("db.xspec")
+    got = sorted(r.id for r in t.to_df(spark).collect())
+    # the spec-0 data file is NOT in the delete's (spec, partition)
+    # scope: id=1 must survive
+    assert got == [1, 2], got
+
+
+def test_snapshot_summary_total_records_excludes_delete_rows(
+        spark, sf_dir, catalog):
+    """total-records in the snapshot summary counts DATA rows only — a
+    MoR table's positional-delete rows used to inflate it."""
+    from iceberg_go_spark import expressions as E
+    docs = read_table(spark, "orders", sf_dir)
+    t = catalog.create_table("db.sumrec", Schema.from_spark(docs.schema))
+    t.append(docs)
+    n_data = docs.count()
+    t.delete_where(spark, E.eq("o_orderstatus", "F"),
+                   mode="merge-on-read")
+    t = catalog.load_table("db.sumrec")
+    t.append(docs.limit(0))  # summary computed over kept manifests
+    t = catalog.load_table("db.sumrec")
+    assert int(t.current_snapshot().summary["total-records"]) == n_data

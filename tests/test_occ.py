@@ -228,3 +228,73 @@ def test_commit_retry_rejects_changed_table_uuid(spark, sf_dir, tmp_path):
     with pytest.raises(ValidationError, match="UUID changed"):
         stale.append(df)
     assert swapped.commits == 1  # terminal: no second catalog commit
+
+
+def test_replace_data_files_rebase_does_not_resurrect(spark, sf_dir,
+                                                      tmp_path):
+    """replace_data_files must re-apply its file drop when an OCC
+    conflict forces a rebase — without conflict context the rebased
+    snapshot kept the fresh base manifests and the replaced file came
+    back alongside its replacement (duplicated rows)."""
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    t = cat.create_table("db.rep", Schema.from_spark(df.schema))
+    t.append(df.coalesce(1))
+    old_path = t.scan().plan_files()[0].data_file.file_path
+    # replacement file written by the engine's own writer so it carries
+    # parquet field IDs (an ID-less import would need a name mapping)
+    scratch = cat.create_table("db.rep_src", Schema.from_spark(df.schema))
+    scratch.append(spark.createDataFrame([(10,), (20,)], "id long")
+                   .coalesce(1))
+    new_path = scratch.scan().plan_files()[0].data_file.file_path
+    stale = cat.load_table("db.rep")
+    txn = stale.new_transaction()
+    txn.replace_data_files(spark, [old_path], [new_path])
+    # concurrent append lands before the replace commits
+    t2 = cat.load_table("db.rep")
+    t2.append(spark.createDataFrame([(99,)], "id long"))
+    txn.commit()
+    got = sorted(r.id for r in
+                 cat.load_table("db.rep").to_df(spark).collect())
+    assert got == [10, 20, 99], got  # 1, 2 must NOT resurrect
+
+
+def test_multi_snapshot_txn_rebase_not_self_conflicting(spark, sf_dir,
+                                                        tmp_path):
+    """Two delete snapshots staged in ONE transaction must rebase past a
+    concurrent append: snapshot #1's delete files are ordered-by-
+    construction for snapshot #2, not a concurrent conflict."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.meta.metadata import OP_DELETE
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    t = cat.create_table("db.multi", Schema.from_spark(df.schema))
+    t.append(df.coalesce(1))
+    data_path = t.scan().plan_files()[0].data_file.file_path
+
+    def posdel(name, pos):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({"file_path": [data_path],
+                                 "pos": pa.array([pos], pa.int64())}), p)
+        return M.DataFile(content=M.CONTENT_POS_DELETES, file_path=p,
+                          file_format="PARQUET", partition={},
+                          record_count=1,
+                          file_size_in_bytes=os.path.getsize(p))
+
+    txn = t.new_transaction()
+    txn.append_files([posdel("d1.parquet", 0)], operation=OP_DELETE,
+                     referenced_paths=[data_path],
+                     removed_paths=[])
+    txn.append_files([posdel("d2.parquet", 1)], operation=OP_DELETE,
+                     referenced_paths=[data_path],
+                     removed_paths=[])
+    # concurrent append forces the rebase path
+    t2 = cat.load_table("db.multi")
+    t2.append(spark.createDataFrame([(100,)], "id long"))
+    txn.commit()  # must not raise ValidationError against itself
+    got = sorted(r.id for r in
+                 cat.load_table("db.multi").to_df(spark).collect())
+    assert got == [2, 3, 4, 5, 100], got

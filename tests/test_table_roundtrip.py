@@ -456,3 +456,23 @@ def test_snapshot_value_drift_exact(spark, sf_dir, tmp_path):
     # TV = 0.5*(|2/3-2/6| + |1/3-3/6| + |0-1/6|) = 0.5*(1/3+1/6+1/6) = 1/3
     assert (row.n_old, row.n_new, row.n_values) == (3, 6, 3)
     assert row.tv_e6 == 333_333
+
+
+def test_count_rows_limit_zero_and_time_travel_schema(spark, sf_dir,
+                                                      tmp_path):
+    """count_rows: with_limit(0) counts 0 (not everything), and a
+    time-travel scan filtering on a since-dropped column counts via the
+    snapshot-effective schema like to_df does."""
+    from iceberg_go_spark import expressions as E
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")],
+                               "id long, tag string")
+    t = cat.create_table("db.cr", Schema.from_spark(df.schema))
+    t.append(df)
+    assert t.scan().with_limit(0).count_rows() == 0
+    assert t.scan().with_limit(2).count_rows() == 2
+    old_id = t.current_snapshot().snapshot_id
+    t.update_schema().drop_column("tag").commit()
+    t = cat.load_table("db.cr")
+    sc = t.scan(E.eq("tag", "y")).use_snapshot(old_id)
+    assert sc.count_rows(spark) == 1  # binds against snapshot schema
