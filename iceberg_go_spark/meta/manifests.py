@@ -243,6 +243,12 @@ def data_file_avro_schema(ptype: T.StructType,
         {"name": "split_offsets", "type": _opt({"type": "array", "items": "long"})},
         {"name": "equality_ids", "type": _opt({"type": "array", "items": "int"})},
         {"name": "sort_order_id", "type": _opt("int")},
+        # first_row_id is a v3 spec field (142), DELIBERATELY also
+        # written in v2 manifests as an optional engine extension: it
+        # powers this engine's v2 row-lineage projection, upgrades
+        # carry it forward losslessly, and name-projecting spec readers
+        # ignore unknown optional Avro fields.  The DV locator trio
+        # stays v3-only (v2 readers have no supersede semantics).
         {"name": "first_row_id", "type": _opt("long")},
         {"name": "key_metadata", "type": _opt("bytes")},
     ]

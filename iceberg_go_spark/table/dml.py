@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import expressions as E
 from ..meta import manifests as M
-from ..meta.conversions import to_bytes
 from ..meta.metadata import OP_DELETE, OP_OVERWRITE
 from ..plans.evaluators import (InclusiveMetricsEvaluator,
                                 StrictMetricsEvaluator)
@@ -50,26 +49,43 @@ def _classify(table, expr: E.Expression):
     return full, partial
 
 
-def _tasks_scan_df(table, spark: SparkSession, tasks) -> DataFrame:
+def _tasks_scan_df(table, spark: SparkSession, tasks,
+                   row_lineage: bool = False) -> DataFrame:
     """Read a task subset through the scan lowering so existing pos/eq
     deletes are applied (a CoW rewrite that reads raw parquet would
     resurrect rows removed by earlier MoR deletes/upserts)."""
     from .scan import Scan
-    sub = Scan(table)
+    sub = Scan(table, row_lineage=row_lineage)
     sub.plan_files = lambda: tasks  # type: ignore[assignment]
     return sub.to_df(spark)
+
+
+def _lineage_rewrite_prep(md, schema, keep_df):
+    """v3 row lineage through a CoW rewrite: survivors keep their
+    _row_id (update_where and compaction already do this; a rewrite
+    that drops it hands every surviving row a fresh identity)."""
+    from ..schema import Schema as S
+    from ..types import LongType, NestedField
+    keep_df = keep_df.drop("_last_updated_sequence_number")
+    write_schema = S(list(schema.fields) + [
+        NestedField(ROW_ID_FIELD_ID, "_row_id", LongType(), False)])
+    return keep_df, write_schema
 
 
 def _matches_df(spark: SparkSession, schema, bound_col, partial) -> DataFrame:
     """(file_path, pos) of predicate-matching rows in partially-matching
     files.  Rows already MoR-deleted may reappear here — harmless, pos
     deletes are idempotent under the read-side anti-join."""
+    from .scan import raw_file_path
     src = spark.read.schema(schema.to_spark()).parquet(
         *[t.data_file.file_path for t in partial])
+    # raw (percent-decoded) paths: every downstream join/lookup keys on
+    # the manifest-recorded path — the partitioned fanout mapping, DV
+    # referenced_data_file, absorb broadcasts — and the spec requires
+    # pos-delete file_path values to EQUAL the manifest path
     return (src
             .withColumn("file_path",
-                        F.regexp_replace("_metadata.file_path",
-                                         "^file:", ""))
+                        raw_file_path(F.col("_metadata.file_path")))
             .withColumn("pos", F.col("_metadata.row_index"))
             .filter(bound_col)
             .select("file_path", "pos"))
@@ -144,6 +160,138 @@ def _pos_delete_datafiles(out_dir: str, ptype) -> List[M.DataFile]:
     return out
 
 
+def _dv_delete_fanout(spark: SparkSession, md, matches: DataFrame,
+                      partial) -> tuple:
+    """Write deletion vectors for ``matches`` — one merged roaring
+    bitmap per data file, puffin containers written ON EXECUTORS, the
+    driver collecting only locator rows.  Absorbs EVERY prior delete
+    for each touched file (existing per-file DVs, parquet pos-delete
+    files, legacy footer-resolved containers): the read-side supersede
+    contract stops applying position-delete files once a DV exists, so
+    a DV that did not absorb them would resurrect their rows.  Returns
+    (delete_files, dropped_dv_refs) — the v3 per-DV manifest entries
+    (or the pre-v3 one-entry-per-container form) and the superseded
+    (container, referenced-file) pairs to expunge."""
+    fv = md.format_version
+    delete_files: List[M.DataFile] = []
+    dropped_dv_refs: set = set()
+    part_of = {t.data_file.file_path: dict(t.data_file.partition)
+               for t in partial}
+    existing: Dict[str, list] = {}
+    prior_parquet: Dict[str, list] = {}
+    prior_footer: Dict[str, list] = {}
+    for t in partial:
+        fp_key = t.data_file.file_path
+        for d in t.pos_deletes:
+            if d.referenced_data_file is not None \
+                    and d.file_format == "PUFFIN":
+                existing.setdefault(
+                    d.referenced_data_file, []).append(
+                    (d.file_path, d.content_offset,
+                     d.content_size_in_bytes))
+            elif d.file_format == "PUFFIN":
+                prior_footer.setdefault(fp_key, []).append(d.file_path)
+            else:
+                prior_parquet.setdefault(fp_key, []).append(d.file_path)
+    ex_bc = spark.sparkContext.broadcast(existing)
+    pq_bc = spark.sparkContext.broadcast(prior_parquet)
+    ft_bc = spark.sparkContext.broadcast(prior_footer)
+    out_dir = os.path.join(md.location, "deletes")
+    out_schema = ("puffin_path string, referenced string, "
+                  "content_offset long, content_size long, "
+                  "cardinality long, file_size long")
+
+    def write_dvs(batches):
+        import uuid as _uuid
+        from iceberg_go_spark.io import load_io
+        from iceberg_go_spark.meta.dv import (
+            RoaringBitmap64, deserialize_dv, read_dv_blob_slice,
+            serialize_dv, write_deletion_vector_blobs)
+        bms: Dict[str, RoaringBitmap64] = {}
+        for pdf in batches:
+            for fp, grp in pdf.groupby("file_path"):
+                bms.setdefault(fp, RoaringBitmap64()).update(
+                    int(p) for p in grp["pos"])
+        if not bms:
+            return
+        for fp, bm in bms.items():
+            for (opth, ooff, oln) in ex_bc.value.get(fp, []):
+                bm.update(int(p) for p in deserialize_dv(
+                    read_dv_blob_slice(opth, ooff, oln)))
+            for pqp in sorted(set(pq_bc.value.get(fp, []))):
+                import pyarrow.parquet as _pq
+                tbl = _pq.read_table(
+                    pqp, columns=["file_path", "pos"],
+                    filters=[("file_path", "==", fp)])
+                bm.update(int(p)
+                          for p in tbl.column("pos").to_pylist())
+            for cont in sorted(set(ft_bc.value.get(fp, []))):
+                from iceberg_go_spark.meta.dv import (
+                    read_deletion_vector_blobs as _rdvb)
+                raw = _rdvb(cont).get(fp)
+                if raw is not None:
+                    bm.update(int(p) for p in
+                              deserialize_dv(raw).to_numpy())
+        pth = os.path.join(
+            out_dir, f"dv-{_uuid.uuid4().hex[:12]}.puffin")
+        offsets = write_deletion_vector_blobs(
+            pth, {fp: (serialize_dv(bm), bm.cardinality)
+                  for fp, bm in bms.items()})
+        size = load_io(pth).size(pth)
+        fps = sorted(bms)
+        yield pd.DataFrame({
+            "puffin_path": [pth] * len(fps),
+            "referenced": fps,
+            "content_offset": [offsets[f][0] for f in fps],
+            "content_size": [offsets[f][1] for f in fps],
+            "cardinality": [bms[f].cardinality for f in fps],
+            "file_size": [size] * len(fps)})
+
+    rows = (matches.repartition("file_path")
+            .mapInPandas(write_dvs, out_schema)
+            .collect())
+    if fv >= 3:
+        new_refs = set()
+        for r in rows:
+            new_refs.add(r.referenced)
+            delete_files.append(M.DataFile(
+                content=M.CONTENT_POS_DELETES,
+                file_path=r.puffin_path, file_format="PUFFIN",
+                partition=part_of.get(r.referenced, {}),
+                record_count=int(r.cardinality),
+                file_size_in_bytes=int(r.file_size),
+                referenced_data_file=r.referenced,
+                content_offset=int(r.content_offset),
+                content_size_in_bytes=int(r.content_size)))
+        dropped_dv_refs = {
+            (opth, fp)
+            for fp in new_refs
+            for (opth, _o, _l) in existing.get(fp, [])}
+    else:
+        # pre-v3 manifests can't express per-DV entries: keep the
+        # legacy one-entry-per-container form (footer-based blob
+        # resolution on read)
+        by_container: Dict[str, List] = {}
+        for r in rows:
+            by_container.setdefault(
+                r.puffin_path, [0, int(r.file_size)])[0] += \
+                int(r.cardinality)
+        for pth, (cards, fsize) in sorted(by_container.items()):
+            delete_files.append(M.DataFile(
+                content=M.CONTENT_POS_DELETES, file_path=pth,
+                file_format="PUFFIN", partition={},
+                record_count=cards, file_size_in_bytes=fsize))
+    return delete_files, dropped_dv_refs
+
+
+def _tasks_have_dvs(tasks) -> bool:
+    """True when any task's data file already carries a DV/legacy
+    puffin container — new deletes for those files MUST be DVs (the
+    read-side supersede contract ignores new position-delete files)."""
+    return any(d.file_format == "PUFFIN"
+               for t in tasks for d in t.pos_deletes)
+
+
 def delete_where(table, spark: SparkSession, expr: E.Expression,
                  mode: str = "copy-on-write"):
     """Delete all rows matching ``expr``."""
@@ -158,24 +306,36 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
 
     if mode == "copy-on-write":
         rewritten: List[M.DataFile] = []
+        fv3 = md.format_version >= 3
         if partial:
-            src = _tasks_scan_df(table, spark, partial)
+            src = _tasks_scan_df(table, spark, partial, row_lineage=fv3)
             keep_df = src.filter(~bound_col | bound_col.isNull())
+            write_schema = schema
+            if fv3:
+                keep_df, write_schema = _lineage_rewrite_prep(
+                    md, schema, keep_df)
             rewritten = write_dataframe(
-                keep_df, schema, md.spec(),
+                keep_df, write_schema, md.spec(),
                 os.path.join(md.location, "data"), md.properties,
                 sort_order=md.sort_order())
         dropped = [t.data_file.file_path for t in full + partial]
         dead = _dead_delete_paths(table, dropped)
         keep_manifests = txn._rewrite_manifests_without(dropped + dead)
+        # deleted-records: full files' record counts + (partial input
+        # rows - surviving rows).  Manifest record counts include rows
+        # already MoR-deleted, so this is the metadata-exact upper
+        # bound the summary can state without re-reading the data
+        kept_records = sum(f.record_count for f in rewritten)
+        partial_records = sum(t.data_file.record_count for t in partial)
+        deleted_records = (sum(t.data_file.record_count for t in full)
+                           + max(0, partial_records - kept_records))
         txn.append_files(rewritten, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests,
                          removed_paths=dropped, removed_delete_paths=dead,
                          conflict_filter=expr,
                          extra_summary={
                              "deleted-data-files": str(len(dropped)),
-                             "deleted-records": str(sum(
-                                 t.data_file.record_count for t in full)),
+                             "deleted-records": str(deleted_records),
                          })
         return txn.commit()
 
@@ -193,165 +353,47 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                 f"deletion vectors (e.g. {dv_covered[0]}); readers "
                 f"ignore position-delete files for DV-covered files — "
                 f"use mode='merge-on-read-dv'")
-        # whole-file matches are cheapest as manifest drops even in MoR
+        # whole-file matches are cheapest as manifest drops even in MoR;
+        # their now-dead delete files (referencing only dropped data
+        # files) die with them, like the CoW path — otherwise every
+        # later scan keeps anti-joining positions that can never match
         keep_manifests = None
-        if full:
-            keep_manifests = txn._rewrite_manifests_without(
-                [t.data_file.file_path for t in full])
+        dropped = [t.data_file.file_path for t in full]
+        dead = _dead_delete_paths(table, dropped) if dropped else []
+        if dropped or dead:
+            keep_manifests = txn._rewrite_manifests_without(dropped + dead)
         delete_files: List[M.DataFile] = []
         if partial:
             matches = _matches_df(spark, schema, bound_col, partial)
             delete_files = _pos_delete_fanout(spark, md, matches, partial)
         txn.append_files(delete_files, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests,
-                         removed_paths=[t.data_file.file_path for t in full],
+                         removed_paths=dropped,
+                         removed_delete_paths=dead,
                          referenced_paths=[t.data_file.file_path
                                            for t in partial],
                          conflict_filter=expr)
         return txn.commit()
 
     if mode == "merge-on-read-dv":
-        # v3 deletion vectors: one roaring bitmap per data file, located
-        # by spec-exact manifest entries (one entry per DV carrying
-        # referenced_data_file + content_offset/content_size_in_bytes;
-        # manifest.go:2123).  Bitmaps are built AND the puffin
-        # containers written ON EXECUTORS — matches repartition by file,
-        # each non-empty partition writes one container holding its
-        # files' DVs, and the driver collects only tiny locator rows
-        # (never bitmap bytes; mirrors _pos_delete_fanout's shape).
-        fv = md.format_version
+        # v3 deletion vectors (see _dv_delete_fanout): executors write
+        # the merged puffin containers; the driver collects locators
         delete_files: List[M.DataFile] = []
         dropped_dv_refs: set = set()
         if partial:
             matches = _matches_df(spark, schema, bound_col, partial)
-            part_of = {t.data_file.file_path: dict(t.data_file.partition)
-                       for t in partial}
-            # v3 spec: at most ONE DV per data file — merge any existing
-            # DV into the new bitmap on the executor, then drop the
-            # superseded manifest entry.  Prior position-delete FILES
-            # (parquet, or legacy footer-resolved puffin — the
-            # pre-upgrade forms) must fold in too: once a DV exists,
-            # readers stop applying position-delete files for that data
-            # file (scanner supersede contract), so a DV that did not
-            # absorb them would resurrect their rows.
-            existing: Dict[str, list] = {}
-            prior_parquet: Dict[str, list] = {}
-            prior_footer: Dict[str, list] = {}
-            # absorption is NOT fv-gated: pre-v3 legacy containers also
-            # supersede parquet deletes on read (footer coverage), so a
-            # v2 DV write that skipped absorption would resurrect the
-            # earlier parquet-deleted rows (review finding)
-            for t in partial:
-                fp_key = t.data_file.file_path
-                for d in t.pos_deletes:
-                    if d.referenced_data_file is not None \
-                            and d.file_format == "PUFFIN":
-                        existing.setdefault(
-                            d.referenced_data_file, []).append(
-                            (d.file_path, d.content_offset,
-                             d.content_size_in_bytes))
-                    elif d.file_format == "PUFFIN":
-                        prior_footer.setdefault(fp_key, []).append(
-                            d.file_path)
-                    else:
-                        prior_parquet.setdefault(fp_key, []).append(
-                            d.file_path)
-            ex_bc = spark.sparkContext.broadcast(existing)
-            pq_bc = spark.sparkContext.broadcast(prior_parquet)
-            ft_bc = spark.sparkContext.broadcast(prior_footer)
-            out_dir = os.path.join(md.location, "deletes")
-            out_schema = ("puffin_path string, referenced string, "
-                          "content_offset long, content_size long, "
-                          "cardinality long, file_size long")
-
-            def write_dvs(batches):
-                import uuid as _uuid
-                from iceberg_go_spark.io import load_io
-                from iceberg_go_spark.meta.dv import (
-                    RoaringBitmap64, deserialize_dv, read_dv_blob_slice,
-                    serialize_dv, write_deletion_vector_blobs)
-                bms: Dict[str, RoaringBitmap64] = {}
-                for pdf in batches:
-                    for fp, grp in pdf.groupby("file_path"):
-                        bms.setdefault(fp, RoaringBitmap64()).update(
-                            int(p) for p in grp["pos"])
-                if not bms:
-                    return
-                for fp, bm in bms.items():
-                    for (opth, ooff, oln) in ex_bc.value.get(fp, []):
-                        bm.update(int(p) for p in deserialize_dv(
-                            read_dv_blob_slice(opth, ooff, oln)))
-                    for pqp in sorted(set(pq_bc.value.get(fp, []))):
-                        import pyarrow.parquet as _pq
-                        tbl = _pq.read_table(
-                            pqp, columns=["file_path", "pos"],
-                            filters=[("file_path", "==", fp)])
-                        bm.update(int(p)
-                                  for p in tbl.column("pos").to_pylist())
-                    for cont in sorted(set(ft_bc.value.get(fp, []))):
-                        from iceberg_go_spark.meta.dv import (
-                            read_deletion_vector_blobs as _rdvb)
-                        raw = _rdvb(cont).get(fp)
-                        if raw is not None:
-                            bm.update(int(p) for p in
-                                      deserialize_dv(raw).to_numpy())
-                pth = os.path.join(
-                    out_dir, f"dv-{_uuid.uuid4().hex[:12]}.puffin")
-                offsets = write_deletion_vector_blobs(
-                    pth, {fp: (serialize_dv(bm), bm.cardinality)
-                          for fp, bm in bms.items()})
-                size = load_io(pth).size(pth)
-                fps = sorted(bms)
-                yield pd.DataFrame({
-                    "puffin_path": [pth] * len(fps),
-                    "referenced": fps,
-                    "content_offset": [offsets[f][0] for f in fps],
-                    "content_size": [offsets[f][1] for f in fps],
-                    "cardinality": [bms[f].cardinality for f in fps],
-                    "file_size": [size] * len(fps)})
-
-            rows = (matches.repartition("file_path")
-                    .mapInPandas(write_dvs, out_schema)
-                    .collect())
-            if fv >= 3:
-                new_refs = set()
-                for r in rows:
-                    new_refs.add(r.referenced)
-                    delete_files.append(M.DataFile(
-                        content=M.CONTENT_POS_DELETES,
-                        file_path=r.puffin_path, file_format="PUFFIN",
-                        partition=part_of.get(r.referenced, {}),
-                        record_count=int(r.cardinality),
-                        file_size_in_bytes=int(r.file_size),
-                        referenced_data_file=r.referenced,
-                        content_offset=int(r.content_offset),
-                        content_size_in_bytes=int(r.content_size)))
-                dropped_dv_refs = {
-                    (opth, fp)
-                    for fp in new_refs
-                    for (opth, _o, _l) in existing.get(fp, [])}
-            else:
-                # pre-v3 manifests can't express per-DV entries: keep
-                # the legacy one-entry-per-container form (footer-based
-                # blob resolution on read)
-                by_container: Dict[str, List] = {}
-                for r in rows:
-                    by_container.setdefault(
-                        r.puffin_path, [0, int(r.file_size)])[0] += \
-                        int(r.cardinality)
-                for pth, (cards, fsize) in sorted(by_container.items()):
-                    delete_files.append(M.DataFile(
-                        content=M.CONTENT_POS_DELETES, file_path=pth,
-                        file_format="PUFFIN", partition={},
-                        record_count=cards, file_size_in_bytes=fsize))
+            delete_files, dropped_dv_refs = _dv_delete_fanout(
+                spark, md, matches, partial)
         keep_manifests = None
-        if full or dropped_dv_refs:
+        dropped = [t.data_file.file_path for t in full]
+        dead = _dead_delete_paths(table, dropped) if dropped else []
+        if dropped or dead or dropped_dv_refs:
             keep_manifests = txn._rewrite_manifests_without(
-                [t.data_file.file_path for t in full],
-                dropped_dv_refs=dropped_dv_refs)
+                dropped + dead, dropped_dv_refs=dropped_dv_refs)
         txn.append_files(delete_files, operation=OP_DELETE,
                          manifests_to_keep=keep_manifests,
-                         removed_paths=[t.data_file.file_path for t in full],
+                         removed_paths=dropped,
+                         removed_delete_paths=dead,
                          referenced_paths=[t.data_file.file_path
                                            for t in partial],
                          conflict_filter=expr)
@@ -396,13 +438,23 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
     #    fully-matching files are dropped from manifests outright (every
     #    row is being rewritten, the file is dead)
     delete_files: List[M.DataFile] = []
+    dropped_dv_refs: set = set()
     if partial:
         matches = _matches_df(spark, schema, bound_col, partial)
-        delete_files = _pos_delete_fanout(spark, md, matches, partial)
+        if _tasks_have_dvs(partial):
+            # DV-covered targets: readers IGNORE new position-delete
+            # files (supersede), so the old row versions would stay
+            # live next to the reinserts — write merged DVs instead
+            delete_files, dropped_dv_refs = _dv_delete_fanout(
+                spark, md, matches, partial)
+        else:
+            delete_files = _pos_delete_fanout(spark, md, matches,
+                                              partial)
     dropped = [t.data_file.file_path for t in full]
     dead = _dead_delete_paths(table, dropped) if dropped else []
-    keep_manifests = txn._rewrite_manifests_without(dropped + dead) \
-        if dropped else None
+    keep_manifests = txn._rewrite_manifests_without(
+        dropped + dead, dropped_dv_refs=dropped_dv_refs) \
+        if (dropped or dead or dropped_dv_refs) else None
 
     # 2. reinserts: matching rows read through the scan lowering (existing
     #    pos/eq/DV deletes applied — a raw-parquet read would resurrect
@@ -413,10 +465,13 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
     sub = Scan(table, row_lineage=preserve_lineage)
     sub.plan_files = lambda: full + partial  # type: ignore[assignment]
     src = sub.to_df(spark).filter(bound_col)
-    for cname, a in assignments.items():
-        col = F.expr(a) if isinstance(a, str) else a
-        t = schema.find_field(cname).field_type
-        src = src.withColumn(cname, col.cast(to_spark_type(t)))
+    # ONE withColumns call: every RHS binds against the PRE-update row
+    # (sequential withColumn let later assignments read already-updated
+    # values, so {'a': col('b'), 'b': col('a')} failed to swap)
+    src = src.withColumns({
+        cname: (F.expr(a) if isinstance(a, str) else a)
+        .cast(to_spark_type(schema.find_field(cname).field_type))
+        for cname, a in assignments.items()})
     write_schema = schema
     if preserve_lineage:
         src = src.drop("_last_updated_sequence_number")
@@ -448,10 +503,15 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
     bound_col = E.to_spark_column(E.bind(expr, schema))
 
     added: List[M.DataFile] = []
+    fv3 = md.format_version >= 3
     if partial:
-        src = _tasks_scan_df(table, spark, partial)
+        src = _tasks_scan_df(table, spark, partial, row_lineage=fv3)
         keep_df = src.filter(~bound_col | bound_col.isNull())
-        added += write_dataframe(keep_df, schema, md.spec(),
+        write_schema = schema
+        if fv3:
+            keep_df, write_schema = _lineage_rewrite_prep(
+                md, schema, keep_df)
+        added += write_dataframe(keep_df, write_schema, md.spec(),
                                  os.path.join(md.location, "data"),
                                  md.properties, sort_order=md.sort_order())
     added += write_dataframe(df, schema, md.spec(),
@@ -536,20 +596,29 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
     # 1. pos-deletes for matched target rows (raw read is fine: rows
     #    already MoR-deleted reappearing here is idempotent)
     delete_files: List[M.DataFile] = []
+    merge_dropped_dv_refs: set = set()
     if when_matched is not None and tasks:
+        from .scan import raw_file_path
         raw = spark.read.schema(schema.to_spark()).parquet(
             *[t.data_file.file_path for t in tasks])
         matches = (raw
                    .withColumn("file_path",
-                               F.regexp_replace("_metadata.file_path",
-                                                "^file:", ""))
+                               raw_file_path(
+                                   F.col("_metadata.file_path")))
                    .withColumn("pos", F.col("_metadata.row_index")))
         if cond is not None:
             matches = matches.filter(cond)
         matches = (matches
                    .join(src_keys, key_columns, "leftsemi")
                    .select("file_path", "pos"))
-        delete_files = _pos_delete_fanout(spark, md, matches, tasks)
+        if _tasks_have_dvs(tasks):
+            # DV-covered targets: new position-delete files would be
+            # ignored by the reader's supersede rule — write merged DVs
+            delete_files, dv_refs = _dv_delete_fanout(
+                spark, md, matches, tasks)
+            merge_dropped_dv_refs.update(dv_refs)
+        else:
+            delete_files = _pos_delete_fanout(spark, md, matches, tasks)
 
     # 2. replacement + insert rows, one distributed write.  Key sets
     #    come from the scan lowering (existing deletes applied) — two
@@ -589,7 +658,12 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
 
     if not delete_files and not data_files:
         return table
+    keep_manifests = None
+    if merge_dropped_dv_refs:
+        keep_manifests = txn._rewrite_manifests_without(
+            [], dropped_dv_refs=merge_dropped_dv_refs)
     txn.append_files(delete_files + data_files, operation=OP_OVERWRITE,
+                     manifests_to_keep=keep_manifests,
                      referenced_paths=[t.data_file.file_path
                                        for t in tasks],
                      extra_summary={
@@ -625,20 +699,21 @@ def upsert(table, spark: SparkSession, df: DataFrame,
                            f"eq-{uuid.uuid4().hex[:12]}")
     keys.write.parquet(out_dir)
     import pyarrow.parquet as pq
+    from ..types import StructType as _ST
     delete_files = []
-    for root, _d, names in os.walk(out_dir):
-        for n in names:
-            if n.endswith(".parquet"):
-                p = os.path.join(root, n)
-                meta = pq.ParquetFile(p).metadata
-                if meta.num_rows == 0:
-                    continue
-                delete_files.append(M.DataFile(
-                    content=M.CONTENT_EQ_DELETES, file_path=p,
-                    file_format="PARQUET", partition={},
-                    record_count=meta.num_rows,
-                    file_size_in_bytes=os.path.getsize(p),
-                    equality_ids=key_ids))
+    # same discovery walk as _pos_delete_datafiles (unpartitioned), with
+    # eq-delete content + key ids; 0-row part files are skipped (Spark
+    # writers can emit empty parts)
+    for path, part in discover_partitioned_files(out_dir, _ST()):
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            continue
+        delete_files.append(M.DataFile(
+            content=M.CONTENT_EQ_DELETES, file_path=path,
+            file_format="PARQUET", partition=part,
+            record_count=meta.num_rows,
+            file_size_in_bytes=os.path.getsize(path),
+            equality_ids=key_ids))
     # 2. new data files
     data_files = write_dataframe(df, schema, md.spec(),
                                  os.path.join(md.location, "data"),

@@ -35,6 +35,37 @@ from ..plans.evaluators import (InclusiveMetricsEvaluator, ManifestEvaluator,
 from ..schema import Schema
 
 
+_UNQUOTE_UDF = None
+
+
+def _unquote_udf():
+    """Lazily-registered vectorized unquote (pandas_udf creation needs
+    an active session, so it cannot run at import time)."""
+    global _UNQUOTE_UDF
+    if _UNQUOTE_UDF is None:
+        @F.pandas_udf("string")
+        def unq(col: pd.Series) -> pd.Series:
+            from urllib.parse import unquote
+            return col.map(unquote)
+        _UNQUOTE_UDF = unq
+    return _UNQUOTE_UDF
+
+
+def raw_file_path(col):
+    """``_metadata.file_path`` as the RAW filesystem path manifests
+    record: strip the ``file:`` scheme and percent-decode when encoded
+    (a location with a space/'#'/non-ASCII char yields %XX in Spark's
+    URI form; every join against manifest-recorded paths — delete
+    application, DV membership, lineage — must compare raw to raw).
+    The decode is gated on a '%' so the common path stays JVM-side;
+    a RAW filename containing a literal %XX sequence would mis-decode —
+    the standard URI-roundtrip caveat, shared with the reference's
+    location handling."""
+    stripped = F.regexp_replace(col, "^file:", "")
+    return F.when(stripped.contains("%"),
+                  _unquote_udf()(stripped)).otherwise(stripped)
+
+
 @dataclass
 class FileScanTask:
     data_file: M.DataFile
@@ -586,8 +617,8 @@ class Scan:
                 # LEFT join: a path-normalization miss must degrade
                 # to null lineage for that file, never silently drop
                 # its rows (delete anti-joins fail open; so does this)
-                df = (df.withColumn("__lf", F.regexp_replace(
-                          F.col("_metadata.file_path"), "^file:", ""))
+                df = (df.withColumn("__lf", raw_file_path(
+                          F.col("_metadata.file_path")))
                       .withColumn("__ri", F.col("_metadata.row_index"))
                       .join(F.broadcast(lineage),
                             F.col("__lf") == F.col("__lfile"), "left")
@@ -612,8 +643,7 @@ class Scan:
             if pos_set or dv_slices:
                 # normalize URI scheme differences (file:// vs plain path)
                 df = df.withColumns({
-                    "__file": F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""),
+                    "__file": raw_file_path(F.col("_metadata.file_path")),
                     "__pos": F.col("_metadata.row_index")})
                 parquet_dels = sorted((p, n) for p, fmt, n in pos_set
                                       if fmt != "PUFFIN")

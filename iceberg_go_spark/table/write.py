@@ -17,7 +17,6 @@ driver never becomes the bottleneck at 100 TB file counts.
 from __future__ import annotations
 
 import os
-import posixpath
 import urllib.parse
 from datetime import date, datetime
 from decimal import Decimal
@@ -1000,7 +999,12 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
             null_value_counts=s["null_counts"],
             lower_bounds=lower, upper_bounds=upper,
             split_offsets=sorted(s["split_offsets"]) or None,
-            sort_order_id=(sort_order.order_id if sort_order else None)))
+            # zorder distribution SKIPS the sort-order sort (Morton-key
+            # clustering instead): claiming sort_order_id would tell
+            # readers the files are order-sorted when they are not
+            sort_order_id=(sort_order.order_id
+                           if sort_order and dist_mode != "zorder"
+                           else None)))
     # encrypted tables: stamp a wrapped per-file DEK envelope on every
     # new data file (encryption.table-key-id + kms-type properties)
     from ..encryption import attach_file_keys

@@ -300,3 +300,98 @@ def test_snapshot_summary_total_records_excludes_delete_rows(
     t.append(docs.limit(0))  # summary computed over kept manifests
     t = catalog.load_table("db.sumrec")
     assert int(t.current_snapshot().summary["total-records"]) == n_data
+
+
+def test_update_where_on_dv_covered_files(spark, sf_dir, catalog):
+    """UPDATE over files that already carry deletion vectors must write
+    its row-version deletes as merged DVs — parquet pos-deletes would
+    be ignored by the reader's supersede rule, leaving the old versions
+    live next to the reinserts (duplicate rows)."""
+    from iceberg_go_spark import expressions as E
+    df = spark.createDataFrame(
+        [(i, "old", i % 3) for i in range(30)],
+        "id long, v string, grp long")
+    t = catalog.create_table("db.updv", Schema.from_spark(df.schema))
+    t = t.upgrade_format_version(3)
+    t.append(df.coalesce(1))
+    t.delete_where(spark, E.eq("grp", 0), mode="merge-on-read-dv")
+    t = catalog.load_table("db.updv")
+    t.update_where(spark, E.eq("grp", 1), {"v": F.lit("new")})
+    t = catalog.load_table("db.updv")
+    rows = t.to_df(spark).collect()
+    assert len(rows) == 20  # grp 0 deleted; no duplicated grp-1 rows
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, set()).add(r.v)
+    assert by_grp[1] == {"new"}   # old versions gone
+    assert by_grp[2] == {"old"}
+    # the table must still hold one DV per file, no parquet pos-deletes
+    tasks = t.scan().plan_files()
+    assert all(d.file_format == "PUFFIN"
+               for tk in tasks for d in tk.pos_deletes)
+
+
+def test_merge_into_on_dv_covered_files(spark, sf_dir, catalog):
+    from iceberg_go_spark import expressions as E
+    df = spark.createDataFrame(
+        [(i, "old") for i in range(10)], "id long, v string")
+    t = catalog.create_table("db.mgdv", Schema.from_spark(df.schema))
+    t = t.upgrade_format_version(3)
+    t.append(df.coalesce(1))
+    t.delete_where(spark, E.eq("id", 0), mode="merge-on-read-dv")
+    t = catalog.load_table("db.mgdv")
+    src = spark.createDataFrame([(5, "merged"), (99, "inserted")],
+                                "id long, v string")
+    t.merge_into(spark, src, ["id"])
+    t = catalog.load_table("db.mgdv")
+    got = {r.id: r.v for r in t.to_df(spark).collect()}
+    assert got[5] == "merged" and got[99] == "inserted"
+    assert 0 not in got and len(got) == 10  # 1-9 + 99, id 5 ONCE
+
+
+def test_update_where_simultaneous_assignments(spark, sf_dir, catalog):
+    """Every assignment RHS evaluates against the PRE-update row (SQL
+    UPDATE semantics): {'a': b, 'b': a} swaps."""
+    from iceberg_go_spark import expressions as E
+    df = spark.createDataFrame([(1, 10, 20)], "id long, a long, b long")
+    t = catalog.create_table("db.swap", Schema.from_spark(df.schema))
+    t.append(df)
+    t.update_where(spark, E.eq("id", 1),
+                   {"a": F.col("b"), "b": F.col("a")})
+    t = catalog.load_table("db.swap")
+    r = t.to_df(spark).collect()[0]
+    assert (r.a, r.b) == (20, 10), (r.a, r.b)
+
+
+def test_mor_and_dv_deletes_in_warehouse_path_with_space(spark, sf_dir,
+                                                         tmp_path):
+    """A table location containing a space percent-encodes in Spark's
+    _metadata.file_path URI; every delete-path join must compare RAW
+    paths or the deletes silently stop applying (partitioned fanout
+    mapping, DV referenced_data_file, read-side anti-joins)."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    wh = tmp_path / "ware house"  # space on purpose
+    cat = FilesystemCatalog(str(wh))
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+        "id long, grp string")
+    sch = Schema.from_spark(df.schema)
+    t = cat.create_table("db.sp", sch, spec_from_names(sch,
+                                                       ("grp", "identity")))
+    t.append(df)
+    # partitioned MoR delete: the fanout mapping join keys on the path
+    t.delete_where(spark, E.eq("id", 4), mode="merge-on-read")
+    t = cat.load_table("db.sp")
+    assert sorted(r.id for r in t.to_df(spark).collect()) == \
+        [i for i in range(20) if i != 4]
+    # DV delete on the same table: referenced_data_file must be raw
+    t = t.upgrade_format_version(3)
+    t.delete_where(spark, E.eq("id", 7), mode="merge-on-read-dv")
+    t = cat.load_table("db.sp")
+    assert sorted(r.id for r in t.to_df(spark).collect()) == \
+        [i for i in range(20) if i not in (4, 7)]
+    # lineage must also resolve (left join would null out on mismatch)
+    rows = t.scan(row_lineage=True).to_df(spark).collect()
+    assert all(r._row_id is not None for r in rows)

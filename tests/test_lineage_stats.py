@@ -174,3 +174,26 @@ def test_first_row_id_inheritance_from_manifest_list(spark, sf_dir,
     out = t.scan().with_row_lineage().to_df(spark)
     ids = sorted(r._row_id for r in out.select("_row_id").collect())
     assert ids == list(range(df.count()))  # dense, unique, zero-based
+
+
+def test_cow_delete_preserves_row_ids(spark, sf_dir, tmp_path):
+    """v3 row lineage: a copy-on-write delete must keep the surviving
+    rows' _row_id values (they get rewritten into new files, not given
+    fresh identities)."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    t = cat.create_table("db.cowlin", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df.coalesce(1))
+    before = {r.id: r._row_id for r in
+              t.scan(row_lineage=True).to_df(spark).collect()}
+    t.delete_where(spark, E.lt("id", 3))  # CoW partial rewrite
+    t = cat.load_table("db.cowlin")
+    after = {r.id: r._row_id for r in
+             t.scan(row_lineage=True).to_df(spark).collect()}
+    assert set(after) == set(range(3, 10))
+    for i in range(3, 10):
+        assert after[i] == before[i], (i, before[i], after[i])
