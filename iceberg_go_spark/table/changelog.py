@@ -64,11 +64,32 @@ def _with_pos(spark: SparkSession, schema, paths: List[str]) -> DataFrame:
     if not paths:
         return df.withColumn("__file", F.lit("")) \
                  .withColumn("__pos", F.lit(0).cast("long"))
+    from .scan import raw_file_path
     return (df.select("*", F.col("_metadata"))
-            .withColumn("__file", F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:", ""))
+            .withColumn("__file",
+                        raw_file_path(F.col("_metadata.file_path")))
             .withColumn("__pos", F.col("_metadata.row_index"))
             .drop("_metadata"))
+
+
+def _eq_key_names(md, delete_file) -> List[str]:
+    """Column names for an eq-delete file's equality_ids — resolved by
+    field id through the schema index (handles renames), failing LOUDLY
+    on unresolvable or nested ids: a silently-empty key list degenerates
+    the semi-join into match-everything."""
+    names = []
+    for fid in (delete_file.equality_ids or []):
+        name = md.schema().find_column_name(fid)
+        if name is None:
+            raise ValueError(
+                f"equality delete {delete_file.file_path} references "
+                f"unknown field id {fid}")
+        names.append(name)
+    if not names:
+        raise ValueError(
+            f"equality delete {delete_file.file_path} carries no "
+            f"equality ids")
+    return names
 
 
 def changelog(table, spark: SparkSession,
@@ -81,15 +102,21 @@ def changelog(table, spark: SparkSession,
     snaps = sorted(md.snapshots, key=lambda s: s.sequence_number)
     if to_snapshot_id is None and md.current_snapshot_id is not None:
         to_snapshot_id = md.current_snapshot_id
-    started = from_snapshot_id is None
-    in_range = []
-    for s in snaps:
-        if started:
-            in_range.append(s)
-        if s.snapshot_id == from_snapshot_id:
-            started = True
-        if started and s.snapshot_id == to_snapshot_id:
-            break
+    # walk the ANCESTRY of `to`, not the global sequence order: other
+    # branches' snapshots interleave in sequence numbers but are not
+    # part of this lineage's changes
+    if from_snapshot_id is None:
+        chain, _complete = md.ancestors_of_checked(to_snapshot_id)
+        in_range = list(reversed(chain))
+    else:
+        chain, base_found = md.ancestors_between(to_snapshot_id,
+                                                 from_snapshot_id)
+        if not base_found:
+            raise ValueError(
+                f"from_snapshot_id {from_snapshot_id} is not an "
+                f"ancestor of {to_snapshot_id} (expired, or on another "
+                f"branch)")
+        in_range = list(reversed(chain))
 
     frames: List[DataFrame] = []
 
@@ -144,8 +171,50 @@ def changelog(table, spark: SparkSession,
         if not added_deletes:
             continue
         # MoR: the delete files added by this snapshot target data files
-        # that were live BEFORE it
+        # that were live BEFORE it — and only rows still live AT the
+        # parent: v3 DVs are CUMULATIVE (each new DV carries every
+        # earlier position for its file), so without subtracting the
+        # parent's delete state a changelog re-reports pos 5 in every
+        # later snapshot that also deletes pos 7
         target_paths = sorted(prev_data)
+
+        def parent_live_with_pos():
+            data = _with_pos(spark, schema, target_paths)
+            prior_pos = [f for f in prev_dels.values()
+                         if f.content == M.CONTENT_POS_DELETES
+                         and not f.file_path.endswith(".puffin")]
+            prior_puffin = [f for f in prev_dels.values()
+                            if f.content == M.CONTENT_POS_DELETES
+                            and f.file_path.endswith(".puffin")]
+            prior_eq = [f for f in prev_dels.values()
+                        if f.content == M.CONTENT_EQ_DELETES]
+            if prior_pos:
+                pdels = (spark.read.parquet(
+                    *sorted({f.file_path for f in prior_pos}))
+                    .select(F.col("file_path").alias("__file"),
+                            F.col("pos").alias("__pos")).distinct())
+                data = data.join(pdels, ["__file", "__pos"], "left_anti")
+            if prior_puffin:
+                from ..meta.dv import (deserialize_dv,
+                                       read_deletion_vector_blobs)
+                pairs = []
+                for f in sorted({f.file_path for f in prior_puffin}):
+                    for fp, raw in read_deletion_vector_blobs(f).items():
+                        pairs.extend((fp, int(pp))
+                                     for pp in deserialize_dv(raw)
+                                     .to_numpy())
+                if pairs:
+                    data = data.join(
+                        spark.createDataFrame(
+                            pairs, "__file string, __pos long"),
+                        ["__file", "__pos"], "left_anti")
+            for f in prior_eq:
+                names = _eq_key_names(md, f)
+                keys = spark.read.parquet(f.file_path).select(*names)                     .dropDuplicates()
+                data = data.join(
+                    keys, [data[n].eqNullSafe(keys[n]) for n in names],
+                    "left_anti")
+            return data
         pos_files = [f for f in added_deletes
                      if f.content == M.CONTENT_POS_DELETES]
         eq_files = [f for f in added_deletes
@@ -155,7 +224,7 @@ def changelog(table, spark: SparkSession,
         pos_files = [f for f in pos_files if f not in dv_files]
 
         if pos_files:
-            data = _with_pos(spark, schema, target_paths)
+            data = parent_live_with_pos()
             dels = (spark.read.parquet(
                 *sorted({f.file_path for f in pos_files}))
                 .select(F.regexp_replace(F.col("file_path"), "^file:", "")
@@ -176,7 +245,7 @@ def changelog(table, spark: SparkSession,
                     for p in deserialize_dv(raw).to_numpy():
                         pairs.append((fp, int(p)))
             if pairs:
-                data = _with_pos(spark, schema, target_paths)
+                data = parent_live_with_pos()
                 dels = spark.createDataFrame(pairs,
                                              "__file string, __pos long")
                 frames.append(stamp(
@@ -184,11 +253,9 @@ def changelog(table, spark: SparkSession,
                         .drop("__file", "__pos"),
                     "delete", ordinal, snap.snapshot_id))
         if eq_files:
-            data = _read_files(spark, schema, target_paths)
+            data = parent_live_with_pos().drop("__file", "__pos")
             for f in eq_files:
-                key_ids = f.equality_ids or []
-                names = [fld.name for fld in md.schema().fields
-                         if fld.field_id in key_ids]
+                names = _eq_key_names(md, f)
                 keys = spark.read.parquet(f.file_path).select(*names) \
                     .dropDuplicates()
                 cond = [data[n].eqNullSafe(keys[n]) for n in names]

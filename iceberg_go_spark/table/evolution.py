@@ -173,6 +173,13 @@ class UpdateSchema:
             if initial_default is not None or write_default is not None:
                 raise ValueError(
                     f"default values are not supported for {field_type}")
+            if required and not self._allow_incompatible:
+                # no default can exist for a struct/list/map, so a
+                # required add is ALWAYS incompatible with old files
+                # (they would read null for a required field)
+                raise ValueError(
+                    f"cannot add a required column without a default: "
+                    f"{full_name}")
         else:
             if required and initial_default is None \
                     and not self._allow_incompatible:
@@ -222,10 +229,14 @@ class UpdateSchema:
     def delete_column(self, path: PathLike) -> "UpdateSchema":
         f = self._require(path)
         full_name = _full(path)
-        if f.field_id in self._adds:
+        # block on staged adds/updates anywhere UNDER the subtree, not
+        # just on the deleted field's own id — deleting an ancestor
+        # silently discarded a staged add on a deeper descendant
+        subtree = {f.field_id} | _nested_ids(f.field_type)
+        if any(owner in subtree for owner in self._adds):
             raise ValueError(
                 f"field that has additions cannot be deleted: {full_name}")
-        if f.field_id in self._updates:
+        if any(fid in subtree for fid in self._updates):
             raise ValueError(
                 f"field that has updates cannot be deleted: {full_name}")
         # dropping a partition source column breaks the active spec
@@ -704,6 +715,8 @@ class UpdateSpec:
                         and str(f.transform) == str(tf):
                     fid = f.field_id
                     break
+            if fid is not None:
+                break  # FIRST historical match wins, not the last
         if fid is None:
             self._last += 1
             fid = self._last
@@ -730,9 +743,29 @@ class UpdateSpec:
 
     def commit(self):
         md = copy.deepcopy(self.table.metadata)
-        new_id = max((s.spec_id for s in md.partition_specs), default=0) + 1
-        spec = PartitionSpec(self._fields, spec_id=new_id)
-        md.partition_specs.append(spec)
+
+        def same(sp) -> bool:
+            return ([(f.source_id, f.field_id, f.name, str(f.transform))
+                     for f in sp.fields] ==
+                    [(f.source_id, f.field_id, f.name, str(f.transform))
+                     for f in self._fields])
+
+        # reuse an identical existing spec (update_spec.go; mirrors
+        # UpdateSchema's historical-schema reuse) — a no-op commit()
+        # used to append a duplicate spec and churn metadata
+        reuse = next((sp.spec_id for sp in md.partition_specs
+                      if same(sp)), None)
+        if reuse is not None:
+            if reuse == md.default_spec_id:
+                return self.table  # true no-op: nothing to commit
+            new_id = reuse
+            spec = next(sp for sp in md.partition_specs
+                        if sp.spec_id == reuse)
+        else:
+            new_id = max((s.spec_id for s in md.partition_specs),
+                         default=0) + 1
+            spec = PartitionSpec(self._fields, spec_id=new_id)
+            md.partition_specs.append(spec)
         md.default_spec_id = new_id
         md.last_partition_id = max(md.last_partition_id,
                                    spec.last_assigned_field_id())

@@ -96,9 +96,13 @@ def compact(table, spark: SparkSession,
     rewritten: List[M.DataFile] = []
     dropped: List[str] = []
     group_paths = [f.file_path for g in groups for f in g.files]
-    # scan with delete application restricted to the group files
-    tasks = [t for t in table.scan().plan_files()
-             if t.data_file.file_path in set(group_paths)]
+    gp = set(group_paths)
+    # ONE planning pass: the group tasks filter from it and the
+    # dead-delete liveness check below reuses it (set(group_paths)
+    # inside the comprehension re-built the set per element — O(n^2)
+    # at 50k-file compactions; plan_files ran three times)
+    all_tasks = table.scan().plan_files()
+    tasks = [t for t in all_tasks if t.data_file.file_path in gp]
     if not tasks:
         return table
     # reuse the scan lowering (applies MoR deletes) on just these tasks
@@ -150,9 +154,8 @@ def compact(table, spark: SparkSession,
     # also drop delete files that applied only to compacted data files
     dead_deletes = {d.file_path for t in tasks
                     for d in (t.pos_deletes + t.eq_deletes)}
-    all_tasks = table.scan().plan_files()
     still_needed = {d.file_path for t in all_tasks
-                    if t.data_file.file_path not in set(group_paths)
+                    if t.data_file.file_path not in gp
                     for d in (t.pos_deletes + t.eq_deletes)}
     dead = sorted(dead_deletes - still_needed)
     # v3 DVs: a puffin CONTAINER shared with surviving files stays live,
@@ -346,6 +349,11 @@ def _retention_keep_set(md, now_ms: int, retain_last: Optional[int],
         if ref.ref_type != "branch":
             keep_ids.add(ref.snapshot_id)
             continue
+        # a SURVIVING branch ref's head is unconditionally retained:
+        # with min_keep resolved to 0 the walk below could expire the
+        # head while the ref stays, leaving a dangling reference whose
+        # files the GC then deletes
+        keep_ids.add(ref.snapshot_id)
         min_keep = _first_set(ref.min_snapshots_to_keep, retain_last,
                               prop_min_keep)
         max_age = _first_set(ref.max_snapshot_age_ms, caller_max_age,
@@ -467,29 +475,43 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
             for e in entries:
                 live_data.add(e.data_file.file_path)
 
-    deleted: List[str] = []
+    # two-phase GC: PLAN every path first (all manifest reads happen
+    # before any unlink), THEN delete.  Interleaving read+unlink leaked
+    # files: a manifest shared by two expired snapshots was unlinked in
+    # the first pass, the second pass's read raised FileNotFoundError,
+    # and the broad per-snapshot catch abandoned that snapshot's whole
+    # cleanup (its unique manifests/data/list stayed behind silently).
+    to_unlink: List[str] = []
+    planned_manifests: Set[str] = set()
     for s in expired:
         if s.manifest_list in live_lists:
             continue
         try:
-            for mf in M.read_manifest_list(s.manifest_list):
-                if mf.manifest_path in live_manifests:
-                    continue
-                entries, _, _ = M.read_manifest(mf.manifest_path)
-                for e in entries:
-                    p = e.data_file.file_path
-                    if p not in live_data and os.path.exists(p):
-                        if delete_files:
-                            os.unlink(p)
-                        deleted.append(p)
-                if delete_files:
-                    os.unlink(mf.manifest_path)
-                deleted.append(mf.manifest_path)
-            if delete_files:
-                os.unlink(s.manifest_list)
-            deleted.append(s.manifest_list)
+            mfs = M.read_manifest_list(s.manifest_list)
         except FileNotFoundError:
-            pass
+            continue
+        for mf in mfs:
+            if mf.manifest_path in live_manifests \
+                    or mf.manifest_path in planned_manifests:
+                continue
+            planned_manifests.add(mf.manifest_path)
+            try:
+                entries, _, _ = M.read_manifest(mf.manifest_path)
+            except FileNotFoundError:
+                continue
+            for e in entries:
+                p = e.data_file.file_path
+                if p not in live_data and os.path.exists(p):
+                    to_unlink.append(p)
+            to_unlink.append(mf.manifest_path)
+        to_unlink.append(s.manifest_list)
+    deleted = list(dict.fromkeys(to_unlink))
+    if delete_files:
+        for p in deleted:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
     return deleted
 
 

@@ -73,3 +73,50 @@ def test_changelog_empty_table(spark, tmp_path):
     t = cat.create_table("db.empty", Schema.from_spark(
         spark.range(1).selectExpr("id").schema))
     assert t.changelog(spark).count() == 0
+
+
+def test_changelog_cumulative_dv_not_rereported(spark, sf_dir, tmp_path):
+    """v3 DVs are cumulative: a later DV carries every earlier position
+    for its file — each snapshot's changelog must report only the NEWLY
+    deleted rows."""
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    t = cat.create_table("db.cdv", Schema.from_spark(df.schema),
+                         properties={"format-version": "3"})
+    t.append(df.coalesce(1))
+    t.delete_where(spark, E.eq("id", 5), mode="merge-on-read-dv")
+    t.delete_where(spark, E.eq("id", 7), mode="merge-on-read-dv")
+    t = cat.load_table("db.cdv")
+    ch = t.changelog(spark)
+    dels = [(r.id, r._change_ordinal) for r in
+            ch.filter("_change_type = 'delete'").collect()]
+    # exactly one delete row per id, in its own snapshot
+    assert sorted(dels) == [(5, 1), (7, 2)], sorted(dels)
+
+
+def test_changelog_excludes_other_branches(spark, sf_dir, tmp_path):
+    """Snapshots committed on another branch interleave in sequence
+    numbers but are not part of main's lineage — the changelog walks
+    the ancestry of `to`, not the global snapshot list."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,)], "id long")
+    t = cat.create_table("db.br", Schema.from_spark(df.schema))
+    t.append(df)
+    base = t.current_snapshot().snapshot_id
+    t.create_branch("dev", base)
+    # commit on dev
+    txn = t.new_transaction(branch="dev")
+    txn.append(spark.createDataFrame([(100,)], "id long"))
+    txn.commit()
+    # commit on main
+    t = cat.load_table("db.br")
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t = cat.load_table("db.br")
+    ch = t.changelog(spark, from_snapshot_id=base)
+    ids = sorted(r.id for r in ch.collect())
+    assert ids == [2], ids  # dev's 100 must not leak into main's CDC

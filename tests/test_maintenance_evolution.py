@@ -652,3 +652,52 @@ def test_name_based_files_never_fill_nested_defaults(spark, catalog,
     # real nested values survive; no default clobber
     assert rows[1].s.zip == "real1" and rows[1].s.tier == "gold"
     assert rows[2].s.tier == "gold"
+
+
+def test_update_spec_noop_and_identical_reuse(spark, sf_dir, catalog):
+    """UpdateSpec.commit with no changes is a true no-op; re-creating a
+    historical spec reuses its id instead of appending a clone."""
+    df = read_table(spark, "orders", sf_dir)
+    sch = Schema.from_spark(df.schema)
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    t = catalog.create_table("db.specreuse", sch,
+                             spec_from_names(sch, ("o_orderdate", "year")))
+    n0 = len(t.metadata.partition_specs)
+    sid0 = t.metadata.default_spec_id
+    t.update_spec().commit()  # no-op
+    t = catalog.load_table("db.specreuse")
+    assert len(t.metadata.partition_specs) == n0
+    assert t.metadata.default_spec_id == sid0
+    # evolve away, then back: the original spec id is reused
+    t.update_spec().add_field("o_custkey", "bucket[4]").commit()
+    t = catalog.load_table("db.specreuse")
+    assert t.metadata.default_spec_id != sid0
+    t.update_spec().remove_field("o_custkey_bucket").commit()
+    t = catalog.load_table("db.specreuse")
+    assert t.metadata.default_spec_id == sid0
+    assert len(t.metadata.partition_specs) == n0 + 1  # no third clone
+
+
+def test_add_required_struct_needs_allow_incompatible(spark, sf_dir,
+                                                      catalog):
+    import pytest
+    from iceberg_go_spark import types as T
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.reqstruct", Schema.from_spark(df.schema))
+    t.append(df)
+    st = T.StructType(T.NestedField(0, "x", T.LongType()))
+    with pytest.raises(ValueError, match="required column"):
+        t.update_schema().add_column("s", st, required=True).commit()
+
+
+def test_delete_column_blocks_staged_descendant_add(spark, sf_dir,
+                                                    catalog):
+    import pytest
+    from iceberg_go_spark import types as T
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.delsub", Schema.from_spark(df.schema))
+    us = t.update_schema().add_column(
+        "s", T.StructType(T.NestedField(0, "inner", T.LongType())))
+    us = us.add_column("s.inner2", T.LongType())
+    with pytest.raises(ValueError, match="additions cannot be deleted"):
+        us.delete_column("s")

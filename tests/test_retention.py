@@ -121,3 +121,28 @@ def test_retention_fields_roundtrip_metadata(spark, sf_dir, catalog):
     assert ref.min_snapshots_to_keep == 5
     assert ref.max_snapshot_age_ms == WEEK
     assert ref.max_ref_age_ms == 2 * WEEK
+
+
+def test_expire_never_dangles_surviving_branch_head(spark, sf_dir,
+                                                    catalog):
+    """retain_last=0 with an aged-out branch head: a SURVIVING ref's
+    head snapshot must be retained — expiring it while keeping the ref
+    leaves a dangling reference whose files the GC deletes."""
+    import time as _time
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.keephead", Schema.from_spark(df.schema))
+    t.append(df)
+    t.create_branch("dev", t.current_snapshot().snapshot_id)
+    t.append(df.limit(3))  # advance main past the dev head
+    t = catalog.load_table("db.keephead")
+    # everything is "old"; ref max-age is generous so dev SURVIVES
+    t.metadata.properties["max-ref-age-ms"] = str(10 ** 15)
+    from iceberg_go_spark.table.maintenance import expire_snapshots
+    expire_snapshots(t, older_than_ms=int(_time.time() * 1000) + 10_000,
+                     retain_last=0, delete_files=False)
+    t = catalog.load_table("db.keephead")
+    assert "dev" in t.metadata.refs
+    head = t.metadata.refs["dev"].snapshot_id
+    assert t.metadata.snapshot_by_id(head) is not None
+    # the branch still scans
+    assert t.scan().use_ref("dev").to_df(spark).count() == df.count()
