@@ -2186,8 +2186,65 @@ a1 AS (
                                        c.cluster) AS rn
     FROM q v CROSS JOIN c1 c) WHERE rn = 1)
 SELECT cluster, COUNT(*) AS n_members, SUM(vec_id) AS sum_ids,
-       SUM(cos_e6)::BIGINT // COUNT(*) AS avg_cosine_e6
+       SUM(cos_e6)::BIGINT AS sum_cos_e6
 FROM a1 GROUP BY cluster
+"""
+
+
+def duckdb_semantics_canary(spark, sf_dir):
+    """Driver-gate canary that LOCALIZES engine-vs-oracle divergence
+    (kmeans was red r5-r7 with no way to tell whether the driver's
+    DuckDB `//`, isqrt correction, or round semantics diverged).  Both
+    sides evaluate the same integer-semantics probes and emit one row
+    per FAILING probe, replicated 2^pid times — so the row count in the
+    CORRECTNESS artifact is a BITMASK of failing probes:
+      p0 `//`-is-trunc, p1 isqrt at 2^62-2, p2 micro-cosine w/ negative
+      dot, p3 round(319.5)=320, p4 round(-2.5)=-3;
+    plus an always-present row (pid 99) carrying the DuckDB version
+    string — a hash mismatch on ONLY that row means the gate's DuckDB
+    differs from the one imported next to Spark."""
+    import duckdb as _dd
+    one = spark.range(1)
+    checks = [
+        (0, F.expr("-7 div 2"), -3),
+        (1, V.isqrt_long(F.lit((1 << 62) - 2).cast("long")), 2147483647),
+        (2, V.quantized_cosine_e6(F.expr("array(1000L, 0L)"),
+                                  F.expr("array(-707L, 707L)")), -707107),
+        (3, F.round(F.lit(319.5).cast("double")).cast("long"), 320),
+        (4, F.round(F.lit(-2.5).cast("double")).cast("long"), -3),
+    ]
+    fails = None
+    for pid, expr, want in checks:
+        row = (one.select(expr.cast("long").alias("__got"))
+               .filter(F.col("__got") != F.lit(int(want)).cast("long"))
+               .select(F.explode(F.sequence(
+                   F.lit(1), F.lit(1 << pid))).alias("__i"))
+               .select(F.lit(pid).cast("int").alias("pid"),
+                       F.lit("probe-failed").alias("detail")))
+        fails = row if fails is None else fails.unionAll(row)
+    ver = one.select(
+        F.lit(99).cast("int").alias("pid"),
+        F.lit(str(_dd.__version__).lstrip("v")).alias("detail"))
+    return fails.unionAll(ver)
+
+
+def _canary_sql() -> str:
+    return f"""
+WITH probes AS (
+  SELECT * FROM (VALUES
+    (0, (-7) // 2, -3),
+    (1, {V.isqrt_sql('4611686018427387902')}, 2147483647),
+    (2, {V.quantized_cosine_e6_sql('[1000,0]', '[-707,707]')}, -707107),
+    (3, round(319.5::DOUBLE)::BIGINT, 320),
+    (4, round(-2.5::DOUBLE)::BIGINT, -3)
+  ) AS t(pid, got, want)),
+n AS (SELECT unnest(range(32)) AS i)
+SELECT pid, detail FROM (
+  SELECT pid::INT AS pid, 'probe-failed' AS detail
+  FROM probes JOIN n ON n.i < (1::BIGINT << probes.pid)
+  WHERE got <> want
+  UNION ALL
+  SELECT 99::INT AS pid, ltrim(version(), 'v') AS detail)
 """
 
 
@@ -3985,63 +4042,25 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ordering = driver-gate rotation priority: queries whose
-        # Spark/oracle code CHANGED this round first (they need a
-        # fresh driver row — kmeans_topic_clusters was red in r5+r6),
-        # then least-recently-driver-checked (r5-stale backlog of 47),
-        # then the freshly-green r6 set.  Recomputed each round from
-        # CORRECTNESS_r*.json (tools/reorder note in SURVEY §9).
-        "bpe_merge_table": bpe_merge_table,
-        "multimodal_pack": multimodal_pack,
-        "ngram_diversity_profile": ngram_diversity_profile,
-        "iceberg_snapshot_drift": iceberg_snapshot_drift,
-        "contrastive_negative_pairs": contrastive_negative_pairs,
-        "training_pipeline_sample": training_pipeline_sample,
-        "jaccard_verified_dups": jaccard_verified_dups,
-        "winnow_near_dups": winnow_near_dups,
-        "source_divergence": source_divergence,
-        "ngram_novelty_scores": ngram_novelty_scores,
-        "c4_quality_filter": c4_quality_filter,
-        "bigram_predictability": bigram_predictability_scores,
-        "ann_topk_pq_rerank": ann_topk_pq_rerank,
-        "minhash_lsh_recall": minhash_lsh_recall,
-        # e6-sweep: oracles/columns changed this session -> refresh
-        "text_stats": text_stats,
-        "token_summary_by_lang": token_summary_by_lang,
-        "bm25_search": bm25_search,
-        "repetition_metrics": repetition_metrics,
-        "token_rarity_scores": token_rarity_scores,
-        "boilerplate_ngram_flags": boilerplate_ngram_flags,
-        "soft_dedup_weights": soft_dedup_weights,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "iceberg_zorder_scan": iceberg_zorder_scan,
-        "ann_topk_pq": ann_topk_pq,
-        "token_frequency_quality": token_frequency_quality,
-        "iceberg_encrypted_scan": iceberg_encrypted_scan,
+        # ordering = driver-gate rotation priority (r8): queries whose
+        # Spark/oracle code CHANGED this session first (kmeans rework +
+        # canary + encrypted-scan fix + cosine-threshold consumers),
+        # then the ENTIRE r5-stale backlog (26 queries with no driver
+        # row since r5 — VERDICT r7 item 6), then r6-checked, then the
+        # freshly-green r7 set.  Recomputed each round from
+        # CORRECTNESS_r*.json.
+        "duckdb_semantics_canary": duckdb_semantics_canary,
         "kmeans_topic_clusters": kmeans_topic_clusters,
+        "iceberg_encrypted_scan": iceberg_encrypted_scan,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_topk_bucketed": ann_topk_bucketed,
-        "ann_topk_ivf": ann_topk_ivf,
         "embedding_near_dup": embedding_near_dup,
-        "duplicate_span_stats": duplicate_span_stats,
-        "strip_duplicate_spans": strip_duplicate_spans,
-        "asof_join_events": asof_join_events,
-        "decontaminate_docs": decontaminate_docs,
-        "event_funnel": event_funnel,
-        "events_hourly": events_hourly,
-        "events_resampled_dense": events_resampled_dense,
-        "iceberg_bucket_scan": iceberg_bucket_scan,
-        "iceberg_incremental_scan": iceberg_incremental_scan,
+        "bpe_merge_table": bpe_merge_table,
+        "ann_topk_pq": ann_topk_pq,
+        "ann_topk_pq_rerank": ann_topk_pq_rerank,
+        "ann_topk_ivf": ann_topk_ivf,
+        "minhash_lsh_recall": minhash_lsh_recall,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
         "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
-        "iceberg_scan_filter_project": iceberg_scan_filter_project,
-        "iceberg_time_travel": iceberg_time_travel,
-        "mixture_sample_by_source": mixture_sample_by_source,
-        "moving_avg_value": moving_avg_value,
-        "multimodal_resize": multimodal_resize,
-        "pack_sequences": pack_sequences_q,
-        "pii_scrub": pii_scrub,
-        "props_json_stats": props_json_stats,
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
@@ -4082,7 +4101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "hypertable_rollup": hypertable_rollup,
         "iceberg_branch_scan": iceberg_branch_scan,
-        "iceberg_changelog_scan": iceberg_changelog_scan,
         "iceberg_compacted_scan": iceberg_compacted_scan,
         "iceberg_defaults_scan": iceberg_defaults_scan,
         "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
@@ -4107,6 +4125,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transforms_datetime": transforms_datetime,
         "variant_prune_scan": variant_prune_scan,
         "variant_shred": variant_shred,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_bucketed": ann_topk_bucketed,
+        "asof_join_events": asof_join_events,
+        "bigram_predictability": bigram_predictability_scores,
+        "bm25_search": bm25_search,
+        "boilerplate_ngram_flags": boilerplate_ngram_flags,
+        "c4_quality_filter": c4_quality_filter,
+        "contrastive_negative_pairs": contrastive_negative_pairs,
+        "decontaminate_docs": decontaminate_docs,
+        "duplicate_span_stats": duplicate_span_stats,
+        "event_funnel": event_funnel,
+        "events_hourly": events_hourly,
+        "events_resampled_dense": events_resampled_dense,
+        "iceberg_bucket_scan": iceberg_bucket_scan,
+        "iceberg_incremental_scan": iceberg_incremental_scan,
+        "iceberg_scan_filter_project": iceberg_scan_filter_project,
+        "iceberg_snapshot_drift": iceberg_snapshot_drift,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_zorder_scan": iceberg_zorder_scan,
+        "jaccard_verified_dups": jaccard_verified_dups,
+        "mixture_sample_by_source": mixture_sample_by_source,
+        "moving_avg_value": moving_avg_value,
+        "multimodal_pack": multimodal_pack,
+        "multimodal_resize": multimodal_resize,
+        "ngram_diversity_profile": ngram_diversity_profile,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
+        "ngram_novelty_scores": ngram_novelty_scores,
+        "pack_sequences": pack_sequences_q,
+        "pii_scrub": pii_scrub,
+        "props_json_stats": props_json_stats,
+        "repetition_metrics": repetition_metrics,
+        "soft_dedup_weights": soft_dedup_weights,
+        "source_divergence": source_divergence,
+        "strip_duplicate_spans": strip_duplicate_spans,
+        "text_stats": text_stats,
+        "token_frequency_quality": token_frequency_quality,
+        "token_rarity_scores": token_rarity_scores,
+        "token_summary_by_lang": token_summary_by_lang,
+        "training_pipeline_sample": training_pipeline_sample,
+        "winnow_near_dups": winnow_near_dups,
     }
 
 
@@ -4221,6 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_bucketed": _ann_sql(True),
         "ann_topk_ivf": _ivf_sql(),
         "kmeans_topic_clusters": _kmeans_sql(),
+        "duckdb_semantics_canary": _canary_sql(),
         "embedding_near_dup": _near_dup_sql(),
         "label_centroids": CENTROIDS_SQL,
         "variant_shred": VARIANT_SHRED_SQL,

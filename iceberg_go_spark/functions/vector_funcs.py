@@ -80,7 +80,16 @@ def isqrt_long(p: Column) -> Column:
     for j in (1, 2, 3, 4):
         step = F.when((y + j) * (y + j) <= p, 1).otherwise(0)
         adj = step if adj is None else adj + step
-    return (y + adj).cast("long")
+    # domain guard: beyond 2^62 the double sqrt error exceeds the +-2
+    # correction window and the result would be silently wrong (kmeans/
+    # PQ centroid SUM-vector norms grow with cluster population) — fail
+    # loudly instead of corrupting rankings
+    bad = p >= F.lit(1 << 62).cast("long")
+    return F.when(
+        bad, F.raise_error(F.lit(
+            "isqrt_long domain overflow: p >= 2^62 — rescale centroid "
+            "sums (see kmeans_assignments docstring)")).cast("long")
+    ).otherwise((y + adj).cast("long"))
 
 
 def isqrt_sql(p: str) -> str:
@@ -135,15 +144,18 @@ def cosine_ge_threshold(qa: Column, qb: Column, na: Column, nb: Column,
                         thr_e6: int) -> Column:
     """Predicate equivalent to ``quantized_cosine_e6 >= thr_e6`` for
     thr_e6 >= 1, with NO division and the dot aggregate evaluated once:
-    trunc(num/s) >= t  <=>  num >= t*s  (s > 0, integer t >= 1; and for
-    s == 0 the cosine is defined 0 < t, both sides false).  This is the
-    hot shape for similarity FILTERS (near-dup, SemDeDup) — the full
-    micro-cosine is only worth computing on surviving pairs."""
+    trunc(num/s) >= t  <=>  num >= t*s  (s > 0, integer t >= 1).  For
+    s == 0 (a zero-quantized vector) the cosine is DEFINED as 0 < t, so
+    the predicate must be false — but num >= t*s degenerates to 0 >= 0
+    (true), hence the explicit s > 0 conjunct.  This is the hot shape
+    for similarity FILTERS (near-dup, SemDeDup) — the full micro-cosine
+    is only worth computing on surviving pairs."""
     if thr_e6 < 1:
         raise ValueError("cosine_ge_threshold requires thr_e6 >= 1")
     s = isqrt_long(na * nb)
-    return (dot_long(qa, qb) * F.lit(1_000_000).cast("long")
-            >= F.lit(int(thr_e6)).cast("long") * s)
+    return (s > F.lit(0).cast("long")) & \
+        (dot_long(qa, qb) * F.lit(1_000_000).cast("long")
+         >= F.lit(int(thr_e6)).cast("long") * s)
 
 
 def quantized_cosine_e6(qa: Column, qb: Column) -> Column:
@@ -173,16 +185,24 @@ def quantized_cosine_e6(qa: Column, qb: Column) -> Column:
 
 
 def quantized_cosine_e6_sql(qa: str, qb: str) -> str:
-    """DuckDB twin of quantized_cosine_e6 (same integers, `//` trunc
-    division; DuckDB list_sum yields HUGEINT, hence the BIGINT casts)."""
+    """DuckDB twin of quantized_cosine_e6 (same integers; DuckDB
+    list_sum yields HUGEINT, hence the BIGINT casts).
+
+    Division-semantics-proof: `//` is applied only to a NON-NEGATIVE
+    numerator (abs) with the sign reapplied outside, so the result is
+    truncation toward zero on any DuckDB version regardless of whether
+    its integer `//` truncates or floors — the driver gate may run a
+    different DuckDB than the pinned local 1.0.0."""
     d = (f"(list_sum(list_transform(range(1, len({qa}) + 1), "
          f"i -> {qa}[i] * {qb}[i]))::BIGINT)")
     na = f"(list_sum(list_transform({qa}, x -> x * x))::BIGINT)"
     nb = f"(list_sum(list_transform({qb}, x -> x * x))::BIGINT)"
     s = isqrt_sql(f"{na} * {nb}")
     return (f"list_transform([{s}], __s -> "
+            f"list_transform([{d} * 1000000], __n -> "
             f"CASE WHEN __s = 0 THEN 0 "
-            f"ELSE ({d} * 1000000) // __s END)[1]")
+            f"WHEN __n >= 0 THEN __n // __s "
+            f"ELSE -((-__n) // __s) END)[1])[1]")
 
 
 def sign_bucket(a: Column, dims: int = 8) -> Column:

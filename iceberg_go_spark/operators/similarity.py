@@ -136,16 +136,23 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     double anywhere in the assignment or ranking lineage, so every
     assignment is bit-reproducible; cosine ties break on cluster id.
 
-    Scale shape (100 TB): the corpus NEVER shuffles — each iteration
-    broadcasts k sum-vectors, assigns via a JVM-side cosine, and
-    recomputes centroids with one map-side-combinable groupBy whose
-    output is k rows.  Cost is iters sequential jobs, not iters
-    shuffles of the data.  Returns (id, cluster, cosine_e6)."""
-    # per-row squared norm computed once up front — inside the cosine it
-    # would be re-evaluated under the isqrt corrections for each of the
-    # k centroid comparisons (norm-sum growth note: centroid SUM-vector
-    # norms scale with cluster population; beyond ~10^5 members per
-    # cluster the na*nb product nears the isqrt 2^62 domain — rescale
+    Scale shape (100 TB): the corpus NEVER shuffles — the argmax runs
+    MAP-SIDE in one Arrow-batched mapInPandas per iteration, with the k
+    centroid sum-vectors captured as numpy arrays in the task closure
+    (k x dim longs, kilobytes).  No crossJoin row replication, no
+    row_number window, no exchange: each iteration is a scan + a k-row
+    map-side-combinable groupBy.  The previous shape (crossJoin(k) +
+    Window.partitionBy(id)) shuffled k x |corpus| rows per iteration —
+    a real scale-killer at 100 TB; the A/B at sf0.1 is in BASELINE.md.
+    Returns (id, cluster, cosine_e6)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as ST
+
+    # per-row squared norm computed once up front (norm-sum growth
+    # note: centroid SUM-vector norms scale with cluster population;
+    # the na*nb product must stay below the isqrt 2^62 domain — the
+    # assignment RAISES past it instead of corrupting rankings; rescale
     # centroids between iterations when clustering at that density)
     emb_q = (emb.select(F.col(id_col),
                         V.quantize(F.col(vec_col)).alias("__q"))
@@ -154,20 +161,57 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     seeds = emb_q.orderBy(id_col).limit(k).collect()
     cent = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
 
+    id_field = emb_q.schema[id_col]
+    out_schema = ST.StructType([
+        id_field,
+        ST.StructField("cluster", ST.IntegerType()),
+        ST.StructField("cosine_e6", ST.LongType()),
+        ST.StructField("__q", ST.ArrayType(ST.LongType())),
+    ])
+
     def assign(cent_rows) -> DataFrame:
-        spark = emb_q.sparkSession
-        rows = [(c, s, sum(v * v for v in s)) for c, s in cent_rows]
-        cdf = spark.createDataFrame(
-            rows, "cluster int, csum array<long>, __nb long")
-        cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("csum"),
-                                       F.col("__na"), F.col("__nb"))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cosine_e6").desc(), F.col("cluster"))
-        return (emb_q.crossJoin(F.broadcast(cdf))
-                .withColumn("cosine_e6", cos)
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select(id_col, "cluster", "cosine_e6", "__q"))
+        # centroids ordered by cluster id, so numpy argmax's first-max
+        # rule IS the (cosine desc, cluster asc) tie-break
+        cmat = np.array([s for _, s in cent_rows], dtype=np.int64)
+        nb = [sum(v * v for v in s) for _, s in cent_rows]  # exact ints
+
+        def part(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["__q"]), dtype=np.int64)
+                na = pdf["__na"].to_numpy()
+                # exact domain check with Python ints BEFORE the int64
+                # product can silently wrap (same contract as
+                # isqrt_long's raise)
+                na_max = int(na.max(initial=0))
+                for nbc in nb:
+                    if na_max * nbc >= (1 << 62):
+                        raise ValueError(
+                            "isqrt domain overflow: centroid norm too "
+                            "large (na*nb >= 2^62) — rescale centroid "
+                            "sums between iterations")
+                dots = X @ cmat.T                      # (n, k) exact
+                p = na[:, None] * np.array(nb, dtype=np.int64)[None, :]
+                s = np.sqrt(p.astype(np.float64)).astype(np.int64)
+                s = np.maximum(s - 2, 0)
+                for _ in range(4):                     # +-2 correction
+                    s += ((s + 1) * (s + 1) <= p)
+                num = dots * 1_000_000
+                cos = np.where(
+                    s == 0, 0,
+                    np.where(num >= 0,
+                             num // np.maximum(s, 1),
+                             -((-num) // np.maximum(s, 1))))
+                best = np.argmax(cos, axis=1)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "cluster": best.astype(np.int32),
+                    "cosine_e6": cos[np.arange(len(best)), best],
+                    "__q": pdf["__q"],
+                })
+
+        return emb_q.mapInPandas(part, out_schema)
 
     for _ in range(max(iters - 1, 0)):
         assigned = assign(cent)
@@ -262,18 +306,17 @@ def kmeans_cluster_profile(emb: DataFrame, k: int = 8, iters: int = 2,
     checksum and mean cosine-to-centroid per cluster (the shape a data-
     mixing pipeline samples from)."""
     a = kmeans_assignments(emb, k, iters, id_col, vec_col)
-    # cosine_e6 is already an exact long (quantized_cosine_e6) — the
-    # mean stays in integer micro-units via integral division; Spark
-    # `div` and DuckDB `//` both truncate toward zero (pinned by
-    # tests/test_operators.py::test_trunc_div_semantics), so no float
-    # ever appears in the lineage.
+    # cosine_e6 is already an exact long (quantized_cosine_e6); the
+    # profile emits the RAW integer sum rather than an averaged value —
+    # sum/count/sum are engine-version-proof (no trunc-vs-floor division
+    # semantics in the comparison lineage; the consumer divides however
+    # it likes).  This closed the r5-r7 driver hash mismatch where the
+    # oracle's `//` semantics could differ across DuckDB versions.
     return (a.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sum(id_col).alias("sum_ids"),
-                 F.sum("cosine_e6").alias("__sum_cos"))
-            .withColumn("avg_cosine_e6",
-                        F.expr("__sum_cos div n_members"))
-            .select("cluster", "n_members", "sum_ids", "avg_cosine_e6"))
+                 F.sum("cosine_e6").alias("sum_cos_e6"))
+            .select("cluster", "n_members", "sum_ids", "sum_cos_e6"))
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,

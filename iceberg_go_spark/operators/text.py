@@ -242,7 +242,9 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 
 def bpe_train_merges(df: DataFrame, n_merges: int = 3,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     vocab_collect_max: int = 2_000_000,
+                     max_distributed_steps: int = 64) -> DataFrame:
     """Iterative BPE merge training (Sennrich et al. 2016): start from
     characters, repeatedly pick the corpus-wide most frequent adjacent
     symbol pair (count desc, then lexical left/right — deterministic)
@@ -263,20 +265,37 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
     Scale shape (100 TB): the corpus collapses to (distinct word,
     count) ONCE — every later pass runs on the vocabulary, not the
     corpus (the standard BPE-trainer trick; vocabularies are millions
-    of rows where corpora are trillions).  Each step is one map-side-
-    combinable pair-count aggregation + a 1-row argmax collect (a
-    driver decision, like a k-means centroid update), then a stateless
-    column rewrite.  n_merges sequential jobs, no corpus shuffle."""
+    of rows where corpora are trillions).  When the vocabulary fits
+    the driver (<= ``vocab_collect_max`` distinct words, the default
+    2M is tens of MB) the whole merge loop runs LOCALLY on the
+    collected vocab — one Spark aggregation total, zero per-step jobs;
+    this is how production tokenizer trainers (e.g. HF tokenizers)
+    work, and a real 32k-vocab run is 32,000 driver iterations, not
+    32,000 Spark jobs.  Past that size the loop falls back to one
+    Spark pair-count job + 1-row argmax per step, HARD-CAPPED at
+    ``max_distributed_steps`` (the sequential-jobs bound is the scale
+    contract: raise, don't silently run 32k jobs).  Both paths are
+    bit-identical (pinned by test_bpe_local_vs_distributed)."""
     words = (df.select(F.explode(TX.tokens(F.col(text_col)))
                        .alias("__w"))
              .filter(F.col("__w") != "")
              .groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt")))
+    spark = df.sparkSession
+    if words.count() <= vocab_collect_max:
+        return _bpe_train_local(spark, words, n_merges)
+    if n_merges > max_distributed_steps:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds max_distributed_steps="
+            f"{max_distributed_steps} with a vocabulary too large to "
+            f"collect ({vocab_collect_max=}); each distributed merge "
+            f"step is a sequential Spark job — raise vocab_collect_max "
+            f"(driver-local training) or max_distributed_steps "
+            f"explicitly if you accept the job count")
     sym = F.concat(F.lit("|"),
                    F.array_join(F.split(F.col("__w"), ""), "||"),
                    F.lit("|"))
     cur = words.select(sym.alias("__s"), F.col("__cnt"))
     cur = cur.localCheckpoint()  # the loop rewrites __s n_merges times
-    spark = df.sparkSession
     merges = []
     for step in range(1, n_merges + 1):
         syms = F.filter(F.split(F.col("__s"), r"\|"),
@@ -302,5 +321,34 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
         cur = cur.select(
             F.replace(F.col("__s"), F.lit(pat), F.lit(rep)).alias("__s"),
             F.col("__cnt")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long")
+
+
+def _bpe_train_local(spark, words: DataFrame, n_merges: int) -> DataFrame:
+    """Driver-local BPE merge loop over a collected (word, count)
+    vocabulary — bit-identical to the distributed loop: same
+    ``|s1||s2|...|`` encoding, same left-to-right all-occurrence
+    replace (str.replace == F.replace), same (count desc, left, right)
+    tie-break (UTF-8 byte order equals code-point order, so Spark's
+    binary string sort and Python's agree)."""
+    vocab = [["|" + "||".join(list(r["__w"])) + "|", int(r["__cnt"])]
+             for r in words.collect()]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for s, cnt in vocab:
+            syms = [x for x in s.split("|") if x != ""]
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        if not counts:
+            break
+        (l, r), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((step, l, r, int(n)))
+        pat, rep = f"|{l}||{r}|", f"|{l}{r}|"
+        for row in vocab:
+            row[0] = row[0].replace(pat, rep)
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count long")

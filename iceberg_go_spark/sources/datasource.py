@@ -47,8 +47,44 @@ import pyspark.sql.types as ST
 FORMAT_NAME = "iceberg_go_spark"
 
 
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
 def register(spark) -> None:
-    spark.dataSource.register(IcebergGoSparkDataSource)
+    """Register the DataSource against ANY session, ours or foreign.
+    Spark rejects a reader implementing `pushFilters` when
+    `spark.sql.python.filterPushdown.enabled` is false, so first try to
+    turn the conf on (it is a runtime SQL conf); if the session refuses
+    or it stays false, register the pushdown-less variant — the scan
+    still prunes files from explicit options, it just loses the
+    filter-hook file pruning."""
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+    except Exception:
+        pass  # conf locked down: fall through to the value check
+    try:
+        enabled = str(spark.conf.get(_PUSHDOWN_CONF, "false")).lower() \
+            == "true"
+    except Exception:
+        enabled = False
+    try:
+        spark.dataSource.register(
+            IcebergGoSparkDataSource if enabled
+            else IcebergGoSparkDataSourceNoPushdown)
+    except Exception as exc:  # cloned sessions inherit the parent's
+        # registration and Spark refuses a re-register there
+        # (DATA_SOURCE_ALREADY_EXISTS); the inherited class is safe as
+        # long as the conf is on (a hook-less reader works under either
+        # conf value) — only conf-off + inherited-pushdown is fatal
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+        if not enabled:
+            raise RuntimeError(
+                f"'{FORMAT_NAME}' was registered by a parent session "
+                f"with the pushFilters hook, but {_PUSHDOWN_CONF} is "
+                f"false and cannot be enabled here — reads would fail "
+                f"with DATA_SOURCE_PUSHDOWN_DISABLED; enable the conf "
+                f"or register from a fresh session") from exc
 
 
 def _load_table(options):
@@ -83,6 +119,8 @@ def _scan(options, row_filter=None):
 
 
 class IcebergGoSparkDataSource(DataSource):
+    _push_enabled = True
+
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
@@ -102,7 +140,8 @@ class IcebergGoSparkDataSource(DataSource):
                 "Python DataSource in this environment (pyarrow lacks "
                 "the VARIANT logical type) — use table.to_df(spark) or "
                 "the scan API instead")
-        return _Reader(self.options, schema)
+        return (_Reader if self._push_enabled
+                else _ReaderBase)(self.options, schema)
 
     def streamReader(self, schema: ST.StructType) -> "_StreamReader":
         return _StreamReader(self.options, schema)
@@ -116,7 +155,20 @@ class IcebergGoSparkDataSource(DataSource):
         return _Writer(self.options, schema)
 
 
-class _Reader(DataSourceReader):
+class IcebergGoSparkDataSourceNoPushdown(IcebergGoSparkDataSource):
+    """Same source under the same format name, but serves a reader that
+    does NOT implement `pushFilters` — for sessions where
+    `spark.sql.python.filterPushdown.enabled` is false (Spark refuses the
+    hook outright there: DATA_SOURCE_PUSHDOWN_DISABLED)."""
+    _push_enabled = False
+
+
+class _ReaderBase(DataSourceReader):
+    """File-pruning batch reader WITHOUT `pushFilters` — served when
+    `spark.sql.python.filterPushdown.enabled` is false (a session we did
+    not build), where Spark refuses any reader that implements the hook
+    (DATA_SOURCE_PUSHDOWN_DISABLED).  `_Reader` layers the hook on top."""
+
     def __init__(self, options, schema: ST.StructType):
         self.options = dict(options)
         self.spark_schema = schema
@@ -143,17 +195,6 @@ class _Reader(DataSourceReader):
         self._enc_props = (dict(_t.metadata.properties)
                            if table_encryption_enabled(
                                _t.metadata.properties) else None)
-
-    def pushFilters(self, filters):
-        """Use supported filters to prune FILES at planning time; return
-        every filter (by reference) so Spark still applies them to rows
-        — partial pushdown per the DataSource contract."""
-        for f in filters:
-            if isinstance(f, EqualTo) and len(f.attribute) == 1:
-                self.pushed.append((f.attribute[0], "eq", f.value))
-            elif isinstance(f, GreaterThan) and len(f.attribute) == 1:
-                self.pushed.append((f.attribute[0], "gt", f.value))
-            yield f
 
     def _row_filter(self):
         from .. import expressions as E
@@ -321,6 +362,22 @@ class _Reader(DataSourceReader):
         return np.unique(np.concatenate(out))
 
 
+class _Reader(_ReaderBase):
+    """`_ReaderBase` + the `pushFilters` planning hook.  Only served when
+    `spark.sql.python.filterPushdown.enabled` is true — Spark raises
+    DATA_SOURCE_PUSHDOWN_DISABLED for a reader implementing the hook
+    under a session with the conf off."""
+
+    def pushFilters(self, filters):
+        """Use supported filters to prune FILES at planning time; return
+        every filter (by reference) so Spark still applies them to rows
+        — partial pushdown per the DataSource contract."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "eq", f.value))
+            elif isinstance(f, GreaterThan) and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], "gt", f.value))
+            yield f
 
 
 class _StreamReader(DataSourceStreamReader):

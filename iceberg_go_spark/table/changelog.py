@@ -180,12 +180,22 @@ def changelog(table, spark: SparkSession,
 
         def parent_live_with_pos():
             data = _with_pos(spark, schema, target_paths)
+            # classify DV containers on file_format == 'PUFFIN' (the
+            # manifest discriminator, same rule as dml._tasks_have_dvs);
+            # the extension is only a fallback for externally-written
+            # entries missing the format field — an extensionless DV
+            # read as parquet would fail or mis-subtract
+            def _is_puffin(f):
+                fmt = (f.file_format or "").upper()
+                if fmt:
+                    return fmt == "PUFFIN"
+                return f.file_path.endswith(".puffin")
             prior_pos = [f for f in prev_dels.values()
                          if f.content == M.CONTENT_POS_DELETES
-                         and not f.file_path.endswith(".puffin")]
+                         and not _is_puffin(f)]
             prior_puffin = [f for f in prev_dels.values()
                             if f.content == M.CONTENT_POS_DELETES
-                            and f.file_path.endswith(".puffin")]
+                            and _is_puffin(f)]
             prior_eq = [f for f in prev_dels.values()
                         if f.content == M.CONTENT_EQ_DELETES]
             if prior_pos:

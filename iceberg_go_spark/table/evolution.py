@@ -90,6 +90,7 @@ class UpdateSchema:
         self._moves: Dict[int, List[_Move]] = {}
         self._added_name_to_id: Dict[str, int] = {}
         self._added_parent: Dict[int, int] = {}
+        self._added_fields: Dict[int, T.NestedField] = {}
         self._identifier_names: Set[str] = {
             self._schema.find_column_name(fid)
             for fid in self._schema.identifier_field_ids}
@@ -112,6 +113,26 @@ class UpdateSchema:
 
     def _parent_id(self, field_id: int) -> int:
         return self._schema._parents.get(field_id, TABLE_ROOT_ID)
+
+    def _add_root_owner(self, owner: int) -> int:
+        """Walk an add-owner id up through STAGED ancestors to the deepest
+        EXISTING schema id (or root), so delete_column can see adds staged
+        transitively under an existing subtree."""
+        seen = set()
+        while owner not in seen:
+            seen.add(owner)
+            if owner in self._added_parent:
+                owner = self._added_parent[owner]
+                continue
+            hit = None
+            for fid, f in self._added_fields.items():
+                if owner in _nested_ids(f.field_type):
+                    hit = fid
+                    break
+            if hit is None:
+                return owner
+            owner = self._added_parent.get(hit, hit)
+        return owner
 
     def _fresh_type(self, t: T.IcebergType) -> T.IcebergType:
         """Fresh IDs pre-order (field before its subtree)."""
@@ -139,11 +160,16 @@ class UpdateSchema:
 
     def _resolve_add_parent(self, parent_parts: List[str]) -> int:
         """Owning-struct id for an add: root, a struct field, or through a
-        list/map parent its element/value struct (update_schema.go:302)."""
+        list/map parent its element/value struct (update_schema.go:302).
+        Resolves through STAGED additions too, so a child can be added
+        under a struct added in the same UpdateSchema (the reference's
+        findField consults the pending-adds index before failing)."""
         if not parent_parts:
             return TABLE_ROOT_ID
         pfull = ".".join(parent_parts)
         pf = self._find(pfull)
+        if pf is None:
+            pf = self._find_staged_add(parent_parts)
         if pf is None:
             raise ValueError(f"parent field not found: {pfull}")
         owner_id, ptype = pf.field_id, pf.field_type
@@ -154,6 +180,44 @@ class UpdateSchema:
         if not isinstance(ptype, T.StructType):
             raise ValueError(f"cannot add field to non-struct type: {pfull}")
         return owner_id
+
+    def _find_staged_add(self, parts: List[str]) -> Optional[T.NestedField]:
+        """Resolve a dotted path whose PREFIX is a staged add: match the
+        longest registered added name, then walk the remaining parts down
+        the added field's (freshly-ID'd) type tree."""
+        for cut in range(len(parts), 0, -1):
+            prefix = ".".join(parts[:cut])
+            fid = self._added_name_to_id.get(prefix)
+            if fid is None and not self._case:
+                for nm, i in self._added_name_to_id.items():
+                    if nm.lower() == prefix.lower():
+                        fid = i
+                        break
+            if fid is None:
+                continue
+            field = self._added_fields.get(fid)
+            if field is None:
+                return None
+            for part in parts[cut:]:
+                t = field.field_type
+                if isinstance(t, T.ListType):
+                    t = t.element_type
+                elif isinstance(t, T.MapType):
+                    t = t.value_type
+                if not isinstance(t, T.StructType):
+                    return None
+                nxt = None
+                for sub in t.fields:
+                    if sub.name == part or (
+                            not self._case
+                            and sub.name.lower() == part.lower()):
+                        nxt = sub
+                        break
+                if nxt is None:
+                    return None
+                field = nxt
+            return field
+        return None
 
     # -- staging ops --------------------------------------------------------
     def add_column(self, path: PathLike, field_type: T.IcebergType,
@@ -224,16 +288,27 @@ class UpdateSchema:
         self._adds.setdefault(owner, []).append(field)
         self._added_name_to_id[full_name] = fid
         self._added_parent[fid] = owner
+        self._added_fields[fid] = field
         return self
 
     def delete_column(self, path: PathLike) -> "UpdateSchema":
-        f = self._require(path)
         full_name = _full(path)
+        # a field ADDED in this same update cannot be deleted, nor can an
+        # existing field with staged descendants (update_schema.go:302:
+        # additions cannot be deleted in the same schema update)
+        if full_name in self._added_name_to_id or (
+                not self._case and any(
+                    nm.lower() == full_name.lower()
+                    for nm in self._added_name_to_id)):
+            raise ValueError(
+                f"field that has additions cannot be deleted: {full_name}")
+        f = self._require(path)
         # block on staged adds/updates anywhere UNDER the subtree, not
         # just on the deleted field's own id — deleting an ancestor
         # silently discarded a staged add on a deeper descendant
         subtree = {f.field_id} | _nested_ids(f.field_type)
-        if any(owner in subtree for owner in self._adds):
+        if any(self._add_root_owner(owner) in subtree
+               for owner in self._adds):
             raise ValueError(
                 f"field that has additions cannot be deleted: {full_name}")
         if any(fid in subtree for fid in self._updates):
@@ -523,8 +598,39 @@ class UpdateSchema:
                 initial_default=f.initial_default,
                 write_default=(upd.write_default if upd is not None
                                else f.write_default)))
-        out.extend(self._adds.get(owner_id, []))
+        out.extend(self._expand_added(a) for a in
+                   self._adds.get(owner_id, []))
         return _move_fields(out, self._moves.get(owner_id, []))
+
+    def _expand_added(self, f: T.NestedField) -> T.NestedField:
+        """Materialize adds staged UNDER an added field (children added in
+        the same UpdateSchema under a struct that is itself an addition)."""
+        return T.NestedField(
+            f.field_id, f.name,
+            self._expand_added_type(f.field_type, f.field_id),
+            required=f.required, doc=f.doc,
+            initial_default=f.initial_default,
+            write_default=f.write_default)
+
+    def _expand_added_type(self, t: T.IcebergType,
+                           owner_id: int) -> T.IcebergType:
+        if isinstance(t, T.StructType):
+            kids = [self._expand_added(c) for c in t.fields]
+            kids.extend(self._expand_added(a) for a in
+                        self._adds.get(owner_id, []))
+            return T.StructType(*_move_fields(
+                kids, self._moves.get(owner_id, [])))
+        if isinstance(t, T.ListType):
+            return T.ListType(
+                t.element_id,
+                self._expand_added_type(t.element_type, t.element_id),
+                t.element_required)
+        if isinstance(t, T.MapType):
+            return T.MapType(
+                t.key_id, t.key_type, t.value_id,
+                self._expand_added_type(t.value_type, t.value_id),
+                t.value_required)
+        return t
 
     def _apply_list(self, lt: T.ListType) -> T.ListType:
         if lt.element_id in self._deletes:

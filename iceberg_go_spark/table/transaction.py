@@ -463,10 +463,17 @@ class Transaction:
             stats = spark.sparkContext.parallelize(
                 paths, min(len(paths), 64)) \
                 .map(lambda p: _harvest_one(p, name_to_field, 16)).collect()
-        except Exception:
+        except Exception as _harvest_err:
             # pyarrow cannot open footers carrying VARIANT/GEOMETRY
             # logical types — adopt such files through the JVM footer
-            # reader instead (driver-side, metadata-only I/O)
+            # reader instead (driver-side, metadata-only I/O).  Log the
+            # swallowed error: if the JVM path then also fails, or the
+            # fallback quietly degrades stats, this line is the signal
+            import logging
+            logging.getLogger(__name__).warning(
+                "pyarrow footer harvest failed (%s); retrying through "
+                "the JVM footer reader",
+                str(_harvest_err).splitlines()[0][:200])
             variant_fids = {f.name: f.field_id for f in schema.fields
                             if isinstance(f.field_type, _T.VariantType)}
             plain = {n: v for n, v in name_to_field.items()

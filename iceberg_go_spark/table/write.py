@@ -22,6 +22,7 @@ from datetime import date, datetime
 from decimal import Decimal
 from typing import Any, Dict, List, Optional, Tuple
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, functions as F
 
 from .. import types as T
@@ -260,7 +261,17 @@ def _jvm_stat_value(st, tstr: str, is_min: bool):
     import datetime as dt
     if tstr == "string":
         b = bytes(st.getMinBytes() if is_min else st.getMaxBytes())
-        return b.decode("utf-8", "replace")
+        # STRICT decode: a writer that truncated min/max mid-codepoint
+        # would turn the partial sequence into U+FFFD, which can move
+        # the bound the WRONG WAY (understate max / overstate min) and
+        # make the metrics evaluator silently prune live rows.  Raising
+        # skips bounds for the column — missing bounds are safe.
+        try:
+            return b.decode("utf-8", "strict")
+        except UnicodeDecodeError as e:
+            raise ValueError(
+                f"non-UTF-8 string bound (truncated mid-codepoint?): "
+                f"{b!r}") from e
     if tstr == "binary" or tstr.startswith("fixed"):
         return bytes(st.getMinBytes() if is_min else st.getMaxBytes())
     v = st.genericGetMin() if is_min else st.genericGetMax()
@@ -961,7 +972,17 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
             stats_list = _harvest_via_jvm_footers(
                 spark, paths, name_to_field, shred_map, truncate_len,
                 variant_fids)
-        except Exception:  # pragma: no cover - gateway/classpath envs
+        except (Py4JError, TypeError,
+                AttributeError) as e:  # pragma: no cover - classpath envs
+            # ONLY gateway/classpath absence falls back (JavaPackage not
+            # callable -> TypeError/AttributeError); a genuine harvest
+            # bug (bad offsets, stats conversion) must stay loud —
+            # silently degraded stats (no split_offsets, no shredded
+            # bounds) are how pruning regressions hide
+            import logging
+            logging.getLogger(__name__).warning(
+                "JVM footer harvest unavailable (%s: %s); falling back "
+                "to Spark-aggregation stats", type(e).__name__, e)
             stats_list = _harvest_via_spark(spark, paths, name_to_field,
                                             shred_map, truncate_len)
     else:

@@ -345,3 +345,57 @@ def test_datasource_as_of_time_travel(spark, tmp_path, sf_dir):
     iso = datetime.datetime.fromtimestamp(
         mid_ms / 1000, datetime.timezone.utc).isoformat()
     assert load(as_of=iso).count() == 10
+
+
+def test_register_under_foreign_session(spark, wh):
+    """A session with filterPushdown conf false — the driver gate's
+    vanilla flavor — must still read through the DataSource: register()
+    flips the runtime conf (or falls back to a pushdown-less reader).
+    Regression for DATA_SOURCE_PUSHDOWN_DISABLED under foreign sessions.
+    (A newSession() CLONE is not usable for this: Spark refuses the
+    re-register with DATA_SOURCE_ALREADY_EXISTS yet the clone's analyzer
+    cannot resolve the parent's registration either, so the conf-false
+    state is exercised on the engine session itself.)"""
+    root, cat, li = wh
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        from iceberg_go_spark.sources.datasource import register
+        register(spark)
+        assert spark.conf.get(conf_key) == "true"  # flipped back on
+        got = (spark.read.format("iceberg_go_spark")
+               .option("warehouse", root).option("table", "db.li")
+               .load())
+        exp = cat.load_table("db.li").to_df(spark)
+        assert got.count() == exp.count()
+    finally:
+        spark.conf.set(conf_key, prev)
+        from iceberg_go_spark.sources.datasource import register
+        register(spark)
+
+
+def test_pushdownless_reader_fallback(spark, wh):
+    """The class served when the conf CANNOT be enabled: reader must not
+    implement pushFilters yet read + row-filter correctly (Spark applies
+    all filters post-scan; only planning-time file pruning is lost)."""
+    root, cat, li = wh
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    from iceberg_go_spark.sources import datasource as DS
+    assert "pushFilters" not in vars(DS._ReaderBase)
+
+    # a cloned session inherits (and cannot replace) the parent's
+    # registration, so exercise the fallback class under its own name
+    class _NoPush(DS.IcebergGoSparkDataSourceNoPushdown):
+        @classmethod
+        def name(cls):
+            return "iceberg_go_spark_nopush"
+
+    ns.dataSource.register(_NoPush)
+    got = (ns.read.format("iceberg_go_spark_nopush")
+           .option("warehouse", root).option("table", "db.li")
+           .load().filter(F.col("l_linenumber") == 2))
+    exp = (cat.load_table("db.li").to_df(spark)
+           .filter(F.col("l_linenumber") == 2))
+    assert got.count() == exp.count()

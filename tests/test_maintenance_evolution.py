@@ -701,3 +701,51 @@ def test_delete_column_blocks_staged_descendant_add(spark, sf_dir,
     us = us.add_column("s.inner2", T.LongType())
     with pytest.raises(ValueError, match="additions cannot be deleted"):
         us.delete_column("s")
+
+
+def test_add_child_under_staged_struct_commits(spark, sf_dir, catalog):
+    """A child added under a struct STAGED in the same UpdateSchema
+    resolves through the pending-adds index and both materialize on
+    commit (reference resolves through staged adds, update_schema.go:302)."""
+    from iceberg_go_spark import types as T
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.stagedsub", Schema.from_spark(df.schema))
+    t = (t.update_schema()
+         .add_column("s", T.StructType(
+             T.NestedField(0, "inner", T.LongType())))
+         .add_column("s.inner2", T.StringType())
+         .commit())
+    t = catalog.load_table("db.stagedsub")
+    s = t.metadata.schema().find_field("s")
+    assert isinstance(s.field_type, T.StructType)
+    names = [f.name for f in s.field_type.fields]
+    assert names == ["inner", "inner2"]
+    # all field ids unique across the schema
+    ids = []
+
+    def walk(st):
+        for f in st.fields:
+            ids.append(f.field_id)
+            if isinstance(f.field_type, T.StructType):
+                walk(f.field_type)
+    walk(t.metadata.schema().as_struct())
+    assert len(ids) == len(set(ids))
+
+
+def test_add_grandchild_through_staged_struct(spark, sf_dir, catalog):
+    """Two levels: add s (struct containing struct t), then a leaf under
+    the STAGED nested struct s.t — path resolution walks the added
+    field's own (freshly-ID'd) type tree."""
+    from iceberg_go_spark import types as T
+    df = read_table(spark, "nation", sf_dir)
+    tab = catalog.create_table("db.stagedsub2",
+                               Schema.from_spark(df.schema))
+    inner = T.StructType(T.NestedField(0, "leaf", T.LongType()))
+    tab = (tab.update_schema()
+           .add_column("s", T.StructType(
+               T.NestedField(0, "t", inner)))
+           .add_column("s.t.leaf2", T.StringType())
+           .commit())
+    tab = catalog.load_table("db.stagedsub2")
+    tf = tab.metadata.schema().find_field("s.t")
+    assert [f.name for f in tf.field_type.fields] == ["leaf", "leaf2"]

@@ -1100,3 +1100,61 @@ def test_quantize_sql_widens_float_before_multiply(spark):
     got_o = con.execute(
         f"SELECT {V.quantize_sql('embedding')} FROM e").fetchone()[0][0]
     assert got_s == got_o == 319
+
+
+def test_isqrt_long_domain_guard(spark):
+    """isqrt_long raises loudly past its 2^62 domain instead of
+    silently returning a wrong root (centroid SUM-vector norms grow
+    with cluster population — overflow must not corrupt rankings)."""
+    import pytest
+    from iceberg_go_spark.functions.vector_funcs import isqrt_long
+    df = spark.createDataFrame([(1 << 62,)], "p long")
+    with pytest.raises(Exception, match="isqrt_long domain overflow"):
+        df.select(isqrt_long(F.col("p")).alias("s")).collect()
+    # one below the bound still works
+    ok = spark.createDataFrame([((1 << 62) - 2,)], "p long")
+    assert ok.select(isqrt_long(F.col("p")).alias("s")).first().s \
+        == 2147483647
+
+
+def test_cosine_ge_threshold_zero_norm(spark):
+    """A zero-quantized vector has cosine DEFINED as 0 — the division-
+    free threshold predicate must not flag it (0 >= thr*0 used to be
+    trivially true, making zero vectors near-duplicates of everything)."""
+    from iceberg_go_spark.functions import vector_funcs as V
+    rows = [
+        ([0, 0], [1000, 0]),      # zero left
+        ([1000, 0], [0, 0]),      # zero right
+        ([0, 0], [0, 0]),         # both zero
+        ([1000, 0], [1000, 0]),   # identical: cosine 1e6, must flag
+    ]
+    df = spark.createDataFrame(rows, "qa array<long>, qb array<long>")
+    df = (df.withColumn("na", V.norm_sq(F.col("qa")))
+          .withColumn("nb", V.norm_sq(F.col("qb"))))
+    hit = V.cosine_ge_threshold(F.col("qa"), F.col("qb"),
+                                F.col("na"), F.col("nb"), 950_000)
+    got = [bool(r.h) for r in df.select(hit.alias("h")).collect()]
+    assert got == [False, False, False, True]
+    # and the full micro-cosine agrees: 0 for any zero-norm pair
+    cos = V.quantized_cosine_e6(F.col("qa"), F.col("qb"))
+    vals = [r.c for r in df.select(cos.alias("c")).collect()]
+    assert vals == [0, 0, 0, 1_000_000]
+
+
+def test_bpe_local_vs_distributed(spark, sf_dir):
+    """The driver-local vocab fast path (production shape) and the
+    distributed per-step loop are bit-identical, and the distributed
+    loop enforces its sequential-jobs cap (the 100 TB scale contract:
+    a 32k-vocab run must not become 32k Spark jobs)."""
+    import pytest
+    from iceberg_go_spark.operators.text import bpe_train_merges
+    from tests.conftest import read_table
+    docs = read_table(spark, "documents", sf_dir).limit(120)
+    local = [(r.step, r.left, r.right, r.pair_count)
+             for r in bpe_train_merges(docs, n_merges=6).collect()]
+    dist = [(r.step, r.left, r.right, r.pair_count)
+            for r in bpe_train_merges(docs, n_merges=6,
+                                      vocab_collect_max=0).collect()]
+    assert local == dist and len(local) == 6
+    with pytest.raises(ValueError, match="max_distributed_steps"):
+        bpe_train_merges(docs, n_merges=1000, vocab_collect_max=0)
