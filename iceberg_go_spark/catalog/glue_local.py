@@ -1,0 +1,133 @@
+"""Local AWS-Glue wire endpoint for exercising GlueCatalog through a
+REAL boto3 client.
+
+Parity (behavior only): /root/reference/catalog/glue/glue.go — the Go
+reference talks to Glue through the official AWS SDK; the Python
+catalog duck-types boto3's client surface, and the "a real boto3 client
+drops in unchanged" claim was previously proven only against the
+in-process :class:`FakeGlueClient`.  This module closes the wire gap
+inside the offline container: it serves the AWS JSON 1.1 protocol
+(``X-Amz-Target: AWSGlue.<Operation>``) over HTTP on 127.0.0.1, backed
+by the same FakeGlueClient state machine, so a genuine
+``boto3.client("glue", endpoint_url=...)`` runs the full botocore
+request-serialization / response-parsing / error-mapping stack:
+
+- request kwargs must survive the Glue service model (an off-model
+  parameter dies client-side in ParamValidationError);
+- errors come back as botocore ``ClientError`` with the Glue error code
+  parsed from ``__type`` — exactly what ``glue._error_code`` matches;
+- ``VersionId`` CAS conflicts surface as ConcurrentModificationException
+  over the wire, not as a Python class raised in-process.
+
+Test-only by design (no auth, single catalog); production points the
+same GlueCatalog at ``boto3.client("glue")`` with real credentials.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .glue import FakeGlueClient
+
+# CamelCase operation -> FakeGlueClient method (the boto3 client method
+# names, which ARE the wire operation names lower-snaked by botocore)
+_OPS = {
+    "CreateDatabase": "create_database",
+    "GetDatabase": "get_database",
+    "GetDatabases": "get_databases",
+    "UpdateDatabase": "update_database",
+    "DeleteDatabase": "delete_database",
+    "CreateTable": "create_table",
+    "GetTable": "get_table",
+    "GetTables": "get_tables",
+    "UpdateTable": "update_table",
+    "DeleteTable": "delete_table",
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "LocalGlue/0"
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def do_POST(self):
+        target = self.headers.get("X-Amz-Target", "")
+        op = target.split(".")[-1]
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length) or b"{}")
+        method = _OPS.get(op)
+        if method is None:
+            self._error(400, "InvalidAction", f"unknown operation {op}")
+            return
+        # CatalogId is accepted on the wire but the local backend holds
+        # a single catalog
+        body.pop("CatalogId", None)
+        try:
+            out = getattr(self.server.backend, method)(**body)
+        except Exception as exc:  # -> Glue-coded wire error
+            from .glue import _error_code
+            self._error(400, _error_code(exc), str(exc))
+            return
+        payload = json.dumps(out or {}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _error(self, status: int, code: str, message: str):
+        payload = json.dumps({"__type": code, "Message": message}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("x-amzn-ErrorType", code)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+class LocalGlueWireServer:
+    """AWS JSON 1.1 endpoint over a FakeGlueClient backend."""
+
+    def __init__(self, backend: Optional[FakeGlueClient] = None):
+        self.backend = backend or FakeGlueClient()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def endpoint(self) -> str:
+        assert self._httpd is not None, "server not started"
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "LocalGlueWireServer":
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        self._httpd.backend = self.backend
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def boto3_client(self):
+        """A REAL boto3 glue client bound to this endpoint (dummy
+        credentials, retries off so CAS-conflict tests see the first
+        ConcurrentModificationException, not a retried apply)."""
+        import boto3
+        from botocore.config import Config
+        return boto3.client(
+            "glue",
+            endpoint_url=self.endpoint,
+            region_name="us-east-1",
+            aws_access_key_id="local",
+            aws_secret_access_key="local",
+            config=Config(retries={"max_attempts": 1},
+                          connect_timeout=5, read_timeout=30))

@@ -28,9 +28,32 @@ SCHEMA = Schema([
 ])
 
 
-@pytest.fixture()
-def cat(tmp_path):
-    c = GlueCatalog(str(tmp_path / "wh"), FakeGlueClient())
+def _has_boto3():
+    try:
+        import boto3  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.fixture(params=["fake", "boto3-wire"])
+def cat(request, tmp_path):
+    """Every Glue test runs twice: against the in-process fake AND —
+    when boto3 is importable — against a REAL boto3 client speaking
+    AWS JSON 1.1 to a local wire endpoint (glue_local.py), proving the
+    'a real boto3 client drops in unchanged' claim at the botocore
+    marshalling layer, not just the duck-type layer."""
+    if request.param == "fake":
+        client = FakeGlueClient()
+        request.addfinalizer(lambda: None)
+    else:
+        if not _has_boto3():
+            pytest.skip("boto3 not installed")
+        from iceberg_go_spark.catalog.glue_local import LocalGlueWireServer
+        server = LocalGlueWireServer().start()
+        request.addfinalizer(server.stop)
+        client = server.boto3_client()
+    c = GlueCatalog(str(tmp_path / "wh"), client)
     c.create_namespace("db", {"comment": "test db"})
     return c
 
