@@ -331,7 +331,72 @@ def spark_parquet_encryption_confs(properties: Dict[str, str]
     col_keys = properties.get(PARQUET_COLUMN_KEYS_KEY)
     if col_keys:
         confs["parquet.encryption.column.keys"] = col_keys
+    # the in-memory KMS's KEKs ride into the JVM client the same way
+    # they reach executor-side pyarrow readers: through configuration
+    # (jvm/MemoryAesGcmKmsClient reads this conf in initialize();
+    # plaintext KEKs in conf are TEST-ONLY by definition)
+    mem_keys = properties.get(MEMORY_KMS_KEYS_KEY)
+    if mem_keys and properties.get(KMS_TYPE_KEY, "memory") == "memory":
+        confs[JVM_MEMORY_KMS_KEYS_CONF] = mem_keys
     return confs
+
+
+JVM_KMS_CLIENT_CLASS = "iceberg_go_spark.jvm.MemoryAesGcmKmsClient"
+JVM_MEMORY_KMS_KEYS_CONF = "parquet.encryption.memory.kms.keys"
+
+
+def jvm_kms_classpath() -> Optional[str]:
+    """Compile (once) and return the classes dir for the bundled JVM
+    KmsClient (jvm/MemoryAesGcmKmsClient.java) — the concrete class
+    live Parquet Modular Encryption needs on the Spark classpath
+    (reference scaffolding: encryption/kms.go:92-226).  Returns None
+    when javac or the parquet jars are unavailable; callers env-gate.
+    The classes dir must be on ``spark.driver.extraClassPath`` /
+    ``spark.executor.extraClassPath`` AT JVM LAUNCH — an already-
+    running session cannot add it."""
+    import glob as _glob
+    import shutil
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "jvm", "MemoryAesGcmKmsClient.java")
+    classes = os.path.join(here, "jvm", "classes")
+    out = os.path.join(classes, "iceberg_go_spark", "jvm",
+                       "MemoryAesGcmKmsClient.class")
+    if os.path.exists(out) and \
+            os.path.getmtime(out) >= os.path.getmtime(src):
+        return classes
+    if shutil.which("javac") is None:
+        return None
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    jars = []
+    for pat in ("parquet-hadoop-*.jar", "parquet-common-*.jar",
+                "parquet-column-*.jar", "parquet-format-structures-*.jar",
+                "hadoop-client-api-*.jar"):
+        jars += _glob.glob(os.path.join(spark_home, "jars", pat))
+    if not jars:
+        return None
+    os.makedirs(classes, exist_ok=True)
+    r = subprocess.run(
+        ["javac", "-cp", os.pathsep.join(jars), "-d", classes, src],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        raise EncryptionError(f"javac failed for JVM KmsClient: "
+                              f"{r.stderr[:500]}")
+    return classes
+
+
+def unapply_parquet_encryption(spark) -> None:
+    """Clear the session-global PME hadoop confs set by
+    apply_parquet_encryption — with the crypto factory conf set, EVERY
+    subsequent parquet write in the session is encrypted under the
+    footer key, so per-table use on a shared session must unset after."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k in ("parquet.crypto.factory.class",
+              "parquet.encryption.kms.client.class",
+              "parquet.encryption.footer.key",
+              "parquet.encryption.column.keys",
+              JVM_MEMORY_KMS_KEYS_CONF):
+        hconf.unset(k)
 
 
 def apply_parquet_encryption(spark, properties: Dict[str, str]) -> bool:

@@ -1,0 +1,106 @@
+package iceberg_go_spark.jvm;
+
+import java.nio.charset.StandardCharsets;
+import java.security.SecureRandom;
+import java.util.Base64;
+import java.util.HashMap;
+import java.util.Map;
+
+import javax.crypto.Cipher;
+import javax.crypto.spec.GCMParameterSpec;
+import javax.crypto.spec.SecretKeySpec;
+
+import org.apache.hadoop.conf.Configuration;
+import org.apache.parquet.crypto.KeyAccessDeniedException;
+import org.apache.parquet.crypto.keytools.KmsClient;
+
+/**
+ * In-memory KEK KmsClient for Spark-native Parquet Modular Encryption,
+ * byte-compatible with the engine's Python InMemoryKMS (encryption.py):
+ * wrap = base64( nonce(12) || AES-GCM(kek).encrypt(key) ), KEKs seeded
+ * from the Hadoop conf key {@code parquet.encryption.memory.kms.keys}
+ * ("keyid:base64kek,...", mirroring the table property
+ * encryption.kms.memory.keys).  Test/demo scope: plaintext KEKs in conf
+ * are TEST-ONLY by definition; production implements this interface
+ * against a real KMS.  Behavior parity: reference encryption/kms.go
+ * (memoryKMS, kms.go:92-226).
+ */
+public class MemoryAesGcmKmsClient implements KmsClient {
+  public static final String KEYS_CONF = "parquet.encryption.memory.kms.keys";
+  private static final int NONCE_LEN = 12;
+  private static final int TAG_BITS = 128;
+
+  private final Map<String, byte[]> keks = new HashMap<>();
+  private final SecureRandom random = new SecureRandom();
+
+  @Override
+  public void initialize(Configuration conf, String kmsInstanceID,
+      String kmsInstanceURL, String accessToken)
+      throws KeyAccessDeniedException {
+    String list = conf.get(KEYS_CONF, "");
+    for (String pair : list.split(",")) {
+      if (pair.isEmpty()) {
+        continue;
+      }
+      int i = pair.indexOf(':');
+      if (i < 1) {
+        throw new IllegalArgumentException(
+            KEYS_CONF + " entries must be keyid:base64kek, got: " + pair);
+      }
+      keks.put(pair.substring(0, i),
+          Base64.getDecoder().decode(pair.substring(i + 1)));
+    }
+  }
+
+  private SecretKeySpec kek(String masterKeyIdentifier)
+      throws KeyAccessDeniedException {
+    byte[] k = keks.get(masterKeyIdentifier);
+    if (k == null) {
+      throw new KeyAccessDeniedException(
+          "unknown master key: " + masterKeyIdentifier);
+    }
+    return new SecretKeySpec(k, "AES");
+  }
+
+  @Override
+  public String wrapKey(byte[] keyBytes, String masterKeyIdentifier)
+      throws KeyAccessDeniedException {
+    try {
+      byte[] nonce = new byte[NONCE_LEN];
+      random.nextBytes(nonce);
+      Cipher c = Cipher.getInstance("AES/GCM/NoPadding");
+      c.init(Cipher.ENCRYPT_MODE, kek(masterKeyIdentifier),
+          new GCMParameterSpec(TAG_BITS, nonce));
+      byte[] ct = c.doFinal(keyBytes);
+      byte[] out = new byte[NONCE_LEN + ct.length];
+      System.arraycopy(nonce, 0, out, 0, NONCE_LEN);
+      System.arraycopy(ct, 0, out, NONCE_LEN, ct.length);
+      return Base64.getEncoder().encodeToString(out);
+    } catch (KeyAccessDeniedException e) {
+      throw e;
+    } catch (Exception e) {
+      throw new RuntimeException("wrapKey failed", e);
+    }
+  }
+
+  @Override
+  public byte[] unwrapKey(String wrappedKey, String masterKeyIdentifier)
+      throws KeyAccessDeniedException {
+    try {
+      byte[] raw = Base64.getDecoder()
+          .decode(wrappedKey.getBytes(StandardCharsets.US_ASCII));
+      if (raw.length < NONCE_LEN) {
+        throw new IllegalArgumentException(
+            "ciphertext shorter than the AES-GCM nonce");
+      }
+      Cipher c = Cipher.getInstance("AES/GCM/NoPadding");
+      c.init(Cipher.DECRYPT_MODE, kek(masterKeyIdentifier),
+          new GCMParameterSpec(TAG_BITS, raw, 0, NONCE_LEN));
+      return c.doFinal(raw, NONCE_LEN, raw.length - NONCE_LEN);
+    } catch (KeyAccessDeniedException e) {
+      throw e;
+    } catch (Exception e) {
+      throw new RuntimeException("unwrapKey failed", e);
+    }
+  }
+}
