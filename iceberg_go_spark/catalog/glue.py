@@ -104,6 +104,77 @@ def _glue_columns(metadata: TableMetadata) -> List[Dict[str, Any]]:
     return cols
 
 
+# AWS property keys, mirroring the reference registrar's config
+# resolution (glue.go:68-135 toAwsConfig + internal/awsconfig)
+CATALOG_ID_KEY = "glue.id"
+SKIP_ARCHIVE_KEY = "glue.skip-archive"
+ACCESS_KEY_ID_KEY = "glue.access-key-id"
+SECRET_ACCESS_KEY_KEY = "glue.secret-access-key"
+SESSION_TOKEN_KEY = "glue.session-token"
+REGION_KEY = "glue.region"
+ENDPOINT_KEY = "glue.endpoint"
+MAX_RETRIES_KEY = "glue.max-retries"
+RETRY_MODE_KEY = "glue.retry-mode"
+
+
+class IncompleteStaticCredentialsError(ValueError):
+    """Static AWS credentials configured incompletely
+    (internal/awsconfig/credentials.go ErrIncompleteStaticCredentials)."""
+
+
+def validate_static_credentials(key: str, secret: str, token: str) -> None:
+    """A session token requires the full key pair, and key/secret must
+    be configured together (credentials.go:29-38)."""
+    if not key and not secret and token:
+        raise IncompleteStaticCredentialsError(
+            f"{SESSION_TOKEN_KEY} requires {ACCESS_KEY_ID_KEY} and "
+            f"{SECRET_ACCESS_KEY_KEY}")
+    if bool(key) != bool(secret):
+        raise IncompleteStaticCredentialsError(
+            f"{ACCESS_KEY_ID_KEY} and {SECRET_ACCESS_KEY_KEY} must be "
+            f"configured together")
+
+
+def glue_client_from_properties(props: Dict[str, str]):
+    """A real boto3 glue client resolved from catalog properties —
+    the Python analogue of the reference's toAwsConfig chain
+    (glue.go:103-135): region, endpoint override, retry count/mode,
+    and static credentials (validated; falling back to boto3's default
+    provider chain — env, shared config, instance metadata — when no
+    static keys are set, exactly like config.LoadDefaultConfig)."""
+    import boto3
+    from botocore.config import Config
+
+    key = props.get(ACCESS_KEY_ID_KEY, "")
+    secret = props.get(SECRET_ACCESS_KEY_KEY, "")
+    token = props.get(SESSION_TOKEN_KEY, "")
+    validate_static_credentials(key, secret, token)
+
+    cfg_kw: Dict[str, Any] = {}
+    retries: Dict[str, Any] = {}
+    if MAX_RETRIES_KEY in props:
+        retries["max_attempts"] = int(props[MAX_RETRIES_KEY])
+    if RETRY_MODE_KEY in props:
+        mode = props[RETRY_MODE_KEY]
+        if mode not in ("legacy", "standard", "adaptive"):
+            raise ValueError(f"unknown {RETRY_MODE_KEY}: {mode!r}")
+        retries["mode"] = mode
+    if retries:
+        cfg_kw["retries"] = retries
+
+    client_kw: Dict[str, Any] = {"config": Config(**cfg_kw)}
+    if REGION_KEY in props:
+        client_kw["region_name"] = props[REGION_KEY]
+    if ENDPOINT_KEY in props:
+        client_kw["endpoint_url"] = props[ENDPOINT_KEY]
+    if key:
+        client_kw["aws_access_key_id"] = key
+        client_kw["aws_secret_access_key"] = secret
+        if token:
+            client_kw["aws_session_token"] = token
+    return boto3.client("glue", **client_kw)
+
+
 class GlueCatalog:
     """Iceberg catalog over AWS Glue Data Catalog.
 
@@ -122,6 +193,19 @@ class GlueCatalog:
         self.catalog_id = catalog_id
         self.name = name
         self.skip_archive = skip_archive
+
+    @classmethod
+    def from_properties(cls, warehouse: str, props: Dict[str, str],
+                        name: str = "glue") -> "GlueCatalog":
+        """Property-driven construction (the reference's catalog
+        registrar path, glue.go:92-101): a real boto3 client from the
+        glue.* AWS properties, catalog id from ``glue.id``, archive
+        skipping from ``glue.skip-archive`` (default true,
+        glue.go:73-74)."""
+        skip = str(props.get(SKIP_ARCHIVE_KEY, "true")).lower() != "false"
+        return cls(warehouse, glue_client_from_properties(props),
+                   catalog_id=props.get(CATALOG_ID_KEY), name=name,
+                   skip_archive=skip)
 
     # -- plumbing ------------------------------------------------------------
     def _cid(self, kw: Dict[str, Any]) -> Dict[str, Any]:

@@ -205,11 +205,28 @@ def resolve_catalog(cat_cfg: CatalogConfig, client=None):
                            credential=cat_cfg.credential or None,
                            **kwargs)
     if ctype == "glue":
-        if client is None:
-            raise ConfigError("glue catalog needs a client (boto3 glue)")
         from .catalog.glue import GlueCatalog
+        if client is None:
+            # registrar path (glue.go:92-101): resolve a REAL boto3
+            # client from the glue.* AWS properties — region, endpoint,
+            # retries, static creds (validated), else the default
+            # provider chain
+            try:
+                return GlueCatalog.from_properties(
+                    cat_cfg.warehouse or "", cat_cfg.extra)
+            except ImportError as e:
+                raise ConfigError(
+                    "glue catalog needs boto3 (not importable here) or "
+                    "an injected client") from e
+            except Exception as e:
+                # boto3 present but the AWS config chain is incomplete
+                # (no region, bad creds shape, ...) — a config problem
+                raise ConfigError(
+                    f"glue catalog AWS config resolution failed: "
+                    f"{type(e).__name__}: {e}") from e
         return GlueCatalog(cat_cfg.warehouse or "", client,
-                           catalog_id=cat_cfg.extra.get("catalog-id"))
+                           catalog_id=cat_cfg.extra.get(
+                               "catalog-id", cat_cfg.extra.get("glue.id")))
     if ctype == "hive":
         if client is None:
             raise ConfigError("hive catalog needs a metastore client")

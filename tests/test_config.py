@@ -227,3 +227,31 @@ def test_cli_uri_flag_routes_through_registry(tmp_path, capsys):
     rc = cli_main(["--uri", f"file://{wh}", "list", "db"])
     assert rc == 0
     assert "db.t" in capsys.readouterr().out
+
+
+def test_resolve_glue_from_aws_properties(tmp_path):
+    """The registrar path resolves a REAL boto3 client from glue.*
+    properties (region/endpoint/static creds — reference toAwsConfig,
+    glue.go:103-135) and the catalog works end-to-end against the local
+    wire endpoint; incomplete static creds are a ConfigError."""
+    import pytest as _pytest
+    _pytest.importorskip("boto3")
+    from iceberg_go_spark.catalog.glue_local import LocalGlueWireServer
+    import iceberg_go_spark.config as C
+
+    server = LocalGlueWireServer().start()
+    try:
+        cat = C.resolve_catalog(C.CatalogConfig(
+            catalog_type="glue", warehouse=str(tmp_path / "wh"),
+            extra={"glue.region": "us-east-1",
+                   "glue.endpoint": server.endpoint,
+                   "glue.access-key-id": "k",
+                   "glue.secret-access-key": "s"}))
+        cat.create_namespace("db")
+        assert cat.list_namespaces() == [("db",)]
+    finally:
+        server.stop()
+    with _pytest.raises(C.ConfigError, match="AWS config"):
+        C.resolve_catalog(C.CatalogConfig(
+            catalog_type="glue",
+            extra={"glue.session-token": "token-without-keys"}))

@@ -39,12 +39,28 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla-session"]
+    vanilla = "--vanilla-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from iceberg_go_spark.session import get_spark
-    spark = get_spark("correctness", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
+    if vanilla:
+        # the DRIVER-GATE session flavor: none of the engine's confs
+        # (no filterPushdown, no adaptive tweaks, no UTC timezone) —
+        # catches engine-session-only green (the r7 encrypted-scan bug)
+        from pyspark.sql import SparkSession
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 16))
+        spark = (SparkSession.builder.master(f"local[{cpus}]")
+                 .appName("correctness-vanilla")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+        print("== vanilla SparkSession (no engine confs) ==")
+    else:
+        from iceberg_go_spark.session import get_spark
+        spark = get_spark("correctness",
+                          cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
 
     con = duckdb.connect()
     for t in TABLES:
