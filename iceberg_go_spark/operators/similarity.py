@@ -122,6 +122,73 @@ def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
                     .alias("centroid")))
 
 
+def _map_side_cosine_argmax(df: DataFrame, id_col: str, vec_col: str,
+                            cent_vectors: List[List[int]],
+                            out_col: str = "cluster",
+                            cos_col: Optional[str] = "cosine_e6",
+                            keep_vec: bool = True) -> DataFrame:
+    """Assign each quantized vector to its argmax-cosine centroid,
+    MAP-SIDE: one Arrow-batched mapInPandas with the centroid matrix in
+    the task closure (len(cent) x dim longs, kilobytes) — no crossJoin
+    row replication, no row_number window, no exchange.  Ties break on
+    the LOWEST centroid index (numpy argmax first-max == the
+    (cosine desc, id asc) window order).  Integers are bit-identical to
+    quantized_cosine_e6: exact int64 dot/norms, exact isqrt (float seed
+    + integer correction), trunc division via sign-split floor.  The
+    isqrt 2^62 domain is pre-checked with PYTHON ints (numpy int64
+    would wrap silently), matching isqrt_long's raise."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as ST
+
+    cmat = np.array(cent_vectors, dtype=np.int64)
+    nb = [sum(v * v for v in c) for c in cent_vectors]  # exact ints
+
+    fields = [df.schema[id_col],
+              ST.StructField(out_col, ST.IntegerType())]
+    if cos_col:
+        fields.append(ST.StructField(cos_col, ST.LongType()))
+    if keep_vec:
+        fields.append(df.schema[vec_col])
+    out_schema = ST.StructType(fields)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.int64)
+            na = (X * X).sum(axis=1)
+            na_max = int(na.max(initial=0))
+            for nbc in nb:
+                if na_max * nbc >= (1 << 62):
+                    raise ValueError(
+                        "isqrt domain overflow: centroid norm too "
+                        "large (na*nb >= 2^62) — rescale centroid "
+                        "sums between iterations")
+            dots = X @ cmat.T                          # (n, k) exact
+            p = na[:, None] * np.array(nb, dtype=np.int64)[None, :]
+            s = np.sqrt(p.astype(np.float64)).astype(np.int64)
+            s = np.maximum(s - 2, 0)
+            for _ in range(4):                         # +-2 correction
+                s += ((s + 1) * (s + 1) <= p)
+            num = dots * 1_000_000
+            cos = np.where(
+                s == 0, 0,
+                np.where(num >= 0,
+                         num // np.maximum(s, 1),
+                         -((-num) // np.maximum(s, 1))))
+            best = np.argmax(cos, axis=1)
+            data = {id_col: pdf[id_col],
+                    out_col: best.astype(np.int32)}
+            if cos_col:
+                data[cos_col] = cos[np.arange(len(best)), best]
+            if keep_vec:
+                data[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(part, out_schema)
+
+
 def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
@@ -145,73 +212,22 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     Window.partitionBy(id)) shuffled k x |corpus| rows per iteration —
     a real scale-killer at 100 TB; the A/B at sf0.1 is in BASELINE.md.
     Returns (id, cluster, cosine_e6)."""
-    import numpy as np
-    import pandas as pd
-    import pyspark.sql.types as ST
-
-    # per-row squared norm computed once up front (norm-sum growth
-    # note: centroid SUM-vector norms scale with cluster population;
-    # the na*nb product must stay below the isqrt 2^62 domain — the
-    # assignment RAISES past it instead of corrupting rankings; rescale
-    # centroids between iterations when clustering at that density)
-    emb_q = (emb.select(F.col(id_col),
-                        V.quantize(F.col(vec_col)).alias("__q"))
-             .withColumn("__na", V.norm_sq(F.col("__q"))))
+    # (norm-sum growth note: centroid SUM-vector norms scale with
+    # cluster population; the na*nb product must stay below the isqrt
+    # 2^62 domain — the assignment RAISES past it instead of corrupting
+    # rankings; rescale centroids between iterations at that density)
+    emb_q = emb.select(F.col(id_col),
+                       V.quantize(F.col(vec_col)).alias("__q"))
     dim = emb.select(F.size(F.col(vec_col))).first()[0]
     seeds = emb_q.orderBy(id_col).limit(k).collect()
     cent = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
 
-    id_field = emb_q.schema[id_col]
-    out_schema = ST.StructType([
-        id_field,
-        ST.StructField("cluster", ST.IntegerType()),
-        ST.StructField("cosine_e6", ST.LongType()),
-        ST.StructField("__q", ST.ArrayType(ST.LongType())),
-    ])
-
     def assign(cent_rows) -> DataFrame:
-        # centroids ordered by cluster id, so numpy argmax's first-max
+        # centroid list ordered by cluster id -> numpy argmax first-max
         # rule IS the (cosine desc, cluster asc) tie-break
-        cmat = np.array([s for _, s in cent_rows], dtype=np.int64)
-        nb = [sum(v * v for v in s) for _, s in cent_rows]  # exact ints
-
-        def part(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.array(list(pdf["__q"]), dtype=np.int64)
-                na = pdf["__na"].to_numpy()
-                # exact domain check with Python ints BEFORE the int64
-                # product can silently wrap (same contract as
-                # isqrt_long's raise)
-                na_max = int(na.max(initial=0))
-                for nbc in nb:
-                    if na_max * nbc >= (1 << 62):
-                        raise ValueError(
-                            "isqrt domain overflow: centroid norm too "
-                            "large (na*nb >= 2^62) — rescale centroid "
-                            "sums between iterations")
-                dots = X @ cmat.T                      # (n, k) exact
-                p = na[:, None] * np.array(nb, dtype=np.int64)[None, :]
-                s = np.sqrt(p.astype(np.float64)).astype(np.int64)
-                s = np.maximum(s - 2, 0)
-                for _ in range(4):                     # +-2 correction
-                    s += ((s + 1) * (s + 1) <= p)
-                num = dots * 1_000_000
-                cos = np.where(
-                    s == 0, 0,
-                    np.where(num >= 0,
-                             num // np.maximum(s, 1),
-                             -((-num) // np.maximum(s, 1))))
-                best = np.argmax(cos, axis=1)
-                yield pd.DataFrame({
-                    id_col: pdf[id_col],
-                    "cluster": best.astype(np.int32),
-                    "cosine_e6": cos[np.arange(len(best)), best],
-                    "__q": pdf["__q"],
-                })
-
-        return emb_q.mapInPandas(part, out_schema)
+        return _map_side_cosine_argmax(
+            emb_q, id_col, "__q", [s for _, s in cent_rows],
+            out_col="cluster", cos_col="cosine_e6", keep_vec=True)
 
     for _ in range(max(iters - 1, 0)):
         assigned = assign(cent)
@@ -376,7 +392,6 @@ def _pq_codebook(sv: DataFrame, n_centroids: int, iters: int,
     supply pre-collected seed subvectors (pq_topk collects the lowest-k
     FULL vectors once and slices per subspace — one corpus sort instead
     of m)."""
-    spark = sv.sparkSession
     if seed_rows is None:
         seed_rows = [list(r["__sv"])
                      for r in sv.orderBy(id_col).limit(n_centroids)
@@ -384,22 +399,12 @@ def _pq_codebook(sv: DataFrame, n_centroids: int, iters: int,
     cent = [(j, [int(v) for v in vec]) for j, vec in enumerate(seed_rows)]
     cent = [(c, v, 1) for c, v in cent]
 
-    def cdf(rows):
-        return spark.createDataFrame(
-            [(c, s, n, sum(v * v for v in s)) for c, s, n in rows],
-            "code int, csum array<long>, n long, __nb long")
-
     def assign(rows) -> DataFrame:
-        cos = V.quantized_cosine_e6_nn(F.col("__sv"), F.col("csum"),
-                                       F.col("__nsv"), F.col("__nb"))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__cos").desc(), F.col("code"))
-        return (sv.withColumn("__nsv", V.norm_sq(F.col("__sv")))
-                .crossJoin(F.broadcast(cdf(rows)))
-                .withColumn("__cos", cos)
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select(id_col, "code", "__sv"))
+        # map-side argmax (see _map_side_cosine_argmax): codebook rows
+        # ordered by code id, ties break on the lowest code
+        return _map_side_cosine_argmax(
+            sv, id_col, "__sv", [s for _, s, _ in rows],
+            out_col="code", cos_col=None, keep_vec=True)
 
     dim = len(cent[0][1])
     for _ in range(max(iters - 1, 0)):
@@ -465,17 +470,12 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                                        for v in seed_full])
         spark = emb.sparkSession
         cdf = spark.createDataFrame(
-            [(c, s, n, sum(v * v for v in s)) for c, s, n in cent],
-            "code int, csum array<long>, n long, __nb long")
-        cos = V.quantized_cosine_e6_nn(F.col("__sv"), F.col("csum"),
-                                       F.col("__nsv"), F.col("__nb"))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__cos").desc(), F.col("code"))
-        codes = (sv.withColumn("__nsv", V.norm_sq(F.col("__sv")))
-                 .crossJoin(F.broadcast(cdf))
-                 .withColumn("__cos", cos)
-                 .withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") == 1)
+            [(c, s, n) for c, s, n in cent],
+            "code int, csum array<long>, n long")
+        # corpus encoding: map-side argmax, no crossJoin/window shuffle
+        codes = (_map_side_cosine_argmax(
+                     sv, id_col, "__sv", [s for _, s, _ in cent],
+                     out_col="code", cos_col=None, keep_vec=False)
                  .select(F.col(id_col), F.lit(mi).alias("__m"),
                          F.col("code")))
         code_frames.append(codes)
