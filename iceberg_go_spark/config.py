@@ -212,8 +212,15 @@ def resolve_catalog(cat_cfg: CatalogConfig, client=None):
             # retries, static creds (validated), else the default
             # provider chain
             try:
-                return GlueCatalog.from_properties(
+                cat = GlueCatalog.from_properties(
                     cat_cfg.warehouse or "", cat_cfg.extra)
+                if cat.catalog_id is None:
+                    # both spellings reach here: the reference's
+                    # "glue.id" (handled by from_properties) and this
+                    # config format's "catalog-id" (the injected-client
+                    # branch below honors it too)
+                    cat.catalog_id = cat_cfg.extra.get("catalog-id")
+                return cat
             except ImportError as e:
                 raise ConfigError(
                     "glue catalog needs boto3 (not importable here) or "

@@ -103,6 +103,24 @@ def isqrt_sql(p: str) -> str:
         f"__j -> (__y+__j)*(__y+__j) <= __p)))[1])[1]")
 
 
+def isqrt_prod(na: Column, nb: Column) -> Column:
+    """isqrt(na * nb) for non-negative longs with a PRE-MULTIPLY
+    overflow guard: the long product wraps silently at 2^63 and a
+    wrapped (negative) p slips past isqrt_long's own p >= 2^62 check
+    (sqrt(neg)->NaN->0 -> every cosine silently 0).  The double
+    estimate here fires from 2^62 with ~2^10 ULP error — far below the
+    2^62-wide band to the wrap point — and isqrt_long's exact integer
+    check still covers [2^62, 2^63) precisely, so no overflowing
+    product can produce a silent wrong root."""
+    bad = (na.cast("double") * nb.cast("double")
+           >= F.lit(float(1 << 62)))
+    return F.when(
+        bad, F.raise_error(F.lit(
+            "isqrt domain overflow: na*nb >= 2^62 — rescale centroid "
+            "sums (see kmeans_assignments docstring)")).cast("long")
+    ).otherwise(isqrt_long(na * nb))
+
+
 def trunc_div(num: Column, den: Column) -> Column:
     """Exact integral trunc(num/den) for den > 0 as a long Column.
 
@@ -134,7 +152,7 @@ def quantized_cosine_e6_nn(qa: Column, qb: Column,
     """quantized_cosine_e6 with the squared norms supplied as (cheap,
     usually precomputed-per-row) columns — identical integers, far
     fewer aggregate evaluations on pair joins."""
-    s = isqrt_long(na * nb)
+    s = isqrt_prod(na, nb)
     num = dot_long(qa, qb) * F.lit(1_000_000).cast("long")
     q = ((num - num % s) / s).cast("long")
     return F.when(s == 0, F.lit(0).cast("long")).otherwise(q)
@@ -152,7 +170,7 @@ def cosine_ge_threshold(qa: Column, qb: Column, na: Column, nb: Column,
     is only worth computing on surviving pairs."""
     if thr_e6 < 1:
         raise ValueError("cosine_ge_threshold requires thr_e6 >= 1")
-    s = isqrt_long(na * nb)
+    s = isqrt_prod(na, nb)
     return (s > F.lit(0).cast("long")) & \
         (dot_long(qa, qb) * F.lit(1_000_000).cast("long")
          >= F.lit(int(thr_e6)).cast("long") * s)
@@ -178,7 +196,7 @@ def quantized_cosine_e6(qa: Column, qb: Column) -> Column:
                     F.lit(0).cast("long"), lambda acc, v: acc + v)
     na = F.aggregate(qa, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
     nb = F.aggregate(qb, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
-    s = isqrt_long(na * nb)
+    s = isqrt_prod(na, nb)
     num = d * F.lit(1_000_000).cast("long")
     q = ((num - num % s) / s).cast("long")
     return F.when(s == 0, F.lit(0).cast("long")).otherwise(q)

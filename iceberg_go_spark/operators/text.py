@@ -281,8 +281,12 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
              .filter(F.col("__w") != "")
              .groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt")))
     spark = df.sparkSession
-    if words.count() <= vocab_collect_max:
-        return _bpe_train_local(spark, words, n_merges)
+    # ONE job both sizes the vocabulary and, when it fits, delivers it:
+    # take(max+1) pulls at most max+1 aggregated rows (a count() would
+    # run the same full corpus aggregation and then throw it away)
+    head = words.take(vocab_collect_max + 1)
+    if len(head) <= vocab_collect_max:
+        return _bpe_train_local(spark, head, n_merges)
     if n_merges > max_distributed_steps:
         raise ValueError(
             f"n_merges={n_merges} exceeds max_distributed_steps="
@@ -325,15 +329,15 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
         merges, "step int, left string, right string, pair_count long")
 
 
-def _bpe_train_local(spark, words: DataFrame, n_merges: int) -> DataFrame:
-    """Driver-local BPE merge loop over a collected (word, count)
-    vocabulary — bit-identical to the distributed loop: same
-    ``|s1||s2|...|`` encoding, same left-to-right all-occurrence
-    replace (str.replace == F.replace), same (count desc, left, right)
-    tie-break (UTF-8 byte order equals code-point order, so Spark's
-    binary string sort and Python's agree)."""
+def _bpe_train_local(spark, word_rows, n_merges: int) -> DataFrame:
+    """Driver-local BPE merge loop over collected (word, count) rows —
+    bit-identical to the distributed loop: same ``|s1||s2|...|``
+    encoding, same left-to-right all-occurrence replace (str.replace ==
+    F.replace), same (count desc, left, right) tie-break (UTF-8 byte
+    order equals code-point order, so Spark's binary string sort and
+    Python's agree)."""
     vocab = [["|" + "||".join(list(r["__w"])) + "|", int(r["__cnt"])]
-             for r in words.collect()]
+             for r in word_rows]
     merges = []
     for step in range(1, n_merges + 1):
         counts: dict = {}

@@ -33,6 +33,18 @@ CHANGE_ORDINAL = "_change_ordinal"
 COMMIT_SNAPSHOT_ID = "_commit_snapshot_id"
 
 
+def _is_puffin(f) -> bool:
+    """DV containers classify on file_format == 'PUFFIN' (the manifest
+    discriminator, same rule as dml._tasks_have_dvs); the extension is
+    only a fallback for externally-written entries missing the format
+    field — an extensionless DV read as parquet would fail or
+    mis-subtract."""
+    fmt = (f.file_format or "").upper()
+    if fmt:
+        return fmt == "PUFFIN"
+    return f.file_path.endswith(".puffin")
+
+
 def _live_files(snap):
     """{path: DataFile} live in this snapshot, split (data, deletes).
     Set-diffing consecutive snapshots' live sets detects adds/removes
@@ -180,16 +192,6 @@ def changelog(table, spark: SparkSession,
 
         def parent_live_with_pos():
             data = _with_pos(spark, schema, target_paths)
-            # classify DV containers on file_format == 'PUFFIN' (the
-            # manifest discriminator, same rule as dml._tasks_have_dvs);
-            # the extension is only a fallback for externally-written
-            # entries missing the format field — an extensionless DV
-            # read as parquet would fail or mis-subtract
-            def _is_puffin(f):
-                fmt = (f.file_format or "").upper()
-                if fmt:
-                    return fmt == "PUFFIN"
-                return f.file_path.endswith(".puffin")
             prior_pos = [f for f in prev_dels.values()
                          if f.content == M.CONTENT_POS_DELETES
                          and not _is_puffin(f)]
@@ -229,8 +231,7 @@ def changelog(table, spark: SparkSession,
                      if f.content == M.CONTENT_POS_DELETES]
         eq_files = [f for f in added_deletes
                     if f.content == M.CONTENT_EQ_DELETES]
-        dv_files = [f for f in pos_files
-                    if f.file_path.endswith(".puffin")]
+        dv_files = [f for f in pos_files if _is_puffin(f)]
         pos_files = [f for f in pos_files if f not in dv_files]
 
         if pos_files:

@@ -268,6 +268,11 @@ class UpdateSchema:
             renamed_away = upd is not None and upd.name != name
             if not renamed_away:
                 raise ValueError(f"column already exists: {full_name}")
+        # the name may also live INSIDE a staged addition's type tree
+        # (a child declared inline in the added struct's StructType) —
+        # a second add would commit two same-named fields in one struct
+        if existing is None and self._find_staged_add(parts) is not None:
+            raise ValueError(f"column already exists: {full_name}")
         # mirror of the rename-vs-add guard in update_column: a staged
         # rename of a SIBLING field INTO this name would otherwise commit
         # two same-named fields in one struct (unique names per level is

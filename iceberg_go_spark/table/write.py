@@ -340,6 +340,12 @@ def _harvest_via_jvm_footers(spark, paths: List[str],
             types: Dict[int, Any] = {}
             vmins: Dict[Tuple[int, str], Any] = {}
             vmaxs: Dict[Tuple[int, str], Any] = {}
+            # a column whose stats fail conversion in ANY row group must
+            # lose bounds for the WHOLE file — bounds folded from the
+            # remaining row groups would not cover all rows (an
+            # understated max silently prunes live rows)
+            bad_fids: set = set()
+            bad_vkeys: set = set()
             for bi in range(blocks.size()):
                 b = blocks.get(bi)
                 out["record_count"] += b.getRowCount()
@@ -352,16 +358,26 @@ def _harvest_via_jvm_footers(spark, paths: List[str],
                     st = c.getStatistics()
                     st_ok = (st is not None and not st.isEmpty()
                              and st.hasNonNullValue())
+                    # stats genuinely ABSENT for a row group that holds
+                    # values: bounds folded from the other groups would
+                    # not cover these rows — poison the column's bounds
+                    # (all-null groups keep non-empty stats and are
+                    # correctly skipped by st_ok instead)
+                    stats_absent = ((st is None or st.isEmpty())
+                                    and int(c.getValueCount()) > 0)
                     sm = shred_map.get(dotted)
                     if sm is not None:
                         vfid, norm, tstr = sm
+                        if stats_absent:
+                            bad_vkeys.add((vfid, norm))
                         if st_ok:
+                            k = (vfid, norm)
                             try:
                                 mn = _jvm_stat_value(st, tstr, True)
                                 mx = _jvm_stat_value(st, tstr, False)
                             except (ValueError, TypeError):
+                                bad_vkeys.add(k)
                                 continue
-                            k = (vfid, norm)
                             if k not in vmins or _lt(mn, vmins[k]):
                                 vmins[k] = mn
                             if k not in vmaxs or _lt(vmaxs[k], mx):
@@ -387,6 +403,8 @@ def _harvest_via_jvm_footers(spark, paths: List[str],
                         continue
                     if fid not in types:
                         types[fid] = _tfs(tstr)
+                    if stats_absent:
+                        bad_fids.add(fid)
                     out["value_counts"][fid] = \
                         out["value_counts"].get(fid, 0) + \
                         int(c.getValueCount())
@@ -399,11 +417,18 @@ def _harvest_via_jvm_footers(spark, paths: List[str],
                             mn = _jvm_stat_value(st, tstr, True)
                             mx = _jvm_stat_value(st, tstr, False)
                         except (ValueError, TypeError):
+                            bad_fids.add(fid)
                             continue
                         if fid not in mins or _lt(mn, mins[fid]):
                             mins[fid] = mn
                         if fid not in maxs or _lt(maxs[fid], mx):
                             maxs[fid] = mx
+            for fid in bad_fids:
+                mins.pop(fid, None)
+                maxs.pop(fid, None)
+            for k in bad_vkeys:
+                vmins.pop(k, None)
+                vmaxs.pop(k, None)
             for fid, mn in mins.items():
                 try:
                     out["lower"][fid] = _to_bytes(
@@ -975,10 +1000,14 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
         except (Py4JError, TypeError,
                 AttributeError) as e:  # pragma: no cover - classpath envs
             # ONLY gateway/classpath absence falls back (JavaPackage not
-            # callable -> TypeError/AttributeError); a genuine harvest
-            # bug (bad offsets, stats conversion) must stay loud —
-            # silently degraded stats (no split_offsets, no shredded
-            # bounds) are how pruning regressions hide
+            # callable -> TypeError/AttributeError, protocol-level
+            # Py4JError); a genuine JVM-side harvest failure surfaces
+            # as Py4JJavaError (a Py4JError SUBCLASS) and must stay
+            # loud — silently degraded stats (no split_offsets, no
+            # shredded bounds) are how pruning regressions hide
+            from py4j.protocol import Py4JJavaError
+            if isinstance(e, Py4JJavaError):
+                raise
             import logging
             logging.getLogger(__name__).warning(
                 "JVM footer harvest unavailable (%s: %s); falling back "

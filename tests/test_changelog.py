@@ -120,3 +120,16 @@ def test_changelog_excludes_other_branches(spark, sf_dir, tmp_path):
     ch = t.changelog(spark, from_snapshot_id=base)
     ids = sorted(r.id for r in ch.collect())
     assert ids == [2], ids  # dev's 100 must not leak into main's CDC
+
+
+def test_is_puffin_prefers_file_format():
+    """DV classification keys on file_format=='PUFFIN'; the extension
+    is only a fallback for entries missing the format field."""
+    from types import SimpleNamespace as NS
+    from iceberg_go_spark.table.changelog import _is_puffin
+    assert _is_puffin(NS(file_format="PUFFIN", file_path="dv.bin"))
+    assert not _is_puffin(NS(file_format="PARQUET",
+                             file_path="odd.puffin"))
+    assert _is_puffin(NS(file_format="", file_path="a.puffin"))
+    assert _is_puffin(NS(file_format=None, file_path="a.puffin"))
+    assert not _is_puffin(NS(file_format=None, file_path="a.parquet"))

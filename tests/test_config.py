@@ -255,3 +255,29 @@ def test_resolve_glue_from_aws_properties(tmp_path):
         C.resolve_catalog(C.CatalogConfig(
             catalog_type="glue",
             extra={"glue.session-token": "token-without-keys"}))
+
+
+def test_resolve_glue_catalog_id_both_spellings(tmp_path):
+    """The no-client registrar path honors BOTH 'glue.id' (reference
+    spelling) and 'catalog-id' (this config format's spelling, which
+    the injected-client branch accepts) — round-8 review finding."""
+    import pytest as _pytest
+    _pytest.importorskip("boto3")
+    from iceberg_go_spark.catalog.glue_local import LocalGlueWireServer
+    import iceberg_go_spark.config as C
+    server = LocalGlueWireServer().start()
+    try:
+        base = {"glue.region": "us-east-1",
+                "glue.endpoint": server.endpoint,
+                "glue.access-key-id": "k",
+                "glue.secret-access-key": "s"}
+        c1 = C.resolve_catalog(C.CatalogConfig(
+            catalog_type="glue", warehouse=str(tmp_path / "a"),
+            extra={**base, "glue.id": "123456789012"}))
+        assert c1.catalog_id == "123456789012"
+        c2 = C.resolve_catalog(C.CatalogConfig(
+            catalog_type="glue", warehouse=str(tmp_path / "b"),
+            extra={**base, "catalog-id": "210987654321"}))
+        assert c2.catalog_id == "210987654321"
+    finally:
+        server.stop()

@@ -197,3 +197,27 @@ def test_cow_delete_preserves_row_ids(spark, sf_dir, tmp_path):
     assert set(after) == set(range(3, 10))
     for i in range(3, 10):
         assert after[i] == before[i], (i, before[i], after[i])
+
+
+def test_jvm_stat_value_rejects_invalid_utf8_bounds():
+    """A string bound truncated mid-UTF-8-codepoint must raise (bounds
+    skipped) rather than decode with U+FFFD — replacement chars can
+    move a bound the WRONG way and silently prune live rows."""
+    import pytest
+    from iceberg_go_spark.table.write import _jvm_stat_value
+
+    class _St:
+        def __init__(self, b):
+            self._b = b
+
+        def getMinBytes(self):
+            return self._b
+
+        def getMaxBytes(self):
+            return self._b
+
+    ok = _jvm_stat_value(_St("héllo".encode("utf-8")), "string", True)
+    assert ok == "héllo"
+    truncated = "héllo".encode("utf-8")[:2]  # cuts é in half
+    with pytest.raises(ValueError, match="non-UTF-8"):
+        _jvm_stat_value(_St(truncated), "string", False)

@@ -749,3 +749,24 @@ def test_add_grandchild_through_staged_struct(spark, sf_dir, catalog):
     tab = catalog.load_table("db.stagedsub2")
     tf = tab.metadata.schema().find_field("s.t")
     assert [f.name for f in tf.field_type.fields] == ["leaf", "leaf2"]
+
+
+def test_add_duplicate_child_inside_staged_struct_rejected(spark, sf_dir,
+                                                           catalog):
+    """A name already present INSIDE a staged struct's own type tree
+    cannot be added again — it would commit two same-named fields in
+    one struct (found by round-8 review of the staged-parent
+    resolution)."""
+    import pytest
+    from iceberg_go_spark import types as T
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.stageddup", Schema.from_spark(df.schema))
+    us = t.update_schema().add_column(
+        "s", T.StructType(T.NestedField(0, "inner", T.LongType())))
+    with pytest.raises(ValueError, match="column already exists"):
+        us.add_column("s.inner", T.StringType())
+    # a sibling name still adds fine
+    us.add_column("s.other", T.StringType()).commit()
+    t = catalog.load_table("db.stageddup")
+    s = t.metadata.schema().find_field("s")
+    assert [f.name for f in s.field_type.fields] == ["inner", "other"]

@@ -1158,3 +1158,28 @@ def test_bpe_local_vs_distributed(spark, sf_dir):
     assert local == dist and len(local) == 6
     with pytest.raises(ValueError, match="max_distributed_steps"):
         bpe_train_merges(docs, n_merges=1000, vocab_collect_max=0)
+
+
+def test_isqrt_prod_overflow_raises(spark):
+    """The long product na*nb wraps silently at 2^63 and a wrapped
+    (negative) p slips past isqrt_long's own check — isqrt_prod must
+    raise BEFORE the multiply (round-8 review: silent cosine-0 on
+    dim-4k vectors at scale)."""
+    import pytest
+    from iceberg_go_spark.functions import vector_funcs as V
+    df = spark.createDataFrame(
+        [([1000, 0], [1000, 0], 1 << 32, 1 << 32)],
+        "qa array<long>, qb array<long>, na long, nb long")
+    cos = V.quantized_cosine_e6_nn(F.col("qa"), F.col("qb"),
+                                   F.col("na"), F.col("nb"))
+    with pytest.raises(Exception, match="isqrt domain overflow"):
+        df.select(cos.alias("c")).collect()
+    hit = V.cosine_ge_threshold(F.col("qa"), F.col("qb"),
+                                F.col("na"), F.col("nb"), 950_000)
+    with pytest.raises(Exception, match="isqrt domain overflow"):
+        df.select(hit.alias("h")).collect()
+    # in-domain values still work through the same path
+    ok = spark.createDataFrame(
+        [([1000, 0], [1000, 0], 1_000_000, 1_000_000)],
+        "qa array<long>, qb array<long>, na long, nb long")
+    assert ok.select(cos.alias("c")).first().c == 1_000_000
