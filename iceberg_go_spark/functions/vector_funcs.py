@@ -66,6 +66,18 @@ def quantized_cosine_sql(qa: str, qb: str) -> str:
     return f"({d} / ({na} * {nb}))"
 
 
+def _isqrt_core(p: Column) -> Column:
+    """The exact isqrt ladder WITHOUT a domain guard — callers must
+    have established 0 <= p < 2^62 already (isqrt_long / isqrt_prod)."""
+    y0 = F.floor(F.sqrt(p.cast("double"))).cast("long")
+    y = F.greatest(y0 - F.lit(2).cast("long"), F.lit(0).cast("long"))
+    adj = None
+    for j in (1, 2, 3, 4):
+        step = F.when((y + j) * (y + j) <= p, 1).otherwise(0)
+        adj = step if adj is None else adj + step
+    return (y + adj).cast("long")
+
+
 def isqrt_long(p: Column) -> Column:
     """floor(sqrt(p)) as an exact long column, 0 <= p < 2^62.
 
@@ -73,23 +85,18 @@ def isqrt_long(p: Column) -> Column:
     conversion loses bits past 2^52), step down to a guaranteed lower
     bound, then count how many of the next 4 increments still square to
     <= p.  Every comparison is integer, so the result is identical on
-    any engine with IEEE sqrt; see isqrt_sql for the DuckDB twin."""
-    y0 = F.floor(F.sqrt(p.cast("double"))).cast("long")
-    y = F.greatest(y0 - F.lit(2).cast("long"), F.lit(0).cast("long"))
-    adj = None
-    for j in (1, 2, 3, 4):
-        step = F.when((y + j) * (y + j) <= p, 1).otherwise(0)
-        adj = step if adj is None else adj + step
-    # domain guard: beyond 2^62 the double sqrt error exceeds the +-2
-    # correction window and the result would be silently wrong (kmeans/
-    # PQ centroid SUM-vector norms grow with cluster population) — fail
-    # loudly instead of corrupting rankings
+    any engine with IEEE sqrt; see isqrt_sql for the DuckDB twin.
+
+    Domain guard: beyond 2^62 the double sqrt error exceeds the +-2
+    correction window and the result would be silently wrong (kmeans/
+    PQ centroid SUM-vector norms grow with cluster population) — fail
+    loudly instead of corrupting rankings."""
     bad = p >= F.lit(1 << 62).cast("long")
     return F.when(
         bad, F.raise_error(F.lit(
             "isqrt_long domain overflow: p >= 2^62 — rescale centroid "
             "sums (see kmeans_assignments docstring)")).cast("long")
-    ).otherwise((y + adj).cast("long"))
+    ).otherwise(_isqrt_core(p))
 
 
 def isqrt_sql(p: str) -> str:
@@ -106,19 +113,24 @@ def isqrt_sql(p: str) -> str:
 def isqrt_prod(na: Column, nb: Column) -> Column:
     """isqrt(na * nb) for non-negative longs with a PRE-MULTIPLY
     overflow guard: the long product wraps silently at 2^63 and a
-    wrapped (negative) p slips past isqrt_long's own p >= 2^62 check
-    (sqrt(neg)->NaN->0 -> every cosine silently 0).  The double
-    estimate here fires from 2^62 with ~2^10 ULP error — far below the
-    2^62-wide band to the wrap point — and isqrt_long's exact integer
-    check still covers [2^62, 2^63) precisely, so no overflowing
-    product can produce a silent wrong root."""
+    wrapped (negative) p would slip past a post-multiply p >= 2^62
+    check (sqrt(neg)->NaN->0 -> every cosine silently 0).
+
+    One conditional total on the hot pair path (a nested
+    isqrt_long-with-its-own-guard measured 26% on the ivf pair join at
+    sf0.1): the double product estimate carries <= ~2^10 ULP error at
+    the boundary, so the threshold sits 2^22 BELOW 2^62 — spurious
+    raises in that sliver are loud and inside the documented domain
+    bound, while no true overflow can be missed (error 2^10 << margin
+    2^22), and everything below the threshold is safely in the exact
+    core's domain."""
     bad = (na.cast("double") * nb.cast("double")
-           >= F.lit(float(1 << 62)))
+           >= F.lit(float((1 << 62) - (1 << 22))))
     return F.when(
         bad, F.raise_error(F.lit(
             "isqrt domain overflow: na*nb >= 2^62 — rescale centroid "
             "sums (see kmeans_assignments docstring)")).cast("long")
-    ).otherwise(isqrt_long(na * nb))
+    ).otherwise(_isqrt_core(na * nb))
 
 
 def trunc_div(num: Column, den: Column) -> Column:
