@@ -1,0 +1,264 @@
+"""Minimal pure-stdlib PostgreSQL wire-protocol DB-API adapter.
+
+Parity (behavior only): the reference's SQL catalog rides bun's pgdialect
+over a real driver (catalog/sql/sql.go); this repo's SqlCatalog takes any
+DB-API ``connect`` callable.  Production uses psycopg/pg8000 — but this
+container ships NO postgres driver while shipping a real ``postgres``
+server binary, so this module implements just enough of the v3 wire
+protocol (StartupMessage + trust/plain auth + the SIMPLE QUERY flow:
+Query -> RowDescription/DataRow/CommandComplete/ReadyForQuery) to run
+the catalog's statement surface against a live server:
+
+- ``%s`` format paramstyle with client-side literal interpolation (the
+  same execution model psycopg2 uses — the server sees plain SQL);
+- autocommit semantics: each Query is its own transaction unless the
+  caller issues BEGIN/COMMIT — exactly SqlCatalog's explicit-statement
+  transaction pattern;
+- SQLSTATE 23505 surfaces as :class:`UniqueViolation` (name-matched by
+  ``sql._is_unique_violation``), everything else as
+  :class:`ProgrammingError` carrying the server message.
+
+NOT a general driver: no extended protocol, no TLS/SCRAM (trust or
+password auth only), text result format only.  int/bool/float OIDs are
+decoded; all other types come back as str.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+_INT_OIDS = {20, 21, 23, 26, 28}
+_FLOAT_OIDS = {700, 701, 1700}
+_BOOL_OID = 16
+
+
+class ProgrammingError(Exception):
+    def __init__(self, fields: dict):
+        self.fields = fields
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {fields.get('C', '')}: "
+            f"{fields.get('M', '')}")
+
+
+class UniqueViolation(ProgrammingError):
+    """SQLSTATE 23505 — name-compatible with psycopg.errors."""
+
+
+def _quote(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "'\\x" + bytes(v).hex() + "'::bytea"
+    s = str(v)
+    if "\x00" in s:
+        raise ValueError("postgres text cannot carry NUL bytes")
+    # standard_conforming_strings=on (server default): '' is the only
+    # escape needed inside a plain string literal
+    return "'" + s.replace("'", "''") + "'"
+
+
+class PgWireConnection:
+    def __init__(self, host: str = "127.0.0.1", port: int = 5432,
+                 user: str = "postgres", database: str = "postgres",
+                 password: Optional[str] = None, timeout: float = 10.0):
+        self._sock = socket.create_connection((host, port),
+                                              timeout=timeout)
+        self._buf = b""
+        self.autocommit = True  # simple-protocol connections ARE
+        self._closed = False
+        self._tx_status = b"I"  # ReadyForQuery: I idle, T in-tx, E failed
+        params = (f"user\0{user}\0database\0{database}\0"
+                  "client_encoding\0UTF8\0\0").encode()
+        body = struct.pack("!i", 196608) + params
+        self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+        self._auth(user, password)
+
+    # -- wire plumbing ----------------------------------------------------
+    def _recv_msg(self) -> Tuple[bytes, bytes]:
+        while len(self._buf) < 5:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed the connection")
+            self._buf += chunk
+        tag = self._buf[:1]
+        (ln,) = struct.unpack("!i", self._buf[1:5])
+        while len(self._buf) < 1 + ln:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed the connection")
+            self._buf += chunk
+        body = self._buf[5:1 + ln]
+        self._buf = self._buf[1 + ln:]
+        return tag, body
+
+    @staticmethod
+    def _error_fields(body: bytes) -> dict:
+        fields = {}
+        for part in body.split(b"\0"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        return fields
+
+    def _auth(self, user: str, password: Optional[str]) -> None:
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"E":
+                raise ProgrammingError(self._error_fields(body))
+            if tag == b"R":
+                (code,) = struct.unpack("!i", body[:4])
+                if code == 0:
+                    continue  # AuthenticationOk
+                if code == 3:  # cleartext password
+                    self._send(b"p", (password or "").encode() + b"\0")
+                    continue
+                if code == 5:  # md5
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        (password or "").encode() + user.encode()
+                    ).hexdigest()
+                    outer = hashlib.md5(
+                        inner.encode() + salt).hexdigest()
+                    self._send(b"p", b"md5" + outer.encode() + b"\0")
+                    continue
+                raise ProgrammingError(
+                    {"M": f"unsupported auth method {code} "
+                          "(trust/password/md5 only)"})
+            if tag == b"Z":  # ReadyForQuery
+                return
+            # ParameterStatus/BackendKeyData/NoticeResponse: ignore
+
+    def _send(self, tag: bytes, body: bytes) -> None:
+        self._sock.sendall(tag + struct.pack("!i", len(body) + 4) + body)
+
+    def _simple_query(self, sql: str):
+        self._send(b"Q", sql.encode() + b"\0")
+        cols: List[Tuple[str, int]] = []
+        rows: List[Tuple] = []
+        rowcount = -1
+        err: Optional[dict] = None
+        while True:
+            tag, body = self._recv_msg()
+            if tag == b"T":  # RowDescription
+                (n,) = struct.unpack("!h", body[:2])
+                off = 2
+                cols = []
+                for _ in range(n):
+                    end = body.index(b"\0", off)
+                    name = body[off:end].decode()
+                    off = end + 1
+                    (_tbl, _att, oid, _sz, _mod,
+                     _fmt) = struct.unpack("!ihihih", body[off:off + 18])
+                    off += 18
+                    cols.append((name, oid))
+            elif tag == b"D":  # DataRow
+                (n,) = struct.unpack("!h", body[:2])
+                off = 2
+                vals = []
+                for i in range(n):
+                    (ln,) = struct.unpack("!i", body[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                        continue
+                    raw = body[off:off + ln].decode("utf-8")
+                    off += ln
+                    oid = cols[i][1] if i < len(cols) else 25
+                    if oid in _INT_OIDS:
+                        vals.append(int(raw))
+                    elif oid == _BOOL_OID:
+                        vals.append(raw == "t")
+                    elif oid in _FLOAT_OIDS:
+                        vals.append(float(raw))
+                    else:
+                        vals.append(raw)
+                rows.append(tuple(vals))
+            elif tag == b"C":  # CommandComplete: "UPDATE 3" etc.
+                words = body.rstrip(b"\0").split()
+                if words and words[-1].isdigit():
+                    rowcount = int(words[-1])
+            elif tag == b"E":
+                err = self._error_fields(body)
+            elif tag == b"Z":  # ReadyForQuery — end of the exchange
+                self._tx_status = body[:1] or b"I"
+                break
+            # 'I' EmptyQueryResponse, 'N' notices, 'S' status: ignore
+        if err is not None:
+            cls = (UniqueViolation if err.get("C") == "23505"
+                   else ProgrammingError)
+            raise cls(err)
+        return [c[0] for c in cols], rows, rowcount
+
+    # -- DB-API-ish surface -------------------------------------------------
+    def cursor(self) -> "PgWireCursor":
+        return PgWireCursor(self)
+
+    def commit(self) -> None:
+        # each Query autocommits UNLESS the caller opened an explicit
+        # BEGIN (SqlCatalog's multi-statement transactions do) — close
+        # that transaction; on a failed one COMMIT rolls back, which is
+        # the server's own semantics for it
+        if not self._closed and self._tx_status != b"I":
+            self._simple_query("COMMIT")
+
+    def rollback(self) -> None:
+        if not self._closed and self._tx_status != b"I":
+            try:
+                self._simple_query("ROLLBACK")
+            except ProgrammingError:
+                pass
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            try:
+                self._send(b"X", b"")
+            except OSError:
+                pass
+            self._sock.close()
+
+
+class PgWireCursor:
+    def __init__(self, con: PgWireConnection):
+        self._con = con
+        self._rows: List[Tuple] = []
+        self._idx = 0
+        self.rowcount = -1
+        self.description = None
+
+    def execute(self, sql: str, params: Sequence = ()) -> "PgWireCursor":
+        if params:
+            sql = sql % tuple(_quote(p) for p in params)
+        cols, rows, rowcount = self._con._simple_query(sql)
+        self._rows, self._idx = rows, 0
+        self.description = [(c,) + (None,) * 6 for c in cols] or None
+        self.rowcount = rowcount if rowcount >= 0 else len(rows)
+        return self
+
+    def fetchone(self):
+        if self._idx >= len(self._rows):
+            return None
+        row = self._rows[self._idx]
+        self._idx += 1
+        return row
+
+    def fetchall(self):
+        rows = self._rows[self._idx:]
+        self._idx = len(self._rows)
+        return rows
+
+    def close(self) -> None:
+        pass
+
+
+def pgwire_connect(host: str = "127.0.0.1", port: int = 5432,
+                   user: str = "postgres", database: str = "postgres",
+                   password: Optional[str] = None) -> PgWireConnection:
+    """Zero-arg-partial this into ``SqlCatalog(connect=...)``."""
+    return PgWireConnection(host, port, user, database, password)

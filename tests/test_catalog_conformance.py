@@ -25,8 +25,28 @@ SCHEMA = Schema([
     T.NestedField(2, "v", T.StringType()),
 ])
 
-CATALOGS = ["fs", "sql", "pg", "mysql", "mssql", "oracle", "glue",
-            "glue-wire", "hive"]
+CATALOGS = ["fs", "sql", "pg", "pg-live", "mysql", "mssql", "oracle",
+            "glue", "glue-wire", "hive"]
+
+# one throwaway REAL postgres server for the whole module (initdb+start
+# ~3 s); each test gets a FRESH database on it
+_PG_LIVE = {"server": None, "error": None, "n": 0}
+
+
+def _pg_live_server():
+    if _PG_LIVE["error"] is not None:
+        pytest.skip(_PG_LIVE["error"])
+    if _PG_LIVE["server"] is None:
+        try:
+            from iceberg_go_spark.catalog.pg_local import \
+                LocalPostgresServer
+            _PG_LIVE["server"] = LocalPostgresServer().start()
+            import atexit
+            atexit.register(_PG_LIVE["server"].stop)
+        except Exception as e:
+            _PG_LIVE["error"] = f"local postgres unavailable: {e}"
+            pytest.skip(_PG_LIVE["error"])
+    return _PG_LIVE["server"]
 
 
 def make_catalog(kind: str, root: str):
@@ -62,6 +82,20 @@ def make_catalog(kind: str, root: str):
                           connect=functools.partial(
                               fake_pg_connect,
                               _os.path.join(root, "pg.db")))
+    if kind == "pg-live":
+        # the SAME dialect against a REAL PostgreSQL server through the
+        # stdlib wire adapter (catalog/pgwire.py) — live SQL/transaction
+        # semantics, real 23505 unique violations, real ON CONFLICT
+        import functools
+        from iceberg_go_spark.catalog.pgwire import pgwire_connect
+        server = _pg_live_server()
+        _PG_LIVE["n"] += 1
+        dbname = f"conf_{_PG_LIVE['n']}"
+        server.create_database(dbname)
+        return SqlCatalog(root, dialect="postgres",
+                          connect=functools.partial(
+                              pgwire_connect,
+                              **server.connect_kwargs(dbname)))
     if kind == "glue":
         c = GlueCatalog(root, FakeGlueClient())
         c.create_namespace("db")
