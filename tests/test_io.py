@@ -65,17 +65,42 @@ def test_puffin_through_mem_io(mem):
 
 # -- object-store (blob) IO (io/gocloud/{blob,s3,register}.go) --------------
 
-@pytest.fixture
-def s3():
+@pytest.fixture(params=["mem", "boto3-wire"])
+def s3(request):
+    """Every blob-IO test runs twice: over the in-memory bucket AND —
+    when boto3 is importable — over a REAL boto3 s3 client against a
+    local path-style S3 wire endpoint (s3_local.py), so the metadata
+    plane's s3:// paths exercise genuine botocore signing/marshalling/
+    error mapping, not just the duck-typed surface."""
     from iceberg_go_spark import io as IO
     buckets = {}
 
+    if request.param == "mem":
+        def provider(scheme, bucket, props):
+            return buckets.setdefault((scheme, bucket),
+                                      IO.InMemoryBucket())
+        IO.set_blob_client_provider(provider)
+        yield buckets
+        IO.set_blob_client_provider(None)
+        return
+
+    pytest.importorskip("boto3")
+    from iceberg_go_spark.s3_local import (Boto3BucketClient,
+                                           LocalS3WireServer)
+    server = LocalS3WireServer().start()
+    client = server.boto3_client()
+
     def provider(scheme, bucket, props):
-        return buckets.setdefault((scheme, bucket), IO.InMemoryBucket())
+        key = (scheme, bucket)
+        if key not in buckets:
+            client.create_bucket(Bucket=bucket)
+            buckets[key] = Boto3BucketClient(client, bucket)
+        return buckets[key]
 
     IO.set_blob_client_provider(provider)
     yield buckets
     IO.set_blob_client_provider(None)
+    server.stop()
 
 
 def test_blob_io_roundtrip(s3):
