@@ -11,10 +11,26 @@ from iceberg_go_spark.schema import Schema
 from tests.conftest import read_table
 
 
-@pytest.fixture(params=["fs", "sql"])
+@pytest.fixture(params=["fs", "sql", "pg-live"])
 def catalog(request, tmp_path):
     if request.param == "fs":
         return FilesystemCatalog(str(tmp_path / "wh"))
+    if request.param == "pg-live":
+        # atomic all-pointer swap in ONE transaction on a REAL
+        # PostgreSQL (the semantics the SQL catalog claims; the live
+        # server enforces real isolation/rollback)
+        import functools
+        from tests.test_catalog_conformance import _pg_live_server, \
+            _PG_LIVE
+        from iceberg_go_spark.catalog.pgwire import pgwire_connect
+        server = _pg_live_server()
+        _PG_LIVE["n"] += 1
+        db = f"mtx_{_PG_LIVE['n']}"
+        server.create_database(db)
+        return SqlCatalog(str(tmp_path / "wh"), dialect="postgres",
+                          connect=functools.partial(
+                              pgwire_connect,
+                              **server.connect_kwargs(db)))
     return SqlCatalog(str(tmp_path / "wh"))
 
 
