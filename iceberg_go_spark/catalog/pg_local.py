@@ -60,24 +60,34 @@ class LocalPostgresServer:
         if self._run_user:
             shutil.chown(self.datadir, user=self._run_user)
         self.port = _free_port()
-        self._sh(f"initdb -D {self.datadir} -U {self.user} "
-                 f"--auth=trust -E UTF8 > /dev/null")
-        self._sh(f"pg_ctl -D {self.datadir} -w -t 30 "
-                 f"-o '-p {self.port} -k {self.datadir} "
-                 f"-c listen_addresses=127.0.0.1' "
-                 f"-l {self.datadir}/log start > /dev/null")
-        # trust auth + TCP: wait until connectable
-        from .pgwire import pgwire_connect
-        deadline = time.time() + 20
-        while True:
-            try:
-                pgwire_connect(port=self.port, user=self.user,
-                               database="postgres").close()
-                return self
-            except Exception:
-                if time.time() > deadline:
-                    raise
-                time.sleep(0.2)
+        try:
+            # --no-sync + fsync off: throwaway cluster, rmtree'd on
+            # stop — durability buys nothing and costs real fsyncs on
+            # every CREATE DATABASE / commit in the suite
+            self._sh(f"initdb -D {self.datadir} -U {self.user} "
+                     f"--auth=trust --no-sync -E UTF8 > /dev/null")
+            self._sh(f"pg_ctl -D {self.datadir} -w -t 30 "
+                     f"-o '-p {self.port} -k {self.datadir} "
+                     f"-c listen_addresses=127.0.0.1 "
+                     f"-c fsync=off -c synchronous_commit=off "
+                     f"-c full_page_writes=off' "
+                     f"-l {self.datadir}/log start > /dev/null")
+            # trust auth + TCP: wait until connectable
+            from .pgwire import pgwire_connect
+            deadline = time.time() + 20
+            while True:
+                try:
+                    pgwire_connect(port=self.port, user=self.user,
+                                   database="postgres").close()
+                    return self
+                except Exception:
+                    if time.time() > deadline:
+                        raise
+                    time.sleep(0.2)
+        except BaseException:
+            # never leak a running postmaster/datadir on a failed start
+            self.stop()
+            raise
 
     def create_database(self, name: str) -> None:
         from .pgwire import pgwire_connect

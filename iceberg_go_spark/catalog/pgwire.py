@@ -67,9 +67,16 @@ def _quote(v) -> str:
 class PgWireConnection:
     def __init__(self, host: str = "127.0.0.1", port: int = 5432,
                  user: str = "postgres", database: str = "postgres",
-                 password: Optional[str] = None, timeout: float = 10.0):
+                 password: Optional[str] = None,
+                 connect_timeout: float = 10.0,
+                 query_timeout: Optional[float] = 300.0):
         self._sock = socket.create_connection((host, port),
-                                              timeout=timeout)
+                                              timeout=connect_timeout)
+        # the CONNECT timeout must not govern queries: a >10s statement
+        # (fsync stall, big commit) would raise socket.timeout
+        # mid-message and desync the frame parser — switch to a
+        # generous per-recv budget once connected
+        self._sock.settimeout(query_timeout)
         self._buf = b""
         self.autocommit = True  # simple-protocol connections ARE
         self._closed = False

@@ -191,6 +191,16 @@ class BlobFileIO(FileIO):
     def read(self, path: str) -> bytes:
         return self.client.get(self._key(path))
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        # byte-range GET when the client speaks it (real object stores
+        # do — fetching a whole multi-MB puffin/manifest to serve a
+        # few-hundred-byte blob read is the wrong wire shape); the
+        # in-memory bucket falls back to full read + slice
+        getr = getattr(self.client, "get_range", None)
+        if getr is not None:
+            return getr(self._key(path), offset, length)
+        return self.read(path)[offset:offset + length]
+
     def write(self, path: str, data: bytes) -> None:
         # single-shot PUT: object stores are atomic per object, no tmp+rename
         self.client.put(self._key(path), data)

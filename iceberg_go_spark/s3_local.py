@@ -146,7 +146,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         bucket, key, q = self._split()
-        objs = self._store().get(bucket, {})
+        with self.server.lock:  # snapshot: PUTs run concurrently
+            objs = dict(self._store().get(bucket, {}))
         if not key:  # ListObjectsV2
             prefix = q.get("prefix", [""])[0]
             keys = sorted(k for k in objs if k.startswith(prefix))
@@ -176,8 +177,12 @@ class _Handler(BaseHTTPRequestHandler):
         if rng and rng.startswith("bytes="):
             spec = rng[len("bytes="):]
             start_s, _, end_s = spec.partition("-")
-            start = int(start_s)
-            end = int(end_s) if end_s else len(data) - 1
+            if not start_s:  # suffix range: bytes=-N (last N bytes)
+                n = int(end_s)
+                start, end = max(len(data) - n, 0), len(data) - 1
+            else:
+                start = int(start_s)
+                end = int(end_s) if end_s else len(data) - 1
             end = min(end, len(data) - 1)
             part = data[start:end + 1]
             self._respond(206, part, {
@@ -189,7 +194,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_HEAD(self):
         bucket, key, _ = self._split()
-        objs = self._store().get(bucket, {})
+        with self.server.lock:
+            objs = dict(self._store().get(bucket, {}))
         if key and key in objs:
             # HEAD: Content-Length reflects the OBJECT, no body follows
             self.send_response(200)

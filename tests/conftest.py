@@ -22,3 +22,36 @@ def sf_dir():
 
 def read_table(spark, name, sf=SF_DIR):
     return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+
+# -- shared throwaway PostgreSQL server (live-wire tests) --------------------
+# ONE cluster per pytest session, lazily started; consumers must import
+# THIS module as `tests.conftest` (consistently — a bare
+# `test_catalog_conformance`-style cross-test-module import would load a
+# second module instance with its own state and spin a second postmaster)
+_PG_LIVE = {"server": None, "error": None, "n": 0}
+
+
+def pg_live_server():
+    if _PG_LIVE["error"] is not None:
+        pytest.skip(_PG_LIVE["error"])
+    if _PG_LIVE["server"] is None:
+        try:
+            from iceberg_go_spark.catalog.pg_local import \
+                LocalPostgresServer
+            _PG_LIVE["server"] = LocalPostgresServer().start()
+            import atexit
+            atexit.register(_PG_LIVE["server"].stop)
+        except Exception as e:
+            _PG_LIVE["error"] = f"local postgres unavailable: {e}"
+            pytest.skip(_PG_LIVE["error"])
+    return _PG_LIVE["server"]
+
+
+def pg_live_connect_kwargs(prefix: str) -> dict:
+    """Fresh database on the shared server; kwargs for pgwire_connect."""
+    server = pg_live_server()
+    _PG_LIVE["n"] += 1
+    db = f"{prefix}_{_PG_LIVE['n']}"
+    server.create_database(db)
+    return server.connect_kwargs(db)

@@ -28,26 +28,6 @@ SCHEMA = Schema([
 CATALOGS = ["fs", "sql", "pg", "pg-live", "mysql", "mssql", "oracle",
             "glue", "glue-wire", "hive"]
 
-# one throwaway REAL postgres server for the whole module (initdb+start
-# ~3 s); each test gets a FRESH database on it
-_PG_LIVE = {"server": None, "error": None, "n": 0}
-
-
-def _pg_live_server():
-    if _PG_LIVE["error"] is not None:
-        pytest.skip(_PG_LIVE["error"])
-    if _PG_LIVE["server"] is None:
-        try:
-            from iceberg_go_spark.catalog.pg_local import \
-                LocalPostgresServer
-            _PG_LIVE["server"] = LocalPostgresServer().start()
-            import atexit
-            atexit.register(_PG_LIVE["server"].stop)
-        except Exception as e:
-            _PG_LIVE["error"] = f"local postgres unavailable: {e}"
-            pytest.skip(_PG_LIVE["error"])
-    return _PG_LIVE["server"]
-
 
 def make_catalog(kind: str, root: str):
     if kind == "fs":
@@ -88,14 +68,11 @@ def make_catalog(kind: str, root: str):
         # semantics, real 23505 unique violations, real ON CONFLICT
         import functools
         from iceberg_go_spark.catalog.pgwire import pgwire_connect
-        server = _pg_live_server()
-        _PG_LIVE["n"] += 1
-        dbname = f"conf_{_PG_LIVE['n']}"
-        server.create_database(dbname)
+        from tests.conftest import pg_live_connect_kwargs
         return SqlCatalog(root, dialect="postgres",
                           connect=functools.partial(
                               pgwire_connect,
-                              **server.connect_kwargs(dbname)))
+                              **pg_live_connect_kwargs("conf")))
     if kind == "glue":
         c = GlueCatalog(root, FakeGlueClient())
         c.create_namespace("db")

@@ -93,8 +93,11 @@ def s3(request):
     def provider(scheme, bucket, props):
         key = (scheme, bucket)
         if key not in buckets:
-            client.create_bucket(Bucket=bucket)
-            buckets[key] = Boto3BucketClient(client, bucket)
+            # server-side name carries the scheme so s3://b and gs://b
+            # stay isolated, matching the mem variant's semantics
+            wire_bucket = f"{scheme}-{bucket}"
+            client.create_bucket(Bucket=wire_bucket)
+            buckets[key] = Boto3BucketClient(client, wire_bucket)
         return buckets[key]
 
     IO.set_blob_client_provider(provider)

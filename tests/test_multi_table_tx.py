@@ -20,17 +20,12 @@ def catalog(request, tmp_path):
         # PostgreSQL (the semantics the SQL catalog claims; the live
         # server enforces real isolation/rollback)
         import functools
-        from tests.test_catalog_conformance import _pg_live_server, \
-            _PG_LIVE
         from iceberg_go_spark.catalog.pgwire import pgwire_connect
-        server = _pg_live_server()
-        _PG_LIVE["n"] += 1
-        db = f"mtx_{_PG_LIVE['n']}"
-        server.create_database(db)
+        from tests.conftest import pg_live_connect_kwargs
         return SqlCatalog(str(tmp_path / "wh"), dialect="postgres",
                           connect=functools.partial(
                               pgwire_connect,
-                              **server.connect_kwargs(db)))
+                              **pg_live_connect_kwargs("mtx")))
     return SqlCatalog(str(tmp_path / "wh"))
 
 

@@ -6,17 +6,13 @@ import pytest
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from tests.test_catalog_conformance import _pg_live_server, _PG_LIVE
+from tests.conftest import pg_live_connect_kwargs
 
 
 @pytest.fixture(scope="module")
 def live_cur():
-    server = _pg_live_server()
-    _PG_LIVE["n"] += 1
-    db = f"pgwire_{_PG_LIVE['n']}"
-    server.create_database(db)
     from iceberg_go_spark.catalog.pgwire import pgwire_connect
-    con = pgwire_connect(**server.connect_kwargs(db))
+    con = pgwire_connect(**pg_live_connect_kwargs("pgwire"))
     yield con.cursor()
     con.close()
 
