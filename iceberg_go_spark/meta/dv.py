@@ -371,6 +371,16 @@ def read_dv_blob_slice(path: str, offset: int, length: int) -> bytes:
     return load_io(path).read_range(path, offset, length)
 
 
+def list_deletion_vector_keys(path: str) -> List[str]:
+    """Referenced data-file paths of a container's DV blobs — FOOTER
+    ONLY, no blob bytes read (the covered-set computation needs just
+    the names; pulling every serialized bitmap to the driver for
+    .keys() doubled the I/O on multi-GB containers)."""
+    r = PuffinReader(path)
+    return [meta["properties"]["referenced-data-file"]
+            for meta in r.blobs if meta["type"] == BLOB_TYPE_DV]
+
+
 def read_deletion_vector_blobs(path: str) -> Dict[str, bytes]:
     """Serialized DV blobs by referenced data file — deserialization is
     deferred to executors (the driver only ships compressed bytes)."""

@@ -132,12 +132,21 @@ def split_tasks(tasks: List["FileScanTask"],
 
 @dataclass
 class ScanReport:
-    """Planning observability (metrics/scan_report.go:33)."""
+    """Planning observability (metrics/scan_report.go:33).
+
+    total/skipped_manifests keep their historical meaning (ALL
+    manifests in the list); the wire form's *-data-manifests counters
+    exclude delete manifests per the reference golden fixture, and
+    result-delete-files reports deletes MATCHED to result tasks, not
+    every pruned-in delete entry."""
     total_manifests: int = 0
     skipped_manifests: int = 0
+    total_data_manifests: int = 0
+    skipped_data_manifests: int = 0
     total_data_files: int = 0
     skipped_data_files: int = 0
     total_delete_files: int = 0
+    result_delete_files: int = 0
     planning_ms: float = 0.0
 
     def to_json_dict(self, table_name: str = "",
@@ -161,11 +170,11 @@ class ScanReport:
                     "total-duration": int(self.planning_ms * 1e6)},
                 "result-data-files": cnt(self.total_data_files
                                          - self.skipped_data_files),
-                "result-delete-files": cnt(self.total_delete_files),
-                "total-data-manifests": cnt(self.total_manifests),
-                "scanned-data-manifests": cnt(self.total_manifests
-                                              - self.skipped_manifests),
-                "skipped-data-manifests": cnt(self.skipped_manifests),
+                "result-delete-files": cnt(self.result_delete_files),
+                "total-data-manifests": cnt(self.total_data_manifests),
+                "scanned-data-manifests": cnt(self.total_data_manifests
+                                              - self.skipped_data_manifests),
+                "skipped-data-manifests": cnt(self.skipped_data_manifests),
             },
         }
 
@@ -242,7 +251,14 @@ class Scan:
                 raise ValueError(f"ref {self.ref!r} not found")
             return s
         if self.as_of_ms is not None:
-            return md.snapshot_as_of(self.as_of_ms)
+            s = md.snapshot_as_of(self.as_of_ms)
+            if s is None:
+                # the table did not exist yet — an empty scan would
+                # read as "the table was empty at ts" (reference errors
+                # too, scanner.go:299-301)
+                raise ValueError(
+                    f"no snapshot found for timestamp {self.as_of_ms}")
+            return s
         return md.current_snapshot()
 
     def effective_schema(self) -> Schema:
@@ -306,7 +322,31 @@ class Scan:
                     self.case_sensitive)
             return part_evals[spec_id]
 
-        live = [m for m in manifests if mev(m.partition_spec_id).eval(m)]
+        def manifest_live(m: M.ManifestFile) -> bool:
+            if m.content != M.MANIFEST_DATA:
+                # DELETE manifests may hold globally-scoped entries
+                # (partition={} under a partitioned spec — our upsert
+                # writer's convention, transaction.py) whose field
+                # summaries read contains_null with no bounds; the
+                # partition evaluator would prune the whole manifest
+                # and RESURRECT deleted rows on partition-filtered
+                # scans.  Prune by summaries only when no summary
+                # admits nulls (then every entry is partition-scoped
+                # and the evaluator is sound); entry-level matching
+                # gates precisely either way.
+                if not m.partitions or any(s.contains_null
+                                           for s in m.partitions):
+                    return True
+            return mev(m.partition_spec_id).eval(m)
+
+        live = []
+        for m in manifests:
+            is_data = m.content == M.MANIFEST_DATA
+            self.report.total_data_manifests += is_data
+            if manifest_live(m):
+                live.append(m)
+            else:
+                self.report.skipped_data_manifests += is_data
         self.report.skipped_manifests = len(manifests) - len(live)
 
         data_entries: List[Tuple[M.ManifestEntry, int]] = []
@@ -371,8 +411,12 @@ class Scan:
                 schema, self.row_filter, self.case_sensitive)
 
         tasks = []
+        didx = _DeleteIndex(delete_entries)
+        matched_deletes = set()
         for e, spec_id in data_entries:
-            pos, eq = _match_deletes(e, spec_id, delete_entries, md)
+            pos, eq = didx.match(e, spec_id)
+            matched_deletes.update(d.file_path for d in pos)
+            matched_deletes.update(d.file_path for d in eq)
             residual = None
             if residual_strict is not None:
                 residual = (E.AlwaysTrue()
@@ -381,6 +425,7 @@ class Scan:
                 data_file=e.data_file, sequence_number=e.sequence_number,
                 pos_deletes=pos, eq_deletes=eq, residual=residual,
                 spec_id=spec_id))
+        self.report.result_delete_files = len(matched_deletes)
         self.report.planning_ms = (_t.time() - t0) * 1000
         # inline delivery at planning completion (metrics/reporter.go:
         # never raises into the scan, free when the reporter is the nop)
@@ -425,7 +470,17 @@ class Scan:
         tasks = self.plan_files()
         spark_schema = schema.to_spark()
         if not tasks:
-            return spark.createDataFrame([], projection.to_spark())
+            empty_schema = projection.to_spark()
+            if self.row_lineage:
+                # the empty-scan schema must match the non-empty one:
+                # lineage columns are part of the contract
+                import pyspark.sql.types as ST
+                empty_schema = ST.StructType(
+                    list(empty_schema.fields) + [
+                        ST.StructField("_row_id", ST.LongType()),
+                        ST.StructField("_last_updated_sequence_number",
+                                       ST.LongType())])
+            return spark.createDataFrame([], empty_schema)
 
         # encrypted tables: arm the session's PME confs so the parquet
         # reader can unwrap footers (no-op without a JVM KmsClient)
@@ -609,9 +664,15 @@ class Scan:
                 # materialized lineage (compaction-preserved) wins;
                 # otherwise synthesize from the manifest: _row_id =
                 # first_row_id + position, seq = data sequence number
+                # a file with NO assigned first_row_id (v2 tables, or
+                # a v3 writer that never assigned) degrades to NULL
+                # _row_id — `or 0` would fabricate position-based ids
+                # that collide across files and with a real
+                # first_row_id=0 assignment
                 lineage = spark.createDataFrame(
                     [(t.data_file.file_path,
-                      int(t.data_file.first_row_id or 0),
+                      None if t.data_file.first_row_id is None
+                      else int(t.data_file.first_row_id),
                       int(t.sequence_number or 0)) for t in group],
                     "__lfile string, __first long, __lseq long")
                 # LEFT join: a path-normalization miss must degrade
@@ -660,10 +721,12 @@ class Scan:
                 # puffin footer.
                 dv_covered = {fp for _p, _o, _l, fp in dv_slices}
                 if parquet_dels and puffin_dels:
-                    from ..meta.dv import read_deletion_vector_blobs
+                    # footer-only listing: the covered set needs blob
+                    # NAMES, not the bitmaps (those are read once, on
+                    # the apply path)
+                    from ..meta.dv import list_deletion_vector_keys
                     for pth in puffin_dels:
-                        dv_covered.update(
-                            read_deletion_vector_blobs(pth).keys())
+                        dv_covered.update(list_deletion_vector_keys(pth))
                 if parquet_dels:
                     deletes = (spark.read.parquet(
                                    *[p for p, _ in parquet_dels])
@@ -697,7 +760,26 @@ class Scan:
                 eq_groups.setdefault(tuple(eq_ids), []).append(
                     (dpath, n_rows or 0))
             for eq_ids, dentries in sorted(eq_groups.items()):
-                cols = [schema.find_column_name(fid) for fid in eq_ids]
+                if not eq_ids:
+                    # a None join condition would anti-join
+                    # UNCONDITIONALLY and silently delete every row —
+                    # a malformed delete file must fail loudly instead
+                    raise ValueError(
+                        f"equality delete file with empty equality_ids: "
+                        f"{[p for p, _ in dentries]}")
+                cols = []
+                for fid in eq_ids:
+                    name = schema.find_column_name(fid)
+                    if name is None:
+                        raise ValueError(
+                            f"equality delete references field id {fid} "
+                            f"not present in the scan schema (dropped "
+                            f"column?) — cannot apply deletes soundly")
+                    if "." in name:
+                        raise NotImplementedError(
+                            f"equality delete on nested field {name!r} "
+                            f"is not supported by this reader")
+                    cols.append(name)
                 ddf = spark.read.parquet(*[p for p, _ in dentries]).select(
                     *[F.col(c).alias(f"__eq_{c}") for c in cols]).distinct()
                 # broadcast only when manifest record counts say the key
@@ -1016,40 +1098,67 @@ def _is_global_delete(partition: Optional[Dict[str, Any]]) -> bool:
     return not partition or all(v is None for v in partition.values())
 
 
+class _DeleteIndex:
+    """Delete entries bucketed for O(1)-per-data-file matching
+    (reference DeleteFileIndex, scanner.go:509-598): DV entries by
+    referenced data-file path, partition-scoped deletes by
+    (spec_id, partition tuple), global deletes in one bucket.  A naive
+    per-data-file rescan of the delete list is O(data x deletes) on the
+    driver — hours of planning at 500k data files x 50k deletes."""
+
+    def __init__(self, delete_entries: List[Tuple[M.ManifestEntry, int]]):
+        self._by_path: Dict[str, list] = {}
+        self._by_part: Dict[tuple, list] = {}
+        self._global: list = []
+        for i, (de, dspec_id) in enumerate(delete_entries):
+            df = de.data_file
+            if df.content not in (M.CONTENT_POS_DELETES,
+                                  M.CONTENT_EQ_DELETES):
+                continue
+            item = (i, de.sequence_number or 0, df)
+            if df.referenced_data_file is not None:
+                # v3 DV entry: applies to exactly one data file by
+                # path — partition comparison irrelevant
+                self._by_path.setdefault(
+                    df.referenced_data_file, []).append(item)
+            elif _is_global_delete(df.partition):
+                self._global.append(item)
+            else:
+                # partition-scoped deletes bind to their own spec's
+                # partitioning: a different partition OR a different
+                # spec can never match (applying across specs
+                # over-deleted — reference scopes by (spec, partition))
+                key = (dspec_id, tuple(sorted(
+                    (df.partition or {}).items())))
+                self._by_part.setdefault(key, []).append(item)
+
+    def match(self, entry: M.ManifestEntry, spec_id: int
+              ) -> Tuple[List[M.DataFile], List[M.DataFile]]:
+        """Pos deletes apply when del_seq >= data_seq; eq deletes when
+        del_seq > data_seq."""
+        data_seq = entry.sequence_number or 0
+        part_key = (spec_id, tuple(sorted(
+            (entry.data_file.partition or {}).items())))
+        cands = (self._by_path.get(entry.data_file.file_path, [])
+                 + self._by_part.get(part_key, [])
+                 + self._global)
+        pos, eq = [], []
+        # original manifest order kept for deterministic task shapes
+        for _i, dseq, df in sorted(cands):
+            if df.content == M.CONTENT_POS_DELETES:
+                if dseq >= data_seq:
+                    pos.append(df)
+            elif dseq > data_seq:
+                eq.append(df)
+        return pos, eq
+
+
 def _match_deletes(entry: M.ManifestEntry, spec_id: int,
                    delete_entries: List[Tuple[M.ManifestEntry, int]],
                    md: TableMetadata) -> Tuple[List[M.DataFile], List[M.DataFile]]:
-    """Sequence-number + partition gating (scanner.go:509-598):
-    pos deletes apply when del_seq >= data_seq; eq deletes when
-    del_seq > data_seq; partition must match for partition-scoped deletes."""
-    pos, eq = [], []
-    data_seq = entry.sequence_number or 0
-    for de, dspec_id in delete_entries:
-        dseq = de.sequence_number or 0
-        df = de.data_file
-        if df.content == M.CONTENT_POS_DELETES:
-            if dseq < data_seq:
-                continue
-        elif df.content == M.CONTENT_EQ_DELETES:
-            if dseq <= data_seq:
-                continue
-        else:
-            continue
-        if df.referenced_data_file is not None:
-            # v3 DV entry: applies to exactly one data file by path —
-            # exact gating, partition comparison irrelevant
-            if df.referenced_data_file != entry.data_file.file_path:
-                continue
-        elif not _is_global_delete(df.partition) and (
-                dspec_id != spec_id
-                or df.partition != entry.data_file.partition):
-            # partition-scoped deletes bind to their own spec's
-            # partitioning: a different partition OR a different spec
-            # can never match (applying across specs over-deleted —
-            # reference DeleteFileIndex scopes by (spec, partition))
-            continue
-        (pos if df.content == M.CONTENT_POS_DELETES else eq).append(df)
-    return pos, eq
+    """One-shot form of _DeleteIndex.match (kept for external callers;
+    plan_files builds the index once and reuses it)."""
+    return _DeleteIndex(delete_entries).match(entry, spec_id)
 
 
 def _jvm_top_level_columns(spark, paths: List[str]) -> List[str]:

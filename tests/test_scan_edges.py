@@ -1,0 +1,164 @@
+"""Scan-planning edge cases from the round-8 scan.py review: global
+delete manifests vs partition pruning, as_of before first snapshot,
+lineage schema/degradation, eq-delete resolution failures, and the
+delete index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import expressions as E
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.meta.partitioning import spec_from_names
+from iceberg_go_spark.schema import Schema
+from tests.conftest import read_table
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return FilesystemCatalog(str(tmp_path / "wh"))
+
+
+def test_global_deletes_survive_partition_pruning(spark, sf_dir, cat):
+    """Upsert writes GLOBAL eq-deletes (partition={}) into a delete
+    manifest under the partitioned spec; a partition-filtered scan must
+    still apply them — the manifest evaluator used to prune the delete
+    manifest outright and resurrect the pre-upsert row version."""
+    nation = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(nation.schema)
+    t = cat.create_table("db.n", schema,
+                         spec_from_names(schema, ("n_regionkey", "identity")))
+    t.append(nation)
+    t = cat.load_table("db.n")
+    row = nation.filter(F.col("n_nationkey") == 3).first()
+    vals = row.asDict()
+    vals["n_name"] = "RENAMED"
+    upd = spark.createDataFrame([tuple(vals[f] for f in nation.columns)],
+                                nation.schema)
+    t.upsert(spark, upd, ["n_nationkey"])
+    t = cat.load_table("db.n")
+
+    got = (t.scan(E.eq("n_regionkey", int(row.n_regionkey)))
+           .to_df(spark))
+    hits = got.filter(F.col("n_nationkey") == 3).collect()
+    assert len(hits) == 1, "old row version resurrected"
+    assert hits[0].n_name == "RENAMED"
+    # unfiltered scan agrees
+    full = t.scan().to_df(spark).filter(F.col("n_nationkey") == 3)
+    assert [r.n_name for r in full.collect()] == ["RENAMED"]
+
+
+def test_as_of_before_first_snapshot_raises(spark, sf_dir, cat):
+    """Time travel before the table existed is an error (reference
+    scanner.go:299-301), not a silently-empty scan."""
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.tt", Schema.from_spark(nation.schema))
+    t.append(nation)
+    t = cat.load_table("db.tt")
+    first_ts = min(s.timestamp_ms for s in t.metadata.snapshots)
+    with pytest.raises(ValueError, match="no snapshot found"):
+        t.scan(as_of_ms=first_ts - 10_000).to_df(spark)
+
+
+def test_empty_scan_keeps_lineage_columns(spark, sf_dir, cat):
+    """with_row_lineage on an empty result must produce the SAME schema
+    as a non-empty one (unionByName / _row_id selects must not break
+    only on empty tables)."""
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table(
+        "db.el", Schema.from_spark(nation.schema),
+        properties={"format-version": "3"})
+    t.append(nation)
+    t = cat.load_table("db.el")
+    full = t.scan().with_row_lineage().to_df(spark)
+    empty = (t.scan(E.eq("n_nationkey", -12345))
+             .with_row_lineage().to_df(spark))
+    assert empty.count() == 0
+    assert set(full.columns) == set(empty.columns)
+    assert "_row_id" in empty.columns
+    full.unionByName(empty).count()  # schemas align
+
+
+def test_lineage_degrades_to_null_without_first_row_id(spark, sf_dir,
+                                                       cat):
+    """Files with NO first_row_id assignment (externally-written
+    metadata; our own writer always assigns): synthesized lineage must
+    come back NULL, not fabricated position-based ids that collide
+    across files.  The engine cannot produce such metadata through its
+    API, so the planned tasks are stripped in place."""
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.v2l", Schema.from_spark(nation.schema))
+    t.append(nation.limit(10))
+    t.append(nation)
+    t = cat.load_table("db.v2l")
+    sc = t.scan().with_row_lineage()
+    tasks = sc.plan_files()
+    assert len(tasks) >= 2
+    for tk in tasks:
+        tk.data_file.first_row_id = None
+    sc.plan_files = lambda: tasks  # shadow: to_df consumes these
+    df = sc.to_df(spark)
+    assert df.count() == nation.count() + 10
+    assert df.filter(F.col("_row_id").isNotNull()).count() == 0
+    # and with ids PRESENT (the engine default) they are unique
+    df2 = t.scan().with_row_lineage().to_df(spark)
+    n = df2.count()
+    assert df2.select("_row_id").distinct().count() == n
+
+
+def test_eq_delete_on_dropped_column_fails_loudly(spark, sf_dir, cat):
+    """Equality deletes keyed on a column that was later dropped cannot
+    be applied soundly — the scan must raise, not crash opaquely or
+    skip the deletes."""
+    nation = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.dropk", Schema.from_spark(nation.schema))
+    t.append(nation)
+    t = cat.load_table("db.dropk")
+    upd = spark.createDataFrame(
+        [tuple(nation.first())], nation.schema)
+    t.upsert(spark, upd, ["n_name"])
+    t = cat.load_table("db.dropk")
+    t.update_schema().delete_column("n_name").commit()
+    t = cat.load_table("db.dropk")
+    with pytest.raises(ValueError, match="dropped column"):
+        t.scan().to_df(spark).count()
+
+
+def test_delete_index_matches_like_linear_scan(spark, sf_dir, cat):
+    """_DeleteIndex must reproduce the linear matcher exactly across
+    global/partition-scoped/path-scoped deletes and both content
+    kinds' sequence gates."""
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.table.scan import _DeleteIndex
+
+    def entry(seq, content=M.CONTENT_DATA, partition=None, path="f",
+              ref=None):
+        df = M.DataFile(content=content, file_path=path,
+                        file_format="PARQUET",
+                        partition=dict(partition or {}),
+                        record_count=1, file_size_in_bytes=1,
+                        referenced_data_file=ref)
+        return M.ManifestEntry(status=M.STATUS_ADDED, snapshot_id=1,
+                               sequence_number=seq,
+                               file_sequence_number=seq, data_file=df)
+
+    deletes = [
+        (entry(5, M.CONTENT_POS_DELETES, {"p": 1}, "d1"), 0),
+        (entry(5, M.CONTENT_EQ_DELETES, {"p": 1}, "d2"), 0),
+        (entry(9, M.CONTENT_EQ_DELETES, {}, "d3"), 0),        # global
+        (entry(7, M.CONTENT_POS_DELETES, {}, "dv1", ref="f1"), 0),
+        (entry(5, M.CONTENT_POS_DELETES, {"p": 2}, "d4"), 0),
+        (entry(5, M.CONTENT_POS_DELETES, {"p": 1}, "d5"), 1),  # other spec
+    ]
+    idx = _DeleteIndex(deletes)
+    data = entry(5, M.CONTENT_DATA, {"p": 1}, "f1")
+    pos, eq = idx.match(data, 0)
+    assert [d.file_path for d in pos] == ["d1", "dv1"]
+    assert [d.file_path for d in eq] == ["d3"]  # d2: seq 5 <= 5 gated
+    # different data file: DV no longer applies
+    data2 = entry(5, M.CONTENT_DATA, {"p": 1}, "f2")
+    pos2, eq2 = idx.match(data2, 0)
+    assert [d.file_path for d in pos2] == ["d1"]
+    # newer data than every delete
+    data3 = entry(50, M.CONTENT_DATA, {"p": 1}, "f1")
+    pos3, eq3 = idx.match(data3, 0)
+    assert not pos3 and not eq3
