@@ -60,7 +60,7 @@ def _tasks_scan_df(table, spark: SparkSession, tasks,
     return sub.to_df(spark)
 
 
-def _lineage_rewrite_prep(md, schema, keep_df):
+def _lineage_rewrite_prep(schema, keep_df):
     """v3 row lineage through a CoW rewrite: survivors keep their
     _row_id (update_where and compaction already do this; a rewrite
     that drops it hands every surviving row a fresh identity)."""
@@ -82,13 +82,17 @@ def _matches_df(spark: SparkSession, schema, bound_col, partial) -> DataFrame:
     # raw (percent-decoded) paths: every downstream join/lookup keys on
     # the manifest-recorded path — the partitioned fanout mapping, DV
     # referenced_data_file, absorb broadcasts — and the spec requires
-    # pos-delete file_path values to EQUAL the manifest path
+    # pos-delete file_path values to EQUAL the manifest path.
+    # Metadata rides in __-prefixed temporaries and the predicate runs
+    # BEFORE the final rename: naming them file_path/pos up front
+    # CLOBBERED same-named user data columns, so a predicate on a data
+    # column called `pos` filtered on the row index instead
     return (src
-            .withColumn("file_path",
-                        raw_file_path(F.col("_metadata.file_path")))
-            .withColumn("pos", F.col("_metadata.row_index"))
+            .withColumn("__fp", raw_file_path(F.col("_metadata.file_path")))
+            .withColumn("__pos", F.col("_metadata.row_index"))
             .filter(bound_col)
-            .select("file_path", "pos"))
+            .select(F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos")))
 
 
 def _dead_delete_paths(table, dropped: List[str]) -> List[str]:
@@ -152,6 +156,11 @@ def _pos_delete_datafiles(out_dir: str, ptype) -> List[M.DataFile]:
     out = []
     for path, part in discover_partitioned_files(out_dir, ptype):
         meta = pq.ParquetFile(path).metadata
+        if meta.num_rows == 0:
+            # Spark writers can emit empty parts (same guard as
+            # upsert's discovery loop): a 0-row delete entry is a
+            # useless file every future scan loads and anti-joins
+            continue
         out.append(M.DataFile(
             content=M.CONTENT_POS_DELETES, file_path=path,
             file_format="PARQUET", partition=part,
@@ -304,6 +313,13 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
     txn = table.new_transaction()
     bound_col = E.to_spark_column(E.bind(expr, schema))
 
+    if mode == "merge-on-read" and md.format_version >= 3:
+        # v3 stores row-level deletes as deletion vectors (spec;
+        # reference transaction.go:2151) — a parquet position-delete
+        # file in a v3 table is rejected/ignored by spec-conformant
+        # readers, resurrecting the deleted rows for other engines
+        mode = "merge-on-read-dv"
+
     if mode == "copy-on-write":
         rewritten: List[M.DataFile] = []
         fv3 = md.format_version >= 3
@@ -313,7 +329,7 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
             write_schema = schema
             if fv3:
                 keep_df, write_schema = _lineage_rewrite_prep(
-                    md, schema, keep_df)
+                    schema, keep_df)
             rewritten = write_dataframe(
                 keep_df, write_schema, md.spec(),
                 os.path.join(md.location, "data"), md.properties,
@@ -396,7 +412,8 @@ def delete_where(table, spark: SparkSession, expr: E.Expression,
                          removed_delete_paths=dead,
                          referenced_paths=[t.data_file.file_path
                                            for t in partial],
-                         conflict_filter=expr)
+                         conflict_filter=expr,
+                         dropped_dv_refs=dropped_dv_refs)
         return txn.commit()
 
     raise ValueError(f"unknown delete mode {mode!r}")
@@ -424,6 +441,13 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
     """
     md = table.metadata
     schema = md.schema()
+    # row lineage is v3 by spec, but this engine also assigns row ids
+    # on v2 tables it wrote itself (next-row-id advances) — preserve
+    # there too.  Only tables with NO id assignment (adopted/foreign
+    # v2 metadata) skip: writing the reserved _row_id field would
+    # stamp a junk all-null column into their data files
+    preserve_lineage = preserve_lineage and (
+        md.format_version >= 3 or (md.next_row_id or 0) > 0)
     for c in assignments:
         if schema.find_field(c) is None:
             raise ValueError(f"no such column: {c}")
@@ -441,10 +465,11 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
     dropped_dv_refs: set = set()
     if partial:
         matches = _matches_df(spark, schema, bound_col, partial)
-        if _tasks_have_dvs(partial):
+        if _tasks_have_dvs(partial) or md.format_version >= 3:
             # DV-covered targets: readers IGNORE new position-delete
             # files (supersede), so the old row versions would stay
-            # live next to the reinserts — write merged DVs instead
+            # live next to the reinserts; and v3 row-level deletes are
+            # DVs by spec — write merged DVs in both cases
             delete_files, dropped_dv_refs = _dv_delete_fanout(
                 spark, md, matches, partial)
         else:
@@ -459,12 +484,9 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
     # 2. reinserts: matching rows read through the scan lowering (existing
     #    pos/eq/DV deletes applied — a raw-parquet read would resurrect
     #    rows), updated, written with _row_id preserved
-    from ..schema import Schema as S
-    from ..types import LongType, NestedField, to_spark_type
-    from .scan import Scan
-    sub = Scan(table, row_lineage=preserve_lineage)
-    sub.plan_files = lambda: full + partial  # type: ignore[assignment]
-    src = sub.to_df(spark).filter(bound_col)
+    from ..types import to_spark_type
+    src = _tasks_scan_df(table, spark, full + partial,
+                         row_lineage=preserve_lineage).filter(bound_col)
     # ONE withColumns call: every RHS binds against the PRE-update row
     # (sequential withColumn let later assignments read already-updated
     # values, so {'a': col('b'), 'b': col('a')} failed to swap)
@@ -474,9 +496,7 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
         for cname, a in assignments.items()})
     write_schema = schema
     if preserve_lineage:
-        src = src.drop("_last_updated_sequence_number")
-        write_schema = S(list(schema.fields) + [
-            NestedField(ROW_ID_FIELD_ID, "_row_id", LongType(), False)])
+        src, write_schema = _lineage_rewrite_prep(schema, src)
     data_files = write_dataframe(
         src, write_schema, md.spec(), os.path.join(md.location, "data"),
         md.properties, sort_order=md.sort_order())
@@ -487,8 +507,9 @@ def update_where(table, spark: SparkSession, expr: E.Expression,
                      referenced_paths=[t.data_file.file_path
                                       for t in partial],
                      conflict_filter=expr,
+                     dropped_dv_refs=dropped_dv_refs,
                      extra_summary={
-                         "updated-rows": ",".join(sorted(assignments))})
+                         "updated-columns": ",".join(sorted(assignments))})
     return txn.commit()
 
 
@@ -510,7 +531,7 @@ def overwrite_where(table, spark: SparkSession, expr: E.Expression,
         write_schema = schema
         if fv3:
             keep_df, write_schema = _lineage_rewrite_prep(
-                md, schema, keep_df)
+                schema, keep_df)
         added += write_dataframe(keep_df, write_schema, md.spec(),
                                  os.path.join(md.location, "data"),
                                  md.properties, sort_order=md.sort_order())
@@ -601,16 +622,19 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
         from .scan import raw_file_path
         raw = spark.read.schema(schema.to_spark()).parquet(
             *[t.data_file.file_path for t in tasks])
+        # __-prefixed temporaries: matched_condition / key columns may
+        # legitimately be named file_path or pos (see _matches_df note)
         matches = (raw
-                   .withColumn("file_path",
+                   .withColumn("__fp",
                                raw_file_path(
                                    F.col("_metadata.file_path")))
-                   .withColumn("pos", F.col("_metadata.row_index")))
+                   .withColumn("__pos", F.col("_metadata.row_index")))
         if cond is not None:
             matches = matches.filter(cond)
         matches = (matches
                    .join(src_keys, key_columns, "leftsemi")
-                   .select("file_path", "pos"))
+                   .select(F.col("__fp").alias("file_path"),
+                           F.col("__pos").alias("pos")))
         if _tasks_have_dvs(tasks):
             # DV-covered targets: new position-delete files would be
             # ignored by the reader's supersede rule — write merged DVs
@@ -623,13 +647,27 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
     # 2. replacement + insert rows, one distributed write.  Key sets
     #    come from the scan lowering (existing deletes applied) — two
     #    passes over the target, which beats materializing every key.
+    fv3 = md.format_version >= 3
     from ..types import to_spark_type
-    target = _tasks_scan_df(table, spark, tasks) if tasks else None
+    target = _tasks_scan_df(table, spark, tasks, row_lineage=fv3) \
+        if tasks else None
     pieces = []
     if when_matched == "update" and target is not None:
         matched_keys = target.filter(cond) if cond is not None else target
-        matched_keys = matched_keys.select(*key_columns).distinct()
-        pieces.append(source.join(matched_keys, key_columns, "leftsemi"))
+        if fv3:
+            # v3 row lineage: an UPDATE preserves the row's identity —
+            # each replacement carries the matched key's _row_id (MIN
+            # over duplicate target rows, which collapse to one source
+            # row under merge's upsert identity; reference
+            # transaction.go:1998 preserveRowLineage)
+            matched_keys = (matched_keys.groupBy(*key_columns)
+                            .agg(F.min("_row_id").alias("_row_id")))
+            pieces.append(source.join(matched_keys, key_columns,
+                                      "inner"))
+        else:
+            matched_keys = matched_keys.select(*key_columns).distinct()
+            pieces.append(source.join(matched_keys, key_columns,
+                                      "leftsemi"))
     if insert_not_matched:
         # insert-side existence is decided against the WHOLE table even
         # under a candidate_filter — a key living outside the filter
@@ -638,22 +676,27 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
             else table.scan().plan_files()
         existing = _tasks_scan_df(table, spark, all_tasks) \
             if all_tasks else None
-        if existing is None:
-            pieces.append(source)
-        else:
-            pieces.append(source.join(
-                existing.select(*key_columns).distinct(),
-                key_columns, "leftanti"))
+        ins = source if existing is None else source.join(
+            existing.select(*key_columns).distinct(),
+            key_columns, "leftanti")
+        if fv3:
+            ins = ins.withColumn("_row_id", F.lit(None).cast("long"))
+        pieces.append(ins)
     data_files: List[M.DataFile] = []
     if pieces:
         out = pieces[0]
         for p in pieces[1:]:
             out = out.unionByName(p)
-        out = out.select(*[
-            F.col(f.name).cast(to_spark_type(f.field_type))
-            for f in schema.fields if f.name in out.columns])
+        keep_cols = [F.col(f.name).cast(to_spark_type(f.field_type))
+                     for f in schema.fields if f.name in out.columns]
+        write_schema = schema
+        if fv3 and "_row_id" in out.columns:
+            keep_cols.append(F.col("_row_id"))
+            _unused, write_schema = _lineage_rewrite_prep(schema, out)
+        out = out.select(*keep_cols)
         data_files = write_dataframe(
-            out, schema, md.spec(), os.path.join(md.location, "data"),
+            out, write_schema, md.spec(),
+            os.path.join(md.location, "data"),
             md.properties, sort_order=md.sort_order())
 
     if not delete_files and not data_files:
@@ -664,8 +707,20 @@ def merge_into(table, spark: SparkSession, source: DataFrame,
             [], dropped_dv_refs=merge_dropped_dv_refs)
     txn.append_files(delete_files + data_files, operation=OP_OVERWRITE,
                      manifests_to_keep=keep_manifests,
+                     # referenced_paths guards files our NEW delete
+                     # files point at; with no delete files an
+                     # insert-only merge must not fail rebase because
+                     # a concurrent compaction rewrote a scanned file
                      referenced_paths=[t.data_file.file_path
-                                       for t in tasks],
+                                       for t in tasks]
+                     if delete_files else [],
+                     # serializable isolation: concurrently ADDED files
+                     # may carry matching keys the merge never saw —
+                     # candidate_filter bounds where they could live,
+                     # else any added file conflicts
+                     conflict_filter=candidate_filter
+                     if candidate_filter is not None else E.AlwaysTrue(),
+                     dropped_dv_refs=merge_dropped_dv_refs,
                      extra_summary={
                          "merge-keys": ",".join(key_columns),
                          "merge-matched": str(when_matched),

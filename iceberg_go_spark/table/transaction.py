@@ -418,7 +418,9 @@ class Transaction:
                      removed_delete_paths: Optional[List[str]] = None,
                      referenced_paths: Optional[List[str]] = None,
                      conflict_filter: Optional[E.Expression] = None,
-                     full_replace: bool = False) -> "Transaction":
+                     full_replace: bool = False,
+                     dropped_dv_refs: Optional[set] = None
+                     ) -> "Transaction":
         """Register already-written data files (add_files / internal DML).
 
         The conflict-context kwargs drive OCC rebase validation
@@ -435,6 +437,11 @@ class Transaction:
         snap._referenced_paths = list(referenced_paths or [])
         snap._conflict_filter = conflict_filter
         snap._full_replace = full_replace
+        # superseded (container, referenced-file) DV pairs: recorded on
+        # the snapshot so an OCC REBASE re-drops them — rebuilding keep-
+        # manifests without this would resurrect the old DV next to the
+        # merged one (two live DVs per file corrupts v3 readers)
+        snap._dropped_dv_refs = set(dropped_dv_refs or ())
         snap._base_seq = self.metadata.last_sequence_number
         return self
 
@@ -805,10 +812,12 @@ class Transaction:
             keep = base_manifests
             if op != OP_APPEND:
                 ctx = self._validate_rebase(snap, base_manifests)
-                if ctx["removed"]:
+                dv_refs = getattr(snap, "_dropped_dv_refs", None) or set()
+                if ctx["removed"] or dv_refs:
                     keep = _rewrite_without(
                         base_manifests, ctx["removed"], schema,
-                        self._metadata_dir(), fresh_md.format_version)
+                        self._metadata_dir(), fresh_md.format_version,
+                        dropped_refs=dv_refs)
             seq += 1
             own = [m for m in self._new_manifest_lists[snap.snapshot_id]
                    if m.added_snapshot_id == snap.snapshot_id]

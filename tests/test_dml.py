@@ -395,3 +395,110 @@ def test_mor_and_dv_deletes_in_warehouse_path_with_space(spark, sf_dir,
     # lineage must also resolve (left join would null out on mismatch)
     rows = t.scan(row_lineage=True).to_df(spark).collect()
     assert all(r._row_id is not None for r in rows)
+
+
+def test_mor_delete_with_column_named_pos(spark, sf_dir, catalog):
+    """A data column named `pos` (or `file_path`) must not be clobbered
+    by the metadata projection before the predicate runs — the filter
+    used to evaluate against the ROW INDEX instead of the data."""
+    df = (read_table(spark, "nation", sf_dir)
+          .withColumn("pos", F.col("n_nationkey") * 100)
+          .withColumn("file_path", F.lit("user-data")))
+    t = catalog.create_table("db.poscol", Schema.from_spark(df.schema))
+    t.append(df)
+    t = catalog.load_table("db.poscol")
+    # rows with pos > 1000 <=> n_nationkey > 10
+    t.delete_where(spark, E.gt("pos", 1000), mode="merge-on-read")
+    t = catalog.load_table("db.poscol")
+    got = t.scan().to_df(spark)
+    assert got.filter(F.col("pos") > 1000).count() == 0
+    exp = df.filter(F.col("pos") <= 1000).count()
+    assert got.count() == exp
+
+
+def test_v3_mor_delete_routes_to_dvs(spark, sf_dir, catalog):
+    """v3 stores row-level deletes as deletion vectors (spec;
+    transaction.go:2151): mode='merge-on-read' on a v3 table must land
+    PUFFIN DV entries, never parquet position-delete files."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.v3mor", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
+    t.append(df)
+    t = catalog.load_table("db.v3mor")
+    t.delete_where(spark, E.eq("n_nationkey", 5), mode="merge-on-read")
+    t = catalog.load_table("db.v3mor")
+    fmts = {d.file_format
+            for task in t.scan().plan_files()
+            for d in task.pos_deletes}
+    assert fmts == {"PUFFIN"}
+    assert t.scan().to_df(spark).filter(
+        F.col("n_nationkey") == 5).count() == 0
+    # update_where on v3 likewise writes DVs for its deletes
+    t.update_where(spark, E.eq("n_nationkey", 7),
+                   {"n_name": F.lit("UPD")})
+    t = catalog.load_table("db.v3mor")
+    fmts = {d.file_format
+            for task in t.scan().plan_files()
+            for d in task.pos_deletes}
+    assert fmts <= {"PUFFIN"}
+    got = t.scan().to_df(spark).filter(F.col("n_nationkey") == 7)
+    assert [r.n_name for r in got.collect()] == ["UPD"]
+
+
+def test_merge_preserves_row_lineage_on_update(spark, sf_dir, catalog):
+    """v3 MERGE update keeps the matched row's _row_id (identity
+    preserved — reference preserveRowLineage); inserted rows get fresh
+    ids, and no two rows share one."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.mlin", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
+    t.append(df)
+    t = catalog.load_table("db.mlin")
+    before = {r.n_nationkey: r._row_id for r in
+              t.scan().with_row_lineage().to_df(spark)
+              .select("n_nationkey", "_row_id").collect()}
+    src_rows = [(3, "MERGED", 0), (99, "NEW", 0)]
+    src = spark.createDataFrame(
+        src_rows, df.select("n_nationkey", "n_name",
+                            "n_regionkey").schema)
+    t.merge_into(spark, src, ["n_nationkey"])
+    t = catalog.load_table("db.mlin")
+    after_df = t.scan().with_row_lineage().to_df(spark)
+    after = {r.n_nationkey: r._row_id for r in
+             after_df.select("n_nationkey", "_row_id").collect()}
+    assert after[3] == before[3], "updated row lost its identity"
+    assert after[99] is not None and after[99] not in before.values()
+    n = after_df.count()
+    assert after_df.select("_row_id").distinct().count() == n
+
+
+def test_dv_supersede_survives_occ_rebase(spark, sf_dir, catalog):
+    """A DV delete whose commit rebases over a concurrent append must
+    still expunge the superseded DV entry — at most ONE live DV per
+    data file (v3 invariant; other engines' DV index rejects tables
+    violating it)."""
+    df = read_table(spark, "nation", sf_dir)
+    t = catalog.create_table("db.dvocc", Schema.from_spark(df.schema),
+                             properties={"format-version": "3"})
+    t.append(df)
+    t = catalog.load_table("db.dvocc")
+    t.delete_where(spark, E.eq("n_nationkey", 1),
+                   mode="merge-on-read-dv")
+    # stale handle plans a second DV delete against the same file
+    stale = catalog.load_table("db.dvocc")
+    fresh = catalog.load_table("db.dvocc")
+    fresh.append(df.limit(1))  # concurrent winner forces a rebase
+    stale.delete_where(spark, E.eq("n_nationkey", 2),
+                       mode="merge-on-read-dv")
+    t = catalog.load_table("db.dvocc")
+    per_file = {}
+    for task in t.scan().plan_files():
+        for d in task.pos_deletes:
+            if d.file_format == "PUFFIN":
+                per_file.setdefault(
+                    task.data_file.file_path, set()).add(d.file_path)
+    for fp, containers in per_file.items():
+        assert len(containers) == 1, \
+            f"two live DVs for {fp}: {sorted(containers)}"
+    got = t.scan().to_df(spark)
+    assert got.filter(F.col("n_nationkey").isin(1, 2)).count() == 0
