@@ -99,6 +99,11 @@ def _zorder_value(df: DataFrame, cols: List[str]):
     n = len(cols)
     if not 2 <= n <= 8:
         raise ValueError("zorder needs 2..8 columns")
+    # total interleaved bits must stay OUT of the long's sign bit: with
+    # 8 cols x 8 bits the last bit landed at position 63, flipping z
+    # negative for half of the last dimension and splitting each Morton
+    # region across opposite ends of the range sort
+    bits = min(ZORDER_BITS, 63 // n)
     dtypes = dict(df.dtypes)
 
     def num(c):
@@ -112,7 +117,7 @@ def _zorder_value(df: DataFrame, cols: List[str]):
         aggs += [F.min(num(c)).alias(f"mn_{c}"),
                  F.max(num(c)).alias(f"mx_{c}")]
     row = df.agg(*aggs).first()
-    nbuckets = 1 << ZORDER_BITS
+    nbuckets = 1 << bits
     buckets = []
     for c in cols:
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
@@ -126,7 +131,7 @@ def _zorder_value(df: DataFrame, cols: List[str]):
             F.least(F.lit(nbuckets - 1), F.greatest(F.lit(0), b)),
             F.lit(0)))
     z = F.lit(0).cast("long")
-    for bit in range(ZORDER_BITS):
+    for bit in range(bits):
         for i, b in enumerate(buckets):
             z = z + F.shiftleft(
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)),
@@ -205,9 +210,15 @@ def partition_columns(df: DataFrame, schema: Schema, spec: PartitionSpec
     return df, pcols
 
 
-def _parse_partition_value(t: T.IcebergType, raw: str) -> Any:
+def _parse_partition_value(t: T.IcebergType, raw: str,
+                           session_tz: Optional[str] = None) -> Any:
     if raw == HIVE_NULL:
         return None
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        # bytes must round-trip the percent-encoding as BYTES: decoding
+        # to str first mangles non-UTF-8 (b'\xc3\xa9' -> 'é' ->
+        # latin1 b'\xe9' loses a byte; b'\xff' crashed outright)
+        return urllib.parse.unquote_to_bytes(raw)
     v = urllib.parse.unquote(raw)
     if isinstance(t, (T.IntegerType, T.LongType)):
         return int(v)
@@ -218,22 +229,32 @@ def _parse_partition_value(t: T.IcebergType, raw: str) -> Any:
     if isinstance(t, T.DateType):
         return date.fromisoformat(v)
     if isinstance(t, (T.TimestampType, T.TimestamptzType)):
-        return datetime.fromisoformat(v.replace(" ", "T"))
+        dt = datetime.fromisoformat(v.replace(" ", "T"))
+        if isinstance(t, T.TimestamptzType) and dt.tzinfo is None \
+                and session_tz and session_tz != "UTC":
+            # Spark renders timestamptz dir values in the SESSION
+            # timezone; downstream serialization treats naive as UTC —
+            # normalize so partition tuples don't shift by the offset
+            from zoneinfo import ZoneInfo
+            dt = dt.replace(tzinfo=ZoneInfo(session_tz)) \
+                .astimezone(ZoneInfo("UTC")).replace(tzinfo=None)
+        return dt
     if isinstance(t, T.DecimalType):
         return Decimal(v)
     if isinstance(t, (T.StringType, T.UUIDType)):
         return v
-    if isinstance(t, (T.BinaryType, T.FixedType)):
-        return v.encode("latin1")
     raise TypeError(f"cannot parse partition value of type {t}")
 
 
-def discover_partitioned_files(out_dir: str, ptype: T.StructType
+def discover_partitioned_files(out_dir: str, ptype: T.StructType,
+                               session_tz: Optional[str] = None
                                ) -> List[Tuple[str, Dict[str, Any]]]:
     """Walk a ``partitionBy`` output tree -> [(path, partition dict)].
 
     Inverse of the hive-style ``__part__name=value`` directory encoding
-    used by the fanout writers (data and pos-delete)."""
+    used by the fanout writers (data and pos-delete).  ``session_tz``
+    normalizes timestamptz dir values Spark rendered in a non-UTC
+    session timezone."""
     ptype_by_name = {f.name: f.field_type for f in ptype.fields}
     files: List[Tuple[str, Dict[str, Any]]] = []
     for root, _dirs, names in os.walk(out_dir):
@@ -249,7 +270,7 @@ def discover_partitioned_files(out_dir: str, ptype: T.StructType
                     pname = k[len(PART_COL_PREFIX):] if k.startswith(
                         PART_COL_PREFIX) else k
                     part[pname] = _parse_partition_value(
-                        ptype_by_name[pname], raw)
+                        ptype_by_name[pname], raw, session_tz)
             files.append((full, part))
     return files
 
@@ -477,20 +498,32 @@ def _harvest_via_spark(spark, paths: List[str],
 
     df = spark.read.parquet(*paths)
     cols = set(df.columns)
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     aggs = [F.count(F.lit(1)).alias("__n")]
+    # geometry/geography: byte-wise min/max over WKB decodes into a
+    # garbage-but-valid bbox that WRONGLY prunes (the footer harvester
+    # excludes them for the same reason; geography is never boundable)
+    geo_fids = {fid for _n, (fid, tstr) in name_to_field.items()
+                if tstr.startswith(("geometry", "geography"))}
     for name, (fid, tstr) in sorted(name_to_field.items()):
         if name not in cols:
             continue
-        aggs += [F.min(name).alias(f"mn_{fid}"),
-                 F.max(name).alias(f"mx_{fid}"),
-                 F.count(F.lit(1)).alias(f"vc_{fid}"),
+        aggs += [F.count(F.lit(1)).alias(f"vc_{fid}"),
                  F.sum(F.col(name).isNull().cast("long"))
                  .alias(f"nc_{fid}")]
-    for ppath, (vfid, norm, _tstr) in sorted(shred_map.items()):
+        if fid not in geo_fids:
+            aggs += [F.min(name).alias(f"mn_{fid}"),
+                     F.max(name).alias(f"mx_{fid}")]
+    # deterministic per-path tags: abs(hash(norm)) % 1e8 could COLLIDE
+    # across two normalized paths, silently crossing their bounds
+    shred_items = sorted(shred_map.items())
+    shred_tags = {ppath: f"{vfid}_{i}"
+                  for i, (ppath, (vfid, _n, _t)) in enumerate(shred_items)}
+    for ppath, (vfid, norm, _tstr) in shred_items:
         top = ppath.split(".", 1)[0]
         if top not in cols:
             continue
-        tag = f"{vfid}_{abs(hash(norm)) % 10**8}"
+        tag = shred_tags[ppath]
         aggs += [F.min(F.col(ppath)).alias(f"vmn_{tag}"),
                  F.max(F.col(ppath)).alias(f"vmx_{tag}")]
     rows = (df.groupBy(F.input_file_name().alias("__p"))
@@ -530,8 +563,23 @@ def _harvest_via_spark(spark, paths: List[str],
                     continue
                 s["value_counts"][fid] = int(r[f"vc_{fid}"])
                 s["null_counts"][fid] = int(r[f"nc_{fid}"] or 0)
+                if fid in geo_fids:
+                    continue  # no byte-wise WKB bounds (see above)
                 t = _tfs(tstr)
                 mn, mx = r[f"mn_{fid}"], r[f"mx_{fid}"]
+                # timestamptz collect()s as SESSION-timezone-naive
+                # datetimes; downstream serialization reads naive as
+                # UTC — normalize or bounds shift by the UTC offset
+                if tstr.startswith("timestamptz") \
+                        and session_tz != "UTC":
+                    from zoneinfo import ZoneInfo
+                    def _to_utc(v):
+                        if v is None or v.tzinfo is not None:
+                            return v
+                        return (v.replace(tzinfo=ZoneInfo(session_tz))
+                                .astimezone(ZoneInfo("UTC"))
+                                .replace(tzinfo=None))
+                    mn, mx = _to_utc(mn), _to_utc(mx)
                 if mn is not None:
                     try:
                         s["lower"][fid] = _to_bytes(
@@ -547,8 +595,8 @@ def _harvest_via_spark(spark, paths: List[str],
                             pass
             vl: Dict[int, Dict[str, Any]] = {}
             vu: Dict[int, Dict[str, Any]] = {}
-            for ppath, (vfid, norm, _tstr) in shred_map.items():
-                tag = f"{vfid}_{abs(hash(norm)) % 10**8}"
+            for ppath, (vfid, norm, _tstr) in shred_items:
+                tag = shred_tags[ppath]
                 if f"vmn_{tag}" not in r.__fields__:
                     continue
                 mn, mx = r[f"vmn_{tag}"], r[f"vmx_{tag}"]
@@ -569,7 +617,8 @@ def _harvest_via_spark(spark, paths: List[str],
 
 def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
                  truncate_len: int,
-                 shred_map: Optional[Dict[str, Tuple[int, str, str]]] = None
+                 shred_map: Optional[Dict[str, Tuple[int, str, str]]] = None,
+                 enc_props: Optional[Dict[str, str]] = None
                  ) -> Dict[str, Any]:
     """Executor-side: read one parquet footer -> stats dict.
 
@@ -585,7 +634,12 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
     from ..meta.conversions import to_bytes as _to_bytes
     from ..types import type_from_str as _tfs
 
-    pf = pq.ParquetFile(path)
+    if enc_props:  # PME-encrypted footer: decrypt via the engine KMS
+        from ..encryption import pyarrow_decryption_properties
+        _fac, dec = pyarrow_decryption_properties(enc_props)
+        pf = pq.ParquetFile(path, decryption_properties=dec)
+    else:
+        pf = pq.ParquetFile(path)
     md = pf.metadata
     arrow_schema = pf.schema_arrow
     # geo columns: parquet byte-array min/max over WKB is meaningless, so
@@ -609,6 +663,26 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
     types: Dict[int, Any] = {}
     vmins: Dict[Tuple[int, str], Any] = {}
     vmaxs: Dict[Tuple[int, str], Any] = {}
+    # same poisoning rule as the JVM harvester: a row group holding
+    # NON-NULL values but no usable min/max (stats absent, or written
+    # without min/max — parquet omits them when a group contains NaN)
+    # must void the column's bounds for the WHOLE file; folding the
+    # remaining groups yields under-covering bounds that silently
+    # prune live rows
+    bad_fids: set = set()
+    bad_vkeys: set = set()
+
+    def _no_bounds_but_values(col) -> bool:
+        if col.num_values <= 0:
+            return False
+        if not col.is_stats_set:
+            return True
+        st = col.statistics
+        if st.has_min_max:
+            return False
+        nulls = st.null_count
+        return nulls is None or nulls < col.num_values
+
     shred_map = shred_map or {}
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
@@ -632,6 +706,8 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
                         vmins[k] = st.min
                     if k not in vmaxs or _lt(vmaxs[k], st.max):
                         vmaxs[k] = st.max
+                elif _no_bounds_but_values(col):
+                    bad_vkeys.add((vfid, norm))
                 continue
             info = name_to_field.get(col.path_in_schema) or name_to_field.get(name)
             if info is None:
@@ -659,6 +735,14 @@ def _harvest_one(path: str, name_to_field: Dict[str, Tuple[int, str]],
                         mins[fid] = mn
                     if fid not in maxs or _lt(maxs[fid], mx):
                         maxs[fid] = mx
+            if fid not in geo_fids and _no_bounds_but_values(col):
+                bad_fids.add(fid)
+    for fid in bad_fids:
+        mins.pop(fid, None)
+        maxs.pop(fid, None)
+    for k in bad_vkeys:
+        vmins.pop(k, None)
+        vmaxs.pop(k, None)
     for fid, mn in mins.items():
         t = types[fid]
         mn2 = _truncate_lower(mn, truncate_len)
@@ -919,14 +1003,23 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     if pcols:
         writer = writer.partitionBy(*pcols)
     # live Parquet Modular Encryption when the table names a JVM
-    # KmsClient; otherwise the metadata plane alone carries the DEKs
-    from ..encryption import apply_parquet_encryption
-    apply_parquet_encryption(spark, properties)
+    # KmsClient; otherwise the metadata plane alone carries the DEKs.
+    # The confs are SESSION-GLOBAL: an unencrypted table's write must
+    # actively CLEAR any leftovers (from an earlier encrypted write or
+    # a lazy encrypted read), or its files get silently encrypted under
+    # the other table's footer key while its metadata says plaintext
+    from ..encryption import (apply_parquet_encryption,
+                              unapply_parquet_encryption)
+    pme_on = apply_parquet_encryption(spark, properties)
+    if not pme_on:
+        unapply_parquet_encryption(spark)
     writer.parquet(out_dir)
 
     # discover written files + their partition tuples
     ptype = spec.partition_type(schema)
-    files = discover_partitioned_files(out_dir, ptype)
+    files = discover_partitioned_files(
+        out_dir, ptype,
+        session_tz=spark.conf.get("spark.sql.session.timeZone", "UTC"))
 
     if not files:
         return []
@@ -984,7 +1077,23 @@ def write_dataframe(df: DataFrame, schema: Schema, spec: PartitionSpec,
     paths = [p for p, _ in files]
     has_variant = any(isinstance(f.field_type, T.VariantType)
                       for f in schema.fields)
-    if has_variant:
+    if pme_on:
+        # encrypted footers: neither pyarrow-without-keys nor the JVM
+        # footer reader can open them — harvest per-file with the
+        # engine-KMS decryption properties on executors (variant+PME
+        # falls to the Spark aggregation, whose JVM scan decrypts via
+        # the session's crypto factory)
+        if has_variant:
+            stats_list = _harvest_via_spark(spark, paths, name_to_field,
+                                            shred_map, truncate_len)
+        else:
+            props_b = dict(properties)
+            stats_list = spark.sparkContext.parallelize(
+                paths, max(1, min(len(paths), 64))) \
+                .map(lambda p: _harvest_one(p, name_to_field,
+                                            truncate_len, shred_map,
+                                            enc_props=props_b)).collect()
+    elif has_variant:
         # this container's pyarrow cannot open footers carrying the
         # VARIANT logical type (unrecognized Thrift LogicalType — same
         # env limitation as GEOMETRY), but parquet-java CAN: harvest

@@ -1,0 +1,122 @@
+"""Write-path edge cases from the round-8 write.py review: NaN/absent
+row-group stats poisoning bounds, z-order sign bit, binary/timestamptz
+partition-dir decoding, and PME conf clearing on plain writes."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_go_spark import types as T
+from iceberg_go_spark.catalog import FilesystemCatalog
+from iceberg_go_spark.schema import Schema
+from tests.conftest import read_table
+
+
+def test_harvest_one_poisons_bounds_on_nan_group(tmp_path):
+    """A row group whose double column contains NaN gets no min/max in
+    the footer; folding bounds from the OTHER groups only would
+    understate the range and silently prune live rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_go_spark.table.write import _harvest_one
+
+    p = str(tmp_path / "nan.parquet")
+    t1 = pa.table({"x": pa.array([0.0, 1.0], pa.float64())})
+    t2 = pa.table({"x": pa.array([500.0, math.nan], pa.float64())})
+    w = pq.ParquetWriter(p, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    # confirm the premise: the NaN group really lacks min/max
+    md = pq.ParquetFile(p).metadata
+    premise = not md.row_group(1).column(0).statistics.has_min_max
+    stats = _harvest_one(p, {"x": (1, "double")}, 16)
+    if premise:
+        assert 1 not in stats["lower"] and 1 not in stats["upper"], \
+            "bounds folded from a subset of row groups"
+    else:  # writer DID produce bounds: they must at least cover 500
+        from iceberg_go_spark.meta.conversions import from_bytes
+        assert from_bytes(T.DoubleType(), stats["upper"][1]) >= 500.0
+
+
+def test_harvest_one_poisons_bounds_when_stats_absent(tmp_path):
+    """Stats disabled entirely for a value-bearing file -> no bounds
+    (not bounds from nowhere, not a crash)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_go_spark.table.write import _harvest_one
+
+    p = str(tmp_path / "nostats.parquet")
+    tab = pa.table({"x": pa.array([5, 6, 7], pa.int64())})
+    pq.write_table(tab, p, write_statistics=False)
+    stats = _harvest_one(p, {"x": (1, "long")}, 16)
+    assert stats["record_count"] == 3
+    assert 1 not in stats["lower"] and 1 not in stats["upper"]
+
+
+def test_zorder_key_never_negative(spark, sf_dir):
+    """8 columns x 8 bits used to reach bit 63 (the sign bit): rows in
+    the top half of the last dimension sorted to the wrong END of the
+    layout.  The interleaved key must stay non-negative."""
+    from iceberg_go_spark.table.write import _zorder_value
+    li = read_table(spark, "lineitem", sf_dir)
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    z = _zorder_value(li, cols)
+    row = li.select(F.min(z).alias("mn"), F.max(z).alias("mx")).first()
+    assert row.mn >= 0
+    assert row.mx > 0  # still spreads
+
+
+def test_binary_partition_value_roundtrip():
+    """Percent-encoded binary partition dir values decode as BYTES —
+    the UTF-8-then-latin1 path mangled non-UTF-8 and crashed on \\xff."""
+    from iceberg_go_spark.table.write import _parse_partition_value
+    assert _parse_partition_value(T.BinaryType(), "%C3%A9") == b"\xc3\xa9"
+    assert _parse_partition_value(T.BinaryType(), "%FF") == b"\xff"
+    assert _parse_partition_value(T.FixedType(2), "%00%01") == b"\x00\x01"
+
+
+def test_timestamptz_partition_value_session_tz():
+    """Timestamptz dir values rendered in a non-UTC session timezone
+    normalize back to UTC."""
+    from datetime import datetime
+    from iceberg_go_spark.table.write import _parse_partition_value
+    got = _parse_partition_value(T.TimestamptzType(),
+                                 "2026-01-01 09%3A00%3A00",
+                                 session_tz="Asia/Tokyo")
+    assert got == datetime(2026, 1, 1, 0, 0, 0)
+    # UTC session: unchanged
+    got = _parse_partition_value(T.TimestamptzType(),
+                                 "2026-01-01 09%3A00%3A00",
+                                 session_tz="UTC")
+    assert got == datetime(2026, 1, 1, 9, 0, 0)
+
+
+def test_plain_write_clears_leftover_pme_confs(spark, sf_dir, tmp_path):
+    """Leftover session-global PME confs (from an earlier encrypted
+    read/write) must NOT silently encrypt an unencrypted table's files
+    under the other table's key."""
+    import pyarrow.parquet as pq
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.crypto.factory.class",
+              "org.apache.parquet.crypto.keytools."
+              "PropertiesDrivenCryptoFactory")
+    hconf.set("parquet.encryption.kms.client.class", "no.such.Kms")
+    hconf.set("parquet.encryption.footer.key", "k1")
+    try:
+        cat = FilesystemCatalog(str(tmp_path / "wh"))
+        df = read_table(spark, "nation", sf_dir)
+        t = cat.create_table("db.plain", Schema.from_spark(df.schema))
+        t.append(df)  # would fail (no such KMS class) if still armed
+        t = cat.load_table("db.plain")
+        task = t.scan().plan_files()[0]
+        pq.ParquetFile(task.data_file.file_path)  # plaintext readable
+        assert hconf.get("parquet.crypto.factory.class") is None
+    finally:
+        for k in ("parquet.crypto.factory.class",
+                  "parquet.encryption.kms.client.class",
+                  "parquet.encryption.footer.key"):
+            hconf.unset(k)
