@@ -425,10 +425,19 @@ def cast_literal(value: Any, t: T.IcebergType) -> Any:
             from datetime import timedelta
             return date(1970, 1, 1) + timedelta(days=value)
     if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        def _norm(dt: datetime) -> datetime:
+            # the engine's canonical timestamptz runtime value is a
+            # NAIVE UTC datetime (from_bytes decodes bounds that way);
+            # an aware literal must convert or bound comparisons raise
+            # "can't compare offset-naive and offset-aware datetimes"
+            if dt.tzinfo is not None:
+                from datetime import timezone as _tz
+                dt = dt.astimezone(_tz.utc).replace(tzinfo=None)
+            return dt
         if isinstance(value, datetime):
-            return value
+            return _norm(value)
         if isinstance(value, str):
-            return datetime.fromisoformat(value)
+            return _norm(datetime.fromisoformat(value))
         if isinstance(value, date):
             return datetime(value.year, value.month, value.day)
     if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):

@@ -25,6 +25,10 @@ from ..schema import Schema
 ROWS_MIGHT_MATCH = True
 ROWS_CANNOT_MATCH = False
 
+# above this many IN literals, per-value bound elimination costs more
+# than it saves (reference inPredicateLimit, evaluators.go:172-174)
+IN_PREDICATE_LIMIT = 200
+
 
 class _FieldStats:
     """Per-field stats view: counts + decoded bounds."""
@@ -39,8 +43,23 @@ class _FieldStats:
         self.upper = upper
 
 
-def _cmp_key(v: Any) -> Any:
-    return v
+def _prefix_forms(lo: Any, hi: Any, v: Any):
+    """(lo_prefix, hi_prefix, prefix) for starts_with pruning, honoring
+    the VALUE's type: bytes compare as bytes (a str() coercion produced
+    Python reprs — "b'ab'" — whose quote characters reordered binary
+    bounds and pruned files that DID match, and the strict twin then
+    whole-file-deleted rows through dml._classify)."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        p = bytes(v)
+        lo_p = bytes(lo)[:len(p)] if isinstance(
+            lo, (bytes, bytearray, memoryview)) else None
+        hi_p = bytes(hi)[:len(p)] if isinstance(
+            hi, (bytes, bytearray, memoryview)) else None
+        return lo_p, hi_p, p
+    p = str(v)
+    lo_p = str(lo)[:len(p)] if lo is not None else None
+    hi_p = str(hi)[:len(p)] if hi is not None else None
+    return lo_p, hi_p, p
 
 
 class InclusiveMetricsEvaluator:
@@ -95,6 +114,9 @@ class InclusiveMetricsEvaluator:
         if op == E.OP_IS_NAN:
             if s.nan_count == 0:
                 return ROWS_CANNOT_MATCH
+            if (s.null_count is not None and s.value_count is not None
+                    and s.null_count == s.value_count):
+                return ROWS_CANNOT_MATCH  # all-null: no NaNs either
             return ROWS_MIGHT_MATCH
         if op == E.OP_NOT_NAN:
             # nulls match not_nan (evaluators.go VisitNotNan prunes only
@@ -132,13 +154,19 @@ class InclusiveMetricsEvaluator:
         if (s.nan_count is not None and s.value_count is not None
                 and s.nan_count == s.value_count):
             return ROWS_CANNOT_MATCH
-        # a NaN bound is unreliable for ordering: drop it (a partial-NaN
-        # column with finite bounds still prunes — evaluators.go:898-1005
-        # only bails per-bound, not per-column)
+        # a NaN bound is unreliable for ordering.  Range ops drop just
+        # that bound; EQ/IN mirror the reference's SEQUENTIAL bailout
+        # (evaluators.go VisitEqual/VisitIn): the lower bound is
+        # examined first — a NaN there means might-match immediately
+        # (the sibling bound is not consulted), while a VALID lower
+        # that already excludes the literal prunes before the NaN
+        # upper is ever seen
         lo, hi = s.lower, s.upper
-        if isinstance(lo, float) and math.isnan(lo):
+        nan_lo = isinstance(lo, float) and math.isnan(lo)
+        nan_hi = isinstance(hi, float) and math.isnan(hi)
+        if nan_lo:
             lo = None
-        if isinstance(hi, float) and math.isnan(hi):
+        if nan_hi:
             hi = None
         v = expr.literals[0] if expr.literals else None
         if op == E.OP_LT:
@@ -154,35 +182,45 @@ class InclusiveMetricsEvaluator:
             if hi is not None and hi < v:
                 return ROWS_CANNOT_MATCH
         elif op == E.OP_EQ:
+            if nan_lo:
+                return ROWS_MIGHT_MATCH
             if lo is not None and lo > v:
                 return ROWS_CANNOT_MATCH
+            if nan_hi:
+                return ROWS_MIGHT_MATCH
             if hi is not None and hi < v:
                 return ROWS_CANNOT_MATCH
         elif op == E.OP_IN:
             # per-value elimination (evaluators.go removeBoundCheck): a
             # value below the lower bound or above the upper can't occur;
-            # prune when none survive
+            # prune when none survive.  Above the reference's
+            # inPredicateLimit per-value elimination is pointless work
             vals = expr.literals
+            if len(vals) > IN_PREDICATE_LIMIT:
+                return ROWS_MIGHT_MATCH
+            if nan_lo:
+                return ROWS_MIGHT_MATCH
             if lo is not None:
                 vals = [x for x in vals if not x < lo]
                 if not vals:
                     return ROWS_CANNOT_MATCH
+            if nan_hi:
+                return ROWS_MIGHT_MATCH
             if hi is not None:
                 vals = [x for x in vals if not x > hi]
                 if not vals:
                     return ROWS_CANNOT_MATCH
         elif op == E.OP_STARTS_WITH:
-            prefix = str(v)
-            if lo is not None and str(lo)[:len(prefix)] > prefix:
+            lo_p, hi_p, prefix = _prefix_forms(lo, hi, v)
+            if lo_p is not None and lo_p > prefix:
                 return ROWS_CANNOT_MATCH
-            if hi is not None and str(hi)[:len(prefix)] < prefix:
+            if hi_p is not None and hi_p < prefix:
                 return ROWS_CANNOT_MATCH
         elif op == E.OP_NOT_STARTS_WITH:
             # all rows start with prefix <=> both bounds do and share it
-            prefix = str(v)
-            if (lo is not None and hi is not None
-                    and str(lo).startswith(prefix)
-                    and str(hi).startswith(prefix)):
+            lo_p, hi_p, prefix = _prefix_forms(lo, hi, v)
+            if (lo_p is not None and hi_p is not None
+                    and lo_p == prefix and hi_p == prefix):
                 return ROWS_CANNOT_MATCH
         # OP_NEQ / OP_NOT_IN: cannot prune with min/max
         return ROWS_MIGHT_MATCH
@@ -255,12 +293,20 @@ def _variant_might_match(pred: E.Predicate,
 
 
 def _stats_of(file: DataFile, fid: int, t: T.IcebergType) -> _FieldStats:
+    # bounds decode is best-effort: types without a plain-value bound
+    # encoding (VariantType stores an encoded bounds OBJECT under the
+    # variant field id) simply yield no bounds — a unary is_null/
+    # not_null on such a column must not crash planning
+    try:
+        lower = from_bytes(t, file.lower_bounds.get(fid))
+        upper = from_bytes(t, file.upper_bounds.get(fid))
+    except (TypeError, ValueError):
+        lower = upper = None
     return _FieldStats(
         value_count=file.value_counts.get(fid),
         null_count=file.null_value_counts.get(fid),
         nan_count=file.nan_value_counts.get(fid),
-        lower=from_bytes(t, file.lower_bounds.get(fid)),
-        upper=from_bytes(t, file.upper_bounds.get(fid)))
+        lower=lower, upper=upper)
 
 
 class StrictMetricsEvaluator:
@@ -341,11 +387,13 @@ class StrictMetricsEvaluator:
         if op == E.OP_NOT_IN:
             return all(x < lo or x > hi for x in expr.literals)
         if op == E.OP_STARTS_WITH:
-            p = str(v)
-            return str(lo).startswith(p) and str(hi).startswith(p)
+            lo_p, hi_p, pfx = _prefix_forms(lo, hi, v)
+            return (lo_p is not None and hi_p is not None
+                    and lo_p == pfx and hi_p == pfx)
         if op == E.OP_NOT_STARTS_WITH:
-            p = str(v)
-            return str(lo)[:len(p)] > p or str(hi)[:len(p)] < p
+            lo_p, hi_p, pfx = _prefix_forms(lo, hi, v)
+            return ((lo_p is not None and lo_p > pfx)
+                    or (hi_p is not None and hi_p < pfx))
         return False
 
 
@@ -398,7 +446,6 @@ class ManifestEvaluator:
         projected = inclusive_projection(schema, spec, row_filter,
                                          case_sensitive)
         self.part_filter = E.bind(projected, part_schema, case_sensitive)
-        self._metrics = InclusiveMetricsEvaluator(part_schema, self.part_filter)
 
     def eval(self, manifest: ManifestFile) -> bool:
         """True = scan the manifest; False = skip it entirely."""
@@ -478,6 +525,8 @@ class ManifestEvaluator:
             if op == E.OP_IN:
                 if lo is None:
                     return False
+                if len(e.literals) > IN_PREDICATE_LIMIT:
+                    return True  # per-value elimination not worth it
                 vals = [x for x in e.literals if not x < lo]
                 if not vals:
                     return False
@@ -487,13 +536,27 @@ class ManifestEvaluator:
                         return False
                 return True
             if op == E.OP_STARTS_WITH:
-                p = str(v)
-                if lo is not None and str(lo)[:len(p)] > p:
+                if lo is None:
+                    # all partition values null: nothing starts with
+                    # the prefix (evaluators.go:433-435)
                     return False
-                if hi is not None and str(hi)[:len(p)] < p:
+                lo_p, hi_p, pfx = _prefix_forms(lo, hi, v)
+                if lo_p is not None and lo_p > pfx:
+                    return False
+                if hi_p is not None and hi_p < pfx:
                     return False
                 return True
-            # NOT_EQ / NOT_IN / NOT_STARTS_WITH: bounds can't answer
+            if op == E.OP_NOT_STARTS_WITH:
+                # both bounds carry the full prefix -> every non-null
+                # value starts with it, and nulls never match a
+                # predicate -> prune (evaluators.go VisitNotStartsWith)
+                if lo is not None and hi is not None:
+                    lo_p, hi_p, pfx = _prefix_forms(lo, hi, v)
+                    if (lo_p is not None and hi_p is not None
+                            and lo_p == pfx and hi_p == pfx):
+                        return False
+                return True
+            # NOT_EQ / NOT_IN: bounds can't answer
             return True
 
         return visit(self.part_filter)

@@ -377,3 +377,112 @@ def test_manifest_in_per_value_elimination():
     m = _manifest([_summ(lo=10.0, hi=20.0)])
     assert not _ev(E.in_("v", [5.0, 25.0])).eval(m)
     assert _ev(E.in_("v", [5.0, 15.0])).eval(m)
+
+
+# ---------------------------------------------------------------------------
+# round-8 review regressions: bytes starts_with, variant unary crash,
+# aware-timestamp literals, NaN EQ sequential bailout
+
+BIN_SCHEMA = Schema([
+    T.NestedField(1, "b", T.BinaryType()),
+])
+
+
+def _bin_file(lo: bytes, hi: bytes):
+    return DataFile(
+        content=CONTENT_DATA, file_path="/b.parquet",
+        file_format="PARQUET", partition={}, record_count=10,
+        file_size_in_bytes=1, value_counts={1: 10},
+        null_value_counts={1: 0}, nan_value_counts={},
+        lower_bounds={1: to_bytes(T.BinaryType(), lo)},
+        upper_bounds={1: to_bytes(T.BinaryType(), hi)})
+
+
+def test_starts_with_binary_bounds():
+    """bytes bounds compare as BYTES: the str() coercion turned them
+    into reprs ("b'ab'") whose quote chars reordered comparisons and
+    pruned files whose min really does start with the prefix."""
+    f = _bin_file(b"abc", b"abz")
+    ev = InclusiveMetricsEvaluator(BIN_SCHEMA, E.starts_with("b", b"ab"))
+    assert ev.eval(f) is True  # min b'abc' DOES start with b'ab'
+    ev2 = InclusiveMetricsEvaluator(BIN_SCHEMA, E.starts_with("b", b"zz"))
+    assert ev2.eval(f) is False
+    # high bytes: repr ordering inverted these
+    f2 = _bin_file(b"\x80\x01", b"\x80\x7f")
+    ev3 = InclusiveMetricsEvaluator(BIN_SCHEMA,
+                                    E.starts_with("b", b"\x80"))
+    assert ev3.eval(f2) is True
+    # strict side must NOT claim every row fails to start with b'ab'
+    sev = StrictMetricsEvaluator(BIN_SCHEMA,
+                                 E.not_starts_with("b", b"ab"))
+    assert sev.eval(f) is False
+
+
+def test_variant_unary_predicate_does_not_crash():
+    """is_null/not_null on a variant column: the bounds slot holds an
+    encoded bounds OBJECT that from_bytes cannot decode — planning must
+    treat it as no-bounds, not crash."""
+    schema = Schema([T.NestedField(1, "v", T.VariantType())])
+    f = DataFile(
+        content=CONTENT_DATA, file_path="/v.parquet",
+        file_format="PARQUET", partition={}, record_count=5,
+        file_size_in_bytes=1, value_counts={1: 5},
+        null_value_counts={1: 0}, nan_value_counts={},
+        lower_bounds={1: b"\x01\x02opaque-variant-bounds"},
+        upper_bounds={1: b"\x01\x02opaque-variant-bounds"})
+    assert InclusiveMetricsEvaluator(schema, E.not_null("v")).eval(f) \
+        is True
+    assert InclusiveMetricsEvaluator(schema, E.is_null("v")).eval(f) \
+        is False  # null_count == 0 still prunes
+
+
+def test_aware_timestamp_literal_normalizes():
+    """A tz-AWARE literal against timestamptz bounds (decoded as naive
+    UTC) used to raise 'can't compare offset-naive and offset-aware'."""
+    from datetime import datetime, timezone, timedelta
+    schema = Schema([T.NestedField(1, "ts", T.TimestamptzType())])
+    lo = datetime(2026, 1, 1, 0, 0, 0)
+    hi = datetime(2026, 1, 2, 0, 0, 0)
+    f = DataFile(
+        content=CONTENT_DATA, file_path="/t.parquet",
+        file_format="PARQUET", partition={}, record_count=5,
+        file_size_in_bytes=1, value_counts={1: 5},
+        null_value_counts={1: 0}, nan_value_counts={},
+        lower_bounds={1: to_bytes(T.TimestamptzType(), lo)},
+        upper_bounds={1: to_bytes(T.TimestamptzType(), hi)})
+    aware = datetime(2026, 1, 1, 12, 0, 0,
+                     tzinfo=timezone(timedelta(hours=2)))  # = 10:00Z
+    ev = InclusiveMetricsEvaluator(schema, E.gt("ts", aware))
+    assert ev.eval(f) is True
+    aware_late = datetime(2026, 1, 3, 0, 0, 0, tzinfo=timezone.utc)
+    assert InclusiveMetricsEvaluator(schema,
+                                     E.gt("ts", aware_late)).eval(f) \
+        is False
+
+
+def test_eq_nan_bound_sequential_bailout():
+    """EQ examines the lower bound FIRST (reference VisitEqual): a NaN
+    LOWER bound bails to might-match without trusting the upper, while
+    a valid lower that excludes the literal prunes before the NaN
+    upper is seen."""
+    import math as _m
+    schema = Schema([T.NestedField(1, "x", T.DoubleType())])
+
+    def dfile(lo, hi):
+        return DataFile(
+            content=CONTENT_DATA, file_path="/x.parquet",
+            file_format="PARQUET", partition={}, record_count=5,
+            file_size_in_bytes=1, value_counts={1: 5},
+            null_value_counts={1: 0}, nan_value_counts={1: 1},
+            lower_bounds={1: to_bytes(T.DoubleType(), lo)},
+            upper_bounds={1: to_bytes(T.DoubleType(), hi)})
+
+    # valid lower prunes even with NaN upper (sequential)
+    assert InclusiveMetricsEvaluator(
+        schema, E.eq("x", 1.0)).eval(dfile(7.0, _m.nan)) is False
+    # NaN lower: bail immediately, even though the (untrusted) upper
+    # would appear to exclude the literal
+    assert InclusiveMetricsEvaluator(
+        schema, E.eq("x", 99.0)).eval(dfile(_m.nan, 5.0)) is True
+    assert InclusiveMetricsEvaluator(
+        schema, E.in_("x", [99.0])).eval(dfile(_m.nan, 5.0)) is True
