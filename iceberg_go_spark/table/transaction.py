@@ -128,6 +128,19 @@ def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
         if not touched:
             out.append(mf)
             continue
+        # v3 row-id inheritance derives ids from the ORDER of live
+        # unstamped data entries: dropping an entry would shift every
+        # later derivation.  Materialize explicit first_row_ids from
+        # the source manifest's block BEFORE dropping, so survivors
+        # keep their identity (same derivation rule as scan.load).
+        if format_version >= 3 and mf.first_row_id is not None:
+            next_rid = mf.first_row_id
+            for e in entries:
+                if (e.is_live
+                        and e.data_file.content == M.CONTENT_DATA
+                        and e.data_file.first_row_id is None):
+                    e.data_file.first_row_id = next_rid
+                    next_rid += e.data_file.record_count
         survivors = []
         for e in entries:
             if not e.is_live or _gone(e.data_file):
@@ -189,6 +202,12 @@ class Transaction:
     def __init__(self, table, branch: str = MAIN_BRANCH):
         self.table = table
         self.metadata = table.metadata  # base; snapshots appended on staged
+        # base pointer captured at txn START: if the table HANDLE was
+        # refreshed mid-transaction, the CAS would compare against the
+        # fresh location while _build_metadata copies the stale base —
+        # succeeding WITHOUT conflict and silently dropping the
+        # concurrent snapshots.  commit() detects the drift and rebases.
+        self._base_location = table.metadata_location
         # target branch for every snapshot this transaction commits
         # (write-audit-publish: stage on a branch, fast-forward main later;
         # parity: refs surface table/refs.go + branch-targeted producers)
@@ -277,7 +296,8 @@ class Transaction:
             new_manifests.append(mf)
 
         all_manifests = new_manifests + list(keep)
-        all_manifests = self._maybe_merge_manifests(all_manifests, schema)
+        all_manifests = self._maybe_merge_manifests(
+            all_manifests, schema, current_snapshot_id=snapshot_id)
         list_path = os.path.join(
             self._metadata_dir(), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
         M.write_manifest_list(list_path, all_manifests,
@@ -294,6 +314,12 @@ class Transaction:
             parent_snapshot_id=parent,
             first_row_id=first_row_id if added_data else None)
         snap._rows_assigned = next_row_id - first_row_id
+        # PRE-merge own manifests: an OCC rebase must re-apply only this
+        # snapshot's own additions on top of the FRESH base — a merged
+        # manifest folds base files in under this snapshot's id, and
+        # re-adding it over fresh base manifests would double-count
+        # every folded file
+        snap._own_manifests = list(new_manifests)
         self._staged.append(snap)
         self._new_manifest_lists[snapshot_id] = all_manifests
         return snap
@@ -328,7 +354,9 @@ class Transaction:
         return s
 
     def _maybe_merge_manifests(self, manifests: List[M.ManifestFile],
-                               schema: Schema) -> List[M.ManifestFile]:
+                               schema: Schema,
+                               current_snapshot_id: Optional[int] = None
+                               ) -> List[M.ManifestFile]:
         """Merge append (snapshot_producers.go:495 mergeManifests): when a
         snapshot would carry more than ``commit.manifest.min-count-to-merge``
         small data manifests of the same spec, bin-pack them into one.
@@ -361,8 +389,18 @@ class Transaction:
             spec = None
             for m in group:
                 es, spec, _sid = M.read_manifest(m.manifest_path)
+                own_new = (current_snapshot_id is not None
+                           and m.added_snapshot_id == current_snapshot_id)
                 for e in es:
                     if not e.is_live:
+                        continue
+                    if own_new and e.status == M.STATUS_ADDED:
+                        # THIS snapshot's additions stay ADDED (with
+                        # inherited seq) — folding them to EXISTING
+                        # left no manifest carrying the snapshot's
+                        # added entries, blinding changelog/incremental
+                        # consumers and breaking spec inheritance
+                        entries.append(e)
                         continue
                     entries.append(M.ManifestEntry(
                         M.STATUS_EXISTING, e.snapshot_id,
@@ -445,22 +483,12 @@ class Transaction:
         snap._base_seq = self.metadata.last_sequence_number
         return self
 
-    def add_files(self, spark, paths: List[str],
-                  check_duplicates: bool = True) -> "Transaction":
-        """Register existing parquet files as data files without rewriting
-        (transaction.go:900 AddFiles): stats come from footers, harvested
-        on executors."""
-        if check_duplicates:
-            existing = {e.data_file.file_path
-                        for mf in self._current_manifests()
-                        for e in M.read_manifest(mf.manifest_path)[0]
-                        if e.is_live}
-            dupes = existing & set(paths)
-            if dupes:
-                raise ValueError(f"files already referenced: {sorted(dupes)[:3]}")
-        if not self.metadata.spec().is_unpartitioned:
-            raise ValueError("add_files currently requires an unpartitioned "
-                             "table (no partition values in plain paths)")
+    def _adopt_parquet_files(self, spark, paths: List[str]
+                             ) -> List[M.DataFile]:
+        """Footer-harvest existing parquet files into DataFile entries
+        (shared by add_files and replace_data_files): executor-side
+        pyarrow harvest with a JVM footer-reader fallback for
+        VARIANT/GEOMETRY logical types pyarrow cannot open."""
         schema = self.metadata.schema()
         from .. import types as _T
         from .write import _harvest_one, _harvest_via_jvm_footers
@@ -491,7 +519,8 @@ class Transaction:
         files = [M.DataFile(
             content=M.CONTENT_DATA, file_path=s["path"],
             file_format="PARQUET", partition={},
-            record_count=s["record_count"], file_size_in_bytes=s["file_size"],
+            record_count=s["record_count"],
+            file_size_in_bytes=s["file_size"],
             column_sizes=s["column_sizes"], value_counts=s["value_counts"],
             null_value_counts=s["null_counts"], lower_bounds=s["lower"],
             upper_bounds=s["upper"],
@@ -502,12 +531,32 @@ class Transaction:
         # schema.name-mapping.default property, name_mapping.go:85) —
         # record the mapping from the CURRENT schema so later renames
         # (which change names but not IDs) still resolve these files
-        if any(not s.get("has_field_ids", True) for s in stats):
+        if any(f.name_based for f in files):
             from ..meta.name_mapping import NameMapping, PROP_NAME_MAPPING
             if PROP_NAME_MAPPING not in self.metadata.properties and \
                     PROP_NAME_MAPPING not in self._property_updates:
                 self._property_updates[PROP_NAME_MAPPING] = \
                     NameMapping.from_schema(schema).to_json()
+        return files
+
+
+    def add_files(self, spark, paths: List[str],
+                  check_duplicates: bool = True) -> "Transaction":
+        """Register existing parquet files as data files without rewriting
+        (transaction.go:900 AddFiles): stats come from footers, harvested
+        on executors."""
+        if check_duplicates:
+            existing = {e.data_file.file_path
+                        for mf in self._current_manifests()
+                        for e in M.read_manifest(mf.manifest_path)[0]
+                        if e.is_live}
+            dupes = existing & set(paths)
+            if dupes:
+                raise ValueError(f"files already referenced: {sorted(dupes)[:3]}")
+        if not self.metadata.spec().is_unpartitioned:
+            raise ValueError("add_files currently requires an unpartitioned "
+                             "table (no partition values in plain paths)")
+        files = self._adopt_parquet_files(spark, paths)
         self._produce_snapshot(OP_APPEND, files)
         return self
 
@@ -545,27 +594,9 @@ class Transaction:
             raise ValueError("cannot delete files that do not belong to "
                              f"the table: {sorted(missing)[:3]}")
         keep = self._rewrite_manifests_without(sorted(to_delete))
-        schema = self.metadata.schema()
-        from .write import _harvest_one
-        name_to_field = {f.name: (f.field_id, str(f.field_type))
-                         for f in schema.fields if f.field_type.is_primitive}
         files: List[M.DataFile] = []
         if files_to_add:
-            stats = spark.sparkContext.parallelize(
-                files_to_add, min(len(files_to_add), 64)) \
-                .map(lambda p: _harvest_one(p, name_to_field, 16)).collect()
-            files = [M.DataFile(
-                content=M.CONTENT_DATA, file_path=s["path"],
-                file_format="PARQUET", partition={},
-                record_count=s["record_count"],
-                file_size_in_bytes=s["file_size"],
-                column_sizes=s["column_sizes"],
-                value_counts=s["value_counts"],
-                null_value_counts=s["null_counts"], lower_bounds=s["lower"],
-                upper_bounds=s["upper"],
-                split_offsets=sorted(s["split_offsets"]) or None,
-                name_based=not s.get("has_field_ids", True))
-                for s in stats]
+            files = self._adopt_parquet_files(spark, files_to_add)
         snap = self._produce_snapshot(OP_OVERWRITE, files,
                                       manifests_to_keep=keep)
         # conflict context for OCC rebase (same contract as
@@ -605,7 +636,22 @@ class Transaction:
             new.last_sequence_number = max(new.last_sequence_number,
                                            snap.sequence_number)
             new.last_updated_ms = snap.timestamp_ms
-            new.refs[self.branch] = SnapshotRef(snap.snapshot_id, "branch")
+            prev_ref = new.refs.get(self.branch)
+            if prev_ref is not None and prev_ref.ref_type == "tag":
+                raise ValidationError(
+                    f"cannot commit to {self.branch!r}: it is a TAG "
+                    f"(immutable); retag or use a branch")
+            # preserve the branch's retention settings — a bare
+            # replacement silently dropped min-snapshots-to-keep /
+            # max-snapshot-age and expire_snapshots then used defaults
+            new.refs[self.branch] = SnapshotRef(
+                snap.snapshot_id, "branch",
+                min_snapshots_to_keep=(prev_ref.min_snapshots_to_keep
+                                       if prev_ref else None),
+                max_snapshot_age_ms=(prev_ref.max_snapshot_age_ms
+                                     if prev_ref else None),
+                max_ref_age_ms=(prev_ref.max_ref_age_ms
+                                if prev_ref else None))
             if self.branch == MAIN_BRANCH:
                 # only main moves the table's current state + history log
                 new.snapshot_log.append({"snapshot-id": snap.snapshot_id,
@@ -623,6 +669,22 @@ class Transaction:
         from ..catalog.filesystem import CommitConflictError
         attempt = 0
         t0 = time.time()
+        # a mid-transaction table.refresh() moved the handle past this
+        # transaction's captured base: rebase FIRST or the CAS succeeds
+        # against the fresh pointer while carrying the stale snapshot
+        # list (silent lost update, no conflict raised)
+        if (self._base_location is not None
+                and self.table.metadata_location != self._base_location):
+            self._rebase(self.table)
+            self._base_location = self.table.metadata_location
+        # commit.retry.* table properties (properties.go:111-136)
+        props = self.metadata.properties
+        num_retries = int(props.get("commit.retry.num-retries",
+                                    COMMIT_NUM_RETRIES))
+        min_wait_ms = int(props.get("commit.retry.min-wait-ms",
+                                    COMMIT_MIN_WAIT_MS))
+        max_wait_ms = int(props.get("commit.retry.max-wait-ms",
+                                    COMMIT_MAX_WAIT_MS))
         while True:
             base_md = self.table.metadata
             new_md = self._build_metadata()
@@ -668,10 +730,10 @@ class Transaction:
                     raise TableAlreadyExistsError(
                         ".".join(self.table.identifier))
                 attempt += 1
-                if attempt > COMMIT_NUM_RETRIES:
+                if attempt > num_retries:
                     raise
-                wait = min(COMMIT_MIN_WAIT_MS * (2 ** (attempt - 1)),
-                           COMMIT_MAX_WAIT_MS) / 1000.0
+                wait = min(min_wait_ms * (2 ** (attempt - 1)),
+                           max_wait_ms) / 1000.0
                 time.sleep(wait * (0.5 + random.random() / 2))
                 # refresh: re-parent staged snapshots onto latest metadata
                 fresh = self.table.catalog.load_table(self.table.identifier)
@@ -740,7 +802,11 @@ class Transaction:
                 f = e.data_file
                 if f.content == M.CONTENT_DATA:
                     live_paths.add(f.file_path)
-                    if f.file_path in removed:
+                    # deletes conflict with files we REMOVE and with
+                    # files our new delete files REFERENCE (two
+                    # concurrent MoR/DV deletes on one file would
+                    # commit two live DVs, losing the winner's rows)
+                    if f.file_path in removed or f.file_path in referenced:
                         removed_partitions.append(f.partition or {})
                     if is_new and eseq > base_seq:
                         new_data.append(f)
@@ -754,8 +820,13 @@ class Transaction:
                 f"referenced/removed data files were removed by a "
                 f"concurrent commit (e.g. {sorted(missing)[0]})")
 
-        if removed and new_deletes:
+        if (removed or referenced) and new_deletes:
+            targets = removed | referenced
+
             def applies(d: M.DataFile) -> bool:
+                if d.referenced_data_file is not None:
+                    # DV / single-file delete: exact path scope
+                    return d.referenced_data_file in targets
                 if not d.partition or \
                         all(v is None for v in d.partition.values()):
                     return True  # globally-scoped delete
@@ -765,8 +836,8 @@ class Transaction:
                 raise ValidationError(
                     f"cannot re-apply {op} snapshot: concurrent commits "
                     f"added {len(conflicting)} delete files that apply to "
-                    f"files this snapshot rewrites (their deletes would be "
-                    f"lost)")
+                    f"files this snapshot rewrites or re-deletes (their "
+                    f"deletes would be lost)")
 
         if cfilter is not None and new_data and \
                 self._isolation(op) == ISOLATION_SERIALIZABLE:
@@ -793,11 +864,19 @@ class Transaction:
         resurrect the manifests they dropped.  Manifest rewrites
         (full_replace) are never re-parentable and always fail."""
         fresh_md = fresh_table.metadata
+        # re-parent onto the fresh head OF THIS TRANSACTION'S BRANCH —
+        # rebasing a branch transaction onto MAIN's head would graft
+        # main's manifests under the branch ref and drop every
+        # branch-only file (and discard concurrent branch commits)
+        fref = fresh_md.refs.get(self.branch)
+        fresh_head = (fref.snapshot_id if fref is not None
+                      else fresh_md.current_snapshot_id)
         base_manifests = []
-        fs = fresh_md.current_snapshot()
+        fs = (fresh_md.snapshot_by_id(fresh_head)
+              if fresh_head is not None else None)
         if fs is not None:
             base_manifests = M.read_manifest_list(fs.manifest_list)
-        parent = fresh_md.current_snapshot_id
+        parent = fresh_head
         seq = fresh_md.last_sequence_number
         next_rid = fresh_md.next_row_id
         restaged = []
@@ -819,8 +898,10 @@ class Transaction:
                         self._metadata_dir(), fresh_md.format_version,
                         dropped_refs=dv_refs)
             seq += 1
-            own = [m for m in self._new_manifest_lists[snap.snapshot_id]
-                   if m.added_snapshot_id == snap.snapshot_id]
+            own = list(getattr(snap, "_own_manifests", None)
+                       or [m for m in
+                           self._new_manifest_lists[snap.snapshot_id]
+                           if m.added_snapshot_id == snap.snapshot_id])
             # v3 row lineage: this snapshot's row ids were assigned from
             # the PRE-refresh next-row-id; if the concurrent winner also
             # assigned ids, re-base the staged range onto the refreshed
@@ -847,6 +928,16 @@ class Transaction:
             snap.parent_snapshot_id = parent
             snap.sequence_number = seq
             snap.manifest_list = list_path
+            # totals were computed against the PRE-conflict base;
+            # recompute from the re-parented manifest list so
+            # total-records/total-data-files include the winner's rows
+            snap.summary["total-records"] = str(sum(
+                m.live_rows_count for m in all_manifests
+                if m.content == M.MANIFEST_DATA))
+            snap.summary["total-data-files"] = str(sum(
+                m.added_files_count + m.existing_files_count
+                for m in all_manifests
+                if m.content == M.MANIFEST_DATA))
             parent = snap.snapshot_id
             base_manifests = all_manifests
             restaged.append(snap)

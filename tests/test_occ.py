@@ -298,3 +298,188 @@ def test_multi_snapshot_txn_rebase_not_self_conflicting(spark, sf_dir,
     got = sorted(r.id for r in
                  cat.load_table("db.multi").to_df(spark).collect())
     assert got == [2, 3, 4, 5, 100], got
+
+
+def test_branch_transaction_rebases_onto_branch_head(spark, sf_dir,
+                                                     catalog):
+    """A branch transaction that hits a commit conflict must re-parent
+    onto the BRANCH's fresh head — rebasing onto main's head grafted
+    main's manifests under the branch ref and dropped branch-only
+    files."""
+    t, df = _make(spark, sf_dir, catalog, "br")
+    main_count = df.count()
+    # put 100 extra rows on the audit branch
+    extra = df.limit(100).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000)
+    tx = t.new_transaction(branch="audit")
+    tx.append(extra)
+    tx.commit()
+    t = catalog.load_table("db.br")
+
+    # stage ANOTHER branch append on a stale handle...
+    stale = catalog.load_table("db.br")
+    tx2 = stale.new_transaction(branch="audit")
+    more = df.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000)
+    tx2.append(more)
+    # ...while main moves forward (forces the conflict + rebase)
+    t.append(df.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 30_000_000))
+    tx2.commit()
+
+    t = catalog.load_table("db.br")
+    audit = t.scan().use_ref("audit").to_df(spark)
+    # branch must hold: original + 100 (first branch append) + 50 (the
+    # rebased one); NOT main's +10 rows, and nothing lost
+    assert audit.count() == main_count + 150
+    assert audit.filter(F.col("o_orderkey") >= 30_000_000).count() == 0
+    main_df = t.scan().to_df(spark)
+    assert main_df.count() == main_count + 10
+
+
+def test_concurrent_dv_deletes_conflict(spark, sf_dir, catalog):
+    """Two concurrent merge-on-read-dv deletes touching the SAME data
+    file must conflict: the loser's DV was merged from stale state and
+    would drop the winner's deleted rows (and land a second live DV)."""
+    df = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table("db.dvc", schema,
+                             properties={"format-version": "3"})
+    t.append(df)
+    a = catalog.load_table("db.dvc")
+    b = catalog.load_table("db.dvc")
+    a.delete_where(spark, E.eq("n_nationkey", 1),
+                   mode="merge-on-read-dv")
+    with pytest.raises(ValidationError):
+        b.delete_where(spark, E.eq("n_nationkey", 2),
+                       mode="merge-on-read-dv")
+
+
+def test_commit_after_mid_transaction_refresh(spark, sf_dir, catalog):
+    """table.refresh() between staging and commit must not let the CAS
+    succeed with the STALE snapshot list (silent lost update): the
+    commit detects the moved base and rebases first."""
+    t, df = _make(spark, sf_dir, catalog, "midr")
+    base = t.to_df(spark).count()
+    txn = t.new_transaction()
+    txn.append(df.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000))
+    # concurrent writer commits...
+    other = catalog.load_table("db.midr")
+    other.append(df.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000))
+    # ...and OUR handle refreshes mid-transaction
+    t.refresh()
+    txn.commit()
+    t = catalog.load_table("db.midr")
+    assert t.to_df(spark).count() == base + 15
+    assert len(t.metadata.snapshots) >= 3
+
+
+def test_commit_preserves_branch_retention_and_rejects_tags(
+        spark, sf_dir, catalog):
+    """Commits keep the branch ref's retention settings and refuse to
+    move a TAG."""
+    from iceberg_go_spark.meta.metadata import SnapshotRef
+    from iceberg_go_spark.table.transaction import ValidationError as VE
+    t, df = _make(spark, sf_dir, catalog, "refkeep")
+    md = t.metadata
+    head = md.current_snapshot_id
+    md.refs["main"] = SnapshotRef(head, "branch",
+                                  min_snapshots_to_keep=7,
+                                  max_snapshot_age_ms=123456)
+    t.append(df.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000))
+    t = catalog.load_table("db.refkeep")
+    ref = t.metadata.refs["main"]
+    assert ref.min_snapshots_to_keep == 7
+    assert ref.max_snapshot_age_ms == 123456
+    # tags are immutable
+    t.metadata.refs["locked"] = SnapshotRef(
+        t.metadata.current_snapshot_id, "tag")
+    txn = t.new_transaction(branch="locked")
+    txn.append(df.limit(1))
+    with pytest.raises(VE, match="TAG"):
+        txn.commit()
+
+
+def test_commit_retry_properties_honored(spark, sf_dir, catalog,
+                                         monkeypatch):
+    """commit.retry.num-retries=0 fails fast instead of the hardcoded
+    4 retries."""
+    from iceberg_go_spark.catalog.filesystem import CommitConflictError
+    t, df = _make(spark, sf_dir, catalog, "retry0")
+    t.update_properties({"commit.retry.num-retries": "0"})
+    t = catalog.load_table("db.retry0")
+    txn = t.new_transaction()
+    txn.append(df.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000))
+    calls = {"n": 0}
+    real = catalog.commit_table
+
+    def always_conflict(*a, **kw):
+        calls["n"] += 1
+        raise CommitConflictError("simulated")
+
+    monkeypatch.setattr(catalog, "commit_table", always_conflict)
+    with pytest.raises(CommitConflictError):
+        txn.commit()
+    assert calls["n"] == 1  # zero retries
+
+
+def test_merged_manifest_rebase_no_duplication(spark, sf_dir, catalog):
+    """With commit.manifest-merge.enabled, an OCC rebase must re-apply
+    only the snapshot's OWN pre-merge additions — re-adding the merged
+    manifest (which folds base files under the new snapshot's id) on
+    top of the fresh base double-counted every folded file."""
+    df = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table(
+        "db.mm", schema,
+        properties={"commit.manifest-merge.enabled": "true",
+                    "commit.manifest.min-count-to-merge": "2"})
+    for i in range(3):
+        t.append(df.limit(5).withColumn(
+            "n_nationkey", F.col("n_nationkey") + F.lit(100 * i)))
+    t = catalog.load_table("db.mm")
+    base = t.to_df(spark).count()
+
+    stale = catalog.load_table("db.mm")
+    fresh = catalog.load_table("db.mm")
+    # stale stages a DELETE (delete ops rebase through keep-manifests;
+    # its append would merge manifests again)
+    fresh.append(df.limit(4).withColumn(
+        "n_nationkey", F.col("n_nationkey") + F.lit(9000)))
+    stale.delete_where(spark, E.eq("n_nationkey", 1))
+    t = catalog.load_table("db.mm")
+    got = t.to_df(spark)
+    # base - deleted(1 per duplicate block? n_nationkey==1 appears once)
+    deleted = 1
+    assert got.count() == base + 4 - deleted
+    # no duplicated rows from double-referenced manifests
+    assert got.count() == got.distinct().count()
+
+
+def test_merged_manifest_keeps_own_added_entries(spark, sf_dir,
+                                                 catalog):
+    """The merging snapshot's own additions stay STATUS_ADDED in the
+    merged manifest, so incremental/changelog consumers can identify
+    what the snapshot added."""
+    from iceberg_go_spark.meta import manifests as M
+    df = read_table(spark, "nation", sf_dir)
+    schema = Schema.from_spark(df.schema)
+    t = catalog.create_table(
+        "db.mm2", schema,
+        properties={"commit.manifest-merge.enabled": "true",
+                    "commit.manifest.min-count-to-merge": "2"})
+    t.append(df.limit(5))
+    t.append(df.limit(6))
+    t = catalog.load_table("db.mm2")
+    snap = t.current_snapshot()
+    added = 0
+    for mf in M.read_manifest_list(snap.manifest_list):
+        for e in M.read_manifest(mf.manifest_path)[0]:
+            if e.status == M.STATUS_ADDED and \
+                    e.snapshot_id == snap.snapshot_id:
+                added += 1
+    assert added >= 1, "no ADDED entries recorded for the snapshot"
