@@ -23,7 +23,8 @@ from typing import Dict, List, Optional, Set, Tuple
 from pyspark.sql import SparkSession, functions as F
 
 from ..meta import manifests as M
-from ..meta.metadata import OP_REPLACE, Snapshot
+from ..io import load_io
+from ..meta.metadata import OP_REPLACE
 from .write import write_dataframe
 
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024
@@ -42,26 +43,39 @@ class CompactionGroup:
 
 def plan_compaction(table, target_size: int = DEFAULT_TARGET_FILE_SIZE,
                     small_file_threshold: Optional[int] = None,
-                    min_input_files: int = DEFAULT_MIN_INPUT_FILES
+                    min_input_files: int = DEFAULT_MIN_INPUT_FILES,
+                    tasks: Optional[list] = None
                     ) -> List[CompactionGroup]:
-    """Bin-pack small files per partition (compaction.go:208-330)."""
+    """Bin-pack small files per partition (compaction.go:208-330).
+    ``tasks`` reuses a pre-planned file list (compact() plans once)."""
     if small_file_threshold is None:
         small_file_threshold = int(target_size * 0.75)
-    tasks = table.scan().plan_files()
+    if tasks is None:
+        tasks = table.scan().plan_files()
     by_partition: Dict[Tuple, List[M.DataFile]] = {}
+    with_deletes: Set[str] = set()
     for t in tasks:
         if t.pos_deletes or t.eq_deletes:
             key = tuple(sorted(t.data_file.partition.items()))
             by_partition.setdefault(key, []).append(t.data_file)
+            with_deletes.add(t.data_file.file_path)
             continue
         if t.data_file.file_size_in_bytes >= small_file_threshold:
             continue
         key = tuple(sorted(t.data_file.partition.items()))
         by_partition.setdefault(key, []).append(t.data_file)
 
+    def qualifies(files: List[M.DataFile]) -> bool:
+        # a delete-carrying file must be rewritten even ALONE: that is
+        # how its pending deletes get applied and its dead delete
+        # files/DVs reclaimed — min_input_files only gates pure
+        # small-file consolidation
+        return (len(files) >= min_input_files
+                or any(f.file_path in with_deletes for f in files))
+
     groups = []
     for key, files in by_partition.items():
-        if len(files) < min_input_files:
+        if not qualifies(files):
             continue
         # bin-pack into target-size bins
         files = sorted(files, key=lambda f: -f.file_size_in_bytes)
@@ -75,7 +89,7 @@ def plan_compaction(table, target_size: int = DEFAULT_TARGET_FILE_SIZE,
                     break
             if not placed:
                 bins.append(CompactionGroup(dict(key), [f]))
-        groups.extend(b for b in bins if len(b.files) >= min_input_files)
+        groups.extend(b for b in bins if qualifies(b.files))
     return groups
 
 
@@ -85,8 +99,12 @@ def compact(table, spark: SparkSession,
     """Rewrite each compaction group through Spark; one REPLACE snapshot.
 
     Applies pending deletes during the rewrite (dead deletes dropped)."""
+    # ONE planning pass shared by plan_compaction, the group-task
+    # filter, and the dead-delete liveness check below
+    all_tasks = table.scan().plan_files()
     groups = plan_compaction(table, target_size,
-                             min_input_files=min_input_files)
+                             min_input_files=min_input_files,
+                             tasks=all_tasks)
     if not groups:
         return table
     md = table.metadata
@@ -97,11 +115,6 @@ def compact(table, spark: SparkSession,
     dropped: List[str] = []
     group_paths = [f.file_path for g in groups for f in g.files]
     gp = set(group_paths)
-    # ONE planning pass: the group tasks filter from it and the
-    # dead-delete liveness check below reuses it (set(group_paths)
-    # inside the comprehension re-built the set per element — O(n^2)
-    # at 50k-file compactions; plan_files ran three times)
-    all_tasks = table.scan().plan_files()
     tasks = [t for t in all_tasks if t.data_file.file_path in gp]
     if not tasks:
         return table
@@ -226,6 +239,19 @@ def rewrite_manifests(table, target_entries_per_manifest: int = 2000,
     for mf in to_rewrite:
         es, spec, sid = M.read_manifest(mf.manifest_path)
         spec_by_id[sid] = spec
+        # v3: materialize inherited first_row_ids BEFORE repacking —
+        # entries relying on manifest-level inheritance would land in
+        # chunks with no row-id block and every scan would read their
+        # _row_id as NULL (irreversible lineage loss from a
+        # metadata-only operation; same rule as _rewrite_without)
+        if md.format_version >= 3 and mf.first_row_id is not None:
+            next_rid = mf.first_row_id
+            for e in es:
+                if (e.is_live
+                        and e.data_file.content == M.CONTENT_DATA
+                        and e.data_file.first_row_id is None):
+                    e.data_file.first_row_id = next_rid
+                    next_rid += e.data_file.record_count
         for e in es:
             if not e.is_live:
                 continue
@@ -335,11 +361,14 @@ def _retention_keep_set(md, now_ms: int, retain_last: Optional[int],
 
     keep_ids: Set[int] = set()
     drop_refs: Set[str] = set()
+    # O(1) ancestry hops: snapshot_by_id linearly scans the snapshot
+    # list, making the walk O(refs x chain x snapshots) on big tables
+    by_id = {s.snapshot_id: s for s in md.snapshots}
     for name, ref in md.refs.items():
         if name == "main":
             # the main head is always retained (transaction.go:487)
             keep_ids.add(ref.snapshot_id)
-        head = md.snapshot_by_id(ref.snapshot_id)
+        head = by_id.get(ref.snapshot_id)
         if head is None:
             continue
         max_ref_age = _first_set(ref.max_ref_age_ms, prop_max_ref_age)
@@ -360,7 +389,7 @@ def _retention_keep_set(md, now_ms: int, retain_last: Optional[int],
                              prop_max_age)
         n_kept, sid = 0, ref.snapshot_id
         while True:
-            s = md.snapshot_by_id(sid)
+            s = by_id.get(sid)
             if s is None:  # parent trimmed by a prior expiry: end of chain
                 break
             if now_ms - s.timestamp_ms > max_age and n_kept >= min_keep:
@@ -428,6 +457,20 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
             e for e in new.partition_statistics
             if e.get("snapshot-id") not in expired_ids]
         new.last_updated_ms = int(time.time() * 1000)
+        # track the superseded metadata file like every transaction
+        # commit does (Transaction._build_metadata) — without the log
+        # entry the pre-expire version vanishes from history AND from
+        # GC reach (orphan_files never touches *.metadata.json)
+        if table.metadata_location:
+            try:
+                keep_n = max(1, int(new.properties.get(
+                    "write.metadata.previous-versions-max", "100")))
+            except ValueError:
+                keep_n = 100
+            new.metadata_log.append({
+                "timestamp-ms": table.metadata.last_updated_ms,
+                "metadata-file": table.metadata_location})
+            new.metadata_log = new.metadata_log[-keep_n:]
         try:
             path = table.catalog.commit_table(table.identifier,
                                               table.metadata_location, new)
@@ -454,9 +497,12 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
                    .collect()]
         if delete_files and deleted:
             def _rm(p: str) -> None:
-                import os as _os
+                # scheme-aware: os.unlink silently no-ops on object
+                # store URIs (and the path list would still be
+                # RETURNED as deleted — leaking files forever)
+                from iceberg_go_spark.io import load_io
                 try:
-                    _os.unlink(p)
+                    load_io(p).delete(p)
                 except FileNotFoundError:
                     pass
             spark.sparkContext.parallelize(
@@ -501,7 +547,7 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
                 continue
             for e in entries:
                 p = e.data_file.file_path
-                if p not in live_data and os.path.exists(p):
+                if p not in live_data and load_io(p).exists(p):
                     to_unlink.append(p)
             to_unlink.append(mf.manifest_path)
         to_unlink.append(s.manifest_list)
@@ -509,7 +555,7 @@ def expire_snapshots(table, older_than_ms: Optional[int] = None,
     if delete_files:
         for p in deleted:
             try:
-                os.unlink(p)
+                load_io(p).delete(p)
             except FileNotFoundError:
                 pass
     return deleted
@@ -574,10 +620,20 @@ def orphan_files(table, spark: SparkSession,
         import os as _os
         out = []
         if base == roots[0]:
-            for n in _os.listdir(base):
+            # same race guard as the recursive branch: a concurrent
+            # delete between listdir and getmtime (or a missing table
+            # root) must not abort the whole orphan job
+            try:
+                names = _os.listdir(base)
+            except OSError:
+                return out
+            for n in names:
                 p = _os.path.join(base, n)
-                if _os.path.isfile(p):
-                    out.append((p, int(_os.path.getmtime(p) * 1000)))
+                try:
+                    if _os.path.isfile(p):
+                        out.append((p, int(_os.path.getmtime(p) * 1000)))
+                except OSError:
+                    pass
             return out
         for r, _d, names in _os.walk(base):
             for n in names:

@@ -146,3 +146,56 @@ def test_expire_never_dangles_surviving_branch_head(spark, sf_dir,
     assert t.metadata.snapshot_by_id(head) is not None
     # the branch still scans
     assert t.scan().use_ref("dev").to_df(spark).count() == df.count()
+
+
+def test_expire_tracks_superseded_metadata(spark, sf_dir, tmp_path):
+    """expire_snapshots must append the superseded metadata file to
+    metadata_log like every transaction commit — otherwise the
+    pre-expire version vanishes from history and from GC reach."""
+    import time as _time
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.table.maintenance import expire_snapshots
+    from tests.conftest import read_table
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.explog", Schema.from_spark(df.schema))
+    t.append(df.limit(5))
+    t.append(df.limit(7))
+    t = cat.load_table("db.explog")
+    before_loc = t.metadata_location
+    expire_snapshots(t, older_than_ms=int(_time.time() * 1000) + 10_000,
+                     retain_last=1, delete_files=False)
+    t2 = cat.load_table("db.explog")
+    logged = {e.get("metadata-file") for e in t2.metadata.metadata_log}
+    assert before_loc in logged
+
+
+def test_compaction_rewrites_lone_delete_carrying_file(spark, sf_dir,
+                                                       tmp_path):
+    """A single file carrying deletes must be rewritten even below
+    min_input_files — that is how its pending deletes get applied and
+    its delete files reclaimed."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.table.maintenance import compact
+    from tests.conftest import read_table
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.lonecmp", Schema.from_spark(df.schema))
+    t.append(df.coalesce(1))
+    t = cat.load_table("db.lonecmp")
+    t.delete_where(spark, E.eq("n_nationkey", 3), mode="merge-on-read")
+    t = cat.load_table("db.lonecmp")
+    assert any(task.pos_deletes for task in t.scan().plan_files())
+    compact(t, spark, target_size=1 << 30, min_input_files=2)
+    t = cat.load_table("db.lonecmp")
+    tasks = t.scan().plan_files()
+    # deletes applied into the rewrite: no delete files remain attached
+    assert all(not task.pos_deletes and not task.eq_deletes
+               for task in tasks)
+    got = t.scan().to_df(spark)
+    assert got.filter(F.col("n_nationkey") == 3).count() == 0
+    assert got.count() == df.count() - 1
