@@ -34,6 +34,7 @@ from ..meta.partitioning import PartitionSpec, SortOrder
 from ..schema import Schema
 from .filesystem import (CommitConflictError, NoSuchTableError,
                          TableAlreadyExistsError, _ident)
+from .glue import NoSuchNamespaceError
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +265,13 @@ class RestCatalog:
     def _ns(namespace) -> str:
         return urllib.parse.quote("\x1f".join(_ident(namespace)), safe="")
 
+    @staticmethod
+    def _q(name: str) -> str:
+        """URL-encode one path segment (table/view names may carry
+        spaces, '%', '/'): the JSON create path accepted them but the
+        raw GET/DELETE paths crashed or double-decoded)."""
+        return urllib.parse.quote(name, safe="")
+
     def _split(self, identifier) -> Tuple[Tuple[str, ...], str]:
         parts = _ident(identifier)
         return parts[:-1], parts[-1]
@@ -296,11 +304,19 @@ class RestCatalog:
                 for ns in self._paginate("/v1/namespaces", "namespaces")]
 
     def load_namespace_properties(self, namespace) -> Dict[str, str]:
-        out = self._request("GET", f"/v1/namespaces/{self._ns(namespace)}")
+        try:
+            out = self._request("GET",
+                                f"/v1/namespaces/{self._ns(namespace)}")
+        except NoSuchTableError as e:
+            raise NoSuchNamespaceError(str(e)) from None
         return out.get("properties", {})
 
     def drop_namespace(self, namespace) -> None:
-        self._request("DELETE", f"/v1/namespaces/{self._ns(namespace)}")
+        try:
+            self._request("DELETE",
+                          f"/v1/namespaces/{self._ns(namespace)}")
+        except NoSuchTableError as e:
+            raise NoSuchNamespaceError(str(e)) from None
 
     def update_namespace_properties(self, namespace,
                                     removals: Optional[List[str]] = None,
@@ -310,10 +326,13 @@ class RestCatalog:
         if overlap:
             raise ValueError(
                 f"properties in both removals and updates: {sorted(overlap)}")
-        return self._request(
-            "POST", f"/v1/namespaces/{self._ns(namespace)}/properties",
-            {"removals": list(removals or []),
-             "updates": dict(updates or {})})
+        try:
+            return self._request(
+                "POST", f"/v1/namespaces/{self._ns(namespace)}/properties",
+                {"removals": list(removals or []),
+                 "updates": dict(updates or {})})
+        except NoSuchTableError as e:
+            raise NoSuchNamespaceError(str(e)) from None
 
     def list_tables(self, namespace) -> List[Tuple[str, ...]]:
         ns = self._ns(namespace)
@@ -385,7 +404,7 @@ class RestCatalog:
         # request server-side storage-credential vending (rest.go:78-82
         # headerIcebergAccessDelegation, default "vended-credentials")
         out = self._request(
-            "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{name}",
+            "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}",
             headers={"X-Iceberg-Access-Delegation": "vended-credentials"})
         t = Table(_ident(identifier),
                   TableMetadata.from_json_dict(out["metadata"]),
@@ -407,15 +426,21 @@ class RestCatalog:
         try:
             out = self._request(
                 "GET",
-                f"/v1/namespaces/{self._ns(ns)}/tables/{name}/credentials")
+                f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}/credentials")
         except NoSuchTableError:
             return None
         return resolve_storage_credentials(
             out.get("storage-credentials") or [], location)
 
     def table_exists(self, identifier) -> bool:
+        # HEAD probe (the server implements it): a full load_table
+        # installed vended credentials and could RAISE on expired
+        # creds — an existence check must stay side-effect-free
+        ns, name = self._split(identifier)
         try:
-            self.load_table(identifier)
+            self._request(
+                "HEAD",
+                f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}")
             return True
         except NoSuchTableError:
             return False
@@ -426,7 +451,7 @@ class RestCatalog:
         # table's files, not just the catalog pointer
         self._request(
             "DELETE",
-            f"/v1/namespaces/{self._ns(ns)}/tables/{name}"
+            f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}"
             f"?purgeRequested={'true' if purge else 'false'}")
 
     def rename_table(self, src, dst) -> None:
@@ -514,15 +539,16 @@ class RestCatalog:
             "destination": {"namespace": list(dns), "name": dname}})
 
     def view_exists(self, identifier) -> bool:
-        from urllib.error import HTTPError
         ns, name = self._split(identifier)
-        req = urllib.request.Request(
-            f"{self.uri}/v1/namespaces/{self._ns(ns)}/views/"
-            f"{urllib.parse.quote(name, safe='')}", method="HEAD")
         try:
-            with urllib.request.urlopen(req) as resp:
-                return resp.status == 204
-        except HTTPError:
+            # through _request: the raw urlopen probe sent NO bearer
+            # token / SigV4 signature, so auth-enforcing servers
+            # answered 401 and existing views read as absent
+            self._request(
+                "HEAD",
+                f"/v1/namespaces/{self._ns(ns)}/views/{self._q(name)}")
+            return True
+        except NoSuchTableError:
             return False
 
     # -- functions (rest/endpoints.go:125-126; read-only plane) --------------
@@ -585,12 +611,21 @@ class RestCatalog:
         if use_async:
             body["async"] = True
         out = self._request(
-            "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{name}/plan",
+            "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}/plan",
             body)
+        # bounded poll: a server stuck on status=submitted (or a plan id
+        # lost behind a proxy) must not spin the client forever
+        deadline = _time.time() + float(
+            os.environ.get("ICEBERG_REST_PLAN_TIMEOUT_S", "300"))
         while out.get("status") == "submitted":
+            if _time.time() > deadline:
+                raise TimeoutError(
+                    f"remote scan planning still 'submitted' after "
+                    f"{os.environ.get('ICEBERG_REST_PLAN_TIMEOUT_S', '300')}s "
+                    f"(plan-id {out.get('plan-id')})")
             _time.sleep(0.05)
             out = self._request(
-                "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{name}"
+                "GET", f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}"
                        f"/plan/{out['plan-id']}")
         if out.get("status") != "completed":
             raise RuntimeError(f"scan planning failed: {out}")
@@ -628,7 +663,7 @@ class RestCatalog:
             updates = [{"action": "overwrite-metadata",
                         "metadata": metadata.to_json_dict()}]
         out = self._request(
-            "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{name}",
+            "POST", f"/v1/namespaces/{self._ns(ns)}/tables/{self._q(name)}",
             {"requirements": reqs, "updates": updates})
         return out["metadata-location"]
 
@@ -641,11 +676,13 @@ class RestCatalog:
         changes = []
         for c in commits:
             ns, name = list(c.identifier[:-1]), c.identifier[-1]
+            reqs = ([{"type": "assert-create"}]
+                    if c.base_metadata_path is None else
+                    [{"type": "assert-metadata-location",
+                      "metadata-location": c.base_metadata_path}])
             changes.append({
                 "identifier": {"namespace": ns, "name": name},
-                "requirements": [
-                    {"type": "assert-metadata-location",
-                     "metadata-location": c.base_metadata_path}],
+                "requirements": reqs,
                 "updates": [
                     {"action": "overwrite-metadata",
                      "metadata": c.metadata.to_json_dict()}]})
@@ -842,9 +879,10 @@ def _make_handler(state: _State):
                 return self._send(200, {"defaults":
                                         {"warehouse": state.warehouse}})
             if p == ["v1", "namespaces"]:
+                with state.lock:  # POST/DELETE mutate concurrently
+                    names = sorted(state.namespaces)
                 return self._send(200, self._page(
-                    [(ns, list(ns)) for ns in sorted(state.namespaces)],
-                    "namespaces"))
+                    [(ns, list(ns)) for ns in names], "namespaces"))
             if len(p) == 3 and p[:2] == ["v1", "namespaces"]:
                 ns = tuple(p[2].split("\x1f"))
                 props = state.namespaces.get(ns)
@@ -855,9 +893,11 @@ def _make_handler(state: _State):
             if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "tables":
                 ns = tuple(p[2].split("\x1f"))
+                with state.lock:
+                    keys = sorted(state.tables)
                 ids = [(k[0] + (k[1],),
                         {"namespace": list(k[0]), "name": k[1]})
-                       for k in sorted(state.tables) if k[0] == ns]
+                       for k in keys if k[0] == ns]
                 return self._send(200, self._page(ids, "identifiers"))
             if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "tables":
@@ -888,7 +928,9 @@ def _make_handler(state: _State):
                     200,
                     {"storage-credentials": state.vend_credentials()})
             if len(p) == 7 and p[3] == "tables" and p[5] == "plan":
-                result = state.plans.get(p[6])
+                # pop: a retrieved plan's task list must not live in
+                # server memory for the life of the process
+                result = state.plans.pop(p[6], None)
                 if result is None:
                     return self._send(404, {"error": "no such plan"})
                 return self._send(200, result)
@@ -897,9 +939,11 @@ def _make_handler(state: _State):
                     and p[3] in ("views", "functions"):
                 ns = tuple(p[2].split("\x1f"))
                 store = state.views if p[3] == "views" else state.functions
+                with state.lock:
+                    keys = sorted(store)
                 ids = [(k[0] + (k[1],),
                         {"namespace": list(k[0]), "name": k[1]})
-                       for k in sorted(store) if k[0] == ns]
+                       for k in keys if k[0] == ns]
                 return self._send(200, self._page(ids, "identifiers"))
             if len(p) == 5 and p[:2] == ["v1", "namespaces"] \
                     and p[3] in ("views", "functions"):
@@ -991,7 +1035,13 @@ def _make_handler(state: _State):
             body = self._body()
             if p == ["v1", "namespaces"]:
                 ns = tuple(body["namespace"])
-                state.namespaces[ns] = body.get("properties", {})
+                with state.lock:
+                    if ns in state.namespaces:
+                        # spec: 409 AlreadyExists — the old handler
+                        # silently REPLACED the properties dict
+                        return self._send(
+                            409, {"error": "namespace exists"})
+                    state.namespaces[ns] = body.get("properties", {})
                 return self._send(200, {"namespace": list(ns)})
             if len(p) == 4 and p[:2] == ["v1", "namespaces"] \
                     and p[3] == "properties":
@@ -1048,6 +1098,12 @@ def _make_handler(state: _State):
                 ns = tuple(p[2].split("\x1f"))
                 key = (ns, body["name"])
                 with state.lock:
+                    if ns not in state.namespaces:
+                        # same rule as the register handler: a table
+                        # under a nonexistent namespace is a state no
+                        # real catalog can represent
+                        return self._send(
+                            404, {"error": "no such namespace"})
                     if key in state.tables:
                         return self._send(409, {"error": "exists"})
                     loc = state.write_metadata(body["metadata"])
@@ -1075,7 +1131,22 @@ def _make_handler(state: _State):
                                ch["identifier"]["name"])
                         cur = state.tables.get(key)
                         if cur is None:
-                            return self._send(404, {"error": "no such table"})
+                            # staged-create publish rides transactions
+                            # too (same assert-create rule as the
+                            # single-table commit endpoint)
+                            if not any(
+                                    r.get("type") == "assert-create"
+                                    for r in ch.get("requirements", [])):
+                                return self._send(
+                                    404, {"error": "no such table"})
+                            new_md, err = _resolve_commit(
+                                None, ch.get("requirements", []),
+                                ch.get("updates", []))
+                            if err is not None:
+                                return self._send(*err)
+                            state.staged.pop(key, None)
+                            staged.append((key, new_md))
+                            continue
                         for req in ch.get("requirements", []):
                             if req["type"] == "assert-metadata-location" \
                                     and req["metadata-location"] != cur:
@@ -1247,7 +1318,11 @@ def _make_handler(state: _State):
         def do_HEAD(self):
             # exists probes (endpoints.go:92,100,115)
             p = self._parts()
-            if state.credential is not None and not self._authorized():
+            if (state.credential is not None
+                    or state.sigv4_credentials is not None) \
+                    and not self._authorized():
+                # SigV4-only servers enforce HEAD too: anonymous
+                # existence probes leaked table/view/namespace names
                 self.send_response(401)
                 self.send_header("Content-Length", "0")
                 self.end_headers()

@@ -150,6 +150,7 @@ def test_rest_catalog_crud(rest, spark, sf_dir):
 def test_rest_catalog_cas(rest, spark, sf_dir):
     df = read_table(spark, "region", sf_dir)
     schema = Schema.from_spark(df.schema)
+    rest.create_namespace("db")
     rest.create_table("db.c", schema)
     a = rest.load_table("db.c")
     b = rest.load_table("db.c")

@@ -118,6 +118,7 @@ def test_rest_commit_and_reload(tmp_path, spark, sf_dir):
     srv = RestCatalogServer(str(tmp_path / "wh")).start()
     try:
         cat = RestCatalog(srv.uri)
+        cat.create_namespace("db")
         data = read_table(spark, "region", sf_dir)
         td = cat.create_table("db.data", Schema.from_spark(data.schema))
         ti = cat.create_table(
