@@ -8,7 +8,6 @@ Original code; Avro layout follows the public Iceberg spec (v2).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -177,13 +176,15 @@ def partition_avro_schema(ptype: T.StructType) -> dict:
 def _encode_partition_value(t: T.IcebergType, v: Any) -> Any:
     if v is None:
         return None
-    from datetime import date, datetime
-    from decimal import Decimal
+    from datetime import date, datetime, time as _dtime
     from ..transforms import EPOCH_DATE, datetime_to_micros
     if isinstance(t, T.DateType) and isinstance(v, date) and not isinstance(v, datetime):
         return (v - EPOCH_DATE).days
     if isinstance(t, (T.TimestampType, T.TimestamptzType)) and isinstance(v, datetime):
         return datetime_to_micros(v)
+    if isinstance(t, T.TimeType) and isinstance(v, _dtime):
+        return ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 \
+            + v.microsecond
     if isinstance(t, T.DecimalType):
         return to_bytes(t, v)
     return v
@@ -192,13 +193,17 @@ def _encode_partition_value(t: T.IcebergType, v: Any) -> Any:
 def _decode_partition_value(t: T.IcebergType, v: Any) -> Any:
     if v is None:
         return None
-    from datetime import timedelta, datetime
-    from decimal import Decimal
+    from datetime import timedelta, datetime, time as _dtime
     from ..transforms import EPOCH_DATE
     if isinstance(t, T.DateType):
         return EPOCH_DATE + timedelta(days=v)
     if isinstance(t, (T.TimestampType, T.TimestamptzType)):
         return datetime(1970, 1, 1) + timedelta(microseconds=v)
+    if isinstance(t, T.TimeType):
+        us = int(v)
+        return _dtime((us // 3_600_000_000) % 24,
+                      (us // 60_000_000) % 60,
+                      (us // 1_000_000) % 60, us % 1_000_000)
     if isinstance(t, T.DecimalType):
         return from_bytes(t, v)
     return v
@@ -331,7 +336,6 @@ def manifest_list_avro_schema(format_version: int = 2) -> dict:
 
 
 # historical alias (v2 layout)
-MANIFEST_LIST_SCHEMA = manifest_list_avro_schema(2)
 
 
 # ---------------------------------------------------------------------------
@@ -360,6 +364,13 @@ def write_manifest(path: str, entries: List[ManifestEntry], schema: Schema,
             f"unsupported manifest format version: {format_version}")
     if format_version == 1 and content != MANIFEST_DATA:
         raise ValueError("v1 manifests cannot carry delete files")
+    if format_version == 1 and any(
+            e.data_file.content != CONTENT_DATA for e in entries):
+        # the v1 record layout drops df.content: a delete-typed entry
+        # would silently serialize as an ordinary DATA file and its
+        # delete rows would be scanned as table rows
+        raise ValueError(
+            "v1 manifests cannot carry delete-content data files")
     ptype = spec.partition_type(schema)
     avro_schema = manifest_entry_avro_schema(ptype, format_version)
     recs = []
@@ -550,13 +561,35 @@ def read_manifest(path: str) -> Tuple[List[ManifestEntry], PartitionSpec, int]:
     return entries, spec, spec_id
 
 
+def materialize_first_row_ids(mf: "ManifestFile",
+                              entries: List["ManifestEntry"]) -> None:
+    """Stamp explicit first_row_ids derived from ``mf``'s v3 row-id
+    block onto entries relying on manifest-level inheritance (same
+    derivation rule as the scan: walk live data entries in order,
+    assign, advance by record_count).  MUST run before any repack that
+    reorders/drops entries or moves them into a manifest with a
+    different (or no) block — otherwise surviving rows change _row_id
+    identity or lose lineage entirely."""
+    if mf.first_row_id is None:
+        return
+    next_rid = mf.first_row_id
+    for e in entries:
+        if (e.is_live and e.data_file.content == CONTENT_DATA
+                and e.data_file.first_row_id is None):
+            e.data_file.first_row_id = next_rid
+            next_rid += e.data_file.record_count
+
+
 def write_manifest_list(path: str, manifests: List[ManifestFile],
                         format_version: int = 2,
-                        first_row_id: Optional[int] = None) -> None:
+                        first_row_id: Optional[int] = None
+                        ) -> Optional[int]:
     """Write a manifest list.  For v3, ``first_row_id`` is the
     snapshot's starting row id: data manifests are assigned sequential
     first_row_id values (advancing by live rows, manifest.go:1630
-    advanceRowID); delete manifests stay null."""
+    advanceRowID); delete manifests stay null.  Returns the number of
+    row ids this build CONSUMED past ``first_row_id`` (None when not
+    applicable) — callers advance the table's next-row-id by it."""
     if format_version < 1 or format_version > 3:
         raise ValueError(
             f"unsupported manifest-list format version: {format_version}")
@@ -612,10 +645,22 @@ def write_manifest_list(path: str, manifests: List[ManifestFile],
             # stamping the in-memory object is deliberate: it IS the
             # durable one-time assignment, so later lists built from the
             # same staged objects preserve it.
-            if (m.content == MANIFEST_DATA and m.first_row_id is None
-                    and next_row_id is not None):
-                m.first_row_id = next_row_id
-                next_row_id += m.live_rows_count
+            if m.content == MANIFEST_DATA and next_row_id is not None:
+                if m.first_row_id is None:
+                    m.first_row_id = next_row_id
+                    next_row_id += m.live_rows_count
+                else:
+                    # a manifest stamped THIS snapshot (fri >= base)
+                    # already owns [fri, fri+live): the cursor must
+                    # clear it or the next null-fri manifest (e.g. a
+                    # legacy pre-v3 manifest carried into its first v3
+                    # list) would be assigned an OVERLAPPING block —
+                    # duplicate _row_ids, permanent lineage corruption.
+                    # Older manifests (fri below the base) are already
+                    # covered by the table's next-row-id and never
+                    # advance the cursor (max keeps it).
+                    next_row_id = max(next_row_id,
+                                      m.first_row_id + m.live_rows_count)
             rec["first_row_id"] = m.first_row_id \
                 if m.content == MANIFEST_DATA else None
         recs.append(rec)
@@ -624,6 +669,57 @@ def write_manifest_list(path: str, manifests: List[ManifestFile],
         meta["first-row-id"] = str(first_row_id)
     avro.write_container(path, manifest_list_avro_schema(format_version),
                          recs, metadata=meta)
+    # ids consumed by THIS list build (new-manifest stamps + blocks
+    # assigned to previously-null manifests): the caller must advance
+    # the table's next-row-id by this amount — the block handed to a
+    # carried-forward legacy manifest was otherwise invisible to the
+    # counter and later snapshots re-issued the same ids
+    if format_version >= 3 and first_row_id is not None \
+            and next_row_id is not None:
+        return next_row_id - first_row_id
+    return None
+
+
+def _c(r: dict, *keys):
+    """First present count value across spelling variants; None when
+    every candidate is null (v1: null = UNKNOWN, not zero)."""
+    for k in keys:
+        v = r.get(k)
+        if v is not None:
+            return v
+    return None
+
+
+def _fill_unknown_counts(m: "ManifestFile") -> None:
+    """A v1 manifest-list entry may legally carry null counts (unknown).
+    Reporting them as 0 corrupted total-records/total-files summaries
+    for imported tables — derive the real numbers by reading the
+    manifest once (v1 legacy is rare; driver-side metadata I/O)."""
+    try:
+        entries, _spec, _sid = read_manifest(m.manifest_path)
+    except (FileNotFoundError, OSError):
+        for attr in ("added_files_count", "existing_files_count",
+                     "deleted_files_count", "added_rows_count",
+                     "existing_rows_count", "deleted_rows_count"):
+            if getattr(m, attr) is None:
+                setattr(m, attr, 0)
+        return
+    counts = {"added_files_count": 0, "existing_files_count": 0,
+              "deleted_files_count": 0, "added_rows_count": 0,
+              "existing_rows_count": 0, "deleted_rows_count": 0}
+    for e in entries:
+        if e.status == STATUS_ADDED:
+            counts["added_files_count"] += 1
+            counts["added_rows_count"] += e.data_file.record_count
+        elif e.status == STATUS_EXISTING:
+            counts["existing_files_count"] += 1
+            counts["existing_rows_count"] += e.data_file.record_count
+        else:
+            counts["deleted_files_count"] += 1
+            counts["deleted_rows_count"] += e.data_file.record_count
+    for attr, v in counts.items():
+        if getattr(m, attr) is None:
+            setattr(m, attr, v)
 
 
 def read_manifest_list(path: str) -> List[ManifestFile]:
@@ -642,17 +738,21 @@ def read_manifest_list(path: str) -> List[ManifestFile]:
             sequence_number=r.get("sequence_number", 0),
             min_sequence_number=r.get("min_sequence_number", 0),
             added_snapshot_id=r["added_snapshot_id"],
-            added_files_count=r.get("added_files_count",
-                                    r.get("added_data_files_count") or 0),
-            existing_files_count=r.get(
-                "existing_files_count",
-                r.get("existing_data_files_count") or 0),
-            deleted_files_count=r.get(
-                "deleted_files_count",
-                r.get("deleted_data_files_count") or 0),
-            added_rows_count=r.get("added_rows_count") or 0,
-            existing_rows_count=r.get("existing_rows_count") or 0,
-            deleted_rows_count=r.get("deleted_rows_count") or 0,
+            added_files_count=_c(r, "added_files_count",
+                                 "added_data_files_count"),
+            existing_files_count=_c(r, "existing_files_count",
+                                    "existing_data_files_count"),
+            deleted_files_count=_c(r, "deleted_files_count",
+                                   "deleted_data_files_count"),
+            added_rows_count=_c(r, "added_rows_count"),
+            existing_rows_count=_c(r, "existing_rows_count"),
+            deleted_rows_count=_c(r, "deleted_rows_count"),
             partitions=parts,
             first_row_id=r.get("first_row_id")))
+        m = out[-1]
+        if any(v is None for v in (
+                m.added_files_count, m.existing_files_count,
+                m.deleted_files_count, m.added_rows_count,
+                m.existing_rows_count, m.deleted_rows_count)):
+            _fill_unknown_counts(m)
     return out

@@ -44,10 +44,16 @@ class CompactionGroup:
 def plan_compaction(table, target_size: int = DEFAULT_TARGET_FILE_SIZE,
                     small_file_threshold: Optional[int] = None,
                     min_input_files: int = DEFAULT_MIN_INPUT_FILES,
-                    tasks: Optional[list] = None
+                    tasks: Optional[list] = None,
+                    delete_file_threshold: int = 1
                     ) -> List[CompactionGroup]:
     """Bin-pack small files per partition (compaction.go:208-330).
-    ``tasks`` reuses a pre-planned file list (compact() plans once)."""
+    ``tasks`` reuses a pre-planned file list (compact() plans once).
+    ``delete_file_threshold``: a data file carrying at least this many
+    delete files qualifies regardless of size AND bypasses
+    min_input_files (rewriting is how its deletes get applied; the
+    reference's BinPackStrategy delete-file-threshold knob) — raise it
+    to leave lightly-deleted large files alone."""
     if small_file_threshold is None:
         small_file_threshold = int(target_size * 0.75)
     if tasks is None:
@@ -58,7 +64,9 @@ def plan_compaction(table, target_size: int = DEFAULT_TARGET_FILE_SIZE,
         if t.pos_deletes or t.eq_deletes:
             key = tuple(sorted(t.data_file.partition.items()))
             by_partition.setdefault(key, []).append(t.data_file)
-            with_deletes.add(t.data_file.file_path)
+            if (len(t.pos_deletes) + len(t.eq_deletes)
+                    >= delete_file_threshold):
+                with_deletes.add(t.data_file.file_path)
             continue
         if t.data_file.file_size_in_bytes >= small_file_threshold:
             continue
@@ -95,7 +103,8 @@ def plan_compaction(table, target_size: int = DEFAULT_TARGET_FILE_SIZE,
 
 def compact(table, spark: SparkSession,
             target_size: int = DEFAULT_TARGET_FILE_SIZE,
-            min_input_files: int = DEFAULT_MIN_INPUT_FILES):
+            min_input_files: int = DEFAULT_MIN_INPUT_FILES,
+            delete_file_threshold: int = 1):
     """Rewrite each compaction group through Spark; one REPLACE snapshot.
 
     Applies pending deletes during the rewrite (dead deletes dropped)."""
@@ -104,7 +113,8 @@ def compact(table, spark: SparkSession,
     all_tasks = table.scan().plan_files()
     groups = plan_compaction(table, target_size,
                              min_input_files=min_input_files,
-                             tasks=all_tasks)
+                             tasks=all_tasks,
+                             delete_file_threshold=delete_file_threshold)
     if not groups:
         return table
     md = table.metadata
@@ -243,15 +253,9 @@ def rewrite_manifests(table, target_entries_per_manifest: int = 2000,
         # entries relying on manifest-level inheritance would land in
         # chunks with no row-id block and every scan would read their
         # _row_id as NULL (irreversible lineage loss from a
-        # metadata-only operation; same rule as _rewrite_without)
-        if md.format_version >= 3 and mf.first_row_id is not None:
-            next_rid = mf.first_row_id
-            for e in es:
-                if (e.is_live
-                        and e.data_file.content == M.CONTENT_DATA
-                        and e.data_file.first_row_id is None):
-                    e.data_file.first_row_id = next_rid
-                    next_rid += e.data_file.record_count
+        # metadata-only operation)
+        if md.format_version >= 3:
+            M.materialize_first_row_ids(mf, es)
         for e in es:
             if not e.is_live:
                 continue

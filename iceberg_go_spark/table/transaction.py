@@ -130,17 +130,10 @@ def _rewrite_without(manifests: List[M.ManifestFile], dropped: set,
             continue
         # v3 row-id inheritance derives ids from the ORDER of live
         # unstamped data entries: dropping an entry would shift every
-        # later derivation.  Materialize explicit first_row_ids from
-        # the source manifest's block BEFORE dropping, so survivors
-        # keep their identity (same derivation rule as scan.load).
-        if format_version >= 3 and mf.first_row_id is not None:
-            next_rid = mf.first_row_id
-            for e in entries:
-                if (e.is_live
-                        and e.data_file.content == M.CONTENT_DATA
-                        and e.data_file.first_row_id is None):
-                    e.data_file.first_row_id = next_rid
-                    next_rid += e.data_file.record_count
+        # later derivation — materialize BEFORE dropping so survivors
+        # keep their identity
+        if format_version >= 3:
+            M.materialize_first_row_ids(mf, entries)
         survivors = []
         for e in entries:
             if not e.is_live or _gone(e.data_file):
@@ -300,10 +293,10 @@ class Transaction:
             all_manifests, schema, current_snapshot_id=snapshot_id)
         list_path = os.path.join(
             self._metadata_dir(), f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
-        M.write_manifest_list(list_path, all_manifests,
-                              format_version=md.format_version,
-                              first_row_id=first_row_id
-                              if added_data else None)
+        consumed = M.write_manifest_list(list_path, all_manifests,
+                                         format_version=md.format_version,
+                                         first_row_id=first_row_id
+                                         if added_data else None)
 
         summary = self._summary(operation, added, keep, delete_content)
         summary.update(extra_summary or {})
@@ -313,7 +306,10 @@ class Transaction:
             summary=summary, schema_id=schema.schema_id,
             parent_snapshot_id=parent,
             first_row_id=first_row_id if added_data else None)
-        snap._rows_assigned = next_row_id - first_row_id
+        # ids consumed = own stamped files PLUS blocks the list build
+        # assigned to carried-forward legacy (null-fri) manifests
+        snap._rows_assigned = (consumed if consumed is not None
+                               else next_row_id - first_row_id)
         # PRE-merge own manifests: an OCC rebase must re-apply only this
         # snapshot's own additions on top of the FRESH base — a merged
         # manifest folds base files in under this snapshot's id, and
@@ -389,6 +385,10 @@ class Transaction:
             spec = None
             for m in group:
                 es, spec, _sid = M.read_manifest(m.manifest_path)
+                # v3: inheritance-reliant entries must carry explicit
+                # ids into the merged manifest (whose block differs)
+                if self.metadata.format_version >= 3:
+                    M.materialize_first_row_ids(m, es)
                 own_new = (current_snapshot_id is not None
                            and m.added_snapshot_id == current_snapshot_id)
                 for e in es:
@@ -914,7 +914,6 @@ class Transaction:
                                          self._metadata_dir(),
                                          fresh_md.format_version)
                     snap.first_row_id = next_rid
-                next_rid += getattr(snap, "_rows_assigned", 0)
             for m in own:
                 m.sequence_number = seq
                 m.min_sequence_number = seq
@@ -922,9 +921,17 @@ class Transaction:
             list_path = os.path.join(
                 self._metadata_dir(),
                 f"snap-{snap.snapshot_id}-{uuid.uuid4().hex}.avro")
-            M.write_manifest_list(list_path, all_manifests,
-                                  format_version=fresh_md.format_version,
-                                  first_row_id=snap.first_row_id)
+            consumed = M.write_manifest_list(
+                list_path, all_manifests,
+                format_version=fresh_md.format_version,
+                first_row_id=snap.first_row_id)
+            if fresh_md.format_version >= 3 \
+                    and snap.first_row_id is not None:
+                # actual ids consumed by the re-parented list (own
+                # stamps + any legacy-manifest block assignments)
+                if consumed is not None:
+                    snap._rows_assigned = consumed
+                next_rid += getattr(snap, "_rows_assigned", 0)
             snap.parent_snapshot_id = parent
             snap.sequence_number = seq
             snap.manifest_list = list_path

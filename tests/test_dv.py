@@ -302,7 +302,8 @@ def test_partial_compaction_expunges_dv_entries(spark, sf_dir, tmp_path):
         "fixture must produce a SHARED DV container"
     n_before = t.to_df(spark).count()
     sizes = sorted(tk.data_file.file_size_in_bytes for tk in tasks)
-    t2 = compact(t, spark, target_size=sizes[-1] - 1, min_input_files=2)
+    t2 = compact(t, spark, target_size=sizes[-1] - 1, min_input_files=2,
+                     delete_file_threshold=1 << 31)  # keep the big file put
     assert t2.to_df(spark).count() == n_before
     live_data = {tk.data_file.file_path for tk in t2.scan().plan_files()}
     snap = t2.current_snapshot()

@@ -346,3 +346,62 @@ def test_scan_to_arrow_and_pandas(spark, sf_dir, tmp_path):
                                                      "n_name"]
     pd_df = t.scan(E.lt("n_nationkey", 10)).to_pandas(spark)
     assert len(pd_df) == 10 and "n_name" in pd_df.columns
+
+
+def test_v1_manifest_rejects_delete_entries(tmp_path):
+    """The v1 record layout drops df.content — a delete-typed entry
+    would silently serialize as a DATA file (deleted rows scanned as
+    table rows).  Must raise."""
+    import pytest
+    from iceberg_go_spark.meta import manifests as M
+    from iceberg_go_spark.meta.partitioning import PartitionSpec
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark import types as T
+    schema = Schema([T.NestedField(1, "id", T.LongType())])
+    df = M.DataFile(content=M.CONTENT_POS_DELETES, file_path="d",
+                    file_format="PARQUET", partition={},
+                    record_count=1, file_size_in_bytes=1)
+    e = M.ManifestEntry(M.STATUS_ADDED, 1, 1, 1, df)
+    with pytest.raises(ValueError, match="delete-content"):
+        M.write_manifest(str(tmp_path / "m.avro"), [e], schema,
+                         PartitionSpec(), M.MANIFEST_DATA,
+                         format_version=1)
+
+
+def test_manifest_list_block_assignment_no_overlap(tmp_path):
+    """A legacy null-first_row_id manifest entering its first v3 list
+    must get a block PAST the snapshot's stamped manifests, and the
+    consumed count must cover both (upgrade-path _row_id duplication)."""
+    from iceberg_go_spark.meta import manifests as M
+    stamped = M.ManifestFile(
+        manifest_path="new.avro", manifest_length=1,
+        partition_spec_id=0, content=M.MANIFEST_DATA,
+        sequence_number=1, min_sequence_number=1, added_snapshot_id=1,
+        added_files_count=1, existing_files_count=0,
+        deleted_files_count=0, added_rows_count=100,
+        existing_rows_count=0, deleted_rows_count=0,
+        first_row_id=0)  # this snapshot's stamp: rows [0, 100)
+    legacy = M.ManifestFile(
+        manifest_path="old.avro", manifest_length=1,
+        partition_spec_id=0, content=M.MANIFEST_DATA,
+        sequence_number=0, min_sequence_number=0, added_snapshot_id=0,
+        added_files_count=1, existing_files_count=0,
+        deleted_files_count=0, added_rows_count=1000,
+        existing_rows_count=0, deleted_rows_count=0,
+        first_row_id=None)  # pre-v3 manifest: never assigned
+    consumed = M.write_manifest_list(
+        str(tmp_path / "l.avro"), [stamped, legacy],
+        format_version=3, first_row_id=0)
+    assert legacy.first_row_id == 100, "block overlapped the stamp"
+    assert consumed == 1100, "legacy block invisible to next-row-id"
+
+
+def test_time_partition_value_roundtrip():
+    from datetime import time
+    from iceberg_go_spark.meta.manifests import (_decode_partition_value,
+                                                 _encode_partition_value)
+    from iceberg_go_spark import types as T
+    v = time(13, 45, 30, 123456)
+    enc = _encode_partition_value(T.TimeType(), v)
+    assert isinstance(enc, int)
+    assert _decode_partition_value(T.TimeType(), enc) == v
