@@ -102,3 +102,44 @@ def test_training_data_pipeline(spark, sf_dir, tmp_path):
     direct = out.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("doc_id").alias("cs")).first()
     assert (streamed.n, streamed.cs) == (direct.n, direct.cs)
+
+
+def test_incremental_read_skips_rewrites_and_checks_ancestry(
+        spark, sf_dir, tmp_path):
+    """Compaction/CoW-rewrite snapshots re-add files whose rows a
+    consumer already saw: the incremental append read must not re-emit
+    them, and a non-ancestor base (rollback/expiry) must raise instead
+    of replaying the whole table."""
+    import pytest
+    from iceberg_go_spark import expressions as E
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark.streaming.source import incremental_append_df
+    from iceberg_go_spark.table.maintenance import compact
+    from tests.conftest import read_table
+
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    df = read_table(spark, "nation", sf_dir)
+    t = cat.create_table("db.inc", Schema.from_spark(df.schema))
+    t.append(df.limit(10))
+    t = cat.load_table("db.inc")
+    s0 = t.current_snapshot().snapshot_id
+    t.append(df.limit(5))
+    t = cat.load_table("db.inc")
+    got = incremental_append_df(spark, t, s0)
+    assert got.count() == 5
+
+    # compaction after s0: physical rewrite, no new rows
+    compact(t, spark, target_size=1 << 30, min_input_files=2)
+    t = cat.load_table("db.inc")
+    got = incremental_append_df(spark, t, s0)
+    assert got.count() == 5, "compaction rows re-emitted"
+
+    # CoW delete: survivor rewrite must not surface as appends either
+    t.delete_where(spark, E.eq("n_nationkey", 1))
+    t = cat.load_table("db.inc")
+    got2 = incremental_append_df(spark, t, s0)
+    assert got2.count() == 5
+
+    with pytest.raises(ValueError, match="not an ancestor"):
+        incremental_append_df(spark, t, 123456789)
