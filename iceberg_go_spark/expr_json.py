@@ -22,6 +22,8 @@ _OP_TO_JSON = {
     E.OP_STARTS_WITH: "starts-with",
     E.OP_NOT_STARTS_WITH: "not-starts-with",
     E.OP_IN: "in", E.OP_NOT_IN: "not-in",
+    E.OP_BBOX_INTERSECTS: "bbox-intersects",
+    E.OP_BBOX_NOT_INTERSECTS: "bbox-not-intersects",
 }
 _JSON_TO_OP = {v: k for k, v in _OP_TO_JSON.items()}
 
@@ -80,7 +82,11 @@ def expression_to_json(expr: E.Expression) -> Dict[str, Any]:
         term = expr.term.path if isinstance(expr.term, E.BoundReference) \
             else expr.term.name
     d: Dict[str, Any] = {"type": _OP_TO_JSON[expr.op], "term": term}
-    if expr.op in E.SET_OPS:
+    if expr.op in E.GEO_OPS:
+        box = expr.value
+        d["value"] = {"min-x": box.min_x, "min-y": box.min_y,
+                      "max-x": box.max_x, "max-y": box.max_y}
+    elif expr.op in E.SET_OPS:
         d["values"] = [_value_to_json(v) for v in expr.literals]
     elif expr.literals:
         d["value"] = _value_to_json(expr.literals[0])
@@ -110,6 +116,10 @@ def expression_from_json(d: Dict[str, Any]) -> E.Expression:
         ref = E.Reference(d["term"])
     if op in E.UNARY_OPS:
         return E.Predicate(op, ref)
+    if op in E.GEO_OPS:
+        b = d["value"]
+        return E.Predicate(op, ref, (E.BoundingBox(
+            b["min-x"], b["min-y"], b["max-x"], b["max-y"]),))
     if op in E.SET_OPS:
         return E.Predicate(op, ref, tuple(
             _value_from_json(v) for v in d["values"]))

@@ -202,7 +202,19 @@ class BoundVariantRef:
 
     @property
     def spark_path(self) -> str:
-        return "$" + "".join(f".{s}" for s in self.segments)
+        # dot form only for identifier-safe segments; anything carrying
+        # dots/quotes/brackets uses bracket quoting — "$.a.b" for the
+        # single key "a.b" extracted nested field a->b and silently
+        # matched nothing
+        import re as _re
+        parts = []
+        for seg in self.segments:
+            if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", seg):
+                parts.append(f".{seg}")
+            else:
+                parts.append("['" + seg.replace("\\", "\\\\")
+                             .replace("'", "\\'") + "']")
+        return "$" + "".join(parts)
 
     def __str__(self) -> str:
         return f"variant_get({self.column}, {self.normalized_path})"
@@ -422,9 +434,16 @@ def cast_literal(value: Any, t: T.IcebergType) -> Any:
         if isinstance(value, str):
             return date.fromisoformat(value)
         if isinstance(value, int):
-            from datetime import timedelta
             return date(1970, 1, 1) + timedelta(days=value)
+        raise TypeError(
+            f"cannot cast {type(value).__name__} literal to date")
     if isinstance(t, (T.TimestampType, T.TimestamptzType)):
+        if isinstance(value, int):
+            # epoch MICROseconds (the type's physical unit) — passing
+            # the raw int through made pruning compare datetime bounds
+            # against int and crash planning
+            return datetime(1970, 1, 1) + timedelta(microseconds=value)
+
         def _norm(dt: datetime) -> datetime:
             # the engine's canonical timestamptz runtime value is a
             # NAIVE UTC datetime (from_bytes decodes bounds that way);
@@ -440,6 +459,8 @@ def cast_literal(value: Any, t: T.IcebergType) -> Any:
             return _norm(datetime.fromisoformat(value))
         if isinstance(value, date):
             return datetime(value.year, value.month, value.day)
+        raise TypeError(
+            f"cannot cast {type(value).__name__} literal to timestamp")
     if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
         # canonical runtime value: int nanoseconds since epoch (v3)
         if isinstance(value, datetime):
@@ -503,6 +524,11 @@ def bind(expr: Expression, schema: Schema, case_sensitive: bool = True
             if expr.op in GEO_OPS:
                 raise TypeError("bbox predicates cannot bind to a "
                                 "variant path")
+            if expr.op in LITERAL_OPS and any(
+                    v is None for v in expr.literals):
+                raise ValueError(
+                    f"cannot bind a NULL literal to {expr.op} on variant "
+                    f"path (use is_null/not_null)")
             lits = tuple(cast_literal(v, vt) for v in expr.literals)
             if expr.op in SET_OPS:
                 lits = tuple(dict.fromkeys(lits))
@@ -531,6 +557,13 @@ def bind(expr: Expression, schema: Schema, case_sensitive: bool = True
                     f"BBoxIntersects must bind to a geometry or geography "
                     f"column, not {ftype} ({name})")
             return Predicate(expr.op, ref, expr.literals)
+        if expr.op in LITERAL_OPS and any(
+                v is None for v in expr.literals):
+            # a NULL comparison literal silently matches NOTHING (SQL
+            # three-valued logic) — the reference binder rejects it
+            raise ValueError(
+                f"cannot bind a NULL literal to {expr.op} on {name!r} "
+                f"(use is_null/not_null)")
         lits = tuple(cast_literal(v, ftype) for v in expr.literals)
         if expr.op in SET_OPS:
             lits = tuple(dict.fromkeys(lits))
@@ -565,7 +598,13 @@ def evaluate(expr: Expression, row: dict) -> bool:
     if isinstance(expr, Not):
         return not evaluate(expr.child, row)
     assert isinstance(expr, Predicate) and expr.is_bound
-    v = row.get(expr.term.path)
+    term_path = getattr(expr.term, "path", None)
+    if term_path is None:
+        # BoundVariantRef: per-row evaluation over partition tuples has
+        # no variant columns — reject cleanly instead of AttributeError
+        raise TypeError(
+            "evaluate() does not support variant-path predicates")
+    v = row.get(term_path)
     op = expr.op
     if op == OP_IS_NULL:
         return v is None
@@ -602,10 +641,16 @@ def evaluate(expr: Expression, row: dict) -> bool:
         return v == expr.value
     if op == OP_NEQ:
         return v != expr.value
-    if op == OP_STARTS_WITH:
-        return str(v).startswith(str(expr.value))
-    if op == OP_NOT_STARTS_WITH:
-        return not str(v).startswith(str(expr.value))
+    if op in (OP_STARTS_WITH, OP_NOT_STARTS_WITH):
+        # bytes compare as bytes: str(b'a') is the REPR "b'a'" whose
+        # quote style flips with the payload (same hazard as
+        # evaluators._prefix_forms)
+        if isinstance(expr.value, (bytes, bytearray, memoryview)):
+            hit = isinstance(v, (bytes, bytearray, memoryview)) and \
+                bytes(v).startswith(bytes(expr.value))
+        else:
+            hit = str(v).startswith(str(expr.value))
+        return hit if op == OP_STARTS_WITH else not hit
     if op == OP_IN:
         return v in expr.literals
     if op == OP_NOT_IN:
@@ -619,7 +664,12 @@ def evaluate(expr: Expression, row: dict) -> bool:
 
 def _is_ns_type(term) -> bool:
     t = getattr(getattr(term, "field", None), "field_type", None)
-    return isinstance(t, (T.TimestampNsType, T.TimestamptzNsType))
+    if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
+        return True
+    # variant extraction: the ns-ness lives on the VALUE type, not the
+    # (variant) column type
+    vt = getattr(term, "value_type", None)
+    return isinstance(vt, (T.TimestampNsType, T.TimestamptzNsType))
 
 
 def _ns_lit_to_us(v: int, mode: str):
@@ -713,8 +763,16 @@ def to_spark_column(expr: Expression):
             return c.isNotNull() if v is None else (c != v)
         return c != lit
     if op == OP_STARTS_WITH:
+        # bytes prefix: startswith(str(b'ab')) filtered for the REPR
+        # "b'ab'" — silently excluding every matching binary row
+        if isinstance(lit, (bytes, bytearray, memoryview)):
+            b = bytes(lit)
+            return F.substring(c, 1, len(b)) == F.lit(b)
         return c.startswith(str(lit))
     if op == OP_NOT_STARTS_WITH:
+        if isinstance(lit, (bytes, bytearray, memoryview)):
+            b = bytes(lit)
+            return F.substring(c, 1, len(b)) != F.lit(b)
         return ~c.startswith(str(lit))
     if op == OP_IN:
         if _is_ns_type(expr.term):
@@ -728,7 +786,9 @@ def to_spark_column(expr: Expression):
             vals = [_ns_lit_to_us(v, "exact") for v in expr.literals
                     if isinstance(v, int)]
             vals = [v for v in vals if v is not None]
-            return ~c.isin(vals) if vals else F.lit(True)
+            # every literal has sub-µs digits: no µs value matches, but
+            # SQL NOT IN still excludes NULL rows (lit(True) kept them)
+            return ~c.isin(vals) if vals else c.isNotNull()
         return ~c.isin(list(expr.literals))
     raise ValueError(f"unknown op {op}")
 
@@ -765,6 +825,11 @@ def to_sql(expr: Expression) -> str:
     if isinstance(expr, Not):
         return f"(NOT {to_sql(expr.child)})"
     assert isinstance(expr, Predicate)
+    if isinstance(expr.term, (VariantRef, BoundVariantRef)):
+        raise ValueError(
+            "variant_get predicates have no portable ANSI-SQL "
+            "rendering; build the oracle with an explicit "
+            "json_extract/variant expression instead")
     name = expr.term.path if isinstance(expr.term, BoundReference) else expr.term.name
     op = expr.op
     if op == OP_IS_NULL:

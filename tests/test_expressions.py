@@ -113,3 +113,50 @@ def test_to_sql():
     assert sql == "(id >= 10 AND name IN ('a', 'b''c'))"
     assert E.to_sql(E.bind(E.lt("day", "2020-06-01"), SCHEMA)) == \
         "day < DATE '2020-06-01'"
+
+
+# --------------------------------------------------------------------------
+# round-8 review regressions
+
+
+def test_variant_spark_path_brackets_dotted_keys():
+    """A single key containing a dot must render bracket-quoted — the
+    dot form extracted nested a->b and silently matched nothing."""
+    from iceberg_go_spark.expressions import BoundVariantRef
+    f = T.NestedField(1, "v", T.VariantType())
+    assert BoundVariantRef(f, "v", ("a.b",), T.LongType()).spark_path \
+        == "$['a.b']"
+    assert BoundVariantRef(f, "v", ("a", "b"), T.LongType()).spark_path \
+        == "$.a.b"
+    assert BoundVariantRef(f, "v", ("it's",), T.LongType()).spark_path \
+        == "$['it\\'s']"
+
+
+def test_bytes_starts_with_column_and_evaluate(spark):
+    """bytes prefixes must compare as BYTES in the Spark column
+    compile AND the per-row evaluator (str() gave Python reprs)."""
+    schema = Schema([T.NestedField(1, "b", T.BinaryType())])
+    e = E.bind(E.starts_with("b", b"ab"), schema)
+    df = spark.createDataFrame(
+        [(bytearray(b"abc"),), (bytearray(b"zz"),)], "b binary")
+    got = sorted(bytes(r.b) for r in
+                 df.filter(E.to_spark_column(e)).collect())
+    assert got == [b"abc"]
+    assert E.evaluate(e, {"b": b"abc"}) is True
+    assert E.evaluate(e, {"b": b"a'b"}) is False
+    e2 = E.bind(E.starts_with("b", b"a'"), schema)
+    assert E.evaluate(e2, {"b": b"a'b"}) is True
+
+
+def test_int_timestamp_literal_and_null_literal():
+    """Epoch-µs int literals convert to datetime for timestamp columns;
+    NULL comparison literals are rejected at bind."""
+    from datetime import datetime
+    schema = Schema([T.NestedField(1, "ts", T.TimestampType()),
+                     T.NestedField(2, "id", T.LongType())])
+    e = E.bind(E.gt("ts", 1_700_000_000_000_000), schema)
+    assert isinstance(e.value, datetime)
+    with pytest.raises(ValueError, match="NULL literal"):
+        E.bind(E.eq("id", None), schema)
+    with pytest.raises(TypeError, match="cannot cast"):
+        E.bind(E.gt("ts", 1.5), schema)
