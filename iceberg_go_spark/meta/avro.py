@@ -10,12 +10,11 @@ pure-Python codec is the right tool (parity target:
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
 import zlib
-from typing import Any, BinaryIO, Dict, Iterator, List, Union
+from typing import Any, Dict, List, Union
 
 MAGIC = b"Obj\x01"
 
@@ -72,11 +71,21 @@ class Reader:
 
     def read_bytes(self) -> bytes:
         n = self.read_long()
+        if n < 0 or self.pos + n > len(self.data):
+            raise ValueError(
+                f"avro: bytes length {n} overruns block "
+                f"({len(self.data) - self.pos} left) — truncated or "
+                f"corrupt container")
         out = self.data[self.pos:self.pos + n]
         self.pos += n
         return out
 
     def read_fixed(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError(
+                f"avro: fixed read of {n} bytes overruns block "
+                f"({len(self.data) - self.pos} left) — truncated or "
+                f"corrupt container")
         out = self.data[self.pos:self.pos + n]
         self.pos += n
         return out
@@ -86,17 +95,53 @@ class Reader:
 # schema-driven encode/decode
 
 
+def _fits(bname: str, value: Any) -> bool:
+    """Loose Python-type/branch compatibility for multi-branch unions."""
+    if bname == "boolean":
+        return isinstance(value, bool)
+    if bname in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if bname in ("float", "double"):
+        return isinstance(value, float)
+    if bname == "string":
+        return isinstance(value, str)
+    if bname in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray, memoryview))
+    if bname == "array":
+        return isinstance(value, (list, tuple))
+    if bname == "map":
+        return isinstance(value, dict)
+    if bname in ("record", "enum"):
+        return True  # structural; let _encode validate
+    return True
+
+
 def _encode(buf: bytearray, schema: JsonSchema, value: Any) -> None:
     if isinstance(schema, list):  # union
+        non_null = [(i, b) for i, b in enumerate(schema)
+                    if (b if isinstance(b, str) else b.get("type"))
+                    != "null"]
         for i, branch in enumerate(schema):
             bname = branch if isinstance(branch, str) else branch.get("type")
             if value is None and bname == "null":
                 write_long(buf, i)
                 return
-            if value is not None and bname != "null":
-                write_long(buf, i)
-                _encode(buf, branch, value)
-                return
+        if value is not None and len(non_null) == 1:
+            i, branch = non_null[0]
+            write_long(buf, i)
+            _encode(buf, branch, value)
+            return
+        if value is not None:
+            # multi-branch union: picking "the first non-null branch"
+            # silently corrupted values that fit a LATER branch —
+            # select by Python-type compatibility, first match wins
+            for i, branch in non_null:
+                bname = branch if isinstance(branch, str) \
+                    else branch.get("type")
+                if _fits(bname, value):
+                    write_long(buf, i)
+                    _encode(buf, branch, value)
+                    return
         raise ValueError(f"value {value!r} does not fit union {schema!r}")
     if isinstance(schema, str):
         t = schema
@@ -105,6 +150,10 @@ def _encode(buf: bytearray, schema: JsonSchema, value: Any) -> None:
     if t == "null":
         return
     if t == "boolean":
+        if value is None:
+            # int/long raise on None too — a silent False for e.g.
+            # FieldSummary.contains_null would mis-prune scans
+            raise TypeError("None for required avro boolean")
         buf.append(1 if value else 0)
     elif t in ("int", "long"):
         write_long(buf, int(value))
@@ -113,7 +162,15 @@ def _encode(buf: bytearray, schema: JsonSchema, value: Any) -> None:
     elif t == "double":
         buf.extend(struct.pack("<d", float(value)))
     elif t in ("bytes", "string"):
-        write_bytes(buf, value.encode("utf-8") if isinstance(value, str) else bytes(value))
+        if isinstance(value, str):
+            write_bytes(buf, value.encode("utf-8"))
+        elif isinstance(value, int):
+            # bytes(5) is FIVE ZERO BYTES — an unconverted int must
+            # fail loudly, not write silent garbage bounds
+            raise TypeError(
+                f"int value {value!r} for avro bytes/string field")
+        else:
+            write_bytes(buf, bytes(value))
     elif t == "fixed":
         b = bytes(value)
         if len(b) != schema["size"]:
@@ -122,8 +179,8 @@ def _encode(buf: bytearray, schema: JsonSchema, value: Any) -> None:
     elif t == "record":
         for f in schema["fields"]:
             fv = value.get(f["name"]) if isinstance(value, dict) else getattr(value, f["name"])
-            if fv is None and "default" in f and f["default"] is not None:
-                fv = f["default"]
+            # Avro defaults are a READ-side concept: substituting them
+            # at write time rewrote explicit nulls into the default
             _encode(buf, f["type"], fv)
     elif t == "array":
         items = list(value or [])
@@ -150,6 +207,8 @@ def _encode(buf: bytearray, schema: JsonSchema, value: Any) -> None:
 def _decode(r: Reader, schema: JsonSchema) -> Any:
     if isinstance(schema, list):  # union
         idx = r.read_long()
+        if idx < 0 or idx >= len(schema):
+            raise ValueError(f"avro: union index {idx} out of range")
         return _decode(r, schema[idx])
     t = schema if isinstance(schema, str) else schema["type"]
     if t == "null":
@@ -196,7 +255,10 @@ def _decode(r: Reader, schema: JsonSchema) -> Any:
                 out[k] = _decode(r, schema["values"])
         return out
     if t == "enum":
-        return schema["symbols"][r.read_long()]
+        idx = r.read_long()
+        if idx < 0 or idx >= len(schema["symbols"]):
+            raise ValueError(f"avro: enum index {idx} out of range")
+        return schema["symbols"][idx]
     raise ValueError(f"unsupported avro type {t!r}")
 
 
@@ -207,6 +269,11 @@ def _decode(r: Reader, schema: JsonSchema) -> Any:
 def write_container(path: str, schema: JsonSchema, records: List[Any],
                     metadata: Dict[str, str] | None = None,
                     codec: str = "deflate") -> None:
+    if codec not in ("deflate", "null"):
+        # writing raw bytes while STAMPING another codec name produced
+        # a file no conforming reader (including ours) could open
+        raise ValueError(f"unsupported avro codec {codec!r} "
+                         f"(deflate/null)")
     sync = os.urandom(16)
     meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
     meta.update(metadata or {})

@@ -405,3 +405,45 @@ def test_time_partition_value_roundtrip():
     enc = _encode_partition_value(T.TimeType(), v)
     assert isinstance(enc, int)
     assert _decode_partition_value(T.TimeType(), enc) == v
+
+
+def test_avro_codec_hardening(tmp_path):
+    """Round-8 review: bounds-checked reads, multi-branch union typing,
+    loud failures for int-as-bytes / None booleans / bad codecs."""
+    import pytest
+    from iceberg_go_spark.meta import avro
+
+    # multi-branch union routes by VALUE type (first-non-null wrote 42
+    # as a 42-zero-byte string)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": ["null", "string", "long"]}]}
+    p = str(tmp_path / "u.avro")
+    avro.write_container(p, schema, [{"u": 42}, {"u": "x"}, {"u": None}])
+    _, recs, _ = avro.read_container(p)
+    assert [r["u"] for r in recs] == [42, "x", None]
+
+    with pytest.raises(TypeError, match="int value"):
+        avro.write_container(str(tmp_path / "b.avro"),
+                             {"type": "record", "name": "r", "fields": [
+                                 {"name": "b", "type": "bytes"}]},
+                             [{"b": 5}])
+    with pytest.raises(TypeError, match="boolean"):
+        avro.write_container(str(tmp_path / "n.avro"),
+                             {"type": "record", "name": "r", "fields": [
+                                 {"name": "f", "type": "boolean"}]},
+                             [{"f": None}])
+    with pytest.raises(ValueError, match="codec"):
+        avro.write_container(str(tmp_path / "c.avro"),
+                             {"type": "record", "name": "r", "fields": []},
+                             [], codec="snappy")
+
+    # truncated container fails loudly, not with garbage records
+    good = str(tmp_path / "g.avro")
+    avro.write_container(good, {"type": "record", "name": "r", "fields": [
+        {"name": "s", "type": "string"}]}, [{"s": "hello" * 100}],
+        codec="null")
+    raw = open(good, "rb").read()
+    bad = str(tmp_path / "t.avro")
+    open(bad, "wb").write(raw[:len(raw) - 30])
+    with pytest.raises(ValueError):
+        avro.read_container(bad)
