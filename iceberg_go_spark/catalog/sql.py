@@ -251,6 +251,14 @@ class SqlCatalog:
 
     def _conn(self):
         con = self._connect_fn()
+        if self.dialect.begin is None:
+            # implicit-transaction dialect (Oracle): forcing driver
+            # autocommit made every statement commit immediately —
+            # commit_transaction's multi-table CAS lost atomicity and
+            # its conflict cleanup deleted metadata a COMMITTED pointer
+            # referenced.  Leave the driver's transaction mode alone;
+            # explicit COMMIT/ROLLBACK statements drive it.
+            return con
         # explicit-statement transactions need autocommit drivers;
         # psycopg/pg8000 expose an attribute, pymysql/MySQLdb a METHOD
         # (a bare assignment would silently shadow the method)
@@ -314,13 +322,48 @@ class SqlCatalog:
             "WHERE catalog_name = ?", (self.name, self.name), fetch="all")
         return sorted(tuple(r[0].split(".")) for r in rows)
 
+    def _namespace_exists(self, ns: str) -> bool:
+        row = self._run(
+            "SELECT 1 FROM iceberg_namespace_properties WHERE "
+            "catalog_name = ? AND namespace = ?", (self.name, ns),
+            fetch="one")
+        if row is not None:
+            return True
+        row = self._run(
+            "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND "
+            "table_namespace = ?", (self.name, ns), fetch="one")
+        return row is not None
+
+    def namespace_exists(self, namespace) -> bool:
+        return self._namespace_exists(".".join(_ident(namespace)))
+
+    def drop_namespace(self, namespace) -> None:
+        """Delete an EMPTY namespace's property rows (sql.go
+        DropNamespace; the other catalogs implement this too — without
+        it namespaces were permanent)."""
+        from .glue import NoSuchNamespaceError
+        ns = ".".join(_ident(namespace))
+        if not self._namespace_exists(ns):
+            raise NoSuchNamespaceError(ns)
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace not empty: {ns}")
+        self._run(
+            "DELETE FROM iceberg_namespace_properties WHERE "
+            "catalog_name = ? AND namespace = ?", (self.name, ns))
+
     def namespace_properties(self, namespace) -> Dict[str, str]:
         ns = ".".join(_ident(namespace))
+        if not self._namespace_exists(ns):
+            from .glue import NoSuchNamespaceError
+            raise NoSuchNamespaceError(ns)
         rows = self._run(
             "SELECT property_key, property_value FROM "
             "iceberg_namespace_properties WHERE catalog_name = ? AND "
             "namespace = ?", (self.name, ns), fetch="all")
-        return {k: v for k, v in rows if k != "exists"}
+        # Oracle VARCHAR2 stores '' as NULL: coalesce back so the
+        # Dict[str, str] contract holds
+        return {k: (v if v is not None else "")
+                for k, v in rows if k != "exists"}
 
     # spec-name alias (catalog.go LoadNamespaceProperties)
     def load_namespace_properties(self, namespace) -> Dict[str, str]:
@@ -337,15 +380,26 @@ class SqlCatalog:
             raise ValueError(
                 f"properties in both removals and updates: {sorted(overlap)}")
         ns = ".".join(_ident(namespace))
-        existing = set(self.namespace_properties(namespace))
-        removed = sorted(set(removals or []) & existing)
-        missing = sorted(set(removals or []) - existing)
+        if not self._namespace_exists(ns):
+            from .glue import NoSuchNamespaceError
+            raise NoSuchNamespaceError(ns)
         upsert = self.dialect.upsert_namespace_property()
         con = self._conn()
         try:
             cur = con.cursor()
             if self.dialect.begin:
                 cur.execute(self.dialect.translate(self.dialect.begin))
+            # existence read INSIDE the transaction (a separate-
+            # connection pre-read let a concurrent insert escape the
+            # removal and skewed the summary)
+            self._exec(
+                cur,
+                "SELECT property_key FROM iceberg_namespace_properties "
+                "WHERE catalog_name = ? AND namespace = ?",
+                (self.name, ns))
+            existing = {r[0] for r in cur.fetchall()}
+            removed = sorted(set(removals or []) & existing)
+            missing = sorted(set(removals or []) - existing)
             for k in removed:
                 self._exec(
                     cur,
@@ -354,7 +408,11 @@ class SqlCatalog:
                     "property_key = ?", (self.name, ns, k))
             for k, v in (updates or {}).items():
                 cur.execute(upsert, (self.name, ns, k, v))
-            con.commit()
+            # COMMIT as a STATEMENT: psycopg's conn.commit() is a
+            # documented no-op on autocommit connections, so the whole
+            # method silently rolled back on real drivers (the fake's
+            # commit() delegated to sqlite and masked it)
+            cur.execute("COMMIT")
         finally:
             con.close()
         return {"updated": sorted(updates or {}), "removed": removed,
@@ -397,6 +455,12 @@ class SqlCatalog:
                 (self.name, ns, name, path))
         except Exception as e:
             if _is_integrity_error(e):
+                # remove the just-written v0 metadata file: it would
+                # pollute the EXISTING table's metadata directory
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
                 raise TableAlreadyExistsError(str(identifier))
             raise
         return Table(_ident(identifier), md, path, self)
@@ -430,20 +494,38 @@ class SqlCatalog:
                      row[0], self)
 
     def table_exists(self, identifier) -> bool:
-        try:
-            self.load_table(identifier)
-            return True
-        except NoSuchTableError:
-            return False
+        ns, name = self._split(identifier)
+        row = self._run(
+            "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? AND "
+            "table_namespace = ? AND table_name = ? AND "
+            "metadata_location IS NOT NULL",
+            (self.name, ns, name), fetch="one")
+        return row is not None
 
     def drop_table(self, identifier, purge: bool = False) -> None:
         ns, name = self._split(identifier)
+        loc = None
+        if purge:
+            row = self._run(
+                "SELECT metadata_location FROM iceberg_tables WHERE "
+                "catalog_name = ? AND table_namespace = ? AND "
+                "table_name = ?", (self.name, ns, name), fetch="one")
+            loc = row[0] if row else None
         n = self._run(
             "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
             "table_namespace = ? AND table_name = ?",
             (self.name, ns, name), fetch="rowcount")
         if n == 0:
             raise NoSuchTableError(str(identifier))
+        if purge and loc:
+            # same contract as the glue/hive/rest catalogs: purge
+            # deletes the table's files, not just the pointer row
+            try:
+                md = TableMetadata.read(loc)
+            except (FileNotFoundError, OSError, ValueError):
+                return
+            from ..table.maintenance import purge_table_files
+            purge_table_files(md, loc)
 
     def rename_table(self, src, dst) -> None:
         sns, sname = self._split(src)

@@ -446,3 +446,37 @@ def test_update_name_mapping_reassignment_and_adds():
     assert out.id_for("new_top") == 10
     s = next(f for f in out.fields if f.field_id == 3)
     assert [f.names for f in s.fields] == [["x"], ["y"]]
+
+
+def test_sql_catalog_namespace_surface(tmp_path, spark, sf_dir):
+    """Round-8 review: drop_namespace exists, missing namespaces raise
+    NoSuchNamespaceError (not empty dicts/lists), purge deletes files,
+    and a lost create race does not orphan a v0 metadata file."""
+    import os
+    import pytest
+    from iceberg_go_spark.catalog import SqlCatalog
+    from iceberg_go_spark.catalog.glue import NoSuchNamespaceError
+    cat = SqlCatalog(str(tmp_path / "wh"))
+    with pytest.raises(NoSuchNamespaceError):
+        cat.namespace_properties("nope")
+    with pytest.raises(NoSuchNamespaceError):
+        cat.drop_namespace("nope")
+    cat.create_namespace("db", {"owner": "me"})
+    assert cat.namespace_exists("db")
+    df = read_table(spark, "region", sf_dir)
+    t = cat.create_table("db.t", Schema.from_spark(df.schema))
+    t.append(df)
+    md_dir = os.path.join(t.metadata.location, "metadata")
+    n_files_before = len(os.listdir(md_dir))
+    with pytest.raises(Exception):
+        cat.create_table("db.t", Schema.from_spark(df.schema))
+    assert len(os.listdir(md_dir)) == n_files_before, \
+        "lost create race orphaned a metadata file"
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_namespace("db")
+    loc = t.metadata.location
+    cat.drop_table("db.t", purge=True)
+    assert not os.path.exists(os.path.join(loc, "metadata")) or \
+        not os.listdir(os.path.join(loc, "metadata"))
+    cat.drop_namespace("db")
+    assert not cat.namespace_exists("db")
