@@ -1155,7 +1155,7 @@ TRANSFORMS_SQL = """
 SELECT event_id,
   (year(ts) - 1970)::INT AS t_year,
   ((year(ts) - 1970) * 12 + month(ts) - 1)::INT AS t_month,
-  date_diff('day', DATE '1970-01-01', ts::DATE)::INT AS t_day,
+  ts::DATE AS t_day,  -- day partition values are DATE-typed (r8)
   floor(epoch(ts) / 3600)::INT AS t_hour,
   (user_id - ((user_id % 7 + 7) % 7))::BIGINT AS t_user_trunc,
   substring(event_type, 1, 3) AS t_type_trunc

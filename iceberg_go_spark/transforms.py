@@ -102,8 +102,7 @@ def murmur3_32_long_np(values: np.ndarray) -> np.ndarray:
 
     Matches murmur3_32(struct.pack('<q', v)) element-wise; returns uint32.
     """
-    old = np.seterr(over="ignore")
-    try:
+    with np.errstate(over="ignore"):
         u = values.astype(np.int64).view(np.uint64)
         h = np.zeros(len(values), dtype=np.uint32)
         c1 = np.uint32(_C1)
@@ -123,8 +122,6 @@ def murmur3_32_long_np(values: np.ndarray) -> np.ndarray:
         h = h * np.uint32(0xC2B2AE35)
         h ^= h >> np.uint32(16)
         return h
-    finally:
-        np.seterr(**old)
 
 
 def murmur3_32_bytes_batch(vals: list) -> np.ndarray:
@@ -139,8 +136,7 @@ def murmur3_32_bytes_batch(vals: list) -> np.ndarray:
     n = len(vals)
     if n == 0:
         return np.empty(0, dtype=np.uint32)
-    old = np.seterr(over="ignore")
-    try:
+    with np.errstate(over="ignore"):
         lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
         total = int(lens.sum())
         maxlen = int(lens.max())
@@ -174,14 +170,16 @@ def murmur3_32_bytes_batch(vals: list) -> np.ndarray:
         h = h * np.uint32(0xC2B2AE35)
         h ^= h >> np.uint32(16)
         return h
-    finally:
-        np.seterr(**old)
 
 
 def _decimal_unscaled_bytes(d: Decimal) -> bytes:
-    """Minimal two's-complement big-endian bytes of the unscaled value."""
+    """MINIMAL two's-complement big-endian bytes of the unscaled value
+    (Java BigInteger.toByteArray / Go MarshalBinary): bit_length() is
+    the MAGNITUDE length, which over-padded exactly -2^(8k-1) values
+    (-128 encoded ff80 instead of 80 — a different bucket hash than
+    every other engine)."""
     unscaled = int(d.scaleb(-d.as_tuple().exponent))
-    length = max(1, (unscaled.bit_length() + 8) // 8)
+    length = (8 + (unscaled + (unscaled < 0)).bit_length()) // 8
     return unscaled.to_bytes(length, "big", signed=True)
 
 
@@ -201,12 +199,21 @@ def iceberg_hash_bytes(value: Any, source_type: T.IcebergType) -> bytes:
             value = datetime_to_micros(value)
         return struct.pack("<q", int(value))
     if isinstance(t, (T.TimestampNsType, T.TimestamptzNsType)):
+        # the spec/reference hash ns timestamps at MICROsecond
+        # resolution: FloorDiv(ns, 1000) then the 8-byte long encoding
+        # (transforms.go hashTimestampNano) — hashing the ns encoding
+        # diverged from every other engine's bucket numbers
         if isinstance(value, datetime):
-            value = datetime_to_micros(value) * 1000
+            value = datetime_to_micros(value)
+        else:
+            value = int(value) // 1000  # runtime value: int nanos
         return struct.pack("<q", int(value))
     if isinstance(t, T.DecimalType):
+        import decimal as _dec
         d = value if isinstance(value, Decimal) else Decimal(str(value))
-        d = d.quantize(Decimal(1).scaleb(-t.scale))
+        with _dec.localcontext() as ctx:
+            ctx.prec = 80  # default prec=28 raised on decimal(38,*)
+            d = d.quantize(Decimal(1).scaleb(-t.scale))
         return _decimal_unscaled_bytes(d)
     if isinstance(t, (T.StringType,)):
         return str(value).encode("utf-8")
@@ -382,59 +389,46 @@ class BucketTransform(Transform):
     def spark_column(self, col, source_type: T.IcebergType):
         from pyspark.sql import functions as F
         n = self.num_buckets
-        if isinstance(source_type, (T.IntegerType, T.LongType)):
+
+        def _bucket_long_udf():
+            # two inputs: null-coalesced values + a null mask.  Feeding
+            # a nullable long column straight into a pandas UDF made
+            # Arrow deliver float64+NaN, silently ROUNDING values past
+            # 2^53 before hashing (wrong buckets, wrong pruning); the
+            # coalesced column stays int64 end-to-end.
             @F.pandas_udf("int")
-            def _bucket_long(s: pd.Series) -> pd.Series:
-                mask = s.notna()
-                out = pd.Series(np.zeros(len(s), dtype=np.float64), index=s.index)
-                vals = s[mask].to_numpy(dtype=np.int64)
-                h = murmur3_32_long_np(vals)
-                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
-                out[~mask] = np.nan
+            def _b(vals: pd.Series, isnull: pd.Series) -> pd.Series:
+                v = vals.to_numpy(dtype=np.int64)
+                h = murmur3_32_long_np(v)
+                out = pd.Series(
+                    ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
+                    .astype(np.float64))
+                out[isnull.to_numpy(dtype=bool)] = np.nan
                 return out
-            return _bucket_long(col.cast("long"))
+            return _b
+
+        def _long_encoded(enc):
+            return _bucket_long_udf()(
+                F.coalesce(enc, F.lit(0).cast("long")), enc.isNull())
+
+        if isinstance(source_type, (T.IntegerType, T.LongType,
+                                    T.TimeType)):
+            # time is long micros in Spark; same 8-byte long encoding
+            return _long_encoded(col.cast("long"))
         if isinstance(source_type, (T.DateType,)):
             # date -> days since epoch -> long encoding
-            @F.pandas_udf("int")
-            def _bucket_date(s: pd.Series) -> pd.Series:
-                mask = s.notna()
-                out = pd.Series(np.zeros(len(s), dtype=np.float64), index=s.index)
-                vals = s[mask].to_numpy(dtype=np.int64)
-                h = murmur3_32_long_np(vals)
-                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
-                out[~mask] = np.nan
-                return out
-            return _bucket_date(F.datediff(col, F.lit("1970-01-01")).cast("long"))
+            return _long_encoded(
+                F.datediff(col, F.lit("1970-01-01")).cast("long"))
         if isinstance(source_type,
-                      (T.TimestampNsType, T.TimestamptzNsType)):
-            # Spark carries these at µs precision; hash the ns encoding
-            # (µs * 1000 — sub-µs digits were floored at the boundary)
-            @F.pandas_udf("int")
-            def _bucket_ts_ns(s: pd.Series) -> pd.Series:
-                mask = s.notna()
-                out = pd.Series(np.zeros(len(s), dtype=np.float64),
-                                index=s.index)
-                vals = s[mask].to_numpy(dtype=np.int64)
-                h = murmur3_32_long_np(vals)
-                out[mask] = ((h & np.uint32(0x7FFFFFFF)) %
-                             np.uint32(n)).astype(np.int32)
-                out[~mask] = np.nan
-                return out
-            return _bucket_ts_ns(_unix_micros_any(col) * F.lit(1000))
-        if isinstance(source_type, (T.TimestampType, T.TimestamptzType)):
-            @F.pandas_udf("int")
-            def _bucket_ts(s: pd.Series) -> pd.Series:
-                mask = s.notna()
-                out = pd.Series(np.zeros(len(s), dtype=np.float64), index=s.index)
-                vals = s[mask].to_numpy(dtype=np.int64)
-                h = murmur3_32_long_np(vals)
-                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
-                out[~mask] = np.nan
-                return out
-            return _bucket_ts(_unix_micros_any(col))
+                      (T.TimestampNsType, T.TimestamptzNsType,
+                       T.TimestampType, T.TimestamptzType)):
+            # ns types hash at MICROsecond resolution per the spec
+            # (hashTimestampNano floors ns -> µs), which is exactly the
+            # µs encoding Spark already carries — one shared path
+            return _long_encoded(_unix_micros_any(col))
         if isinstance(source_type,
                       (T.StringType, T.BinaryType, T.FixedType,
-                       T.DecimalType)):
+                       T.DecimalType, T.UUIDType)):
             st = source_type
 
             def encode(v):
@@ -442,6 +436,8 @@ class BucketTransform(Transform):
                     return v.encode("utf-8")
                 if isinstance(st, (T.BinaryType, T.FixedType)):
                     return bytes(v)
+                # uuid (hashes the 16 raw bytes, NOT the text form)
+                # and decimal take the canonical spec encoding
                 return iceberg_hash_bytes(v, st)
 
             @F.pandas_udf("int")
@@ -636,18 +632,30 @@ class MonthTransform(_TimeTransform):
 
 
 class DayTransform(_TimeTransform):
+    """Day partition values are DATE-typed (transforms.go:1041
+    DayTransform.ResultType; pyiceberg/Java agree) — declaring int here
+    made this engine's partition struct disagree with every conforming
+    reader of the same spec.  apply/spark_column/dir-rendering all
+    carry dates so the projection/evaluator/discovery chain stays
+    internally consistent (the Avro physical form is int days either
+    way, so previously-written manifests read back fine)."""
     name = "day"
 
-    def _from_dt(self, dt: datetime) -> int:
-        return (dt.date() - EPOCH_DATE).days
+    def result_type(self, t: T.IcebergType) -> T.IcebergType:
+        return T.DateType()
+
+    def _from_dt(self, dt: datetime) -> date:
+        return dt.date()
 
     def spark_column(self, col, source_type: T.IcebergType):
         from pyspark.sql import functions as F
-        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
+        return F.to_date(col)
 
     def to_human_str(self, v) -> str:
         if v is None:
             return "null"
+        if isinstance(v, date):
+            return v.isoformat()
         return (EPOCH_DATE + timedelta(days=int(v))).isoformat()
 
 
@@ -683,7 +691,9 @@ def parse_transform(s: str) -> Transform:
         return _SINGLETONS[s]()
     if s.startswith("bucket[") and s.endswith("]"):
         n = int(s[len("bucket["):-1])
-        if n >= 1 << 32:
+        if n > 0x7FFFFFFF:
+            # the reference rejects > MaxInt32 (validateNumBuckets);
+            # accepting more wrote metadata other engines cannot load
             raise ValueError(f"bucket count too large: {n}")
         return BucketTransform(n)
     if s.startswith("truncate[") and s.endswith("]"):

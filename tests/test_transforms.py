@@ -91,13 +91,15 @@ def test_time_transforms():
     ts = datetime(2017, 11, 16, 22, 31, 8)
     assert YearTransform().apply(d) == 47
     assert MonthTransform().apply(d) == 47 * 12 + 10
-    assert DayTransform().apply(d) == 17486
-    assert DayTransform().apply(ts) == 17486
+    # day partition values are DATE-typed (reference
+    # DayTransform.ResultType; 17486 days since epoch == 2017-11-16)
+    assert DayTransform().apply(d) == date(2017, 11, 16)
+    assert DayTransform().apply(ts) == date(2017, 11, 16)
     assert HourTransform().apply(ts) == 17486 * 24 + 22
     # pre-epoch
     assert YearTransform().apply(date(1969, 12, 31)) == -1
     assert MonthTransform().apply(date(1969, 12, 31)) == -1
-    assert DayTransform().apply(date(1969, 12, 31)) == -1
+    assert DayTransform().apply(date(1969, 12, 31)) == date(1969, 12, 31)
     assert HourTransform().apply(datetime(1969, 12, 31, 23, 59)) == -1
 
 
@@ -174,3 +176,85 @@ def test_murmur3_bytes_batch_matches_scalar():
     exp = _np.array([murmur3_32(v) & 0xFFFFFFFF for v in vals],
                     dtype=_np.uint32)
     assert (got == exp).all()
+
+
+def test_bucket_long_nulls_keep_int64_precision(spark):
+    """A NULL in the batch used to flip the Arrow-to-pandas conversion
+    to float64, silently ROUNDING ids past 2^53 before hashing — wrong
+    buckets, wrong pruning.  Snowflake-scale ids must hash exactly."""
+    import struct
+    from iceberg_go_spark.transforms import BucketTransform, murmur3_32
+    big = (1 << 60) + 12345678901  # far past float64's 2^53 exactness
+    tf = BucketTransform(1024)
+    df = spark.createDataFrame([(big,), (None,), (big + 1,)], "v long")
+    got = {r.v: r.b for r in
+           df.withColumn("b", tf.spark_column(df.v, T.LongType()))
+           .collect()}
+    exp = (murmur3_32(struct.pack("<q", big)) & 0x7FFFFFFF) % 1024
+    exp1 = (murmur3_32(struct.pack("<q", big + 1)) & 0x7FFFFFFF) % 1024
+    assert got[big] == exp
+    assert got[big + 1] == exp1
+    assert got[None] is None
+
+
+def test_bucket_uuid_and_time_columns(spark):
+    """bucket[N] on uuid and time sources: can_transform accepted both
+    but spark_column used to crash; uuid hashes the 16 RAW bytes."""
+    import struct
+    import uuid as _uuid
+    from iceberg_go_spark.transforms import BucketTransform, murmur3_32
+    tf = BucketTransform(16)
+    u = _uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")
+    df = spark.createDataFrame([(str(u),)], "u string")
+    got = df.withColumn("b", tf.spark_column(df.u, T.UUIDType())).first().b
+    assert got == (murmur3_32(u.bytes) & 0x7FFFFFFF) % 16
+    micros = 81068000000  # 22:31:08 as µs since midnight
+    df2 = spark.createDataFrame([(micros,)], "t long")
+    got2 = df2.withColumn("b", tf.spark_column(df2.t, T.TimeType())).first().b
+    assert got2 == (murmur3_32(struct.pack("<q", micros)) & 0x7FFFFFFF) % 16
+
+
+def test_bucket_ns_timestamp_hashes_micros():
+    """ns timestamps hash at MICROsecond resolution (reference
+    hashTimestampNano floors ns -> µs) — hashing the ns encoding
+    diverged from every other engine's bucket numbers."""
+    import struct
+    from datetime import datetime
+    from iceberg_go_spark.transforms import BucketTransform, murmur3_32
+    tf = BucketTransform(128)
+    dt = datetime(2017, 11, 16, 22, 31, 8)
+    micros = int((dt - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    exp = (murmur3_32(struct.pack("<q", micros)) & 0x7FFFFFFF) % 128
+    assert tf.apply(dt, T.TimestampNsType()) == exp
+    # raw int-nanos literal with sub-µs digits floors to the same µs
+    assert tf.apply(micros * 1000 + 891, T.TimestampNsType()) == exp
+
+
+def test_day_transform_is_date_typed(spark, sf_dir, tmp_path):
+    """End-to-end: a day-partitioned table writes DATE-typed partition
+    values, prunes correctly, and round-trips through manifests."""
+    from iceberg_go_spark.catalog import FilesystemCatalog
+    from iceberg_go_spark.meta.partitioning import spec_from_names
+    from iceberg_go_spark.schema import Schema
+    from iceberg_go_spark import expressions as E
+    from tests.conftest import read_table
+    from pyspark.sql import functions as F
+    li = read_table(spark, "lineitem", sf_dir)
+    schema = Schema.from_spark(li.schema)
+    cat = FilesystemCatalog(str(tmp_path / "wh"))
+    t = cat.create_table("db.byday", schema,
+                         spec_from_names(schema, ("l_shipdate", "day")))
+    t.append(li)
+    t = cat.load_table("db.byday")
+    tasks = t.scan().plan_files()
+    pvals = {v for tk in tasks for v in tk.data_file.partition.values()}
+    from datetime import date as _date
+    assert pvals and all(isinstance(v, _date) for v in pvals)
+    some_day = sorted(pvals)[0].isoformat()
+    sc = t.scan(E.and_(E.gt_eq("l_shipdate", some_day),
+                       E.lt("l_shipdate", some_day + " 23:59:59")))
+    got = sc.to_df(spark)
+    exp = li.filter(F.col("l_shipdate").cast("date")
+                    == F.lit(some_day).cast("date"))
+    assert got.count() == exp.count()
+    assert sc.report.skipped_data_files > 0
