@@ -486,6 +486,46 @@ def test_sum_vector_shapes_identical(spark, sf_dir, monkeypatch):
     assert a1 == a2
 
 
+def test_kernel_probe_literals_match_spec(spark):
+    """The hardcoded expected values in __spark_entry__'s
+    numpy_kernel_canary must equal the pure-Python exact spec
+    (math.isqrt + trunc division + first-max argmax) — a typo in the
+    literals would otherwise make the canary fail on a CORRECT kernel
+    (or pass on a broken one, if the typo mirrored the bug).  Then the
+    REAL kernel is run through Spark and must match them too."""
+    import math
+    import __spark_entry__ as ENTRY
+    from iceberg_go_spark.operators.similarity import (
+        _map_side_cosine_argmax)
+
+    def cos_exact(v, c):
+        d = sum(x * y for x, y in zip(v, c))
+        p = sum(x * x for x in v) * sum(y * y for y in c)
+        assert 0 <= p < (1 << 62)
+        s = math.isqrt(p)
+        if s == 0:
+            return 0
+        num = d * 1_000_000
+        return num // s if num >= 0 else -((-num) // s)
+
+    cents = ENTRY._KERNEL_PROBE_CENTS
+    for pid, (v, (wp, wc, wcos)) in enumerate(
+            zip(ENTRY._KERNEL_PROBE_VECS, ENTRY._KERNEL_PROBE_WANT)):
+        assert wp == pid
+        coss = [cos_exact(v, c) for c in cents]
+        best = max(range(len(cents)), key=lambda j: (coss[j], -j))
+        assert (best, coss[best]) == (wc, wcos), f"probe {pid}"
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(ENTRY._KERNEL_PROBE_VECS)],
+        "pid int, __q array<long>")
+    got = {r.pid: (r.cluster, r.cosine_e6) for r in
+           _map_side_cosine_argmax(df, "pid", "__q", cents,
+                                   keep_vec=False).collect()}
+    for pid, wc, wcos in ENTRY._KERNEL_PROBE_WANT:
+        assert got[pid] == (wc, wcos), f"kernel probe {pid}"
+
+
 def test_kmeans_iteration_tightens_clusters(spark, sf_dir):
     """Lloyd's update must not decrease the mean cosine-to-centroid
     (monotone objective for spherical k-means)."""
