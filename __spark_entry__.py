@@ -1993,27 +1993,15 @@ def ann_topk_bruteforce(spark, sf_dir):
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, sign-bucket LSH blocked —
     candidate pairs only within a bucket (2^dims reduction), quantized
-    cosine for engine-exact comparison."""
-    emb = _read(spark, sf_dir, "embeddings") \
-        .withColumn("__q", V.quantize(F.col("embedding"))) \
-        .withColumn("__bucket", V.sign_bucket(F.col("embedding")))
-    emb = emb.withColumn("__nsq", V.norm_sq(F.col("__q")))
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("__q").alias("__qa"),
-                   F.col("__nsq").alias("__nsqa"), "__bucket")
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("__q").alias("__qb"),
-                   F.col("__nsq").alias("__nsqb"),
-                   F.col("__bucket").alias("__bucket_b"))
-    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
-                                F.col("__nsqa"), F.col("__nsqb"),
-                                250_000)
-    cos = V.quantized_cosine_e6_nn(F.col("__qa"), F.col("__qb"),
-                                   F.col("__nsqa"), F.col("__nsqb"))
-    return (a.join(b, (F.col("id_a") < F.col("id_b")) &
-                   (F.col("__bucket") == F.col("__bucket_b")))
-            .filter(hit)
-            .select("id_a", "id_b", cos.alias("cosine_e6")))
+    cosine for engine-exact comparison (operators/dedup.py
+    embedding_near_dup_pairs).  bucket_dims is PINNED to 8 and the salt
+    bound disabled here because the static oracle SQL must block
+    identically (sign_bucket_sql(8), no xxhash64 in DuckDB); production
+    defaults are bucket_dims="auto" + max_bucket_size=4096 — that path
+    is pinned by tests/test_operators.py instead."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(
+        None, emb, threshold=0.25, bucket_dims=8, max_bucket_size=None)
 
 
 def _near_dup_sql() -> str:

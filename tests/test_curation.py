@@ -326,6 +326,103 @@ def test_simhash_near_dup_pairs_matches_bruteforce(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_degenerate_bucket_salt_split(spark):
+    """A degenerate corpus (thousands of IDENTICAL docs -> one (band,
+    key) bucket per band) must be salt-split so no collect_list row and
+    no pair expansion exceeds the bound: pair count stays ~linear
+    (n * max_bucket_size-ish), not the quadratic C(n, 2)."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark.operators.dedup import simhash_near_dup_pairs
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, "the exact same boilerplate page") for i in range(n)],
+        "doc_id long, text string")
+    out = simhash_near_dup_pairs(df, max_hamming=3, max_bucket_size=50)
+    pairs = out.count()
+    # quadratic would be C(2000, 2) = 1_999_000; the bound keeps each
+    # salt shard's expansion at ~C(50, 2) per band
+    assert 0 < pairs < n * 50 * 4
+    assert out.filter(F.col("hamming") != 0).count() == 0
+    # under the bound the salted shape is bit-identical to unsalted
+    small = spark.createDataFrame(
+        [(i, f"doc number {i % 5} body") for i in range(60)],
+        "doc_id long, text string")
+    a = {(r.id_a, r.id_b) for r in
+         simhash_near_dup_pairs(small, max_bucket_size=4096).collect()}
+    b = {(r.id_a, r.id_b) for r in
+         simhash_near_dup_pairs(small, max_bucket_size=10 ** 9).collect()}
+    assert a == b
+
+
+def test_embedding_near_dup_auto_dims_and_salt(spark):
+    """bucket_dims='auto' scales the sign-bucket count with the corpus
+    (expected population ~ target_bucket_size) and max_bucket_size
+    hard-bounds degenerate buckets."""
+    from iceberg_go_spark.operators.dedup import (auto_bucket_dims,
+                                                  embedding_near_dup_pairs)
+    # formula: 2^dims buckets keep n/2^dims ~ target, clamped [4, 16/dim]
+    assert auto_bucket_dims(100, 64) == 4
+    assert auto_bucket_dims(256 * 256, 64) == 8
+    assert auto_bucket_dims(1 << 20, 64, target_bucket_size=256) == 12
+    assert auto_bucket_dims(1 << 40, 64) == 16        # dims cap
+    assert auto_bucket_dims(1 << 40, 6) == 6          # vector-width cap
+    assert auto_bucket_dims(10, 64) == 4              # floor
+
+    # degenerate corpus: every vector identical -> one bucket; the salt
+    # bound keeps the self-join ~linear instead of C(n, 2)
+    n = 1000
+    df = spark.createDataFrame(
+        [(i, [1.0, -0.5, 0.25, -0.125]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(None, df, threshold=0.5,
+                                   bucket_dims="auto",
+                                   max_bucket_size=50)
+    pairs = out.count()
+    assert 0 < pairs < n * 50            # quadratic would be ~499_500
+    # under the bound, salted == unsalted (distinct small vectors)
+    sm = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.5, float(i % 3) - 1.0, 1.0, -1.0])
+         for i in range(80)],
+        "vec_id long, embedding array<float>")
+    a = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        None, sm, threshold=0.9, bucket_dims=4,
+        max_bucket_size=4096).collect()}
+    b = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        None, sm, threshold=0.9, bucket_dims=4,
+        max_bucket_size=None).collect()}
+    assert a == b
+
+
+def test_bloom_auto_routes_to_sharded(spark, monkeypatch):
+    """incremental_dedup_auto must dispatch on total bits: single
+    build+broadcast under the bound, sharded past it — with identical
+    survivors either way (shards partition the key space)."""
+    from iceberg_go_spark.operators import dedup as DD
+
+    hist = spark.createDataFrame(
+        [(i, f"seen document {i}") for i in range(300)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(i, f"seen document {i}") for i in range(250, 300)] +
+        [(1000 + i, f"fresh document {i}") for i in range(50)] +
+        [(2000, None)],
+        "doc_id long, text string")
+
+    single = {r.doc_id for r in DD.incremental_dedup_auto(
+        batch, hist, n_bits=1 << 18).collect()}
+    monkeypatch.setattr(DD, "MAX_BROADCAST_BLOOM_BITS", 1 << 16)
+    sharded = {r.doc_id for r in DD.incremental_dedup_auto(
+        batch, hist, n_bits=1 << 18).collect()}
+    # all history hits dropped on both routes; null-text row kept
+    assert not any(250 <= i - 0 < 300 for i in single)
+    assert not any(250 <= i - 0 < 300 for i in sharded)
+    assert 2000 in single and 2000 in sharded
+    # fresh rows survive up to bloom fpp noise on either route
+    assert len({1000 + i for i in range(50)} - single) <= 2
+    assert len(single.symmetric_difference(sharded)) <= 4
+
+
 def test_dedup_paragraphs(spark):
     from iceberg_go_spark.operators.curation import dedup_paragraphs
 
