@@ -126,6 +126,63 @@ def test_exact_dedup_single_shuffle(spark, plans):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_kmeans_assignment_stage_has_no_exchange(spark):
+    """r8 moved kmeans/PQ assignment from crossJoin(k)+row_number-window
+    to a map-side Arrow mapInPandas argmax — ZERO exchanges per Lloyd
+    iteration (the window shape shuffled k x |corpus| rows per
+    iteration, the r7 verdict's #1 scale-killer).  Lock the shape at
+    plan level so a refactor can't silently regress it."""
+    from conftest import read_table
+    from iceberg_go_spark.operators.similarity import kmeans_assignments
+    emb = read_table(spark, "embeddings", SF)
+    df = kmeans_assignments(emb, k=4, iters=2)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p
+    for bad in ("Exchange", "Window", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in p, f"{bad} crept into the assignment stage"
+
+
+def test_pq_encode_is_map_side(spark, plans):
+    """PQ code assignment shares the map-side argmax kernel; the full
+    top-k plan may shuffle for the scoring equi-join and rank the FINAL
+    per-query top-k with one window, but the corpus encode must stay a
+    MapInPandas — no assignment window (the regressed shape would rank
+    corpus x codebook rows by cosine per subspace)."""
+    p = plans("ann_topk_pq")
+    assert "MapInPandas" in p
+    windows = [ln for ln in p.splitlines()
+               if "Window [row_number()" in ln]
+    assert all("adc_score" in ln for ln in windows), windows
+
+
+def test_bpe_local_train_job_count_independent_of_merges(spark):
+    """BPE training on a collectable vocabulary is ONE corpus
+    aggregation + a driver-local merge loop: the Spark JOB COUNT must
+    not grow with n_merges (the r7 scale-killer was one job per merge —
+    32k merges = 32k sequential jobs)."""
+    from iceberg_go_spark.operators.text import bpe_train_merges
+    df = spark.createDataFrame(
+        [(i, "low lower lowest new newer newest wide widest")
+         for i in range(40)],
+        "doc_id long, text string")
+    sc = spark.sparkContext
+
+    def jobs_for(n_merges, tag):
+        sc.setJobGroup(tag, "bpe job-count probe")
+        try:
+            out = bpe_train_merges(df, n_merges=n_merges).collect()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert len(out) == n_merges
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    few = jobs_for(3, "bpe-few")
+    many = jobs_for(12, "bpe-many")  # the toy corpus merges dry at 16
+    assert many == few, (few, many)
+    assert few <= 4, few
+
+
 def test_zorder_write_prunes_on_both_dimensions(spark):
     """Z-order layout (write.distribution-mode=zorder): files carry
     tight bounds on EVERY z column, so a filter on either dimension
