@@ -3192,6 +3192,226 @@ WHERE p_brand = 'Brand#13'
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted (the corpus has no partsupp): supply cost of a
+    (part, supplier) pair is MIN(l_extendedprice / l_quantity) over
+    their lineitems — each value is ONE IEEE division, so both engines
+    see the identical double set and MIN is order-independent.  The
+    correlated min-cost-per-part subquery decorrelates into a groupBy +
+    equi-re-join (Catalyst's standard rewrite, expressed explicitly);
+    region-filtered suppliers and the part dimension broadcast.  At
+    100 TB: one keyed shuffle for the cost agg, one for the per-part
+    min — both map-side combinable; no row ever joins outside its
+    part key."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    part = _read(spark, sf_dir, "part")
+    es = (supp.join(F.broadcast(nat),
+                    supp.s_nationkey == nat.n_nationkey)
+          .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+                nat.n_regionkey == reg.r_regionkey)
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    costs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                  .alias("supply_cost")))
+    rc = costs.join(F.broadcast(es),
+                    costs.l_suppkey == es.s_suppkey)
+    minc = (rc.groupBy("l_partkey")
+            .agg(F.min("supply_cost").alias("__min_cost"))
+            .withColumnRenamed("l_partkey", "__mk"))
+    pf = part.filter((F.col("p_size") <= 15) &
+                     (F.col("p_type") == "LARGE"))
+    return (rc.join(F.broadcast(minc),
+                    (rc.l_partkey == F.col("__mk")) &
+                    (rc.supply_cost == F.col("__min_cost")))
+            .join(F.broadcast(pf), rc.l_partkey == pf.p_partkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "supply_cost"))
+
+
+Q2_SQL = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2),
+es AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+rc AS (
+  SELECT c.l_partkey, c.supply_cost, es.s_name, es.s_acctbal, es.n_name
+  FROM costs c JOIN es ON c.l_suppkey = es.s_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+FROM rc JOIN part ON rc.l_partkey = p_partkey
+WHERE p_size <= 15 AND p_type = 'LARGE'
+  AND supply_cost = (SELECT MIN(rc2.supply_cost) FROM rc rc2
+                     WHERE rc2.l_partkey = rc.l_partkey)
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 adapted (lineitem stands in for partsupp): per-part
+    value from one nation's suppliers, HAVING value above a fraction of
+    the nation-wide total (a scalar subquery).  Exact DECIMAL sums on
+    both sides of the comparison — value * 1000 > total is an exact
+    integer-scaled decimal compare, no float in the predicate lineage.
+    At 100 TB: suppliers broadcast, one keyed shuffle for the per-part
+    sum; the grand total re-aggregates the per-part frame (tiny) and
+    joins back as a 1-row broadcast."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    sup = (supp.join(F.broadcast(
+               nat.filter(F.col("n_name") == "NATION_3")),
+               supp.s_nationkey == nat.n_nationkey)
+           .select("s_suppkey"))
+    v = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+         .groupBy("l_partkey")
+         .agg(F.sum(_dec("l_extendedprice")).alias("__v")))
+    total = v.agg(F.sum("__v").alias("__t"))
+    return (v.join(F.broadcast(total))
+            .filter(F.col("__v") * 1000 > F.col("__t"))
+            .select("l_partkey",
+                    F.col("__v").cast("double").alias("value")))
+
+
+Q11_SQL = """
+WITH sup AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value
+  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+  GROUP BY 1)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM v
+WHERE value * 1000 > (SELECT SUM(value) FROM v)
+"""
+
+
+def q12_late_priority_mix(spark, sf_dir):
+    """TPC-H Q12 adapted (no l_shipmode/commitdate in the corpus): the
+    two-class CASE aggregation over a big-big join.  Lineitems shipped
+    in 1997 classify late when shipped 60+ days after the order date;
+    per class, count urgent/high-priority orders vs the rest.  At
+    100 TB: ONE shuffle join on l_orderkey = o_orderkey (both sides
+    large — the canonical co-partitioned fact join; bucketing both
+    tables on orderkey would make it shuffle-free), then a 2-row
+    aggregate."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    j = (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                   & (F.col("l_shipdate") < "1998-01-01"))
+         .join(orders, li.l_orderkey == orders.o_orderkey))
+    late = (F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy(F.when(late, 1).otherwise(0)
+                      .cast("int").alias("late_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .cast("long").alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1))
+                 .cast("long").alias("low_line_count")))
+
+
+Q12_SQL = """
+SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+            THEN 1 ELSE 0 END::INT AS late_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 adapted: distinct-supplier counts per (brand, type,
+    size) with a NOT-IN exclusion list (suppliers in deficit stand in
+    for the complaints subquery), expressed as a LEFT ANTI join.  At
+    100 TB: the exclusion list is tiny -> broadcast anti-join (no
+    corpus shuffle for it); the count-distinct is one keyed shuffle
+    with partial aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter((F.col("p_brand") != "Brand#13")
+                     & (F.col("p_type") != "PROMO")
+                     & (F.col("p_size").isin(5, 10, 15, 20, 25, 30)))
+    return (li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 adapted (lineitem stands in for partsupp availability):
+    suppliers from one nation who shipped MORE THAN HALF of some part's
+    total 1997 quantity — the nested semi-join shape (supplier IN
+    (... JOIN ... WHERE qty > fraction-of-correlated-total)).  Exact
+    DECIMAL quantity sums; sq * 2 > tq keeps the predicate
+    float-free.  At 100 TB: the per-(part, supplier) agg is one keyed
+    shuffle; the per-part total RE-AGGREGATES that frame (no second
+    corpus pass); the supplier side is tiny and ends in a broadcast
+    LEFT SEMI join."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    sp = (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(_dec("l_quantity")).alias("__sq")))
+    pt = sp.groupBy("l_partkey").agg(F.sum("__sq").alias("__tq"))
+    dom = (sp.join(pt, "l_partkey")
+           .filter(F.col("__sq") * 2 > F.col("__tq"))
+           .select("l_suppkey").distinct())
+    ns = supp.join(F.broadcast(
+        nat.filter(F.col("n_name") == "NATION_7")),
+        supp.s_nationkey == nat.n_nationkey)
+    return (ns.join(dom, ns.s_suppkey == dom.l_suppkey, "left_semi")
+            .select("s_name", "s_acctbal"))
+
+
+Q20_SQL = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2),
+pt AS (SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY 1),
+dom AS (SELECT DISTINCT l_suppkey FROM sp
+        JOIN pt USING (l_partkey) WHERE sq * 2 > tq)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+"""
+
+
 def q18_large_volume_customers(spark, sf_dir):
     """Customers whose single orders exceed 250 units (GROUP + HAVING
     semi-join back through orders)."""
@@ -4253,13 +4473,13 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ordering = driver-gate rotation priority (r8): queries whose
-        # Spark/oracle code CHANGED this session first (kmeans rework +
-        # canary + encrypted-scan fix + cosine-threshold consumers),
-        # then the ENTIRE r5-stale backlog (26 queries with no driver
-        # row since r5 — VERDICT r7 item 6), then r6-checked, then the
-        # freshly-green r7 set.  Recomputed each round from
-        # CORRECTNESS_r*.json.
+        # ordering = driver-gate rotation priority (recomputed each
+        # round from CORRECTNESS_r*.json): queries whose Spark/oracle
+        # code CHANGED this session first (kmeans diagnostics split +
+        # canaries + dedup bucket bounds + the new TPC-H shapes), then
+        # the ENTIRE r6-stale backlog (VERDICT r8 #4: drain so max
+        # staleness <= 2 rounds), then r7-checked, then the
+        # freshly-green r8 set.
         "duckdb_semantics_canary": duckdb_semantics_canary,
         "numpy_kernel_canary": numpy_kernel_canary,
         "env_version_canary": env_version_canary,
@@ -4268,54 +4488,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cosine_checksum": kmeans_cosine_checksum,
         "kmeans_cosine_checksum2": kmeans_cosine_checksum2,
         "kmeans_topic_clusters": kmeans_topic_clusters,
-        "iceberg_encrypted_scan": iceberg_encrypted_scan,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "embedding_near_dup": embedding_near_dup,
-        "bpe_merge_table": bpe_merge_table,
-        "ann_topk_pq": ann_topk_pq,
-        "ann_topk_pq_rerank": ann_topk_pq_rerank,
-        "ann_topk_ivf": ann_topk_ivf,
-        "minhash_lsh_recall": minhash_lsh_recall,
-        "iceberg_changelog_scan": iceberg_changelog_scan,
-        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
-        "q10_returned_items": q10_returned_items,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_idle_customers": q22_idle_customers,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
-        "q5_regional_revenue": q5_regional_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "range_join_acctbal": range_join_acctbal,
-        "rollup_pricing": rollup_pricing,
-        "running_revenue": running_revenue,
-        "sessionization": sessionization,
-        "set_ops_customers": set_ops_customers,
-        "shuffle_shards_export": shuffle_shards_export,
-        "stratified_sample_by_lang": stratified_sample_by_lang,
-        "top_customers_per_nation": top_customers_per_nation,
-        "user_retention_cohorts": user_retention_cohorts,
-        "bpe_top_pairs": bpe_top_pairs,
-        "context_window_chunks": context_window_chunks,
-        "dedup_clusters": dedup_clusters,
-        "dedup_exact": dedup_exact,
-        "dedup_fingerprint": dedup_fingerprint,
-        "dedup_keep_best": dedup_keep_best,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_paragraphs_clean": dedup_paragraphs_clean,
-        "dedup_simhash": dedup_simhash,
         "dedup_simhash_near": dedup_simhash_near,
-        "distinctive_terms_by_lang": distinctive_terms_by_lang,
-        "doc_fingerprints": doc_fingerprints,
+        "embedding_near_dup": embedding_near_dup,
+        "dedup_fingerprint": dedup_fingerprint,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority_mix": q12_late_priority_mix,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        # --- r6-stale backlog ---
         "hypertable_rollup": hypertable_rollup,
         "iceberg_branch_scan": iceberg_branch_scan,
         "iceberg_compacted_scan": iceberg_compacted_scan,
@@ -4342,6 +4524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transforms_datetime": transforms_datetime,
         "variant_prune_scan": variant_prune_scan,
         "variant_shred": variant_shred,
+        # --- latest row r7 ---
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
         "asof_join_events": asof_join_events,
@@ -4382,6 +4565,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_summary_by_lang": token_summary_by_lang,
         "training_pipeline_sample": training_pipeline_sample,
         "winnow_near_dups": winnow_near_dups,
+        # --- freshly green in r8 ---
+        "ann_topk_ivf": ann_topk_ivf,
+        "ann_topk_pq": ann_topk_pq,
+        "ann_topk_pq_rerank": ann_topk_pq_rerank,
+        "bpe_merge_table": bpe_merge_table,
+        "bpe_top_pairs": bpe_top_pairs,
+        "context_window_chunks": context_window_chunks,
+        "dedup_clusters": dedup_clusters,
+        "dedup_exact": dedup_exact,
+        "dedup_keep_best": dedup_keep_best,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_paragraphs_clean": dedup_paragraphs_clean,
+        "dedup_simhash": dedup_simhash,
+        "distinctive_terms_by_lang": distinctive_terms_by_lang,
+        "doc_fingerprints": doc_fingerprints,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
+        "iceberg_encrypted_scan": iceberg_encrypted_scan,
+        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "minhash_lsh_recall": minhash_lsh_recall,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_idle_customers": q22_idle_customers,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_regional_revenue": q5_regional_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "range_join_acctbal": range_join_acctbal,
+        "rollup_pricing": rollup_pricing,
+        "running_revenue": running_revenue,
+        "sessionization": sessionization,
+        "set_ops_customers": set_ops_customers,
+        "shuffle_shards_export": shuffle_shards_export,
+        "stratified_sample_by_lang": stratified_sample_by_lang,
+        "top_customers_per_nation": top_customers_per_nation,
+        "user_retention_cohorts": user_retention_cohorts,
     }
 
 
@@ -4418,6 +4646,11 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": Q13_SQL,
         "q15_top_supplier": Q15_SQL,
         "q17_small_quantity_revenue": Q17_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q12_late_priority_mix": Q12_SQL,
+        "q16_supplier_part_counts": Q16_SQL,
+        "q20_dominant_suppliers": Q20_SQL,
         "q18_large_volume_customers": Q18_SQL,
         "q19_discounted_revenue": Q19_SQL,
         "q4_order_priority": Q4_SQL,

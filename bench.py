@@ -114,6 +114,12 @@ EXTRA = [
     "iceberg_snapshot_drift",
     "multimodal_pack",
     "bpe_merge_table",
+    # round-9 additions: the decorrelation-pattern TPC-H shapes
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_priority_mix",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
 ]
 
 
@@ -134,22 +140,53 @@ def main() -> None:
         for name in HEADLINE + EXTRA:
             qs[name](spark, SF_DIR).count()
 
-    # min of REPS timed runs per query: single-run wall clock on a shared
-    # VM is noisy (GC pauses, page-cache state); the min is the best
-    # estimate of steady-state cost
+    # min of REPS timed runs per query, reps interleaved ROUND-ROBIN
+    # across queries (round 9): back-to-back reps let one slow box
+    # window inflate ALL reps of a few queries — the round-8 close saw
+    # 12.0-12.4 s then 9.28 s on the same tree from box state alone.
+    # Interleaved, a slow window spreads one inflated rep across many
+    # queries and the per-query min still lands in a quiet window.
+    # A fixed PURE-SPARK sentinel (constant CPU-bound work, no file IO)
+    # runs before every rep round and once at the end; its readings go
+    # into the artifact so box state is quantified, not guessed.
+    def sentinel() -> float:
+        from pyspark.sql import functions as F
+        t0 = time.time()
+        # modulus keeps the ANSI sum in-range (raw xxhash64 sums
+        # overflow long over 5e7 rows)
+        spark.range(50_000_000).select(
+            F.sum(F.xxhash64("id") % 1_000_003)).collect()
+        return round(time.time() - t0, 3)
+
+    sentinel()  # warm the sentinel's codegen path too
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    timings = {}
-    for name in HEADLINE + EXTRA:
-        fn = qs[name]
-        best, n = None, 0
+    interleave = os.environ.get("BENCH_INTERLEAVE", "1") != "0"
+    order = HEADLINE + EXTRA
+    samples: dict[str, list[float]] = {name: [] for name in order}
+    rows: dict[str, int] = {}
+    sentinels = []
+    if interleave:
         for _ in range(max(1, reps)):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+            sentinels.append(sentinel())
+            for name in order:
+                t0 = time.time()
+                rows[name] = qs[name](spark, SF_DIR).count()
+                samples[name].append(time.time() - t0)
+        sentinels.append(sentinel())
+    else:
+        sentinels.append(sentinel())
+        for name in order:
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                rows[name] = qs[name](spark, SF_DIR).count()
+                samples[name].append(time.time() - t0)
+        sentinels.append(sentinel())
+    timings = {}
+    for name in order:
+        timings[name] = round(min(samples[name]), 3)
+        print(f"# {name}: {timings[name]:.2f}s ({rows[name]} rows)",
+              file=sys.stderr)
+    print(f"# sentinel readings: {sentinels}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -164,8 +201,11 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
-        json.dump({"sf": sf_val, "queries": timings}, f, indent=1,
-                  sort_keys=True)
+        json.dump({"sf": sf_val, "queries": timings,
+                   "sentinel_sec": sentinels,
+                   "samples": {n: [round(v, 3) for v in s]
+                               for n, s in samples.items()}},
+                  f, indent=1, sort_keys=True)
     print(json.dumps({
         "metric": "headline_query_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -174,6 +214,7 @@ def main() -> None:
         "value_comparable21": round(
             sum(timings[n] for n in HEADLINE), 3),
         "n_queries": len(timings),
+        "sentinel_sec": sentinels,
         "detail": "BENCH_DETAIL.json",
         "sf": sf_val,
     }, separators=(",", ":")))

@@ -43,7 +43,11 @@ SF = "/root/testdata/sf0.001"
 #   joins keyed by token / source
 # - iceberg_snapshot_drift: the 1-row (n_old, n_new) totals broadcast
 #   as a scalar cross join against the value histogram
+# - q11_important_parts: the 1-row nation-wide total broadcast as a
+#   scalar cross join against the per-part values (TPC-H Q11's HAVING
+#   over a scalar subquery) — linear in parts
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
+                     "q11_important_parts",
                      "kmeans_topic_clusters", "q22_idle_customers",
                      "semantic_dedup_embeddings", "bm25_search",
                      "temperature_mixture_sample",
