@@ -281,7 +281,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3,
-                           max_bucket_size: int = 4096) -> DataFrame:
+                           max_bucket_size: int = 1024) -> DataFrame:
     """SimHash hamming-distance widening: pairs of docs whose 64-bit
     SimHash signatures differ in at most ``max_hamming`` bits
     (max_hamming <= 3).
@@ -300,10 +300,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     ``max_bucket_size`` HARD-bounds every (band, key) bucket: larger
     buckets are deterministically salt-split so no collect_list row and
     no within-bucket pair expansion can exceed the bound (degenerate
-    corpora put millions of near-identical docs in one bucket).  Pairs
-    across salt shards of one band's bucket are not compared — bounded,
-    documented recall loss on degenerate buckets only; buckets under
-    the bound (nsalt = 1) are bit-identical to the unsalted shape."""
+    corpora put millions of near-identical docs in one bucket).  The
+    default 1024 is sized to the PAIR-EXPANSION array, not just the
+    bucket row: Generate materializes flatten(transform(ms, ...)) —
+    k^2/2 pair structs (~80 B each) — per bucket row before exploding,
+    so k = 1024 caps that transient at ~40 MB while k = 65536 would be
+    ~170 GB.  Pairs across salt shards of one band's bucket are not
+    compared — bounded, documented recall loss on degenerate buckets
+    only; buckets under the bound (nsalt = 1) are bit-identical to the
+    unsalted shape."""
     if max_hamming > 3:
         raise ValueError("pigeonhole over 4 x 16-bit bands guarantees "
                          "completeness only for max_hamming <= 3")
@@ -429,7 +434,8 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
     """
     from ..functions import vector_funcs as V
     if bucket_dims == "auto":
-        dim = emb.select(F.size(F.col(vec_col))).first()[0] or 1
+        head = emb.select(F.size(F.col(vec_col))).first()
+        dim = (head[0] if head and head[0] else 1)  # empty frame -> 1
         bucket_dims = auto_bucket_dims(emb.count(), dim,
                                        target_bucket_size)
     base = emb.select(F.col(id_col),
