@@ -1238,9 +1238,14 @@ def dedup_simhash_near(spark, sf_dir):
     """64-bit SimHash hamming<=3 near-dup pairs via pigeonhole
     16-bit-band blocking (equi-join on band keys, never all-pairs); the
     DuckDB oracle is the brute-force quadratic self-join, so the value
-    check proves the blocking loses no pair."""
+    check proves the blocking loses no pair.  max_bucket_size=None
+    pins the LOSSLESS mode to match that exact oracle at any scale —
+    the production default salt-splits degenerate buckets (documented
+    recall loss there) and is pinned by
+    tests/test_curation.py::test_simhash_degenerate_bucket_salt_split."""
     docs = _read(spark, sf_dir, "documents")
-    return (DD.simhash_near_dup_pairs(docs, max_hamming=3)
+    return (DD.simhash_near_dup_pairs(docs, max_hamming=3,
+                                      max_bucket_size=None)
             .withColumn("hamming", F.col("hamming").cast("long")))
 
 

@@ -297,18 +297,35 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     collide in several bands.  At 100 TB: one explode (4 rows/doc), one
     hash shuffle on the band key — MinHash-LSH banding's shape.
 
-    ``max_bucket_size`` HARD-bounds every (band, key) bucket: larger
-    buckets are deterministically salt-split so no collect_list row and
-    no within-bucket pair expansion can exceed the bound (degenerate
-    corpora put millions of near-identical docs in one bucket).  The
-    default 1024 is sized to the PAIR-EXPANSION array, not just the
-    bucket row: Generate materializes flatten(transform(ms, ...)) —
-    k^2/2 pair structs (~80 B each) — per bucket row before exploding,
-    so k = 1024 caps that transient at ~40 MB while k = 65536 would be
-    ~170 GB.  Pairs across salt shards of one band's bucket are not
-    compared — bounded, documented recall loss on degenerate buckets
-    only; buckets under the bound (nsalt = 1) are bit-identical to the
-    unsalted shape."""
+    ``max_bucket_size`` bounds every (band, key) bucket: larger buckets
+    are deterministically salt-split into ceil(size/max) shards so no
+    collect_list row and no within-bucket pair expansion can go
+    quadratic on a degenerate corpus (millions of near-identical docs
+    in one bucket).  The bound holds IN EXPECTATION per shard — shard
+    sizes are Binomial(n, 1/nsalt), tightly concentrated for the large
+    n where OOM is a risk (relative deviation ~1/sqrt(max)); it is a
+    memory-safety valve, not a semantic contract.  The default 1024 is
+    sized to the PAIR-EXPANSION array, not just the bucket row:
+    Generate materializes flatten(transform(ms, ...)) — k^2/2 pair
+    structs (~80 B each) — per bucket row before exploding, so k = 1024
+    caps that transient at ~40 MB while k = 65536 would be ~170 GB.
+    Pairs across salt shards of one band's bucket are not compared —
+    documented recall loss on degenerate buckets only.  NEAR-identical
+    split pairs can still meet in another band (their keys differ
+    there, landing them in different buckets); fully IDENTICAL docs
+    salt the same way in all 4 bands, so an identical pair split once
+    is split everywhere — lowest-loss on exactly the rows that carry no
+    information.  Buckets under the bound (nsalt = 1) are bit-identical
+    to the unsalted shape.  ``max_bucket_size=None`` disables the bound
+    entirely: lossless single-pass shape, no persisted signature frame
+    (use for oracle-exact comparisons or when the corpus is known
+    non-degenerate).
+
+    Cache lifecycle: the bounded path persists the signature frame
+    MEMORY_AND_DISK (the md5 votes must feed the sizes subquery AND the
+    bucket agg); the cache entry lives until Spark's CacheManager
+    evicts it — long-lived services calling this repeatedly should
+    clear caches periodically or pass max_bucket_size=None."""
     if max_hamming > 3:
         raise ValueError("pigeonhole over 4 x 16-bit bands guarantees "
                          "completeness only for max_hamming <= 3")
@@ -328,47 +345,58 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # one row hold millions of structs -> executor OOM.  Oversized
     # buckets are deterministically salt-split (xxhash64 of the id,
     # semantic_dedup's max_cluster_size pattern) into
-    # ceil(size/max_bucket_size) shards before the collect, hard-
-    # bounding both the array row and the k^2/2 pair expansion.  Pairs
-    # across salt shards of one bucket are NOT compared — the
-    # documented recall loss, confined to buckets degenerate enough to
-    # blow the bound (a split pair can still meet in one of the other 3
-    # bands).
+    # ceil(size/max_bucket_size) shards before the collect.
     #
-    # Cost shape: the signature frame (5 longs/doc) is persisted
-    # MEMORY_AND_DISK so the expensive md5 votes run ONCE for the sizes
-    # subquery + the bucket agg (the cache boundary also keeps
-    # CollapseProject from merging the projection into the Generate and
-    # re-running the votes per exploded row — measured 18x when
-    # collapsed; a localCheckpoint here measured ~2x the persist).
+    # Cost shape (bounded path): the signature frame (5 longs/doc) is
+    # persisted MEMORY_AND_DISK so the expensive md5 votes run ONCE for
+    # the sizes subquery + the bucket agg (the cache boundary also
+    # keeps CollapseProject from merging the projection into the
+    # Generate and re-running the votes per exploded row — measured 18x
+    # when collapsed; a localCheckpoint here measured ~2x the persist).
     # Only HOT buckets (> max_bucket_size; EMPTY on any healthy corpus,
     # <= 4 * 65536 rows by construction even on a pathological one)
     # broadcast into a LEFT join, so the common case pays one cache
-    # write/read and a join against an empty build side.
-    from pyspark import StorageLevel
+    # write/read and a join against an empty build side.  The lossless
+    # path (max_bucket_size=None) has a single consumer, so a
+    # repartition stands in for the cache boundary (same CollapseProject
+    # protection, no cache entry).
     sig = F.struct(F.col(id_col).alias("id"),
                    *[F.col(f"__p{j}").alias(f"p{j}") for j in range(4)])
-    sigdf = (rebalance_for_amplification(df)
+    if max_bucket_size is None:
+        e = (rebalance_for_amplification(df)
              .select(F.col(id_col),
                      *[p.alias(f"__p{j}") for j, p in enumerate(parts)])
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    e = sigdf.select(sig.alias("__m"),
+             .repartition(F.col(id_col))
+             .select(sig.alias("__m"),
                      F.posexplode(F.array(
                          *[F.col(f"__p{j}") for j in range(4)]))
-                     .alias("__band", "__key"))
-    hot = (e.groupBy("__band", "__key")
-           .agg(F.count(F.lit(1)).alias("__n"))
-           .filter(F.col("__n") > max_bucket_size))
-    e = (e.join(F.broadcast(hot), ["__band", "__key"], "left")
-         .withColumn("__nsalt",
-                     F.coalesce(
-                         F.ceil(F.col("__n") / F.lit(max_bucket_size))
-                         .cast("int"), F.lit(1)))
-         .withColumn("__salt", F.pmod(F.xxhash64(F.col("__m.id")),
-                                      F.col("__nsalt")).cast("int")))
-    buckets = (e.groupBy("__band", "__key", "__salt")
-               .agg(F.array_sort(F.collect_list("__m")).alias("ms"))
-               .filter(F.size("ms") > 1))
+                     .alias("__band", "__key")))
+        buckets = (e.groupBy("__band", "__key")
+                   .agg(F.array_sort(F.collect_list("__m")).alias("ms"))
+                   .filter(F.size("ms") > 1))
+    else:
+        from pyspark import StorageLevel
+        sigdf = (rebalance_for_amplification(df)
+                 .select(F.col(id_col),
+                         *[p.alias(f"__p{j}") for j, p in enumerate(parts)])
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        e = sigdf.select(sig.alias("__m"),
+                         F.posexplode(F.array(
+                             *[F.col(f"__p{j}") for j in range(4)]))
+                         .alias("__band", "__key"))
+        hot = (e.groupBy("__band", "__key")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > max_bucket_size))
+        e = (e.join(F.broadcast(hot), ["__band", "__key"], "left")
+             .withColumn("__nsalt",
+                         F.coalesce(
+                             F.ceil(F.col("__n") / F.lit(max_bucket_size))
+                             .cast("int"), F.lit(1)))
+             .withColumn("__salt", F.pmod(F.xxhash64(F.col("__m.id")),
+                                          F.col("__nsalt")).cast("int")))
+        buckets = (e.groupBy("__band", "__key", "__salt")
+                   .agg(F.array_sort(F.collect_list("__m")).alias("ms"))
+                   .filter(F.size("ms") > 1))
     # members sorted by id, so (i < j) pairs come out id_a < id_b
     prs = buckets.select(F.explode(F.flatten(F.transform(
         F.col("ms"),
@@ -424,18 +452,28 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
     - ``bucket_dims="auto"`` derives the sign-bit count from the corpus
       count (auto_bucket_dims) so the EXPECTED bucket population stays
       near ``target_bucket_size`` as the corpus grows;
-    - ``max_bucket_size`` HARD-bounds the join against skew (sign
-      buckets are not uniform — a crawl of boilerplate embeddings piles
-      into one orthant): oversized buckets are deterministically
-      salt-split (xxhash64 of the id, semantic_dedup's pattern) so no
-      bucket's pair count goes quadratic; pairs across salt shards are
-      not compared (documented recall loss on degenerate buckets only —
-      buckets under the bound are bit-identical to the unsalted shape).
+    - ``max_bucket_size`` bounds the join against skew (sign buckets
+      are not uniform — a crawl of boilerplate embeddings piles into
+      one orthant): oversized buckets are deterministically salt-split
+      (xxhash64 of the id, semantic_dedup's pattern) so no bucket's
+      pair count goes quadratic — a per-shard bound in expectation
+      (shard sizes are Binomial(n, 1/nsalt), tightly concentrated in
+      the large-n regime the valve exists for); pairs across salt
+      shards are not compared (documented recall loss on degenerate
+      buckets only — buckets under the bound are bit-identical to the
+      unsalted shape).  None disables the bound (lossless, no cache).
+
+    Cache lifecycle: the bounded path persists the quantized frame
+    MEMORY_AND_DISK (it feeds the sizes subquery + both join sides);
+    the entry lives until the CacheManager evicts it — long-lived
+    services should clear caches periodically or pass None.
     """
     from ..functions import vector_funcs as V
     if bucket_dims == "auto":
-        head = emb.select(F.size(F.col(vec_col))).first()
-        dim = (head[0] if head and head[0] else 1)  # empty frame -> 1
+        # max() skips NULL embeddings (size(NULL) = -1 would poison the
+        # dim and collapse every vector into one sign bucket)
+        head = emb.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
+        dim = head["d"] if head and head["d"] and head["d"] > 0 else 1
         bucket_dims = auto_bucket_dims(emb.count(), dim,
                                        target_bucket_size)
     base = emb.select(F.col(id_col),
@@ -445,6 +483,11 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
     base = base.withColumn("__nsq", V.norm_sq(F.col("__q")))
     join_keys = ["__bucket"]
     if max_bucket_size is not None:
+        # the quantize/sign/norm projection feeds the sizes subquery and
+        # BOTH self-join sides — cache it once (same trade as the
+        # simhash twin; see the docstring's cache-lifecycle note)
+        from pyspark import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = (base.groupBy("__bucket")
                  .agg(F.count(F.lit(1)).alias("__n")))
         base = (base.join(F.broadcast(sizes), "__bucket")
@@ -591,7 +634,11 @@ def build_content_bloom(history: DataFrame, text_col: str = "text",
                 | np.frombuffer(b, dtype=np.uint8)).tobytes()
 
     rdd = history.select(text_col).rdd.mapPartitions(fold)
-    if rdd.isEmpty():
+    # fold yields one array per partition (even empty ones), so the
+    # mapped RDD is empty ONLY at zero partitions — check that for
+    # free rather than isEmpty(), which would drain partition 0
+    # through the md5 fold just to peek at the first element
+    if rdd.getNumPartitions() == 0:
         return bytes(n_bytes)
     return rdd.treeReduce(orb)
 
@@ -711,8 +758,11 @@ def incremental_dedup_auto(new_batch: DataFrame, history: DataFrame,
     (MAX_BROADCAST_BLOOM_BITS), the sharded per-key-prefix variant past
     it, with shard count chosen so each shard's bloom is back under the
     bound (peak driver/broadcast memory is bounded no matter how large
-    the history grows; the two paths agree bit-for-bit on which rows
-    survive because shards partition the key space)."""
+    the history grows).  No true duplicate survives on either route
+    (shards partition the key space, so every history key is tested);
+    FALSE-POSITIVE sets differ — the two routes hash into different bit
+    arrays/moduli, so which fresh rows get over-dropped varies within
+    fpp noise (pinned by test_bloom_auto_routes_to_sharded)."""
     if n_bits <= MAX_BROADCAST_BLOOM_BITS:
         bloom = build_content_bloom(history, text_col, n_bits, n_hashes)
         return incremental_dedup(new_batch, bloom, text_col, n_hashes)

@@ -263,13 +263,16 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
 
     - ``k="auto"`` derives k from the corpus count so the EXPECTED
       cluster size is ``target_cluster_size``;
-    - ``max_cluster_size`` HARD-bounds the join: oversized clusters are
+    - ``max_cluster_size`` bounds the join: oversized clusters are
       deterministically salt-split (xxhash64 of the id) into
       ceil(size/max) sub-buckets, so no bucket's pair count can go
-      quadratic on a skewed/degenerate clustering.  Pairs across salt
-      buckets of one cluster are not compared — the documented
-      approximation (SemDeDup is approximate by construction; a skewed
-      cluster that would OOM the join loses some recall instead)."""
+      quadratic on a skewed/degenerate clustering (a per-shard bound in
+      expectation — shard sizes are Binomial(n, 1/nsalt), tightly
+      concentrated in the large-n regime the valve exists for).  Pairs
+      across salt buckets of one cluster are not compared — the
+      documented approximation (SemDeDup is approximate by
+      construction; a skewed cluster that would OOM the join loses some
+      recall instead)."""
     if k == "auto":
         import math
         k = max(8, math.ceil(emb.count() / max(target_cluster_size, 1)))
