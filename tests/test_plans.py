@@ -18,12 +18,8 @@ SF = "/root/testdata/sf0.001"
 # - ann_topk_ivf: probe->nearest-centroid assignment (N_queries x
 #   N_centroids, both tiny and broadcast); the corpus side is an
 #   equi-join on the inverted-list label
-# - kmeans_topic_clusters: corpus x k broadcast centroids per Lloyd
-#   iteration — linear in the corpus, the k side is always tiny
 # - q22_idle_customers: the scalar-subquery average joins as a
 #   broadcast 1-row cross join — linear in customer
-# - semantic_dedup_embeddings: corpus x k broadcast centroids (kmeans
-#   assignment); the within-cluster pair join itself is an equi-join
 # - bm25_search: the 1-row (N, avgdl) corpus statistics broadcast as a
 #   scalar cross join — linear in matching tokens
 # - temperature_mixture_sample: the 1-row weight-total broadcast as a
@@ -46,10 +42,12 @@ SF = "/root/testdata/sf0.001"
 # - q11_important_parts: the 1-row nation-wide total broadcast as a
 #   scalar cross join against the per-part values (TPC-H Q11's HAVING
 #   over a scalar subquery) — linear in parts
+# (kmeans_topic_clusters and semantic_dedup_embeddings left this set in
+# round 9: the r8 map-side argmax removed their broadcast-centroid
+# cross joins, so the guardrail now covers them too)
 CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
-                     "q11_important_parts",
-                     "kmeans_topic_clusters", "q22_idle_customers",
-                     "semantic_dedup_embeddings", "bm25_search",
+                     "q11_important_parts", "q22_idle_customers",
+                     "bm25_search",
                      "temperature_mixture_sample",
                      "token_frequency_quality", "ann_topk_pq",
                      "ann_topk_pq_rerank", "source_divergence",
