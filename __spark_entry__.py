@@ -943,6 +943,38 @@ WHERE l_orderkey % 2 <> 0
 """
 
 
+def iceberg_stream_read(spark, sf_dir):
+    """Structured Streaming END-TO-END under the gate: the table's data
+    directory is tailed by the real file-stream source
+    (streaming/source.py read_stream — schema from table metadata,
+    pathGlobFilter keeps delete files out), drained with
+    trigger(availableNow=True) into a memory sink, and the materialized
+    micro-batches are the result frame.  Both snapshots' appends arrive
+    exactly once; the oracle is the full underlying relation.  The
+    batch-incremental half of the streaming surface is covered by
+    iceberg_incremental_scan; this row drives the actual readStream /
+    writeStream machinery."""
+    import tempfile
+    import uuid
+    cat = _fixtures(spark, sf_dir)
+    t = cat.load_table("db.li_tt")
+    from iceberg_go_spark.streaming.source import read_stream
+    name = "stream_li_" + uuid.uuid4().hex[:8]
+    ck = tempfile.mkdtemp(prefix="ivb_stream_ck_")
+    q = (read_stream(spark, t)
+         .select("l_orderkey", "l_linenumber", "l_quantity")
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+ICE_STREAM_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+"""
+
+
 def iceberg_mor_delete_scan(spark, sf_dir):
     cat = _fixtures(spark, sf_dir)
     t = cat.load_table("db.orders_mor")
@@ -4502,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_priority_mix": q12_late_priority_mix,
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
+        "iceberg_stream_read": iceberg_stream_read,
         # --- r6-stale backlog ---
         "hypertable_rollup": hypertable_rollup,
         "iceberg_branch_scan": iceberg_branch_scan,
@@ -4656,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_priority_mix": Q12_SQL,
         "q16_supplier_part_counts": Q16_SQL,
         "q20_dominant_suppliers": Q20_SQL,
+        "iceberg_stream_read": ICE_STREAM_SQL,
         "q18_large_volume_customers": Q18_SQL,
         "q19_discounted_revenue": Q19_SQL,
         "q4_order_priority": Q4_SQL,
