@@ -4472,6 +4472,61 @@ def bpe_merge_table(spark, sf_dir):
     return TOP.bpe_train_merges(docs, n_merges=3)
 
 
+def bpe_encoded_lengths(spark, sf_dir):
+    """Tokenizer ENCODE half: train 3 BPE merges on the corpus, replay
+    them over the distinct-word vocabulary, and report per-doc token
+    counts (operators/text.py bpe_apply_token_counts — merge replay is
+    vocabulary-sized, the corpus only pays an explode + keyed join +
+    keyed sum; docs with no tokens report 0)."""
+    docs = _read(spark, sf_dir, "documents")
+    return TOP.bpe_token_counts(docs, n_merges=3)
+
+
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of train+encode: the training CTE chain threads the
+    original word through every merge state, so the final state is the
+    per-word token encoding; doc token counts join the exploded corpus
+    back to that vocabulary."""
+    toks = TX.tokens_sql("text")
+    ctes = [
+        (f"w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM "
+         f"(SELECT unnest({toks}) AS w FROM documents) "
+         f"WHERE w <> '' GROUP BY w)"),
+        ("e0 AS (SELECT w, '|' || array_to_string(string_split(w, ''), "
+         "'||') || '|' AS s, cnt FROM w)"),
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"e{i - 1}"
+        ctes.append(
+            f"p{i} AS (SELECT l, r, SUM(cnt)::BIGINT AS n FROM ("
+            f"SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM ("
+            f"SELECT cnt, syms, unnest(generate_series(1, "
+            f"greatest(len(syms) - 1, 0))) AS i FROM ("
+            f"SELECT cnt, list_filter(string_split(s, '|'), "
+            f"x -> x <> '') AS syms FROM {prev}))) GROUP BY l, r)")
+        ctes.append(
+            f"t{i} AS (SELECT l, r FROM p{i} "
+            f"ORDER BY n DESC, l, r LIMIT 1)")
+        ctes.append(
+            f"e{i} AS (SELECT w, replace(s, "
+            f"'|' || (SELECT l FROM t{i}) || '||' || "
+            f"(SELECT r FROM t{i}) || '|', "
+            f"'|' || (SELECT l FROM t{i}) || (SELECT r FROM t{i}) "
+            f"|| '|') AS s, cnt FROM {prev})")
+    ctes.append(
+        f"venc AS (SELECT w, len(list_filter(string_split(s, '|'), "
+        f"x -> x <> ''))::BIGINT AS nt FROM e{n_merges})")
+    ctes.append(
+        f"dw AS (SELECT doc_id, unnest({toks}) AS w FROM documents)")
+    ctes.append(
+        "cnts AS (SELECT doc_id, SUM(nt)::BIGINT AS n_tokens "
+        "FROM dw JOIN venc USING (w) WHERE w <> '' GROUP BY doc_id)")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "SELECT d.doc_id, COALESCE(c.n_tokens, 0)::BIGINT AS "
+            "n_tokens FROM documents d LEFT JOIN cnts c "
+            "ON d.doc_id = c.doc_id")
+
+
 def _bpe_merges_sql(n_merges: int = 3) -> str:
     toks = TX.tokens_sql("text")
     ctes = [
@@ -4535,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "iceberg_stream_read": iceberg_stream_read,
+        "bpe_encoded_lengths": bpe_encoded_lengths,
         # --- r6-stale backlog ---
         "hypertable_rollup": hypertable_rollup,
         "iceberg_branch_scan": iceberg_branch_scan,
@@ -4690,6 +4746,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_counts": Q16_SQL,
         "q20_dominant_suppliers": Q20_SQL,
         "iceberg_stream_read": ICE_STREAM_SQL,
+        "bpe_encoded_lengths": _bpe_encode_sql(),
         "q18_large_volume_customers": Q18_SQL,
         "q19_discounted_revenue": Q19_SQL,
         "q4_order_priority": Q4_SQL,

@@ -120,6 +120,8 @@ EXTRA = [
     "q12_late_priority_mix",
     "q16_supplier_part_counts",
     "q20_dominant_suppliers",
+    "iceberg_stream_read",
+    "bpe_encoded_lengths",
 ]
 
 

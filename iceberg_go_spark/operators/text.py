@@ -329,6 +329,87 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
         merges, "step int, left string, right string, pair_count long")
 
 
+#: Merge tables at or under this length apply as a chained JVM
+#: F.replace expression (whole-stage codegen, zero Python); longer
+#: tables (real tokenizers: 32k merges) switch to an Arrow-batched
+#: pandas UDF looping str.replace per DISTINCT word — same semantics
+#: (str.replace == F.replace for literal patterns), vocabulary-sized
+#: work either way.
+BPE_APPLY_EXPR_LIMIT = 64
+
+
+def bpe_apply_token_counts(df: DataFrame, merges,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained BPE merge table and return per-doc token counts
+    (doc_id, n_tokens) — the encode half of the tokenizer pipeline
+    (bpe_train_merges is the train half).
+
+    Replays the merges IN ORDER with the same ``|s1||s2|`` encoding and
+    left-to-right literal replace as training, so a word tokenizes
+    exactly as the trainer's final vocab state.  Scale shape (100 TB):
+    the merge replay runs on the DISTINCT-WORD vocabulary, not the
+    corpus (the same vocabulary trick as training — vocabularies are
+    millions where corpora are trillions), then token counts join back
+    to the exploded corpus by word and sum per doc: one distinct
+    shuffle + one keyed join + one keyed sum.  Small merge tables
+    (<= BPE_APPLY_EXPR_LIMIT) inline as chained F.replace JVM
+    expressions; larger ones run the loop in an Arrow-batched pandas
+    UDF (a 32k-deep expression tree would blow analysis, and the
+    per-word Python loop is the standard tokenizer-encode cost).
+    Docs with no tokens (null/empty text) report n_tokens = 0."""
+    from ..session import rebalance_for_amplification
+    merges = [(str(left), str(right)) for left, right in merges]
+    dw = (rebalance_for_amplification(df)
+          .select(F.col(id_col),
+                  F.explode(TX.tokens(F.col(text_col))).alias("__w"))
+          .filter(F.col("__w") != ""))
+    vocab = dw.select("__w").distinct()
+    if len(merges) <= BPE_APPLY_EXPR_LIMIT:
+        col = F.concat(F.lit("|"),
+                       F.array_join(F.split(F.col("__w"), ""), "||"),
+                       F.lit("|"))
+        for left, right in merges:
+            col = F.replace(col, F.lit(f"|{left}||{right}|"),
+                            F.lit(f"|{left}{right}|"))
+        ntok = F.size(F.filter(F.split(col, r"\|"),
+                               lambda x: x != ""))
+        venc = vocab.select("__w", ntok.alias("__nt"))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        def _count(words):
+            def one(w):
+                s = "|" + "||".join(list(w)) + "|"
+                for left, right in merges:
+                    s = s.replace(f"|{left}||{right}|",
+                                  f"|{left}{right}|")
+                return sum(1 for x in s.split("|") if x != "")
+            return words.map(one)
+
+        count_udf = pandas_udf(_count, "int")
+        venc = vocab.select("__w", count_udf(F.col("__w")).alias("__nt"))
+    counts = (dw.join(venc, "__w")
+              .groupBy(id_col)
+              .agg(F.sum("__nt").alias("__n")))
+    return (df.select(id_col).join(counts, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__n"), F.lit(0))
+                    .cast("long").alias("n_tokens")))
+
+
+def bpe_token_counts(df: DataFrame, n_merges: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Train-then-encode: bpe_train_merges on the corpus, then
+    bpe_apply_token_counts with the learned table (the merge table is
+    <= n_merges rows — a driver-side list by construction)."""
+    mdf = bpe_train_merges(df, n_merges, text_col)
+    merges = [(r["left"], r["right"]) for r in
+              mdf.orderBy("step").collect()]
+    return bpe_apply_token_counts(df, merges, text_col, id_col)
+
+
 def _bpe_train_local(spark, word_rows, n_merges: int) -> DataFrame:
     """Driver-local BPE merge loop over collected (word, count) rows —
     bit-identical to the distributed loop: same ``|s1||s2|...|``

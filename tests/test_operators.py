@@ -1123,6 +1123,32 @@ def test_bpe_train_merges_greedy_nonoverlap(spark):
     assert rows == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
 
 
+def test_bpe_apply_token_counts(spark, monkeypatch):
+    """Encode semantics pinned by hand on the 'aaab aaab ab' corpus
+    (merges (a,a), (a,b), (aa,ab) — see the train hand-case): after 3
+    merges 'aaab' is ONE token and 'ab' one, so doc1 = 3 tokens; an
+    empty/null doc reports 0.  The chained-F.replace JVM path and the
+    pandas-UDF path (forced via BPE_APPLY_EXPR_LIMIT = 0) must agree
+    bit-for-bit."""
+    from iceberg_go_spark.operators import text as T
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "ab aaab"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    want = {1: 3, 2: 2, 3: 0, 4: 0}
+    got = {r.doc_id: r.n_tokens for r in
+           T.bpe_token_counts(df, n_merges=3).collect()}
+    assert got == want
+    monkeypatch.setattr(T, "BPE_APPLY_EXPR_LIMIT", 0)  # force pandas path
+    got_py = {r.doc_id: r.n_tokens for r in
+              T.bpe_token_counts(df, n_merges=3).collect()}
+    assert got_py == want
+    # partial merging: with only the first merge (a,a), 'aaab' ->
+    # [aa, a, b] = 3 tokens, 'ab' -> [a, b] = 2
+    one = {r.doc_id: r.n_tokens for r in
+           T.bpe_apply_token_counts(df, [("a", "a")]).collect()}
+    assert one == {1: 8, 2: 5, 3: 0, 4: 0}
+
+
 def test_quantize_sql_widens_float_before_multiply(spark):
     """float32 0.3195 * 1000 lands EXACTLY on 319.5 when multiplied in
     float32 but on 319.4999993 in double: both engines must widen to
