@@ -1198,6 +1198,51 @@ FROM events
 # -- dedup / text ----------------------------------------------------------
 
 
+def dsir_resample_top(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023): hashed-
+    unigram likelihood-ratio scores against the en/src0 slice as the
+    target distribution, keep the top 200 documents.  Exact integer
+    lineage (md5-prefix buckets, driver-side big-int ratio table,
+    clamped per-bucket ratios) — see operators/curation.py
+    importance_weights for the 100 TB shape."""
+    docs = _read(spark, sf_dir, "documents")
+    target = (F.col("lang") == "en") & (F.col("source") == "src0")
+    return CU.importance_resample(docs, target, n_keep=200)
+
+
+def _dsir_sql(n_keep: int = 200, n_buckets: int = 4096,
+              clamp: int = 1_000_000_000) -> str:
+    b = _hex12_to_int_sql("md5(w)")
+    toks = TX.tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' AND source = 'src0' THEN 1 ELSE 0 END AS tf,
+         ({b}) % {n_buckets} AS b
+  FROM (SELECT doc_id, lang, source, unnest({toks}) AS w FROM documents)
+),
+stats AS (
+  SELECT b, count(*)::HUGEINT AS r, sum(tf)::HUGEINT AS t
+  FROM tok GROUP BY b
+),
+tot AS (SELECT sum(r) AS rr, sum(t) AS tt FROM stats),
+lam AS (
+  SELECT b, LEAST({clamp},
+                  ((t + 1) * (rr + {n_buckets}) * 1000000)
+                  // ((r + 1) * (tt + {n_buckets})))::BIGINT AS lam
+  FROM stats CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, sum(lam)::BIGINT AS score_e6
+  FROM tok JOIN lam USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sc.score_e6, 0) AS score_e6
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY score_e6 DESC, doc_id
+LIMIT {n_keep}
+"""
+
+
 def dedup_exact(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return DD.exact_dedup(docs).select("doc_id")
@@ -4667,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_pairs": bpe_top_pairs,
         "context_window_chunks": context_window_chunks,
         "dedup_clusters": dedup_clusters,
+        "dsir_resample_top": dsir_resample_top,
         "dedup_exact": dedup_exact,
         "dedup_keep_best": dedup_keep_best,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4778,6 +4824,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_snapshot_log": SNAPSHOT_LOG_SQL,
         "transforms_datetime": TRANSFORMS_SQL,
         "transforms_bucket": _transforms_bucket_sql(),
+        "dsir_resample_top": _dsir_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keep_best": KEEP_BEST_SQL,
         "soft_dedup_weights": SOFT_DEDUP_SQL,

@@ -122,6 +122,7 @@ EXTRA = [
     "q20_dominant_suppliers",
     "iceberg_stream_read",
     "bpe_encoded_lengths",
+    "dsir_resample_top",
 ]
 
 

@@ -1006,3 +1006,113 @@ def snapshot_value_drift(table, spark, column: str,
         F.col("n_values").cast("long").alias("n_values"),
         F.when(den == 0, F.lit(0).cast("long")).otherwise(tv)
         .alias("tv_e6"))
+
+
+def importance_weights(df: DataFrame, target_filter,
+                       n_buckets: int = 4096,
+                       clamp_e6: int = 1_000_000_000,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ngram: int = 1) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its hashed
+    token distribution looks like a TARGET slice of the corpus
+    (``target_filter``, a boolean Column over ``df``'s columns)
+    relative to the raw corpus.  Returns (id, score_e6).
+
+    Per hash bucket ``b`` the importance ratio is the Laplace-smoothed
+    likelihood ratio
+
+        lam_b = clamp( (t_b+1)*(R+B) * 1e6 // ((r_b+1)*(T+B)) )
+
+    with ``t_b``/``r_b`` the target/raw token counts in the bucket and
+    ``T``/``R`` their totals; a document's score is the sum of its
+    tokens' bucket ratios — the exact-integer, per-token-expected-
+    importance surrogate for DSIR's log-ratio score (monotone in the
+    same direction; no transcendental in the lineage, so every engine
+    agrees bit-for-bit).  ``clamp_e6`` bounds a single bucket's ratio
+    (clipped importance weights — standard practice) which also keeps
+    the per-doc sum inside int64 for any real document length.
+
+    Scale shape (100 TB): the corpus tokenizes and explodes ONCE with a
+    pre-explode target flag; bucket stats are ONE map-side-combinable
+    ``n_buckets``-row aggregation, collected driver-side (metadata
+    scale — 4096 rows of counts) where the ratio table is computed with
+    exact Python big ints (the intermediate products overflow int64 at
+    trillion-token scale; the driver does them in arbitrary precision,
+    executors only ever see the clamped per-bucket longs); the ratio
+    table broadcast-joins back to the exploded tokens and the per-doc
+    sum is the single keyed corpus shuffle.  Nothing quadratic, nothing
+    collected at corpus scale.
+
+    Hash parity: bucket = conv(md5(token)[:12], 16, 10) % n_buckets —
+    the repo-wide md5-prefix integer form every oracle can reproduce.
+    ``ngram=2`` hashes adjacent-token bigrams (DSIR's feature set)
+    instead of unigrams."""
+    if ngram == 1:
+        tok = (rebalance_for_amplification(df)
+               .select(F.col(id_col),
+                       F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+                       .alias("__t"),
+                       F.explode(TX.tokens(F.col(text_col))).alias("__w")))
+    elif ngram == 2:
+        arr = TX.tokens(F.col(text_col))
+        grams = F.when(
+            F.size(arr) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.zip_with(F.slice(arr, 1, F.size(arr) - 1),
+                       F.slice(arr, 2, F.size(arr) - 1),
+                       lambda a, b: F.concat_ws(" ", a, b)))
+        tok = (rebalance_for_amplification(df)
+               .select(F.col(id_col),
+                       F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+                       .alias("__t"),
+                       F.explode(grams).alias("__w")))
+    else:
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    tok = tok.withColumn(
+        "__b", F.pmod(F.conv(F.substring(F.md5(F.col("__w")), 1, 12),
+                             16, 10).cast("long"),
+                      F.lit(n_buckets)).cast("int"))
+    stats = (tok.groupBy("__b")
+             .agg(F.count(F.lit(1)).alias("__r"),
+                  F.sum("__t").alias("__tc"))
+             .collect())
+    R = sum(int(s["__r"]) for s in stats)
+    T = sum(int(s["__tc"]) for s in stats)
+    B = n_buckets
+    lam_rows = [
+        (int(s["__b"]),
+         min(clamp_e6,
+             ((int(s["__tc"]) + 1) * (R + B) * 1_000_000)
+             // ((int(s["__r"]) + 1) * (T + B))))
+        for s in stats]
+    spark = df.sparkSession
+    lam = spark.createDataFrame(lam_rows, "__b int, __lam long")
+    scores = (tok.join(F.broadcast(lam), "__b")
+              .groupBy(id_col)
+              .agg(F.sum("__lam").alias("__s")))
+    return (df.select(id_col).join(scores, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__s"), F.lit(0)).cast("long")
+                    .alias("score_e6")))
+
+
+def importance_resample(df: DataFrame, target_filter, n_keep: int,
+                        n_buckets: int = 4096,
+                        clamp_e6: int = 1_000_000_000,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        ngram: int = 1) -> DataFrame:
+    """Keep the ``n_keep`` documents whose DSIR importance score is
+    highest — deterministic rank-based resampling (score desc, id asc;
+    the reproducible stand-in for DSIR's Gumbel top-k, which needs a
+    noise source no two engines would agree on).  Returns the kept
+    (id, score_e6) rows.
+
+    Scale shape: the selection is a global top-k (TakeOrdered — per-
+    partition heaps + a k-row driver merge), never a full sort."""
+    w = importance_weights(df, target_filter, n_buckets, clamp_e6,
+                           text_col, id_col, ngram)
+    return w.orderBy(F.col("score_e6").desc(), F.col(id_col)) \
+        .limit(n_keep)

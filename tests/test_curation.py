@@ -838,3 +838,100 @@ def test_bigrams_span_whitespace_runs(spark):
     assert rows[1].mean_bigram_p_e6 == 1_000_000
     m = {r.doc_id: r for r in repetition_metrics(df).collect()}
     assert m[1].top_bigram_frac_e6 == 1_000_000  # 1 bigram, top = it
+
+
+class TestImportanceResample:
+    """DSIR-style hashed importance weights vs a Python brute-force
+    recompute (same md5-prefix bucket hash, exact big-int ratios)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "ml models learn from data data data", "tgt"),
+            (2, "ml training data needs cleaning", "tgt"),
+            (3, "the cat sat on the mat", "raw"),
+            (4, "stock prices fell on tuesday", "raw"),
+            (5, "ml data pipelines scale training", "raw"),
+            (6, "", "raw"),                       # empty -> score 0
+            (7, "the the the the", "raw"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "kind"])
+
+    @staticmethod
+    def _brute(rows, target_kind, n_buckets, clamp, ngram=1):
+        import hashlib
+
+        def toks(t):
+            t = t.strip().lower()
+            ws = t.split() if t else []
+            if ngram == 2:
+                return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            return ws
+
+        def bkt(w):
+            h = hashlib.md5(w.encode()).hexdigest()[:12]
+            return int(h, 16) % n_buckets
+
+        r, t = {}, {}
+        for _, text, kind in rows:
+            for w in toks(text):
+                b = bkt(w)
+                r[b] = r.get(b, 0) + 1
+                if kind == target_kind:
+                    t[b] = t.get(b, 0) + 1
+        R, T, B = sum(r.values()), sum(t.values()), n_buckets
+        lam = {b: min(clamp, ((t.get(b, 0) + 1) * (R + B) * 10**6)
+                      // ((rc + 1) * (T + B)))
+               for b, rc in r.items()}
+        return {i: sum(lam[bkt(w)] for w in toks(text))
+                for i, text, _ in rows}
+
+    def test_weights_match_bruteforce(self, corpus):
+        got = {r["doc_id"]: r["score_e6"] for r in
+               CU.importance_weights(
+                   corpus, F.col("kind") == "tgt", n_buckets=64,
+                   clamp_e6=10**9).collect()}
+        want = self._brute(
+            [(r["doc_id"], r["text"], r["kind"])
+             for r in corpus.collect()], "tgt", 64, 10**9)
+        assert got == want
+        assert got[6] == 0                       # empty doc
+        # the ml/data-heavy raw doc outranks the unrelated ones
+        assert got[5] > got[3] and got[5] > got[4]
+
+    def test_bigram_features_match_bruteforce(self, corpus):
+        got = {r["doc_id"]: r["score_e6"] for r in
+               CU.importance_weights(
+                   corpus, F.col("kind") == "tgt", n_buckets=64,
+                   clamp_e6=10**9, ngram=2).collect()}
+        want = self._brute(
+            [(r["doc_id"], r["text"], r["kind"])
+             for r in corpus.collect()], "tgt", 64, 10**9, ngram=2)
+        assert got == want
+        # the data-data target doc carries the heaviest shared bigrams
+        assert got[1] == max(got.values()) and got[6] == 0
+
+    def test_resample_keeps_top_by_score_then_id(self, corpus):
+        kept = CU.importance_resample(
+            corpus, F.col("kind") == "tgt", n_keep=3, n_buckets=64
+        ).collect()
+        want = self._brute(
+            [(r["doc_id"], r["text"], r["kind"])
+             for r in corpus.collect()], "tgt", 4096, 10**9)
+        order = sorted(want, key=lambda i: (-want[i], i))[:3]
+        assert [r["doc_id"] for r in kept] == order
+
+    def test_clamp_bounds_bucket_ratio(self, corpus):
+        got = CU.importance_weights(
+            corpus, F.col("kind") == "tgt", n_buckets=64,
+            clamp_e6=1).collect()
+        # every bucket ratio clamps to 1 -> score == token count
+        for r in got:
+            text = [x["text"] for x in corpus.collect()
+                    if x["doc_id"] == r["doc_id"]][0]
+            assert r["score_e6"] == len(text.split())
+
+    def test_bad_ngram_rejected(self, corpus):
+        with pytest.raises(ValueError):
+            CU.importance_weights(corpus, F.col("kind") == "tgt",
+                                  ngram=3)
