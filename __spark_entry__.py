@@ -1198,6 +1198,69 @@ FROM events
 # -- dedup / text ----------------------------------------------------------
 
 
+def token_budget_mix(spark, sf_dir):
+    """Water-filling token-budget allocation across sources under a
+    2-epoch cap (operators/curation.py token_budget_allocation):
+    exact-integer closed form — at this budget a couple of small
+    sources hit their cap and the rest split the remainder by isqrt
+    weight, so both branches of the waterline are exercised."""
+    docs = _read(spark, sf_dir, "documents")
+    return CU.token_budget_allocation(docs, budget_tokens=52_000,
+                                      max_epochs=2)
+
+
+def _token_budget_sql(budget: int = 52_000, me: int = 2) -> str:
+    toks = TX.tokens_sql("text")
+    return f"""
+WITH per AS (
+  SELECT source, SUM(len({toks}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+y0 AS (SELECT source, n_tokens,
+              CAST(floor(sqrt(n_tokens)) AS BIGINT) AS y FROM per),
+y1 AS (SELECT source, n_tokens,
+              CASE WHEN y*y > n_tokens THEN y-1 ELSE y END AS y FROM y0),
+w  AS (SELECT source, n_tokens, (n_tokens * {me})::BIGINT AS cap_tokens,
+              CASE WHEN (y+1)*(y+1) <= n_tokens THEN y+1 ELSE y END AS w
+       FROM y1),
+r AS (
+  SELECT source, n_tokens, cap_tokens, w,
+         SUM(cap_tokens::HUGEINT)
+           OVER (ORDER BY n_tokens, source) AS cp,
+         SUM(w::HUGEINT) OVER ()
+           - SUM(w::HUGEINT) OVER (ORDER BY n_tokens, source) AS wafter
+  FROM w
+),
+c AS (
+  SELECT *, (w = 0 OR cap_tokens::HUGEINT * wafter
+                     <= ({budget}::HUGEINT - cp) * w::HUGEINT) AS capped
+  FROM r
+),
+t AS (
+  SELECT *,
+         SUM(CASE WHEN capped THEN cap_tokens::HUGEINT
+                  ELSE 0::HUGEINT END) OVER () AS ct,
+         SUM(CASE WHEN capped THEN 0::HUGEINT
+                  ELSE w::HUGEINT END) OVER () AS wu
+  FROM c
+),
+a AS (
+  SELECT source, n_tokens, cap_tokens,
+         CAST(CASE WHEN capped THEN cap_tokens::HUGEINT
+                   WHEN wu = 0 THEN 0::HUGEINT
+                   ELSE (w::HUGEINT
+                         * greatest({budget}::HUGEINT - ct, 0)) // wu
+              END AS BIGINT) AS alloc_tokens
+  FROM t
+)
+SELECT source, n_tokens, cap_tokens, alloc_tokens,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST((alloc_tokens::HUGEINT * 1000000) // n_tokens
+                      AS BIGINT) END AS epochs_e6
+FROM a
+"""
+
+
 def dsir_resample_top(spark, sf_dir):
     """DSIR-style importance resampling (Xie et al. 2023): hashed-
     unigram likelihood-ratio scores against the en/src0 slice as the
@@ -4713,6 +4776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window_chunks": context_window_chunks,
         "dedup_clusters": dedup_clusters,
         "dsir_resample_top": dsir_resample_top,
+        "token_budget_mix": token_budget_mix,
         "dedup_exact": dedup_exact,
         "dedup_keep_best": dedup_keep_best,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4825,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "transforms_datetime": TRANSFORMS_SQL,
         "transforms_bucket": _transforms_bucket_sql(),
         "dsir_resample_top": _dsir_sql(),
+        "token_budget_mix": _token_budget_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keep_best": KEEP_BEST_SQL,
         "soft_dedup_weights": SOFT_DEDUP_SQL,

@@ -123,6 +123,7 @@ EXTRA = [
     "iceberg_stream_read",
     "bpe_encoded_lengths",
     "dsir_resample_top",
+    "token_budget_mix",
 ]
 
 

@@ -1116,3 +1116,88 @@ def importance_resample(df: DataFrame, target_filter, n_keep: int,
                            text_col, id_col, ngram)
     return w.orderBy(F.col("score_e6").desc(), F.col(id_col)) \
         .limit(n_keep)
+
+
+def token_budget_allocation(df: DataFrame, budget_tokens: int,
+                            max_epochs: int = 4,
+                            strat_col: str = "source",
+                            text_col: str = "text") -> DataFrame:
+    """Plan a training-data mix: split a token budget across sources by
+    exact water-filling under per-source epoch caps — the allocation
+    step behind published pretraining recipes where low-resource
+    sources are up-weighted (temperature flattening) but never repeated
+    past ``max_epochs`` passes.  Returns one row per source:
+    (source, n_tokens, cap_tokens, alloc_tokens, epochs_e6).
+
+    The ideal share is proportional to sqrt(n_tokens) (the alpha=0.5
+    flattening temperature_mixture uses), capped at
+    ``max_epochs * n_tokens``; water-filling finds the unique scale
+    where capped sources take their cap and the rest split the
+    remaining budget by weight:
+
+        alloc_s = min(cap_s, lam * w_s),  sum_s alloc_s = budget
+
+    Closed form, exact integers: sources sort by cap/weight ascending —
+    and because cap = max_epochs * n and w = isqrt(n), that ratio is
+    monotone in n_tokens, so the sort key is (n_tokens, source): plain
+    integers, no division anywhere near an ORDER BY (rational sort keys
+    round differently across engines).  A source is capped iff
+    cap_s * W_after <= (budget - Cap_prefix) * w_s (cross-multiplied
+    rational comparison; the predicate is monotone along the sort so
+    the capped set is a prefix); uncapped sources get
+    trunc((budget - Cap_all_capped) * w_s / W_uncapped).  Every product
+    runs in DECIMAL(38,0) — token totals at 100 TB (~1e13) times summed
+    isqrt weights overflow int64.  epochs_e6 = alloc * 1e6 div n_tokens
+    reports repeat pressure per source.
+
+    Scale shape (100 TB): ONE map-side-combinable per-source token-sum
+    over the corpus; everything after runs on the |sources|-row frame
+    (window prefix sums over a tiny partition — declared, not a corpus
+    sort).  The corpus never shuffles."""
+    if budget_tokens < 0 or max_epochs < 0:
+        raise ValueError("budget_tokens and max_epochs must be >= 0")
+    dec = "decimal(38,0)"
+    per = (df.groupBy(strat_col)
+           .agg(F.sum(TX.token_count(F.col(text_col)))
+                .cast("long").alias("n_tokens")))
+    per = (per.withColumn("cap_tokens",
+                          (F.col("n_tokens") * F.lit(max_epochs))
+                          .cast("long"))
+           .withColumn("__w", _exact_isqrt("n_tokens")))
+    owin = Window.orderBy(F.col("n_tokens"), F.col(strat_col))
+    whole = owin.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    b = F.lit(int(budget_tokens)).cast(dec)
+    ranked = per.select(
+        strat_col, "n_tokens", "cap_tokens", "__w",
+        F.sum(F.col("cap_tokens").cast(dec)).over(owin).alias("__cp"),
+        (F.sum(F.col("__w").cast(dec)).over(whole)
+         - F.sum(F.col("__w").cast(dec)).over(owin)).alias("__wafter"))
+    is_capped = ((F.col("__w") == 0) |
+                 ((F.col("cap_tokens").cast(dec) * F.col("__wafter"))
+                  <= (b - F.col("__cp")) * F.col("__w").cast(dec)))
+    staged = ranked.select(
+        strat_col, "n_tokens", "cap_tokens", "__w",
+        is_capped.alias("__capped"),
+        F.sum(F.when(is_capped, F.col("cap_tokens").cast(dec))
+              .otherwise(F.lit(0).cast(dec))).over(whole).alias("__ct"),
+        F.sum(F.when(is_capped, F.lit(0).cast(dec))
+              .otherwise(F.col("__w").cast(dec))).over(whole)
+        .alias("__wu"))
+    share = F.expr(
+        f"CAST(__w AS {dec})"
+        f" * greatest(CAST({int(budget_tokens)} AS {dec}) - __ct,"
+        f"            CAST(0 AS {dec}))"
+        f" div __wu")
+    alloc = F.when(F.col("__capped"), F.col("cap_tokens").cast(dec)) \
+        .otherwise(F.when(F.col("__wu") == 0, F.lit(0).cast(dec))
+                   .otherwise(share))
+    out = staged.select(
+        F.col(strat_col), F.col("n_tokens"), F.col("cap_tokens"),
+        alloc.cast("long").alias("alloc_tokens"))
+    epochs = F.when(
+        F.col("n_tokens") == 0, F.lit(0).cast("long")
+    ).otherwise(F.expr(
+        f"CAST(CAST(alloc_tokens AS {dec}) * CAST(1000000 AS {dec}) "
+        f"div CAST(n_tokens AS {dec}) AS LONG)"))
+    return out.withColumn("epochs_e6", epochs)

@@ -935,3 +935,77 @@ class TestImportanceResample:
         with pytest.raises(ValueError):
             CU.importance_weights(corpus, F.col("kind") == "tgt",
                                   ngram=3)
+
+
+class TestTokenBudgetAllocation:
+    """Exact water-filling vs a Python big-int reference."""
+
+    @staticmethod
+    def _brute(per_source, budget, max_epochs):
+        import math
+        rows = [(s, n, n * max_epochs, math.isqrt(n))
+                for s, n in per_source.items()]
+        rows.sort(key=lambda r: (r[1], r[0]))   # ratio order == n order
+        capped, cp = {}, 0
+        wtot = sum(r[3] for r in rows)
+        wpre = 0
+        for s, n, cap, w in rows:
+            cp += cap
+            wpre += w
+            wafter = wtot - wpre
+            capped[s] = (w == 0) or (cap * wafter <= (budget - cp) * w)
+        ct = sum(r[2] for r in rows if capped[r[0]])
+        wu = sum(r[3] for r in rows if not capped[r[0]])
+        out = {}
+        for s, n, cap, w in rows:
+            if capped[s]:
+                a = cap
+            elif wu == 0:
+                a = 0
+            else:
+                a = w * max(budget - ct, 0) // wu
+            out[s] = (n, cap, a, 0 if n == 0 else a * 10**6 // n)
+        return out
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = []
+        i = 0
+        for n, src, docs in [(100, "big", 50), (10, "small", 5),
+                             (40, "mid", 10), (0, "empty", 1)]:
+            for _ in range(docs):
+                rows.append((i, " ".join(["w"] * n), src))
+                i += 1
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def test_matches_bruteforce(self, corpus):
+        got = {r["source"]: (r["n_tokens"], r["cap_tokens"],
+                             r["alloc_tokens"], r["epochs_e6"])
+               for r in CU.token_budget_allocation(
+                   corpus, budget_tokens=3000, max_epochs=3).collect()}
+        want = self._brute(
+            {"big": 5000, "small": 50, "mid": 400, "empty": 0},
+            3000, 3)
+        assert got == want
+        # caps respected, budget never exceeded
+        assert all(a <= c for _, c, a, _ in got.values())
+        assert sum(a for _, _, a, _ in got.values()) <= 3000
+
+    def test_budget_exceeds_all_caps(self, corpus):
+        got = {r["source"]: r["alloc_tokens"]
+               for r in CU.token_budget_allocation(
+                   corpus, budget_tokens=10**9, max_epochs=2).collect()}
+        # everything capped at 2 epochs
+        assert got == {"big": 10000, "small": 100, "mid": 800,
+                       "empty": 0}
+
+    def test_zero_budget(self, corpus):
+        got = CU.token_budget_allocation(
+            corpus, budget_tokens=0, max_epochs=2).collect()
+        assert all(r["alloc_tokens"] == 0 for r in got)
+
+    def test_negative_args_rejected(self, corpus):
+        with pytest.raises(ValueError):
+            CU.token_budget_allocation(corpus, -1)
+        with pytest.raises(ValueError):
+            CU.token_budget_allocation(corpus, 10, max_epochs=-1)
