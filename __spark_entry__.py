@@ -1198,6 +1198,60 @@ FROM events
 # -- dedup / text ----------------------------------------------------------
 
 
+def decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination: every 100th document plays the
+    held-out eval set; corpus spans covered by any 4-word benchmark
+    gram are stripped and the surviving tokens reassemble in order
+    (operators/dedup.py strip_contaminated_spans — broadcast benchmark
+    grams, zero corpus shuffle in detection)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    return DD.strip_contaminated_spans(corpus, bench, n=4)
+
+
+DECON_SPAN_SQL = """
+WITH ws AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents WHERE doc_id % 100 <> 0),
+bws AS (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id % 100 = 0),
+tot AS (SELECT doc_id, len(ws)::BIGINT AS nt FROM ws),
+toks AS (SELECT doc_id, p, ws[p] AS w
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws))) AS p
+               FROM ws)),
+g0 AS (SELECT doc_id, ws,
+              unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS s
+       FROM ws),
+g AS (SELECT doc_id, s,
+             array_to_string(ws[s:s+3], ' ') AS gram
+      FROM g0),
+bg AS (SELECT DISTINCT array_to_string(ws[s:s+3], ' ') AS gram
+       FROM (SELECT ws,
+                    unnest(generate_series(1, greatest(len(ws) - 3, 0)))
+                      AS s
+             FROM bws)),
+cov AS (SELECT DISTINCT doc_id, s + o AS p
+        FROM (SELECT doc_id, s FROM g JOIN bg USING (gram))
+        CROSS JOIN generate_series(0, 3) AS t(o)),
+kept AS (SELECT toks.doc_id, toks.p, toks.w
+         FROM toks LEFT JOIN cov
+           ON toks.doc_id = cov.doc_id AND toks.p = cov.p
+         WHERE cov.p IS NULL),
+agg AS (SELECT doc_id,
+               string_agg(w, ' ' ORDER BY p) AS clean_text,
+               COUNT(*)::BIGINT AS kept_tokens
+        FROM kept GROUP BY doc_id)
+SELECT tot.doc_id AS doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       COALESCE(kept_tokens, 0)::BIGINT AS kept_tokens,
+       (nt - COALESCE(kept_tokens, 0))::BIGINT AS removed_tokens
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
 def token_budget_mix(spark, sf_dir):
     """Water-filling token-budget allocation across sources under a
     2-epoch cap (operators/curation.py token_budget_allocation):
@@ -4777,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dsir_resample_top": dsir_resample_top,
         "token_budget_mix": token_budget_mix,
+        "decontaminate_spans": decontaminate_spans,
         "dedup_exact": dedup_exact,
         "dedup_keep_best": dedup_keep_best,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -4890,6 +4945,7 @@ def oracle_sql() -> dict[str, str]:
         "transforms_bucket": _transforms_bucket_sql(),
         "dsir_resample_top": _dsir_sql(),
         "token_budget_mix": _token_budget_sql(),
+        "decontaminate_spans": DECON_SPAN_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keep_best": KEEP_BEST_SQL,
         "soft_dedup_weights": SOFT_DEDUP_SQL,

@@ -124,6 +124,7 @@ EXTRA = [
     "bpe_encoded_lengths",
     "dsir_resample_top",
     "token_budget_mix",
+    "decontaminate_spans",
 ]
 
 

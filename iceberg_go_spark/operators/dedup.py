@@ -783,6 +783,22 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col), arr.alias("__ws"))
 
 
+def _gram_starts(df: DataFrame, text_col: str, id_col: str,
+                 n: int) -> DataFrame:
+    """(id, __s, __g): 1-based start position and xxhash64 key of every
+    word ``n``-gram occurrence; docs shorter than n contribute none
+    (filter BEFORE the explode: Spark's sequence(1, 0) counts DOWN)."""
+    base = _tokenized(df, text_col, id_col)
+    pos = base.filter(F.size("__ws") >= n).select(
+        F.col(id_col), F.col("__ws"),
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
+        .alias("__s"))
+    return pos.select(
+        F.col(id_col), F.col("__s"),
+        F.xxhash64(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
+        .alias("__g"))
+
+
 def duplicated_gram_hits(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 8,
                          min_count: int = 2) -> DataFrame:
@@ -799,17 +815,7 @@ def duplicated_gram_hits(df: DataFrame, text_col: str = "text",
     (~p^2/2^65 over p positions — a handful at 10^12 grams), acceptable
     for span *detection* at min_count >= 2; the oracle uses exact gram
     strings, and the driver gate confirms agreement at test scale."""
-    base = _tokenized(df, text_col, id_col)
-    # 1-based gram start positions; docs shorter than n contribute none
-    # (filter BEFORE the explode: Spark's sequence(1, 0) counts DOWN)
-    pos = base.filter(F.size("__ws") >= n).select(
-        F.col(id_col), F.col("__ws"),
-        F.explode(F.sequence(F.lit(1), F.size("__ws") - (n - 1)))
-        .alias("__s"))
-    grams = pos.select(
-        F.col(id_col), F.col("__s"),
-        F.xxhash64(F.concat_ws(" ", F.slice("__ws", F.col("__s"), n)))
-        .alias("__g"))
+    grams = _gram_starts(df, text_col, id_col, n)
     dup = (grams.groupBy("__g")
            .agg(F.count(F.lit(1)).alias("__c"))
            .filter(F.col("__c") >= min_count)
@@ -1042,3 +1048,47 @@ def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     >= F.lit(thr_e6).cast("long") * union)
             .withColumn("jaccard_e6", TX.ratio_e6(F.col("__shared"), union))
             .select("id_a", "id_b", "jaccard_e6"))
+
+
+def contaminated_gram_hits(corpus: DataFrame, benchmark: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n: int = 8) -> DataFrame:
+    """(id, __s) — the 1-based start of every corpus word ``n``-gram
+    that also occurs ANYWHERE in a benchmark/eval set.  The detection
+    half of span-level decontamination: where ``decontaminate`` flags
+    whole documents, this pinpoints the leaked spans so
+    ``strip_contaminated_spans`` can remove just them.
+
+    Scale shape: benchmark grams are distinct-ed then BROADCAST (eval
+    suites are thousands of docs against a corpus of billions); the
+    corpus gram stream joins broadcast-side with NO shuffle at all —
+    cheaper than the dedup variant, which must shuffle grams to count
+    them.  Gram keys are xxhash64 longs (8-byte keys on the dominant
+    stream; same false-positive note as duplicated_gram_hits)."""
+    bench = (_gram_starts(benchmark, text_col, id_col, n)
+             .select("__g").distinct())
+    grams = _gram_starts(corpus, text_col, id_col, n)
+    return grams.join(F.broadcast(bench), "__g").select(id_col, "__s")
+
+
+def strip_contaminated_spans(corpus: DataFrame, benchmark: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n: int = 8) -> DataFrame:
+    """Span-level benchmark decontamination: remove every maximal
+    corpus span covered by word ``n``-grams that appear in the
+    benchmark, keeping the rest of the document (the surgical
+    alternative to dropping whole flagged documents — standard practice
+    when eval suites leak boilerplate into otherwise-good documents).
+    Returns (id, clean_text, kept_tokens, removed_tokens); a fully-
+    contaminated document survives as an empty string.
+
+    Composition: contaminated_gram_hits (broadcast benchmark grams, no
+    corpus shuffle) feeds the same covered-position / anti-join /
+    in-order reassembly machinery as strip_duplicate_spans — one code
+    path for both ExactSubstr-style strippers."""
+    hits = contaminated_gram_hits(corpus, benchmark, text_col,
+                                  id_col, n)
+    return strip_duplicate_spans(corpus, text_col, id_col, n,
+                                 hits=hits)

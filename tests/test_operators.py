@@ -1249,3 +1249,65 @@ def test_isqrt_prod_overflow_raises(spark):
         [([1000, 0], [1000, 0], 1_000_000, 1_000_000)],
         "qa array<long>, qb array<long>, na long, nb long")
     assert ok.select(cos.alias("c")).first().c == 1_000_000
+
+
+class TestStripContaminatedSpans:
+    """Span-level decontamination vs a Python recompute."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        corpus = spark.createDataFrame([
+            (1, "keep one two three four leak leak leak leak keep tail"),
+            (2, "leak leak leak leak"),                 # fully covered
+            (3, "nothing shared here at all"),
+            (4, ""),                                    # empty doc
+        ], ["doc_id", "text"])
+        bench = spark.createDataFrame([
+            (100, "prefix leak leak leak leak suffix"),
+        ], ["doc_id", "text"])
+        return corpus, bench
+
+    @staticmethod
+    def _brute(corpus_rows, bench_rows, n):
+        bgrams = set()
+        for _, t in bench_rows:
+            ws = [w for w in t.split(" ") if w]
+            for i in range(len(ws) - n + 1):
+                bgrams.add(" ".join(ws[i:i + n]))
+        out = {}
+        for i, t in corpus_rows:
+            ws = [w for w in t.split(" ") if w]
+            cov = set()
+            for s in range(len(ws) - n + 1):
+                if " ".join(ws[s:s + n]) in bgrams:
+                    cov.update(range(s, s + n))
+            kept = [w for p, w in enumerate(ws) if p not in cov]
+            out[i] = (" ".join(kept), len(kept), len(ws) - len(kept))
+        return out
+
+    def test_matches_bruteforce(self, frames):
+        from iceberg_go_spark.operators.dedup import \
+            strip_contaminated_spans
+        corpus, bench = frames
+        got = {r["doc_id"]: (r["clean_text"], r["kept_tokens"],
+                             r["removed_tokens"])
+               for r in strip_contaminated_spans(
+                   corpus, bench, n=4).collect()}
+        want = self._brute(
+            [(r["doc_id"], r["text"]) for r in corpus.collect()],
+            [(r["doc_id"], r["text"]) for r in bench.collect()], 4)
+        assert got == want
+        assert got[2] == ("", 0, 4)          # fully contaminated
+        assert got[3][2] == 0                # untouched doc intact
+        assert got[4] == ("", 0, 0)          # empty doc survives
+        assert got[1][2] == 4                # only the leaked span went
+
+    def test_hits_are_broadcast_no_corpus_shuffle(self, frames):
+        corpus, bench = frames
+        from iceberg_go_spark.operators.dedup import \
+            contaminated_gram_hits
+        plan = contaminated_gram_hits(
+            corpus, bench, n=4)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
