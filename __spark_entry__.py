@@ -4753,6 +4753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "iceberg_stream_read": iceberg_stream_read,
         "bpe_encoded_lengths": bpe_encoded_lengths,
+        "dsir_resample_top": dsir_resample_top,
+        "token_budget_mix": token_budget_mix,
+        "decontaminate_spans": decontaminate_spans,
         # --- r6-stale backlog ---
         "hypertable_rollup": hypertable_rollup,
         "iceberg_branch_scan": iceberg_branch_scan,
@@ -4829,9 +4832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_top_pairs": bpe_top_pairs,
         "context_window_chunks": context_window_chunks,
         "dedup_clusters": dedup_clusters,
-        "dsir_resample_top": dsir_resample_top,
-        "token_budget_mix": token_budget_mix,
-        "decontaminate_spans": decontaminate_spans,
         "dedup_exact": dedup_exact,
         "dedup_keep_best": dedup_keep_best,
         "dedup_minhash_lsh": dedup_minhash_lsh,
