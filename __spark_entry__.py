@@ -4644,21 +4644,25 @@ def bpe_encoded_lengths(spark, sf_dir):
     return TOP.bpe_token_counts(docs, n_merges=3)
 
 
-def _bpe_encode_sql(n_merges: int = 3) -> str:
-    """DuckDB twin of train+encode: the training CTE chain threads the
-    original word through every merge state, so the final state is the
-    per-word token encoding; doc token counts join the exploded corpus
-    back to that vocabulary."""
+def _bpe_chain_ctes(n_merges: int, state: str) -> list:
+    """Shared training CTE chain for both BPE oracles: w (mergeable
+    vocabulary — separator-containing words are excluded from merge
+    statistics, mirroring bpe_train_merges), {state}0..{state}N symbol
+    states threading every merge, p_i pair counts, t_i the argmax
+    merge.  The {state}_i replace is guarded for an EXHAUSTED merge
+    table (t_i empty -> scalar subqueries go NULL and would poison
+    every row to NULL): the state passes through unchanged instead."""
     toks = TX.tokens_sql("text")
     ctes = [
         (f"w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM "
          f"(SELECT unnest({toks}) AS w FROM documents) "
-         f"WHERE w <> '' GROUP BY w)"),
-        ("e0 AS (SELECT w, '|' || array_to_string(string_split(w, ''), "
-         "'||') || '|' AS s, cnt FROM w)"),
+         f"WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w)"),
+        (f"{state}0 AS (SELECT w, '|' || "
+         f"array_to_string(string_split(w, ''), '||') || '|' AS s, "
+         f"cnt FROM w)"),
     ]
     for i in range(1, n_merges + 1):
-        prev = f"e{i - 1}"
+        prev = f"{state}{i - 1}"
         ctes.append(
             f"p{i} AS (SELECT l, r, SUM(cnt)::BIGINT AS n FROM ("
             f"SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM ("
@@ -4667,17 +4671,33 @@ def _bpe_encode_sql(n_merges: int = 3) -> str:
             f"SELECT cnt, list_filter(string_split(s, '|'), "
             f"x -> x <> '') AS syms FROM {prev}))) GROUP BY l, r)")
         ctes.append(
-            f"t{i} AS (SELECT l, r FROM p{i} "
+            f"t{i} AS (SELECT l, r, n FROM p{i} "
             f"ORDER BY n DESC, l, r LIMIT 1)")
         ctes.append(
-            f"e{i} AS (SELECT w, replace(s, "
+            f"{state}{i} AS (SELECT w, CASE "
+            f"WHEN (SELECT COUNT(*) FROM t{i}) = 0 THEN s "
+            f"ELSE replace(s, "
             f"'|' || (SELECT l FROM t{i}) || '||' || "
             f"(SELECT r FROM t{i}) || '|', "
             f"'|' || (SELECT l FROM t{i}) || (SELECT r FROM t{i}) "
-            f"|| '|') AS s, cnt FROM {prev})")
+            f"|| '|') END AS s, cnt FROM {prev})")
+    return ctes
+
+
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of train+encode: the shared training chain threads
+    the original word through every merge state, so the final state is
+    the per-word token encoding; separator-containing words (excluded
+    from training) encode at character level; doc token counts join
+    the exploded corpus back to that vocabulary."""
+    toks = TX.tokens_sql("text")
+    ctes = _bpe_chain_ctes(n_merges, "e")
     ctes.append(
         f"venc AS (SELECT w, len(list_filter(string_split(s, '|'), "
-        f"x -> x <> ''))::BIGINT AS nt FROM e{n_merges})")
+        f"x -> x <> ''))::BIGINT AS nt FROM e{n_merges} "
+        f"UNION ALL SELECT w, length(w)::BIGINT AS nt FROM ("
+        f"SELECT DISTINCT w FROM (SELECT unnest({toks}) AS w "
+        f"FROM documents) WHERE w LIKE '%|%'))")
     ctes.append(
         f"dw AS (SELECT doc_id, unnest({toks}) AS w FROM documents)")
     ctes.append(
@@ -4690,36 +4710,11 @@ def _bpe_encode_sql(n_merges: int = 3) -> str:
 
 
 def _bpe_merges_sql(n_merges: int = 3) -> str:
-    toks = TX.tokens_sql("text")
-    ctes = [
-        (f"w AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM "
-         f"(SELECT unnest({toks}) AS w FROM documents) "
-         f"WHERE w <> '' GROUP BY w)"),
-        ("s0 AS (SELECT '|' || array_to_string(string_split(w, ''), "
-         "'||') || '|' AS s, cnt FROM w)"),
-    ]
-    selects = []
-    for i in range(1, n_merges + 1):
-        prev = f"s{i - 1}"
-        ctes.append(
-            f"p{i} AS (SELECT l, r, SUM(cnt)::BIGINT AS n FROM ("
-            f"SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM ("
-            f"SELECT cnt, syms, unnest(generate_series(1, "
-            f"greatest(len(syms) - 1, 0))) AS i FROM ("
-            f"SELECT cnt, list_filter(string_split(s, '|'), "
-            f"x -> x <> '') AS syms FROM {prev}))) GROUP BY l, r)")
-        ctes.append(
-            f"t{i} AS (SELECT l, r, n FROM p{i} "
-            f"ORDER BY n DESC, l, r LIMIT 1)")
-        ctes.append(
-            f"s{i} AS (SELECT replace(s, "
-            f"'|' || (SELECT l FROM t{i}) || '||' || "
-            f"(SELECT r FROM t{i}) || '|', "
-            f"'|' || (SELECT l FROM t{i}) || (SELECT r FROM t{i}) "
-            f"|| '|') AS s, cnt FROM {prev})")
-        selects.append(
-            f"SELECT {i}::INT AS step, l AS \"left\", "
-            f"r AS \"right\", n AS pair_count FROM t{i}")
+    ctes = _bpe_chain_ctes(n_merges, "s")
+    selects = [
+        (f"SELECT {i}::INT AS step, l AS \"left\", "
+         f"r AS \"right\", n AS pair_count FROM t{i}")
+        for i in range(1, n_merges + 1)]
     return ("WITH " + ",\n".join(ctes) + "\n"
             + " UNION ALL ".join(selects))
 

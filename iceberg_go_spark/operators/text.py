@@ -241,6 +241,29 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_shared_fp") >= min_shared))
 
 
+#: BPE symbol-sequence separator.  Words CONTAINING it cannot be
+#: encoded unambiguously, so every path (train, both encode paths, the
+#: DuckDB oracles) excludes them from merge statistics and encodes them
+#: at character level (n_tokens = codepoint count) — the state an
+#: unmerged word starts in.
+BPE_SEP = "|"
+
+
+def _sym_encode(col):
+    """``|s1||s2||...||sn|`` symbol encoding of a word Column — double
+    separators between symbols, single at the edges, so a literal
+    replace of ``|a||b|`` -> ``|ab|`` is EXACTLY one greedy
+    left-to-right merge pass (adjacent matches share no boundary)."""
+    return F.concat(F.lit(BPE_SEP),
+                    F.array_join(F.split(col, ""), BPE_SEP * 2),
+                    F.lit(BPE_SEP))
+
+
+def _sym_encode_py(w: str) -> str:
+    """Python twin of _sym_encode (pinned bit-identical by tests)."""
+    return BPE_SEP + (BPE_SEP * 2).join(list(w)) + BPE_SEP
+
+
 def bpe_train_merges(df: DataFrame, n_merges: int = 3,
                      text_col: str = "text",
                      vocab_collect_max: int = 2_000_000,
@@ -278,7 +301,8 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
     bit-identical (pinned by test_bpe_local_vs_distributed)."""
     words = (df.select(F.explode(TX.tokens(F.col(text_col)))
                        .alias("__w"))
-             .filter(F.col("__w") != "")
+             .filter((F.col("__w") != "") &
+                     ~F.col("__w").contains(BPE_SEP))
              .groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt")))
     spark = df.sparkSession
     # ONE job both sizes the vocabulary and, when it fits, delivers it:
@@ -295,10 +319,8 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
             f"step is a sequential Spark job — raise vocab_collect_max "
             f"(driver-local training) or max_distributed_steps "
             f"explicitly if you accept the job count")
-    sym = F.concat(F.lit("|"),
-                   F.array_join(F.split(F.col("__w"), ""), "||"),
-                   F.lit("|"))
-    cur = words.select(sym.alias("__s"), F.col("__cnt"))
+    cur = words.select(_sym_encode(F.col("__w")).alias("__s"),
+                       F.col("__cnt"))
     cur = cur.localCheckpoint()  # the loop rewrites __s n_merges times
     merges = []
     for step in range(1, n_merges + 1):
@@ -357,41 +379,55 @@ def bpe_apply_token_counts(df: DataFrame, merges,
     expressions; larger ones run the loop in an Arrow-batched pandas
     UDF (a 32k-deep expression tree would blow analysis, and the
     per-word Python loop is the standard tokenizer-encode cost).
-    Docs with no tokens (null/empty text) report n_tokens = 0."""
+    Docs with no tokens (null/empty text) report n_tokens = 0; words
+    containing the reserved separator encode at character level (see
+    BPE_SEP)."""
     from ..session import rebalance_for_amplification
     merges = [(str(left), str(right)) for left, right in merges]
-    dw = (rebalance_for_amplification(df)
-          .select(F.col(id_col),
-                  F.explode(TX.tokens(F.col(text_col))).alias("__w"))
-          .filter(F.col("__w") != ""))
-    vocab = dw.select("__w").distinct()
+    # ONE corpus explode: the per-(doc, word) count frame feeds both
+    # the vocabulary (distinct words) and the join-back — without the
+    # checkpoint the explode subtree evaluates once under the distinct
+    # and again as the probe side (different exchanges, no reuse).
+    dwc = (rebalance_for_amplification(df)
+           .select(F.col(id_col),
+                   F.explode(TX.tokens(F.col(text_col))).alias("__w"))
+           .filter(F.col("__w") != "")
+           .groupBy(id_col, "__w")
+           .agg(F.count(F.lit(1)).alias("__c"))
+           .localCheckpoint())
+    vocab = dwc.select("__w").distinct()
+    sep_fallback = F.length("__w").cast("int")
     if len(merges) <= BPE_APPLY_EXPR_LIMIT:
-        col = F.concat(F.lit("|"),
-                       F.array_join(F.split(F.col("__w"), ""), "||"),
-                       F.lit("|"))
+        col = _sym_encode(F.col("__w"))
         for left, right in merges:
-            col = F.replace(col, F.lit(f"|{left}||{right}|"),
-                            F.lit(f"|{left}{right}|"))
+            col = F.replace(
+                col, F.lit(f"{BPE_SEP}{left}{BPE_SEP*2}{right}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{left}{right}{BPE_SEP}"))
         ntok = F.size(F.filter(F.split(col, r"\|"),
                                lambda x: x != ""))
-        venc = vocab.select("__w", ntok.alias("__nt"))
+        venc = vocab.select(
+            "__w", F.when(F.col("__w").contains(BPE_SEP), sep_fallback)
+            .otherwise(ntok).alias("__nt"))
     else:
         from pyspark.sql.functions import pandas_udf
 
         def _count(words):
             def one(w):
-                s = "|" + "||".join(list(w)) + "|"
+                if BPE_SEP in w:
+                    return len(w)
+                s = _sym_encode_py(w)
                 for left, right in merges:
-                    s = s.replace(f"|{left}||{right}|",
-                                  f"|{left}{right}|")
-                return sum(1 for x in s.split("|") if x != "")
+                    s = s.replace(
+                        f"{BPE_SEP}{left}{BPE_SEP*2}{right}{BPE_SEP}",
+                        f"{BPE_SEP}{left}{right}{BPE_SEP}")
+                return sum(1 for x in s.split(BPE_SEP) if x != "")
             return words.map(one)
 
         count_udf = pandas_udf(_count, "int")
         venc = vocab.select("__w", count_udf(F.col("__w")).alias("__nt"))
-    counts = (dw.join(venc, "__w")
+    counts = (dwc.join(venc, "__w")
               .groupBy(id_col)
-              .agg(F.sum("__nt").alias("__n")))
+              .agg(F.sum(F.col("__c") * F.col("__nt")).alias("__n")))
     return (df.select(id_col).join(counts, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce(F.col("__n"), F.lit(0))
@@ -417,7 +453,7 @@ def _bpe_train_local(spark, word_rows, n_merges: int) -> DataFrame:
     F.replace), same (count desc, left, right) tie-break (UTF-8 byte
     order equals code-point order, so Spark's binary string sort and
     Python's agree)."""
-    vocab = [["|" + "||".join(list(r["__w"])) + "|", int(r["__cnt"])]
+    vocab = [[_sym_encode_py(r["__w"]), int(r["__cnt"])]
              for r in word_rows]
     merges = []
     for step in range(1, n_merges + 1):

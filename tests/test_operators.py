@@ -1311,3 +1311,50 @@ class TestStripContaminatedSpans:
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestBpeEdgeCases:
+    """Round-9 review findings: exhausted merge tables must not poison
+    the oracle, and separator-containing words encode at char level."""
+
+    def test_exhausted_merges_oracle_agrees(self, spark):
+        # corpus exhausts after 1 merge: (a,b) merges, then no pair
+        # repeats -- steps 2..3 are no-ops on BOTH engines
+        import duckdb
+        from iceberg_go_spark.operators.text import bpe_token_counts
+        from __spark_entry__ import _bpe_encode_sql
+        df = spark.createDataFrame(
+            [(1, "ab ab"), (2, "ab"), (3, "")], ["doc_id", "text"])
+        got = {r["doc_id"]: r["n_tokens"]
+               for r in bpe_token_counts(df, n_merges=3).collect()}
+        con = duckdb.connect()
+        con.register("documents", df.toPandas())
+        want = dict(con.execute(_bpe_encode_sql(3)).fetchall())
+        assert got == want == {1: 2, 2: 1, 3: 0}
+
+    def test_separator_words_encode_char_level(self, spark):
+        import duckdb
+        from iceberg_go_spark.operators.text import (
+            bpe_token_counts, bpe_train_merges, bpe_apply_token_counts,
+            BPE_APPLY_EXPR_LIMIT)
+        from __spark_entry__ import _bpe_encode_sql
+        df = spark.createDataFrame(
+            [(1, "aa aa a|b"), (2, "|| aa")], ["doc_id", "text"])
+        # pipe words never enter merge statistics
+        m = bpe_train_merges(df, n_merges=1).collect()
+        assert [(r["left"], r["right"]) for r in m] == [("a", "a")]
+        got = {r["doc_id"]: r["n_tokens"]
+               for r in bpe_token_counts(df, n_merges=1).collect()}
+        # doc1: aa->1, aa->1, a|b->3 chars; doc2: ||->2 chars, aa->1
+        assert got == {1: 5, 2: 3}
+        con = duckdb.connect()
+        con.register("documents", df.toPandas())
+        want = dict(con.execute(_bpe_encode_sql(1)).fetchall())
+        assert got == want
+        # pandas-UDF path agrees with the JVM path
+        merges = [(r["left"], r["right"]) for r in m]
+        long_merges = merges + [("zq", "zq")] * BPE_APPLY_EXPR_LIMIT
+        got_udf = {r["doc_id"]: r["n_tokens"]
+                   for r in bpe_apply_token_counts(
+                       df, long_merges).collect()}
+        assert got_udf == got
