@@ -21,7 +21,6 @@ emulate.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field as dc_field
 from decimal import Decimal
 from typing import Any, Dict, List, Optional, Tuple
@@ -239,10 +238,27 @@ def shredded_leaf_paths(inner: T.IcebergType, prefix: str = "$"
             if isinstance(f.field_type, T.StructType):
                 out.extend(shredded_leaf_paths(f.field_type, sub))
             else:
-                cname = sub[2:].replace(".", "_")
-                out.append((sub, cname, f.field_type))
+                out.append((sub, sub[2:].replace(".", "_"),
+                            f.field_type))
     else:
         out.append((prefix, "value", inner))
+    if prefix == "$":
+        # the dotted->underscored name is NOT injective (`a_b` vs
+        # nested `a.b` both yield "a_b"); a collision would make
+        # write.py's shred_map record one leaf's footer bounds under
+        # the other's normalized path and mis-prune scans.  Suffix
+        # later duplicates in leaf order — names only need uniqueness
+        # within one shred set (bounds key on the PATH, not the name).
+        used: set = set()
+        deduped = []
+        for path, cname, typ in out:
+            name, n = cname, 1
+            while name in used:  # suffixes can collide with literal
+                n += 1           # fields named like `a_b_2` too
+                name = f"{cname}_{n}"
+            used.add(name)
+            deduped.append((path, name, typ))
+        return deduped
     return out
 
 
@@ -328,7 +344,11 @@ def _decode_value(data: bytes, off: int, dictionary: List[str]) -> Any:
             scale = data[p]
             unscaled = int.from_bytes(data[p + 1:p + 1 + width], "little",
                                       signed=True)
-            return Decimal(unscaled).scaleb(-scale)
+            # tuple construction is exact; .scaleb rounds at the
+            # default 28-digit context precision
+            sign = 1 if unscaled < 0 else 0
+            digits = tuple(int(d) for d in str(abs(unscaled)))
+            return Decimal((sign, digits, -scale))
         if vh == 11:
             return _EPOCH + _dt.timedelta(days=_struct.unpack_from(
                 "<i", data, p)[0])
@@ -381,9 +401,14 @@ def _encode_primitive(v: Any) -> bytes:
     if v is False:
         return bytes([2 << 2])
     if isinstance(v, Decimal):
-        exp = v.as_tuple().exponent
+        sign, digits, exp = v.as_tuple()
         scale = max(0, -exp)
-        unscaled = int(v.scaleb(scale))
+        # exact unscaled from the digit tuple: int(v.scaleb(scale))
+        # rounds through the default 28-digit context and silently
+        # corrupts wide decimal16 bounds
+        unscaled = int("".join(map(str, digits))) * 10 ** (exp + scale)
+        if sign:
+            unscaled = -unscaled
         for tag, width in ((8, 4), (9, 8), (10, 16)):
             try:
                 raw = unscaled.to_bytes(width, "little", signed=True)
@@ -473,6 +498,15 @@ def decode_variant(metadata: bytes, value: bytes) -> Any:
 
 
 def decode_variant_blob(blob: bytes) -> Any:
-    """Decode the concatenated (metadata || value) canonical form."""
-    dictionary, mlen = _decode_metadata(blob)
-    return _decode_value(blob, mlen, dictionary)
+    """Decode the concatenated (metadata || value) canonical form.
+
+    Malformed or out-of-range blobs raise ValueError — never
+    OverflowError (year-10000+ timestamps from another engine) or
+    struct.error (truncated buffers) — so best-effort callers
+    (plans/evaluators.py _variant_might_match) can stay inclusive on
+    one except clause."""
+    try:
+        dictionary, mlen = _decode_metadata(blob)
+        return _decode_value(blob, mlen, dictionary)
+    except (OverflowError, _struct.error) as e:
+        raise ValueError(f"malformed variant blob: {e}") from e

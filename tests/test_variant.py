@@ -428,3 +428,50 @@ def test_shredded_variant_survives_dv_delete(spark, sf_dir, tmp_path):
     out = sorted((r.id, r.a) for r in t.to_df(spark).select(
         "id", F.try_variant_get("v", "$.a", "long").alias("a")).collect())
     assert out == [(0, 0), (1, 1), (2, 2), (4, 4)]
+
+
+class TestRound9ReviewFindings:
+    """variant.py review: exact wide decimals, leaf-name collisions,
+    ValueError-only decode errors."""
+
+    def test_wide_decimal_roundtrip_exact(self):
+        from decimal import Decimal
+        from iceberg_go_spark.variant import (encode_variant_blob,
+                                              decode_variant_blob)
+        # 38 significant digits: int(v.scaleb(s)) / Decimal.scaleb both
+        # round at the default 28-digit context -- must stay exact
+        for txt in ("111111111111111111111111111111111111.11",
+                    "-1.11111111111111111111111111111111111111",
+                    "99999999999999999999999999999999999999"):
+            v = Decimal(txt)
+            got = decode_variant_blob(encode_variant_blob({"d": v}))
+            assert got == {"d": v}, (txt, got)
+
+    def test_leaf_name_collisions_disambiguated(self):
+        from iceberg_go_spark import types as T
+        from iceberg_go_spark.variant import shredded_leaf_paths
+        st = T.StructType(
+            T.NestedField(1, "a_b", T.LongType()),
+            T.NestedField(2, "a", T.StructType(
+                T.NestedField(3, "b", T.StringType()))),
+            T.NestedField(4, "a_b_2", T.LongType()))
+        leaves = shredded_leaf_paths(st)
+        names = [c for _, c, _ in leaves]
+        assert len(set(names)) == len(names) == 3
+        # paths stay exact; only the parquet column names disambiguate
+        assert [p for p, _, _ in leaves] == ["$.a_b", "$.a.b", "$.a_b_2"]
+
+    def test_malformed_blobs_raise_valueerror_only(self):
+        import struct
+        from iceberg_go_spark.variant import decode_variant_blob
+        bad = [
+            # timestamp out of datetime range (another engine's bound)
+            bytes([0b1, 0, 0, 12 << 2]) + struct.pack("<q", 2 ** 62),
+            # date out of range
+            bytes([0b1, 0, 0, 11 << 2]) + struct.pack("<i", 2 ** 31 - 1),
+            # truncated primitive payload
+            bytes([0b1, 0, 0, 12 << 2, 1, 2]),
+        ]
+        for blob in bad:
+            with pytest.raises(ValueError):
+                decode_variant_blob(blob)
