@@ -18,7 +18,7 @@ One shuffle, no driver data movement, exact at any scale.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -185,21 +185,25 @@ class ThetaSketch:
             off += 8
         hashes = np.frombuffer(data, dtype="<u8", count=retained,
                                offset=off)
+        # conforming DataSketches writers ZERO the lgNomLongs byte in
+        # compact images (canonical empty image: 01 03 03 00 00 1E CC
+        # 93); trusting it would make a later union() truncate to
+        # k = 1<<0 = 1 and destroy the estimate
+        if lg_k == 0:
+            lg_k = DEFAULT_LG_K
         return cls(hashes, theta, lg_k, seed)
 
     def union(self, other: "ThetaSketch") -> "ThetaSketch":
+        # k = min of the operands' nominal sizes (the DataSketches
+        # union convention, guaranteeing both error bounds): sizing by
+        # self.lg_k alone made a.union(b) != b.union(a)
+        lg_k = min(self.lg_k, other.lg_k)
         theta = min(self.theta, other.theta)
         merged = np.unique(np.concatenate([self.hashes, other.hashes]))
         merged = merged[merged < np.uint64(theta)]
-        k = 1 << self.lg_k
+        k = 1 << lg_k
         if len(merged) > k:
             theta = int(merged[k])
             merged = merged[:k]
-        return ThetaSketch(merged, theta, self.lg_k, self.seed)
+        return ThetaSketch(merged, theta, lg_k, self.seed)
 
-
-def theta_hash_batch(values: List[bytes],
-                     seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Batch 63-bit hashes (executor-side; murmur128 per value)."""
-    return np.fromiter((theta_hash(v, seed) for v in values),
-                       dtype=np.uint64, count=len(values))

@@ -26,19 +26,90 @@ BLOB_TYPE_HLL = "apache-datasketches-hll-v1"
 BLOB_TYPE_THETA = "apache-datasketches-theta-v1"
 
 
-def _theta_for_column(df, column: str, lg_k: int) -> ThetaSketch:
-    """KMV theta build as a Spark aggregation: hash executor-side, then
-    distinct + (k+1) smallest — one shuffle, only k+1 longs reach the
-    driver regardless of table size."""
+def _single_value_encoder(field_type):
+    """Iceberg single-value binary serialization (the spec's Appendix D
+    form the theta blob type requires; reference literals.go
+    MarshalBinary): int 4-byte LE, long/time/timestamp(µs) 8-byte LE,
+    date 4-byte LE days, bool 1 byte, float/double IEEE LE, string raw
+    UTF-8, uuid 16 raw bytes, binary/fixed raw, decimal minimal
+    big-endian two's-complement unscaled.  Hashing str(value) instead
+    (the pre-round-9 form) produced a disjoint hash space from every
+    conforming engine — unions with Trino/Java sketches double-counted
+    shared values."""
+    import datetime as _dt
+    import struct as _st
+    from decimal import Decimal as _D
+
+    from .. import types as T
+    from ..transforms import (EPOCH_DATE, _decimal_unscaled_bytes,
+                              datetime_to_micros)
+    t = field_type
+    if isinstance(t, T.BooleanType):
+        return lambda v: b"\x01" if v else b"\x00"
+    if isinstance(t, T.IntegerType):
+        return lambda v: _st.pack("<i", int(v))
+    if isinstance(t, (T.LongType, T.TimeType)):
+        return lambda v: _st.pack("<q", int(v))
+    if isinstance(t, T.FloatType):
+        return lambda v: _st.pack("<f", float(v))
+    if isinstance(t, T.DoubleType):
+        return lambda v: _st.pack("<d", float(v))
+    if isinstance(t, T.DateType):
+        return lambda v: _st.pack(
+            "<i", (v - EPOCH_DATE).days
+            if isinstance(v, _dt.date) else int(v))
+    if isinstance(t, (T.TimestampType, T.TimestamptzType,
+                      T.TimestampNsType, T.TimestamptzNsType)):
+        ns = isinstance(t, (T.TimestampNsType, T.TimestamptzNsType))
+
+        def enc_ts(v, _ns=ns):
+            if hasattr(v, "to_pydatetime"):
+                v = v.to_pydatetime()
+            if isinstance(v, _dt.datetime):
+                us = datetime_to_micros(v)
+                return _st.pack("<q", us * 1000 if _ns else us)
+            return _st.pack("<q", int(v))
+        return enc_ts
+    if isinstance(t, T.DecimalType):
+        import decimal as _dec
+
+        def enc_dec(v, _scale=t.scale):
+            d = v if isinstance(v, _D) else _D(str(v))
+            with _dec.localcontext() as ctx:
+                ctx.prec = 80
+                d = d.quantize(_D(1).scaleb(-_scale))
+            return _decimal_unscaled_bytes(d)
+        return enc_dec
+    if isinstance(t, T.UUIDType):
+        import uuid as _uuid
+        return lambda v: (v if isinstance(v, _uuid.UUID)
+                          else _uuid.UUID(str(v))).bytes
+    if isinstance(t, (T.BinaryType, T.FixedType)):
+        return bytes
+    return lambda v: str(v).encode("utf-8")  # string + fallback
+
+
+def _theta_for_column(df, column: str, field_type, lg_k: int
+                      ) -> ThetaSketch:
+    """KMV theta build as a Spark aggregation: JVM-side column-pruned
+    scan + distinct FIRST (so the Python hash UDF touches NDV values,
+    not row-count values), then (k+1) smallest nonzero hashes — only
+    k+1 longs reach the driver regardless of table size.  Values hash
+    through the Iceberg single-value serialization so the sketch
+    contents union correctly with any conforming engine's."""
+    enc = _single_value_encoder(field_type)
+
     @F.pandas_udf("long")
     def h(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: theta_hash(str(v).encode("utf-8"))
+        return s.map(lambda v: theta_hash(enc(v))
                      if v is not None else None)
 
     k = 1 << lg_k
-    rows = (df.select(h(F.col(column).cast("string")).alias("h"))
-            .filter(F.col("h").isNotNull())
-            .distinct().orderBy("h").limit(k + 1).collect())
+    rows = (df.select(column).filter(F.col(column).isNotNull())
+            .distinct()
+            .select(h(F.col(column)).alias("h"))
+            .filter(F.col("h").isNotNull() & (F.col("h") != 0))
+            .orderBy("h").limit(k + 1).collect())
     return ThetaSketch.from_hashes([r.h for r in rows], lg_k)
 
 
@@ -59,37 +130,45 @@ def compute_ndv_statistics(table, spark: SparkSession,
     aggs = [F.hll_sketch_agg(F.col(c).cast("string")).alias(c)
             for c in columns]
     row = df.agg(*aggs).collect()[0]
-    thetas = {c: _theta_for_column(df, c, lg_k) for c in columns}
+    # one job per column, each a column-pruned scan (the parquet reader
+    # fetches only that column) with a JVM-side distinct before any
+    # Python hashing touches values
+    thetas = {c: _theta_for_column(df, c, schema.find_field(c).field_type,
+                                   lg_k) for c in columns}
 
     snap = table.current_snapshot()
+    snap_id = snap.snapshot_id if snap else -1  # -1 = no snapshot yet
     path = os.path.join(table.location(), "metadata",
                         f"stats-{uuid.uuid4().hex[:12]}.puffin")
     w = PuffinWriter(path)
+    written = []  # (type, column) actually added — blob-metadata must
+    # advertise exactly these (a phantom HLL entry for an all-null
+    # column would point consumers at a blob that is not in the file)
     for c in columns:
         fid = schema.find_field(c).field_id
         props = {"field-id": str(fid), "column": c}
         w.add_blob(BLOB_TYPE_THETA, thetas[c].serialize(),
                    properties={**props, "ndv":
-                               str(int(thetas[c].estimate()))},
-                   **{"snapshot-id": snap.snapshot_id if snap else None})
+                               str(int(round(thetas[c].estimate())))},
+                   **{"snapshot-id": snap_id})
+        written.append((BLOB_TYPE_THETA, c))
         sketch = row[c]
         if sketch is None:
             continue
         w.add_blob(BLOB_TYPE_HLL, bytes(sketch), properties=props,
-                   **{"snapshot-id": snap.snapshot_id if snap else None})
+                   **{"snapshot-id": snap_id})
+        written.append((BLOB_TYPE_HLL, c))
     w.write()
 
     md = copy.deepcopy(table.metadata)
     entry = {
-        "snapshot-id": snap.snapshot_id if snap else -1,
+        "snapshot-id": snap_id,
         "statistics-path": path,
         "file-size-in-bytes": load_io(path).size(path),
         "blob-metadata": [
-            {"type": t, "snapshot-id":
-             snap.snapshot_id if snap else -1,
+            {"type": t, "snapshot-id": snap_id,
              "properties": {"column": c}}
-            for c in columns
-            for t in (BLOB_TYPE_THETA, BLOB_TYPE_HLL)],
+            for t, c in written],
     }
     md.statistics.append(entry)
     md.last_updated_ms = int(time.time() * 1000)

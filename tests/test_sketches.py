@@ -108,3 +108,74 @@ def test_commit_report(spark, sf_dir, tmp_path):
     rep2 = t.last_commit_report
     assert rep2.operation == "delete"
     assert rep2.sequence_number == 2
+
+
+class TestRound9ReviewFindings:
+    def test_union_symmetric_and_min_k(self):
+        import numpy as np
+        from iceberg_go_spark.sketches import ThetaSketch, theta_hash
+        import struct
+        a = ThetaSketch.from_hashes(
+            [theta_hash(struct.pack("<q", i)) for i in range(200)],
+            lg_k=4)
+        b = ThetaSketch.from_hashes(
+            [theta_hash(struct.pack("<q", i)) for i in range(100, 400)],
+            lg_k=6)
+        ab, ba = a.union(b), b.union(a)
+        assert ab.lg_k == ba.lg_k == 4
+        assert np.array_equal(ab.hashes, ba.hashes)
+        assert ab.theta == ba.theta
+
+    def test_deserialize_zeroed_lgk_byte(self):
+        # conforming writers zero byte 3 in compact images; a later
+        # union must not collapse to k=1
+        from iceberg_go_spark.sketches import (DEFAULT_LG_K, ThetaSketch,
+                                               theta_hash)
+        import struct
+        sk = ThetaSketch.from_hashes(
+            [theta_hash(struct.pack("<q", i)) for i in range(50)])
+        blob = bytearray(sk.serialize())
+        blob[3] = 0
+        back = ThetaSketch.deserialize(bytes(blob))
+        assert back.lg_k == DEFAULT_LG_K
+        u = back.union(back)
+        assert abs(u.estimate() - 50) < 1e-9
+
+    def test_theta_blob_hashes_single_value_serialization(self, spark):
+        # a LONG column must hash the 8-byte LE encoding, not str(v)
+        import struct
+        from iceberg_go_spark import types as T
+        from iceberg_go_spark.sketches import theta_hash
+        from iceberg_go_spark.table.statistics import _theta_for_column
+        df = spark.createDataFrame([(5,), (7,), (7,)], ["v"])
+        sk = _theta_for_column(df, "v", T.LongType(), lg_k=12)
+        want = sorted(theta_hash(struct.pack("<q", x)) for x in (5, 7))
+        assert [int(h) for h in sk.hashes] == want
+        assert sk.estimate() == 2.0
+
+    def test_blob_metadata_matches_puffin_footer(self, spark, tmp_path):
+        # blob-metadata must advertise exactly the blobs that exist in
+        # the Puffin file — a skipped HLL sketch (hll_sketch_agg
+        # returning null) must not leave a phantom entry
+        from iceberg_go_spark.catalog import FilesystemCatalog
+        from iceberg_go_spark.meta.dv import PuffinReader
+        from iceberg_go_spark.schema import Schema
+        from iceberg_go_spark import types as T
+        from iceberg_go_spark.table.statistics import \
+            compute_ndv_statistics
+        cat = FilesystemCatalog(str(tmp_path))
+        sch = Schema([T.NestedField(1, "a", T.LongType()),
+                      T.NestedField(2, "b", T.StringType())])
+        t = cat.create_table("db.stats_nulls", sch)
+        t.append(spark.createDataFrame(
+            [(1, None), (2, None)], "a long, b string"))
+        path = compute_ndv_statistics(t, spark)
+        entry = t.metadata.statistics[-1]
+        advertised = {(bm["type"], bm["properties"]["column"])
+                      for bm in entry["blob-metadata"]}
+        actual = {(m["type"], m["properties"]["column"])
+                  for m in PuffinReader(path).blobs}
+        assert advertised == actual
+        assert entry["snapshot-id"] != None  # noqa: E711
+        for bm in entry["blob-metadata"]:
+            assert bm["snapshot-id"] == entry["snapshot-id"]
