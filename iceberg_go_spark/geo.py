@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 import pandas as pd
 
 __all__ = [
+    "geo_type_from_parquet_annotation",
     "GeoBoundsAccumulator", "encode_geo_bound", "decode_geo_bound",
     "geo_bounds_xy", "bbox_intersects_xy", "wkb_bounds_xy", "wkb_point",
     "bbox_intersects_column",
@@ -88,7 +89,25 @@ def _parse_header(data: bytes, off: int) -> Tuple[str, int, bool, bool, int]:
     return endian, kind, has_z, has_m, off
 
 
-def _walk(data: bytes, off: int, out: list) -> int:
+#: nesting bound for GEOMETRYCOLLECTION recursion — a hostile ~18 KB
+#: value with thousands of nested collection headers otherwise raises
+#: RecursionError, which is NOT a ValueError and crashes writes/queries
+_MAX_WKB_DEPTH = 64
+
+
+def _walk(data: bytes, off: int, out: list, depth: int = 0) -> int:
+    if depth > _MAX_WKB_DEPTH:
+        raise _WKBError("WKB nesting too deep")
+    try:
+        return _walk_inner(data, off, out, depth)
+    except struct.error as e:
+        # truncated count/point words: surface as the module's
+        # ValueError subclass so best-effort callers (write.py's
+        # "omit bounds, disable pruning" loop) stay safe
+        raise _WKBError(f"truncated WKB: {e}") from e
+
+
+def _walk_inner(data: bytes, off: int, out: list, depth: int) -> int:
     endian, kind, has_z, has_m, off = _parse_header(data, off)
     stride = 2 + has_z + has_m
     fmt = endian + "d" * stride
@@ -130,7 +149,7 @@ def _walk(data: bytes, off: int, out: list) -> int:
     (n,) = struct.unpack_from(endian + "I", data, off)
     off += 4
     for _ in range(n):
-        off = _walk(data, off, out)
+        off = _walk(data, off, out, depth + 1)
     return off
 
 
@@ -325,18 +344,26 @@ def geo_type_from_parquet_annotation(ann: str):
     s = ann.strip()
     if s.startswith("GEOMETRY"):
         inner = s[len("GEOMETRY"):].strip()
-        crs = inner[1:-1].strip() if inner.startswith("(") else ""
-        return T.GeometryType(crs=crs)
-    if s.startswith("GEOGRAPHY"):
+        # the remainder must be empty or parenthesized — a prefix-only
+        # match would silently adopt any future GEOMETRY* logical type
+        # as a default-CRS geometry column
+        if inner == "":
+            return T.GeometryType(crs="")
+        if inner.startswith("(") and inner.endswith(")"):
+            return T.GeometryType(crs=inner[1:-1].strip())
+    elif s.startswith("GEOGRAPHY"):
         inner = s[len("GEOGRAPHY"):].strip()
-        crs = algo = ""
-        if inner.startswith("("):
+        if inner == "":
+            return T.GeographyType(crs="", algorithm="")
+        if inner.startswith("(") and inner.endswith(")"):
             body = inner[1:-1]
-            # algorithm is a trailing ", <name>" only when the body isn't
-            # a projjson JSON object (which contains commas of its own)
-            if not body.lstrip().startswith("{") and "," in body:
-                crs, algo = (p.strip() for p in body.rsplit(",", 1))
-            else:
-                crs = body.strip()
-        return T.GeographyType(crs=crs, algorithm=algo)
+            # a trailing ", <name>" is the algorithm ONLY when the tail
+            # is a known algorithm token — projjson CRS bodies contain
+            # commas of their own, with or without an algorithm suffix
+            crs, algo = body.strip(), ""
+            if "," in body:
+                head, tail = (p.strip() for p in body.rsplit(",", 1))
+                if tail.lower() in T.GEOGRAPHY_ALGORITHMS:
+                    crs, algo = head, tail.lower()
+            return T.GeographyType(crs=crs, algorithm=algo)
     raise ValueError(f"not a geo annotation: {ann!r}")

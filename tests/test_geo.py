@@ -470,3 +470,43 @@ def test_add_files_adopts_golden_geo_fixture(spark, tmp_path):
     assert len(rows) >= 150
     from iceberg_go_spark.geo import wkb_bounds_xy
     assert any(wkb_bounds_xy(bytes(r.geometry)) for r in rows)
+
+
+class TestRound9ReviewFindings:
+    def test_truncated_wkb_raises_valueerror_not_struct_error(self):
+        # write.py's bounds loop catches (ValueError, KeyError) — a
+        # struct.error from a truncated count word crashed the write
+        from iceberg_go_spark.geo import GeoBoundsAccumulator, _walk
+        trunc = b"\x01\x02\x00\x00\x00"  # linestring, no point count
+        with pytest.raises(ValueError):
+            _walk(trunc, 0, [])
+        acc = GeoBoundsAccumulator()
+        with pytest.raises(ValueError):
+            acc.add_wkb(trunc)
+
+    def test_hostile_nesting_bounded(self):
+        import struct
+        from iceberg_go_spark.geo import wkb_bounds_xy
+        blob = b""
+        for _ in range(2000):  # 2000 nested GEOMETRYCOLLECTION headers
+            blob += b"\x01" + struct.pack("<I", 7) + struct.pack("<I", 1)
+        blob += b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 1.0, 2.0)
+        # bounds are omitted (None), never RecursionError
+        assert wkb_bounds_xy(blob) is None
+
+    def test_annotation_parse_strict_and_projjson_algorithm(self):
+        from iceberg_go_spark.geo import geo_type_from_parquet_annotation
+        g = geo_type_from_parquet_annotation
+        for bad in ("GEOMETRYFOO", "GEOGRAPHYX", "GEOMETRY(x", "POINT"):
+            with pytest.raises(ValueError):
+                g(bad)
+        t = g('GEOGRAPHY({"type":"GeographicCRS","name":"x"}, vincenty)')
+        assert t.crs == '{"type":"GeographicCRS","name":"x"}'
+        assert t.algorithm == "vincenty"
+        # projjson with internal commas, no algorithm suffix
+        t2 = g('GEOGRAPHY({"type":"GeographicCRS","name":"a,b"})')
+        assert t2.crs == '{"type":"GeographicCRS","name":"a,b"}'
+        assert t2.algorithm == ""
+        t3 = g("GEOGRAPHY(OGC:CRS84, spherical)")
+        assert t3.crs_or_default == "OGC:CRS84"
+        assert t3.algorithm_or_default == "spherical"
