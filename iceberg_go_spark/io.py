@@ -17,7 +17,10 @@ from __future__ import annotations
 
 import os
 import threading
+from itertools import count as _count
 from typing import Dict, List
+
+_TMP_COUNTER = _count()
 
 
 class FileIO:
@@ -49,36 +52,66 @@ class FileIO:
 
 
 class LocalFileIO(FileIO):
+    @staticmethod
+    def _p(path: str) -> str:
+        """Strip a file:// scheme (reference local.go url.Parse uses
+        .Path) — passing the raw URI to open()/os.* reads the wrong
+        location and silently writes metadata under a relative
+        'file:/...' directory."""
+        low = path[:7].lower()
+        if low.startswith("file://"):
+            rest = path[7:]
+            if rest.startswith("/"):
+                return rest
+            host, _, tail = rest.partition("/")
+            if host in ("", "localhost"):
+                return "/" + tail
+            raise ValueError(
+                f"file:// URI with non-local host {host!r}: {path!r}")
+        return path
+
     def read(self, path: str) -> bytes:
-        with open(path, "rb") as f:
+        with open(self._p(path), "rb") as f:
             return f.read()
 
     def read_range(self, path: str, offset: int, length: int) -> bytes:
-        with open(path, "rb") as f:
+        with open(self._p(path), "rb") as f:
             f.seek(offset)
             return f.read(length)
 
     def write(self, path: str, data: bytes) -> None:
+        path = self._p(path)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = f"{path}.tmp{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)
+        # pid alone collides across THREADS (both open the same tmp,
+        # the second truncates the first mid-write, os.replace then
+        # publishes interleaved bytes as committed metadata)
+        tmp = (f"{path}.tmp{os.getpid()}.{threading.get_ident()}."
+               f"{next(_TMP_COUNTER)}")
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def delete(self, path: str) -> None:
         try:
-            os.unlink(path)
+            os.unlink(self._p(path))
         except FileNotFoundError:
             pass
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(self._p(path))
 
     def size(self, path: str) -> int:
-        return os.path.getsize(path)
+        return os.path.getsize(self._p(path))
 
     def makedirs(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
+        os.makedirs(self._p(path), exist_ok=True)
 
 
 class InMemoryFileIO(FileIO):
@@ -113,7 +146,8 @@ class InMemoryFileIO(FileIO):
         pass
 
     def list(self, prefix: str) -> List[str]:
-        return sorted(p for p in self.files if p.startswith(prefix))
+        with self._lock:  # concurrent write() would resize mid-iteration
+            return sorted(p for p in self.files if p.startswith(prefix))
 
 
 # -- object-store (blob) IO -------------------------------------------------
@@ -166,7 +200,8 @@ class InMemoryBucket:
         return len(self.get(key))
 
     def list(self, prefix: str = "") -> List[str]:
-        return sorted(k for k in self.objects if k.startswith(prefix))
+        with self._lock:  # concurrent put() would resize mid-iteration
+            return sorted(k for k in self.objects if k.startswith(prefix))
 
 
 class BlobFileIO(FileIO):
@@ -224,11 +259,22 @@ class BlobFileIO(FileIO):
 
 _LOCAL = LocalFileIO()
 _REGISTRY: Dict[str, FileIO] = {}
-# scheme -> factory(scheme, bucket, props) -> FileIO; instances cached per
-# (scheme, bucket) like the reference's per-bucket blob handles
+# scheme -> factory(scheme, bucket, props) -> FileIO.  Instances cache
+# per (scheme, bucket, properties-fingerprint): keying by bucket alone
+# let one table's vended credentials stomp another's client in the same
+# bucket, and let a props-less first call poison the cache with an
+# unauthenticated client.  _BLOB_CURRENT tracks the most recently built
+# IO per (scheme, bucket) for the repo-wide props-less
+# ``load_io(path).read(path)`` call shape (vended-credential installs
+# refresh it).
 _FACTORIES: Dict[str, object] = {}
 _BLOB_CACHE: Dict[tuple, FileIO] = {}
+_BLOB_CURRENT: Dict[tuple, FileIO] = {}
 _provider = None  # (scheme, bucket, props) -> bucket client
+
+
+def _props_fp(properties) -> tuple:
+    return tuple(sorted((properties or {}).items()))
 
 
 def register_io(scheme: str, io: FileIO) -> None:
@@ -242,8 +288,14 @@ def unregister_io(scheme: str) -> None:
 
 def register_io_factory(scheme: str, factory) -> None:
     """Register factory(scheme, bucket, props) -> FileIO for a scheme
-    (io/gocloud/register.go Register)."""
+    (io/gocloud/register.go Register).  Cached IOs for the scheme are
+    dropped so the new factory takes effect immediately (a stale cache
+    entry would silently keep serving the old factory's instances)."""
     _FACTORIES[scheme] = factory
+    for k in [k for k in _BLOB_CACHE if k[0] == scheme]:
+        del _BLOB_CACHE[k]
+    for k in [k for k in _BLOB_CURRENT if k[0] == scheme]:
+        del _BLOB_CURRENT[k]
 
 
 def set_blob_client_provider(fn) -> None:
@@ -253,6 +305,7 @@ def set_blob_client_provider(fn) -> None:
     global _provider
     _provider = fn
     _BLOB_CACHE.clear()
+    _BLOB_CURRENT.clear()
 
 
 def _blob_factory(scheme: str, bucket: str, props: Dict[str, str]) -> FileIO:
@@ -277,11 +330,13 @@ def refresh_blob_io(path: str, properties: Dict[str, str] = None):
     if "://" not in path:
         return None
     scheme, rest = path.split("://", 1)
+    scheme = scheme.lower()
     if scheme in _REGISTRY or scheme == "file" or scheme not in _FACTORIES:
         return None
     bucket = rest.split("/", 1)[0]
     io = _FACTORIES[scheme](scheme, bucket, dict(properties or {}))
-    _BLOB_CACHE[(scheme, bucket)] = io
+    _BLOB_CACHE[(scheme, bucket, _props_fp(properties))] = io
+    _BLOB_CURRENT[(scheme, bucket)] = io
     return io
 
 
@@ -291,17 +346,28 @@ def load_io(path: str, properties: Dict[str, str] = None) -> FileIO:
     file:// paths (io/io.go LoadFS)."""
     if "://" in path:
         scheme, rest = path.split("://", 1)
+        scheme = scheme.lower()  # URI schemes are case-insensitive
         if scheme in _REGISTRY:
             return _REGISTRY[scheme]
         if scheme == "file":
             return _LOCAL
         if scheme in _FACTORIES:
             bucket = rest.split("/", 1)[0]
-            key = (scheme, bucket)
+            if not properties:
+                # the repo-wide call shape: most recently built IO for
+                # the bucket (vended-credential installs keep this
+                # fresh); falls through to an unauthenticated build
+                # only when nothing was ever installed
+                cur = _BLOB_CURRENT.get((scheme, bucket))
+                if cur is not None:
+                    return cur
+            key = (scheme, bucket, _props_fp(properties))
             io = _BLOB_CACHE.get(key)
             if io is None:
-                io = _FACTORIES[scheme](scheme, bucket, dict(properties or {}))
+                io = _FACTORIES[scheme](scheme, bucket,
+                                        dict(properties or {}))
                 _BLOB_CACHE[key] = io
+                _BLOB_CURRENT[(scheme, bucket)] = io
             return io
         raise ValueError(f"no FileIO registered for scheme {scheme!r}")
     return _REGISTRY.get("", _LOCAL)

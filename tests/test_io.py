@@ -156,3 +156,88 @@ def test_metadata_plane_on_object_store(s3):
     pw.write()
     pr = PuffinReader(blob_path)
     assert len(pr.blobs) == 1 and pr.read_blob(pr.blobs[0]) == b"\x01\x02"
+
+
+class TestRound9ReviewFindings:
+    def test_file_uri_scheme_stripped(self, tmp_path):
+        from iceberg_go_spark.io import load_io
+        p = tmp_path / "m" / "v1.json"
+        uri = "file://" + str(p)
+        io = load_io(uri)
+        io.write(uri, b"hello")
+        assert p.read_bytes() == b"hello"       # lands at the real path
+        assert io.read(uri) == b"hello"
+        assert io.size(uri) == 5 and io.exists(uri)
+        io.delete(uri)
+        assert not p.exists()
+        # file://localhost/... form too
+        uri2 = "file://localhost" + str(tmp_path / "x.bin")
+        io.write(uri2, b"y")
+        assert (tmp_path / "x.bin").read_bytes() == b"y"
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            io.read("file://otherhost/a/b")
+
+    def test_uppercase_scheme_accepted(self, tmp_path):
+        from iceberg_go_spark.io import load_io
+        p = tmp_path / "up.bin"
+        io = load_io("FILE://" + str(p))
+        io.write("FILE://" + str(p), b"z")
+        assert p.read_bytes() == b"z"
+
+    def test_concurrent_local_writes_same_path(self, tmp_path):
+        import threading
+        from iceberg_go_spark.io import LocalFileIO
+        io = LocalFileIO()
+        path = str(tmp_path / "meta.json")
+        payloads = [bytes([i]) * 4096 for i in range(8)]
+        threads = [threading.Thread(target=io.write, args=(path, pl))
+                   for pl in payloads]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # the published file is EXACTLY one thread's payload, never a mix
+        assert open(path, "rb").read() in payloads
+        # no leaked tmp files
+        assert [f for f in tmp_path.iterdir()] == [tmp_path / "meta.json"]
+
+    def test_blob_cache_keyed_by_properties(self):
+        from iceberg_go_spark.io import (InMemoryBucket, load_io,
+                                         set_blob_client_provider)
+        built = []
+
+        def provider(scheme, bucket, props):
+            built.append(dict(props))
+            return InMemoryBucket()
+
+        set_blob_client_provider(provider)
+        try:
+            a = load_io("mem://bkt/t1/f", {"s3.access-key-id": "A"})
+            b = load_io("mem://bkt/t2/f", {"s3.access-key-id": "B"})
+            assert a is not b                  # no credential stomp
+            # same props -> cached instance
+            assert load_io("mem://bkt/t1/g",
+                           {"s3.access-key-id": "A"}) is a
+            # props-less call returns the most recently built client
+            assert load_io("mem://bkt/t1/h") is b
+            assert [p.get("s3.access-key-id") for p in built] == ["A", "B"]
+        finally:
+            set_blob_client_provider(None)
+
+    def test_register_io_factory_invalidates_cache(self):
+        from iceberg_go_spark import io as iomod
+        from iceberg_go_spark.io import (BlobFileIO, InMemoryBucket,
+                                         load_io, register_io_factory,
+                                         set_blob_client_provider)
+        set_blob_client_provider(
+            lambda s, b, p: InMemoryBucket())
+        try:
+            first = load_io("mem://inv/f")
+            register_io_factory(
+                "mem", lambda s, b, p: BlobFileIO(s, b, InMemoryBucket(),
+                                                  p))
+            assert load_io("mem://inv/f") is not first
+        finally:
+            register_io_factory("mem", iomod._blob_factory)
+            set_blob_client_provider(None)
