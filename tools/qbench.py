@@ -1,0 +1,59 @@
+"""Isolated per-query micro-bench: interleaved min-of-N timings for a
+subset of bench queries on one warm session.
+
+Usage: python tools/qbench.py q1 q2 ...        (REPS=5 default)
+Env:   QBENCH_REPS, SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
+
+Methodology per the optimization guide §1: fixture build + one warmup
+execution excluded; reps interleaved round-robin so a slow box window
+spreads across queries; min reported.  Action = .count() (the bench.py
+contract) unless QBENCH_NOOP=1, which times a noop-sink write instead.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    reps = int(os.environ.get("QBENCH_REPS", "5"))
+    noop = os.environ.get("QBENCH_NOOP", "0") == "1"
+
+    import __spark_entry__ as entrymod
+    from iceberg_go_spark.session import get_spark
+
+    spark = get_spark("qbench")
+    entrymod._fixtures(spark, SF_DIR)
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        spark.sparkContext.setJobDescription(f"qbench:{name}")
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        if noop:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+        return time.time() - t0
+
+    for name in names:
+        run(name)  # warmup (codegen, fixture caches)
+    samples: dict[str, list] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            samples[name].append(run(name))
+    for name in names:
+        s = sorted(samples[name])
+        print(f"{name}: min={s[0]:.3f}s  med={s[len(s)//2]:.3f}s  "
+              f"all={[round(v, 3) for v in samples[name]]}")
+
+
+if __name__ == "__main__":
+    main()
