@@ -204,8 +204,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
-                        ngram: int = 3, block_cols: Optional[List[str]] = None
-                        ) -> DataFrame:
+                        ngram: int = 3, block_cols: Optional[List[str]] = None,
+                        gram_rows: Optional[DataFrame] = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     Pairs are generated within blocks (default: language + coarse length
@@ -221,7 +221,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # arrays and intersecting per pair — turns O(pairs * grams) array work
     # into one hash join + one count aggregation (the shape that survives
     # a 100x scale-up; frequent-gram hotspots are bounded by block size).
-    gram_rows = char_ngram_rows(df, text_col, id_col, ngram).distinct()
+    if gram_rows is None:
+        gram_rows = char_ngram_rows(df, text_col, id_col, ngram).distinct()
     blocks = df.select(F.col(id_col),
                        *(F.col(c) for c in (block_cols or [])))
     base = gram_rows.join(blocks, on=id_col, how="inner")
@@ -235,9 +236,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         F.floor(F.log2(F.col("__n") + F.lit(1)))) \
             .drop("__n")
         block_cols = ["__blk_len"]
-    counts = base.select(id_col, *block_cols).distinct() \
-        .join(gram_rows.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("__cnt")), on=id_col)
+    # base feeds THREE consumers (per-doc counts + both pair-join
+    # sides); un-materialized, Spark re-runs the whole normalize +
+    # explode + distinct + block-join subtree per consumer (the r9
+    # before-plan shows ~45 Exchanges from the duplicated lineage —
+    # guide §2.4 "remove shuffles outright").  One localCheckpoint
+    # computes it once; every consumer reads the materialized rows.
+    base = base.localCheckpoint()
+    # one row per (id, gram) in base, so the distinct-gram count per doc
+    # is a plain count over base — the separate gram_rows.groupBy +
+    # block-distinct join of the old shape collapses into one agg
+    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("__cnt"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("gram"),
                     *[F.col(c).alias(f"__b_{i}")
                       for i, c in enumerate(block_cols)])
@@ -278,6 +287,57 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             .drop("__sh", "__rn"))
 
 
+def _simhash64_sig_frame(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """(id, __p0..__p3) — the 64-bit SimHash signature as 4 x 16-bit
+    parts, computed with ONE codegen pipeline: explode tokens, hash each
+    token's md5 once, then a single map-side-combinable groupBy carrying
+    64 integer vote sums (one per signature bit).
+
+    Why not TX.simhash64_parts inline (the old shape): higher-order
+    F.aggregate lambdas are INTERPRETED, not codegen'd, and the 4x16
+    bit votes make 64 interpreted passes over every token array —
+    measured 14.3 s of CPU over 5k docs vs ~1 s for this shape (md5
+    itself is 0.25 s; the interpreted vote passes were 95% of the
+    cost).  The shuffle this adds carries 64 longs per doc AFTER
+    map-side partial aggregation — bytes-per-doc comparable to the text
+    itself, and the votes never re-run downstream because the agg is a
+    hard optimizer boundary (no CollapseProject hazard, so callers need
+    no barrier repartition/persist to protect it).
+
+    Outputs are bit-identical to the inline expression: empty and NULL
+    texts keep their all-zero signature via explode_outer + a
+    null-guarded vote (NULL token hash votes 0, so the sum over a
+    tokenless doc is 0 -> every bit clears), pinned by
+    tests/test_curation.py::test_simhash64_frame_matches_parts."""
+    from ..session import rebalance_for_amplification
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__tk"))
+    ex = base.select(F.col(id_col), F.explode_outer("__tk").alias("__w"))
+    m = ex.select(F.col(id_col), F.md5("__w").alias("__m"))
+    hs = m.select(
+        F.col(id_col),
+        *[F.conv(F.substring("__m", off, 4), 16, 10).cast("long")
+          .alias(f"__h{j}")
+          for j, off in enumerate(TX.SIMHASH64_OFFSETS)])
+    aggs = []
+    for j in range(4):
+        for i in range(16):
+            aggs.append(F.sum(
+                F.when(F.col(f"__h{j}").isNull(), 0)
+                .when(F.col(f"__h{j}").bitwiseAND(F.lit(1 << i)) > 0, 1)
+                .otherwise(-1)).alias(f"__v{j}_{i}"))
+    votes = hs.groupBy(id_col).agg(*aggs)
+    parts = []
+    for j in range(4):
+        acc = F.lit(0).cast("long")
+        for i in range(16):
+            acc = acc + F.when(F.col(f"__v{j}_{i}") > 0,
+                               F.lit(1 << i)).otherwise(0)
+        parts.append(acc.alias(f"__p{j}"))
+    return votes.select(F.col(id_col), *parts)
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            max_hamming: int = 3,
@@ -287,7 +347,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     (max_hamming <= 3).
 
     The signature is four independent 16-bit SimHashes carved out of
-    one md5 (TX.simhash64_parts).  Blocking by pigeonhole: hamming <= 3
+    one md5 (TX.SIMHASH64_OFFSETS; computed bit-identically by the
+    codegen vote pipeline in _simhash64_sig_frame).  Blocking by
+    pigeonhole: hamming <= 3
     over the 64 bits means at least one 16-bit part is IDENTICAL, so
     candidate generation is an equi-join on (part_index, part_value) —
     65536 possible values per band keep buckets tiny (a 16-bit-total
@@ -329,8 +391,6 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     if max_hamming > 3:
         raise ValueError("pigeonhole over 4 x 16-bit bands guarantees "
                          "completeness only for max_hamming <= 3")
-    from ..session import rebalance_for_amplification
-    parts = TX.simhash64_parts(F.col(text_col))
     # one signature pass, then bucket-pair expansion: the banded rows
     # aggregate into (band, key) buckets and pairs expand WITHIN each
     # bucket via array combinatorics — no self-join, so the expensive
@@ -347,26 +407,23 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # semantic_dedup's max_cluster_size pattern) into
     # ceil(size/max_bucket_size) shards before the collect.
     #
-    # Cost shape (bounded path): the signature frame (5 longs/doc) is
-    # persisted MEMORY_AND_DISK so the expensive md5 votes run ONCE for
-    # the sizes subquery + the bucket agg (the cache boundary also
-    # keeps CollapseProject from merging the projection into the
-    # Generate and re-running the votes per exploded row — measured 18x
-    # when collapsed; a localCheckpoint here measured ~2x the persist).
-    # Only HOT buckets (> max_bucket_size; EMPTY on any healthy corpus,
-    # <= 4 * 65536 rows by construction even on a pathological one)
-    # broadcast into a LEFT join, so the common case pays one cache
-    # write/read and a join against an empty build side.  The lossless
-    # path (max_bucket_size=None) has a single consumer, so a
-    # repartition stands in for the cache boundary (same CollapseProject
-    # protection, no cache entry).
+    # Cost shape (bounded path): the signature frame (5 longs/doc,
+    # from _simhash64_sig_frame's single codegen vote pipeline) is
+    # persisted MEMORY_AND_DISK so the vote aggregation runs ONCE for
+    # the sizes subquery + the bucket agg.  Only HOT buckets
+    # (> max_bucket_size; EMPTY on any healthy corpus, <= 4 * 65536
+    # rows by construction even on a pathological one) broadcast into
+    # a LEFT join, so the common case pays one cache write/read and a
+    # join against an empty build side.  The lossless path
+    # (max_bucket_size=None) has a single consumer and the signature
+    # frame ends in an aggregation — a hard optimizer boundary, so no
+    # extra barrier is needed to keep the votes from re-running per
+    # exploded row (the old inline-expression shape needed a
+    # repartition for exactly that; measured 18x when collapsed).
     sig = F.struct(F.col(id_col).alias("id"),
                    *[F.col(f"__p{j}").alias(f"p{j}") for j in range(4)])
     if max_bucket_size is None:
-        e = (rebalance_for_amplification(df)
-             .select(F.col(id_col),
-                     *[p.alias(f"__p{j}") for j, p in enumerate(parts)])
-             .repartition(F.col(id_col))
+        e = (_simhash64_sig_frame(df, text_col, id_col)
              .select(sig.alias("__m"),
                      F.posexplode(F.array(
                          *[F.col(f"__p{j}") for j in range(4)]))
@@ -376,9 +433,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                    .filter(F.size("ms") > 1))
     else:
         from pyspark import StorageLevel
-        sigdf = (rebalance_for_amplification(df)
-                 .select(F.col(id_col),
-                         *[p.alias(f"__p{j}") for j, p in enumerate(parts)])
+        sigdf = (_simhash64_sig_frame(df, text_col, id_col)
                  .persist(StorageLevel.MEMORY_AND_DISK))
         e = sigdf.select(sig.alias("__m"),
                          F.posexplode(F.array(
@@ -550,6 +605,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .withColumn("label", F.col("id")))
     jump_enabled = False
     prev_changed = None
+    # convergence check: labels are monotone non-increasing per vertex
+    # (each round takes a min that includes the old label), so the label
+    # SUM strictly decreases iff ANY label changed.  Comparing sums costs
+    # one agg over the new frame per round — the old shape joined new
+    # labels against old and counted diffs, a full extra |V|-row join
+    # every round (guide §2.4).  decimal(38,0) keeps the sum exact for
+    # any realistic |V| x max-id (no long overflow).
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for it in range(max_iterations):
         neighbor = (edges.join(labels, edges.src == labels.id)
                     .select(F.col("dst").alias("id"), "label"))
@@ -574,16 +638,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                           F.col("__jlabel"))
                                   .alias("label")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        changed_mass = prev_sum - new_sum  # > 0 iff any label changed
         labels = new_labels
-        if changed == 0:
+        prev_sum = new_sum
+        if changed_mass == 0:
             break
+        # adaptive pointer-jumping trigger, now on label-mass decay: a
+        # slowly shrinking per-round decrease means long chains (each
+        # round only the frontier moves), exactly when path-halving pays
         jump_enabled = (prev_changed is not None
-                        and changed * 4 > prev_changed)
-        prev_changed = changed
+                        and changed_mass * 4 > prev_changed)
+        prev_changed = changed_mass
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -958,16 +1025,28 @@ def minhash_lsh_effectiveness(df: DataFrame, text_col: str = "text",
     Scale shape: exact pairs come from the blocked inverted-index join
     (ngram_jaccard_pairs — never corpus-quadratic); LSH pairs expand
     within band buckets whose size the LSH design itself bounds; both
-    sides reduce to per-decile counts before any driver interaction."""
+    sides reduce to per-decile counts before any driver interaction.
+    The distinct char-gram frame is computed ONCE and shared by both
+    stages (exact Jaccard over distinct grams; minhash mins are
+    duplicate-insensitive, so feeding the distinct frame is value-
+    identical), and the LSH groups frame is materialized before the
+    candidate self-join — un-shared, the normalize+shingle pipeline
+    ran ~6x per action (the r9 before-plan carried ~110 Exchanges)."""
+    gram_src = char_ngram_rows(df, text_col, id_col, ngram) \
+        .distinct().localCheckpoint()
+    # exact and cand each feed TWO consumers (the decile rollup and the
+    # bucket=-1 waste row) — materialize so the expensive pair joins run
+    # once per action instead of twice
     exact = ngram_jaccard_pairs(df, text_col, id_col, threshold=floor,
-                                ngram=ngram)
+                                ngram=ngram, gram_rows=gram_src) \
+        .localCheckpoint()
     groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
-                                ngram)
+                                ngram, gram_rows=gram_src).localCheckpoint()
     right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
     cand = (groups.select("band", "band_key", F.col(id_col).alias("id_a"))
             .join(right, ["band", "band_key"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b").distinct().localCheckpoint())
     flagged = exact.join(cand.withColumn("__hit", F.lit(1)),
                          ["id_a", "id_b"], "left")
     by_bucket = (flagged
@@ -1022,8 +1101,10 @@ def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 if word_grams is not None
                 else char_ngram_rows(df, text_col, id_col, ngram)
                 .distinct()).localCheckpoint()
+    # groups feeds both sides of the candidate self-join — materialize
+    # so the minhash signature agg + banding runs once per action
     groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
-                                ngram, gram_rows=gram_src)
+                                ngram, gram_rows=gram_src).localCheckpoint()
     right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
     cand = (groups.select("band", "band_key", F.col(id_col).alias("id_a"))
             .join(right, ["band", "band_key"])

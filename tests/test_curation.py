@@ -326,6 +326,31 @@ def test_simhash_near_dup_pairs_matches_bruteforce(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash64_frame_matches_parts(spark):
+    """The codegen explode+groupBy signature frame (r9 optimization)
+    must be bit-identical to the inline TX.simhash64_parts expressions,
+    including NULL text, empty text and whitespace-only text (all of
+    which must keep an all-zero signature, not disappear)."""
+    from pyspark.sql import functions as F
+    from iceberg_go_spark.functions import text_funcs as TX
+    from iceberg_go_spark.operators.dedup import _simhash64_sig_frame
+
+    rows = [(i, f"some body text {i % 11} with shared words {i % 4}")
+            for i in range(50)] + [(100, None), (101, ""), (102, "   "),
+                                   (103, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["doc_id"], r["__p0"], r["__p1"], r["__p2"], r["__p3"])
+           for r in _simhash64_sig_frame(df, "text", "doc_id").collect()}
+    parts = TX.simhash64_parts(F.col("text"))
+    want = {(r.doc_id, r.p0, r.p1, r.p2, r.p3)
+            for r in df.select(
+                "doc_id", *[p.cast("long").alias(f"p{j}")
+                            for j, p in enumerate(parts)]).collect()}
+    assert got == want
+    assert (100, 0, 0, 0, 0) in got and (101, 0, 0, 0, 0) in got
+
+
 def test_simhash_degenerate_bucket_salt_split(spark):
     """A degenerate corpus (thousands of IDENTICAL docs -> one (band,
     key) bucket per band) must be salt-split so no collect_list row and
