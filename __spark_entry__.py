@@ -3417,14 +3417,19 @@ def q2_min_cost_supplier(spark, sf_dir):
                   .alias("supply_cost")))
     rc = costs.join(F.broadcast(es),
                     costs.l_suppkey == es.s_suppkey)
-    minc = (rc.groupBy("l_partkey")
-            .agg(F.min("supply_cost").alias("__min_cost"))
-            .withColumnRenamed("l_partkey", "__mk"))
+    # per-part min via a WINDOW over rc instead of a second groupBy +
+    # re-join: the groupBy shape made Catalyst evaluate the whole
+    # lineitem scan + (partkey, suppkey) aggregation TWICE (the r9
+    # before-plan carries two full copies of the lineitem subtree) —
+    # one pass + one small shuffle of the already-aggregated rc frame
+    # computes the identical MIN over the identical per-part set
+    # (guide §2.4: window keyed like the data replaces a re-join).
     pf = part.filter((F.col("p_size") <= 15) &
                      (F.col("p_type") == "LARGE"))
-    return (rc.join(F.broadcast(minc),
-                    (rc.l_partkey == F.col("__mk")) &
-                    (rc.supply_cost == F.col("__min_cost")))
+    return (rc.withColumn("__min_cost",
+                          F.min("supply_cost")
+                          .over(W.partitionBy("l_partkey")))
+            .filter(F.col("supply_cost") == F.col("__min_cost"))
             .join(F.broadcast(pf), rc.l_partkey == pf.p_partkey)
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
                     "supply_cost"))
@@ -3582,8 +3587,12 @@ def q20_dominant_suppliers(spark, sf_dir):
                     & (F.col("l_shipdate") < "1998-01-01"))
           .groupBy("l_partkey", "l_suppkey")
           .agg(F.sum(_dec("l_quantity")).alias("__sq")))
-    pt = sp.groupBy("l_partkey").agg(F.sum("__sq").alias("__tq"))
-    dom = (sp.join(pt, "l_partkey")
+    # per-part total via a WINDOW over sp instead of re-agg + re-join:
+    # the groupBy+join shape evaluated the lineitem scan + agg TWICE in
+    # the r9 before-plan; one shuffle of the already-aggregated sp
+    # computes the identical SUM over the identical per-part set.
+    dom = (sp.withColumn("__tq", F.sum("__sq")
+                         .over(W.partitionBy("l_partkey")))
            .filter(F.col("__sq") * 2 > F.col("__tq"))
            .select("l_suppkey").distinct())
     ns = supp.join(F.broadcast(
@@ -3771,17 +3780,31 @@ def q21_waiting_supplier(spark, sf_dir):
     late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .filter(F.col("l_shipdate") > F.col("o_orderdate")
                     + F.expr("INTERVAL 60 DAYS"))
-            .select("l_orderkey", "l_suppkey"))
-    other = li.select(F.col("l_orderkey").alias("o2_ok"),
-                      F.col("l_suppkey").alias("o2_sk"))
-    multi = late.join(
-        other, (late.l_orderkey == other.o2_ok)
-        & (late.l_suppkey != other.o2_sk), "leftsemi")
-    other_late = late.select(F.col("l_orderkey").alias("o3_ok"),
-                             F.col("l_suppkey").alias("o3_sk"))
-    sole = multi.join(
-        other_late, (multi.l_orderkey == other_late.o3_ok)
-        & (multi.l_suppkey != other_late.o3_sk), "leftanti")
+            .select("l_orderkey", "l_suppkey")
+            # late feeds its own per-order supplier agg below —
+            # localCheckpoint so the li x orders join runs once (not
+            # persist: plan-cache entries get re-matched by a later
+            # identical run — cross-run result reuse)
+            .localCheckpoint())
+    # decorrelate by AGGREGATING instead of re-joining (guide §2.4 —
+    # the r9 before-plan ran the li x orders join THREE times and two
+    # non-equi lineitem-wide semi/anti joins): a late row survives
+    # EXISTS(another supplier in the order) iff the order has >= 2
+    # distinct suppliers (min != max over its supplier keys — a
+    # single-pass, map-side-combinable stand-in for a distinct count),
+    # and NOT EXISTS(another LATE supplier) iff the order's late rows
+    # all carry ONE supplier (min == max).  Row-for-row identical to
+    # the semi/anti pair, with two cheap keyed aggs co-partitioned
+    # with the orderkey joins instead of two lineitem-wide joins.
+    nsupp = (li.groupBy("l_orderkey")
+             .agg((F.min("l_suppkey") != F.max("l_suppkey"))
+                  .alias("__multi")))
+    nlate = (late.groupBy("l_orderkey")
+             .agg((F.min("l_suppkey") == F.max("l_suppkey"))
+                  .alias("__sole")))
+    sole = (late.join(nsupp, "l_orderkey")
+            .join(nlate, "l_orderkey")
+            .filter(F.col("__multi") & F.col("__sole")))
     return (sole.join(F.broadcast(supp),
                       sole.l_suppkey == supp.s_suppkey)
             .groupBy("s_name")

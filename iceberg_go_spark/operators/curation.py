@@ -378,7 +378,14 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
     for its per-doc distinct."""
     sh = shingle_rows(df.select(id_col, text_col), text_col, id_col, n)
     src = df.select(id_col, F.col(source_col).alias("__src"))
-    sh = sh.join(src, id_col)
+    # sh feeds the doc-frequency agg AND the boiler-mark join —
+    # un-materialized, the shingle explode + per-doc distinct re-runs
+    # for each (the r9 before-plan carries the Generate subtree twice,
+    # 18 Exchanges).  localCheckpoint (NOT persist: plan-level cache
+    # entries outlive the query and are silently re-matched by a later
+    # identical run — a cross-run result cache, which the bench bans)
+    # computes it once per invocation, per-invocation lifetime.
+    sh = sh.join(src, id_col).localCheckpoint()
     counted = (sh.groupBy("__src", "shingle")
                .agg(F.count(F.lit(1)).alias("__df")))
     if min_doc_frac is not None:
@@ -848,8 +855,16 @@ def source_token_divergence(df: DataFrame, text_col: str = "text",
     1-row corpus-total broadcast."""
     toks = _words(rebalance_for_amplification(
         df.select(strat_col, text_col, id_col)), text_col, strat_col)
+    # sw feeds cw, ns AND the 3-way join (cw additionally feeds the
+    # 1-row total) — un-materialized, the tokenize+explode+count front
+    # half re-runs once per consumer (the r9 before-plan carries 4
+    # copies of the Generate subtree, 32 Exchanges).  sw is vocabulary
+    # x strata rows (tiny next to the token stream): materialize it and
+    # every downstream agg/join reads counted rows (guide §2.4).
+    # localCheckpoint, not persist — plan-level cache entries would be
+    # re-matched by a later identical run (cross-run result reuse).
     sw = toks.groupBy(strat_col, "__w").agg(
-        F.count(F.lit(1)).alias("__csw"))
+        F.count(F.lit(1)).alias("__csw")).localCheckpoint()
     cw = sw.groupBy("__w").agg(F.sum("__csw").alias("__cw"))
     ns = sw.groupBy(strat_col).agg(
         F.sum("__csw").alias("__ns"),
@@ -1074,6 +1089,16 @@ def importance_weights(df: DataFrame, target_filter,
         "__b", F.pmod(F.conv(F.substring(F.md5(F.col("__w")), 1, 12),
                              16, 10).cast("long"),
                       F.lit(n_buckets)).cast("int"))
+    # tok feeds TWO full passes — the eager bucket-stats collect below
+    # and the per-doc score aggregation at action time.  Materialize it
+    # once so the corpus tokenizes/explodes/hashes a single time
+    # (guide §2.4; the r9 before-plan runs the Generate subtree twice).
+    # Project the token string away first: both consumers key on the
+    # hashed bucket only, so the materialized rows are 3 narrow columns
+    # (guide §2.3 — shuffle/store keys, not payloads).  localCheckpoint,
+    # not persist — plan-level cache entries would be re-matched by a
+    # later identical run (cross-run result reuse).
+    tok = tok.select(id_col, "__t", "__b").localCheckpoint()
     stats = (tok.groupBy("__b")
              .agg(F.count(F.lit(1)).alias("__r"),
                   F.sum("__t").alias("__tc"))

@@ -409,8 +409,11 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     #
     # Cost shape (bounded path): the signature frame (5 longs/doc,
     # from _simhash64_sig_frame's single codegen vote pipeline) is
-    # persisted MEMORY_AND_DISK so the vote aggregation runs ONCE for
-    # the sizes subquery + the bucket agg.  Only HOT buckets
+    # localCheckpoint-ed so the vote aggregation runs ONCE for
+    # the sizes subquery + the bucket agg (NOT persist: plan-level
+    # cache entries outlive the query and a later identical run
+    # silently re-matches them — cross-run result reuse, which the
+    # bench bans; the RDD-level checkpoint is per-invocation).  Only HOT buckets
     # (> max_bucket_size; EMPTY on any healthy corpus, <= 4 * 65536
     # rows by construction even on a pathological one) broadcast into
     # a LEFT join, so the common case pays one cache write/read and a
@@ -432,9 +435,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                    .agg(F.array_sort(F.collect_list("__m")).alias("ms"))
                    .filter(F.size("ms") > 1))
     else:
-        from pyspark import StorageLevel
         sigdf = (_simhash64_sig_frame(df, text_col, id_col)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+                 .localCheckpoint())
         e = sigdf.select(sig.alias("__m"),
                          F.posexplode(F.array(
                              *[F.col(f"__p{j}") for j in range(4)]))
@@ -518,10 +520,10 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
       buckets only — buckets under the bound are bit-identical to the
       unsalted shape).  None disables the bound (lossless, no cache).
 
-    Cache lifecycle: the bounded path persists the quantized frame
-    MEMORY_AND_DISK (it feeds the sizes subquery + both join sides);
-    the entry lives until the CacheManager evicts it — long-lived
-    services should clear caches periodically or pass None.
+    Cache lifecycle: the bounded path localCheckpoints the quantized
+    frame (it feeds the sizes subquery + both join sides); the RDD is
+    per-invocation and reclaimed by the ContextCleaner once the frame
+    is unreachable.  None disables the bound (lossless, no checkpoint).
     """
     from ..functions import vector_funcs as V
     if bucket_dims == "auto":
@@ -539,10 +541,9 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
     join_keys = ["__bucket"]
     if max_bucket_size is not None:
         # the quantize/sign/norm projection feeds the sizes subquery and
-        # BOTH self-join sides — cache it once (same trade as the
-        # simhash twin; see the docstring's cache-lifecycle note)
-        from pyspark import StorageLevel
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        # BOTH self-join sides — localCheckpoint it once (same trade as
+        # the simhash twin; see that docstring's cache-lifecycle note)
+        base = base.localCheckpoint()
         sizes = (base.groupBy("__bucket")
                  .agg(F.count(F.lit(1)).alias("__n")))
         base = (base.join(F.broadcast(sizes), "__bucket")

@@ -36,9 +36,18 @@ def funnel_stages(events: DataFrame, steps: List[str],
     if not steps:
         raise ValueError("funnel needs at least one step")
     # stage 1: earliest occurrence of the first step per user
+    # each stage frame feeds TWO consumers — the next stage's join and
+    # its union branch in `out` — so un-materialized, branch k replays
+    # the entire join chain up to k (O(steps^2) event scans; the r9
+    # before-plan carries 20 Exchanges for a 4-step funnel).
+    # localCheckpoint each stage (NOT persist — plan-level cache entries
+    # outlive the query and get re-matched by a later identical run):
+    # |users|-row frames, each computed exactly once per invocation
+    # (guide §2.4 / §3.3 plan truncation).
     cur = (events.filter(F.col(type_col) == steps[0])
            .groupBy(user_col)
-           .agg(F.min(ts_col).alias("__t")))
+           .agg(F.min(ts_col).alias("__t"))
+           .localCheckpoint())
     out = cur.select(F.col(user_col), F.lit(1).alias("stage"))
     for k, step in enumerate(steps[1:], start=2):
         cond = F.col(ts_col) >= F.col("__t")
@@ -49,7 +58,8 @@ def funnel_stages(events: DataFrame, steps: List[str],
                .join(cur, user_col)
                .filter(cond)
                .groupBy(user_col)
-               .agg(F.min(ts_col).alias("__t")))
+               .agg(F.min(ts_col).alias("__t"))
+               .localCheckpoint())
         out = out.unionByName(
             nxt.select(F.col(user_col), F.lit(k).alias("stage")))
         cur = nxt

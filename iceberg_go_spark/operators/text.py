@@ -229,9 +229,19 @@ def winnow_near_dup_pairs(df: DataFrame, text_col: str = "text",
     pair everyone with everyone — the standard df-cap that bounds any
     single key's pair expansion at max_df^2), then one count
     aggregation keyed by the pair."""
-    fps = winnow_fp_rows(df, text_col, id_col, k, window)
+    # fps feeds the doc-frequency agg AND (via kept) BOTH sides of the
+    # pair self-join — un-materialized, the whole winnowing front half
+    # (explode + md5 per gram + window-min + distinct) re-runs FOUR
+    # times (the r9 before-plan shows 4 copies of the Generate+Window
+    # subtree, 26 Exchanges).  Materialize fps once, then kept (cheap:
+    # reads materialized fps twice) so each side of the self-join reads
+    # rows instead of re-winnowing the corpus (guide §2.4 / §3.3).
+    # localCheckpoint, not persist — plan-level cache entries would be
+    # re-matched by a later identical run (cross-run result reuse).
+    fps = winnow_fp_rows(df, text_col, id_col, k, window).localCheckpoint()
     docfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
-    kept = fps.join(docfreq.filter(F.col("__df") <= max_df), "fp")
+    kept = fps.join(docfreq.filter(F.col("__df") <= max_df), "fp") \
+        .localCheckpoint()
     a = kept.select(F.col("fp"), F.col(id_col).alias("id_a"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("id_b"))
     return (a.join(b, "fp")

@@ -47,6 +47,17 @@ def get_spark(app_name: str = "iceberg_go_spark", cpus: int | None = None,
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # File-listing locality (guide §6 / §7.3): an Iceberg scan hands
+        # Spark an EXPLICIT file list from manifests — re-stat-ing it is
+        # pure overhead, and below this path-count threshold Spark lists
+        # driver-side in a thread pool instead of launching a listing
+        # JOB per DataFrame (measured 1.3 s -> 0.2 s constructing a
+        # 541-file multi-spec scan on local[32]; job scheduling dominates
+        # stat-ing local files).  Scale-parameterized: on a cluster
+        # against an object store with multi-million-file lists, lower
+        # SPARK_GRAFT_LISTING_THRESHOLD so listing distributes again.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_LISTING_THRESHOLD", "10000"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
