@@ -378,14 +378,15 @@ def boilerplate_ngrams(df: DataFrame, text_col: str = "text",
     for its per-doc distinct."""
     sh = shingle_rows(df.select(id_col, text_col), text_col, id_col, n)
     src = df.select(id_col, F.col(source_col).alias("__src"))
-    # sh feeds the doc-frequency agg AND the boiler-mark join —
-    # un-materialized, the shingle explode + per-doc distinct re-runs
-    # for each (the r9 before-plan carries the Generate subtree twice,
-    # 18 Exchanges).  localCheckpoint (NOT persist: plan-level cache
-    # entries outlive the query and are silently re-matched by a later
-    # identical run — a cross-run result cache, which the bench bans)
-    # computes it once per invocation, per-invocation lifetime.
-    sh = sh.join(src, id_col).localCheckpoint()
+    # sh feeds the doc-frequency agg AND the boiler-mark join, so the
+    # shingle explode runs twice — DELIBERATELY left un-materialized:
+    # the shingle frame is corpus x n-grams rows (token-scale), and a
+    # same-box A/B of localCheckpoint-ing it here measured +16%
+    # (1.14 s -> 1.32 s at sf0.1) — storing token-scale rows costs more
+    # than re-streaming the explode (guide §5: cache only when
+    # recompute beats the storage pressure; at 100 TB the materialized
+    # frame would be corpus-sized while the recompute streams).
+    sh = sh.join(src, id_col)
     counted = (sh.groupBy("__src", "shingle")
                .agg(F.count(F.lit(1)).alias("__df")))
     if min_doc_frac is not None:

@@ -277,7 +277,8 @@ def _sym_encode_py(w: str) -> str:
 def bpe_train_merges(df: DataFrame, n_merges: int = 3,
                      text_col: str = "text",
                      vocab_collect_max: int = 2_000_000,
-                     max_distributed_steps: int = 64) -> DataFrame:
+                     max_distributed_steps: int = 64,
+                     words: DataFrame | None = None) -> DataFrame:
     """Iterative BPE merge training (Sennrich et al. 2016): start from
     characters, repeatedly pick the corpus-wide most frequent adjacent
     symbol pair (count desc, then lexical left/right — deterministic)
@@ -308,12 +309,19 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 3,
     Spark pair-count job + 1-row argmax per step, HARD-CAPPED at
     ``max_distributed_steps`` (the sequential-jobs bound is the scale
     contract: raise, don't silently run 32k jobs).  Both paths are
-    bit-identical (pinned by test_bpe_local_vs_distributed)."""
-    words = (df.select(F.explode(TX.tokens(F.col(text_col)))
-                       .alias("__w"))
-             .filter((F.col("__w") != "") &
-                     ~F.col("__w").contains(BPE_SEP))
-             .groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt")))
+    bit-identical (pinned by test_bpe_local_vs_distributed).
+
+    ``words`` lets a caller that has ALREADY tokenized the corpus (e.g.
+    bpe_token_counts, whose encode half needs the same (doc, word,
+    count) frame) supply the mergeable vocabulary as (__w, __cnt) rows
+    — skipping this function's own corpus pass (guide §2.4: one
+    tokenize, two consumers)."""
+    if words is None:
+        words = (df.select(F.explode(TX.tokens(F.col(text_col)))
+                           .alias("__w"))
+                 .filter((F.col("__w") != "") &
+                         ~F.col("__w").contains(BPE_SEP))
+                 .groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt")))
     spark = df.sparkSession
     # ONE job both sizes the vocabulary and, when it fits, delivers it:
     # take(max+1) pulls at most max+1 aggregated rows (a count() would
@@ -372,7 +380,8 @@ BPE_APPLY_EXPR_LIMIT = 64
 
 def bpe_apply_token_counts(df: DataFrame, merges,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           dwc: DataFrame | None = None) -> DataFrame:
     """Apply a trained BPE merge table and return per-doc token counts
     (doc_id, n_tokens) — the encode half of the tokenizer pipeline
     (bpe_train_merges is the train half).
@@ -392,19 +401,15 @@ def bpe_apply_token_counts(df: DataFrame, merges,
     Docs with no tokens (null/empty text) report n_tokens = 0; words
     containing the reserved separator encode at character level (see
     BPE_SEP)."""
-    from ..session import rebalance_for_amplification
     merges = [(str(left), str(right)) for left, right in merges]
     # ONE corpus explode: the per-(doc, word) count frame feeds both
     # the vocabulary (distinct words) and the join-back — without the
     # checkpoint the explode subtree evaluates once under the distinct
     # and again as the probe side (different exchanges, no reuse).
-    dwc = (rebalance_for_amplification(df)
-           .select(F.col(id_col),
-                   F.explode(TX.tokens(F.col(text_col))).alias("__w"))
-           .filter(F.col("__w") != "")
-           .groupBy(id_col, "__w")
-           .agg(F.count(F.lit(1)).alias("__c"))
-           .localCheckpoint())
+    # A caller that already built the frame (bpe_token_counts shares it
+    # with the trainer) passes it via ``dwc``.
+    if dwc is None:
+        dwc = _bpe_doc_word_counts(df, text_col, id_col)
     vocab = dwc.select("__w").distinct()
     sep_fallback = F.length("__w").cast("int")
     if len(merges) <= BPE_APPLY_EXPR_LIMIT:
@@ -444,16 +449,39 @@ def bpe_apply_token_counts(df: DataFrame, merges,
                     .cast("long").alias("n_tokens")))
 
 
+def _bpe_doc_word_counts(df: DataFrame, text_col: str,
+                         id_col: str) -> DataFrame:
+    """(id, __w, __c) per-doc word counts, checkpointed — the shared
+    front half of BPE encode (and of train-then-encode, where the
+    trainer's vocabulary is a groupBy over the same frame)."""
+    from ..session import rebalance_for_amplification
+    return (rebalance_for_amplification(df)
+            .select(F.col(id_col),
+                    F.explode(TX.tokens(F.col(text_col))).alias("__w"))
+            .filter(F.col("__w") != "")
+            .groupBy(id_col, "__w")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint())
+
+
 def bpe_token_counts(df: DataFrame, n_merges: int = 3,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Train-then-encode: bpe_train_merges on the corpus, then
     bpe_apply_token_counts with the learned table (the merge table is
-    <= n_merges rows — a driver-side list by construction)."""
-    mdf = bpe_train_merges(df, n_merges, text_col)
+    <= n_merges rows — a driver-side list by construction).
+
+    The corpus is tokenized ONCE: the (doc, word, count) frame the
+    encode half joins back to also yields the trainer's mergeable
+    vocabulary as a word-keyed re-aggregation (was two independent full
+    tokenize+explode passes — guide §2.4)."""
+    dwc = _bpe_doc_word_counts(df, text_col, id_col)
+    words = (dwc.filter(~F.col("__w").contains(BPE_SEP))
+             .groupBy("__w").agg(F.sum("__c").alias("__cnt")))
+    mdf = bpe_train_merges(df, n_merges, text_col, words=words)
     merges = [(r["left"], r["right"]) for r in
               mdf.orderBy("step").collect()]
-    return bpe_apply_token_counts(df, merges, text_col, id_col)
+    return bpe_apply_token_counts(df, merges, text_col, id_col, dwc=dwc)
 
 
 def _bpe_train_local(spark, word_rows, n_merges: int) -> DataFrame:
