@@ -128,6 +128,27 @@ def test_exact_dedup_single_shuffle(spark, plans):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_shared_gram_frame_bounds_exchanges(spark, plans):
+    """r9 shares ONE materialized gram/groups frame across the exact and
+    LSH stages of the Jaccard harnesses; un-shared, every consumer
+    re-evaluated the tokenize+explode+distinct front half and the plan
+    carried ~220 (minhash_lsh_recall) / ~90 (ngram_jaccard_dups)
+    Exchange mentions.  Lock the collapsed shape: a refactor that drops
+    the sharing re-inflates the count far past this bound."""
+    assert plans("minhash_lsh_recall").count("Exchange") <= 20
+    assert plans("ngram_jaccard_dups").count("Exchange") <= 20
+
+
+def test_q2_q20_single_fact_scan(spark, plans):
+    """r9 decorrelated the per-partkey min/sum via a window over the
+    already-aggregated frame; the old second groupBy + re-join
+    re-evaluated the whole fact subtree, scanning lineitem TWICE."""
+    for name in ("q2_min_cost_supplier", "q20_dominant_suppliers"):
+        p = plans(name)
+        assert p.count("lineitem.parquet") == 1, name
+        assert "Window" in p, name
+
+
 def test_kmeans_assignment_stage_has_no_exchange(spark):
     """r8 moved kmeans/PQ assignment from crossJoin(k)+row_number-window
     to a map-side Arrow mapInPandas argmax — ZERO exchanges per Lloyd
