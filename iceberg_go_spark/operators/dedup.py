@@ -221,32 +221,48 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # arrays and intersecting per pair — turns O(pairs * grams) array work
     # into one hash join + one count aggregation (the shape that survives
     # a 100x scale-up; frequent-gram hotspots are bounded by block size).
+    gram_provided = gram_rows is not None
     if gram_rows is None:
         gram_rows = char_ngram_rows(df, text_col, id_col, ngram).distinct()
     blocks = df.select(F.col(id_col),
                        *(F.col(c) for c in (block_cols or [])))
     base = gram_rows.join(blocks, on=id_col, how="inner")
+    counts = None
     if block_cols is None:
         # default block: coarse shingle-count band — near-dups at the
-        # threshold can't differ much in size, so same-band is safe-ish
+        # threshold can't differ much in size, so same-band is safe-ish.
+        # When the caller supplied a MATERIALIZED gram frame, the
+        # per-doc gram count doubles as the union-size `counts` frame
+        # below (base's joins are row-preserving: one blocks row and
+        # one counts0 row per doc id) — materialize it once (tiny, one
+        # row per doc) instead of re-aggregating the token-scale base a
+        # second time per action.  On the standalone path gram_rows is
+        # lazy and an eager counts0 checkpoint would ADD a full
+        # tokenize job (measured net-worse at sf0.1), so there counts
+        # stays an agg over the base checkpoint.
         counts0 = gram_rows.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("__n"))
+            F.count(F.lit(1)).alias("__cnt"))
+        if gram_provided:
+            counts0 = counts0.localCheckpoint()
+            counts = counts0
         base = base.join(counts0, on=id_col) \
             .withColumn("__blk_len",
-                        F.floor(F.log2(F.col("__n") + F.lit(1)))) \
-            .drop("__n")
+                        F.floor(F.log2(F.col("__cnt") + F.lit(1)))) \
+            .drop("__cnt")
         block_cols = ["__blk_len"]
-    # base feeds THREE consumers (per-doc counts + both pair-join
-    # sides); un-materialized, Spark re-runs the whole normalize +
+    # base feeds the remaining consumers (both pair-join sides, plus
+    # the per-doc counts when explicit block_cols skip the counts0
+    # path); un-materialized, Spark re-runs the whole normalize +
     # explode + distinct + block-join subtree per consumer (the r9
     # before-plan shows ~45 Exchanges from the duplicated lineage —
     # guide §2.4 "remove shuffles outright").  One localCheckpoint
     # computes it once; every consumer reads the materialized rows.
     base = base.localCheckpoint()
-    # one row per (id, gram) in base, so the distinct-gram count per doc
-    # is a plain count over base — the separate gram_rows.groupBy +
-    # block-distinct join of the old shape collapses into one agg
-    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    if counts is None:
+        # one row per (id, gram) in base, so the distinct-gram count
+        # per doc is a plain count over base
+        counts = base.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__cnt"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("gram"),
                     *[F.col(c).alias(f"__b_{i}")
                       for i, c in enumerate(block_cols)])
