@@ -369,8 +369,16 @@ class UpdateSchema:
                         and upd.name == name and fid != f.field_id):
                     raise ValueError(
                         f"cannot rename field to renamed field: {new_full}")
-            if full_name in self._identifier_names:
+            # the identifier set tracks the CURRENT staged name: if this
+            # field was already renamed in this update, it holds the
+            # previous rename's target, not the original path
+            prev = self._updates.get(f.field_id)
+            staged_full = (".".join(parts[:-1] + [prev.name])
+                           if prev is not None else full_name)
+            if full_name in self._identifier_names \
+                    or staged_full in self._identifier_names:
                 self._identifier_names.discard(full_name)
+                self._identifier_names.discard(staged_full)
                 self._identifier_names.add(new_full)
 
         if field_type is not None:

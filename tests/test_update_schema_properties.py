@@ -194,3 +194,25 @@ def test_last_column_id_monotonic(ops):
             continue
         assert t.metadata.last_column_id >= last
         last = t.metadata.last_column_id
+
+
+def test_double_rename_of_identifier_field():
+    """Renaming the SAME identifier column twice in one update must
+    track the staged name: the identifier set holds the first rename's
+    target, and the second rename must re-point it to the final name
+    (hypothesis-found regression: apply() raised 'identifier field not
+    found: n1' after id->n1 then id->n2)."""
+    import tempfile
+    cat = FilesystemCatalog(tempfile.mkdtemp())
+    t = cat.create_table("db.double_rename", base_schema(),
+                         properties={"format-version": "3"})
+    upd = t.update_schema()
+    upd.rename_column("id", "n1")
+    upd.rename_column("id", "n2")
+    out = upd.apply()
+    names = {f.name for f in out.as_struct().fields}
+    assert "n2" in names and "n1" not in names and "id" not in names
+    assert out.identifier_field_ids == [1]
+    # and the staged schema commits cleanly
+    t2 = upd.commit()
+    assert {f.name for f in t2.metadata.schema().as_struct().fields} == names
