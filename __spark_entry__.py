@@ -2339,8 +2339,14 @@ def kmeans_topic_clusters(spark, sf_dir):
 
 
 def _kmeans_sql(k: int = 8, final: str | None = None) -> str:
+    # every aggregate output is cast ::BIGINT: DuckDB SUM(BIGINT) yields
+    # HUGEINT, and a dtype-audit of all 132 oracles showed the ONLY two
+    # HUGEINT output columns were exactly the two driver-red rows
+    # (sum_ids here and in kmeans_members_profile) — same serialization
+    # divergence class the r7 ::BIGINT on sum_cos_e6 closed.  Values are
+    # unchanged (sums are far below 2^63); only the declared type moves.
     final = final or """
-SELECT cluster, COUNT(*) AS n_members, SUM(vec_id) AS sum_ids,
+SELECT cluster, COUNT(*) AS n_members, SUM(vec_id)::BIGINT AS sum_ids,
        SUM(cos_e6)::BIGINT AS sum_cos_e6
 FROM a1 GROUP BY cluster"""
     cos0 = V.quantized_cosine_e6_sql("v.qq", "c.csum")
@@ -5013,7 +5019,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_topic_clusters": _kmeans_sql(),
         "kmeans_members_profile": _kmeans_sql(final=(
             "SELECT cluster, COUNT(*) AS n_members, "
-            "SUM(vec_id) AS sum_ids FROM a1 GROUP BY cluster")),
+            "SUM(vec_id)::BIGINT AS sum_ids FROM a1 GROUP BY cluster")),
         "kmeans_cosine_profile": _kmeans_sql(final=(
             "SELECT cluster, SUM(cos_e6)::BIGINT AS sum_cos_e6 "
             "FROM a1 GROUP BY cluster")),

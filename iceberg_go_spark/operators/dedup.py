@@ -629,8 +629,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # labels against old and counted diffs, a full extra |V|-row join
     # every round (guide §2.4).  decimal(38,0) keeps the sum exact for
     # any realistic |V| x max-id (no long overflow).
+    # F.sum over ZERO rows is NULL -> None on the driver; an empty pairs
+    # frame (clean corpus, no duplicate pairs) must converge on round 1
+    # with changed_mass == 0 instead of raising on None arithmetic
     prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        F.sum(F.col("label").cast("decimal(38,0)"))).first()[0] or 0
     for it in range(max_iterations):
         neighbor = (edges.join(labels, edges.src == labels.id)
                     .select(F.col("dst").alias("id"), "label"))
@@ -656,7 +659,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                   .alias("label")))
         new_labels = new_labels.localCheckpoint(eager=True)
         new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0] or 0
         changed_mass = prev_sum - new_sum  # > 0 iff any label changed
         labels = new_labels
         prev_sum = new_sum

@@ -105,6 +105,15 @@ def test_connected_components(spark):
     assert out == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 30: 20}
 
 
+def test_connected_components_empty_pairs(spark):
+    # a clean corpus yields ZERO duplicate pairs; F.sum over zero rows is
+    # NULL, so the label-sum convergence check must coalesce to 0 instead
+    # of raising TypeError on None arithmetic (ADVICE r9, high)
+    from iceberg_go_spark.operators import dedup as DD
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert DD.connected_components(pairs).collect() == []
+
+
 def test_scrub_pii(spark):
     df = spark.createDataFrame(
         [(1, "mail a.b+c@x-corp.io or 10.0.0.1 or +123456789 end"),

@@ -206,6 +206,36 @@ def test_bpe_local_train_job_count_independent_of_merges(spark):
     assert few <= 4, few
 
 
+def test_oracle_outputs_no_hugeint():
+    """Every oracle's OUTPUT columns must be plain portable types.
+    DuckDB SUM(BIGINT) silently yields HUGEINT, and a dtype audit of all
+    132 oracles showed the only two HUGEINT output columns were exactly
+    the two queries red in the driver gate for five rounds
+    (kmeans_topic_clusters / kmeans_members_profile sum_ids) — the
+    driver's hasher serializes HUGEINT differently than BIGINT, while
+    every ::BIGINT-cast aggregate is green.  Lock the invariant so no
+    future oracle re-introduces an un-cast aggregate output."""
+    import os
+    import duckdb
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # JSON is allowed: multimodal_feature_vectors emits a JSON column and
+    # has been driver-green since r8 (string-rendered identically)
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, typ, *_ in rows:
+            if any(typ.startswith(b) for b in banned):
+                offenders.append((name, col, typ))
+    assert offenders == [], offenders
+
+
 def test_zorder_write_prunes_on_both_dimensions(spark):
     """Z-order layout (write.distribution-mode=zorder): files carry
     tight bounds on EVERY z column, so a filter on either dimension
