@@ -2171,22 +2171,13 @@ def _queries_df(spark, sf_dir, n: int = 5):
 
 
 def ann_topk_bruteforce(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings") \
-        .withColumn("__q", V.quantize(F.col("embedding")))
-    qs = _queries_df(spark, sf_dir) \
-        .withColumn("__qq", V.quantize(F.col("query_vec")))
-    emb = emb.withColumn("__na", V.norm_sq(F.col("__q")))
-    qs = qs.withColumn("__nb", V.norm_sq(F.col("__qq")))
-    joined = emb.crossJoin(F.broadcast(qs)) \
-        .filter(F.col("vec_id") != F.col("query_id"))
-    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
-                                   F.col("__na"), F.col("__nb"))
-    w = W.partitionBy("query_id").orderBy(
-        cos.desc(), F.col("vec_id"))
-    return (joined.withColumn("cosine_e6", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
-            .select("query_id", "vec_id", "cosine_e6", "rank"))
+    """Exact all-pairs cosine top-10 per probe query — map-side batch
+    top-k numpy kernel + one candidate-rank window (the r10 shape; the
+    crossJoin + per-pair interpreted HOF dot is gone —
+    operators/similarity.py brute_force_topk)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    return SIM.brute_force_topk(emb, qs, k=10, exclude_self=True)
 
 
 def embedding_near_dup(spark, sf_dir):
@@ -2246,24 +2237,12 @@ WHERE rank <= 10
 
 
 def ann_topk_bucketed(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings") \
-        .withColumn("__q", V.quantize(F.col("embedding"))) \
-        .withColumn("__bucket", V.sign_bucket(F.col("embedding")))
-    qs = _queries_df(spark, sf_dir) \
-        .withColumn("__qq", V.quantize(F.col("query_vec"))) \
-        .withColumn("__bucket", V.sign_bucket(F.col("query_vec")))
-    emb = emb.withColumn("__na", V.norm_sq(F.col("__q")))
-    qs = qs.withColumn("__nb", V.norm_sq(F.col("__qq")))
-    joined = emb.join(F.broadcast(qs), on="__bucket") \
-        .filter(F.col("vec_id") != F.col("query_id"))
-    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
-                                   F.col("__na"), F.col("__nb"))
-    w = W.partitionBy("query_id").orderBy(
-        cos.desc(), F.col("vec_id"))
-    return (joined.withColumn("cosine_e6", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 10)
-            .select("query_id", "vec_id", "cosine_e6", "rank"))
+    """Sign-bucket LSH top-10: each query probes only its bucket —
+    enforced inside the map-side top-k kernel as the allowed-label set
+    (operators/similarity.py bucketed_topk, r10 shape)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qs = _queries_df(spark, sf_dir)
+    return SIM.bucketed_topk(emb, qs, k=10, exclude_self=True)
 
 
 def label_centroids(spark, sf_dir):

@@ -549,15 +549,15 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
         dim = head["d"] if head and head["d"] and head["d"] > 0 else 1
         bucket_dims = auto_bucket_dims(emb.count(), dim,
                                        target_bucket_size)
+    from .similarity import _grouped_pair_hits
     base = emb.select(F.col(id_col),
                       V.quantize(F.col(vec_col)).alias("__q"),
                       V.sign_bucket(F.col(vec_col), bucket_dims)
                       .alias("__bucket"))
-    base = base.withColumn("__nsq", V.norm_sq(F.col("__q")))
     join_keys = ["__bucket"]
     if max_bucket_size is not None:
-        # the quantize/sign/norm projection feeds the sizes subquery and
-        # BOTH self-join sides — localCheckpoint it once (same trade as
+        # the quantize/sign projection feeds the sizes subquery and the
+        # grouped pair pass — localCheckpoint it once (same trade as
         # the simhash twin; see that docstring's cache-lifecycle note)
         base = base.localCheckpoint()
         sizes = (base.groupBy("__bucket")
@@ -570,26 +570,17 @@ def embedding_near_dup_pairs(docs: DataFrame, emb: DataFrame,
                                              F.col("__nsalt")).cast("int"))
                 .drop("__n", "__nsalt"))
         join_keys = ["__bucket", "__salt"]
-    a = base.select(F.col(id_col).alias("id_a"),
-                    F.col("__q").alias("__qa"),
-                    F.col("__nsq").alias("__nsqa"), *join_keys)
-    b = base.select(F.col(id_col).alias("id_b"),
-                    F.col("__q").alias("__qb"),
-                    F.col("__nsq").alias("__nsqb"),
-                    *[F.col(k).alias(f"{k}_b") for k in join_keys])
     thr_e6 = int(round(threshold * 1_000_000))
-    # division-free threshold filter (dot evaluated once per pair);
-    # the full micro-cosine is only computed for SURVIVING pairs
-    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
-                                F.col("__nsqa"), F.col("__nsqb"), thr_e6)
-    cos = V.quantized_cosine_e6_nn(F.col("__qa"), F.col("__qb"),
-                                   F.col("__nsqa"), F.col("__nsqb"))
-    cond = F.col("id_a") < F.col("id_b")
-    for k in join_keys:
-        cond = cond & (F.col(k) == F.col(f"{k}_b"))
-    return (a.join(b, cond)
-            .filter(hit)
-            .select("id_a", "id_b", cos.alias("cosine_e6")))
+    # within-bucket pair pass: ONE grouped numpy kernel per bucket
+    # (similarity._grouped_pair_hits) instead of the pair self-join —
+    # the join materialized |bucket|^2/2 pair rows each carrying two
+    # full vectors through an interpreted HOF dot; the kernel ships
+    # each bucket's vectors once and expands pairs as an in-task int64
+    # matmul.  Hits mirror cosine_ge_threshold exactly; the emitted
+    # cosine is the shared _np_cosine_e6 kernel (id_a < id_b as before).
+    return _grouped_pair_hits(
+        base.select(*join_keys, F.col(id_col), F.col("__q")),
+        join_keys, id_col, "__q", thr_e6, emit_pairs=True)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

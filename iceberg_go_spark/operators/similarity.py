@@ -17,58 +17,57 @@ from ..functions import vector_funcs as V
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
-                     query_vec_col: str = "query_vec") -> DataFrame:
+                     query_vec_col: str = "query_vec",
+                     exclude_self: bool = False) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
-    queries is expected tiny vs emb -> broadcast; the corpus never
-    shuffles until the per-query top-k reduction (rank window partitioned
-    by query).  Similarity is the integer micro-cosine contract
-    (quantized_cosine_e6): no double in the output or ranking lineage."""
-    joined = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
-              .withColumn("__na", V.norm_sq(F.col("__q")))
-              .crossJoin(F.broadcast(
-                  queries.withColumn("__qq",
-                                     V.quantize(F.col(query_vec_col)))
-                  .withColumn("__nb", V.norm_sq(F.col("__qq"))))))
-    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
-                                   F.col("__na"), F.col("__nb"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_e6").desc(), F.col(id_col))
-    return (joined
-            .withColumn("cosine_e6", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine_e6", "rank"))
+    queries is tiny vs emb by contract (the probe set) — collected to
+    the driver and shipped in the task closure, so the corpus is never
+    cross-joined or replicated per query: ONE Arrow pass computes the
+    exact per-batch top-k with the vectorized numpy kernel, and only
+    |batches| x |Q| x k candidate rows reach the final rank window
+    (the crossJoin shape evaluated an interpreted HOF dot per
+    corpus x query pair — guide §4/§8).  Similarity is the integer
+    micro-cosine contract (quantized_cosine_e6 == _np_cosine_e6): no
+    double in the output or ranking lineage."""
+    qrows = _collect_queries(queries, query_id_col, query_vec_col)
+    emb_q = emb.select(F.col(id_col),
+                       V.quantize(F.col(vec_col)).alias("__q"))
+    cand = _map_side_topk_candidates(
+        emb_q, id_col, "__q", [(qid, qv, None) for qid, qv in qrows],
+        k, query_id_col=query_id_col, exclude_self=exclude_self)
+    return _ranked_topk(cand, k, id_col, query_id_col)
 
 
 def bucketed_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   query_id_col: str = "query_id",
                   query_vec_col: str = "query_vec",
-                  bucket_dims: int = 8) -> DataFrame:
+                  bucket_dims: int = 8,
+                  exclude_self: bool = False) -> DataFrame:
     """ANN top-k: probe only the query's sign-bucket (LSH-style).
 
     ~2^dims-fold candidate reduction; recall < 1 by design.  Deterministic
     bucket fn keeps this oracle-checkable; integer micro-cosine keeps the
-    ranking engine-exact."""
-    b_emb = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
-             .withColumn("__na", V.norm_sq(F.col("__q")))
-             .withColumn("__bucket",
-                         V.sign_bucket(F.col(vec_col), bucket_dims)))
-    b_q = (queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
-           .withColumn("__nb", V.norm_sq(F.col("__qq")))
-           .withColumn("__bucket",
-                       V.sign_bucket(F.col(query_vec_col), bucket_dims)))
-    joined = b_emb.join(F.broadcast(b_q), on="__bucket")
-    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
-                                   F.col("__na"), F.col("__nb"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_e6").desc(), F.col(id_col))
-    return (joined
-            .withColumn("cosine_e6", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine_e6", "rank"))
+    ranking engine-exact.  Same map-side candidate shape as
+    brute_force_topk — each query carries its sign-bucket as the allowed
+    label set, so non-bucket rows are skipped inside the kernel instead
+    of through a join."""
+    q_b = (queries.select(
+        F.col(query_id_col),
+        V.quantize(F.col(query_vec_col)).alias("__qq"),
+        V.sign_bucket(F.col(query_vec_col), bucket_dims).alias("__b"))
+        .collect())
+    qlist = [(r[query_id_col], [int(v) for v in r["__qq"]],
+              {r["__b"]}) for r in q_b]
+    emb_q = emb.select(F.col(id_col),
+                       V.quantize(F.col(vec_col)).alias("__q"),
+                       V.sign_bucket(F.col(vec_col), bucket_dims)
+                       .alias("__bucket"))
+    cand = _map_side_topk_candidates(
+        emb_q, id_col, "__q", qlist, k, query_id_col=query_id_col,
+        label_col="__bucket", exclude_self=exclude_self)
+    return _ranked_topk(cand, k, id_col, query_id_col)
 
 
 # above this width, per-dimension inline aggregates stop codegen-ing
@@ -122,6 +121,49 @@ def pairwise_label_centroids(emb: DataFrame, label_col: str = "label",
                     .alias("centroid")))
 
 
+def _np_cosine_e6(dots, p):
+    """Exact integer micro-cosine from int64 dot products and norm
+    products: trunc(dots * 1e6 / isqrt(p)), 0 where p == 0 — the numpy
+    twin of vector_funcs.quantized_cosine_e6 (same isqrt ladder: float
+    seed, -2 lower bound, four +1 corrections; same sign-split trunc
+    division).  ONE shared implementation for every numpy cosine path
+    (argmax assignment, top-k candidates, pair filters) so the
+    numpy_kernel_canary probes cover them all.  Callers must have
+    pre-checked p < 2^62 (the isqrt domain)."""
+    import numpy as np
+    s = _np_isqrt(p)
+    num = dots * 1_000_000
+    return np.where(
+        s == 0, 0,
+        np.where(num >= 0,
+                 num // np.maximum(s, 1),
+                 -((-num) // np.maximum(s, 1))))
+
+
+def _check_isqrt_domain(na_max: int, nb_max: int) -> None:
+    """Raise before any int64 norm product can leave the exact-isqrt
+    domain.  PYTHON ints (numpy int64 would wrap silently), mirroring
+    isqrt_prod's pre-multiply guard."""
+    if int(na_max) * int(nb_max) >= (1 << 62):
+        raise ValueError(
+            "isqrt domain overflow: norm product >= 2^62 — rescale "
+            "centroid sums (see kmeans_assignments docstring)")
+
+
+def _py_cosine_e6(dot: int, na: int, nb: int) -> int:
+    """Driver-side exact micro-cosine over PYTHON ints (math.isqrt is
+    floor(sqrt) by definition, which the engine/oracle isqrt ladders
+    reproduce exactly in-domain) — used for tiny bounded driver-side
+    computations (IVF probe selection, PQ ADC tables)."""
+    import math
+    _check_isqrt_domain(na, nb)
+    s = math.isqrt(na * nb)
+    if s == 0:
+        return 0
+    num = dot * 1_000_000
+    return -((-num) // s) if num < 0 else num // s
+
+
 def _map_side_cosine_argmax(df: DataFrame, id_col: str, vec_col: str,
                             cent_vectors: List[List[int]],
                             out_col: str = "cluster",
@@ -160,23 +202,10 @@ def _map_side_cosine_argmax(df: DataFrame, id_col: str, vec_col: str,
             na = (X * X).sum(axis=1)
             na_max = int(na.max(initial=0))
             for nbc in nb:
-                if na_max * nbc >= (1 << 62):
-                    raise ValueError(
-                        "isqrt domain overflow: centroid norm too "
-                        "large (na*nb >= 2^62) — rescale centroid "
-                        "sums between iterations")
+                _check_isqrt_domain(na_max, nbc)
             dots = X @ cmat.T                          # (n, k) exact
             p = na[:, None] * np.array(nb, dtype=np.int64)[None, :]
-            s = np.sqrt(p.astype(np.float64)).astype(np.int64)
-            s = np.maximum(s - 2, 0)
-            for _ in range(4):                         # +-2 correction
-                s += ((s + 1) * (s + 1) <= p)
-            num = dots * 1_000_000
-            cos = np.where(
-                s == 0, 0,
-                np.where(num >= 0,
-                         num // np.maximum(s, 1),
-                         -((-num) // np.maximum(s, 1))))
+            cos = _np_cosine_e6(dots, p)
             best = np.argmax(cos, axis=1)
             data = {id_col: pdf[id_col],
                     out_col: best.astype(np.int32)}
@@ -187,6 +216,215 @@ def _map_side_cosine_argmax(df: DataFrame, id_col: str, vec_col: str,
             yield pd.DataFrame(data)
 
     return df.mapInPandas(part, out_schema)
+
+
+def _np_isqrt(p):
+    """Exact floor(sqrt(p)) for int64 arrays, 0 <= p < 2^62 — the numpy
+    twin of vector_funcs.isqrt_long's ladder (float seed, -2 lower
+    bound, four +1 corrections).  Shared by every numpy kernel."""
+    import numpy as np
+    s = np.sqrt(p.astype(np.float64)).astype(np.int64)
+    s = np.maximum(s - 2, 0)
+    for _ in range(4):
+        s += ((s + 1) * (s + 1) <= p)
+    return s
+
+
+def _grouped_pair_hits(base: DataFrame, group_keys, id_col: str,
+                       vec_col: str, thr_e6: int,
+                       emit_pairs: bool) -> DataFrame:
+    """Within-group cosine-threshold pair detection as ONE grouped numpy
+    kernel (applyInPandas): each group's quantized vectors cross the
+    Arrow boundary ONCE and the pairwise dot matrix is a single int64
+    matmul — the join formulation materialized |group|^2/2 pair ROWS,
+    each carrying two full vectors through an interpreted HOF dot
+    (guide §4, §2.3: expand pairs inside the task, not in the shuffle).
+    The groupBy is the SAME single corpus shuffle the pair equi-join
+    paid; group sizes are bounded by the callers' salt-split valves,
+    so the n^2 bitmask stays small per task.
+
+    The threshold predicate mirrors vector_funcs.cosine_ge_threshold
+    exactly: s > 0 AND dot * 1e6 >= thr_e6 * isqrt(na*nb) — division-
+    free, same isqrt ladder, bit-identical hits.
+
+    emit_pairs=False: one row per DUPLICATE member — ids (sorted asc
+    within the group) that hit any LOWER id, i.e. the SemDeDup "a lower
+    id reaches threshold" rule.  emit_pairs=True: (id_a, id_b,
+    cosine_e6) per hitting pair with id_a < id_b, cosine from the
+    shared _np_cosine_e6 kernel."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as ST
+
+    if thr_e6 < 1:
+        raise ValueError("_grouped_pair_hits requires thr_e6 >= 1")
+    id_type = base.schema[id_col].dataType
+    if emit_pairs:
+        out_schema = ST.StructType([
+            ST.StructField("id_a", id_type),
+            ST.StructField("id_b", id_type),
+            ST.StructField("cosine_e6", ST.LongType())])
+    else:
+        out_schema = ST.StructType([base.schema[id_col]])
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({f.name: [] for f in out_schema.fields})
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        Q = np.array(list(pdf[vec_col]), dtype=np.int64)[order]
+        na = (Q * Q).sum(axis=1)
+        na_max = int(na.max(initial=0))
+        _check_isqrt_domain(na_max, na_max)
+        dots = Q @ Q.T
+        p = na[:, None] * na[None, :]
+        s = _np_isqrt(p)
+        hit = (s > 0) & (dots * 1_000_000 >= int(thr_e6) * s)
+        # ids sorted asc -> strict lower triangle is "partner has a
+        # lower id"
+        lower = np.tril(hit, k=-1)
+        if not emit_pairs:
+            return pd.DataFrame({id_col: ids[lower.any(axis=1)]})
+        ii, jj = np.nonzero(lower)          # jj < ii, id asc
+        cos = _np_cosine_e6(dots[ii, jj], p[ii, jj])
+        return pd.DataFrame({"id_a": ids[jj], "id_b": ids[ii],
+                             "cosine_e6": cos})
+
+    return base.groupBy(*group_keys).applyInPandas(fn, out_schema)
+
+
+def _pair_cosine_scores(df: DataFrame, keep_cols, qa_col: str,
+                        qb_col: str) -> DataFrame:
+    """Exact micro-cosine per already-joined row pair via one Arrow
+    pass (the per-pair interpreted HOF dot replaced by a vectorized
+    rowwise product-sum).  Returns keep_cols + cosine_e6."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as ST
+
+    out_schema = ST.StructType(
+        [df.schema[c] for c in keep_cols]
+        + [ST.StructField("cosine_e6", ST.LongType())])
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            QA = np.array(list(pdf[qa_col]), dtype=np.int64)
+            QB = np.array(list(pdf[qb_col]), dtype=np.int64)
+            na = (QA * QA).sum(axis=1)
+            nb = (QB * QB).sum(axis=1)
+            _check_isqrt_domain(int(na.max(initial=0)),
+                                int(nb.max(initial=0)))
+            cos = _np_cosine_e6((QA * QB).sum(axis=1), na * nb)
+            data = {c: pdf[c] for c in keep_cols}
+            data["cosine_e6"] = cos
+            yield pd.DataFrame(data)
+
+    return df.select(*keep_cols, qa_col, qb_col).mapInPandas(
+        part, out_schema)
+
+
+def _map_side_topk_candidates(df: DataFrame, id_col: str, vec_col: str,
+                              qlist, k: int,
+                              query_id_col: str = "query_id",
+                              label_col: Optional[str] = None,
+                              exclude_self: bool = True) -> DataFrame:
+    """Per-Arrow-batch top-k candidate rows (query_id, id, cosine_e6)
+    for every query in ``qlist`` against the quantized corpus ``df`` —
+    MAP-SIDE: the query set rides in the task closure (|Q| x dim longs,
+    kilobytes, the standard ANN probe shape), so the corpus is never
+    cross-joined, never shuffled, and crosses the Arrow boundary ONCE.
+
+    ``qlist`` entries are (query_id, qvec list[int], allowed_labels or
+    None); rows whose ``label_col`` is outside a query's allowed set
+    (IVF inverted lists, LSH sign buckets) are skipped for that query.
+
+    EXACTNESS: within each batch the kept rows are the top k by the
+    exact total order (cosine_e6 DESC, id ASC); any dropped row has
+    >= k batch-mates strictly ahead of it in that order, hence >= k
+    globally — so the caller's final row_number window over the emitted
+    candidates reproduces the exact global top-k.  Output size is
+    |batches| x |Q| x k rows: the only shuffle in the whole query is
+    this candidate frame (guide §8: decide with small rows).  Cosine is
+    the shared _np_cosine_e6 kernel — bit-identical to the SQL/JVM
+    micro-cosine contract and covered by numpy_kernel_canary."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as ST
+
+    qids = [q[0] for q in qlist]
+    qmats = [np.array(q[1], dtype=np.int64) for q in qlist]
+    qnbs = [int(sum(int(v) * int(v) for v in q[1])) for q in qlist]
+    qallowed = [q[2] for q in qlist]
+
+    # query ids come from the same id domain as corpus ids in every
+    # caller (the probe set is drawn from the corpus)
+    out_schema = ST.StructType([
+        ST.StructField(query_id_col, df.schema[id_col].dataType),
+        ST.StructField(id_col, df.schema[id_col].dataType),
+        ST.StructField("cosine_e6", ST.LongType())])
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf) or not qids:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.array(list(pdf[vec_col]), dtype=np.int64)
+            na = (X * X).sum(axis=1)
+            na_max = int(na.max(initial=0))
+            labels = pdf[label_col].to_numpy() if label_col else None
+            outs = []
+            for qi in range(len(qids)):
+                _check_isqrt_domain(na_max, qnbs[qi])
+                mask = np.ones(len(ids), dtype=bool)
+                if exclude_self:
+                    mask &= ids != qids[qi]
+                if qallowed[qi] is not None:
+                    mask &= np.isin(labels, list(qallowed[qi]))
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                dots = X[mask] @ qmats[qi]
+                cos = _np_cosine_e6(dots, na[mask] * qnbs[qi])
+                # total order (cosine DESC, id ASC); keep batch top-k
+                order = np.lexsort((sub_ids, -cos))[:k]
+                outs.append(pd.DataFrame({
+                    query_id_col: np.full(len(order), qids[qi],
+                                          dtype=sub_ids.dtype),
+                    id_col: sub_ids[order],
+                    "cosine_e6": cos[order]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(part, out_schema)
+
+
+def _ranked_topk(cand: DataFrame, k: int, id_col: str,
+                 query_id_col: str, cos_col: str = "cosine_e6",
+                 rank_col: str = "rank") -> DataFrame:
+    """Final exact top-k over a candidate frame: one window over
+    |batches| x |Q| x k rows."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(cos_col).desc(), F.col(id_col))
+    return (cand.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k)
+            .select(query_id_col, id_col, cos_col, rank_col))
+
+
+def _collect_queries(queries: DataFrame, query_id_col: str,
+                     query_vec_col: str):
+    """Driver-side list of (query_id, quantized vec ints) — the ANN
+    query/probe set is tiny by contract (it is broadcast in any shape),
+    so this is the same bounded driver interaction as a broadcast
+    build or the kmeans seed collect.  Quantization stays in the JVM
+    (V.quantize), keeping the float->int rounding on the proven
+    engine path."""
+    rows = (queries.select(F.col(query_id_col),
+                           V.quantize(F.col(query_vec_col)).alias("__qq"))
+            .collect())
+    return [(r[query_id_col], [int(v) for v in r["__qq"]]) for r in rows]
 
 
 def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -255,9 +493,11 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
     Scale shape (100 TB): the pairwise comparison is confined WITHIN
     clusters — the SemDeDup insight: choose k proportional to corpus
     size so cluster populations stay bounded, making the within-cluster
-    pair join quadratic only in cluster size.  The pair join is an
-    equi-join on cluster id (one corpus shuffle), never an all-pairs
-    cartesian; cosine is the integer-quantized deterministic form.
+    pair work quadratic only in cluster size.  The pair pass is ONE
+    grouped numpy kernel keyed on cluster id (one corpus shuffle,
+    pairs expand as an in-task matmul, never as rows), never an
+    all-pairs cartesian; cosine is the integer-quantized deterministic
+    form.
 
     Two enforcement levers (the doc alone used to be the only guard):
 
@@ -276,14 +516,10 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
     if k == "auto":
         import math
         k = max(8, math.ceil(emb.count() / max(target_cluster_size, 1)))
-    # the assignment feeds three consumers (pair-join left/right + the
-    # final flag join): checkpoint so the Lloyd chain runs once, not 3x.
-    # Squared norms are materialized per ROW inside the checkpoint —
-    # recomputing them per PAIR under the isqrt tree measured 3.5x on
-    # this query's within-cluster join at sf0.1 (BENCH r7 note).
+    # the assignment feeds two consumers (the within-cluster pair pass
+    # + the final flag join): checkpoint so the Lloyd chain runs once.
     a = (kmeans_assignments(emb, k, iters, id_col, vec_col,
                             keep_vec=True)
-         .withColumn("__nsq", V.norm_sq(F.col("__q")))
          .localCheckpoint())
     join_keys = ["cluster"]
     if max_cluster_size is not None:
@@ -296,23 +532,18 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
                                           F.col("__nsalt")).cast("int"))
              .drop("__n", "__nsalt"))
         join_keys = ["cluster", "__salt"]
-    left = a.select(*join_keys, F.col(id_col).alias("__a"),
-                    F.col("__q").alias("__qa"),
-                    F.col("__nsq").alias("__nsqa"))
-    right = a.select(*join_keys, F.col(id_col).alias("__b"),
-                     F.col("__q").alias("__qb"),
-                     F.col("__nsq").alias("__nsqb"))
     thr_e6 = int(round(threshold * 1_000_000))
-    # division-free threshold predicate, dot evaluated once per pair
-    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
-                                F.col("__nsqa"), F.col("__nsqb"),
-                                thr_e6)
-    dup_ids = (left.join(right, join_keys)
-               .filter(F.col("__b") < F.col("__a"))
-               .filter(hit)
-               .select(F.col("__a").alias(id_col))
-               .distinct()
-               .withColumn("__dup", F.lit(1)))
+    # within-cluster pair pass: ONE grouped numpy kernel per
+    # (cluster[, salt]) instead of the pair self-join — the join
+    # materialized |cluster|^2/2 pair rows each carrying two full
+    # vectors through an interpreted HOF dot; the kernel ships each
+    # cluster's vectors once and takes one int64 matmul (bit-identical
+    # hits: _grouped_pair_hits mirrors cosine_ge_threshold).  Each id
+    # is in exactly one group, so hits are already distinct.
+    dup_ids = (_grouped_pair_hits(
+        a.select(*join_keys, F.col(id_col), F.col("__q")),
+        join_keys, id_col, "__q", thr_e6, emit_pairs=False)
+        .withColumn("__dup", F.lit(1)))
     return (a.join(dup_ids, id_col, "left")
             .select(F.col(id_col), F.col("cluster"),
                     F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup")))
@@ -351,37 +582,41 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     identical to ranking against the centroid, and integer sums keep the
     probe selection bit-exact across engines (no float-average drift).
 
-    Scale shape: centroids are |labels| rows (tiny -> broadcast); the
-    corpus joins on its label only — each query scans ~nprobe/|labels| of
-    the data instead of all of it, and the join is shuffle-free on the
-    corpus side (broadcast probes)."""
-    emb_q = (emb.withColumn("__q", V.quantize(F.col(vec_col)))
-             .withColumn("__na", V.norm_sq(F.col("__q"))))
+    Scale shape: centroids are |labels| rows (tiny — collected like a
+    broadcast build, probes picked driver-side with the same exact
+    integer cosine); the corpus never joins at all — each query's
+    allowed-list check runs inside the map-side top-k kernel, scanning
+    ~nprobe/|labels| of the rows per query, and only per-batch top-k
+    candidates shuffle into the final rank window."""
+    emb_q = emb.select(F.col(id_col), F.col(label_col),
+                       V.quantize(F.col(vec_col)).alias("__q"))
     # dim-gated sum-vector shape (the dim lookup is a single first() on
     # the driver, like a broadcast-size decision)
     dim = emb.select(F.size(F.col(vec_col))).first()[0]
-    cent = _sum_vectors(emb_q.select(label_col, "__q"), [label_col],
-                        "__q", dim)
-    qs = (queries.withColumn("__qq", V.quantize(F.col(query_vec_col)))
-          .withColumn("__nq", V.norm_sq(F.col("__qq"))))
-    sim = V.quantized_cosine_e6(F.col("__qq"), F.col("csum"))
-    wp = Window.partitionBy(query_id_col).orderBy(
-        F.col("__sim").desc(), F.col(label_col))
-    probes = (qs.crossJoin(F.broadcast(cent))
-              .withColumn("__sim", sim)
-              .withColumn("__pr", F.row_number().over(wp))
-              .filter(F.col("__pr") <= nprobe)
-              .select(query_id_col, label_col, "__qq", "__nq"))
-    joined = emb_q.join(F.broadcast(probes), on=label_col) \
-        .filter(F.col(id_col) != F.col(query_id_col))
-    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
-                                   F.col("__na"), F.col("__nq"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_e6").desc(), F.col(id_col))
-    return (joined.withColumn("cosine_e6", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine_e6", "rank"))
+    # the coarse quantizer is |labels| rows by design (tiny — it was
+    # broadcast in every shape); collect it and pick each query's
+    # nprobe inverted lists DRIVER-SIDE with the exact python-int
+    # micro-cosine (identical integers: math.isqrt == the isqrt ladder
+    # in-domain, trunc division sign-split) — the probes crossJoin +
+    # row_number window disappear from the plan entirely.
+    cent = {r[label_col]: [int(v) for v in r["csum"]]
+            for r in _sum_vectors(emb_q.select(label_col, "__q"),
+                                  [label_col], "__q", dim).collect()}
+    cnorm = {lb: sum(v * v for v in cs) for lb, cs in cent.items()}
+    qrows = _collect_queries(queries, query_id_col, query_vec_col)
+    qlist = []
+    for qid, qv in qrows:
+        nq = sum(v * v for v in qv)
+        sims = sorted(
+            ((_py_cosine_e6(sum(a * b for a, b in zip(qv, cs)),
+                            nq, cnorm[lb]), lb)
+             for lb, cs in cent.items()),
+            key=lambda t: (-t[0], t[1]))
+        qlist.append((qid, qv, {lb for _, lb in sims[:nprobe]}))
+    cand = _map_side_topk_candidates(
+        emb_q, id_col, "__q", qlist, k, query_id_col=query_id_col,
+        label_col=label_col, exclude_self=True)
+    return _ranked_topk(cand, k, id_col, query_id_col)
 
 
 def _pq_codebook(sv: DataFrame, n_centroids: int, iters: int,
@@ -456,14 +691,17 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     sub = dim // m
     emb_q = emb.select(F.col(id_col), V.quantize(F.col(vec_col))
                        .alias("__q"))
-    qs_q = queries.select(F.col(query_id_col),
-                          V.quantize(F.col(query_vec_col)).alias("__qq"))
     # ONE corpus sort collects the lowest-k seed vectors for every
     # subspace; each codebook slices locally (was m sorts — measured on
     # the bench as the dominant fixed cost of the m=2 configuration)
     seed_full = [list(r["__q"]) for r in
                  emb_q.orderBy(id_col).limit(n_centroids).collect()]
-    code_frames, table_frames = [], []
+    # the ADC lookup tables are |Q| x m x n_centroids EXACT integers
+    # over driver-held inputs (the collected query set and the trained
+    # codebooks): compute them in python ints — same longs, no
+    # crossJoin + interpreted HOF dot in the plan (guide §4)
+    qrows = _collect_queries(queries, query_id_col, query_vec_col)
+    code_frames, table_rows = [], []
     for mi in range(m):
         lo = mi * sub + 1
         sv = emb_q.select(F.col(id_col),
@@ -471,10 +709,6 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
         cent = _pq_codebook(sv, n_centroids, iters, id_col,
                             seed_rows=[v[lo - 1:lo - 1 + sub]
                                        for v in seed_full])
-        spark = emb.sparkSession
-        cdf = spark.createDataFrame(
-            [(c, s, n) for c, s, n in cent],
-            "code int, csum array<long>, n long")
         # corpus encoding: map-side argmax, no crossJoin/window shuffle
         codes = (_map_side_cosine_argmax(
                      sv, id_col, "__sv", [s for _, s, _ in cent],
@@ -482,22 +716,17 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                  .select(F.col(id_col), F.lit(mi).alias("__m"),
                          F.col("code")))
         code_frames.append(codes)
-        qsub = F.slice("__qq", lo, sub)
-        d = F.aggregate(F.zip_with(qsub, F.col("csum"),
-                                   lambda x, y: x * y),
-                        F.lit(0).cast("long"), lambda acc, v: acc + v)
-        tval = V.trunc_div(d * F.lit(1_000_000).cast("long"),
-                           F.col("n"))
-        tables = (qs_q.crossJoin(F.broadcast(cdf))
-                  .select(F.col(query_id_col), F.lit(mi).alias("__m"),
-                          F.col("code"), tval.alias("__t")))
-        table_frames.append(tables)
+        for qid, qv in qrows:
+            qsub = qv[lo - 1:lo - 1 + sub]
+            for c, csum, n in cent:
+                num = sum(a * b for a, b in zip(qsub, csum)) * 1_000_000
+                t = -((-num) // n) if num < 0 else num // n  # trunc
+                table_rows.append((qid, mi, c, t))
     codes_all = code_frames[0]
     for cfr in code_frames[1:]:
         codes_all = codes_all.unionByName(cfr)
-    t_all = table_frames[0]
-    for tfr in table_frames[1:]:
-        t_all = t_all.unionByName(tfr)
+    t_all = emb.sparkSession.createDataFrame(
+        table_rows, f"{query_id_col} long, __m int, code int, __t long")
     scored = (codes_all.join(F.broadcast(t_all), ["__m", "code"])
               .groupBy(id_col, query_id_col)
               .agg(F.sum("__t").alias("adc_score"))
@@ -537,19 +766,15 @@ def pq_rerank_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                     vec_col=vec_col, query_id_col=query_id_col,
                     query_vec_col=query_vec_col) \
         .select(query_id_col, id_col)
-    emb_q = (emb.select(F.col(id_col),
-                        V.quantize(F.col(vec_col)).alias("__q"))
-             .withColumn("__na", V.norm_sq(F.col("__q"))))
-    qs_q = (queries.select(F.col(query_id_col),
-                           V.quantize(F.col(query_vec_col)).alias("__qq"))
-            .withColumn("__nb", V.norm_sq(F.col("__qq"))))
+    emb_q = emb.select(F.col(id_col),
+                       V.quantize(F.col(vec_col)).alias("__q"))
+    qs_q = queries.select(F.col(query_id_col),
+                          V.quantize(F.col(query_vec_col)).alias("__qq"))
     joined = (short.join(emb_q, id_col)
               .join(F.broadcast(qs_q), query_id_col))
-    cos = V.quantized_cosine_e6_nn(F.col("__q"), F.col("__qq"),
-                                   F.col("__na"), F.col("__nb"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_e6").desc(), F.col(id_col))
-    return (joined.withColumn("cosine_e6", cos)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine_e6", "rank"))
+    # exact re-rank of |Q| x k x factor shortlisted pairs: one Arrow
+    # pass through the shared numpy cosine (the HOF dot was the last
+    # interpreted expression in the ANN family)
+    scored = _pair_cosine_scores(joined, [query_id_col, id_col],
+                                 "__q", "__qq")
+    return _ranked_topk(scored, k, id_col, query_id_col)

@@ -14,10 +14,6 @@ import __spark_entry__ as entry
 SF = "/root/testdata/sf0.001"
 
 # the only queries allowed a nested-loop/cartesian stage, each declared:
-# - ann_topk_bruteforce: the documented exact all-pairs baseline
-# - ann_topk_ivf: probe->nearest-centroid assignment (N_queries x
-#   N_centroids, both tiny and broadcast); the corpus side is an
-#   equi-join on the inverted-list label
 # - q22_idle_customers: the scalar-subquery average joins as a
 #   broadcast 1-row cross join — linear in customer
 # - bm25_search: the 1-row (N, avgdl) corpus statistics broadcast as a
@@ -27,13 +23,6 @@ SF = "/root/testdata/sf0.001"
 #   corpus itself joins through a broadcast hash join on the stratum
 # - token_frequency_quality: the 1-row corpus-token-total broadcast as
 #   a scalar cross join — per-doc rows join counts via a hash join
-# - ann_topk_pq: corpus x n_centroids broadcast codebook per subspace
-#   (code assignment, linear in the corpus) and the tiny query x
-#   codebook ADC-table build; the scoring join itself is an equi-join
-#   on (subspace, code)
-# - ann_topk_pq_rerank: stage 1 is ann_topk_pq (same declared
-#   broadcasts); the stage-2 exact re-rank joins are equi-joins on
-#   vec_id / query_id
 # - source_divergence: the 1-row corpus-token-total broadcast as a
 #   scalar cross join — per-(source, token) rows join counts via hash
 #   joins keyed by token / source
@@ -42,15 +31,15 @@ SF = "/root/testdata/sf0.001"
 # - q11_important_parts: the 1-row nation-wide total broadcast as a
 #   scalar cross join against the per-part values (TPC-H Q11's HAVING
 #   over a scalar subquery) — linear in parts
-# (kmeans_topic_clusters and semantic_dedup_embeddings left this set in
-# round 9: the r8 map-side argmax removed their broadcast-centroid
-# cross joins, so the guardrail now covers them too)
-CARTESIAN_ALLOWED = {"ann_topk_bruteforce", "ann_topk_ivf",
-                     "q11_important_parts", "q22_idle_customers",
+# (kmeans/semantic_dedup left this set in round 9 — the r8 map-side
+# argmax removed their centroid cross joins; the ENTIRE ann_topk family
+# left in round 10 — queries/probes/ADC tables ride in the kernel task
+# closure or are computed driver-side, so no cross join remains and the
+# guardrail now covers all of them)
+CARTESIAN_ALLOWED = {"q11_important_parts", "q22_idle_customers",
                      "bm25_search",
                      "temperature_mixture_sample",
-                     "token_frequency_quality", "ann_topk_pq",
-                     "ann_topk_pq_rerank", "source_divergence",
+                     "token_frequency_quality", "source_divergence",
                      "iceberg_snapshot_drift"}
 
 
@@ -82,11 +71,33 @@ def test_no_undeclared_cartesian_products(spark, plans):
     assert offenders == [], f"undeclared cartesian in: {offenders}"
 
 
-def test_ivf_corpus_side_is_equi_join(spark, plans):
-    """The IVF cartesian must be confined to probes x centroids; the
-    corpus joins through a broadcast HASH join on the list label."""
+def test_ann_family_no_interpreted_hof_cosine(spark, plans):
+    """r10 moved every ANN cosine off the interpreted higher-order
+    `aggregate()` expressions onto the shared numpy kernel
+    (similarity._np_cosine_e6, canary-covered): queries/probes ride in
+    the map-side kernel closure, pair filters run as grouped matmuls,
+    PQ ADC tables are computed driver-side over exact ints.  Lock it:
+    no lowercase `aggregate(` HOF may reappear in any ANN plan (the
+    capitalized HashAggregate operator is unaffected), and the corpus
+    must cross through a Python kernel node, not a join."""
+    for name in ("ann_topk_bruteforce", "ann_topk_bucketed",
+                 "ann_topk_ivf", "ann_topk_pq", "ann_topk_pq_rerank",
+                 "semantic_dedup_embeddings"):
+        p = plans(name)
+        assert "aggregate(" not in p, name
+        assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p, name
+
+
+def test_ivf_corpus_never_joins(spark, plans):
+    """r10 IVF: probe selection is driver-side over the collected
+    |labels|-row coarse quantizer; the corpus feeds the map-side top-k
+    kernel directly — no corpus-side join of any kind remains, and the
+    only shuffle is the candidate rank window."""
     p = plans("ann_topk_ivf")
-    assert "BroadcastHashJoin [label" in p
+    assert "MapInPandas" in p
+    for bad in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, bad
 
 
 def test_dimension_joins_broadcast(spark, plans):
