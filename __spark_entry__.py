@@ -948,26 +948,35 @@ def iceberg_stream_read(spark, sf_dir):
     directory is tailed by the real file-stream source
     (streaming/source.py read_stream — schema from table metadata,
     pathGlobFilter keeps delete files out), drained with
-    trigger(availableNow=True) into a memory sink, and the materialized
-    micro-batches are the result frame.  Both snapshots' appends arrive
-    exactly once; the oracle is the full underlying relation.  The
-    batch-incremental half of the streaming surface is covered by
+    trigger(availableNow=True) into a PARQUET file sink, and the
+    committed sink output is the result frame.  Both snapshots' appends
+    arrive exactly once; the oracle is the full underlying relation.
+    The batch-incremental half of the streaming surface is covered by
     iceberg_incremental_scan; this row drives the actual readStream /
-    writeStream machinery."""
+    writeStream machinery.
+
+    The sink moved memory -> parquet in r10 (guide §5): the memory sink
+    COLLECTS every streamed row to the driver (the profiled breakdown:
+    addBatch 2.0 s of a 2.6 s trigger was the driver collect, and the
+    returned LocalTableScan costs another ~1 s per single-threaded
+    count) — a driver-OOM bomb at any real scale.  The file sink writes
+    executor-side in parallel and the read-back honors the sink's
+    _spark_metadata commit log, so only committed files are returned;
+    the temp dir is fresh per invocation (no cross-run reuse)."""
     import tempfile
-    import uuid
     cat = _fixtures(spark, sf_dir)
     t = cat.load_table("db.li_tt")
     from iceberg_go_spark.streaming.source import read_stream
-    name = "stream_li_" + uuid.uuid4().hex[:8]
     ck = tempfile.mkdtemp(prefix="ivb_stream_ck_")
+    out = tempfile.mkdtemp(prefix="ivb_stream_out_") + "/rows"
     q = (read_stream(spark, t)
          .select("l_orderkey", "l_linenumber", "l_quantity")
-         .writeStream.format("memory").queryName(name)
+         .writeStream.format("parquet")
+         .option("path", out)
          .option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
-    return spark.table(name)
+    return spark.read.parquet(out)
 
 
 ICE_STREAM_SQL = """
@@ -4730,13 +4739,16 @@ def _bpe_merges_sql(n_merges: int = 3) -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ordering = driver-gate rotation priority (recomputed each
-        # round from CORRECTNESS_r*.json): queries whose Spark/oracle
-        # code CHANGED this session first (kmeans diagnostics split +
-        # canaries + dedup bucket bounds + the new TPC-H shapes), then
-        # the ENTIRE r6-stale backlog (VERDICT r8 #4: drain so max
-        # staleness <= 2 rounds), then r7-checked, then the
-        # freshly-green r8 set.
+
+        # ordering = driver-gate rotation priority (first 50 entries;
+        # recomputed each round from CORRECTNESS_r*.json): everything
+        # whose Spark code or oracle CHANGED in round 10 first (the
+        # kmeans HUGEINT-cast fix + its probe family, the ANN numpy-
+        # kernel migration, the stream-read parquet sink, the word-gram
+        # hash), then the r9-touched-but-never-driver-verified set the
+        # r9 verdict front-loaded (#2), then the r8-stale backlog
+        # (last verified two rounds ago), then the freshly-green r9
+        # window.
         "duckdb_semantics_canary": duckdb_semantics_canary,
         "numpy_kernel_canary": numpy_kernel_canary,
         "env_version_canary": env_version_canary,
@@ -4745,117 +4757,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cosine_checksum": kmeans_cosine_checksum,
         "kmeans_cosine_checksum2": kmeans_cosine_checksum2,
         "kmeans_topic_clusters": kmeans_topic_clusters,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
-        "dedup_simhash_near": dedup_simhash_near,
-        "embedding_near_dup": embedding_near_dup,
-        "dedup_fingerprint": dedup_fingerprint,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_priority_mix": q12_late_priority_mix,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_dominant_suppliers": q20_dominant_suppliers,
-        "iceberg_stream_read": iceberg_stream_read,
-        "bpe_encoded_lengths": bpe_encoded_lengths,
-        "dsir_resample_top": dsir_resample_top,
-        "token_budget_mix": token_budget_mix,
-        "decontaminate_spans": decontaminate_spans,
-        # --- r6-stale backlog ---
-        "hypertable_rollup": hypertable_rollup,
-        "iceberg_branch_scan": iceberg_branch_scan,
-        "iceberg_compacted_scan": iceberg_compacted_scan,
-        "iceberg_defaults_scan": iceberg_defaults_scan,
-        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
-        "iceberg_merge_scan": iceberg_merge_scan,
-        "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
-        "iceberg_partition_stats": iceberg_partition_stats,
-        "iceberg_rest_scan": iceberg_rest_scan,
-        "iceberg_snapshot_log": iceberg_snapshot_log,
-        "iceberg_sorted_scan": iceberg_sorted_scan,
-        "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
-        "iceberg_upsert_scan": iceberg_upsert_scan,
-        "iceberg_view_query": iceberg_view_query,
-        "label_centroids": label_centroids,
-        "lang_histogram": lang_histogram,
-        "leakage_safe_split_stats": leakage_safe_split_stats,
-        "length_quantiles_by_source": length_quantiles_by_source,
-        "multimodal_feature_vectors": multimodal_feature_vectors,
-        "multimodal_features": multimodal_features,
-        "source_contribution_caps": source_contribution_caps,
-        "temperature_mixture_sample": temperature_mixture_sample,
-        "transforms_bucket": transforms_bucket,
-        "transforms_datetime": transforms_datetime,
-        "variant_prune_scan": variant_prune_scan,
-        "variant_shred": variant_shred,
-        # --- latest row r7 ---
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_bucketed": ann_topk_bucketed,
-        "asof_join_events": asof_join_events,
-        "bigram_predictability": bigram_predictability_scores,
-        "bm25_search": bm25_search,
-        "boilerplate_ngram_flags": boilerplate_ngram_flags,
-        "c4_quality_filter": c4_quality_filter,
-        "contrastive_negative_pairs": contrastive_negative_pairs,
-        "decontaminate_docs": decontaminate_docs,
-        "duplicate_span_stats": duplicate_span_stats,
-        "event_funnel": event_funnel,
-        "events_hourly": events_hourly,
-        "events_resampled_dense": events_resampled_dense,
-        "iceberg_bucket_scan": iceberg_bucket_scan,
-        "iceberg_incremental_scan": iceberg_incremental_scan,
-        "iceberg_scan_filter_project": iceberg_scan_filter_project,
-        "iceberg_snapshot_drift": iceberg_snapshot_drift,
-        "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_zorder_scan": iceberg_zorder_scan,
-        "jaccard_verified_dups": jaccard_verified_dups,
-        "mixture_sample_by_source": mixture_sample_by_source,
-        "moving_avg_value": moving_avg_value,
-        "multimodal_pack": multimodal_pack,
-        "multimodal_resize": multimodal_resize,
-        "ngram_diversity_profile": ngram_diversity_profile,
-        "ngram_jaccard_dups": ngram_jaccard_dups,
-        "ngram_novelty_scores": ngram_novelty_scores,
-        "pack_sequences": pack_sequences_q,
-        "pii_scrub": pii_scrub,
-        "props_json_stats": props_json_stats,
-        "repetition_metrics": repetition_metrics,
-        "soft_dedup_weights": soft_dedup_weights,
-        "source_divergence": source_divergence,
-        "strip_duplicate_spans": strip_duplicate_spans,
-        "text_stats": text_stats,
-        "token_frequency_quality": token_frequency_quality,
-        "token_rarity_scores": token_rarity_scores,
-        "token_summary_by_lang": token_summary_by_lang,
-        "training_pipeline_sample": training_pipeline_sample,
-        "winnow_near_dups": winnow_near_dups,
-        # --- freshly green in r8 ---
         "ann_topk_ivf": ann_topk_ivf,
         "ann_topk_pq": ann_topk_pq,
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
-        "bpe_merge_table": bpe_merge_table,
-        "bpe_top_pairs": bpe_top_pairs,
-        "context_window_chunks": context_window_chunks,
-        "dedup_clusters": dedup_clusters,
-        "dedup_exact": dedup_exact,
-        "dedup_keep_best": dedup_keep_best,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_paragraphs_clean": dedup_paragraphs_clean,
-        "dedup_simhash": dedup_simhash,
-        "distinctive_terms_by_lang": distinctive_terms_by_lang,
-        "doc_fingerprints": doc_fingerprints,
-        "iceberg_changelog_scan": iceberg_changelog_scan,
-        "iceberg_encrypted_scan": iceberg_encrypted_scan,
-        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "embedding_near_dup": embedding_near_dup,
+        "iceberg_stream_read": iceberg_stream_read,
+        "jaccard_verified_dups": jaccard_verified_dups,
+        "ngram_jaccard_dups": ngram_jaccard_dups,
         "minhash_lsh_recall": minhash_lsh_recall,
-        "q10_returned_items": q10_returned_items,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q1_pricing_summary": q1_pricing_summary,
+        "dedup_clusters": dedup_clusters,
+        # --- r9-touched but never driver-verified (VERDICT r9 #2) ---
         "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_idle_customers": q22_idle_customers,
+        "winnow_near_dups": winnow_near_dups,
+        "event_funnel": event_funnel,
+        "source_divergence": source_divergence,
+        # --- r8-stale backlog (rotated out of the r9 window) ---
+        "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q4_order_priority": q4_order_priority,
         "q5_regional_revenue": q5_regional_revenue,
@@ -4863,15 +4783,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "dedup_exact": dedup_exact,
+        "dedup_keep_best": dedup_keep_best,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_paragraphs_clean": dedup_paragraphs_clean,
+        "dedup_simhash": dedup_simhash,
+        "doc_fingerprints": doc_fingerprints,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
+        "iceberg_encrypted_scan": iceberg_encrypted_scan,
+        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
         "range_join_acctbal": range_join_acctbal,
+        # --- beyond the 50-entry gate window: verified green in r9 ---
+        "asof_join_events": asof_join_events,
+        "bigram_predictability": bigram_predictability_scores,
+        "bm25_search": bm25_search,
+        "boilerplate_ngram_flags": boilerplate_ngram_flags,
+        "bpe_encoded_lengths": bpe_encoded_lengths,
+        "bpe_merge_table": bpe_merge_table,
+        "bpe_top_pairs": bpe_top_pairs,
+        "c4_quality_filter": c4_quality_filter,
+        "context_window_chunks": context_window_chunks,
+        "contrastive_negative_pairs": contrastive_negative_pairs,
+        "decontaminate_docs": decontaminate_docs,
+        "decontaminate_spans": decontaminate_spans,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_simhash_near": dedup_simhash_near,
+        "distinctive_terms_by_lang": distinctive_terms_by_lang,
+        "dsir_resample_top": dsir_resample_top,
+        "duplicate_span_stats": duplicate_span_stats,
+        "events_hourly": events_hourly,
+        "events_resampled_dense": events_resampled_dense,
+        "hypertable_rollup": hypertable_rollup,
+        "iceberg_branch_scan": iceberg_branch_scan,
+        "iceberg_bucket_scan": iceberg_bucket_scan,
+        "iceberg_compacted_scan": iceberg_compacted_scan,
+        "iceberg_defaults_scan": iceberg_defaults_scan,
+        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
+        "iceberg_incremental_scan": iceberg_incremental_scan,
+        "iceberg_merge_scan": iceberg_merge_scan,
+        "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
+        "iceberg_partition_stats": iceberg_partition_stats,
+        "iceberg_rest_scan": iceberg_rest_scan,
+        "iceberg_scan_filter_project": iceberg_scan_filter_project,
+        "iceberg_snapshot_drift": iceberg_snapshot_drift,
+        "iceberg_snapshot_log": iceberg_snapshot_log,
+        "iceberg_sorted_scan": iceberg_sorted_scan,
+        "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
+        "iceberg_time_travel": iceberg_time_travel,
+        "iceberg_upsert_scan": iceberg_upsert_scan,
+        "iceberg_view_query": iceberg_view_query,
+        "iceberg_zorder_scan": iceberg_zorder_scan,
+        "label_centroids": label_centroids,
+        "lang_histogram": lang_histogram,
+        "leakage_safe_split_stats": leakage_safe_split_stats,
+        "length_quantiles_by_source": length_quantiles_by_source,
+        "mixture_sample_by_source": mixture_sample_by_source,
+        "moving_avg_value": moving_avg_value,
+        "multimodal_feature_vectors": multimodal_feature_vectors,
+        "multimodal_features": multimodal_features,
+        "multimodal_pack": multimodal_pack,
+        "multimodal_resize": multimodal_resize,
+        "ngram_diversity_profile": ngram_diversity_profile,
+        "ngram_novelty_scores": ngram_novelty_scores,
+        "pack_sequences": pack_sequences_q,
+        "pii_scrub": pii_scrub,
+        "props_json_stats": props_json_stats,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority_mix": q12_late_priority_mix,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_suppliers": q20_dominant_suppliers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "repetition_metrics": repetition_metrics,
         "rollup_pricing": rollup_pricing,
         "running_revenue": running_revenue,
         "sessionization": sessionization,
         "set_ops_customers": set_ops_customers,
         "shuffle_shards_export": shuffle_shards_export,
+        "soft_dedup_weights": soft_dedup_weights,
+        "source_contribution_caps": source_contribution_caps,
         "stratified_sample_by_lang": stratified_sample_by_lang,
+        "strip_duplicate_spans": strip_duplicate_spans,
+        "temperature_mixture_sample": temperature_mixture_sample,
+        "text_stats": text_stats,
+        "token_budget_mix": token_budget_mix,
+        "token_frequency_quality": token_frequency_quality,
+        "token_rarity_scores": token_rarity_scores,
+        "token_summary_by_lang": token_summary_by_lang,
         "top_customers_per_nation": top_customers_per_nation,
+        "training_pipeline_sample": training_pipeline_sample,
+        "transforms_bucket": transforms_bucket,
+        "transforms_datetime": transforms_datetime,
         "user_retention_cohorts": user_retention_cohorts,
+        "variant_prune_scan": variant_prune_scan,
+        "variant_shred": variant_shred,
     }
 
 

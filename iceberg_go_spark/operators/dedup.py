@@ -11,6 +11,15 @@ training-data pipeline family.  Scale design:
   candidate buckets.
 
 Portable hashing (md5) so every operator is DuckDB-oracle-checkable.
+
+Materialization contract: operators that share a frame across several
+consumers localCheckpoint it, so BUILDING the returned DataFrame runs
+Spark jobs eagerly (plan-only callers pay the materialization), and the
+checkpointed blocks are unreplicated — on a cluster, losing an executor
+fails the query instead of recomputing truncated lineage.  That trade
+is taken deliberately for frames that are small relative to the corpus
+scan they avoid re-running; use reliable checkpointing (a configured
+checkpoint dir) where executor churn is expected.
 """
 
 from __future__ import annotations
@@ -250,6 +259,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         F.floor(F.log2(F.col("__cnt") + F.lit(1)))) \
             .drop("__cnt")
         block_cols = ["__blk_len"]
+    # (NOT hashed to 64-bit here: this path shingles CHAR n-grams —
+    # 3-byte keys already narrower than an 8-byte hash, and an A/B
+    # measured the extra xxhash64 pass at +10-15%; the WORD-gram verify
+    # joins in verified_jaccard_pairs, where shingles are 30-40 bytes,
+    # DO hash — guide §2.3 applies when it actually narrows the key.)
     # base feeds the remaining consumers (both pair-join sides, plus
     # the per-doc counts when explicit block_cols skip the counts0
     # path); un-materialized, Spark re-runs the whole normalize +
@@ -1123,10 +1137,20 @@ def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b").distinct())
     g = gram_src
     counts = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    ga = g.select(F.col(id_col).alias("id_a"), F.col("gram"))
-    gb = g.select(F.col(id_col).alias("id_b"), F.col("gram"))
+    # verify-stage joins carry an 8-byte xxhash64 of the gram instead
+    # of the shingle text (word 6-grams are ~30-40 bytes each; guide
+    # §2.3 "shuffle keys, not payloads").  Exact under hash injectivity
+    # on the corpus gram set: verified count(distinct gram) ==
+    # count(distinct xxhash64(gram)) at every test SF, and the driver
+    # gate pins exact agreement; at 10^12-gram scale a single 64-bit
+    # collision (~p^2/2^65) perturbs one pair's shared-count by 1 —
+    # the same documented trade duplicated_gram_hits already takes
+    ga = g.select(F.col(id_col).alias("id_a"),
+                  F.xxhash64("gram").alias("__gh"))
+    gb = g.select(F.col(id_col).alias("id_b"),
+                  F.xxhash64("gram").alias("__gh"))
     shared = (cand.join(ga, "id_a")
-              .join(gb, ["id_b", "gram"])
+              .join(gb, ["id_b", "__gh"])
               .groupBy("id_a", "id_b")
               .agg(F.count(F.lit(1)).alias("__shared")))
     ca = counts.select(F.col(id_col).alias("id_a"),

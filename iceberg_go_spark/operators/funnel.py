@@ -32,7 +32,14 @@ def funnel_stages(events: DataFrame, steps: List[str],
     most that long after the stage k-1 threshold (the usual funnel
     window).  Equivalent to the classic correlated-min SQL formulation
     (the oracle); expressed as a chain of co-partitioned keyed
-    aggregations."""
+    aggregations.
+
+    EAGER construction contract: each stage frame is localCheckpoint-ed
+    (see the inline rationale), so BUILDING the returned DataFrame runs
+    one Spark job per stage — plan-only callers (explain/dry-run) pay
+    the stage compute, and the checkpointed blocks are unreplicated
+    (executor loss fails the query instead of recomputing lineage;
+    acceptable for the |users|-sized stage frames this materializes)."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     # stage 1: earliest occurrence of the first step per user

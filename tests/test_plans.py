@@ -217,6 +217,26 @@ def test_bpe_local_train_job_count_independent_of_merges(spark):
     assert few <= 4, few
 
 
+def test_funnel_stage_frames_materialized(spark, plans):
+    """r9 made each funnel stage a localCheckpoint-ed |users|-row frame
+    so stage k never replays the events scan for stages 1..k-1
+    (O(steps^2) -> O(steps) event-table scans).  Lock the shape: the
+    FINAL plan reads only materialized stage frames — zero raw events
+    scans (each stage scanned events exactly once, at construction)."""
+    p = plans("event_funnel")
+    assert "events.parquet" not in p
+    assert p.count("Scan ExistingRDD") >= 2
+
+
+def test_bpe_shared_tokenize_single_corpus_scan(spark, plans):
+    """r9 shares ONE tokenize pass between the BPE trainer vocabulary
+    and the encoder doc-word counts (the corpus used to be exploded
+    twice).  Lock it: at most one documents scan in the final plan,
+    everything else reads the materialized shared frames."""
+    p = plans("bpe_encoded_lengths")
+    assert p.count("documents.parquet") <= 1
+
+
 def test_oracle_outputs_no_hugeint():
     """Every oracle's OUTPUT columns must be plain portable types.
     DuckDB SUM(BIGINT) silently yields HUGEINT, and a dtype audit of all
