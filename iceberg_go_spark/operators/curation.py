@@ -43,6 +43,30 @@ def _words(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), F.explode(arr).alias("__w"))
 
 
+def _adjacent_pairs(df: DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+    """(id, __w, __w2) — one row per adjacent word pair, derived by
+    zipping the token array with itself shifted one (slice + arrays_zip)
+    and exploding.  Replaces the (doc, pos) adjacency SELF-JOIN shape:
+    that join shuffled every token row twice (two exchanges keyed on
+    (id, pos)) and duplicated the tokenize lineage per side — the zip is
+    one narrow per-document O(len) expression, no shuffle at all (guide
+    §2.4).  Pair multiset per document is identical: positions index the
+    empty-filtered token sequence, docs under two tokens contribute
+    nothing (filtered BEFORE the slice — a negative slice length
+    raises)."""
+    arr = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = rebalance_for_amplification(df).select(
+        F.col(id_col), arr.alias("__ws"))
+    pairs = F.arrays_zip(
+        F.slice("__ws", 1, F.size("__ws") - 1).alias("__w"),
+        F.slice("__ws", 2, F.size("__ws") - 1).alias("__w2"))
+    return (base.filter(F.size("__ws") >= 2)
+            .select(F.col(id_col), F.explode(pairs).alias("__pr"))
+            .select(F.col(id_col), F.col("__pr.__w").alias("__w"),
+                    F.col("__pr.__w2").alias("__w2")))
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Per-document repetition signals (the word-level analogues of the
@@ -57,21 +81,17 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
 
     High values on any of these mark boilerplate/spam for removal before
     training."""
-    words = _words(rebalance_for_amplification(df), text_col, id_col,
-                   with_pos=True)
+    words = _words(rebalance_for_amplification(df), text_col, id_col)
     wc = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
     word_agg = wc.groupBy(id_col).agg(
         F.sum("__n").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct_words"),
         F.max("__n").alias("__top_w"))
 
-    # bigram at position p = word[p] + ' ' + word[p+1]: a self-join on
-    # adjacent positions keyed by (doc, pos) — co-partitioned, no skew
-    nxt = words.select(F.col(id_col), (F.col("__p") - 1).alias("__p"),
-                       F.col("__w").alias("__w2"))
-    bigrams = (words.join(nxt, [id_col, "__p"])
-               .select(F.col(id_col),
-                       F.concat_ws(" ", "__w", "__w2").alias("__bg")))
+    # adjacent word pairs via array zip — no (doc, pos) self-join, no
+    # token-scale shuffle (see _adjacent_pairs)
+    bigrams = _adjacent_pairs(df, text_col, id_col).select(
+        F.col(id_col), F.concat_ws(" ", "__w", "__w2").alias("__bg"))
     bc = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__n"))
     bg_agg = bc.groupBy(id_col).agg(F.sum("__n").alias("__n_bg"),
                                     F.max("__n").alias("__top_bg"))
@@ -797,18 +817,16 @@ def bigram_predictability(df: DataFrame, text_col: str = "text",
     more trunc division (ratio_e6_dec: the sum can reach n_bigrams*1e6,
     decimal-widened) — no float anywhere.
 
-    Scale shape (100 TB): the (doc, pos) adjacency self-join is
-    co-partitioned on (doc, pos) like repetition_metrics; bigram and
-    prefix counts are map-side-combinable aggregations whose outputs
-    are vocabulary-sized; the count join back is keyed by bigram (Zipf
+    Scale shape (100 TB): adjacent pairs come from one narrow array-zip
+    pass (_adjacent_pairs — the old (doc, pos) adjacency self-join
+    shuffled every token row twice and re-ran the tokenize per side;
+    the before-plan carried 7 corpus scans / 32 Exchanges from the
+    duplicated lineage); bigram and prefix counts are
+    map-side-combinable aggregations whose outputs are
+    vocabulary-sized; the count join back is keyed by bigram (Zipf
     head is a single hot key, AQE-splittable); the final rollup shares
     the doc partitioning.  No window over the corpus, no collect."""
-    words = _words(rebalance_for_amplification(df), text_col, id_col,
-                   with_pos=True)
-    nxt = words.select(F.col(id_col), (F.col("__p") - 1).alias("__p"),
-                       F.col("__w").alias("__w2"))
-    bigrams = (words.join(nxt, [id_col, "__p"])
-               .select(F.col(id_col), F.col("__w"), F.col("__w2")))
+    bigrams = _adjacent_pairs(df, text_col, id_col)
     bg_counts = (bigrams.groupBy("__w", "__w2")
                  .agg(F.count(F.lit(1)).alias("__cbg")))
     # prefix count = total bigram occurrences starting with w1 (sums the

@@ -456,8 +456,10 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
     # rankings; rescale centroids between iterations at that density)
     emb_q = emb.select(F.col(id_col),
                        V.quantize(F.col(vec_col)).alias("__q"))
-    dim = emb.select(F.size(F.col(vec_col))).first()[0]
     seeds = emb_q.orderBy(id_col).limit(k).collect()
+    # dim rides on the collected seed rows — a separate first() lookup
+    # was one more driver job per invocation (fixed scheduling cost)
+    dim = len(seeds[0]["__q"]) if seeds else 0
     cent = [(i, [int(v) for v in r["__q"]]) for i, r in enumerate(seeds)]
 
     def assign(cent_rows) -> DataFrame:
@@ -590,9 +592,12 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     candidates shuffle into the final rank window."""
     emb_q = emb.select(F.col(id_col), F.col(label_col),
                        V.quantize(F.col(vec_col)).alias("__q"))
-    # dim-gated sum-vector shape (the dim lookup is a single first() on
-    # the driver, like a broadcast-size decision)
-    dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    # dim-gated sum-vector shape; dim rides on the collected query rows
+    # (queries are drawn from the corpus) instead of a separate first()
+    # driver job per invocation
+    qrows = _collect_queries(queries, query_id_col, query_vec_col)
+    dim = len(qrows[0][1]) if qrows else \
+        (emb.select(F.size(F.col(vec_col))).first() or [0])[0]
     # the coarse quantizer is |labels| rows by design (tiny — it was
     # broadcast in every shape); collect it and pick each query's
     # nprobe inverted lists DRIVER-SIDE with the exact python-int
@@ -603,7 +608,6 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             for r in _sum_vectors(emb_q.select(label_col, "__q"),
                                   [label_col], "__q", dim).collect()}
     cnorm = {lb: sum(v * v for v in cs) for lb, cs in cent.items()}
-    qrows = _collect_queries(queries, query_id_col, query_vec_col)
     qlist = []
     for qid, qv in qrows:
         nq = sum(v * v for v in qv)
@@ -685,17 +689,20 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     encoding.  This is the standard memory/IO shape that makes
     billion-vector ANN fit a cluster: 8 bytes of codes instead of
     dim x 4 bytes per vector."""
-    dim = emb.select(F.size(F.col(vec_col))).first()[0]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
     emb_q = emb.select(F.col(id_col), V.quantize(F.col(vec_col))
                        .alias("__q"))
     # ONE corpus sort collects the lowest-k seed vectors for every
     # subspace; each codebook slices locally (was m sorts — measured on
-    # the bench as the dominant fixed cost of the m=2 configuration)
+    # the bench as the dominant fixed cost of the m=2 configuration).
+    # dim rides on the seed rows — a separate first() lookup was one
+    # more driver job per invocation.
     seed_full = [list(r["__q"]) for r in
                  emb_q.orderBy(id_col).limit(n_centroids).collect()]
+    dim = len(seed_full[0]) if seed_full else \
+        (emb.select(F.size(F.col(vec_col))).first() or [0])[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
     # the ADC lookup tables are |Q| x m x n_centroids EXACT integers
     # over driver-held inputs (the collected query set and the trained
     # codebooks): compute them in python ints — same longs, no
