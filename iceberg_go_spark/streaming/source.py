@@ -178,7 +178,13 @@ def sessionize_stream(stream_df: DataFrame, gap_minutes: int = 30,
     with no activity (ProcessingTimeTimeout): a closed session's state
     can never change the next session id, so eviction is lossless
     modulo the counter restarting at 1 — without it state grows with
-    every user ever seen and an unbounded stream OOMs the state store."""
+    every user ever seen and an unbounded stream OOMs the state store.
+
+    availableNow caveat: pending processing-time timeouts keep the
+    drain alive with no-data cleanup batches until they expire (2x the
+    gap of wall clock) — bounded backfills should
+    ``q.processAllAvailable(); q.stop()`` instead of awaiting
+    termination."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_s = gap_minutes * 60

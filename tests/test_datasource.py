@@ -21,8 +21,13 @@ def wh(spark, tmp_path_factory, sf_dir):
     cat = FilesystemCatalog(root)
     li = read_table(spark, "lineitem", sf_dir)
     schema = Schema.from_spark(li.schema)
+    # YEAR partitioning: the month spec made 82 one-small-file scan
+    # tasks, and the Python-datasource per-task worker overhead made
+    # every action in this module ~10s (four tests totalled 2+ min of
+    # suite time); 8 year files exercise the same pruning/delete/
+    # projection semantics
     t = cat.create_table("db.li", schema,
-                         spec_from_names(schema, ("l_shipdate", "month")))
+                         spec_from_names(schema, ("l_shipdate", "year")))
     t.append(li)
     t = cat.load_table("db.li")
     t.delete_where(spark, E.eq("l_linenumber", 1), mode="merge-on-read")
@@ -67,7 +72,7 @@ def test_filters_and_projection(spark, wh):
 
 def test_pushed_filter_prunes_files(spark, wh):
     """EqualTo/GreaterThan reach the planner: fewer input partitions
-    than the unfiltered scan (month-partitioned fixture)."""
+    than the unfiltered scan (year-partitioned fixture)."""
     root, _cat, _li = wh
 
     def n_parts(df):

@@ -222,21 +222,36 @@ def test_streaming_stateful_sessionization(spark, sf_dir, tmp_path):
     t = cat.create_table("db.sess", Schema.from_spark(ev.schema))
     t.append(ev)
 
+    exp = {r.user_id: r.n_sessions
+           for r in sessionize_batch(ev, gap_minutes=30)
+           .groupBy("user_id")
+           .agg(F.max("session_seq").alias("n_sessions")).collect()}
     stream = read_stream(spark, t)
     sess = sessionize_stream(stream, gap_minutes=30)
     q = (sess.writeStream.format("memory").queryName("sessions")
          .outputMode("update").trigger(availableNow=True)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .start())
-    q.awaitTermination(120)
+    # drain the data batch, then STOP: with ProcessingTimeTimeout the
+    # availableNow trigger keeps the drain alive with no-data cleanup
+    # batches until the 2x-gap state timeouts expire (an hour of wall
+    # clock) — awaitTermination/processAllAvailable both block on that
+    # loop; this test asserts the DATA semantics, so poll the sink for
+    # completeness instead (the old awaitTermination(120) burned its
+    # full timeout every run and leaked an active query into the suite)
+    import time as _time
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        n_users = spark.sql(
+            "SELECT count(DISTINCT user_id) FROM sessions").first()[0]
+        if n_users == len(exp):
+            break
+        _time.sleep(0.5)
+    q.stop()
     got = {r.user_id: r.session_seq
            for r in spark.sql(
                "SELECT user_id, max(session_seq) AS session_seq "
                "FROM sessions GROUP BY user_id").collect()}
-    exp = {r.user_id: r.n_sessions
-           for r in sessionize_batch(ev, gap_minutes=30)
-           .groupBy("user_id")
-           .agg(F.max("session_seq").alias("n_sessions")).collect()}
     assert got == exp and got
 
 
