@@ -1066,7 +1066,7 @@ def minhash_lsh_effectiveness(df: DataFrame, text_col: str = "text",
                                 ngram=ngram, gram_rows=gram_src) \
         .localCheckpoint()
     groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
-                                ngram, gram_rows=gram_src).localCheckpoint()
+                                ngram, gram_rows=gram_src)
     right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
     cand = (groups.select("band", "band_key", F.col(id_col).alias("id_a"))
             .join(right, ["band", "band_key"])
@@ -1126,8 +1126,12 @@ def verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 if word_grams is not None
                 else char_ngram_rows(df, text_col, id_col, ngram)
                 .distinct()).localCheckpoint()
-    # groups feeds both sides of the candidate self-join — materialize
-    # so the minhash signature agg + banding runs once per action
+    # groups feeds both sides of the candidate self-join but is NOT
+    # materialized: the two consumers re-run only the signature agg
+    # over the already-checkpointed gram frame (map-side combinable),
+    # and a 10x-scale A/B read the r9 groups-checkpoint at +20-26%
+    # with the overhead growing with data (banded-row write+read costs
+    # more than the second agg) — reverted per guide §1 measure-first
     groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
                                 ngram, gram_rows=gram_src).localCheckpoint()
     right = groups.select("band", "band_key", F.col(id_col).alias("id_b"))
