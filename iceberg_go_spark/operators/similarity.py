@@ -277,17 +277,36 @@ def _grouped_pair_hits(base: DataFrame, group_keys, id_col: str,
         na = (Q * Q).sum(axis=1)
         na_max = int(na.max(initial=0))
         _check_isqrt_domain(na_max, na_max)
-        dots = Q @ Q.T
-        p = na[:, None] * na[None, :]
-        s = _np_isqrt(p)
-        hit = (s > 0) & (dots * 1_000_000 >= int(thr_e6) * s)
+        # The domain check bounds na_max < 2^31, so every partial sum of
+        # a dot product is an integer below sqrt(na_i*na_j) < 2^53 in
+        # magnitude (Cauchy-Schwarz on the |a_i||b_i| vectors) — a
+        # float64 BLAS matmul is therefore EXACT regardless of
+        # accumulation order, and ~4x the int64 matmul (which numpy
+        # routes around BLAS).
+        Qf = Q.astype(np.float64)
+        dots = (Qf @ Qf.T).astype(np.int64)
+        # Conservative float prescreen so the exact isqrt ladder runs
+        # only on candidate pairs: s = floor(sqrt(p)) satisfies
+        # s >= sqrt(p) - 1 >= sf*(1-1e-12) - 16 for sf = float sqrt of
+        # the float norm product (rel. error ~1e-15 on values < 2^62,
+        # i.e. sqrt < 2^31, so the absolute slack of the relative terms
+        # is < 2^31 * 1e-11 + RHS rounding < 15).  Any pair passing the
+        # exact test passes the prescreen; survivors are re-checked
+        # exactly, so hits are bit-identical to the full-matrix ladder.
+        naf = na.astype(np.float64)
+        sf = np.sqrt(naf[:, None] * naf[None, :])
+        cand = dots * 1e6 >= int(thr_e6) * (sf * (1 - 1e-12) - 16.0)
         # ids sorted asc -> strict lower triangle is "partner has a
         # lower id"
-        lower = np.tril(hit, k=-1)
+        ii, jj = np.nonzero(np.tril(cand, k=-1))    # jj < ii, id asc
+        p = na[ii] * na[jj]
+        s = _np_isqrt(p)
+        dd = dots[ii, jj]
+        hit = (s > 0) & (dd * 1_000_000 >= int(thr_e6) * s)
+        ii, jj = ii[hit], jj[hit]
         if not emit_pairs:
-            return pd.DataFrame({id_col: ids[lower.any(axis=1)]})
-        ii, jj = np.nonzero(lower)          # jj < ii, id asc
-        cos = _np_cosine_e6(dots[ii, jj], p[ii, jj])
+            return pd.DataFrame({id_col: ids[np.unique(ii)]})
+        cos = _np_cosine_e6(dd[hit], p[hit])
         return pd.DataFrame({"id_a": ids[jj], "id_b": ids[ii],
                              "cosine_e6": cos})
 
@@ -495,11 +514,16 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
     Scale shape (100 TB): the pairwise comparison is confined WITHIN
     clusters — the SemDeDup insight: choose k proportional to corpus
     size so cluster populations stay bounded, making the within-cluster
-    pair work quadratic only in cluster size.  The pair pass is ONE
-    grouped numpy kernel keyed on cluster id (one corpus shuffle,
-    pairs expand as an in-task matmul, never as rows), never an
-    all-pairs cartesian; cosine is the integer-quantized deterministic
-    form.
+    pair work quadratic only in cluster size.  The pair pass is the
+    cluster-keyed equi-JOIN through the compiled threshold predicate,
+    deliberately NOT the grouped numpy matmul kernel used by
+    embedding_near_dup: with few large clusters the join streams pairs
+    through codegen and AQE skew-split distributes each cluster's pair
+    expansion across tasks, while a per-cluster Python group is one
+    unsplittable task that materializes O(|cluster|^2) matrices
+    (measured at 10x sf0.1, k=8, ~2500/cluster: join pair pass ~0.3 s
+    vs kernel ~2.5 s and growing quadratically in memory).  The kernel
+    wins in the opposite regime — many small groups (sign buckets).
 
     Two enforcement levers (the doc alone used to be the only guard):
 
@@ -518,10 +542,14 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
     if k == "auto":
         import math
         k = max(8, math.ceil(emb.count() / max(target_cluster_size, 1)))
-    # the assignment feeds two consumers (the within-cluster pair pass
-    # + the final flag join): checkpoint so the Lloyd chain runs once.
+    # the assignment feeds three consumers (pair-join left/right + the
+    # final flag join): checkpoint so the Lloyd chain runs once, not 3x.
+    # Squared norms are materialized per ROW inside the checkpoint —
+    # recomputing them per PAIR under the isqrt tree measured 3.5x on
+    # this query's within-cluster join at sf0.1 (BENCH r7 note).
     a = (kmeans_assignments(emb, k, iters, id_col, vec_col,
                             keep_vec=True)
+         .withColumn("__nsq", V.norm_sq(F.col("__q")))
          .localCheckpoint())
     join_keys = ["cluster"]
     if max_cluster_size is not None:
@@ -534,18 +562,23 @@ def semantic_dedup(emb: DataFrame, k=8, iters: int = 2,
                                           F.col("__nsalt")).cast("int"))
              .drop("__n", "__nsalt"))
         join_keys = ["cluster", "__salt"]
+    left = a.select(*join_keys, F.col(id_col).alias("__a"),
+                    F.col("__q").alias("__qa"),
+                    F.col("__nsq").alias("__nsqa"))
+    right = a.select(*join_keys, F.col(id_col).alias("__b"),
+                     F.col("__q").alias("__qb"),
+                     F.col("__nsq").alias("__nsqb"))
     thr_e6 = int(round(threshold * 1_000_000))
-    # within-cluster pair pass: ONE grouped numpy kernel per
-    # (cluster[, salt]) instead of the pair self-join — the join
-    # materialized |cluster|^2/2 pair rows each carrying two full
-    # vectors through an interpreted HOF dot; the kernel ships each
-    # cluster's vectors once and takes one int64 matmul (bit-identical
-    # hits: _grouped_pair_hits mirrors cosine_ge_threshold).  Each id
-    # is in exactly one group, so hits are already distinct.
-    dup_ids = (_grouped_pair_hits(
-        a.select(*join_keys, F.col(id_col), F.col("__q")),
-        join_keys, id_col, "__q", thr_e6, emit_pairs=False)
-        .withColumn("__dup", F.lit(1)))
+    # division-free threshold predicate, dot evaluated once per pair
+    hit = V.cosine_ge_threshold(F.col("__qa"), F.col("__qb"),
+                                F.col("__nsqa"), F.col("__nsqb"),
+                                thr_e6)
+    dup_ids = (left.join(right, join_keys)
+               .filter(F.col("__b") < F.col("__a"))
+               .filter(hit)
+               .select(F.col("__a").alias(id_col))
+               .distinct()
+               .withColumn("__dup", F.lit(1)))
     return (a.join(dup_ids, id_col, "left")
             .select(F.col(id_col), F.col("cluster"),
                     F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup")))

@@ -79,10 +79,16 @@ def test_ann_family_no_interpreted_hof_cosine(spark, plans):
     PQ ADC tables are computed driver-side over exact ints.  Lock it:
     no lowercase `aggregate(` HOF may reappear in any ANN plan (the
     capitalized HashAggregate operator is unaffected), and the corpus
-    must cross through a Python kernel node, not a join."""
+    must cross through a Python kernel node, not a join.
+
+    semantic_dedup_embeddings is deliberately NOT in this list: its
+    few-large-clusters regime measured FASTER through the compiled
+    join predicate than through a grouped kernel (one unsplittable
+    Python task per cluster, O(n^2) matrices — see the operator
+    docstring; 10x A/B in OPTIMIZATION_r10.md), so it keeps the
+    cluster equi-join."""
     for name in ("ann_topk_bruteforce", "ann_topk_bucketed",
-                 "ann_topk_ivf", "ann_topk_pq", "ann_topk_pq_rerank",
-                 "semantic_dedup_embeddings"):
+                 "ann_topk_ivf", "ann_topk_pq", "ann_topk_pq_rerank"):
         p = plans(name)
         assert "aggregate(" not in p, name
         assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p, name
