@@ -4774,6 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dups": winnow_near_dups,
         "event_funnel": event_funnel,
         "source_divergence": source_divergence,
+        # --- r10-touched after the rotation commit (ca79421) ---
+        "bigram_predictability": bigram_predictability_scores,
+        "repetition_metrics": repetition_metrics,
         # --- r8-stale backlog (rotated out of the r9 window) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -4803,7 +4806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_acctbal": range_join_acctbal,
         # --- beyond the 50-entry gate window: verified green in r9 ---
         "asof_join_events": asof_join_events,
-        "bigram_predictability": bigram_predictability_scores,
         "bm25_search": bm25_search,
         "boilerplate_ngram_flags": boilerplate_ngram_flags,
         "bpe_encoded_lengths": bpe_encoded_lengths,
@@ -4861,7 +4863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_suppliers": q20_dominant_suppliers,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        "repetition_metrics": repetition_metrics,
         "rollup_pricing": rollup_pricing,
         "running_revenue": running_revenue,
         "sessionization": sessionization,
