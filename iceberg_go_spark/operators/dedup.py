@@ -230,72 +230,81 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # arrays and intersecting per pair — turns O(pairs * grams) array work
     # into one hash join + one count aggregation (the shape that survives
     # a 100x scale-up; frequent-gram hotspots are bounded by block size).
-    gram_provided = gram_rows is not None
     if gram_rows is None:
         gram_rows = char_ngram_rows(df, text_col, id_col, ngram).distinct()
-    blocks = df.select(F.col(id_col),
-                       *(F.col(c) for c in (block_cols or [])))
-    base = gram_rows.join(blocks, on=id_col, how="inner")
-    counts = None
+    carry_cnt = block_cols is None
     if block_cols is None:
         # default block: coarse shingle-count band — near-dups at the
         # threshold can't differ much in size, so same-band is safe-ish.
-        # When the caller supplied a MATERIALIZED gram frame, the
-        # per-doc gram count doubles as the union-size `counts` frame
-        # below (base's joins are row-preserving: one blocks row and
-        # one counts0 row per doc id) — materialize it once (tiny, one
-        # row per doc) instead of re-aggregating the token-scale base a
-        # second time per action.  On the standalone path gram_rows is
-        # lazy and an eager counts0 checkpoint would ADD a full
-        # tokenize job (measured net-worse at sf0.1), so there counts
-        # stays an agg over the base checkpoint.
-        counts0 = gram_rows.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("__cnt"))
-        if gram_provided:
-            counts0 = counts0.localCheckpoint()
-            counts = counts0
-        base = base.join(counts0, on=id_col) \
-            .withColumn("__blk_len",
-                        F.floor(F.log2(F.col("__cnt") + F.lit(1)))) \
-            .drop("__cnt")
+        # The band derives from the per-doc distinct-gram count, which
+        # is ALSO the union-size operand — so base keeps __cnt on every
+        # row and the pair join carries it through as __na/__nb
+        # (min() inside the pair aggregate: constant per doc), instead
+        # of re-joining a counts frame onto the pair frame twice (the
+        # r9 shape paid 2 extra pair-scale shuffles + a counts agg pass
+        # over base — guide §2.4).  The former df.select(id) "blocks"
+        # join attached no columns on this path (gram_rows is derived
+        # from df in every caller — contract) and is dropped: one
+        # token-scale no-op shuffle join gone.
+        base = (gram_rows
+                .join(gram_rows.groupBy(id_col).agg(
+                    F.count(F.lit(1)).alias("__cnt")), on=id_col)
+                .withColumn("__blk_len",
+                            F.floor(F.log2(F.col("__cnt") + F.lit(1)))))
         block_cols = ["__blk_len"]
+    else:
+        blocks = df.select(F.col(id_col), *(F.col(c) for c in block_cols))
+        base = gram_rows.join(blocks, on=id_col, how="inner")
     # (NOT hashed to 64-bit here: this path shingles CHAR n-grams —
     # 3-byte keys already narrower than an 8-byte hash, and an A/B
     # measured the extra xxhash64 pass at +10-15%; the WORD-gram verify
     # joins in verified_jaccard_pairs, where shingles are 30-40 bytes,
     # DO hash — guide §2.3 applies when it actually narrows the key.)
     # base feeds the remaining consumers (both pair-join sides, plus
-    # the per-doc counts when explicit block_cols skip the counts0
-    # path); un-materialized, Spark re-runs the whole normalize +
+    # the per-doc counts agg on the explicit-block_cols path);
+    # un-materialized, Spark re-runs the whole normalize +
     # explode + distinct + block-join subtree per consumer (the r9
     # before-plan shows ~45 Exchanges from the duplicated lineage —
     # guide §2.4 "remove shuffles outright").  One localCheckpoint
     # computes it once; every consumer reads the materialized rows.
     base = base.localCheckpoint()
-    if counts is None:
-        # one row per (id, gram) in base, so the distinct-gram count
-        # per doc is a plain count over base
-        counts = base.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("__cnt"))
-    a = base.select(F.col(id_col).alias("id_a"), F.col("gram"),
+    carry_a = [F.col("__cnt").alias("__na")] if carry_cnt else []
+    carry_b = [F.col("__cnt").alias("__nb")] if carry_cnt else []
+    a = base.select(F.col(id_col).alias("id_a"), F.col("gram"), *carry_a,
                     *[F.col(c).alias(f"__b_{i}")
                       for i, c in enumerate(block_cols)])
     b = base.select(F.col(id_col).alias("id_b"), F.col("gram").alias("__gb"),
+                    *carry_b,
                     *[F.col(c).alias(f"__bb_{i}")
                       for i, c in enumerate(block_cols)])
     cond = (F.col("id_a") < F.col("id_b")) & (F.col("gram") == F.col("__gb"))
     for i in range(len(block_cols)):
         cond = cond & F.col(f"__b_{i}").eqNullSafe(F.col(f"__bb_{i}"))
-    shared = (a.join(b, cond)
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("__shared")))
-    ca = counts.select(F.col(id_col).alias("id_a"),
-                       F.col("__cnt").alias("__na"))
-    cb = counts.select(F.col(id_col).alias("id_b"),
-                       F.col("__cnt").alias("__nb"))
+    if carry_cnt:
+        # __na/__nb are constant per doc id, so min() inside the one
+        # pair aggregate recovers them exactly — no counts re-join
+        shared = (a.join(b.hint("merge"), cond)
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("__shared"),
+                       F.min("__na").alias("__na"),
+                       F.min("__nb").alias("__nb")))
+    else:
+        # explicit block_cols: one row per (id, gram) in base, so the
+        # distinct-gram count per doc is a plain count over base
+        counts = base.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__cnt"))
+        shared = (a.join(b, cond)
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("__shared"))
+                  .join(counts.select(F.col(id_col).alias("id_a"),
+                                      F.col("__cnt").alias("__na")),
+                        on="id_a")
+                  .join(counts.select(F.col(id_col).alias("id_b"),
+                                      F.col("__cnt").alias("__nb")),
+                        on="id_b"))
     union = (F.col("__na") + F.col("__nb") - F.col("__shared"))
     thr_e6 = int(round(threshold * 1_000_000))
-    return (shared.join(ca, on="id_a").join(cb, on="id_b")
+    return (shared
             .filter(F.col("__shared") * F.lit(1_000_000).cast("long")
                     >= F.lit(thr_e6).cast("long") * union)
             .withColumn("jaccard_e6", TX.ratio_e6(F.col("__shared"), union))
