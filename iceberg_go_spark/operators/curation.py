@@ -655,6 +655,14 @@ def token_frequency_quality(df: DataFrame, text_col: str = "text",
     scalar cross join).  No collect, no window over the corpus."""
     toks = _words(rebalance_for_amplification(df), text_col, id_col)
     counts = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    # counts feeds TWO consumers (the corpus-total subquery and the
+    # token join), so the tokenize lineage appears twice in the plan.
+    # A vocab-sized localCheckpoint of counts was tried (r10) and
+    # measured WORSE at both sf0.1 (+21%) and a 10x rotated corpus
+    # (0.94 vs 0.65 s min-of-5): the eager materialization pays the
+    # full tokenize up front while the optimizer can prune most of the
+    # duplicated subtree under the benched count() action.  Recompute
+    # wins — same verdict as the r9 boilerplate-shingle checkpoint.
     total = counts.agg(F.sum("__c").alias("__ctot"))
     dec = "decimal(38,0)"
     per_doc = (toks.join(counts, "__w")
@@ -1019,6 +1027,15 @@ def snapshot_value_drift(table, spark, column: str,
     j = ch.join(cn, column, "full_outer").select(
         F.coalesce("__co", F.lit(0)).cast("long").alias("__co"),
         F.coalesce("__cn", F.lit(0)).cast("long").alias("__cn"))
+    # j feeds TWO consumers (the totals subquery and the TV fold), and
+    # without a barrier each one re-runs BOTH table scans plus the
+    # full-outer histogram join — the before-plan carried the whole j
+    # subtree twice (4 scans / 22 Exchanges).  The histogram is tiny
+    # (one row per distinct value), so materializing it is the cheap
+    # side of the r9 cache-only-when-recompute-loses rule: at 100 TB
+    # this halves the table scans.  Eager construction-time compute,
+    # same contract as the other operators (see module docstring).
+    j = j.localCheckpoint(eager=True)
     dec = "decimal(38,0)"
     tot = j.agg(F.sum("__co").alias("__no"),
                 F.sum("__cn").alias("__nn"),

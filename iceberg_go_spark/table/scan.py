@@ -527,17 +527,22 @@ class Scan:
                 spark, tasks, default_fields, nm_json)
         defaults_by_id = {f.field_id: f for f in default_fields}
 
-        # group tasks by (applicable delete sets, name-based flag) so each
-        # group is one clean scan + anti-join pipeline; usually one group
+        # group tasks by (applicable eq-delete set, name-based flag) so
+        # each group is one clean scan + anti-join pipeline; usually one
+        # group.  POSITION deletes (parquet pos files, legacy puffin
+        # containers and v3 per-DV entries alike) are deliberately NOT
+        # part of the key: every positional delete names its target data
+        # file by path and the apply joins are keyed on that path, so
+        # unioning them across a group is exactly as correct as applying
+        # them per task — while keying on them split a partition-fanout
+        # merge/delete into one scan + anti-join pipeline PER PARTITION
+        # (a month-grained year of data built ~84 plan branches; at
+        # 100 TB the per-branch planning alone dwarfs the query).
+        # EQUALITY deletes stay in the key: they are sequence-gated (a
+        # delete applies only to data files with a lower sequence
+        # number), so the applicable set genuinely differs per file.
         def key(t: FileScanTask) -> Tuple:
-            # v3 per-DV entries (referenced_data_file set) are excluded
-            # from the key: each applies to exactly one file by path, so
-            # unioning them across a group is safe — keying on them
-            # would explode the grouping to one scan per file
-            return (frozenset((d.file_path, d.file_format, d.record_count)
-                              for d in t.pos_deletes
-                              if d.referenced_data_file is None),
-                    frozenset((tuple(d.equality_ids or []), d.file_path,
+            return (frozenset((tuple(d.equality_ids or []), d.file_path,
                                d.record_count)
                               for d in t.eq_deletes),
                     t.data_file.name_based,
@@ -553,9 +558,13 @@ class Scan:
 
         bound = E.bind(self.row_filter, schema, self.case_sensitive)
         dfs = []
-        for (pos_set, eq_set, name_based, needs_filter, missing_ids), \
+        for (eq_set, name_based, needs_filter, missing_ids), \
                 group in groups.items():
             paths = [t.data_file.file_path for t in group]
+            pos_set = frozenset(
+                (d.file_path, d.file_format, d.record_count)
+                for t in group for d in t.pos_deletes
+                if d.referenced_data_file is None)
             if name_based:
                 # ID-less files: infer the file schema, then resolve each
                 # current-schema field through the name mapping (file name

@@ -114,6 +114,15 @@ def test_mor_pos_delete_partitioned(spark, sf_dir, catalog):
     pruned = t.scan(E.lt("o_orderdate", f"{yr + 1}-01-01"))
     exp2 = expected.filter(F.col("o_orderdate") < f"{yr + 1}-01-01")
     assert pruned.to_df(spark).count() == exp2.count()
+    # partition-fanout pos deletes must NOT split the scan into one
+    # pipeline per partition: positional deletes are path-keyed, so the
+    # lowering unions them into ONE data-file scan + anti-join (a Union
+    # of per-partition branches here meant O(partitions) plan blowup)
+    per_task_sets = {frozenset(d.file_path for d in task.pos_deletes)
+                     for task in tasks}
+    assert len(per_task_sets) > 1  # fixture really fans out per partition
+    plan = t.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
 
 
 def test_dv_delete_partitioned(spark, sf_dir, catalog):
@@ -188,7 +197,7 @@ def test_merge_into_update_and_insert(spark, sf_dir, catalog):
 
 def test_merge_into_delete_and_condition(spark, sf_dir, catalog):
     t, df = _make(spark, sf_dir, catalog, "mrgdel",
-                  spec_parts=[("o_orderdate", "month")])
+                  spec_parts=[("o_orderdate", "year")])
     n = df.count()
     victims = df.filter(F.col("o_orderstatus") == "F").limit(20)
     nv = victims.count()
