@@ -671,9 +671,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                   F.least(F.col("label"),
                                           F.col("__jlabel"))
                                   .alias("label")))
+        # the convergence sum rides the checkpoint job as an observed
+        # metric (CollectMetrics) instead of a second agg action — one
+        # pass over the new labels per round, not two.  At 100 TB the
+        # removed pass is a full |V|-row scan per iteration; locally it
+        # removes one fixed-latency job per round.  Observation fires on
+        # the eager localCheckpoint's materialization job (verified).
+        from pyspark.sql import Observation
+        obs = Observation(f"cc_round_{it}")
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0] or 0
+        new_sum = obs.get["s"] or 0
         changed_mass = prev_sum - new_sum  # > 0 iff any label changed
         labels = new_labels
         prev_sum = new_sum
