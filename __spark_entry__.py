@@ -4777,6 +4777,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10-touched after the rotation commit (ca79421) ---
         "bigram_predictability": bigram_predictability_scores,
         "repetition_metrics": repetition_metrics,
+        # --- r10 session-2 touched: the MoR-scan group-merge (every
+        # delete-applied scan lowers differently) + the drift-histogram
+        # materialization; front-loaded so the gate re-verifies them ---
+        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
+        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
+        "iceberg_merge_scan": iceberg_merge_scan,
+        "iceberg_upsert_scan": iceberg_upsert_scan,
+        "iceberg_compacted_scan": iceberg_compacted_scan,
+        "iceberg_changelog_scan": iceberg_changelog_scan,
+        "iceberg_snapshot_drift": iceberg_snapshot_drift,
         # --- r8-stale backlog (rotated out of the r9 window) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -4800,9 +4810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs_clean": dedup_paragraphs_clean,
         "dedup_simhash": dedup_simhash,
         "doc_fingerprints": doc_fingerprints,
-        "iceberg_changelog_scan": iceberg_changelog_scan,
         "iceberg_encrypted_scan": iceberg_encrypted_scan,
-        "iceberg_mor_delete_scan": iceberg_mor_delete_scan,
         "range_join_acctbal": range_join_acctbal,
         # --- beyond the 50-entry gate window: verified green in r9 ---
         "asof_join_events": asof_join_events,
@@ -4826,21 +4834,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": hypertable_rollup,
         "iceberg_branch_scan": iceberg_branch_scan,
         "iceberg_bucket_scan": iceberg_bucket_scan,
-        "iceberg_compacted_scan": iceberg_compacted_scan,
         "iceberg_defaults_scan": iceberg_defaults_scan,
-        "iceberg_dv_delete_scan": iceberg_dv_delete_scan,
         "iceberg_incremental_scan": iceberg_incremental_scan,
-        "iceberg_merge_scan": iceberg_merge_scan,
         "iceberg_nested_defaults_scan": iceberg_nested_defaults_scan,
         "iceberg_partition_stats": iceberg_partition_stats,
         "iceberg_rest_scan": iceberg_rest_scan,
         "iceberg_scan_filter_project": iceberg_scan_filter_project,
-        "iceberg_snapshot_drift": iceberg_snapshot_drift,
         "iceberg_snapshot_log": iceberg_snapshot_log,
         "iceberg_sorted_scan": iceberg_sorted_scan,
         "iceberg_spec_evolution_scan": iceberg_spec_evolution_scan,
         "iceberg_time_travel": iceberg_time_travel,
-        "iceberg_upsert_scan": iceberg_upsert_scan,
         "iceberg_view_query": iceberg_view_query,
         "iceberg_zorder_scan": iceberg_zorder_scan,
         "label_centroids": label_centroids,
