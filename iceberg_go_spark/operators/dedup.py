@@ -418,15 +418,16 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     is split everywhere — lowest-loss on exactly the rows that carry no
     information.  Buckets under the bound (nsalt = 1) are bit-identical
     to the unsalted shape.  ``max_bucket_size=None`` disables the bound
-    entirely: lossless single-pass shape, no persisted signature frame
-    (use for oracle-exact comparisons or when the corpus is known
+    entirely: lossless single-pass shape, no materialized signature
+    frame (use for oracle-exact comparisons or when the corpus is known
     non-degenerate).
 
-    Cache lifecycle: the bounded path persists the signature frame
-    MEMORY_AND_DISK (the md5 votes must feed the sizes subquery AND the
-    bucket agg); the cache entry lives until Spark's CacheManager
-    evicts it — long-lived services calling this repeatedly should
-    clear caches periodically or pass max_bucket_size=None."""
+    Materialization: the bounded path localCheckpoints the signature
+    frame (the md5 votes must feed the sizes subquery AND the bucket
+    agg) — per-invocation blocks, freed with the frame, never a
+    CacheManager entry that could serve a later identical invocation
+    (see the r9 persist→localCheckpoint sweep).  Construction is eager
+    and the executor-loss caveat of the module docstring applies."""
     if max_hamming > 3:
         raise ValueError("pigeonhole over 4 x 16-bit bands guarantees "
                          "completeness only for max_hamming <= 3")
